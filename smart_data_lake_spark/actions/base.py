@@ -1,0 +1,300 @@
+"""Action base classes — the generic execution skeleton.
+
+Reference: `workflow/action/Action.scala:44-421` (lifecycle
+prepare/init/exec + executionCondition + metricsFailCondition),
+`workflow/action/ActionSubFeedsImpl.scala:43-379` (main-input election :83,
+execution-mode application :96-118, write loop with metrics & NoData handling
+:147-189) and `workflow/action/DataFrameActionImpl.scala:47-556` (DataFrame
+specifics: dummy-DF init phase :212-223, persist handling :176-179, streaming
+write :410-477).
+
+Phases (SURVEY §3.1):
+  prepare — connection/existence checks, config validation
+  init    — build the full Spark lineage WITHOUT executing, so schema errors
+            surface before any write (Catalyst analysis is the validator)
+  exec    — apply execution mode, transform, write, collect metrics
+"""
+
+from __future__ import annotations
+
+import abc
+import datetime
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from smart_data_lake_spark.config import InstanceRegistry
+from smart_data_lake_spark.dataobjects.base import (
+    CanCreateDataFrame,
+    CanCreateStreamingDataFrame,
+    CanWriteDataFrame,
+    CanWriteStreamingDataFrame,
+    DataObject,
+)
+from smart_data_lake_spark.execution_modes import (
+    ExecutionMode,
+    ExecutionModeResult,
+    SparkStreamingMode,
+)
+from smart_data_lake_spark.expectations import (
+    Constraint,
+    Expectation,
+    apply_constraints,
+    compute_scope_all_metrics,
+    setup_observation,
+    validate_expectations,
+)
+from smart_data_lake_spark.partitions import PartitionValues
+from smart_data_lake_spark.save_modes import SaveMode
+from smart_data_lake_spark.subfeed import SparkSubFeed
+
+
+class NoDataToProcessWarning(Exception):
+    """Raised when an execution mode finds nothing to do; the DAG converts
+    this into skipped output subfeeds (Action.scala:189-207)."""
+
+    def __init__(self, action_id: str, msg: str = "no data to process"):
+        super().__init__(f"({action_id}) {msg}")
+        self.action_id = action_id
+
+
+class Action(abc.ABC):
+    def __init__(
+        self,
+        id: str,
+        registry: InstanceRegistry | None = None,
+        execution_condition: Any = None,  # callable: list[SparkSubFeed] -> bool
+        metrics_fail_condition: Any = None,  # callable: dict -> str | None
+        metadata: dict[str, Any] | None = None,
+    ) -> None:
+        self.id = id
+        self.registry = registry
+        self.execution_condition = execution_condition
+        self.metrics_fail_condition = metrics_fail_condition
+        self.metadata = metadata or {}
+        self.runtime_metrics: dict[str, Any] = {}
+        if registry is not None and id not in registry.actions:
+            registry.register_action(self)
+
+    @property
+    @abc.abstractmethod
+    def input_ids(self) -> list[str]:
+        ...
+
+    @property
+    @abc.abstractmethod
+    def output_ids(self) -> list[str]:
+        ...
+
+    def _do(self, do_id: str) -> DataObject:
+        assert self.registry is not None, f"({self.id}) registry not set"
+        return self.registry.get_data_object(do_id)
+
+    # lifecycle ---------------------------------------------------------
+    def prepare(self, spark: SparkSession) -> None:
+        for do_id in self.input_ids + self.output_ids:
+            self._do(do_id).prepare(spark)
+
+    @abc.abstractmethod
+    def init(self, spark: SparkSession, subfeeds: list[SparkSubFeed]) -> list[SparkSubFeed]:
+        ...
+
+    @abc.abstractmethod
+    def exec(self, spark: SparkSession, subfeeds: list[SparkSubFeed]) -> list[SparkSubFeed]:
+        ...
+
+    def post_exec(self, spark: SparkSession, inputs: list[SparkSubFeed], outputs: list[SparkSubFeed]) -> None:
+        pass
+
+    def should_execute(self, subfeeds: list[SparkSubFeed]) -> bool:
+        """Default: skip if any input is skipped (Action.scala:189-207)."""
+        if self.execution_condition is not None:
+            return bool(self.execution_condition(subfeeds))
+        return not any(sf.is_skipped for sf in subfeeds)
+
+    def check_metrics_fail_condition(self) -> None:
+        if self.metrics_fail_condition is not None:
+            msg = self.metrics_fail_condition(self.runtime_metrics)
+            if msg:
+                raise RuntimeError(f"({self.id}) metricsFailCondition: {msg}")
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"{type(self).__name__}(id={self.id!r})"
+
+
+class DataFrameAction(Action):
+    """Base for actions flowing DataFrames (DataFrameActionImpl.scala:47).
+
+    Subclasses implement `transform(spark, dfs) -> dict[output_id, DataFrame]`.
+    """
+
+    def __init__(
+        self,
+        id: str,
+        registry: InstanceRegistry | None = None,
+        execution_mode: ExecutionMode | None = None,
+        break_dataframe_lineage: bool = False,
+        persist: bool = False,
+        constraints: list[Constraint] | None = None,
+        expectations: list[Expectation] | None = None,
+        save_mode: SaveMode | str | None = None,
+        checkpoint_location: str | None = None,
+        **kwargs: Any,
+    ) -> None:
+        super().__init__(id=id, registry=registry, **kwargs)
+        self.execution_mode = execution_mode
+        self.break_dataframe_lineage = break_dataframe_lineage
+        self.persist = persist
+        self.constraints = constraints or []
+        self.expectations = expectations or []
+        self.save_mode = SaveMode(save_mode) if save_mode is not None else None
+        self.checkpoint_location = checkpoint_location
+        self.execution_mode_state: dict[str, Any] = {}
+
+    @property
+    def main_input_id(self) -> str:
+        return self.input_ids[0]
+
+    @property
+    def main_output_id(self) -> str:
+        return self.output_ids[0]
+
+    @abc.abstractmethod
+    def transform(self, spark: SparkSession, dfs: dict[str, DataFrame]) -> dict[str, DataFrame]:
+        ...
+
+    # ------------------------------------------------------------------ init
+    def init(self, spark, subfeeds):
+        dfs = self._enrich_inputs(spark, subfeeds, phase="init")
+        outputs = self.transform(spark, dfs)
+        out_subfeeds = []
+        for out_id in self.output_ids:
+            df = outputs[out_id]
+            out_do = self._do(out_id)
+            if isinstance(out_do, CanWriteDataFrame):
+                out_do.init_write(df)
+            out_subfeeds.append(SparkSubFeed(data_object_id=out_id, df=df, is_dummy=True))
+        return out_subfeeds
+
+    # ------------------------------------------------------------------ exec
+    def exec(self, spark, subfeeds):
+        by_id = {sf.data_object_id: sf for sf in subfeeds}
+        mode_result = self._apply_execution_mode(spark, by_id)
+        if mode_result is not None and mode_result.no_data:
+            raise NoDataToProcessWarning(self.id)
+
+        dfs = self._enrich_inputs(spark, subfeeds, phase="exec", mode_result=mode_result)
+        outputs = self.transform(spark, dfs)
+
+        out_subfeeds: list[SparkSubFeed] = []
+        for out_id in self.output_ids:
+            df = outputs[out_id]
+            out_do = self._do(out_id)
+            if df.isStreaming:
+                out_subfeeds.append(self._write_streaming(spark, df, out_do, out_id))
+                continue
+            df = apply_constraints(df, self.constraints)
+            df, obs = setup_observation(df, self.expectations, f"{self.id}_{out_id}")
+            if self.persist:
+                df = df.persist()
+            pvs = (mode_result.output_partition_values if mode_result else None) or []
+            assert isinstance(out_do, CanWriteDataFrame), f"({self.id}) {out_id} is not writable"
+            metrics = out_do.write_dataframe(df, pvs, self.save_mode)
+            obs_metrics = dict(obs.get) if obs is not None else {}
+            metrics = {**obs_metrics, **metrics}
+            if isinstance(out_do, CanCreateDataFrame):
+                metrics.update(compute_scope_all_metrics_lazy(out_do, spark, self.expectations))
+            self.runtime_metrics[out_id] = metrics
+            warnings = validate_expectations(self.expectations, metrics)
+            for w in warnings:
+                print(f"WARN ({self.id}/{out_id}): {w}")
+            sf = SparkSubFeed(data_object_id=out_id, partition_values=pvs, metrics=metrics)
+            # re-read from storage for downstream lineage (breakLineage after
+            # write, DataFrameActionImpl.scala:53-64) — the written table is
+            # the new source of truth and keeps plans short
+            if isinstance(out_do, CanCreateDataFrame):
+                sf = sf.with_df(out_do.get_dataframe(spark, pvs or None))
+            out_subfeeds.append(sf)
+
+        if self.execution_mode is not None:
+            self.execution_mode.post_exec(
+                spark, self._do(self.main_input_id), self._do(self.main_output_id), self.execution_mode_state
+            )
+        self.check_metrics_fail_condition()
+        return out_subfeeds
+
+    # ----------------------------------------------------------------- utils
+    def _apply_execution_mode(self, spark, by_id) -> ExecutionModeResult | None:
+        if self.execution_mode is None:
+            return None
+        main_sf = by_id.get(self.main_input_id)
+        return self.execution_mode.apply(
+            spark,
+            self._do(self.main_input_id),
+            self._do(self.main_output_id),
+            main_sf.partition_values if main_sf else [],
+            self.execution_mode_state,
+        )
+
+    def _enrich_inputs(
+        self,
+        spark: SparkSession,
+        subfeeds: list[SparkSubFeed],
+        phase: str,
+        mode_result: ExecutionModeResult | None = None,
+    ) -> dict[str, DataFrame]:
+        """Fresh DataFrame per input (DataFrameActionImpl.enrichSubFeedDataFrame
+        :157-225): in exec we always re-read from the DataObject unless the
+        subfeed carries a usable frame; execution-mode partition values and
+        filters are applied to the main input."""
+        by_id = {sf.data_object_id: sf for sf in subfeeds}
+        dfs: dict[str, DataFrame] = {}
+        streaming = isinstance(self.execution_mode, SparkStreamingMode) and phase == "exec"
+        for in_id in self.input_ids:
+            in_do = self._do(in_id)
+            sf = by_id.get(in_id)
+            pvs = list(sf.partition_values) if sf else []
+            if mode_result is not None and in_id == self.main_input_id and mode_result.input_partition_values:
+                pvs = mode_result.input_partition_values
+            if streaming and in_id == self.main_input_id and isinstance(in_do, CanCreateStreamingDataFrame):
+                df = in_do.get_streaming_dataframe(spark)
+            elif sf is not None and sf.df is not None and (phase == "init" or not sf.is_dummy) and not self.break_dataframe_lineage:
+                df = sf.df
+                if pvs:
+                    from smart_data_lake_spark.partitions import apply_partition_filter
+
+                    df = apply_partition_filter(df, pvs)
+            else:
+                assert isinstance(in_do, CanCreateDataFrame), f"({self.id}) {in_id} is not readable"
+                df = in_do.get_dataframe(spark, pvs or None)
+            if mode_result is not None and in_id == self.main_input_id and mode_result.filter:
+                from pyspark.sql import functions as F
+
+                df = df.where(F.expr(mode_result.filter))
+            dfs[in_id] = df
+        return dfs
+
+    def _write_streaming(self, spark, df, out_do, out_id) -> SparkSubFeed:
+        mode = self.execution_mode
+        assert isinstance(mode, SparkStreamingMode), "streaming output requires SparkStreamingMode"
+        assert isinstance(out_do, CanWriteStreamingDataFrame), f"({self.id}) {out_id} can't write streams"
+        checkpoint = mode.checkpoint_location or self.checkpoint_location or f"/tmp/sdl_checkpoints/{self.id}"
+        query = out_do.write_streaming_dataframe(
+            df, mode.trigger(), checkpoint, mode.output_mode, query_name=self.id
+        )
+        if mode.trigger_type in ("once", "availableNow"):
+            query.awaitTermination()
+            self.runtime_metrics[out_id] = {"streaming_batches": len(query.recentProgress)}
+        return SparkSubFeed(data_object_id=out_id, metrics=self.runtime_metrics.get(out_id, {}))
+
+
+def compute_scope_all_metrics_lazy(out_do, spark, expectations) -> dict[str, Any]:
+    from smart_data_lake_spark.expectations import ExpectationScope
+
+    if not any(e.scope == ExpectationScope.ALL for e in expectations):
+        return {}
+    return compute_scope_all_metrics(out_do.get_dataframe(spark), expectations)
+
+
+def now_utc() -> datetime.datetime:
+    return datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)

@@ -1,0 +1,110 @@
+"""Instance registry + config loading.
+
+Reference: `config/InstanceRegistry.scala` (id → instance registry) and
+`config/ConfigParser.scala:44-115` (HOCON sections global/connections/
+dataObjects/actions). The rebuild accepts plain Python dicts (JSON/YAML-ready)
+with a `type` discriminator, or direct programmatic registration.
+"""
+
+from __future__ import annotations
+
+from typing import Any, TYPE_CHECKING
+
+if TYPE_CHECKING:  # pragma: no cover
+    from smart_data_lake_spark.actions.base import Action
+    from smart_data_lake_spark.dataobjects.base import DataObject
+
+
+class ConfigError(Exception):
+    pass
+
+
+class InstanceRegistry:
+    """id → instance registry for data objects, actions and connections."""
+
+    def __init__(self) -> None:
+        self.data_objects: dict[str, "DataObject"] = {}
+        self.actions: dict[str, "Action"] = {}
+        self.connections: dict[str, Any] = {}
+
+    def register_data_object(self, do: "DataObject") -> "DataObject":
+        if do.id in self.data_objects:
+            raise ConfigError(f"duplicate DataObject id {do.id!r}")
+        self.data_objects[do.id] = do
+        return do
+
+    def register_action(self, action: "Action") -> "Action":
+        if action.id in self.actions:
+            raise ConfigError(f"duplicate Action id {action.id!r}")
+        self.actions[action.id] = action
+        return action
+
+    def register_connection(self, conn_id: str, conn: Any) -> Any:
+        self.connections[conn_id] = conn
+        return conn
+
+    def get_data_object(self, do_id: str) -> "DataObject":
+        try:
+            return self.data_objects[do_id]
+        except KeyError:
+            raise ConfigError(f"unknown DataObject id {do_id!r}") from None
+
+    def get_action(self, action_id: str) -> "Action":
+        try:
+            return self.actions[action_id]
+        except KeyError:
+            raise ConfigError(f"unknown Action id {action_id!r}") from None
+
+
+_DO_TYPES: dict[str, type] = {}
+_ACTION_TYPES: dict[str, type] = {}
+
+
+def register_data_object_type(cls: type) -> type:
+    """Class decorator mapping `type: ClassName` config entries to classes
+    (the rebuild's FromConfigFactory, ConfigParser.scala:44-115)."""
+    _DO_TYPES[cls.__name__] = cls
+    return cls
+
+
+def register_action_type(cls: type) -> type:
+    _ACTION_TYPES[cls.__name__] = cls
+    return cls
+
+
+def load_config(config: dict[str, Any]) -> InstanceRegistry:
+    """Build an InstanceRegistry from a plain dict.
+
+    Shape (mirrors the reference's HOCON sections)::
+
+        {"dataObjects": {"src": {"type": "ParquetFileDataObject", "path": ...}},
+         "actions": {"a": {"type": "CopyAction", "inputId": "src", ...}}}
+    """
+    registry = InstanceRegistry()
+    for do_id, spec in (config.get("dataObjects") or {}).items():
+        spec = dict(spec)
+        type_name = spec.pop("type", None)
+        cls = _DO_TYPES.get(type_name)
+        if cls is None:
+            raise ConfigError(f"unknown DataObject type {type_name!r} for id {do_id!r}")
+        registry.register_data_object(cls(id=do_id, **_snake_kwargs(spec)))
+    for action_id, spec in (config.get("actions") or {}).items():
+        spec = dict(spec)
+        type_name = spec.pop("type", None)
+        cls = _ACTION_TYPES.get(type_name)
+        if cls is None:
+            raise ConfigError(f"unknown Action type {type_name!r} for id {action_id!r}")
+        action = cls(id=action_id, registry=registry, **_snake_kwargs(spec))
+        if action_id not in registry.actions:
+            registry.register_action(action)
+    return registry
+
+
+def _snake_kwargs(spec: dict[str, Any]) -> dict[str, Any]:
+    """camelCase config keys → snake_case python kwargs."""
+    import re
+
+    def snake(name: str) -> str:
+        return re.sub(r"(?<!^)(?=[A-Z])", "_", name).lower()
+
+    return {snake(k): v for k, v in spec.items()}

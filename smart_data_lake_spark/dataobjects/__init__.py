@@ -1,0 +1,59 @@
+from smart_data_lake_spark.dataobjects.base import (
+    CanCreateDataFrame,
+    CanCreateStreamingDataFrame,
+    CanHandlePartitions,
+    CanMergeDataFrame,
+    CanWriteDataFrame,
+    DataObject,
+    Table,
+)
+from smart_data_lake_spark.dataobjects.file import (
+    AvroFileDataObject,
+    CsvFileDataObject,
+    JsonFileDataObject,
+    ParquetFileDataObject,
+    RawFileDataObject,
+    RelaxedCsvFileDataObject,
+    SparkFileDataObject,
+    XmlFileDataObject,
+)
+from smart_data_lake_spark.dataobjects.table import (
+    DeltaLakeTableDataObject,
+    HiveTableDataObject,
+    JdbcTableDataObject,
+    ParquetTableDataObject,
+)
+from smart_data_lake_spark.dataobjects.custom import (
+    ActionsExporterDataObject,
+    CustomDfDataObject,
+    DataObjectsExporterDataObject,
+    PKViolatorsDataObject,
+)
+from smart_data_lake_spark.dataobjects.memory import MockDataObject
+
+__all__ = [
+    "DataObject",
+    "Table",
+    "CanCreateDataFrame",
+    "CanWriteDataFrame",
+    "CanCreateStreamingDataFrame",
+    "CanMergeDataFrame",
+    "CanHandlePartitions",
+    "SparkFileDataObject",
+    "ParquetFileDataObject",
+    "CsvFileDataObject",
+    "RelaxedCsvFileDataObject",
+    "JsonFileDataObject",
+    "AvroFileDataObject",
+    "XmlFileDataObject",
+    "RawFileDataObject",
+    "ParquetTableDataObject",
+    "HiveTableDataObject",
+    "DeltaLakeTableDataObject",
+    "JdbcTableDataObject",
+    "CustomDfDataObject",
+    "PKViolatorsDataObject",
+    "ActionsExporterDataObject",
+    "DataObjectsExporterDataObject",
+    "MockDataObject",
+]

@@ -1,0 +1,345 @@
+"""File-based DataObjects on any spark.read/write format.
+
+Reference: `dataobject/SparkFileDataObject.scala:55-596` — reads with explicit
+partition-path pruning (:265-339), `modifiedAfter/Before` incremental reads
+(:241-254), filename column (:462-467), NoData detection from the scan's file
+list (:602-613, rebuilt here via `df.inputFiles()`), and writes with
+partition-aware overwrite modes (:493-552) plus optional repartitioning
+(`util/hdfs/SparkRepartitionDef.scala`).
+
+Scale note: partition pruning happens two ways — explicitly (we enumerate
+matching hive directories and pass them as `load(paths)` with a `basePath`,
+so Spark never lists the rest of the lake) and declaratively (the
+PartitionValues filter is applied to the DataFrame so Catalyst prunes if we
+fall back to a whole-root read).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from smart_data_lake_spark.config import register_data_object_type
+from smart_data_lake_spark.dataobjects.base import (
+    CanCreateDataFrame,
+    CanCreateIncrementalOutput,
+    CanCreateStreamingDataFrame,
+    CanHandlePartitions,
+    CanWriteDataFrame,
+    CanWriteStreamingDataFrame,
+    DataObject,
+    _parse_schema,
+)
+from smart_data_lake_spark.partitions import PartitionValues, apply_partition_filter
+from smart_data_lake_spark.save_modes import SaveMode
+
+
+class NoDataToProcessError(Exception):
+    """Raised when a mandatory input has no files/rows for the selected
+    partitions (reference: NoDataToProcessWarning, SURVEY §3.1 step 8)."""
+
+
+@register_data_object_type
+class SparkFileDataObject(
+    DataObject,
+    CanCreateDataFrame,
+    CanWriteDataFrame,
+    CanCreateStreamingDataFrame,
+    CanWriteStreamingDataFrame,
+    CanHandlePartitions,
+    CanCreateIncrementalOutput,
+):
+    format: str = "parquet"
+
+    def __init__(
+        self,
+        id: str,
+        path: str,
+        partitions: list[str] | None = None,
+        schema: T.StructType | str | None = None,
+        options: dict[str, str] | None = None,
+        save_mode: SaveMode | str = SaveMode.OVERWRITE,
+        filename_column: str | None = None,
+        n_files_per_partition: int | None = None,
+        repartition_keys: list[str] | None = None,
+        expected_partitions_condition: str | None = None,
+        format: str | None = None,
+        **kwargs: Any,
+    ) -> None:
+        super().__init__(id=id, **kwargs)
+        self.path = path
+        self.partitions = partitions or []
+        self.schema = _parse_schema(schema)
+        self.options = options or {}
+        self.save_mode = SaveMode(save_mode)
+        self.filename_column = filename_column
+        self.n_files_per_partition = n_files_per_partition
+        self.repartition_keys = repartition_keys or []
+        self.expected_partitions_condition = expected_partitions_condition
+        if format:
+            self.format = format
+        self._incremental_state: str | None = None
+
+    # ------------------------------------------------------------------ read
+    def get_dataframe(
+        self, spark: SparkSession, partition_values: list[PartitionValues] | None = None
+    ) -> DataFrame:
+        reader = spark.read.format(self.format).options(**self._read_options())
+        if self.schema is not None:
+            reader = reader.schema(self.schema)
+        if self._incremental_state and self.format in {"parquet", "csv", "json", "text", "binaryFile", "avro", "orc"}:
+            # file-modification-date incremental read
+            # (SparkFileDataObject.scala:241-254 → Spark's modifiedAfter option)
+            reader = reader.option("modifiedAfter", self._incremental_state)
+        paths = self._pruned_paths(partition_values)
+        if paths is not None:
+            if not paths:
+                # no matching partition dirs → empty frame with read schema
+                schema = self.create_read_schema(spark)
+                if schema is None:
+                    raise NoDataToProcessError(f"({self.id}) no data for {partition_values}")
+                return spark.createDataFrame([], schema)
+            reader = reader.option("basePath", self.path)
+            df = reader.load(paths)
+        else:
+            df = reader.load(self.path)
+        if partition_values:
+            df = apply_partition_filter(df, partition_values)
+        if self.filename_column:
+            df = df.withColumn(self.filename_column, F.input_file_name())
+        return df
+
+    def get_streaming_dataframe(self, spark: SparkSession) -> DataFrame:
+        schema = self.schema or self.create_read_schema(spark)
+        if schema is None:
+            raise ValueError(f"({self.id}) streaming read requires a schema")
+        return (
+            spark.readStream.format(self.format)
+            .options(**self._read_options())
+            .schema(schema)
+            .load(self.path)
+        )
+
+    def _read_options(self) -> dict[str, str]:
+        return dict(self.options)
+
+    def _pruned_paths(self, partition_values: list[PartitionValues] | None) -> list[str] | None:
+        """Enumerate hive partition directories matching the requested
+        partition values (explicit-path pruning, SparkFileDataObject.scala:265-339).
+        Returns None when no pruning applies (read the root)."""
+        if not partition_values or not self.partitions:
+            return None
+        paths: list[str] = []
+        for pv in partition_values:
+            pattern_parts = []
+            for col in self.partitions:
+                v = pv.as_dict.get(col)
+                pattern_parts.append(f"{col}={v}" if v is not None else f"{col}=*")
+            pattern = os.path.join(self.path, *pattern_parts)
+            paths.extend(sorted(glob.glob(pattern)))
+        return sorted(set(paths))
+
+    def create_read_schema(self, spark: SparkSession) -> T.StructType | None:
+        if self.schema is not None:
+            return self.schema
+        try:
+            return spark.read.format(self.format).options(**self._read_options()).load(self.path).schema
+        except Exception:
+            return None
+
+    # ----------------------------------------------------------------- write
+    def init_write(self, df: DataFrame, partition_values: list[PartitionValues] | None = None) -> None:
+        self.validate_schema_min(df, "write")
+        missing = [p for p in self.partitions if p not in df.columns]
+        if missing:
+            raise ValueError(f"({self.id}) partition columns {missing} missing in DataFrame")
+
+    def write_dataframe(
+        self,
+        df: DataFrame,
+        partition_values: list[PartitionValues] | None = None,
+        save_mode: SaveMode | None = None,
+    ) -> dict[str, Any]:
+        mode = save_mode or self.save_mode
+        self.init_write(df, partition_values)
+        df = self._repartition_for_write(df)
+        # observe() records rows written without a second scan
+        # (reference uses a Spark listener, SparkStageMetricsListener.scala:52-154;
+        #  observation is the idiomatic python-side equivalent)
+        from pyspark.sql import Observation
+
+        obs = Observation(f"write_{self.id}")
+        df = df.observe(obs, F.count(F.lit(1)).alias("records_written"))
+        writer = df.write.format(self.format).options(**self.options)
+        if self.partitions:
+            writer = writer.partitionBy(*self.partitions)
+        if mode == SaveMode.OVERWRITE_OPTIMIZED:
+            # delete only the affected partitions then append
+            if partition_values:
+                self.delete_partitions(df.sparkSession, partition_values)
+                writer.mode("append").save(self.path)
+            else:
+                writer.mode("overwrite").save(self.path)
+        elif mode == SaveMode.OVERWRITE and self.partitions:
+            # dynamic partition overwrite replaces only written partitions
+            writer.mode("overwrite").option("partitionOverwriteMode", "dynamic").save(self.path)
+        else:
+            spark_mode = {
+                SaveMode.OVERWRITE: "overwrite",
+                SaveMode.APPEND: "append",
+                SaveMode.ERROR_IF_EXISTS: "error",
+                SaveMode.IGNORE: "ignore",
+                SaveMode.OVERWRITE_PRESERVE_DIRECTORIES: "overwrite",
+                SaveMode.MERGE: None,
+            }[mode]
+            if spark_mode is None:
+                raise ValueError(f"({self.id}) SaveMode.MERGE requires a table DataObject")
+            writer.mode(spark_mode).save(self.path)
+        return dict(obs.get)
+
+    def write_streaming_dataframe(
+        self,
+        df: DataFrame,
+        trigger: dict[str, Any],
+        checkpoint_location: str,
+        output_mode: str = "append",
+        query_name: str | None = None,
+    ):
+        writer = (
+            df.writeStream.format(self.format)
+            .options(**self.options)
+            .option("checkpointLocation", checkpoint_location)
+            .outputMode(output_mode)
+            .trigger(**trigger)
+        )
+        if self.partitions:
+            writer = writer.partitionBy(*self.partitions)
+        if query_name:
+            writer = writer.queryName(query_name)
+        return writer.start(self.path)
+
+    def _repartition_for_write(self, df: DataFrame) -> DataFrame:
+        """Control output file count/co-location (SparkRepartitionDef.scala)."""
+        if self.n_files_per_partition is None:
+            return df
+        keys = [F.col(c) for c in (self.partitions + self.repartition_keys)]
+        if keys:
+            return df.repartition(self.n_files_per_partition, *keys)
+        return df.repartition(self.n_files_per_partition)
+
+    # ------------------------------------------------------------- partitions
+    def list_partitions(self, spark: SparkSession) -> list[PartitionValues]:
+        if not self.partitions or not os.path.isdir(self.path):
+            return []
+        result: list[PartitionValues] = []
+
+        def walk(base: str, cols: list[str], acc: dict[str, str]) -> None:
+            if not cols:
+                result.append(PartitionValues.of(acc))
+                return
+            col = cols[0]
+            for entry in sorted(os.listdir(base)):
+                full = os.path.join(base, entry)
+                if os.path.isdir(full) and entry.startswith(f"{col}="):
+                    walk(full, cols[1:], {**acc, col: entry.split("=", 1)[1]})
+
+        walk(self.path, self.partitions, {})
+        return result
+
+    def delete_partitions(self, spark: SparkSession, partition_values: list[PartitionValues]) -> None:
+        for pv in partition_values:
+            target = os.path.join(self.path, pv.hive_path())
+            if os.path.isdir(target):
+                shutil.rmtree(target)
+
+    # ------------------------------------------------------------ incremental
+    def set_state(self, state: str | None) -> None:
+        self._incremental_state = state
+
+    def get_state(self) -> str | None:
+        import datetime
+
+        mtimes = [
+            os.path.getmtime(os.path.join(root, f))
+            for root, _, files in os.walk(self.path)
+            for f in files
+            if not f.startswith(("_", "."))
+        ]
+        if not mtimes:
+            return self._incremental_state
+        return (
+            datetime.datetime.fromtimestamp(max(mtimes), tz=datetime.timezone.utc)
+            .strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3]
+        )
+
+    def is_empty(self, spark: SparkSession) -> bool:
+        try:
+            return len(self.get_dataframe(spark).inputFiles()) == 0
+        except Exception:
+            return True
+
+
+@register_data_object_type
+class ParquetFileDataObject(SparkFileDataObject):
+    """Reference: `dataobject/ParquetFileDataObject.scala:48-65`."""
+
+    format = "parquet"
+
+
+@register_data_object_type
+class CsvFileDataObject(SparkFileDataObject):
+    """Reference defaults delimiter='|', header=false
+    (`dataobject/CsvFileDataObject.scala:68-84`)."""
+
+    format = "csv"
+
+    def _read_options(self) -> dict[str, str]:
+        return {"sep": "|", "header": "false", "inferSchema": "false", **self.options}
+
+
+@register_data_object_type
+class RelaxedCsvFileDataObject(CsvFileDataObject):
+    """CSV tolerant of differing/missing columns per file
+    (`dataobject/RelaxedCsvFileDataObject.scala:56`): PERMISSIVE mode + an
+    explicit schema projects each file onto the target schema."""
+
+    def _read_options(self) -> dict[str, str]:
+        return {**super()._read_options(), "mode": "PERMISSIVE", "enforceSchema": "false"}
+
+
+@register_data_object_type
+class JsonFileDataObject(SparkFileDataObject):
+    """Reference: multiLine default true (`dataobject/JsonFileDataObject.scala:51-69`)."""
+
+    format = "json"
+
+    def _read_options(self) -> dict[str, str]:
+        return {"multiLine": "true", **self.options}
+
+
+@register_data_object_type
+class AvroFileDataObject(SparkFileDataObject):
+    format = "avro"
+
+
+@register_data_object_type
+class XmlFileDataObject(SparkFileDataObject):
+    """Requires the spark-xml package at runtime (gated, like the reference's
+    optional sdl-* modules)."""
+
+    format = "xml"
+
+
+@register_data_object_type
+class RawFileDataObject(SparkFileDataObject):
+    """binaryFile/text source (`dataobject/RawFileDataObject.scala:38-52`);
+    the substrate for multimodal (image/audio/video) columns — see
+    functions/multimodal.py."""
+
+    format = "binaryFile"

@@ -1,0 +1,76 @@
+"""In-memory DataObject for tests and simulation.
+
+Reference: `testutils/MockDataObject.scala:45` — an in-memory table DO used by
+the reference's own test suite; ours keeps the written DataFrame (materialised
+eagerly to break lineage like a real write would).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from smart_data_lake_spark.config import register_data_object_type
+from smart_data_lake_spark.dataobjects.base import (
+    CanCreateDataFrame,
+    CanMergeDataFrame,
+    CanWriteDataFrame,
+    DataObject,
+    Table,
+)
+from smart_data_lake_spark.partitions import PartitionValues, apply_partition_filter
+from smart_data_lake_spark.save_modes import SaveMode, SaveModeMergeOptions
+
+
+@register_data_object_type
+class MockDataObject(DataObject, CanCreateDataFrame, CanWriteDataFrame, CanMergeDataFrame):
+    def __init__(
+        self,
+        id: str,
+        primary_key: list[str] | None = None,
+        partitions: list[str] | None = None,
+        **kwargs: Any,
+    ) -> None:
+        super().__init__(id=id, **kwargs)
+        self.table = Table(name=id, primary_key=primary_key)
+        self.partitions = partitions or []
+        self._df: DataFrame | None = None
+
+    def exists(self, spark: SparkSession) -> bool:
+        return self._df is not None
+
+    def get_dataframe(self, spark, partition_values=None):
+        if self._df is None:
+            raise ValueError(f"({self.id}) no data written yet")
+        df = self._df
+        if partition_values:
+            df = apply_partition_filter(df, partition_values)
+        return df
+
+    def init_write(self, df, partition_values=None):
+        self.validate_schema_min(df, "write")
+
+    def write_dataframe(self, df, partition_values=None, save_mode=None):
+        mode = save_mode or SaveMode.OVERWRITE
+        self.init_write(df)
+        if mode == SaveMode.APPEND and self._df is not None:
+            df = self._df.unionByName(df, allowMissingColumns=True)
+        elif mode == SaveMode.MERGE:
+            return self.merge_dataframe_by_primary_key(df)
+        self._df = df.localCheckpoint(eager=True)  # materialise, break lineage
+        return {"records_written": self._df.count()}
+
+    def merge_dataframe_by_primary_key(self, df, merge_options=None):
+        from pyspark.sql import functions as F
+
+        if self._df is None:
+            self._df = df.localCheckpoint(eager=True)
+            return {"records_written": self._df.count()}
+        pks = self.table.primary_key or []
+        if not pks:
+            raise ValueError(f"({self.id}) primary key required for merge")
+        existing_only = self._df.join(df.select(*pks), pks, "left_anti")
+        merged = existing_only.unionByName(df, allowMissingColumns=True)
+        self._df = merged.localCheckpoint(eager=True)
+        return {"records_written": df.count()}

@@ -1,0 +1,214 @@
+"""Execution modes — the incremental-processing operators.
+
+Reference: `workflow/action/executionMode/` (SURVEY §2.7). An execution mode
+inspects input/output DataObjects before exec and returns an
+ExecutionModeResult (ExecutionMode.scala:156): partition values to process
+and/or a filter to apply to the main input — applied in
+ActionSubFeedsImpl.scala:96-118.
+"""
+
+from __future__ import annotations
+
+import abc
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from smart_data_lake_spark.dataobjects.base import (
+    CanCreateDataFrame,
+    CanCreateIncrementalOutput,
+    CanHandlePartitions,
+    DataObject,
+)
+from smart_data_lake_spark.partitions import PartitionValues, diff_partition_values
+
+
+@dataclass
+class ExecutionModeResult:
+    input_partition_values: list[PartitionValues] = field(default_factory=list)
+    output_partition_values: list[PartitionValues] = field(default_factory=list)
+    filter: str | None = None
+    options: dict[str, Any] = field(default_factory=dict)
+    no_data: bool = False
+
+
+class ExecutionMode(abc.ABC):
+    def pre_init(self, input_do: DataObject, output_do: DataObject) -> None:
+        pass
+
+    @abc.abstractmethod
+    def apply(
+        self,
+        spark: SparkSession,
+        input_do: DataObject,
+        output_do: DataObject,
+        given_partition_values: list[PartitionValues],
+        state: dict[str, Any],
+    ) -> ExecutionModeResult:
+        ...
+
+    def post_exec(self, spark: SparkSession, input_do: DataObject, output_do: DataObject, state: dict[str, Any]) -> None:
+        pass
+
+
+class ProcessAllMode(ExecutionMode):
+    """Explicitly disable inherited filters (ExecutionMode.scala:136-147)."""
+
+    def apply(self, spark, input_do, output_do, given_partition_values, state):
+        return ExecutionModeResult()
+
+
+@dataclass
+class PartitionDiffMode(ExecutionMode):
+    """Process partitions present in input but missing in output
+    (PartitionDiffMode.scala:61-197).
+
+    Options mirror the reference: `partition_col_nb` compares only the first
+    N partition columns; `nb_of_partition_values_per_run` bounds per-run work
+    (scale lever: a backlog of 10k partitions is chewed in batches);
+    `apply_condition` / `select_expression` hooks are python callables here.
+    """
+
+    partition_col_nb: int | None = None
+    nb_of_partition_values_per_run: int | None = None
+    select_expression: Any = None  # callable: list[PartitionValues] -> list[PartitionValues]
+    fail_condition: Any = None  # callable: ExecutionModeResult -> str | None
+
+    def apply(self, spark, input_do, output_do, given_partition_values, state):
+        if not isinstance(input_do, CanHandlePartitions) or not isinstance(output_do, CanHandlePartitions):
+            raise ValueError("PartitionDiffMode requires partitioned input and output DataObjects")
+        in_parts = input_do.list_partitions(spark)
+        out_parts = output_do.list_partitions(spark)
+        if self.partition_col_nb is not None:
+            cols = input_do.partitions[: self.partition_col_nb]
+            in_parts = sorted({PartitionValues.of({c: pv.as_dict[c] for c in cols}) for pv in in_parts},
+                              key=str)
+            out_parts = [PartitionValues.of({c: pv.as_dict.get(c) for c in cols}) for pv in out_parts]
+        if given_partition_values:
+            in_parts = [pv for pv in in_parts if pv in given_partition_values]
+        missing = diff_partition_values(in_parts, out_parts)
+        if self.select_expression is not None:
+            missing = self.select_expression(missing)
+        if self.nb_of_partition_values_per_run is not None:
+            missing = sorted(missing, key=str)[: self.nb_of_partition_values_per_run]
+        result = ExecutionModeResult(
+            input_partition_values=missing, output_partition_values=missing, no_data=not missing
+        )
+        if self.fail_condition is not None:
+            msg = self.fail_condition(result)
+            if msg:
+                raise RuntimeError(f"PartitionDiffMode failCondition: {msg}")
+        return result
+
+
+@dataclass
+class DataFrameIncrementalMode(ExecutionMode):
+    """High-watermark incremental on a sortable compare column
+    (DataFrameIncrementalMode.scala:42-113): filter input rows where
+    compare_col > max(output.compare_col). Two tiny agg(max) queries; the
+    resulting predicate is pushed into the input scan by Catalyst.
+    """
+
+    compare_col: str = ""
+
+    def apply(self, spark, input_do, output_do, given_partition_values, state):
+        assert self.compare_col, "compare_col required"
+        hwm = None
+        exists = getattr(output_do, "exists", lambda s: True)(spark)
+        if exists and isinstance(output_do, CanCreateDataFrame):
+            try:
+                out_df = output_do.get_dataframe(spark)
+                row = out_df.agg(F.max(self.compare_col).alias("hwm")).collect()[0]
+                hwm = row["hwm"]
+            except Exception:
+                hwm = None
+        if hwm is None:
+            return ExecutionModeResult()
+        lit = f"TIMESTAMP '{hwm}'" if hasattr(hwm, "isoformat") and not isinstance(hwm, str) else repr(hwm)
+        return ExecutionModeResult(filter=f"{self.compare_col} > {lit}")
+
+
+@dataclass
+class DataObjectStateIncrementalMode(ExecutionMode):
+    """Delegate to the source's own incremental state — file mod times, Kafka
+    offsets, JDBC bounds (DataObjectStateIncrementalMode.scala:31-62). The
+    state string is persisted in the run state store between runs
+    (ActionDAGRunState.scala:75)."""
+
+    def apply(self, spark, input_do, output_do, given_partition_values, state):
+        if not isinstance(input_do, CanCreateIncrementalOutput):
+            raise ValueError("DataObjectStateIncrementalMode requires an incremental-capable input")
+        input_do.set_state(state.get("data_object_state"))
+        return ExecutionModeResult()
+
+    def post_exec(self, spark, input_do, output_do, state):
+        if isinstance(input_do, CanCreateIncrementalOutput):
+            new_state = input_do.get_state()
+            if new_state:
+                state["data_object_state"] = new_state
+
+
+@dataclass
+class FileIncrementalMoveMode(ExecutionMode):
+    """Process-then-archive/delete consumed files (FileIncrementalMoveMode.scala:55)."""
+
+    archive_path: str | None = None
+    _consumed_files: list[str] = field(default_factory=list)
+
+    def apply(self, spark, input_do, output_do, given_partition_values, state):
+        if isinstance(input_do, CanCreateDataFrame):
+            try:
+                self._consumed_files = list(input_do.get_dataframe(spark).inputFiles())
+            except Exception:
+                self._consumed_files = []
+        return ExecutionModeResult()
+
+    def post_exec(self, spark, input_do, output_do, state):
+        import os
+        import shutil
+        from urllib.parse import urlparse
+
+        for uri in self._consumed_files:
+            p = urlparse(uri).path
+            if not os.path.exists(p):
+                continue
+            if self.archive_path:
+                os.makedirs(self.archive_path, exist_ok=True)
+                shutil.move(p, os.path.join(self.archive_path, os.path.basename(p)))
+            else:
+                os.remove(p)
+        self._consumed_files = []
+
+
+@dataclass
+class SparkStreamingMode(ExecutionMode):
+    """Structured-streaming execution (SparkStreamingMode.scala:40-54):
+    trigger=Once/AvailableNow → micro-batch per run; processingTime → async
+    continuous query. Handled by the action's streaming write path."""
+
+    checkpoint_location: str = ""
+    trigger_type: str = "availableNow"  # availableNow | once | processingTime
+    trigger_interval: str | None = None
+    output_mode: str = "append"
+
+    def apply(self, spark, input_do, output_do, given_partition_values, state):
+        return ExecutionModeResult(options={"streaming": True})
+
+    def trigger(self) -> dict[str, Any]:
+        if self.trigger_type == "processingTime":
+            return {"processingTime": self.trigger_interval or "10 seconds"}
+        if self.trigger_type == "once":
+            return {"once": True}
+        return {"availableNow": True}
+
+
+@dataclass
+class CustomMode(ExecutionMode):
+    """User plugin deciding partitions/filter (CustomMode.scala:39)."""
+
+    fn: Any = None  # callable: (spark, input_do, output_do, given_pvs, state) -> ExecutionModeResult
+
+    def apply(self, spark, input_do, output_do, given_partition_values, state):
+        return self.fn(spark, input_do, output_do, given_partition_values, state)

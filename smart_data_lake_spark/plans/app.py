@@ -1,0 +1,153 @@
+"""SmartDataLakeBuilder — top-level entry point.
+
+Reference: `app/SmartDataLakeBuilder.scala:226-355` (CLI parse + run with
+state/recovery), feed selection algebra `app/AppUtil.scala:188-218`
+(`feeds:`, `ids:`, `startFromActionIds:` … with `|&-` set operations),
+simulation runs :398-418, streaming driver loop :566-648.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import re
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from smart_data_lake_spark.actions.base import Action, DataFrameAction
+from smart_data_lake_spark.config import InstanceRegistry, load_config
+from smart_data_lake_spark.partitions import PartitionValues
+from smart_data_lake_spark.plans.dag import ActionDAG, ActionDAGRun, RunState, StateStore
+from smart_data_lake_spark.session import get_session
+from smart_data_lake_spark.subfeed import SparkSubFeed
+
+
+class SmartDataLakeBuilder:
+    def __init__(self, registry: InstanceRegistry | None = None, config: dict[str, Any] | None = None):
+        if registry is None and config is not None:
+            registry = load_config(config)
+        self.registry = registry or InstanceRegistry()
+
+    # -------------------------------------------------------- feed selection
+    def select_actions(self, feed_sel: str | None) -> list[Action]:
+        """Reference algebra (AppUtil.scala:188-218): comma=OR, `&`=AND,
+        `-`=diff between `|`-separated terms; prefixes `feeds:`, `ids:`,
+        `layers:`, `startFromActionIds:`, `endWithActionIds:`; bare pattern =
+        feed name glob."""
+        actions = list(self.registry.actions.values())
+        if not feed_sel or feed_sel == "*":
+            return actions
+
+        def term_match(term: str) -> set[str]:
+            prefix, _, pat = term.partition(":")
+            if not pat:
+                prefix, pat = "feeds", term
+            pat = pat.lower()
+            ids = set()
+            dag = ActionDAG(actions)
+            for a in actions:
+                feed = str(a.metadata.get("feed", "")).lower()
+                layer = str(a.metadata.get("layer", "")).lower()
+                if prefix == "feeds" and fnmatch.fnmatch(feed, pat):
+                    ids.add(a.id)
+                elif prefix == "ids" and fnmatch.fnmatch(a.id.lower(), pat):
+                    ids.add(a.id)
+                elif prefix == "layers" and fnmatch.fnmatch(layer, pat):
+                    ids.add(a.id)
+                elif prefix == "startfromactionids" and fnmatch.fnmatch(a.id.lower(), pat):
+                    ids |= {a.id} | _closure(dag, a.id, downstream=True)
+                elif prefix == "endwithactionids" and fnmatch.fnmatch(a.id.lower(), pat):
+                    ids |= {a.id} | _closure(dag, a.id, downstream=False)
+            return ids
+
+        selected: set[str] | None = None
+        for or_part in feed_sel.split("|"):
+            part_ids: set[str] | None = None
+            for and_part in or_part.split("&"):
+                neg = and_part.startswith("-")
+                ids = term_match(and_part.lstrip("-"))
+                if part_ids is None:
+                    part_ids = set(a.id for a in actions) - ids if neg else ids
+                else:
+                    part_ids = part_ids - ids if neg else part_ids & ids
+            selected = part_ids if selected is None else selected | (part_ids or set())
+        return [a for a in actions if a.id in (selected or set())]
+
+    # ------------------------------------------------------------------- run
+    def run(
+        self,
+        feed_sel: str | None = None,
+        spark: SparkSession | None = None,
+        partition_values: list[dict] | None = None,
+        state_path: str | None = None,
+        parallelism: int = 1,
+        streaming: bool = False,
+        streaming_interval_sec: float = 5.0,
+        max_streaming_iterations: int | None = None,
+    ) -> RunState:
+        spark = spark or get_session()
+        actions = self.select_actions(feed_sel)
+        if not actions:
+            raise ValueError(f"feed selector {feed_sel!r} matched no actions")
+        dag = ActionDAG(actions)
+        store = StateStore(state_path) if state_path else None
+        pvs = [PartitionValues.of(d) for d in (partition_values or [])]
+
+        if not streaming:
+            return ActionDAGRun(dag, self.registry, store, parallelism, pvs).run(spark)
+
+        # whole-DAG synchronous streaming loop (SmartDataLakeBuilder.scala:566-648)
+        iteration, state = 0, None
+        while True:
+            iteration += 1
+            run = ActionDAGRun(dag, self.registry, store, parallelism, pvs)
+            state = run.run(spark)
+            if max_streaming_iterations is not None and iteration >= max_streaming_iterations:
+                return state
+            time.sleep(streaming_interval_sec)
+
+    # ------------------------------------------------------------- simulate
+    def simulate(
+        self, input_dfs: dict[str, DataFrame], feed_sel: str | None = None, spark: SparkSession | None = None
+    ) -> dict[str, DataFrame]:
+        """Init-phase-only run with injected inputs; returns transformed
+        DataFrames without touching storage (startSimulation,
+        SmartDataLakeBuilder.scala:398-418) — the unit-test harness."""
+        spark = spark or get_session()
+        actions = self.select_actions(feed_sel)
+        dag = ActionDAG(actions)
+        feeds: dict[str, SparkSubFeed] = {
+            do_id: SparkSubFeed(data_object_id=do_id, df=df) for do_id, df in input_dfs.items()
+        }
+        for aid in dag.topological_order():
+            action = dag.actions[aid]
+            assert isinstance(action, DataFrameAction), "simulation requires DataFrame actions"
+            inputs = []
+            for i in action.input_ids:
+                sf = feeds.get(i)
+                if sf is None:
+                    raise ValueError(f"simulation: missing input DataFrame for {i!r}")
+                inputs.append(sf)
+            dfs = {i: feeds[i].df for i in action.input_ids}
+            outputs = action.transform(spark, dfs)  # type: ignore[arg-type]
+            for out_id, df in outputs.items():
+                feeds[out_id] = SparkSubFeed(data_object_id=out_id, df=df)
+        return {k: sf.df for k, sf in feeds.items() if sf.df is not None}
+
+
+def _closure(dag: ActionDAG, action_id: str, downstream: bool) -> set[str]:
+    result: set[str] = set()
+    frontier = [action_id]
+    while frontier:
+        nxt = frontier.pop()
+        neighbors = (
+            dag.edges[nxt]
+            if downstream
+            else {a for a, ds in dag.edges.items() if nxt in ds}
+        )
+        for n in neighbors:
+            if n not in result:
+                result.add(n)
+                frontier.append(n)
+    return result

@@ -1,0 +1,292 @@
+"""Action DAG: build, phase execution, state persistence, recovery.
+
+Reference: DAG build from input/output id overlap
+(`workflow/ActionDAGRun.scala:323-349`), three-phase run with per-node events
+(:71-152), state JSON after every node event (`ActionDAGRun.saveState`
+:237-246, `HadoopFileActionDAGRunStateStore.scala`), skip/NoData propagation
+(`Action.scala:189-207`), parallel exec on a fixed pool (:174-187 — here a
+ThreadPoolExecutor; Spark jobs submitted from multiple threads run
+concurrently inside the shared SparkSession, exactly the reference's model).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from concurrent.futures import FIRST_COMPLETED, Future, ThreadPoolExecutor, wait
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from smart_data_lake_spark.actions.base import Action, NoDataToProcessWarning
+from smart_data_lake_spark.config import InstanceRegistry
+from smart_data_lake_spark.partitions import PartitionValues
+from smart_data_lake_spark.subfeed import SparkSubFeed, SubFeed
+
+
+class DAGError(Exception):
+    pass
+
+
+@dataclass
+class RunState:
+    """Persisted run state for recovery (ActionDAGRunState.scala)."""
+
+    run_id: int = 1
+    attempt_id: int = 1
+    is_final: bool = False
+    action_states: dict[str, str] = field(default_factory=dict)  # SUCCEEDED/SKIPPED/FAILED/CANCELLED
+    action_metrics: dict[str, Any] = field(default_factory=dict)
+    data_object_state: dict[str, Any] = field(default_factory=dict)  # incremental states
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__, default=str, indent=2)
+
+    @classmethod
+    def from_json(cls, text: str) -> "RunState":
+        d = json.loads(text)
+        return cls(**{k: d[k] for k in cls.__dataclass_fields__ if k in d})
+
+
+class StateStore:
+    """JSON file state store (HadoopFileActionDAGRunStateStore.scala)."""
+
+    def __init__(self, state_path: str, app_name: str = "sdl"):
+        self.state_path = state_path
+        self.app_name = app_name
+        os.makedirs(state_path, exist_ok=True)
+
+    def _file(self, run_id: int, attempt_id: int) -> str:
+        return os.path.join(self.state_path, f"{self.app_name}_run{run_id}_attempt{attempt_id}.json")
+
+    def save(self, state: RunState) -> None:
+        with open(self._file(state.run_id, state.attempt_id), "w") as f:
+            f.write(state.to_json())
+
+    def latest(self) -> RunState | None:
+        files = sorted(
+            (f for f in os.listdir(self.state_path) if f.endswith(".json")),
+            key=lambda f: os.path.getmtime(os.path.join(self.state_path, f)),
+        )
+        if not files:
+            return None
+        with open(os.path.join(self.state_path, files[-1])) as f:
+            return RunState.from_json(f.read())
+
+
+class ActionDAG:
+    """Topology derived from shared DataObjects (ActionDAGRun.scala:323-349)."""
+
+    def __init__(self, actions: list[Action]):
+        self.actions = {a.id: a for a in actions}
+        if len(self.actions) != len(actions):
+            raise DAGError("duplicate action ids")
+        self.edges: dict[str, set[str]] = {a.id: set() for a in actions}  # action -> downstream actions
+        producers: dict[str, str] = {}
+        for a in actions:
+            for out in a.output_ids:
+                if out in producers:
+                    raise DAGError(f"DataObject {out!r} written by {producers[out]!r} and {a.id!r}")
+                producers[out] = a.id
+        for a in actions:
+            for inp in a.input_ids:
+                if inp in producers:
+                    self.edges[producers[inp]].add(a.id)
+        self._check_cycles()
+
+    def _check_cycles(self) -> None:
+        seen: set[str] = set()
+        stack: set[str] = set()
+
+        def visit(n: str) -> None:
+            if n in stack:
+                raise DAGError(f"cycle involving action {n!r}")
+            if n in seen:
+                return
+            stack.add(n)
+            for m in self.edges[n]:
+                visit(m)
+            stack.discard(n)
+            seen.add(n)
+
+        for n in self.edges:
+            visit(n)
+
+    def topological_order(self) -> list[str]:
+        indeg = {n: 0 for n in self.edges}
+        for n, ds in self.edges.items():
+            for d in ds:
+                indeg[d] += 1
+        order, ready = [], sorted([n for n, d in indeg.items() if d == 0])
+        while ready:
+            n = ready.pop(0)
+            order.append(n)
+            for d in sorted(self.edges[n]):
+                indeg[d] -= 1
+                if indeg[d] == 0:
+                    ready.append(d)
+        return order
+
+    def upstream_actions(self, action_id: str) -> set[str]:
+        action = self.actions[action_id]
+        produced_by = {
+            out: a.id for a in self.actions.values() for out in a.output_ids
+        }
+        return {produced_by[i] for i in action.input_ids if i in produced_by}
+
+
+class ActionDAGRun:
+    """Three-phase execution of an ActionDAG."""
+
+    def __init__(
+        self,
+        dag: ActionDAG,
+        registry: InstanceRegistry,
+        state_store: StateStore | None = None,
+        parallelism: int = 1,
+        partition_values: list[PartitionValues] | None = None,
+    ):
+        self.dag = dag
+        self.registry = registry
+        self.state_store = state_store
+        self.parallelism = parallelism
+        self.partition_values = partition_values or []
+        self.state = RunState()
+        self.result_subfeeds: dict[str, list[SubFeed]] = {}
+
+    # ------------------------------------------------------------------ run
+    def run(self, spark: SparkSession, recover: bool = True) -> RunState:
+        completed_from_recovery: set[str] = set()
+        if self.state_store is not None:
+            prev = self.state_store.latest()
+            if prev is not None:
+                if recover and not prev.is_final:
+                    # recovery: skip completed actions, bump attempt
+                    # (SmartDataLakeBuilder.scala:377-396)
+                    self.state = prev
+                    self.state.attempt_id += 1
+                    self.state.is_final = False
+                    completed_from_recovery = {
+                        a for a, s in prev.action_states.items() if s == "SUCCEEDED"
+                    }
+                else:
+                    self.state = RunState(run_id=prev.run_id + 1)
+                    self.state.data_object_state = prev.data_object_state
+
+        self._phase_prepare(spark)
+        self._phase_init(spark)
+        self._phase_exec(spark, completed_from_recovery)
+        self.state.is_final = True
+        self._save_state()
+        failed = [a for a, s in self.state.action_states.items() if s == "FAILED"]
+        if failed:
+            raise DAGError(f"actions failed: {failed}")
+        return self.state
+
+    def _save_state(self) -> None:
+        if self.state_store is not None:
+            self.state_store.save(self.state)
+
+    # --------------------------------------------------------------- phases
+    def _phase_prepare(self, spark: SparkSession) -> None:
+        for aid in self.dag.topological_order():
+            self.dag.actions[aid].prepare(spark)
+
+    def _phase_init(self, spark: SparkSession) -> None:
+        """Build full lineage without executing (ActionDAGRun.scala:128-152):
+        catches missing columns/types via Catalyst analysis before any write."""
+        init_feeds: dict[str, SubFeed] = {}
+        for aid in self.dag.topological_order():
+            action = self.dag.actions[aid]
+            inputs = [self._input_subfeed(spark, action, i, init_feeds, init_phase=True) for i in action.input_ids]
+            try:
+                outputs = action.init(spark, inputs)
+            except NoDataToProcessWarning:
+                outputs = [SparkSubFeed(data_object_id=o, is_skipped=True) for o in action.output_ids]
+            for sf in outputs:
+                init_feeds[sf.data_object_id] = sf
+
+    def _phase_exec(self, spark: SparkSession, completed_from_recovery: set[str]) -> None:
+        order = self.dag.topological_order()
+        exec_feeds: dict[str, SubFeed] = {}
+        pending = set(order)
+        done: set[str] = set()
+        failed_upstream: set[str] = set()
+
+        def ready(aid: str) -> bool:
+            return self.dag.upstream_actions(aid) <= done
+
+        def run_action(aid: str) -> tuple[str, list[SubFeed] | Exception]:
+            action = self.dag.actions[aid]
+            action.execution_mode_state = dict(
+                self.state.data_object_state.get(aid, {})
+            )
+            inputs = [self._input_subfeed(spark, action, i, exec_feeds) for i in action.input_ids]
+            if not action.should_execute(inputs):
+                return aid, [SparkSubFeed(data_object_id=o, is_skipped=True) for o in action.output_ids]
+            try:
+                t0 = time.time()
+                outputs = action.exec(spark, inputs)
+                action.runtime_metrics["duration_sec"] = round(time.time() - t0, 3)
+                action.post_exec(spark, inputs, outputs)
+                if action.execution_mode_state:
+                    self.state.data_object_state[aid] = dict(action.execution_mode_state)
+                return aid, outputs
+            except NoDataToProcessWarning:
+                return aid, [SparkSubFeed(data_object_id=o, is_skipped=True) for o in action.output_ids]
+            except Exception as e:  # noqa: BLE001 — recorded as FAILED in run state
+                return aid, e
+
+        with ThreadPoolExecutor(max_workers=max(1, self.parallelism)) as pool:
+            futures: dict[Future, str] = {}
+            while pending or futures:
+                for aid in sorted(pending):
+                    if aid in completed_from_recovery:
+                        pending.discard(aid)
+                        done.add(aid)
+                        continue
+                    if self.dag.upstream_actions(aid) & failed_upstream:
+                        self.state.action_states[aid] = "CANCELLED"
+                        pending.discard(aid)
+                        done.add(aid)
+                        failed_upstream.add(aid)
+                        continue
+                    if ready(aid):
+                        pending.discard(aid)
+                        futures[pool.submit(run_action, aid)] = aid
+                if not futures:
+                    continue
+                finished, _ = wait(list(futures), return_when=FIRST_COMPLETED)
+                for fut in finished:
+                    aid = futures.pop(fut)
+                    _, result = fut.result()
+                    if isinstance(result, Exception):
+                        self.state.action_states[aid] = "FAILED"
+                        self.state.action_metrics[aid] = {"error": str(result)}
+                        failed_upstream.add(aid)
+                    else:
+                        skipped = all(sf.is_skipped for sf in result) and bool(result)
+                        self.state.action_states[aid] = "SKIPPED" if skipped else "SUCCEEDED"
+                        self.state.action_metrics[aid] = self.dag.actions[aid].runtime_metrics
+                        self.result_subfeeds[aid] = result
+                        for sf in result:
+                            exec_feeds[sf.data_object_id] = sf
+                    done.add(aid)
+                    self._save_state()
+
+    def _input_subfeed(
+        self,
+        spark: SparkSession,
+        action: Action,
+        do_id: str,
+        feeds: dict[str, SubFeed],
+        init_phase: bool = False,
+    ) -> SubFeed:
+        sf = feeds.get(do_id)
+        if sf is not None:
+            return sf
+        return SparkSubFeed(
+            data_object_id=do_id, partition_values=list(self.partition_values), is_dag_start=True
+        )

@@ -1,0 +1,135 @@
+"""Schema evolution — align an existing table's frame with a new frame.
+
+Reference: `util/evolution/SchemaEvolution.scala:100-129,151-224` and
+`util/evolution/ComplexTypeEvolution.scala`. Rules:
+  * new column            → add to old side as null (back-fill)
+  * deleted column        → keep on new side as null (or drop if configured)
+  * numeric widening      → byte<short<int<long<float<double; int→decimal
+  * anything → string     → allowed
+  * nested struct/array/map evolve recursively.
+
+The reference uses generated Scala UDFs for nested evolution; here nested
+rebuild stays in Catalyst via cast on a reconstructed struct type (Spark can
+cast struct→struct field-wise when names match), falling back to
+`F.transform`/`withField` composition — no Python UDFs in the path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_NUMERIC_ORDER = {
+    T.ByteType(): 0,
+    T.ShortType(): 1,
+    T.IntegerType(): 2,
+    T.LongType(): 3,
+    T.FloatType(): 4,
+    T.DoubleType(): 5,
+}
+
+
+class SchemaEvolutionError(Exception):
+    pass
+
+
+def _widen(old: T.DataType, new: T.DataType) -> T.DataType:
+    """Common supertype of two types, or raise (SchemaEvolution.scala:100-129)."""
+    if old == new:
+        return new
+    if isinstance(new, T.StringType) or isinstance(old, T.StringType):
+        return T.StringType()
+    if old in _NUMERIC_ORDER and new in _NUMERIC_ORDER:
+        return new if _NUMERIC_ORDER[new] >= _NUMERIC_ORDER[old] else old
+    if isinstance(old, T.DecimalType) and isinstance(new, (T.DecimalType, *map(type, _NUMERIC_ORDER))):
+        return new if isinstance(new, T.DecimalType) else T.DoubleType()
+    if isinstance(old, T.StructType) and isinstance(new, T.StructType):
+        return _evolve_struct_type(old, new)
+    if isinstance(old, T.ArrayType) and isinstance(new, T.ArrayType):
+        return T.ArrayType(_widen(old.elementType, new.elementType), True)
+    if isinstance(old, T.MapType) and isinstance(new, T.MapType):
+        return T.MapType(_widen(old.keyType, new.keyType), _widen(old.valueType, new.valueType), True)
+    if isinstance(old, T.DateType) and isinstance(new, T.TimestampType):
+        return new
+    raise SchemaEvolutionError(f"cannot evolve {old.simpleString()} -> {new.simpleString()}")
+
+
+def _evolve_struct_type(old: T.StructType, new: T.StructType) -> T.StructType:
+    """Union of fields: new-side order first, deleted old fields appended
+    (ComplexTypeEvolution semantics)."""
+    old_by_name = {f.name: f for f in old.fields}
+    fields = []
+    for f_ in new.fields:
+        if f_.name in old_by_name:
+            fields.append(T.StructField(f_.name, _widen(old_by_name[f_.name].dataType, f_.dataType), True))
+        else:
+            fields.append(T.StructField(f_.name, f_.dataType, True))
+    for f_ in old.fields:
+        if f_.name not in {x.name for x in new.fields}:
+            fields.append(T.StructField(f_.name, f_.dataType, True))
+    return T.StructType(fields)
+
+
+@dataclass
+class EvolutionResult:
+    old_df: DataFrame
+    new_df: DataFrame
+    target_schema: T.StructType
+
+
+def evolve(old_df: DataFrame, new_df: DataFrame, ignore_old_deleted_columns: bool = False) -> EvolutionResult:
+    """Return both frames projected onto the evolved common schema
+    (SchemaEvolution.process, SchemaEvolution.scala:151-224)."""
+    target = _evolve_struct_type(old_df.schema, new_df.schema)
+    if ignore_old_deleted_columns:
+        new_names = {f.name for f in new_df.schema.fields}
+        target = T.StructType([f for f in target.fields if f.name in new_names])
+    return EvolutionResult(
+        old_df=project_to_schema(old_df, target),
+        new_df=project_to_schema(new_df, target),
+        target_schema=target,
+    )
+
+
+def project_to_schema(df: DataFrame, target: T.StructType) -> DataFrame:
+    """Project/cast a frame onto a target schema, adding missing columns as
+    null and recursively casting nested types. Struct-to-struct cast handles
+    the nested rebuild inside Catalyst (no UDF)."""
+    have = {f.name: f for f in df.schema.fields}
+    cols = []
+    for f_ in target.fields:
+        if f_.name in have:
+            if have[f_.name].dataType == f_.dataType:
+                cols.append(F.col(f"`{f_.name}`"))
+            else:
+                cols.append(_cast_nested(F.col(f"`{f_.name}`"), have[f_.name].dataType, f_.dataType).alias(f_.name))
+        else:
+            cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
+    return df.select(*cols)
+
+
+def _cast_nested(col, source: T.DataType, target: T.DataType):
+    if isinstance(source, T.StructType) and isinstance(target, T.StructType):
+        # rebuild explicitly so *added* nested fields appear as nulls even
+        # where a plain cast would fail on missing fields
+        src_names = {f.name for f in source.fields}
+        parts = []
+        for f_ in target.fields:
+            if f_.name in src_names:
+                sub_src = next(x.dataType for x in source.fields if x.name == f_.name)
+                parts.append(_cast_nested(col.getField(f_.name), sub_src, f_.dataType).alias(f_.name))
+            else:
+                parts.append(F.lit(None).cast(f_.dataType).alias(f_.name))
+        struct = F.struct(*parts)
+        return F.when(col.isNull(), F.lit(None).cast(target)).otherwise(struct)
+    if isinstance(source, T.ArrayType) and isinstance(target, T.ArrayType):
+        return F.transform(col, lambda x: _cast_nested(x, source.elementType, target.elementType))
+    if isinstance(source, T.MapType) and isinstance(target, T.MapType):
+        return F.map_from_arrays(
+            F.transform(F.map_keys(col), lambda k: _cast_nested(k, source.keyType, target.keyType)),
+            F.transform(F.map_values(col), lambda v: _cast_nested(v, source.valueType, target.valueType)),
+        )
+    return col.cast(target)

@@ -1,0 +1,53 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference configures Spark through GlobalConfig
+(`sdl-core/src/main/scala/io/smartdatalake/app/GlobalConfig.scala`); here we
+bake in the settings that matter for both local[32] testing and a large
+cluster: AQE (runtime re-planning, skew-join handling, partition coalescing),
+Arrow for any Python exchange, UTC session time zone for deterministic
+timestamp semantics, and a shuffle-partition count sized to the machine
+instead of Spark's legacy default of 200.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "smart_data_lake_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def get_session() -> SparkSession:
+    """Return the active session or build one with defaults."""
+    active = SparkSession.getActiveSession()
+    return active if active is not None else build_session()

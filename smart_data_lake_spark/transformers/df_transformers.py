@@ -1,0 +1,364 @@
+"""1:1 DataFrame transformers — the user-facing operator library.
+
+Reference: `workflow/action/generic/transformer/GenericDfTransformerDef.scala:38-104`
+and the per-transformer files cited on each class. Every transformer is a
+small declarative wrapper over DataFrame ops so the whole chain stays inside
+Catalyst (one logical plan, whole-stage codegen, pushdown through the chain).
+"""
+
+from __future__ import annotations
+
+import abc
+import re
+import unicodedata
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class DfTransformer(abc.ABC):
+    """Chainable 1:1 transformer. Subclasses override `transform`; partition
+    value remapping (GenericDfTransformerDef.transformPartitionValues) is the
+    identity unless overridden."""
+
+    name: str = "transformer"
+
+    @abc.abstractmethod
+    def transform(self, spark: SparkSession, df: DataFrame, options: dict[str, Any] | None = None) -> DataFrame:
+        ...
+
+    def transform_partition_values(self, partition_values: list) -> list:
+        return partition_values
+
+
+@dataclass
+class SQLDfTransformer(DfTransformer):
+    """SQL with the input registered as a temp view (SQLDfTransformer.scala:56).
+
+    The token `%{inputViewName}` (and `%{<option>}` generally) is substituted
+    before execution, mirroring the reference's token substitution.
+    """
+
+    code: str
+    input_view_name: str = "input"
+    name: str = "sql"
+
+    def transform(self, spark, df, options=None):
+        view = re.sub(r"[^A-Za-z0-9_]", "_", self.input_view_name)
+        df.createOrReplaceTempView(view)
+        sql = self.code.replace("%{inputViewName}", view)
+        for k, v in (options or {}).items():
+            sql = sql.replace("%{" + str(k) + "}", str(v))
+        return spark.sql(sql)
+
+
+@dataclass
+class FilterTransformer(DfTransformer):
+    """(FilterTransformer.scala:42)"""
+
+    filter_clause: str
+    name: str = "filter"
+
+    def transform(self, spark, df, options=None):
+        return df.where(F.expr(self.filter_clause))
+
+
+@dataclass
+class WhitelistTransformer(DfTransformer):
+    """Keep listed columns (WhitelistTransformer.scala:37); column pruning
+    then reaches the scan via Catalyst."""
+
+    column_whitelist: list[str]
+    name: str = "whitelist"
+
+    def transform(self, spark, df, options=None):
+        lower = {c.lower(): c for c in df.columns}
+        return df.select(*[lower[c.lower()] for c in self.column_whitelist if c.lower() in lower])
+
+
+@dataclass
+class BlacklistTransformer(DfTransformer):
+    """(BlacklistTransformer.scala:36)"""
+
+    column_blacklist: list[str]
+    name: str = "blacklist"
+
+    def transform(self, spark, df, options=None):
+        drop = {c.lower() for c in self.column_blacklist}
+        return df.select(*[c for c in df.columns if c.lower() not in drop])
+
+
+@dataclass
+class AdditionalColumnsTransformer(DfTransformer):
+    """Add derived columns from SQL expressions (AdditionalColumnsTransformer.scala:40)."""
+
+    additional_columns: dict[str, str]
+    name: str = "additional_columns"
+
+    def transform(self, spark, df, options=None):
+        return df.withColumns({c: F.expr(e) for c, e in self.additional_columns.items()})
+
+
+@dataclass
+class ConvertNullValuesTransformer(DfTransformer):
+    """Fill nulls: strings→value_for_string, numerics→value_for_number
+    (ConvertNullValuesTransformer.scala:38)."""
+
+    columns: list[str] | None = None
+    value_for_string: str = "na"
+    value_for_number: int = -1
+    name: str = "convert_nulls"
+
+    def transform(self, spark, df, options=None):
+        cols = self.columns or df.columns
+        str_cols = [f.name for f in df.schema.fields if f.name in cols and isinstance(f.dataType, T.StringType)]
+        num_cols = [
+            f.name
+            for f in df.schema.fields
+            if f.name in cols and isinstance(f.dataType, T.NumericType)
+        ]
+        if str_cols:
+            df = df.fillna(self.value_for_string, subset=str_cols)
+        if num_cols:
+            df = df.fillna(self.value_for_number, subset=num_cols)
+        return df
+
+
+@dataclass
+class DataValidationTransformer(DfTransformer):
+    """Row-level rules appended to an `errors` array column
+    (DataValidationTransformer.scala:41,69). rules = list of
+    {"condition": sql_bool, "error_msg": str}; a row failing a rule gets the
+    message appended. `F.array_compact` keeps it null-free."""
+
+    rules: list[dict[str, str]]
+    error_column: str = "errors"
+    name: str = "data_validation"
+
+    def transform(self, spark, df, options=None):
+        checks = [
+            F.when(~F.expr(r["condition"]), F.lit(r.get("error_msg", r["condition"])))
+            for r in self.rules
+        ]
+        return df.withColumn(self.error_column, F.array_compact(F.array(*checks)))
+
+
+@dataclass
+class DeduplicateTransformer(DfTransformer):
+    """Keep best row per PK by ranking expression (DeduplicateTransformer.scala:43).
+
+    Scale note: implemented as window row_number over (pk, rank) — a single
+    shuffle on the PK; AQE handles skewed keys.
+    """
+
+    primary_key: list[str]
+    rank_expression: str | None = None
+    name: str = "deduplicate"
+
+    def transform(self, spark, df, options=None):
+        from pyspark.sql import Window
+
+        if self.rank_expression is None:
+            return df.dropDuplicates(self.primary_key)
+        w = Window.partitionBy(*self.primary_key).orderBy(F.expr(self.rank_expression).desc())
+        return (
+            df.withColumn("_dl_rn", F.row_number().over(w))
+            .where(F.col("_dl_rn") == 1)
+            .drop("_dl_rn")
+        )
+
+
+def standardize_name(name: str, camel_case_to_underscores: bool = True, normalize_to_ascii: bool = True) -> str:
+    """camelCase→snake_case, ascii-fold, strip illegal chars
+    (GenericDataFrame.standardizeColNames logic, GenericDataFrame.scala:175-193)."""
+    if normalize_to_ascii:
+        name = unicodedata.normalize("NFKD", name).encode("ascii", "ignore").decode()
+    if camel_case_to_underscores:
+        name = re.sub(r"(?<=[a-z0-9])(?=[A-Z])", "_", name)
+    name = name.lower()
+    name = re.sub(r"[^a-z0-9_]", "_", name)
+    name = re.sub(r"_+", "_", name).strip("_")
+    return name
+
+
+@dataclass
+class StandardizeColNamesTransformer(DfTransformer):
+    """(StandardizeColNamesTransformer.scala:41)"""
+
+    camel_case_to_lower: bool = True
+    normalize_to_ascii: bool = True
+    name: str = "standardize_col_names"
+
+    def transform(self, spark, df, options=None):
+        return df.toDF(
+            *[standardize_name(c, self.camel_case_to_lower, self.normalize_to_ascii) for c in df.columns]
+        )
+
+
+@dataclass
+class StandardizeDatatypesTransformer(DfTransformer):
+    """Normalize narrow types (StandardizeSparkDatatypesTransformer.scala:38):
+    byte/short→int, float→double, decimal→double where safe."""
+
+    name: str = "standardize_datatypes"
+
+    def transform(self, spark, df, options=None):
+        casts = {}
+        for f_ in df.schema.fields:
+            if isinstance(f_.dataType, (T.ByteType, T.ShortType)):
+                casts[f_.name] = F.col(f_.name).cast("int")
+            elif isinstance(f_.dataType, T.FloatType):
+                casts[f_.name] = F.col(f_.name).cast("double")
+        return df.withColumns(casts) if casts else df
+
+
+@dataclass
+class EncryptColumnsTransformer(DfTransformer):
+    """AES-GCM column encryption via Spark's built-in aes_encrypt
+    (EncryptColumnsTransformer.scala:43 uses a scala UDF; Spark ≥3.3 has it
+    native, keeping the hot path in the JVM)."""
+
+    encrypt_columns: list[str]
+    key: str = ""
+    algorithm: str = "GCM"
+    name: str = "encrypt_columns"
+
+    def transform(self, spark, df, options=None):
+        key = F.lit(self.key.ljust(16)[:16].encode())
+        mode = F.lit(self.algorithm)
+        return df.withColumns(
+            {
+                c: F.base64(F.aes_encrypt(F.col(c).cast("string").cast("binary"), key, mode))
+                for c in self.encrypt_columns
+            }
+        )
+
+
+@dataclass
+class DecryptColumnsTransformer(DfTransformer):
+    """(DecryptColumnsTransformer.scala:42)"""
+
+    decrypt_columns: list[str]
+    key: str = ""
+    algorithm: str = "GCM"
+    name: str = "decrypt_columns"
+
+    def transform(self, spark, df, options=None):
+        key = F.lit(self.key.ljust(16)[:16].encode())
+        mode = F.lit(self.algorithm)
+        return df.withColumns(
+            {
+                c: F.aes_decrypt(F.unbase64(F.col(c)), key, mode).cast("string")
+                for c in self.decrypt_columns
+            }
+        )
+
+
+@dataclass
+class RepartitionTransformer(DfTransformer):
+    """(SparkRepartitionTransformer.scala:38) — control parallelism/file count;
+    keyed repartition co-locates rows for downstream partitioned writes."""
+
+    num_partitions: int
+    key_cols: list[str] = field(default_factory=list)
+    name: str = "repartition"
+
+    def transform(self, spark, df, options=None):
+        if self.key_cols:
+            return df.repartition(self.num_partitions, *[F.col(c) for c in self.key_cols])
+        return df.repartition(self.num_partitions)
+
+
+@dataclass
+class FlattenTransformer(DfTransformer):
+    """Recursively flatten struct columns; optionally explode arrays
+    (SparkFlattenDfTransformer.scala:53)."""
+
+    explode_arrays: bool = False
+    separator: str = "_"
+    name: str = "flatten"
+
+    def transform(self, spark, df, options=None):
+        while True:
+            struct_fields = [f_ for f_ in df.schema.fields if isinstance(f_.dataType, T.StructType)]
+            array_fields = (
+                [f_ for f_ in df.schema.fields if isinstance(f_.dataType, T.ArrayType)]
+                if self.explode_arrays
+                else []
+            )
+            if not struct_fields and not array_fields:
+                return df
+            cols: list = []
+            for f_ in df.schema.fields:
+                if isinstance(f_.dataType, T.StructType):
+                    for sub in f_.dataType.fields:
+                        cols.append(F.col(f"`{f_.name}`.`{sub.name}`").alias(f"{f_.name}{self.separator}{sub.name}"))
+                elif self.explode_arrays and isinstance(f_.dataType, T.ArrayType):
+                    cols.append(F.explode_outer(F.col(f"`{f_.name}`")).alias(f_.name))
+                else:
+                    cols.append(F.col(f"`{f_.name}`"))
+            df = df.select(*cols)
+
+
+@dataclass
+class DebugTransformer(DfTransformer):
+    """Log schema/sample between steps (DebugTransformer.scala:52)."""
+
+    n_rows: int = 5
+    print_schema: bool = True
+    name: str = "debug"
+
+    def transform(self, spark, df, options=None):
+        if self.print_schema:
+            df.printSchema()
+        df.show(self.n_rows, truncate=False)
+        return df
+
+
+@dataclass
+class PythonCodeDfTransformer(DfTransformer):
+    """Embedded python code (PythonCodeSparkDfTransformer.scala:51-72).
+    Contract like the reference's Py4J bridge: the code sees `inDf`, `spark`,
+    `options` and must assign `outDf`."""
+
+    code: str
+    name: str = "python_code"
+
+    def transform(self, spark, df, options=None):
+        scope: dict[str, Any] = {"inDf": df, "spark": spark, "options": options or {}, "F": F}
+        exec(self.code, scope)  # noqa: S102 — explicit user-code feature
+        if "outDf" not in scope:
+            raise ValueError("PythonCodeDfTransformer code must assign `outDf`")
+        return scope["outDf"]
+
+
+@dataclass
+class PythonClassDfTransformer(DfTransformer):
+    """User callable `(spark, df, options) -> DataFrame`, given directly or as
+    a dotted import path (rebuild of ScalaClassGenericDfTransformer.scala:44)."""
+
+    fn: Callable[..., DataFrame] | str
+    name: str = "python_class"
+
+    def transform(self, spark, df, options=None):
+        fn = self.fn
+        if isinstance(fn, str):
+            import importlib
+
+            module, _, attr = fn.rpartition(".")
+            fn = getattr(importlib.import_module(module), attr)
+        return fn(spark, df, options or {})
+
+
+def apply_df_transformers(
+    spark: SparkSession,
+    df: DataFrame,
+    transformers: list[DfTransformer],
+    options: dict[str, Any] | None = None,
+) -> DataFrame:
+    for t in transformers:
+        df = t.transform(spark, df, options)
+    return df

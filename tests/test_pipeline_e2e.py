@@ -1,0 +1,135 @@
+"""End-to-end slice: csv→sql-transform→parquet on testdata, mirroring the
+reference's ActionDAGTest mini-pipelines (ActionDAGTest.scala:65-1327)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from smart_data_lake_spark.actions import CopyAction, CustomDataFrameAction
+from smart_data_lake_spark.config import InstanceRegistry, load_config
+from smart_data_lake_spark.dataobjects import CsvFileDataObject, ParquetFileDataObject
+from smart_data_lake_spark.plans import ActionDAG, ActionDAGRun, SmartDataLakeBuilder
+from smart_data_lake_spark.transformers import FilterTransformer, SQLDfTransformer, SQLDfsTransformer
+
+from tests.conftest import assert_df_equal
+
+
+@pytest.fixture()
+def customer_csv(spark, sf_dir, tmp_path):
+    """Export customer as pipe-delimited CSV (FIXTURES.md F5)."""
+    path = str(tmp_path / "customer_csv")
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    df.write.option("sep", "|").option("header", "false").mode("overwrite").csv(path)
+    return path, df
+
+
+def test_copy_csv_to_parquet_roundtrip(spark, customer_csv, tmp_path):
+    src_path, original = customer_csv
+    registry = InstanceRegistry()
+    registry.register_data_object(
+        CsvFileDataObject(
+            id="src",
+            path=src_path,
+            schema="c_custkey bigint, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+        )
+    )
+    registry.register_data_object(ParquetFileDataObject(id="dst", path=str(tmp_path / "out")))
+    action = CopyAction(id="copy", input_id="src", output_id="dst", registry=registry)
+    run = ActionDAGRun(ActionDAG([action]), registry)
+    state = run.run(spark)
+    assert state.action_states["copy"] == "SUCCEEDED"
+    result = spark.read.parquet(str(tmp_path / "out")).select(*original.columns)
+    assert_df_equal(result, original)
+    assert state.action_metrics["copy"]["dst"]["records_written"] == original.count()
+
+
+def test_copy_with_sql_and_filter_transformers(spark, sf_dir, tmp_path):
+    registry = InstanceRegistry()
+    registry.register_data_object(ParquetFileDataObject(id="orders", path=f"{sf_dir}/orders.parquet"))
+    registry.register_data_object(ParquetFileDataObject(id="out", path=str(tmp_path / "out")))
+    action = CopyAction(
+        id="a1",
+        input_id="orders",
+        output_id="out",
+        registry=registry,
+        transformers=[
+            FilterTransformer(filter_clause="o_orderstatus = 'F'"),
+            SQLDfTransformer(
+                code="SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS total "
+                "FROM %{inputViewName} GROUP BY o_custkey"
+            ),
+        ],
+    )
+    ActionDAGRun(ActionDAG([action]), registry).run(spark)
+    got = spark.read.parquet(str(tmp_path / "out"))
+    exp = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where("o_orderstatus = 'F'")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), F.sum("o_totalprice").alias("total"))
+    )
+    assert_df_equal(got.orderBy("o_custkey"), exp.orderBy("o_custkey"))
+
+
+def test_multi_action_dag_with_dfs_transformer(spark, sf_dir, tmp_path):
+    """Two-stage DAG: copy lineitem → join with orders in a CustomDataFrameAction."""
+    registry = InstanceRegistry()
+    registry.register_data_object(ParquetFileDataObject(id="lineitem", path=f"{sf_dir}/lineitem.parquet"))
+    registry.register_data_object(ParquetFileDataObject(id="orders", path=f"{sf_dir}/orders.parquet"))
+    registry.register_data_object(ParquetFileDataObject(id="stage", path=str(tmp_path / "stage")))
+    registry.register_data_object(ParquetFileDataObject(id="joined", path=str(tmp_path / "joined")))
+    a1 = CopyAction(
+        id="stage_lineitem", input_id="lineitem", output_id="stage", registry=registry,
+        transformers=[FilterTransformer(filter_clause="l_quantity > 25")],
+    )
+    a2 = CustomDataFrameAction(
+        id="join", input_ids=["stage", "orders"], output_ids=["joined"], registry=registry,
+        transformers=[
+            SQLDfsTransformer(
+                code={
+                    "joined": "SELECT o.o_orderkey, o.o_orderdate, l.l_extendedprice "
+                    "FROM stage l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+                }
+            )
+        ],
+    )
+    state = ActionDAGRun(ActionDAG([a1, a2]), registry, parallelism=2).run(spark)
+    assert state.action_states == {"stage_lineitem": "SUCCEEDED", "join": "SUCCEEDED"}
+    got = spark.read.parquet(str(tmp_path / "joined"))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where("l_quantity > 25")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    exp = li.join(o, li.l_orderkey == o.o_orderkey).select("o_orderkey", "o_orderdate", "l_extendedprice")
+    assert got.count() == exp.count()
+
+
+def test_config_driven_pipeline(spark, sf_dir, tmp_path):
+    builder = SmartDataLakeBuilder(
+        config={
+            "dataObjects": {
+                "nation": {"type": "ParquetFileDataObject", "path": f"{sf_dir}/nation.parquet"},
+                "out": {"type": "ParquetFileDataObject", "path": str(tmp_path / "out")},
+            },
+            "actions": {
+                "cp": {"type": "CopyAction", "inputId": "nation", "outputId": "out"},
+            },
+        }
+    )
+    state = builder.run(spark=spark)
+    assert state.action_states["cp"] == "SUCCEEDED"
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 25
+
+
+def test_simulation(spark, sf_dir):
+    registry = InstanceRegistry()
+    registry.register_data_object(ParquetFileDataObject(id="in", path=f"{sf_dir}/region.parquet"))
+    registry.register_data_object(ParquetFileDataObject(id="out", path="/tmp/never_written"))
+    action = CopyAction(
+        id="sim", input_id="in", output_id="out", registry=registry,
+        transformers=[FilterTransformer(filter_clause="r_regionkey < 2")],
+    )
+    builder = SmartDataLakeBuilder(registry=registry)
+    df_in = spark.read.parquet(f"{sf_dir}/region.parquet")
+    result = builder.simulate({"in": df_in}, spark=spark)
+    assert result["out"].count() == 2
+    assert not os.path.exists("/tmp/never_written")
