@@ -1,0 +1,3 @@
+from smart_data_lake_spark.functions import dedup, multimodal, similarity, text
+
+__all__ = ["text", "dedup", "similarity", "multimodal"]

@@ -1,0 +1,194 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design:
+  * exact        — one shuffle on the md5 fingerprint (hash-groupBy)
+  * minhash LSH  — per-doc signature computed in a single projection
+                   (explode shingles → groupBy doc), then candidate pairs via
+                   a shuffle on band keys; never all-pairs. At 100 TB the band
+                   join is the only quadratic-risk step, and it's bounded by
+                   bucket size (docs sharing a band).
+  * simhash      — per-doc 32-bit signature; near-dup candidates via exact
+                   signature buckets (or banded 8-bit chunks)
+  * n-gram Jaccard — exact verification on the candidate pairs only.
+
+All hashing uses md5 hex strings so oracles in other engines reproduce the
+exact same signatures (engine-native hash functions are not portable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_duplicate_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (normalized) documents: fingerprint → members.
+
+    Returns (fingerprint, n_docs, min_doc_id) for groups with n_docs > 1; the
+    canonical keep-candidate is min_doc_id.
+    """
+    from smart_data_lake_spark.functions.text import fingerprint
+
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_doc_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document (exploded).
+
+    Documents with fewer than n tokens produce no shingles (and therefore
+    never appear in candidate pairs) — standard MinHash behavior.
+    """
+    from smart_data_lake_spark.functions.text import tokens
+
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks")).where(
+        F.size(F.col("_toks")) >= n
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("_toks")) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(F.col("_toks"), i + j + 1) for j in range(n)]),
+    )
+    return base.select(F.col(id_col), F.explode(grams).alias("shingle")).distinct()
+
+
+def minhash_signatures(
+    shingle_df: DataFrame, id_col: str = "doc_id", num_hashes: int = 12
+) -> DataFrame:
+    """MinHash signature per doc: hash_i(s) = md5(i || ':' || s) (hex string;
+    lexicographic min over ASCII hex == numeric min over the 128-bit value).
+    One groupBy(doc) computes all hashes map-side-combined."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return shingle_df.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """Band the signature (rows_per_band = num_hashes/bands), bucket-join on
+    (band_id, band_hash), emit distinct candidate pairs (a < b)."""
+    rows_per_band = num_hashes // bands
+    band_structs = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_structs.append(
+            F.struct(F.lit(b).alias("band_id"), F.md5(F.concat_ws("|", *cols)).alias("band_hash"))
+        )
+    banded = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("band")
+    ).select(id_col, "band.band_id", "band.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    shingle_df: DataFrame,
+    candidate_pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard over distinct shingle sets for the candidate pairs only
+    (verification step after LSH). intersection via shingle equi-join;
+    |A|,|B| via per-doc counts; jaccard = inter / (|A|+|B|-inter)."""
+    sizes = shingle_df.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    sa = shingle_df.alias("sa")
+    sb = shingle_df.alias("sb")
+    inter = (
+        candidate_pairs.alias("p")
+        .join(sa, F.col(f"sa.{id_col}") == F.col("p.doc_a"))
+        .join(sb, (F.col(f"sb.{id_col}") == F.col("p.doc_b")) & (F.col("sa.shingle") == F.col("sb.shingle")))
+        .groupBy("p.doc_a", "p.doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sizes.alias("za")
+    zb = sizes.alias("zb")
+    return (
+        inter.join(za, F.col(f"za.{id_col}") == F.col("doc_a"))
+        .join(zb, F.col(f"zb.{id_col}") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("za.n_shingles") + F.col("zb.n_shingles") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
+    """Per-doc SimHash signature from token md5s.
+
+    Token hash = first bits/4 hex chars of md5(token); bit j of the signature
+    is 1 iff sum over token instances of (2*bit_j(token)-1) > 0. Implemented
+    as explode(tokens) → explode(bits) → groupBy — all built-ins, oracle-
+    reproducible. The production path would fold this into fewer passes, but
+    the two-explode shape distributes evenly and combines map-side.
+    """
+    from smart_data_lake_spark.functions.text import tokens
+
+    hex_chars = bits // 4
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")).select(
+        F.col(id_col), F.substring(F.md5(F.col("tok")), 1, hex_chars).alias("h")
+    )
+    # bit j lives in hex digit j//4 (1-indexed from the left), sub-bit j%4.
+    # All positions are static → one whole-stage-codegen'd projection with 32
+    # map-side-combined sums; a single shuffle on doc_id.
+    digit_vals = [
+        F.expr(
+            f"CASE WHEN substring(h, {p}, 1) BETWEEN '0' AND '9' "
+            f"THEN ascii(substring(h, {p}, 1)) - 48 "
+            f"ELSE ascii(substring(h, {p}, 1)) - 87 END"
+        )
+        for p in range(1, hex_chars + 1)
+    ]
+    aggs = []
+    for j in range(bits):
+        bit_of_digit = F.shiftright(digit_vals[j // 4], j % 4) % 2
+        aggs.append(F.sum(bit_of_digit * 2 - 1).alias(f"_v{j}"))
+    votes = tok.groupBy(id_col).agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for j in range(bits):
+        sim = sim + F.when(F.col(f"_v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return votes.select(F.col(id_col), sim.alias("simhash"))
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (all-pairs; see similarity.py's
+    LSH variant for the at-scale path). Norms are computed once per vector,
+    the pair dot is an explicit codegen-able chain. Returns (id_a, id_b,
+    cos_sim)."""
+    from smart_data_lake_spark.functions.similarity import _dot_cols, _flatten
+
+    a = _flatten(emb, f"{id_col} AS id_a", vec_col, "_a", dim)
+    b = _flatten(emb, f"{id_col} AS id_b", vec_col, "_b", dim)
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = F.round(_dot_cols("_a", "_b", dim) / (F.col("_anorm") * F.col("_bnorm")), 6)
+    return pairs.select("id_a", "id_b", sim.alias("cos_sim")).where(F.col("cos_sim") >= threshold)

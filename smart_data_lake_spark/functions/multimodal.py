@@ -1,0 +1,99 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media are opaque `binary` columns with typed metadata structs, read via
+`binaryFile` (RawFileDataObject). Decode / feature-extract / resize /
+frame-sample run as Arrow-batched Pandas UDFs over mapInPandas — the
+Spark-side plumbing (schema, partition sizing, batch shape) is real and
+tested; the codec step itself is STUBBED (this container has no image/audio
+libraries) behind `decode_image_stub`, a deterministic fake that real
+deployments replace with PIL/ffmpeg calls.
+
+Scale notes: binary payloads inflate row size by 3-6 orders of magnitude, so
+the module repartitions by byte budget (`target_partition_bytes`) before any
+Python stage, and metadata-only transformations never touch the payload
+column (column pruning keeps the scan light).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("format", T.StringType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("meta", IMAGE_META_SCHEMA),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def decode_image_stub(payload: bytes) -> dict:
+    """STUB: deterministic fake decode. A real deployment replaces this with
+    PIL.Image.open(io.BytesIO(payload)); the surrounding Spark plumbing is
+    identical. Raises on empty payloads like a real decoder would."""
+    if not payload:
+        raise ValueError("empty payload")
+    # derive fake-but-deterministic dimensions from content bytes
+    w = 64 + payload[0] % 64
+    h = 64 + payload[-1] % 64
+    return {"width": w, "height": h, "channels": 3, "format": "stub"}
+
+
+def repartition_by_bytes(df: DataFrame, size_col: str = "length", target_partition_bytes: int = 128 * 1024 * 1024) -> DataFrame:
+    """Size partitions so each holds ~target bytes of payload — binary rows
+    are huge, so row-count-based partitioning badly skews memory."""
+    total = df.agg(F.coalesce(F.sum(size_col), F.lit(0))).collect()[0][0] or 0
+    n = max(1, int(total // target_partition_bytes) + 1)
+    return df.repartition(n)
+
+
+def extract_image_features(df: DataFrame, n_features: int = 8) -> DataFrame:
+    """binaryFile frame (path, modificationTime, length, content) →
+    (path, n_bytes, meta struct, features array). Arrow-batched; the payload
+    never crosses to the driver."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for _, row in pdf.iterrows():
+                payload = row["content"] or b""
+                try:
+                    meta = decode_image_stub(bytes(payload))
+                except ValueError:
+                    meta = None
+                # stub features: first n bytes normalized — stands in for a
+                # model embedding; deterministic for tests
+                feats = [float(b) / 255.0 for b in bytes(payload[:n_features])] if payload else []
+                out.append(
+                    {
+                        "path": row["path"],
+                        "n_bytes": int(row["length"]),
+                        "meta": meta,
+                        "features": feats,
+                    }
+                )
+            yield pd.DataFrame(out, columns=["path", "n_bytes", "meta", "features"])
+
+    pruned = df.select("path", "length", "content")
+    return repartition_by_bytes(pruned, "length").mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_nth: int = 10) -> DataFrame:
+    """Frame-sampling plumbing for video tables keyed (video_id, frame_no):
+    keep every nth frame — pure Catalyst, no decode needed."""
+    return df.where(F.col("frame_no") % every_nth == 0)

@@ -1,0 +1,116 @@
+"""Text-analysis operators for training-data pipelines.
+
+All operators are pure Spark built-ins (JVM-side, codegen'd) — no Python in
+the hot path — so they run at parquet-scan speed on a 100 TB documents table
+and their semantics can be replicated exactly in ANSI SQL for oracles.
+
+Design: tokenization is whitespace split of lowercased text; hashes are md5
+hex strings (stable across engines, unlike engine-private hash functions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# small multilingual stopword inventories for the language-ID heuristic;
+# plain public common words (the synthetic corpus is english-ish token soup,
+# but the operator is the real n-gram/stopword heuristic)
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "for", "on"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "fr": ["le", "la", "de", "et", "un", "les", "des", "en", "du", "que"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "ein", "im"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "不", "这", "他"],
+}
+DEFAULT_STOPWORDS = STOPWORDS["en"]
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of lowercased, trimmed text; empty text → []."""
+    trimmed = F.trim(F.lower(col))
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col)
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of characters that are common punctuation."""
+    punct = F.length(col) - F.length(F.regexp_replace(col, r"[.,;:!?'\"()\-]", ""))
+    return F.when(F.length(col) == 0, F.lit(0.0)).otherwise(punct / F.length(col))
+
+
+def stopword_ratio(col: Column, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are stopwords."""
+    sw = F.array(*[F.lit(w) for w in (stopwords or DEFAULT_STOPWORDS)])
+    toks = tokens(col)
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(hits / F.size(toks))
+
+
+def mean_token_length(col: Column) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(total / F.size(toks))
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic document quality in [0,1]: rewards mid-length docs and low
+    punctuation density (the usual web-corpus pre-filters)."""
+    n_tok = token_count(col)
+    length_ok = F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(0.5)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(col) < 0.2, F.lit(0.3)).otherwise(F.lit(0.0))
+    mean_ok = F.when((mean_token_length(col) >= 2) & (mean_token_length(col) <= 12), F.lit(0.2)).otherwise(
+        F.lit(0.0)
+    )
+    return length_ok + punct_ok + mean_ok
+
+
+def lang_id(col: Column) -> Column:
+    """Stopword-vote language ID: count hits per language inventory, take the
+    argmax (ties broken by language-code order). A real system would use
+    char-n-gram profiles; the operator shape (per-language score → argmax) is
+    identical and stays fully in Catalyst."""
+    toks = tokens(col)
+    scores = []
+    for code in sorted(STOPWORDS):
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[code]])
+        score = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        scores.append(F.struct(score.alias("score"), F.lit(code).alias("lang")))
+    # array_max on (score, lang) structs: max score, then max lang — make the
+    # tie-break deterministic by ordering codes so later codes win ties only
+    # via the documented struct comparison
+    best = F.array_max(F.array(*scores))
+    return F.when(best["score"] <= 0, F.lit("und")).otherwise(best["lang"])
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of the whitespace-normalized lowercased text.
+    Stable across engines and runs — the exact-dedup key."""
+    normalized = F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+    return F.md5(normalized)
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text", stopwords: list[str] | None = None) -> DataFrame:
+    """Attach the full stat block — one projection, zero shuffles."""
+    c = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(c),
+            "n_chars_computed": char_count(c),
+            "punct_ratio": punct_ratio(c),
+            "stopword_ratio": stopword_ratio(c, stopwords),
+            "mean_token_len": mean_token_length(c),
+            "quality": quality_score(c),
+            "lang_pred": lang_id(c),
+            "fingerprint": fingerprint(c),
+        }
+    )

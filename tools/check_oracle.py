@@ -1,0 +1,112 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every `queries()` entry at sf0.01 on Spark and the matching
+`oracle_sql()` on DuckDB (tables pre-registered as views), then compares
+row count + sorted-by-name schema + order-insensitive exact values.
+
+Usage: python tools/check_oracle.py [query ...]
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+import __spark_entry__ as entry
+from smart_data_lake_spark.session import build_session
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+def normalize(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, (list, tuple)):
+        return tuple(normalize(x) for x in v)
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return datetime.datetime(v.year, v.month, v.day).isoformat()
+    try:
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return float(v)
+    except ImportError:
+        pass
+    return v
+
+
+def canon_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(normalize(r[i]) for i in order) for r in rows]
+    return sorted(out, key=repr)
+
+
+def main():
+    only = set(sys.argv[1:])
+    spark = build_session(app_name="oracle_check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR)
+            s_cols = [c.lower() for c in sdf.columns]
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
+            continue
+        if name not in oracles:
+            print(f"SKIP  {name}: no oracle ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            d_cols = [d[0].lower() for d in res.description]
+            d_rows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
+            continue
+        status = []
+        if sorted(s_cols) != sorted(d_cols):
+            status.append(f"schema: spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+        if len(s_rows) != len(d_rows):
+            status.append(f"count: spark={len(s_rows)} duckdb={len(d_rows)}")
+        if not status:
+            a = canon_rows(s_cols, s_rows)
+            b = canon_rows(d_cols, d_rows)
+            if a != b:
+                diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+                status.append(f"values: first diffs {diff}")
+        if status:
+            failures.append(name)
+            print(f"FAIL  {name}: {'; '.join(status)}")
+        else:
+            print(f"OK    {name} ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
