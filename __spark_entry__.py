@@ -216,13 +216,17 @@ def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "ts", "event_id", "event_type")
     )
     w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # dl_ts_delimited is formatted as a fixed-width string: the engine keeps
+    # HIGH_TS (9999-12-31) semantics, but pandas (the driver's comparator)
+    # cannot represent year-9999 timestamps, so the graded column is a string
     return changes.select(
         "user_id",
         "event_type",
         F.col("ts").alias("dl_ts_captured"),
-        F.coalesce(F.lead("ts").over(w2), F.lit("9999-12-31 00:00:00").cast("timestamp")).alias(
-            "dl_ts_delimited"
-        ),
+        F.date_format(
+            F.coalesce(F.lead("ts").over(w2), F.lit("9999-12-31 00:00:00").cast("timestamp")),
+            "yyyy-MM-dd HH:mm:ss.SSSSSS",
+        ).alias("dl_ts_delimited"),
     )
 
 
@@ -647,8 +651,8 @@ def oracle_sql() -> dict[str, str]:
               WHERE prev_type IS NULL OR prev_type != event_type
             )
             SELECT user_id, event_type, ts AS dl_ts_captured,
-                   COALESCE(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
-                            TIMESTAMP '9999-12-31 00:00:00') AS dl_ts_delimited
+                   strftime(COALESCE(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                            TIMESTAMP '9999-12-31 00:00:00'), '%Y-%m-%d %H:%M:%S.%f') AS dl_ts_delimited
             FROM changes""",
         "incremental_highwatermark": """
             SELECT event_id, user_id, ts, event_type, value FROM events
@@ -724,7 +728,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, {_lang_case()} AS lang_pred, COUNT(*) AS n
             FROM scored GROUP BY 1, 2 ORDER BY lang, lang_pred""",
         "token_count_by_source": f"""
-            SELECT source, SUM({_NTOK}) AS total_tokens, COUNT(*) AS n_docs
+            SELECT source, CAST(SUM({_NTOK}) AS BIGINT) AS total_tokens, COUNT(*) AS n_docs
             FROM documents GROUP BY source ORDER BY source""",
         "dedup_exact": """
             WITH corpus AS (
