@@ -138,6 +138,7 @@ class DataFrameAction(Action):
         constraints: list[Constraint] | None = None,
         expectations: list[Expectation] | None = None,
         save_mode: SaveMode | str | None = None,
+        merge_options: Any = None,
         checkpoint_location: str | None = None,
         **kwargs: Any,
     ) -> None:
@@ -148,6 +149,7 @@ class DataFrameAction(Action):
         self.constraints = constraints or []
         self.expectations = expectations or []
         self.save_mode = SaveMode(save_mode) if save_mode is not None else None
+        self.merge_options = merge_options  # SaveModeMergeOptions for MERGE writes
         self.checkpoint_location = checkpoint_location
         self.execution_mode_state: dict[str, Any] = {}
 
@@ -199,9 +201,22 @@ class DataFrameAction(Action):
                 df = df.persist()
             pvs = (mode_result.output_partition_values if mode_result else None) or []
             assert isinstance(out_do, CanWriteDataFrame), f"({self.id}) {out_id} is not writable"
-            metrics = out_do.write_dataframe(df, pvs, self.save_mode)
-            obs_metrics = dict(obs.get) if obs is not None else {}
+            if self.merge_options is not None and self.save_mode == SaveMode.MERGE:
+                metrics = out_do.write_dataframe(df, pvs, self.save_mode, merge_options=self.merge_options)
+            else:
+                metrics = out_do.write_dataframe(df, pvs, self.save_mode)
+            obs_metrics = {}
+            if obs is not None:
+                try:
+                    obs_metrics = dict(obs.get)
+                except Exception:
+                    # Spark 4 Observation.get can fail when AQE rewrites the
+                    # observed node (e.g. the empty source side of a merge
+                    # join); the DO's own write metrics remain authoritative
+                    obs_metrics = {}
             metrics = {**obs_metrics, **metrics}
+            if "count" not in metrics and "records_written" in metrics:
+                metrics["count"] = metrics["records_written"]
             if isinstance(out_do, CanCreateDataFrame):
                 metrics.update(compute_scope_all_metrics_lazy(out_do, spark, self.expectations))
             self.runtime_metrics[out_id] = metrics
@@ -267,10 +282,11 @@ class DataFrameAction(Action):
             else:
                 assert isinstance(in_do, CanCreateDataFrame), f"({self.id}) {in_id} is not readable"
                 df = in_do.get_dataframe(spark, pvs or None)
-            if mode_result is not None and in_id == self.main_input_id and mode_result.filter:
+            if mode_result is not None and in_id == self.main_input_id and mode_result.filter is not None:
                 from pyspark.sql import functions as F
 
-                df = df.where(F.expr(mode_result.filter))
+                flt = mode_result.filter
+                df = df.where(F.expr(flt) if isinstance(flt, str) else flt)
             dfs[in_id] = df
         return dfs
 

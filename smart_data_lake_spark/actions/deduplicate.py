@@ -79,14 +79,17 @@ class DeduplicateAction(DataFrameAction):
             pks = self._pks()
             new_df = df.withColumn(TS_CAPTURED, F.lit(ref_ts)).dropDuplicates(pks)
             attr = _attr_cols(new_df, pks)
-            ex = existing.select(*pks, *attr).alias("e")
+            # explicit matched marker: a data column may be legitimately NULL,
+            # so attribute-nullity is not a safe "no match" test
+            ex = existing.select(*pks, *attr).withColumn("_dl_matched", F.lit(True)).alias("e")
             nw = new_df.alias("nw")
-            changed_or_new = nw.join(ex, pks, "left_outer").where(
-                ~F.struct(*[F.col(f"nw.{a}") for a in sorted(attr)]).eqNullSafe(
-                    F.struct(*[F.col(f"e.{a}") for a in sorted(attr)])
-                )
-                | F.col(f"e.{attr[0]}").isNull() if attr else F.lit(True)
-            ).select("nw.*")
+            is_new = F.col("_dl_matched").isNull()
+            is_changed = ~F.struct(*[F.col(f"nw.{a}") for a in sorted(attr)]).eqNullSafe(
+                F.struct(*[F.col(f"e.{a}") for a in sorted(attr)])
+            ) if attr else F.lit(False)
+            changed_or_new = (
+                nw.join(ex, pks, "left_outer").where(is_new | is_changed).select("nw.*")
+            )
             return {self.output_id: changed_or_new}
         result = deduplicate_keep_latest(
             existing, df, self._pks(), ref_ts, self.update_captured_column_only_when_changed

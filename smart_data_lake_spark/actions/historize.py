@@ -17,16 +17,19 @@ from pyspark.sql import functions as F
 from smart_data_lake_spark.config import register_action_type
 from smart_data_lake_spark.actions.base import DataFrameAction, now_utc
 from smart_data_lake_spark.historization import (
+    HASH_COL,
     HIGH_TS,
     OPERATION_COL,
     TS_CAPTURED,
     TS_DELIMITED,
+    build_cdc_merge_options,
+    build_incremental_merge_options,
     full_historize,
     incremental_cdc_historize_ops,
     incremental_historize_ops,
 )
 from smart_data_lake_spark.save_modes import SaveMode, SaveModeMergeOptions
-from smart_data_lake_spark.schema_evolution import evolve
+from smart_data_lake_spark.schema_evolution import evolve, project_to_schema
 from smart_data_lake_spark.transformers.df_transformers import DfTransformer, apply_df_transformers
 
 
@@ -44,6 +47,7 @@ class HistorizeAction(DataFrameAction):
         merge_mode_enable: bool = False,
         merge_mode_cdc_column: str | None = None,
         merge_mode_cdc_deleted_value: str = "D",
+        merge_mode_additional_join_predicate: str | None = None,
         reference_timestamp: datetime.datetime | None = None,
         **kwargs: Any,
     ) -> None:
@@ -57,6 +61,7 @@ class HistorizeAction(DataFrameAction):
         self.merge_mode_enable = merge_mode_enable
         self.merge_mode_cdc_column = merge_mode_cdc_column
         self.merge_mode_cdc_deleted_value = merge_mode_cdc_deleted_value
+        self.merge_mode_additional_join_predicate = merge_mode_additional_join_predicate
         self.reference_timestamp = reference_timestamp
 
     @property
@@ -104,16 +109,31 @@ class HistorizeAction(DataFrameAction):
             result = incremental_cdc_historize_ops(
                 df, pks, self.merge_mode_cdc_column, self.merge_mode_cdc_deleted_value, ref_ts
             )
+            # operation-aware merge contract (HistorizeAction.scala:140-150):
+            # dummy-col join steers updateClose to the current version only
+            self.merge_options = build_cdc_merge_options(
+                self.merge_mode_cdc_column, ref_ts, self.merge_mode_additional_join_predicate
+            )
         elif self.merge_mode_enable:
             current = existing.where(F.col(TS_DELIMITED) == F.lit(HIGH_TS)) if existing is not None else None
             result = incremental_historize_ops(current, df, pks, ref_ts)
+            # updateClose only touches dl_ts_delimited (+hash backfill) of the
+            # current version — join pinned on captured-ts equality
+            # (HistorizeAction.scala:152-161); without these options a merge
+            # would overwrite every historical version of a changed key
+            existing_has_hash = existing is not None and HASH_COL in existing.columns
+            self.merge_options = build_incremental_merge_options(
+                existing_has_hash, self.merge_mode_additional_join_predicate
+            )
         else:
             if existing is not None:
                 hist_schema_new = df.sparkSession.createDataFrame([], df.schema)
                 evo = evolve(existing.drop(TS_CAPTURED, TS_DELIMITED), hist_schema_new)
-                existing = (
-                    evolve_keep_technical(existing, evo.target_schema)
-                )
+                existing = evolve_keep_technical(existing, evo.target_schema)
+                # project the feed too: a column present only in history is
+                # back-filled with nulls instead of silently vanishing from
+                # the rewritten history (SchemaEvolution.scala keep-deleted)
+                df = project_to_schema(df, evo.target_schema)
             result = full_historize(existing, df, pks, ref_ts)
         if untouched is not None and not self.merge_mode_enable:
             result = result.unionByName(untouched, allowMissingColumns=True)
@@ -124,12 +144,11 @@ class HistorizeAction(DataFrameAction):
             from smart_data_lake_spark.dataobjects.base import CanMergeDataFrame
 
             out_do = self._do(self.output_id)
-            if isinstance(out_do, CanMergeDataFrame):
-                self.save_mode = SaveMode.MERGE
-                # merge contract (HistorizeAction.scala:139-166): updateClose
-                # rows update the delimitation of the current version; insertNew
-                # rows insert the fresh version. The PK for the merge must
-                # include dl_ts_captured to distinguish versions.
+            if not isinstance(out_do, CanMergeDataFrame):
+                raise ValueError(
+                    f"({self.id}) merge_mode_enable requires an output supporting SaveMode.MERGE"
+                )
+            self.save_mode = SaveMode.MERGE
         return super().exec(spark, subfeeds)
 
 

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from smart_data_lake_spark.config import register_data_object_type
 from smart_data_lake_spark.dataobjects.base import (
     CanCreateDataFrame,
+    CanHandlePartitions,
     CanMergeDataFrame,
     CanWriteDataFrame,
     DataObject,
@@ -24,7 +25,7 @@ from smart_data_lake_spark.save_modes import SaveMode, SaveModeMergeOptions
 
 
 @register_data_object_type
-class MockDataObject(DataObject, CanCreateDataFrame, CanWriteDataFrame, CanMergeDataFrame):
+class MockDataObject(DataObject, CanCreateDataFrame, CanWriteDataFrame, CanMergeDataFrame, CanHandlePartitions):
     def __init__(
         self,
         id: str,
@@ -40,6 +41,25 @@ class MockDataObject(DataObject, CanCreateDataFrame, CanWriteDataFrame, CanMerge
     def exists(self, spark: SparkSession) -> bool:
         return self._df is not None
 
+    def list_partitions(self, spark: SparkSession) -> list[PartitionValues]:
+        """Distinct partition-column tuples of the held frame — the in-memory
+        analogue of a file DO's partition-directory listing (a metadata-scale
+        query in both cases)."""
+        if not self.partitions or self._df is None:
+            return []
+        rows = self._df.select(*self.partitions).distinct().collect()
+        return [PartitionValues.of(r.asDict()) for r in rows]
+
+    def delete_partitions(self, spark: SparkSession, partition_values: list[PartitionValues]) -> None:
+        if self._df is None or not partition_values:
+            return
+        from pyspark.sql import functions as F
+
+        drop = F.lit(False)
+        for pv in partition_values:
+            drop = drop | pv.filter_expr()
+        self._df = self._df.where(~drop).localCheckpoint(eager=True)
+
     def get_dataframe(self, spark, partition_values=None):
         if self._df is None:
             raise ValueError(f"({self.id}) no data written yet")
@@ -51,26 +71,27 @@ class MockDataObject(DataObject, CanCreateDataFrame, CanWriteDataFrame, CanMerge
     def init_write(self, df, partition_values=None):
         self.validate_schema_min(df, "write")
 
-    def write_dataframe(self, df, partition_values=None, save_mode=None):
+    def write_dataframe(self, df, partition_values=None, save_mode=None, merge_options=None):
         mode = save_mode or SaveMode.OVERWRITE
         self.init_write(df)
         if mode == SaveMode.APPEND and self._df is not None:
             df = self._df.unionByName(df, allowMissingColumns=True)
         elif mode == SaveMode.MERGE:
-            return self.merge_dataframe_by_primary_key(df)
+            return self.merge_dataframe_by_primary_key(df, merge_options)
         self._df = df.localCheckpoint(eager=True)  # materialise, break lineage
         return {"records_written": self._df.count()}
 
     def merge_dataframe_by_primary_key(self, df, merge_options=None):
-        from pyspark.sql import functions as F
+        from smart_data_lake_spark.merge import apply_insert_semantics, merge_dataframes
 
         if self._df is None:
-            self._df = df.localCheckpoint(eager=True)
+            self._df = apply_insert_semantics(df, merge_options or SaveModeMergeOptions()).localCheckpoint(
+                eager=True
+            )
             return {"records_written": self._df.count()}
         pks = self.table.primary_key or []
         if not pks:
             raise ValueError(f"({self.id}) primary key required for merge")
-        existing_only = self._df.join(df.select(*pks), pks, "left_anti")
-        merged = existing_only.unionByName(df, allowMissingColumns=True)
+        merged = merge_dataframes(self._df, df, pks, merge_options)
         self._df = merged.localCheckpoint(eager=True)
         return {"records_written": df.count()}

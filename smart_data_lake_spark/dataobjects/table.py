@@ -81,65 +81,33 @@ class ParquetTableDataObject(SparkFileDataObject, CanMergeDataFrame):
         df: DataFrame,
         partition_values: list[PartitionValues] | None = None,
         save_mode: SaveMode | None = None,
+        merge_options: SaveModeMergeOptions | None = None,
     ) -> dict[str, Any]:
         mode = save_mode or self.save_mode
         if mode == SaveMode.MERGE:
-            return self.merge_dataframe_by_primary_key(df)
+            return self.merge_dataframe_by_primary_key(df, merge_options)
+        if mode == SaveMode.OVERWRITE and not self.partitions and self.exists(df.sparkSession):
+            # overwrite of an existing table whose current content may be an
+            # input of `df`'s plan (Historize/Deduplicate read-modify-write):
+            # Spark refuses "cannot overwrite a path that is also being read
+            # from", so stage to a temp dir and swap. Partitioned tables keep
+            # the dynamic-partition-overwrite path (only written partitions
+            # are replaced — atomic rewrite would drop the untouched ones).
+            return self._atomic_rewrite(df)
         return super().write_dataframe(df, partition_values, mode)
 
     def merge_dataframe_by_primary_key(
         self, df: DataFrame, merge_options: SaveModeMergeOptions | None = None
     ) -> dict[str, Any]:
+        from smart_data_lake_spark.merge import apply_insert_semantics, merge_dataframes
+
         spark = df.sparkSession
         opts = merge_options or SaveModeMergeOptions()
-        pks = self.primary_key
         if not self.exists(spark):
-            return super().write_dataframe(df, None, SaveMode.OVERWRITE)
-
-        existing = self.get_dataframe(spark).alias("existing")
-        new = df.alias("new")
-        join_cond = F.lit(True)
-        for k in pks:
-            join_cond = join_cond & (F.col(f"existing.{k}").eqNullSafe(F.col(f"new.{k}")))
-        if opts.additional_merge_predicate:
-            join_cond = join_cond & F.expr(opts.additional_merge_predicate)
-
-        joined = existing.join(new, join_cond, "full_outer")
-        new_pk_present = F.col(f"new.{pks[0]}").isNotNull()
-        for k in pks[1:]:
-            new_pk_present = new_pk_present | F.col(f"new.{k}").isNotNull()
-        ex_pk_present = F.col(f"existing.{pks[0]}").isNotNull()
-        for k in pks[1:]:
-            ex_pk_present = ex_pk_present | F.col(f"existing.{k}").isNotNull()
-        matched = new_pk_present & ex_pk_present
-
-        out_cols = []
-        target_cols = [f.name for f in self.get_dataframe(spark).schema.fields]
-        new_cols = set(df.columns)
-        update_cols = set(opts.update_columns or [c for c in target_cols if c in new_cols])
-        delete_cond = F.expr(opts.delete_condition) if opts.delete_condition else F.lit(False)
-        update_cond = F.expr(opts.update_condition) if opts.update_condition else F.lit(True)
-        insert_cond = F.expr(opts.insert_condition) if opts.insert_condition else F.lit(True)
-
-        for c in target_cols:
-            ex_c = F.col(f"existing.{c}")
-            if c in opts.insert_values_override:
-                ins_c = F.expr(opts.insert_values_override[c])
-            elif c in new_cols and c not in opts.insert_columns_to_ignore:
-                ins_c = F.col(f"new.{c}")
-            else:
-                ins_c = F.lit(None)
-            upd_c = F.col(f"new.{c}") if c in update_cols and c in new_cols else ex_c
-            out = (
-                F.when(matched & update_cond, upd_c)
-                .when(matched, ex_c)
-                .when(new_pk_present & insert_cond, ins_c)
-                .otherwise(ex_c)
-            )
-            out_cols.append(out.alias(c))
-
-        keep = ~(matched & delete_cond) & (matched | ex_pk_present | (new_pk_present & insert_cond))
-        result = joined.where(keep).select(*out_cols)
+            # initial load of a merge target: apply the insert clause
+            # (condition + ignored columns + overrides) to the source alone
+            return super().write_dataframe(apply_insert_semantics(df, opts), None, SaveMode.OVERWRITE)
+        result = merge_dataframes(self.get_dataframe(spark), df, self.primary_key, opts)
         return self._atomic_rewrite(result)
 
     def _atomic_rewrite(self, df: DataFrame) -> dict[str, Any]:
@@ -209,7 +177,9 @@ class DeltaLakeTableDataObject(ParquetTableDataObject):
         opts = merge_options or SaveModeMergeOptions()  # pragma: no cover
         spark = df.sparkSession
         if not self.exists(spark):
-            return super().write_dataframe(df, None, SaveMode.OVERWRITE)
+            from smart_data_lake_spark.merge import apply_insert_semantics
+
+            return super().write_dataframe(apply_insert_semantics(df, opts), None, SaveMode.OVERWRITE)
         target = DeltaTable.forPath(spark, self.path)
         cond = " AND ".join(f"existing.{k} <=> new.{k}" for k in self.primary_key)
         if opts.additional_merge_predicate:
@@ -224,7 +194,23 @@ class DeltaLakeTableDataObject(ParquetTableDataObject):
             )
         else:
             builder = builder.whenMatchedUpdateAll(condition=opts.update_condition)
-        builder = builder.whenNotMatchedInsertAll(condition=opts.insert_condition)
+        if opts.update_existing_condition:
+            # second matched branch: update all source columns (hash backfill,
+            # DeltaLakeTableDataObject.scala:433-437)
+            from smart_data_lake_spark.historization import OPERATION_COL
+
+            builder = builder.whenMatchedUpdate(
+                condition=opts.update_existing_condition,
+                set={c: f"new.{c}" for c in df.columns if c != OPERATION_COL},
+            )
+        if opts.insert_columns_to_ignore or opts.insert_values_override:
+            values = {
+                c: f"new.{c}" for c in df.columns if c not in opts.insert_columns_to_ignore
+            }
+            values.update(opts.insert_values_override)
+            builder = builder.whenNotMatchedInsert(condition=opts.insert_condition, values=values)
+        else:
+            builder = builder.whenNotMatchedInsertAll(condition=opts.insert_condition)
         builder.execute()
         return {"records_written": df.count()}
 

@@ -29,7 +29,7 @@ from smart_data_lake_spark.partitions import PartitionValues, diff_partition_val
 class ExecutionModeResult:
     input_partition_values: list[PartitionValues] = field(default_factory=list)
     output_partition_values: list[PartitionValues] = field(default_factory=list)
-    filter: str | None = None
+    filter: Any = None  # SQL expression string or pyspark Column
     options: dict[str, Any] = field(default_factory=dict)
     no_data: bool = False
 
@@ -118,16 +118,17 @@ class DataFrameIncrementalMode(ExecutionMode):
         hwm = None
         exists = getattr(output_do, "exists", lambda s: True)(spark)
         if exists and isinstance(output_do, CanCreateDataFrame):
-            try:
-                out_df = output_do.get_dataframe(spark)
-                row = out_df.agg(F.max(self.compare_col).alias("hwm")).collect()[0]
-                hwm = row["hwm"]
-            except Exception:
-                hwm = None
+            # a read error must propagate: silently falling back to full
+            # reprocessing would duplicate rows under APPEND save mode
+            out_df = output_do.get_dataframe(spark)
+            row = out_df.agg(F.max(self.compare_col).alias("hwm")).collect()[0]
+            hwm = row["hwm"]
         if hwm is None:
             return ExecutionModeResult()
-        lit = f"TIMESTAMP '{hwm}'" if hasattr(hwm, "isoformat") and not isinstance(hwm, str) else repr(hwm)
-        return ExecutionModeResult(filter=f"{self.compare_col} > {lit}")
+        # build the predicate as a Column, not SQL text — immune to quoting
+        # issues with string high-watermarks; Catalyst still pushes it into
+        # the input scan
+        return ExecutionModeResult(filter=F.col(self.compare_col) > F.lit(hwm))
 
 
 @dataclass

@@ -126,13 +126,34 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
 
 
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-of-projection bucket id: bit i = 1 iff dot(vec, plane_i) > 0."""
+    """Sign-of-projection bucket id: bit i = 1 iff dot(vec, plane_i) > 0.
+
+    Computed directly on the array column as a left-associated literal
+    multiply-add chain — one codegen'd projection, no flatten, and the exact
+    expression is reproducible in oracle SQL by inlining the same plane
+    literals (repr round-trips doubles exactly), so approximate operators are
+    hash-gradeable cross-engine."""
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
-        plane_col = F.array(*[F.lit(v) for v in plane])
-        proj = dot(vec, plane_col, dim=len(plane))
+        terms = [
+            F.element_at(vec, j + 1).cast("double") * F.lit(v) for j, v in enumerate(plane)
+        ]
+        proj = terms[0]
+        for t in terms[1:]:
+            proj = proj + t
         bucket = bucket + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
     return bucket
+
+
+def bucket_sql(vec_expr: str, planes: list[list[float]]) -> str:
+    """The DuckDB-SQL twin of `lsh_bucket` for oracle queries: identical
+    literals, identical left-associated evaluation order → identical IEEE
+    results → identical buckets."""
+    parts = []
+    for i, plane in enumerate(planes):
+        proj = " + ".join(f"CAST({vec_expr}[{j + 1}] AS DOUBLE) * {v!r}" for j, v in enumerate(plane))
+        parts.append(f"(CASE WHEN ({proj}) > 0 THEN {1 << i} ELSE 0 END)")
+    return "CAST(" + " + ".join(parts) + " AS BIGINT)"
 
 
 def lsh_topk(
@@ -147,29 +168,26 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: only score candidates in the query's LSH bucket.
 
-    At scale: corpus bucketed once (cheap projection), bucket column becomes a
-    partition/cluster key; each query probes one bucket instead of the corpus.
-    Recall is tunable via n_planes (fewer planes → bigger buckets).
+    At scale: corpus bucketed once (one codegen'd projection on the array —
+    no column flatten), bucket column becomes a partition/cluster key; each
+    query probes one bucket instead of the corpus. The candidate set after the
+    bucket equi-join is tiny (N / 2^n_planes per query on average), so pair
+    scoring cost is negligible; recall is tunable via n_planes (fewer planes →
+    bigger buckets). Buckets and cosines are bit-reproducible in oracle SQL
+    via `bucket_sql` (same literals, same evaluation order).
     """
     planes = random_hyperplanes(dim, n_planes)
-
-    def bucket_from_cols(prefix: str) -> Column:
-        bucket = F.lit(0).cast("long")
-        for i, plane in enumerate(planes):
-            terms = [F.col(f"{prefix}{j}") * F.lit(v) for j, v in enumerate(plane)]
-            proj = terms[0]
-            for t in terms[1:]:
-                proj = proj + t
-            bucket = bucket + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        return bucket
-
-    c = _flatten(corpus, f"{id_col} AS neighbor_id", vec_col, "_c", dim).withColumn(
-        "_bucket", bucket_from_cols("_c")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        norm(F.col(vec_col), dim).alias("_cnorm"),
+        lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
     )
-    q = _flatten(queries, query_id_col, vec_col, "_q", dim).withColumn(
-        "_bucket", bucket_from_cols("_q")
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        norm(F.col(vec_col), dim).alias("_qnorm"),
+        lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
     )
     scored = (
         F.broadcast(q)
@@ -178,9 +196,9 @@ def lsh_topk(
         .select(
             query_id_col,
             "neighbor_id",
-            F.round(_dot_cols("_q", "_c", dim) / (F.col("_qnorm") * F.col("_cnorm")), 6).alias(
-                "cos_sim"
-            ),
+            F.round(
+                dot(F.col("_qvec"), F.col("_cvec"), dim) / (F.col("_qnorm") * F.col("_cnorm")), 6
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())

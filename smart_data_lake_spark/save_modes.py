@@ -32,6 +32,10 @@ class SaveModeMergeOptions:
     delete_condition: str | None = None
     update_condition: str | None = None
     update_columns: list[str] | None = None
+    # second matched-update branch updating ALL columns from the source —
+    # used by HistorizeAction to backfill dl_hash on existing tables
+    # (SDLSaveMode.scala:129 updateExistingCondition)
+    update_existing_condition: str | None = None
     insert_condition: str | None = None
     insert_columns_to_ignore: list[str] = field(default_factory=list)
     insert_values_override: dict[str, str] = field(default_factory=dict)
