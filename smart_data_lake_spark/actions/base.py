@@ -217,10 +217,16 @@ class DataFrameAction(Action):
             metrics = {**obs_metrics, **metrics}
             if "count" not in metrics and "records_written" in metrics:
                 metrics["count"] = metrics["records_written"]
+            metrics["n_partitions"] = len(pvs) if pvs else None
             if isinstance(out_do, CanCreateDataFrame):
                 metrics.update(compute_scope_all_metrics_lazy(out_do, spark, self.expectations))
+                metrics.update(self._job_partition_metrics(out_do, spark, pvs))
+            metrics.update(self._action_level_input_metrics(spark, dfs))
             self.runtime_metrics[out_id] = metrics
             warnings = validate_expectations(self.expectations, metrics)
+            from smart_data_lake_spark.expectations import validate_job_partition_expectations
+
+            warnings += validate_job_partition_expectations(self.expectations, metrics)
             for w in warnings:
                 print(f"WARN ({self.id}/{out_id}): {w}")
             sf = SparkSubFeed(data_object_id=out_id, partition_values=pvs, metrics=metrics)
@@ -289,6 +295,33 @@ class DataFrameAction(Action):
                 df = df.where(F.expr(flt) if isinstance(flt, str) else flt)
             dfs[in_id] = df
         return dfs
+
+    def _job_partition_metrics(self, out_do, spark, pvs):
+        from smart_data_lake_spark.expectations import ExpectationScope, compute_job_partition_metrics
+
+        if not any(e.scope == ExpectationScope.JOB_PARTITION for e in self.expectations):
+            return {}
+        partition_cols = list(getattr(out_do, "partitions", []) or [])
+        if not partition_cols and pvs:
+            partition_cols = list(pvs[0].keys)
+        df = out_do.get_dataframe(spark, pvs or None)
+        return compute_job_partition_metrics(df, self.expectations, partition_cols)
+
+    def _action_level_input_metrics(self, spark, dfs):
+        """Input-side counts for action-level Completeness/TransferRate
+        expectations — an extra count job on the (filtered) main input, run
+        only when such an expectation is configured (the reference harvests
+        this from stage metrics; observation-free count keeps it simple)."""
+        from smart_data_lake_spark.expectations import CompletenessExpectation, TransferRateExpectation
+
+        metrics = {}
+        if any(isinstance(e, TransferRateExpectation) for e in self.expectations):
+            metrics["records_read"] = dfs[self.main_input_id].count()
+        if any(isinstance(e, CompletenessExpectation) for e in self.expectations):
+            in_do = self._do(self.main_input_id)
+            if isinstance(in_do, CanCreateDataFrame):
+                metrics["input_count_all"] = in_do.get_dataframe(spark).count()
+        return metrics
 
     def _write_streaming(self, spark, df, out_do, out_id) -> SparkSubFeed:
         mode = self.execution_mode

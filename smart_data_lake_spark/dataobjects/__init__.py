@@ -20,9 +20,10 @@ from smart_data_lake_spark.dataobjects.file import (
 from smart_data_lake_spark.dataobjects.table import (
     DeltaLakeTableDataObject,
     HiveTableDataObject,
-    JdbcTableDataObject,
     ParquetTableDataObject,
 )
+from smart_data_lake_spark.dataobjects.jdbc import JdbcTableDataObject
+from smart_data_lake_spark.dataobjects.kafka import KafkaConnection, KafkaTopicDataObject
 from smart_data_lake_spark.dataobjects.custom import (
     ActionsExporterDataObject,
     CustomDfDataObject,
@@ -51,6 +52,8 @@ __all__ = [
     "HiveTableDataObject",
     "DeltaLakeTableDataObject",
     "JdbcTableDataObject",
+    "KafkaConnection",
+    "KafkaTopicDataObject",
     "CustomDfDataObject",
     "PKViolatorsDataObject",
     "ActionsExporterDataObject",

@@ -215,31 +215,5 @@ class DeltaLakeTableDataObject(ParquetTableDataObject):
         return {"records_written": df.count()}
 
 
-@register_data_object_type
-class JdbcTableDataObject(ParquetTableDataObject):
-    """JDBC table (`JdbcTableDataObject.scala`): reads via spark.read.jdbc with
-    predicate pushdown; transactional overwrite via temp table + swap
-    (:330-356); MERGE via generated SQL over the JDBC connection (:375-400).
-
-    Requires a JDBC driver jar on the Spark classpath; absent one (this
-    container), instantiation succeeds but IO raises with a clear message.
-    """
-
-    def __init__(self, id: str, url: str, table: Table | dict, connection_options: dict | None = None, **kwargs: Any):
-        super().__init__(id=id, path=f"jdbc://{id}", table=table, **kwargs)
-        self.url = url
-        self.connection_options = connection_options or {}
-
-    def get_dataframe(self, spark, partition_values=None):
-        reader = spark.read.format("jdbc").option("url", self.url).option("dbtable", self.table.full_name)
-        for k, v in self.connection_options.items():
-            reader = reader.option(k, v)
-        return reader.load()
-
-    def write_dataframe(self, df, partition_values=None, save_mode=None):
-        mode = save_mode or self.save_mode
-        writer = df.write.format("jdbc").option("url", self.url).option("dbtable", self.table.full_name)
-        for k, v in self.connection_options.items():
-            writer = writer.option(k, v)
-        writer.mode("overwrite" if mode == SaveMode.OVERWRITE else "append").save()
-        return {}
+# JdbcTableDataObject lives in smart_data_lake_spark/dataobjects/jdbc.py
+# (generated transactional SQL + staged merge, JdbcTableDataObject.scala:330-400)

@@ -144,6 +144,146 @@ class UniqueKeyExpectation(Expectation):
         return [(distinct / F.count(F.lit(1))).alias(self.name)]
 
 
+@dataclass
+class AvgCountPerPartitionExpectation(Expectation):
+    """Average row count per processed partition
+    (AvgCountPerPartitionExpectation.scala:41): count of the job divided by
+    the number of partition values processed — catches partitions suddenly
+    arriving near-empty."""
+
+    name: str = "avgCountPerPartition"
+
+    def agg_expressions(self):
+        return [F.count(F.lit(1)).alias(self.name)]
+
+    def evaluate(self, metrics: dict[str, Any]) -> str | None:
+        if self.expectation is None:
+            return None
+        n_parts = metrics.get("n_partitions") or 1
+        raw = metrics.get(self.name, metrics.get("count"))
+        if raw is None:
+            return f"expectation '{self.name}': no count metric available"
+        value = float(raw) / max(1, n_parts)
+        if _compare(value, self.expectation):
+            return None
+        return f"expectation '{self.name}' failed: {value!r} !{self.expectation}"
+
+
+@dataclass
+class SQLQueryExpectation(Expectation):
+    """Whole SQL query computing the metric (SQLQueryExpectation.scala:46):
+    `%{inputViewName}` is replaced by a view of the written data; the first
+    column of the first row is the metric. Scope is All by definition — it
+    runs as a separate query against the table after write."""
+
+    code: str = ""
+    scope: ExpectationScope = ExpectationScope.ALL
+
+    def agg_expressions(self):
+        return []
+
+    def compute_metrics(self, df: DataFrame) -> dict[str, Any]:
+        view = f"_dl_exp_{self.name}"
+        df.createOrReplaceTempView(view)
+        row = df.sparkSession.sql(self.code.replace("%{inputViewName}", view)).collect()[0]
+        return {self.name: row[0]}
+
+
+@dataclass
+class CompletenessExpectation(Expectation):
+    """Action-level: fraction of main OUTPUT count-all over main INPUT
+    count-all (action/expectation/CompletenessExpectation.scala:43-56);
+    scope fixed to whole-table."""
+
+    name: str = "pctComplete"
+    expectation: str | None = "= 1"
+    scope: ExpectationScope = ExpectationScope.ALL
+    precision: int = 4
+
+    def agg_expressions(self):
+        return [F.count(F.lit(1)).alias("countAll")]
+
+    def evaluate(self, metrics: dict[str, Any]) -> str | None:
+        if self.expectation is None:
+            return None
+        read = metrics.get("input_count_all")
+        written = metrics.get("countAll")
+        if read is None or written is None:
+            return f"expectation '{self.name}': input/output counts unavailable"
+        import math
+
+        value = math.floor(float(written) / max(1.0, float(read)) * 10**self.precision) / 10**self.precision
+        if _compare(value, self.expectation):
+            return None
+        return f"expectation '{self.name}' failed: {value!r} !{self.expectation}"
+
+
+@dataclass
+class TransferRateExpectation(Expectation):
+    """Action-level: fraction of rows written this job over rows read this
+    job (action/expectation/TransferRateExpectation.scala:43-55)."""
+
+    name: str = "pctTransfer"
+    expectation: str | None = "= 1"
+    precision: int = 4
+
+    def agg_expressions(self):
+        return []
+
+    def evaluate(self, metrics: dict[str, Any]) -> str | None:
+        if self.expectation is None:
+            return None
+        read = metrics.get("records_read")
+        written = metrics.get("records_written", metrics.get("count"))
+        if read is None or written is None:
+            return f"expectation '{self.name}': records_read/records_written unavailable"
+        import math
+
+        value = math.floor(float(written) / max(1.0, float(read)) * 10**self.precision) / 10**self.precision
+        if _compare(value, self.expectation):
+            return None
+        return f"expectation '{self.name}' failed: {value!r} !{self.expectation}"
+
+
+def compute_job_partition_metrics(
+    df: DataFrame, expectations: list[Expectation], partition_cols: list[str]
+) -> dict[str, Any]:
+    """Scope=JobPartition: one metric per (expectation, partition value) —
+    a single groupBy over the written data (ExpectationValidation.scala:122-134).
+    Metric keys are `name#pcol=pval/...`, matching the reference's display."""
+    jp_exps = [e for e in expectations if e.scope == ExpectationScope.JOB_PARTITION]
+    if not jp_exps or not partition_cols:
+        return {}
+    exprs = [x for e in jp_exps for x in e.agg_expressions()]
+    rows = df.groupBy(*partition_cols).agg(*exprs).collect()
+    metrics: dict[str, Any] = {}
+    for r in rows:
+        suffix = "/".join(f"{c}={r[c]}" for c in partition_cols)
+        for e in jp_exps:
+            metrics[f"{e.name}#{suffix}"] = r[e.name]
+    return metrics
+
+
+def validate_job_partition_expectations(
+    expectations: list[Expectation], metrics: dict[str, Any]
+) -> list[str]:
+    """Evaluate JobPartition-scope expectations once per partition metric."""
+    warnings: list[str] = []
+    errors: list[str] = []
+    for e in expectations:
+        if e.scope != ExpectationScope.JOB_PARTITION or e.expectation is None:
+            continue
+        for key, value in metrics.items():
+            if not key.startswith(f"{e.name}#"):
+                continue
+            if not _compare(value, e.expectation):
+                msg = f"expectation '{key}' failed: {value!r} !{e.expectation}"
+                (errors if e.severity == Severity.ERROR else warnings).append(msg)
+    if errors:
+        raise ExpectationValidationError("; ".join(errors))
+    return warnings
+
+
 def setup_observation(
     df: DataFrame, expectations: list[Expectation], obs_name: str
 ) -> tuple[DataFrame, Observation | None]:
@@ -185,9 +325,14 @@ def compute_scope_all_metrics(df: DataFrame, expectations: list[Expectation]) ->
     all_exps = [e for e in expectations if e.scope == ExpectationScope.ALL]
     if not all_exps:
         return {}
+    metrics: dict[str, Any] = {}
     exprs = [x for e in all_exps for x in e.agg_expressions()]
-    row = df.agg(*exprs).collect()[0]
-    return row.asDict()
+    if exprs:
+        metrics.update(df.agg(*exprs).collect()[0].asDict())
+    for e in all_exps:
+        if isinstance(e, SQLQueryExpectation):
+            metrics.update(e.compute_metrics(df))
+    return metrics
 
 
 def _compare(value: Any, expectation: str) -> bool:

@@ -201,27 +201,25 @@ def embedding_banded_buckets(
     vec_col: str = "embedding",
     dim: int = 64,
     bands: int = 8,
-    planes_per_band: int = 4,
+    planes_per_band: int = 10,
     seed: int = 42,
 ) -> DataFrame:
     """(id, band_id, bucket) rows: `bands` independent random-hyperplane
     sign-buckets per vector — the banding scheme of MinHash-LSH applied to
     embeddings. Two vectors are candidates iff they share ANY band's bucket.
-    One codegen'd projection + explode; no shuffle."""
-    from smart_data_lake_spark.functions.similarity import lsh_bucket, random_hyperplanes
+    One codegen'd projection + explode; no shuffle.
+
+    planes_per_band sizes the bucket space (2^planes per band): it must grow
+    with log2(N) or bucket-pair volume explodes quadratically — 10 planes =
+    1024 buckets/band keeps ~N/1024 rows per bucket. At a 0.95-cosine
+    near-dup threshold, 8 bands × 10 planes still give ~97% recall
+    ((1-(1-0.9^10)^8))."""
+    from smart_data_lake_spark.functions.similarity import banded_bucket_udf, random_hyperplanes
 
     planes = random_hyperplanes(dim, bands * planes_per_band, seed)
-    structs = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            lsh_bucket(F.col(vec_col), planes[b * planes_per_band : (b + 1) * planes_per_band]).alias(
-                "bucket"
-            ),
-        )
-        for b in range(bands)
-    ]
-    return emb.select(F.col(id_col), F.explode(F.array(*structs)).alias("_band")).select(
-        id_col, "_band.band_id", "_band.bucket"
+    buckets = banded_bucket_udf(planes, bands, planes_per_band)
+    return emb.select(
+        F.col(id_col), F.posexplode(buckets(F.col(vec_col))).alias("band_id", "bucket")
     )
 
 
@@ -232,17 +230,17 @@ def embedding_neardup_lsh(
     threshold: float = 0.95,
     dim: int = 64,
     bands: int = 8,
-    planes_per_band: int = 4,
+    planes_per_band: int = 10,
     seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs at scale: banded LSH candidate
     generation (bucket equi-join, never all-pairs) + exact cosine verification
-    on the candidates only. At a 0.95-cosine near-dup threshold, 8 bands × 4
-    planes give ≥99.9% recall; the plan is two hash-shuffles (band join,
-    vector join-back) — no nested-loop join anywhere. Buckets/cosines are
+    on the candidates only. The plan is two hash-shuffles (band join, vector
+    join-back) — no nested-loop join anywhere. Buckets/cosines are
     bit-reproducible in oracle SQL via `similarity.bucket_sql`."""
-    from smart_data_lake_spark.functions.similarity import dot, norm
+    from smart_data_lake_spark.functions.similarity import norm_udf, spark_cosine_expr
 
+    spark_norm = norm_udf()
     banded = embedding_banded_buckets(emb, id_col, vec_col, dim, bands, planes_per_band, seed)
     a = banded.alias("a")
     b = banded.alias("b")
@@ -256,12 +254,15 @@ def embedding_neardup_lsh(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), norm(F.col(vec_col), dim).alias("_na"))
-    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), norm(F.col(vec_col), dim).alias("_nb"))
-    sim = F.round(dot(F.col("_va"), F.col("_vb"), dim) / (F.col("_na") * F.col("_nb")), 6)
+    va = emb.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), spark_norm(F.col(vec_col)).alias("_na")
+    )
+    vb = emb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), spark_norm(F.col(vec_col)).alias("_nb")
+    )
     return (
         pairs.join(va, "id_a")
         .join(vb, "id_b")
-        .select("id_a", "id_b", sim.alias("cos_sim"))
+        .select("id_a", "id_b", spark_cosine_expr("_va", "_vb", "_na", "_nb", dim).alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )

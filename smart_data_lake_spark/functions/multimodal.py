@@ -45,13 +45,14 @@ FEATURE_SCHEMA = T.StructType(
 def decode_image_stub(payload: bytes) -> dict:
     """STUB: deterministic fake decode. A real deployment replaces this with
     PIL.Image.open(io.BytesIO(payload)); the surrounding Spark plumbing is
-    identical. Raises on empty payloads like a real decoder would."""
+    identical. Raises on empty payloads like a real decoder would.
+
+    Fake dimensions derive from the payload byte length (SQL-expressible via
+    octet_length, so the whole mapInPandas pipeline is oracle-gradeable)."""
     if not payload:
         raise ValueError("empty payload")
-    # derive fake-but-deterministic dimensions from content bytes
-    w = 64 + payload[0] % 64
-    h = 64 + payload[-1] % 64
-    return {"width": w, "height": h, "channels": 3, "format": "stub"}
+    n = len(payload)
+    return {"width": 64 + n % 64, "height": 64 + (n // 64) % 64, "channels": 3, "format": "stub"}
 
 
 def repartition_by_bytes(df: DataFrame, size_col: str = "length", target_partition_bytes: int = 128 * 1024 * 1024) -> DataFrame:

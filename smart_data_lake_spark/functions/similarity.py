@@ -12,6 +12,8 @@ deterministic and reproducible in oracle SQL's list_* folds).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -111,6 +113,57 @@ def brute_force_topk(
     )
 
 
+def banded_bucket_udf(planes: list[list[float]], bands: int, planes_per_band: int):
+    """Arrow-vectorized banded bucketizer: per row, an array of `bands`
+    sign-buckets.
+
+    Why a Pandas UDF here: the pure-expression form of B×P×D multiply-adds
+    (5 120 terms at 8×10×64) exceeds the JVM's 64 KB method limit —
+    whole-stage codegen fails to compile and Spark falls back to interpreted
+    per-node evaluation, ~100× slower. NumPy evaluates the same arithmetic
+    vectorized over the Arrow batch. Bit-exactness with the SQL oracle is
+    preserved by accumulating dimension-by-dimension in the SAME left-
+    associated float64 order as the `bucket_sql` chain (never np.dot, whose
+    pairwise summation rounds differently)."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    plane_mat = [np.asarray(p, dtype=np.float64) for p in planes]
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        out = np.zeros((mat.shape[0], bands), dtype=np.int64)
+        for b in range(bands):
+            bucket = np.zeros(mat.shape[0], dtype=np.int64)
+            for i in range(planes_per_band):
+                plane = plane_mat[b * planes_per_band + i]
+                acc = mat[:, 0] * plane[0]
+                for j in range(1, plane.shape[0]):
+                    acc = acc + mat[:, j] * plane[j]
+                bucket += (acc > 0).astype(np.int64) << i
+            out[:, b] = bucket
+        return pd.Series(list(out))
+
+    return _buckets
+
+
+def norm_udf():
+    """Arrow-vectorized vector norm with the same left-fold float64 order as
+    `spark_norm_expr` / the oracle's sqrt-of-chain — see banded_bucket_udf
+    for why this beats the expression form."""
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def _norm(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        acc = mat[:, 0] * mat[:, 0]
+        for j in range(1, mat.shape[1]):
+            acc = acc + mat[:, j] * mat[:, j]
+        return pd.Series(np.sqrt(acc))
+
+    return _norm
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (LCG — no numpy dependency in
     the plan; values are plan literals broadcast with the task binary)."""
@@ -125,33 +178,58 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
     return planes
 
 
-def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+def spark_dot_sql(a: str, b: str, dim: int) -> str:
+    """Spark-SQL dot product of two array columns as a left-associated
+    element_at chain. Building the chain as ONE parsed SQL string instead of
+    ~dim×4 Column operator calls avoids thousands of py4j round-trips per
+    expression — the dominant driver-side cost for wide-vector plans."""
+    return " + ".join(
+        f"CAST(element_at({a}, {i}) AS DOUBLE) * CAST(element_at({b}, {i}) AS DOUBLE)"
+        for i in range(1, dim + 1)
+    )
+
+
+def spark_norm_expr(vec: str, dim: int) -> Column:
+    return F.expr(f"SQRT({spark_dot_sql(vec, vec, dim)})")
+
+
+def spark_cosine_expr(a: str, b: str, norm_a: str, norm_b: str, dim: int) -> Column:
+    """round(dot/(norm*norm), 6) over pre-computed norm columns — the exact
+    arithmetic `_cos_sql` replicates in DuckDB."""
+    return F.expr(f"ROUND(({spark_dot_sql(a, b, dim)}) / ({norm_a} * {norm_b}), 6)")
+
+
+def lsh_bucket(vec: str, planes: list[list[float]]) -> Column:
     """Sign-of-projection bucket id: bit i = 1 iff dot(vec, plane_i) > 0.
 
     Computed directly on the array column as a left-associated literal
     multiply-add chain — one codegen'd projection, no flatten, and the exact
     expression is reproducible in oracle SQL by inlining the same plane
     literals (repr round-trips doubles exactly), so approximate operators are
-    hash-gradeable cross-engine."""
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        terms = [
-            F.element_at(vec, j + 1).cast("double") * F.lit(v) for j, v in enumerate(plane)
-        ]
-        proj = terms[0]
-        for t in terms[1:]:
-            proj = proj + t
-        bucket = bucket + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-    return bucket
+    hash-gradeable cross-engine. `vec` is a column NAME (the expression is
+    built as one parsed SQL string — see spark_dot_sql)."""
+    return F.expr(_bucket_sql(vec, planes, spark=True))
 
 
 def bucket_sql(vec_expr: str, planes: list[list[float]]) -> str:
     """The DuckDB-SQL twin of `lsh_bucket` for oracle queries: identical
     literals, identical left-associated evaluation order → identical IEEE
     results → identical buckets."""
+    return _bucket_sql(vec_expr, planes, spark=False)
+
+
+def _bucket_sql(vec_expr: str, planes: list[list[float]], spark: bool) -> str:
+    # spark dialect: element_at (1-based) + D-suffixed double literals;
+    # duckdb dialect: 1-based [] indexing + plain literals (decimal literals
+    # convert to the identical nearest double)
     parts = []
     for i, plane in enumerate(planes):
-        proj = " + ".join(f"CAST({vec_expr}[{j + 1}] AS DOUBLE) * {v!r}" for j, v in enumerate(plane))
+        if spark:
+            proj = " + ".join(
+                f"CAST(element_at({vec_expr}, {j + 1}) AS DOUBLE) * {v!r}D" for j, v in enumerate(plane)
+            )
+        else:
+            proj = " + ".join(f"CAST({vec_expr}[{j + 1}] AS DOUBLE) * {v!r}" for j, v in enumerate(plane))
         parts.append(f"(CASE WHEN ({proj}) > 0 THEN {1 << i} ELSE 0 END)")
     return "CAST(" + " + ".join(parts) + " AS BIGINT)"
 
@@ -177,17 +255,19 @@ def lsh_topk(
     via `bucket_sql` (same literals, same evaluation order).
     """
     planes = random_hyperplanes(dim, n_planes)
+    buckets = banded_bucket_udf(planes, bands=1, planes_per_band=n_planes)
+    nrm = norm_udf()
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
-        norm(F.col(vec_col), dim).alias("_cnorm"),
-        lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
+        nrm(F.col(vec_col)).alias("_cnorm"),
+        buckets(F.col(vec_col)).getItem(0).alias("_bucket"),
     )
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("_qvec"),
-        norm(F.col(vec_col), dim).alias("_qnorm"),
-        lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
+        nrm(F.col(vec_col)).alias("_qnorm"),
+        buckets(F.col(vec_col)).getItem(0).alias("_bucket"),
     )
     scored = (
         F.broadcast(q)
@@ -196,9 +276,7 @@ def lsh_topk(
         .select(
             query_id_col,
             "neighbor_id",
-            F.round(
-                dot(F.col("_qvec"), F.col("_cvec"), dim) / (F.col("_qnorm") * F.col("_cnorm")), 6
-            ).alias("cos_sim"),
+            spark_cosine_expr("_qvec", "_cvec", "_qnorm", "_cnorm", dim).alias("cos_sim"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())

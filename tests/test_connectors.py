@@ -1,0 +1,204 @@
+"""Connector tests runnable without external services.
+
+Kafka: option construction, payload decode/encode, offset state — everything
+except the broker-bound load() (KafkaTopicDataObject.scala:126-216 parity).
+JDBC: generated transactional SQL (JdbcTableDataObject.scala:330-400 parity),
+executed for real against DuckDB via the sql_executor bridge.
+"""
+
+import datetime
+import json
+
+import duckdb
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from smart_data_lake_spark.dataobjects.jdbc import (
+    JdbcTableDataObject,
+    build_merge_sql,
+    build_transactional_overwrite_sqls,
+    build_upsert_sqls,
+)
+from smart_data_lake_spark.dataobjects.kafka import (
+    KafkaConnection,
+    KafkaStateIncrementalMode,
+    KafkaTopicDataObject,
+)
+from smart_data_lake_spark.historization import build_incremental_merge_options
+from smart_data_lake_spark.save_modes import SaveModeMergeOptions
+
+
+@pytest.fixture()
+def topic():
+    return KafkaTopicDataObject(
+        id="t1",
+        topic_name="events",
+        connection=KafkaConnection(id="c1", brokers="broker1:9092,broker2:9092"),
+        key_type="string",
+        value_type="json",
+        value_schema="user_id int, action string",
+        select_cols=["key", "value", "offset"],
+        batch_read_max_offsets_per_task=10000,
+    )
+
+
+def test_kafka_batch_reader_options(topic):
+    opts = topic.batch_reader_options(
+        starting_offsets='{"events":{"0":5}}', ending_offsets='{"events":{"0":42}}'
+    )
+    assert opts["kafka.bootstrap.servers"] == "broker1:9092,broker2:9092"
+    assert opts["subscribe"] == "events"
+    assert opts["startingOffsets"] == '{"events":{"0":5}}'
+    assert opts["endingOffsets"] == '{"events":{"0":42}}'
+    assert opts["maxOffsetsPerTrigger"] == "10000"
+    # defaults
+    assert topic.batch_reader_options()["startingOffsets"] == "earliest"
+    assert topic.stream_reader_options()["subscribe"] == "events"
+    assert topic.writer_options()["topic"] == "events"
+
+
+def _raw_kafka_df(spark):
+    rows = [
+        Row(
+            key=b"k1",
+            value=json.dumps({"user_id": 7, "action": "click"}).encode(),
+            topic="events",
+            partition=0,
+            offset=5,
+            timestamp=datetime.datetime(2024, 3, 1, 12, 0, 0),
+            timestampType=0,
+        ),
+        Row(
+            key=b"k2",
+            value=json.dumps({"user_id": 8, "action": "view"}).encode(),
+            topic="events",
+            partition=1,
+            offset=9,
+            timestamp=datetime.datetime(2024, 3, 2, 12, 0, 0),
+            timestampType=0,
+        ),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_kafka_convert_dataframe_json_value(spark, topic):
+    out = topic.convert_dataframe(_raw_kafka_df(spark))
+    assert out.columns == ["key", "value", "offset"]
+    got = {r["key"]: (r["value"]["user_id"], r["value"]["action"]) for r in out.collect()}
+    assert got == {"k1": (7, "click"), "k2": (8, "view")}
+
+
+def test_kafka_date_partition_col(spark):
+    t = KafkaTopicDataObject(
+        id="t2",
+        topic_name="events",
+        connection={"id": "c", "brokers": "b:9092"},
+        select_cols=["key", "value"],
+        date_partition_col="dt",
+    )
+    out = t.convert_dataframe(_raw_kafka_df(spark))
+    assert out.columns == ["key", "value", "dt"]
+    assert {r["dt"] for r in out.collect()} == {"20240301", "20240302"}
+
+
+def test_kafka_prepare_write_struct_value(spark, topic):
+    df = spark.createDataFrame([Row(key="k1", value=Row(user_id=7, action="click"))])
+    out = topic.prepare_write_dataframe(df)
+    assert [f.dataType.simpleString() for f in out.schema.fields] == ["string", "string"]
+    assert json.loads(out.collect()[0]["value"]) == {"user_id": 7, "action": "click"}
+
+
+def test_kafka_offset_state_roundtrip(spark, topic):
+    raw = _raw_kafka_df(spark)
+    state = topic.advance_state_from(raw)
+    assert json.loads(state) == {"events": {"0": 6, "1": 10}}  # +1: startingOffsets inclusive
+    mode = KafkaStateIncrementalMode()
+    run_state = {}
+    topic.set_state(None)
+    mode.apply(spark, topic, None, [], run_state)
+    assert topic.get_state() is None
+    topic.advance_state_from(raw)
+    mode.post_exec(spark, topic, None, run_state)
+    assert json.loads(run_state["kafka_offsets"]) == {"events": {"0": 6, "1": 10}}
+    # next run picks the persisted offsets up
+    mode.apply(spark, topic, None, [], run_state)
+    assert topic.get_state() == run_state["kafka_offsets"]
+
+
+def test_kafka_validation_errors():
+    with pytest.raises(ValueError, match="requires a value_schema"):
+        KafkaTopicDataObject(id="x", topic_name="t", connection={"id": "c", "brokers": "b"}, value_type="json")
+    with pytest.raises(ValueError, match="not supported here"):
+        KafkaTopicDataObject(id="x", topic_name="t", connection={"id": "c", "brokers": "b"}, value_type="avro")
+
+
+# ------------------------------------------------------------------ JDBC
+
+
+def test_merge_sql_golden():
+    sql = build_merge_sql("tgt", "tgt_sdltmp", ["id"], ["id", "name", "value"])
+    assert sql == (
+        "MERGE INTO tgt existing\n"
+        "USING tgt_sdltmp new\n"
+        "ON existing.id = new.id\n"
+        "WHEN MATCHED THEN UPDATE SET name = new.name, value = new.value\n"
+        "WHEN NOT MATCHED THEN INSERT (id, name, value) VALUES (new.id, new.name, new.value)"
+    )
+
+
+def test_merge_sql_with_historize_options():
+    opts = build_incremental_merge_options(existing_has_hash=True)
+    sql = build_merge_sql(
+        "hist", "hist_sdltmp", ["id"],
+        ["id", "name", "dl_hash", "dl_operation", "dl_ts_captured", "dl_ts_delimited"], opts,
+    )
+    assert "ON existing.id = new.id AND (new.dl_ts_captured = existing.dl_ts_captured)" in sql
+    assert "WHEN MATCHED AND (dl_operation = 'updateClose') THEN UPDATE SET dl_ts_delimited = new.dl_ts_delimited" in sql
+    assert "WHEN NOT MATCHED AND (dl_operation = 'insertNew') THEN INSERT" in sql
+    assert "dl_operation" not in sql.split("INSERT (")[1].split(")")[0]  # ignored on insert
+
+
+def test_transactional_overwrite_sqls():
+    assert build_transactional_overwrite_sqls("tgt", "tgt_sdltmp") == [
+        "DELETE FROM tgt",
+        "INSERT INTO tgt SELECT * FROM tgt_sdltmp",
+        "DROP TABLE tgt_sdltmp",
+    ]
+
+
+def test_upsert_sqls_execute_against_duckdb():
+    """The MERGE-less fallback statements implement real merge semantics —
+    executed against DuckDB through the same executor bridge a deployment
+    would configure."""
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tgt (id INT, name VARCHAR, value DOUBLE)")
+    con.execute("INSERT INTO tgt VALUES (1, 'a', 10.0), (2, 'b', 20.0)")
+    con.execute("CREATE TABLE tgt_sdltmp (id INT, name VARCHAR, value DOUBLE)")
+    con.execute("INSERT INTO tgt_sdltmp VALUES (1, 'a', 11.0), (3, 'c', 30.0)")
+    for sql in build_upsert_sqls("tgt", "tgt_sdltmp", ["id"], ["id", "name", "value"]):
+        con.execute(sql)
+    rows = set(con.execute("SELECT * FROM tgt ORDER BY id").fetchall())
+    assert rows == {(1, "a", 11.0), (2, "b", 20.0), (3, "c", 30.0)}
+
+
+def test_jdbc_execute_transaction_rollback():
+    executed = []
+
+    def executor(sql):
+        executed.append(sql)
+        if sql.startswith("INSERT"):
+            raise RuntimeError("boom")
+
+    do = JdbcTableDataObject(
+        id="j1", url="jdbc:duckdb:", table={"name": "tgt", "primary_key": ["id"]}, sql_executor=executor
+    )
+    with pytest.raises(RuntimeError, match="boom"):
+        do._execute(["DELETE FROM tgt", "INSERT INTO tgt SELECT 1"])
+    assert executed == ["BEGIN TRANSACTION", "DELETE FROM tgt", "INSERT INTO tgt SELECT 1", "ROLLBACK"]
+
+
+def test_jdbc_requires_executor_for_ddl():
+    do = JdbcTableDataObject(id="j2", url="jdbc:x", table={"name": "t", "primary_key": ["id"]})
+    with pytest.raises(RuntimeError, match="no sql_executor"):
+        do._execute(["DELETE FROM t"])
