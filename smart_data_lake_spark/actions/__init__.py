@@ -4,6 +4,7 @@ from smart_data_lake_spark.actions.custom import CustomDataFrameAction
 from smart_data_lake_spark.actions.deduplicate import DeduplicateAction
 from smart_data_lake_spark.actions.historize import HistorizeAction
 from smart_data_lake_spark.actions.filetransfer import FileTransferAction
+from smart_data_lake_spark.actions.customfile import CustomFileAction
 from smart_data_lake_spark.actions.script import CustomScriptAction
 
 __all__ = [
@@ -15,5 +16,6 @@ __all__ = [
     "DeduplicateAction",
     "HistorizeAction",
     "FileTransferAction",
+    "CustomFileAction",
     "CustomScriptAction",
 ]

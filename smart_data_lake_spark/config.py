@@ -26,6 +26,21 @@ class InstanceRegistry:
         self.data_objects: dict[str, "DataObject"] = {}
         self.actions: dict[str, "Action"] = {}
         self.connections: dict[str, Any] = {}
+        self.spark_udfs: dict[str, Any] = {}  # name → {"fn": ..., "returnType": ...}
+
+    def register_spark_udfs(self, spark) -> None:
+        """Register configured UDFs into the session (GlobalConfig.sparkUDFs)
+        — SQL transformers can then call them by name. Python UDFs are the
+        slow path; these are for config-driven edge logic, not hot loops."""
+        for name, spec in self.spark_udfs.items():
+            fn = spec["fn"] if isinstance(spec, dict) else spec
+            return_type = spec.get("returnType") if isinstance(spec, dict) else None
+            if isinstance(fn, str):
+                mod, _, attr = fn.partition(":")
+                import importlib
+
+                fn = getattr(importlib.import_module(mod), attr)
+            spark.udf.register(name, fn, return_type)
 
     def register_data_object(self, do: "DataObject") -> "DataObject":
         if do.id in self.data_objects:
@@ -81,6 +96,11 @@ def load_config(config: dict[str, Any]) -> InstanceRegistry:
          "actions": {"a": {"type": "CopyAction", "inputId": "src", ...}}}
     """
     registry = InstanceRegistry()
+    # global UDF registration (GlobalConfig.sparkUDFs in the reference):
+    # {"name": {"fn": callable | "module:function", "returnType": "int"}} —
+    # registered into the session at DAG prepare so SQL transformers can call
+    # them by name
+    registry.spark_udfs = dict(config.get("globalConfig", {}).get("sparkUdfs", {}))
     for do_id, spec in (config.get("dataObjects") or {}).items():
         spec = dict(spec)
         type_name = spec.pop("type", None)

@@ -27,10 +27,20 @@ from smart_data_lake_spark.dataobjects.kafka import KafkaConnection, KafkaTopicD
 from smart_data_lake_spark.dataobjects.custom import (
     ActionsExporterDataObject,
     CustomDfDataObject,
+    CustomFileDataObject,
     DataObjectsExporterDataObject,
     PKViolatorsDataObject,
 )
+from smart_data_lake_spark.dataobjects.excel import ExcelFileDataObject
+from smart_data_lake_spark.dataobjects.iceberg import IcebergTableDataObject
 from smart_data_lake_spark.dataobjects.memory import MockDataObject
+from smart_data_lake_spark.dataobjects.web import (
+    AirbyteDataObject,
+    HttpAuthMode,
+    ODataDataObject,
+    SFtpFileRefDataObject,
+    WebserviceFileDataObject,
+)
 
 __all__ = [
     "DataObject",
@@ -55,8 +65,16 @@ __all__ = [
     "KafkaConnection",
     "KafkaTopicDataObject",
     "CustomDfDataObject",
+    "CustomFileDataObject",
     "PKViolatorsDataObject",
     "ActionsExporterDataObject",
     "DataObjectsExporterDataObject",
     "MockDataObject",
+    "ExcelFileDataObject",
+    "IcebergTableDataObject",
+    "WebserviceFileDataObject",
+    "ODataDataObject",
+    "AirbyteDataObject",
+    "SFtpFileRefDataObject",
+    "HttpAuthMode",
 ]

@@ -33,6 +33,41 @@ class CustomDfDataObject(DataObject, CanCreateDataFrame):
         return self.creator(spark)
 
 
+@register_data_object_type
+class CustomFileDataObject(DataObject):
+    """File content produced by a python callable `() -> bytes`
+    (CustomFileDataObject.scala:36-46: the creator's stream IS the file).
+    `get_file(target)` materializes it; `path` + `file_name` give downstream
+    file actions a location to read."""
+
+    def __init__(
+        self,
+        id: str,
+        creator: Callable[[], bytes] | str,
+        path: str,
+        file_name: str = "data",
+        **kwargs: Any,
+    ):
+        super().__init__(id=id, **kwargs)
+        if isinstance(creator, str):
+            creator = _import_dotted(creator)
+        self.creator = creator
+        self.path = path
+        self.file_name = file_name
+
+    def materialize(self) -> str:
+        import os
+
+        os.makedirs(self.path, exist_ok=True)
+        target = os.path.join(self.path, self.file_name)
+        with open(target, "wb") as f:
+            f.write(self.creator())
+        return target
+
+    def prepare(self, spark) -> None:
+        self.materialize()
+
+
 def pk_violations(df: DataFrame, pks: list[str], source: str) -> DataFrame:
     """PK violations = duplicate keys + null key components
     (GenericDataFrame.getPKViolators, GenericDataFrame.scala:119-152)."""

@@ -87,12 +87,24 @@ class SparkFileDataObject(
         self._incremental_state: str | None = None
 
     # ------------------------------------------------------------------ read
+    def exists(self, spark: SparkSession) -> bool:
+        """True iff the path holds at least one data file (not just dirs /
+        _SUCCESS markers) — the guard execution modes use before reading the
+        previous output."""
+        if not os.path.isdir(self.path):
+            return False
+        for root, _, files in os.walk(self.path):
+            if any(not f.startswith(("_", ".")) for f in files):
+                return True
+        return False
+
     def get_dataframe(
         self, spark: SparkSession, partition_values: list[PartitionValues] | None = None
     ) -> DataFrame:
         reader = spark.read.format(self.format).options(**self._read_options())
-        if self.schema is not None:
-            reader = reader.schema(self.schema)
+        resolved_schema = self.resolve_schema(spark)
+        if resolved_schema is not None:
+            reader = reader.schema(resolved_schema)
         if self._incremental_state and self.format in {"parquet", "csv", "json", "text", "binaryFile", "avro", "orc"}:
             # file-modification-date incremental read
             # (SparkFileDataObject.scala:241-254 → Spark's modifiedAfter option)
@@ -145,9 +157,67 @@ class SparkFileDataObject(
             paths.extend(sorted(glob.glob(pattern)))
         return sorted(set(paths))
 
-    def create_read_schema(self, spark: SparkSession) -> T.StructType | None:
+    # schema priority chain (SparkFileDataObject.scala:114-141):
+    # user-defined schema → persisted schema file → inference from sample
+    # file → full inference by the reader. The persisted file makes
+    # schema-on-read formats (csv/json) stable across runs without a costly
+    # full-listing inference pass — essential when the path holds millions of
+    # files.
+    def _schema_file_path(self) -> str:
+        return os.path.join(self.path, "_schema.json")
+
+    def _sample_file_path(self) -> str:
+        return os.path.join(self.path, "_sample", "sample")
+
+    def resolve_schema(self, spark: SparkSession) -> T.StructType | None:
+        import json
+
         if self.schema is not None:
+            # add potentially missing partition columns as string
+            # (SparkFileDataObject.scala:117-123)
+            missing = [p for p in self.partitions if p not in self.schema.fieldNames()]
+            if missing:
+                return T.StructType(
+                    list(self.schema.fields) + [T.StructField(p, T.StringType()) for p in missing]
+                )
             return self.schema
+        schema_file = self._schema_file_path()
+        if os.path.isfile(schema_file):
+            with open(schema_file) as f:
+                return T.StructType.fromJson(json.load(f))
+        sample = self._sample_file_path()
+        if os.path.isfile(sample):
+            try:
+                return spark.read.format(self.format).options(**self._read_options()).load(sample).schema
+            except Exception:  # noqa: BLE001 — fall through to full inference
+                return None
+        return None
+
+    def persist_schema(self, df: DataFrame) -> None:
+        """Write the schema file after a successful write so subsequent reads
+        skip inference (SparkFileDataObject createSchemaFile)."""
+        import json
+
+        if self.format in ("csv", "json", "text") and os.path.isdir(self.path):
+            drop = [p for p in self.partitions if p in df.columns]
+            schema = T.StructType([f for f in df.schema.fields if f.name not in drop])
+            with open(self._schema_file_path(), "w") as f:
+                json.dump(schema.jsonValue(), f)
+
+    def _write_options(self) -> dict[str, str]:
+        """Writer options — format defaults shared with `_read_options` so a
+        DO reads back what it wrote (minus read-only options)."""
+        opts = {
+            k: v
+            for k, v in self._read_options().items()
+            if k not in ("inferSchema", "mode", "enforceSchema", "modifiedAfter", "multiLine")
+        }
+        return opts
+
+    def create_read_schema(self, spark: SparkSession) -> T.StructType | None:
+        resolved = self.resolve_schema(spark)
+        if resolved is not None:
+            return resolved
         try:
             return spark.read.format(self.format).options(**self._read_options()).load(self.path).schema
         except Exception:
@@ -176,7 +246,7 @@ class SparkFileDataObject(
 
         obs = Observation(f"write_{self.id}")
         df = df.observe(obs, F.count(F.lit(1)).alias("records_written"))
-        writer = df.write.format(self.format).options(**self.options)
+        writer = df.write.format(self.format).options(**self._write_options())
         if self.partitions:
             writer = writer.partitionBy(*self.partitions)
         if mode == SaveMode.OVERWRITE_OPTIMIZED:
@@ -201,6 +271,7 @@ class SparkFileDataObject(
             if spark_mode is None:
                 raise ValueError(f"({self.id}) SaveMode.MERGE requires a table DataObject")
             writer.mode(spark_mode).save(self.path)
+        self.persist_schema(df)
         return dict(obs.get)
 
     def write_streaming_dataframe(
@@ -213,7 +284,7 @@ class SparkFileDataObject(
     ):
         writer = (
             df.writeStream.format(self.format)
-            .options(**self.options)
+            .options(**self._write_options())
             .option("checkpointLocation", checkpoint_location)
             .outputMode(output_mode)
             .trigger(**trigger)

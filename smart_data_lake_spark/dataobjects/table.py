@@ -116,7 +116,7 @@ class ParquetTableDataObject(SparkFileDataObject, CanMergeDataFrame):
         storage paths). Delta/Iceberg replace this with real ACID commits."""
         tmp = tempfile.mkdtemp(prefix=f"sdl_{self.id}_", dir=os.path.dirname(self.path.rstrip("/")) or None)
         try:
-            writer = df.write.format(self.format).options(**self.options)
+            writer = df.write.format(self.format).options(**self._write_options())
             if self.partitions:
                 writer = writer.partitionBy(*self.partitions)
             writer.mode("overwrite").save(tmp)
@@ -146,8 +146,8 @@ class HiveTableDataObject(ParquetTableDataObject):
         super().__init__(id=id, path=path, table=table, **kwargs)
         self.analyze_table_after_write = analyze_table_after_write
 
-    def write_dataframe(self, df, partition_values=None, save_mode=None):
-        metrics = super().write_dataframe(df, partition_values, save_mode)
+    def write_dataframe(self, df, partition_values=None, save_mode=None, merge_options=None):
+        metrics = super().write_dataframe(df, partition_values, save_mode, merge_options)
         spark = df.sparkSession
         spark.sql(
             f"CREATE TABLE IF NOT EXISTS {self.table.full_name} "

@@ -178,9 +178,12 @@ class ActionDAGRun:
         self._phase_prepare(spark)
         self._phase_init(spark)
         self._phase_exec(spark, completed_from_recovery)
-        self.state.is_final = True
-        self._save_state()
         failed = [a for a, s in self.state.action_states.items() if s == "FAILED"]
+        # a run with failures is NOT final — the next run with recover=True
+        # resumes it, skipping succeeded actions (ActionDAGRunState.isFailed /
+        # SmartDataLakeBuilder.scala:377-396 recovery contract)
+        self.state.is_final = not failed
+        self._save_state()
         if failed:
             raise DAGError(f"actions failed: {failed}")
         return self.state
@@ -191,6 +194,7 @@ class ActionDAGRun:
 
     # --------------------------------------------------------------- phases
     def _phase_prepare(self, spark: SparkSession) -> None:
+        self.registry.register_spark_udfs(spark)
         for aid in self.dag.topological_order():
             self.dag.actions[aid].prepare(spark)
 

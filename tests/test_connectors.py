@@ -202,3 +202,107 @@ def test_jdbc_requires_executor_for_ddl():
     do = JdbcTableDataObject(id="j2", url="jdbc:x", table={"name": "t", "primary_key": ["id"]})
     with pytest.raises(RuntimeError, match="no sql_executor"):
         do._execute(["DELETE FROM t"])
+
+
+# ------------------------------------------------- misc connectors & files
+
+
+def test_custom_file_action_distributed_transform(spark, tmp_path):
+    from smart_data_lake_spark.actions import CustomFileAction
+    from smart_data_lake_spark.config import InstanceRegistry
+    from smart_data_lake_spark.dataobjects import RawFileDataObject
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(5):
+        (src / f"f{i}.txt").write_text(f"content {i}")
+    registry = InstanceRegistry()
+    registry.register_data_object(RawFileDataObject(id="in", path=str(src)))
+    registry.register_data_object(RawFileDataObject(id="out", path=str(tmp_path / "dst")))
+
+    def upper(src_path, dst_path):
+        with open(src_path) as f, open(dst_path, "w") as g:
+            g.write(f.read().upper())
+
+    action = CustomFileAction(id="cf", input_id="in", output_id="out",
+                              transform_fn=upper, files_per_partition=2, registry=registry)
+    feeds = action.exec(spark, [])
+    assert feeds[0].metrics["files_transformed"] == 5
+    assert (tmp_path / "dst" / "f3.txt").read_text() == "CONTENT 3"
+
+
+def test_custom_file_data_object(tmp_path):
+    from smart_data_lake_spark.dataobjects import CustomFileDataObject
+
+    do = CustomFileDataObject(
+        id="cfd", creator=lambda: b"col1,col2\n1,2\n", path=str(tmp_path / "gen"), file_name="gen.csv"
+    )
+    target = do.materialize()
+    assert open(target).read() == "col1,col2\n1,2\n"
+
+
+def test_schema_file_persistence_roundtrip(spark, tmp_path):
+    """CSV written through the DO persists _schema.json; a fresh DO without a
+    user schema reads it back instead of inferring (typed, header-free)."""
+    from smart_data_lake_spark.dataobjects import CsvFileDataObject
+
+    path = str(tmp_path / "csv")
+    df = spark.createDataFrame([Row(a=1, b="x"), Row(a=2, b="y")])
+    writer_do = CsvFileDataObject(id="w", path=path, options={"header": "true"})
+    writer_do.write_dataframe(df)
+    import os
+
+    assert os.path.isfile(os.path.join(path, "_schema.json"))
+    reader_do = CsvFileDataObject(id="r", path=path, options={"header": "true"})
+    out = reader_do.get_dataframe(spark)
+    assert [(f.name, f.dataType.simpleString()) for f in out.schema.fields] == [
+        ("a", "bigint"), ("b", "string"),
+    ]
+    assert {tuple(r) for r in out.collect()} == {(1, "x"), (2, "y")}
+
+
+def test_excel_gated_without_openpyxl(spark):
+    from smart_data_lake_spark.dataobjects import ExcelFileDataObject
+
+    do = ExcelFileDataObject(id="xl", path="/tmp/x.xlsx", sheet_name="Sheet1")
+    assert do.reader_options()["header"] == "true"
+    with pytest.raises(RuntimeError, match="openpyxl"):
+        do.get_dataframe(spark)
+
+
+def test_iceberg_gated_and_merge_sql(spark):
+    from smart_data_lake_spark.dataobjects import IcebergTableDataObject
+
+    do = IcebergTableDataObject(id="ice", table={"name": "t", "primary_key": ["id"]}, catalog="icecat")
+    assert do.exists(spark) is False  # no catalog configured → not available
+    with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+        do.get_dataframe(spark)
+    sql = do.build_merge_sql("src_view", ["id", "v"])
+    assert sql.startswith("MERGE INTO icecat.t existing")
+
+
+def test_global_udf_registration_from_config(spark):
+    from smart_data_lake_spark.config import load_config
+    from smart_data_lake_spark.dataobjects import MockDataObject
+    from smart_data_lake_spark.plans import ActionDAG, ActionDAGRun
+    from smart_data_lake_spark.transformers import SQLDfTransformer
+
+    registry = load_config(
+        {
+            "globalConfig": {"sparkUdfs": {"add_one": {"fn": lambda x: x + 1, "returnType": "int"}}},
+            "dataObjects": {"src": {"type": "MockDataObject"}, "out": {"type": "MockDataObject"}},
+            "actions": {
+                "a": {
+                    "type": "CopyAction",
+                    "inputId": "src",
+                    "outputId": "out",
+                    "transformers": [
+                        SQLDfTransformer(code="SELECT add_one(v) AS v2 FROM %{inputViewName}")
+                    ],
+                }
+            },
+        }
+    )
+    registry.get_data_object("src")._df = spark.createDataFrame([Row(v=41)]).localCheckpoint()
+    ActionDAGRun(ActionDAG(list(registry.actions.values())), registry).run(spark)
+    assert registry.get_data_object("out").get_dataframe(spark).collect()[0]["v2"] == 42

@@ -1,0 +1,51 @@
+"""Structured-streaming execution (SURVEY §2.6 / SparkStreamingMode.scala:40-54).
+
+File-source → streaming CopyAction with availableNow trigger + checkpoint:
+the whole-DAG micro-batch path, plus incremental behavior across runs (the
+checkpoint makes run2 process only new files).
+"""
+
+from pyspark.sql import Row
+
+from smart_data_lake_spark.actions import CopyAction
+from smart_data_lake_spark.config import InstanceRegistry
+from smart_data_lake_spark.dataobjects import ParquetFileDataObject
+from smart_data_lake_spark.execution_modes import SparkStreamingMode
+from smart_data_lake_spark.plans import ActionDAG, ActionDAGRun
+
+
+def test_streaming_copy_available_now_incremental(spark, tmp_path):
+    src_path = str(tmp_path / "src")
+    dst_path = str(tmp_path / "dst")
+    checkpoint = str(tmp_path / "ckpt")
+    spark.createDataFrame([Row(id=1, v="a"), Row(id=2, v="b")]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src_path)
+
+    registry = InstanceRegistry()
+    registry.register_data_object(
+        ParquetFileDataObject(id="src", path=src_path, schema="id bigint, v string")
+    )
+    registry.register_data_object(ParquetFileDataObject(id="dst", path=dst_path))
+
+    def run(n):
+        action = CopyAction(
+            id=f"s{n}", input_id="src", output_id="dst", registry=registry,
+            execution_mode=SparkStreamingMode(
+                checkpoint_location=checkpoint, trigger_type="availableNow"
+            ),
+        )
+        return ActionDAGRun(ActionDAG([action]), registry).run(spark)
+
+    state1 = run(1)
+    assert state1.action_states["s1"] == "SUCCEEDED"
+    out = spark.read.parquet(dst_path)
+    assert {tuple(r) for r in out.select("id", "v").collect()} == {(1, "a"), (2, "b")}
+
+    # run2 with the same checkpoint: only files added after run1 are processed
+    spark.createDataFrame([Row(id=3, v="c")]).coalesce(1).write.mode("append").parquet(src_path)
+    state2 = run(2)
+    assert state2.action_states["s2"] == "SUCCEEDED"
+    out2 = spark.read.parquet(dst_path)
+    assert {tuple(r) for r in out2.select("id", "v").collect()} == {(1, "a"), (2, "b"), (3, "c")}
+    assert state2.action_metrics["s2"]["dst"]["streaming_batches"] >= 1
