@@ -141,6 +141,100 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS correlated subquery → left-semi join (adapted
+    to the synthetic columns: late-shipped = l_shipdate > o_orderdate + 90d)."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (o.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left outer join + two-level aggregation."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") != "P")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q16_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN → left-anti join + count distinct (bad-supplier
+    proxy: negative-ish account balance)."""
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#13") & (F.col("p_type") != "MEDIUM")
+    )
+    s_bad = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 1000)
+    li = _t(spark, sf_dir, "lineitem")
+    good_supp_parts = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s_bad, li.l_suppkey == s_bad.s_suppkey, "left_anti")
+    )
+    return (
+        good_supp_parts.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+        .limit(20)
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING on a grouped subquery driving a join."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("sum_qty")).where(F.col("sum_qty") > 200)
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                _dec("o_totalprice").cast("double").alias("o_totalprice"), "sum_qty")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar AVG subquery + NOT EXISTS anti join."""
+    c = _t(spark, sf_dir, "customer")
+    # exact-decimal sum / count then ONE double division — bit-identical in
+    # the oracle (decimal AVG semantics differ between engines)
+    avg_bal = c.where(_dec("c_acctbal") > 0).agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal")
+    )
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") >= F.lit("1997-06-01"))
+    rich = (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(_dec("c_acctbal").cast("double") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+    )
+    return (
+        rich.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def topk_customers_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(F.sum(_dec("o_totalprice")).cast("double").alias("total_spend"))
@@ -422,7 +516,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smart_data_lake_spark.functions.dedup import lsh_candidate_pairs, minhash_signatures, ngram_jaccard, shingles
 
     docs = _t(spark, sf_dir, "documents")
-    sh = shingles(docs)
+    # the shingle set feeds four subplans (signatures, both sides of the
+    # intersection join, sizes) — persist instead of recomputing the regex
+    # tokenization + explode four times
+    sh = shingles(docs).persist()
     pairs = lsh_candidate_pairs(minhash_signatures(sh))
     return ngram_jaccard(sh, pairs).orderBy("doc_a", "doc_b")
 
@@ -512,6 +609,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q6_revenue_forecast": q6_revenue_forecast,
         "q10_returned_items": q10_returned_items,
+        "q4_order_priority": q4_order_priority,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q16_parts_supplier": q16_parts_supplier,
+        "q18_large_orders": q18_large_orders,
+        "q22_global_sales": q22_global_sales,
         "topk_customers_window": topk_customers_window,
         "orders_running_total": orders_running_total,
         "pivot_order_status": pivot_order_status,
@@ -692,6 +794,47 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1996-04-01'
             GROUP BY c_custkey, c_name, c_acctbal, n_name
             ORDER BY revenue DESC, c_custkey LIMIT 20""",
+        "q4_order_priority": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1996-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+        "q13_customer_distribution": """
+            SELECT c_count, COUNT(*) AS custdist FROM (
+              SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+              FROM customer c LEFT OUTER JOIN orders o
+                ON c.c_custkey = o.o_custkey AND o.o_orderstatus != 'P'
+              GROUP BY c.c_custkey
+            ) GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+        "q16_parts_supplier": """
+            SELECT p_brand, p_type, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_brand != 'Brand#13' AND p.p_type != 'MEDIUM'
+              AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+            GROUP BY p_brand, p_type, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 20""",
+        "q18_large_orders": """
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice, sum_qty
+            FROM orders o
+              JOIN (SELECT l_orderkey, SUM(l_quantity) AS sum_qty FROM lineitem
+                    GROUP BY l_orderkey HAVING SUM(l_quantity) > 200) big
+                ON o.o_orderkey = big.l_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+        "q22_global_sales": """
+            SELECT c_mktsegment, COUNT(*) AS numcust,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+            FROM customer c
+            WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) >
+                  (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                   FROM customer WHERE CAST(c_acctbal AS DECIMAL(18,2)) > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                              AND o.o_orderdate >= TIMESTAMP '1997-06-01')
+            GROUP BY c_mktsegment ORDER BY c_mktsegment""",
         "topk_customers_window": """
             SELECT o_custkey, total_spend, rnk, drnk FROM (
               SELECT o_custkey, total_spend,

@@ -25,6 +25,12 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = build_session(app_name="sdl_bench")
 
+    # warm the session once (JVM JIT, codegen compiler, parquet footers) so
+    # per-query timings measure the plans, not first-touch startup cost
+    from pyspark.sql import functions as F
+
+    spark.range(1000).groupBy(F.col("id") % 7).count().write.mode("overwrite").format("noop").save()
+
     timings: dict[str, float] = {}
     for name, fn in entry.queries().items():
         t0 = time.time()

@@ -222,6 +222,8 @@ class DataFrameAction(Action):
                 metrics.update(compute_scope_all_metrics_lazy(out_do, spark, self.expectations))
                 metrics.update(self._job_partition_metrics(out_do, spark, pvs))
             metrics.update(self._action_level_input_metrics(spark, dfs))
+            if getattr(out_do, "housekeeping_mode", None) is not None:
+                metrics.update(out_do.housekeeping_mode.post_write(spark, out_do))
             self.runtime_metrics[out_id] = metrics
             warnings = validate_expectations(self.expectations, metrics)
             from smart_data_lake_spark.expectations import validate_job_partition_expectations
@@ -333,7 +335,18 @@ class DataFrameAction(Action):
         )
         if mode.trigger_type in ("once", "availableNow"):
             query.awaitTermination()
-            self.runtime_metrics[out_id] = {"streaming_batches": len(query.recentProgress)}
+            progress = query.recentProgress
+
+            def _rows(p) -> int:  # dict in older pyspark, object in newer
+                v = p.get("numInputRows", 0) if isinstance(p, dict) else getattr(p, "numInputRows", 0)
+                return int(v or 0)
+
+            self.runtime_metrics[out_id] = {
+                "streaming_batches": len(progress),
+                # per-query progress counters — the python-side equivalent of
+                # the reference's StreamingQueryListener metrics
+                "records_written": sum(_rows(p) for p in progress),
+            }
         return SparkSubFeed(data_object_id=out_id, metrics=self.runtime_metrics.get(out_id, {}))
 
 

@@ -49,10 +49,14 @@ class DataObject(abc.ABC):
         id: str,
         schema_min: T.StructType | str | None = None,
         metadata: dict[str, Any] | None = None,
+        housekeeping_mode: Any = None,
     ) -> None:
         self.id = id
         self.schema_min = _parse_schema(schema_min)
         self.metadata = metadata or {}
+        # PartitionRetentionMode / PartitionArchiveCompactionMode, run after
+        # each successful write (DataObject.scala housekeepingMode hook)
+        self.housekeeping_mode = housekeeping_mode
 
     # -- lifecycle hooks (DataObject.scala:74-150) --
     def prepare(self, spark: SparkSession) -> None:

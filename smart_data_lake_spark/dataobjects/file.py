@@ -376,12 +376,60 @@ class CsvFileDataObject(SparkFileDataObject):
 
 @register_data_object_type
 class RelaxedCsvFileDataObject(CsvFileDataObject):
-    """CSV tolerant of differing/missing columns per file
-    (`dataobject/RelaxedCsvFileDataObject.scala:56`): PERMISSIVE mode + an
-    explicit schema projects each file onto the target schema."""
+    """CSV tolerant of differing/missing/reordered columns per file
+    (`dataobject/RelaxedCsvFileDataObject.scala:56`).
+
+    Spark's CSV reader maps fields positionally, so files with different
+    column orders cannot share one read. Like the reference, each file is
+    projected ONTO the target schema BY NAME: headers are sniffed driver-side
+    (one line per file — metadata-scale I/O), files are grouped by header
+    signature, each group is read distributed with its own positional schema,
+    and the groups are unioned after name-projection (missing columns →
+    null). #groups is bounded by the number of distinct producer versions,
+    not the file count."""
 
     def _read_options(self) -> dict[str, str]:
         return {**super()._read_options(), "mode": "PERMISSIVE", "enforceSchema": "false"}
+
+    def get_dataframe(self, spark, partition_values=None):
+        target = self.resolve_schema(spark)
+        opts = self._read_options()
+        if target is None or opts.get("header", "false").lower() != "true":
+            return super().get_dataframe(spark, partition_values)
+        sep = opts.get("sep", ",")
+        files = [
+            os.path.join(root, f)
+            for root, _, fs in os.walk(self.path)
+            for f in fs
+            if not f.startswith(("_", "."))
+        ]
+        if not files:
+            return spark.createDataFrame([], target)
+        by_header: dict[tuple[str, ...], list[str]] = {}
+        for path in sorted(files):
+            with open(path) as fh:
+                header = tuple(h.strip() for h in fh.readline().rstrip("\n").split(sep))
+            by_header.setdefault(header, []).append(path)
+        target_types = {f.name: f.dataType for f in target.fields}
+        parts = []
+        for header, group in sorted(by_header.items()):
+            group_schema = T.StructType(
+                [T.StructField(h, target_types.get(h, T.StringType())) for h in header]
+            )
+            df = spark.read.format("csv").options(**opts).schema(group_schema).load(group)
+            projected = df.select(
+                *[
+                    (F.col(f.name) if f.name in header else F.lit(None).cast(f.dataType)).alias(f.name)
+                    for f in target.fields
+                ]
+            )
+            parts.append(projected)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        if partition_values:
+            out = apply_partition_filter(out, partition_values)
+        return out
 
 
 @register_data_object_type

@@ -261,6 +261,24 @@ def test_schema_file_persistence_roundtrip(spark, tmp_path):
     assert {tuple(r) for r in out.collect()} == {(1, "x"), (2, "y")}
 
 
+def test_relaxed_csv_per_file_projection(spark, tmp_path):
+    """Files with reordered / missing / extra columns project onto the target
+    schema by NAME (RelaxedCsvFileDataObject.scala:56 parity)."""
+    from smart_data_lake_spark.dataobjects import RelaxedCsvFileDataObject
+
+    d = tmp_path / "relaxed"
+    d.mkdir()
+    (d / "a.csv").write_text("a,b\n1,x\n2,y\n")
+    (d / "b.csv").write_text("b,a,c\nz,3,9.5\n")
+    (d / "c.csv").write_text("a\n4\n")
+    do = RelaxedCsvFileDataObject(
+        id="r", path=str(d), schema="a int, b string, c double",
+        options={"header": "true", "sep": ","},
+    )
+    rows = {tuple(r) for r in do.get_dataframe(spark).collect()}
+    assert rows == {(1, "x", None), (2, "y", None), (3, "z", 9.5), (4, None, None)}
+
+
 def test_excel_gated_without_openpyxl(spark):
     from smart_data_lake_spark.dataobjects import ExcelFileDataObject
 
