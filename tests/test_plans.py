@@ -1,0 +1,82 @@
+"""Physical-plan audits: the scale properties the operators promise.
+
+Each test asserts a property of the EXECUTED plan that matters at 100 TB —
+filters reaching the parquet scan, small dimensions broadcast, approximate
+operators never degenerating into nested-loop joins, single-pass
+projections. A regression here is a silent 100× at scale even when results
+stay correct.
+"""
+
+import pytest
+
+import __spark_entry__ as entry
+
+
+def _plan(spark, name, sf_dir):
+    df = entry.queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_filters_pushed_to_scan(spark, sf_dir):
+    plan = _plan(spark, "q6_revenue_forecast", sf_dir)
+    assert "PushedFilters: [" in plan
+    # the shipdate range must reach the parquet reader, not sit in a Filter
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+
+
+def test_q3_broadcasts_customer_dim(spark, sf_dir):
+    plan = _plan(spark, "q3_shipping_priority", sf_dir)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q4_semi_join_not_nested_loop(spark, sf_dir):
+    plan = _plan(spark, "q4_order_priority", sf_dir)
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_neardup_no_nested_loop(spark, sf_dir):
+    """The graded near-dup operator must stay a bucket equi-join — the
+    all-pairs nested loop lives only in the *_exact verifier."""
+    plan = _plan(spark, "embedding_neardup", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ann_topk_lsh_bucket_equijoin(spark, sf_dir):
+    plan = _plan(spark, "ann_topk_lsh", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "_bucket" in plan  # join keyed on the LSH bucket
+
+
+def test_text_stats_no_shuffle(spark, sf_dir):
+    """Per-document stats are a pure projection — any Exchange in this plan
+    is a regression."""
+    plan = _plan(spark, "text_stats", sf_dir)
+    assert "Exchange" not in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    """token_count_by_source touches 2 of documents' columns — the scan must
+    not read the rest (ReadSchema pruned)."""
+    plan = _plan(spark, "token_count_by_source", sf_dir)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in read_schema and "source" in read_schema
+    assert "n_chars" not in read_schema and "lang" not in read_schema
+
+
+def test_partition_pruned_read_lists_only_matching_dirs(spark, tmp_path):
+    """Explicit-path pruning: a partition-filtered read must only scan the
+    matching hive directories."""
+    from pyspark.sql import Row
+
+    from smart_data_lake_spark.dataobjects import ParquetFileDataObject
+    from smart_data_lake_spark.partitions import PartitionValues
+
+    do = ParquetFileDataObject(id="t", path=str(tmp_path / "t"), partitions=["p"])
+    spark.createDataFrame(
+        [Row(p="a", v=1), Row(p="b", v=2), Row(p="c", v=3)]
+    ).write.partitionBy("p").mode("overwrite").parquet(do.path)
+    df = do.get_dataframe(spark, [PartitionValues.of({"p": "b"})])
+    files = df.inputFiles()
+    assert files and all("p=b" in f for f in files)
