@@ -516,10 +516,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smart_data_lake_spark.functions.dedup import lsh_candidate_pairs, minhash_signatures, ngram_jaccard, shingles
 
     docs = _t(spark, sf_dir, "documents")
-    # the shingle set feeds four subplans (signatures, both sides of the
-    # intersection join, sizes) — persist instead of recomputing the regex
-    # tokenization + explode four times
-    sh = shingles(docs).persist()
+    # the shingle set feeds four subplans; measured: recompute + Spark's
+    # ReusedExchange beats persist() here (caching the exploded shingle rows
+    # costs more than the regex recompute at any tested SF)
+    sh = shingles(docs)
     pairs = lsh_candidate_pairs(minhash_signatures(sh))
     return ngram_jaccard(sh, pairs).orderBy("doc_a", "doc_b")
 

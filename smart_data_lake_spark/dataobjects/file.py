@@ -444,15 +444,27 @@ class JsonFileDataObject(SparkFileDataObject):
 
 @register_data_object_type
 class AvroFileDataObject(SparkFileDataObject):
+    """Reference: `dataobject/AvroFileDataObject.scala:46-63`. Spark treats
+    avro as an external module — needs the spark-avro jar on the classpath
+    (absent in this container; IO raises Spark's clear AnalysisException)."""
+
     format = "avro"
 
 
 @register_data_object_type
 class XmlFileDataObject(SparkFileDataObject):
-    """Requires the spark-xml package at runtime (gated, like the reference's
-    optional sdl-* modules)."""
+    """XML via Spark 4's NATIVE xml source (`dataobject/XmlFileDataObject
+    .scala:57-77` needed the external spark-xml package; no longer gated).
+    `row_tag` selects the repeated element mapped to rows."""
 
     format = "xml"
+
+    def __init__(self, id: str, path: str, row_tag: str = "row", **kwargs: Any) -> None:
+        super().__init__(id=id, path=path, **kwargs)
+        self.row_tag = row_tag
+
+    def _read_options(self) -> dict[str, str]:
+        return {"rowTag": self.row_tag, **self.options}
 
 
 @register_data_object_type

@@ -261,6 +261,27 @@ def test_schema_file_persistence_roundtrip(spark, tmp_path):
     assert {tuple(r) for r in out.collect()} == {(1, "x"), (2, "y")}
 
 
+def test_xml_roundtrip_native(spark, tmp_path):
+    """Spark 4 native xml source — no external package needed."""
+    from smart_data_lake_spark.dataobjects import XmlFileDataObject
+
+    do = XmlFileDataObject(id="x", path=str(tmp_path / "xml"), row_tag="item")
+    df = spark.createDataFrame([Row(a=1, b="x"), Row(a=2, b="y")])
+    do.write_dataframe(df)
+    out = do.get_dataframe(spark)
+    assert {tuple(r) for r in out.select("a", "b").collect()} == {(1, "x"), (2, "y")}
+
+
+def test_json_roundtrip(spark, tmp_path):
+    from smart_data_lake_spark.dataobjects import JsonFileDataObject
+
+    do = JsonFileDataObject(id="j", path=str(tmp_path / "json"))
+    df = spark.createDataFrame([Row(a=1, nested=Row(x="deep")), Row(a=2, nested=Row(x="er"))])
+    do.write_dataframe(df)
+    out = do.get_dataframe(spark)
+    assert {(r["a"], r["nested"]["x"]) for r in out.collect()} == {(1, "deep"), (2, "er")}
+
+
 def test_relaxed_csv_per_file_projection(spark, tmp_path):
     """Files with reordered / missing / extra columns project onto the target
     schema by NAME (RelaxedCsvFileDataObject.scala:56 parity)."""
