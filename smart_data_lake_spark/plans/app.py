@@ -43,6 +43,7 @@ class SmartDataLakeBuilder:
             prefix, _, pat = term.partition(":")
             if not pat:
                 prefix, pat = "feeds", term
+            prefix = prefix.lower()
             pat = pat.lower()
             ids = set()
             dag = ActionDAG(actions)
