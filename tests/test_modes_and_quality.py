@@ -272,6 +272,42 @@ def test_avg_count_per_partition_and_job_partition_scope(spark):
     assert metrics["count#p=b"] == 1
 
 
+def test_custom_script_action(spark, tmp_path):
+    from smart_data_lake_spark.actions import CustomScriptAction
+
+    marker = tmp_path / "ran.txt"
+    registry = InstanceRegistry()
+    action = CustomScriptAction(
+        id="sh", cmd=f"echo done > {marker}", env={"X": "1"}, registry=registry
+    )
+    state = ActionDAGRun(ActionDAG([action]), registry).run(spark)
+    assert state.action_states["sh"] == "SUCCEEDED"
+    assert marker.read_text().strip() == "done"
+
+
+def test_file_incremental_move_mode(spark, tmp_path):
+    """Consumed input files are archived after processing
+    (FileIncrementalMoveMode.scala:55)."""
+    import os
+
+    from smart_data_lake_spark.execution_modes import FileIncrementalMoveMode
+
+    src = tmp_path / "src"
+    archive = tmp_path / "archive"
+    registry = InstanceRegistry()
+    registry.register_data_object(ParquetFileDataObject(id="src", path=str(src)))
+    registry.register_data_object(ParquetFileDataObject(id="dst", path=str(tmp_path / "dst")))
+    spark.createDataFrame([Row(v=1), Row(v=2)]).coalesce(1).write.mode("overwrite").parquet(str(src))
+    action = CopyAction(
+        id="mv", input_id="src", output_id="dst", registry=registry,
+        execution_mode=FileIncrementalMoveMode(archive_path=str(archive)),
+    )
+    state = ActionDAGRun(ActionDAG([action]), registry).run(spark)
+    assert state.action_metrics["mv"]["dst"]["records_written"] == 2
+    assert [f for f in os.listdir(src) if f.endswith(".parquet")] == []  # consumed
+    assert any(f.endswith(".parquet") for f in os.listdir(archive))  # archived
+
+
 # ------------------------------------------------------------ housekeeping
 
 
