@@ -588,6 +588,24 @@ def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("path").cast("long"))
 
 
+# IVF coarse-quantizer index, pre-trained OFFLINE (deterministic Lloyd's
+# k-means on the first 256 sf0.01 vectors — the standard IVF workflow: the
+# index ships as constants, broadcast with the plan; see
+# functions/similarity.kmeans_train)
+_IVF_CENTROIDS = [[0.033365409105533254, 0.02424949547275901, 0.02253010893387168, -0.09148233378719953, -0.0160980551607079, -0.009536247549544054, 0.003493411729491695, 0.028005279893814412, 0.058221628785422246, -0.02889422492848502, -0.060880814023591856, 0.004100508229048164, -0.038725555408746004, -0.025875190203940426, -0.0021637147292494774, -0.03494904459350639, 0.01222181328813787, -0.000822526557991902, 0.04754472787802418, 0.030716588755172712, -0.05904086334285913, -0.002711198128828848, 0.002093337545240367, 0.009646190528723377, -0.019953180828856096, 0.0951923472047956, 0.049905018536029036, -0.010747108470510554, -0.0012479251492078657, 0.07189501698680774, -0.05159549330602641, 0.0740203875402922, 0.019482361307988565, -0.053303625262169925, 0.03737662866047618, -0.03919832406703521, 0.026408455093149787, -0.008149002782172628, -0.0033558973594120254, -0.00281825700464348, 0.01215413975080958, 0.011990141063169748, 0.014085919656618326, -0.048047372329704185, -0.011577111356288057, -0.006514752939067505, 0.055245224455440486, -0.04028828634828743, 0.0350523184708975, -0.0565950500226959, -0.03838544138017352, 0.01786063425027317, -0.01745164822097178, -0.032570235396700876, -6.098840040741144e-05, 0.02626066642847878, 0.013045690384589963, 0.02738235945192476, -0.06682067240277927, -0.019131442911371036, -0.042518387686599185, 0.056339179476102196, 0.02620863445379116, -0.012837971871097883], [-0.030056860264656798, -0.007117978155812514, -0.017051519079749205, 0.0381703754454585, 0.033023017757971375, 0.024841133571629013, -0.07596350092873243, -0.0032697050815581213, 0.006793625873147643, 0.010427212517242879, -0.020469188407462622, 0.024742523607398783, 0.0613132961194164, -0.1029992563999258, 0.0820233273386423, -0.002759353823161551, 0.012689017133587705, 0.041026538003019856, 0.046781626430207064, -0.03571557569583612, 0.031729958818427155, 0.010695423500562486, -0.013412483011571956, -0.040470907165269764, 0.036824243708646724, 0.04036150349669957, -0.030523995137108222, -0.010415936354547739, -0.01616835986663188, 0.05879137076304427, -0.09485465387946793, -0.025479158153757453, 0.030085235135629773, 0.04782417070652757, -0.011972586150347655, -0.0014200847196791852, -0.0045037798783076665, -0.0024463399479697856, 0.019938322665568973, -0.07881599473434367, -0.0015120457309032126, -0.05480704511449273, 0.055872952548920045, -0.010333152980560303, 0.021533457479173585, 0.007786069928053101, -0.0552093640435487, 0.00759313694184779, -0.04451265869595643, -0.09907686096682612, -0.008820564702286251, -0.03125346478606973, -0.003489370304253368, 0.02719768527562597, 0.013301130176322269, 0.04353223622144599, 0.027193449296256795, 0.02141037367151252, -0.008755639461534364, 0.012931552649076496, -0.02887205859380109, 0.007469036383554339, -0.0474355101843165, 0.0131289218386103], [0.02172735370131153, 0.025709839311964584, -0.01790530600754375, 0.03609922893034915, 0.019131586012063606, 0.0040463869121264325, -0.0313654110033178, -0.0581561743183005, -0.05264907287941738, -0.08109228131290751, -0.024958185068416325, -0.04259760323629686, -0.0460206164262314, 0.053496952704859504, -0.0010404182231110153, 0.01940783392637968, -0.020179489616897296, 0.06732070375459664, -0.07356168487758348, -0.017593248662623493, -0.008096338644849531, 0.036605446288983025, 0.041091189994900065, 0.023192915218797596, -0.025169192615783577, -0.04722095433989483, -0.018880399974119482, -0.0023421714237580695, 0.026021807204057095, 0.012051234148781408, -0.04344934645588651, -0.04840890524175131, -0.02072770275867008, -0.05278792356451353, 0.017170490257822992, 0.053066725080663506, 0.016586228302030853, -0.002539267119683438, -0.004625709145329893, 0.03352302315805432, 0.0044591204743042135, -0.032909144005371316, 0.021048722936856477, -0.01890104437056421, 0.004085800752418987, 0.008947823196649551, -0.03980670091131645, 0.006060541706216155, 0.09622502705138741, 0.05682524891965317, 0.04565964278652135, -0.0636760253797878, 0.039205892575961174, -0.05522638497958807, 0.015245757023380562, 0.031484945874774094, 0.053379316786021896, -0.020634127844294362, 0.04044477462682125, 0.07365784940846039, 0.013081599718354868, -0.021409377145270508, 0.021798923555197136, -0.003451886318736907], [-0.06163721990723831, 0.011498396789344648, -0.0053253433456680235, -0.032372837575773396, -0.0002666743866239603, 0.029089359948650386, 0.059597042323543854, 0.0003873455093409388, -0.06330400279078346, -0.01771650683039274, -0.004194232539679759, 0.01637674077676657, -0.012630976318644408, 0.06803830211403039, -0.02970199066047103, -0.04089302971409873, -0.020100768643598527, -0.07108334604149255, 0.04371342944721572, -0.012919205133444987, 0.011732003460518824, -0.04744880485276763, -0.02334665665582109, -0.011083851353480266, 0.006244404162339962, 0.017964520669267632, 0.032213833676322766, -0.04031693783755868, -0.05183633006153963, -0.04763062701870998, 0.0301311211182903, -0.010573158792864818, 0.07692846571071407, -0.01236174691719218, 0.03198835582066423, -0.028649677301589876, -0.015727610345213458, 0.006741550487976593, 0.005814878332715195, -0.0395709342824725, -0.02783119691034349, -0.012910042955086399, -0.06962314244642934, -0.025694740327218406, 0.008899586991621898, 0.021763077835576274, -0.04879750398238404, -0.026575104612558603, 0.025808040333243135, -0.0445250155738531, 0.0075277039685692545, -0.01602768290262574, 0.0211149850466217, -0.02428538266282815, -0.017998055483286198, -0.04949091106521873, 0.006156594826815984, -0.015494315073085137, 0.014276425761636347, -0.02001287575620107, 0.05403329269626202, 0.022510261250994146, -0.021381209990254436, -0.04516471070028507], [0.003746440972794186, 0.0011514941950074651, 0.03545179321240126, -0.03027028569274328, -0.034067640927704895, -0.09148931507529183, 0.012366722253235903, 0.03362490736815909, 0.00568376297517468, 0.09052157842300156, -0.019834046410820025, -0.07892991495530376, 0.025900521569631317, -0.04270326386375183, 0.029102127194743265, -0.012234174307774414, 0.08150061245594936, 0.037554436617276886, 0.013535393655977467, 0.05102753288916905, 0.0027801263019103894, 0.06500624325549738, -0.019417295412329786, 0.009136039763689041, -0.03699596082482127, 0.04878418429077349, 0.02274751055731692, -0.022369940218843774, 0.04087975885803727, -0.045977704343385994, 0.059165075146169824, -0.000849404001862488, 0.01075067836791277, 0.03173565700523217, 0.04330657354810021, -0.08568092207001014, 0.02690088731998747, -0.02481735912574963, -0.0647426419134056, 0.06319149837575176, -0.00824788862585344, 0.0020984481512145562, -0.06652388374575159, 0.0006784161510453982, 0.009684091269842942, -0.008824100717902184, -0.05866129170648161, 0.0736486475322057, -0.026965822527100416, -0.0018525295044210825, -0.025476146150719036, 0.028657598907805303, -0.018802901687608523, 0.018210450492915697, 0.050816111065531994, -0.013129708462987433, 0.030264006250283935, -0.06269042500273579, 0.022712261924012142, -0.0022518724859268827, -0.020397266415371137, -0.029183629746760496, -0.00793034096502445, -0.04710918334736065], [-0.015027591539546848, -0.033130053477361796, 0.06058177697414067, 0.03022786122164689, 0.06066876974655315, 0.014999576969421469, -0.062077464116737244, 0.05032842585933395, 0.02773750766646117, -0.025243169834720903, 0.03678059966769069, -0.005126379091234412, 0.017889310617465525, 0.02399265814565297, -0.011189280613325536, 0.0259773142170161, 0.017383985959349958, -0.05408688070310745, -0.02704069287283346, 0.010727882796345511, 0.012356440094299615, 0.0028857268393039704, 0.021891579680959693, 0.00021351957402657718, -0.00777886513969861, 0.026533985417336224, -0.039896435651462524, 0.013469374011037871, 0.010178141214419156, -0.008326568195479922, 0.02194910647231154, -0.04174944523256272, -0.025546196696814148, -0.009950381866656244, 0.020820767269469798, 0.051078468782361594, 0.034978395351208745, 0.06287940463516861, 0.015334275469649583, 0.0049188534845598045, -0.05510269648257236, 0.04888989693135955, 0.00708600904326886, 0.023297381430165843, -0.06501115374267101, -0.05558751686476171, 0.025143768835550872, -0.03702111553866416, -0.013833331030036788, 0.02473171616438776, 0.06216765590070281, 0.02826720759330783, 0.00841868354473263, 0.049009096506051716, -0.03217822368023917, -0.087483884539688, 0.03257986990502104, -0.026166834146715702, 0.031227005942491816, -0.008958739449735732, 0.0008971350966021418, 0.03230091462610289, -0.02558497714344412, 0.03510294070583768], [-0.051765869289417475, -0.04033428701051675, 0.01483261029181235, -0.018601807580767748, 0.00355285093160894, 0.0571331054533777, -0.02877298159086529, -0.044876402401474905, 0.032709849703892624, 0.09944645737243049, 0.04745778822004521, 0.020151474677464542, 0.01688770714270718, 0.057721604168524634, -0.03550524960326798, 0.05274319059818106, 0.02236804991672911, 0.024275389993015456, -0.04138730011832462, -0.026696740348330316, -0.0047272564843297005, -0.03274975099381717, -0.02721141726600335, -0.06169266322189394, -0.025382806485354462, 0.010370088186498512, 0.019754441948059726, 0.05719338095856502, 0.016510386540390113, -0.04984423950971926, -0.01723257216337301, 0.003511419369126944, 0.026850822496378574, -0.05538692253107643, -0.004524073330685496, 0.047563741004149264, 0.026631740860038382, -0.01685105303220232, 0.012065365415336975, -0.01684462544782197, 0.054045978067305815, -0.05496464262935607, 0.003690938794855302, -0.010554698323283125, 0.005761383546461516, 0.018066235153716716, 0.0009226767202455769, 0.034510091494987995, -0.011828604981179951, 0.05767176193116671, -0.010840747121940641, -0.002818104126216734, 0.035262153091881535, -0.009917951353332576, 0.03409643741393024, 0.03363362038234139, -0.04880971591645742, 0.0504871284150902, -0.06461662401938263, -0.035107367389547804, 0.014446866985000431, 0.03225604898077162, -0.0005804466302780544, 0.0349016962778371], [0.04635109007358551, -0.01673423819187464, -0.04365189915353602, 0.049460201735862276, -0.02603477878129166, 0.013123916191309972, 0.019543618173691248, 0.03332400825368523, -0.007172340336679058, -0.04404047426457206, 0.0017035148021849718, 0.01084475763932322, -0.060179698327732636, -0.07159307332370769, -0.020647276305791103, -0.010918309721587733, -0.007158174567545454, 0.04028457484320935, 0.004426671403714202, -0.002099468923089179, 0.017989671628597673, -0.014129691164601933, 0.013621606200820568, 0.020273741250011055, 0.011126825841722277, -0.05510778819514213, -0.0326975037089803, 0.0741617977125288, -0.011122243288396434, 0.06114857991060214, 0.05996900390494953, 0.0040150600065262, -0.018107812255479847, 0.03634026956349386, -0.016612256369130177, -0.026714266404848207, -0.021856312957507642, -0.07171227784375801, -0.025242936932375993, -0.0004555332954182769, -0.010210691076336485, -0.01645433172234334, 0.04011587651841568, -0.01837618660956099, -0.023751318186634417, 0.04206535900999425, 0.05610022434583781, 0.0747169359573022, -0.07919124364288467, -0.023763665534330135, 0.04547235588754781, 0.019070919786551684, -0.0051343835339966145, -0.019262944185880548, -0.03674735159923633, -0.011216914013141033, -0.0061035420689167395, 0.001005503066787214, -0.05660002362547499, -0.01217428207261643, -0.023431954171621437, -0.029660370007287853, -0.005161080481202313, -0.06909472158771347]]
+
+
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (the trained-quantizer scale path next to the
+    training-free LSH variant): corpus assigned to centroid cells in one
+    vectorized projection, each query probes its own cell's inverted list."""
+    from smart_data_lake_spark.functions.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    return ivf_topk(emb, queries, _IVF_CENTROIDS, k=5).orderBy("query_id", "rank")
+
+
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k (LSH buckets) — the 100 TB scale path: corpus
     bucketed in one projection, each query scores only its bucket."""
@@ -636,6 +654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": embedding_neardup,
         "embedding_neardup_exact": embedding_neardup_exact,
         "ann_topk_lsh": ann_topk_lsh,
+        "ann_topk_ivf": ann_topk_ivf,
         "multimodal_image_meta": multimodal_image_meta,
     }
 
@@ -742,10 +761,19 @@ def _cos_sql(a: str, b: str, dim: int = 64) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    from smart_data_lake_spark.functions.similarity import bucket_sql, random_hyperplanes
+    from smart_data_lake_spark.functions.similarity import (
+        argmin_case_sql,
+        bucket_sql,
+        cell_distance_sqls,
+        random_hyperplanes,
+    )
 
     rev = _REV_SQL
     ann_bucket = bucket_sql("embedding", random_hyperplanes(64, _ANN_PLANES))
+    ivf_dists = ", ".join(
+        f"{d} AS d{i}" for i, d in enumerate(cell_distance_sqls("embedding", _IVF_CENTROIDS))
+    )
+    ivf_cell = argmin_case_sql([f"d{i}" for i in range(len(_IVF_CENTROIDS))])
     return {
         "q1_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
@@ -1044,6 +1072,23 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN octet_length(encode(text)) = 0 THEN NULL ELSE 3 END AS channels,
                    CASE WHEN octet_length(encode(text)) = 0 THEN NULL ELSE 'stub' END AS format
             FROM documents ORDER BY doc_id""",
+        "ann_topk_ivf": f"""
+            WITH dists AS (
+              SELECT vec_id, embedding, {ivf_dists} FROM embeddings
+            ),
+            cells AS (
+              SELECT vec_id, embedding, {ivf_cell} AS cell FROM dists
+            ),
+            q AS (SELECT vec_id AS query_id, embedding AS qe, cell FROM cells WHERE vec_id < 10),
+            scored AS (
+              SELECT q.query_id, c.vec_id AS neighbor_id,
+                     {_cos_sql('q.qe', 'c.embedding')} AS cos_sim
+              FROM q JOIN cells c ON q.cell = c.cell AND q.query_id != c.vec_id
+            )
+            SELECT query_id, neighbor_id, cos_sim, rank FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+              FROM scored
+            ) WHERE rank <= 5 ORDER BY query_id, rank""",
         "ann_topk_lsh": f"""
             WITH b AS (
               SELECT vec_id, embedding,

@@ -164,6 +164,119 @@ def norm_udf():
     return _norm
 
 
+def kmeans_train(vectors: list[list[float]], k: int, iters: int = 5) -> list[list[float]]:
+    """Deterministic Lloyd's k-means for IVF index training: init = first k
+    vectors, fixed iteration count, float64. Runs OFFLINE on a sample (the
+    standard IVF workflow — the index ships as centroid constants; at 100 TB
+    you train on a 0.1% sample and broadcast the centroids)."""
+    mat = np.asarray(vectors, dtype=np.float64)
+    centroids = mat[:k].copy()
+    for _ in range(iters):
+        d2 = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            members = mat[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return [list(map(float, c)) for c in centroids]
+
+
+def cell_assign_udf(centroids: list[list[float]]):
+    """Arrow-vectorized IVF cell assignment: argmin over squared-L2 distances
+    accumulated dimension-by-dimension in the same left-associated float64
+    order as the oracle's `(v[1]-c1)^2 + ...` chain; ties → lowest cell index
+    (mirrors the SQL CASE with <=)."""
+    from pyspark.sql.types import IntegerType
+
+    cent = [np.asarray(c, dtype=np.float64) for c in centroids]
+
+    @F.pandas_udf(IntegerType())
+    def _assign(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        dists = []
+        for c in cent:
+            diff0 = mat[:, 0] - c[0]
+            acc = diff0 * diff0
+            for j in range(1, c.shape[0]):
+                diff = mat[:, j] - c[j]
+                acc = acc + diff * diff
+            dists.append(acc)
+        d = np.stack(dists, axis=1)
+        # first-index argmin == the SQL CASE chain with <= comparisons
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    return _assign
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k with a pre-trained coarse
+    quantizer: corpus rows are assigned to their nearest centroid cell (one
+    vectorized projection — at scale the cell id becomes a partition/cluster
+    key), each query probes only its own cell's inverted list, candidates are
+    scored exactly. nprobe=1 formulation; production multi-probe unions the
+    n nearest cells."""
+    assign = cell_assign_udf(centroids)
+    nrm = norm_udf()
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        nrm(F.col(vec_col)).alias("_cnorm"),
+        assign(F.col(vec_col)).alias("_cell"),
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        nrm(F.col(vec_col)).alias("_qnorm"),
+        assign(F.col(vec_col)).alias("_cell"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "_cell")
+        .where(F.col(query_id_col) != F.col("neighbor_id"))
+        .select(
+            query_id_col,
+            "neighbor_id",
+            spark_cosine_expr("_qvec", "_cvec", "_qnorm", "_cnorm", dim).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def cell_distance_sqls(vec_expr: str, centroids: list[list[float]]) -> list[str]:
+    """DuckDB-SQL twin of `cell_assign_udf`'s distances: per-cell squared-L2
+    chains in identical float64 evaluation order (explicit (v-c)*(v-c), not
+    POWER — bit parity). Compute once in a CTE, argmin over the named columns
+    with `argmin_case_sql`."""
+    out = []
+    for c in centroids:
+        terms = " + ".join(
+            f"(CAST({vec_expr}[{j + 1}] AS DOUBLE) - {v!r}) * (CAST({vec_expr}[{j + 1}] AS DOUBLE) - {v!r})"
+            for j, v in enumerate(c)
+        )
+        out.append(f"({terms})")
+    return out
+
+
+def argmin_case_sql(names: list[str]) -> str:
+    """First-index argmin over named distance columns — identical tie
+    semantics to numpy argmin (<= comparisons, first branch wins)."""
+    branches = []
+    for i, n in enumerate(names):
+        cond = " AND ".join(f"{n} <= {m}" for j, m in enumerate(names) if j != i)
+        branches.append(f"WHEN {cond} THEN {i}" if cond else "WHEN TRUE THEN 0")
+    return "CAST(CASE " + " ".join(branches) + " END AS INT)"
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (LCG — no numpy dependency in
     the plan; values are plan literals broadcast with the task binary)."""
