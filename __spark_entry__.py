@@ -464,11 +464,13 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from smart_data_lake_spark.functions.text import lang_id
+    from smart_data_lake_spark.functions.text import with_text_stats
 
     docs = _t(spark, sf_dir, "documents")
+    # with_text_stats materializes the token array once; selecting only
+    # lang/lang_pred lets Catalyst prune the other stat expressions away
     return (
-        docs.select("lang", lang_id(F.col("text")).alias("lang_pred"))
+        with_text_stats(docs).select("lang", "lang_pred")
         .groupBy("lang", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang", "lang_pred")
