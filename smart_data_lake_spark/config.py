@@ -87,6 +87,40 @@ def register_action_type(cls: type) -> type:
     return cls
 
 
+# nested config types: execution modes, transformers, housekeeping modes —
+# resolved lazily so config.py has no import cycle with those modules
+def _nested_type_registry() -> dict[str, type]:
+    import smart_data_lake_spark.execution_modes as em
+    import smart_data_lake_spark.housekeeping as hk
+    import smart_data_lake_spark.transformers.df_transformers as dft
+    import smart_data_lake_spark.transformers.dfs_transformers as dfst
+
+    reg: dict[str, type] = {}
+    for mod in (em, hk, dft, dfst):
+        for name in dir(mod):
+            obj = getattr(mod, name)
+            if isinstance(obj, type) and (
+                name.endswith("Mode") or name.endswith("Transformer")
+            ):
+                reg[name] = obj
+    return reg
+
+
+def _instantiate_nested(value: Any) -> Any:
+    """Recursively turn {"type": "PartitionDiffMode", ...} specs inside
+    action configs into instances (ConfigParser nested-object reflection)."""
+    if isinstance(value, dict) and "type" in value:
+        spec = dict(value)
+        type_name = spec.pop("type")
+        cls = _nested_type_registry().get(type_name)
+        if cls is None:
+            raise ConfigError(f"unknown nested config type {type_name!r}")
+        return cls(**_snake_kwargs({k: _instantiate_nested(v) for k, v in spec.items()}))
+    if isinstance(value, list):
+        return [_instantiate_nested(v) for v in value]
+    return value
+
+
 def load_config(config: dict[str, Any]) -> InstanceRegistry:
     """Build an InstanceRegistry from a plain dict.
 
@@ -107,6 +141,7 @@ def load_config(config: dict[str, Any]) -> InstanceRegistry:
         cls = _DO_TYPES.get(type_name)
         if cls is None:
             raise ConfigError(f"unknown DataObject type {type_name!r} for id {do_id!r}")
+        spec = {k: _instantiate_nested(v) for k, v in spec.items()}
         registry.register_data_object(cls(id=do_id, **_snake_kwargs(spec)))
     for action_id, spec in (config.get("actions") or {}).items():
         spec = dict(spec)
@@ -114,6 +149,7 @@ def load_config(config: dict[str, Any]) -> InstanceRegistry:
         cls = _ACTION_TYPES.get(type_name)
         if cls is None:
             raise ConfigError(f"unknown Action type {type_name!r} for id {action_id!r}")
+        spec = {k: _instantiate_nested(v) for k, v in spec.items()}
         action = cls(id=action_id, registry=registry, **_snake_kwargs(spec))
         if action_id not in registry.actions:
             registry.register_action(action)

@@ -52,6 +52,52 @@ def test_builder_run_and_streaming_loop(spark, tmp_path):
     assert set(state2.action_states.values()) == {"SUCCEEDED"}
 
 
+def test_config_driven_pipeline_with_nested_types(spark, tmp_path):
+    """Pure-dict config (the HOCON equivalent): nested executionMode and
+    transformer specs are instantiated by type discriminator
+    (ConfigParser.scala:44-115 reflection)."""
+    from pyspark.sql import Row
+
+    from smart_data_lake_spark.config import load_config
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [Row(p="a", v=1), Row(p="b", v=2)]
+    ).write.partitionBy("p").mode("overwrite").parquet(src)
+    registry = load_config(
+        {
+            "dataObjects": {
+                "in": {"type": "ParquetFileDataObject", "path": src, "partitions": ["p"]},
+                "out": {
+                    "type": "ParquetFileDataObject",
+                    "path": str(tmp_path / "out"),
+                    "partitions": ["p"],
+                },
+            },
+            "actions": {
+                "c": {
+                    "type": "CopyAction",
+                    "inputId": "in",
+                    "outputId": "out",
+                    "executionMode": {"type": "PartitionDiffMode"},
+                    "transformers": [
+                        {"type": "AdditionalColumnsTransformer", "additionalColumns": {"v2": "v * 10"}}
+                    ],
+                }
+            },
+        }
+    )
+    action = registry.actions["c"]
+    from smart_data_lake_spark.execution_modes import PartitionDiffMode
+
+    assert isinstance(action.execution_mode, PartitionDiffMode)
+    b = SmartDataLakeBuilder(registry=registry)
+    state = b.run(spark=spark)
+    assert state.action_states["c"] == "SUCCEEDED"
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert {(r["v"], r["v2"]) for r in out.collect()} == {(1, 10), (2, 20)}
+
+
 def test_simulate_does_not_touch_storage(spark):
     registry = _registry_with_feeds(spark)
     registry.get_data_object("b")._df = None  # nothing written yet

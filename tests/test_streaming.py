@@ -14,6 +14,43 @@ from smart_data_lake_spark.execution_modes import SparkStreamingMode
 from smart_data_lake_spark.plans import ActionDAG, ActionDAGRun
 
 
+def test_streaming_processing_time_async(spark, tmp_path):
+    """processingTime trigger: exec returns immediately with a live query
+    handle; the micro-batch engine keeps consuming in the background until
+    stopped (SparkStreamingMode async contract)."""
+    import time
+
+    from pyspark.sql import Row
+
+    src_path = str(tmp_path / "src")
+    spark.createDataFrame([Row(id=1, v="a")]).coalesce(1).write.mode("overwrite").parquet(src_path)
+    registry = InstanceRegistry()
+    registry.register_data_object(
+        ParquetFileDataObject(id="src", path=src_path, schema="id bigint, v string")
+    )
+    registry.register_data_object(ParquetFileDataObject(id="dst", path=str(tmp_path / "dst")))
+    action = CopyAction(
+        id="cont", input_id="src", output_id="dst", registry=registry,
+        execution_mode=SparkStreamingMode(
+            checkpoint_location=str(tmp_path / "ckpt"),
+            trigger_type="processingTime", trigger_interval="1 seconds",
+        ),
+    )
+    ActionDAGRun(ActionDAG([action]), registry).run(spark)
+    query = action.streaming_queries["dst"]
+    try:
+        assert query.isActive  # exec returned while the query keeps running
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if any(f.endswith(".parquet") for f in __import__("os").listdir(tmp_path / "dst")):
+                break
+            time.sleep(0.5)
+        out = spark.read.parquet(str(tmp_path / "dst"))
+        assert out.count() == 1
+    finally:
+        query.stop()
+
+
 def test_streaming_copy_available_now_incremental(spark, tmp_path):
     src_path = str(tmp_path / "src")
     dst_path = str(tmp_path / "dst")
