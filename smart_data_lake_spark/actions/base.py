@@ -335,9 +335,14 @@ class DataFrameAction(Action):
             df, mode.trigger(), checkpoint, mode.output_mode, query_name=self.id
         )
         # async continuous queries (processingTime trigger) keep running after
-        # exec returns; the handle is kept for management/stop
+        # exec returns; the handle is kept for management/stop, and a shared
+        # StreamingQueryListener accumulates per-batch metrics
         # (DataFrameActionImpl.scala:410-477 async streaming)
         self.streaming_queries[out_id] = query
+        if mode.trigger_type not in ("once", "availableNow"):
+            from smart_data_lake_spark.streaming import get_streaming_listener
+
+            self.streaming_listener = get_streaming_listener(spark)
         if mode.trigger_type in ("once", "availableNow"):
             query.awaitTermination()
             progress = query.recentProgress

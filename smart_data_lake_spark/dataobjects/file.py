@@ -249,7 +249,18 @@ class SparkFileDataObject(
         writer = df.write.format(self.format).options(**self._write_options())
         if self.partitions:
             writer = writer.partitionBy(*self.partitions)
-        if mode == SaveMode.OVERWRITE_OPTIMIZED:
+        if mode == SaveMode.OVERWRITE_PRESERVE_DIRECTORIES:
+            # delete file contents but keep the directory tree (ACLs/mounts on
+            # real filesystems survive, SDLSaveMode.scala OverwritePreserveDirectories)
+            targets = (
+                [os.path.join(self.path, pv.hive_path()) for pv in partition_values]
+                if (partition_values and self.partitions)
+                else [self.path]
+            )
+            for target in targets:
+                self._delete_files_keep_dirs(target)
+            writer.mode("append").save(self.path)
+        elif mode == SaveMode.OVERWRITE_OPTIMIZED:
             # delete only the affected partitions then append
             if partition_values:
                 self.delete_partitions(df.sparkSession, partition_values)
@@ -265,7 +276,6 @@ class SparkFileDataObject(
                 SaveMode.APPEND: "append",
                 SaveMode.ERROR_IF_EXISTS: "error",
                 SaveMode.IGNORE: "ignore",
-                SaveMode.OVERWRITE_PRESERVE_DIRECTORIES: "overwrite",
                 SaveMode.MERGE: None,
             }[mode]
             if spark_mode is None:
@@ -322,6 +332,14 @@ class SparkFileDataObject(
 
         walk(self.path, self.partitions, {})
         return result
+
+    @staticmethod
+    def _delete_files_keep_dirs(base: str) -> None:
+        if not os.path.isdir(base):
+            return
+        for root, _, files in os.walk(base):
+            for f in files:
+                os.remove(os.path.join(root, f))
 
     def delete_partitions(self, spark: SparkSession, partition_values: list[PartitionValues]) -> None:
         for pv in partition_values:

@@ -213,3 +213,26 @@ class CustomMode(ExecutionMode):
 
     def apply(self, spark, input_do, output_do, given_partition_values, state):
         return self.fn(spark, input_do, output_do, given_partition_values, state)
+
+
+@dataclass
+class CustomPartitionMode(ExecutionMode):
+    """User plugin returning the partition values to process
+    (CustomPartitionMode.scala:38-60). Unlike CustomMode, the plugin only
+    picks partitions — the framework builds the filter/result, so the
+    contract stays declarative and partition-prunable."""
+
+    fn: Any = None  # callable: (spark, input_do, output_do, given_pvs, state) -> list[PartitionValues] | None
+
+    def apply(self, spark, input_do, output_do, given_partition_values, state):
+        if not isinstance(input_do, CanHandlePartitions):
+            raise ValueError("CustomPartitionMode requires a partitioned input DataObject")
+        selected = self.fn(spark, input_do, output_do, given_partition_values, state)
+        if selected is None:
+            return ExecutionModeResult()
+        selected = list(selected)
+        return ExecutionModeResult(
+            input_partition_values=selected,
+            output_partition_values=selected,
+            no_data=not selected,
+        )

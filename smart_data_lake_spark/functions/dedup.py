@@ -184,14 +184,20 @@ def embedding_neardup_pairs(
     """Embedding-cosine near-duplicate pairs — ALL-PAIRS (O(N²) nested-loop
     join): exact, but only suitable as a small-N verifier or recall baseline.
     The production operator is `embedding_neardup_lsh` below. Norms are
-    computed once per vector, the pair dot is an explicit codegen-able chain.
+    computed once per vector; pair dots go through the Arrow UDF (left-fold
+    order, bit-identical to the oracle's SQL chain — similarity.pair_dot_udf).
     Returns (id_a, id_b, cos_sim)."""
-    from smart_data_lake_spark.functions.similarity import _dot_cols, _flatten
+    from smart_data_lake_spark.functions.similarity import norm_udf, pair_dot_udf
 
-    a = _flatten(emb, f"{id_col} AS id_a", vec_col, "_a", dim)
-    b = _flatten(emb, f"{id_col} AS id_b", vec_col, "_b", dim)
+    nrm, dot_p = norm_udf(), pair_dot_udf()
+    a = emb.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), nrm(F.col(vec_col)).alias("_na")
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), nrm(F.col(vec_col)).alias("_nb")
+    )
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    sim = F.round(_dot_cols("_a", "_b", dim) / (F.col("_anorm") * F.col("_bnorm")), 6)
+    sim = F.round(dot_p(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6)
     return pairs.select("id_a", "id_b", sim.alias("cos_sim")).where(F.col("cos_sim") >= threshold)
 
 
@@ -238,9 +244,9 @@ def embedding_neardup_lsh(
     on the candidates only. The plan is two hash-shuffles (band join, vector
     join-back) — no nested-loop join anywhere. Buckets/cosines are
     bit-reproducible in oracle SQL via `similarity.bucket_sql`."""
-    from smart_data_lake_spark.functions.similarity import norm_udf, spark_cosine_expr
+    from smart_data_lake_spark.functions.similarity import norm_udf, pair_dot_udf
 
-    spark_norm = norm_udf()
+    spark_norm, dot_p = norm_udf(), pair_dot_udf()
     banded = embedding_banded_buckets(emb, id_col, vec_col, dim, bands, planes_per_band, seed)
     a = banded.alias("a")
     b = banded.alias("b")
@@ -263,6 +269,12 @@ def embedding_neardup_lsh(
     return (
         pairs.join(va, "id_a")
         .join(vb, "id_b")
-        .select("id_a", "id_b", spark_cosine_expr("_va", "_vb", "_na", "_nb", dim).alias("cos_sim"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dot_p(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6).alias(
+                "cos_sim"
+            ),
+        )
         .where(F.col("cos_sim") >= threshold)
     )

@@ -89,11 +89,19 @@ def brute_force_topk(
     """Exact top-k by cosine: broadcast queries × scan corpus → window top-k.
 
     Norms are computed once per row (not per pair) — same IEEE values, N+Q
-    instead of N*Q norm folds. Ties broken by neighbor id so results are
-    total-ordered and reproducible.
+    instead of N*Q norm folds. Pair dots go through the Arrow UDF (left-fold
+    order, bit-identical to the SQL chain — see pair_dot_udf). Ties broken by
+    neighbor id so results are total-ordered and reproducible.
     """
-    q = _flatten(queries, query_id_col, vec_col, "_q", dim)
-    c = _flatten(corpus, f"{id_col} AS neighbor_id", vec_col, "_c", dim)
+    nrm, dot_p = norm_udf(), pair_dot_udf()
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec"), nrm(F.col(vec_col)).alias("_qnorm")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        nrm(F.col(vec_col)).alias("_cnorm"),
+    )
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -101,9 +109,9 @@ def brute_force_topk(
         .select(
             query_id_col,
             "neighbor_id",
-            F.round(_dot_cols("_q", "_c", dim) / (F.col("_qnorm") * F.col("_cnorm")), 6).alias(
-                "cos_sim"
-            ),
+            F.round(
+                dot_p(F.col("_qvec"), F.col("_cvec")) / (F.col("_qnorm") * F.col("_cnorm")), 6
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
@@ -145,6 +153,28 @@ def banded_bucket_udf(planes: list[list[float]], bands: int, planes_per_band: in
         return pd.Series(list(out))
 
     return _buckets
+
+
+def pair_dot_udf():
+    """Arrow-vectorized dot product of two vector columns (pair scoring).
+
+    Same left-fold float64 accumulation order as `spark_dot_sql`'s chain —
+    bit-identical results — but the plan carries one small UDF node instead of
+    a 64-term expression tree, so janino never has to compile a near-64KB
+    method (that compile cost, ~2-4s per distinct plan, dominated the ANN
+    queries at small SF; at 100 TB the Arrow batches amortize identically)."""
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def _dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.stack(a.to_numpy()).astype(np.float64)
+        mb = np.stack(b.to_numpy()).astype(np.float64)
+        acc = ma[:, 0] * mb[:, 0]
+        for j in range(1, ma.shape[1]):
+            acc = acc + ma[:, j] * mb[:, j]
+        return pd.Series(acc)
+
+    return _dot
 
 
 def norm_udf():
@@ -225,7 +255,7 @@ def ivf_topk(
     scored exactly. nprobe=1 formulation; production multi-probe unions the
     n nearest cells."""
     assign = cell_assign_udf(centroids)
-    nrm = norm_udf()
+    nrm, dot_p = norm_udf(), pair_dot_udf()
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
@@ -245,7 +275,9 @@ def ivf_topk(
         .select(
             query_id_col,
             "neighbor_id",
-            spark_cosine_expr("_qvec", "_cvec", "_qnorm", "_cnorm", dim).alias("cos_sim"),
+            F.round(
+                dot_p(F.col("_qvec"), F.col("_cvec")) / (F.col("_qnorm") * F.col("_cnorm")), 6
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
@@ -369,7 +401,7 @@ def lsh_topk(
     """
     planes = random_hyperplanes(dim, n_planes)
     buckets = banded_bucket_udf(planes, bands=1, planes_per_band=n_planes)
-    nrm = norm_udf()
+    nrm, dot_p = norm_udf(), pair_dot_udf()
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cvec"),
@@ -389,7 +421,9 @@ def lsh_topk(
         .select(
             query_id_col,
             "neighbor_id",
-            spark_cosine_expr("_qvec", "_cvec", "_qnorm", "_cnorm", dim).alias("cos_sim"),
+            F.round(
+                dot_p(F.col("_qvec"), F.col("_cvec")) / (F.col("_qnorm") * F.col("_cnorm")), 6
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
