@@ -57,10 +57,15 @@ class ExcelFileDataObject(DataObject, CanCreateDataFrame, CanWriteDataFrame):
     def reader_options(self) -> dict[str, str]:
         """Options for the spark-excel distributed reader
         (ExcelFileDataObject.scala:56-73 option mapping)."""
-        return {
-            "dataAddress": f"'{self.sheet_name}'!A{self.header_row + 1}"
+        # spark-excel dataAddress grammar: "<sheet>!<cell>" where sheet is a
+        # 0-based index or a quoted name; a bare integer is not a valid address
+        address = (
+            f"'{self.sheet_name}'!A{self.header_row + 1}"
             if isinstance(self.sheet_name, str)
-            else f"{self.header_row}",
+            else f"{self.sheet_name}!A{self.header_row + 1}"
+        )
+        return {
+            "dataAddress": address,
             "header": "true",
             "inferSchema": "false" if self.schema else "true",
         }

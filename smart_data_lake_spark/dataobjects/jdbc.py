@@ -57,10 +57,18 @@ def build_merge_sql(
     set_expr = ", ".join(f"{c} = new.{c}" for c in update_cols)
     if opts.update_condition:
         clauses.append(f"WHEN MATCHED AND ({opts.update_condition}) THEN UPDATE SET {set_expr}")
-    else:
+    elif not opts.update_existing_condition:
+        # with updateExisting configured, an unconditional WHEN MATCHED
+        # UPDATE would shadow it (clauses fire first-match-wins)
         clauses.append(f"WHEN MATCHED THEN UPDATE SET {set_expr}")
     if opts.update_existing_condition:
-        all_set = ", ".join(f"{c} = new.{c}" for c in source_cols if c not in pks)
+        # steering columns (insert_columns_to_ignore, e.g. dl_operation) are
+        # never persisted in the target, so they can't appear in the SET list
+        all_set = ", ".join(
+            f"{c} = new.{c}"
+            for c in source_cols
+            if c not in pks and c not in opts.insert_columns_to_ignore
+        )
         clauses.append(
             f"WHEN MATCHED AND ({opts.update_existing_condition}) THEN UPDATE SET {all_set}"
         )
@@ -101,13 +109,25 @@ def build_upsert_sqls(
         )
     update_cols = opts.update_columns or [c for c in source_cols if c not in pks]
     set_expr = ", ".join(f"{c} = new.{c}" for c in update_cols)
-    upd_cond = f" AND ({opts.update_condition})" if opts.update_condition else ""
-    stmts.append(f"UPDATE {target} SET {set_expr} FROM {staging} new WHERE {on}{extra}{upd_cond}")
+    if opts.update_condition:
+        cond = opts.update_condition.replace("existing.", f"{target}.")
+        stmts.append(
+            f"UPDATE {target} SET {set_expr} FROM {staging} new WHERE {on}{extra} AND ({cond})"
+        )
+    elif not opts.update_existing_condition:
+        # same shadowing rule as build_merge_sql: an unconditional update
+        # alongside updateExisting would overwrite every matched row first
+        stmts.append(f"UPDATE {target} SET {set_expr} FROM {staging} new WHERE {on}{extra}")
     if opts.update_existing_condition:
-        all_set = ", ".join(f"{c} = new.{c}" for c in source_cols if c not in pks)
+        all_set = ", ".join(
+            f"{c} = new.{c}"
+            for c in source_cols
+            if c not in pks and c not in opts.insert_columns_to_ignore
+        )
+        ue_cond = opts.update_existing_condition.replace("existing.", f"{target}.")
         stmts.append(
             f"UPDATE {target} SET {all_set} FROM {staging} new "
-            f"WHERE {on}{extra} AND ({opts.update_existing_condition})"
+            f"WHERE {on}{extra} AND ({ue_cond})"
         )
     insert_cols = [c for c in source_cols if c not in opts.insert_columns_to_ignore]
     insert_names = list(insert_cols)
@@ -117,10 +137,15 @@ def build_upsert_sqls(
     values = ", ".join(opts.insert_values_override.get(c, f"new.{c}") for c in insert_names)
     exists_clause = " AND ".join(f"{target}.{k} = new.{k}" for k in pks)
     ins_cond = f" AND ({opts.insert_condition})" if opts.insert_condition else ""
+    # The MERGE form treats additional_merge_predicate as part of the ON
+    # clause, so a staged row whose PK exists but whose predicate fails is
+    # NOT MATCHED and must be inserted (SCD2 insertNew of a new history
+    # version). Mirror that here: the NOT EXISTS guard is PK equality AND
+    # the additional predicate, not PK equality alone.
     stmts.append(
         f"INSERT INTO {target} ({', '.join(insert_names)}) "
         f"SELECT {values} FROM {staging} new "
-        f"WHERE NOT EXISTS (SELECT 1 FROM {target} WHERE {exists_clause}){ins_cond}"
+        f"WHERE NOT EXISTS (SELECT 1 FROM {target} WHERE {exists_clause}{extra}){ins_cond}"
     )
     return stmts
 

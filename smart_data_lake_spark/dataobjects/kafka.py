@@ -122,9 +122,42 @@ class KafkaTopicDataObject(
         }
         if self.batch_read_max_offsets_per_task is not None:
             # bounds rows per Spark task: huge backlogs split into even chunks
-            # (KafkaTopicDataObject.scala:122,270-300)
-            opts["maxOffsetsPerTrigger"] = str(self.batch_read_max_offsets_per_task)
+            # (KafkaTopicDataObject.scala:122,270-300). maxOffsetsPerTrigger is
+            # a streaming-only option that the batch source ignores — the
+            # batch-supported knob is minPartitions, which makes the source
+            # subdivide each topic-partition's offset range so no task exceeds
+            # ceil(range / minPartitions-share) offsets.
+            n = self._min_partitions_for_window(
+                opts["startingOffsets"], opts["endingOffsets"]
+            )
+            if n is not None:
+                opts["minPartitions"] = str(n)
         return opts
+
+    def _min_partitions_for_window(
+        self, starting_offsets: str, ending_offsets: str
+    ) -> int | None:
+        """Number of Spark input partitions so each task reads at most
+        `batch_read_max_offsets_per_task` offsets, computed from explicit
+        JSON offset windows (the incremental-state path always has them).
+        For earliest/latest sentinels the window size is broker metadata we
+        don't have at plan time — return None and let Spark default to one
+        task per topic-partition."""
+        try:
+            start = json.loads(starting_offsets)
+            end = json.loads(ending_offsets)
+        except (TypeError, ValueError):
+            return None
+        total = 0
+        for topic, parts in end.items():
+            for p, e in parts.items():
+                s = start.get(topic, {}).get(p, 0)
+                if e >= 0 and e > s:
+                    total += e - s
+        if total <= 0:
+            return None
+        max_per_task = self.batch_read_max_offsets_per_task
+        return max(1, -(-total // max_per_task))
 
     def stream_reader_options(self) -> dict[str, str]:
         """Option map for readStream (KafkaTopicDataObject.scala:210-216)."""

@@ -77,7 +77,16 @@ def merge_dataframes(
 
     update_cols = set(opts.update_columns or [c for c in out_names if c in src_cols and c not in pks])
     delete_cond = F.expr(opts.delete_condition) if opts.delete_condition else F.lit(False)
-    update_cond = F.expr(opts.update_condition) if opts.update_condition else F.lit(True)
+    # Clause order is first-match-wins. An unconditional update clause would
+    # shadow a configured updateExisting clause entirely, so when only
+    # update_existing_condition is given the plain-update clause must not
+    # fire (mirrors build_merge_sql, which omits the clause in that case).
+    if opts.update_condition:
+        update_cond = F.expr(opts.update_condition)
+    elif opts.update_existing_condition:
+        update_cond = F.lit(False)
+    else:
+        update_cond = F.lit(True)
     update_existing_cond = (
         F.expr(opts.update_existing_condition) if opts.update_existing_condition else F.lit(False)
     )

@@ -30,21 +30,31 @@ class StreamingMetricsListener(StreamingQueryListener):
     def __init__(self) -> None:
         self._lock = threading.Lock()
         self._metrics: dict[str, dict[str, Any]] = {}
+        # query id (stable across restarts of the same checkpointed query)
+        # -> metrics key. Termination events carry only the id, so we need
+        # this to flip active=False on exactly the terminated query.
+        self._id_to_key: dict[str, str] = {}
+
+    def _key_for(self, name: str | None, qid: Any) -> str:
+        return name or str(qid)
 
     # -- StreamingQueryListener interface ---------------------------------
     def onQueryStarted(self, event) -> None:
+        key = self._key_for(event.name, event.id)
         with self._lock:
-            self._metrics.setdefault(
-                event.name or str(event.id),
-                {"streaming_batches": 0, "records_written": 0, "active": True},
+            self._id_to_key[str(event.id)] = key
+            m = self._metrics.setdefault(
+                key, {"streaming_batches": 0, "records_written": 0, "active": True}
             )
+            m["active"] = True
 
     def onQueryProgress(self, event) -> None:
         p = event.progress
-        name = p.name or str(p.id)
+        key = self._key_for(p.name, p.id)
         with self._lock:
+            self._id_to_key[str(p.id)] = key
             m = self._metrics.setdefault(
-                name, {"streaming_batches": 0, "records_written": 0, "active": True}
+                key, {"streaming_batches": 0, "records_written": 0, "active": True}
             )
             m["streaming_batches"] += 1
             m["records_written"] += int(p.numInputRows or 0)
@@ -56,13 +66,27 @@ class StreamingMetricsListener(StreamingQueryListener):
 
     def onQueryTerminated(self, event) -> None:
         with self._lock:
-            for m in self._metrics.values():
-                m["active"] = False
+            key = self._id_to_key.get(str(event.id))
+            if key is not None and key in self._metrics:
+                self._metrics[key]["active"] = False
 
     # -- driver-side access ------------------------------------------------
     def metrics_for(self, query_name: str) -> dict[str, Any]:
         with self._lock:
             return dict(self._metrics.get(query_name, {}))
+
+    def reset(self, query_name: str | None = None) -> None:
+        """Drop accumulated counters — per-query, or all (start of a DAG run)
+        so successive runs in one process don't cross-contaminate."""
+        with self._lock:
+            if query_name is None:
+                self._metrics.clear()
+                self._id_to_key.clear()
+            else:
+                self._metrics.pop(query_name, None)
+                self._id_to_key = {
+                    i: k for i, k in self._id_to_key.items() if k != query_name
+                }
 
 
 _listener: StreamingMetricsListener | None = None

@@ -51,11 +51,25 @@ def test_kafka_batch_reader_options(topic):
     assert opts["subscribe"] == "events"
     assert opts["startingOffsets"] == '{"events":{"0":5}}'
     assert opts["endingOffsets"] == '{"events":{"0":42}}'
-    assert opts["maxOffsetsPerTrigger"] == "10000"
+    # batch chunking uses the batch-supported minPartitions knob, not the
+    # streaming-only maxOffsetsPerTrigger (which batch reads ignore)
+    assert "maxOffsetsPerTrigger" not in opts
+    assert opts["minPartitions"] == "1"  # 37 offsets, 10000 per task
     # defaults
     assert topic.batch_reader_options()["startingOffsets"] == "earliest"
     assert topic.stream_reader_options()["subscribe"] == "events"
     assert topic.writer_options()["topic"] == "events"
+
+
+def test_kafka_min_partitions_chunking(topic):
+    # 2 partitions x 25k offsets = 50k total / 10k per task = 5 tasks
+    opts = topic.batch_reader_options(
+        starting_offsets='{"events":{"0":0,"1":0}}',
+        ending_offsets='{"events":{"0":25000,"1":25000}}',
+    )
+    assert opts["minPartitions"] == "5"
+    # earliest/latest sentinels: window size unknown at plan time -> no option
+    assert "minPartitions" not in topic.batch_reader_options()
 
 
 def _raw_kafka_df(spark):
@@ -182,6 +196,82 @@ def test_upsert_sqls_execute_against_duckdb():
     assert rows == {(1, "a", 11.0), (2, "b", 20.0), (3, "c", 30.0)}
 
 
+def test_upsert_sqls_scd2_options_against_duckdb():
+    """MERGE-less fallback with SCD2 merge options: the additional merge
+    predicate (captured-ts equality) must reach the INSERT's NOT EXISTS guard,
+    or insertNew rows for already-present keys are wrongly suppressed and new
+    history versions silently lost."""
+    opts = build_incremental_merge_options(existing_has_hash=True)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE hist (id INT, name VARCHAR, dl_hash VARCHAR, "
+        "dl_ts_captured TIMESTAMP, dl_ts_delimited TIMESTAMP)"
+    )
+    # key 1 current version captured at T0, open-ended
+    con.execute(
+        "INSERT INTO hist VALUES (1, 'a', 'h0', TIMESTAMP '2024-01-01', TIMESTAMP '9999-12-31')"
+    )
+    con.execute(
+        "CREATE TABLE hist_sdltmp (id INT, name VARCHAR, dl_hash VARCHAR, dl_operation VARCHAR, "
+        "dl_ts_captured TIMESTAMP, dl_ts_delimited TIMESTAMP)"
+    )
+    # updateClose carries the EXISTING captured ts (matches -> delimitation
+    # update); insertNew carries the new captured ts (must NOT match -> insert)
+    con.execute(
+        "INSERT INTO hist_sdltmp VALUES "
+        "(1, 'a', 'h0', 'updateClose', TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-31 23:59:59.999'), "
+        "(1, 'a2', 'h1', 'insertNew', TIMESTAMP '2024-02-01', TIMESTAMP '9999-12-31')"
+    )
+    cols = ["id", "name", "dl_hash", "dl_operation", "dl_ts_captured", "dl_ts_delimited"]
+    for sql in build_upsert_sqls("hist", "hist_sdltmp", ["id"], cols, opts):
+        con.execute(sql)
+    rows = con.execute(
+        "SELECT id, name, dl_ts_captured, dl_ts_delimited FROM hist ORDER BY dl_ts_captured"
+    ).fetchall()
+    assert len(rows) == 2, "insertNew version must survive the fallback path"
+    assert rows[0][1] == "a" and rows[0][3].year == 2024  # closed old version
+    assert rows[1][1] == "a2" and rows[1][3].year == 9999  # new open version
+
+
+def test_merge_dataframes_update_existing_reachable(spark):
+    """update_existing_condition alone must not be shadowed by an implicit
+    always-true update clause (Delta clause order: first match wins)."""
+    from smart_data_lake_spark.merge import merge_dataframes
+
+    existing = spark.createDataFrame([(1, "old", "x")], "id int, name string, tag string")
+    new = spark.createDataFrame([(1, "new", "y"), (2, "ins", "z")], "id int, name string, tag string")
+    out = merge_dataframes(
+        existing, new, ["id"],
+        SaveModeMergeOptions(update_existing_condition="new.tag = 'y'"),
+    ).orderBy("id").collect()
+    assert [(r.id, r.name, r.tag) for r in out] == [(1, "new", "y"), (2, "ins", "z")]
+    # and when the condition doesn't hold, the matched row stays untouched
+    out2 = merge_dataframes(
+        existing, new, ["id"],
+        SaveModeMergeOptions(update_existing_condition="new.tag = 'nope'"),
+    ).orderBy("id").collect()
+    assert [(r.id, r.name) for r in out2] == [(1, "old"), (2, "ins")]
+
+
+def test_streaming_listener_per_query_termination():
+    from smart_data_lake_spark.streaming import StreamingMetricsListener
+
+    class Ev:
+        def __init__(self, name, qid):
+            self.name, self.id = name, qid
+
+    lst = StreamingMetricsListener()
+    lst.onQueryStarted(Ev("qa", "id-a"))
+    lst.onQueryStarted(Ev("qb", "id-b"))
+    lst.onQueryTerminated(Ev(None, "id-a"))
+    assert lst.metrics_for("qa")["active"] is False
+    assert lst.metrics_for("qb")["active"] is True
+    lst.reset("qa")
+    assert lst.metrics_for("qa") == {}
+    lst.reset()
+    assert lst.metrics_for("qb") == {}
+
+
 def test_jdbc_execute_transaction_rollback():
     executed = []
 
@@ -305,6 +395,10 @@ def test_excel_gated_without_openpyxl(spark):
 
     do = ExcelFileDataObject(id="xl", path="/tmp/x.xlsx", sheet_name="Sheet1")
     assert do.reader_options()["header"] == "true"
+    # spark-excel dataAddress grammar: quoted name or 0-based sheet index + cell
+    assert do.reader_options()["dataAddress"] == "'Sheet1'!A1"
+    by_index = ExcelFileDataObject(id="xl2", path="/tmp/x.xlsx", sheet_name=2, header_row=3)
+    assert by_index.reader_options()["dataAddress"] == "2!A4"
     with pytest.raises(RuntimeError, match="openpyxl"):
         do.get_dataframe(spark)
 
