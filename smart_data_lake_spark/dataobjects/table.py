@@ -211,8 +211,13 @@ class DeltaLakeTableDataObject(ParquetTableDataObject):
             builder = builder.whenNotMatchedInsert(condition=opts.insert_condition, values=values)
         else:
             builder = builder.whenNotMatchedInsertAll(condition=opts.insert_condition)
+        # metric BEFORE execute(): the source plan typically reads this very
+        # table (historize read-modify-write); evaluating it after the merge
+        # mutates the table would re-scan post-commit state (and on the
+        # parquet-backed test double, read deleted files)
+        n = df.count()
         builder.execute()
-        return {"records_written": df.count()}
+        return {"records_written": n}
 
 
 # JdbcTableDataObject lives in smart_data_lake_spark/dataobjects/jdbc.py
