@@ -370,46 +370,50 @@ def partition_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pk_violations_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PKViolatorsDataObject semantics (PKViolatorsDataObject.scala:56-61):
-    duplicate keys + null key parts for candidate PK (user_id, event_type)."""
-    ev = _t(spark, sf_dir, "events")
-    dups = (
-        ev.groupBy("user_id", "event_type")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .where(F.col("cnt") > 1)
-        .withColumn("violation", F.lit("duplicate"))
-    )
-    nulls = (
-        ev.where(F.col("user_id").isNull() | F.col("event_type").isNull())
-        .select("user_id", "event_type")
-        .withColumn("cnt", F.lit(1).cast("long"))
-        .withColumn("violation", F.lit("null_key"))
-    )
-    return dups.unionByName(nulls)
+    """PKViolatorsDataObject (custom.py:pk_violations / PKViolatorsDataObject;
+    PKViolatorsDataObject.scala:56-61): registry-wide scan of table DOs with a
+    primary key, reporting duplicate keys + null key components. Here the
+    registry holds the events table with candidate PK (user_id, event_type)."""
+    from smart_data_lake_spark.config import InstanceRegistry
+    from smart_data_lake_spark.dataobjects.base import Table
+    from smart_data_lake_spark.dataobjects.custom import CustomDfDataObject, PKViolatorsDataObject
+
+    reg = InstanceRegistry()
+    # CustomDfDataObject so the events read goes through the nanos-aware
+    # reader (_t); the Table carries the candidate PK the violation scan uses
+    events_do = CustomDfDataObject(id="events", creator=lambda s: _t(s, sf_dir, "events"))
+    events_do.table = Table(name="events", primary_key=["user_id", "event_type"])
+    reg.register_data_object(events_do)
+    return PKViolatorsDataObject(id="pk_violations", registry=reg).get_dataframe(spark)
 
 
 def data_validation_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DataValidationTransformer semantics (DataValidationTransformer.scala:41):
-    per-row rule violations collected into an error summary."""
+    """DataValidationTransformer (transformers/df_transformers.py:
+    DataValidationTransformer; DataValidationTransformer.scala:41): per-row
+    rules appended to an errors array; summarized to rows with violations."""
+    from smart_data_lake_spark.transformers import DataValidationTransformer
+
     li = _t(spark, sf_dir, "lineitem")
-    rule1 = ~(F.col("l_quantity") > 0)
-    rule2 = ~(_dec("l_discount") <= F.lit(0.08).cast("decimal(18,2)"))
-    rule3 = ~(_dec("l_tax") <= F.lit(0.06).cast("decimal(18,2)"))
-    n_errors = (
-        rule1.cast("int") + rule2.cast("int") + rule3.cast("int")
+    transformer = DataValidationTransformer(
+        rules=[
+            {"condition": "l_quantity > 0", "error_msg": "qty_nonpos"},
+            {
+                "condition": "CAST(l_discount AS DECIMAL(18,2)) <= CAST(0.08 AS DECIMAL(18,2))",
+                "error_msg": "disc_gt_8pct",
+            },
+            {
+                "condition": "CAST(l_tax AS DECIMAL(18,2)) <= CAST(0.06 AS DECIMAL(18,2))",
+                "error_msg": "tax_gt_6pct",
+            },
+        ]
     )
-    errors = F.concat_ws(
-        ",",
-        F.when(rule1, F.lit("qty_nonpos")),
-        F.when(rule2, F.lit("disc_gt_8pct")),
-        F.when(rule3, F.lit("tax_gt_6pct")),
-    )
+    validated = transformer.transform(spark, li)
     return (
-        li.select(
+        validated.select(
             "l_orderkey",
             "l_linenumber",
-            n_errors.alias("n_errors"),
-            errors.alias("errors"),
+            F.size("errors").alias("n_errors"),
+            F.concat_ws(",", "errors").alias("errors"),
         )
         .where(F.col("n_errors") > 0)
     )
@@ -922,11 +926,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) FROM orders
             ORDER BY month""",
         "pk_violations_events": """
-            SELECT user_id, event_type, cnt, violation FROM (
-              SELECT user_id, event_type, COUNT(*) AS cnt, 'duplicate' AS violation
+            -- PKViolatorsDataObject output: (data_object_id, key-as-json,
+            -- violation, cnt). The key JSON mirrors Spark's to_json over
+            -- struct(user_id, event_type) — null fields omitted (events has
+            -- no null key parts at any SF, so the simple form is exact).
+            SELECT data_object_id, key, violation, cnt FROM (
+              SELECT 'events' AS data_object_id,
+                     '{"user_id":' || user_id || ',"event_type":"' || event_type || '"}' AS key,
+                     'duplicate' AS violation, COUNT(*) AS cnt
               FROM events GROUP BY user_id, event_type HAVING COUNT(*) > 1
               UNION ALL
-              SELECT user_id, event_type, CAST(1 AS BIGINT), 'null_key'
+              SELECT 'events',
+                     '{"user_id":' || user_id || ',"event_type":"' || event_type || '"}',
+                     'null_key', CAST(1 AS BIGINT)
               FROM events WHERE user_id IS NULL OR event_type IS NULL
             )""",
         "data_validation_lineitem": """

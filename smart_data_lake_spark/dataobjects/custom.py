@@ -92,7 +92,7 @@ def pk_violations(df: DataFrame, pks: list[str], source: str) -> DataFrame:
             F.lit(source).alias("data_object_id"),
             F.to_json(F.struct(*key)).alias("key"),
             F.lit("null_key").alias("violation"),
-            F.lit(1).alias("cnt"),
+            F.lit(1).cast("long").alias("cnt"),
         )
     )
     return dups.unionByName(nulls)
@@ -111,7 +111,12 @@ class PKViolatorsDataObject(DataObject, CanCreateDataFrame):
             if table is not None and table.primary_key and isinstance(do, CanCreateDataFrame):
                 try:
                     frames.append(pk_violations(do.get_dataframe(spark), table.primary_key, do.id))
-                except Exception:
+                except Exception as exc:  # e.g. output table not materialized yet
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "PKViolators: skipping %s (%s)", do.id, exc
+                    )
                     continue
         if not frames:
             return spark.createDataFrame(
