@@ -564,11 +564,11 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs exact near-dup — the small-N VERIFIER for the LSH variant
-    (O(N²): input capped at a fixed 1000 vectors regardless of SF, the role
+    (O(N²): input capped at a fixed 500 vectors regardless of SF, the role
     this operator plays in production recall audits)."""
     from smart_data_lake_spark.functions.dedup import embedding_neardup_pairs
 
-    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 1000)
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 500)
     return embedding_neardup_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
 
 
@@ -1076,7 +1076,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    {_cos_sql('a.embedding', 'b.embedding')} AS cos_sim
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE a.vec_id < 1000 AND b.vec_id < 1000
+            WHERE a.vec_id < 500 AND b.vec_id < 500
               AND {_cos_sql('a.embedding', 'b.embedding')} >= 0.4
             ORDER BY id_a, id_b""",
         "multimodal_image_meta": """

@@ -133,27 +133,89 @@ class ParquetTableDataObject(SparkFileDataObject, CanMergeDataFrame):
 @register_data_object_type
 class HiveTableDataObject(ParquetTableDataObject):
     """Metastore-registered table (`HiveTableDataObject.scala:70-233`) with
-    `analyzeTableAfterWrite` stats collection for the cost-based optimizer."""
+    `analyzeTableAfterWrite` stats collection for the cost-based optimizer.
+
+    Two storage modes, matching the reference's external/managed split:
+      * external (default): data written to `path`, table registered as an
+        external parquet table pointing there;
+      * managed (`managed=True`): data written through the catalog with
+        `saveAsTable` / `insertInto` (HiveTableDataObject.scala:180-214's
+        writeDataFrameInternal), with by-name schema validation before the
+        position-based insertInto — a column-order mismatch must realign or
+        fail, never silently write columns into the wrong slots.
+    """
 
     def __init__(
         self,
         id: str,
-        path: str,
+        path: str | None = None,
         table: Table | dict | None = None,
         analyze_table_after_write: bool = False,
+        managed: bool = False,
         **kwargs: Any,
     ) -> None:
-        super().__init__(id=id, path=path, table=table, **kwargs)
+        if path is None and not managed:
+            raise ValueError(f"({id}) external Hive table requires a path (or set managed=True)")
+        super().__init__(id=id, path=path or "", table=table, **kwargs)
         self.analyze_table_after_write = analyze_table_after_write
+        self.managed = managed
+
+    # -- managed-mode catalog IO ------------------------------------------
+    def exists(self, spark: SparkSession) -> bool:
+        if self.managed:
+            return spark.catalog.tableExists(self.table.full_name)
+        return super().exists(spark)
+
+    def get_dataframe(self, spark, partition_values=None):
+        if self.managed:
+            df = spark.table(self.table.full_name)
+            if partition_values:
+                from smart_data_lake_spark.partitions import apply_partition_filter
+
+                df = apply_partition_filter(df, partition_values)
+            return df
+        return super().get_dataframe(spark, partition_values)
+
+    def _write_managed(self, df: DataFrame, mode: SaveMode) -> dict[str, Any]:
+        spark = df.sparkSession
+        name = self.table.full_name
+        if not spark.catalog.tableExists(name):
+            writer = df.write.format("parquet")
+            if self.partitions:
+                writer = writer.partitionBy(*self.partitions)
+            writer.saveAsTable(name)
+            return {"records_written": spark.table(name).count()}
+        # existing table: insertInto is POSITION-based — validate by name and
+        # realign, erroring on any column-set mismatch
+        existing_cols = spark.table(name).columns
+        missing = [c for c in existing_cols if c not in df.columns]
+        extra = [c for c in df.columns if c not in existing_cols]
+        if missing or extra:
+            raise ValueError(
+                f"({self.id}) schema mismatch writing to managed table {name}: "
+                f"missing={missing} extra={extra}"
+            )
+        aligned = df.select(*existing_cols)
+        aligned.write.insertInto(name, overwrite=(mode == SaveMode.OVERWRITE))
+        return {"records_written": aligned.count()}
 
     def write_dataframe(self, df, partition_values=None, save_mode=None, merge_options=None):
-        metrics = super().write_dataframe(df, partition_values, save_mode, merge_options)
         spark = df.sparkSession
-        spark.sql(
-            f"CREATE TABLE IF NOT EXISTS {self.table.full_name} "
-            f"USING PARQUET LOCATION '{os.path.abspath(self.path)}'"
-        )
-        spark.sql(f"REFRESH TABLE {self.table.full_name}")
+        mode = save_mode or self.save_mode
+        if self.managed:
+            if mode == SaveMode.MERGE:
+                raise ValueError(
+                    f"({self.id}) MERGE requires a transactional format — use "
+                    "DeltaLakeTableDataObject/IcebergTableDataObject or external mode"
+                )
+            metrics = self._write_managed(df, mode)
+        else:
+            metrics = super().write_dataframe(df, partition_values, save_mode, merge_options)
+            spark.sql(
+                f"CREATE TABLE IF NOT EXISTS {self.table.full_name} "
+                f"USING PARQUET LOCATION '{os.path.abspath(self.path)}'"
+            )
+            spark.sql(f"REFRESH TABLE {self.table.full_name}")
         if self.analyze_table_after_write:
             # feeds Catalyst CBO join reordering (HiveTableDataObject.scala:220-223)
             spark.sql(f"ANALYZE TABLE {self.table.full_name} COMPUTE STATISTICS")

@@ -238,6 +238,32 @@ def cell_assign_udf(centroids: list[list[float]]):
     return _assign
 
 
+def cell_probe_udf(centroids: list[list[float]], nprobe: int):
+    """Arrow-vectorized multi-probe assignment: the `nprobe` nearest centroid
+    cells per vector (ordered by distance, ties → lowest index). Used on the
+    query side of `ivf_topk` — the corpus side always gets exactly one cell."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    cent = [np.asarray(c, dtype=np.float64) for c in centroids]
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _probe(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        dists = []
+        for c in cent:
+            diff0 = mat[:, 0] - c[0]
+            acc = diff0 * diff0
+            for j in range(1, c.shape[0]):
+                diff = mat[:, j] - c[j]
+                acc = acc + diff * diff
+            dists.append(acc)
+        d = np.stack(dists, axis=1)
+        order = np.argsort(d, axis=1, kind="stable")[:, :nprobe].astype("int32")
+        return pd.Series(list(order))
+
+    return _probe
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -247,6 +273,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     dim: int = 64,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k with a pre-trained coarse
     quantizer: corpus rows are assigned to their nearest centroid cell (one
@@ -262,12 +289,23 @@ def ivf_topk(
         nrm(F.col(vec_col)).alias("_cnorm"),
         assign(F.col(vec_col)).alias("_cell"),
     )
-    q = queries.select(
-        F.col(query_id_col),
-        F.col(vec_col).alias("_qvec"),
-        nrm(F.col(vec_col)).alias("_qnorm"),
-        assign(F.col(vec_col)).alias("_cell"),
-    )
+    if nprobe <= 1:
+        q = queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("_qvec"),
+            nrm(F.col(vec_col)).alias("_qnorm"),
+            assign(F.col(vec_col)).alias("_cell"),
+        )
+    else:
+        # multi-probe: each query searches its nprobe nearest cells; corpus
+        # rows still live in exactly one cell, so candidate pairs are unique
+        probe = cell_probe_udf(centroids, nprobe)
+        q = queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("_qvec"),
+            nrm(F.col(vec_col)).alias("_qnorm"),
+            F.explode(probe(F.col(vec_col))).alias("_cell"),
+        )
     scored = (
         F.broadcast(q)
         .join(c, "_cell")
@@ -388,6 +426,7 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     dim: int = 64,
+    bands: int = 1,
 ) -> DataFrame:
     """Approximate top-k: only score candidates in the query's LSH bucket.
 
@@ -399,24 +438,46 @@ def lsh_topk(
     bigger buckets). Buckets and cosines are bit-reproducible in oracle SQL
     via `bucket_sql` (same literals, same evaluation order).
     """
-    planes = random_hyperplanes(dim, n_planes)
-    buckets = banded_bucket_udf(planes, bands=1, planes_per_band=n_planes)
+    planes = random_hyperplanes(dim, n_planes * bands)
+    buckets = banded_bucket_udf(planes, bands=bands, planes_per_band=n_planes)
     nrm, dot_p = norm_udf(), pair_dot_udf()
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cvec"),
-        nrm(F.col(vec_col)).alias("_cnorm"),
-        buckets(F.col(vec_col)).getItem(0).alias("_bucket"),
-    )
-    q = queries.select(
-        F.col(query_id_col),
-        F.col(vec_col).alias("_qvec"),
-        nrm(F.col(vec_col)).alias("_qnorm"),
-        buckets(F.col(vec_col)).getItem(0).alias("_bucket"),
-    )
+    if bands == 1:
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cvec"),
+            nrm(F.col(vec_col)).alias("_cnorm"),
+            buckets(F.col(vec_col)).getItem(0).alias("_bucket"),
+        )
+        q = queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("_qvec"),
+            nrm(F.col(vec_col)).alias("_qnorm"),
+            buckets(F.col(vec_col)).getItem(0).alias("_bucket"),
+        )
+        candidates = F.broadcast(q).join(c, "_bucket")
+    else:
+        # OR-construction: a pair is a candidate if ANY band's bucket matches
+        # (recall grows with bands, candidate set stays a bucket equi-join —
+        # never all-pairs). posexplode keys the join on (band index, bucket).
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cvec"),
+            nrm(F.col(vec_col)).alias("_cnorm"),
+            F.posexplode(buckets(F.col(vec_col))).alias("_band", "_bucket"),
+        )
+        q = queries.select(
+            F.col(query_id_col),
+            F.col(vec_col).alias("_qvec"),
+            nrm(F.col(vec_col)).alias("_qnorm"),
+            F.posexplode(buckets(F.col(vec_col))).alias("_band", "_bucket"),
+        )
+        candidates = (
+            F.broadcast(q)
+            .join(c, ["_band", "_bucket"])
+            .dropDuplicates([query_id_col, "neighbor_id"])
+        )
     scored = (
-        F.broadcast(q)
-        .join(c, "_bucket")
+        candidates
         .where(F.col(query_id_col) != F.col("neighbor_id"))
         .select(
             query_id_col,

@@ -414,6 +414,51 @@ def test_iceberg_gated_and_merge_sql(spark):
     assert sql.startswith("MERGE INTO icecat.t existing")
 
 
+def test_hive_managed_table_roundtrip(spark):
+    """Managed-table path: saveAsTable create, by-name-validated insertInto
+    append/overwrite, catalog reads, ANALYZE (HiveTableDataObject.scala:70-233)."""
+    from smart_data_lake_spark.dataobjects.table import HiveTableDataObject
+    from smart_data_lake_spark.save_modes import SaveMode
+
+    spark.sql("DROP TABLE IF EXISTS sdl_managed_t")
+    do = HiveTableDataObject(
+        id="hm", table={"name": "sdl_managed_t"}, managed=True, analyze_table_after_write=True
+    )
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id int, name string")
+    m = do.write_dataframe(df1, save_mode=SaveMode.OVERWRITE)
+    assert m["records_written"] == 2
+    assert do.exists(spark)
+    # append via insertInto with shuffled column order — must realign by name
+    df2 = spark.createDataFrame([("c", 3)], "name string, id int")
+    do.write_dataframe(df2, save_mode=SaveMode.APPEND)
+    got = {(r.id, r.name) for r in do.get_dataframe(spark).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+    # overwrite replaces content
+    do.write_dataframe(df1, save_mode=SaveMode.OVERWRITE)
+    assert do.get_dataframe(spark).count() == 2
+    spark.sql("DROP TABLE sdl_managed_t")
+
+
+def test_hive_managed_schema_mismatch_raises(spark):
+    from smart_data_lake_spark.dataobjects.table import HiveTableDataObject
+    from smart_data_lake_spark.save_modes import SaveMode
+
+    spark.sql("DROP TABLE IF EXISTS sdl_managed_bad")
+    do = HiveTableDataObject(id="hb", table={"name": "sdl_managed_bad"}, managed=True)
+    do.write_dataframe(
+        spark.createDataFrame([(1, "a")], "id int, name string"), save_mode=SaveMode.OVERWRITE
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        do.write_dataframe(
+            spark.createDataFrame([(1, 2.0)], "id int, other double"), save_mode=SaveMode.APPEND
+        )
+    with pytest.raises(ValueError, match="MERGE requires"):
+        do.write_dataframe(
+            spark.createDataFrame([(1, "a")], "id int, name string"), save_mode=SaveMode.MERGE
+        )
+    spark.sql("DROP TABLE sdl_managed_bad")
+
+
 def test_global_udf_registration_from_config(spark):
     from smart_data_lake_spark.config import load_config
     from smart_data_lake_spark.dataobjects import MockDataObject
