@@ -331,6 +331,20 @@ class DataFrameAction(Action):
         assert isinstance(mode, SparkStreamingMode), "streaming output requires SparkStreamingMode"
         assert isinstance(out_do, CanWriteStreamingDataFrame), f"({self.id}) {out_id} can't write streams"
         checkpoint = mode.checkpoint_location or self.checkpoint_location or f"/tmp/sdl_checkpoints/{self.id}"
+        if mode.trigger_type not in ("once", "availableNow"):
+            # a restarted builder run re-attaches to a continuous query that is
+            # still active under this action's name instead of failing with
+            # "query with that name is already active"
+            # (SmartDataLakeBuilder.scala:566-648 streaming run management)
+            for active in spark.streams.active:
+                if active.name == self.id:
+                    self.streaming_queries[out_id] = active
+                    from smart_data_lake_spark.streaming import get_streaming_listener
+
+                    self.streaming_listener = get_streaming_listener(spark)
+                    return SparkSubFeed(
+                        data_object_id=out_id, metrics=self.runtime_metrics.get(out_id, {})
+                    )
         query = out_do.write_streaming_dataframe(
             df, mode.trigger(), checkpoint, mode.output_mode, query_name=self.id
         )

@@ -28,6 +28,23 @@ class SmartDataLakeBuilder:
         if registry is None and config is not None:
             registry = load_config(config)
         self.registry = registry or InstanceRegistry()
+        self._stop_requested = False
+
+    def stop(self) -> None:
+        """Graceful-stop hook for the streaming loop
+        (SmartDataLakeBuilder.scala:566-648's stopStreaming semantics): the
+        loop finishes the current iteration, stops any live async streaming
+        queries it started, persists final state, and returns."""
+        self._stop_requested = True
+
+    def _stop_streaming_queries(self, actions: list[Action]) -> None:
+        for a in actions:
+            for query in getattr(a, "streaming_queries", {}).values():
+                try:
+                    if query.isActive:
+                        query.stop()
+                except Exception:
+                    pass
 
     # -------------------------------------------------------- feed selection
     def select_actions(self, feed_sel: str | None) -> list[Action]:
@@ -98,15 +115,25 @@ class SmartDataLakeBuilder:
         if not streaming:
             return ActionDAGRun(dag, self.registry, store, parallelism, pvs).run(spark)
 
-        # whole-DAG synchronous streaming loop (SmartDataLakeBuilder.scala:566-648)
+        # whole-DAG synchronous streaming loop (SmartDataLakeBuilder.scala:566-648).
+        # Each iteration is a full DAG run with its own incremented runId in
+        # the state store (the reference's "one SDLB run per micro-batch
+        # iteration" contract); streaming sources advance through their
+        # checkpoints so a restarted loop never reprocesses data.
+        self._stop_requested = False
         iteration, state = 0, None
-        while True:
-            iteration += 1
-            run = ActionDAGRun(dag, self.registry, store, parallelism, pvs)
-            state = run.run(spark)
-            if max_streaming_iterations is not None and iteration >= max_streaming_iterations:
-                return state
-            time.sleep(streaming_interval_sec)
+        try:
+            while True:
+                iteration += 1
+                run = ActionDAGRun(dag, self.registry, store, parallelism, pvs)
+                state = run.run(spark)
+                if max_streaming_iterations is not None and iteration >= max_streaming_iterations:
+                    return state
+                if self._stop_requested:
+                    return state
+                time.sleep(streaming_interval_sec)
+        finally:
+            self._stop_streaming_queries(actions)
 
     # ------------------------------------------------------------- simulate
     def simulate(

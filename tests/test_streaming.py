@@ -51,6 +51,95 @@ def test_streaming_processing_time_async(spark, tmp_path):
         query.stop()
 
 
+def test_streaming_restart_no_reprocessing_and_runid_advances(spark, tmp_path):
+    """Restarted checkpointed availableNow pipeline through the builder:
+    runId advances in the state store per run, and the checkpoint guarantees
+    a restart with no new data writes zero rows
+    (SmartDataLakeBuilder.scala:566-648 streaming run semantics)."""
+    import os
+
+    from smart_data_lake_spark.plans import SmartDataLakeBuilder
+    from smart_data_lake_spark.plans.dag import StateStore
+
+    src_path, dst_path = str(tmp_path / "src"), str(tmp_path / "dst")
+    state_path = str(tmp_path / "state")
+    spark.createDataFrame([Row(id=1, v="a"), Row(id=2, v="b")]).coalesce(1).write.parquet(src_path)
+
+    registry = InstanceRegistry()
+    registry.register_data_object(
+        ParquetFileDataObject(id="src", path=src_path, schema="id bigint, v string")
+    )
+    registry.register_data_object(ParquetFileDataObject(id="dst", path=dst_path))
+    CopyAction(
+        id="scopy", input_id="src", output_id="dst", registry=registry,
+        execution_mode=SparkStreamingMode(
+            checkpoint_location=str(tmp_path / "ckpt"), trigger_type="availableNow"
+        ),
+    )
+    builder = SmartDataLakeBuilder(registry)
+    state1 = builder.run(spark=spark, state_path=state_path)
+    assert state1.run_id == 1
+    assert state1.action_metrics["scopy"]["dst"]["records_written"] == 2
+
+    # simulated restart: same checkpoint, no new data -> nothing reprocessed
+    state2 = builder.run(spark=spark, state_path=state_path)
+    assert state2.run_id == 2, "runId must advance across builder runs"
+    assert state2.action_metrics["scopy"]["dst"]["records_written"] == 0
+    assert spark.read.parquet(dst_path).count() == 2
+
+    # new data after restart is picked up exactly once
+    spark.createDataFrame([Row(id=3, v="c")]).coalesce(1).write.mode("append").parquet(src_path)
+    state3 = builder.run(spark=spark, state_path=state_path)
+    assert state3.run_id == 3
+    assert state3.action_metrics["scopy"]["dst"]["records_written"] == 1
+    assert spark.read.parquet(dst_path).count() == 3
+    # state files persisted per run
+    assert len([f for f in os.listdir(state_path) if f.endswith(".json")]) == 3
+
+
+def test_streaming_loop_graceful_stop_and_reattach(spark, tmp_path):
+    """The builder's streaming loop honors stop() after the current iteration
+    and a re-run re-attaches to a still-active continuous query instead of
+    failing with a duplicate-name error."""
+    import threading
+    import time
+
+    from smart_data_lake_spark.plans import SmartDataLakeBuilder
+
+    src_path = str(tmp_path / "src")
+    spark.createDataFrame([Row(id=1, v="a")]).coalesce(1).write.parquet(src_path)
+    registry = InstanceRegistry()
+    registry.register_data_object(
+        ParquetFileDataObject(id="src", path=src_path, schema="id bigint, v string")
+    )
+    registry.register_data_object(ParquetFileDataObject(id="dst", path=str(tmp_path / "dst")))
+    CopyAction(
+        id="cont2", input_id="src", output_id="dst", registry=registry,
+        execution_mode=SparkStreamingMode(
+            checkpoint_location=str(tmp_path / "ckpt"),
+            trigger_type="processingTime", trigger_interval="1 seconds",
+        ),
+    )
+    builder = SmartDataLakeBuilder(registry)
+    # iteration 1 starts the async query; iteration 2 must re-attach (the
+    # query is still active) rather than raise; stop() ends the loop and
+    # stops the async query
+    stopper = threading.Timer(3.0, builder.stop)
+    stopper.start()
+    state = builder.run(spark=spark, streaming=True, streaming_interval_sec=1.0,
+                        max_streaming_iterations=5)
+    stopper.cancel()
+    assert state is not None
+    deadline = time.time() + 10
+    while time.time() < deadline and any(
+        q.name == "cont2" and q.isActive for q in spark.streams.active
+    ):
+        time.sleep(0.3)
+    assert not any(q.name == "cont2" and q.isActive for q in spark.streams.active), (
+        "graceful stop must terminate the async query"
+    )
+
+
 def test_streaming_copy_available_now_incremental(spark, tmp_path):
     src_path = str(tmp_path / "src")
     dst_path = str(tmp_path / "dst")
