@@ -235,6 +235,220 @@ def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bidirectional nation-pair shipping volume by year."""
+    n = _t(spark, sf_dir, "nation")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    pair = ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of PROMO-part volume sold into a
+    region, by year (conditional agg over a 6-way join)."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    cust_region = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey")
+    )
+    supp_nation = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    vol = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(cust_region, o.o_custkey == cust_region.c_custkey)
+        .join(F.broadcast(supp_nation), li.l_suppkey == supp_nation.s_suppkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            _revenue().alias("volume"),
+            F.col("supp_nation"),
+        )
+    )
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_5", F.col("volume")).otherwise(F.lit(0).cast("decimal(18,2)"))).cast("double")
+                / F.sum("volume").cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and year (adapted: cost =
+    p_retailprice × quantity — the synthetic schema has no partsupp)."""
+    n = _t(spark, sf_dir, "nation")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").contains("red"))
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    profit = _revenue() - _dec("p_retailprice") * _dec("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share for one month (conditional agg,
+    one double division at the end for oracle parity)."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01")) & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    promo = F.when(F.col("p_type") == "PROMO", _revenue()).otherwise(F.lit(0).cast("decimal(18,2)"))
+    return joined.agg(
+        (F.sum(promo).cast("double") * F.lit(100.0) / F.sum(_revenue()).cast("double")).alias(
+            "promo_revenue_pct"
+        )
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: revenue view + scalar MAX subquery join. Decimal-exact
+    revenue makes the MAX-equality join deterministic in both engines."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(_revenue()).alias("total_revenue"))
+    max_rev = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.crossJoin(F.broadcast(max_rev))
+        .where(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", F.col("total_revenue").cast("double").alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated AVG subquery per part → broadcast join
+    (average yearly revenue lost to small orders for one brand)."""
+    p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+    li = _t(spark, sf_dir, "lineitem")
+    branded = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    # exact decimal sum / count, ONE double division (oracle-parity AVG)
+    per_part = branded.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    small = branded.join(F.broadcast(per_part), branded.l_partkey == F.col("pk")).where(
+        F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty")
+    )
+    return small.agg(
+        (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly")
+    )
+
+
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs join predicate over part attributes —
+    Catalyst pushes the common join key and evaluates the disjunction post-join."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 30))
+    )
+    return j.where(cond).agg(F.sum(_revenue()).cast("double").alias("revenue"))
+
+
+def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join operator (functions/temporal.as_of_join): every purchase
+    event attributed to the user's latest STRICTLY-prior click — the
+    union-and-window formulation, one shuffle, no range-join explosion."""
+    from smart_data_lake_spark.functions.temporal import as_of_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    joined = as_of_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        right_cols=["event_id"],
+        right_order_col="event_id",
+        strict=True,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("ts_asof").alias("click_ts"),
+        F.col("event_id_asof").alias("click_event_id"),
+        (F.col("ts").cast("double") - F.col("ts_asof").cast("double")).alias("gap_sec"),
+    ).orderBy("event_id")
+
+
+def range_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-join operator (functions/temporal.range_join): clicks within the
+    hour before each purchase, via time-bucket equi-join (no nested-loop)."""
+    from smart_data_lake_spark.functions.temporal import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "value")
+    pairs = range_join(
+        purchases, clicks, on=["user_id"], lower_sec=0.0, upper_sec=3600.0
+    )
+    return (
+        pairs.groupBy("event_id", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.max("value_r").alias("max_click_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def topk_customers_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(F.sum(_dec("o_totalprice")).cast("double").alias("total_spend"))
@@ -641,6 +855,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_parts_supplier": q16_parts_supplier,
         "q18_large_orders": q18_large_orders,
         "q22_global_sales": q22_global_sales,
+        "q7_nation_volume": q7_nation_volume,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q19_discounted_revenue": q19_discounted_revenue,
+        "asof_click_attribution": asof_click_attribution,
+        "range_clicks_before_purchase": range_clicks_before_purchase,
         "topk_customers_window": topk_customers_window,
         "orders_running_total": orders_running_total,
         "pivot_order_status": pivot_order_status,
@@ -920,6 +1143,113 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, ts, event_type, value FROM events
             WHERE ts > (SELECT max(ts) FROM events
                         WHERE ts <= (SELECT max(ts) - INTERVAL 1 DAY FROM events))""",
+        "q7_nation_volume": """
+            SELECT supp_nation, cust_nation, l_year, CAST(SUM(volume) AS DOUBLE) AS revenue
+            FROM (
+              SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                     CAST(year(l_shipdate) AS INT) AS l_year,
+                     CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume
+              FROM lineitem
+                JOIN orders   ON l_orderkey = o_orderkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+                AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                  OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            ) GROUP BY supp_nation, cust_nation, l_year
+            ORDER BY supp_nation, cust_nation, l_year""",
+        "q8_market_share": """
+            SELECT o_year,
+                   CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                     / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+            FROM (
+              SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                     CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+                     ns.n_name AS supp_nation
+              FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN part ON l_partkey = p_partkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation nc ON c_nationkey = nc.n_nationkey
+                JOIN region ON nc.n_regionkey = r_regionkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ns ON s_nationkey = ns.n_nationkey
+              WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+                AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+            ) GROUP BY o_year ORDER BY o_year""",
+        "q9_product_profit": """
+            SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+            FROM (
+              SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+                     CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                       - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS amount
+              FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+              WHERE p_name LIKE '%red%'
+            ) GROUP BY nation, o_year ORDER BY nation, o_year DESC""",
+        "q14_promo_revenue": """
+            SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100.0
+                 / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                   AS promo_revenue_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'""",
+        "q15_top_supplier": """
+            WITH revenue AS (
+              SELECT l_suppkey,
+                     SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+            FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+            ORDER BY s_suppkey""",
+        "q17_small_quantity_revenue": """
+            WITH branded AS (
+              SELECT l_partkey, l_quantity, l_extendedprice
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_brand = 'Brand#1'
+            ), per_part AS (
+              SELECT l_partkey AS pk,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+              FROM branded GROUP BY l_partkey
+            )
+            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+            FROM branded JOIN per_part ON l_partkey = pk
+            WHERE l_quantity < 0.2 * avg_qty""",
+        "q19_discounted_revenue": """
+            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""",
+        "asof_click_attribution": """
+            SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+                   c.ts AS click_ts, c.event_id AS click_event_id,
+                   epoch(p.ts) - epoch(c.ts) AS gap_sec
+            FROM events p LEFT JOIN LATERAL (
+              SELECT ts, event_id FROM events c
+              WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts < p.ts
+              ORDER BY ts DESC, event_id DESC LIMIT 1
+            ) c ON true
+            WHERE p.event_type = 'purchase'
+            ORDER BY p.event_id""",
+        "range_clicks_before_purchase": """
+            SELECT p.event_id, p.user_id, COUNT(*) AS n_clicks, MAX(c.value) AS max_click_value
+            FROM events p JOIN events c
+              ON c.user_id = p.user_id AND c.event_type = 'click'
+             AND epoch(c.ts) >= epoch(p.ts) - 3600 AND epoch(c.ts) < epoch(p.ts)
+            WHERE p.event_type = 'purchase'
+            GROUP BY p.event_id, p.user_id
+            ORDER BY p.event_id""",
         "partition_diff": """
             SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month FROM lineitem
             EXCEPT

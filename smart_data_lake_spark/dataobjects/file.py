@@ -181,10 +181,12 @@ class SparkFileDataObject(
                     list(self.schema.fields) + [T.StructField(p, T.StringType()) for p in missing]
                 )
             return self.schema
+        from smart_data_lake_spark.fs import get_fs
+
         schema_file = self._schema_file_path()
-        if os.path.isfile(schema_file):
-            with open(schema_file) as f:
-                return T.StructType.fromJson(json.load(f))
+        fs = get_fs(spark, schema_file)
+        if fs.exists(schema_file) and not fs.is_dir(schema_file):
+            return T.StructType.fromJson(json.loads(fs.read_text(schema_file)))
         sample = self._sample_file_path()
         if os.path.isfile(sample):
             try:
@@ -198,11 +200,13 @@ class SparkFileDataObject(
         skip inference (SparkFileDataObject createSchemaFile)."""
         import json
 
-        if self.format in ("csv", "json", "text") and os.path.isdir(self.path):
+        from smart_data_lake_spark.fs import get_fs
+
+        fs = get_fs(df.sparkSession, self.path)
+        if self.format in ("csv", "json", "text") and fs.is_dir(self.path):
             drop = [p for p in self.partitions if p in df.columns]
             schema = T.StructType([f for f in df.schema.fields if f.name not in drop])
-            with open(self._schema_file_path(), "w") as f:
-                json.dump(schema.jsonValue(), f)
+            fs.write_text(self._schema_file_path(), json.dumps(schema.jsonValue()))
 
     def _write_options(self) -> dict[str, str]:
         """Writer options — format defaults shared with `_read_options` so a
@@ -257,8 +261,11 @@ class SparkFileDataObject(
                 if (partition_values and self.partitions)
                 else [self.path]
             )
+            from smart_data_lake_spark.fs import get_fs
+
+            fs = get_fs(df.sparkSession, self.path)
             for target in targets:
-                self._delete_files_keep_dirs(target)
+                self._delete_files_keep_dirs(target, fs)
             writer.mode("append").save(self.path)
         elif mode == SaveMode.OVERWRITE_OPTIMIZED:
             # delete only the affected partitions then append
@@ -316,7 +323,10 @@ class SparkFileDataObject(
 
     # ------------------------------------------------------------- partitions
     def list_partitions(self, spark: SparkSession) -> list[PartitionValues]:
-        if not self.partitions or not os.path.isdir(self.path):
+        from smart_data_lake_spark.fs import get_fs
+
+        fs = get_fs(spark, self.path)
+        if not self.partitions or not fs.is_dir(self.path):
             return []
         result: list[PartitionValues] = []
 
@@ -325,27 +335,32 @@ class SparkFileDataObject(
                 result.append(PartitionValues.of(acc))
                 return
             col = cols[0]
-            for entry in sorted(os.listdir(base)):
+            for entry in fs.listdir(base):
                 full = os.path.join(base, entry)
-                if os.path.isdir(full) and entry.startswith(f"{col}="):
+                if entry.startswith(f"{col}=") and fs.is_dir(full):
                     walk(full, cols[1:], {**acc, col: entry.split("=", 1)[1]})
 
         walk(self.path, self.partitions, {})
         return result
 
     @staticmethod
-    def _delete_files_keep_dirs(base: str) -> None:
-        if not os.path.isdir(base):
+    def _delete_files_keep_dirs(base: str, fs=None) -> None:
+        from smart_data_lake_spark.fs import LocalFileSystem
+
+        fs = fs or LocalFileSystem()
+        if not fs.is_dir(base):
             return
-        for root, _, files in os.walk(base):
-            for f in files:
-                os.remove(os.path.join(root, f))
+        for f in fs.walk_files(base):
+            fs.delete(f)
 
     def delete_partitions(self, spark: SparkSession, partition_values: list[PartitionValues]) -> None:
+        from smart_data_lake_spark.fs import get_fs
+
+        fs = get_fs(spark, self.path)
         for pv in partition_values:
             target = os.path.join(self.path, pv.hive_path())
-            if os.path.isdir(target):
-                shutil.rmtree(target)
+            if fs.is_dir(target):
+                fs.delete(target, recursive=True)
 
     # ------------------------------------------------------------ incremental
     def set_state(self, state: str | None) -> None:
@@ -399,12 +414,15 @@ class RelaxedCsvFileDataObject(CsvFileDataObject):
 
     Spark's CSV reader maps fields positionally, so files with different
     column orders cannot share one read. Like the reference, each file is
-    projected ONTO the target schema BY NAME: headers are sniffed driver-side
-    (one line per file — metadata-scale I/O), files are grouped by header
-    signature, each group is read distributed with its own positional schema,
-    and the groups are unioned after name-projection (missing columns →
-    null). #groups is bounded by the number of distinct producer versions,
-    not the file count."""
+    projected ONTO the target schema BY NAME: header lines are sniffed by a
+    DISTRIBUTED first-line job (an RDD over the file list — each task opens
+    only its files and reads one line, so millions of files never serialize
+    through a driver loop; collected result is one short string per file,
+    metadata-scale), files are grouped by header signature, each group is
+    read distributed with its own positional schema, and the groups are
+    unioned after name-projection (missing columns → null). #groups is
+    bounded by the number of distinct producer versions, not the file
+    count."""
 
     def _read_options(self) -> dict[str, str]:
         return {**super()._read_options(), "mode": "PERMISSIVE", "enforceSchema": "false"}
@@ -423,10 +441,22 @@ class RelaxedCsvFileDataObject(CsvFileDataObject):
         ]
         if not files:
             return spark.createDataFrame([], target)
+
+        def _first_lines(paths):
+            # runs on executors: task-local file access, one line per file
+            for p in paths:
+                with open(p) as fh:
+                    yield p, fh.readline().rstrip("\n")
+
+        n_slices = max(1, min(len(files), 256))
+        sniffed = (
+            spark.sparkContext.parallelize(sorted(files), n_slices)
+            .mapPartitions(_first_lines)
+            .collect()
+        )
         by_header: dict[tuple[str, ...], list[str]] = {}
-        for path in sorted(files):
-            with open(path) as fh:
-                header = tuple(h.strip() for h in fh.readline().rstrip("\n").split(sep))
+        for path, line in sorted(sniffed):
+            header = tuple(h.strip() for h in line.split(sep))
             by_header.setdefault(header, []).append(path)
         target_types = {f.name: f.dataType for f in target.fields}
         parts = []

@@ -113,21 +113,33 @@ class ParquetTableDataObject(SparkFileDataObject, CanMergeDataFrame):
     def _atomic_rewrite(self, df: DataFrame) -> dict[str, Any]:
         """Write-to-temp + swap: a poor man's transaction for plain parquet
         (analogous to TickTockHiveTableDataObject.scala:44's alternating
-        storage paths). Delta/Iceberg replace this with real ACID commits."""
-        tmp = tempfile.mkdtemp(prefix=f"sdl_{self.id}_", dir=os.path.dirname(self.path.rstrip("/")) or None)
+        storage paths). Delta/Iceberg replace this with real ACID commits.
+        All FS ops go through the fs abstraction, so the same code runs on
+        local disk (os/shutil) or a Hadoop-compatible store (rename-based
+        swap; note object stores make rename O(data) — deploy Delta/Iceberg
+        there, which is why MERGE prefers those DataObjects)."""
+        from smart_data_lake_spark.fs import get_fs, scheme_of
+
+        spark = df.sparkSession
+        fs = get_fs(spark, self.path)
+        parent = os.path.dirname(self.path.rstrip("/")) or "."
+        if scheme_of(self.path) in ("", "file"):
+            tmp = tempfile.mkdtemp(prefix=f"sdl_{self.id}_", dir=parent)
+        else:
+            tmp = f"{parent}/sdl_{self.id}_tmp_{os.getpid()}"
         try:
             writer = df.write.format(self.format).options(**self._write_options())
             if self.partitions:
                 writer = writer.partitionBy(*self.partitions)
             writer.mode("overwrite").save(tmp)
-            n = df.sparkSession.read.format(self.format).load(tmp).count()
-            if os.path.isdir(self.path):
-                shutil.rmtree(self.path)
-            shutil.move(tmp, self.path)
+            n = spark.read.format(self.format).load(tmp).count()
+            if fs.is_dir(self.path):
+                fs.delete(self.path, recursive=True)
+            fs.move(tmp, self.path)
             return {"records_written": n}
         finally:
-            if os.path.isdir(tmp):
-                shutil.rmtree(tmp, ignore_errors=True)
+            if fs.is_dir(tmp):
+                fs.delete(tmp, recursive=True)
 
 
 @register_data_object_type

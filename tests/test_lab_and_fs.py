@@ -1,0 +1,107 @@
+"""Lab facade + filesystem abstraction tests."""
+
+import json
+
+import pytest
+from pyspark.sql import Row
+
+from smart_data_lake_spark.fs import LocalFileSystem, get_fs, scheme_of
+
+
+def test_scheme_dispatch(spark):
+    assert scheme_of("/tmp/x") == ""
+    assert scheme_of("file:///tmp/x") == "file"
+    assert scheme_of("s3a://bucket/x") == "s3a"
+    assert isinstance(get_fs(spark, "/tmp/x"), LocalFileSystem)
+    # local paths routed through the JVM Hadoop FS behave identically —
+    # proves the py4j implementation works end-to-end without a real cluster
+    from smart_data_lake_spark.fs import HadoopFileSystem
+
+    hfs = HadoopFileSystem(spark, "file:///tmp")
+    assert hfs.exists("file:///tmp")
+
+
+def test_hadoop_fs_roundtrip(spark, tmp_path):
+    """The HadoopFileSystem implementation (used for s3a/hdfs/abfss paths)
+    exercised against file:// URIs — same code path as object storage."""
+    from smart_data_lake_spark.fs import HadoopFileSystem
+
+    base = f"file://{tmp_path}"
+    fs = HadoopFileSystem(spark, base)
+    fs.mkdirs(f"{base}/a/b")
+    assert fs.is_dir(f"{base}/a/b")
+    fs.write_text(f"{base}/a/b/x.json", json.dumps({"k": 1}))
+    assert json.loads(fs.read_text(f"{base}/a/b/x.json")) == {"k": 1}
+    assert fs.listdir(f"{base}/a") == ["b"]
+    # Hadoop Path normalizes file:/// to file:/ — compare path suffix
+    walked = fs.walk_files(f"{base}/a")
+    assert len(walked) == 1 and walked[0].endswith(f"{tmp_path}/a/b/x.json")
+    fs.move(f"{base}/a/b/x.json", f"{base}/a/b/y.json")
+    assert fs.exists(f"{base}/a/b/y.json") and not fs.exists(f"{base}/a/b/x.json")
+    fs.delete(f"{base}/a", recursive=True)
+    assert not fs.exists(f"{base}/a")
+
+
+def test_local_fs_roundtrip(tmp_path):
+    fs = LocalFileSystem()
+    p = str(tmp_path / "d1" / "f.txt")
+    fs.write_text(p, "hello")
+    assert fs.read_text(p) == "hello"
+    assert fs.walk_files(str(tmp_path)) == [p]
+    fs.move(p, str(tmp_path / "d1" / "g.txt"))
+    assert fs.listdir(str(tmp_path / "d1")) == ["g.txt"]
+    fs.delete(str(tmp_path / "d1"), recursive=True)
+    assert not fs.exists(str(tmp_path / "d1"))
+
+
+@pytest.fixture()
+def lab(spark, tmp_path):
+    from smart_data_lake_spark.lab import SmartDataLakeLab
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [Row(id=1, month="2024-01"), Row(id=2, month="2024-02")]
+    ).write.partitionBy("month").parquet(src)
+    config = {
+        "dataObjects": {
+            "src": {"type": "ParquetFileDataObject", "path": src, "partitions": ["month"]},
+            "dst": {"type": "ParquetFileDataObject", "path": str(tmp_path / "dst")},
+        },
+        "actions": {
+            "cp": {"type": "CopyAction", "inputId": "src", "outputId": "dst"},
+        },
+    }
+    return SmartDataLakeLab(config=config, spark=spark)
+
+
+def test_lab_reads_and_guards(lab, spark):
+    assert lab.data_objects["src"].df().count() == 2
+    assert lab.data_objects["src"].df({"month": "2024-01"}).count() == 1
+    assert lab.data_objects["src"].partitions() == [
+        {"month": "2024-01"}, {"month": "2024-02"},
+    ]
+    assert "id" in [f.name for f in lab.data_objects["src"].schema().fields]
+    # tab-completion surface
+    assert set(lab.data_objects.keys()) == {"src", "dst"}
+    with pytest.raises(KeyError, match="known"):
+        lab.data_objects["nope"]
+    # writes guarded by default
+    with pytest.raises(PermissionError, match="writes_enabled"):
+        lab.actions["cp"].run()
+    with pytest.raises(PermissionError):
+        lab.data_objects["dst"].write(lab.data_objects["src"].df())
+
+
+def test_lab_run_action_when_enabled(lab, spark):
+    lab.writes_enabled = True
+    state = lab.actions["cp"].run()
+    assert state.action_states["cp"] == "SUCCEEDED"
+    assert lab.data_objects["dst"].df().count() == 2
+
+
+def test_lab_simulate_no_storage_touched(lab, spark, tmp_path):
+    out = lab.actions["cp"].simulate(
+        {"src": spark.createDataFrame([Row(id=9, month="2024-03")])}
+    )
+    assert out["dst"].collect()[0].id == 9
+    assert not (tmp_path / "dst").exists()  # nothing written
