@@ -38,6 +38,20 @@ from smart_data_lake_spark.execution_modes import ExecutionMode, ExecutionModeRe
 KAFKA_SOURCE_COLS = ["key", "value", "topic", "partition", "offset", "timestamp", "timestampType"]
 
 
+def _avro_datasource_loaded() -> bool:
+    """True when the spark-avro runtime is on the session's JVM classpath."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return False
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.spark.sql.avro.AvroDataToCatalyst")
+        return True
+    except Exception:
+        return False
+
+
 class KafkaConnection:
     """Broker + common reader/writer options (KafkaConnection.scala)."""
 
@@ -84,13 +98,13 @@ class KafkaTopicDataObject(
         if isinstance(connection, dict):
             connection = KafkaConnection(**connection)
         for side, typ, schema in (("key", key_type, key_schema), ("value", value_type, value_schema)):
-            if typ not in ("binary", "string", "json"):
+            if typ not in ("binary", "string", "json", "avro"):
                 raise ValueError(
-                    f"({id}) {side}_type {typ!r} not supported here (avro/schema-registry "
-                    "variants need external packages: spark-avro + a registry client)"
+                    f"({id}) {side}_type {typ!r} not supported here (schema-registry "
+                    "variants need an external registry client)"
                 )
-            if typ == "json" and schema is None:
-                raise ValueError(f"({id}) {side}_type=json requires a {side}_schema")
+            if typ in ("json", "avro") and schema is None:
+                raise ValueError(f"({id}) {side}_type={typ} requires a {side}_schema")
         self.topic_name = topic_name
         self.connection = connection
         self.key_type = key_type
@@ -183,6 +197,20 @@ class KafkaTopicDataObject(
             return col
         if typ == "string":
             return col.cast("string")
+        if typ == "avro":
+            # pyspark ships the from_avro wrapper but the call is lazy — the
+            # jar-missing failure would only surface at analysis time, so
+            # probe the JVM class eagerly for a clear gate error (same gate
+            # as the reference's KafkaAvro types)
+            if not _avro_datasource_loaded():
+                raise RuntimeError(
+                    f"({self.id}) avro decode needs the spark-avro runtime jar "
+                    "(spark.jars.packages org.apache.spark:spark-avro_2.13) — "
+                    "not loaded in this session"
+                )
+            from pyspark.sql.avro.functions import from_avro
+
+            return from_avro(col, schema)
         return F.from_json(col.cast("string"), schema)
 
     def convert_dataframe(self, raw: DataFrame) -> DataFrame:

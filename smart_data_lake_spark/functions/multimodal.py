@@ -69,26 +69,29 @@ def extract_image_features(df: DataFrame, n_features: int = 8) -> DataFrame:
     never crosses to the driver."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # vectorized over each Arrow batch (no per-row iterrows); the codec
+        # call itself is per-payload — a real decoder is inherently per-row,
+        # but everything around it stays columnar
+        def _meta(payload) -> dict | None:
+            try:
+                return decode_image_stub(bytes(payload or b""))
+            except ValueError:
+                return None
+
+        def _feats(payload) -> list:
+            b = bytes(payload or b"")
+            return [float(x) / 255.0 for x in b[:n_features]]
+
         for pdf in it:
-            out = []
-            for _, row in pdf.iterrows():
-                payload = row["content"] or b""
-                try:
-                    meta = decode_image_stub(bytes(payload))
-                except ValueError:
-                    meta = None
-                # stub features: first n bytes normalized — stands in for a
-                # model embedding; deterministic for tests
-                feats = [float(b) / 255.0 for b in bytes(payload[:n_features])] if payload else []
-                out.append(
-                    {
-                        "path": row["path"],
-                        "n_bytes": int(row["length"]),
-                        "meta": meta,
-                        "features": feats,
-                    }
-                )
-            yield pd.DataFrame(out, columns=["path", "n_bytes", "meta", "features"])
+            yield pd.DataFrame(
+                {
+                    "path": pdf["path"],
+                    "n_bytes": pdf["length"].astype("int64"),
+                    "meta": pdf["content"].map(_meta),
+                    "features": pdf["content"].map(_feats),
+                },
+                columns=["path", "n_bytes", "meta", "features"],
+            )
 
     pruned = df.select("path", "length", "content")
     return repartition_by_bytes(pruned, "length").mapInPandas(batches, schema=FEATURE_SCHEMA)

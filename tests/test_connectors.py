@@ -140,11 +140,29 @@ def test_kafka_offset_state_roundtrip(spark, topic):
     assert topic.get_state() == run_state["kafka_offsets"]
 
 
+def test_kafka_avro_type_gated(spark, topic):
+    """avro value type is accepted with a schema; decode raises a clear gate
+    error when the spark-avro runtime jar is absent (as in this container)."""
+    avro_topic = KafkaTopicDataObject(
+        id="ta", topic_name="t", connection=KafkaConnection(id="c", brokers="b:9092"),
+        value_type="avro",
+        value_schema='{"type":"record","name":"r","fields":[{"name":"x","type":"int"}]}',
+    )
+    raw = _raw_kafka_df(spark)
+    with pytest.raises(RuntimeError, match="spark-avro runtime jar"):
+        avro_topic.convert_dataframe(raw)
+    with pytest.raises(ValueError, match="requires a value_schema"):
+        KafkaTopicDataObject(
+            id="tb", topic_name="t", connection=KafkaConnection(id="c", brokers="b:9092"),
+            value_type="avro",
+        )
+
+
 def test_kafka_validation_errors():
     with pytest.raises(ValueError, match="requires a value_schema"):
         KafkaTopicDataObject(id="x", topic_name="t", connection={"id": "c", "brokers": "b"}, value_type="json")
     with pytest.raises(ValueError, match="not supported here"):
-        KafkaTopicDataObject(id="x", topic_name="t", connection={"id": "c", "brokers": "b"}, value_type="avro")
+        KafkaTopicDataObject(id="x", topic_name="t", connection={"id": "c", "brokers": "b"}, value_type="protobuf")
 
 
 # ------------------------------------------------------------------ JDBC
