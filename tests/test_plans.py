@@ -80,3 +80,36 @@ def test_partition_pruned_read_lists_only_matching_dirs(spark, tmp_path):
     df = do.get_dataframe(spark, [PartitionValues.of({"p": "b"})])
     files = df.inputFiles()
     assert files and all("p=b" in f for f in files)
+
+
+def test_q7_q8_broadcast_dims_no_nested_loop(spark, sf_dir):
+    """The 5/6-way nation-pair joins must broadcast the dimension sides and
+    never fall into a nested loop."""
+    for q in ("q7_nation_volume", "q8_market_share"):
+        plan = _plan(spark, q, sf_dir)
+        assert "BroadcastHashJoin" in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
+        assert "CartesianProduct" not in plan, q
+
+
+def test_q19_pushes_join_key_filter(spark, sf_dir):
+    """OR-of-ANDs predicate: the join itself stays a hash join on l_partkey
+    (the disjunction filters post-join, never a theta join)."""
+    plan = _plan(spark, "q19_discounted_revenue", sf_dir)
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_attribution_single_shuffle_no_join(spark, sf_dir):
+    """The as-of join compiles to union + window: exactly one Exchange for
+    the window partition (plus the final sort), and NO join operator."""
+    plan = _plan(spark, "asof_click_attribution", sf_dir)
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_range_join_is_hash_join(spark, sf_dir):
+    plan = _plan(spark, "range_clicks_before_purchase", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "_bucket" in plan  # bucket-keyed equi-join
