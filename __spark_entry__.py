@@ -735,6 +735,23 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sig).orderBy("doc_a", "doc_b")
 
 
+def neardup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering (functions/dedup.neardup_clusters): MinHash-LSH
+    candidate pairs → connected components (min-label propagation to
+    fixpoint) → per-cluster canonical pick. The oracle computes the same
+    fixpoint via a recursive reachability CTE."""
+    from smart_data_lake_spark.functions.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        neardup_clusters,
+        shingles,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(minhash_signatures(shingles(docs)))
+    return neardup_clusters(docs, pairs).orderBy("cluster_id")
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smart_data_lake_spark.functions.dedup import lsh_candidate_pairs, minhash_signatures, ngram_jaccard, shingles
 
@@ -880,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_by_source": token_count_by_source,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
+        "neardup_clusters_minhash": neardup_clusters_minhash,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "simhash_docs": simhash_docs,
         "ann_topk": ann_topk,
@@ -1344,6 +1362,29 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": f"""
             WITH {_SHINGLE_CTE}, {_minhash_cte()}
             SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""",
+        "neardup_clusters_minhash": f"""
+            WITH RECURSIVE {_SHINGLE_CTE}, {_minhash_cte()},
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs
+            ),
+            reach(src, dst) AS (
+              SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            ),
+            comp AS (SELECT src AS node, MIN(dst) AS label FROM reach GROUP BY src),
+            sized AS (
+              SELECT c.node, c.label, d.n_chars FROM comp c JOIN documents d ON d.doc_id = c.node
+            ),
+            ranked AS (
+              SELECT node, label, ROW_NUMBER() OVER (
+                PARTITION BY label ORDER BY n_chars DESC, node ASC) AS rk
+              FROM sized
+            )
+            SELECT label AS cluster_id, COUNT(*) AS n_docs,
+                   MAX(CASE WHEN rk = 1 THEN node END) AS canonical_doc_id
+            FROM ranked GROUP BY label ORDER BY cluster_id""",
         "dedup_ngram_jaccard": f"""
             WITH {_SHINGLE_CTE}, {_minhash_cte()},
             sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),

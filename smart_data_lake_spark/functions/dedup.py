@@ -278,3 +278,83 @@ def embedding_neardup_lsh(
         )
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected edge list by min-label
+    propagation: every node starts labeled with itself; each round takes the
+    min over its neighbors' labels; fixpoint = the component's minimum node
+    id. The Pregel-style pattern GraphFrames compiles to — each round is one
+    equi-join + map-side-combined min agg, `localCheckpoint` cuts the plan
+    lineage so iteration N doesn't replay rounds 1..N-1. Rounds needed =
+    graph diameter (tiny for near-dup clusters); `max_iter` bounds the loop,
+    and the early-exit fires as soon as a round changes nothing.
+
+    Returns (node, label). Only nodes present in `edges` appear — callers
+    decide how to treat singletons.
+    """
+    sym = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).unionByName(
+        edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    )
+    sym = sym.localCheckpoint(eager=True)
+    # round 0 fused into initialization: label = min(self, direct neighbors)
+    # — one agg instead of the first join round
+    labels = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("_nmin"))
+        .select(F.col("src").alias("node"), F.least("src", "_nmin").alias("label"))
+    )
+    for i in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == F.col("src"), "left")
+            .select(
+                F.col("node"),
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                    "new_label"
+                ),
+                F.col("label").alias("old_label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        labels = new_labels.select("node", F.col("new_label").alias("label"))
+        # cheap count on the already-materialized checkpoint gates each round
+        if new_labels.where(F.col("new_label") != F.col("old_label")).count() == 0:
+            break
+    return labels
+
+
+def neardup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS from candidate pairs: connected components +
+    per-cluster canonical selection (largest `size_col`, ties to the lowest
+    id) — the step a dedup pipeline runs after pair generation to decide
+    which document of each duplicate group to KEEP. Output: one row per
+    cluster (cluster_id = min doc id, n_docs, canonical_doc_id)."""
+    comp = connected_components(pairs, max_iter=max_iter)
+    sized = comp.join(
+        docs.select(F.col(id_col).alias("node"), F.col(size_col)), "node"
+    )
+    w = Window.partitionBy("label").orderBy(F.col(size_col).desc(), F.col("node").asc())
+    ranked = sized.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy(F.col("label").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max(F.when(F.col("rk") == 1, F.col("node"))).alias("canonical_doc_id"),
+        )
+    )

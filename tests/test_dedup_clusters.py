@@ -1,0 +1,52 @@
+"""Connected-components / near-dup clustering operator tests."""
+
+from pyspark.sql import Row
+
+from smart_data_lake_spark.functions.dedup import connected_components, neardup_clusters
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4 (diameter 3, needs >1 propagation round), island 10-11,
+    # and 20-21-22 forming a triangle
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "doc_a bigint, doc_b bigint",
+    )
+    got = {(r.node, r.label) for r in connected_components(edges).collect()}
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
+
+
+def test_connected_components_long_chain_converges(spark):
+    # path graph 0-1-...-12: min-label must travel the whole chain
+    n = 13
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a bigint, doc_b bigint"
+    )
+    labels = connected_components(edges).collect()
+    assert all(r.label == 0 for r in labels)
+    assert len(labels) == n
+
+
+def test_neardup_clusters_canonical_pick(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, n_chars=100),
+            Row(doc_id=2, n_chars=300),   # canonical of {1,2,3}: largest
+            Row(doc_id=3, n_chars=300),   # tie on size -> lower id wins (2)
+            Row(doc_id=10, n_chars=50),
+            Row(doc_id=11, n_chars=40),
+            Row(doc_id=99, n_chars=1),    # singleton: not in any pair -> absent
+        ]
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a bigint, doc_b bigint"
+    )
+    got = {
+        (r.cluster_id, r.n_docs, r.canonical_doc_id)
+        for r in neardup_clusters(docs, pairs).collect()
+    }
+    assert got == {(1, 3, 2), (10, 2, 10)}
