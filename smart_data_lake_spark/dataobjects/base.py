@@ -40,6 +40,19 @@ class Table:
     def full_name(self) -> str:
         return f"{self.db}.{self.name}" if self.db else self.name
 
+    @classmethod
+    def of(cls, spec: "Table | dict") -> "Table":
+        """Accept config dicts in either camelCase (HOCON-style, e.g.
+        primaryKey) or snake_case."""
+        if isinstance(spec, Table):
+            return spec
+        import re
+
+        def snake(n: str) -> str:
+            return re.sub(r"(?<!^)(?=[A-Z])", "_", n).lower()
+
+        return cls(**{snake(k): v for k, v in spec.items()})
+
 
 class DataObject(abc.ABC):
     """Named location/format of data with lifecycle hooks."""

@@ -53,7 +53,7 @@ class IcebergTableDataObject(DataObject, CanCreateDataFrame, CanWriteDataFrame, 
     ) -> None:
         super().__init__(id=id, **kwargs)
         if isinstance(table, dict):
-            table = Table(**table)
+            table = Table.of(table)
         self.table = table
         self.catalog = catalog
         self.path = path

@@ -177,7 +177,7 @@ class JdbcTableDataObject(DataObject, CanCreateDataFrame, CanWriteDataFrame, Can
     ) -> None:
         super().__init__(id=id, **kwargs)
         if isinstance(table, dict):
-            table = Table(**table)
+            table = Table.of(table)
         self.table = table
         self.url = url
         self.connection_options = connection_options or {}

@@ -62,7 +62,7 @@ class ParquetTableDataObject(SparkFileDataObject, CanMergeDataFrame):
     ) -> None:
         super().__init__(id=id, path=path, **kwargs)
         if isinstance(table, dict):
-            table = Table(**table)
+            table = Table.of(table)
         self.table = table or Table(name=id)
 
     @property

@@ -133,3 +133,22 @@ def test_simulation(spark, sf_dir):
     result = builder.simulate({"in": df_in}, spark=spark)
     assert result["out"].count() == 2
     assert not os.path.exists("/tmp/never_written")
+
+
+def test_example_medallion_pipeline(spark, tmp_path):
+    """The shipped examples/medallion_pipeline.py runs end-to-end: two
+    builder runs over the same declarative config, SCD2 history continuity,
+    lab inspection summary."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "medallion_example",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "examples", "medallion_pipeline.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    summary = mod.main(str(tmp_path / "work"))
+    assert summary["run_id"] == 2
+    assert summary["history_rows"] >= summary["open_versions"] > 0
+    assert summary["bronze_rows"] == summary["current_rows"]
