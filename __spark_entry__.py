@@ -710,6 +710,94 @@ def token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (functions/quality.with_repetition_stats,
+    public Rae et al. 2021 §A1.1 heuristics) over a corpus with injected
+    repetition: every 10th doc re-appears with its text tripled, so both
+    keep/drop verdicts are exercised. Per-(source, verdict) counts plus POOLED
+    repetition fractions — exact integer sums with one final division, so the
+    aggregate is order-independent and bit-identical across engines."""
+    from smart_data_lake_spark.functions.quality import with_repetition_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    noisy = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "source",
+        F.concat_ws(" ", "text", "text", "text").alias("text"),
+    )
+    stats = with_repetition_stats(docs.unionByName(noisy))
+    return (
+        stats.groupBy("source", "quality_keep")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.sum("top_2gram_count") / F.sum("n_2grams"), 6).alias("pooled_top_2gram_frac"),
+            F.round(F.sum("dup_5gram_count") / F.sum("n_5grams"), 6).alias("pooled_dup_5gram_frac"),
+        )
+        .orderBy("source", "quality_keep")
+    )
+
+
+def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-window chunking with overlap (functions/chunking
+    .chunk_documents): 120-char windows, 30-char overlap — a zero-shuffle
+    rowwise fan-out (strided `sequence` + `posexplode` + `substring`)."""
+    from smart_data_lake_spark.functions.chunking import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ch = chunk_documents(docs, chunk_chars=120, overlap=30)
+    return ch.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.col("chunk_start").cast("bigint").alias("chunk_start"),
+        F.col("n_chunks").cast("bigint").alias("n_chunks"),
+        F.length("chunk_text").cast("bigint").alias("chunk_len"),
+        F.md5("chunk_text").alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k keyword search (functions/search.bm25_topk): per-doc term
+    frequencies within the row, corpus stats via ONE scalar aggregate
+    broadcast back — scan → tiny agg → projection → TakeOrderedAndProject."""
+    from smart_data_lake_spark.functions.search import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk(docs, ["merge", "window", "stream"], k=20)
+
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (functions/text.redact_pii): deterministic e-mail/phone/
+    IPv4 literals are injected into every 7th doc in BOTH engines, then
+    redacted with the shared RE2-compatible patterns; per-doc hit counts via
+    regexp_count. All JVM-side regex — no Python in the path."""
+    from smart_data_lake_spark.functions.text import pii_hit_counts, redact_pii
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-123-4567 ip 10.0.0.1"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    hits = pii_hit_counts(F.col("text"))
+    return (
+        injected.select(
+            "doc_id",
+            F.md5(redact_pii(F.col("text"))).alias("redacted_md5"),
+            hits["email"].cast("bigint").alias("n_email"),
+            hits["phone"].cast("bigint").alias("n_phone"),
+            hits["ipv4"].cast("bigint").alias("n_ip"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup over a corpus with injected duplicates (every 50th doc
     re-appears under a new id — deterministic in both engines)."""
@@ -934,6 +1022,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": text_stats,
         "lang_id_confusion": lang_id_confusion,
         "token_count_by_source": token_count_by_source,
+        "quality_filter_gopher": quality_filter_gopher,
+        "chunk_documents_overlap": chunk_documents_overlap,
+        "bm25_search": bm25_search,
+        "pii_redaction": pii_redaction,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
         "neardup_clusters_minhash": neardup_clusters_minhash,
@@ -1390,6 +1482,139 @@ def oracle_sql() -> dict[str, str]:
         "token_count_by_source": f"""
             SELECT source, CAST(SUM({_NTOK}) AS BIGINT) AS total_tokens, COUNT(*) AS n_docs
             FROM documents GROUP BY source ORDER BY source""",
+        "quality_filter_gopher": f"""
+            WITH corpus AS (
+              SELECT doc_id, source, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, source,
+                     text || ' ' || text || ' ' || text AS text
+              FROM documents WHERE doc_id % 10 = 0
+            ),
+            toks AS (
+              SELECT source, text,
+                     CASE WHEN length(trim(lower(text))) = 0
+                          THEN CAST([] AS VARCHAR[]) ELSE {_TOKS} END AS t
+              FROM corpus
+            ),
+            grams AS (
+              SELECT source, text, t,
+                CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+                     ELSE list_transform(generate_series(1, len(t) - 1),
+                                         i -> array_to_string(t[i:i+1], ' ')) END AS g2,
+                CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+                     ELSE list_transform(generate_series(1, len(t) - 2),
+                                         i -> array_to_string(t[i:i+2], ' ')) END AS g3,
+                CASE WHEN len(t) < 5 THEN CAST([] AS VARCHAR[])
+                     ELSE list_transform(generate_series(1, len(t) - 4),
+                                         i -> array_to_string(t[i:i+4], ' ')) END AS g5
+              FROM toks
+            ),
+            m AS (
+              SELECT source, text, t,
+                len(g2) AS n2,
+                COALESCE(list_max(list_transform(list_distinct(g2),
+                    x -> len(list_filter(g2, y -> y = x)))), 0) AS best2,
+                len(g3) AS n3,
+                COALESCE(list_max(list_transform(list_distinct(g3),
+                    x -> len(list_filter(g3, y -> y = x)))), 0) AS best3,
+                len(g5) AS n5,
+                COALESCE(list_sum(list_transform(list_distinct(g5),
+                    x -> CASE WHEN len(list_filter(g5, y -> y = x)) >= 2
+                              THEN len(list_filter(g5, y -> y = x)) ELSE 0 END)), 0) AS dup5,
+                list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                            x -> length(x) > 0) AS ls,
+                length(text) - length(regexp_replace(text, '[#…]', '', 'g')) AS nsym
+              FROM grams
+            ),
+            v AS (
+              SELECT source, n2, best2, n5, dup5,
+                (CASE WHEN len(ls) = 0 THEN 0.0
+                      ELSE (len(ls) - len(list_distinct(ls))) * 1.0 / len(ls) END) <= 0.30
+                AND (CASE WHEN n2 = 0 THEN 0.0 ELSE best2 * 1.0 / n2 END) <= 0.20
+                AND (CASE WHEN n3 = 0 THEN 0.0 ELSE best3 * 1.0 / n3 END) <= 0.18
+                AND (CASE WHEN n5 = 0 THEN 0.0 ELSE dup5 * 1.0 / n5 END) <= 0.15
+                AND (CASE WHEN len(t) = 0 THEN 0.0 ELSE nsym * 1.0 / len(t) END) <= 0.10
+                AS quality_keep
+              FROM m
+            )
+            SELECT source, quality_keep, COUNT(*) AS n_docs,
+                   round(CAST(SUM(best2) AS DOUBLE) / CAST(SUM(n2) AS DOUBLE), 6) AS pooled_top_2gram_frac,
+                   round(CAST(SUM(dup5) AS DOUBLE) / CAST(SUM(n5) AS DOUBLE), 6) AS pooled_dup_5gram_frac
+            FROM v GROUP BY source, quality_keep ORDER BY source, quality_keep""",
+        "chunk_documents_overlap": """
+            WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+            k AS (
+              SELECT doc_id, text,
+                     CAST(floor((greatest(n - 120, 0) + 89) / 90) AS BIGINT) AS last_k
+              FROM d
+            ),
+            e AS (
+              SELECT doc_id, text, last_k,
+                     unnest(generate_series(0, last_k)) AS chunk_id
+              FROM k
+            )
+            SELECT doc_id, chunk_id,
+                   1 + chunk_id * 90 AS chunk_start,
+                   last_k + 1 AS n_chunks,
+                   CAST(length(substring(text, CAST(1 + chunk_id * 90 AS INT), 120)) AS BIGINT) AS chunk_len,
+                   md5(substring(text, CAST(1 + chunk_id * 90 AS INT), 120)) AS chunk_md5
+            FROM e ORDER BY doc_id, chunk_id""",
+        "bm25_search": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     {_NTOK} AS dl,
+                     len(list_filter({_TOKS}, x -> x = 'merge')) AS tf0,
+                     len(list_filter({_TOKS}, x -> x = 'stream')) AS tf1,
+                     len(list_filter({_TOKS}, x -> x = 'window')) AS tf2
+              FROM documents
+            ),
+            st AS (
+              SELECT COUNT(*) AS n,
+                     CAST(SUM(dl) AS BIGINT) AS dls,
+                     SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                     SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                     SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+              FROM base
+            ),
+            sc AS (
+              SELECT doc_id,
+                ln(1.0 + CAST(n - df0 + 0.5 AS DOUBLE) / CAST(df0 + 0.5 AS DOUBLE))
+                  * (tf0 * CAST(2.2 AS DOUBLE))
+                  / (tf0 + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * (dl / (CAST(dls AS DOUBLE) / n))))
+                + ln(1.0 + CAST(n - df1 + 0.5 AS DOUBLE) / CAST(df1 + 0.5 AS DOUBLE))
+                  * (tf1 * CAST(2.2 AS DOUBLE))
+                  / (tf1 + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * (dl / (CAST(dls AS DOUBLE) / n))))
+                + ln(1.0 + CAST(n - df2 + 0.5 AS DOUBLE) / CAST(df2 + 0.5 AS DOUBLE))
+                  * (tf2 * CAST(2.2 AS DOUBLE))
+                  / (tf2 + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * (dl / (CAST(dls AS DOUBLE) / n))))
+                AS raw_score,
+                (CASE WHEN tf0 > 0 THEN 1 ELSE 0 END
+                 + CASE WHEN tf1 > 0 THEN 1 ELSE 0 END
+                 + CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS n_matched
+              FROM base, st
+            )
+            SELECT doc_id, round(raw_score, 6) AS score, n_matched
+            FROM sc WHERE n_matched > 0
+            ORDER BY score DESC, doc_id LIMIT 20""",
+        "pii_redaction": """
+            WITH injected AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 7 = 0
+                     THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com or 555-123-4567 ip 10.0.0.1'
+                     ELSE text END AS text
+              FROM documents
+            )
+            SELECT doc_id,
+              md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b', '<PHONE>', 'g'),
+                  '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
+                  '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g')) AS redacted_md5,
+              CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+              CAST(len(regexp_extract_all(text, '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b')) AS BIGINT) AS n_phone,
+              CAST(len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ip
+            FROM injected ORDER BY doc_id""",
         "dedup_exact": """
             WITH corpus AS (
               SELECT doc_id, text FROM documents

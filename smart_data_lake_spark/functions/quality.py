@@ -1,0 +1,180 @@
+"""Repetition / quality filters for web-scale training corpora.
+
+Implements the Gopher-style (Rae et al. 2021, "Scaling Language Models",
+§A1.1) repetition heuristics as pure Catalyst expressions: every metric is
+computed WITHIN a row over the document's own token/line arrays, so the
+operator is a zero-shuffle projection that runs at parquet-scan speed on a
+100 TB corpus — no explode, no per-document groupBy, no Python.
+
+The interesting trick is the most-frequent-n-gram count: instead of
+`explode → groupBy(doc, ngram) → max(count)` (two shuffles, row explosion by
+~|tokens|), we `array_sort` the n-gram array and fold it once with
+`aggregate`, tracking the longest run of equal neighbours — identical result,
+zero shuffles, O(n log n) per row inside codegen.
+
+Reference parity: the reference framework delegates scalar feature logic to
+its expression engine (smart-data-lake sdl-core ScalaClassSparkDfTransformer
+surface); the metric definitions themselves follow the public Gopher paper.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def lines(col: Column) -> Column:
+    """Non-empty trimmed lines of the document."""
+    raw = F.split(col, r"\n")
+    # NB: lambda, not bare F.trim — Spark 4's trim(col, trim=...) is a 2-arg
+    # callable, which transform would call as (element, index)
+    return F.filter(F.transform(raw, lambda x: F.trim(x)), lambda x: F.length(x) > 0)
+
+
+def duplicate_line_fraction(col: Column) -> Column:
+    """Fraction of lines that are repeats of an earlier line (Gopher A1.1)."""
+    ls = lines(col)
+    n = F.size(ls)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        (n - F.size(F.array_distinct(ls))) / n
+    )
+
+
+def ngrams(col: Column, n: int) -> Column:
+    """Word n-grams as space-joined strings; [] when the doc is too short."""
+    toks = tokens(col)
+    k = F.size(toks)
+    return F.when(k < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), k - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def _run_stats(sorted_arr: Column) -> Column:
+    """Fold a sorted string array into (best, dup): the longest run of equal
+    neighbours and the total count of elements belonging to runs of length
+    >= 2. Single pass, stays in codegen."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+        F.lit(0).alias("dup"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        same = acc["prev"].isNotNull() & (x == acc["prev"])
+        run = F.when(same, acc["run"] + 1).otherwise(F.lit(1))
+        # when a run reaches length 2 both members become duplicates at once;
+        # each further extension adds one more
+        dup = acc["dup"] + F.when(run == 2, F.lit(2)).when(run > 2, F.lit(1)).otherwise(F.lit(0))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+            dup.alias("dup"),
+        )
+
+    return F.aggregate(sorted_arr, init, step)
+
+
+def top_ngram_fraction(col: Column, n: int) -> Column:
+    """Fraction of n-grams taken by the single most frequent n-gram."""
+    grams = ngrams(col, n)
+    total = F.size(grams)
+    best = _run_stats(F.array_sort(grams))["best"]
+    return F.when(total == 0, F.lit(0.0)).otherwise(best / total)
+
+
+def duplicate_ngram_fraction(col: Column, n: int) -> Column:
+    """Fraction of n-grams that occur more than once in the document."""
+    grams = ngrams(col, n)
+    total = F.size(grams)
+    dup = _run_stats(F.array_sort(grams))["dup"]
+    return F.when(total == 0, F.lit(0.0)).otherwise(dup / total)
+
+
+def symbol_to_word_ratio(col: Column, symbols: str = "#…") -> Column:
+    """Hash/ellipsis symbols per word (Gopher filters docs with ratio > 0.1)."""
+    n_sym = F.length(col) - F.length(F.regexp_replace(col, f"[{symbols}]", ""))
+    n_tok = F.size(tokens(col))
+    return F.when(n_tok == 0, F.lit(0.0)).otherwise(n_sym / n_tok)
+
+
+def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the Gopher repetition block: dup_line_frac, top{2,3}gram_frac,
+    dup_{5}gram_frac, symbol_word_ratio, plus the pass/fail verdict
+    `quality_keep` with the paper's published thresholds.
+
+    Layered projections (see text.with_text_stats) make Catalyst materialize
+    the token array and each sorted n-gram array once per row.
+    """
+    c = F.col(text_col)
+    s1 = df.withColumns({"_toks": tokens(c), "_lines": lines(c)})
+    t = F.col("_toks")
+
+    def _grams(n: int) -> Column:
+        k = F.size(t)
+        return F.when(k < n, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), k - F.lit(n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+            )
+        )
+
+    s2 = s1.withColumns(
+        {
+            "_g2": F.array_sort(_grams(2)),
+            "_g3": F.array_sort(_grams(3)),
+            "_g5": F.array_sort(_grams(5)),
+        }
+    )
+    s3 = s2.withColumns(
+        {
+            "_r2": _run_stats(F.col("_g2")),
+            "_r3": _run_stats(F.col("_g3")),
+            "_r5": _run_stats(F.col("_g5")),
+        }
+    )
+    nl = F.size(F.col("_lines"))
+    dup_line = F.when(nl == 0, F.lit(0.0)).otherwise(
+        (nl - F.size(F.array_distinct(F.col("_lines")))) / nl
+    )
+    n_sym = F.length(c) - F.length(F.regexp_replace(c, "[#…]", ""))
+    n_tok = F.size(t)
+
+    def _frac(r: str, g: str, field: str) -> Column:
+        total = F.size(F.col(g))
+        return F.when(total == 0, F.lit(0.0)).otherwise(F.col(r)[field] / total)
+
+    s4 = s3.withColumns(
+        {
+            # raw integer counts are exposed so downstream aggregations can
+            # pool exactly (SUM of ints + one division) instead of averaging
+            # doubles, whose summation order differs across engines
+            "n_2grams": F.size(F.col("_g2")),
+            "top_2gram_count": F.col("_r2")["best"],
+            "n_3grams": F.size(F.col("_g3")),
+            "top_3gram_count": F.col("_r3")["best"],
+            "n_5grams": F.size(F.col("_g5")),
+            "dup_5gram_count": F.col("_r5")["dup"],
+            "dup_line_frac": dup_line,
+            "top_2gram_frac": _frac("_r2", "_g2", "best"),
+            "top_3gram_frac": _frac("_r3", "_g3", "best"),
+            "dup_5gram_frac": _frac("_r5", "_g5", "dup"),
+            "symbol_word_ratio": F.when(n_tok == 0, F.lit(0.0)).otherwise(n_sym / n_tok),
+        }
+    )
+    keep = (
+        (F.col("dup_line_frac") <= 0.30)
+        & (F.col("top_2gram_frac") <= 0.20)
+        & (F.col("top_3gram_frac") <= 0.18)
+        & (F.col("dup_5gram_frac") <= 0.15)
+        & (F.col("symbol_word_ratio") <= 0.10)
+    )
+    return s4.withColumn("quality_keep", keep).drop(
+        "_toks", "_lines", "_g2", "_g3", "_g5", "_r2", "_r3", "_r5"
+    )

@@ -1,0 +1,132 @@
+"""Keyword search over a document corpus: TF-IDF / BM25 scoring, top-k.
+
+BM25 (Robertson & Zaragoza 2009, "The Probabilistic Relevance Framework")
+with the standard k1/b parameterisation. Architecture for 100 TB:
+
+* per-document term frequencies for the (small, literal) query term set are
+  computed WITHIN the row via `size(filter(tokens, = term))` — no explode of
+  the corpus into a posting list, no (doc, term) shuffle;
+* the corpus statistics (N, avgdl, per-term document frequency) reduce to a
+  SINGLE scalar row via one map-side-combined aggregate — the only shuffle
+  in the plan, and it moves one row per partition;
+* that scalar row is broadcast back (crossJoin of a 1-row DF) and scoring is
+  a pure projection, so the whole query is scan → tiny agg → scan-side
+  projection → top-k (TakeOrderedAndProject).
+
+idf uses the BM25+ floor formulation ln(1 + (N - df + 0.5)/(df + 0.5)) so
+scores are always positive. Scores are rounded to 6 decimals to absorb the
+<=1-ulp libm differences between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def _eq(term: str):
+    """Single-argument element predicate for F.filter (a 2-arg lambda would be
+    interpreted by PySpark as (element, index))."""
+    return lambda x: x == F.lit(term)
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents for a bag-of-words query, scored with BM25.
+
+    Returns (id_col, score, n_matched) ordered by score desc, id asc.
+    """
+    terms = sorted(set(t.lower() for t in query_terms))
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("_dl"),
+        *[
+            F.size(F.filter(toks, _eq(t))).alias(f"_tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+
+    stats = base.agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        F.sum("_dl").alias("_dl_sum"),
+        *[
+            F.sum(F.when(F.col(f"_tf_{i}") > 0, 1).otherwise(0)).alias(f"_df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+
+    scored = base.crossJoin(F.broadcast(stats))
+    avgdl = F.col("_dl_sum") / F.col("_n_docs")
+    n = F.col("_n_docs")
+    norm = F.col("_dl") / avgdl
+    score = F.lit(0.0)
+    matched = F.lit(0)
+    for i in range(len(terms)):
+        tf = F.col(f"_tf_{i}")
+        df_t = F.col(f"_df_{i}")
+        idf = F.log(F.lit(1.0) + (n - df_t + F.lit(0.5)) / (df_t + F.lit(0.5)))
+        score = score + idf * (tf * (k1 + 1)) / (tf + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * norm))
+        matched = matched + F.when(tf > 0, 1).otherwise(0)
+
+    return (
+        scored.select(
+            F.col(id_col),
+            F.round(score, 6).alias("score"),
+            matched.alias("n_matched"),
+        )
+        .where(F.col("n_matched") > 0)
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def tfidf_vectors(
+    df: DataFrame,
+    vocabulary: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dense TF-IDF vectors over a fixed literal vocabulary.
+
+    Same shuffle profile as bm25_topk (one scalar agg + broadcast); returns
+    (id_col, tfidf array<double>) with idf = ln((1+N)/(1+df)) + 1
+    (scikit-learn smooth_idf convention, public)."""
+    vocab = list(vocabulary)
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        *[
+            F.size(F.filter(toks, _eq(t))).alias(f"_tf_{i}")
+            for i, t in enumerate(vocab)
+        ],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        *[
+            F.sum(F.when(F.col(f"_tf_{i}") > 0, 1).otherwise(0)).alias(f"_df_{i}")
+            for i in range(len(vocab))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    comps = [
+        F.round(
+            F.col(f"_tf_{i}")
+            * (F.log((F.lit(1.0) + F.col("_n_docs")) / (F.lit(1.0) + F.col(f"_df_{i}"))) + F.lit(1.0)),
+            6,
+        )
+        for i in range(len(vocab))
+    ]
+    return scored.select(F.col(id_col), F.array(*comps).alias("tfidf"))

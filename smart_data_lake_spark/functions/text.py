@@ -99,6 +99,42 @@ def fingerprint(col: Column) -> Column:
     return F.md5(normalized)
 
 
+# PII patterns kept to the RE2-compatible common subset (no backrefs, no
+# lookaround) so the same literal pattern runs in Spark (java.util.regex) and
+# any RE2-based engine with identical semantics.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "phone": (r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    "ssn": (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+}
+
+
+def redact_pii(col: Column, kinds: list[str] | None = None) -> Column:
+    """Replace e-mail / phone / SSN / IPv4 literals with typed placeholders.
+
+    A chain of JVM-side regexp_replace calls (replace-all semantics, matching
+    POSIX 'g'); order matters — SSN before phone would also work, but e-mail
+    must run before IPv4 so host-part dots aren't half-eaten. The kinds list
+    is applied in the declared order.
+    """
+    out = col
+    for kind in kinds or list(PII_PATTERNS):
+        pattern, repl = PII_PATTERNS[kind]
+        out = F.regexp_replace(out, pattern, repl)
+    return out
+
+
+def pii_hit_counts(col: Column) -> Column:
+    """Struct of per-kind match counts (regexp_count, JVM-side)."""
+    return F.struct(
+        *[
+            F.regexp_count(col, F.lit(pattern)).alias(kind)
+            for kind, (pattern, _) in PII_PATTERNS.items()
+        ]
+    )
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text", stopwords: list[str] | None = None) -> DataFrame:
     """Attach the full stat block — zero shuffles, and the expensive
     subexpressions (regex tokenization, higher-order filters) are evaluated

@@ -113,3 +113,38 @@ def test_range_join_is_hash_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "_bucket" in plan  # bucket-keyed equi-join
+
+
+def test_repetition_stats_no_shuffle(spark, sf_dir):
+    """The Gopher block is a pure rowwise projection: the only Exchange
+    allowed in quality_filter_gopher is the final groupBy(source)."""
+    plan = _plan(spark, "quality_filter_gopher", sf_dir)
+    assert plan.count("Exchange") <= 2  # partial/final agg exchange only
+    assert "CartesianProduct" not in plan and "posexplode" not in plan
+
+
+def test_chunking_zero_shuffle(spark, sf_dir):
+    """Chunk fan-out must stay narrow — each chunk lands on its parent doc's
+    partition; Sort for the output ordering is fine, Exchange before the
+    generate is not."""
+    df = entry.queries()["chunk_documents_overlap"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" in plan  # posexplode
+    generate_side = plan.split("Generate")[1]
+    assert "Exchange" not in generate_side  # nothing below the fan-out shuffles
+
+
+def test_bm25_single_agg_shuffle_and_broadcast_stats(spark, sf_dir):
+    """BM25 = scan -> one scalar agg -> broadcast back -> projection ->
+    TakeOrderedAndProject. No (doc, term) explode, no sort-merge join."""
+    plan = _plan(spark, "bm25_search", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan  # 1-row stats broadcast
+    assert "SortMergeJoin" not in plan
+    assert "Generate" not in plan  # no corpus explode
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pii_redaction_no_shuffle(spark, sf_dir):
+    plan = _plan(spark, "pii_redaction", sf_dir)
+    assert "Exchange" not in plan.split("Sort")[0] if "Sort" in plan else True
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1,0 +1,128 @@
+"""Unit tests for the quality / chunking / search / PII operator family."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from smart_data_lake_spark.functions.chunking import chunk_documents
+from smart_data_lake_spark.functions.quality import (
+    duplicate_line_fraction,
+    duplicate_ngram_fraction,
+    ngrams,
+    top_ngram_fraction,
+    with_repetition_stats,
+)
+from smart_data_lake_spark.functions.search import bm25_topk, tfidf_vectors
+from smart_data_lake_spark.functions.text import redact_pii
+
+
+def test_ngram_run_stats_against_hand_count(spark):
+    # "the cat sat on the cat sat on a mat": 9 bigrams, "the cat"/"cat sat"/
+    # "sat on" each twice -> best run 2, six bigrams belong to dup groups
+    df = spark.createDataFrame([("the cat sat on the cat sat on a mat",)], ["text"])
+    row = df.select(
+        F.size(ngrams(F.col("text"), 2)).alias("n2"),
+        top_ngram_fraction(F.col("text"), 2).alias("top2"),
+        duplicate_ngram_fraction(F.col("text"), 2).alias("dup2"),
+    ).first()
+    assert row.n2 == 9
+    assert row.top2 == pytest.approx(2 / 9)
+    assert row.dup2 == pytest.approx(6 / 9)
+
+
+def test_ngram_shorter_than_n_is_empty(spark):
+    df = spark.createDataFrame([("one two",), ("",)], ["text"])
+    rows = df.select(F.size(ngrams(F.col("text"), 3)).alias("n")).collect()
+    assert [r.n for r in rows] == [0, 0]
+
+
+def test_duplicate_line_fraction(spark):
+    text = "alpha\nbeta\nalpha\n\n  beta  \ngamma"
+    df = spark.createDataFrame([(text,)], ["text"])
+    # trimmed non-empty lines: alpha beta alpha beta gamma -> 2 of 5 are dups
+    assert df.select(duplicate_line_fraction(F.col("text")).alias("f")).first().f == pytest.approx(2 / 5)
+
+
+def test_repetition_stats_flags_repeated_doc(spark):
+    clean = "the quick brown fox jumps over a lazy dog near the river bank today"
+    spammy = " ".join(["buy now"] * 30)
+    df = spark.createDataFrame([(1, clean), (2, spammy)], ["doc_id", "text"])
+    rows = {r.doc_id: r for r in with_repetition_stats(df).collect()}
+    assert rows[1].quality_keep is True
+    assert rows[2].quality_keep is False
+    assert rows[2].top_2gram_frac > 0.4
+    assert rows[2].dup_5gram_frac == pytest.approx(1.0)
+
+
+def test_chunking_covers_text_exactly(spark):
+    text = "x" * 250
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = chunk_documents(df, chunk_chars=100, overlap=20).orderBy("chunk_id").collect()
+    # stride 80: starts 1, 81, 161 -> 3 chunks; last one short (90 chars)
+    assert [r.chunk_start for r in rows] == [1, 81, 161]
+    assert [len(r.chunk_text) for r in rows] == [100, 100, 90]
+    assert all(r.n_chunks == 3 for r in rows)
+    # overlapping reassembly reproduces the document
+    rebuilt = rows[0].chunk_text + "".join(r.chunk_text[20:] for r in rows[1:])
+    assert rebuilt == text
+
+
+def test_chunking_short_and_empty_docs(spark):
+    df = spark.createDataFrame([(1, "short"), (2, "")], ["doc_id", "text"])
+    rows = chunk_documents(df, chunk_chars=100, overlap=20).collect()
+    by_id = {r.doc_id: r for r in rows}
+    assert len(rows) == 2  # one chunk each, nothing dropped
+    assert by_id[1].chunk_text == "short"
+    assert by_id[2].chunk_text == ""
+
+
+def test_chunking_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_chars=50, overlap=50)
+
+
+def test_bm25_matches_reference_formula(spark):
+    docs = [
+        (1, "spark merge window"),
+        (2, "merge merge merge stream"),
+        (3, "window scan sort"),
+        (4, "nothing relevant here"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r.doc_id: r for r in bm25_topk(df, ["merge", "window"], k=4).collect()}
+    assert 4 not in out  # no query term
+    assert out[2].n_matched == 1 and out[1].n_matched == 2
+
+    # independent python reference for doc 1
+    n, k1, b = 4, 1.2, 0.75
+    dls = {1: 3, 2: 4, 3: 3, 4: 3}
+    avgdl = sum(dls.values()) / n
+    def idf(dfreq):
+        return math.log(1 + (n - dfreq + 0.5) / (dfreq + 0.5))
+    def term(tf, dfreq, dl):
+        return idf(dfreq) * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+    expected = term(1, 2, 3) + term(1, 2, 3)  # merge df=2, window df=2
+    assert out[1].score == pytest.approx(expected, abs=1e-6)
+
+
+def test_tfidf_vectors_shape_and_zero_for_absent_terms(spark):
+    df = spark.createDataFrame([(1, "spark spark window"), (2, "scan")], ["doc_id", "text"])
+    rows = {r.doc_id: r.tfidf for r in tfidf_vectors(df, ["spark", "window", "merge"]).collect()}
+    assert len(rows[1]) == 3
+    assert rows[1][2] == 0.0  # merge absent
+    assert rows[2][0] == 0.0 and rows[1][0] > rows[1][1]  # tf weighting
+
+
+def test_redact_pii_all_kinds(spark):
+    text = "mail a.b+c@x-corp.io call 555-123-4567 ssn 123-45-6789 host 192.168.0.1 end"
+    df = spark.createDataFrame([(text,)], ["text"])
+    red = df.select(redact_pii(F.col("text")).alias("r")).first().r
+    assert red == "mail <EMAIL> call <PHONE> ssn <SSN> host <IP> end"
+
+
+def test_redact_pii_leaves_clean_text_alone(spark):
+    text = "no pii here just words and 42 numbers"
+    df = spark.createDataFrame([(text,)], ["text"])
+    assert df.select(redact_pii(F.col("text")).alias("r")).first().r == text
