@@ -710,6 +710,24 @@ def token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming through the correctness gate: file-source stream
+    over events, watermark + tumbling 1-hour window + per-type agg
+    (streaming/operators.windowed_event_counts), drained with availableNow
+    into a memory sink. Window starts are epoch seconds — engine/tz neutral.
+    The oracle is the equivalent batch GROUP BY over the same files, proving
+    stream-batch consistency of the windowed plan."""
+    from smart_data_lake_spark.streaming.operators import (
+        read_events_stream,
+        run_available_now,
+        windowed_event_counts,
+    )
+
+    sdf = read_events_stream(spark, sf_dir)
+    out = run_available_now(windowed_event_counts(sdf))
+    return out.orderBy("window_start_epoch", "event_type")
+
+
 def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters (functions/quality.with_repetition_stats,
     public Rae et al. 2021 §A1.1 heuristics) over a corpus with injected
@@ -1022,6 +1040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": text_stats,
         "lang_id_confusion": lang_id_confusion,
         "token_count_by_source": token_count_by_source,
+        "streaming_windowed_counts": streaming_windowed_counts,
         "quality_filter_gopher": quality_filter_gopher,
         "chunk_documents_overlap": chunk_documents_overlap,
         "bm25_search": bm25_search,
@@ -1482,6 +1501,11 @@ def oracle_sql() -> dict[str, str]:
         "token_count_by_source": f"""
             SELECT source, CAST(SUM({_NTOK}) AS BIGINT) AS total_tokens, COUNT(*) AS n_docs
             FROM documents GROUP BY source ORDER BY source""",
+        "streaming_windowed_counts": """
+            SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start_epoch,
+                   event_type, COUNT(*) AS n_events, MAX(value) AS max_value
+            FROM events
+            GROUP BY 1, 2 ORDER BY window_start_epoch, event_type""",
         "quality_filter_gopher": f"""
             WITH corpus AS (
               SELECT doc_id, source, text FROM documents

@@ -1,0 +1,131 @@
+"""Structured-Streaming operators: windowed aggregation and custom state.
+
+Mirrors the reference's streaming surface (sdl-core SparkStreamingMode,
+`/root/reference/sdl-core/src/main/scala/io/smartdatalake/workflow/action/executionMode`)
+re-expressed on Structured Streaming primitives:
+
+* `read_events_stream` — file-source stream over the events table (the
+  TIMESTAMP(NANOS) parquet needs the nanosAsLong shim, same as batch);
+* `windowed_event_counts` — watermark + tumbling-window aggregate, the
+  canonical late-data-tolerant streaming agg;
+* `run_available_now` — drain all available input through a memory sink and
+  return the result table (the test/driver adapter; production pipelines
+  write through a DataObject sink instead);
+* `stateful_user_totals` — arbitrary stateful processing via
+  applyInPandasWithState (running per-user aggregates that survive across
+  micro-batches), the escape hatch for operators windowed aggs can't express.
+
+Scale note: windowed aggs shuffle once on (window, key) with partial
+aggregation map-side; state lives in the executor state store keyed by
+group — both shapes hold on a 1000-executor cluster. The memory sink is
+ONLY for tests/drivers (it collects to the driver by design).
+"""
+
+from __future__ import annotations
+
+import uuid
+from typing import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+EVENTS_SCHEMA = "event_id long, ts long, user_id long, event_type string, value double, props string"
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream over events.parquet with nano→micro ts conversion."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file stream source requires a directory; select just the events
+    # table out of the shared sf_dir with a glob filter
+    reader = spark.readStream.schema(EVENTS_SCHEMA).option("pathGlobFilter", "events.parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(sf_dir)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_event_counts(
+    sdf: DataFrame,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window counts per event_type with a watermark for late data.
+
+    Output carries the window start as epoch seconds (engine- and
+    timezone-neutral)."""
+    return (
+        sdf.withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", window_duration).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max("value").alias("max_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+            "max_value",
+        )
+    )
+
+
+def run_available_now(result: DataFrame, query_name: str | None = None, output_mode: str = "complete") -> DataFrame:
+    """Drain all available input through a memory sink; return the table."""
+    name = query_name or f"sdl_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return result.sparkSession.table(name)
+
+
+_TOTALS_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("max_value", DoubleType()),
+    ]
+)
+_TOTALS_STATE = StructType(
+    [StructField("n", LongType()), StructField("vmax", DoubleType())]
+)
+
+
+def _totals_fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    n, vmax = state.get if state.exists else (0, float("-inf"))
+    for pdf in pdfs:
+        n += len(pdf)
+        if len(pdf):
+            m = float(pdf["value"].max())
+            vmax = m if m > vmax else vmax
+    state.update((n, vmax))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "max_value": [vmax if n else None]}
+    )
+
+
+def stateful_user_totals(sdf: DataFrame) -> DataFrame:
+    """Running per-user totals via applyInPandasWithState.
+
+    State (count, max) survives across micro-batches in the executor state
+    store; each batch emits the updated totals for the users it touched
+    (update semantics). This is the template for operators that windowed
+    aggregation cannot express (custom counters, ML feature state, CDC
+    folding) — reference parity: custom stateful transformation surface."""
+    return sdf.groupBy("user_id").applyInPandasWithState(
+        _totals_fn,
+        outputStructType=_TOTALS_OUT,
+        stateStructType=_TOTALS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -175,3 +175,46 @@ def test_streaming_copy_available_now_incremental(spark, tmp_path):
     out2 = spark.read.parquet(dst_path)
     assert {tuple(r) for r in out2.select("id", "v").collect()} == {(1, "a"), (2, "b"), (3, "c")}
     assert state2.action_metrics["s2"]["dst"]["streaming_batches"] >= 1
+
+
+def test_stateful_user_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState: per-user (count, max) state must accumulate
+    across micro-batches (maxFilesPerTrigger=1 forces one batch per file)."""
+    from pyspark.sql import functions as F
+
+    from smart_data_lake_spark.streaming.operators import stateful_user_totals
+
+    src = str(tmp_path / "src")
+    rows1 = [Row(user_id=1, value=1.0), Row(user_id=1, value=5.0), Row(user_id=2, value=2.0)]
+    rows2 = [Row(user_id=1, value=3.0), Row(user_id=3, value=9.0)]
+    spark.createDataFrame(rows1).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(rows2).coalesce(1).write.mode("append").parquet(src)
+
+    sdf = (
+        spark.readStream.schema("user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stateful_user_totals(sdf)
+        .writeStream.format("memory")
+        .queryName("stateful_totals_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    mem = spark.table("stateful_totals_test")
+    # update-mode memory sink appends one row per (batch, touched user); the
+    # running totals are monotone so max(n_events) is the final state
+    final = (
+        mem.groupBy("user_id")
+        .agg(F.max("n_events").alias("n"), F.max("max_value").alias("m"))
+        .collect()
+    )
+    got = {r.user_id: (r.n, r.m) for r in final}
+    assert got == {1: (3, 5.0), 2: (1, 2.0), 3: (1, 9.0)}
+    # state really crossed batches: user 1 was emitted at least twice with
+    # growing counts (1st batch: 2 events, 2nd batch: 3)
+    u1 = sorted(r.n_events for r in mem.where(F.col("user_id") == 1).collect())
+    assert u1[0] < u1[-1] and u1[-1] == 3
