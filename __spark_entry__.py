@@ -728,6 +728,29 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("window_start_epoch", "event_type")
 
 
+def bpe_token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget accounting with the BPE-ish pre-tokenizer regex
+    (functions/text.bpe_ish_token_count) next to the whitespace count — the
+    per-source token budget a training-data pipeline actually plans with."""
+    from smart_data_lake_spark.functions.text import bpe_ish_token_count, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source",
+            bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+            token_count(F.col("text")).alias("ws_tokens"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("bpe_tokens").alias("total_bpe_tokens"),
+            F.sum("ws_tokens").alias("total_ws_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
 def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters (functions/quality.with_repetition_stats,
     public Rae et al. 2021 §A1.1 heuristics) over a corpus with injected
@@ -1041,6 +1064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_confusion": lang_id_confusion,
         "token_count_by_source": token_count_by_source,
         "streaming_windowed_counts": streaming_windowed_counts,
+        "bpe_token_count_by_source": bpe_token_count_by_source,
         "quality_filter_gopher": quality_filter_gopher,
         "chunk_documents_overlap": chunk_documents_overlap,
         "bm25_search": bm25_search,
@@ -1506,6 +1530,14 @@ def oracle_sql() -> dict[str, str]:
                    event_type, COUNT(*) AS n_events, MAX(value) AS max_value
             FROM events
             GROUP BY 1, 2 ORDER BY window_start_epoch, event_type""",
+        "bpe_token_count_by_source": f"""
+            SELECT source,
+                   CAST(SUM(len(regexp_extract_all(text,
+                        '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s'']+')))
+                        AS BIGINT) AS total_bpe_tokens,
+                   CAST(SUM({_NTOK}) AS BIGINT) AS total_ws_tokens,
+                   COUNT(*) AS n_docs
+            FROM documents GROUP BY source ORDER BY source""",
         "quality_filter_gopher": f"""
             WITH corpus AS (
               SELECT doc_id, source, text FROM documents

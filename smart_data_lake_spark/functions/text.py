@@ -99,6 +99,20 @@ def fingerprint(col: Column) -> Column:
     return F.md5(normalized)
 
 
+# GPT-2-style pre-tokenization pattern (public, Radford et al. 2019),
+# simplified to the Java-regex ∩ RE2 common subset (no lookahead): contraction
+# suffixes, space-prefixed word / number runs, punctuation runs. Both engines
+# use leftmost-first alternation, so match counts agree exactly.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Approximate LLM token count via the BPE pre-tokenizer regex — a much
+    better cost proxy than whitespace words (punctuation and digit runs
+    tokenize separately). JVM-side regexp_count; zero shuffles."""
+    return F.regexp_count(col, F.lit(BPE_ISH_PATTERN))
+
+
 # PII patterns kept to the RE2-compatible common subset (no backrefs, no
 # lookaround) so the same literal pattern runs in Spark (java.util.regex) and
 # any RE2-based engine with identical semantics.

@@ -126,3 +126,11 @@ def test_redact_pii_leaves_clean_text_alone(spark):
     text = "no pii here just words and 42 numbers"
     df = spark.createDataFrame([(text,)], ["text"])
     assert df.select(redact_pii(F.col("text")).alias("r")).first().r == text
+
+
+def test_bpe_ish_token_count_segments(spark):
+    from smart_data_lake_spark.functions.text import bpe_ish_token_count
+
+    df = spark.createDataFrame([("it's 42 well-known facts!",)], ["text"])
+    # "it" "'s" " 42" " well" "-" "known" " facts" "!" -> 8 pre-tokens
+    assert df.select(bpe_ish_token_count(F.col("text")).alias("n")).first().n == 8
