@@ -33,6 +33,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Rebalance a tiny scan across all cores before a per-row-expensive
+    stage. Parquet splits cannot cross row groups, and the small-SF test
+    tables are single-row-group files — so minhash/n-gram-fold stages would
+    run on 1-2 of 32 cores no matter what maxPartitionBytes says. The
+    repartition moves a few hundred KB (negligible) and restores full
+    parallelism; at production scale the source has thousands of row groups
+    and the same operators parallelize at the scan, so a deployment would
+    drop this call (it exists to make the benchmark measure the operator,
+    not the row-group layout)."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _dec(col: str | F.Column, scale: int = 2) -> F.Column:
     c = F.col(col) if isinstance(col, str) else col
     return c.cast(f"decimal(18,{scale})")
@@ -710,6 +723,47 @@ def token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiling (functions/profiling.profile_columns):
+    count/nulls/distinct/min/max/mean/median for three orders columns in a
+    single aggregate. Mean uses the exact decimal-sum path (order-independent
+    across engines); median is the exact interpolated percentile, identical
+    to ANSI quantile_cont at p=0.5."""
+    from smart_data_lake_spark.functions.profiling import profile_columns
+
+    orders = _t(spark, sf_dir, "orders")
+    prof = profile_columns(
+        orders, ["o_orderkey", "o_orderstatus", "o_totalprice"], decimal_mean_scale=6
+    )
+    return prof.select(
+        "col_name",
+        "n_rows",
+        "n_null",
+        "n_distinct",
+        "min_str",
+        "max_str",
+        F.round("mean", 6).alias("mean"),
+        F.round("median", 6).alias("median"),
+    )
+
+
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped z-score outlier detection (functions/profiling
+    .grouped_outliers): per-event-type mean/std from EXACT decimal sums (one
+    double division/sqrt at the end), broadcast back, flag |z| > 2.5. The
+    flagged set is partition- and engine-independent by construction."""
+    from smart_data_lake_spark.functions.profiling import grouped_outliers
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = grouped_outliers(ev, "value", ["event_type"], z_threshold=2.5)
+    return out.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round("zscore", 6).alias("zscore"),
+    ).orderBy("event_id")
+
+
 def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming through the correctness gate: file-source stream
     over events, watermark + tumbling 1-hour window + per-type agg
@@ -766,7 +820,7 @@ def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.concat_ws(" ", "text", "text", "text").alias("text"),
     )
-    stats = with_repetition_stats(docs.unionByName(noisy))
+    stats = with_repetition_stats(_fan_out(spark, docs.unionByName(noisy)))
     return (
         stats.groupBy("source", "quality_keep")
         .agg(
@@ -859,7 +913,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the banding self-join reuses the signature subplan; Spark's
     # ReusedExchange handles that without an explicit persist (measured
     # faster than caching here)
-    sh = shingles(docs)
+    sh = shingles(_fan_out(spark, docs))
     sig = minhash_signatures(sh)
     return lsh_candidate_pairs(sig).orderBy("doc_a", "doc_b")
 
@@ -877,7 +931,7 @@ def neardup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = lsh_candidate_pairs(minhash_signatures(shingles(docs)))
+    pairs = lsh_candidate_pairs(minhash_signatures(shingles(_fan_out(spark, docs))))
     return neardup_clusters(docs, pairs).orderBy("cluster_id")
 
 
@@ -927,7 +981,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the shingle set feeds four subplans; measured: recompute + Spark's
     # ReusedExchange beats persist() here (caching the exploded shingle rows
     # costs more than the regex recompute at any tested SF)
-    sh = shingles(docs)
+    sh = shingles(_fan_out(spark, docs))
     pairs = lsh_candidate_pairs(minhash_signatures(sh))
     return ngram_jaccard(sh, pairs).orderBy("doc_a", "doc_b")
 
@@ -935,7 +989,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smart_data_lake_spark.functions.dedup import simhash
 
-    return simhash(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+    return simhash(_fan_out(spark, _t(spark, sf_dir, "documents"))).orderBy("doc_id")
 
 
 def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1063,6 +1117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": text_stats,
         "lang_id_confusion": lang_id_confusion,
         "token_count_by_source": token_count_by_source,
+        "profile_orders_columns": profile_orders_columns,
+        "events_value_outliers": events_value_outliers,
         "streaming_windowed_counts": streaming_windowed_counts,
         "bpe_token_count_by_source": bpe_token_count_by_source,
         "quality_filter_gopher": quality_filter_gopher,
@@ -1525,6 +1581,53 @@ def oracle_sql() -> dict[str, str]:
         "token_count_by_source": f"""
             SELECT source, CAST(SUM({_NTOK}) AS BIGINT) AS total_tokens, COUNT(*) AS n_docs
             FROM documents GROUP BY source ORDER BY source""",
+        "profile_orders_columns": """
+            WITH s AS (
+              SELECT COUNT(*) AS n,
+                CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_nulls,
+                CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS k_d,
+                CAST(MIN(o_orderkey) AS VARCHAR) AS k_min,
+                CAST(MAX(o_orderkey) AS VARCHAR) AS k_max,
+                round(CAST(SUM(CAST(o_orderkey AS DECIMAL(28,6))) AS DOUBLE) / COUNT(o_orderkey), 6) AS k_mean,
+                round(quantile_cont(o_orderkey, 0.5), 6) AS k_med,
+                CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS s_nulls,
+                CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS s_d,
+                CAST(MIN(o_orderstatus) AS VARCHAR) AS s_min,
+                CAST(MAX(o_orderstatus) AS VARCHAR) AS s_max,
+                CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS p_nulls,
+                CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS p_d,
+                CAST(MIN(o_totalprice) AS VARCHAR) AS p_min,
+                CAST(MAX(o_totalprice) AS VARCHAR) AS p_max,
+                round(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(o_totalprice), 6) AS p_mean,
+                round(quantile_cont(o_totalprice, 0.5), 6) AS p_med
+              FROM orders
+            )
+            SELECT * FROM (
+              SELECT 'o_orderkey' AS col_name, n AS n_rows, k_nulls AS n_null, k_d AS n_distinct,
+                     k_min AS min_str, k_max AS max_str, k_mean AS mean, k_med AS median FROM s
+              UNION ALL
+              SELECT 'o_orderstatus', n, s_nulls, s_d, s_min, s_max,
+                     CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM s
+              UNION ALL
+              SELECT 'o_totalprice', n, p_nulls, p_d, p_min, p_max, p_mean, p_med FROM s
+            ) ORDER BY col_name""",
+        "events_value_outliers": """
+            WITH st AS (
+              SELECT event_type,
+                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+                CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sq,
+                COUNT(value) AS n
+              FROM events GROUP BY event_type
+            ), en AS (
+              SELECT event_type, s / n AS m,
+                     sqrt(greatest(sq / n - (s / n) * (s / n), 0.0)) AS sd
+              FROM st
+            )
+            SELECT e.event_id, e.event_type, e.value,
+                   round((e.value - m) / sd, 6) AS zscore
+            FROM events e JOIN en USING (event_type)
+            WHERE sd > 0 AND abs((e.value - m) / sd) > 2.5
+            ORDER BY e.event_id""",
         "streaming_windowed_counts": """
             SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start_epoch,
                    event_type, COUNT(*) AS n_events, MAX(value) AS max_value

@@ -25,7 +25,19 @@ from smart_data_lake_spark.session import build_session
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = build_session(app_name="sdl_bench")
+    # split size matched to the benchmark scale: the small-SF tables are a few
+    # MB each, so the 128 MB default packs a whole table into 1-2 input splits
+    # and per-row operators run on 2 of 32 cores. 4 MB splits restore full
+    # parallelism here; at production scale (TBs of input) the default is
+    # already right because there are thousands of splits — this knob is the
+    # standard per-workload tuning, not a semantics change.
+    spark = build_session(
+        app_name="sdl_bench",
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": str(512 * 1024),
+        },
+    )
 
     # warm the session once (JVM JIT, codegen compiler, parquet footers, AND
     # the Arrow python-worker pool — local[32] forks 32 workers on the first

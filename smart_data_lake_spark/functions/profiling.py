@@ -1,0 +1,126 @@
+"""Column profiling: per-column statistics in one pass over the data.
+
+The standard data-catalog profile (count / nulls / distinct / min / max /
+mean / median) computed for a set of columns in a SINGLE aggregate — one
+scan, one reduce to a 1-row DataFrame — then unpivoted driver-free with
+`stack` into the long (col_name, stat…) form. At 100 TB this is exactly one
+shuffle of one row per partition; COUNT(DISTINCT …) for multiple columns
+expands to `expand`-based multi-aggregate, still a single scan.
+
+Numeric min/max/mean/median are reported as doubles; min/max of
+non-numeric columns are reported as strings (`min_str`/`max_str`). Median is
+the exact interpolated percentile (Spark `percentile`, identical definition
+to ANSI `quantile_cont`/`percentile_cont` at p=0.5), NOT the approximate
+sketch — at 100 TB swap in `percentile_approx` when a bounded-memory sketch
+is acceptable; the exact form is the oracle-checkable contract.
+
+Reference parity: the reference computes per-DataObject statistics through
+its expectations/metrics engine (sdl-core ExpectationValidation); this is
+the Spark-first equivalent of a whole-table profile.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
+
+
+def grouped_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    z_threshold: float = 3.0,
+    decimal_scale: int = 6,
+) -> DataFrame:
+    """Rows whose value deviates more than `z_threshold` population standard
+    deviations from their group mean.
+
+    Built for cross-engine determinism: mean and variance come from EXACT
+    decimal sums (sum, sum-of-squares) with the float ops (division, sqrt)
+    applied once to the reduced scalars — so the flagged set is identical on
+    any engine and any partitioning, unlike stddev_pop over doubles whose
+    partial-aggregation order varies. Plan: one partial-aggregated groupBy
+    over the group keys + a broadcast join back — two scans, one tiny
+    shuffle; group count is assumed small (dimension-like)."""
+    # decimal(18,s) so the square stays within the 38-digit decimal cap that
+    # both Spark and ANSI engines share (18+18 = 36 < 38); sums widen safely
+    v_dec = F.col(value_col).cast(f"decimal(18,{decimal_scale})")
+    stats = df.groupBy(*group_cols).agg(
+        F.sum(v_dec).cast("double").alias("_sum"),
+        F.sum(v_dec * v_dec).cast("double").alias("_sumsq"),
+        F.count(value_col).alias("_n"),
+    )
+    mean = F.col("_sum") / F.col("_n")
+    var = F.col("_sumsq") / F.col("_n") - mean * mean
+    enriched = stats.select(
+        *group_cols,
+        mean.alias("_mean"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("_std"),
+    )
+    joined = df.join(F.broadcast(enriched), on=group_cols, how="inner")
+    z = (F.col(value_col) - F.col("_mean")) / F.col("_std")
+    return (
+        joined.where(F.col("_std") > 0)
+        .where(F.abs(z) > z_threshold)
+        .withColumns({"group_mean": F.col("_mean"), "group_std": F.col("_std"), "zscore": z})
+        .drop("_mean", "_std")
+    )
+
+
+def profile_columns(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    decimal_mean_scale: int | None = None,
+) -> DataFrame:
+    """One-pass profile of `cols` (default: all columns).
+
+    Returns (col_name, n_rows, n_null, n_distinct, min_str, max_str, mean,
+    median) with mean/median null for non-numeric columns, ordered by
+    col_name.
+
+    `decimal_mean_scale`: when set, the mean is computed as an exact
+    decimal(28,scale) sum followed by ONE double division — order-independent
+    and bit-identical across engines, unlike a plain double avg whose
+    summation order varies with partitioning. Use it whenever the profile is
+    compared across systems."""
+    cols = cols or df.columns
+    by_name = {f.name: f.dataType for f in df.schema.fields}
+    aggs = []
+    for c in cols:
+        if c not in by_name:
+            raise ValueError(f"unknown column {c!r}")
+        numeric = isinstance(by_name[c], NumericType)
+        col = F.col(c)
+        if not numeric:
+            mean_expr = F.lit(None).cast("double")
+        elif decimal_mean_scale is not None:
+            mean_expr = (
+                F.sum(col.cast(f"decimal(28,{decimal_mean_scale})")).cast("double")
+                / F.count(col)
+            )
+        else:
+            mean_expr = F.avg(col.cast("double"))
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.countDistinct(col).alias(f"{c}__distinct"),
+            F.min(col).cast("string").alias(f"{c}__min"),
+            F.max(col).cast("string").alias(f"{c}__max"),
+            mean_expr.alias(f"{c}__mean"),
+            (
+                F.expr(f"percentile({c}, 0.5D)") if numeric else F.lit(None).cast("double")
+            ).alias(f"{c}__median"),
+        ]
+    one_row = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__nulls, {c}__distinct, {c}__min, {c}__max, {c}__mean, {c}__median"
+        for c in cols
+    )
+    stacked = one_row.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(col_name, n_rows, n_null, n_distinct, min_str, max_str, mean, median)"
+        )
+    )
+    return stacked.orderBy("col_name")
