@@ -414,6 +414,180 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.where(cond).agg(F.sum(_revenue()).cast("double").alias("revenue"))
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated MIN-cost subquery per part + region-filtered
+    supplier dimension join. This corpus has no partsupp table, so supply cost
+    is derived from lineitem as MIN(l_extendedprice / l_quantity) per
+    (part, supplier) — MIN over per-row IEEE divisions is order-independent,
+    making the min-equality join engine-deterministic. All dimension joins
+    broadcast; the only shuffle is the (part, supplier) cost aggregation."""
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    li = _t(spark, sf_dir, "lineitem")
+    cost = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supply_cost"))
+    )
+    min_cost = cost.groupBy(F.col("l_partkey").alias("mc_partkey")).agg(
+        F.min("supply_cost").alias("min_cost")
+    )
+    euro_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    return (
+        cost.join(
+            F.broadcast(min_cost),
+            (F.col("l_partkey") == F.col("mc_partkey"))
+            & (F.col("supply_cost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(euro_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            F.round("supply_cost", 6).alias("supply_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value for one nation's suppliers, HAVING
+    against a global-total scalar subquery. Value = decimal-exact sum of
+    l_extendedprice (lineitem stands in for partsupp); the threshold compare
+    happens on the exact decimal totals cast once to double."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+    li = _t(spark, sf_dir, "lineitem")
+    nat_supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    value = (
+        li.join(F.broadcast(nat_supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_dec("l_extendedprice")).alias("value_dec"))
+    )
+    total = value.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        value.crossJoin(F.broadcast(total))
+        .where(
+            F.col("value_dec").cast("double")
+            > F.lit(0.001) * F.col("total_dec").cast("double")
+        )
+        .select("l_partkey", F.col("value_dec").cast("double").alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+def q12_shipping_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: orders×lineitem join with per-class conditional
+    counts. No l_shipmode/commitdate in this corpus: l_returnflag is the
+    shipping class and 'late' = shipped more than 60 days after the order
+    date. The join shuffles both sides on orderkey — the canonical Q12 plan —
+    and the CASE aggregation is map-side combined."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .where(late)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN subqueries → semi-join chain. Suppliers
+    holding an outsized share of a named part family's 1996 volume: per
+    (supplier, part) decimal quantity vs 15% of the part's total, then a
+    semi-join back to the supplier dimension."""
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").startswith("red"))
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    red = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    sp_qty = red.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(_dec("l_quantity")).alias("sp_qty")
+    )
+    part_qty = red.groupBy(F.col("l_partkey").alias("pq_partkey")).agg(
+        F.sum(_dec("l_quantity")).alias("part_qty")
+    )
+    excess = sp_qty.join(
+        F.broadcast(part_qty), F.col("l_partkey") == F.col("pq_partkey")
+    ).where(
+        F.col("sp_qty").cast("double") > F.lit(0.15) * F.col("part_qty").cast("double")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        s.join(
+            excess.select(F.col("l_suppkey").alias("x_suppkey")),
+            s.s_suppkey == F.col("x_suppkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS (another supplier contributed to the order) +
+    NOT EXISTS (another supplier was ALSO late) over finished orders —
+    expressed as a semi-join then an anti-join on the shared late-lineitem
+    subplan ('late' = shipped >60 days after order date; the corpus has no
+    commit/receipt dates). Both probes join on orderkey only, with the
+    supplier-inequality in the join condition; the supplier dim broadcasts."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = (
+        li.join(o.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    other = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
+    )
+    cand = late.join(
+        other,
+        (F.col("l_orderkey") == F.col("o2_orderkey"))
+        & (F.col("l_suppkey") != F.col("o2_suppkey")),
+        "left_semi",
+    ).join(
+        other_late,
+        (F.col("l_orderkey") == F.col("o3_orderkey"))
+        & (F.col("l_suppkey") != F.col("o3_suppkey")),
+        "left_anti",
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        cand.join(F.broadcast(s), cand.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
 def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join operator (functions/temporal.as_of_join): every purchase
     event attributed to the user's latest STRICTLY-prior click — the
@@ -1101,6 +1275,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_top_supplier": q15_top_supplier,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q19_discounted_revenue": q19_discounted_revenue,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q11_important_stock": q11_important_stock,
+        "q12_shipping_priority_class": q12_shipping_priority_class,
+        "q20_excess_stock_suppliers": q20_excess_stock_suppliers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
         "asof_click_attribution": asof_click_attribution,
         "range_clicks_before_purchase": range_clicks_before_purchase,
         "topk_customers_window": topk_customers_window,
@@ -1481,6 +1660,90 @@ def oracle_sql() -> dict[str, str]:
             WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
                OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
                OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""",
+        "q2_min_cost_supplier": """
+            WITH cost AS (
+              SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS supply_cost
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_size = 15 AND p_type = 'LARGE'
+              GROUP BY l_partkey, l_suppkey
+            ), mc AS (
+              SELECT l_partkey AS mc_partkey, MIN(supply_cost) AS min_cost
+              FROM cost GROUP BY l_partkey
+            )
+            SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+                   round(supply_cost, 6) AS supply_cost
+            FROM cost
+            JOIN mc ON l_partkey = mc_partkey AND supply_cost = min_cost
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+            JOIN part ON l_partkey = p_partkey
+            ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+            LIMIT 100""",
+        "q11_important_stock": """
+            WITH value AS (
+              SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS value_dec
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_7'
+              GROUP BY l_partkey
+            )
+            SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
+            FROM value
+            WHERE CAST(value_dec AS DOUBLE) >
+                  0.001 * (SELECT CAST(SUM(value_dec) AS DOUBLE) FROM value)
+            ORDER BY part_value DESC, l_partkey""",
+        "q12_shipping_priority_class": """
+            SELECT l_returnflag,
+                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag""",
+        "q20_excess_stock_suppliers": """
+            WITH red AS (
+              SELECT l_suppkey, l_partkey, l_quantity
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_name LIKE 'red%'
+                AND l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1997-01-01'
+            ), sp AS (
+              SELECT l_suppkey, l_partkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sp_qty
+              FROM red GROUP BY l_suppkey, l_partkey
+            ), pq AS (
+              SELECT l_partkey AS pq_partkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS part_qty
+              FROM red GROUP BY l_partkey
+            )
+            SELECT s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal
+            FROM supplier
+            WHERE s_suppkey IN (
+              SELECT l_suppkey FROM sp JOIN pq ON l_partkey = pq_partkey
+              WHERE CAST(sp_qty AS DOUBLE) > 0.15 * CAST(part_qty AS DOUBLE)
+            )
+            ORDER BY s_name""",
+        "q21_waiting_suppliers": """
+            WITH late AS (
+              SELECT l_orderkey, l_suppkey
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE o_orderstatus = 'F'
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+            )
+            SELECT s_name, COUNT(*) AS numwait
+            FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+              )
+              AND NOT EXISTS (
+                SELECT 1 FROM late l3
+                WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+              )
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 20""",
         "asof_click_attribution": """
             SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
                    c.ts AS click_ts, c.event_id AS click_event_id,
