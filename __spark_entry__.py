@@ -1006,6 +1006,76 @@ def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (functions/decontaminate
+    .benchmark_contamination, GPT-3 appendix-C style n-gram overlap): a
+    deterministic holdout (doc_id % 29 == 0) plays the benchmark/eval
+    corpus; every remaining training document is scored by the fraction of
+    its distinct 5-gram shingles that also appear in the benchmark. The
+    benchmark shingle set is broadcast, so the corpus is scanned exactly
+    once with a map-side probe plus one groupBy(doc) shuffle — the shape
+    that holds when the corpus is 100 TB and the benchmark is megabytes."""
+    from smart_data_lake_spark.functions.decontaminate import benchmark_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 29 == 0)
+    corpus = docs.where(F.col("doc_id") % 29 != 0)
+    out = benchmark_contamination(_fan_out(spark, corpus), bench, n=5, threshold=0.05)
+    return out.orderBy("doc_id")
+
+
+def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span statistics (functions/decontaminate
+    .duplicated_span_stats): per document, the fraction of its distinct
+    5-gram spans that occur in at least one other document — the
+    span-granular exact-substring-dedup signal (RefinedWeb/C4). Two
+    shuffles on the shingle key (count + join back, exchange reused) and
+    one groupBy(doc); linear in corpus size, no all-pairs step."""
+    from smart_data_lake_spark.functions.decontaminate import duplicated_span_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicated_span_stats(_fan_out(spark, docs), n=5).orderBy("doc_id")
+
+
+def importance_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance sampling (functions/sampling
+    .importance_sample, DSIR-style): each document is kept with probability
+    equal to its heuristic quality score, decided by a pure hash of the
+    doc_id — deterministic across runs, partitionings, and engines. The
+    whole operator is a stateless per-row filter composed with the scan.
+    The weight is quality x a length ramp (docs under 80 tokens keep
+    proportionally less), so the keep probability genuinely varies and the
+    sampler provably drops rows."""
+    from smart_data_lake_spark.functions.sampling import importance_sample
+    from smart_data_lake_spark.functions.text import quality_score, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    ramp = F.least(F.lit(1.0), token_count(F.col("text")) / F.lit(80))
+    weighted = docs.withColumn("w", quality_score(F.col("text")) * ramp)
+    kept = importance_sample(weighted, F.col("w"), key_col="doc_id")
+    return kept.select(
+        "doc_id", "source", F.round("w", 6).alias("weight")
+    ).orderBy("doc_id")
+
+
+def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows through the correctness gate
+    (streaming/operators.session_event_counts): file-source stream over
+    events, F.session_window(gap=30min) per user, drained availableNow into
+    a memory sink. The oracle is the batch gaps-and-islands SQL over the
+    same rows — proving the streaming state-store session merge implements
+    exactly the batch semantics (sessions break when the gap >= 30 min)."""
+    from smart_data_lake_spark.streaming.operators import (
+        read_events_stream,
+        run_available_now,
+        session_event_counts,
+    )
+
+    sdf = read_events_stream(spark, sf_dir)
+    out = run_available_now(session_event_counts(sdf))
+    return out.orderBy("user_id", "session_start_epoch")
+
+
 def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-window chunking with overlap (functions/chunking
     .chunk_documents): 120-char windows, 30-char overlap — a zero-shuffle
@@ -1299,6 +1369,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_orders_columns": profile_orders_columns,
         "events_value_outliers": events_value_outliers,
         "streaming_windowed_counts": streaming_windowed_counts,
+        "streaming_session_counts": streaming_session_counts,
+        "benchmark_decontamination": benchmark_decontamination,
+        "dup_span_stats": dup_span_stats,
+        "importance_sample_documents": importance_sample_documents,
         "bpe_token_count_by_source": bpe_token_count_by_source,
         "quality_filter_gopher": quality_filter_gopher,
         "chunk_documents_overlap": chunk_documents_overlap,
@@ -1358,6 +1432,18 @@ toksrc AS (
 sh AS (
   SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
   FROM toksrc, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) t
+)
+"""
+
+_SHINGLE5_CTE = rf"""
+tok5 AS (
+  SELECT doc_id, {_TOKS} AS w FROM documents
+  WHERE length(trim(lower(text))) > 0 AND len({_TOKS}) >= 5
+),
+g5 AS (
+  SELECT DISTINCT doc_id,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS shingle
+  FROM tok5, LATERAL (SELECT unnest(range(1, len(w) - 3)) AS i) t
 )
 """
 
@@ -1896,6 +1982,63 @@ def oracle_sql() -> dict[str, str]:
                    event_type, COUNT(*) AS n_events, MAX(value) AS max_value
             FROM events
             GROUP BY 1, 2 ORDER BY window_start_epoch, event_type""",
+        "streaming_session_counts": """
+            WITH e AS (
+              SELECT user_id, value, make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events
+            ), marked AS (
+              SELECT user_id, value, ts,
+                     CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                               < INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk
+              FROM e
+            ), islands AS (
+              SELECT user_id, value, ts,
+                     SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM marked
+            )
+            SELECT user_id,
+                   CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start_epoch,
+                   CAST(floor(epoch(MAX(ts))) AS BIGINT) AS last_event_epoch,
+                   COUNT(*) AS n_events, MAX(value) AS max_value
+            FROM islands GROUP BY user_id, sid
+            ORDER BY user_id, session_start_epoch""",
+        "benchmark_decontamination": f"""
+            WITH {_SHINGLE5_CTE},
+            bench AS (SELECT DISTINCT shingle FROM g5 WHERE doc_id % 29 = 0),
+            corpus AS (SELECT doc_id, shingle FROM g5 WHERE doc_id % 29 <> 0)
+            SELECT c.doc_id, COUNT(*) AS n_grams,
+                   CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+                   round(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                         / COUNT(*), 6) AS contamination,
+                   (SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                         / COUNT(*)) >= 0.05 AS contaminated
+            FROM corpus c LEFT JOIN bench b ON c.shingle = b.shingle
+            GROUP BY c.doc_id ORDER BY doc_id""",
+        "dup_span_stats": f"""
+            WITH {_SHINGLE5_CTE},
+            freq AS (SELECT shingle, COUNT(*) AS d FROM g5 GROUP BY shingle)
+            SELECT g.doc_id, COUNT(*) AS n_spans,
+                   CAST(SUM(CASE WHEN f.d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+                   round(SUM(CASE WHEN f.d > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS dup_fraction
+            FROM g5 g JOIN freq f ON g.shingle = f.shingle
+            GROUP BY g.doc_id ORDER BY doc_id""",
+        "importance_sample_documents": f"""
+            WITH w AS (
+              SELECT doc_id, source,
+                     (CASE WHEN {_NTOK} BETWEEN 10 AND 100000 THEN 0.5 ELSE 0.0 END)
+                   + (CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0
+                          ELSE (length(text) - length(regexp_replace(text, '[.,;:!?''"()\\-]', '', 'g'))) * 1.0 / length(text) END) < 0.2 THEN 0.3 ELSE 0.0 END)
+                   + (CASE WHEN (CASE WHEN {_NTOK} = 0 THEN 0.0
+                          ELSE list_sum(list_transform({_TOKS}, t -> length(t))) * 1.0 / {_NTOK} END) BETWEEN 2 AND 12 THEN 0.2 ELSE 0.0 END) AS wq_base,
+                     LEAST(1.0, {_NTOK} / 80) AS ramp
+              FROM documents
+            ), wr AS (
+              SELECT doc_id, source, wq_base * ramp AS wq FROM w
+            )
+            SELECT doc_id, source, round(wq, 6) AS weight FROM wr
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
+                  < CAST(floor(wq * 1000000) AS BIGINT)
+            ORDER BY doc_id""",
         "bpe_token_count_by_source": f"""
             SELECT source,
                    CAST(SUM(len(regexp_extract_all(text,

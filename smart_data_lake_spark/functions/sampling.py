@@ -53,6 +53,25 @@ def stratified_sample(
     return df.where(hash_fraction(F.col(key_col), denom) < rate * denom)
 
 
+def importance_sample(
+    df: DataFrame,
+    weight: Column,
+    key_col: str = "doc_id",
+    denom: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic importance sampling: keep each row with probability equal
+    to its per-row ``weight`` in [0, 1] (DSIR-style quality-weighted
+    resampling, Xie et al. 2023 — public method).
+
+    The accept decision is ``hash(key) mod denom < floor(weight * denom)``:
+    a pure function of (key, weight), so re-runs, repartitioning, and other
+    engines reproduce the same subset exactly. Weights > 1 keep the row
+    always; weights <= 0 never. Scale: stateless per-row filter — composes
+    with the scan, no shuffle, no RNG state."""
+    accept = F.floor(weight * denom).cast("long")
+    return df.where(hash_fraction(F.col(key_col), denom) < accept)
+
+
 def pack_sequences(
     df: DataFrame,
     key_col: str,

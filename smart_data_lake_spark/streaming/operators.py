@@ -75,6 +75,41 @@ def windowed_event_counts(
     )
 
 
+def session_event_counts(
+    sdf: DataFrame,
+    gap: str = "30 minutes",
+    gap_seconds: int = 1800,
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Session-window counts per user: events merge into one session while
+    each gap to the next event is strictly less than ``gap``.
+
+    The reference leaves session windows to user SQL (SURVEY.md §2.6); here
+    they are first-class via ``F.session_window`` — the streaming-native
+    formulation whose state store merges windows across micro-batches.
+    Output carries the session start and the last event time as epoch
+    seconds (``window.end`` is last-event + gap by definition, so the gap is
+    subtracted back out) — engine- and timezone-neutral, and identical to a
+    batch gaps-and-islands computation over the same rows.
+
+    Scale: one shuffle on user_id; session merging happens in the state
+    store per key — no global sort, no driver state."""
+    return (
+        sdf.withWatermark("ts", watermark_delay)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max("value").alias("max_value"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start_epoch"),
+            (F.unix_timestamp(F.col("w.end")) - F.lit(gap_seconds)).alias(
+                "last_event_epoch"
+            ),
+            "n_events",
+            "max_value",
+        )
+    )
+
+
 def run_available_now(result: DataFrame, query_name: str | None = None, output_mode: str = "complete") -> DataFrame:
     """Drain all available input through a memory sink; return the table."""
     name = query_name or f"sdl_stream_{uuid.uuid4().hex[:8]}"
