@@ -1076,6 +1076,130 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("user_id", "session_start_epoch")
 
 
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join through the correctness gate
+    (streaming/operators.interval_join_streams): two independent file-source
+    streams over events (clicks / purchases), watermarked on both sides,
+    inner-joined on user_id with purchase_ts in [click_ts, click_ts + 1h).
+    Drained availableNow; the oracle is the identical batch interval join —
+    proving the streaming join state machine emits exactly the batch result.
+    Grading is count/max per purchase (payload-order independent)."""
+    from smart_data_lake_spark.streaming.operators import (
+        interval_join_streams,
+        read_events_stream,
+        run_available_now,
+    )
+
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("value").alias("click_value"),
+        )
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    joined = interval_join_streams(
+        clicks,
+        purchases,
+        condition=(
+            "c_user_id = p_user_id AND purchase_ts >= click_ts "
+            "AND purchase_ts < click_ts + INTERVAL 1 HOUR"
+        ),
+        left_ts_col="click_ts",
+        right_ts_col="purchase_ts",
+    )
+    out = run_available_now(joined, output_mode="append")
+    return (
+        out.groupBy(F.col("purchase_id"), F.col("p_user_id").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks_before"),
+            F.max("click_value").alias("max_click_value"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+def streaming_dedup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup through the correctness gate (streaming/operators
+    .dedup_within_watermark → dropDuplicatesWithinWatermark): the events
+    stream unioned with a second reader of itself (every row duplicated),
+    deduped on (user_id, event_type) with bounded state, drained append.
+    Because which duplicate survives is arrival-order dependent, grading
+    aggregates over keys: distinct users per event_type — which must equal
+    the batch COUNT(DISTINCT user_id)."""
+    from smart_data_lake_spark.streaming.operators import (
+        dedup_within_watermark,
+        read_events_stream,
+        run_available_now,
+    )
+
+    s1 = read_events_stream(spark, sf_dir).select("user_id", "event_type", "ts")
+    s2 = read_events_stream(spark, sf_dir).select("user_id", "event_type", "ts")
+    deduped = dedup_within_watermark(s1.union(s2), ["user_id", "event_type"])
+    out = run_available_now(deduped, output_mode="append")
+    return (
+        out.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+def streaming_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC-apply (streaming/operators.foreach_batch_upsert_latest):
+    the events stream is drained availableNow through a foreachBatch sink
+    that keep-latest-collapses each micro-batch and MERGEs it into a
+    ParquetTableDataObject by primary key — streaming and batch dedup share
+    the same keep_latest + merge code path. The graded result is the target
+    table after the drain: newest event per user, identical to the batch
+    window oracle."""
+    import shutil
+    import tempfile
+
+    from smart_data_lake_spark.dataobjects.table import ParquetTableDataObject
+    from smart_data_lake_spark.streaming.operators import (
+        foreach_batch_upsert_latest,
+        read_events_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="sdl_stream_upsert_")
+    try:
+        target = ParquetTableDataObject(
+            id="stream_upsert_target",
+            path=f"{base}/table",
+            table={"name": "user_latest", "primary_key": ["user_id"]},
+        )
+        sdf = read_events_stream(spark, sf_dir, max_files_per_trigger=1).select(
+            "user_id", "event_id", "ts", "event_type", "value"
+        )
+        q = foreach_batch_upsert_latest(
+            sdf,
+            target,
+            pks=["user_id"],
+            order_cols=[F.col("ts").desc(), F.col("event_id").desc()],
+            checkpoint_dir=f"{base}/ckpt",
+        )
+        q.awaitTermination()
+        # materialize before the temp dir disappears
+        rows = target.get_dataframe(spark).select(
+            "user_id", "event_id", "event_type", "value"
+        )
+        result = spark.createDataFrame(rows.collect(), rows.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return result.orderBy("user_id")
+
+
 def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-window chunking with overlap (functions/chunking
     .chunk_documents): 120-char windows, 30-char overlap — a zero-shuffle
@@ -1370,6 +1494,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_outliers": events_value_outliers,
         "streaming_windowed_counts": streaming_windowed_counts,
         "streaming_session_counts": streaming_session_counts,
+        "streaming_interval_join": streaming_interval_join,
+        "streaming_dedup_users": streaming_dedup_users,
+        "streaming_upsert_latest": streaming_upsert_latest,
         "benchmark_decontamination": benchmark_decontamination,
         "dup_span_stats": dup_span_stats,
         "importance_sample_documents": importance_sample_documents,
@@ -2002,6 +2129,27 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events, MAX(value) AS max_value
             FROM islands GROUP BY user_id, sid
             ORDER BY user_id, session_start_epoch""",
+        "streaming_interval_join": """
+            WITH e AS (
+              SELECT event_id, user_id, event_type, value,
+                     make_timestamp(epoch_ns(ts) // 1000) AS ts
+              FROM events
+            )
+            SELECT p.event_id AS purchase_id, p.user_id,
+                   COUNT(*) AS n_clicks_before, MAX(c.value) AS max_click_value
+            FROM e p JOIN e c
+              ON c.user_id = p.user_id AND c.event_type = 'click'
+             AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+            WHERE p.event_type = 'purchase'
+            GROUP BY 1, 2 ORDER BY purchase_id""",
+        "streaming_dedup_users": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type""",
+        "streaming_upsert_latest": """
+            SELECT user_id, event_id, event_type, value FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events
+            ) WHERE rn = 1 ORDER BY user_id""",
         "benchmark_decontamination": f"""
             WITH {_SHINGLE5_CTE},
             bench AS (SELECT DISTINCT shingle FROM g5 WHERE doc_id % 29 = 0),

@@ -218,3 +218,121 @@ def test_stateful_user_totals_across_batches(spark, tmp_path):
     # growing counts (1st batch: 2 events, 2nd batch: 3)
     u1 = sorted(r.n_events for r in mem.where(F.col("user_id") == 1).collect())
     assert u1[0] < u1[-1] and u1[-1] == 3
+
+
+def test_interval_join_stream_equals_batch(spark, tmp_path):
+    """Stream-stream interval join must emit exactly the batch interval join
+    result (inner join, purchase within [click, click+10min))."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from smart_data_lake_spark.streaming.operators import (
+        interval_join_streams,
+        run_available_now,
+    )
+
+    def t(m):
+        return dt.datetime(2026, 1, 1, 12, m, 0)
+
+    clicks_rows = [Row(click_id=i, c_user=u, click_ts=t(m)) for i, (u, m) in enumerate([(1, 0), (1, 20), (2, 5), (3, 30)])]
+    purch_rows = [Row(purchase_id=100 + i, p_user=u, purchase_ts=t(m)) for i, (u, m) in enumerate([(1, 5), (1, 25), (2, 30), (4, 6)])]
+    cdir, pdir = str(tmp_path / "c"), str(tmp_path / "p")
+    spark.createDataFrame(clicks_rows).write.parquet(cdir)
+    spark.createDataFrame(purch_rows).write.parquet(pdir)
+
+    cs = spark.readStream.schema("click_id long, c_user long, click_ts timestamp").parquet(cdir)
+    ps = spark.readStream.schema("purchase_id long, p_user long, purchase_ts timestamp").parquet(pdir)
+    cond = (
+        "c_user = p_user AND purchase_ts >= click_ts "
+        "AND purchase_ts < click_ts + INTERVAL 10 MINUTES"
+    )
+    joined = interval_join_streams(cs, ps, cond, "click_ts", "purchase_ts", watermark_delay="30 minutes")
+    got = run_available_now(joined, output_mode="append")
+
+    from tests.conftest import assert_df_equal
+
+    batch = spark.read.parquet(cdir).join(spark.read.parquet(pdir), F.expr(cond), "inner")
+    assert_df_equal(
+        got.select("click_id", "purchase_id").orderBy("click_id", "purchase_id"),
+        batch.select("click_id", "purchase_id").orderBy("click_id", "purchase_id"),
+    )
+    # expected pairs: click0(u1,12:00)→p100(u1,12:05); click2(u2,12:05) has no
+    # purchase in window (u2 purchase at 12:30 >= 12:15); click1(u1,12:20)→p101
+    got_pairs = {(r.click_id, r.purchase_id) for r in got.collect()}
+    assert got_pairs == {(0, 100), (1, 101)}
+
+
+def test_dedup_within_watermark_drops_in_batch_duplicates(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps one row per key for duplicates
+    arriving inside the watermark window."""
+    import datetime as dt
+
+    from smart_data_lake_spark.streaming.operators import (
+        dedup_within_watermark,
+        run_available_now,
+    )
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [Row(k=1, ts=base), Row(k=1, ts=base), Row(k=2, ts=base), Row(k=2, ts=base), Row(k=2, ts=base)]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows).write.parquet(src)
+    sdf = spark.readStream.schema("k long, ts timestamp").parquet(src)
+    out = run_available_now(dedup_within_watermark(sdf, ["k"]), output_mode="append")
+    assert sorted(r.k for r in out.collect()) == [1, 2]
+
+
+def test_foreach_batch_upsert_latest_across_batches(spark, tmp_path):
+    """foreachBatch keep-latest MERGE: two micro-batches (one file each) must
+    upsert into the target so the final table is the global newest row per
+    key — batch 2 updates user 1, inserts user 3, leaves user 2 alone."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from smart_data_lake_spark.dataobjects.table import ParquetTableDataObject
+    from smart_data_lake_spark.streaming.operators import foreach_batch_upsert_latest
+
+    def t(m):
+        return dt.datetime(2026, 1, 1, 12, m, 0)
+
+    src = str(tmp_path / "src")
+    b1 = [Row(user_id=1, event_id=10, ts=t(0), v="a"), Row(user_id=1, event_id=11, ts=t(1), v="b"), Row(user_id=2, event_id=12, ts=t(2), v="c")]
+    b2 = [Row(user_id=1, event_id=13, ts=t(5), v="d"), Row(user_id=3, event_id=14, ts=t(6), v="e")]
+    spark.createDataFrame(b1).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b2).coalesce(1).write.mode("append").parquet(src)
+
+    target = ParquetTableDataObject(
+        id="t_upsert",
+        path=str(tmp_path / "table"),
+        table={"name": "t_upsert", "primary_key": ["user_id"]},
+    )
+    sdf = (
+        spark.readStream.schema("user_id long, event_id long, ts timestamp, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = foreach_batch_upsert_latest(
+        sdf,
+        target,
+        pks=["user_id"],
+        order_cols=[F.col("ts").desc(), F.col("event_id").desc()],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    got = {r.user_id: (r.event_id, r.v) for r in target.get_dataframe(spark).collect()}
+    assert got == {1: (13, "d"), 2: (12, "c"), 3: (14, "e")}
+    # restart over the same checkpoint: nothing new to process, table unchanged
+    sdf2 = (
+        spark.readStream.schema("user_id long, event_id long, ts timestamp, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q2 = foreach_batch_upsert_latest(
+        sdf2, target, pks=["user_id"],
+        order_cols=[F.col("ts").desc(), F.col("event_id").desc()],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination()
+    got2 = {r.user_id: (r.event_id, r.v) for r in target.get_dataframe(spark).collect()}
+    assert got2 == got
