@@ -24,13 +24,35 @@ SF_SMOKE = "/root/testdata/sf0.001"
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
-        # reader rejects; read as long and truncate to micros (exactly what
-        # DuckDB's micro-resolution TIMESTAMP does on the same file)
+        # The events.parquet ts physical type has varied across testdata
+        # generations (TIMESTAMP(NANOS) → read as long via the legacy shim;
+        # TIMESTAMP(MICROS) → TIMESTAMP_NTZ under inferTimestampNTZ).
+        # Normalize every layout to an epoch-anchored TIMESTAMP (instant =
+        # the naive value read as UTC, exactly DuckDB's epoch() semantics)
+        # so all downstream window/session/epoch math is tz-neutral and
+        # identical across generations.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", _events_ts_to_utc_instant(df.schema["ts"].dataType))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events_ts_to_utc_instant(dtype) -> F.Column:
+    """Normalize an events.ts column of any testdata generation to a
+    TIMESTAMP whose instant equals the stored naive value interpreted as
+    UTC (DuckDB's epoch() convention). timestampdiff from the NTZ epoch is
+    tz-free, so the result is independent of the session timezone."""
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+
+    if isinstance(dtype, LongType):  # TIMESTAMP(NANOS) read as long
+        return F.timestamp_micros(F.expr("ts div 1000"))
+    if isinstance(dtype, TimestampNTZType):  # TIMESTAMP(MICROS), no tz
+        return F.timestamp_micros(
+            F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+        )
+    if isinstance(dtype, TimestampType):
+        return F.col("ts")
+    raise TypeError(f"unsupported events.ts type: {dtype}")
 
 
 def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:

@@ -58,28 +58,34 @@ def main() -> None:
     # two timed iterations per query, report the min: the steady-state cost of
     # the plan. Single-shot numbers on a shared box swing 2-4× with scheduler
     # noise; min-of-2 converges on the reproducible plan cost.
+    # a failing query must never zero out the whole benchmark (round 3 lost
+    # all numbers to one AnalysisException): record the error per query and
+    # keep going.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in entry.queries().items():
         best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            df = fn(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(2):
+                t0 = time.time()
+                df = fn(spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+                best = min(best, time.time() - t0)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

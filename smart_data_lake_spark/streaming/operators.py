@@ -38,19 +38,62 @@ from pyspark.sql.types import (
     StructType,
 )
 
-EVENTS_SCHEMA = "event_id long, ts long, user_id long, event_type string, value double, props string"
+_EVENTS_SCHEMA_TMPL = "event_id long, ts {ts_type}, user_id long, event_type string, value double, props string"
+
+
+def read_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch read of events.parquet with the same ts normalization as
+    read_events_stream: ts becomes an epoch-anchored TIMESTAMP for any
+    testdata generation (nanos-as-long or TIMESTAMP_NTZ micros)."""
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dtype = df.schema["ts"].dataType
+    if isinstance(dtype, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dtype, TimestampNTZType):
+        return df.withColumn(
+            "ts",
+            F.timestamp_micros(
+                F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+            ),
+        )
+    return df
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
-    """File-source stream over events.parquet with nano→micro ts conversion."""
+    """File-source stream over events.parquet, normalizing ts to an
+    epoch-anchored TIMESTAMP regardless of the file's physical type.
+
+    The testdata's ts physical type has varied across generations
+    (TIMESTAMP(NANOS) → long via the legacy shim; TIMESTAMP(MICROS) →
+    TIMESTAMP_NTZ). A file stream needs an explicit schema, so probe the
+    actual footer type with a driver-side batch schema read first, then
+    declare the matching stream schema and convert tz-neutrally (the naive
+    value interpreted as UTC — DuckDB's epoch() convention)."""
+    from pyspark.sql.types import LongType, TimestampNTZType
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_type = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        schema = _EVENTS_SCHEMA_TMPL.format(ts_type="long")
+        norm = F.timestamp_micros(F.expr("ts div 1000"))
+    elif isinstance(ts_type, TimestampNTZType):
+        schema = _EVENTS_SCHEMA_TMPL.format(ts_type="timestamp_ntz")
+        norm = F.timestamp_micros(
+            F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+        )
+    else:
+        schema = _EVENTS_SCHEMA_TMPL.format(ts_type="timestamp")
+        norm = F.col("ts")
     # the file stream source requires a directory; select just the events
     # table out of the shared sf_dir with a glob filter
-    reader = spark.readStream.schema(EVENTS_SCHEMA).option("pathGlobFilter", "events.parquet")
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", "events.parquet")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.parquet(sf_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", norm)
 
 
 def windowed_event_counts(

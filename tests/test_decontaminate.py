@@ -92,10 +92,10 @@ def test_streaming_session_counts_match_batch(spark, sf_dir):
     )
 
     # batch gaps-and-islands over the same rows
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from smart_data_lake_spark.streaming.operators import read_events_batch
+
     ev = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        read_events_batch(spark, sf_dir)
         .select("user_id", "ts")
     )
     from pyspark.sql import Window

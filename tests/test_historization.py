@@ -206,10 +206,10 @@ def test_historize_filter_clause_leaves_rest_untouched(spark, hist_registry):
 def test_historize_event_log_equals_snapshot_replay(spark, sf_dir):
     """historize_event_log (single-shuffle window formulation) must equal a
     full_historize snapshot replay over the same change log."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from smart_data_lake_spark.streaming.operators import read_events_batch
+
     ev = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        read_events_batch(spark, sf_dir)
         .where(F.col("user_id") < 3)
         .select("user_id", "ts", "event_id", "event_type")
     )
