@@ -1472,6 +1472,195 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registry + oracles
 # --------------------------------------------------------------------------
 
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read JSON extraction (functions/semistructured
+    .extract_json_fields; reference parses JSON on read and flattens via
+    FlattenDfTransformer.scala:35): typed field projection out of the
+    events.props JSON string with JVM-side get_json_object — a stateless
+    per-row projection composed with the scan (zero extra shuffles), then
+    one aggregation. At 100 TB the JSON parse stays inside whole-stage
+    codegen; no Python touches the payload."""
+    from smart_data_lake_spark.functions.semistructured import extract_json_fields
+
+    ev = _t(spark, sf_dir, "events")
+    ex = extract_json_fields(ev, "props", {"k": ("$.k", "long")})
+    return (
+        ex.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("n_null_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (full grouping-set power set) over lineitem — the
+    relational companion of rollup_sales. Catalyst expands the cube into a
+    single Expand + one hash aggregate: one shuffle for all four grouping
+    sets, not four scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_revenue()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "revenue",
+            "n_lines",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+def ntile_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window family over per-customer spend: ntile(10) deciles,
+    percent_rank, cume_dist with a deterministic (spend DESC, custkey) order.
+    The global window needs a total order — fine at dimension-table
+    cardinality; at fact-table scale the decile assignment would switch to
+    percentile_approx boundaries + a broadcast range join (documented
+    trade-off, same output contract)."""
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(_dec("o_totalprice")).alias("spend_dec")
+    )
+    w = Window.orderBy(F.col("spend_dec").desc(), F.col("o_custkey"))
+    return (
+        spend.select(
+            "o_custkey",
+            F.col("spend_dec").cast("double").alias("spend"),
+            F.ntile(10).over(w).alias("decile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+        )
+        .where(F.col("decile") == 1)
+        .orderBy("o_custkey")
+    )
+
+
+def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` ≡ ANSI
+    percentile_cont) of event value per type. Exact percentiles sort within
+    each group — acceptable when groups are bounded; the 100 TB path is
+    approx_percentile (t-digest sketch, mergeable map-side), same call
+    shape. The oracle pins the exact variant."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.75)"), 6).alias("p75"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-count sketch next to the exact count, with the
+    sketch's error certified in-query: `approx_within_5pct` asserts
+    |approx - exact| <= 5% * exact (the sketch is configured at rsd=2%).
+    The oracle carries the exact count (full value parity) and pins the
+    certification to TRUE — so the row goes red if the sketch ever drifts
+    out of tolerance. At 100 TB the exact count is the expensive side
+    (distinct shuffle); the HLL is mergeable map-side with constant state —
+    the operator a real pipeline would keep."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_exact"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("n_approx"),
+        )
+        .select(
+            "event_type",
+            "n_exact",
+            (
+                F.abs(F.col("n_approx") - F.col("n_exact"))
+                <= F.lit(0.05) * F.col("n_exact")
+            ).alias("approx_within_5pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 (0..255) min/max affine quantization of the embedding column
+    with per-vector reconstruction error (functions/embeddings
+    .quantize_embedding_stats) — the compression audit run before shipping
+    quantized vectors to an ANN index. Pure JVM array expressions, zero
+    shuffles; rounding is floor(x+0.5) and the error sum is a left-to-right
+    float64 fold, both engine-portable."""
+    from smart_data_lake_spark.functions.embeddings import quantize_embedding_stats
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        quantize_embedding_stats(emb)
+        .select(
+            "vec_id",
+            "label",
+            F.round("q_scale", 6).alias("q_scale"),
+            F.round("mean_abs_err", 6).alias("mean_abs_err"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def label_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid distance audit (functions/embeddings
+    .centroid_distances): mean vector per label via exact DECIMAL(30,12)
+    per-dimension accumulation (order/partition-independent — float sums
+    are not associative and must not vary across cluster runs), broadcast
+    back, then a per-row zip_with fold for the L2 distance; top-5 farthest
+    vectors per label = mislabel candidates. One shuffle (label,dim
+    groupBy) + one tiny window per label."""
+    from smart_data_lake_spark.functions.embeddings import centroid_distances
+
+    emb = _t(spark, sf_dir, "embeddings")
+    d = centroid_distances(emb)
+    w = Window.partitionBy("label").orderBy(
+        F.col("centroid_dist").desc(), F.col("vec_id")
+    )
+    return (
+        d.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("label", "rnk", "vec_id", F.round("centroid_dist", 6).alias("centroid_dist"))
+        .orderBy("label", "rnk")
+    )
+
+
+def train_val_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-safe train/val/test assignment (functions/sampling
+    .hash_split): each document lands in exactly one split as a pure
+    function of md5(doc_id) — re-runs, repartitioning, and other engines
+    reproduce the identical assignment, so no document can leak between
+    train and eval across pipeline versions. Stateless per-row projection
+    + one count aggregation."""
+    from smart_data_lake_spark.functions.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    s = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return (
+        s.groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("source", "split")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1540,6 +1729,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": ann_topk_lsh,
         "ann_topk_ivf": ann_topk_ivf,
         "multimodal_image_meta": multimodal_image_meta,
+        "json_extract_events": json_extract_events,
+        "cube_sales": cube_sales,
+        "ntile_customer_spend": ntile_customer_spend,
+        "event_value_percentiles": event_value_percentiles,
+        "approx_distinct_users": approx_distinct_users,
+        "embedding_quantize_error": embedding_quantize_error,
+        "label_centroid_outliers": label_centroid_outliers,
+        "train_val_split_documents": train_val_split_documents,
     }
 
 
@@ -2515,4 +2712,96 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
               FROM scored
             ) WHERE rank <= 5 ORDER BY query_id, rank""",
+        "json_extract_events": """
+            SELECT event_type,
+                   COUNT(*) AS n_events,
+                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+                   MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+                   SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS n_null_k
+            FROM events GROUP BY event_type ORDER BY event_type""",
+        "cube_sales": f"""
+            SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+                   COALESCE(l_linestatus, 'ALL') AS linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_lines
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+            ORDER BY returnflag, linestatus""",
+        "ntile_customer_spend": """
+            WITH spend AS (
+              SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend_dec
+              FROM orders GROUP BY o_custkey
+            )
+            SELECT o_custkey, CAST(spend_dec AS DOUBLE) AS spend,
+                   CAST(ntile(10) OVER w AS INT) AS decile,
+                   round(percent_rank() OVER w, 6) AS pct_rank,
+                   round(cume_dist() OVER w, 6) AS cume_dist
+            FROM spend
+            WINDOW w AS (ORDER BY spend_dec DESC, o_custkey)
+            QUALIFY decile = 1
+            ORDER BY o_custkey""",
+        "event_value_percentiles": """
+            SELECT event_type, COUNT(*) AS n,
+                   round(quantile_cont(value, 0.25), 6) AS p25,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.75), 6) AS p75,
+                   round(quantile_cont(value, 0.9), 6) AS p90
+            FROM events GROUP BY event_type ORDER BY event_type""",
+        "approx_distinct_users": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
+                   TRUE AS approx_within_5pct
+            FROM events GROUP BY event_type ORDER BY event_type""",
+        "embedding_quantize_error": """
+            WITH v AS (
+              SELECT vec_id, label,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings
+            ), s AS (
+              SELECT vec_id, label, e,
+                     list_min(e) AS vmin,
+                     (list_max(e) - list_min(e)) / 255.0 AS scale
+              FROM v
+            )
+            SELECT vec_id, label,
+                   round(scale, 6) AS q_scale,
+                   round(
+                     list_sum(list_transform(e, x -> abs(x - (
+                       CASE WHEN scale > 0
+                            THEN vmin + floor((x - vmin) / scale + 0.5) * scale
+                            ELSE x END)))) / len(e), 6) AS mean_abs_err
+            FROM s ORDER BY vec_id""",
+        "label_centroid_outliers": """
+            WITH dims AS (
+              SELECT vec_id, label, t.i AS pos,
+                     CAST(embedding[t.i] AS DOUBLE) AS x
+              FROM embeddings,
+                   LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t
+            ), cent AS (
+              SELECT label, pos,
+                     CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS c
+              FROM dims GROUP BY label, pos
+            ), dist AS (
+              SELECT d.vec_id, d.label,
+                     sqrt(SUM((d.x - c.c) * (d.x - c.c) ORDER BY d.pos)) AS centroid_dist
+              FROM dims d JOIN cent c ON d.label = c.label AND d.pos = c.pos
+              GROUP BY d.vec_id, d.label
+            )
+            SELECT label, rnk, vec_id, centroid_dist FROM (
+              SELECT label, vec_id, round(centroid_dist, 6) AS centroid_dist,
+                     CAST(row_number() OVER (PARTITION BY label
+                          ORDER BY centroid_dist DESC, vec_id) AS INT) AS rnk
+              FROM dist
+            ) WHERE rnk <= 5 ORDER BY label, rnk""",
+        "train_val_split_documents": """
+            WITH s AS (
+              SELECT source, n_chars, doc_id,
+                     CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 8000 THEN 'train'
+                          WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 9000 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM documents
+            )
+            SELECT source, split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+                   MIN(doc_id) AS first_doc
+            FROM s GROUP BY source, split ORDER BY source, split""",
     }

@@ -72,6 +72,33 @@ def importance_sample(
     return df.where(hash_fraction(F.col(key_col), denom) < accept)
 
 
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, float],
+    split_col: str = "split",
+    denom: int = 10000,
+) -> DataFrame:
+    """Contamination-safe train/val/test assignment: each row lands in
+    exactly one named split, decided by hash(key) — a pure per-row function,
+    so the same document can never drift between splits across runs,
+    repartitionings, or engines (the leakage mode hash splitting exists to
+    prevent). ``splits`` maps name -> fraction; fractions are consumed in
+    insertion order as consecutive hash ranges and must sum to <= 1 (any
+    remainder becomes NULL). Stateless projection: composes with the scan,
+    no shuffle at any scale."""
+    h = hash_fraction(F.col(key_col), denom)
+    expr = F.lit(None).cast("string")
+    upper = 0.0
+    branches: list[tuple[float, str]] = []
+    for name, frac in splits.items():
+        upper += frac
+        branches.append((upper, name))
+    for bound, name in reversed(branches):
+        expr = F.when(h < int(round(bound * denom)), F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
 def pack_sequences(
     df: DataFrame,
     key_col: str,
