@@ -1661,6 +1661,50 @@ def train_val_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def trend_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend fit (functions/analytics.grouped_linear_trend):
+    slope/intercept of event value over time from sufficient statistics —
+    ONE map-side-combinable aggregation (no iteration, no driver math), with
+    exact DECIMAL accumulation so the fit is independent of row order. x is
+    epoch seconds offset from 2024-01-01 to keep the decimal products in
+    range; final slope arithmetic is plain float64, identical per engine."""
+    from smart_data_lake_spark.functions.analytics import grouped_linear_trend
+
+    ev = _t(spark, sf_dir, "events")
+    x = F.col("ts").cast("double") - F.lit(1704067200.0)
+    out = grouped_linear_trend(ev, ["event_type"], x, F.col("value"))
+    return out.select(
+        "event_type",
+        "n",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+    ).orderBy("event_type")
+
+
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle (functions/analytics.cohort_retention):
+    users bucketed by first-activity week, distinct returning users per
+    (cohort week, week offset). Two shuffles total — per-user min (combined
+    map-side) and the cohort×offset distinct count."""
+    from smart_data_lake_spark.functions.analytics import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    out = cohort_retention(ev, period_seconds=7 * 24 * 3600)
+    return out.orderBy("cohort_period", "period_offset")
+
+
+def funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered funnel view → click → purchase (functions/analytics
+    .funnel_counts): one shuffle, then an in-row sorted fold over each
+    user's step events (greedy earliest-advance chain ≡ iterated
+    min-ts-after chain; the oracle computes the latter with per-step
+    conditional joins, proving the equivalence)."""
+    from smart_data_lake_spark.functions.analytics import funnel_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_counts(ev, ["view", "click", "purchase"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1737,6 +1781,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize_error": embedding_quantize_error,
         "label_centroid_outliers": label_centroid_outliers,
         "train_val_split_documents": train_val_split_documents,
+        "trend_value_by_type": trend_value_by_type,
+        "cohort_retention_weekly": cohort_retention_weekly,
+        "funnel_signup_purchase": funnel_signup_purchase,
     }
 
 
@@ -2804,4 +2851,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
                    MIN(doc_id) AS first_doc
             FROM s GROUP BY source, split ORDER BY source, split""",
+        "trend_value_by_type": """
+            WITH s AS (
+              SELECT event_type, COUNT(*) AS n,
+                     SUM(CAST(epoch(ts) - 1704067200 AS DECIMAL(18,6))) AS sx,
+                     SUM(CAST(value AS DECIMAL(18,6))) AS sy,
+                     -- the 19,6 up-cast (same value, int128 storage) keeps DuckDB's
+                     -- product exact; Spark computes the identical exact product at 18,6
+                     SUM(CAST(CAST(CAST(epoch(ts) - 1704067200 AS DECIMAL(18,6)) AS DECIMAL(19,6))
+                              * CAST(CAST(value AS DECIMAL(18,6)) AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS sxy,
+                     SUM(CAST(CAST(CAST(epoch(ts) - 1704067200 AS DECIMAL(18,6)) AS DECIMAL(19,6))
+                              * CAST(CAST(epoch(ts) - 1704067200 AS DECIMAL(18,6)) AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS sxx
+              FROM events GROUP BY event_type
+            )
+            SELECT event_type, n,
+                   round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+                   round((CAST(sy AS DOUBLE)
+                          - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                            * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
+            FROM s ORDER BY event_type""",
+        "cohort_retention_weekly": """
+            WITH ev AS (
+              SELECT user_id AS u, CAST(floor(epoch(ts) / 604800) AS BIGINT) AS p FROM events
+            ), first AS (
+              SELECT u, MIN(p) AS cohort_p FROM ev GROUP BY u
+            )
+            SELECT cohort_p AS cohort_period, p - cohort_p AS period_offset,
+                   COUNT(DISTINCT u) AS n_users
+            FROM ev JOIN first USING (u)
+            GROUP BY 1, 2 ORDER BY 1, 2""",
+        "funnel_signup_purchase": """
+            WITH t0 AS (
+              SELECT user_id AS u, MIN(ts) AS ts0 FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ), c1 AS (
+              SELECT e.user_id AS u, MIN(e.ts) AS ts1
+              FROM events e JOIN t0 ON e.user_id = t0.u
+              WHERE e.event_type = 'click' AND e.ts > t0.ts0 GROUP BY e.user_id
+            ), c2 AS (
+              SELECT e.user_id AS u, MIN(e.ts) AS ts2
+              FROM events e JOIN c1 ON e.user_id = c1.u
+              WHERE e.event_type = 'purchase' AND e.ts > c1.ts1 GROUP BY e.user_id
+            )
+            SELECT (SELECT COUNT(*) FROM t0) AS n_step0_view,
+                   (SELECT COUNT(*) FROM c1) AS n_step1_click,
+                   (SELECT COUNT(*) FROM c2) AS n_step2_purchase""",
     }

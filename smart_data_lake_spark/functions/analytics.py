@@ -1,0 +1,149 @@
+"""Event-analytics operators: grouped trend fit, cohort retention, funnels.
+
+The reference delegates analytical SQL to the engine (SURVEY.md §2.5); these
+are the three event-table analyses every warehouse deployment ends up
+hand-writing, packaged as composable DataFrame operators:
+
+  * `grouped_linear_trend` — closed-form per-group OLS fit of y over x:
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²). One aggregation — the sums
+    are map-side combinable, so the fit costs exactly one shuffle at any
+    scale (the textbook sufficient-statistics formulation; no iteration,
+    no driver math). Accumulation is exact DECIMAL so the fitted slope is
+    independent of row order and partitioning.
+  * `cohort_retention` — users bucketed by first-activity period; for each
+    (cohort, period-offset), distinct returning users. Two shuffles: the
+    per-user min (map-side combinable) and the cohort×offset distinct.
+  * `funnel_counts` — strictly-ordered step progression per user (step k
+    counts only if it happens AFTER the user's step k-1). One shuffle (the
+    per-user conditional aggregation); the step chain is a fold over
+    conditional MINs, not a self-join per step — k steps cost one pass,
+    not k-1 joins.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def grouped_linear_trend(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x: Column,
+    y: Column,
+    scale: int = 6,
+) -> DataFrame:
+    """Per-group OLS slope/intercept via sufficient statistics. ``x`` and
+    ``y`` are cast to DECIMAL(18,{scale}) before accumulation, so every sum
+    is EXACT (products stay within decimal range in any engine: 18+18
+    digits < 38) and the fit is independent of row order and partitioning.
+    The final slope/intercept arithmetic runs on float64 — a fixed, tiny
+    expression evaluated identically everywhere. Groups with zero
+    x-variance yield NULL slope/intercept. Caller contract: |x| and |y|
+    must fit 12 integer digits (offset/scale inputs accordingly)."""
+    xd = x.cast(f"decimal(18,{scale})")
+    yd = y.cast(f"decimal(18,{scale})")
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum((xd * yd).cast("decimal(38,12)")).alias("sxy"),
+        F.sum((xd * xd).cast("decimal(38,12)")).alias("sxx"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d, sy_d = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy_d, sxx_d = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    denom = n_d * sxx_d - sx_d * sx_d
+    numer = n_d * sxy_d - sx_d * sy_d
+    slope = F.when(denom != 0, numer / denom)
+    intercept = F.when(denom != 0, (sy_d - (numer / denom) * sx_d) / n_d)
+    return agg.select(
+        *group_cols,
+        "n",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_seconds: int = 7 * 24 * 3600,
+) -> DataFrame:
+    """Classic retention triangle: cohort = floor(first activity / period),
+    offset = activity period − cohort period; output one row per
+    (cohort_period, period_offset) with distinct active users."""
+    period = F.floor(F.col(ts_col).cast("double") / F.lit(period_seconds)).cast("long")
+    ev = df.select(F.col(user_col).alias("u"), period.alias("p"))
+    first = ev.groupBy("u").agg(F.min("p").alias("cohort_p"))
+    joined = ev.join(first, "u")
+    return (
+        joined.groupBy(
+            F.col("cohort_p").alias("cohort_period"),
+            (F.col("p") - F.col("cohort_p")).alias("period_offset"),
+        )
+        .agg(F.countDistinct("u").alias("n_users"))
+    )
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Strictly-ordered funnel: a user reaches step k iff an event of type
+    steps[k] happens STRICTLY after the earliest moment they completed
+    steps 0..k-1 in order (the greedy earliest-advance chain — provably
+    equal to the iterated `min ts > previous` chain). One shuffle: the
+    user's step events are collected, sorted in-row by (ts, type), and the
+    chain is a JVM `aggregate` fold with a (step, ts) struct accumulator —
+    funnel depth never adds shuffles or joins. Per-user state is bounded by
+    that user's step-event count, the standard assumption for user funnels
+    at any corpus scale."""
+    n_steps = len(steps)
+    evs = (
+        df.where(F.col(type_col).isin(*steps))
+        .groupBy(F.col(user_col).alias("u"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("t")))
+            ).alias("evs")
+        )
+    )
+    # expected type at accumulator step s: steps[s]
+    def expected(step_col):
+        expr = F.lit(None).cast("string")
+        for i in reversed(range(n_steps)):
+            expr = F.when(step_col == i, F.lit(steps[i])).otherwise(expr)
+        return expr
+
+    init = F.struct(
+        F.lit(0).cast("int").alias("step"), F.lit(None).cast("timestamp").alias("ts")
+    )
+    folded = evs.withColumn(
+        "state",
+        F.aggregate(
+            "evs",
+            init,
+            lambda acc, ev: F.when(
+                (acc["step"] < n_steps)
+                & (ev["t"] == expected(acc["step"]))
+                & ((acc["step"] == 0) | (ev["ts"] > acc["ts"])),
+                F.struct((acc["step"] + 1).alias("step"), ev["ts"].alias("ts")),
+            ).otherwise(acc),
+        ),
+    )
+    reached = folded.select(F.col("state.step").alias("reached"))
+    return reached.agg(
+        *[
+            F.sum(F.when(F.col("reached") >= i + 1, 1).otherwise(0)).alias(
+                f"n_step{i}_{s}"
+            )
+            for i, s in enumerate(steps)
+        ]
+    )

