@@ -55,6 +55,15 @@ def main() -> None:
         "noop"
     ).save()
 
+    # ... and the parquet-scan + decimal-aggregate codegen paths, so the first
+    # measured query times its plan rather than the remaining JIT warm-up
+    # (measured ~3s of q1's time before this existed)
+    warm_li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(20000)
+    warm_li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")),
+        F.avg("l_quantity"),
+    ).write.mode("overwrite").format("noop").save()
+
     # two timed iterations per query, report the min: the steady-state cost of
     # the plan. Single-shot numbers on a shared box swing 2-4× with scheduler
     # noise; min-of-2 converges on the reproducible plan cost.

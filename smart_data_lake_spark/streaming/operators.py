@@ -153,18 +153,40 @@ def session_event_counts(
     )
 
 
-def run_available_now(result: DataFrame, query_name: str | None = None, output_mode: str = "complete") -> DataFrame:
-    """Drain all available input through a memory sink; return the table."""
+def run_available_now(
+    result: DataFrame,
+    query_name: str | None = None,
+    output_mode: str = "complete",
+    state_partitions: int | None = 8,
+) -> DataFrame:
+    """Drain all available input through a memory sink; return the table.
+
+    `state_partitions` bounds the stream's shuffle partitions for the run:
+    every stateful operator materializes one state-store instance PER
+    shuffle partition per operator, so a 32-partition local session pays
+    32× state-store open/commit/file overhead per micro-batch where the
+    state itself is tiny. 8 is right for the test corpora; a production
+    deployment sizes it to expected state volume (the setting is sticky in
+    the checkpoint, so it is an explicit knob, not a default). The session
+    conf is restored after the drain — batch plans in the same session are
+    unaffected (a stream binds shuffle partitions when the query starts)."""
     name = query_name or f"sdl_stream_{uuid.uuid4().hex[:8]}"
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return result.sparkSession.table(name)
+    spark = result.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 _TOTALS_OUT = StructType(

@@ -99,13 +99,18 @@ def test_profile_columns_unknown_column(spark):
         profile_columns(df, ["nope"])
 
 
-def test_profile_single_aggregate_plan(spark):
-    """The profile is ONE aggregate over one scan — no join of per-stat
-    subplans, no repeated scans."""
+def test_profile_two_aggregates_one_cross_join(spark):
+    """The profile is exactly two aggregate subplans (plain stats +
+    multi-distinct) joined 1-row × 1-row — never one join per statistic.
+    Fusing them is the regression this guards against: Catalyst's
+    multi-distinct Expand would drag the percentile buffers across
+    (n_distinct_cols + 1)× duplicated input rows."""
     df = spark.createDataFrame([Row(a=1, c=1.5)])
     prof = profile_columns(df, ["a", "c"])
     plan = prof._jdf.queryExecution().executedPlan().toString()
-    assert "Join" not in plan
+    assert plan.count("Join") == 1  # the single 1×1 combine
+    # the plain-stats aggregate must not sit under an Expand
+    assert "percentile" not in plan.split("Expand")[-1] or "Expand" not in plan
 
 
 def test_grouped_outliers_flags_only_extremes(spark):
