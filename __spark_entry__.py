@@ -1712,6 +1712,32 @@ def funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_counts(ev, ["view", "click", "purchase"])
 
 
+def segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-granular exact dedup (functions/dedup.exact_segment_dedup;
+    ExactSubstr of Lee et al. 2022, public method): consecutive 5-token
+    segments, first occurrence wins corpus-wide, per-doc duplicated-segment
+    stats. One narrow posexplode + ONE segment-key shuffle + one
+    groupBy(doc) — linear, no all-pairs, the only shape that distributes."""
+    from smart_data_lake_spark.functions.dedup import exact_segment_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_segment_dedup(_fan_out(spark, docs)).orderBy("doc_id")
+
+
+def unigram_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram LM quality scoring (functions/quality
+    .unigram_logprob_score; CCNet idea, Wenzek et al. 2020, public method):
+    MLE unigram distribution over the corpus, every document scored by mean
+    token log-probability. Vocabulary built in one map-side-combined
+    explode+groupBy, broadcast back (|vocab| rows regardless of corpus
+    size), one groupBy(doc). Per-token logprobs round to 1e-6 before the
+    exact decimal sum — engine-libm-independent, order-independent."""
+    from smart_data_lake_spark.functions.quality import unigram_logprob_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_logprob_score(_fan_out(spark, docs)).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -1791,6 +1817,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_value_by_type": trend_value_by_type,
         "cohort_retention_weekly": cohort_retention_weekly,
         "funnel_signup_purchase": funnel_signup_purchase,
+        "segment_dedup_docs": segment_dedup_docs,
+        "unigram_quality_docs": unigram_quality_docs,
     }
 
 
@@ -2906,4 +2934,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT (SELECT COUNT(*) FROM t0) AS n_step0_view,
                    (SELECT COUNT(*) FROM c1) AS n_step1_click,
                    (SELECT COUNT(*) FROM c2) AS n_step2_purchase""",
+        "segment_dedup_docs": r"""
+            WITH toksrc AS (
+              SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+              FROM documents
+              WHERE length(trim(lower(text))) > 0
+                AND len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 5
+            ), segs AS (
+              SELECT doc_id, t.i AS seg_idx,
+                     array_to_string(list_transform(range(1, 6),
+                                     j -> w[CAST(t.i * 5 + j AS INT)]), ' ') AS seg
+              FROM toksrc, LATERAL (SELECT unnest(range(0, len(w) // 5)) AS i) t
+            ), marked AS (
+              SELECT doc_id, seg,
+                     row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) > 1 AS is_dup
+              FROM segs
+            )
+            SELECT doc_id, COUNT(*) AS n_segments,
+                   CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments,
+                   round(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS dup_frac
+            FROM marked GROUP BY doc_id ORDER BY doc_id""",
+        "unigram_quality_docs": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+              FROM documents WHERE length(trim(lower(text))) > 0
+            ), vocab AS (
+              SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+            ), tot AS (SELECT SUM(cnt) AS total FROM vocab),
+            sv AS (
+              SELECT tok, CAST(round(ln(cnt * 1.0 / total), 6) AS DECIMAL(18,6)) AS logp
+              FROM vocab, tot
+            )
+            SELECT doc_id, COUNT(*) AS n_tokens,
+                   round(CAST(SUM(logp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+            FROM toks JOIN sv USING (tok)
+            GROUP BY doc_id ORDER BY doc_id""",
     }

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .text import tokens
+
 
 def exact_duplicate_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Groups of byte-identical (normalized) documents: fingerprint → members.
@@ -277,6 +279,55 @@ def embedding_neardup_lsh(
             ),
         )
         .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def exact_segment_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 5,
+) -> DataFrame:
+    """Segment-granular exact deduplication (the ExactSubstr idea of Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models Better" —
+    public method): documents are cut into consecutive ``seg_tokens``-token
+    segments; every segment that already occurred earlier in the corpus
+    (first occurrence = lowest (doc_id, seg_idx)) is marked a duplicate.
+    Returns per-document stats: n_segments, n_dup_segments, dup_frac.
+
+    Plan: one narrow posexplode (segments stay on their document's
+    partition), ONE shuffle on the segment text for the first-occurrence
+    window, and one groupBy(doc) — linear in corpus size, no all-pairs
+    step. At 100 TB the segment-hash shuffle is the dominant exchange and
+    is exactly the cost an exact-substring dedup must pay; suffix-array
+    construction (the paper's in-memory approach) does not distribute."""
+    toks = F.col("_toks")
+    n_seg = (F.size(toks) / seg_tokens).cast("int")
+    segs = (
+        docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .where(F.size("_toks") >= seg_tokens)
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_seg - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(toks, i * seg_tokens + 1, seg_tokens)
+                    ),
+                )
+            ).alias("seg_idx", "seg"),
+        )
+    )
+    w = Window.partitionBy("seg").orderBy(F.col(id_col), F.col("seg_idx"))
+    marked = segs.withColumn(
+        "is_dup", F.row_number().over(w) > 1
+    )
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("n_dup_segments"),
+        F.round(
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0)) / F.count(F.lit(1)), 6
+        ).alias("dup_frac"),
     )
 
 

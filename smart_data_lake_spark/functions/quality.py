@@ -178,3 +178,47 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     return s4.withColumn("quality_keep", keep).drop(
         "_toks", "_lines", "_g2", "_g3", "_g5", "_r2", "_r3", "_r5"
     )
+
+
+def unigram_logprob_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_scale: int = 6,
+) -> DataFrame:
+    """Corpus-unigram language-model quality score (the CCNet idea — Wenzek
+    et al. 2020, public method — with the corpus itself as the LM): build
+    the MLE unigram distribution over the whole corpus, then score every
+    document by its mean token log-probability. Low scores = documents
+    whose vocabulary is atypical for the corpus (boilerplate, noise,
+    wrong-language shards).
+
+    Returns (id, n_tokens, avg_logprob). Plan: one explode + token groupBy
+    builds the vocabulary (map-side combined), which is broadcast back onto
+    the exploded tokens (a vocabulary is small relative to any corpus — at
+    100 TB it is still only |vocab| rows), then one groupBy(doc). Each
+    token's logprob is rounded to ``round_scale`` BEFORE the exact decimal
+    sum, so the per-document mean is independent of row order and engine
+    libm differences below the rounding grain."""
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    scored_vocab = vocab.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.round(F.log(F.col("cnt") / F.col("total")), round_scale)
+        .cast("decimal(18,6)")
+        .alias("logp"),
+    )
+    per_doc = (
+        toks.join(F.broadcast(scored_vocab), "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                (F.sum("logp").cast("double") / F.count(F.lit(1))), round_scale
+            ).alias("avg_logprob"),
+        )
+    )
+    return per_doc

@@ -50,3 +50,48 @@ def test_neardup_clusters_canonical_pick(spark):
         for r in neardup_clusters(docs, pairs).collect()
     }
     assert got == {(1, 3, 2), (10, 2, 10)}
+
+
+def test_exact_segment_dedup_marks_later_occurrences(spark):
+    from smart_data_lake_spark.functions.dedup import exact_segment_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),          # segments: [a..e], [f..j]
+            (2, "a b c d e x y z w v"),          # first segment duplicates doc 1's
+            (3, "p q r"),                        # too short -> excluded
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in exact_segment_dedup(docs).collect()}
+    assert out[1].n_segments == 2 and out[1].n_dup_segments == 0
+    assert out[2].n_segments == 2 and out[2].n_dup_segments == 1
+    assert out[2].dup_frac == 0.5
+    assert 3 not in out
+
+
+def test_exact_segment_dedup_first_occurrence_deterministic(spark):
+    from smart_data_lake_spark.functions.dedup import exact_segment_dedup
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e") for i in range(1, 6)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.n_dup_segments for r in exact_segment_dedup(docs.repartition(5)).collect()}
+    assert out[1] == 0                       # lowest doc_id keeps the segment
+    assert all(out[i] == 1 for i in range(2, 6))
+
+
+def test_unigram_logprob_orders_typicality(spark):
+    from smart_data_lake_spark.functions.quality import unigram_logprob_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common common"),
+            (2, "common common common rare"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in unigram_logprob_score(docs).collect()}
+    # 'common' has p=7/8, 'rare' p=1/8: doc 1 scores strictly higher
+    assert out[1].avg_logprob > out[2].avg_logprob
+    assert out[1].n_tokens == 4 and out[2].n_tokens == 4
