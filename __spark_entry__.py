@@ -1532,9 +1532,9 @@ def ntile_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-window family over per-customer spend: ntile(10) deciles,
     percent_rank, cume_dist with a deterministic (spend DESC, custkey) order.
     The global window needs a total order — fine at dimension-table
-    cardinality; at fact-table scale the decile assignment would switch to
-    percentile_approx boundaries + a broadcast range join (documented
-    trade-off, same output contract)."""
+    cardinality; at fact-table scale the decile assignment switches to
+    functions/analytics.approx_quantile_buckets (Greenwald-Khanna sketch
+    boundaries + stateless per-row bucket projection, no global sort)."""
     o = _t(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
         F.sum(_dec("o_totalprice")).alias("spend_dec")

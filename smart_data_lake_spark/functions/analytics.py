@@ -67,6 +67,30 @@ def grouped_linear_trend(
     )
 
 
+def approx_quantile_buckets(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 10,
+    relative_error: float = 0.001,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Fact-scale quantile bucketing (the ntile replacement promised by
+    `ntile_customer_spend`): boundaries come from Spark's Greenwald-Khanna
+    sketch (`approxQuantile`, mergeable map-side, bounded memory), then
+    every row gets its bucket from a broadcast CASE chain — a stateless
+    per-row projection. No global sort, no single-partition window: the
+    only driver-side data is n_buckets-1 boundary scalars. Exact ntile
+    needs a total order (one reducer sees everything); this is the shape
+    that survives a 10^9-row column. Ties across a boundary all land in
+    the lower bucket — deterministic, re-run-stable."""
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = df.approxQuantile(value_col, probs, relative_error)
+    expr = F.lit(n_buckets)
+    for i in reversed(range(len(bounds))):
+        expr = F.when(F.col(value_col) <= bounds[i], F.lit(i + 1)).otherwise(expr)
+    return df.withColumn(bucket_col, expr.cast("int"))
+
+
 def cohort_retention(
     df: DataFrame,
     user_col: str = "user_id",

@@ -91,3 +91,23 @@ def test_funnel_simultaneous_events_not_strictly_after(spark):
     out = funnel_counts(df, ["view", "click"]).first()
     assert out.n_step0_view == 1
     assert out.n_step1_click == 0  # same-instant click is not strictly after
+
+
+def test_approx_quantile_buckets_monotone_and_balanced(spark):
+    from smart_data_lake_spark.functions.analytics import approx_quantile_buckets
+
+    df = spark.range(10000).select((F.col("id") * 7 % 10007).cast("double").alias("v"))
+    out = approx_quantile_buckets(df, "v", n_buckets=10, relative_error=0.0001)
+    agg = {
+        r.bucket: (r.n, r.lo, r.hi)
+        for r in out.groupBy("bucket")
+        .agg(F.count("*").alias("n"), F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .collect()
+    }
+    assert set(agg) == set(range(1, 11))
+    # buckets are ordered ranges: every bucket's max <= next bucket's min
+    for b in range(1, 10):
+        assert agg[b][2] <= agg[b + 1][1]
+    # and roughly balanced at this error bound
+    for b in agg:
+        assert 800 <= agg[b][0] <= 1200
