@@ -58,12 +58,18 @@ class ParquetTableDataObject(SparkFileDataObject, CanMergeDataFrame):
         id: str,
         path: str,
         table: Table | dict | None = None,
+        keep_snapshots: int = 0,
         **kwargs: Any,
     ) -> None:
         super().__init__(id=id, path=path, **kwargs)
         if isinstance(table, dict):
             table = Table.of(table)
         self.table = table or Table(name=id)
+        # N previous table states retained for time travel (Delta/Iceberg
+        # keep these as part of their commit log; the parquet stand-in keeps
+        # whole-directory snapshots — O(table) space per version, the honest
+        # cost of versioning without a transactional format)
+        self.keep_snapshots = keep_snapshots
 
     @property
     def primary_key(self) -> list[str]:
@@ -134,12 +140,63 @@ class ParquetTableDataObject(SparkFileDataObject, CanMergeDataFrame):
             writer.mode("overwrite").save(tmp)
             n = spark.read.format(self.format).load(tmp).count()
             if fs.is_dir(self.path):
-                fs.delete(self.path, recursive=True)
+                if self.keep_snapshots > 0:
+                    self._snapshot_current(fs)
+                else:
+                    fs.delete(self.path, recursive=True)
             fs.move(tmp, self.path)
             return {"records_written": n}
         finally:
             if fs.is_dir(tmp):
                 fs.delete(tmp, recursive=True)
+
+    # -- snapshot retention / time travel ---------------------------------
+
+    @property
+    def _snapshot_root(self) -> str:
+        return self.path.rstrip("/") + "_snapshots"
+
+    def _snapshot_current(self, fs) -> None:
+        """Retire the live directory as the next snapshot version and prune
+        beyond `keep_snapshots`. Versions are monotonically increasing ints;
+        driver-side metadata ops only (one move + bounded deletes)."""
+        existing = self.snapshot_versions(fs)
+        nxt = (existing[-1] + 1) if existing else 0
+        if not fs.is_dir(self._snapshot_root):
+            fs.mkdirs(self._snapshot_root)
+        fs.move(self.path, f"{self._snapshot_root}/v{nxt}")
+        for v in (existing + [nxt])[: -self.keep_snapshots] if self.keep_snapshots else []:
+            fs.delete(f"{self._snapshot_root}/v{v}", recursive=True)
+
+    def snapshot_versions(self, fs=None) -> list[int]:
+        """Available snapshot versions, oldest first (excludes the live
+        table, which is always the newest state)."""
+        from smart_data_lake_spark.fs import get_fs
+
+        fs = fs or get_fs(None, self.path)
+        root = self._snapshot_root
+        if not fs.is_dir(root):
+            return []
+        return sorted(
+            int(name[1:])
+            for name in fs.listdir(root)
+            if name.startswith("v") and name[1:].isdigit()
+        )
+
+    def get_dataframe_version(self, spark: SparkSession, version: int) -> DataFrame:
+        """Time travel: read a retained snapshot (`version` as listed by
+        `snapshot_versions`). The Delta/Iceberg DataObjects expose the same
+        capability through their native `versionAsOf`/`snapshot-id` reads;
+        the parquet stand-in serves it from the retained directories."""
+        path = f"{self._snapshot_root}/v{version}"
+        from smart_data_lake_spark.fs import get_fs
+
+        if not get_fs(spark, self.path).is_dir(path):
+            raise ValueError(
+                f"({self.id}) snapshot v{version} not available; "
+                f"retained: {self.snapshot_versions()}"
+            )
+        return spark.read.format(self.format).options(**self._read_options()).load(path)
 
 
 @register_data_object_type

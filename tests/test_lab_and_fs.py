@@ -105,3 +105,50 @@ def test_lab_simulate_no_storage_touched(lab, spark, tmp_path):
     )
     assert out["dst"].collect()[0].id == 9
     assert not (tmp_path / "dst").exists()  # nothing written
+
+
+def test_parquet_table_snapshots_time_travel(spark, tmp_path):
+    """keep_snapshots retains prior table states; get_dataframe_version
+    reads them back (the stand-in's versionAsOf); retention prunes."""
+    from pyspark.sql import Row
+
+    from smart_data_lake_spark.dataobjects import ParquetTableDataObject
+    from smart_data_lake_spark.save_modes import SaveMode
+
+    do = ParquetTableDataObject(
+        id="snap_t",
+        path=str(tmp_path / "t"),
+        table={"name": "t", "primary_key": ["k"]},
+        keep_snapshots=2,
+    )
+    def write(rows, mode):
+        do.write_dataframe(spark.createDataFrame(rows), save_mode=mode)
+
+    write([Row(k=1, v="a")], SaveMode.OVERWRITE)            # state 0 (no snapshot yet)
+    write([Row(k=1, v="b")], SaveMode.OVERWRITE)            # snapshots state0 as v0
+    write([Row(k=1, v="c"), Row(k=2, v="x")], SaveMode.MERGE)  # snapshots state1 as v1
+    assert do.snapshot_versions() == [0, 1]
+
+    v0 = do.get_dataframe_version(spark, 0).collect()
+    assert [(r.k, r.v) for r in v0] == [(1, "a")]
+    v1 = do.get_dataframe_version(spark, 1).collect()
+    assert [(r.k, r.v) for r in v1] == [(1, "b")]
+    live = {(r.k, r.v) for r in do.get_dataframe(spark).collect()}
+    assert live == {(1, "c"), (2, "x")}
+
+    write([Row(k=1, v="d")], SaveMode.OVERWRITE)            # v2; v0 pruned (keep 2)
+    assert do.snapshot_versions() == [1, 2]
+    with pytest.raises(ValueError):
+        do.get_dataframe_version(spark, 0)
+
+
+def test_parquet_table_no_snapshots_by_default(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from smart_data_lake_spark.dataobjects import ParquetTableDataObject
+    from smart_data_lake_spark.save_modes import SaveMode
+
+    do = ParquetTableDataObject(id="plain_t", path=str(tmp_path / "t"))
+    do.write_dataframe(spark.createDataFrame([Row(k=1)]), save_mode=SaveMode.OVERWRITE)
+    do.write_dataframe(spark.createDataFrame([Row(k=2)]), save_mode=SaveMode.OVERWRITE)
+    assert do.snapshot_versions() == []
