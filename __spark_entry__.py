@@ -843,21 +843,13 @@ def data_validation_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sessionization (gap > 1 hour) via lag + cumulative flag sum — the
-    standard Spark pattern for session windows in batch."""
+    """Sessionization (functions/analytics.sessionize; gap > 1 hour) via
+    lag + cumulative flag sum — the standard batch formulation of session
+    windows, one shuffle for both windows."""
+    from smart_data_lake_spark.functions.analytics import sessionize
+
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    flagged = ev.withColumn(
-        "new_session",
-        F.when(
-            F.lag("ts").over(w).isNull()
-            | (F.col("ts").cast("double") - F.lag("ts").over(w).cast("double") > 3600),
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    )
-    sessions = flagged.withColumn(
-        "session_no", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
-    )
+    sessions = sessionize(ev, gap_seconds=3600, order_cols=["event_id"])
     return (
         sessions.groupBy("user_id")
         .agg(

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -111,6 +111,32 @@ def cohort_retention(
         )
         .agg(F.countDistinct("u").alias("n_users"))
     )
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 3600,
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): events more than
+    ``gap_seconds`` apart start a new session. Appends ``session_no``
+    (1-based per user, in time order). One shuffle — both windows share the
+    (user, time) partitioning, so Catalyst plans a single Exchange+Sort.
+    ``order_cols`` breaks timestamp ties deterministically."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, *order_cols)
+    prev = F.lag(ts_col).over(w)
+    new_session = F.when(
+        prev.isNull()
+        | (F.col(ts_col).cast("double") - prev.cast("double") > gap_seconds),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    flagged = df.withColumn("_new_session", new_session)
+    return flagged.withColumn(
+        "session_no",
+        F.sum("_new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    ).drop("_new_session")
 
 
 def funnel_counts(

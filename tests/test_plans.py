@@ -195,6 +195,35 @@ def test_train_val_split_stateless_filter(spark, sf_dir):
     assert plan.count("Exchange") <= 2
 
 
+def test_segment_dedup_linear_shape(spark, sf_dir):
+    """Exact segment dedup must stay linear: one Generate (posexplode),
+    no self-join, no all-pairs operator."""
+    plan = _plan(spark, "segment_dedup_docs", sf_dir)
+    assert plan.count("Generate") == 1
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_unigram_scoring_broadcasts_vocab(spark, sf_dir):
+    """The vocabulary (token, logp) table must come back via broadcast —
+    a sort-merge join on the exploded corpus would shuffle the whole
+    token stream twice."""
+    plan = _plan(spark, "unigram_quality_docs", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sessionize_single_window_exchange(spark, sf_dir):
+    """lag + cumulative-sum share one (user, time) sort: the plan carries a
+    single Window pair over one Exchange, not one shuffle per window."""
+    from smart_data_lake_spark.functions.analytics import sessionize
+    from smart_data_lake_spark.streaming.operators import read_events_batch
+
+    df = sessionize(read_events_batch(spark, sf_dir))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+
+
 def test_bucketed_join_needs_no_shuffle(spark, tmp_path):
     """Co-located joins via bucketing — the 100 TB fact-to-fact join path:
     two tables bucketed on the join key join WITHOUT any Exchange (each
