@@ -92,15 +92,19 @@ def register_action_type(cls: type) -> type:
 def _nested_type_registry() -> dict[str, type]:
     import smart_data_lake_spark.execution_modes as em
     import smart_data_lake_spark.housekeeping as hk
+    import smart_data_lake_spark.expectations as exp
     import smart_data_lake_spark.transformers.df_transformers as dft
     import smart_data_lake_spark.transformers.dfs_transformers as dfst
 
     reg: dict[str, type] = {}
-    for mod in (em, hk, dft, dfst):
+    for mod in (em, hk, dft, dfst, exp):
         for name in dir(mod):
             obj = getattr(mod, name)
             if isinstance(obj, type) and (
-                name.endswith("Mode") or name.endswith("Transformer")
+                name.endswith("Mode")
+                or name.endswith("Transformer")
+                or name.endswith("Expectation")
+                or name == "Constraint"
             ):
                 reg[name] = obj
     return reg

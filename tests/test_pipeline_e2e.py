@@ -152,3 +152,24 @@ def test_example_medallion_pipeline(spark, tmp_path):
     assert summary["run_id"] == 2
     assert summary["history_rows"] >= summary["open_versions"] > 0
     assert summary["bronze_rows"] == summary["current_rows"]
+
+
+def test_example_corpus_pipeline(spark, tmp_path):
+    """The shipped examples/corpus_pipeline.py runs end-to-end: quality gate
+    -> exact dedup -> hash split -> sequence packing, all through the
+    config-driven builder, with a config-instantiated expectation."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "corpus_example",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "examples", "corpus_pipeline.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    summary = mod.main(str(tmp_path / "work"))
+    assert summary["all_succeeded"]
+    assert summary["unique_docs"] <= summary["clean_docs"] <= summary["raw_docs"]
+    assert set(summary["splits"]) == {"train", "val", "test"}
+    assert sum(summary["splits"].values()) == summary["unique_docs"]
+    assert summary["n_shards"] >= 3  # at least one shard per split
