@@ -1704,6 +1704,60 @@ def funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_counts(ev, ["view", "click", "purchase"])
 
 
+def orders_gaps_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation-window family (lag/lead/first_value/last_value) over each
+    customer's order history: days since the previous order, the next
+    order's key, and the customer's first/last order price over an explicit
+    unbounded frame (the default RANGE..CURRENT ROW frame makes last_value
+    return the current row — the classic window gotcha, pinned here in both
+    engines). One shuffle on customer; all four functions share the same
+    window sort."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") % 100 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).alias("gap_days"),
+            F.lead("o_orderkey").over(w).alias("next_orderkey"),
+            F.first(_dec("o_totalprice")).over(wf).cast("double").alias("first_price"),
+            F.last(_dec("o_totalprice")).over(wf).cast("double").alias("last_price"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+def customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational set operators (INTERSECT / EXCEPT / UNION) as DataFrame
+    ops: 1996-vs-1997 buyer cohorts. Catalyst plans INTERSECT/EXCEPT as
+    left-semi/left-anti hash joins over the distinct key sets — no sort, no
+    nested loop."""
+    o = _t(spark, sf_dir, "orders")
+
+    def buyers(year: int):
+        return (
+            o.where(
+                (F.col("o_orderdate") >= F.lit(f"{year}-01-01"))
+                & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    b96, b97 = buyers(1996), buyers(1997)
+    counts = [
+        b96.intersect(b97).agg(F.count(F.lit(1)).alias("n_both")),
+        b96.subtract(b97).agg(F.count(F.lit(1)).alias("n_only_96")),
+        b97.subtract(b96).agg(F.count(F.lit(1)).alias("n_only_97")),
+        b96.union(b97).distinct().agg(F.count(F.lit(1)).alias("n_union")),
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(c)  # 1-row × 1-row scalar combines
+    return out.select(F.lit("cohorts").alias("label"), "n_both", "n_only_96", "n_only_97", "n_union")
+
+
 def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary stateful streaming (streaming/operators.stateful_user_totals,
     applyInPandasWithState): running per-user (count, max) maintained in the
@@ -1832,6 +1886,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_signup_purchase": funnel_signup_purchase,
         "segment_dedup_docs": segment_dedup_docs,
         "unigram_quality_docs": unigram_quality_docs,
+        "orders_gaps_lead_lag": orders_gaps_lead_lag,
+        "customer_set_ops": customer_set_ops,
         "streaming_stateful_totals": streaming_stateful_totals,
     }
 
@@ -2968,6 +3024,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments,
                    round(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS dup_frac
             FROM marked GROUP BY doc_id ORDER BY doc_id""",
+        "orders_gaps_lead_lag": """
+            SELECT o_custkey, o_orderkey,
+                   date_diff('day', CAST(lag(o_orderdate) OVER w AS DATE),
+                             CAST(o_orderdate AS DATE)) AS gap_days,
+                   lead(o_orderkey) OVER w AS next_orderkey,
+                   CAST(first_value(CAST(o_totalprice AS DECIMAL(18,2))) OVER wf AS DOUBLE) AS first_price,
+                   CAST(last_value(CAST(o_totalprice AS DECIMAL(18,2))) OVER wf AS DOUBLE) AS last_price
+            FROM orders WHERE o_custkey % 100 = 0
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                   wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            ORDER BY o_custkey, o_orderkey""",
+        "customer_set_ops": """
+            WITH b96 AS (
+              SELECT DISTINCT o_custkey FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+            ), b97 AS (
+              SELECT DISTINCT o_custkey FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+            )
+            SELECT 'cohorts' AS label,
+                   (SELECT COUNT(*) FROM (SELECT * FROM b96 INTERSECT SELECT * FROM b97)) AS n_both,
+                   (SELECT COUNT(*) FROM (SELECT * FROM b96 EXCEPT SELECT * FROM b97)) AS n_only_96,
+                   (SELECT COUNT(*) FROM (SELECT * FROM b97 EXCEPT SELECT * FROM b96)) AS n_only_97,
+                   (SELECT COUNT(*) FROM (SELECT * FROM b96 UNION SELECT * FROM b97)) AS n_union""",
         "unigram_quality_docs": r"""
             WITH toks AS (
               SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
