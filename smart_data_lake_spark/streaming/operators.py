@@ -172,6 +172,14 @@ def run_available_now(
     unaffected (a stream binds shuffle partitions when the query starts)."""
     name = query_name or f"sdl_stream_{uuid.uuid4().hex[:8]}"
     spark = result.sparkSession
+    # drop memory-sink tables left by earlier drains: each holds its full
+    # result in executor/driver memory for as long as the view exists, and a
+    # long session (the 82-query bench) accumulates enough of them to evict
+    # working blocks (measured: an iterative localCheckpoint query 4× slower
+    # late in the suite). Auto-named sinks are one-shot by construction.
+    for t in spark.catalog.listTables():
+        if t.name.startswith("sdl_stream_") and t.name != name:
+            spark.catalog.dropTempView(t.name)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
