@@ -1177,8 +1177,8 @@ def streaming_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same keep_latest + merge code path. The graded result is the target
     table after the drain: newest event per user, identical to the batch
     window oracle."""
+    import os
     import shutil
-    import tempfile
 
     from smart_data_lake_spark.dataobjects.table import ParquetTableDataObject
     from smart_data_lake_spark.streaming.operators import (
@@ -1186,31 +1186,31 @@ def streaming_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_events_stream,
     )
 
-    base = tempfile.mkdtemp(prefix="sdl_stream_upsert_")
-    try:
-        target = ParquetTableDataObject(
-            id="stream_upsert_target",
-            path=f"{base}/table",
-            table={"name": "user_latest", "primary_key": ["user_id"]},
-        )
-        sdf = read_events_stream(spark, sf_dir, max_files_per_trigger=1).select(
-            "user_id", "event_id", "ts", "event_type", "value"
-        )
-        q = foreach_batch_upsert_latest(
-            sdf,
-            target,
-            pks=["user_id"],
-            order_cols=[F.col("ts").desc(), F.col("event_id").desc()],
-            checkpoint_dir=f"{base}/ckpt",
-        )
-        q.awaitTermination()
-        # materialize before the temp dir disappears
-        rows = target.get_dataframe(spark).select(
-            "user_id", "event_id", "event_type", "value"
-        )
-        result = spark.createDataFrame(rows.collect(), rows.schema)
-    finally:
-        shutil.rmtree(base, ignore_errors=True)
+    # Durable path (not a tempdir): the graded result stays a lazy DataFrame
+    # over the target table — no driver-side collect. Cleared per run so the
+    # drain always starts from an empty target + fresh checkpoint.
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "spark-warehouse", "stream_upsert_latest")
+    shutil.rmtree(base, ignore_errors=True)
+    target = ParquetTableDataObject(
+        id="stream_upsert_target",
+        path=f"{base}/table",
+        table={"name": "user_latest", "primary_key": ["user_id"]},
+    )
+    sdf = read_events_stream(spark, sf_dir, max_files_per_trigger=1).select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    q = foreach_batch_upsert_latest(
+        sdf,
+        target,
+        pks=["user_id"],
+        order_cols=[F.col("ts").desc(), F.col("event_id").desc()],
+        checkpoint_dir=f"{base}/ckpt",
+    )
+    q.awaitTermination()
+    result = target.get_dataframe(spark).select(
+        "user_id", "event_id", "event_type", "value"
+    )
     return result.orderBy("user_id")
 
 
