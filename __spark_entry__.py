@@ -19,6 +19,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from smart_data_lake_spark.session import ensure_nanos_shim
+
 SF_SMOKE = "/root/testdata/sf0.001"
 
 
@@ -31,7 +33,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # the naive value read as UTC, exactly DuckDB's epoch() semantics)
         # so all downstream window/session/epoch math is tz-neutral and
         # identical across generations.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ensure_nanos_shim(spark)
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         return df.withColumn("ts", _events_ts_to_utc_instant(df.schema["ts"].dataType))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

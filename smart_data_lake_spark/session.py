@@ -39,12 +39,30 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Session-owned: some testdata generations write events.ts as
+        # TIMESTAMP(NANOS), which Spark 4 rejects without this shim. Declared
+        # once here (not flipped inside read paths) so concurrent readers see
+        # a stable session config; readers probe the footer type and convert.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def ensure_nanos_shim(spark: SparkSession) -> None:
+    """Idempotently enable the session-owned TIMESTAMP(NANOS) shim.
+
+    `spark.sql.legacy.parquet.nanosAsLong` has no per-read equivalent (probed:
+    the reader option is ignored and the scan fails), so it is session config
+    by necessity. `build_session` declares it at build time; this helper
+    covers sessions built elsewhere (e.g. a harness-owned session passed into
+    `queries()`). It is monotone — only ever sets the same `true` value, never
+    flips it back — so concurrent readers observe a stable session config."""
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
 def get_session() -> SparkSession:

@@ -30,6 +30,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from smart_data_lake_spark.session import ensure_nanos_shim
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
@@ -47,7 +49,7 @@ def read_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     testdata generation (nanos-as-long or TIMESTAMP_NTZ micros)."""
     from pyspark.sql.types import LongType, TimestampNTZType
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_nanos_shim(spark)
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     dtype = df.schema["ts"].dataType
     if isinstance(dtype, LongType):
@@ -74,7 +76,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str, max_files_per_trigger: 
     value interpreted as UTC — DuckDB's epoch() convention)."""
     from pyspark.sql.types import LongType, TimestampNTZType
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_nanos_shim(spark)
     ts_type = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
     if isinstance(ts_type, LongType):
         schema = _EVENTS_SCHEMA_TMPL.format(ts_type="long")
