@@ -90,10 +90,14 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # denominator for round-over-round comparison: a round where a slow
+        # query errors out would otherwise look faster than it is
+        "n_queries_timed": len(timings),
         "sf": float(sf),
     }
     if errors:
         out["errors"] = errors
+        out["partial"] = True
     print(json.dumps(out))
 
 

@@ -52,6 +52,13 @@ def zorder_key(
         raise ValueError("total bits must fit a signed 64-bit key")
     if len(ranges) != n:
         raise ValueError("one (lo, hi) range per column required")
+    for i, (lo, hi) in enumerate(ranges):
+        # a degenerate/inverted range would divide by <=0 → NULL under
+        # greatest/least → every row silently collapses onto one curve cell
+        if not hi > lo:
+            raise ValueError(
+                f"range {i} for z-order column must satisfy hi > lo, got ({lo}, {hi})"
+            )
     normed = [
         _normalize(F.col(c) if isinstance(c, str) else c, lo, hi, bits_per_col)
         for c, (lo, hi) in zip(cols, ranges)

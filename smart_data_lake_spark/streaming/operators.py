@@ -155,13 +155,26 @@ def session_event_counts(
     )
 
 
+# memory-sink views created by run_available_now in this process, oldest
+# first; only these are ever dropped (a user's own temp views are never
+# touched, whatever they are named).
+_SINK_VIEWS: list[str] = []
+
+
 def run_available_now(
     result: DataFrame,
     query_name: str | None = None,
     output_mode: str = "complete",
     state_partitions: int | None = 8,
+    drop_prior: bool = True,
 ) -> DataFrame:
     """Drain all available input through a memory sink; return the table.
+
+    With `drop_prior` (default) each call drops the memory-sink views THIS
+    helper created on earlier calls, so a returned DataFrame must be consumed
+    before the next drain. To combine several drained streams lazily (e.g.
+    join two results), pass `drop_prior=False` on the later calls and the
+    earlier sinks stay live.
 
     `state_partitions` bounds the stream's shuffle partitions for the run:
     every stateful operator materializes one state-store instance PER
@@ -178,10 +191,12 @@ def run_available_now(
     # result in executor/driver memory for as long as the view exists, and a
     # long session (the 82-query bench) accumulates enough of them to evict
     # working blocks (measured: an iterative localCheckpoint query 4× slower
-    # late in the suite). Auto-named sinks are one-shot by construction.
-    for t in spark.catalog.listTables():
-        if t.name.startswith("sdl_stream_") and t.name != name:
-            spark.catalog.dropTempView(t.name)
+    # late in the suite). Only views tracked in _SINK_VIEWS are dropped.
+    if drop_prior:
+        for v in list(_SINK_VIEWS):
+            if v != name:
+                spark.catalog.dropTempView(v)
+                _SINK_VIEWS.remove(v)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
@@ -196,6 +211,8 @@ def run_available_now(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+    if name not in _SINK_VIEWS:
+        _SINK_VIEWS.append(name)
     return spark.table(name)
 
 

@@ -43,6 +43,14 @@ def test_zorder_rejects_bad_arity():
         zorder_key(["a", "b"], [(0, 1), (0, 1)], bits_per_col=32)
 
 
+def test_zorder_rejects_degenerate_range():
+    # lo == hi or inverted would silently collapse every row onto one cell
+    with pytest.raises(ValueError, match="hi > lo"):
+        zorder_key(["a", "b"], [(0, 1), (5, 5)])
+    with pytest.raises(ValueError, match="hi > lo"):
+        zorder_key(["a"], [(3, 1)])
+
+
 def test_write_zordered_bounds_both_dims(spark, tmp_path):
     """Every output file must cover a bounded range of BOTH columns — the
     property single-column sorting cannot give and the reason Z-order

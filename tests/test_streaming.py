@@ -336,3 +336,35 @@ def test_foreach_batch_upsert_latest_across_batches(spark, tmp_path):
     q2.awaitTermination()
     got2 = {r.user_id: (r.event_id, r.v) for r in target.get_dataframe(spark).collect()}
     assert got2 == got
+
+
+def test_run_available_now_drop_prior_scoping(spark, tmp_path):
+    """Default drain drops only sinks this helper created; drop_prior=False
+    keeps an earlier drain's result live so two drains can combine lazily.
+    A user temp view that merely matches the sdl_stream_ prefix is never
+    touched."""
+    from smart_data_lake_spark.streaming import operators as ops
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame([Row(k=1, v=10), Row(k=2, v=20)]).write.parquet(src)
+    spark.range(1).createOrReplaceTempView("sdl_stream_user_owned")
+
+    def stream():
+        return spark.readStream.schema("k long, v long").parquet(src)
+
+    first = ops.run_available_now(stream(), query_name="sdl_t_first", output_mode="append")
+    second = ops.run_available_now(
+        stream(), query_name="sdl_t_second", output_mode="append", drop_prior=False
+    )
+    # both sinks live: lazy combination of two drained streams works
+    assert first.join(second, "k").count() == 2
+    # a default drain now drops both tracked predecessors...
+    third = ops.run_available_now(stream(), query_name="sdl_t_third", output_mode="append")
+    live = {t.name for t in spark.catalog.listTables()}
+    assert "sdl_t_first" not in live and "sdl_t_second" not in live
+    assert "sdl_t_third" in live
+    # ...but never a user's own view, whatever its name
+    assert "sdl_stream_user_owned" in live
+    assert third.count() == 2
+    spark.catalog.dropTempView("sdl_stream_user_owned")
+    ops.run_available_now(stream(), output_mode="append")  # cleanup tracked sink
