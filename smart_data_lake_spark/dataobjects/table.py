@@ -17,6 +17,7 @@ keys + `additional_merge_predicate` pruning).
 from __future__ import annotations
 
 import os
+import threading
 import shutil
 import tempfile
 from typing import Any
@@ -298,9 +299,24 @@ class DeltaLakeTableDataObject(ParquetTableDataObject):
     When delta-spark is importable, MERGE uses `DeltaTable.merge` — at scale
     this reads only files whose min/max stats overlap the source keys. Without
     it, falls back to the parquet rewrite merge of the parent class.
+
+    `allow_schema_evolution` mirrors the reference's allowSchemaEvolution
+    (`DeltaLakeTableDataObject.scala:91,404-417`): on merge it enables Delta's
+    autoMerge conf so updateAll/insertAll widen the target schema, and — when
+    explicit update/insert maps force expr clauses (which never evolve,
+    delta-io/delta#2300) — pre-creates the missing columns on the target, the
+    same ALTER TABLE workaround the reference applies (scala:408-416).
     """
 
     format = "delta" if _HAS_DELTA else "parquet"
+
+    def __init__(self, *args: Any, allow_schema_evolution: bool = False, **kwargs: Any) -> None:
+        super().__init__(*args, **kwargs)
+        self.allow_schema_evolution = allow_schema_evolution
+
+    # mirrors the reference's synchronized block: DataObjects with and without
+    # autoMerge can merge concurrently in a DAG, and the conf is session-global
+    _merge_lock = threading.Lock()
 
     def merge_dataframe_by_primary_key(self, df, merge_options=None):
         if not _HAS_DELTA:
@@ -311,7 +327,35 @@ class DeltaLakeTableDataObject(ParquetTableDataObject):
             from smart_data_lake_spark.merge import apply_insert_semantics
 
             return super().write_dataframe(apply_insert_semantics(df, opts), None, SaveMode.OVERWRITE)
+        with DeltaLakeTableDataObject._merge_lock:
+            return self._merge_locked(spark, df, opts)
+
+    def _merge_locked(self, spark, df, opts):
         target = DeltaTable.forPath(spark, self.path)
+        if self.allow_schema_evolution:
+            uses_expr_clauses = bool(
+                opts.update_columns or opts.insert_columns_to_ignore or opts.insert_values_override
+            )
+            if uses_expr_clauses:
+                # expr clauses can't evolve (delta-io/delta#2300): pre-create
+                # missing columns, reference scala:408-416
+                insert_cols = [c for c in df.columns if c not in (opts.insert_columns_to_ignore or [])]
+                existing = set(target.toDF().columns)
+                missing = [c for c in insert_cols if c not in existing]
+                if missing:
+                    add_columns = getattr(target, "addColumns", None)
+                    if add_columns is not None:  # test-double hook
+                        add_columns({c: df.schema[c].dataType for c in missing})
+                    else:
+                        cols_ddl = ", ".join(
+                            f"`{c}` {df.schema[c].dataType.simpleString()}" for c in missing
+                        )
+                        spark.sql(f"ALTER TABLE delta.`{self.path}` ADD COLUMNS ({cols_ddl})")
+                    target = DeltaTable.forPath(spark, self.path)
+        spark.conf.set(
+            "spark.databricks.delta.schema.autoMerge.enabled",
+            "true" if self.allow_schema_evolution else "false",
+        )
         cond = " AND ".join(f"existing.{k} <=> new.{k}" for k in self.primary_key)
         if opts.additional_merge_predicate:
             cond += f" AND ({opts.additional_merge_predicate})"

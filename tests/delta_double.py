@@ -6,19 +6,31 @@ disallowed), so `DeltaLakeTableDataObject.merge_dataframe_by_primary_key`
 This double implements Delta Lake's DOCUMENTED merge contract — the public
 builder API (`DeltaTable.forPath/alias/merge/whenMatchedDelete/
 whenMatchedUpdate/whenMatchedUpdateAll/whenNotMatchedInsert/
-whenNotMatchedInsertAll/execute`) with clause semantics per the Delta docs:
+whenNotMatchedInsertAll/whenNotMatchedBySourceUpdate/
+whenNotMatchedBySourceDelete/execute`) with clause semantics per the Delta
+docs:
 
   * WHEN MATCHED / WHEN NOT MATCHED clause lists are evaluated in
     registration order; the FIRST clause whose condition holds wins.
   * A matched target row satisfying no matched-clause is kept unchanged.
   * An unmatched source row satisfying no insert-clause is dropped.
-  * An unmatched target row is always kept.
+  * An unmatched target row is kept unless a WHEN NOT MATCHED BY SOURCE
+    clause fires for it (first clause in registration order wins; update
+    set-maps there may reference only `existing` — the source side is
+    absent by definition).
   * UPDATE set-maps / INSERT value-maps are expressions over the
     `existing`/`new` aliases; columns absent from a set-map keep their
     existing value, columns absent from a value-map become NULL.
   * Without schema evolution, referencing a non-target column in a set-map
     or value-map is an AnalysisException — the double raises ValueError,
     which is exactly the strictness that catches builder-chain bugs.
+  * Schema evolution on merge: with
+    `spark.databricks.delta.schema.autoMerge.enabled` = true, updateAll /
+    insertAll clauses widen the target schema by the source-only columns
+    (appended in source order; untouched target rows read NULL). Explicit
+    set/values maps still cannot reference evolved columns — Delta's
+    documented limitation (delta-io/delta#2300), which the reference works
+    around with ALTER TABLE ADD COLUMN (DeltaLakeTableDataObject.scala:408).
 
 Deliberately independent of smart_data_lake_spark.merge: it is a generic
 ordered-clause interpreter driven by the builder calls, so a bug in the
@@ -44,6 +56,7 @@ class FakeMergeBuilder:
         self._condition = condition
         self._matched: list[tuple[str, str | None, dict | None]] = []
         self._not_matched: list[tuple[str | None, dict | None]] = []
+        self._nmbs: list[tuple[str, str | None, dict | None]] = []
 
     # -- builder API (delta.tables.DeltaMergeBuilder) ----------------------
     def whenMatchedDelete(self, condition: str | None = None) -> "FakeMergeBuilder":
@@ -70,6 +83,16 @@ class FakeMergeBuilder:
         self._not_matched.append((condition, None))
         return self
 
+    def whenNotMatchedBySourceUpdate(self, condition: str | None = None, set: dict | None = None) -> "FakeMergeBuilder":
+        if not set:
+            raise ValueError("whenNotMatchedBySourceUpdate requires a non-empty set map")
+        self._nmbs.append(("update", condition, dict(set)))
+        return self
+
+    def whenNotMatchedBySourceDelete(self, condition: str | None = None) -> "FakeMergeBuilder":
+        self._nmbs.append(("delete", condition, None))
+        return self
+
     # -- execution ---------------------------------------------------------
     def execute(self) -> None:
         spark = self._source.sparkSession
@@ -77,6 +100,26 @@ class FakeMergeBuilder:
         target_cols = list(target_df.columns)
         source_cols = set(self._source.columns)
         t_alias, s_alias = self._table.alias_name or "target", self._table.source_alias or "source"
+
+        # schema evolution on merge (Delta docs): only with autoMerge enabled,
+        # and only star clauses (updateAll/insertAll) evolve — source-only
+        # columns are appended to the target schema in source order.
+        auto_merge = (
+            str(spark.conf.get("spark.databricks.delta.schema.autoMerge.enabled", "false")).lower()
+            == "true"
+        )
+        has_star = any(a == "update_all" for (a, _c, _s) in self._matched) or any(
+            v is None for (_c, v) in self._not_matched
+        )
+        extra_src = [c for c in self._source.columns if c not in target_cols]
+        if has_star and extra_src and not auto_merge:
+            raise ValueError(
+                f"source columns {extra_src} are not in the target schema and "
+                "spark.databricks.delta.schema.autoMerge.enabled is false — "
+                "Delta raises AnalysisException for updateAll/insertAll here"
+            )
+        evolved = extra_src if (auto_merge and has_star) else []
+        all_cols = target_cols + evolved
 
         tgt = target_df.withColumn("__dl_t", F.lit(True)).alias(t_alias)
         src = self._source.withColumn("__dl_s", F.lit(True)).alias(s_alias)
@@ -89,9 +132,12 @@ class FakeMergeBuilder:
             if action == "delete":
                 return {}
             if action == "update_all":
-                return {c: f"{s_alias}.{c}" for c in target_cols if c in source_cols}
+                return {c: f"{s_alias}.{c}" for c in all_cols if c in source_cols}
             for c in set_map:
                 if c not in target_cols:
+                    # explicit set-maps never evolve, even under autoMerge
+                    # (delta-io/delta#2300; the reference ALTERs columns in
+                    # first, DeltaLakeTableDataObject.scala:408-416)
                     raise ValueError(
                         f"merge set-map references non-target column {c!r} "
                         f"(target schema: {target_cols}) — Delta without schema "
@@ -111,16 +157,43 @@ class FakeMergeBuilder:
         m_clauses = [(c, a, s) for (a, c, s) in self._matched]
         m_idx = index_col([c for (c, _a, _s) in m_clauses], matched) if m_clauses else F.lit(-1)
         i_idx = index_col([c for (c, _v) in self._not_matched], in_s & ~in_t) if self._not_matched else F.lit(-1)
+        nb_idx = (
+            index_col([c for (_a, c, _s) in self._nmbs], in_t & ~in_s)
+            if self._nmbs
+            else F.lit(-1)
+        )
+
+        def resolve_nmbs(set_map: dict) -> dict:
+            for k, v in set_map.items():
+                if k not in target_cols:
+                    raise ValueError(
+                        f"whenNotMatchedBySource set-map references non-target "
+                        f"column {k!r} (target schema: {target_cols})"
+                    )
+                if f"{s_alias}." in str(v):
+                    raise ValueError(
+                        f"whenNotMatchedBySource set expression {v!r} references "
+                        f"the source alias — the source side does not exist for "
+                        "these rows (Delta raises AnalysisException)"
+                    )
+            return set_map
 
         out_cols = []
-        for c in target_cols:
-            typed_null = F.lit(None).cast(target_df.schema[c].dataType)
-            expr = F.col(f"{t_alias}.{c}")  # default: keep existing
+        for c in all_cols:
+            dtype = (
+                target_df.schema[c].dataType
+                if c in target_cols
+                else self._source.schema[c].dataType
+            )
+            typed_null = F.lit(None).cast(dtype)
+            # default: keep existing; evolved columns read NULL on old rows
+            expr = F.col(f"{t_alias}.{c}") if c in target_cols else typed_null
+            default = expr
             for i, (cond, action, set_map) in enumerate(m_clauses):
                 if action == "delete":
                     continue
                 resolved = resolve_matched(action, set_map)
-                val = F.expr(resolved[c]) if c in resolved else F.col(f"{t_alias}.{c}")
+                val = F.expr(resolved[c]) if c in resolved else default
                 expr = F.when(m_idx == i, val).otherwise(expr)
             for i, (cond, values) in enumerate(self._not_matched):
                 if values is None:
@@ -134,15 +207,25 @@ class FakeMergeBuilder:
                             )
                     val = F.expr(values[c]) if c in values else typed_null
                 expr = F.when((~in_t) & (i_idx == i), val).otherwise(expr)
+            for i, (action, cond, set_map) in enumerate(self._nmbs):
+                if action == "delete":
+                    continue
+                resolved = resolve_nmbs(set_map)
+                val = F.expr(resolved[c]) if c in resolved else default
+                expr = F.when(in_t & ~in_s & (nb_idx == i), val).otherwise(expr)
             out_cols.append(expr.alias(c))
 
         delete_won = F.lit(False)
         for i, (_cond, action, _s) in enumerate(m_clauses):
             if action == "delete":
                 delete_won = delete_won | (m_idx == i)
+        nmbs_delete_won = F.lit(False)
+        for i, (action, _cond, _s) in enumerate(self._nmbs):
+            if action == "delete":
+                nmbs_delete_won = nmbs_delete_won | (nb_idx == i)
         keep = (
             (matched & ~delete_won)
-            | (in_t & ~in_s)
+            | (in_t & ~in_s & ~nmbs_delete_won)
             | (~in_t & in_s & (i_idx >= 0))
         )
         result = joined.where(keep).select(*out_cols)
@@ -163,6 +246,8 @@ class FakeMergeBuilder:
                 "condition": self._condition,
                 "matched": [(a, c) for (c, a, _s) in m_clauses],
                 "not_matched": [c for (c, _v) in self._not_matched],
+                "not_matched_by_source": [(a, c) for (a, c, _s) in self._nmbs],
+                "evolved_columns": evolved,
             }
         )
 
@@ -190,6 +275,25 @@ class FakeDeltaTable:
 
     def toDF(self) -> DataFrame:
         return self.spark.read.parquet(self.path)
+
+    def addColumns(self, cols: dict) -> None:
+        """Stand-in for `ALTER TABLE ... ADD COLUMNS` (the reference's manual
+        schema-evolution workaround, DeltaLakeTableDataObject.scala:408-416):
+        appends typed NULL columns and rewrites. Real Delta alters only the
+        log; the parquet-backed double pays the rewrite."""
+        df = self.toDF()
+        for name, dtype in cols.items():
+            if name in df.columns:
+                raise ValueError(f"column {name!r} already exists")
+            df = df.withColumn(name, F.lit(None).cast(dtype))
+        tmp = tempfile.mkdtemp(prefix="fake_delta_alter_")
+        try:
+            df.write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(self.path)
+            shutil.move(tmp, self.path)
+        finally:
+            if os.path.isdir(tmp):
+                shutil.rmtree(tmp, ignore_errors=True)
 
     def merge(self, source: DataFrame, condition: str) -> FakeMergeBuilder:
         # production code passes df.alias("new"); recover the alias for

@@ -195,3 +195,142 @@ def test_delta_merge_mode_deduplicate(spark, tmp_path, delta_enabled):
     got = {(r.id, r.value, r[TS_CAPTURED]) for r in out.collect()}
     assert got == {(1, 9.0, T2), (2, 2.0, T1), (3, 3.0, T2)}
     assert len(FakeDeltaTable.executed_merges) == 1
+
+
+def _make_target(spark, tmp_path, name="t"):
+    do = DeltaLakeTableDataObject(
+        id=name, path=str(tmp_path / name), table={"name": name, "primary_key": ["id"]}
+    )
+    init = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], "id int, name string, value double"
+    )
+    do.write_dataframe(init, save_mode=SaveMode.MERGE)
+    return do
+
+
+def test_delta_nmbs_delete_and_update(spark, tmp_path, delta_enabled):
+    """WHEN NOT MATCHED BY SOURCE: ordered clauses over target-only rows —
+    first-match wins; rows matching no clause are kept unchanged."""
+    do = _make_target(spark, tmp_path)
+    src = spark.createDataFrame([(1, "a", 9.0)], "id int, name string, value double")
+    target = FakeDeltaTable.forPath(spark, do.path)
+    (
+        target.alias("existing")
+        .merge(src.alias("new"), "existing.id <=> new.id")
+        .whenMatchedUpdateAll()
+        .whenNotMatchedBySourceDelete(condition="existing.value > 2.5")
+        .whenNotMatchedBySourceUpdate(set={"name": "concat(existing.name, '_orphan')"})
+        .execute()
+    )
+    rows = {(r.id, r.name, r.value) for r in do.get_dataframe(spark).collect()}
+    assert rows == {
+        (1, "a", 9.0),          # matched, updated
+        (2, "b_orphan", 2.0),   # not matched by source, delete cond false → update clause
+        # 3 deleted: not matched by source, value 3.0 > 2.5, delete registered first
+    }
+    m = FakeDeltaTable.executed_merges[-1]
+    assert m["not_matched_by_source"] == [("delete", "existing.value > 2.5"), ("update", None)]
+
+
+def test_delta_nmbs_source_alias_reference_raises(spark, tmp_path, delta_enabled):
+    """A NMBS set expression referencing the source alias is an error — the
+    source side does not exist for these rows."""
+    do = _make_target(spark, tmp_path)
+    src = spark.createDataFrame([(1, "a", 9.0)], "id int, name string, value double")
+    target = FakeDeltaTable.forPath(spark, do.path)
+    builder = (
+        target.alias("existing")
+        .merge(src.alias("new"), "existing.id <=> new.id")
+        .whenNotMatchedBySourceUpdate(set={"value": "new.value"})
+    )
+    with pytest.raises(ValueError, match="source alias"):
+        builder.execute()
+
+
+def test_delta_automerge_schema_evolution_star_clauses(spark, tmp_path, delta_enabled):
+    """autoMerge + updateAll/insertAll widen the target by source-only
+    columns; untouched target rows read NULL in the evolved column."""
+    do = _make_target(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(2, "b2", 2.5, "eu"), (4, "d", 4.0, "us")],
+        "id int, name string, value double, region string",
+    )
+    spark.conf.set("spark.databricks.delta.schema.autoMerge.enabled", "true")
+    try:
+        target = FakeDeltaTable.forPath(spark, do.path)
+        (
+            target.alias("existing")
+            .merge(src.alias("new"), "existing.id <=> new.id")
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+    finally:
+        spark.conf.set("spark.databricks.delta.schema.autoMerge.enabled", "false")
+    got = do.get_dataframe(spark)
+    assert got.columns[-1] == "region"  # appended, source order
+    rows = {(r.id, r.name, r.value, r.region) for r in got.collect()}
+    assert rows == {
+        (1, "a", 1.0, None),   # untouched: NULL in evolved column
+        (2, "b2", 2.5, "eu"),  # updated incl. evolved column
+        (3, "c", 3.0, None),
+        (4, "d", 4.0, "us"),   # inserted with evolved column
+    }
+    assert FakeDeltaTable.executed_merges[-1]["evolved_columns"] == ["region"]
+
+
+def test_delta_star_clause_extra_columns_without_automerge_raises(spark, tmp_path, delta_enabled):
+    """Without autoMerge, updateAll/insertAll with source-only columns is an
+    error (Delta's AnalysisException), never a silent column drop."""
+    do = _make_target(spark, tmp_path)
+    src = spark.createDataFrame([(4, "d", 4.0, "us")], "id int, name string, value double, region string")
+    target = FakeDeltaTable.forPath(spark, do.path)
+    builder = (
+        target.alias("existing")
+        .merge(src.alias("new"), "existing.id <=> new.id")
+        .whenNotMatchedInsertAll()
+    )
+    with pytest.raises(ValueError, match="autoMerge"):
+        builder.execute()
+
+
+def test_delta_dataobject_explicit_clause_evolution(spark, tmp_path, delta_enabled):
+    """allow_schema_evolution + explicit update/insert maps: the DataObject
+    pre-creates missing target columns (the reference's ALTER TABLE
+    workaround, DeltaLakeTableDataObject.scala:408-416) because expr clauses
+    never evolve (delta-io/delta#2300)."""
+    do = DeltaLakeTableDataObject(
+        id="t", path=str(tmp_path / "t"),
+        table={"name": "t", "primary_key": ["id"]},
+        allow_schema_evolution=True,
+    )
+    init = spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], "id int, name string, value double")
+    do.write_dataframe(init, save_mode=SaveMode.MERGE)
+    src = spark.createDataFrame(
+        [(2, "b2", 2.5, "eu"), (4, "d", 4.0, "us")],
+        "id int, name string, value double, region string",
+    )
+    do.write_dataframe(
+        src, save_mode=SaveMode.MERGE,
+        merge_options=SaveModeMergeOptions(update_columns=["value", "region"]),
+    )
+    rows = {(r.id, r.name, r.value, r.region) for r in do.get_dataframe(spark).collect()}
+    assert rows == {
+        (1, "a", 1.0, None),
+        (2, "b", 2.5, "eu"),   # update_columns subset: name kept, region evolved+set
+        (4, "d", 4.0, "us"),   # inserted (insertAll over the widened target)
+    }
+
+
+def test_delta_dataobject_no_evolution_strict(spark, tmp_path, delta_enabled):
+    """Same merge without allow_schema_evolution fails fast — no silent
+    widening, no silent column drop."""
+    do = _make_target(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(2, "b2", 2.5, "eu")], "id int, name string, value double, region string"
+    )
+    with pytest.raises(ValueError):
+        do.write_dataframe(
+            src, save_mode=SaveMode.MERGE,
+            merge_options=SaveModeMergeOptions(update_columns=["value", "region"]),
+        )
