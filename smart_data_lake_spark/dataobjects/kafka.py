@@ -53,12 +53,30 @@ def _avro_datasource_loaded() -> bool:
 
 
 class KafkaConnection:
-    """Broker + common reader/writer options (KafkaConnection.scala)."""
+    """Broker + common reader/writer options + optional schema-registry url
+    (KafkaConnection.scala; schemaRegistry at :46)."""
 
-    def __init__(self, id: str, brokers: str, options: dict[str, str] | None = None) -> None:
+    def __init__(
+        self,
+        id: str,
+        brokers: str,
+        options: dict[str, str] | None = None,
+        schema_registry: str | None = None,
+    ) -> None:
         self.id = id
         self.brokers = brokers
         self.options = options or {}
+        self.schema_registry = schema_registry
+        self._registry_client = None
+
+    def schema_registry_client(self):
+        if self.schema_registry is None:
+            raise ValueError(f"({self.id}) no schemaRegistry configured on this connection")
+        if self._registry_client is None:
+            from smart_data_lake_spark.dataobjects.schema_registry import SchemaRegistryClient
+
+            self._registry_client = SchemaRegistryClient(self.schema_registry)
+        return self._registry_client
 
 
 @register_data_object_type
@@ -71,9 +89,11 @@ class KafkaTopicDataObject(
 ):
     """One Kafka topic as a DataFrame source/sink.
 
-    keyType/valueType ∈ {binary, string, json} (avro/schema-registry variants
-    of the reference need external packages — constructor validates and
-    raises a clear error). Incremental state is a JSON offsets-by-partition
+    keyType/valueType ∈ {binary, string, json, avro, json_schema_registry,
+    avro_schema_registry} (KafkaColumnType family). Plain avro needs the
+    spark-avro runtime jar (gated with a clear error); the registry variants
+    resolve Confluent-framed payloads against the connection's schemaRegistry
+    and decode without it. Incremental state is a JSON offsets-by-partition
     map, fed to `startingOffsets` on the next batch read — the semantics of
     KafkaStateIncrementalMode.
     """
@@ -97,14 +117,17 @@ class KafkaTopicDataObject(
         super().__init__(id=id, **kwargs)
         if isinstance(connection, dict):
             connection = KafkaConnection(**connection)
+        registry_types = ("json_schema_registry", "avro_schema_registry")
         for side, typ, schema in (("key", key_type, key_schema), ("value", value_type, value_schema)):
-            if typ not in ("binary", "string", "json", "avro"):
-                raise ValueError(
-                    f"({id}) {side}_type {typ!r} not supported here (schema-registry "
-                    "variants need an external registry client)"
-                )
+            if typ not in ("binary", "string", "json", "avro") + registry_types:
+                raise ValueError(f"({id}) {side}_type {typ!r} not supported")
             if typ in ("json", "avro") and schema is None:
                 raise ValueError(f"({id}) {side}_type={typ} requires a {side}_schema")
+            if typ in registry_types and connection.schema_registry is None:
+                # KafkaTopicDataObject.scala:151-152
+                raise ValueError(
+                    f"({id}) {side}_type={typ} requires schemaRegistry on the connection"
+                )
         self.topic_name = topic_name
         self.connection = connection
         self.key_type = key_type
@@ -191,12 +214,27 @@ class KafkaTopicDataObject(
         }
 
     # ------------------------------------------------------------- decode
-    def _convert_col(self, col: F.Column, typ: str, schema) -> F.Column:
-        """kafka binary payload → typed column (KafkaTopicDataObject.scala:408-418)."""
+    def _convert_col(self, col: F.Column, typ: str, schema, subject_type: str = "value") -> F.Column:
+        """kafka binary payload → typed column (KafkaTopicDataObject.scala:408-430).
+
+        Registry variants resolve the subject's latest schema on the driver
+        (`{topic}-key`/`{topic}-value`, the Confluent TopicNameStrategy) and
+        decode distributed: JSON fully JVM-side, Avro via the pure-python
+        codec in an Arrow-batched UDF (schema_registry.py module docs)."""
         if typ == "binary":
             return col
         if typ == "string":
             return col.cast("string")
+        if typ in ("json_schema_registry", "avro_schema_registry"):
+            from smart_data_lake_spark.dataobjects import schema_registry as sr
+
+            client = self.connection.schema_registry_client()
+            reg = client.get_latest(f"{self.topic_name}-{subject_type}")
+            if typ == "json_schema_registry":
+                spark_schema = schema or sr.json_schema_to_spark(json.loads(reg.schema_str))
+                return sr.from_confluent_json(col, spark_schema)
+            avro_schema = json.loads(reg.schema_str)
+            return sr.from_confluent_avro(col, avro_schema)
         if typ == "avro":
             # pyspark ships the from_avro wrapper but the call is lazy — the
             # jar-missing failure would only surface at analysis time, so
@@ -217,8 +255,8 @@ class KafkaTopicDataObject(
         """Apply key/value decoding + column selection + optional date
         partition column to a raw kafka-shaped frame. Pure DataFrame logic —
         unit-testable without a broker."""
-        df = raw.withColumn("key", self._convert_col(F.col("key"), self.key_type, self.key_schema))
-        df = df.withColumn("value", self._convert_col(F.col("value"), self.value_type, self.value_schema))
+        df = raw.withColumn("key", self._convert_col(F.col("key"), self.key_type, self.key_schema, "key"))
+        df = df.withColumn("value", self._convert_col(F.col("value"), self.value_type, self.value_schema, "value"))
         if self.date_partition_col:
             df = df.withColumn(
                 self.date_partition_col,

@@ -161,7 +161,7 @@ def test_kafka_avro_type_gated(spark, topic):
 def test_kafka_validation_errors():
     with pytest.raises(ValueError, match="requires a value_schema"):
         KafkaTopicDataObject(id="x", topic_name="t", connection={"id": "c", "brokers": "b"}, value_type="json")
-    with pytest.raises(ValueError, match="not supported here"):
+    with pytest.raises(ValueError, match="not supported"):
         KafkaTopicDataObject(id="x", topic_name="t", connection={"id": "c", "brokers": "b"}, value_type="protobuf")
 
 
@@ -502,3 +502,172 @@ def test_global_udf_registration_from_config(spark):
     registry.get_data_object("src")._df = spark.createDataFrame([Row(v=41)]).localCheckpoint()
     ActionDAGRun(ActionDAG(list(registry.actions.values())), registry).run(spark)
     assert registry.get_data_object("out").get_dataframe(spark).collect()[0]["v2"] == 42
+
+
+# ---------------------------------------------------------------------------
+# Confluent schema-registry decode (KafkaTopicDataObject.scala:151-168,408-430
+# JsonSchemaRegistry/AvroSchemaRegistry KafkaColumnTypes) — registry served by
+# a local HTTP mock; payloads are real Confluent-framed bytes, decode runs
+# through convert_dataframe on a kafka-shaped frame, no broker.
+
+import base64
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+AVRO_SCHEMA = {
+    "type": "record",
+    "name": "Event",
+    "fields": [
+        {"name": "user_id", "type": "long"},
+        {"name": "kind", "type": {"type": "enum", "name": "K", "symbols": ["click", "buy"]}},
+        {"name": "score", "type": ["null", "double"]},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "ctx", "type": {"type": "record", "name": "Ctx", "fields": [
+            {"name": "ip", "type": "string"}, {"name": "ok", "type": "boolean"}]}},
+    ],
+}
+JSON_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "user_id": {"type": "integer"},
+        "kind": {"type": "string"},
+        "score": {"type": "number"},
+    },
+    "required": ["user_id"],
+}
+
+
+@pytest.fixture()
+def registry_server():
+    import json as _json
+
+    subjects = {
+        "events-value": {"id": 7, "schema": _json.dumps(AVRO_SCHEMA)},
+        "events_json-value": {"id": 9, "schema": _json.dumps(JSON_SCHEMA), "schemaType": "JSON"},
+    }
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            parts = self.path.strip("/").split("/")
+            body = None
+            if parts[0] == "subjects" and parts[-1] == "latest":
+                sub = parts[1]
+                if sub in subjects:
+                    body = {"subject": sub, "version": 1, **subjects[sub]}
+            elif parts[0] == "schemas" and parts[1] == "ids":
+                sid = int(parts[2])
+                for s in subjects.values():
+                    if s["id"] == sid:
+                        body = {k: v for k, v in s.items() if k != "id"}
+            if body is None:
+                self.send_response(404)
+                self.end_headers()
+                return
+            payload = _json.dumps(body).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/vnd.schemaregistry.v1+json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):
+            pass
+
+    server = HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{server.server_port}"
+    server.shutdown()
+
+
+def _kafka_frame(spark, rows):
+    import datetime as dt
+
+    return spark.createDataFrame(
+        [
+            (None, payload, "events", 0, i, dt.datetime(2026, 1, 1), 0)
+            for i, payload in enumerate(rows)
+        ],
+        "key binary, value binary, topic string, partition int, offset long, "
+        "timestamp timestamp, timestampType int",
+    )
+
+
+def test_avro_schema_registry_decode(spark, registry_server):
+    from smart_data_lake_spark.dataobjects.schema_registry import encode_confluent_avro
+
+    topic = KafkaTopicDataObject(
+        id="t", topic_name="events",
+        connection=KafkaConnection(id="c", brokers="b:9092", schema_registry=registry_server),
+        value_type="avro_schema_registry",
+        select_cols=["value"],
+    )
+    recs = [
+        {"user_id": 1, "kind": "click", "score": 0.5, "tags": ["a", "b"], "ctx": {"ip": "10.0.0.1", "ok": True}},
+        {"user_id": 2, "kind": "buy", "score": None, "tags": [], "ctx": {"ip": "10.0.0.2", "ok": False}},
+    ]
+    raw = _kafka_frame(spark, [encode_confluent_avro(r, AVRO_SCHEMA, 7) for r in recs])
+    got = [r.value.asDict(recursive=True) for r in topic.convert_dataframe(raw).collect()]
+    assert got == recs
+
+
+def test_json_schema_registry_decode_and_bad_magic(spark, registry_server):
+    from smart_data_lake_spark.dataobjects.schema_registry import frame_confluent
+
+    topic = KafkaTopicDataObject(
+        id="t", topic_name="events_json",
+        connection=KafkaConnection(id="c", brokers="b:9092", schema_registry=registry_server),
+        value_type="json_schema_registry",
+        select_cols=["value"],
+    )
+    payload = frame_confluent(9, b'{"user_id": 42, "kind": "click", "score": 1.5}')
+    out = topic.convert_dataframe(_kafka_frame(spark, [payload])).collect()
+    assert out[0].value.asDict() == {"user_id": 42, "kind": "click", "score": 1.5}
+    # registry schema drove the types (integer→long, number→double)
+    vtype = topic.convert_dataframe(_kafka_frame(spark, [payload])).schema["value"].dataType
+    assert [f.dataType.simpleString() for f in vtype.fields] == ["bigint", "string", "double"]
+    # malformed frame: wrong magic byte raises, never silently nulls
+    bad = b"\x01" + payload[1:]
+    with pytest.raises(Exception, match="malformed Confluent frame"):
+        topic.convert_dataframe(_kafka_frame(spark, [bad])).collect()
+
+
+def test_registry_type_requires_registry_url():
+    with pytest.raises(ValueError, match="schemaRegistry"):
+        KafkaTopicDataObject(
+            id="t", topic_name="events",
+            connection=KafkaConnection(id="c", brokers="b:9092"),
+            value_type="avro_schema_registry",
+        )
+
+
+def test_avro_codec_roundtrip_primitives():
+    """Pure-python codec: encode→decode identity across the supported avro
+    surface, incl. negative zigzag values, unions, maps, bytes."""
+    import io as _io
+
+    from smart_data_lake_spark.dataobjects.schema_registry import decode_avro, encode_avro
+
+    schema = {
+        "type": "record", "name": "R",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": "int"},
+            {"name": "c", "type": ["null", "string"]},
+            {"name": "d", "type": "bytes"},
+            {"name": "e", "type": {"type": "map", "values": "long"}},
+            {"name": "f", "type": "boolean"},
+            {"name": "g", "type": "double"},
+        ],
+    }
+    rec = {"a": -(2**40) - 3, "b": -1, "c": None, "d": b"\x00\xff", "e": {"x": 1, "y": -2}, "f": True, "g": -2.5}
+    out = bytearray()
+    encode_avro(out, rec, schema)
+    assert decode_avro(_io.BytesIO(bytes(out)), schema) == rec
+
+
+def test_confluent_schema_id_column(spark):
+    from smart_data_lake_spark.dataobjects.schema_registry import confluent_schema_id, frame_confluent
+
+    df = _kafka_frame(spark, [frame_confluent(731, b"x")])
+    assert df.select(confluent_schema_id(F.col("value")).alias("sid")).collect()[0].sid == 731
