@@ -153,6 +153,10 @@ class DataFrameAction(Action):
         self.checkpoint_location = checkpoint_location
         self.execution_mode_state: dict[str, Any] = {}
         self.streaming_queries: dict[str, Any] = {}  # out_id → StreamingQuery handle
+        # out_id → {query_name, checkpoint, trigger_type}: persisted into run
+        # state so a restarted builder can reconcile orphaned checkpoints
+        # (SmartDataLakeBuilder.scala:566-648 streaming run management)
+        self.streaming_descriptors: dict[str, dict[str, str]] = {}
 
     @property
     def main_input_id(self) -> str:
@@ -331,6 +335,11 @@ class DataFrameAction(Action):
         assert isinstance(mode, SparkStreamingMode), "streaming output requires SparkStreamingMode"
         assert isinstance(out_do, CanWriteStreamingDataFrame), f"({self.id}) {out_id} can't write streams"
         checkpoint = mode.checkpoint_location or self.checkpoint_location or f"/tmp/sdl_checkpoints/{self.id}"
+        self.streaming_descriptors[out_id] = {
+            "query_name": self.id,
+            "checkpoint": checkpoint,
+            "trigger_type": mode.trigger_type,
+        }
         if mode.trigger_type not in ("once", "availableNow"):
             # a restarted builder run re-attaches to a continuous query that is
             # still active under this action's name instead of failing with

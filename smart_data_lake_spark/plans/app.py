@@ -9,6 +9,7 @@ simulation runs :398-418, streaming driver loop :566-648.
 from __future__ import annotations
 
 import fnmatch
+import os
 import re
 import time
 from typing import Any
@@ -32,19 +33,83 @@ class SmartDataLakeBuilder:
 
     def stop(self) -> None:
         """Graceful-stop hook for the streaming loop
-        (SmartDataLakeBuilder.scala:566-648's stopStreaming semantics): the
-        loop finishes the current iteration, stops any live async streaming
-        queries it started, persists final state, and returns."""
+        (SmartDataLakeBuilder.scala:566-648's stopStreamingGracefully): the
+        loop finishes the current iteration, drains then stops any live async
+        streaming queries it started, persists final state, and returns."""
         self._stop_requested = True
 
-    def _stop_streaming_queries(self, actions: list[Action]) -> None:
+    def _stop_streaming_queries(self, actions: list[Action], drain: bool = True) -> None:
         for a in actions:
             for query in getattr(a, "streaming_queries", {}).values():
                 try:
                     if query.isActive:
+                        if drain:
+                            # graceful: finish everything already available
+                            # before stopping, so a stop never drops an
+                            # in-flight micro-batch
+                            query.processAllAvailable()
                         query.stop()
                 except Exception:
                     pass
+
+    # ------------------------------------------------- restart reconciliation
+    def _reconcile_streaming_state(
+        self,
+        spark: SparkSession,
+        actions: list[Action],
+        store: "StateStore",
+        ignore_orphaned_streams: bool,
+    ) -> None:
+        """Reconcile a previous run's streaming queries on restart
+        (SmartDataLakeBuilder.scala:566-648 restart semantics).
+
+        Three cases per persisted descriptor:
+          * the action is still selected → its query restarts from the same
+            checkpoint (exactly-once continuation) — nothing to do;
+          * the action is gone but its query is still ACTIVE in this session
+            (in-process restart) → drain and stop it, it has no owner;
+          * the action is gone and its checkpoint directory still exists →
+            orphaned state that would silently stop advancing — fail with the
+            checkpoint path unless `ignore_orphaned_streams`.
+        """
+        prior = store.latest()
+        if prior is None or not prior.streaming_queries:
+            return
+        selected = {a.id for a in actions}
+        orphaned: list[str] = []
+        for action_id, descs in prior.streaming_queries.items():
+            if action_id in selected:
+                continue
+            for d in descs:
+                name = d.get("query_name", action_id)
+                for active in spark.streams.active:
+                    if active.name == name:
+                        try:
+                            active.processAllAvailable()
+                            active.stop()
+                        except Exception:
+                            pass
+                ckpt = d.get("checkpoint")
+                if ckpt and os.path.isdir(ckpt):
+                    orphaned.append(f"{action_id} → {d.get('output_id')} (checkpoint {ckpt})")
+        if orphaned and not ignore_orphaned_streams:
+            raise ValueError(
+                "restart found streaming checkpoints from a previous run whose "
+                "actions are no longer selected — they would silently stop "
+                f"advancing: {'; '.join(orphaned)}. Re-select those actions, "
+                "delete the checkpoints, or pass ignore_orphaned_streams=True"
+            )
+
+    def _collect_streaming_descriptors(self, actions: list[Action]) -> dict[str, Any]:
+        out: dict[str, Any] = {}
+        for a in actions:
+            descs = [
+                {"output_id": out_id, **d}
+                for out_id, d in getattr(a, "streaming_descriptors", {}).items()
+            ]
+            if descs:
+                out[a.id] = descs
+        return out
 
     # -------------------------------------------------------- feed selection
     def select_actions(self, feed_sel: str | None) -> list[Action]:
@@ -103,6 +168,7 @@ class SmartDataLakeBuilder:
         streaming: bool = False,
         streaming_interval_sec: float = 5.0,
         max_streaming_iterations: int | None = None,
+        ignore_orphaned_streams: bool = False,
     ) -> RunState:
         spark = spark or get_session()
         actions = self.select_actions(feed_sel)
@@ -120,6 +186,8 @@ class SmartDataLakeBuilder:
         # the state store (the reference's "one SDLB run per micro-batch
         # iteration" contract); streaming sources advance through their
         # checkpoints so a restarted loop never reprocesses data.
+        if store is not None:
+            self._reconcile_streaming_state(spark, actions, store, ignore_orphaned_streams)
         self._stop_requested = False
         iteration, state = 0, None
         try:
@@ -127,6 +195,11 @@ class SmartDataLakeBuilder:
                 iteration += 1
                 run = ActionDAGRun(dag, self.registry, store, parallelism, pvs)
                 state = run.run(spark)
+                # persist which streaming queries this iteration runs, so a
+                # restarted builder can reconcile them against its selection
+                state.streaming_queries = self._collect_streaming_descriptors(actions)
+                if store is not None and state.streaming_queries:
+                    store.save(state)
                 if max_streaming_iterations is not None and iteration >= max_streaming_iterations:
                     return state
                 if self._stop_requested:

@@ -40,6 +40,9 @@ class RunState:
     action_states: dict[str, str] = field(default_factory=dict)  # SUCCEEDED/SKIPPED/FAILED/CANCELLED
     action_metrics: dict[str, Any] = field(default_factory=dict)
     data_object_state: dict[str, Any] = field(default_factory=dict)  # incremental states
+    # action_id → [{output_id, query_name, checkpoint, trigger_type}]: the
+    # streaming queries this run started, for restart reconciliation
+    streaming_queries: dict[str, Any] = field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, default=str, indent=2)
