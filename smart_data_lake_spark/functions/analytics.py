@@ -99,17 +99,30 @@ def cohort_retention(
 ) -> DataFrame:
     """Classic retention triangle: cohort = floor(first activity / period),
     offset = activity period − cohort period; output one row per
-    (cohort_period, period_offset) with distinct active users."""
+    (cohort_period, period_offset) with distinct active users.
+
+    Two shuffles total, no join, no distinct-aggregate Expand: one user-key
+    aggregate collects each user's DISTINCT activity periods (set size
+    bounded by the calendar, not by event volume) with the cohort as the
+    set's min; after explode every (user, period) row is unique by
+    construction, so the per-(cohort, offset) user count is a plain
+    combinable count — the countDistinct that a join-based phrasing needs
+    (and its extra shuffle pair) never appears."""
     period = F.floor(F.col(ts_col).cast("double") / F.lit(period_seconds)).cast("long")
-    ev = df.select(F.col(user_col).alias("u"), period.alias("p"))
-    first = ev.groupBy("u").agg(F.min("p").alias("cohort_p"))
-    joined = ev.join(first, "u")
+    per_user = (
+        df.select(F.col(user_col).alias("u"), period.alias("p"))
+        .groupBy("u")
+        .agg(F.collect_set("p").alias("ps"))
+    )
+    exploded = per_user.select(
+        F.array_min("ps").alias("cohort_p"), F.explode("ps").alias("p")
+    )
     return (
-        joined.groupBy(
+        exploded.groupBy(
             F.col("cohort_p").alias("cohort_period"),
             (F.col("p") - F.col("cohort_p")).alias("period_offset"),
         )
-        .agg(F.countDistinct("u").alias("n_users"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
     )
 
 

@@ -336,18 +336,27 @@ def connected_components(
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_iter: int = 20,
+    return_rounds: bool = False,
 ) -> DataFrame:
     """Connected components over an undirected edge list by min-label
-    propagation: every node starts labeled with itself; each round takes the
-    min over its neighbors' labels; fixpoint = the component's minimum node
-    id. The Pregel-style pattern GraphFrames compiles to — each round is one
-    equi-join + map-side-combined min agg, `localCheckpoint` cuts the plan
-    lineage so iteration N doesn't replay rounds 1..N-1. Rounds needed =
-    graph diameter (tiny for near-dup clusters); `max_iter` bounds the loop,
-    and the early-exit fires as soon as a round changes nothing.
+    propagation WITH pointer jumping: every node starts labeled with itself;
+    each round takes the min over its neighbors' labels AND follows its
+    current label's label (label(label), the Shiloach-Vishkin shortcut).
+    Fixpoint = the component's minimum node id. Each round is two equi-joins
+    + map-side-combined min aggs; `localCheckpoint` cuts the plan lineage so
+    iteration N doesn't replay rounds 1..N-1.
 
-    Returns (node, label). Only nodes present in `edges` appear — callers
-    decide how to treat singletons.
+    Neighbor propagation alone needs diameter rounds — a 1000-link chain
+    corpus (adversarial but real: overlapping shingle chains) would NOT
+    converge in 20. The shortcut halves the remaining label depth every
+    round, so convergence is O(log2 diameter): ≤20 rounds covers any
+    component with diameter up to ~2^19. If `max_iter` is still exhausted
+    the function RAISES instead of returning a silently-unconverged
+    clustering.
+
+    Returns (node, label); with `return_rounds`, (DataFrame, rounds_used).
+    Only nodes present in `edges` appear — callers decide how to treat
+    singletons.
     """
     sym = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).unionByName(
         edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
@@ -360,28 +369,52 @@ def connected_components(
         .agg(F.min("dst").alias("_nmin"))
         .select(F.col("src").alias("node"), F.least("src", "_nmin").alias("label"))
     )
-    for i in range(max_iter):
+    rounds = 0
+    converged = False
+    for _i in range(max_iter):
+        rounds += 1
         neighbor_min = (
             sym.join(labels, sym.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, labels.node == F.col("src"), "left")
             .select(
                 F.col("node"),
                 F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
-                    "new_label"
+                    "label"
                 ),
                 F.col("label").alias("old_label"),
+            )
+        )
+        # pointer jump: label := min(label, label(label)) — halves the
+        # remaining pointer depth, turning diameter rounds into log2 rounds
+        lbl = labels.select(
+            F.col("node").alias("_ln"), F.col("label").alias("_ll")
+        )
+        new_labels = (
+            stepped.join(lbl, stepped.label == F.col("_ln"), "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("_ll"), F.col("label"))).alias(
+                    "new_label"
+                ),
+                "old_label",
             )
             .localCheckpoint(eager=True)
         )
         labels = new_labels.select("node", F.col("new_label").alias("label"))
         # cheap count on the already-materialized checkpoint gates each round
         if new_labels.where(F.col("new_label") != F.col("old_label")).count() == 0:
+            converged = True
             break
-    return labels
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds — "
+            "component diameter exceeds 2^(max_iter-1); raise max_iter"
+        )
+    return (labels, rounds) if return_rounds else labels
 
 
 def neardup_clusters(

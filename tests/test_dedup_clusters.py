@@ -95,3 +95,29 @@ def test_unigram_logprob_orders_typicality(spark):
     # 'common' has p=7/8, 'rare' p=1/8: doc 1 scores strictly higher
     assert out[1].avg_logprob > out[2].avg_logprob
     assert out[1].n_tokens == 4 and out[2].n_tokens == 4
+
+
+def test_connected_components_worst_case_chain_log_rounds(spark):
+    """Adversarial path graph (diameter 40, the shape overlapping shingle
+    chains produce): pointer jumping converges in O(log2 diameter) rounds —
+    plain neighbor propagation would need 40 and silently time out at
+    max_iter=20. Also pins the measured round count so a regression to
+    linear convergence fails loudly."""
+    n = 41
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a bigint, doc_b bigint"
+    )
+    labels, rounds = connected_components(edges, return_rounds=True)
+    got = labels.collect()
+    assert len(got) == n and all(r.label == 0 for r in got)
+    assert rounds <= 8, f"expected ~log2(40)≈6 rounds, used {rounds}"
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "doc_a bigint, doc_b bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)

@@ -252,3 +252,54 @@ def test_bucketed_join_needs_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP TABLE IF EXISTS {a_name}")
         spark.sql(f"DROP TABLE IF EXISTS {b_name}")
+
+
+def test_trend_single_shuffle_partial_agg(spark, sf_dir):
+    """grouped_linear_trend is ONE hash aggregate over sufficient statistics:
+    exactly one Exchange (the group-key shuffle), with a map-side partial
+    aggregate before it — the shape that scales to any event volume."""
+    from pyspark.sql import functions as F
+
+    from smart_data_lake_spark.functions.analytics import grouped_linear_trend
+    from smart_data_lake_spark.streaming.operators import read_events_batch
+
+    ev = read_events_batch(spark, sf_dir)
+    df = grouped_linear_trend(
+        ev, ["event_type"], x=F.col("ts").cast("double"), y=F.col("value")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    # partial_ marks the map-side combine before the shuffle
+    assert "partial_" in plan and "HashAggregate" in plan
+    assert "Window" not in plan and "Sort" not in plan.split("Exchange")[0]
+
+
+def test_cohort_two_shuffles_no_join_no_expand(spark, sf_dir):
+    """cohort_retention is exactly two keyed aggregates (user periods →
+    retention cells): 2 hash Exchanges, no join, no Window, and no Expand —
+    the distinct-user count is a plain count because the per-user period
+    sets make rows unique before the final aggregate."""
+    from smart_data_lake_spark.functions.analytics import cohort_retention
+    from smart_data_lake_spark.streaming.operators import read_events_batch
+
+    df = cohort_retention(read_events_batch(spark, sf_dir))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan and "Window" not in plan and "Expand" not in plan
+
+
+def test_funnel_single_shuffle_in_row_fold(spark, sf_dir):
+    """funnel_counts collects each user's step events once (one user-key
+    shuffle) and folds the ordered chain in-row — funnel depth adds zero
+    shuffles/joins. Budget: ≤2 Exchanges (user agg + final scalar agg),
+    no Window, no join at all."""
+    from smart_data_lake_spark.functions.analytics import funnel_counts
+    from smart_data_lake_spark.streaming.operators import read_events_batch
+
+    df = funnel_counts(
+        read_events_batch(spark, sf_dir), steps=["signup", "click", "purchase"]
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2
+    assert "Window" not in plan
+    assert "Join" not in plan
