@@ -56,7 +56,14 @@ def canon_rows(cols, rows):
 
 
 def main():
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    only = set(args)
+    results: dict[str, dict] = {}
     spark = build_session(app_name="oracle_check")
     con = duckdb.connect()
     for t in TABLES:
@@ -75,9 +82,11 @@ def main():
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            results[name] = {"status": "spark_error", "error": f"{type(e).__name__}: {str(e)[:300]}"}
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
             continue
         if name not in oracles:
+            results[name] = {"status": "rows_only", "rows": len(s_rows), "secs": round(time.time() - t0, 2)}
             print(f"SKIP  {name}: no oracle ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
@@ -86,6 +95,7 @@ def main():
             d_rows = res.fetchall()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            results[name] = {"status": "duckdb_error", "error": f"{type(e).__name__}: {str(e)[:300]}"}
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
             continue
         status = []
@@ -101,10 +111,25 @@ def main():
                 status.append(f"values: first diffs {diff}")
         if status:
             failures.append(name)
+            results[name] = {"status": "mismatch", "detail": "; ".join(status)}
             print(f"FAIL  {name}: {'; '.join(status)}")
         else:
+            results[name] = {"status": "ok", "rows": len(s_rows), "secs": round(time.time() - t0, 2)}
             print(f"OK    {name} ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    if json_path:
+        import json as _json
+
+        summary = {
+            "sf_dir": SF_DIR,
+            "n_queries": len(results),
+            "n_ok": sum(1 for r in results.values() if r["status"] == "ok"),
+            "n_rows_only": sum(1 for r in results.values() if r["status"] == "rows_only"),
+            "failures": failures,
+            "queries": results,
+        }
+        with open(json_path, "w") as f:
+            f.write(_json.dumps(summary, indent=1))
     return 1 if failures else 0
 
 
