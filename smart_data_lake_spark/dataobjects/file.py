@@ -490,13 +490,83 @@ class JsonFileDataObject(SparkFileDataObject):
         return {"multiLine": "true", **self.options}
 
 
+_NATIVE_AVRO: dict[int, bool] = {}
+
+
+def _native_avro_available(spark: SparkSession) -> bool:
+    """True iff the spark-avro DataSource module is actually deployed.
+    Probed once per session by attempting a schema'd read on a nonexistent
+    path: a registered source fails with PATH_NOT_FOUND, an unregistered one
+    with FAILED_TO_FIND_DATA_SOURCE (class presence alone is not enough —
+    Spark ships avro *classes* without registering the source)."""
+    key = id(spark)
+    if key not in _NATIVE_AVRO:
+        try:
+            jvm = spark._jvm
+            jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+                "avro", jvm.org.apache.spark.sql.internal.SQLConf.get()
+            )
+            _NATIVE_AVRO[key] = True
+        except Exception:  # noqa: BLE001 — failedToFindAvroDataSourceError
+            _NATIVE_AVRO[key] = False
+    return _NATIVE_AVRO[key]
+
+
 @register_data_object_type
 class AvroFileDataObject(SparkFileDataObject):
-    """Reference: `dataobject/AvroFileDataObject.scala:46-63`. Spark treats
-    avro as an external module — needs the spark-avro jar on the classpath
-    (absent in this container; IO raises Spark's clear AnalysisException)."""
+    """Reference: `dataobject/AvroFileDataObject.scala:46-63`.
+
+    Spark treats avro as an external module; when the spark-avro jar is on
+    the classpath the inherited `format("avro")` path is used unchanged.
+    Without it (this container) IO falls back to the pure-Python OCF codec
+    in `avro_ocf.py` — a distributed binaryFile+mapInPandas read and a
+    per-partition container write, cross-verified against the Apache Avro
+    Java implementation in tests. The fallback intentionally skips the
+    partition-pruning fast path (Avro landing zones here are unpartitioned);
+    partition filters still apply declaratively."""
 
     format = "avro"
+
+    def get_dataframe(
+        self, spark: SparkSession, partition_values: list[PartitionValues] | None = None
+    ) -> DataFrame:
+        if _native_avro_available(spark):
+            return super().get_dataframe(spark, partition_values)
+        from smart_data_lake_spark.dataobjects.avro_ocf import read_avro
+
+        df = read_avro(spark, self.path, spark_schema=self.schema)
+        if partition_values:
+            df = apply_partition_filter(df, partition_values)
+        if self.filename_column:
+            df = df.withColumn(self.filename_column, F.input_file_name())
+        return df
+
+    def write_dataframe(
+        self,
+        df: DataFrame,
+        partition_values: list[PartitionValues] | None = None,
+        save_mode: SaveMode | None = None,
+    ) -> dict[str, Any]:
+        spark = df.sparkSession
+        if _native_avro_available(spark):
+            return super().write_dataframe(df, partition_values, save_mode)
+        import secrets
+
+        from smart_data_lake_spark.dataobjects.avro_ocf import write_avro
+
+        mode = save_mode or self.save_mode
+        self.init_write(df, partition_values)
+        df = self._repartition_for_write(df)
+        if mode in (SaveMode.ERROR_IF_EXISTS, SaveMode.IGNORE) and self.exists(spark):
+            if mode == SaveMode.IGNORE:
+                return {"records_written": 0, "no_data": True}
+            raise FileExistsError(f"({self.id}) {self.path} already exists")
+        if mode in (SaveMode.OVERWRITE, SaveMode.OVERWRITE_OPTIMIZED) and os.path.isdir(self.path):
+            shutil.rmtree(self.path)
+        prefix = "part" if mode != SaveMode.APPEND else f"part-{secrets.token_hex(4)}"
+        codec = self.options.get("compression", "deflate")
+        n = write_avro(df, self.path, codec=codec, prefix=prefix)
+        return {"records_written": n}
 
 
 @register_data_object_type
