@@ -408,16 +408,18 @@ def test_relaxed_csv_per_file_projection(spark, tmp_path):
     assert rows == {(1, "x", None), (2, "y", None), (3, "z", 9.5), (4, None, None)}
 
 
-def test_excel_gated_without_openpyxl(spark):
+def test_excel_reader_options_and_missing_path(spark):
     from smart_data_lake_spark.dataobjects import ExcelFileDataObject
 
-    do = ExcelFileDataObject(id="xl", path="/tmp/x.xlsx", sheet_name="Sheet1")
+    do = ExcelFileDataObject(id="xl", path="/tmp/definitely_missing_dir/x.xlsx", sheet_name="Sheet1")
     assert do.reader_options()["header"] == "true"
     # spark-excel dataAddress grammar: quoted name or 0-based sheet index + cell
     assert do.reader_options()["dataAddress"] == "'Sheet1'!A1"
     by_index = ExcelFileDataObject(id="xl2", path="/tmp/x.xlsx", sheet_name=2, header_row=3)
     assert by_index.reader_options()["dataAddress"] == "2!A4"
-    with pytest.raises(RuntimeError, match="openpyxl"):
+    # no longer gated: the stdlib codec backend reads real workbooks
+    # (tests/test_xlsx.py); a missing path is a clear FileNotFoundError
+    with pytest.raises(FileNotFoundError):
         do.get_dataframe(spark)
 
 
