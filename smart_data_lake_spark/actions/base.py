@@ -284,8 +284,31 @@ class DataFrameAction(Action):
             pvs = list(sf.partition_values) if sf else []
             if mode_result is not None and in_id == self.main_input_id and mode_result.input_partition_values:
                 pvs = mode_result.input_partition_values
+            streaming_mode = isinstance(self.execution_mode, SparkStreamingMode)
             if streaming and in_id == self.main_input_id and isinstance(in_do, CanCreateStreamingDataFrame):
                 df = in_do.get_streaming_dataframe(spark)
+            elif (
+                streaming_mode
+                and phase == "init"
+                and in_id == self.main_input_id
+                and isinstance(in_do, CanCreateStreamingDataFrame)
+            ):
+                # init must not consume the real source (no offsets, no
+                # state): validate lineage on a schema-only streaming frame
+                # (DummyStreamProvider, DataFrameActionImpl.scala:171-174)
+                schema = None
+                if isinstance(in_do, CanCreateDataFrame):
+                    schema = getattr(in_do, "resolve_schema", lambda s: None)(spark) or (
+                        in_do.create_read_schema(spark)
+                        if hasattr(in_do, "create_read_schema")
+                        else None
+                    )
+                if schema is None:
+                    assert isinstance(in_do, CanCreateDataFrame), f"({self.id}) {in_id} needs a schema"
+                    schema = in_do.get_dataframe(spark, pvs or None).schema
+                from smart_data_lake_spark.streaming import dummy_streaming_df
+
+                df = dummy_streaming_df(spark, schema)
             elif sf is not None and sf.df is not None and (phase == "init" or not sf.is_dummy) and not self.break_dataframe_lineage:
                 df = sf.df
                 if pvs:

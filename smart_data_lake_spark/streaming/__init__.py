@@ -101,3 +101,22 @@ def get_streaming_listener(spark: SparkSession) -> StreamingMetricsListener:
             _listener = StreamingMetricsListener()
             spark.streams.addListener(_listener)
         return _listener
+
+
+def dummy_streaming_df(spark: SparkSession, schema) -> "DataFrame":
+    """Schema-only streaming DataFrame for the init phase.
+
+    Reference: `util/spark/DummyStreamProvider` used at
+    `DataFrameActionImpl.scala:171-174` — during init of a streaming action
+    the real source must not be consumed (no offsets committed, no state
+    touched), but downstream transforms and schema validation still need a
+    DataFrame with `isStreaming=true` and the source's exact schema.
+
+    Spark-first shape: the built-in `rate` source (never started — init never
+    calls `writeStream`) projected onto null-cast columns of the target
+    schema. Zero IO, zero Python, analysis-time only.
+    """
+    from pyspark.sql import functions as F
+
+    rate = spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+    return rate.select([F.lit(None).cast(f.dataType).alias(f.name) for f in schema.fields])

@@ -368,3 +368,44 @@ def test_run_available_now_drop_prior_scoping(spark, tmp_path):
     assert third.count() == 2
     spark.catalog.dropTempView("sdl_stream_user_owned")
     ops.run_available_now(stream(), output_mode="append")  # cleanup tracked sink
+
+
+def test_init_phase_uses_dummy_stream_not_source(spark, tmp_path):
+    """Init of a streaming action validates lineage on a schema-only
+    streaming frame WITHOUT consuming the real source — no offsets, no
+    checkpoint state (DummyStreamProvider, DataFrameActionImpl.scala:171-174).
+    """
+    from pyspark.sql import Row
+
+    src_path = str(tmp_path / "src")
+    spark.createDataFrame([Row(id=1, v="a")]).write.parquet(src_path)
+
+    calls = {"stream_reads": 0}
+
+    class CountingParquet(ParquetFileDataObject):
+        def get_streaming_dataframe(self, spark):
+            calls["stream_reads"] += 1
+            return super().get_streaming_dataframe(spark)
+
+    registry = InstanceRegistry()
+    registry.register_data_object(
+        CountingParquet(id="src", path=src_path, schema="id bigint, v string")
+    )
+    registry.register_data_object(ParquetFileDataObject(id="dst", path=str(tmp_path / "dst")))
+    action = CopyAction(
+        id="c", input_id="src", output_id="dst", registry=registry,
+        execution_mode=SparkStreamingMode(checkpoint_location=str(tmp_path / "ckpt")),
+    )
+    from smart_data_lake_spark.actions.base import SparkSubFeed
+
+    out = action.init(spark, [SparkSubFeed(data_object_id="src")])
+    assert out[0].df.isStreaming          # lineage validated as a stream
+    assert out[0].df.schema.simpleString() == "struct<id:bigint,v:string>"
+    assert calls["stream_reads"] == 0     # the real source was never opened
+    import os
+    assert not os.path.exists(tmp_path / "ckpt")  # and no state was created
+
+    # exec still runs the real streaming read
+    action.exec(spark, [SparkSubFeed(data_object_id="src")])
+    assert calls["stream_reads"] == 1
+    assert spark.read.parquet(str(tmp_path / "dst")).count() == 1
