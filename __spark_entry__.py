@@ -1807,6 +1807,127 @@ def unigram_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob_score(_fan_out(spark, docs)).orderBy("doc_id")
 
 
+def winnow_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (functions/dedup.winnow_fingerprints; MOSS
+    algorithm, Schleimer et al. 2003, public method): per-doc distinct
+    window-minimum k-gram hashes + cross-corpus sharing stats. One doc-sort
+    shuffle + one fingerprint-key shuffle + one groupBy(doc) — linear,
+    density ~2/(w+1) of the full gram set, never all-pairs."""
+    from smart_data_lake_spark.functions.dedup import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(_fan_out(spark, docs)).orderBy("doc_id")
+
+
+def incremental_dedup_new_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus admission (functions/dedup.dedup_against_corpus):
+    new-batch docs (source=src0) kept only if their content hash is absent
+    from the rest of the corpus AND first-of-hash within the batch. Hash
+    anti-join (corpus side pruned to its hash column) + min-id semi join —
+    the new-crawl-snapshot shape at 100 TB."""
+    from smart_data_lake_spark.functions.dedup import dedup_against_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.where(F.col("source") == "src0")
+    corpus = docs.where(F.col("source") != "src0")
+    out = dedup_against_corpus(batch, corpus)
+    return out.select(
+        "doc_id", F.length("text").cast("bigint").alias("n_chars_kept")
+    ).orderBy("doc_id")
+
+
+def range_frame_trailing_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per-user trailing-1-hour sum/count of event
+    value (RANGE, not ROWS — equal-timestamp rows always share a frame, so
+    the result is deterministic under any shuffle order). Frame bounds in
+    integer MICROSECONDS (unix_micros ≡ DuckDB epoch_us) — sub-second
+    precision with no float boundary drift; decimal sum = order-independent.
+    One shuffle (the window sort)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") % 50 == 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600 * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double"), 6).alias(
+            "trailing_1h_sum"
+        ),
+        F.count(F.lit(1)).over(w).alias("trailing_1h_n"),
+    ).orderBy("event_id")
+
+
+def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (completes the cube/rollup family): chosen
+    subtotal combinations only — Catalyst compiles to ONE Expand + one hash
+    aggregate (a single shuffle for all four sets), strictly cheaper than
+    unioning four aggregates. GROUPING() disambiguates subtotal NULLs."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("sdl_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+               COUNT(*) AS n_orders,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price
+        FROM sdl_gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority), ())
+        ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority
+        """
+    )
+
+
+def user_top_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped argmax without a join or window: counts (one map-side-combined
+    shuffle) then max(struct(cnt, key)) — ties broken by event_type
+    descending, deterministically, in both engines. The two-aggregate shape
+    replaces the row_number-over-window idiom and keeps everything
+    combinable at 100 TB."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        counts.groupBy("user_id")
+        .agg(F.max(F.struct(F.col("cnt"), F.col("event_type"))).alias("m"))
+        .select(
+            "user_id",
+            F.col("m.cnt").alias("top_cnt"),
+            F.col("m.event_type").alias("top_event"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust median/MAD outliers per event type (functions/profiling
+    .mad_outliers): breakdown-resistant complement to the z-score query.
+    Exact percentile parity with quantile_cont (same interpolation as
+    event_value_percentiles); two combinable shuffles + broadcast joins."""
+    from smart_data_lake_spark.functions.profiling import mad_outliers
+
+    ev = _t(spark, sf_dir, "events")
+    return mad_outliers(ev, "event_type", "value").orderBy("event_type")
+
+
+def top_bigrams_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level bigram document frequency, top 20 (tie-broken by bigram
+    text): the boilerplate-phrase detector. Reuses the dedup shingle
+    subplan — distinct per-doc bigrams, one combinable count shuffle, TakeOrdered
+    (no global sort materialization)."""
+    from smart_data_lake_spark.functions.dedup import shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingles(_fan_out(spark, docs), n=2)
+    return (
+        sh.groupBy(F.col("shingle").alias("bigram"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), "bigram")
+        .limit(20)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is the driver grading window: only the first 50
     # entries get a CORRECTNESS oracle row per round. r5 rotation —
@@ -1851,19 +1972,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windowed_counts": streaming_windowed_counts,
         "dedup_latest_event": dedup_latest_event,
         "scd2_user_history": scd2_user_history,
+        # --- new in r5: graded on first appearance (displacing r4-green fill)
+        "winnow_fingerprints_docs": winnow_fingerprints_docs,
+        "incremental_dedup_new_source": incremental_dedup_new_source,
+        "range_frame_trailing_value": range_frame_trailing_value,
+        "grouping_sets_sales": grouping_sets_sales,
+        "user_top_event": user_top_event,
+        "mad_outliers_events": mad_outliers_events,
+        "top_bigrams_corpus": top_bigrams_corpus,
+        # --- previously-green fill up to 50
         "q1_pricing_summary": q1_pricing_summary,
         "asof_click_attribution": asof_click_attribution,
-        "pivot_order_status": pivot_order_status,
-        "rollup_sales": rollup_sales,
         "incremental_highwatermark": incremental_highwatermark,
         "partition_diff": partition_diff,
+        "sessionize_events": sessionize_events,
+        "benchmark_decontamination": benchmark_decontamination,
+        # --- rotated out (r4 driver rows on record)
+        "pivot_order_status": pivot_order_status,
+        "rollup_sales": rollup_sales,
         "pk_violations_events": pk_violations_events,
         "data_validation_lineitem": data_validation_lineitem,
-        "sessionize_events": sessionize_events,
         "text_stats": text_stats,
         "profile_orders_columns": profile_orders_columns,
         "events_value_outliers": events_value_outliers,
-        "benchmark_decontamination": benchmark_decontamination,
         "q4_order_priority": q4_order_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q6_revenue_forecast": q6_revenue_forecast,
@@ -2026,6 +2157,105 @@ def oracle_sql() -> dict[str, str]:
     )
     ivf_cell = argmin_case_sql([f"d{i}" for i in range(len(_IVF_CENTROIDS))])
     return {
+        "winnow_fingerprints_docs": r"""
+            WITH toksrc AS (
+              SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+              FROM documents
+              WHERE length(trim(lower(text))) > 0
+                AND len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 4
+            ), grams AS (
+              SELECT doc_id, t.i AS pos,
+                     md5(array_to_string(list_transform(range(1, 5),
+                                         j -> w[CAST(t.i + j AS INT)]), ' ')) AS gh
+              FROM toksrc, LATERAL (SELECT unnest(range(0, len(w) - 3)) AS i) t
+            ), winmin AS (
+              SELECT doc_id,
+                     min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp
+              FROM grams
+            ), fps AS (SELECT DISTINCT doc_id, fp FROM winmin),
+            share AS (SELECT fp, COUNT(*) AS n_docs FROM fps GROUP BY fp)
+            SELECT f.doc_id, COUNT(*) AS n_fingerprints,
+                   CAST(SUM(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+                   round(SUM(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS shared_frac
+            FROM fps f JOIN share s USING (fp)
+            GROUP BY f.doc_id ORDER BY f.doc_id""",
+        "incremental_dedup_new_source": """
+            WITH b AS (
+              SELECT doc_id, text, md5(trim(lower(text))) AS h
+              FROM documents WHERE source = 'src0'
+            ), c AS (
+              SELECT DISTINCT md5(trim(lower(text))) AS h
+              FROM documents WHERE source <> 'src0'
+            ), fresh AS (
+              SELECT b.* FROM b WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.h = b.h)
+            ), firsts AS (
+              SELECT h, MIN(doc_id) AS doc_id FROM fresh GROUP BY h
+            )
+            SELECT f.doc_id, length(f.text) AS n_chars_kept
+            FROM fresh f JOIN firsts USING (h, doc_id)
+            ORDER BY f.doc_id""",
+        "range_frame_trailing_value": """
+            SELECT event_id, user_id,
+                   round(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE), 6) AS trailing_1h_sum,
+                   COUNT(*) OVER w AS trailing_1h_n
+            FROM events WHERE user_id % 50 = 0
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+            ORDER BY event_id""",
+        "grouping_sets_sales": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(grouping(o_orderstatus) AS INT) AS g_status,
+                   CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+                   COUNT(*) AS n_orders,
+                   ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                    (o_orderstatus, o_orderpriority), ())
+            ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""",
+        "user_top_event": """
+            WITH counts AS (
+              SELECT user_id, event_type, COUNT(*) AS cnt
+              FROM events GROUP BY user_id, event_type
+            )
+            SELECT user_id, cnt AS top_cnt, event_type AS top_event
+            FROM counts
+            QUALIFY row_number() OVER (PARTITION BY user_id
+                                       ORDER BY cnt DESC, event_type DESC) = 1
+            ORDER BY user_id""",
+        "mad_outliers_events": """
+            WITH med AS (
+              SELECT event_type, quantile_cont(value, 0.5) AS med
+              FROM events GROUP BY event_type
+            ), dev AS (
+              SELECT e.event_type, e.value, abs(e.value - m.med) AS adev, m.med
+              FROM events e JOIN med m USING (event_type)
+            ), mads AS (
+              SELECT event_type, quantile_cont(adev, 0.5) AS mad
+              FROM dev GROUP BY event_type
+            )
+            SELECT d.event_type, COUNT(*) AS n,
+                   round(MAX(d.med), 6) AS median_value,
+                   round(MAX(m.mad), 6) AS mad,
+                   CAST(SUM(CASE WHEN m.mad > 0 AND d.adev > 3 * m.mad
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+            FROM dev d JOIN mads m USING (event_type)
+            GROUP BY d.event_type ORDER BY d.event_type""",
+        "top_bigrams_corpus": r"""
+            WITH toksrc AS (
+              SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+              FROM documents
+              WHERE length(trim(lower(text))) > 0
+                AND len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 2
+            ), grams AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(list_transform(range(1, 3),
+                                     j -> w[CAST(t.i + j AS INT)]), ' ') AS bigram
+              FROM toksrc, LATERAL (SELECT unnest(range(0, len(w) - 1)) AS i) t
+            )
+            SELECT bigram, COUNT(*) AS n_docs
+            FROM grams GROUP BY bigram
+            ORDER BY n_docs DESC, bigram LIMIT 20""",
         "q1_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
                    SUM(l_quantity) AS sum_qty,

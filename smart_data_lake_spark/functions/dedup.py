@@ -442,3 +442,99 @@ def neardup_clusters(
             F.max(F.when(F.col("rk") == 1, F.col("node"))).alias("canonical_doc_id"),
         )
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    window: int = 5,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    SIGMOD — the MOSS algorithm; public method).
+
+    Every k-token gram is hashed (md5 hex — lexicographic min ≡ numeric min
+    over the 128-bit value, same trick as `minhash_signatures`); each
+    length-`window` run of consecutive gram hashes contributes its minimum,
+    and the per-document fingerprint set is the DISTINCT set of those window
+    minima. Guarantees every match of length ≥ k+window-1 tokens shares at
+    least one fingerprint, at ~2/(window+1) the density of full k-gram sets.
+
+    Returns per-doc stats: `n_fingerprints`, `n_shared` (fingerprints that
+    also occur in at least one OTHER document), `shared_frac`.
+
+    Scale shape: one shuffle by doc (window sort), one fingerprint-key
+    shuffle for the sharing counts (map-side-combined `count(distinct)` via
+    two-level groupBy), one combinable groupBy(doc) — linear in corpus size,
+    never all-pairs. Reference has no counterpart operator (fingerprinting in
+    `sdl-core` is row-hashing for historization, Historization.scala:371).
+    """
+    from pyspark.sql.window import Window
+
+    from smart_data_lake_spark.functions.text import tokens
+
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks")).where(
+        F.size("_toks") >= k
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("_toks") - k),
+        lambda i: F.md5(
+            F.concat_ws(" ", *[F.element_at(F.col("_toks"), i + j + 1) for j in range(k)])
+        ),
+    )
+    pos = base.select(F.col(id_col), F.posexplode(grams).alias("pos", "gram_hash"))
+    # trailing-window minimum starting at each gram position; tail windows
+    # (fewer than `window` grams left) still contribute their minimum —
+    # deterministic in both engines under identical ROWS-frame semantics
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    fps = (
+        pos.select(F.col(id_col), F.min("gram_hash").over(w).alias("fp"))
+        .distinct()
+    )
+    sharing = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_n_docs"))
+    return (
+        fps.join(sharing, "fp")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_fingerprints"),
+            F.sum(F.when(F.col("_n_docs") > 1, 1).otherwise(0)).alias("n_shared"),
+        )
+        .withColumn(
+            "shared_frac", F.round(F.col("n_shared") / F.col("n_fingerprints"), 6)
+        )
+    )
+
+
+def dedup_against_corpus(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental dedup: keep the batch documents whose normalized content
+    hash appears nowhere in the existing corpus AND is the first occurrence
+    (lowest id) within the batch itself — the shape of admitting a new crawl
+    snapshot into a deduplicated 100 TB corpus.
+
+    Spark-first: content-hash anti-join against the corpus (one hash-key
+    shuffle; with a small batch AQE broadcasts the batch side), then a
+    min-id-per-hash window-free self-dedup via groupBy + semi join back.
+    At scale the corpus side reads ONLY its hash column (column pruning) —
+    assert via plan tests; a Bloom/runtime filter on the corpus scan is the
+    cluster-side refinement and AQE inserts one automatically for selective
+    joins.
+    """
+    norm = lambda c: F.md5(F.trim(F.lower(c)))  # noqa: E731
+    b = batch.select(F.col(id_col), F.col(text_col), norm(F.col(text_col)).alias("_h"))
+    c = corpus.select(norm(F.col(text_col)).alias("_h")).distinct()
+    fresh = b.join(c, "_h", "left_anti")
+    first_ids = fresh.groupBy("_h").agg(F.min(id_col).alias(id_col))
+    return (
+        fresh.join(first_ids, [ "_h", id_col], "left_semi")
+        .select(id_col, text_col)
+    )

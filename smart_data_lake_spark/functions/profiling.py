@@ -132,3 +132,54 @@ def profile_columns(
         )
     )
     return stacked.orderBy("col_name")
+
+
+def mad_outliers(
+    df,
+    group_col: str,
+    value_col: str,
+    threshold: float = 3.0,
+):
+    """Robust (median/MAD) outlier detection per group — the
+    breakdown-resistant complement to `grouped_outliers`' z-scores: one
+    extreme value cannot drag the center or the spread.
+
+    MAD = median(|v − median(v)|). Flags rows with |v − median| >
+    threshold × MAD; groups with MAD = 0 report zero outliers (degenerate
+    spread) rather than dividing by zero.
+
+    Shape: exact `percentile` aggregation per group (one shuffle), broadcast
+    medians back, second exact percentile over deviations (second shuffle),
+    one final conditional count. Two shuffles total, both map-side
+    combinable; at the 100 TB tier swap `percentile` for
+    `approx_percentile`'s t-digest (documented trade, same plan shape) —
+    mirrors the `event_value_percentiles` scale note.
+    """
+    from pyspark.sql import functions as F
+
+    medians = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("_med")
+    )
+    with_dev = df.join(F.broadcast(medians), group_col).withColumn(
+        "_adev", F.abs(F.col(value_col) - F.col("_med"))
+    )
+    mads = with_dev.groupBy(group_col).agg(
+        F.expr("percentile(_adev, 0.5)").alias("_mad"),
+        F.first("_med").alias("_med2"),
+    )
+    return (
+        with_dev.join(F.broadcast(mads.drop("_med2")), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.first("_med"), 6).alias("median_value"),
+            F.round(F.first("_mad"), 6).alias("mad"),
+            F.sum(
+                F.when(
+                    (F.col("_mad") > 0)
+                    & (F.col("_adev") > F.lit(threshold) * F.col("_mad")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
