@@ -222,6 +222,43 @@ class ActionDAGRun:
         done: set[str] = set()
         failed_upstream: set[str] = set()
 
+        # auto-persist DataFrames consumed by more than one downstream action,
+        # ref-counted, unpersisted when the last consumer finishes
+        # (ActionPipelineContext.rememberDataFrameReuse:21-37 wired at
+        # DataFrameActionImpl.scala:176-179,456-462,543-555). Without it a
+        # fan-out edge recomputes/rescans the shared frame once per branch.
+        consumer_count: dict[str, int] = {}
+        for aid in order:
+            if aid in completed_from_recovery:
+                continue
+            for in_id in self.dag.actions[aid].input_ids:
+                consumer_count[in_id] = consumer_count.get(in_id, 0) + 1
+        persisted: dict[str, Any] = {}
+        persist_remaining: dict[str, int] = {}
+
+        def _maybe_persist(sf: SubFeed) -> None:
+            df = getattr(sf, "df", None)
+            if (
+                df is None
+                or df.isStreaming
+                or sf.data_object_id in persisted
+                or consumer_count.get(sf.data_object_id, 0) < 2
+            ):
+                return
+            from pyspark import StorageLevel
+
+            sf.df = df.persist(StorageLevel.MEMORY_AND_DISK)
+            persisted[sf.data_object_id] = sf.df
+            persist_remaining[sf.data_object_id] = consumer_count[sf.data_object_id]
+
+        def _release_inputs(aid: str) -> None:
+            for in_id in self.dag.actions[aid].input_ids:
+                if in_id in persist_remaining:
+                    persist_remaining[in_id] -= 1
+                    if persist_remaining[in_id] <= 0:
+                        persisted.pop(in_id).unpersist()
+                        del persist_remaining[in_id]
+
         def ready(aid: str) -> bool:
             return self.dag.upstream_actions(aid) <= done
 
@@ -269,6 +306,7 @@ class ActionDAGRun:
                 for fut in finished:
                     aid = futures.pop(fut)
                     _, result = fut.result()
+                    _release_inputs(aid)
                     if isinstance(result, Exception):
                         self.state.action_states[aid] = "FAILED"
                         self.state.action_metrics[aid] = {"error": str(result)}
@@ -279,9 +317,16 @@ class ActionDAGRun:
                         self.state.action_metrics[aid] = self.dag.actions[aid].runtime_metrics
                         self.result_subfeeds[aid] = result
                         for sf in result:
+                            _maybe_persist(sf)
                             exec_feeds[sf.data_object_id] = sf
                     done.add(aid)
                     self._save_state()
+        # branches cancelled by an upstream failure never consume their
+        # inputs — release whatever is still pinned
+        for do_id, df in list(persisted.items()):
+            df.unpersist()
+        persisted.clear()
+        persist_remaining.clear()
 
     def _input_subfeed(
         self,

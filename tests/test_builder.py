@@ -229,3 +229,67 @@ def test_graceful_stop_drains_async_query(spark, tmp_path):
     q = action.streaming_queries["dst"]
     assert not q.isActive  # stopped...
     assert spark.read.parquet(out).count() == 2  # ...but only after draining
+
+
+def test_autopersist_fanout_refcounted(spark, tmp_path, monkeypatch):
+    """A subfeed consumed by TWO downstream actions is persisted exactly once
+    and unpersisted after the last consumer (rememberDataFrameReuse,
+    DataFrameActionImpl.scala:176-179,456-462); a linear chain persists
+    nothing."""
+    from pyspark.sql import Row
+
+    try:  # Spark 4: concrete instances are the classic subclass
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # pragma: no cover
+        from pyspark.sql import DataFrame
+
+    from smart_data_lake_spark.actions import CopyAction
+    from smart_data_lake_spark.config import InstanceRegistry
+    from smart_data_lake_spark.dataobjects import ParquetFileDataObject
+    from smart_data_lake_spark.plans.dag import ActionDAG, ActionDAGRun
+
+    calls = {"persist": 0, "unpersist": 0}
+    orig_persist, orig_unpersist = DataFrame.persist, DataFrame.unpersist
+
+    def spy_persist(self, *a, **k):
+        calls["persist"] += 1
+        return orig_persist(self, *a, **k)
+
+    def spy_unpersist(self, *a, **k):
+        calls["unpersist"] += 1
+        return orig_unpersist(self, *a, **k)
+
+    monkeypatch.setattr(DataFrame, "persist", spy_persist)
+    monkeypatch.setattr(DataFrame, "unpersist", spy_unpersist)
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame([Row(id=1, v="a"), Row(id=2, v="b")]).write.parquet(src)
+    registry = InstanceRegistry()
+    registry.register_data_object(ParquetFileDataObject(id="src", path=src))
+    registry.register_data_object(ParquetFileDataObject(id="mid", path=str(tmp_path / "mid")))
+    registry.register_data_object(ParquetFileDataObject(id="out1", path=str(tmp_path / "out1")))
+    registry.register_data_object(ParquetFileDataObject(id="out2", path=str(tmp_path / "out2")))
+    actions = [
+        CopyAction(id="a", input_id="src", output_id="mid", registry=registry),
+        CopyAction(id="b", input_id="mid", output_id="out1", registry=registry),
+        CopyAction(id="c", input_id="mid", output_id="out2", registry=registry),
+    ]
+    state = ActionDAGRun(ActionDAG(actions), registry).run(spark)
+    assert all(s == "SUCCEEDED" for s in state.action_states.values())
+    assert calls["persist"] == 1      # only the fan-out edge (mid), only once
+    assert calls["unpersist"] == 1    # released after the last consumer
+    assert spark.read.parquet(str(tmp_path / "out1")).count() == 2
+    assert spark.read.parquet(str(tmp_path / "out2")).count() == 2
+
+    # linear chain: no fan-out, no persist
+    calls["persist"] = calls["unpersist"] = 0
+    registry2 = InstanceRegistry()
+    registry2.register_data_object(ParquetFileDataObject(id="src", path=src))
+    registry2.register_data_object(ParquetFileDataObject(id="m2", path=str(tmp_path / "m2")))
+    registry2.register_data_object(ParquetFileDataObject(id="o3", path=str(tmp_path / "o3")))
+    lin = [
+        CopyAction(id="a", input_id="src", output_id="m2", registry=registry2),
+        CopyAction(id="b", input_id="m2", output_id="o3", registry=registry2),
+    ]
+    ActionDAGRun(ActionDAG(lin), registry2).run(spark)
+    assert calls["persist"] == 0 and calls["unpersist"] == 0
