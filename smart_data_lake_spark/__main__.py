@@ -1,0 +1,111 @@
+"""CLI entry point: ``python -m smart_data_lake_spark``.
+
+Reference: `app/SmartDataLakeBuilder.scala:226-308` (scopt option parse) and
+`LocalSmartDataLakeBuilder`'s local-mode extras. Option mapping:
+
+  --feed-sel        feed selection algebra (feeds:/ids:/startFromActionIds:/…
+                    with ``|``/``&``/``-`` set ops) — same grammar as the
+                    reference's AppUtil.scala:188-218
+  --config          one or more JSON config files (HOCON sections dataObjects/
+                    actions/globalConfig as plain JSON); later files override
+                    earlier ones section-by-section, like HOCON include order
+  --partition-values  "col=val[,col=val]" (one set) or several sets separated
+                    by ";" — SmartDataLakeBuilder.scala's partitionValues /
+                    multiPartitionValues
+  --state-path      run-state JSON directory (recovery + runId continuity)
+  --parallelism     concurrent actions in the exec phase
+  --streaming       whole-DAG synchronous streaming loop
+  --streaming-interval-sec / --max-streaming-iterations  loop pacing/bound
+  --test config     parse config, build DAG, run the prepare phase, exit
+  --test dry-run    prepare + init (full Catalyst lineage, no writes), exit
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import Any
+
+
+def _merge_configs(paths: list[str]) -> dict[str, Any]:
+    merged: dict[str, Any] = {}
+    for p in paths:
+        with open(p, "r", encoding="utf-8") as fh:
+            cfg = json.load(fh)
+        for section, content in cfg.items():
+            if isinstance(content, dict):
+                merged.setdefault(section, {}).update(content)
+            else:
+                merged[section] = content
+    return merged
+
+
+def _parse_partition_values(s: str | None) -> list[dict] | None:
+    if not s:
+        return None
+    out = []
+    for part in s.split(";"):
+        pv: dict[str, str] = {}
+        for kv in part.split(","):
+            k, _, v = kv.partition("=")
+            if not _:
+                raise ValueError(f"bad partition value {kv!r} (expected col=val)")
+            pv[k.strip()] = v.strip()
+        out.append(pv)
+    return out
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="smart_data_lake_spark",
+        description="Run a configured action DAG (SDLB-compatible semantics, PySpark-native).",
+    )
+    p.add_argument("--feed-sel", default=None, help="action selection (feeds:/ids:/… algebra)")
+    p.add_argument("--config", nargs="+", required=True, help="JSON config file(s), merged in order")
+    p.add_argument("--partition-values", default=None)
+    p.add_argument("--state-path", default=None)
+    p.add_argument("--parallelism", type=int, default=1)
+    p.add_argument("--streaming", action="store_true")
+    p.add_argument("--streaming-interval-sec", type=float, default=5.0)
+    p.add_argument("--max-streaming-iterations", type=int, default=None)
+    p.add_argument("--test", choices=["config", "dry-run"], default=None)
+    p.add_argument("--master", default=None, help="Spark master override (default: local[*])")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    from smart_data_lake_spark.plans.app import SmartDataLakeBuilder
+    from smart_data_lake_spark.session import build_session
+
+    config = _merge_configs(args.config)
+    builder = SmartDataLakeBuilder(config=config)
+    spark = build_session(master=args.master) if args.master else build_session()
+
+    if args.test is not None:
+        n = builder.dry_run(
+            feed_sel=args.feed_sel, spark=spark, init="dry-run" == args.test
+        )
+        print(f"test={args.test}: {n} actions validated")
+        return 0
+
+    state = builder.run(
+        feed_sel=args.feed_sel,
+        spark=spark,
+        partition_values=_parse_partition_values(args.partition_values),
+        state_path=args.state_path,
+        parallelism=args.parallelism,
+        streaming=args.streaming,
+        streaming_interval_sec=args.streaming_interval_sec,
+        max_streaming_iterations=args.max_streaming_iterations,
+    )
+    for aid, st in state.action_states.items():
+        metrics = state.action_metrics.get(aid, {})
+        print(f"{aid}: {st} {json.dumps(metrics, default=str)}")
+    failed = [a for a, s in state.action_states.items() if s == "FAILED"]
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -208,6 +208,29 @@ class SmartDataLakeBuilder:
         finally:
             self._stop_streaming_queries(actions)
 
+    # -------------------------------------------------------------- dry run
+    def dry_run(
+        self,
+        feed_sel: str | None = None,
+        spark: SparkSession | None = None,
+        init: bool = True,
+    ) -> int:
+        """Validation-only run (`--test config|dry-run`,
+        SmartDataLakeBuilder.scala:127-188 test modes): build the DAG and run
+        the prepare phase (existence/config checks); with ``init=True`` also
+        the init phase — full Catalyst lineage and schema validation with no
+        writes. Returns the number of validated actions."""
+        spark = spark or get_session()
+        actions = self.select_actions(feed_sel)
+        if not actions:
+            raise ValueError(f"feed selector {feed_sel!r} matched no actions")
+        dag = ActionDAG(actions)
+        run = ActionDAGRun(dag, self.registry)
+        run._phase_prepare(spark)
+        if init:
+            run._phase_init(spark)
+        return len(actions)
+
     # ------------------------------------------------------------- simulate
     def simulate(
         self, input_dfs: dict[str, DataFrame], feed_sel: str | None = None, spark: SparkSession | None = None

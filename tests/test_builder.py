@@ -293,3 +293,50 @@ def test_autopersist_fanout_refcounted(spark, tmp_path, monkeypatch):
     ]
     ActionDAGRun(ActionDAG(lin), registry2).run(spark)
     assert calls["persist"] == 0 and calls["unpersist"] == 0
+
+
+def test_cli_main_run_and_test_modes(spark, tmp_path, capsys):
+    """CLI entry (`python -m smart_data_lake_spark`): config-file merge,
+    --test modes, full run with state (SmartDataLakeBuilder.scala:226-308)."""
+    import json
+
+    from pyspark.sql import Row
+
+    from smart_data_lake_spark.__main__ import main, _parse_partition_values
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame([Row(id=1, v="a"), Row(id=2, v="b")]).write.parquet(src)
+    base_cfg = {
+        "dataObjects": {
+            "src": {"type": "ParquetFileDataObject", "path": src},
+            "dst": {"type": "ParquetFileDataObject", "path": str(tmp_path / "dst")},
+        },
+        "actions": {"cp": {"type": "CopyAction", "inputId": "src", "outputId": "dst"}},
+    }
+    override_cfg = {  # second file overrides section-by-section like HOCON includes
+        "dataObjects": {"dst": {"type": "ParquetFileDataObject", "path": str(tmp_path / "dst2")}}
+    }
+    c1, c2 = str(tmp_path / "c1.json"), str(tmp_path / "c2.json")
+    with open(c1, "w") as fh:
+        json.dump(base_cfg, fh)
+    with open(c2, "w") as fh:
+        json.dump(override_cfg, fh)
+
+    # --test config and dry-run validate without writing
+    assert main(["--config", c1, c2, "--test", "config"]) == 0
+    assert main(["--config", c1, c2, "--test", "dry-run"]) == 0
+    import os
+    assert not os.path.exists(tmp_path / "dst2")
+
+    # full run writes to the OVERRIDDEN path and reports SUCCEEDED
+    rc = main(["--config", c1, c2, "--state-path", str(tmp_path / "state")])
+    assert rc == 0
+    assert spark.read.parquet(str(tmp_path / "dst2")).count() == 2
+    out = capsys.readouterr().out
+    assert "cp: SUCCEEDED" in out
+
+    # partition-values grammar
+    assert _parse_partition_values("dt=2024-01-01,region=eu;dt=2024-01-02") == [
+        {"dt": "2024-01-01", "region": "eu"},
+        {"dt": "2024-01-02"},
+    ]
