@@ -409,3 +409,86 @@ def test_init_phase_uses_dummy_stream_not_source(spark, tmp_path):
     action.exec(spark, [SparkSubFeed(data_object_id="src")])
     assert calls["stream_reads"] == 1
     assert spark.read.parquet(str(tmp_path / "dst")).count() == 1
+
+
+def _has_protobuf():
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_transform_with_state_gated_without_protobuf(spark):
+    """Without protobuf the operator fails fast with a clear pointer to the
+    applyInPandasWithState equivalent (instead of an opaque driver-worker
+    crash at query start)."""
+    import pytest
+
+    if _has_protobuf():
+        pytest.skip("protobuf present — gate not active")
+    from smart_data_lake_spark.streaming.operators import stateful_user_totals_tws
+
+    sdf = spark.readStream.format("rate").load().selectExpr(
+        "value AS user_id", "CAST(value AS DOUBLE) AS value"
+    )
+    with pytest.raises(RuntimeError, match="protobuf"):
+        stateful_user_totals_tws(sdf)
+
+
+def test_transform_with_state_totals_matches_applyinpandas(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 stateful API, RocksDB provider)
+    produces exactly the same per-batch update rows as the
+    applyInPandasWithState implementation — same semantics, modern state
+    backend (typed state + TTL + timers available). Runs only where protobuf
+    is installed (the API's wire protocol needs it)."""
+    import pytest
+
+    if not _has_protobuf():
+        pytest.skip("protobuf not installed — transformWithState gated")
+    from smart_data_lake_spark.streaming.operators import stateful_user_totals_tws
+
+    src = str(tmp_path / "src")
+    rows1 = [Row(user_id=1, value=1.0), Row(user_id=1, value=5.0), Row(user_id=2, value=2.0)]
+    rows2 = [Row(user_id=1, value=3.0), Row(user_id=3, value=9.0)]
+    spark.createDataFrame(rows1).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(rows2).coalesce(1).write.mode("append").parquet(src)
+
+    sdf = (
+        spark.readStream.schema("user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            stateful_user_totals_tws(sdf)
+            .writeStream.format("memory")
+            .queryName("tws_totals_test")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    mem = spark.table("tws_totals_test")
+    final = (
+        mem.groupBy("user_id")
+        .agg(F.max("n_events").alias("n"), F.max("max_value").alias("m"))
+        .collect()
+    )
+    got = {r.user_id: (r.n, r.m) for r in final}
+    assert got == {1: (3, 5.0), 2: (1, 2.0), 3: (1, 9.0)}
+    u1 = sorted(r.n_events for r in mem.where(F.col("user_id") == 1).collect())
+    assert u1[0] < u1[-1] and u1[-1] == 3
