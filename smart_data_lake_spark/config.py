@@ -73,6 +73,109 @@ class InstanceRegistry:
 
 _DO_TYPES: dict[str, type] = {}
 _ACTION_TYPES: dict[str, type] = {}
+_CONN_TYPES: dict[str, type] = {}
+
+
+def register_connection_type(cls: type) -> type:
+    """Connection classes for the config's `connections` section
+    (ConfigParser.scala's connections handling; e.g. JdbcConnection,
+    KafkaConnection in the reference's dataobject/connection)."""
+    _CONN_TYPES[cls.__name__] = cls
+    return cls
+
+
+# ------------------------------------------------------------------ secrets
+# Reference: util/secrets/SecretsUtil.scala — config values written as
+# "<PROVIDER>#<name>" resolve at load time. Built-ins CLEAR/ENV/FILE; custom
+# providers register like the reference's SecretProvider plugins.
+
+_SECRET_PROVIDERS: dict[str, Any] = {}
+
+
+def register_secret_provider(name: str, fn) -> None:
+    _SECRET_PROVIDERS[name.upper()] = fn
+
+
+def resolve_secret(value: str) -> str:
+    """Resolve one "PROVIDER#name" secret string; plain strings pass through.
+    ENV# reads an environment variable, FILE# the stripped content of a file,
+    CLEAR# is an explicit no-op marker (reference parity)."""
+    import os
+
+    if not isinstance(value, str) or "#" not in value:
+        return value
+    provider, _, name = value.partition("#")
+    if provider == "CLEAR":
+        return name
+    if provider == "ENV":
+        if name not in os.environ:
+            raise ConfigError(f"secret env var {name!r} is not set")
+        return os.environ[name]
+    if provider == "FILE":
+        if not os.path.isfile(name):
+            raise ConfigError(f"secret file {name!r} does not exist")
+        with open(name, "r", encoding="utf-8") as fh:
+            return fh.read().strip()
+    custom = _SECRET_PROVIDERS.get(provider.upper())
+    if custom is not None:
+        return custom(name)
+    return value  # '#' in ordinary strings (paths, urls) is not a secret
+
+
+def _resolve_secrets(obj: Any) -> Any:
+    if isinstance(obj, dict):
+        return {k: _resolve_secrets(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_resolve_secrets(v) for v in obj]
+    if isinstance(obj, str) and obj.partition("#")[0] in (
+        {"CLEAR", "ENV", "FILE"} | set(_SECRET_PROVIDERS)
+    ):
+        return resolve_secret(obj)
+    return obj
+
+
+# ------------------------------------------------------------ substitution
+# HOCON-style ${a.b.c} substitution against the config root, plus ${env.X}
+# for environment variables — the subset of HOCON resolution the reference's
+# configs actually use (templates in sdl-core test resources).
+
+_SUBST_RE = None
+
+
+def _substitute(config: dict[str, Any]) -> dict[str, Any]:
+    import os
+    import re
+
+    pattern = re.compile(r"\$\{([^}]+)\}")
+
+    def lookup(path: str, resolving: tuple[str, ...]) -> Any:
+        if path.startswith("env."):
+            name = path[4:]
+            if name not in os.environ:
+                raise ConfigError(f"substitution ${{env.{name}}}: env var not set")
+            return os.environ[name]
+        if path in resolving:
+            raise ConfigError(f"substitution cycle at ${{{path}}}")
+        node: Any = config
+        for part in path.split("."):
+            if not isinstance(node, dict) or part not in node:
+                raise ConfigError(f"substitution ${{{path}}}: path not found")
+            node = node[part]
+        return resolve(node, resolving + (path,))
+
+    def resolve(obj: Any, resolving: tuple[str, ...] = ()) -> Any:
+        if isinstance(obj, dict):
+            return {k: resolve(v, resolving) for k, v in obj.items()}
+        if isinstance(obj, list):
+            return [resolve(v, resolving) for v in obj]
+        if isinstance(obj, str):
+            full = pattern.fullmatch(obj)
+            if full:  # whole-value reference keeps the referent's type
+                return lookup(full.group(1), resolving)
+            return pattern.sub(lambda m: str(lookup(m.group(1), resolving)), obj)
+        return obj
+
+    return resolve(config)
 
 
 def register_data_object_type(cls: type) -> type:
@@ -133,18 +236,31 @@ def load_config(config: dict[str, Any]) -> InstanceRegistry:
         {"dataObjects": {"src": {"type": "ParquetFileDataObject", "path": ...}},
          "actions": {"a": {"type": "CopyAction", "inputId": "src", ...}}}
     """
+    config = _resolve_secrets(_substitute(config))
     registry = InstanceRegistry()
     # global UDF registration (GlobalConfig.sparkUDFs in the reference):
     # {"name": {"fn": callable | "module:function", "returnType": "int"}} —
     # registered into the session at DAG prepare so SQL transformers can call
     # them by name
     registry.spark_udfs = dict(config.get("globalConfig", {}).get("sparkUdfs", {}))
+    for conn_id, spec in (config.get("connections") or {}).items():
+        spec = dict(spec)
+        type_name = spec.pop("type", None)
+        cls = _CONN_TYPES.get(type_name)
+        if cls is None:
+            raise ConfigError(f"unknown Connection type {type_name!r} for id {conn_id!r}")
+        registry.register_connection(conn_id, cls(id=conn_id, **_snake_kwargs(spec)))
     for do_id, spec in (config.get("dataObjects") or {}).items():
         spec = dict(spec)
         type_name = spec.pop("type", None)
         cls = _DO_TYPES.get(type_name)
         if cls is None:
             raise ConfigError(f"unknown DataObject type {type_name!r} for id {do_id!r}")
+        conn_id = spec.pop("connectionId", None)
+        if conn_id is not None:
+            if conn_id not in registry.connections:
+                raise ConfigError(f"unknown connectionId {conn_id!r} for DataObject {do_id!r}")
+            spec["connection"] = registry.connections[conn_id]
         spec = {k: _instantiate_nested(v) for k, v in spec.items()}
         registry.register_data_object(cls(id=do_id, **_snake_kwargs(spec)))
     for action_id, spec in (config.get("actions") or {}).items():

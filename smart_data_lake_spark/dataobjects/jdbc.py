@@ -25,7 +25,7 @@ from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from smart_data_lake_spark.config import register_data_object_type
+from smart_data_lake_spark.config import register_connection_type, register_data_object_type
 from smart_data_lake_spark.dataobjects.base import (
     CanCreateDataFrame,
     CanMergeDataFrame,
@@ -160,6 +160,25 @@ def build_transactional_overwrite_sqls(target: str, staging: str) -> list[str]:
     ]
 
 
+@register_connection_type
+class JdbcConnection:
+    """Shared JDBC endpoint config (`connection/JdbcTableConnection.scala`):
+    url + driver/auth options + optional DB-API executor, referenced by any
+    number of JdbcTableDataObjects via `connectionId`."""
+
+    def __init__(
+        self,
+        id: str,
+        url: str,
+        connection_options: dict | None = None,
+        sql_executor: Callable[[str], Any] | None = None,
+    ) -> None:
+        self.id = id
+        self.url = url
+        self.connection_options = connection_options or {}
+        self.sql_executor = sql_executor
+
+
 @register_data_object_type
 class JdbcTableDataObject(DataObject, CanCreateDataFrame, CanWriteDataFrame, CanMergeDataFrame):
     """JDBC table with predicate-pushdown reads, staged transactional
@@ -168,17 +187,26 @@ class JdbcTableDataObject(DataObject, CanCreateDataFrame, CanWriteDataFrame, Can
     def __init__(
         self,
         id: str,
-        url: str,
-        table: Table | dict,
+        url: str | None = None,
+        table: Table | dict | None = None,
         connection_options: dict | None = None,
         sql_executor: Callable[[str], Any] | None = None,
         supports_merge_statement: bool = True,
+        connection: JdbcConnection | None = None,
         **kwargs: Any,
     ) -> None:
         super().__init__(id=id, **kwargs)
+        if table is None:
+            raise ValueError(f"({id}) table is required")
         if isinstance(table, dict):
             table = Table.of(table)
         self.table = table
+        if connection is not None:
+            url = url or connection.url
+            connection_options = {**connection.connection_options, **(connection_options or {})}
+            sql_executor = sql_executor or connection.sql_executor
+        if url is None:
+            raise ValueError(f"({id}) url is required (directly or via connectionId)")
         self.url = url
         self.connection_options = connection_options or {}
         self.sql_executor = sql_executor

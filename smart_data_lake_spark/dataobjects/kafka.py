@@ -52,6 +52,10 @@ def _avro_datasource_loaded() -> bool:
         return False
 
 
+from smart_data_lake_spark.config import register_connection_type
+
+
+@register_connection_type
 class KafkaConnection:
     """Broker + common reader/writer options + optional schema-registry url
     (KafkaConnection.scala; schemaRegistry at :46)."""

@@ -340,3 +340,65 @@ def test_cli_main_run_and_test_modes(spark, tmp_path, capsys):
         {"dt": "2024-01-01", "region": "eu"},
         {"dt": "2024-01-02"},
     ]
+
+
+def test_config_secrets_substitution_connections(spark, tmp_path, monkeypatch):
+    """HOCON-parity config features (ConfigParser.scala / SecretsUtil.scala):
+    ${path} + ${env.X} substitution, ENV#/FILE#/CLEAR#/custom secrets, and a
+    shared connections section referenced by connectionId."""
+    import pytest
+
+    from smart_data_lake_spark.config import (
+        ConfigError,
+        load_config,
+        register_secret_provider,
+        resolve_secret,
+    )
+
+    monkeypatch.setenv("SDL_TEST_PW", "s3cret")
+    secret_file = tmp_path / "token.txt"
+    secret_file.write_text("  filetoken\n")
+    register_secret_provider("VAULTX", lambda name: f"vault:{name}")
+
+    assert resolve_secret("ENV#SDL_TEST_PW") == "s3cret"
+    assert resolve_secret(f"FILE#{secret_file}") == "filetoken"
+    assert resolve_secret("CLEAR#plain") == "plain"
+    assert resolve_secret("VAULTX#db/creds") == "vault:db/creds"
+    assert resolve_secret("jdbc:duckdb://host#frag") == "jdbc:duckdb://host#frag"  # not a secret
+
+    cfg = {
+        "globalConfig": {"basePath": str(tmp_path), "dbUrl": "jdbc:duckdb:${env.SDL_TEST_PW}"},
+        "connections": {
+            "db": {
+                "type": "JdbcConnection",
+                "url": "${globalConfig.dbUrl}",
+                "connectionOptions": {"password": "ENV#SDL_TEST_PW"},
+            },
+            "kafka": {"type": "KafkaConnection", "brokers": "broker:9092"},
+        },
+        "dataObjects": {
+            "src": {"type": "ParquetFileDataObject", "path": "${globalConfig.basePath}/src"},
+            "tbl": {
+                "type": "JdbcTableDataObject",
+                "connectionId": "db",
+                "table": {"name": "t", "primary_key": ["id"]},
+            },
+        },
+        "actions": {},
+    }
+    registry = load_config(cfg)
+    assert registry.data_objects["src"].path == f"{tmp_path}/src"
+    tbl = registry.data_objects["tbl"]
+    assert tbl.url == "jdbc:duckdb:s3cret"  # connection url + substitution
+    assert tbl.connection_options["password"] == "s3cret"  # secret resolved
+    assert registry.connections["kafka"].brokers == "broker:9092"
+
+    with pytest.raises(ConfigError, match="cycle"):
+        load_config({"a": {"x": "${b.y}"}, "b": {"y": "${a.x}"}, "dataObjects": {}})
+    with pytest.raises(ConfigError, match="not found"):
+        load_config({"dataObjects": {"d": {"type": "ParquetFileDataObject", "path": "${nope.x}"}}})
+    with pytest.raises(ConfigError, match="unknown connectionId"):
+        load_config(
+            {"dataObjects": {"t": {"type": "JdbcTableDataObject", "connectionId": "missing",
+                                   "table": {"name": "t"}}}}
+        )
