@@ -119,3 +119,127 @@ def pack_sequences(
         )
     preceding = F.coalesce(F.sum(size_col).over(w), F.lit(0))
     return df.withColumn("shard_id", F.floor(preceding / F.lit(budget)).cast("long"))
+
+
+def sample_to_token_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Greedy corpus sampling to a token budget: documents are taken in
+    deterministic hash order (md5 of the id — engine/partition/run
+    independent) until the running token total reaches the budget. A doc is
+    kept iff the EXACT token total of all docs ordered strictly before it is
+    below the budget — so the result overshoots by at most one document.
+
+    Scale shape: NO global sort. Docs hash into `n_buckets` ordered buckets;
+    per-bucket token sums aggregate in one combinable pass, the bucket prefix
+    offsets are a broadcast of `n_buckets` rows, and the running total is a
+    window cumsum WITHIN each bucket (parallel sorts) plus the bucket offset.
+    Equivalent to the single-window formulation the oracle uses, but the sort
+    is sharded 1024 ways.
+
+    Returns kept docs: (id_col, n_tokens, cum_tokens) where cum_tokens is
+    the inclusive running total in hash order."""
+    from smart_data_lake_spark.functions.text import tokens
+
+    h = F.md5(F.concat(F.lit("budget:"), F.col(id_col).cast("string")))
+    base = df.select(
+        F.col(id_col),
+        h.alias("_h"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    ).withColumn(
+        # monotone prefix bucket: bucket boundaries respect hash order, so
+        # (bucket, hash) ordering == global hash ordering (a modulo would
+        # scramble it and change which docs sit at the budget boundary)
+        "_bucket",
+        F.floor(F.conv(F.substring("_h", 1, 4), 16, 10).cast("long") * n_buckets / 65536).cast("int"),
+    )
+    bucket_sums = base.groupBy("_bucket").agg(F.sum("n_tokens").alias("_btok"))
+    w_off = (
+        Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    )  # n_buckets rows only — this tiny global window is the ONLY global order
+    offsets = bucket_sums.select(
+        "_bucket", F.coalesce(F.sum("_btok").over(w_off), F.lit(0)).alias("_offset")
+    )
+    w_in = (
+        Window.partitionBy("_bucket")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        base.join(F.broadcast(offsets), "_bucket")
+        .withColumn("cum_tokens", F.col("_offset") + F.sum("n_tokens").over(w_in))
+    )
+    return (
+        cum.where(F.col("cum_tokens") - F.col("n_tokens") < F.lit(budget_tokens))
+        .select(id_col, "n_tokens", "cum_tokens")
+    )
+
+
+def mix_sources(
+    df: DataFrame,
+    target_shares: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data-mixing downsampler: resample each source so the kept corpus's
+    token distribution matches `target_shares` (DoReMi/SlimPajama-style
+    mixture control, public method), keeping as much data as possible —
+    the binding source keeps rate 1.0 and every other source downsamples
+    proportionally (C = min_s tokens_s / share_s; rate_s = C·share_s /
+    tokens_s).
+
+    Per-doc keep decisions are stateless hash-acceptance (md5-fraction of the
+    id < rate_s) — reproducible across runs/engines/partitionings, no global
+    coordination beyond one tiny per-source aggregate that broadcasts back.
+
+    Returns per-source audit rows: n_docs, n_kept, tokens, tokens_kept, rate
+    (rounded) — the summary a mixing step logs before materializing."""
+    from smart_data_lake_spark.functions.text import tokens
+
+    shares = {k: float(v) for k, v in target_shares.items()}
+    total_share = sum(shares.values())
+    if total_share <= 0:
+        raise ValueError("target_shares must sum to a positive value")
+    shares = {k: v / total_share for k, v in shares.items()}
+
+    base = df.where(F.col(source_col).isin(*shares.keys())).select(
+        F.col(source_col).alias("source"),
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).cast("long").alias("_tok"),
+    )
+    share_col = F.element_at(
+        F.create_map(*[x for kv in shares.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]),
+        F.col("source"),
+    )
+    per_source = base.groupBy("source").agg(F.sum("_tok").alias("_tokens"))
+    per_source = per_source.withColumn("_share", share_col).withColumn(
+        "_cap", F.col("_tokens") / F.col("_share")
+    )
+    c_min = per_source.agg(F.min("_cap").alias("_c"))
+    rates = per_source.crossJoin(F.broadcast(c_min)).select(
+        "source",
+        "_tokens",
+        F.round(F.least(F.lit(1.0), F.col("_c") * F.col("_share") / F.col("_tokens")), 9).alias("_rate"),
+    )
+    # stateless hash acceptance in [0,1): first 8 md5 hex chars / 16^8
+    frac = F.conv(F.substring(F.md5(F.concat(F.lit("mix:"), F.col(id_col).cast("string"))), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(float(16**8))
+    flagged = base.join(F.broadcast(rates), "source").withColumn(
+        "_keep", frac < F.col("_rate")
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("_keep"), 1).otherwise(0)).alias("n_kept"),
+            F.sum("_tok").alias("tokens"),
+            F.sum(F.when(F.col("_keep"), F.col("_tok")).otherwise(0)).alias("tokens_kept"),
+            F.round(F.first("_rate"), 9).alias("rate"),
+        )
+    )

@@ -130,3 +130,46 @@ def tfidf_vectors(
         for i in range(len(vocab))
     ]
     return scored.select(F.col(id_col), F.array(*comps).alias("tfidf"))
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    depth: int | None = 50,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009, SIGIR — public
+    method): fuse N rankings into one by summing 1/(k+rank) per document.
+    The standard hybrid-retrieval combiner (BM25 × embedding × recency) —
+    rank-based, so wildly different score scales fuse without calibration.
+
+    Each input carries (id_col, rank_col) with 1-based ranks; `depth` caps
+    how deep each ranking contributes (classic RRF truncation). Contributions
+    are rounded to 1e-9 and summed as DECIMAL — partition-order-independent
+    and engine-exact, same discipline as the profiling/centroid operators.
+
+    Scale shape: a union of tiny top-`depth` rankings + one combinable
+    groupBy — the expensive part is producing the input rankings, never the
+    fusion."""
+    from functools import reduce
+
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    parts = []
+    for r in rankings:
+        if depth is not None:
+            r = r.where(F.col(rank_col) <= depth)
+        parts.append(
+            r.select(
+                F.col(id_col),
+                F.round(F.lit(1.0) / (F.lit(k) + F.col(rank_col)), 9)
+                .cast("decimal(12,9)")
+                .alias("_contrib"),
+            )
+        )
+    unioned = reduce(lambda a, b: a.unionByName(b), parts)
+    return unioned.groupBy(id_col).agg(
+        F.sum("_contrib").cast("double").alias("rrf_score"),
+        F.count(F.lit(1)).alias("n_rankings"),
+    )

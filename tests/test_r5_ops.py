@@ -92,3 +92,61 @@ def test_user_top_event_two_shuffles_only(spark, sf_dir):
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges <= 3, plan  # 2 aggs + final sort range partition
     assert "Window" not in plan and "Join" not in plan.replace("SortMergeJoin", "Join")
+
+
+def test_rrf_fuse_math_and_depth(spark):
+    r1 = spark.createDataFrame([(1, 1), (2, 2), (3, 60)], "doc_id long, rank int")
+    r2 = spark.createDataFrame([(2, 1), (4, 2)], "doc_id long, rank int")
+    out = {r["doc_id"]: r.asDict() for r in
+           __import__("smart_data_lake_spark.functions.search", fromlist=["rrf_fuse"])
+           .rrf_fuse([r1, r2], k=60, depth=50).collect()}
+    # doc 2 appears in both rankings: 1/62 + 1/61
+    assert abs(out[2]["rrf_score"] - (round(1 / 62, 9) + round(1 / 61, 9))) < 1e-9
+    assert out[2]["n_rankings"] == 2
+    assert out[1]["n_rankings"] == 1
+    assert 3 not in out  # rank 60 > depth 50 truncated
+
+
+def test_sample_to_token_budget_exact_boundary(spark):
+    from pyspark.sql import Row
+
+    from smart_data_lake_spark.functions.sampling import sample_to_token_budget
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(["w"] * (10 + i % 7))) for i in range(200)]
+    )
+    budget = 500
+    kept = sample_to_token_budget(docs, budget, n_buckets=8).orderBy("cum_tokens").collect()
+    # every kept doc's preceding total is < budget; dropping the last one dips below
+    assert all(r["cum_tokens"] - r["n_tokens"] < budget for r in kept)
+    assert kept[-1]["cum_tokens"] >= budget  # the boundary doc overshoots
+    assert kept[-2]["cum_tokens"] < budget
+    # bucketed result == naive single-window result
+    naive = sample_to_token_budget(docs, budget, n_buckets=1).orderBy("cum_tokens").collect()
+    assert [r["doc_id"] for r in kept] == [r["doc_id"] for r in naive]
+    # deterministic across recomputation and repartitioning
+    again = sample_to_token_budget(docs.repartition(13), budget, n_buckets=8).orderBy("cum_tokens").collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in kept]
+
+
+def test_mix_sources_rates_and_shares(spark):
+    from pyspark.sql import Row
+
+    from smart_data_lake_spark.functions.sampling import mix_sources
+
+    rows = []
+    did = 0
+    for src, n_docs, toks in [("a", 400, 10), ("b", 200, 10), ("c", 50, 10)]:
+        for _ in range(n_docs):
+            rows.append(Row(doc_id=did, source=src, text=" ".join(["w"] * toks)))
+            did += 1
+    docs = spark.createDataFrame(rows)
+    # target equal thirds: 'c' (500 tokens) binds; a/b downsample toward 500
+    out = {r["source"]: r.asDict() for r in
+           mix_sources(docs, {"a": 1 / 3, "b": 1 / 3, "c": 1 / 3}).collect()}
+    assert out["c"]["rate"] == 1.0 and out["c"]["n_kept"] == 50
+    assert abs(out["a"]["rate"] - 0.125) < 1e-9   # 500/4000
+    assert abs(out["b"]["rate"] - 0.25) < 1e-9    # 500/2000
+    # hash acceptance approximates the rate (binomial, generous tolerance)
+    assert 20 <= out["a"]["n_kept"] <= 85
+    assert out["a"]["tokens_kept"] == out["a"]["n_kept"] * 10
