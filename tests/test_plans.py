@@ -303,3 +303,39 @@ def test_funnel_single_shuffle_in_row_fold(spark, sf_dir):
     assert plan.count("Exchange") <= 2
     assert "Window" not in plan
     assert "Join" not in plan
+
+
+def test_token_budget_no_global_sort_on_docs(spark, sf_dir):
+    """sample_to_token_budget's running total must NOT move the doc table to
+    one partition: the big-side window is partitioned by the hash bucket;
+    the ONLY SinglePartition exchange feeds the n_buckets-row bucket-sum
+    window (constant size at any SF)."""
+    import __spark_entry__ as e
+
+    plan = e.queries()["token_budget_sample_docs"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    # the doc-side window spec is bucket-partitioned
+    assert "windowspecdefinition(_bucket" in plan
+    # the single-partition segment sits under the broadcast of bucket offsets
+    bc = plan.index("BroadcastExchange")
+    assert plan.index("Exchange SinglePartition") > bc
+
+
+def test_rrf_and_topk_use_take_ordered(spark, sf_dir):
+    """Top-k outputs materialize via TakeOrderedAndProject (per-partition
+    heaps + driver merge), never a full global sort of the fused set."""
+    import __spark_entry__ as e
+
+    for q in ("hybrid_search_rrf", "top_bigrams_corpus"):
+        plan = e.queries()[q](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, q
+
+
+def test_winnow_no_join_explosion(spark, sf_dir):
+    """Winnowing's sharing stats come from an equi-join on the fingerprint
+    key — no nested-loop/cartesian anywhere."""
+    import __spark_entry__ as e
+
+    plan = e.queries()["winnow_fingerprints_docs"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
