@@ -263,9 +263,46 @@ def load_config(config: dict[str, Any]) -> InstanceRegistry:
             spec["connection"] = registry.connections[conn_id]
         spec = {k: _instantiate_nested(v) for k, v in spec.items()}
         registry.register_data_object(cls(id=do_id, **_snake_kwargs(spec)))
+    # agents section (JettyAgent.scala:27 declarations)
+    agents: dict[str, Any] = {}
+    if config.get("agents"):
+        from smart_data_lake_spark.agents import HttpAgent
+
+        for agent_id, spec in config["agents"].items():
+            spec = dict(spec)
+            type_name = spec.pop("type", "HttpAgent")
+            if type_name != "HttpAgent":
+                raise ConfigError(f"unknown Agent type {type_name!r} for id {agent_id!r}")
+            agents[agent_id] = HttpAgent(id=agent_id, **_snake_kwargs(spec))
     for action_id, spec in (config.get("actions") or {}).items():
         spec = dict(spec)
         type_name = spec.pop("type", None)
+        agent_id = spec.pop("agentId", None)
+        if agent_id is not None:
+            # reference behavior: an action with an agent is wrapped into a
+            # ProxyAction carrying the config fragment the remote needs
+            # (ProxyAction.scala + AgentClient.prepareHoconInstructions)
+            from smart_data_lake_spark.agents import ProxyAction
+
+            if agent_id not in agents:
+                raise ConfigError(f"unknown agentId {agent_id!r} for action {action_id!r}")
+            in_ids = [spec.get("inputId")] if spec.get("inputId") else list(spec.get("inputIds", []))
+            out_ids = [spec.get("outputId")] if spec.get("outputId") else list(spec.get("outputIds", []))
+            do_ids = [d for d in in_ids + out_ids if d]
+            fragment = {
+                "connections": dict(config.get("connections") or {}),
+                "dataObjects": {d: config["dataObjects"][d] for d in do_ids},
+                "actions": {action_id: {**spec, "type": type_name}},
+            }
+            ProxyAction(
+                id=action_id,
+                agent=agents[agent_id],
+                remote_config=fragment,
+                input_ids=[d for d in in_ids if d],
+                output_ids=[d for d in out_ids if d],
+                registry=registry,
+            )
+            continue
         cls = _ACTION_TYPES.get(type_name)
         if cls is None:
             raise ConfigError(f"unknown Action type {type_name!r} for id {action_id!r}")
