@@ -235,3 +235,32 @@ def test_unsupported_codec_clear_error():
     corrupted = data.replace(b"avro.codec\x08null", b"avro.codec\x08snap")
     with pytest.raises(ValueError, match="codec"):
         decode_ocf(corrupted)
+
+
+def test_read_avro_schema_evolution_across_files(spark, tmp_path):
+    """Each container file decodes with its OWN embedded schema; the typed
+    projection uses the caller-supplied (evolved) schema — older files'
+    missing fields surface as NULL, extra decoded fields are dropped. The
+    standard landing-zone evolution story without spark-avro's mergeSchema."""
+    old_schema = {
+        "type": "record", "name": "r",
+        "fields": [{"name": "id", "type": ["null", "long"], "default": None}],
+    }
+    new_schema = {
+        "type": "record", "name": "r",
+        "fields": [
+            {"name": "id", "type": ["null", "long"], "default": None},
+            {"name": "tag", "type": ["null", "string"], "default": None},
+        ],
+    }
+    import os
+
+    target = str(tmp_path / "evolved")
+    os.makedirs(target)
+    with open(os.path.join(target, "old.avro"), "wb") as fh:
+        fh.write(encode_ocf([{"id": 1}], old_schema))
+    with open(os.path.join(target, "new.avro"), "wb") as fh:
+        fh.write(encode_ocf([{"id": 2, "tag": "x"}], new_schema))
+    out = read_avro(spark, target, avro_schema=new_schema)
+    got = {r["id"]: r["tag"] for r in out.collect()}
+    assert got == {1: None, 2: "x"}
