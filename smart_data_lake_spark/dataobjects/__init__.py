@@ -34,6 +34,7 @@ from smart_data_lake_spark.dataobjects.custom import (
 from smart_data_lake_spark.dataobjects.excel import ExcelFileDataObject
 from smart_data_lake_spark.dataobjects.iceberg import IcebergTableDataObject
 from smart_data_lake_spark.dataobjects.memory import MockDataObject
+from smart_data_lake_spark.dataobjects.splunk import SplunkConnection, SplunkDataObject
 from smart_data_lake_spark.dataobjects.web import (
     AirbyteDataObject,
     HttpAuthMode,
@@ -70,6 +71,8 @@ __all__ = [
     "ActionsExporterDataObject",
     "DataObjectsExporterDataObject",
     "MockDataObject",
+    "SplunkConnection",
+    "SplunkDataObject",
     "ExcelFileDataObject",
     "IcebergTableDataObject",
     "WebserviceFileDataObject",
