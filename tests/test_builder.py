@@ -402,3 +402,20 @@ def test_config_secrets_substitution_connections(spark, tmp_path, monkeypatch):
             {"dataObjects": {"t": {"type": "JdbcTableDataObject", "connectionId": "missing",
                                    "table": {"name": "t"}}}}
         )
+
+
+def test_example_cli_config_runs(spark, tmp_path, monkeypatch, capsys):
+    """examples/cli_pipeline.json stays runnable: env substitution, transformer
+    chains, CSV export — the documented CLI walkthrough."""
+    import os
+
+    from smart_data_lake_spark.__main__ import main
+
+    monkeypatch.setenv("SDL_DATA_DIR", "/root/testdata/sf0.001")
+    monkeypatch.setenv("SDL_OUT_DIR", str(tmp_path))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rc = main(["--config", os.path.join(repo, "examples", "cli_pipeline.json"),
+               "--state-path", str(tmp_path / "state")])
+    assert rc == 0
+    out = spark.read.option("header", True).option("sep", "|").csv(str(tmp_path / "orders_by_status"))
+    assert out.count() > 0 and "n_orders" in out.columns
