@@ -75,6 +75,14 @@ class DataObject(abc.ABC):
     def prepare(self, spark: SparkSession) -> None:
         """Existence/connection checks before the DAG runs."""
 
+    def get_stats(self, spark: SparkSession, update: bool = False) -> dict[str, Any]:
+        """Cheap metadata statistics (DataObject.scala:143 getStats) —
+        catalogs/UIs call this; implementations must stay metadata-only
+        (file listings, parquet footers, catalog rows), never scan data.
+        `update` asks table objects to refresh engine statistics (ANALYZE)
+        when stale."""
+        return {}
+
     def pre_read(self, spark: SparkSession, partition_values: list[PartitionValues]) -> None:
         pass
 

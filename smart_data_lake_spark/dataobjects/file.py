@@ -98,6 +98,44 @@ class SparkFileDataObject(
                 return True
         return False
 
+    def get_stats(self, spark: SparkSession, update: bool = False) -> dict[str, Any]:
+        """Path stats (HadoopFileDataObject.scala:325-331 / HdfsUtil
+        .getPathStats): file count, bytes, newest mtime, partition-dir count —
+        plus exact parquet row counts from footers (metadata pages only, no
+        data scan). Errors degrade to an `info` message, like the reference."""
+        try:
+            n_files = total_bytes = 0
+            last_modified = 0.0
+            for root, _dirs, files in os.walk(self.path):
+                for f in files:
+                    if f.startswith(("_", ".")):
+                        continue
+                    st = os.stat(os.path.join(root, f))
+                    n_files += 1
+                    total_bytes += st.st_size
+                    last_modified = max(last_modified, st.st_mtime)
+            stats: dict[str, Any] = {
+                "numFiles": n_files,
+                "sizeInBytes": total_bytes,
+                "lastModifiedAt": int(last_modified * 1000),
+            }
+            if self.partitions:
+                stats["numPartitions"] = len(
+                    glob.glob(os.path.join(self.path, *[f"{p}=*" for p in self.partitions]))
+                )
+            if self.format == "parquet" and n_files:
+                import pyarrow.parquet as pq
+
+                stats["numRows"] = sum(
+                    pq.read_metadata(os.path.join(root, f)).num_rows
+                    for root, _d, files in os.walk(self.path)
+                    for f in files
+                    if f.endswith(".parquet") and not f.startswith(("_", "."))
+                )
+            return stats
+        except Exception as exc:  # noqa: BLE001 — stats are advisory
+            return {"info": str(exc)}
+
     def get_dataframe(
         self, spark: SparkSession, partition_values: list[PartitionValues] | None = None
     ) -> DataFrame:

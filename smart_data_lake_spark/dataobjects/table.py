@@ -291,6 +291,37 @@ class HiveTableDataObject(ParquetTableDataObject):
             spark.sql(f"ANALYZE TABLE {self.table.full_name} COMPUTE STATISTICS")
         return metrics
 
+    def get_stats(self, spark: SparkSession, update: bool = False) -> dict[str, Any]:
+        """Path stats + catalog statistics (HiveTableDataObject.scala:301-
+        320): with `update`, re-ANALYZE only when the data changed since the
+        catalog stats were computed — never unconditionally, an ANALYZE on a
+        100 TB table is a full scan job."""
+        stats = super().get_stats(spark, update=False) if not self.managed else {}
+        try:
+            def catalog_stats() -> dict[str, Any]:
+                out: dict[str, Any] = {}
+                for row in spark.sql(f"DESCRIBE TABLE EXTENDED {self.table.full_name}").collect():
+                    if row["col_name"] == "Statistics":
+                        # e.g. "1234 bytes, 56 rows"
+                        parts = row["data_type"].split(",")
+                        for p in parts:
+                            p = p.strip()
+                            if p.endswith("bytes"):
+                                out["catalogSizeInBytes"] = int(p.split()[0])
+                            elif p.endswith("rows"):
+                                out["catalogNumRows"] = int(p.split()[0])
+                return out
+
+            cat = catalog_stats()
+            stale = "catalogNumRows" not in cat
+            if update and stale:
+                spark.sql(f"ANALYZE TABLE {self.table.full_name} COMPUTE STATISTICS")
+                cat = catalog_stats()
+            stats.update(cat)
+        except Exception as exc:  # noqa: BLE001 — table may not exist yet
+            stats.setdefault("info", str(exc))
+        return stats
+
 
 @register_data_object_type
 class DeltaLakeTableDataObject(ParquetTableDataObject):

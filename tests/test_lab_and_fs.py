@@ -152,3 +152,58 @@ def test_parquet_table_no_snapshots_by_default(spark, tmp_path):
     do.write_dataframe(spark.createDataFrame([Row(k=1)]), save_mode=SaveMode.OVERWRITE)
     do.write_dataframe(spark.createDataFrame([Row(k=2)]), save_mode=SaveMode.OVERWRITE)
     assert do.snapshot_versions() == []
+
+
+def test_get_stats_file_and_hive(spark, tmp_path):
+    """getStats parity (DataObject.scala:143): metadata-only path stats with
+    parquet footer row counts; Hive catalog stats with conditional ANALYZE."""
+    from pyspark.sql import Row
+
+    from smart_data_lake_spark.dataobjects import HiveTableDataObject, ParquetFileDataObject
+
+    p = str(tmp_path / "t")
+    spark.createDataFrame([Row(id=i, v=str(i)) for i in range(100)]).coalesce(2).write.parquet(p)
+    do = ParquetFileDataObject(id="f", path=p)
+    stats = do.get_stats(spark)
+    assert stats["numRows"] == 100
+    assert stats["numFiles"] == 2
+    assert stats["sizeInBytes"] > 0 and stats["lastModifiedAt"] > 0
+
+    hive = HiveTableDataObject(
+        id="h", path=str(tmp_path / "ht"), table={"name": "stats_t", "primary_key": ["id"]}
+    )
+    hive.write_dataframe(spark.createDataFrame([Row(id=1, v="a"), Row(id=2, v="b")]))
+    try:
+        st = hive.get_stats(spark, update=True)  # stale → runs ANALYZE once
+        assert st["catalogNumRows"] == 2
+        assert st["numRows"] == 2  # footer-derived too
+    finally:
+        spark.sql("DROP TABLE IF EXISTS stats_t")
+
+    # stats are advisory: a missing path degrades to an info message
+    missing = ParquetFileDataObject(id="m", path=str(tmp_path / "nope"))
+    info = missing.get_stats(spark)
+    assert info == {"numFiles": 0, "sizeInBytes": 0, "lastModifiedAt": 0} or "info" in info
+
+
+def test_state_report_tool(tmp_path, spark):
+    from pyspark.sql import Row
+
+    from smart_data_lake_spark.actions import CopyAction
+    from smart_data_lake_spark.config import InstanceRegistry
+    from smart_data_lake_spark.dataobjects import ParquetFileDataObject
+    from smart_data_lake_spark.plans import SmartDataLakeBuilder
+
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    from state_report import report
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame([Row(id=1)]).write.parquet(src)
+    registry = InstanceRegistry()
+    registry.register_data_object(ParquetFileDataObject(id="src", path=src))
+    registry.register_data_object(ParquetFileDataObject(id="dst", path=str(tmp_path / "dst")))
+    CopyAction(id="cp", input_id="src", output_id="dst", registry=registry)
+    SmartDataLakeBuilder(registry=registry).run(spark=spark, state_path=str(tmp_path / "state"))
+    out = report(str(tmp_path / "state"))
+    assert "cp" in out and "SUCCEEDED" in out and "records=1" in out
