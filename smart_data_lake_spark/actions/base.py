@@ -317,7 +317,12 @@ class DataFrameAction(Action):
                     df = apply_partition_filter(df, pvs)
             else:
                 assert isinstance(in_do, CanCreateDataFrame), f"({self.id}) {in_id} is not readable"
-                df = in_do.get_dataframe(spark, pvs or None)
+                if getattr(in_do, "supports_phase", False):
+                    # phase-aware sources (JMS: consuming during init would
+                    # lose the messages before exec — JmsDataObject.scala:74)
+                    df = in_do.get_dataframe(spark, pvs or None, phase=phase)
+                else:
+                    df = in_do.get_dataframe(spark, pvs or None)
             if mode_result is not None and in_id == self.main_input_id and mode_result.filter is not None:
                 from pyspark.sql import functions as F
 

@@ -34,6 +34,7 @@ from smart_data_lake_spark.dataobjects.custom import (
 from smart_data_lake_spark.dataobjects.excel import ExcelFileDataObject
 from smart_data_lake_spark.dataobjects.iceberg import IcebergTableDataObject
 from smart_data_lake_spark.dataobjects.memory import MockDataObject
+from smart_data_lake_spark.dataobjects.jms import JmsDataObject
 from smart_data_lake_spark.dataobjects.splunk import SplunkConnection, SplunkDataObject
 from smart_data_lake_spark.dataobjects.web import (
     AirbyteDataObject,
@@ -71,6 +72,7 @@ __all__ = [
     "ActionsExporterDataObject",
     "DataObjectsExporterDataObject",
     "MockDataObject",
+    "JmsDataObject",
     "SplunkConnection",
     "SplunkDataObject",
     "ExcelFileDataObject",
