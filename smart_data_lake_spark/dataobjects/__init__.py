@@ -35,6 +35,7 @@ from smart_data_lake_spark.dataobjects.excel import ExcelFileDataObject
 from smart_data_lake_spark.dataobjects.iceberg import IcebergTableDataObject
 from smart_data_lake_spark.dataobjects.memory import MockDataObject
 from smart_data_lake_spark.dataobjects.jms import JmsDataObject
+from smart_data_lake_spark.dataobjects.snowflake import SnowflakeConnection, SnowflakeTableDataObject
 from smart_data_lake_spark.dataobjects.splunk import SplunkConnection, SplunkDataObject
 from smart_data_lake_spark.dataobjects.web import (
     AirbyteDataObject,
@@ -73,6 +74,8 @@ __all__ = [
     "DataObjectsExporterDataObject",
     "MockDataObject",
     "JmsDataObject",
+    "SnowflakeConnection",
+    "SnowflakeTableDataObject",
     "SplunkConnection",
     "SplunkDataObject",
     "ExcelFileDataObject",
