@@ -419,3 +419,50 @@ def test_example_cli_config_runs(spark, tmp_path, monkeypatch, capsys):
     assert rc == 0
     out = spark.read.option("header", True).option("sep", "|").csv(str(tmp_path / "orders_by_status"))
     assert out.count() > 0 and "n_orders" in out.columns
+
+
+def test_recursive_self_input_accumulates(spark, tmp_path):
+    """Reference DAG scenario 'recursive self-input' (ActionDAGTest.scala):
+    an action whose own OUTPUT is also a (recursive) input — the incremental
+    accumulation pattern. Run 1 seeds the state; run 2 merges new rows with
+    the previous output without a cycle in the DAG."""
+    from pyspark.sql import Row
+
+    from smart_data_lake_spark.actions import CustomDataFrameAction
+    from smart_data_lake_spark.config import InstanceRegistry
+    from smart_data_lake_spark.dataobjects import ParquetFileDataObject
+    from smart_data_lake_spark.plans import ActionDAG, ActionDAGRun
+    from smart_data_lake_spark.transformers.dfs_transformers import PythonCodeDfsTransformer
+
+    src = str(tmp_path / "src")
+
+    def build(run_rows):
+        spark.createDataFrame(run_rows).coalesce(1).write.mode("overwrite").parquet(src)
+        registry = InstanceRegistry()
+        registry.register_data_object(ParquetFileDataObject(id="new_events", path=src))
+        registry.register_data_object(ParquetFileDataObject(id="state", path=str(tmp_path / "state_tbl")))
+
+        def accumulate(spark, dfs, options=None):
+            out = dfs["new_events"]
+            if "state" in dfs:  # previous output available from run 2 on
+                out = out.unionByName(dfs["state"]).dropDuplicates(["id"])
+            return {"state": out}
+
+        CustomDataFrameAction(
+            id="acc", input_ids=["new_events"], output_ids=["state"],
+            recursive_input_ids=["state"],
+            transformers=[PythonCodeDfsTransformer(fn=accumulate)],
+            registry=registry,
+        )
+        return registry
+
+    r1 = build([Row(id=1, v="a"), Row(id=2, v="b")])
+    ActionDAGRun(ActionDAG(list(r1.actions.values())), r1).run(spark)
+    assert spark.read.parquet(str(tmp_path / "state_tbl")).count() == 2
+
+    # run 2: one overlapping id (updated) + one new — accumulate, dedup by id
+    r2 = build([Row(id=2, v="b2"), Row(id=3, v="c")])
+    ActionDAGRun(ActionDAG(list(r2.actions.values())), r2).run(spark)
+    out = {r["id"]: r["v"] for r in spark.read.parquet(str(tmp_path / "state_tbl")).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[3] == "c"
