@@ -1977,6 +1977,16 @@ def mix_sources_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+def user_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey path mining (functions/analytics.event_path_ngrams):
+    most frequent event trigrams over per-user chronological streams. One
+    per-user shuffle, in-row n-gram expansion, combinable count, TakeOrdered."""
+    from smart_data_lake_spark.functions.analytics import event_path_ngrams
+
+    ev = _t(spark, sf_dir, "events")
+    return event_path_ngrams(ev, n=3, top_k=15)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is the driver grading window: only the first 50
     # entries get a CORRECTNESS oracle row per round. r5 rotation —
@@ -2081,6 +2091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search_rrf": hybrid_search_rrf,
         "token_budget_sample_docs": token_budget_sample_docs,
         "mix_sources_audit": mix_sources_audit,
+        "user_event_paths": user_event_paths,
     }
 
 # ---- oracle SQL builders (DuckDB dialect) --------------------------------
@@ -2380,6 +2391,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, cum_tokens
             FROM cum WHERE cum_tokens - n_tokens < 15000
             ORDER BY cum_tokens""",
+        "user_event_paths": """
+            WITH seqs AS (
+              SELECT user_id, list(event_type ORDER BY ts, event_id) AS types
+              FROM events GROUP BY user_id
+            ), grams AS (
+              SELECT array_to_string(list_transform(range(1, 4),
+                                     j -> types[CAST(t.i + j AS INT)]), '>') AS path
+              FROM seqs, LATERAL (SELECT unnest(range(0, len(types) - 2)) AS i) t
+              WHERE len(types) >= 3
+            )
+            SELECT path, COUNT(*) AS n_occurrences
+            FROM grams GROUP BY path
+            ORDER BY n_occurrences DESC, path LIMIT 15""",
         "mix_sources_audit": f"""
             WITH shares(source, share) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
             base AS (

@@ -210,3 +210,46 @@ def funnel_counts(
             for i, s in enumerate(steps)
         ]
     )
+
+
+def event_path_ngrams(
+    df,
+    n: int = 3,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    top_k: int = 15,
+):
+    """User-journey path mining: the corpus's most frequent length-`n` event
+    sequences ("view>click>purchase"), counted over every user's
+    chronologically ordered event stream.
+
+    Shape: ONE shuffle builds each user's ordered type array
+    (sort_array(collect_list(struct))) — the per-user stream is in-row from
+    then on; n-gram expansion is a narrow transform+explode (same idiom as
+    the dedup shingles); one combinable count shuffle; TakeOrdered for the
+    top-k (no global sort). Ties break on the path string, deterministically.
+    At 100 TB the only watch item is a single user with millions of events
+    inflating one row — bound it upstream with a per-user event cap if the
+    domain allows."""
+    from pyspark.sql import functions as F
+
+    seqs = df.groupBy(user_col).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct(ts_col, tiebreak_col, type_col))),
+            lambda s: s[type_col],
+        ).alias("_types")
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("_types") - n),
+        lambda i: F.concat_ws(">", *[F.element_at(F.col("_types"), i + j + 1) for j in range(n)]),
+    )
+    return (
+        seqs.where(F.size("_types") >= n)
+        .select(F.explode(grams).alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "path")
+        .limit(top_k)
+    )

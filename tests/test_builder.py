@@ -466,3 +466,54 @@ def test_recursive_self_input_accumulates(spark, tmp_path):
     out = {r["id"]: r["v"] for r in spark.read.parquet(str(tmp_path / "state_tbl")).collect()}
     assert set(out) == {1, 2, 3}
     assert out[3] == "c"
+
+
+def test_autopersist_released_when_consumer_fails(spark, tmp_path, monkeypatch):
+    """A failing consumer must not leak the pinned fan-out DataFrame: every
+    persist is matched by an unpersist even when a branch fails."""
+    from pyspark.sql import Row
+
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # pragma: no cover
+        from pyspark.sql import DataFrame
+
+    from smart_data_lake_spark.actions import CopyAction, CustomDataFrameAction
+    from smart_data_lake_spark.config import InstanceRegistry
+    from smart_data_lake_spark.dataobjects import ParquetFileDataObject
+    from smart_data_lake_spark.plans import ActionDAG, ActionDAGRun
+    from smart_data_lake_spark.plans.dag import DAGError
+    from smart_data_lake_spark.transformers.dfs_transformers import PythonCodeDfsTransformer
+
+    import pytest
+
+    calls = {"persist": 0, "unpersist": 0}
+    orig_p, orig_u = DataFrame.persist, DataFrame.unpersist
+    monkeypatch.setattr(DataFrame, "persist", lambda s, *a: (calls.__setitem__("persist", calls["persist"] + 1), orig_p(s, *a))[1])
+    monkeypatch.setattr(DataFrame, "unpersist", lambda s, *a: (calls.__setitem__("unpersist", calls["unpersist"] + 1), orig_u(s, *a))[1])
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame([Row(id=1)]).write.parquet(src)
+    registry = InstanceRegistry()
+    for do_id in ("mid", "ok_out", "boom_out"):
+        registry.register_data_object(ParquetFileDataObject(id=do_id, path=str(tmp_path / do_id)))
+    registry.register_data_object(ParquetFileDataObject(id="src", path=src))
+
+    state = {"calls": 0}
+
+    def explode(spark_, dfs, options=None):
+        state["calls"] += 1
+        if state["calls"] >= 2:  # pass init (lineage validation), fail exec
+            raise RuntimeError("boom")
+        return {"boom_out": dfs["mid"]}
+
+    CopyAction(id="a", input_id="src", output_id="mid", registry=registry)
+    CopyAction(id="ok", input_id="mid", output_id="ok_out", registry=registry)
+    CustomDataFrameAction(
+        id="boom", input_ids=["mid"], output_ids=["boom_out"],
+        transformers=[PythonCodeDfsTransformer(fn=explode)], registry=registry,
+    )
+    with pytest.raises(DAGError, match="boom"):
+        ActionDAGRun(ActionDAG(list(registry.actions.values())), registry).run(spark)
+    assert calls["persist"] == 1
+    assert calls["unpersist"] >= 1  # released despite the failure
