@@ -1987,6 +1987,18 @@ def user_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_path_ngrams(ev, n=3, top_k=15)
 
 
+def rolling_active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day active users (functions/analytics
+    .rolling_active_users): COUNT(DISTINCT) over a date RANGE frame is not
+    window-expressible in Spark, so the distributable shape is user-day
+    dedup (one combinable shuffle) + bounded ×7 calendar fan-out + distinct
+    count per day — every stage map-side-combinable, no window sort."""
+    from smart_data_lake_spark.functions.analytics import rolling_active_users
+
+    ev = _t(spark, sf_dir, "events")
+    return rolling_active_users(ev, window_days=7).orderBy("day")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is the driver grading window: only the first 50
     # entries get a CORRECTNESS oracle row per round. r5 rotation —
@@ -2092,6 +2104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample_docs": token_budget_sample_docs,
         "mix_sources_audit": mix_sources_audit,
         "user_event_paths": user_event_paths,
+        "rolling_active_users_7d": rolling_active_users_7d,
     }
 
 # ---- oracle SQL builders (DuckDB dialect) --------------------------------
@@ -2404,6 +2417,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT path, COUNT(*) AS n_occurrences
             FROM grams GROUP BY path
             ORDER BY n_occurrences DESC, path LIMIT 15""",
+        "rolling_active_users_7d": """
+            WITH ud AS (
+              SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+            ), daily AS (
+              SELECT day, COUNT(*) AS n_active FROM ud GROUP BY day
+            ), fanned AS (
+              SELECT DISTINCT user_id, day + CAST(t.i AS INT) AS window_day
+              FROM ud, LATERAL (SELECT unnest(range(0, 7)) AS i) t
+            ), rolling AS (
+              SELECT window_day, COUNT(*) AS n_active_rolling
+              FROM fanned GROUP BY window_day
+            )
+            SELECT d.day, d.n_active, r.n_active_rolling
+            FROM daily d JOIN rolling r ON d.day = r.window_day
+            ORDER BY d.day""",
         "mix_sources_audit": f"""
             WITH shares(source, share) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
             base AS (

@@ -253,3 +253,43 @@ def event_path_ngrams(
         .orderBy(F.desc("n_occurrences"), "path")
         .limit(top_k)
     )
+
+
+def rolling_active_users(
+    df,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+):
+    """Rolling N-day distinct active users per day (the DAU/WAU stickiness
+    metric). Spark windows cannot do COUNT(DISTINCT) over a RANGE frame, so
+    the distributable formulation is: dedup to (user, day) — one combinable
+    shuffle — then fan each user-day out to the ≤N calendar days whose
+    trailing window contains it (a narrow `sequence` explode, bounded ×N),
+    and count distinct users per day (map-side-combinable after the user-day
+    dedup made rows unique per (window_day, user)).
+
+    Only days present in the data appear (a day with zero events has no row
+    — join a calendar dimension for gap-filled reporting).
+
+    Returns (day, n_active, n_active_rolling) — same-day distinct actives
+    and the trailing `window_days` distinct actives."""
+    from pyspark.sql import functions as F
+
+    user_days = df.select(
+        F.col(user_col).alias("user_id"), F.to_date(ts_col).alias("day")
+    ).distinct()
+    daily = user_days.groupBy("day").agg(F.count(F.lit(1)).alias("n_active"))
+    fanned = user_days.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), window_days - 1))
+        ).alias("window_day"),
+    ).distinct()
+    rolling = fanned.groupBy("window_day").agg(
+        F.count(F.lit(1)).alias("n_active_rolling")
+    )
+    return (
+        daily.join(rolling, daily["day"] == rolling["window_day"])
+        .select("day", "n_active", "n_active_rolling")
+    )

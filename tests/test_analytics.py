@@ -111,3 +111,28 @@ def test_approx_quantile_buckets_monotone_and_balanced(spark):
     # and roughly balanced at this error bound
     for b in agg:
         assert 800 <= agg[b][0] <= 1200
+
+
+def test_rolling_active_users_trailing_window(spark):
+    """Hand-checkable case: trailing window includes the day itself and the
+    6 before; repeat activity within a window counts once."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from smart_data_lake_spark.functions.analytics import rolling_active_users
+
+    def t(day):
+        return dt.datetime(2024, 1, day, 12, 0)
+
+    rows = [
+        Row(user_id=1, ts=t(1)), Row(user_id=1, ts=t(1)),   # dup same day
+        Row(user_id=2, ts=t(1)),
+        Row(user_id=1, ts=t(5)),                            # u1 again inside window
+        Row(user_id=3, ts=t(8)),                            # day 8: u1@5 still in window, u1/u2@1 aged out
+    ]
+    out = {str(r["day"]): (r["n_active"], r["n_active_rolling"])
+           for r in rolling_active_users(spark.createDataFrame(rows), window_days=7).collect()}
+    assert out["2024-01-01"] == (2, 2)
+    assert out["2024-01-05"] == (1, 2)   # u1 (again) + u2 from day 1
+    assert out["2024-01-08"] == (1, 2)   # u3 + u1@day5; day-1 activity aged out
