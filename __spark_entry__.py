@@ -1810,8 +1810,9 @@ def unigram_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def winnow_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (functions/dedup.winnow_fingerprints; MOSS
     algorithm, Schleimer et al. 2003, public method): per-doc distinct
-    window-minimum k-gram hashes + cross-corpus sharing stats. One doc-sort
-    shuffle + one fingerprint-key shuffle + one groupBy(doc) — linear,
+    window-minimum k-gram hashes + cross-corpus sharing stats. Minima are
+    computed IN-ROW on the grams array (slice+array_min — no doc sort, no
+    Window); one fingerprint-key shuffle + one groupBy(doc) — linear,
     density ~2/(w+1) of the full gram set, never all-pairs."""
     from smart_data_lake_spark.functions.dedup import winnow_fingerprints
 

@@ -464,14 +464,15 @@ def winnow_fingerprints(
     Returns per-doc stats: `n_fingerprints`, `n_shared` (fingerprints that
     also occur in at least one OTHER document), `shared_frac`.
 
-    Scale shape: one shuffle by doc (window sort), one fingerprint-key
-    shuffle for the sharing counts (map-side-combined `count(distinct)` via
-    two-level groupBy), one combinable groupBy(doc) — linear in corpus size,
-    never all-pairs. Reference has no counterpart operator (fingerprinting in
-    `sdl-core` is row-hashing for historization, Historization.scala:371).
+    Scale shape: the per-document window minima are computed IN-ROW on the
+    grams array (`slice` + `array_min` — a document's grams never need a
+    shuffle or sort, they are already one row), then `array_distinct` +
+    explode; one fingerprint-key shuffle for the sharing counts and one
+    combinable groupBy(doc). Linear in corpus size, never all-pairs, and the
+    only sorts anywhere are Spark's hash aggregations. Reference has no
+    counterpart operator (fingerprinting in `sdl-core` is row-hashing for
+    historization, Historization.scala:371).
     """
-    from pyspark.sql.window import Window
-
     from smart_data_lake_spark.functions.text import tokens
 
     base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks")).where(
@@ -483,18 +484,16 @@ def winnow_fingerprints(
             F.concat_ws(" ", *[F.element_at(F.col("_toks"), i + j + 1) for j in range(k)])
         ),
     )
-    pos = base.select(F.col(id_col), F.posexplode(grams).alias("pos", "gram_hash"))
     # trailing-window minimum starting at each gram position; tail windows
     # (fewer than `window` grams left) still contribute their minimum —
-    # deterministic in both engines under identical ROWS-frame semantics
-    w = (
-        Window.partitionBy(id_col)
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, window - 1)
+    # identical to a ROWS [CURRENT, w-1 FOLLOWING] frame, computed in-row
+    minima = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("_grams")) - 1),
+        lambda i: F.array_min(F.slice(F.col("_grams"), i + 1, window)),
     )
     fps = (
-        pos.select(F.col(id_col), F.min("gram_hash").over(w).alias("fp"))
-        .distinct()
+        base.select(F.col(id_col), grams.alias("_grams"))
+        .select(F.col(id_col), F.explode(F.array_distinct(minima)).alias("fp"))
     )
     sharing = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_n_docs"))
     return (

@@ -339,3 +339,14 @@ def test_winnow_no_join_explosion(spark, sf_dir):
     plan = e.queries()["winnow_fingerprints_docs"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_winnow_minima_in_row_no_window(spark, sf_dir):
+    """Winnowing computes window minima on the grams array in-row — the plan
+    must contain NO Window operator and at most the two aggregate exchanges
+    (fingerprint sharing + per-doc stats)."""
+    import __spark_entry__ as e
+
+    plan = e.queries()["winnow_fingerprints_docs"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
