@@ -2000,6 +2000,28 @@ def rolling_active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_active_users(ev, window_days=7).orderBy("day")
 
 
+def normalized_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based cross-source score normalization (functions/quality
+    .quantile_normalize_scores): per-source percent_rank of n_chars — the
+    step that makes per-source quality scores comparable before mixing.
+    Exact form sorts within each source; the documented 100 TB path swaps in
+    sketch-boundary buckets (approx_quantile_buckets), same contract."""
+    from smart_data_lake_spark.functions.quality import quantile_normalize_scores
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("source").isin("src0", "src1", "src2"))
+    return quantile_normalize_scores(docs, "n_chars").orderBy("doc_id")
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event streams
+    (functions/analytics.event_transition_matrix): in-row pair extraction
+    from per-user ordered arrays, combinable counts, broadcast totals."""
+    from smart_data_lake_spark.functions.analytics import event_transition_matrix
+
+    ev = _t(spark, sf_dir, "events")
+    return event_transition_matrix(ev).orderBy("from_type", "to_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is the driver grading window: only the first 50
     # entries get a CORRECTNESS oracle row per round. r5 rotation —
@@ -2106,6 +2128,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_sources_audit": mix_sources_audit,
         "user_event_paths": user_event_paths,
         "rolling_active_users_7d": rolling_active_users_7d,
+        "normalized_doc_scores": normalized_doc_scores,
+        "event_transitions": event_transitions,
     }
 
 # ---- oracle SQL builders (DuckDB dialect) --------------------------------
@@ -2418,6 +2442,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT path, COUNT(*) AS n_occurrences
             FROM grams GROUP BY path
             ORDER BY n_occurrences DESC, path LIMIT 15""",
+        "event_transitions": """
+            WITH seqs AS (
+              SELECT user_id, list(event_type ORDER BY ts, event_id) AS types
+              FROM events GROUP BY user_id
+            ), pairs AS (
+              SELECT types[CAST(t.i + 1 AS INT)] AS from_type,
+                     types[CAST(t.i + 2 AS INT)] AS to_type
+              FROM seqs, LATERAL (SELECT unnest(range(0, len(types) - 1)) AS i) t
+              WHERE len(types) >= 2
+            ), counted AS (
+              SELECT from_type, to_type, COUNT(*) AS n_transitions
+              FROM pairs GROUP BY from_type, to_type
+            ), totals AS (
+              SELECT from_type, SUM(n_transitions) AS total FROM counted GROUP BY from_type
+            )
+            SELECT c.from_type, c.to_type, c.n_transitions,
+                   round(c.n_transitions * 1.0 / t.total, 6) AS p_transition
+            FROM counted c JOIN totals t USING (from_type)
+            ORDER BY c.from_type, c.to_type""",
+        "normalized_doc_scores": """
+            SELECT doc_id, source, n_chars,
+                   round(percent_rank() OVER (PARTITION BY source ORDER BY n_chars), 6)
+                     AS norm_score
+            FROM documents WHERE source IN ('src0', 'src1', 'src2')
+            ORDER BY doc_id""",
         "rolling_active_users_7d": """
             WITH ud AS (
               SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events

@@ -222,3 +222,33 @@ def unigram_logprob_score(
         )
     )
     return per_doc
+
+
+def quantile_normalize_scores(
+    df,
+    score_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+):
+    """Rank-based score normalization per group: percent_rank of `score_col`
+    within each `group_col` — makes heterogeneous per-source quality scores
+    comparable before cross-source filtering/mixing (the curation step that
+    keeps one source's generous scorer from flooding the kept set).
+
+    Ties share a percent_rank (deterministic under any shuffle order); the
+    id tie-break orders only the output. Exact formulation sorts within each
+    group (one shuffle; a huge skewed group sorts on one reducer) — at the
+    100 TB tier substitute sketch boundaries from
+    `analytics.approx_quantile_buckets` for the same normalization at
+    bounded memory, same contract.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(group_col).orderBy(score_col)
+    return df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(score_col),
+        F.round(F.percent_rank().over(w), 6).alias("norm_score"),
+    )
