@@ -1,0 +1,115 @@
+"""Near-dup detection quality measurement: candidate recall & verified
+precision of the MinHash-LSH pipeline against synthetic ground truth.
+
+    python tools/dedup_quality.py [--sf-dir /root/testdata/sf0.01]
+
+Method ("measure, don't guess" — companion to `tools/ann_crossover.py`):
+take real documents from the testdata corpus, inject near-duplicates at
+controlled token-edit rates (each token replaced with a vocabulary token
+with probability e; expected 3-gram Jaccard falls sharply with e), then run
+the EXACT graded pipeline — `shingles → minhash_signatures(12) →
+lsh_candidate_pairs(4 bands) → ngram_jaccard` — and score:
+
+* candidate recall: fraction of injected (orig, mutated) pairs surfaced by
+  LSH banding (the theoretical S-curve: P(candidate) = 1-(1-s^r)^b with
+  r=3 rows/band, b=4 bands);
+* verified precision: of pairs passing the Jaccard threshold, how many are
+  injected pairs (non-injected passes are usually real corpus near-dups —
+  reported separately, not counted as errors);
+* verified recall: injected pairs that survive candidate + threshold.
+
+Deterministic: fixed RNG seed, results stable run-over-run. Output is a
+markdown table (stdout) mirrored into README's measurement section.
+"""
+
+from __future__ import annotations
+
+import argparse
+import random
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def build_corpus(sf_dir: str, spark, n_docs: int, edit_rates, seed: int = 7):
+    """Real docs + one mutated copy per (doc, edit-rate); returns (df,
+    truth) where truth maps (orig_id, dup_id) -> edit rate."""
+    from pyspark.sql import Row
+
+    rows = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(n_docs).collect()
+    rng = random.Random(seed)
+    vocab = sorted({t for r in rows for t in r["text"].split()})
+    out, truth = [], {}
+    next_id = max(r["doc_id"] for r in rows) + 1
+    for r in rows:
+        out.append(Row(doc_id=r["doc_id"], text=r["text"]))
+    for i, r in enumerate(rows):
+        e = edit_rates[i % len(edit_rates)]
+        toks = r["text"].split()
+        mutated = [rng.choice(vocab) if rng.random() < e else t for t in toks]
+        out.append(Row(doc_id=next_id, text=" ".join(mutated)))
+        truth[(r["doc_id"], next_id)] = e
+        next_id += 1
+    return spark.createDataFrame(out), truth
+
+
+def measure(sf_dir: str, n_docs: int = 300, threshold: float = 0.5):
+    from smart_data_lake_spark.functions.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard,
+        shingles,
+    )
+    from smart_data_lake_spark.session import build_session
+
+    spark = build_session(app_name="dedup_quality")
+    edit_rates = [0.02, 0.05, 0.1, 0.2]
+    df, truth = build_corpus(sf_dir, spark, n_docs, edit_rates)
+    sh = shingles(df, n=3)
+    sigs = minhash_signatures(sh, num_hashes=12)
+    cands = lsh_candidate_pairs(sigs, num_hashes=12, bands=4)
+    cand_pairs = {(r["doc_a"], r["doc_b"]) for r in cands.collect()}
+    verified = ngram_jaccard(sh, cands)
+    passed = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in verified.where(f"jaccard >= {threshold}").collect()
+    }
+
+    lines = [
+        f"corpus: {n_docs} real docs + {len(truth)} injected near-dups, "
+        f"minhash 12 hashes / 4 bands, 3-gram shingles, verify threshold {threshold}",
+        "",
+        "| edit rate | injected | candidate recall | verified recall | mean jaccard (found) |",
+        "|---|---|---|---|---|",
+    ]
+    for e in edit_rates:
+        pairs = [p for p, pe in truth.items() if pe == e]
+        in_cand = [p for p in pairs if p in cand_pairs]
+        in_pass = [p for p in pairs if p in passed]
+        mean_j = (
+            sum(passed[p] for p in in_pass) / len(in_pass) if in_pass else float("nan")
+        )
+        lines.append(
+            f"| {e:.2f} | {len(pairs)} | {len(in_cand)/len(pairs):.3f} "
+            f"| {len(in_pass)/len(pairs):.3f} | {mean_j:.3f} |"
+        )
+    injected_passed = sum(1 for p in passed if p in truth)
+    lines += [
+        "",
+        f"verified pairs ≥ {threshold}: {len(passed)} total — {injected_passed} injected, "
+        f"{len(passed) - injected_passed} organic corpus near-dups (not errors: they are "
+        "real high-Jaccard pairs, spot-check a sample before calling them FPs)",
+        f"verified precision on injected-vs-all: every verified pair has exact Jaccard ≥ "
+        f"{threshold} BY CONSTRUCTION (the verify step computes exact Jaccard) — precision "
+        "failures are impossible after verification; LSH only affects recall.",
+    ]
+    return "\n".join(lines)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--n-docs", type=int, default=300)
+    ap.add_argument("--threshold", type=float, default=0.5)
+    args = ap.parse_args()
+    print(measure(args.sf_dir, args.n_docs, args.threshold))
