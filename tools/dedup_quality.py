@@ -53,7 +53,7 @@ def build_corpus(sf_dir: str, spark, n_docs: int, edit_rates, seed: int = 7):
     return spark.createDataFrame(out), truth
 
 
-def measure(sf_dir: str, n_docs: int = 300, threshold: float = 0.5):
+def measure(sf_dir: str, n_docs: int = 300, threshold: float = 0.5, bands: int = 4):
     from smart_data_lake_spark.functions.dedup import (
         lsh_candidate_pairs,
         minhash_signatures,
@@ -67,7 +67,7 @@ def measure(sf_dir: str, n_docs: int = 300, threshold: float = 0.5):
     df, truth = build_corpus(sf_dir, spark, n_docs, edit_rates)
     sh = shingles(df, n=3)
     sigs = minhash_signatures(sh, num_hashes=12)
-    cands = lsh_candidate_pairs(sigs, num_hashes=12, bands=4)
+    cands = lsh_candidate_pairs(sigs, num_hashes=12, bands=bands)
     cand_pairs = {(r["doc_a"], r["doc_b"]) for r in cands.collect()}
     verified = ngram_jaccard(sh, cands)
     passed = {
@@ -77,7 +77,8 @@ def measure(sf_dir: str, n_docs: int = 300, threshold: float = 0.5):
 
     lines = [
         f"corpus: {n_docs} real docs + {len(truth)} injected near-dups, "
-        f"minhash 12 hashes / 4 bands, 3-gram shingles, verify threshold {threshold}",
+        f"minhash 12 hashes / {bands} bands ({12 // bands} rows/band), "
+        f"3-gram shingles, verify threshold {threshold}",
         "",
         "| edit rate | injected | candidate recall | verified recall | mean jaccard (found) |",
         "|---|---|---|---|---|",
@@ -111,5 +112,6 @@ if __name__ == "__main__":
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--n-docs", type=int, default=300)
     ap.add_argument("--threshold", type=float, default=0.5)
+    ap.add_argument("--bands", type=int, default=4)
     args = ap.parse_args()
-    print(measure(args.sf_dir, args.n_docs, args.threshold))
+    print(measure(args.sf_dir, args.n_docs, args.threshold, args.bands))
