@@ -2022,6 +2022,20 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_transition_matrix(ev).orderBy("from_type", "to_type")
 
 
+def lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations (functions/profiling
+    .pairwise_correlations): exact decimal sufficient statistics in ONE
+    combinable aggregation for all pairs — engine-exact, unlike the built-in
+    running-estimator corr(). The statistical-aggregate family's graded
+    representative."""
+    from smart_data_lake_spark.functions.profiling import pairwise_correlations
+
+    li = _t(spark, sf_dir, "lineitem")
+    return pairwise_correlations(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ).orderBy("col_a", "col_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is the driver grading window: only the first 50
     # entries get a CORRECTNESS oracle row per round. r5 rotation —
@@ -2130,6 +2144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_active_users_7d": rolling_active_users_7d,
         "normalized_doc_scores": normalized_doc_scores,
         "event_transitions": event_transitions,
+        "lineitem_correlations": lineitem_correlations,
     }
 
 # ---- oracle SQL builders (DuckDB dialect) --------------------------------
@@ -2442,6 +2457,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT path, COUNT(*) AS n_occurrences
             FROM grams GROUP BY path
             ORDER BY n_occurrences DESC, path LIMIT 15""",
+        "lineitem_correlations": """
+            WITH q AS (
+              SELECT CAST(round(l_quantity, 6) AS DECIMAL(38,6)) AS a,
+                     CAST(round(l_extendedprice, 6) AS DECIMAL(38,6)) AS b,
+                     CAST(round(l_discount, 6) AS DECIMAL(38,6)) AS c,
+                     CAST(round(l_tax, 6) AS DECIMAL(38,6)) AS d
+              FROM lineitem
+            ), s AS (
+              SELECT COUNT(*) AS n,
+                     SUM(a) AS sa, SUM(b) AS sb, SUM(c) AS sc, SUM(d) AS sd,
+                     SUM(a*a) AS ssa, SUM(b*b) AS ssb, SUM(c*c) AS ssc, SUM(d*d) AS ssd,
+                     SUM(a*b) AS sab, SUM(a*c) AS sac, SUM(a*d) AS sad,
+                     SUM(b*c) AS sbc, SUM(b*d) AS sbd, SUM(c*d) AS scd
+              FROM q
+            ), pairs AS (
+              SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, sab AS sp, sa AS s1, sb AS s2, ssa AS q1, ssb AS q2, n FROM s
+              UNION ALL SELECT 'l_quantity', 'l_discount', sac, sa, sc, ssa, ssc, n FROM s
+              UNION ALL SELECT 'l_quantity', 'l_tax', sad, sa, sd, ssa, ssd, n FROM s
+              UNION ALL SELECT 'l_extendedprice', 'l_discount', sbc, sb, sc, ssb, ssc, n FROM s
+              UNION ALL SELECT 'l_extendedprice', 'l_tax', sbd, sb, sd, ssb, ssd, n FROM s
+              UNION ALL SELECT 'l_discount', 'l_tax', scd, sc, sd, ssc, ssd, n FROM s
+            )
+            SELECT col_a, col_b,
+                   CASE WHEN sqrt(CAST(n AS DOUBLE) * CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                             * sqrt(CAST(n AS DOUBLE) * CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)) > 0
+                        THEN round((CAST(n AS DOUBLE) * CAST(sp AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE))
+                                   / (sqrt(CAST(n AS DOUBLE) * CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                                      * sqrt(CAST(n AS DOUBLE) * CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))), 6)
+                   END AS corr,
+                   n
+            FROM pairs ORDER BY col_a, col_b""",
         "event_transitions": """
             WITH seqs AS (
               SELECT user_id, list(event_type ORDER BY ts, event_id) AS types

@@ -183,3 +183,60 @@ def mad_outliers(
             ).alias("n_outliers"),
         )
     )
+
+
+def pairwise_correlations(
+    df,
+    cols: list[str],
+    group_col: str | None = None,
+    decimals: int = 6,
+):
+    """Pearson correlations for every column pair via exact DECIMAL
+    sufficient statistics — the engine/partition-order-independent
+    formulation (same discipline as `grouped_outliers` and the OLS trend
+    fit): values round to 1e-6 BEFORE summation, the sums are exact decimal
+    arithmetic, and the final corr arithmetic is a fixed IEEE expression of
+    those exact sums, so any engine computing the same formula agrees
+    bit-for-bit. Built-in `corr()` is a running single-pass estimator whose
+    result depends on accumulation order — fine for exploration, ungradable
+    across engines.
+
+    One map-side-combinable aggregation for ALL pairs (no per-pair scans);
+    k columns → k + k(k+1)/2 sum columns in a single reduce row per group.
+    Returns (group?, col_a, col_b, corr, n) for a < b pairs.
+    """
+    from pyspark.sql import functions as F
+
+    dec = "decimal(38,6)"
+    q = {c: F.round(F.col(c), decimals).cast(dec) for c in cols}
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(q[c]).alias(f"_s_{c}"))
+        aggs.append(F.sum(q[c] * q[c]).alias(f"_ss_{c}"))
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    for a, b in pairs:
+        aggs.append(F.sum(q[a] * q[b]).alias(f"_sp_{a}_{b}"))
+    keys = [group_col] if group_col else []
+    stats = df.groupBy(*keys).agg(*aggs)
+
+    out_rows = []
+    for a, b in pairs:
+        n = F.col("_n").cast("double")
+        sa, sb = F.col(f"_s_{a}").cast("double"), F.col(f"_s_{b}").cast("double")
+        ssa, ssb = F.col(f"_ss_{a}").cast("double"), F.col(f"_ss_{b}").cast("double")
+        sp = F.col(f"_sp_{a}_{b}").cast("double")
+        num = n * sp - sa * sb
+        den = F.sqrt(n * ssa - sa * sa) * F.sqrt(n * ssb - sb * sb)
+        corr = F.when(den > 0, F.round(num / den, decimals))
+        out_rows.append(
+            stats.select(
+                *keys,
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                corr.alias("corr"),
+                F.col("_n").alias("n"),
+            )
+        )
+    from functools import reduce
+
+    return reduce(lambda x, y: x.unionByName(y), out_rows)

@@ -136,3 +136,24 @@ def test_grouped_outliers_broadcast_plan(spark):
     out = grouped_outliers(df, "v", ["g"])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_pairwise_correlations_known_values(spark):
+    """Exact-sufficient-statistics corr: +1 for a linear map, -1 for a
+    negated one, NULL (not NaN/crash) for a constant column, and
+    partition-order independence."""
+    from pyspark.sql import Row
+
+    from smart_data_lake_spark.functions.profiling import pairwise_correlations
+
+    rows = [Row(x=float(i), y=2.0 * i + 3, z=-1.5 * i, c=7.0) for i in range(50)]
+    df = spark.createDataFrame(rows)
+    out = {(r["col_a"], r["col_b"]): r["corr"]
+           for r in pairwise_correlations(df, ["x", "y", "z", "c"]).collect()}
+    assert out[("x", "y")] == 1.0
+    assert out[("x", "z")] == -1.0
+    assert out[("x", "c")] is None  # zero variance → undefined, surfaced as NULL
+    # partition-order independent: identical on a repartitioned input
+    out2 = {(r["col_a"], r["col_b"]): r["corr"]
+            for r in pairwise_correlations(df.repartition(13), ["x", "y", "z", "c"]).collect()}
+    assert out == out2
