@@ -2036,6 +2036,16 @@ def lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("col_a", "col_b")
 
 
+def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (functions/profiling.value_histogram): tiny
+    min/max broadcast + stateless bucket projection + combinable count —
+    two scans, no sort. Complements the equal-frequency quantile buckets."""
+    from smart_data_lake_spark.functions.profiling import value_histogram
+
+    ev = _t(spark, sf_dir, "events")
+    return value_histogram(ev, "value", n_buckets=20).orderBy("bucket")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is the driver grading window: only the first 50
     # entries get a CORRECTNESS oracle row per round. r5 rotation —
@@ -2145,6 +2155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalized_doc_scores": normalized_doc_scores,
         "event_transitions": event_transitions,
         "lineitem_correlations": lineitem_correlations,
+        "event_value_histogram": event_value_histogram,
     }
 
 # ---- oracle SQL builders (DuckDB dialect) --------------------------------
@@ -2457,6 +2468,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT path, COUNT(*) AS n_occurrences
             FROM grams GROUP BY path
             ORDER BY n_occurrences DESC, path LIMIT 15""",
+        "event_value_histogram": """
+            WITH b AS (
+              SELECT round(min(value), 6) AS lo, round(max(value), 6) AS hi FROM events
+            ), x AS (
+              SELECT least(19, CAST(floor((round(value, 6) - lo) * 20 / (hi - lo)) AS INT)) AS bucket,
+                     lo, hi
+              FROM events, b
+            )
+            SELECT bucket, COUNT(*) AS n,
+                   round(min(lo) + bucket * (min(hi) - min(lo)) / 20, 6) AS bucket_lo
+            FROM x GROUP BY bucket ORDER BY bucket""",
         "lineitem_correlations": """
             WITH q AS (
               SELECT CAST(round(l_quantity, 6) AS DECIMAL(38,6)) AS a,

@@ -240,3 +240,42 @@ def pairwise_correlations(
     from functools import reduce
 
     return reduce(lambda x, y: x.unionByName(y), out_rows)
+
+
+def value_histogram(
+    df,
+    value_col: str,
+    n_buckets: int = 20,
+    group_col: str | None = None,
+):
+    """Equi-width histogram: one tiny min/max aggregate broadcast back, then
+    a stateless bucket projection + combinable count — two scans, no sort,
+    the profiling companion to `approx_quantile_buckets` (which buckets by
+    equal FREQUENCY; this buckets by equal WIDTH).
+
+    Bucket index = floor((v − min) · n / (max − min)) clamped to n−1 (the
+    max value belongs to the last bucket, the standard half-open convention);
+    a degenerate range (min == max) puts everything in bucket 0. Bounds are
+    rounded to 1e-6 pre-bucketing so edges are engine-identical."""
+    from pyspark.sql import functions as F
+
+    keys = [group_col] if group_col else []
+    v = F.round(F.col(value_col), 6)
+    bounds = df.groupBy(*keys).agg(
+        F.round(F.min(value_col), 6).alias("_lo"), F.round(F.max(value_col), 6).alias("_hi")
+    )
+    joined = df.join(F.broadcast(bounds), keys) if keys else df.crossJoin(F.broadcast(bounds))
+    bucket = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor((v - F.col("_lo")) * n_buckets / (F.col("_hi") - F.col("_lo"))).cast("int"),
+        )
+    )
+    return (
+        joined.select(*keys, bucket.alias("bucket"), "_lo", "_hi")
+        .groupBy(*keys, "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.first("_lo") + F.col("bucket") * (F.first("_hi") - F.first("_lo")) / n_buckets, 6).alias("bucket_lo"),
+        )
+    )
