@@ -101,3 +101,89 @@ def sample_frames(df: DataFrame, every_nth: int = 10) -> DataFrame:
     """Frame-sampling plumbing for video tables keyed (video_id, frame_no):
     keep every nth frame — pure Catalyst, no decode needed."""
     return df.where(F.col("frame_no") % every_nth == 0)
+
+
+# ---------------------------------------------------------- real stdlib decoders
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """REAL BMP decode on the stdlib (the uncompressed Windows bitmap is a
+    documented fixed layout: 14-byte file header + BITMAPINFOHEADER):
+    dimensions, bit depth, and — for the common uncompressed 24/32-bit
+    variants — exact per-channel means from the pixel array. Formats the
+    stdlib cannot decode (JPEG/PNG entropy coding) stay behind
+    `decode_image_stub`; the dispatch in `decode_media` picks per payload."""
+    import struct as _s
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pixel_offset = _s.unpack_from("<I", payload, 10)[0]
+    header_size = _s.unpack_from("<I", payload, 14)[0]
+    if header_size < 40:
+        raise ValueError(f"unsupported BMP header size {header_size}")
+    width, height = _s.unpack_from("<ii", payload, 18)
+    planes, bpp = _s.unpack_from("<HH", payload, 26)
+    compression = _s.unpack_from("<I", payload, 30)[0]
+    out = {
+        "width": abs(width),
+        "height": abs(height),
+        "channels": bpp // 8 if bpp >= 8 else 1,
+        "format": "bmp",
+    }
+    if compression == 0 and bpp in (24, 32):
+        row_bytes = ((bpp // 8) * abs(width) + 3) & ~3
+        sums = [0, 0, 0]
+        n = 0
+        for r in range(abs(height)):
+            base = pixel_offset + r * row_bytes
+            for c in range(abs(width)):
+                px = base + c * (bpp // 8)
+                b, g, rr = payload[px], payload[px + 1], payload[px + 2]
+                sums[0] += rr
+                sums[1] += g
+                sums[2] += b
+                n += 1
+        if n:
+            out["mean_rgb"] = [round(s / n, 3) for s in sums]
+    return out
+
+
+def decode_wav(payload: bytes) -> dict:
+    """REAL WAV decode via the stdlib `wave` module: sample rate, channels,
+    sample width, duration, and RMS amplitude of the PCM samples — the
+    audio-side feature extraction executes for real, no external libs."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        frames = w.getnframes()
+        rate = w.getframerate()
+        width = w.getsampwidth()
+        channels = w.getnchannels()
+        raw = w.readframes(frames)
+    import struct as _s
+
+    fmt = {1: "b", 2: "h", 4: "i"}.get(width)
+    rms = None
+    if fmt and raw:
+        vals = _s.unpack(f"<{len(raw) // width}{fmt}", raw)
+        rms = round((sum(v * v for v in vals) / len(vals)) ** 0.5, 3)
+    return {
+        "sample_rate": rate,
+        "channels": channels,
+        "sample_width": width,
+        "n_frames": frames,
+        "duration_sec": round(frames / rate, 6) if rate else None,
+        "rms": rms,
+    }
+
+
+def decode_media(payload: bytes) -> dict:
+    """Dispatch: real decoders where the stdlib can (BMP, WAV), the declared
+    deterministic stub otherwise (JPEG/PNG/video need external libs absent
+    in this environment — the Spark-side plumbing is identical either way)."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
+    return decode_image_stub(payload)

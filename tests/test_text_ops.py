@@ -134,3 +134,52 @@ def test_bpe_ish_token_count_segments(spark):
     df = spark.createDataFrame([("it's 42 well-known facts!",)], ["text"])
     # "it" "'s" " 42" " well" "-" "known" " facts" "!" -> 8 pre-tokens
     assert df.select(bpe_ish_token_count(F.col("text")).alias("n")).first().n == 8
+
+
+def test_multimodal_real_decoders_distributed(spark):
+    """BMP and WAV decode REALLY execute (stdlib codecs, no external libs)
+    inside an Arrow-batched mapInPandas — payloads never reach the driver;
+    unknown formats fall through to the declared stub."""
+    import io
+    import json
+    import struct
+    import wave
+
+    from pyspark.sql import Row
+
+    from smart_data_lake_spark.functions.multimodal import decode_media
+
+    # real 2x2 24-bit BMP
+    row = bytes([10, 20, 30, 40, 50, 60]) + b"\x00\x00"
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(row) * 2, 2835, 2835, 0, 0)
+    bmp = b"BM" + struct.pack("<IHHI", 54 + len(row) * 2, 0, 0, 54) + info + row * 2
+    # real PCM WAV via the stdlib writer
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(8000)
+        f.writeframes(struct.pack("<4h", 1000, -1000, 1000, -1000))
+    wav = buf.getvalue()
+
+    df = spark.createDataFrame(
+        [Row(name="img", payload=bytearray(bmp)), Row(name="aud", payload=bytearray(wav)),
+         Row(name="other", payload=bytearray(b"\x89PNG....fake"))],
+        "name string, payload binary",
+    )
+
+    def _decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"name": pdf["name"],
+                 "meta": [json.dumps(decode_media(bytes(p))) for p in pdf["payload"]]}
+            )
+
+    out = {r["name"]: json.loads(r["meta"])
+           for r in df.mapInPandas(_decode, "name string, meta string").collect()}
+    assert out["img"] == {"width": 2, "height": 2, "channels": 3, "format": "bmp",
+                          "mean_rgb": [45.0, 35.0, 25.0]}
+    assert out["aud"]["sample_rate"] == 8000 and out["aud"]["rms"] == 1000.0
+    assert out["other"]["format"] == "stub"  # undecodable → declared stub
