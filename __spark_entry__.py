@@ -2098,14 +2098,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_top_event": user_top_event,
         "mad_outliers_events": mad_outliers_events,
         "top_bigrams_corpus": top_bigrams_corpus,
+        # --- late-r5 additions promoted into the window (first driver rows)
+        "hybrid_search_rrf": hybrid_search_rrf,
+        "token_budget_sample_docs": token_budget_sample_docs,
+        "rolling_active_users_7d": rolling_active_users_7d,
+        "lineitem_correlations": lineitem_correlations,
         # --- previously-green fill up to 50
         "q1_pricing_summary": q1_pricing_summary,
-        "asof_click_attribution": asof_click_attribution,
         "incremental_highwatermark": incremental_highwatermark,
+        # --- rotated out (r4 driver rows on record)
+        "asof_click_attribution": asof_click_attribution,
         "partition_diff": partition_diff,
         "sessionize_events": sessionize_events,
         "benchmark_decontamination": benchmark_decontamination,
-        # --- rotated out (r4 driver rows on record)
         "pivot_order_status": pivot_order_status,
         "rollup_sales": rollup_sales,
         "pk_violations_events": pk_violations_events,
@@ -2147,14 +2152,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter_gopher": quality_filter_gopher,
         # --- added late in r5 (past this round's 50-entry grading window;
         # self-graded via tools/check_oracle.py, rotate forward next round)
-        "hybrid_search_rrf": hybrid_search_rrf,
-        "token_budget_sample_docs": token_budget_sample_docs,
         "mix_sources_audit": mix_sources_audit,
         "user_event_paths": user_event_paths,
-        "rolling_active_users_7d": rolling_active_users_7d,
         "normalized_doc_scores": normalized_doc_scores,
         "event_transitions": event_transitions,
-        "lineitem_correlations": lineitem_correlations,
         "event_value_histogram": event_value_histogram,
     }
 
