@@ -40,8 +40,12 @@ except ImportError:  # pragma: no cover
 
 
 class HttpAuthMode:
-    """Auth header factory (config/AuthMode.scala family): basic, bearer
-    token, or custom header map."""
+    """Auth header factory (connection/authMode/*.scala family): basic,
+    bearer token, custom header map, or OAuth2 client-credentials
+    (`OAuthMode.scala:19-38` — token URL + client id/secret + scope, the
+    grant ODataDataObject uses). OAuth2 tokens are fetched lazily and cached
+    until 30 s before expiry, so a long paging run re-authenticates only
+    when the token actually lapses."""
 
     def __init__(
         self,
@@ -50,12 +54,50 @@ class HttpAuthMode:
         password: str | None = None,
         token: str | None = None,
         headers: dict[str, str] | None = None,
+        oauth_url: str | None = None,
+        client_id: str | None = None,
+        client_secret: str | None = None,
+        oauth_scope: str | None = None,
     ) -> None:
         self.auth_type = auth_type
         self.user = user
         self.password = password
         self.token = token
         self.headers = headers or {}
+        self.oauth_url = oauth_url
+        self.client_id = client_id
+        self.client_secret = client_secret
+        self.oauth_scope = oauth_scope
+        self._oauth_token: str | None = None
+        self._oauth_expiry: float = 0.0
+
+    def _fetch_oauth_token(self) -> str:
+        import json
+        import time
+        import urllib.parse
+        import urllib.request
+
+        if self._oauth_token and time.monotonic() < self._oauth_expiry - 30:
+            return self._oauth_token
+        body = urllib.parse.urlencode(
+            {
+                "grant_type": "client_credentials",
+                "client_id": self.client_id or "",
+                "client_secret": self.client_secret or "",
+                "scope": self.oauth_scope or "",
+            }
+        ).encode("utf-8")
+        req = urllib.request.Request(
+            self.oauth_url,
+            data=body,
+            headers={"Content-Type": "application/x-www-form-urlencoded"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            payload = json.loads(resp.read().decode("utf-8"))
+        self._oauth_token = payload["access_token"]
+        self._oauth_expiry = time.monotonic() + float(payload.get("expires_in", 3600))
+        return self._oauth_token
 
     def build_headers(self) -> dict[str, str]:
         if self.auth_type == "basic":
@@ -65,6 +107,10 @@ class HttpAuthMode:
             return {"Authorization": f"Basic {cred}", **self.headers}
         if self.auth_type == "bearer":
             return {"Authorization": f"Bearer {self.token}", **self.headers}
+        if self.auth_type == "oauth2":
+            if not self.oauth_url:
+                raise ValueError("oauth2 auth requires oauth_url")
+            return {"Authorization": f"Bearer {self._fetch_oauth_token()}", **self.headers}
         return dict(self.headers)
 
 

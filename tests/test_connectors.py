@@ -673,3 +673,56 @@ def test_confluent_schema_id_column(spark):
 
     df = _kafka_frame(spark, [frame_confluent(731, b"x")])
     assert df.select(confluent_schema_id(F.col("value")).alias("sid")).collect()[0].sid == 731
+
+
+def test_oauth2_client_credentials_with_expiry_cache(spark):
+    """OAuthMode parity (connection/authMode/OAuthMode.scala): client-
+    credentials grant against the token endpoint, bearer header on requests,
+    token cached until near expiry then refreshed — proven by counting the
+    mock token endpoint's hits."""
+    import json
+    import threading
+    import time
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from smart_data_lake_spark.dataobjects import HttpAuthMode
+
+    hits = {"token": 0}
+
+    class Token(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(n).decode()
+            assert "grant_type=client_credentials" in body
+            assert "client_id=cid" in body and "scope=api%2F.default" in body
+            hits["token"] += 1
+            payload = json.dumps(
+                {"access_token": f"tok{hits['token']}", "expires_in": 31, "token_type": "Bearer"}
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+    server = HTTPServer(("127.0.0.1", 0), Token)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        auth = HttpAuthMode(
+            auth_type="oauth2",
+            oauth_url=f"http://127.0.0.1:{server.server_address[1]}/oauth2/token",
+            client_id="cid", client_secret="sec", oauth_scope="api/.default",
+        )
+        assert auth.build_headers()["Authorization"] == "Bearer tok1"
+        assert auth.build_headers()["Authorization"] == "Bearer tok1"  # cached
+        assert hits["token"] == 1
+        # force past the 30s-margin window: expires_in=31 → margin leaves 1s
+        time.sleep(1.2)
+        assert auth.build_headers()["Authorization"] == "Bearer tok2"  # refreshed
+        assert hits["token"] == 2
+    finally:
+        server.shutdown()
+        server.server_close()
