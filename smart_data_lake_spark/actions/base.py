@@ -295,9 +295,15 @@ class DataFrameAction(Action):
             ):
                 # init must not consume the real source (no offsets, no
                 # state): validate lineage on a schema-only streaming frame
-                # (DummyStreamProvider, DataFrameActionImpl.scala:171-174)
+                # (DummyStreamProvider, DataFrameActionImpl.scala:171-174).
+                # Schema priority: the upstream subfeed's frame (a chained
+                # streaming action's intermediate storage has no files yet —
+                # the subfeed is the ONLY schema source), then the DO's
+                # declared/persisted schema, then a batch schema read.
                 schema = None
-                if isinstance(in_do, CanCreateDataFrame):
+                if sf is not None and sf.df is not None:
+                    schema = sf.df.schema
+                if schema is None and isinstance(in_do, CanCreateDataFrame):
                     schema = getattr(in_do, "resolve_schema", lambda s: None)(spark) or (
                         in_do.create_read_schema(spark)
                         if hasattr(in_do, "create_read_schema")

@@ -436,4 +436,11 @@ def write_avro(
 
     # keep declared column order stable for itertuples name access
     manifest = df.select(*field_names).mapInPandas(_write, schema="records long").collect()
-    return sum(r["records"] for r in manifest)
+    total = sum(r["records"] for r in manifest)
+    if total == 0:
+        # empty result still needs a schema-carrying container so a
+        # downstream read returns an empty frame instead of
+        # FileNotFoundError (parquet's empty-write behavior)
+        with open(os.path.join(path, f"{prefix}-empty.avro"), "wb") as fh:
+            fh.write(encode_ocf([], schema, codec=codec))
+    return total

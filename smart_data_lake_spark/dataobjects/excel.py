@@ -119,8 +119,14 @@ class ExcelFileDataObject(DataObject, CanCreateDataFrame, CanWriteDataFrame):
     def _read_via_pandas(self, spark: SparkSession) -> DataFrame:  # pragma: no cover
         import pandas as pd
 
+        # skip_rows means "rows dropped AFTER the header" in this DataObject
+        # (matching the stdlib backend and the reference's rowRange); pandas'
+        # integer skiprows skips from the TOP instead, so pass the explicit
+        # post-header row indexes to keep both backends identical
+        skip = list(range(self.header_row + 1, self.header_row + 1 + self.skip_rows))
         frames = [
-            pd.read_excel(p, sheet_name=self.sheet_name, header=self.header_row, skiprows=self.skip_rows)
+            pd.read_excel(p, sheet_name=self.sheet_name, header=self.header_row,
+                          skiprows=skip or None)
             for p in self._paths()
         ]
         pdf = pd.concat(frames, ignore_index=True)

@@ -80,10 +80,15 @@ class StompClient:
                 return None
             self._buf += chunk
         raw, self._buf = self._buf.split(b"\x00", 1)
-        self._buf = self._buf.lstrip(b"\n")  # inter-frame EOLs / heartbeats
-        text = raw.decode("utf-8").lstrip("\n")
-        head, _, body = text.partition("\n\n")
-        lines = head.splitlines()
+        self._buf = self._buf.lstrip(b"\r\n")  # inter-frame EOLs / heartbeats
+        text = raw.decode("utf-8").lstrip("\r\n")
+        # STOMP 1.2 EOL is LF with OPTIONAL preceding CR — ActiveMQ/Artemis
+        # may emit CRLF; find the first blank line under either convention
+        import re as _re
+
+        m = _re.search(r"\r?\n\r?\n", text)
+        head, body = (text[: m.start()], text[m.end():]) if m else (text, "")
+        lines = [ln.rstrip("\r") for ln in head.split("\n")]
         headers = {}
         for ln in lines[1:]:
             k, _, v = ln.partition(":")

@@ -170,7 +170,9 @@ class SnowflakeTableDataObject(
 
         def one(pv: PartitionValues) -> str:
             conjuncts = [
-                f"{k} = '{v}'" if isinstance(v, str) else f"{k} = {v}"
+                # quote-doubling: a value containing ' must not break out of
+                # the literal (these strings run on the live warehouse)
+                f"""{k} = '{v.replace("'", "''")}'""" if isinstance(v, str) else f"{k} = {v}"
                 for k, v in pv.as_dict.items()
             ]
             return "(" + " AND ".join(conjuncts) + ")"
@@ -191,29 +193,49 @@ class SnowflakeTableDataObject(
         if mode == SaveMode.MERGE:
             raise ValueError(f"({self.id}) SaveMode.Merge not implemented for Snowflake writes")
         self.validate_schema_min(df, "write")
+        spark = df.sparkSession
+        # probe the connector BEFORE any destructive statement: the
+        # delete-then-append overwrite is not transactional, so a write that
+        # is GUARANTEED to fail (no connector on the classpath) must fail
+        # before the DELETE, never between delete and append
+        try:
+            jvm = spark._jvm
+            jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+                SNOWFLAKE_SOURCE, jvm.org.apache.spark.sql.internal.SQLConf.get()
+            )
+        except Exception as exc:  # noqa: BLE001
+            raise RuntimeError(
+                f"({self.id}) writing Snowflake needs the spark-snowflake connector "
+                f"({SNOWFLAKE_SOURCE}) on the classpath"
+            ) from exc
         if partition_values and mode == SaveMode.OVERWRITE:
             # overwrite selected virtual partitions = delete + append
             self.connection.exec_statement(self.delete_partitions_sql(partition_values))
             mode = SaveMode.APPEND
         spark_mode = {"overwrite": "overwrite", "append": "append",
                       "error": "error", "ignore": "ignore"}[mode.value]
-        try:
-            (
-                df.write.format(SNOWFLAKE_SOURCE)
-                .options(**self.connection.auth_options(self.table.db))
-                .options(**self.spark_options)
-                .option("dbtable", self.qualified_name)
-                .mode(spark_mode)
-                .save()
-            )
-        except Exception as exc:  # noqa: BLE001
-            raise RuntimeError(
-                f"({self.id}) writing Snowflake needs the spark-snowflake connector "
-                f"({SNOWFLAKE_SOURCE}) on the classpath: {exc}"
-            ) from exc
+        # observe() counts rows during the write itself — no second scan of
+        # the upstream lineage (same pattern as SparkFileDataObject)
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        obs = Observation(f"write_{self.id}")
+        df = df.observe(obs, F.count(F.lit(1)).alias("records_written"))
+        (
+            df.write.format(SNOWFLAKE_SOURCE)
+            .options(**self.connection.auth_options(self.table.db))
+            .options(**self.spark_options)
+            .option("dbtable", self.qualified_name)
+            .mode(spark_mode)
+            .save()
+        )
         if self.comment:
             self.connection.exec_statement(self.comment_sql())
-        return {"records_written": df.count()}
+        try:
+            metrics = dict(obs.get)
+        except Exception:  # noqa: BLE001 — connector may not run observations
+            metrics = {}
+        return {"records_written": metrics.get("records_written", 0), **metrics}
 
     def delete_partitions(
         self, spark: SparkSession, partition_values: list[PartitionValues]

@@ -43,7 +43,11 @@ from smart_data_lake_spark.config import (
 )
 from smart_data_lake_spark.dataobjects.base import CanCreateDataFrame, DataObject
 
-_TIME_FMT = "%Y-%m-%d %H:%M"
+_TIME_FMT = "%Y-%m-%d %H:%M"  # config format (the reference's SF_TIME_FORMAT)
+# wire format: Splunk's earliest_time/latest_time accept ISO-8601 (or epoch /
+# relative modifiers) — NOT the config's space-separated form; the reference
+# converts via toSplunkStringFormat before sending, and so do we
+_WIRE_FMT = "%Y-%m-%dT%H:%M:%S"
 
 
 @register_connection_type
@@ -134,9 +138,9 @@ def split_query_times(
     cur = start
     while cur < end:
         nxt = min(cur + interval, end)
-        out.append((cur.strftime(_TIME_FMT), nxt.strftime(_TIME_FMT)))
+        out.append((cur.strftime(_WIRE_FMT), nxt.strftime(_WIRE_FMT)))
         cur = nxt
-    return out or [(start.strftime(_TIME_FMT), end.strftime(_TIME_FMT))]
+    return out or [(start.strftime(_WIRE_FMT), end.strftime(_WIRE_FMT))]
 
 
 @register_data_object_type

@@ -383,10 +383,9 @@ class DeltaLakeTableDataObject(ParquetTableDataObject):
                         )
                         spark.sql(f"ALTER TABLE delta.`{self.path}` ADD COLUMNS ({cols_ddl})")
                     target = DeltaTable.forPath(spark, self.path)
-        spark.conf.set(
-            "spark.databricks.delta.schema.autoMerge.enabled",
-            "true" if self.allow_schema_evolution else "false",
-        )
+        automerge_key = "spark.databricks.delta.schema.autoMerge.enabled"
+        automerge_prev = spark.conf.get(automerge_key, None)
+        spark.conf.set(automerge_key, "true" if self.allow_schema_evolution else "false")
         cond = " AND ".join(f"existing.{k} <=> new.{k}" for k in self.primary_key)
         if opts.additional_merge_predicate:
             cond += f" AND ({opts.additional_merge_predicate})"
@@ -422,7 +421,16 @@ class DeltaLakeTableDataObject(ParquetTableDataObject):
         # mutates the table would re-scan post-commit state (and on the
         # parquet-backed test double, read deleted files)
         n = df.count()
-        builder.execute()
+        try:
+            builder.execute()
+        finally:
+            # the autoMerge flag is session-global: restore it so merges
+            # outside this DataObject (or user code sharing the session)
+            # keep their own schema-evolution posture
+            if automerge_prev is None:
+                spark.conf.unset(automerge_key)
+            else:
+                spark.conf.set(automerge_key, automerge_prev)
         return {"records_written": n}
 
 

@@ -264,3 +264,14 @@ def test_read_avro_schema_evolution_across_files(spark, tmp_path):
     out = read_avro(spark, target, avro_schema=new_schema)
     got = {r["id"]: r["tag"] for r in out.collect()}
     assert got == {1: None, 2: "x"}
+
+
+def test_write_avro_empty_dataframe_round_trips(spark, tmp_path):
+    """Zero-row writes leave a schema-carrying container; reads return an
+    empty frame with the right schema instead of FileNotFoundError."""
+    df = spark.createDataFrame([], "id long, s string")
+    target = str(tmp_path / "empty_avro")
+    assert write_avro(df, target) == 0
+    back = read_avro(spark, target)
+    assert back.count() == 0
+    assert back.schema.simpleString() == "struct<id:bigint,s:string>"

@@ -157,3 +157,39 @@ def test_jms_through_copy_action(spark, broker, tmp_path):
     assert state.action_states["drain"] == "SUCCEEDED"
     out = spark.read.parquet(str(tmp_path / "sink"))
     assert out.count() == 7
+
+
+def test_stomp_client_parses_crlf_frames():
+    """STOMP 1.2 permits CRLF line endings (ActiveMQ/Artemis emit them);
+    the client must parse CONNECTED/MESSAGE frames under either convention
+    and strip the CR from header values (ACK ids!)."""
+    import socket
+    import threading
+
+    srv = socket.create_server(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+
+    def serve():
+        conn, _ = srv.accept()
+        with conn:
+            conn.recv(4096)  # CONNECT
+            conn.sendall(b"CONNECTED\r\nversion:1.2\r\n\r\n\x00")
+            conn.recv(4096)  # SUBSCRIBE
+            conn.sendall(
+                b"MESSAGE\r\ndestination:/queue/q\r\nmessage-id:m1\r\nack:a1\r\n\r\nhello\x00"
+            )
+            conn.recv(4096)  # ACK/DISCONNECT
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    try:
+        client = StompClient("127.0.0.1", port, None, None, timeout_sec=5)
+        client.subscribe("/queue/q")
+        frame = client.next_message(5)
+        assert frame.command == "MESSAGE"
+        assert frame.body == "hello"
+        assert frame.headers["ack"] == "a1"  # no trailing \r
+        client.ack(frame)
+        client.close()
+    finally:
+        srv.close()

@@ -92,3 +92,28 @@ def test_config_driven_with_connection_and_secret(monkeypatch):
     do = registry.get_data_object("t")
     assert do.connection.password == "sec"
     assert do.comment_sql() == "comment on table DB.PUBLIC.orders is 'graded'"
+
+
+def test_delete_partitions_sql_escapes_quotes():
+    do = SnowflakeTableDataObject(
+        id="s", table={"name": "t", "db": "PUBLIC"}, connection=_conn(),
+        virtual_partitions=["region"],
+    )
+    sql = do.delete_partitions_sql([PartitionValues.of({"region": "l'est"})])
+    assert "region = 'l''est'" in sql
+
+
+def test_write_probe_precedes_destructive_delete(spark):
+    """Without the connector, partition-overwrite must fail BEFORE the
+    DELETE statement runs (the delete-then-append pair is not transactional)."""
+    executed = []
+    do = SnowflakeTableDataObject(
+        id="s", table={"name": "t", "db": "PUBLIC"},
+        connection=_conn(sql_executor=executed.append),
+        virtual_partitions=["region"],
+    )
+    df = spark.createDataFrame([("eu", 1)], "region string, v int")
+    with pytest.raises(RuntimeError, match="net.snowflake.spark.snowflake"):
+        do.write_dataframe(df, partition_values=[PartitionValues.of({"region": "eu"})],
+                           save_mode="overwrite")
+    assert executed == []  # no DELETE reached the warehouse

@@ -60,11 +60,15 @@ class _Mock(BaseHTTPRequestHandler):
         type(self).calls.append(params)
         if not params["search"].startswith("search "):
             return self._reply(400, b'{"messages":[{"text":"missing search prefix"}]}')
-        lo, hi = params["earliest_time"], params["latest_time"]
+        import datetime as dt
+
+        iso = "%Y-%m-%dT%H:%M:%S"
+        lo = dt.datetime.strptime(params["earliest_time"], iso)  # ISO-8601 on the wire
+        hi = dt.datetime.strptime(params["latest_time"], iso)
         lines = [
             json.dumps({"preview": False, "result": e})
             for e in _EVENTS
-            if lo <= e["ts"] < hi
+            if lo <= dt.datetime.strptime(e["ts"], "%Y-%m-%d %H:%M") < hi
         ]
         # export also streams preview/control lines without `result`
         payload = "\n".join(['{"preview": true}'] + lines).encode()
@@ -94,10 +98,10 @@ def test_split_query_times_windows():
         dt.datetime(2024, 1, 1, 8, 0), dt.datetime(2024, 1, 1, 8, 35), dt.timedelta(minutes=10)
     )
     assert w == [
-        ("2024-01-01 08:00", "2024-01-01 08:10"),
-        ("2024-01-01 08:10", "2024-01-01 08:20"),
-        ("2024-01-01 08:20", "2024-01-01 08:30"),
-        ("2024-01-01 08:30", "2024-01-01 08:35"),  # last window clipped
+        ("2024-01-01T08:00:00", "2024-01-01T08:10:00"),
+        ("2024-01-01T08:10:00", "2024-01-01T08:20:00"),
+        ("2024-01-01T08:20:00", "2024-01-01T08:30:00"),
+        ("2024-01-01T08:30:00", "2024-01-01T08:35:00"),  # last window clipped
     ]
 
 
@@ -121,7 +125,7 @@ def test_splunk_read_windowed_and_projected(spark, splunk_server):
     assert len(_Mock.calls) == 4
     assert all(c["search"] == "search index=main" for c in _Mock.calls)
     windows = {(c["earliest_time"], c["latest_time"]) for c in _Mock.calls}
-    assert ("2024-01-01 08:30", "2024-01-01 08:40") in windows
+    assert ("2024-01-01T08:30:00", "2024-01-01T08:40:00") in windows
 
 
 def test_splunk_single_column_schema_stringifies(spark, splunk_server):

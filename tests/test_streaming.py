@@ -492,3 +492,35 @@ def test_transform_with_state_totals_matches_applyinpandas(spark, tmp_path):
     assert got == {1: (3, 5.0), 2: (1, 2.0), 3: (1, 9.0)}
     u1 = sorted(r.n_events for r in mem.where(F.col("user_id") == 1).collect())
     assert u1[0] < u1[-1] and u1[-1] == 3
+
+
+def test_chained_streaming_actions_init_uses_upstream_subfeed(spark, tmp_path):
+    """Two CHAINED streaming actions: the downstream's init must take its
+    schema from the upstream subfeed — the intermediate storage has no files
+    yet on a first run (regression: the dummy-init branch used to read the
+    missing path and crash)."""
+    import os
+
+    from smart_data_lake_spark.plans import ActionDAG, ActionDAGRun
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame([Row(id=1, v="a")]).coalesce(1).write.parquet(src)
+    registry = InstanceRegistry()
+    registry.register_data_object(
+        ParquetFileDataObject(id="src", path=src, schema="id bigint, v string")
+    )
+    # mid has NO declared schema and NO files before the first run
+    registry.register_data_object(ParquetFileDataObject(id="mid", path=str(tmp_path / "mid")))
+    registry.register_data_object(ParquetFileDataObject(id="dst", path=str(tmp_path / "dst")))
+    CopyAction(
+        id="s1", input_id="src", output_id="mid", registry=registry,
+        execution_mode=SparkStreamingMode(checkpoint_location=str(tmp_path / "c1")),
+    )
+    CopyAction(
+        id="s2", input_id="mid", output_id="dst", registry=registry,
+        execution_mode=SparkStreamingMode(checkpoint_location=str(tmp_path / "c2")),
+    )
+    assert not os.path.exists(tmp_path / "mid")
+    state = ActionDAGRun(ActionDAG(list(registry.actions.values())), registry).run(spark)
+    assert set(state.action_states.values()) == {"SUCCEEDED"}
+    assert spark.read.parquet(str(tmp_path / "dst")).count() == 1
