@@ -219,7 +219,10 @@ def pairwise_correlations(
     keys = [group_col] if group_col else []
     stats = df.groupBy(*keys).agg(*aggs)
 
-    out_rows = []
+    # all pairs leave the single aggregated row via ONE explode — a union of
+    # per-pair selects would carry k(k-1)/2 copies of the aggregate subplan
+    # (exchange reuse is best-effort; measured 2× slower on the bench query)
+    pair_structs = []
     for a, b in pairs:
         n = F.col("_n").cast("double")
         sa, sb = F.col(f"_s_{a}").cast("double"), F.col(f"_s_{b}").cast("double")
@@ -228,18 +231,17 @@ def pairwise_correlations(
         num = n * sp - sa * sb
         den = F.sqrt(n * ssa - sa * sa) * F.sqrt(n * ssb - sb * sb)
         corr = F.when(den > 0, F.round(num / den, decimals))
-        out_rows.append(
-            stats.select(
-                *keys,
+        pair_structs.append(
+            F.struct(
                 F.lit(a).alias("col_a"),
                 F.lit(b).alias("col_b"),
                 corr.alias("corr"),
                 F.col("_n").alias("n"),
             )
         )
-    from functools import reduce
-
-    return reduce(lambda x, y: x.unionByName(y), out_rows)
+    return stats.select(*keys, F.explode(F.array(*pair_structs)).alias("_p")).select(
+        *keys, "_p.col_a", "_p.col_b", "_p.corr", "_p.n"
+    )
 
 
 def value_histogram(
