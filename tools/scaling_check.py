@@ -1,0 +1,111 @@
+"""Operator scaling spot-check: 1x (sf0.1) vs 10x synthesized data.
+
+    python tools/scaling_check.py [--factor 10]
+
+Takes the sf0.1 documents/events tables, synthesizes a `factor`-times larger
+copy (union of id-shifted replicas with mutated text so dedup/fingerprint
+work does not collapse onto identical rows), writes it to /tmp parquet once,
+and times representative operators on both sizes (warm, best of 2). The
+interesting number is the RATIO: a linear operator on 32 local cores should
+scale close to the data factor (or better while cores are underutilized at
+1x); anything super-linear flags a shape problem (all-pairs, global sort,
+driver collect) that 100 TB would amplify.
+
+Writes a markdown table to stdout; mirrored into README when re-run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def synthesize(spark, sf_dir: str, out_dir: str, factor: int) -> None:
+    import os
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    copies = []
+    for i in range(factor):
+        c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * n_docs))
+        if i:
+            # perturb each copy so near-dup structure stays realistic instead
+            # of factor-times exact duplicates: prepend a copy marker token
+            c = c.withColumn("text", F.concat(F.lit(f"copy{i} "), F.col("text")))
+        copies.append(c)
+    big_docs = copies[0]
+    for c in copies[1:]:
+        big_docs = big_docs.unionByName(c)
+    big_docs.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_ev = ev.count()
+    n_users = ev.agg(F.max("user_id")).collect()[0][0] + 1
+    copies = []
+    for i in range(factor):
+        c = (
+            ev.withColumn("event_id", F.col("event_id") + F.lit(i * n_ev))
+            .withColumn("user_id", F.col("user_id") + F.lit(i * n_users))
+        )
+        copies.append(c)
+    big_ev = copies[0]
+    for c in copies[1:]:
+        big_ev = big_ev.unionByName(c)
+    big_ev.write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
+
+
+def main(factor: int) -> str:
+    import __spark_entry__ as e
+    from smart_data_lake_spark.session import build_session
+
+    spark = build_session(app_name="scaling_check")
+    sf1 = "/root/testdata/sf0.1"
+    big = tempfile.mkdtemp(prefix="sdl_scale_")
+    synthesize(spark, sf1, big, factor)
+
+    ops = [
+        "dedup_minhash",
+        "winnow_fingerprints_docs",
+        "token_budget_sample_docs",
+        "segment_dedup_docs",
+        "user_event_paths",
+        "sessionize_events",
+        "range_frame_trailing_value",
+        "user_top_event",
+    ]
+
+    def timed(name: str, sf_dir: str) -> float:
+        fn = e.queries()[name]
+        fn(spark, sf_dir).count()  # warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+        return best
+
+    lines = [
+        f"scaling spot-check: sf0.1 vs {factor}x synthesized "
+        "(id-shifted, text-perturbed), local[32], warm best-of-2",
+        "",
+        f"| operator | 1x sec | {factor}x sec | ratio (linear ≈ ≤{factor}) |",
+        "|---|---|---|---|",
+    ]
+    for name in ops:
+        t1 = timed(name, sf1)
+        t10 = timed(name, big)
+        lines.append(f"| {name} | {t1:.2f} | {t10:.2f} | {t10 / t1:.1f} |")
+    return "\n".join(lines)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=10)
+    args = ap.parse_args()
+    print(main(args.factor))
