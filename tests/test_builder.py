@@ -517,3 +517,31 @@ def test_autopersist_released_when_consumer_fails(spark, tmp_path, monkeypatch):
         ActionDAGRun(ActionDAG(list(registry.actions.values())), registry).run(spark)
     assert calls["persist"] == 1
     assert calls["unpersist"] >= 1  # released despite the failure
+
+
+def test_config_schema_export_tracks_loader():
+    """JSON-schema exporter (sdl-lang JsonSchemaExporter parity): generated
+    from the same registries load_config instantiates from, so the schema
+    cannot drift — spot-check required/optional/defaults/camelCasing."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from config_schema import build_schema
+
+    s = build_schema()
+    dos = {o["properties"]["type"]["const"]: o
+           for o in s["properties"]["dataObjects"]["additionalProperties"]["oneOf"]}
+    assert len(dos) >= 25
+    pq = dos["ParquetFileDataObject"]
+    assert "path" in pq["required"] and pq["properties"]["path"]["type"] == "string"
+    assert "nFilesPerPartition" in pq["properties"]  # camelCased
+    assert dos["JmsDataObject"]["properties"]["batchSize"]["default"] == 100
+    assert dos["SplunkDataObject"]["required"] == [
+        "type", "query", "queryFrom", "queryTo", "connection"
+    ]
+    acts = {o["properties"]["type"]["const"]
+            for o in s["properties"]["actions"]["additionalProperties"]["oneOf"]}
+    assert {"CopyAction", "HistorizeAction", "DeduplicateAction"} <= acts
+    nested = {o["properties"]["type"]["const"]
+              for o in s["definitions"]["nestedTypes"]["oneOf"]}
+    assert {"PartitionDiffMode", "SQLDfTransformer", "UniqueKeyExpectation"} <= nested
