@@ -62,7 +62,7 @@ def build_parser() -> argparse.ArgumentParser:
         description="Run a configured action DAG (SDLB-compatible semantics, PySpark-native).",
     )
     p.add_argument("--feed-sel", default=None, help="action selection (feeds:/ids:/… algebra)")
-    p.add_argument("--config", nargs="+", required=True, help="JSON config file(s), merged in order")
+    p.add_argument("--config", nargs="+", default=[], help="JSON config file(s), merged in order")
     p.add_argument("--partition-values", default=None)
     p.add_argument("--state-path", default=None)
     p.add_argument("--parallelism", type=int, default=1)
@@ -71,14 +71,30 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-streaming-iterations", type=int, default=None)
     p.add_argument("--test", choices=["config", "dry-run"], default=None)
     p.add_argument("--master", default=None, help="Spark master override (default: local[*])")
+    p.add_argument("--export-schema", default=None, metavar="FILE",
+                   help="write the config JSON schema (editor tooling) and exit")
     return p
 
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.export_schema:
+        # schema export needs no config files and no Spark session
+        import os
+
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tools"))
+        from config_schema import build_schema
+
+        with open(args.export_schema, "w", encoding="utf-8") as fh:
+            json.dump(build_schema(), fh, indent=2)
+        print(f"config schema written to {args.export_schema}")
+        return 0
     from smart_data_lake_spark.plans.app import SmartDataLakeBuilder
     from smart_data_lake_spark.session import build_session
 
+    if not args.config:
+        build_parser().error("--config is required (except with --export-schema)")
     config = _merge_configs(args.config)
     builder = SmartDataLakeBuilder(config=config)
     spark = build_session(master=args.master) if args.master else build_session()
