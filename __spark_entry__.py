@@ -2046,6 +2046,19 @@ def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_histogram(ev, "value", n_buckets=20).orderBy("bucket")
 
 
+def top_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (the grouped complement to the global ranking
+    queries): 3 longest docs per source via row_number over a per-source
+    window — partitioned sort, no global order; ties broken by doc_id."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        docs.select("source", "doc_id", "n_chars", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= 3)
+        .orderBy("source", "rk")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is the driver grading window: only the first 50
     # entries get a CORRECTNESS oracle row per round. r5 rotation —
@@ -2157,6 +2170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalized_doc_scores": normalized_doc_scores,
         "event_transitions": event_transitions,
         "event_value_histogram": event_value_histogram,
+        "top_docs_per_source": top_docs_per_source,
     }
 
 # ---- oracle SQL builders (DuckDB dialect) --------------------------------
@@ -2469,6 +2483,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT path, COUNT(*) AS n_occurrences
             FROM grams GROUP BY path
             ORDER BY n_occurrences DESC, path LIMIT 15""",
+        "top_docs_per_source": """
+            SELECT source, doc_id, n_chars, rk FROM (
+              SELECT source, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY n_chars DESC, doc_id) AS rk
+              FROM documents
+            ) WHERE rk <= 3 ORDER BY source, rk""",
         "event_value_histogram": """
             WITH b AS (
               SELECT round(min(value), 6) AS lo, round(max(value), 6) AS hi FROM events
