@@ -2059,6 +2059,18 @@ def top_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def value_histogram_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped equi-width histogram (functions/profiling.value_histogram
+    group_col path): per-event-type bounds broadcast back on the group key —
+    each group gets its own bucket edges, still two scans and no sort."""
+    from smart_data_lake_spark.functions.profiling import value_histogram
+
+    ev = _t(spark, sf_dir, "events")
+    return value_histogram(ev, "value", n_buckets=10, group_col="event_type").orderBy(
+        "event_type", "bucket"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is the driver grading window: only the first 50
     # entries get a CORRECTNESS oracle row per round. r5 rotation —
@@ -2171,6 +2183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": event_transitions,
         "event_value_histogram": event_value_histogram,
         "top_docs_per_source": top_docs_per_source,
+        "value_histogram_by_type": value_histogram_by_type,
     }
 
 # ---- oracle SQL builders (DuckDB dialect) --------------------------------
@@ -2483,6 +2496,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT path, COUNT(*) AS n_occurrences
             FROM grams GROUP BY path
             ORDER BY n_occurrences DESC, path LIMIT 15""",
+        "value_histogram_by_type": """
+            WITH b AS (
+              SELECT event_type, round(min(value), 6) AS lo, round(max(value), 6) AS hi
+              FROM events GROUP BY event_type
+            ), x AS (
+              SELECT e.event_type,
+                     CASE WHEN b.hi = b.lo THEN 0
+                          ELSE least(9, CAST(floor((round(e.value, 6) - b.lo) * 10 / (b.hi - b.lo)) AS INT))
+                     END AS bucket,
+                     b.lo, b.hi
+              FROM events e JOIN b USING (event_type)
+            )
+            SELECT event_type, bucket, COUNT(*) AS n,
+                   round(min(lo) + bucket * (min(hi) - min(lo)) / 10, 6) AS bucket_lo
+            FROM x GROUP BY event_type, bucket
+            ORDER BY event_type, bucket""",
         "top_docs_per_source": """
             SELECT source, doc_id, n_chars, rk FROM (
               SELECT source, doc_id, n_chars,
