@@ -368,37 +368,61 @@ def peek_avro_schema(path: str) -> dict:
     return schema
 
 
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
 def read_avro(
     spark: SparkSession,
     path: str,
     avro_schema: dict | None = None,
     spark_schema: T.StructType | None = None,
+    partition_cols: list[str] | None = None,
 ) -> DataFrame:
     """Distributed OCF read: binaryFile scan → per-file Python decode →
-    JVM-side typed projection. One task per file."""
+    JVM-side typed projection. One task per file.
+
+    With ``partition_cols``, files live in a Hive layout
+    (``path/col=value/part-*.avro``, written by :func:`write_avro`); the
+    partition values are recovered JVM-side from the file path (regexp over
+    the ``col=value`` segment — never a Python loop) and typed via
+    ``spark_schema`` when given, else left as strings."""
     schema = avro_schema or peek_avro_schema(path)
     sschema = spark_schema or avro_schema_to_spark_logical(schema)
     if not isinstance(sschema, T.StructType):
         raise ValueError("top-level avro schema must be a record")
+    partition_cols = partition_cols or []
+    payload = T.StructType([f for f in sschema.fields if f.name not in partition_cols])
     schema_json = json.dumps(schema)
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         sch = json.loads(schema_json)
         for pdf in batches:
             docs: list[str] = []
-            for raw in pdf["content"]:
+            paths: list[str] = []
+            for raw, p in zip(pdf["content"], pdf["path"]):
                 _, records = decode_ocf(bytes(raw))
-                docs.extend(json.dumps(_avro_to_jsonable(r, sch)) for r in records)
-            yield pd.DataFrame({"doc": docs})
+                for r in records:
+                    docs.append(json.dumps(_avro_to_jsonable(r, sch)))
+                    paths.append(p)
+            yield pd.DataFrame({"doc": docs, "path": paths})
 
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.avro")
+        .option("recursiveFileLookup", "true")
         .load(path)
-        .select("content")
+        .select("path", "content")
     )
-    parsed = files.mapInPandas(_decode, schema="doc string")
-    return parsed.select(F.from_json("doc", sschema).alias("r")).select("r.*")
+    parsed = files.mapInPandas(_decode, schema="doc string, path string")
+    out = parsed.select(F.from_json("doc", payload).alias("r"), "path").select("r.*", "path")
+    for c in partition_cols:
+        raw = F.url_decode(F.regexp_extract("path", f"(?:^|/){c}=([^/]+)/", 1))
+        val = F.when((raw == "") | (raw == _HIVE_NULL), F.lit(None)).otherwise(raw)
+        typed = next((f.dataType for f in sschema.fields if f.name == c), T.StringType())
+        out = out.withColumn(c, val.cast(typed))
+    # preserve declared column order (payload then partitions like Spark's
+    # own partitioned file sources)
+    return out.select(*[f.name for f in payload.fields], *partition_cols)
 
 
 def write_avro(
@@ -407,35 +431,68 @@ def write_avro(
     codec: str = "deflate",
     avro_schema: dict | None = None,
     prefix: str = "part",
+    partition_cols: list[str] | None = None,
 ) -> int:
     """Distributed OCF write: one container file per Spark partition, written
     executor-side; only the (n_partitions)-row manifest reaches the driver.
-    Returns total records written."""
-    schema = avro_schema or spark_schema_to_avro(df.schema)
+    Returns total records written.
+
+    With ``partition_cols``, rows land in a Hive layout
+    (``path/col=value/{prefix}-*.avro``) with the partition columns dropped
+    from the file payload, mirroring Spark's own ``partitionBy`` so the
+    :func:`read_avro` partition recovery and per-partition overwrite deletes
+    see the same directory contract as the native source."""
+    partition_cols = partition_cols or []
+    payload_fields = [f for f in df.schema.fields if f.name not in partition_cols]
+    schema = avro_schema or spark_schema_to_avro(T.StructType(payload_fields))
     schema_json = json.dumps(schema)
-    field_names = [f.name for f in df.schema.fields]
+    field_names = [f.name for f in payload_fields]
     os.makedirs(path, exist_ok=True)
+    part_cols = list(partition_cols)
+
+    def _hive_dir(vals: tuple) -> str:
+        from urllib.parse import quote
+
+        segs = []
+        for c, v in zip(part_cols, vals):
+            if v is None or (isinstance(v, float) and pd.isna(v)):
+                segs.append(f"{c}={_HIVE_NULL}")
+            else:
+                segs.append(f"{c}={quote(str(v), safe='')}")
+        return os.path.join(*segs)
 
     def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
         sch = json.loads(schema_json)
         pid = TaskContext.get().partitionId() if TaskContext.get() else 0
-        records: list[Any] = []
+        # one record buffer per partition-directory (unpartitioned: single "")
+        buckets: dict[str, list[Any]] = {}
         for pdf in batches:
             for row in pdf.itertuples(index=False):
-                records.append(
-                    {f["name"]: _py_to_avro(getattr(row, f["name"]), f["type"]) for f in sch["fields"]}
-                )
-        if records:
-            target = os.path.join(path, f"{prefix}-{pid:05d}.avro")
+                rec = {
+                    f["name"]: _py_to_avro(getattr(row, f["name"]), f["type"]) for f in sch["fields"]
+                }
+                sub = _hive_dir(tuple(getattr(row, c) for c in part_cols)) if part_cols else ""
+                buckets.setdefault(sub, []).append(rec)
+        n = 0
+        for sub, records in buckets.items():
+            target_dir = os.path.join(path, sub) if sub else path
+            os.makedirs(target_dir, exist_ok=True)
             data = encode_ocf(records, sch, codec=codec)
-            with open(target, "wb") as fh:
+            with open(os.path.join(target_dir, f"{prefix}-{pid:05d}.avro"), "wb") as fh:
                 fh.write(data)
-        yield pd.DataFrame({"records": [len(records)]})
+            n += len(records)
+        yield pd.DataFrame({"records": [n]})
 
-    # keep declared column order stable for itertuples name access
-    manifest = df.select(*field_names).mapInPandas(_write, schema="records long").collect()
+    # keep declared column order stable for itertuples name access; partition
+    # columns ride along after the payload so _hive_dir can read them
+    src = df.select(*field_names, *part_cols)
+    if part_cols:
+        # co-locate each partition value in one task → one file per (task,
+        # partition dir); same shape as Spark's dynamic partition write
+        src = src.repartition(*part_cols)
+    manifest = src.mapInPandas(_write, schema="records long").collect()
     total = sum(r["records"] for r in manifest)
     if total == 0:
         # empty result still needs a schema-carrying container so a

@@ -559,9 +559,13 @@ class AvroFileDataObject(SparkFileDataObject):
     Without it (this container) IO falls back to the pure-Python OCF codec
     in `avro_ocf.py` — a distributed binaryFile+mapInPandas read and a
     per-partition container write, cross-verified against the Apache Avro
-    Java implementation in tests. The fallback intentionally skips the
-    partition-pruning fast path (Avro landing zones here are unpartitioned);
-    partition filters still apply declaratively."""
+    Java implementation in tests. The fallback writes Hive-layout partition
+    directories (partition columns dropped from the payload, recovered from
+    the path on read) and overwrite modes delete ONLY the affected
+    partitions — dynamic-partition-overwrite parity with the native path.
+    Partition values are %-encoded in directory names; values needing
+    escaping beyond Hive's plain `col=value` form are an accepted edge for
+    the overwrite-delete match."""
 
     format = "avro"
 
@@ -572,7 +576,7 @@ class AvroFileDataObject(SparkFileDataObject):
             return super().get_dataframe(spark, partition_values)
         from smart_data_lake_spark.dataobjects.avro_ocf import read_avro
 
-        df = read_avro(spark, self.path, spark_schema=self.schema)
+        df = read_avro(spark, self.path, spark_schema=self.schema, partition_cols=self.partitions)
         if partition_values:
             df = apply_partition_filter(df, partition_values)
         if self.filename_column:
@@ -600,10 +604,37 @@ class AvroFileDataObject(SparkFileDataObject):
                 return {"records_written": 0, "no_data": True}
             raise FileExistsError(f"({self.id}) {self.path} already exists")
         if mode in (SaveMode.OVERWRITE, SaveMode.OVERWRITE_OPTIMIZED) and os.path.isdir(self.path):
-            shutil.rmtree(self.path)
+            if not self.partitions:
+                shutil.rmtree(self.path)
+            elif partition_values:
+                # overwrite only the named partitions (parent's
+                # OverwriteOptimized contract) — never the whole layout
+                self.delete_partitions(spark, partition_values)
+            else:
+                # dynamic-partition-overwrite parity: replace exactly the
+                # partitions present in df. Distinct on partition columns is
+                # metadata-scale (partition cardinality, not row count).
+                from smart_data_lake_spark.partitions import PartitionValues
+
+                combos = [
+                    PartitionValues.of({c: r[c] for c in self.partitions})
+                    for r in df.select(*self.partitions).distinct().collect()
+                ]
+                self.delete_partitions(spark, combos)
+        elif mode == SaveMode.OVERWRITE_PRESERVE_DIRECTORIES and os.path.isdir(self.path):
+            from smart_data_lake_spark.fs import get_fs
+
+            fs = get_fs(spark, self.path)
+            targets = (
+                [os.path.join(self.path, pv.hive_path()) for pv in partition_values]
+                if (partition_values and self.partitions)
+                else [self.path]
+            )
+            for target in targets:
+                self._delete_files_keep_dirs(target, fs)
         prefix = "part" if mode != SaveMode.APPEND else f"part-{secrets.token_hex(4)}"
         codec = self.options.get("compression", "deflate")
-        n = write_avro(df, self.path, codec=codec, prefix=prefix)
+        n = write_avro(df, self.path, codec=codec, prefix=prefix, partition_cols=self.partitions)
         return {"records_written": n}
 
 

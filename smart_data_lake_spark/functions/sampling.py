@@ -45,12 +45,22 @@ def stratified_sample(
     """Keep each row iff hash(key) mod denom < rate(stratum)·denom.
     Rates are exact at denom granularity (0.25 keeps exactly the keys whose
     hash lands in the first quarter of the hash space)."""
+    # Integer thresholds, computed driver-side: `rate * denom` in executor
+    # doubles is inexact (0.1 * 10000 = 1000.0000000000001 would ADMIT hash
+    # 1000 while an engine with exact decimals excludes it). floor/round once
+    # here so every engine compares against the same integer literal.
     if rates:
-        rate_map = F.create_map(*[F.lit(x) for kv in rates.items() for x in kv])
-        rate = F.coalesce(rate_map[F.col(strata_col)], F.lit(default_rate))
+        thr_map = F.create_map(
+            *[
+                F.lit(x)
+                for k, v in rates.items()
+                for x in (k, int(round(v * denom)))
+            ]
+        )
+        thr = F.coalesce(thr_map[F.col(strata_col)], F.lit(int(round(default_rate * denom))))
     else:
-        rate = F.lit(default_rate)
-    return df.where(hash_fraction(F.col(key_col), denom) < rate * denom)
+        thr = F.lit(int(round(default_rate * denom)))
+    return df.where(hash_fraction(F.col(key_col), denom) < thr)
 
 
 def importance_sample(

@@ -275,3 +275,48 @@ def test_write_avro_empty_dataframe_round_trips(spark, tmp_path):
     back = read_avro(spark, target)
     assert back.count() == 0
     assert back.schema.simpleString() == "struct<id:bigint,s:string>"
+
+
+def test_avro_fallback_partitioned_overwrite_preserves_other_partitions(spark, tmp_path):
+    """r6 ADVICE-high regression: overwriting ONE partition of a partitioned
+    Avro object must not rmtree the sibling partitions (the pre-fix fallback
+    destroyed them). Also exercises Hive-layout write + path-recovered
+    partition columns on read."""
+    from smart_data_lake_spark.dataobjects.file import AvroFileDataObject
+    from smart_data_lake_spark.partitions import PartitionValues
+    from smart_data_lake_spark.save_modes import SaveMode
+
+    df = spark.createDataFrame(
+        [(1, "a", "2024-01-01"), (2, "b", "2024-01-01"), (3, "c", "2024-01-02")],
+        "id int, v string, dt string",
+    )
+    do = AvroFileDataObject(id="avp", path=str(tmp_path / "evts"), partitions=["dt"])
+    do.write_dataframe(df)
+    root = tmp_path / "evts"
+    assert (root / "dt=2024-01-01").is_dir() and (root / "dt=2024-01-02").is_dir()
+    # payload files must NOT contain the partition column
+    from smart_data_lake_spark.dataobjects.avro_ocf import peek_avro_schema
+
+    sch = peek_avro_schema(str(root / "dt=2024-01-01"))
+    assert [f["name"] for f in sch["fields"]] == ["id", "v"]
+
+    # read recovers the partition column, typed per the layout
+    back = do.get_dataframe(spark)
+    assert set(back.columns) == {"id", "v", "dt"}
+    assert {r["dt"] for r in back.collect()} == {"2024-01-01", "2024-01-02"}
+    # partition filter applies
+    pv = [PartitionValues.of({"dt": "2024-01-01"})]
+    assert do.get_dataframe(spark, pv).count() == 2
+
+    # explicit partition overwrite: only dt=2024-01-01 is replaced
+    repl = spark.createDataFrame([(9, "z", "2024-01-01")], "id int, v string, dt string")
+    do.write_dataframe(repl, partition_values=pv, save_mode=SaveMode.OVERWRITE_OPTIMIZED)
+    rows = {(r["id"], r["dt"]) for r in do.get_dataframe(spark).collect()}
+    assert rows == {(9, "2024-01-01"), (3, "2024-01-02")}
+
+    # dynamic overwrite (no partition_values): replaces exactly the
+    # partitions present in the frame, keeps the rest
+    dyn = spark.createDataFrame([(7, "y", "2024-01-02")], "id int, v string, dt string")
+    do.write_dataframe(dyn, save_mode=SaveMode.OVERWRITE)
+    rows = {(r["id"], r["dt"]) for r in do.get_dataframe(spark).collect()}
+    assert rows == {(9, "2024-01-01"), (7, "2024-01-02")}

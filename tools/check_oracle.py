@@ -27,26 +27,59 @@ SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 
 def normalize(v):
+    """Canonicalize a cell for comparison, KEEPING the numeric type class.
+
+    The driver's hasher distinguishes Arrow int64 / float64 / decimal128
+    (r5 lesson: DuckDB HUGEINT surfaces as decimal128 and hash-mismatches a
+    Spark int64 even when values are equal, while the old Decimal->float
+    coercion here hid it). So numerics are tagged with their class: an
+    int-vs-decimal or int-vs-float pairing is a FAILURE the oracle SQL must
+    fix with an explicit CAST, not something to paper over locally.
+    Decimal scale is normalized (1.50 == 1.5) since both engines emit the
+    same scale only when the SQL casts explicitly — which green queries do.
+    """
     if v is None:
         return None
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return ("b", v)
+    if isinstance(v, int):
+        return ("i", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return v
+            return ("f", "NaN")
+        return ("f", v)
     if isinstance(v, (list, tuple)):
         return tuple(normalize(x) for x in v)
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, datetime.date):
         return datetime.datetime(v.year, v.month, v.day).isoformat()
-    try:
-        import decimal
+    import decimal
 
-        if isinstance(v, decimal.Decimal):
-            return float(v)
-    except ImportError:
-        pass
+    if isinstance(v, decimal.Decimal):
+        if v.is_nan():
+            return ("d", "NaN")
+        return ("d", format(v.normalize(), "f"))
     return v
+
+
+def typeclass_violations(sdf, con, sql):
+    """DuckDB columns that will surface as decimal128 through Arrow
+    (HUGEINT or DECIMAL) while the Spark result column is NOT DecimalType —
+    exactly the r5 driver hash-mismatch class. Returns ["col:TYPE", ...]."""
+    from pyspark.sql.types import DecimalType
+
+    spark_dec = {f.name.lower(): isinstance(f.dataType, DecimalType) for f in sdf.schema.fields}
+    try:
+        desc = con.execute("DESCRIBE " + sql).fetchall()
+    except Exception:  # noqa: BLE001 - DESCRIBE unsupported for this shape
+        return []
+    out = []
+    for row in desc:
+        cname, ctype = str(row[0]).lower(), str(row[1]).upper()
+        if ("HUGEINT" in ctype or ctype.startswith("DECIMAL")) and not spark_dec.get(cname, False):
+            out.append(f"{cname}:{ctype}")
+    return out
 
 
 def canon_rows(cols, rows):
@@ -99,6 +132,9 @@ def main():
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
             continue
         status = []
+        viols = typeclass_violations(sdf, con, oracles[name])
+        if viols:
+            status.append(f"typeclass: oracle emits decimal128 for non-decimal spark cols {viols}")
         if sorted(s_cols) != sorted(d_cols):
             status.append(f"schema: spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
         if len(s_rows) != len(d_rows):
