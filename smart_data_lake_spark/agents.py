@@ -129,9 +129,17 @@ class ProxyAction:
         for do_id in self.output_ids:
             ddl = response.get("schemas", {}).get(do_id)
             if ddl:
+                import json as _json
+
                 from pyspark.sql import types as T
 
-                empty = spark.createDataFrame([], T.StructType.fromDDL(ddl))
+                # agents ship schema.json() (robust to field names with
+                # spaces/colons that break hand-built DDL); accept legacy DDL
+                if ddl.lstrip().startswith("{"):
+                    schema = T.StructType.fromJson(_json.loads(ddl))
+                else:
+                    schema = T.StructType.fromDDL(ddl)
+                empty = spark.createDataFrame([], schema)
                 out.append(SparkSubFeed(data_object_id=do_id, df=empty, is_dummy=True))
             else:
                 out.append(SparkSubFeed(data_object_id=do_id, is_dummy=True))
@@ -217,9 +225,9 @@ class AgentServer:
                     for sf in action.init(self.spark, inputs):
                         feeds[sf.data_object_id] = sf
                         if sf.df is not None:
-                            schemas[sf.data_object_id] = ",".join(
-                                f"{f.name} {f.dataType.simpleString()}" for f in sf.df.schema.fields
-                            )
+                            # schema.json(), not hand-joined DDL: field names
+                            # with spaces/colons survive the round-trip
+                            schemas[sf.data_object_id] = sf.df.schema.json()
                 return {"schemas": schemas, "metrics": {}}
             if phase == "exec":
                 state = run.run(self.spark)
@@ -231,9 +239,7 @@ class AgentServer:
                         do = registry.get_data_object(out_id)
                         try:
                             df = do.get_dataframe(self.spark)
-                            schemas[out_id] = ",".join(
-                                f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
-                            )
+                            schemas[out_id] = df.schema.json()
                         except Exception:  # noqa: BLE001 — schema optional
                             pass
                 return {"schemas": schemas, "metrics": metrics}

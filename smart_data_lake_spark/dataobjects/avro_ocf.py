@@ -250,9 +250,21 @@ def encode_ocf(
 # ------------------------------------------- value conversion (both directions)
 
 
-def _avro_to_jsonable(value: Any, schema: Any) -> Any:
+def _utc_micros_to_session_iso(micros: int, session_tz: str | None, timespec: str) -> str:
+    """avro timestamp(-micros/-millis) stores a UTC instant; Spark's
+    from_json parses a NAIVE string in the session timezone — so render the
+    instant as session-zone wall clock (identity when the session is UTC)."""
+    ts = pd.Timestamp(micros, unit="us", tz="UTC")
+    if session_tz:
+        ts = ts.tz_convert(session_tz)
+    return ts.tz_localize(None).isoformat(sep=" ", timespec=timespec)
+
+
+def _avro_to_jsonable(value: Any, schema: Any, session_tz: str | None = None) -> Any:
     """Decoded avro value → JSON-safe value matching Spark's from_json
-    conventions (timestamps ISO, dates ISO, bytes base64)."""
+    conventions (timestamps ISO, dates ISO, bytes base64). ``session_tz`` is
+    Spark's ``spark.sql.session.timeZone``: instant-semantics timestamps are
+    converted UTC→session zone; local-timestamp stays wall-clock."""
     import base64
     import datetime as dt
 
@@ -260,14 +272,18 @@ def _avro_to_jsonable(value: Any, schema: Any) -> Any:
         return None
     if isinstance(schema, list):
         non_null = [s for s in schema if s != "null"]
-        return _avro_to_jsonable(value, non_null[0]) if non_null else None
+        return _avro_to_jsonable(value, non_null[0], session_tz) if non_null else None
     if isinstance(schema, dict):
         lt = schema.get("logicalType")
-        if lt in ("timestamp-micros", "local-timestamp-micros"):
+        if lt == "timestamp-micros":
+            return _utc_micros_to_session_iso(value, session_tz, "microseconds")
+        if lt == "timestamp-millis":
+            return _utc_micros_to_session_iso(value * 1000, session_tz, "milliseconds")
+        if lt == "local-timestamp-micros":
             return (
                 dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=value)
             ).isoformat(sep=" ", timespec="microseconds")
-        if lt in ("timestamp-millis", "local-timestamp-millis"):
+        if lt == "local-timestamp-millis":
             return (
                 dt.datetime(1970, 1, 1) + dt.timedelta(milliseconds=value)
             ).isoformat(sep=" ", timespec="milliseconds")
@@ -276,16 +292,16 @@ def _avro_to_jsonable(value: Any, schema: Any) -> Any:
         t = schema["type"]
         if t == "record":
             return {
-                f["name"]: _avro_to_jsonable(value.get(f["name"]), f["type"])
+                f["name"]: _avro_to_jsonable(value.get(f["name"]), f["type"], session_tz)
                 for f in schema["fields"]
             }
         if t == "array":
-            return [_avro_to_jsonable(v, schema["items"]) for v in value]
+            return [_avro_to_jsonable(v, schema["items"], session_tz) for v in value]
         if t == "map":
-            return {k: _avro_to_jsonable(v, schema["values"]) for k, v in value.items()}
+            return {k: _avro_to_jsonable(v, schema["values"], session_tz) for k, v in value.items()}
         if t == "enum":
             return value
-        return _avro_to_jsonable(value, t)
+        return _avro_to_jsonable(value, t, session_tz)
     if schema == "bytes":
         return base64.b64encode(value).decode("ascii")
     if schema == "float":
@@ -297,8 +313,24 @@ def _avro_to_jsonable(value: Any, schema: Any) -> Any:
     return value
 
 
-def _py_to_avro(value: Any, schema: Any) -> Any:
-    """Python/pandas cell → avro-encodable value per the schema."""
+def _naive_to_utc_micros(value: Any, session_tz: str | None) -> int:
+    """Naive wall-clock (what Spark hands mapInPandas for TimestampType, in
+    the SESSION zone) → true UTC epoch micros. tz-aware values convert
+    directly; ambiguous DST times resolve to the first occurrence."""
+    import datetime as dt
+
+    ts = value if isinstance(value, pd.Timestamp) else pd.Timestamp(value)
+    if ts.tzinfo is None:
+        ts = ts.tz_localize(session_tz or "UTC", ambiguous=True, nonexistent="shift_forward")
+    return ts.value // 1000
+
+
+def _py_to_avro(value: Any, schema: Any, session_tz: str | None = None) -> Any:
+    """Python/pandas cell → avro-encodable value per the schema.
+    ``session_tz``: instant-semantics timestamps are session-zone wall clock
+    on the way in and must land as UTC micros (r5 ADVICE: a non-UTC session
+    previously stored local wall-clock labeled UTC, shifting instants for
+    external Avro readers)."""
     import datetime as dt
 
     import numpy as np
@@ -309,16 +341,24 @@ def _py_to_avro(value: Any, schema: Any) -> Any:
         value = value.item()
     if isinstance(schema, list):
         non_null = [s for s in schema if s != "null"]
-        return _py_to_avro(value, non_null[0]) if non_null else None
+        return _py_to_avro(value, non_null[0], session_tz) if non_null else None
     if isinstance(schema, dict):
         lt = schema.get("logicalType")
-        if lt in ("timestamp-micros", "local-timestamp-micros"):
+        if lt == "timestamp-micros":
+            if isinstance(value, (pd.Timestamp, dt.datetime)):
+                return _naive_to_utc_micros(value, session_tz)
+            return int(value)
+        if lt == "timestamp-millis":
+            if isinstance(value, (pd.Timestamp, dt.datetime)):
+                return _naive_to_utc_micros(value, session_tz) // 1000
+            return int(value)
+        if lt == "local-timestamp-micros":
             if isinstance(value, pd.Timestamp):
                 return value.value // 1000
             if isinstance(value, dt.datetime):
                 return int((value - dt.datetime(1970, 1, 1, tzinfo=value.tzinfo)).total_seconds() * 1_000_000)
             return int(value)
-        if lt in ("timestamp-millis", "local-timestamp-millis"):
+        if lt == "local-timestamp-millis":
             if isinstance(value, pd.Timestamp):
                 return value.value // 1_000_000
             return int(value)
@@ -330,14 +370,14 @@ def _py_to_avro(value: Any, schema: Any) -> Any:
             return int(value)
         t = schema["type"]
         if t == "record":
-            return {f["name"]: _py_to_avro(value.get(f["name"]), f["type"]) for f in schema["fields"]}
+            return {f["name"]: _py_to_avro(value.get(f["name"]), f["type"], session_tz) for f in schema["fields"]}
         if t == "array":
-            return [_py_to_avro(v, schema["items"]) for v in value]
+            return [_py_to_avro(v, schema["items"], session_tz) for v in value]
         if t == "map":
-            return {str(k): _py_to_avro(v, schema["values"]) for k, v in dict(value).items()}
+            return {str(k): _py_to_avro(v, schema["values"], session_tz) for k, v in dict(value).items()}
         if t == "enum":
             return value
-        return _py_to_avro(value, t)
+        return _py_to_avro(value, t, session_tz)
     if schema in ("int", "long"):
         return int(value)
     if schema in ("float", "double"):
@@ -393,6 +433,7 @@ def read_avro(
     partition_cols = partition_cols or []
     payload = T.StructType([f for f in sschema.fields if f.name not in partition_cols])
     schema_json = json.dumps(schema)
+    tz = spark.conf.get("spark.sql.session.timeZone", None)
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         sch = json.loads(schema_json)
@@ -402,7 +443,7 @@ def read_avro(
             for raw, p in zip(pdf["content"], pdf["path"]):
                 _, records = decode_ocf(bytes(raw))
                 for r in records:
-                    docs.append(json.dumps(_avro_to_jsonable(r, sch)))
+                    docs.append(json.dumps(_avro_to_jsonable(r, sch, tz)))
                     paths.append(p)
             yield pd.DataFrame({"doc": docs, "path": paths})
 
@@ -449,6 +490,7 @@ def write_avro(
     field_names = [f.name for f in payload_fields]
     os.makedirs(path, exist_ok=True)
     part_cols = list(partition_cols)
+    tz = df.sparkSession.conf.get("spark.sql.session.timeZone", None)
 
     def _hive_dir(vals: tuple) -> str:
         from urllib.parse import quote
@@ -471,7 +513,7 @@ def write_avro(
         for pdf in batches:
             for row in pdf.itertuples(index=False):
                 rec = {
-                    f["name"]: _py_to_avro(getattr(row, f["name"]), f["type"]) for f in sch["fields"]
+                    f["name"]: _py_to_avro(getattr(row, f["name"]), f["type"], tz) for f in sch["fields"]
                 }
                 sub = _hive_dir(tuple(getattr(row, c) for c in part_cols)) if part_cols else ""
                 buckets.setdefault(sub, []).append(rec)

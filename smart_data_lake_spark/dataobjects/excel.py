@@ -160,6 +160,12 @@ class ExcelFileDataObject(DataObject, CanCreateDataFrame, CanWriteDataFrame):
                 "header_row": self.header_row,
                 "skip_rows": self.skip_rows,
                 "columns": columns,
+                # inferred (from the first workbook) per-column kinds so the
+                # executor decode can SURFACE type drift in later workbooks
+                # (a numeric column holding text would otherwise be silently
+                # nulled by from_json); date/timestamp drift still degrades
+                # to null since cell values arrive as ISO strings
+                "kinds": [f.dataType.simpleString() for f in sschema.fields],
             }
         )
 
@@ -177,10 +183,23 @@ class ExcelFileDataObject(DataObject, CanCreateDataFrame, CanWriteDataFrame):
                         raise ValueError(
                             f"workbook column mismatch: {cols} != {opts['columns']}"
                         )
-                    docs.extend(
-                        json.dumps({c: _jsonable(r[i] if i < len(r) else None) for i, c in enumerate(cols)})
-                        for r in body
-                    )
+                    kinds = opts["kinds"]
+                    for r in body:
+                        rec = {}
+                        for i, c in enumerate(cols):
+                            v = _jsonable(r[i] if i < len(r) else None)
+                            if (
+                                v is not None
+                                and kinds[i] in ("double", "bigint", "int")
+                                and isinstance(v, str)
+                            ):
+                                raise ValueError(
+                                    f"workbook type drift in column {c!r}: schema "
+                                    f"(inferred from the first workbook) says {kinds[i]}, "
+                                    f"found text {v!r}"
+                                )
+                            rec[c] = v
+                        docs.append(json.dumps(rec))
                 yield pd.DataFrame({"doc": docs})
 
         files = (

@@ -101,12 +101,20 @@ class StompClient:
         )
 
     def next_message(self, timeout_sec: float) -> StompFrame | None:
-        frame = self._recv(timeout_sec)
-        if frame is not None and frame.command == "ERROR":
-            raise ConnectionError(f"STOMP error: {frame.body or frame.headers}")
-        if frame is not None and frame.command != "MESSAGE":
-            return None
-        return frame
+        # discard stray non-MESSAGE frames (RECEIPT, unexpected server
+        # frames) instead of letting one truncate the consumer's batch
+        deadline = time.monotonic() + timeout_sec
+        while True:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                return None
+            frame = self._recv(remaining)
+            if frame is None:
+                return None
+            if frame.command == "ERROR":
+                raise ConnectionError(f"STOMP error: {frame.body or frame.headers}")
+            if frame.command == "MESSAGE":
+                return frame
 
     def ack(self, message_frame: StompFrame) -> None:
         ack_id = message_frame.headers.get("ack") or message_frame.headers.get("message-id", "")

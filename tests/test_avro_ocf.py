@@ -10,6 +10,7 @@ itself. Reference behavior: `dataobject/AvroFileDataObject.scala:46-63`.
 from __future__ import annotations
 
 import datetime as dt
+import glob
 import os
 
 import pytest
@@ -320,3 +321,36 @@ def test_avro_fallback_partitioned_overwrite_preserves_other_partitions(spark, t
     do.write_dataframe(dyn, save_mode=SaveMode.OVERWRITE)
     rows = {(r["id"], r["dt"]) for r in do.get_dataframe(spark).collect()}
     assert rows == {(9, "2024-01-01"), (7, "2024-01-02")}
+
+
+def test_timestamps_stored_as_true_utc_in_non_utc_session(spark, tmp_path):
+    """r6 ADVICE regression: a non-UTC session must store the real UTC
+    instant in timestamp-micros (external Avro readers see the same moment),
+    and round-trip back to the same session wall-clock."""
+    import datetime as dt
+
+    from smart_data_lake_spark.dataobjects.avro_ocf import decode_ocf
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        df = spark.createDataFrame(
+            [(1, dt.datetime(2024, 3, 1, 12, 0, 0))], "id long, ts timestamp"
+        )
+        # the oracle for "true instant" is Spark's own epoch micros — the
+        # avro file must store exactly that, whatever zone the session uses
+        from pyspark.sql import functions as F
+
+        expect = df.select(F.unix_micros("ts")).collect()[0][0]
+        wall = df.collect()[0]["ts"]
+        target = str(tmp_path / "tz_avro")
+        write_avro(df, target)
+        files = sorted(glob.glob(os.path.join(target, "*.avro")))
+        _, records = decode_ocf(open(files[0], "rb").read())
+        assert records[0]["ts"] == expect
+        # round trip in the same session reproduces the same instant
+        back = read_avro(spark, target)
+        assert back.select(F.unix_micros("ts")).collect()[0][0] == expect
+        assert back.collect()[0]["ts"] == wall
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)

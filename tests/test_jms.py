@@ -193,3 +193,38 @@ def test_stomp_client_parses_crlf_frames():
         client.close()
     finally:
         srv.close()
+
+
+def test_stray_receipt_frame_does_not_truncate_batch():
+    """r6 ADVICE regression: a non-MESSAGE server frame (e.g. RECEIPT)
+    arriving mid-stream must be skipped, not treated as end-of-batch."""
+    import socket
+    import threading
+
+    srv = socket.create_server(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+
+    def serve():
+        conn, _ = srv.accept()
+        with conn:
+            conn.recv(4096)  # CONNECT
+            conn.sendall(b"CONNECTED\nversion:1.2\n\n\x00")
+            conn.recv(4096)  # SUBSCRIBE
+            conn.sendall(
+                b"MESSAGE\ndestination:/queue/q\nmessage-id:m1\nack:a1\n\nfirst\x00"
+                b"RECEIPT\nreceipt-id:r1\n\n\x00"
+                b"MESSAGE\ndestination:/queue/q\nmessage-id:m2\nack:a2\n\nsecond\x00"
+            )
+            conn.recv(4096)
+
+    threading.Thread(target=serve, daemon=True).start()
+    try:
+        client = StompClient("127.0.0.1", port, None, None, timeout_sec=5)
+        client.subscribe("/queue/q")
+        first = client.next_message(5)
+        second = client.next_message(5)  # must skip the RECEIPT in between
+        assert (first.body, second.body) == ("first", "second")
+        assert client.next_message(0.3) is None  # drained -> timeout, not error
+        client.close()
+    finally:
+        srv.close()

@@ -169,3 +169,22 @@ def test_excel_dataobject_explicit_schema(spark, tmp_path):
     out = do.get_dataframe(spark)
     assert out.schema.simpleString() == "struct<id:bigint,s:string>"
     assert out.collect()[0].asDict() == {"id": 7, "s": "x"}
+
+
+def test_excel_type_drift_across_workbooks_raises(spark, tmp_path):
+    """r6 ADVICE regression: schema is inferred from the first workbook; a
+    later workbook whose numeric column holds text must RAISE (like the
+    column-name mismatch), not silently null the value."""
+    import pytest as _pytest
+
+    from smart_data_lake_spark.dataobjects import ExcelFileDataObject
+
+    ExcelFileDataObject(id="a", path=str(tmp_path / "a.xlsx")).write_dataframe(
+        spark.createDataFrame([(1, "x")], "n long, s string")
+    )
+    ExcelFileDataObject(id="b", path=str(tmp_path / "b.xlsx")).write_dataframe(
+        spark.createDataFrame([("oops", "y")], "n string, s string")
+    )
+    do = ExcelFileDataObject(id="all", path=str(tmp_path))
+    with _pytest.raises(Exception, match="type drift"):
+        do.get_dataframe(spark).collect()
