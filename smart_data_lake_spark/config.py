@@ -193,6 +193,11 @@ def register_action_type(cls: type) -> type:
 # nested config types: execution modes, transformers, housekeeping modes —
 # resolved lazily so config.py has no import cycle with those modules
 def _nested_type_registry() -> dict[str, type]:
+    # load the dataobjects package first: execution_modes -> dataobjects.base
+    # -> dataobjects/__init__ -> kafka -> execution_modes is a cycle that
+    # only resolves when dataobjects starts loading before execution_modes
+    import smart_data_lake_spark.dataobjects  # noqa: F401
+    import smart_data_lake_spark.auth_modes as am
     import smart_data_lake_spark.execution_modes as em
     import smart_data_lake_spark.housekeeping as hk
     import smart_data_lake_spark.expectations as exp
@@ -200,7 +205,7 @@ def _nested_type_registry() -> dict[str, type]:
     import smart_data_lake_spark.transformers.dfs_transformers as dfst
 
     reg: dict[str, type] = {}
-    for mod in (em, hk, dft, dfst, exp):
+    for mod in (em, hk, dft, dfst, exp, am):
         for name in dir(mod):
             obj = getattr(mod, name)
             if isinstance(obj, type) and (
@@ -209,6 +214,9 @@ def _nested_type_registry() -> dict[str, type]:
                 or name.endswith("Expectation")
                 or name == "Constraint"
             ):
+                # abstract bases are not config types
+                if name in ("AuthMode", "HttpHeaderAuth"):
+                    continue
                 reg[name] = obj
     return reg
 

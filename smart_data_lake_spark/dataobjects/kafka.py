@@ -66,12 +66,26 @@ class KafkaConnection:
         brokers: str,
         options: dict[str, str] | None = None,
         schema_registry: str | None = None,
+        auth_mode: Any = None,
     ) -> None:
         self.id = id
         self.brokers = brokers
-        self.options = options or {}
+        self.options = dict(options or {})
         self.schema_registry = schema_registry
         self._registry_client = None
+        if isinstance(auth_mode, dict) and "type" in auth_mode:
+            from smart_data_lake_spark.config import _instantiate_nested
+
+            auth_mode = _instantiate_nested(auth_mode)
+        self.auth_mode = auth_mode
+        if auth_mode is not None:
+            if not hasattr(auth_mode, "kafka_options"):
+                raise ValueError(
+                    f"({id}) auth_mode {type(auth_mode).__name__} does not apply to Kafka "
+                    "(use SASLSCRAMAuthMode or SSLCertsAuthMode)"
+                )
+            # explicit options win over the compiled auth options
+            self.options = {**auth_mode.kafka_options(), **self.options}
 
     def schema_registry_client(self):
         if self.schema_registry is None:

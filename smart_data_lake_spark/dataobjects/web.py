@@ -139,7 +139,13 @@ class WebserviceFileDataObject(DataObject, CanCreateDataFrame, CanWriteDataFrame
     ) -> None:
         super().__init__(id=id, **kwargs)
         if isinstance(auth_mode, dict):
-            auth_mode = HttpAuthMode(**auth_mode)
+            if "type" in auth_mode:
+                # typed family: {"type": "BasicAuthMode", "user": ..., ...}
+                from smart_data_lake_spark.config import _instantiate_nested
+
+                auth_mode = _instantiate_nested(auth_mode)
+            else:
+                auth_mode = HttpAuthMode(**auth_mode)
         self.url = url
         self.additional_headers = additional_headers or {}
         self.auth_mode = auth_mode or HttpAuthMode()
@@ -349,6 +355,7 @@ class SFtpFileRefDataObject(DataObject):
         username: str | None = None,
         password: str | None = None,
         partition_layout: str | None = None,
+        auth_mode: Any = None,
         **kwargs: Any,
     ) -> None:
         super().__init__(id=id, **kwargs)
@@ -358,6 +365,29 @@ class SFtpFileRefDataObject(DataObject):
         self.username = username
         self.password = password
         self.partition_layout = partition_layout
+        if isinstance(auth_mode, dict) and "type" in auth_mode:
+            from smart_data_lake_spark.config import _instantiate_nested
+
+            auth_mode = _instantiate_nested(auth_mode)
+        self.auth_mode = auth_mode
+
+    def _connect_kwargs(self) -> dict[str, Any]:
+        """paramiko connect kwargs from the typed auth mode (PublicKeyAuthMode
+        → agent/default keys; BasicAuthMode → user/password) or the legacy
+        username/password fields."""
+        from smart_data_lake_spark.auth_modes import BasicAuthMode, PublicKeyAuthMode
+        from smart_data_lake_spark.config import resolve_secret
+
+        if isinstance(self.auth_mode, PublicKeyAuthMode):
+            return self.auth_mode.sftp_connect_kwargs()
+        if isinstance(self.auth_mode, BasicAuthMode):
+            return {
+                "username": resolve_secret(self.auth_mode.user),
+                "password": resolve_secret(self.auth_mode.password),
+                "allow_agent": False,
+                "look_for_keys": False,
+            }
+        return {"username": self.username, "password": self.password}
 
     def _client(self):
         try:
@@ -368,7 +398,7 @@ class SFtpFileRefDataObject(DataObject):
             ) from e
         client = paramiko.SSHClient()  # pragma: no cover — needs paramiko + server
         client.set_missing_host_key_policy(paramiko.AutoAddPolicy())
-        client.connect(self.host, port=self.port, username=self.username, password=self.password)
+        client.connect(self.host, port=self.port, **self._connect_kwargs())
         return client.open_sftp()
 
     def list_files(self) -> list[str]:
