@@ -27,6 +27,7 @@ class InstanceRegistry:
         self.actions: dict[str, "Action"] = {}
         self.connections: dict[str, Any] = {}
         self.spark_udfs: dict[str, Any] = {}  # name → {"fn": ..., "returnType": ...}
+        self.state_listeners: list[Any] = []  # GlobalConfig.stateListeners instances
 
     def register_spark_udfs(self, spark) -> None:
         """Register configured UDFs into the session (GlobalConfig.sparkUDFs)
@@ -251,6 +252,24 @@ def load_config(config: dict[str, Any]) -> InstanceRegistry:
     # registered into the session at DAG prepare so SQL transformers can call
     # them by name
     registry.spark_udfs = dict(config.get("globalConfig", {}).get("sparkUdfs", {}))
+    # state listeners (GlobalConfig.stateListeners: [{className, options}]) —
+    # notified by ActionDAGRun on every action-state change + final state
+    listeners = []
+    for spec in config.get("globalConfig", {}).get("stateListeners", []) or []:
+        cls_name = spec.get("className") or spec.get("type")
+        options = spec.get("options", {})
+        if cls_name == "StateChangeLogger":
+            from smart_data_lake_spark.azure import StateChangeLogger
+
+            listeners.append(StateChangeLogger(options=options))
+        elif cls_name and "." in cls_name:
+            import importlib
+
+            mod_name, _, attr = cls_name.rpartition(".")
+            listeners.append(getattr(importlib.import_module(mod_name), attr)(options=options))
+        else:
+            raise ConfigError(f"unknown state listener className {cls_name!r}")
+    registry.state_listeners = listeners
     for conn_id, spec in (config.get("connections") or {}).items():
         spec = dict(spec)
         type_name = spec.pop("type", None)

@@ -150,6 +150,7 @@ class ActionDAGRun:
         state_store: StateStore | None = None,
         parallelism: int = 1,
         partition_values: list[PartitionValues] | None = None,
+        state_listeners: list[Any] | None = None,
     ):
         self.dag = dag
         self.registry = registry
@@ -158,6 +159,28 @@ class ActionDAGRun:
         self.partition_values = partition_values or []
         self.state = RunState()
         self.result_subfeeds: dict[str, list[SubFeed]] = {}
+        # StateListeners (workflow/StateListener + GlobalConfig.stateListeners):
+        # notified after every action-state change and once with final state
+        self.state_listeners = list(state_listeners or []) + list(
+            getattr(registry, "state_listeners", []) or []
+        )
+
+    def _notify_listeners(self, changed_action_id: str | None) -> None:
+        if not self.state_listeners:
+            return
+        context = {
+            "application": getattr(self.state_store, "app_name", "sdl") if self.state_store else "sdl",
+            "phase": "exec",
+        }
+        for listener in self.state_listeners:
+            try:
+                listener.notify_state(self.state, context, changed_action_id)
+            except Exception as e:  # noqa: BLE001 — a metrics sink must not kill the run
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "state listener %s failed: %s", type(listener).__name__, e
+                )
 
     # ------------------------------------------------------------------ run
     def run(self, spark: SparkSession, recover: bool = True) -> RunState:
@@ -187,6 +210,7 @@ class ActionDAGRun:
         # SmartDataLakeBuilder.scala:377-396 recovery contract)
         self.state.is_final = not failed
         self._save_state()
+        self._notify_listeners(None)
         if failed:
             raise DAGError(f"actions failed: {failed}")
         return self.state
@@ -321,6 +345,7 @@ class ActionDAGRun:
                             exec_feeds[sf.data_object_id] = sf
                     done.add(aid)
                     self._save_state()
+                    self._notify_listeners(aid)
         # branches cancelled by an upstream failure never consume their
         # inputs — release whatever is still pinned
         for do_id, df in list(persisted.items()):
