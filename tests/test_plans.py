@@ -392,3 +392,67 @@ def test_observe_blocks_pushdown_but_break_lineage_sidesteps_it(spark, tmp_path)
     scan2 = [ln for ln in plan2.splitlines() if "FileScan" in ln][0]
     assert "CollectMetrics" not in plan2
     assert "42" in scan2.split("DataFilters:")[1].split("]")[0]  # pushed
+
+
+def test_event_path_ngrams_two_shuffles_takeordered(spark, sf_dir):
+    """Path mining is two combinable shuffles (per-user array build, path
+    count) + TakeOrdered for the top-k — never a global sort and never a
+    positional self-join."""
+    from smart_data_lake_spark.functions.analytics import event_path_ngrams
+    from smart_data_lake_spark.streaming.operators import read_events_batch
+
+    df = event_path_ngrams(read_events_batch(spark, sf_dir), n=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 2
+    assert "TakeOrdered" in plan
+    assert "partial_" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan  # pairs come from the in-row array
+
+
+def test_event_transition_matrix_broadcasts_totals(spark, sf_dir):
+    """The per-from totals (<=|types|^2 rows) must broadcast back onto the
+    pair counts — a sort-merge join here would shuffle the full pair set a
+    second time for a dimension-sized right side."""
+    from smart_data_lake_spark.functions.analytics import event_transition_matrix
+    from smart_data_lake_spark.streaming.operators import read_events_batch
+
+    df = event_transition_matrix(read_events_batch(spark, sf_dir))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_" in plan  # map-side combine on the pair counts
+
+
+def test_value_histogram_broadcast_bounds_no_sort(spark, sf_dir):
+    """Equi-width histogram: tiny per-group min/max bounds broadcast onto
+    the scan, bucket index is a stateless projection, counts combine — no
+    Sort or Window anywhere in the plan."""
+    from smart_data_lake_spark.functions.profiling import value_histogram
+    from smart_data_lake_spark.streaming.operators import read_events_batch
+
+    df = value_histogram(read_events_batch(spark, sf_dir), "value", n_buckets=12,
+                         group_col="event_type")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert "partial_" in plan
+
+
+def test_quantile_normalize_single_partitioned_window(spark, sf_dir):
+    """percent_rank normalization: exactly one shuffle, hash-partitioned by
+    the group column — NOT the single-partition global window that
+    serializes at scale."""
+    import os
+
+    from smart_data_lake_spark.functions.quality import quantile_normalize_scores
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = quantile_normalize_scores(docs.withColumn("score", docs.n_chars.cast("double")),
+                                   "score", group_col="source")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "Window" in plan
+    assert "hashpartitioning(source" in plan
+    assert "SinglePartition" not in plan
