@@ -2071,6 +2071,66 @@ def value_histogram_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ewma_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-style EWMA per event type (functions/analytics.grouped_ewma):
+    one shuffle builds the ordered value array, the α-fold is in-row and a
+    strict left fold — bit-identical across IEEE-double engines."""
+    from smart_data_lake_spark.functions.analytics import grouped_ewma
+
+    ev = _t(spark, sf_dir, "events")
+    return grouped_ewma(ev, ["event_type"], alpha=0.3).orderBy("event_type")
+
+
+def interarrival_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival-process profile (functions/analytics.interarrival_stats):
+    per-user lag window, gaps in exact integer micros so the per-type sums
+    have no float-summation order sensitivity."""
+    from smart_data_lake_spark.functions.analytics import interarrival_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return interarrival_stats(ev).orderBy("event_type")
+
+
+def tfidf_top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-card term summary (functions/search.tfidf_top_terms): most
+    characteristic terms per source by summed TF-IDF; ranks computed on the
+    ROUNDED score so sub-ulp ln() differences can't flip them."""
+    from smart_data_lake_spark.functions.search import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=5).orderBy("source", "term_rank")
+
+
+def token_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution Shannon entropy per doc (functions/quality
+    .token_entropy): the gibberish/boilerplate signal, via the combinable
+    sufficient-statistics identity H = ln(T) − Σ n·ln n / T."""
+    from smart_data_lake_spark.functions.quality import token_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_entropy(docs).orderBy("doc_id")
+
+
+def containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup (functions/dedup.containment_pairs):
+    C(a→b) = |S(a)∩S(b)|/|S(a)| over 5-shingles — catches a short doc
+    embedded in a longer one where symmetric Jaccard stays low."""
+    from smart_data_lake_spark.functions.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return containment_pairs(docs, n=5, threshold=0.5).orderBy("doc_a", "doc_b")
+
+
+def cross_source_dup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair mirror audit (functions/dedup.cross_source_duplication):
+    shared exact-content fingerprints per source pair — the drop-the-mirror
+    decision that runs before any document-level dedup."""
+    from smart_data_lake_spark.functions.dedup import cross_source_duplication
+
+    docs = _t(spark, sf_dir, "documents")
+    return cross_source_duplication(docs).orderBy("source_a", "source_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is the driver grading window: only the first 50
     # entries get a CORRECTNESS oracle row per round. r6 rotation —
@@ -2100,6 +2160,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windowed_counts": streaming_windowed_counts,
         "dedup_latest_event": dedup_latest_event,
         "scd2_user_history": scd2_user_history,
+        # --- new in r6: graded on first appearance
+        "ewma_value_by_type": ewma_value_by_type,
+        "interarrival_stats_by_type": interarrival_stats_by_type,
+        "tfidf_top_terms_per_source": tfidf_top_terms_per_source,
+        "token_entropy_docs": token_entropy_docs,
+        "containment_pairs_docs": containment_pairs_docs,
+        "cross_source_dup_audit": cross_source_dup_audit,
         # --- r4-green fill (oldest grades on record)
         "asof_click_attribution": asof_click_attribution,
         "partition_diff": partition_diff,
@@ -2130,13 +2197,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_by_source": token_count_by_source,
         "streaming_session_counts": streaming_session_counts,
         "streaming_interval_join": streaming_interval_join,
+        # ================= end of 50-entry grading window =================
+        # --- r4-green, displaced by the six new r6 queries (rotate back r7)
         "streaming_dedup_users": streaming_dedup_users,
         "streaming_upsert_latest": streaming_upsert_latest,
         "dup_span_stats": dup_span_stats,
         "importance_sample_documents": importance_sample_documents,
         "bpe_token_count_by_source": bpe_token_count_by_source,
         "quality_filter_gopher": quality_filter_gopher,
-        # ================= end of 50-entry grading window =================
         # --- r4-green, didn't fit the window (rotate back in r7)
         "q14_promo_revenue": q14_promo_revenue,
         "q15_top_supplier": q15_top_supplier,
@@ -2501,6 +2569,97 @@ def oracle_sql() -> dict[str, str]:
             SELECT path, COUNT(*) AS n_occurrences
             FROM grams GROUP BY path
             ORDER BY n_occurrences DESC, path LIMIT 15""",
+        "ewma_value_by_type": """
+            WITH seqs AS (
+              SELECT event_type, list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
+              FROM events GROUP BY event_type
+            )
+            SELECT event_type, len(vals) AS n_obs,
+                   round(list_reduce(vals, (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma
+            FROM seqs ORDER BY event_type""",
+        "interarrival_stats_by_type": """
+            WITH g AS (
+              SELECT event_type,
+                     date_diff('microsecond',
+                               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                               ts) AS gap_us
+              FROM events
+            )
+            SELECT event_type, COUNT(*) AS n_gaps,
+                   round(CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) / 1e6, 6) AS avg_gap_sec,
+                   round(CAST(MAX(gap_us) AS DOUBLE) / 1e6, 6) AS max_gap_sec
+            FROM g WHERE gap_us IS NOT NULL
+            GROUP BY event_type ORDER BY event_type""",
+        "tfidf_top_terms_per_source": f"""
+            WITH toks AS (
+              SELECT source, doc_id, unnest({_TOKS}) AS term
+              FROM documents WHERE length(trim(lower(text))) > 0
+            ),
+            tf AS (SELECT source, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+            dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+            n AS (SELECT COUNT(*) AS n_docs FROM documents),
+            scored AS (
+              SELECT source, term, tf, df,
+                     round(tf * (ln((CAST(n_docs AS DOUBLE) + 1) / (df + 1)) + 1), 6) AS tfidf
+              FROM tf JOIN dfq USING (term), n
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY source
+                                           ORDER BY tfidf DESC, term) AS term_rank
+              FROM scored
+            )
+            SELECT source, term_rank, term, tf, df, tfidf
+            FROM ranked WHERE term_rank <= 5 ORDER BY source, term_rank""",
+        "token_entropy_docs": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKS}) AS tok
+              FROM documents WHERE length(trim(lower(text))) > 0
+            ),
+            c AS (SELECT doc_id, tok, COUNT(*) AS n FROM toks GROUP BY 1, 2)
+            SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens, COUNT(*) AS n_unique,
+                   round(ln(CAST(SUM(n) AS DOUBLE))
+                         - SUM(n * ln(CAST(n AS DOUBLE))) / SUM(n), 6) AS entropy_nats
+            FROM c GROUP BY doc_id ORDER BY doc_id""",
+        "containment_pairs_docs": f"""
+            WITH {_SHINGLE5_CTE},
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM g5 GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+              FROM g5 a JOIN g5 b USING (shingle)
+              WHERE a.doc_id <> b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, n_shared,
+                   round(CAST(n_shared AS DOUBLE) / sz, 6) AS containment
+            FROM inter JOIN sizes ON sizes.doc_id = inter.doc_a
+            WHERE round(CAST(n_shared AS DOUBLE) / sz, 6) >= 0.5
+            ORDER BY doc_a, doc_b""",
+        "cross_source_dup_audit": rf"""
+            WITH {_SHINGLE5_CTE},
+            ssh AS (
+              SELECT DISTINCT d.source, g5.shingle
+              FROM g5 JOIN documents d USING (doc_id)
+            ),
+            shared_sh AS (
+              SELECT a.source AS source_a, b.source AS source_b,
+                     COUNT(*) AS n_shared_shingles
+              FROM ssh a JOIN ssh b USING (shingle)
+              WHERE a.source < b.source GROUP BY 1, 2
+            ),
+            fp AS (
+              SELECT DISTINCT source,
+                     md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS f
+              FROM documents
+            ),
+            shared_fp AS (
+              SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_fp
+              FROM fp a JOIN fp b USING (f)
+              WHERE a.source < b.source GROUP BY 1, 2
+            )
+            SELECT s.source_a, s.source_b, s.n_shared_shingles,
+                   COALESCE(f.n_fp, 0) AS n_shared_fingerprints
+            FROM shared_sh s LEFT JOIN shared_fp f USING (source_a, source_b)
+            ORDER BY source_a, source_b""",
         "value_histogram_by_type": """
             WITH b AS (
               SELECT event_type, round(min(value), 6) AS lo, round(max(value), 6) AS hi

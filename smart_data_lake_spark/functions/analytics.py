@@ -342,3 +342,69 @@ def event_transition_matrix(
             F.round(F.col("n_transitions") / F.col("_total"), 6).alias("p_transition"),
         )
     )
+
+
+def grouped_ewma(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str = "value",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Exponentially weighted moving average per group, reported at the last
+    observation: ewma_t = α·x_t + (1−α)·ewma_{t−1}, seeded with the first
+    value (pandas `ewm(adjust=False)` semantics — the standard streaming
+    EWMA used for drift/level monitoring on metrics pipelines).
+
+    Shape: ONE shuffle builds each group's chronologically ordered value
+    array (sort_array over (ts, tiebreak, value) structs — deterministic
+    under any partitioning); the fold is IN-ROW via `aggregate`, a strict
+    left fold, so both Spark and any other IEEE-double engine folding left
+    produce bit-identical results. No window, no second shuffle.
+    At 100 TB the watch item is one group holding an entire history in a
+    row — cap or pre-bucket by time range if groups grow unbounded."""
+    seqs = df.groupBy(*keys).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct(ts_col, tiebreak_col, value_col))),
+            lambda s: s[value_col].cast("double"),
+        ).alias("_vals")
+    )
+    folded = F.aggregate(
+        F.slice(F.col("_vals"), F.lit(2), F.greatest(F.size("_vals") - 1, F.lit(0))),
+        F.element_at(F.col("_vals"), 1),
+        lambda acc, x: F.lit(float(alpha)) * x + F.lit(float(1.0 - alpha)) * acc,
+    )
+    return seqs.select(
+        *keys,
+        F.size("_vals").alias("n_obs"),
+        F.round(folded, 6).alias("ewma"),
+    )
+
+
+def interarrival_stats(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Inter-arrival-time profile per event type: for each user's
+    chronological stream, the gap to the previous event (any type), grouped
+    by the CURRENT event's type — the standard arrival-process health signal
+    (burst detection, dead-source alarms).
+
+    Exactness: gaps are integer MICROSECONDS (unix_micros difference), so
+    the per-type sums are exact BIGINT arithmetic — no float-summation
+    order sensitivity across engines; the single division to seconds
+    happens once per output row. Shape: one user-partitioned window (lag),
+    one combinable aggregate."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    micros = F.unix_micros(F.col(ts_col))
+    gap = micros - F.lag(micros).over(w)
+    gaps = df.select(F.col(type_col), gap.alias("_gap_us")).where(F.col("_gap_us").isNotNull())
+    return gaps.groupBy(type_col).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.sum("_gap_us") / F.count(F.lit(1)) / 1e6, 6).alias("avg_gap_sec"),
+        F.round(F.max("_gap_us") / 1e6, 6).alias("max_gap_sec"),
+    )

@@ -537,3 +537,90 @@ def dedup_against_corpus(
         fresh.join(first_ids, [ "_h", id_col], "left_semi")
         .select(id_col, text_col)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Asymmetric near-duplicate detection by shingle CONTAINMENT:
+    C(a→b) = |S(a) ∩ S(b)| / |S(a)| — unlike Jaccard, containment flags a
+    short document embedded inside a longer one (quote farms, partial
+    scrapes), the case symmetric resemblance misses (Broder 1997
+    distinguishes resemblance vs containment).
+
+    Shape: the same posting-list equi-join as `ngram_jaccard_pairs` — pairs
+    materialize only for docs sharing at least one n-shingle, never
+    all-pairs; |S(a)| sizes join back key-partitioned. Emits both directions
+    a→b and b→a when both clear the threshold (containment is directional)."""
+    sh = shingles(df, id_col=id_col, text_col=text_col, n=n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_size"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "doc_a"), "doc_a")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("_size"), 6).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )
+
+
+def cross_source_duplication(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Cross-source duplication audit: for every source pair, the shared
+    distinct n-gram shingles (near-dup overlap pressure) and shared exact
+    normalized-content fingerprints (mirror detection) — the "is source B a
+    mirror/derivative of source A" signal that decides whether a whole
+    source gets dropped before document-level dedup even runs.
+
+    Shape: one distinct per (source, shingle) / (source, fingerprint), then
+    key equi-joins emitting ordered pairs; join fan-out per key is
+    (#sources containing it)², bounded by the source count, not the corpus.
+    Fingerprint counts left-join onto the shingle pairs (a pair with zero
+    shared shingles shares no exact content either)."""
+    sh = (
+        shingles(df, id_col=id_col, text_col=text_col, n=shingle_n)
+        .join(df.select(id_col, source_col), id_col)
+        .select(F.col(source_col).alias("_src"), "shingle")
+        .distinct()
+    )
+    shared_sh = (
+        sh.select(F.col("_src").alias("source_a"), "shingle")
+        .join(sh.select(F.col("_src").alias("source_b"), "shingle"), "shingle")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+    fp = F.md5(F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "))
+    sfp = df.select(F.col(source_col).alias("_src"), fp.alias("_fp")).distinct()
+    shared_fp = (
+        sfp.select(F.col("_src").alias("source_a"), "_fp")
+        .join(sfp.select(F.col("_src").alias("source_b"), "_fp"), "_fp")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("_n_fp"))
+    )
+    return shared_sh.join(shared_fp, ["source_a", "source_b"], "left").select(
+        "source_a",
+        "source_b",
+        "n_shared_shingles",
+        F.coalesce(F.col("_n_fp"), F.lit(0)).alias("n_shared_fingerprints"),
+    )

@@ -252,3 +252,38 @@ def quantile_normalize_scores(
         F.col(score_col),
         F.round(F.percent_rank().over(w), 6).alias("norm_score"),
     )
+
+
+def token_entropy(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Shannon entropy (nats) of each document's token distribution — the
+    classic gibberish/boilerplate signal (near-zero entropy = one token
+    repeated; high entropy = diverse vocabulary). Computed via the
+    sufficient-statistics identity H = ln(T) − Σ n·ln(n) / T over per-token
+    counts, so both aggregation levels are combinable map-side and no
+    per-document probability vector is ever materialized.
+
+    Shape: explode → (doc, token) count → per-doc aggregate; two shuffles,
+    both partial-aggregated. Zero-token documents are excluded (entropy
+    undefined), matching the tokenizer's empty-text handling elsewhere."""
+    from pyspark.sql import functions as F
+
+    from .text import tokens as _tokens
+
+    counts = (
+        df.select(F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("_tok"))
+        .groupBy(id_col, "_tok")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return counts.groupBy(id_col).agg(
+        F.sum("_n").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_unique"),
+        F.round(
+            F.log(F.sum("_n").cast("double"))
+            - F.sum(F.col("_n") * F.log(F.col("_n").cast("double"))) / F.sum("_n"),
+            6,
+        ).alias("entropy_nats"),
+    )

@@ -173,3 +173,50 @@ def rrf_fuse(
         F.sum("_contrib").cast("double").alias("rrf_score"),
         F.count(F.lit(1)).alias("n_rankings"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """The k most characteristic terms per group by summed TF-IDF — the
+    corpus-card summary ("what is this source about") used when auditing a
+    training-data mix. idf = ln((N+1)/(df+1)) + 1 (the smoothed sklearn
+    formulation; never zero, no division hazards), tf summed over the
+    group's documents.
+
+    Shape: explode once; (group, term) counts and (term → df) document
+    frequencies are both map-side-combined aggregates; the vocabulary join
+    is key-partitioned (vocab ~ millions of rows at corpus scale — too big
+    to broadcast, small next to the corpus); top-k is a per-group window
+    over |vocab_g| rows, never a global sort. Ranking uses the ROUNDED
+    score so sub-ulp libm ln() differences can't flip ranks across engines;
+    remaining ties break on the term string."""
+    toks = df.select(
+        F.col(group_col), F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    n_docs = df.count()  # scalar driver-side: one number, not data movement
+    tf = toks.groupBy(group_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = toks.select(id_col, "term").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    scored = tf.join(docfreq, "term").select(
+        F.col(group_col),
+        F.col("term"),
+        F.col("tf"),
+        F.col("df"),
+        F.round(
+            F.col("tf") * (F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
+        ).alias("tfidf"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .where(F.col("term_rank") <= k)
+        .select(group_col, "term_rank", "term", "tf", "df", "tfidf")
+    )

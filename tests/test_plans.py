@@ -456,3 +456,68 @@ def test_quantile_normalize_single_partitioned_window(spark, sf_dir):
     assert "Window" in plan
     assert "hashpartitioning(source" in plan
     assert "SinglePartition" not in plan
+
+
+def test_grouped_ewma_single_shuffle_in_row_fold(spark, sf_dir):
+    """EWMA: one group-key shuffle builds the ordered array; the α-fold is
+    in-row — no Window, no second Exchange, no Sort of the full data."""
+    from smart_data_lake_spark.functions.analytics import grouped_ewma
+    from smart_data_lake_spark.streaming.operators import read_events_batch
+
+    df = grouped_ewma(read_events_batch(spark, sf_dir), ["event_type"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "Window" not in plan
+    assert "partial_" in plan
+
+
+def test_interarrival_user_partitioned_window(spark, sf_dir):
+    """Gap extraction is a USER-partitioned window (never SinglePartition)
+    followed by one combinable per-type aggregate."""
+    from smart_data_lake_spark.functions.analytics import interarrival_stats
+    from smart_data_lake_spark.streaming.operators import read_events_batch
+
+    df = interarrival_stats(read_events_batch(spark, sf_dir))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(user_id" in plan
+    assert "SinglePartition" not in plan
+    assert plan.count("Exchange") == 2  # window shuffle + type aggregate
+    assert "partial_" in plan
+
+
+def test_tfidf_no_cartesian_partitioned_window(spark, sf_dir):
+    import os as _os
+
+    from smart_data_lake_spark.functions.search import tfidf_top_terms
+
+    docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+    plan = tfidf_top_terms(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "hashpartitioning(source" in plan  # per-source top-k, no global sort
+    assert "SinglePartition" not in plan
+
+
+def test_token_entropy_two_combinable_shuffles(spark, sf_dir):
+    import os as _os
+
+    from smart_data_lake_spark.functions.quality import token_entropy
+
+    docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+    plan = token_entropy(docs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 2
+    assert "partial_" in plan
+    assert "Window" not in plan and "Sort" not in plan
+
+
+def test_containment_and_cross_source_never_all_pairs(spark, sf_dir):
+    """Both audits must pair documents/sources through key equi-joins on
+    shingle/fingerprint — an all-pairs product here is the 100 TB killer."""
+    import os as _os
+
+    from smart_data_lake_spark.functions.dedup import containment_pairs, cross_source_duplication
+
+    docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+    for df in (containment_pairs(docs), cross_source_duplication(docs)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
