@@ -298,9 +298,14 @@ def load_config(config: dict[str, Any]) -> InstanceRegistry:
         for agent_id, spec in config["agents"].items():
             spec = dict(spec)
             type_name = spec.pop("type", "HttpAgent")
-            if type_name != "HttpAgent":
+            if type_name == "HttpAgent":
+                agents[agent_id] = HttpAgent(id=agent_id, **_snake_kwargs(spec))
+            elif type_name == "AzureRelayAgent":
+                from smart_data_lake_spark.relay_agent import AzureRelayAgent
+
+                agents[agent_id] = AzureRelayAgent(id=agent_id, **_snake_kwargs(spec))
+            else:
                 raise ConfigError(f"unknown Agent type {type_name!r} for id {agent_id!r}")
-            agents[agent_id] = HttpAgent(id=agent_id, **_snake_kwargs(spec))
     for action_id, spec in (config.get("actions") or {}).items():
         spec = dict(spec)
         type_name = spec.pop("type", None)
