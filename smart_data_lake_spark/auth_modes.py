@@ -48,6 +48,7 @@ __all__ = [
     "SASLSCRAMAuthMode",
     "SSLCertsAuthMode",
     "PublicKeyAuthMode",
+    "AzureADClientGrantAuthMode",
 ]
 
 
@@ -375,3 +376,26 @@ class PublicKeyAuthMode(AuthMode):
             "allow_agent": True,
             "look_for_keys": True,
         }
+
+
+class AzureADClientGrantAuthMode(OAuthMode):
+    """AAD client-credentials grant (sdl-azure AzureADClientGrantAuthMode
+    .scala:30-45): authority + applicationId + clientSecret + scope. The
+    reference calls MSAL's ConfidentialClientApplication; the token request
+    it issues is the standard OAuth2 client-credentials POST to
+    ``{authority}/oauth2/v2.0/token``, which :class:`OAuthMode` already
+    speaks — this subclass just maps the AAD field names."""
+
+    def __init__(self, authority: str, application_id: str, client_secret: str, scope: str) -> None:
+        if not authority:
+            raise ConfigError("AzureADClientGrantAuthMode requires authority")
+        token_url = authority.rstrip("/")
+        if not token_url.endswith("/token"):
+            token_url = token_url + "/oauth2/v2.0/token"
+        super().__init__(
+            oauth_url=token_url,
+            client_id=application_id,
+            client_secret=client_secret,
+            oauth_scope=scope,
+        )
+        self.authority = authority

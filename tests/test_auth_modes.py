@@ -248,3 +248,24 @@ def test_webservice_accepts_typed_auth_mode():
         auth_mode={"type": "AuthHeaderMode", "headerName": "X-K", "secret": "v"},
     )
     assert do._headers()["X-K"] == "v"
+
+
+def test_azure_ad_client_grant_mode(token_server):
+    from smart_data_lake_spark.auth_modes import AzureADClientGrantAuthMode
+
+    mode = _instantiate_nested(
+        {
+            "type": "AzureADClientGrantAuthMode",
+            "authority": token_server,  # mock token endpoint (ends with /token after mapping)
+            "applicationId": "app1",
+            "clientSecret": "s",
+            "scope": "https://example/.default",
+        }
+    )
+    assert isinstance(mode, AzureADClientGrantAuthMode)
+    assert mode.oauth_url.endswith("/oauth2/v2.0/token")
+    # point at the mock exactly and fetch
+    mode.oauth_url = token_server + "/token"
+    assert mode.get_headers() == {"Authorization": "Bearer oauth-token"}
+    body = _TokenHandler.calls[0]["body"].decode()
+    assert "client_id=app1" in body and "scope=https%3A%2F%2Fexample%2F.default" in body
