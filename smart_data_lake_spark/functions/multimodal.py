@@ -178,12 +178,117 @@ def decode_wav(payload: bytes) -> dict:
     }
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes) -> dict:
+    """REAL PNG decode on the stdlib: PNG's only entropy coding is DEFLATE,
+    which ships as `zlib` — so chunk parsing, IDAT inflate, and the five
+    scanline filters (None/Sub/Up/Average/Paeth, RFC 2083 §6) are all
+    implementable without external libs. Supports 8-bit depth, color types
+    0/2/3/4/6 (palette resolved through PLTE), non-interlaced; Adam7
+    interlace and 16-bit depth raise a clear error (rare in pipeline data,
+    and the declared-stub path still catches them in `decode_media`).
+    Returns dims/channels + exact per-channel means like `decode_bmp`."""
+    import struct as _s
+    import zlib as _z
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, idat, plte = 8, [], None
+    width = height = depth = color = interlace = None
+    while pos + 8 <= len(payload):
+        length, ctype = _s.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = _s.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG without IHDR")
+    if interlace:
+        raise ValueError("interlaced (Adam7) PNG unsupported on the stdlib path")
+    if depth != 8:
+        raise ValueError(f"PNG bit depth {depth} unsupported on the stdlib path")
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if nch is None:
+        raise ValueError(f"unknown PNG color type {color}")
+    raw = _z.decompress(b"".join(idat))
+    stride, bpp = width * nch, nch
+    prev = bytearray(stride)
+    rows: list[bytearray] = []
+    p = 0
+    for _y in range(height):
+        ftype = raw[p]
+        row = bytearray(raw[p + 1 : p + 1 + stride])
+        p += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + (left + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        rows.append(row)
+        prev = row
+    out = {"width": width, "height": height, "format": "png"}
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        out["channels"] = 3
+        sums, n = [0, 0, 0], 0
+        for row in rows:
+            for idx in row:
+                base = idx * 3
+                sums[0] += plte[base]
+                sums[1] += plte[base + 1]
+                sums[2] += plte[base + 2]
+                n += 1
+    else:
+        out["channels"] = nch
+        sums, n = [0] * nch, 0
+        for row in rows:
+            for x in range(width):
+                for ch in range(nch):
+                    sums[ch] += row[x * nch + ch]
+            n += width
+    if n:
+        out["mean_channels"] = [round(s / n, 3) for s in sums]
+    return out
+
+
 def decode_media(payload: bytes) -> dict:
-    """Dispatch: real decoders where the stdlib can (BMP, WAV), the declared
-    deterministic stub otherwise (JPEG/PNG/video need external libs absent
-    in this environment — the Spark-side plumbing is identical either way)."""
+    """Dispatch: real decoders where the stdlib can (BMP, WAV, PNG — PNG's
+    entropy coding is zlib, which IS stdlib), the declared deterministic
+    stub otherwise (JPEG/video entropy coding needs external libs absent in
+    this environment — the Spark-side plumbing is identical either way)."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav(payload)
+    if payload[:8] == _PNG_MAGIC:
+        try:
+            return decode_png(payload)
+        except ValueError:
+            # interlaced/16-bit: fall back to the declared stub
+            return decode_image_stub(payload)
     return decode_image_stub(payload)

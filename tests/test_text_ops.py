@@ -183,3 +183,123 @@ def test_multimodal_real_decoders_distributed(spark):
                           "mean_rgb": [45.0, 35.0, 25.0]}
     assert out["aud"]["sample_rate"] == 8000 and out["aud"]["rms"] == 1000.0
     assert out["other"]["format"] == "stub"  # undecodable → declared stub
+
+
+# ------------------------------------------------------------- PNG (r6, real)
+
+
+def _png_encode(width, height, pixels, color_type=2, filters=None, palette=None):
+    """Tiny forward PNG encoder for tests: `pixels` is rows of per-channel
+    byte tuples; `filters` picks the per-row filter type to exercise the
+    decoder's unfilter paths (RFC 2083 §6)."""
+    import struct
+    import zlib
+
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    stride = width * nch
+    raw = bytearray()
+    prev = bytearray(stride)
+    for y in range(height):
+        flat = bytearray()
+        for px in pixels[y]:
+            flat.extend(px if isinstance(px, (tuple, list)) else (px,))
+        assert len(flat) == stride
+        ftype = (filters or [0] * height)[y]
+        enc = bytearray(flat)
+        if ftype == 1:
+            for i in range(stride - 1, nch - 1, -1):
+                enc[i] = (flat[i] - flat[i - nch]) & 0xFF
+        elif ftype == 2:
+            for i in range(stride):
+                enc[i] = (flat[i] - prev[i]) & 0xFF
+        elif ftype == 3:
+            for i in range(stride):
+                left = flat[i - nch] if i >= nch else 0
+                enc[i] = (flat[i] - (left + prev[i]) // 2) & 0xFF
+        elif ftype == 4:
+            for i in range(stride):
+                a = flat[i - nch] if i >= nch else 0
+                b = prev[i]
+                c = prev[i - nch] if i >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = (flat[i] - pred) & 0xFF
+        raw.append(ftype)
+        raw.extend(enc)
+        prev = bytearray(flat)
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(">I", zlib.crc32(body))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", bytes(palette))
+    out += chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    return out
+
+
+def test_png_decode_rgb_all_filter_types():
+    from smart_data_lake_spark.functions.multimodal import decode_png
+
+    pixels = [
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30)],
+        [(5, 5, 5), (250, 250, 250), (1, 2, 3), (100, 110, 120)],
+        [(9, 8, 7), (6, 5, 4), (3, 2, 1), (0, 0, 0)],
+        [(40, 40, 40), (41, 41, 41), (42, 42, 42), (43, 43, 43)],
+        [(200, 100, 50), (200, 100, 50), (200, 100, 50), (200, 100, 50)],
+    ]
+    data = _png_encode(4, 5, pixels, color_type=2, filters=[0, 1, 2, 3, 4])
+    out = decode_png(data)
+    assert (out["width"], out["height"], out["channels"]) == (4, 5, 3)
+    flat = [px for row in pixels for px in row]
+    for ch in range(3):
+        expect = round(sum(p[ch] for p in flat) / len(flat), 3)
+        assert out["mean_channels"][ch] == expect
+
+
+def test_png_decode_gray_and_rgba_and_palette():
+    from smart_data_lake_spark.functions.multimodal import decode_png
+
+    gray = _png_encode(3, 2, [[(0,), (128,), (255,)], [(10,), (20,), (30,)]],
+                       color_type=0, filters=[4, 2])
+    g = decode_png(gray)
+    assert g["channels"] == 1
+    assert g["mean_channels"] == [round((0 + 128 + 255 + 10 + 20 + 30) / 6, 3)]
+
+    rgba = _png_encode(2, 1, [[(1, 2, 3, 255), (5, 6, 7, 128)]], color_type=6, filters=[1])
+    a = decode_png(rgba)
+    assert a["channels"] == 4
+    assert a["mean_channels"] == [3.0, 4.0, 5.0, round((255 + 128) / 2, 3)]
+
+    pal = [255, 0, 0, 0, 255, 0]  # index0=red, index1=green
+    p = _png_encode(2, 2, [[(0,), (1,)], [(1,), (1,)]], color_type=3,
+                    filters=[0, 1], palette=pal)
+    pd_ = decode_png(p)
+    assert pd_["channels"] == 3
+    assert pd_["mean_channels"] == [round(255 / 4, 3), round(3 * 255 / 4, 3), 0.0]
+
+
+def test_png_dispatch_and_unsupported_fallback():
+    import struct
+    import zlib
+
+    from smart_data_lake_spark.functions.multimodal import decode_media, decode_png
+
+    data = _png_encode(2, 2, [[(1, 1, 1), (2, 2, 2)], [(3, 3, 3), (4, 4, 4)]])
+    assert decode_media(data)["format"] == "png"
+    # interlaced header -> clear error from decode_png, stub via decode_media
+    def chunk(ctype, body):
+        b = ctype + body
+        return struct.pack(">I", len(body)) + b + struct.pack(">I", zlib.crc32(b))
+
+    interlaced = (b"\x89PNG\r\n\x1a\n"
+                  + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
+                  + chunk(b"IDAT", zlib.compress(b"\x00" * 14)) + chunk(b"IEND", b""))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="interlaced"):
+        decode_png(interlaced)
+    assert decode_media(interlaced)["format"] == "stub"
