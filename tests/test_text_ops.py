@@ -303,3 +303,24 @@ def test_png_dispatch_and_unsupported_fallback():
     with _pytest.raises(ValueError, match="interlaced"):
         decode_png(interlaced)
     assert decode_media(interlaced)["format"] == "stub"
+
+
+def test_extract_image_features_real_png_pipeline(spark, tmp_path):
+    """binaryFile scan -> mapInPandas with the REAL stdlib PNG codec: the
+    decode happens executor-side and the driver sees only typed metadata."""
+    from smart_data_lake_spark.functions.multimodal import decode_media, extract_image_features
+
+    for i in range(3):
+        w = 2 + i
+        pixels = [[(i * 10, i * 20 % 256, i * 30 % 256)] * w for _ in range(4)]
+        (tmp_path / f"img{i}.png").write_bytes(
+            _png_encode(w, 4, pixels, color_type=2, filters=[0, 1, 2, 4])
+        )
+    binf = spark.read.format("binaryFile").option("pathGlobFilter", "*.png").load(str(tmp_path))
+    out = extract_image_features(binf, decoder=decode_media).collect()
+    metas = {r["path"].rsplit("/", 1)[-1]: r["meta"] for r in out}
+    assert len(metas) == 3
+    for i in range(3):
+        m = metas[f"img{i}.png"]
+        assert m["format"] == "png"
+        assert (m["width"], m["height"], m["channels"]) == (2 + i, 4, 3)
