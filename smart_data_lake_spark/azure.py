@@ -278,3 +278,75 @@ class AzureKeyVaultSecretProvider:
         with urllib.request.urlopen(req, timeout=30) as resp:
             payload = json.loads(resp.read().decode())
         return payload["value"]
+
+
+class LogAnalyticsLogHandler:
+    """`logging.Handler` analog of the reference's log4j2
+    ``LogAnalyticsAppender`` (LogAnalyticsAppender.scala:30-80): buffers log
+    records, flushes to the backend when the buffer reaches the backend's
+    batch size or after ``max_delay_sec`` since the first buffered record,
+    skips HTTP-client loggers to avoid send loops, never raises into the
+    logging call.
+
+    Implemented as a ``logging.Handler`` subclass at import time would tie
+    the module to handler registration; instead this factory builds one::
+
+        handler = LogAnalyticsLogHandler.build(backend)
+        logging.getLogger().addHandler(handler)
+    """
+
+    @staticmethod
+    def build(backend: LogAnalyticsBackend, max_delay_sec: float = 5.0, log_type_field: str = "sdlb_log"):
+        import logging
+        import time as _time
+
+        class _Handler(logging.Handler):
+            def __init__(self) -> None:
+                super().__init__()
+                self._buf: list[dict] = []
+                self._first_ts: float | None = None
+                self._lock2 = __import__("threading").Lock()
+
+            def emit(self, record: logging.LogRecord) -> None:
+                # avoid send loops: the backend's own HTTP machinery logs
+                # through urllib/http.client
+                if record.name.startswith(("urllib", "http.client")):
+                    return
+                event = {
+                    "timestamp": record.created,
+                    "level": record.levelname,
+                    "logger": record.name,
+                    "message": record.getMessage(),
+                }
+                if record.exc_info and record.exc_info[0] is not None:
+                    import traceback as _tb
+
+                    event["exception"] = "".join(_tb.format_exception(*record.exc_info))[:4000]
+                flush_now = False
+                with self._lock2:
+                    self._buf.append(event)
+                    if self._first_ts is None:
+                        self._first_ts = _time.monotonic()
+                    if (
+                        len(self._buf) >= backend.batch_size
+                        or _time.monotonic() - self._first_ts >= max_delay_sec
+                    ):
+                        flush_now = True
+                if flush_now:
+                    self.flush()
+
+            def flush(self) -> None:
+                with self._lock2:
+                    batch, self._buf = self._buf, []
+                    self._first_ts = None
+                if batch:
+                    try:
+                        backend.send(batch)
+                    except Exception:  # noqa: BLE001 — a log sink must never raise
+                        pass
+
+            def close(self) -> None:
+                self.flush()
+                super().close()
+
+        return _Handler()

@@ -247,3 +247,31 @@ def test_keyvault_registered_as_secret_provider(vault):
     )
     register_secret_provider("AZKVTEST", provider)
     assert resolve_secret("AZKVTEST#api-key") == "value-of-api-key"
+
+
+def test_log_handler_batches_and_flushes(collector):
+    import logging
+
+    from smart_data_lake_spark.azure import LogAnalyticsLogHandler
+
+    backend = LogAnalyticsHttpCollectorBackend(
+        WORKSPACE_ID, WORKSPACE_KEY, log_type="sdlb_log", endpoint=collector
+    )
+    handler = LogAnalyticsLogHandler.build(backend, max_delay_sec=9999)
+    log = logging.getLogger("sdl.test.handler")
+    log.setLevel(logging.INFO)
+    log.addHandler(handler)
+    try:
+        for i in range(backend.batch_size):  # hits the batch threshold exactly
+            log.info("event %d", i)
+        assert len(_CollectorHandler.received) == 1
+        events = _CollectorHandler.received[0]["events"]
+        assert len(events) == backend.batch_size
+        assert events[0]["message"] == "event 0" and events[0]["level"] == "INFO"
+        # suppressed logger names never ship
+        logging.getLogger("urllib3.connectionpool").addHandler(handler)
+        log.info("tail")  # buffered, under threshold
+        handler.flush()
+        assert _CollectorHandler.received[-1]["events"][-1]["message"] == "tail"
+    finally:
+        log.removeHandler(handler)
