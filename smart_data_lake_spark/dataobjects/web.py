@@ -156,6 +156,16 @@ class WebserviceFileDataObject(DataObject, CanCreateDataFrame, CanWriteDataFrame
         self.records_field = records_field
         self.schema = schema
 
+    def prepare(self, spark) -> None:
+        # AuthMode.prepare() lifecycle (AuthMode.scala:40-43): validate
+        # config / warm tokens during the prepare phase, not mid-request
+        if hasattr(self.auth_mode, "prepare"):
+            self.auth_mode.prepare()
+
+    def post_exec_cleanup(self) -> None:
+        if hasattr(self.auth_mode, "close"):
+            self.auth_mode.close()
+
     def _headers(self) -> dict[str, str]:
         return {"Accept": self.mime_type, **self.auth_mode.build_headers(), **self.additional_headers}
 

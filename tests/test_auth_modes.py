@@ -269,3 +269,20 @@ def test_azure_ad_client_grant_mode(token_server):
     assert mode.get_headers() == {"Authorization": "Bearer oauth-token"}
     body = _TokenHandler.calls[0]["body"].decode()
     assert "client_id=app1" in body and "scope=https%3A%2F%2Fexample%2F.default" in body
+
+
+def test_webservice_prepare_warms_token(token_server):
+    from smart_data_lake_spark.dataobjects.web import WebserviceFileDataObject
+
+    do = WebserviceFileDataObject(
+        id="w2", url="http://x/api",
+        auth_mode={"type": "OAuthMode", "oauthUrl": token_server + "/token",
+                   "clientId": "c", "clientSecret": "s"},
+    )
+    do.prepare(None)  # warms the token in the prepare phase
+    assert len(_TokenHandler.calls) == 1
+    do._headers()  # cached — no second fetch
+    assert len(_TokenHandler.calls) == 1
+    do.post_exec_cleanup()
+    do._headers()
+    assert len(_TokenHandler.calls) == 2
