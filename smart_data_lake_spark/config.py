@@ -304,6 +304,12 @@ def load_config(config: dict[str, Any]) -> InstanceRegistry:
                 from smart_data_lake_spark.relay_agent import AzureRelayAgent
 
                 agents[agent_id] = AzureRelayAgent(id=agent_id, **_snake_kwargs(spec))
+            elif type_name in ("WebSocketAgent", "JettyAgent"):
+                # JettyAgent is the reference's name for the direct-websocket
+                # agent endpoint (workflow/agent/JettyAgent.scala:27)
+                from smart_data_lake_spark.relay_agent import WebSocketAgent
+
+                agents[agent_id] = WebSocketAgent(id=agent_id, **_snake_kwargs(spec))
             else:
                 raise ConfigError(f"unknown Agent type {type_name!r} for id {agent_id!r}")
     for action_id, spec in (config.get("actions") or {}).items():

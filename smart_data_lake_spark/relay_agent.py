@@ -211,3 +211,93 @@ class AzureRelayAgent:
             return json.loads(msg)
         finally:
             channel.close()
+
+
+# ---------------------------------------------------- direct websocket agent
+
+
+class WebSocketAgentServer:
+    """Direct WebSocket agent endpoint (the reference's Jetty websocket
+    server, ``communication/agent/JettyAgentServer*`` — agent exposes a ws
+    port, coordinator dials in). Shares the instruction handler with the
+    HTTP and relay transports."""
+
+    def __init__(self, handler: Callable[[dict], dict], host: str = "127.0.0.1", port: int = 0) -> None:
+        import socket as _socket
+
+        self.handler = handler
+        self._srv = _socket.create_server((host, port))
+        self.port = self._srv.getsockname()[1]
+        self.host = host
+        self._stopped = False
+        self._thread: threading.Thread | None = None
+
+    @property
+    def url(self) -> str:
+        return f"ws://{self.host}:{self.port}/agent"
+
+    def start(self) -> None:
+        self._thread = threading.Thread(target=self._serve, daemon=True)
+        self._thread.start()
+
+    def _serve(self) -> None:
+        import socket as _socket
+
+        from smart_data_lake_spark.ws import ws_accept
+
+        self._srv.settimeout(0.2)
+        while not self._stopped:
+            try:
+                conn, _ = self._srv.accept()
+            except (_socket.timeout, OSError):
+                continue
+            threading.Thread(target=self._serve_conn, args=(conn,), daemon=True).start()
+
+    def _serve_conn(self, conn) -> None:
+        from smart_data_lake_spark.ws import ws_accept
+
+        try:
+            _target, _headers, ws = ws_accept(conn)
+        except ConnectionError:
+            return
+        try:
+            while True:
+                msg = ws.recv_message()
+                if msg is None:
+                    return
+                try:
+                    response = self.handler(json.loads(msg))
+                except Exception:  # noqa: BLE001 — remote gets the traceback
+                    response = {"error": traceback.format_exc()}
+                ws.send_text(json.dumps(response))
+        finally:
+            ws.close()
+
+    def stop(self) -> None:
+        self._stopped = True
+        try:
+            self._srv.close()
+        except OSError:
+            pass
+
+
+class WebSocketAgent:
+    """Coordinator-side declaration for a direct websocket agent
+    (workflow/agent/JettyAgent.scala:27 — id + ws url). One connection per
+    instruction; same send_instruction contract as HttpAgent."""
+
+    def __init__(self, id: str, url: str, timeout_sec: float = 300.0) -> None:
+        self.id = id
+        self.url = url
+        self.timeout_sec = timeout_sec
+
+    def send_instruction(self, payload: dict[str, Any]) -> dict[str, Any]:
+        channel = ws_connect(self.url, timeout_sec=self.timeout_sec)
+        try:
+            channel.send_text(json.dumps(payload))
+            msg = channel.recv_message()
+            if msg is None:
+                raise ConnectionError(f"({self.id}) websocket agent closed without a response")
+            return json.loads(msg)
+        finally:
+            channel.close()

@@ -265,3 +265,43 @@ def test_proxy_action_pipeline_over_relay(spark, tmp_path, sf_dir, relay):
     n = spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
     assert spark.read.parquet(str(tmp_path / "local_out")).count() == n
     server.stop()
+
+
+def test_websocket_agent_direct_roundtrip():
+    from smart_data_lake_spark.relay_agent import WebSocketAgent, WebSocketAgentServer
+
+    server = WebSocketAgentServer(handler=lambda p: {"echo": p["phase"]})
+    server.start()
+    agent = WebSocketAgent(id="w", url=server.url)
+    assert agent.send_instruction({"phase": "init", "config": {}}) == {"echo": "init"}
+    assert agent.send_instruction({"phase": "exec", "config": {}}) == {"echo": "exec"}
+    server.stop()
+
+
+def test_jetty_agent_config_alias(spark, tmp_path, sf_dir):
+    """`type: JettyAgent` (the reference's direct-websocket agent) drives a
+    real ProxyAction pipeline over the ws transport."""
+    from smart_data_lake_spark.agents import AgentServer
+    from smart_data_lake_spark.plans.app import SmartDataLakeBuilder
+    from smart_data_lake_spark.relay_agent import WebSocketAgentServer
+
+    server = WebSocketAgentServer(handler=AgentServer(spark)._handle)
+    server.start()
+    builder = SmartDataLakeBuilder(
+        config={
+            "agents": {"remote": {"type": "JettyAgent", "url": server.url}},
+            "dataObjects": {
+                "src": {"type": "ParquetFileDataObject", "path": os.path.join(sf_dir, "region.parquet")},
+                "mid": {"type": "ParquetFileDataObject", "path": str(tmp_path / "ws_out")},
+            },
+            "actions": {
+                "remote_copy": {"type": "CopyAction", "inputId": "src", "outputId": "mid",
+                                "agentId": "remote"},
+            },
+        }
+    )
+    state = builder.run(spark=spark)
+    assert state.action_states["remote_copy"] == "SUCCEEDED"
+    n = spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    assert spark.read.parquet(str(tmp_path / "ws_out")).count() == n
+    server.stop()

@@ -78,6 +78,13 @@ def main(factor: int) -> str:
         "sessionize_events",
         "range_frame_trailing_value",
         "user_top_event",
+        # r6 additions
+        "ewma_value_by_type",
+        "interarrival_stats_by_type",
+        "tfidf_top_terms_per_source",
+        "token_entropy_docs",
+        "containment_pairs_docs",
+        "cross_source_dup_audit",
     ]
 
     def timed(name: str, sf_dir: str) -> float:
