@@ -104,7 +104,15 @@ class Action(abc.ABC):
         ...
 
     def post_exec(self, spark: SparkSession, inputs: list[SparkSubFeed], outputs: list[SparkSubFeed]) -> None:
-        pass
+        # release per-run resources held by this action's data objects
+        # (AuthMode.close() after exec — AuthMode.scala:45-49): token caches,
+        # custom auth sockets. Subclasses overriding post_exec should call
+        # super().post_exec(...)
+        for do_id in self.input_ids + self.output_ids:
+            do = self._do(do_id)
+            cleanup = getattr(do, "post_exec_cleanup", None)
+            if cleanup is not None:
+                cleanup()
 
     def should_execute(self, subfeeds: list[SparkSubFeed]) -> bool:
         """Default: skip if any input is skipped (Action.scala:189-207)."""

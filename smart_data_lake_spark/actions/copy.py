@@ -44,6 +44,7 @@ class CopyAction(DataFrameAction):
         return {self.output_id: df}
 
     def post_exec(self, spark, inputs, outputs):
+        super().post_exec(spark, inputs, outputs)
         if self.delete_data_after_read:
             import shutil
 

@@ -310,8 +310,13 @@ class SASLSCRAMAuthMode(AuthMode):
             if self.ssl_mechanism == "PLAIN"
             else "org.apache.kafka.common.security.scram.ScramLoginModule"
         )
-        user = resolve_secret(self.username).replace('"', '\\"')
-        pwd = resolve_secret(self.password).replace('"', '\\"')
+        # backslashes FIRST, then quotes — a trailing backslash would
+        # otherwise escape the closing quote and corrupt the JAAS config
+        def _jaas_escape(s: str) -> str:
+            return s.replace("\\", "\\\\").replace('"', '\\"')
+
+        user = _jaas_escape(resolve_secret(self.username))
+        pwd = _jaas_escape(resolve_secret(self.password))
         opts = {
             "kafka.security.protocol": "SASL_SSL",
             "kafka.sasl.mechanism": self.ssl_mechanism,

@@ -296,16 +296,16 @@ class LogAnalyticsLogHandler:
     """
 
     @staticmethod
-    def build(backend: LogAnalyticsBackend, max_delay_sec: float = 5.0, log_type_field: str = "sdlb_log"):
+    def build(backend: LogAnalyticsBackend, max_delay_sec: float = 5.0):
         import logging
-        import time as _time
+        import threading as _threading
 
         class _Handler(logging.Handler):
             def __init__(self) -> None:
                 super().__init__()
                 self._buf: list[dict] = []
-                self._first_ts: float | None = None
-                self._lock2 = __import__("threading").Lock()
+                self._timer: _threading.Timer | None = None
+                self._lock2 = _threading.Lock()
 
             def emit(self, record: logging.LogRecord) -> None:
                 # avoid send loops: the backend's own HTTP machinery logs
@@ -325,20 +325,24 @@ class LogAnalyticsLogHandler:
                 flush_now = False
                 with self._lock2:
                     self._buf.append(event)
-                    if self._first_ts is None:
-                        self._first_ts = _time.monotonic()
-                    if (
-                        len(self._buf) >= backend.batch_size
-                        or _time.monotonic() - self._first_ts >= max_delay_sec
-                    ):
+                    if len(self._buf) >= backend.batch_size:
                         flush_now = True
+                    elif self._timer is None:
+                        # a real timer, not an emit-driven check: a sub-batch
+                        # buffer must still ship when logging goes quiet
+                        # (r6 review finding)
+                        self._timer = _threading.Timer(max_delay_sec, self.flush)
+                        self._timer.daemon = True
+                        self._timer.start()
                 if flush_now:
                     self.flush()
 
             def flush(self) -> None:
                 with self._lock2:
                     batch, self._buf = self._buf, []
-                    self._first_ts = None
+                    if self._timer is not None:
+                        self._timer.cancel()
+                        self._timer = None
                 if batch:
                     try:
                         backend.send(batch)

@@ -411,6 +411,34 @@ def peek_avro_schema(path: str) -> dict:
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
+def _infer_partition_type(path: str, col: str) -> T.DataType:
+    """Infer one partition column's type from its directory names (the same
+    ladder Spark's partition discovery applies: integer → long → double →
+    date → string). Walks only the partition-directory tree — metadata
+    scale, proportional to partition count, not data size."""
+    import re
+    from urllib.parse import unquote
+
+    values: set[str] = set()
+    for root, dirs, _files in os.walk(path):
+        for d in dirs:
+            k, sep, v = d.partition("=")
+            if sep and k == col:
+                values.add(unquote(v))
+    vals = [v for v in values if v != _HIVE_NULL]
+    if not vals:
+        return T.StringType()
+    if all(re.fullmatch(r"-?\d{1,18}", v) for v in vals):
+        if all(-(2**31) <= int(v) < 2**31 for v in vals):
+            return T.IntegerType()
+        return T.LongType()
+    if all(re.fullmatch(r"-?\d+\.\d+([eE][+-]?\d+)?", v) for v in vals):
+        return T.DoubleType()
+    if all(re.fullmatch(r"\d{4}-\d{2}-\d{2}", v) for v in vals):
+        return T.DateType()
+    return T.StringType()
+
+
 def read_avro(
     spark: SparkSession,
     path: str,
@@ -456,10 +484,14 @@ def read_avro(
     )
     parsed = files.mapInPandas(_decode, schema="doc string, path string")
     out = parsed.select(F.from_json("doc", payload).alias("r"), "path").select("r.*", "path")
+    declared = {f.name: f.dataType for f in sschema.fields}
     for c in partition_cols:
         raw = F.url_decode(F.regexp_extract("path", f"(?:^|/){c}=([^/]+)/", 1))
         val = F.when((raw == "") | (raw == _HIVE_NULL), F.lit(None)).otherwise(raw)
-        typed = next((f.dataType for f in sschema.fields if f.name == c), T.StringType())
+        # explicit schema wins; otherwise infer from the directory values the
+        # way Spark's own partition discovery does (int → long → double →
+        # date → string) — metadata-scale driver walk, never a data scan
+        typed = declared.get(c) or _infer_partition_type(path, c)
         out = out.withColumn(c, val.cast(typed))
     # preserve declared column order (payload then partitions like Spark's
     # own partitioned file sources)
@@ -497,7 +529,7 @@ def write_avro(
 
         segs = []
         for c, v in zip(part_cols, vals):
-            if v is None or (isinstance(v, float) and pd.isna(v)):
+            if v is None:
                 segs.append(f"{c}={_HIVE_NULL}")
             else:
                 segs.append(f"{c}={quote(str(v), safe='')}")
@@ -525,21 +557,38 @@ def write_avro(
             with open(os.path.join(target_dir, f"{prefix}-{pid:05d}.avro"), "wb") as fh:
                 fh.write(data)
             n += len(records)
-        yield pd.DataFrame({"records": [n]})
+        yield pd.DataFrame({"records": [n], "dirs": [json.dumps(sorted(buckets))]})
 
     # keep declared column order stable for itertuples name access; partition
-    # columns ride along after the payload so _hive_dir can read them
-    src = df.select(*field_names, *part_cols)
+    # columns ride along after the payload AS STRINGS — Spark's own
+    # cast-to-string is the Hive dir-name convention, and it prevents pandas
+    # from coercing a nullable int partition column to float64 ('1' stays
+    # '1', never '1.0'; r6 review finding)
+    src = df.select(
+        *field_names, *[F.col(c).cast("string").alias(c) for c in part_cols]
+    )
     if part_cols:
         # co-locate each partition value in one task → one file per (task,
         # partition dir); same shape as Spark's dynamic partition write
         src = src.repartition(*part_cols)
-    manifest = src.mapInPandas(_write, schema="records long").collect()
+    manifest = src.mapInPandas(_write, schema="records long, dirs string").collect()
     total = sum(r["records"] for r in manifest)
+    dirs = sorted({d for r in manifest for d in json.loads(r["dirs"])})
     if total == 0:
         # empty result still needs a schema-carrying container so a
         # downstream read returns an empty frame instead of
         # FileNotFoundError (parquet's empty-write behavior)
         with open(os.path.join(path, f"{prefix}-empty.avro"), "wb") as fh:
             fh.write(encode_ocf([], schema, codec=codec))
-    return total
+    result = WriteResult(total)
+    result.partition_dirs = dirs
+    return result
+
+
+class WriteResult(int):
+    """Total records written; ``partition_dirs`` carries the Hive partition
+    subdirectories this write touched (path-relative, [''] semantics for
+    unpartitioned) — the manifest per-partition overwrite needs, collected
+    from the executors, never recomputed from the input lineage."""
+
+    partition_dirs: list[str] = []

@@ -603,24 +603,20 @@ class AvroFileDataObject(SparkFileDataObject):
             if mode == SaveMode.IGNORE:
                 return {"records_written": 0, "no_data": True}
             raise FileExistsError(f"({self.id}) {self.path} already exists")
+        dynamic_overwrite = False
         if mode in (SaveMode.OVERWRITE, SaveMode.OVERWRITE_OPTIMIZED) and os.path.isdir(self.path):
             if not self.partitions:
                 shutil.rmtree(self.path)
-            elif partition_values:
+            elif partition_values and mode == SaveMode.OVERWRITE_OPTIMIZED:
                 # overwrite only the named partitions (parent's
                 # OverwriteOptimized contract) — never the whole layout
                 self.delete_partitions(spark, partition_values)
             else:
                 # dynamic-partition-overwrite parity: replace exactly the
-                # partitions present in df. Distinct on partition columns is
-                # metadata-scale (partition cardinality, not row count).
-                from smart_data_lake_spark.partitions import PartitionValues
-
-                combos = [
-                    PartitionValues.of({c: r[c] for c in self.partitions})
-                    for r in df.select(*self.partitions).distinct().collect()
-                ]
-                self.delete_partitions(spark, combos)
+                # partitions present in df. The written-dirs manifest from
+                # the write itself drives the cleanup — never a second pass
+                # over the input lineage (r6 review finding)
+                dynamic_overwrite = True
         elif mode == SaveMode.OVERWRITE_PRESERVE_DIRECTORIES and os.path.isdir(self.path):
             from smart_data_lake_spark.fs import get_fs
 
@@ -632,10 +628,41 @@ class AvroFileDataObject(SparkFileDataObject):
             )
             for target in targets:
                 self._delete_files_keep_dirs(target, fs)
-        prefix = "part" if mode != SaveMode.APPEND else f"part-{secrets.token_hex(4)}"
+        # unique prefix whenever new files can land NEXT TO existing ones
+        # (append, partial/dynamic overwrite of a partitioned layout) so this
+        # write can never clobber a surviving file from an earlier run
+        coexists = mode == SaveMode.APPEND or (bool(self.partitions) and mode != SaveMode.OVERWRITE_PRESERVE_DIRECTORIES)
+        prefix = f"part-{secrets.token_hex(4)}" if coexists else "part"
         codec = self.options.get("compression", "deflate")
         n = write_avro(df, self.path, codec=codec, prefix=prefix, partition_cols=self.partitions)
-        return {"records_written": n}
+        if dynamic_overwrite:
+            # replace exactly the partitions this write touched: drop files
+            # in those dirs that don't carry this write's prefix
+            for sub in getattr(n, "partition_dirs", []):
+                target = os.path.join(self.path, sub) if sub else self.path
+                if not os.path.isdir(target):
+                    continue
+                for fname in os.listdir(target):
+                    if fname.endswith(".avro") and not fname.startswith(prefix):
+                        os.remove(os.path.join(target, fname))
+        return {"records_written": int(n)}
+
+    def delete_partitions(self, spark: SparkSession, partition_values: list[PartitionValues]) -> None:
+        """Partition dirs are %-encoded by the fallback writer (read back via
+        url_decode); delete both the encoded and the plain form so an
+        overwrite of a value needing encoding never silently keeps old files
+        (r6 review finding)."""
+        from urllib.parse import quote
+
+        from smart_data_lake_spark.fs import get_fs
+
+        fs = get_fs(spark, self.path)
+        for pv in partition_values:
+            encoded = "/".join(f"{k}={quote(str(v), safe='')}" for k, v in pv.values)
+            for sub in {pv.hive_path(), encoded}:
+                target = os.path.join(self.path, sub)
+                if fs.is_dir(target):
+                    fs.delete(target, recursive=True)
 
 
 @register_data_object_type

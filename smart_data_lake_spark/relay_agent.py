@@ -134,35 +134,47 @@ class AzureRelayAgentServer:
         self.conn = RelayConnectionString(connection_string)
         self.handler = handler
         self._control: WebSocket | None = None
-        self._threads: list[threading.Thread] = []
+        self._channels: set[WebSocket] = set()  # live rendezvous channels
+        self._lock = threading.Lock()
         self._stopped = False
 
     def start(self) -> None:
-        self._control = ws_connect(self.conn.attach_url("listen"))
-        t = threading.Thread(target=self._control_loop, daemon=True)
-        t.start()
-        self._threads.append(t)
+        # recv_timeout None: a listener idles between senders indefinitely —
+        # a leftover connect timeout here silently killed the control loop
+        # after 30 quiet seconds (r6 review finding)
+        self._control = ws_connect(self.conn.attach_url("listen"), recv_timeout_sec=None)
+        threading.Thread(target=self._control_loop, daemon=True).start()
 
     def _control_loop(self) -> None:
+        import logging
+
+        log = logging.getLogger(__name__)
         while not self._stopped:
             try:
                 msg = self._control.recv_message()
-            except (ConnectionError, OSError):
+            except (ConnectionError, OSError) as e:
+                if not self._stopped:
+                    log.warning("relay control connection lost: %s", e)
                 return
             if msg is None:
                 return
-            control = json.loads(msg)
+            try:
+                control = json.loads(msg)
+            except (ValueError, TypeError):
+                # one malformed control frame must not kill the listener
+                log.warning("ignoring malformed relay control frame: %.200r", msg)
+                continue
             if "accept" in control:
                 address = control["accept"]["address"]
-                t = threading.Thread(target=self._serve_rendezvous, args=(address,), daemon=True)
-                t.start()
-                self._threads.append(t)
+                threading.Thread(target=self._serve_rendezvous, args=(address,), daemon=True).start()
 
     def _serve_rendezvous(self, address: str) -> None:
         try:
-            channel = ws_connect(address)
+            channel = ws_connect(address, recv_timeout_sec=None)
         except (ConnectionError, OSError):
             return
+        with self._lock:
+            self._channels.add(channel)
         try:
             while True:
                 msg = channel.recv_message()
@@ -173,13 +185,21 @@ class AzureRelayAgentServer:
                 except Exception:  # noqa: BLE001 — remote gets the traceback
                     response = {"error": traceback.format_exc()}
                 channel.send_text(json.dumps(response))
+        except (ConnectionError, OSError):
+            pass
         finally:
+            with self._lock:
+                self._channels.discard(channel)
             channel.close()
 
     def stop(self) -> None:
         self._stopped = True
         if self._control is not None:
             self._control.close()
+        with self._lock:
+            channels = list(self._channels)
+        for ch in channels:
+            ch.close()
 
 
 # -------------------------------------------------------------------- sender
@@ -199,7 +219,11 @@ class AzureRelayAgent:
         self.timeout_sec = timeout_sec
 
     def send_instruction(self, payload: dict[str, Any]) -> dict[str, Any]:
-        channel = ws_connect(self.conn.attach_url("connect"), timeout_sec=self.timeout_sec)
+        channel = ws_connect(
+            self.conn.attach_url("connect"),
+            timeout_sec=self.timeout_sec,
+            recv_timeout_sec=self.timeout_sec,
+        )
         try:
             channel.send_text(json.dumps(payload))
             msg = channel.recv_message()
@@ -292,7 +316,7 @@ class WebSocketAgent:
         self.timeout_sec = timeout_sec
 
     def send_instruction(self, payload: dict[str, Any]) -> dict[str, Any]:
-        channel = ws_connect(self.url, timeout_sec=self.timeout_sec)
+        channel = ws_connect(self.url, timeout_sec=self.timeout_sec, recv_timeout_sec=self.timeout_sec)
         try:
             channel.send_text(json.dumps(payload))
             msg = channel.recv_message()

@@ -136,16 +136,27 @@ class WebSocket:
             pass
 
 
-def ws_connect(url: str, timeout_sec: float = 30.0) -> WebSocket:
-    """Client handshake. Supports ws:// (wss:// accepted and treated as ws
-    inside tests — this sandbox terminates TLS nowhere; a real deployment
-    wraps the socket in ssl before the handshake)."""
+def ws_connect(
+    url: str,
+    timeout_sec: float = 30.0,
+    recv_timeout_sec: float | None = None,
+    allow_insecure_wss: bool = False,
+) -> WebSocket:
+    """Client handshake. ``timeout_sec`` bounds connect + handshake;
+    ``recv_timeout_sec`` is the timeout for SUBSEQUENT reads — None (the
+    default) blocks indefinitely, which is what long-lived listener
+    connections need (a leftover connect timeout on the socket would
+    silently kill an idle listener after 30 s).
+
+    wss:// always negotiates TLS; ``allow_insecure_wss=True`` is an explicit
+    test-only opt-out (never infer plaintext from the hostname — a SAS token
+    in the query string must not silently cross the wire unencrypted)."""
     parts = urllib.parse.urlsplit(url)
     if parts.scheme not in ("ws", "wss"):
         raise ValueError(f"unsupported scheme {parts.scheme!r}")
     port = parts.port or (443 if parts.scheme == "wss" else 80)
     sock = socket.create_connection((parts.hostname, port), timeout=timeout_sec)
-    if parts.scheme == "wss" and port != 80 and not _is_local(parts.hostname):
+    if parts.scheme == "wss" and not allow_insecure_wss:
         import ssl
 
         sock = ssl.create_default_context().wrap_socket(sock, server_hostname=parts.hostname)
@@ -175,13 +186,10 @@ def ws_connect(url: str, timeout_sec: float = 30.0) -> WebSocket:
     headers = {k.lower(): v.strip() for k, _, v in (ln.partition(":") for ln in lines[1:])}
     if headers.get("sec-websocket-accept") != _accept_value(key):
         raise ConnectionError("handshake: bad Sec-WebSocket-Accept")
+    sock.settimeout(recv_timeout_sec)  # drop the connect timeout for reads
     ws = WebSocket(sock, client=True)
     ws._buf = rest
     return ws
-
-
-def _is_local(host: str | None) -> bool:
-    return host in ("127.0.0.1", "localhost", "::1")
 
 
 def ws_accept(conn: socket.socket) -> tuple[str, dict[str, str], WebSocket]:

@@ -286,3 +286,11 @@ def test_webservice_prepare_warms_token(token_server):
     do.post_exec_cleanup()
     do._headers()
     assert len(_TokenHandler.calls) == 2
+
+
+def test_sasl_jaas_escapes_backslashes():
+    """r6 review regression: a trailing backslash must not escape the JAAS
+    closing quote."""
+    mode = SASLSCRAMAuthMode(username="u", password="p\\")
+    jaas = mode.kafka_options()["kafka.sasl.jaas.config"]
+    assert 'password="p\\\\";' in jaas  # backslash doubled, quote intact

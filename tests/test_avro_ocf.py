@@ -301,10 +301,11 @@ def test_avro_fallback_partitioned_overwrite_preserves_other_partitions(spark, t
     sch = peek_avro_schema(str(root / "dt=2024-01-01"))
     assert [f["name"] for f in sch["fields"]] == ["id", "v"]
 
-    # read recovers the partition column, typed per the layout
+    # read recovers the partition column; date-like strings infer to DATE
+    # exactly like Spark's native partition discovery would
     back = do.get_dataframe(spark)
     assert set(back.columns) == {"id", "v", "dt"}
-    assert {r["dt"] for r in back.collect()} == {"2024-01-01", "2024-01-02"}
+    assert {r["dt"] for r in back.collect()} == {dt.date(2024, 1, 1), dt.date(2024, 1, 2)}
     # partition filter applies
     pv = [PartitionValues.of({"dt": "2024-01-01"})]
     assert do.get_dataframe(spark, pv).count() == 2
@@ -313,14 +314,14 @@ def test_avro_fallback_partitioned_overwrite_preserves_other_partitions(spark, t
     repl = spark.createDataFrame([(9, "z", "2024-01-01")], "id int, v string, dt string")
     do.write_dataframe(repl, partition_values=pv, save_mode=SaveMode.OVERWRITE_OPTIMIZED)
     rows = {(r["id"], r["dt"]) for r in do.get_dataframe(spark).collect()}
-    assert rows == {(9, "2024-01-01"), (3, "2024-01-02")}
+    assert rows == {(9, dt.date(2024, 1, 1)), (3, dt.date(2024, 1, 2))}
 
     # dynamic overwrite (no partition_values): replaces exactly the
     # partitions present in the frame, keeps the rest
     dyn = spark.createDataFrame([(7, "y", "2024-01-02")], "id int, v string, dt string")
     do.write_dataframe(dyn, save_mode=SaveMode.OVERWRITE)
     rows = {(r["id"], r["dt"]) for r in do.get_dataframe(spark).collect()}
-    assert rows == {(9, "2024-01-01"), (7, "2024-01-02")}
+    assert rows == {(9, dt.date(2024, 1, 1)), (7, dt.date(2024, 1, 2))}
 
 
 def test_timestamps_stored_as_true_utc_in_non_utc_session(spark, tmp_path):
@@ -354,3 +355,57 @@ def test_timestamps_stored_as_true_utc_in_non_utc_session(spark, tmp_path):
         assert back.collect()[0]["ts"] == wall
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_avro_partition_dirs_int_and_null_values(spark, tmp_path):
+    """r6 review regression: a nullable int partition column must produce
+    'p=1' dirs (never the pandas-float 'p=1.0') and __HIVE_DEFAULT_PARTITION__
+    for NULL, and round-trip typed through read."""
+    from smart_data_lake_spark.dataobjects.file import AvroFileDataObject
+
+    df = spark.createDataFrame([(1, "a", 1), (2, "b", 2), (3, "c", None)],
+                               "id int, v string, p int")
+    do = AvroFileDataObject(id="avnull", path=str(tmp_path / "t"), partitions=["p"])
+    do.write_dataframe(df)
+    dirs = sorted(d.name for d in (tmp_path / "t").iterdir() if d.is_dir())
+    assert dirs == ["p=1", "p=2", "p=__HIVE_DEFAULT_PARTITION__"]
+    back = {r["id"]: r["p"] for r in do.get_dataframe(spark).collect()}
+    assert back == {1: 1, 2: 2, 3: None}
+    assert dict(do.get_dataframe(spark).dtypes)["p"] == "int"
+
+
+def test_avro_partition_special_chars_overwrite_deletes_encoded_dir(spark, tmp_path):
+    """r6 review regression: partition values needing %-encoding must still
+    be replaced by an overwrite (the delete has to match the encoded dir)."""
+    from smart_data_lake_spark.dataobjects.file import AvroFileDataObject
+    from smart_data_lake_spark.partitions import PartitionValues
+    from smart_data_lake_spark.save_modes import SaveMode
+
+    val = "2024-01-01 00:00"
+    df = spark.createDataFrame([(1, val)], "id int, dt string")
+    do = AvroFileDataObject(id="avsp", path=str(tmp_path / "t2"), partitions=["dt"])
+    do.write_dataframe(df)
+    repl = spark.createDataFrame([(9, val)], "id int, dt string")
+    do.write_dataframe(repl, partition_values=[PartitionValues.of({"dt": val})],
+                       save_mode=SaveMode.OVERWRITE_OPTIMIZED)
+    rows = do.get_dataframe(spark).collect()
+    assert [(r["id"], r["dt"]) for r in rows] == [(9, val)]  # no duplicate survivors
+
+
+def test_avro_dynamic_overwrite_replaces_appended_files(spark, tmp_path):
+    """r6 review regression: dynamic overwrite after several appends must
+    drop ALL earlier files of the touched partitions (unique write prefixes,
+    manifest-driven cleanup — no second lineage pass)."""
+    from smart_data_lake_spark.dataobjects.file import AvroFileDataObject
+    from smart_data_lake_spark.save_modes import SaveMode
+
+    do = AvroFileDataObject(id="avdy", path=str(tmp_path / "t3"), partitions=["p"])
+    df1 = spark.createDataFrame([(1, "x"), (2, "y")], "id int, p string")
+    do.write_dataframe(df1)
+    do.write_dataframe(spark.createDataFrame([(3, "x")], "id int, p string"),
+                       save_mode=SaveMode.APPEND)
+    # overwrite p=x only; p=y untouched
+    do.write_dataframe(spark.createDataFrame([(7, "x")], "id int, p string"),
+                       save_mode=SaveMode.OVERWRITE)
+    rows = {(r["id"], r["p"]) for r in do.get_dataframe(spark).collect()}
+    assert rows == {(7, "x"), (2, "y")}

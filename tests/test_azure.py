@@ -275,3 +275,29 @@ def test_log_handler_batches_and_flushes(collector):
         assert _CollectorHandler.received[-1]["events"][-1]["message"] == "tail"
     finally:
         log.removeHandler(handler)
+
+
+def test_log_handler_time_based_flush_without_further_emits(collector):
+    """r6 review regression: a sub-batch buffer must ship after
+    max_delay_sec even if logging goes quiet (real timer, not emit-driven)."""
+    import logging
+    import time
+
+    from smart_data_lake_spark.azure import LogAnalyticsLogHandler
+
+    backend = LogAnalyticsHttpCollectorBackend(
+        WORKSPACE_ID, WORKSPACE_KEY, log_type="sdlb_log", endpoint=collector
+    )
+    handler = LogAnalyticsLogHandler.build(backend, max_delay_sec=0.3)
+    log = logging.getLogger("sdl.test.timerflush")
+    log.setLevel(logging.INFO)
+    log.addHandler(handler)
+    try:
+        log.info("lonely event")
+        assert _CollectorHandler.received == []  # buffered
+        deadline = time.time() + 5
+        while not _CollectorHandler.received and time.time() < deadline:
+            time.sleep(0.05)
+        assert _CollectorHandler.received[0]["events"][0]["message"] == "lonely event"
+    finally:
+        log.removeHandler(handler)

@@ -305,3 +305,34 @@ def test_jetty_agent_config_alias(spark, tmp_path, sf_dir):
     n = spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
     assert spark.read.parquet(str(tmp_path / "ws_out")).count() == n
     server.stop()
+
+
+def test_wss_never_downgrades_to_plaintext():
+    """r6 review regression: wss:// to a plain socket must fail the TLS
+    handshake, never silently send the SAS token in cleartext."""
+    srv = socket.create_server(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+    threading.Thread(target=lambda: srv.accept(), daemon=True).start()
+    with pytest.raises(Exception):  # ssl handshake failure, not a ws upgrade
+        ws_connect(f"wss://127.0.0.1:{port}/x", timeout_sec=3)
+    srv.close()
+
+
+def test_listener_control_socket_blocks_indefinitely(relay):
+    """r6 review regression: the listener's control/rendezvous sockets must
+    not inherit the 30 s connect timeout (an idle listener died silently)."""
+    server = AzureRelayAgentServer(relay.connection_string, handler=lambda p: {"ok": 1})
+    server.start()
+    assert server._control._sock.gettimeout() is None
+    server.stop()
+
+
+def test_listener_survives_malformed_control_frame(relay):
+    server = AzureRelayAgentServer(relay.connection_string, handler=lambda p: {"pong": True})
+    server.start()
+    # push garbage through the relay's control channel
+    relay.listeners["agent1"].send_text("this is not json{{{")
+    agent = AzureRelayAgent(id="a1", url=relay.connection_string)
+    out = agent.send_instruction({"phase": "prepare", "config": {}})
+    assert out == {"pong": True}
+    server.stop()
