@@ -112,9 +112,15 @@ class PartitionArchiveCompactionMode(HousekeepingMode):
                 spark, pvs, self.compact_partition_expression, "compact"
             )
             todo = [pv for i, pv in enumerate(pvs) if compact[i]]
-            for pv in todo:
-                self._rewrite_partition(spark, data_object, pv, pv)
-            metrics["partitions_compacted"] = len(todo)
+            # crash-safe marker protocol (CompactionUtil.scala) — never the
+            # naive read/delete/rewrite that loses the partition on a crash
+            from smart_data_lake_spark.compaction import compact_partitions
+
+            cm = compact_partitions(spark, data_object, todo, n_files=self.n_files)
+            metrics["partitions_compacted"] = cm["partitions_compacted"]
+            metrics.update(
+                {k: v for k, v in cm.items() if k != "partitions_compacted"}
+            )
         return metrics
 
     def _rewrite_partition(self, spark, data_object, src: PartitionValues, dst: PartitionValues):
