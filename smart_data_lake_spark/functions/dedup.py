@@ -624,3 +624,56 @@ def cross_source_duplication(
         "n_shared_shingles",
         F.coalesce(F.col("_n_fp"), F.lit(0)).alias("n_shared_fingerprints"),
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.92,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication" — public method): cluster
+    embeddings with a coarse quantizer, compare cosine similarity ONLY
+    within each cluster, and drop every vector that has a lower-id neighbor
+    above the threshold (the paper keeps one representative per semantic
+    duplicate group; lowest id is the deterministic choice).
+
+    Scale shape: the cell assignment is one vectorized projection; the
+    pairwise stage is a cell-key equi-join, quadratic only WITHIN a cell —
+    the quantizer's k is chosen so cells stay bounded (the paper uses
+    k≈√N), which keeps total work ~N·cell_size instead of N². Returns the
+    per-cell audit (n_vectors / n_removed / n_kept)."""
+    from smart_data_lake_spark.functions.similarity import cell_assign_udf, norm_udf, pair_dot_udf
+
+    assign, nrm, dot_p = cell_assign_udf(centroids), norm_udf(), pair_dot_udf()
+    base = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        nrm(F.col(vec_col)).alias("_norm"),
+        assign(F.col(vec_col)).alias("cell"),
+    )
+    a = base.select(F.col("_id").alias("_ida"), F.col("_vec").alias("_veca"),
+                    F.col("_norm").alias("_norma"), "cell")
+    b = base.select(F.col("_id").alias("_idb"), F.col("_vec").alias("_vecb"),
+                    F.col("_norm").alias("_normb"), "cell")
+    removed = (
+        a.join(b, "cell")
+        .where(F.col("_ida") < F.col("_idb"))
+        .where(
+            F.round(dot_p(F.col("_veca"), F.col("_vecb")) / (F.col("_norma") * F.col("_normb")), 6)
+            >= threshold
+        )
+        .select("cell", F.col("_idb").alias("_id"))
+        .distinct()
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_removed"))
+    )
+    totals = base.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
+    return totals.join(removed, "cell", "left").select(
+        "cell",
+        "n_vectors",
+        F.coalesce(F.col("n_removed"), F.lit(0)).alias("n_removed"),
+        (F.col("n_vectors") - F.coalesce(F.col("n_removed"), F.lit(0))).alias("n_kept"),
+    )

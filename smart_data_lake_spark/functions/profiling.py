@@ -281,3 +281,46 @@ def value_histogram(
             F.round(F.first("_lo") + F.col("bucket") * (F.first("_hi") - F.first("_lo")) / n_buckets, 6).alias("bucket_lo"),
         )
     )
+
+
+def kmv_distinct(
+    df,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    k: int = 64,
+):
+    """KMV (k-minimum-values) distinct-count sketch (Bar-Yossef et al. 2002,
+    "Counting distinct elements in a data stream") with a DETERMINISTIC
+    md5-derived hash, so the estimate is reproducible across engines/runs —
+    unlike approx_count_distinct's HLL whose internal hashing is
+    engine-specific and can't be oracle-graded.
+
+    Estimator: with h_(k) the k-th smallest of the distinct keys' uniform
+    hashes in [0,1), D̂ = (k−1)/h_(k); exact count when a group has fewer
+    than k distinct keys. The sketch state is k values per group — the
+    mergeable, bounded-memory shape that replaces exact distinct at 100 TB.
+    Emits exact count alongside for the error audit."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    keys = [*(group_cols or [])]
+    h = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast("long")
+        / F.lit(float(2**32))
+    )
+    uniq = df.select(*keys, F.col(key_col)).distinct().withColumn("_h", h)
+    w = Window.partitionBy(*keys).orderBy("_h", key_col) if keys else Window.orderBy("_h", key_col)
+    ranked = uniq.withColumn("_rk", F.row_number().over(w))
+    per = ranked.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.max(F.when(F.col("_rk") == k, F.col("_h"))).alias("_hk"),
+    )
+    est = F.when(F.col("n_exact") < k, F.col("n_exact").cast("double")).otherwise(
+        (k - 1) / F.col("_hk")
+    )
+    return per.select(
+        *keys,
+        "n_exact",
+        F.round(est).cast("long").alias("kmv_estimate"),
+        F.round((F.round(est) - F.col("n_exact")) / F.col("n_exact"), 4).alias("rel_error"),
+    )

@@ -521,3 +521,45 @@ def test_containment_and_cross_source_never_all_pairs(spark, sf_dir):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semantic_dedup_cell_equijoin_never_all_pairs(spark, sf_dir):
+    import os as _os
+
+    import __spark_entry__ as e
+    from smart_data_lake_spark.functions.dedup import semantic_dedup
+
+    emb = spark.read.parquet(_os.path.join(sf_dir, "embeddings.parquet"))
+    plan = (
+        semantic_dedup(emb, e._IVF_CENTROIDS, threshold=0.2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmv_sketch_partitioned_window(spark, sf_dir):
+    from smart_data_lake_spark.functions.profiling import kmv_distinct
+    from smart_data_lake_spark.streaming.operators import read_events_batch
+
+    df = kmv_distinct(read_events_batch(spark, sf_dir), "user_id", ["event_type"], k=64)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(event_type" in plan
+    assert "SinglePartition" not in plan  # per-group ranking, never global
+
+
+def test_temperature_mix_single_agg_broadcast_normalizer(spark, sf_dir):
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from smart_data_lake_spark.functions.sampling import temperature_mix_rates
+
+    docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+    df = temperature_mix_rates(docs, size_col=F.col("n_chars"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # ONE corpus scan: the source aggregate's shuffle plus the
+    # single-partition window over the source-cardinality aggregate (bounded
+    # by #sources — never data-sized)
+    assert plan.count("Exchange") == 2
+    assert "partial_" in plan
+    assert "Join" not in plan  # normalizer is a window, not a second scan

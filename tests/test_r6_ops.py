@@ -138,3 +138,57 @@ def test_cross_source_duplication_counts(spark):
     assert pair["n_shared_fingerprints"] == 1
     assert pair["n_shared_shingles"] == 1  # the one 5-gram of the shared doc
     assert ("s1", "s3") not in out and ("s2", "s3") not in out
+
+
+def test_semantic_dedup_keeps_lowest_id(spark):
+    from smart_data_lake_spark.functions.dedup import semantic_dedup
+
+    # two centroids far apart; three near-identical vectors in cell A, one
+    # lone vector in cell B
+    c0 = [1.0] + [0.0] * 63
+    c1 = [-1.0] + [0.0] * 63
+    rows = [
+        (1, [1.0, 0.01] + [0.0] * 62),
+        (2, [1.0, 0.02] + [0.0] * 62),   # dup of 1
+        (3, [1.0, 0.03] + [0.0] * 62),   # dup of 1/2
+        (4, [-1.0, 0.5] + [0.0] * 62),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["cell"]: r for r in semantic_dedup(df, [c0, c1], threshold=0.95).collect()}
+    assert out[0]["n_vectors"] == 3 and out[0]["n_removed"] == 2 and out[0]["n_kept"] == 1
+    assert out[1]["n_vectors"] == 1 and out[1]["n_removed"] == 0
+
+
+def test_kmv_distinct_exact_below_k_and_estimates_above(spark):
+    from smart_data_lake_spark.functions.profiling import kmv_distinct
+
+    rows = [(i % 10, "small") for i in range(50)] + [(i, "big") for i in range(2000)]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = {r["event_type"]: r for r in kmv_distinct(df, "user_id", ["event_type"], k=64).collect()}
+    # below k: exact
+    assert out["small"]["n_exact"] == 10 and out["small"]["kmv_estimate"] == 10
+    assert out["small"]["rel_error"] == 0.0
+    # above k: estimate within the sketch's expected error envelope
+    assert out["big"]["n_exact"] == 2000
+    assert 1000 < out["big"]["kmv_estimate"] < 4000
+    # deterministic: a second run returns the identical estimate
+    again = {r["event_type"]: r["kmv_estimate"]
+             for r in kmv_distinct(df, "user_id", ["event_type"], k=64).collect()}
+    assert again["big"] == out["big"]["kmv_estimate"]
+
+
+def test_temperature_mix_upweights_small_sources(spark):
+    from smart_data_lake_spark.functions.sampling import temperature_mix_rates
+
+    import pyspark.sql.functions as F
+
+    rows = [("big", 100) for _ in range(90)] + [("small", 100) for _ in range(10)]
+    df = spark.createDataFrame(rows, "source string, n int")
+    out = {r["source"]: r for r in
+           temperature_mix_rates(df, size_col=F.col("n"), alpha=0.5, token_budget=1000).collect()}
+    # proportional share would be 0.9/0.1; alpha=0.5 compresses to 0.75/0.25
+    assert out["big"]["mix_weight"] == 0.75
+    assert out["small"]["mix_weight"] == 0.25
+    assert out["small"]["budget_tokens"] == 250.0
+    # weights always sum to 1
+    assert round(sum(r["mix_weight"] for r in out.values()), 6) == 1.0
