@@ -29,16 +29,37 @@ from typing import Any
 
 
 def _merge_configs(paths: list[str]) -> dict[str, Any]:
-    merged: dict[str, Any] = {}
+    """Merge JSON and HOCON config files; a directory expands to its *.conf
+    / *.json files recursively (hidden files skipped), matching the
+    reference's config-directory convention. HOCON template inheritance
+    (${templates.x} {overrides}) resolves AFTER the merge, so templates may
+    live in sibling files."""
+    import os
+
+    from smart_data_lake_spark.hocon import parse_file, resolve_templates
+
+    files: list[str] = []
     for p in paths:
-        with open(p, "r", encoding="utf-8") as fh:
-            cfg = json.load(fh)
+        if os.path.isdir(p):
+            for root, _dirs, names in os.walk(p):
+                for name in sorted(names):
+                    if not name.startswith(".") and name.endswith((".conf", ".json")):
+                        files.append(os.path.join(root, name))
+        else:
+            files.append(p)
+    merged: dict[str, Any] = {}
+    for p in files:
+        if p.endswith(".conf"):
+            cfg = parse_file(p)
+        else:
+            with open(p, "r", encoding="utf-8") as fh:
+                cfg = json.load(fh)
         for section, content in cfg.items():
             if isinstance(content, dict):
                 merged.setdefault(section, {}).update(content)
             else:
                 merged[section] = content
-    return merged
+    return resolve_templates(merged)
 
 
 def _parse_partition_values(s: str | None) -> list[dict] | None:
