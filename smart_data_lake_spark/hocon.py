@@ -107,26 +107,30 @@ class _Parser:
 
     # --------------------------------------------------------------- values
     def _parse_value_parts(self) -> list[Any]:
-        """Collect concatenated value parts until end-of-element."""
+        """Collect concatenated value parts until end-of-element. Each entry
+        is (preceded_by_whitespace, part) so string concatenation can
+        reproduce HOCON's adjacency rule (${a}/x joins WITHOUT a space)."""
         parts: list[Any] = []
         while True:
+            before = self.i
             self._skip_inline_ws()
+            had_ws = self.i > before
             c = self._peek()
             if c == "" or c in _UNQUOTED_END or self.t.startswith("//", self.i):
                 return parts
             if c == "{":
-                parts.append(self._parse_object(braced=True))
+                parts.append((had_ws, self._parse_object(braced=True)))
             elif c == "[":
-                parts.append(self._parse_array())
+                parts.append((had_ws, self._parse_array()))
             elif c == '"':
-                parts.append(("str", self._parse_quoted()))
+                parts.append((had_ws, ("str", self._parse_quoted())))
             elif self.t.startswith("${", self.i):
                 end = self.t.find("}", self.i)
                 if end < 0:
                     raise self._error("unterminated ${...} substitution")
                 path = self.t[self.i + 2 : end]
                 self.i = end + 1
-                parts.append(("subst", path.lstrip("?")))
+                parts.append((had_ws, ("subst", path.lstrip("?"))))
             else:
                 start = self.i
                 while (
@@ -140,7 +144,7 @@ class _Parser:
                 if raw.endswith("+="):
                     raise self._error("'+=' appends are not supported by this subset")
                 if raw:
-                    parts.append(("raw", raw))
+                    parts.append((had_ws, ("raw", raw)))
 
     @staticmethod
     def _coerce(raw: str) -> Any:
@@ -159,9 +163,10 @@ class _Parser:
             return float(raw)
         return raw
 
-    def _combine(self, parts: list[Any]) -> Any:
-        if not parts:
+    def _combine(self, tagged: list[Any]) -> Any:
+        if not tagged:
             return ""
+        parts = [p for _ws, p in tagged]
         if len(parts) == 1:
             p = parts[0]
             if isinstance(p, tuple):
@@ -186,15 +191,18 @@ class _Parser:
             for p in parts:
                 _deep_merge(out, p)
             return out
-        # string concatenation (ws-joined approximation)
+        # string concatenation: adjacency preserved (${a}/x has no space,
+        # `a b` keeps one)
         rendered = []
-        for p in parts:
+        for idx, (ws, p) in enumerate(tagged):
+            if idx > 0 and ws:
+                rendered.append(" ")
             if isinstance(p, tuple):
                 kind, v = p
                 rendered.append("${" + v + "}" if kind == "subst" else str(v))
             else:
                 rendered.append(str(p))
-        return " ".join(rendered)
+        return "".join(rendered)
 
     def _parse_array(self) -> list[Any]:
         assert self._peek() == "["
