@@ -214,46 +214,68 @@ def decode_png(payload: bytes) -> dict:
             break
     if width is None:
         raise ValueError("PNG without IHDR")
-    if interlace:
-        raise ValueError("interlaced (Adam7) PNG unsupported on the stdlib path")
     if depth != 8:
         raise ValueError(f"PNG bit depth {depth} unsupported on the stdlib path")
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if nch is None:
         raise ValueError(f"unknown PNG color type {color}")
     raw = _z.decompress(b"".join(idat))
-    stride, bpp = width * nch, nch
-    prev = bytearray(stride)
-    rows: list[bytearray] = []
-    p = 0
-    for _y in range(height):
-        ftype = raw[p]
-        row = bytearray(raw[p + 1 : p + 1 + stride])
-        p += 1 + stride
-        if ftype == 1:  # Sub
-            for i in range(bpp, stride):
-                row[i] = (row[i] + row[i - bpp]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                row[i] = (row[i] + prev[i]) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                left = row[i - bpp] if i >= bpp else 0
-                row[i] = (row[i] + (left + prev[i]) // 2) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                a = row[i - bpp] if i >= bpp else 0
-                b = prev[i]
-                c = prev[i - bpp] if i >= bpp else 0
-                pp = a + b - c
-                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                row[i] = (row[i] + pred) & 0xFF
-        elif ftype != 0:
-            raise ValueError(f"unknown PNG filter type {ftype}")
-        rows.append(row)
-        prev = row
-    out = {"width": width, "height": height, "format": "png"}
+
+    def _unfilter(p: int, w: int, h: int) -> tuple[list[bytearray], int]:
+        """Unfilter one (sub-)image of w×h pixels starting at raw[p]
+        (RFC 2083 §6); returns rows + the offset past them. Shared by the
+        plain layout (one image) and Adam7 (seven independent passes)."""
+        stride, bpp = w * nch, nch
+        prev = bytearray(stride)
+        rows: list[bytearray] = []
+        for _y in range(h):
+            ftype = raw[p]
+            row = bytearray(raw[p + 1 : p + 1 + stride])
+            p += 1 + stride
+            if ftype == 1:  # Sub
+                for i in range(bpp, stride):
+                    row[i] = (row[i] + row[i - bpp]) & 0xFF
+            elif ftype == 2:  # Up
+                for i in range(stride):
+                    row[i] = (row[i] + prev[i]) & 0xFF
+            elif ftype == 3:  # Average
+                for i in range(stride):
+                    left = row[i - bpp] if i >= bpp else 0
+                    row[i] = (row[i] + (left + prev[i]) // 2) & 0xFF
+            elif ftype == 4:  # Paeth
+                for i in range(stride):
+                    a = row[i - bpp] if i >= bpp else 0
+                    b = prev[i]
+                    c = prev[i - bpp] if i >= bpp else 0
+                    pp = a + b - c
+                    pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    row[i] = (row[i] + pred) & 0xFF
+            elif ftype != 0:
+                raise ValueError(f"unknown PNG filter type {ftype}")
+            rows.append(row)
+            prev = row
+        return rows, p
+
+    if interlace == 1:
+        # Adam7 (RFC 2083 §2.6): seven independent sub-images; every final
+        # pixel appears in exactly one pass, so channel sums need no
+        # scatter-back — accumulate straight over pass rows
+        rows = []
+        p = 0
+        for x0, y0, dx, dy in ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                               (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)):
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            pass_rows, p = _unfilter(p, pw, ph)
+            rows.extend(pass_rows)
+    elif interlace == 0:
+        rows, _ = _unfilter(0, width, height)
+    else:
+        raise ValueError(f"unknown PNG interlace method {interlace}")
+    out = {"width": width, "height": height, "format": "png", "interlaced": bool(interlace)}
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE")
@@ -269,11 +291,11 @@ def decode_png(payload: bytes) -> dict:
     else:
         out["channels"] = nch
         sums, n = [0] * nch, 0
+        # iterate row bytes, not IHDR width: Adam7 pass rows are narrower
         for row in rows:
-            for x in range(width):
-                for ch in range(nch):
-                    sums[ch] += row[x * nch + ch]
-            n += width
+            for i, byte in enumerate(row):
+                sums[i % nch] += byte
+            n += len(row) // nch
     if n:
         out["mean_channels"] = [round(s / n, 3) for s in sums]
     return out

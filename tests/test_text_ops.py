@@ -282,6 +282,46 @@ def test_png_decode_gray_and_rgba_and_palette():
     assert pd_["mean_channels"] == [round(255 / 4, 3), round(3 * 255 / 4, 3), 0.0]
 
 
+def _png_encode_adam7(width, height, pixels, nch=3):
+    """Interlaced (Adam7) forward encoder: seven filter-0 passes."""
+    import struct
+    import zlib
+
+    raw = bytearray()
+    for x0, y0, dx, dy in ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                           (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)):
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        for j in range(ph):
+            raw.append(0)  # filter None
+            for i in range(pw):
+                raw.extend(pixels[y0 + j * dy][x0 + i * dx])
+
+    def chunk(ctype, body):
+        b = ctype + body
+        return struct.pack(">I", len(body)) + b + struct.pack(">I", zlib.crc32(b))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 1)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+
+
+def test_png_adam7_interlaced_decodes_for_real():
+    from smart_data_lake_spark.functions.multimodal import decode_media, decode_png
+
+    pixels = [[(x * 10, y * 20, x + y) for x in range(5)] for y in range(3)]
+    data = _png_encode_adam7(5, 3, pixels)
+    out = decode_png(data)
+    assert out["interlaced"] is True
+    assert (out["width"], out["height"], out["channels"]) == (5, 3, 3)
+    flat = [px for row in pixels for px in row]
+    for ch in range(3):
+        assert out["mean_channels"][ch] == round(sum(p[ch] for p in flat) / len(flat), 3)
+    assert decode_media(data)["format"] == "png"
+
+
 def test_png_dispatch_and_unsupported_fallback():
     import struct
     import zlib
@@ -290,19 +330,19 @@ def test_png_dispatch_and_unsupported_fallback():
 
     data = _png_encode(2, 2, [[(1, 1, 1), (2, 2, 2)], [(3, 3, 3), (4, 4, 4)]])
     assert decode_media(data)["format"] == "png"
-    # interlaced header -> clear error from decode_png, stub via decode_media
+    # 16-bit depth -> clear error from decode_png, stub via decode_media
     def chunk(ctype, body):
         b = ctype + body
         return struct.pack(">I", len(body)) + b + struct.pack(">I", zlib.crc32(b))
 
-    interlaced = (b"\x89PNG\r\n\x1a\n"
-                  + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
-                  + chunk(b"IDAT", zlib.compress(b"\x00" * 14)) + chunk(b"IEND", b""))
+    deep = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 26)) + chunk(b"IEND", b""))
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="interlaced"):
-        decode_png(interlaced)
-    assert decode_media(interlaced)["format"] == "stub"
+    with _pytest.raises(ValueError, match="bit depth"):
+        decode_png(deep)
+    assert decode_media(deep)["format"] == "stub"
 
 
 def test_extract_image_features_real_png_pipeline(spark, tmp_path):
