@@ -189,9 +189,9 @@ def decode_png(payload: bytes) -> dict:
     which ships as `zlib` — so chunk parsing, IDAT inflate, and the five
     scanline filters (None/Sub/Up/Average/Paeth, RFC 2083 §6) are all
     implementable without external libs. Supports 8-bit depth, color types
-    0/2/3/4/6 (palette resolved through PLTE), non-interlaced; Adam7
-    interlace and 16-bit depth raise a clear error (rare in pipeline data,
-    and the declared-stub path still catches them in `decode_media`).
+    0/2/3/4/6 (palette resolved through PLTE), plain AND Adam7-interlaced
+    layouts; 16-bit depth raises a clear error (rare in pipeline data, and
+    the declared-stub path still catches it in `decode_media`).
     Returns dims/channels + exact per-channel means like `decode_bmp`."""
     import struct as _s
     import zlib as _z
