@@ -41,7 +41,8 @@ def _merge_configs(paths: list[str]) -> dict[str, Any]:
     files: list[str] = []
     for p in paths:
         if os.path.isdir(p):
-            for root, _dirs, names in os.walk(p):
+            for root, dirs, names in os.walk(p):
+                dirs.sort()  # deterministic merge order on every filesystem
                 for name in sorted(names):
                     if not name.startswith(".") and name.endswith((".conf", ".json")):
                         files.append(os.path.join(root, name))

@@ -242,10 +242,16 @@ class _Parser:
                     raise self._error("unexpected '}'")
                 self.i += 1
                 return obj
-            # include directive
-            if self.t.startswith("include", self.i) and self.t[
-                self.i + 7 : self.i + 8
-            ] in (' ', '\t', '"'):
+            # include directive — only when followed by a quoted filename
+            # ('include = 1' is an ordinary field named include)
+            if self.t.startswith("include", self.i):
+                j = self.i + 7
+                while j < self.n and self.t[j] in " \t":
+                    j += 1
+                is_directive = j < self.n and self.t[j] == '"'
+            else:
+                is_directive = False
+            if is_directive:
                 self.i += 7
                 self._skip_inline_ws()
                 fname = self._parse_quoted()

@@ -112,15 +112,26 @@ class PartitionArchiveCompactionMode(HousekeepingMode):
                 spark, pvs, self.compact_partition_expression, "compact"
             )
             todo = [pv for i, pv in enumerate(pvs) if compact[i]]
-            # crash-safe marker protocol (CompactionUtil.scala) — never the
-            # naive read/delete/rewrite that loses the partition on a crash
-            from smart_data_lake_spark.compaction import compact_partitions
+            import os
 
-            cm = compact_partitions(spark, data_object, todo, n_files=self.n_files)
-            metrics["partitions_compacted"] = cm["partitions_compacted"]
-            metrics.update(
-                {k: v for k, v in cm.items() if k != "partitions_compacted"}
-            )
+            if getattr(data_object, "path", None) and os.path.isdir(str(data_object.path)):
+                # filesystem object: crash-safe marker protocol
+                # (CompactionUtil.scala) — never the naive read/delete/
+                # rewrite that loses the partition on a crash
+                from smart_data_lake_spark.compaction import compact_partitions
+
+                cm = compact_partitions(spark, data_object, todo, n_files=self.n_files)
+                metrics["partitions_compacted"] = cm["partitions_compacted"]
+                metrics.update(
+                    {k: v for k, v in cm.items() if k != "partitions_compacted"}
+                )
+            else:
+                # non-filesystem partitioned object (JDBC/Snowflake virtual
+                # partitions…): generic read→rewrite per partition — the
+                # store's own write transactionality is the safety story
+                for pv in todo:
+                    self._rewrite_partition(spark, data_object, pv, pv)
+                metrics["partitions_compacted"] = len(todo)
         return metrics
 
     def _rewrite_partition(self, spark, data_object, src: PartitionValues, dst: PartitionValues):

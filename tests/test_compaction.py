@@ -109,8 +109,11 @@ def test_recovery_after_crash_mid_swap(spark, fragmented):
     files = sorted(f for f in os.listdir(tmp_part) if not f.startswith(("_", ".")))
     for i, f in enumerate(files):
         os.replace(os.path.join(tmp_part, f), os.path.join(tmp_part, f"{prefix}-{i:05d}.parquet"))
+    import json as _json
+
+    old_files = _files(do, "p=a")
     with open(os.path.join(tmp_part, MOVING), "w") as fh:
-        fh.write(prefix)
+        fh.write(_json.dumps({"prefix": prefix, "old_files": old_files}))
     # simulate a partial move: first prefixed file already at the target
     moved = sorted(os.listdir(tmp_part))[0]
     if moved.startswith(prefix):
@@ -139,3 +142,82 @@ def test_housekeeping_mode_uses_crash_safe_path(spark, tmp_path):
     assert m["partitions_compacted"] == 1
     assert len(_files(do, "p=x")) == 1
     assert os.path.exists(os.path.join(do.path, "p=x", COMPACTED))
+
+
+def test_recovery_ignores_half_written_marker(spark, fragmented):
+    """r6 second-review regression: a marker that crashed mid-write (empty /
+    truncated JSON) must NOT become authoritative — the temp copy is
+    discarded and the original partition survives byte-for-byte."""
+    do = fragmented
+    before = sorted(r["id"] for r in do.get_dataframe(spark).collect())
+    tmp = os.path.join(do.path, TEMP_DIR, "p=a")
+    os.makedirs(tmp)
+    with open(os.path.join(tmp, "sdlc-dead-00000.parquet"), "wb") as fh:
+        fh.write(b"complete-looking data")
+    with open(os.path.join(tmp, MOVING), "w") as fh:
+        fh.write("")  # empty marker = crash mid-write
+    assert recover_interrupted_compaction(do) == []
+    assert sorted(r["id"] for r in do.get_dataframe(spark).collect()) == before
+    assert not os.path.isdir(os.path.join(do.path, TEMP_DIR))
+
+
+def test_concurrent_append_survives_compaction(spark, fragmented):
+    """r6 second-review regression: files appended by another writer between
+    the compaction's read and its cleanup keep their rows (snapshot deletes,
+    never delete-everything-unprefixed)."""
+    import copy as _copy
+    import json as _json
+
+    do = fragmented
+    pv = PartitionValues.of({"p": "a"})
+    before = sorted(r["id"] for r in do.get_dataframe(spark, [pv]).collect())
+    # stage the compacted copy (steps 1-2) with the old-file snapshot
+    temp_root = os.path.join(do.path, TEMP_DIR)
+    temp_do = _copy.copy(do)
+    temp_do.path = temp_root
+    old_files = _files(do, "p=a")
+    temp_do.write_dataframe(do.get_dataframe(spark, [pv]).repartition(1), [pv], SaveMode.APPEND)
+    tmp_part = os.path.join(temp_root, "p=a")
+    prefix = "sdlc-beef0001"
+    for i, f in enumerate(sorted(os.listdir(tmp_part))):
+        if not f.startswith(("_", ".")):
+            os.replace(os.path.join(tmp_part, f), os.path.join(tmp_part, f"{prefix}-{i:05d}.parquet"))
+    with open(os.path.join(tmp_part, MOVING), "w") as fh:
+        fh.write(_json.dumps({"prefix": prefix, "old_files": old_files}))
+    # ANOTHER WRITER appends between read and swap
+    do.write_dataframe(
+        spark.createDataFrame([(999, "a")], "id int, p string"), save_mode=SaveMode.APPEND
+    )
+    recovered = recover_interrupted_compaction(do)
+    assert recovered == ["p=a"]
+    after = sorted(r["id"] for r in do.get_dataframe(spark, [pv]).collect())
+    assert after == sorted(before + [999])  # appended row survived
+
+
+def test_partial_partition_values_rejected(spark, tmp_path):
+    from smart_data_lake_spark.config import ConfigError
+
+    do = ParquetFileDataObject(id="c2", path=str(tmp_path / "t2"), partitions=["p", "q"])
+    do.write_dataframe(
+        spark.createDataFrame([(1, "a", "x")], "id int, p string, q string"),
+        save_mode=SaveMode.APPEND,
+    )
+    with pytest.raises(ConfigError, match="complete partition values"):
+        compact_partitions(spark, do, [PartitionValues.of({"p": "a"})])
+
+
+def test_appends_requalify_a_compacted_partition(spark, fragmented):
+    """r6 second-review regression: _SDL_COMPACTED must not make compaction
+    one-shot — new small files re-qualify the partition."""
+    do = fragmented
+    pvs = [PartitionValues.of({"p": "a"})]
+    assert compact_partitions(spark, do, pvs, n_files=1)["partitions_compacted"] == 1
+    assert compact_partitions(spark, do, pvs, n_files=1)["partitions_skipped"] == 1
+    do.write_dataframe(
+        spark.createDataFrame([(100, "a")], "id int, p string"), save_mode=SaveMode.APPEND
+    )
+    m = compact_partitions(spark, do, pvs, n_files=1)
+    assert m["partitions_compacted"] == 1  # re-qualified by the append
+    assert len(_files(do, "p=a")) == 1
+    ids = sorted(r["id"] for r in do.get_dataframe(spark).collect())
+    assert 100 in ids

@@ -139,3 +139,8 @@ def test_hocon_pipeline_end_to_end(spark, tmp_path, sf_dir):
     assert state.action_states["cp"] == "SUCCEEDED"
     n = spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
     assert spark.read.parquet(str(tmp_path / "out")).count() == n
+
+
+def test_include_as_ordinary_field_name():
+    cfg = parse_hocon("include = 1\ninclude2 { x = 2 }")
+    assert cfg["include"] == 1 and cfg["include2"] == {"x": 2}
