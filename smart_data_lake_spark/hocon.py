@@ -95,7 +95,15 @@ class _Parser:
             c = self.t[self.i]
             if c == "\\" and self.i + 1 < self.n:
                 nxt = self.t[self.i + 1]
-                out.append({"n": "\n", "t": "\t", '"': '"', "\\": "\\", "r": "\r"}.get(nxt, nxt))
+                if nxt == "u" and self.i + 6 <= self.n:
+                    # JSON/HOCON \uXXXX unicode escape
+                    try:
+                        out.append(chr(int(self.t[self.i + 2 : self.i + 6], 16)))
+                        self.i += 6
+                        continue
+                    except ValueError:
+                        pass
+                out.append({"n": "\n", "t": "\t", '"': '"', "\\": "\\", "r": "\r", "/": "/", "b": "\b", "f": "\f"}.get(nxt, nxt))
                 self.i += 2
             elif c == '"':
                 self.i += 1

@@ -97,3 +97,113 @@ def test_xlsx_roundtrip_property(rows):
                 assert abs((g - w).total_seconds()) < 0.002  # serial resolution
             else:
                 assert g == float(w) or abs(g - w) <= abs(w) * 1e-12
+
+
+# ---------------------------------------------------------------- HOCON (r6)
+
+
+@st.composite
+def _hocon_value(draw, depth=0):
+    scalars = st.one_of(
+        st.integers(min_value=-10**9, max_value=10**9),
+        st.booleans(),
+        st.none(),
+        st.text(
+            alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd"), whitelist_characters=" _-."),
+            min_size=1,
+            max_size=20,
+        ).map(str.strip).filter(bool),
+    )
+    if depth >= 2:
+        return draw(scalars)
+    return draw(
+        st.one_of(
+            scalars,
+            st.lists(_hocon_value(depth=depth + 1), max_size=3),
+            st.dictionaries(
+                st.text(alphabet="abcdefghij_", min_size=1, max_size=8),
+                _hocon_value(depth=depth + 1),
+                max_size=3,
+            ),
+        )
+    )
+
+
+def _render_hocon(obj, indent=0) -> str:
+    """Render a plain dict as HOCON (quoted strings so arbitrary text
+    round-trips exactly)."""
+    import json as _json
+
+    pad = "  " * indent
+    lines = []
+    for k, v in obj.items():
+        if isinstance(v, dict):
+            lines.append(f"{pad}{k} {{")
+            lines.append(_render_hocon(v, indent + 1))
+            lines.append(f"{pad}}}")
+        else:
+            lines.append(f"{pad}{k} = {_json.dumps(v)}")
+    return "\n".join(lines)
+
+
+@given(st.dictionaries(st.text(alphabet="abcdefghij_", min_size=1, max_size=8), _hocon_value(), max_size=5))
+@settings(max_examples=60, deadline=None)
+def test_hocon_roundtrip_random_configs(cfg):
+    from smart_data_lake_spark.hocon import parse_hocon
+
+    # JSON-quoted rendering: every scalar comes back with type and content
+    # intact (ints stay ints, strings stay strings, null stays None)
+    text = _render_hocon(cfg)
+    assert parse_hocon(text) == cfg
+
+
+# ---------------------------------------------------- WebSocket framing (r6)
+
+
+@given(
+    payload=st.binary(min_size=0, max_size=200_000),
+    as_text=st.booleans(),
+)
+@settings(max_examples=30, deadline=None)
+def test_websocket_frame_roundtrip_all_length_forms(payload, as_text):
+    """Client-masked frame bytes decode back identically on the server side
+    for 7-bit, 16-bit and 64-bit payload-length forms."""
+    import socket
+
+    from smart_data_lake_spark.ws import WebSocket
+
+    a, b = socket.socketpair()
+    try:
+        client = WebSocket(a, client=True)
+        server = WebSocket(b, client=False)
+        if as_text:
+            text = payload.decode("latin-1")
+            client.send_text(text)
+            got = server.recv_message()
+            assert got == text
+        else:
+            client.send_binary(payload)
+            got = server.recv_message()
+            assert got == payload
+    finally:
+        a.close()
+        b.close()
+
+
+def test_websocket_server_rejects_unmasked_client_frames():
+    import socket
+
+    from smart_data_lake_spark.ws import WebSocket
+
+    a, b = socket.socketpair()
+    try:
+        rogue = WebSocket(a, client=False)  # sends UNMASKED like a server
+        server = WebSocket(b, client=False)
+        rogue.send_text("sneaky")
+        import pytest as _pytest
+
+        with _pytest.raises(ConnectionError, match="not masked"):
+            server.recv_message()
+    finally:
+        a.close()
+        b.close()
