@@ -96,10 +96,16 @@ class _Parser:
             if c == "\\" and self.i + 1 < self.n:
                 nxt = self.t[self.i + 1]
                 if nxt == "u" and self.i + 6 <= self.n:
-                    # JSON/HOCON \uXXXX unicode escape
+                    # JSON/HOCON \uXXXX unicode escape, incl. surrogate pairs
                     try:
-                        out.append(chr(int(self.t[self.i + 2 : self.i + 6], 16)))
+                        cp = int(self.t[self.i + 2 : self.i + 6], 16)
                         self.i += 6
+                        if 0xD800 <= cp <= 0xDBFF and self.t.startswith("\\u", self.i):
+                            low = int(self.t[self.i + 2 : self.i + 6], 16)
+                            if 0xDC00 <= low <= 0xDFFF:
+                                cp = 0x10000 + ((cp - 0xD800) << 10) + (low - 0xDC00)
+                                self.i += 6
+                        out.append(chr(cp))
                         continue
                     except ValueError:
                         pass
