@@ -2166,6 +2166,26 @@ def temperature_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+def pmi_collocations_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (functions/search.pmi_collocations): PMI-scored
+    adjacent token pairs — vocab-scale aggregates, corpus scanned once,
+    TakeOrdered top-k on the rounded score."""
+    from smart_data_lake_spark.functions.search import pmi_collocations
+
+    docs = _t(spark, sf_dir, "documents")
+    return pmi_collocations(docs, min_count=5, k=25)
+
+
+def value_quartiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quartiles per event type (functions/profiling
+    .exact_quartiles): percentile_cont semantics, identical interpolation in
+    Spark's percentile and DuckDB's quantile_cont."""
+    from smart_data_lake_spark.functions.profiling import exact_quartiles
+
+    ev = _t(spark, sf_dir, "events")
+    return exact_quartiles(ev, "value", ["event_type"]).orderBy("event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is the driver grading window: only the first 50
     # entries get a CORRECTNESS oracle row per round. r6 rotation —
@@ -2295,6 +2315,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_correlations": lineitem_correlations,
         "q1_pricing_summary": q1_pricing_summary,
         "incremental_highwatermark": incremental_highwatermark,
+        # --- new late in r6 (outside this round's window; rotate in r7)
+        "pmi_collocations_corpus": pmi_collocations_corpus,
+        "value_quartiles_by_type": value_quartiles_by_type,
     }
 
 # ---- oracle SQL builders (DuckDB dialect) --------------------------------
@@ -2607,6 +2630,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT path, COUNT(*) AS n_occurrences
             FROM grams GROUP BY path
             ORDER BY n_occurrences DESC, path LIMIT 15""",
+        "pmi_collocations_corpus": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS} AS w FROM documents
+              WHERE length(trim(lower(text))) > 0 AND len({_TOKS}) >= 2
+            ),
+            uni AS (
+              SELECT t.term, COUNT(*) AS c1
+              FROM (SELECT unnest(w) AS term FROM toks) t GROUP BY 1
+            ),
+            bi AS (
+              SELECT w[i] AS w1, w[i+1] AS w2, COUNT(*) AS c12
+              FROM toks, LATERAL (SELECT unnest(range(1, len(w))) AS i) x
+              GROUP BY 1, 2 HAVING COUNT(*) >= 5
+            ),
+            nu AS (SELECT CAST(SUM(c1) AS DOUBLE) AS total_uni FROM uni),
+            nb AS (SELECT CAST(SUM(len(w) - 1) AS DOUBLE) AS total_bi FROM toks)
+            SELECT w1 || ' ' || w2 AS collocation, c12,
+                   round(ln((c12 / total_bi) /
+                            ((ua.c1 / total_uni) * (ub.c1 / total_uni))), 6) AS pmi
+            FROM bi JOIN uni ua ON ua.term = bi.w1
+                    JOIN uni ub ON ub.term = bi.w2, nu, nb
+            ORDER BY pmi DESC, collocation LIMIT 25""",
+        "value_quartiles_by_type": """
+            SELECT event_type, COUNT(*) AS n,
+                   round(quantile_cont(CAST(value AS DOUBLE), 0.25), 6) AS q1,
+                   round(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS median,
+                   round(quantile_cont(CAST(value AS DOUBLE), 0.75), 6) AS q3
+            FROM events GROUP BY event_type ORDER BY event_type""",
         "semantic_dedup_embeddings": f"""
             WITH dists AS (
               SELECT vec_id, embedding, {ivf_dists} FROM embeddings

@@ -324,3 +324,25 @@ def kmv_distinct(
         F.round(est).cast("long").alias("kmv_estimate"),
         F.round((F.round(est) - F.col("n_exact")) / F.col("n_exact"), 4).alias("rel_error"),
     )
+
+
+def exact_quartiles(
+    df,
+    value_col: str,
+    group_cols: list[str],
+):
+    """Exact linear-interpolated quartiles per group (the SQL-standard
+    percentile_cont semantics — Spark's `percentile`, DuckDB's
+    `quantile_cont` compute the identical interpolation), plus count. The
+    exact form sorts each group once; at the 100 TB tier swap in
+    approx_quantile_buckets (GK sketch) for the same contract at bounded
+    memory — this operator is the audit-grade companion."""
+    from pyspark.sql import functions as F
+
+    pcts = F.percentile(F.col(value_col), F.lit([0.25, 0.5, 0.75]))
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(pcts[0], 6).alias("q1"),
+        F.round(pcts[1], 6).alias("median"),
+        F.round(pcts[2], 6).alias("q3"),
+    )

@@ -220,3 +220,66 @@ def tfidf_top_terms(
         .where(F.col("term_rank") <= k)
         .select(group_col, "term_rank", "term", "tf", "df", "tfidf")
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 25,
+) -> DataFrame:
+    """Collocation mining by pointwise mutual information (Church & Hanks
+    1990, "Word association norms, mutual information, and lexicography"):
+    adjacent token pairs scored PMI = ln( P(ab) / (P(a)·P(b)) ) — the
+    standard signal for multi-word expressions ("new york") when building
+    tokenizer/phrase vocabularies from a corpus.
+
+    Shape: unigram and bigram counts are two combinable aggregates over one
+    explode each; the corpus totals are one-row aggregates OF THE COUNT
+    FRAMES (vocab-scale, not corpus-scale) broadcast back; the final rank is
+    a TakeOrdered top-k on the ROUNDED score (sub-ulp ln() differences can't
+    flip ranks across engines), ties on the pair string. ``min_count``
+    suppresses the low-frequency noise PMI is notorious for."""
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks")).where(
+        F.size("_toks") >= 2
+    )
+    uni = (
+        toks.select(F.explode("_toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("_toks") - 2),
+        lambda i: F.struct(
+            F.element_at(F.col("_toks"), i + 1).alias("w1"),
+            F.element_at(F.col("_toks"), i + 2).alias("w2"),
+        ),
+    )
+    bi = (
+        toks.select(F.explode(grams).alias("g"))
+        .select("g.w1", "g.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .where(F.col("c12") >= min_count)
+    )
+    n_uni = uni.agg(F.sum("c1").alias("_nu"))
+    n_bi = toks.select((F.size("_toks") - 1).alias("_n")).agg(F.sum("_n").alias("_nb"))
+    scored = (
+        bi.join(uni.withColumnRenamed("term", "w1").withColumnRenamed("c1", "ca"), "w1")
+        .join(uni.withColumnRenamed("term", "w2").withColumnRenamed("c1", "cb"), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("collocation"),
+            "c12",
+            F.round(
+                F.log(
+                    (F.col("c12") / F.col("_nb"))
+                    / ((F.col("ca") / F.col("_nu")) * (F.col("cb") / F.col("_nu")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "collocation").limit(k)

@@ -192,3 +192,29 @@ def test_temperature_mix_upweights_small_sources(spark):
     assert out["small"]["budget_tokens"] == 250.0
     # weights always sum to 1
     assert round(sum(r["mix_weight"] for r in out.values()), 6) == 1.0
+
+
+def test_pmi_collocations_finds_fixed_phrase(spark):
+    from smart_data_lake_spark.functions.search import pmi_collocations
+
+    # "foo bar" always adjacent; fillers vary -> highest PMI
+    rows = [(i, f"foo bar w{i % 7} w{(i * 3) % 11} w{(i * 5) % 13}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pmi_collocations(df, min_count=5, k=3).collect()
+    assert out[0]["collocation"] == "foo bar" and out[0]["c12"] == 40
+    import math
+
+    # hand-computed PMI for the top pair
+    n_bi = sum(5 - 1 for _ in range(40))
+    n_uni = 40 * 5
+    expect = math.log((40 / n_bi) / ((40 / n_uni) * (40 / n_uni)))
+    assert out[0]["pmi"] == round(expect, 6)
+
+
+def test_exact_quartiles_interpolation(spark):
+    from smart_data_lake_spark.functions.profiling import exact_quartiles
+
+    df = spark.createDataFrame([(float(v), "a") for v in (1, 2, 3, 4)], "value double, g string")
+    r = exact_quartiles(df, "value", ["g"]).collect()[0]
+    # percentile_cont over [1,2,3,4]: q1=1.75, median=2.5, q3=3.25
+    assert (r["q1"], r["median"], r["q3"], r["n"]) == (1.75, 2.5, 3.25, 4)
