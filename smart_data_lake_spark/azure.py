@@ -354,3 +354,24 @@ class LogAnalyticsLogHandler:
                 super().close()
 
         return _Handler()
+
+
+class FinalStateWriter(StateListener):
+    """Archive every FINAL run state to a second location (util/misc/
+    FinalStateWriter.scala — long-term history separate from the working
+    state dir, e.g. for audit/lineage tooling). ``options.path`` required."""
+
+    def __init__(self, options: dict[str, Any] | None = None) -> None:
+        options = options or {}
+        if not options.get("path"):
+            raise ConfigError("FinalStateWriter needs the 'path' option")
+        self.path = resolve_secret(options["path"])
+
+    def notify_state(self, state: Any, context: dict[str, Any], changed_action_id: str | None) -> None:
+        if not state.is_final or changed_action_id is not None:
+            return
+        import os
+
+        from smart_data_lake_spark.plans.dag import StateStore
+
+        StateStore(os.path.join(self.path), app_name=context.get("application", "sdl")).save(state)

@@ -262,6 +262,10 @@ def load_config(config: dict[str, Any]) -> InstanceRegistry:
             from smart_data_lake_spark.azure import StateChangeLogger
 
             listeners.append(StateChangeLogger(options=options))
+        elif cls_name == "FinalStateWriter":
+            from smart_data_lake_spark.azure import FinalStateWriter
+
+            listeners.append(FinalStateWriter(options=options))
         elif cls_name and "." in cls_name:
             import importlib
 

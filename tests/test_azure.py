@@ -301,3 +301,39 @@ def test_log_handler_time_based_flush_without_further_emits(collector):
         assert _CollectorHandler.received[0]["events"][0]["message"] == "lonely event"
     finally:
         log.removeHandler(handler)
+
+
+def test_final_state_writer_archives_final_state(spark, tmp_path, sf_dir):
+    """util/misc/FinalStateWriter.scala parity: every final run state lands
+    in the archive directory, intermediate notifications don't."""
+    from smart_data_lake_spark.plans.app import SmartDataLakeBuilder
+
+    archive = tmp_path / "history"
+    builder = SmartDataLakeBuilder(
+        config={
+            "globalConfig": {
+                "stateListeners": [
+                    {"className": "FinalStateWriter", "options": {"path": str(archive)}}
+                ]
+            },
+            "dataObjects": {
+                "src": {"type": "ParquetFileDataObject", "path": os.path.join(sf_dir, "region.parquet")},
+                "dst": {"type": "ParquetFileDataObject", "path": str(tmp_path / "fsw_out")},
+            },
+            "actions": {"cp": {"type": "CopyAction", "inputId": "src", "outputId": "dst"}},
+        }
+    )
+    state = builder.run(spark=spark)
+    assert state.action_states["cp"] == "SUCCEEDED"
+    files = [f for f in os.listdir(archive) if f.endswith(".json")]
+    assert len(files) == 1
+    payload = json.loads((archive / files[0]).read_text())
+    assert payload["is_final"] is True
+    assert payload["action_states"] == {"cp": "SUCCEEDED"}
+
+
+def test_final_state_writer_requires_path():
+    from smart_data_lake_spark.azure import FinalStateWriter
+
+    with pytest.raises(ConfigError):
+        FinalStateWriter(options={})

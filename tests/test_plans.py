@@ -563,3 +563,26 @@ def test_temperature_mix_single_agg_broadcast_normalizer(spark, sf_dir):
     assert plan.count("Exchange") == 2
     assert "partial_" in plan
     assert "Join" not in plan  # normalizer is a window, not a second scan
+
+
+def test_pmi_no_corpus_rescan_takeordered(spark, sf_dir):
+    import os as _os
+
+    from smart_data_lake_spark.functions.search import pmi_collocations
+
+    docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+    plan = pmi_collocations(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrdered" in plan  # top-k, never a global sort
+    assert "CartesianProduct" not in plan
+    # the two totals broadcast as 1-row frames
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_exact_quartiles_single_group_shuffle(spark, sf_dir):
+    from smart_data_lake_spark.functions.profiling import exact_quartiles
+    from smart_data_lake_spark.streaming.operators import read_events_batch
+
+    df = exact_quartiles(read_events_batch(spark, sf_dir), "value", ["event_type"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "SinglePartition" not in plan
