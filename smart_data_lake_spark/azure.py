@@ -375,3 +375,63 @@ class FinalStateWriter(StateListener):
         from smart_data_lake_spark.plans.dag import StateStore
 
         StateStore(os.path.join(self.path), app_name=context.get("application", "sdl")).save(state)
+
+
+class FinalMetricsLogWriter(StateListener):
+    """Persist final action + metrics logs into merge-capable table data
+    objects (util/misc/FinalMetricsLogWriter.scala): one actionLog row per
+    action per run (PK run_id/attempt_id/action_id) and one metricsLog row
+    per (action, data object, metric) — the queryable run-history tables a
+    lineage/monitoring UI reads. Both targets are looked up in the run's
+    registry by id and written with MERGE so re-notifications upsert."""
+
+    def __init__(self, options: dict[str, Any] | None = None) -> None:
+        options = options or {}
+        for key in ("metricsLogDataObjectId", "actionLogDataObjectId"):
+            if not options.get(key):
+                raise ConfigError(f"FinalMetricsLogWriter needs the {key!r} option")
+        self.metrics_do_id = options["metricsLogDataObjectId"]
+        self.action_do_id = options["actionLogDataObjectId"]
+
+    def notify_state(self, state: Any, context: dict[str, Any], changed_action_id: str | None) -> None:
+        if not state.is_final or changed_action_id is not None:
+            return
+        spark, registry = context.get("spark"), context.get("registry")
+        if spark is None or registry is None:
+            raise ConfigError("FinalMetricsLogWriter needs spark+registry in the listener context")
+        from smart_data_lake_spark.save_modes import SaveMode
+
+        app = context.get("application", "sdl")
+        action_rows = [
+            (app, state.run_id, state.attempt_id, aid, astate,
+             str(state.action_metrics.get(aid, {}).get("duration_sec", "")))
+            for aid, astate in sorted(state.action_states.items())
+        ]
+        metric_rows = []
+        for aid, metrics in sorted(state.action_metrics.items()):
+            if not isinstance(metrics, dict):
+                continue
+            for do_id, m in sorted(metrics.items()):
+                if isinstance(m, dict):
+                    for k, v in sorted(m.items()):
+                        metric_rows.append((app, state.run_id, aid, do_id, k, str(v)))
+                else:
+                    metric_rows.append((app, state.run_id, aid, "", do_id, str(m)))
+        action_df = spark.createDataFrame(
+            action_rows,
+            "application string, run_id int, attempt_id int, action_id string, "
+            "state string, duration_sec string",
+        )
+        metrics_df = spark.createDataFrame(
+            metric_rows or [("", 0, "", "", "", "")],
+            "application string, run_id int, action_id string, data_object_id string, "
+            "metric string, value string",
+        )
+        if not metric_rows:
+            metrics_df = metrics_df.limit(0)
+        registry.get_data_object(self.action_do_id).write_dataframe(
+            action_df, save_mode=SaveMode.MERGE
+        )
+        registry.get_data_object(self.metrics_do_id).write_dataframe(
+            metrics_df, save_mode=SaveMode.MERGE
+        )

@@ -266,6 +266,10 @@ def load_config(config: dict[str, Any]) -> InstanceRegistry:
             from smart_data_lake_spark.azure import FinalStateWriter
 
             listeners.append(FinalStateWriter(options=options))
+        elif cls_name == "FinalMetricsLogWriter":
+            from smart_data_lake_spark.azure import FinalMetricsLogWriter
+
+            listeners.append(FinalMetricsLogWriter(options=options))
         elif cls_name and "." in cls_name:
             import importlib
 

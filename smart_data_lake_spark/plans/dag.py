@@ -165,12 +165,16 @@ class ActionDAGRun:
             getattr(registry, "state_listeners", []) or []
         )
 
-    def _notify_listeners(self, changed_action_id: str | None) -> None:
+    def _notify_listeners(self, changed_action_id: str | None, spark: SparkSession | None = None) -> None:
         if not self.state_listeners:
             return
         context = {
             "application": getattr(self.state_store, "app_name", "sdl") if self.state_store else "sdl",
             "phase": "exec",
+            # listeners that persist metrics through data objects need the
+            # session + registry (FinalMetricsLogWriter)
+            "spark": spark,
+            "registry": self.registry,
         }
         for listener in self.state_listeners:
             try:
@@ -210,7 +214,7 @@ class ActionDAGRun:
         # SmartDataLakeBuilder.scala:377-396 recovery contract)
         self.state.is_final = not failed
         self._save_state()
-        self._notify_listeners(None)
+        self._notify_listeners(None, spark)
         if failed:
             raise DAGError(f"actions failed: {failed}")
         return self.state
@@ -345,7 +349,7 @@ class ActionDAGRun:
                             exec_feeds[sf.data_object_id] = sf
                     done.add(aid)
                     self._save_state()
-                    self._notify_listeners(aid)
+                    self._notify_listeners(aid, spark)
         # branches cancelled by an upstream failure never consume their
         # inputs — release whatever is still pinned
         for do_id, df in list(persisted.items()):

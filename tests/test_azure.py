@@ -337,3 +337,56 @@ def test_final_state_writer_requires_path():
 
     with pytest.raises(ConfigError):
         FinalStateWriter(options={})
+
+
+def test_final_metrics_log_writer_persists_run_history(spark, tmp_path, sf_dir):
+    """util/misc/FinalMetricsLogWriter.scala parity: final action + metrics
+    logs land in merge-capable table data objects, upserted by primary key
+    so a re-notification never duplicates rows."""
+    from smart_data_lake_spark.plans.app import SmartDataLakeBuilder
+
+    config = {
+        "globalConfig": {
+            "stateListeners": [
+                {
+                    "className": "FinalMetricsLogWriter",
+                    "options": {
+                        "actionLogDataObjectId": "action_log",
+                        "metricsLogDataObjectId": "metrics_log",
+                    },
+                }
+            ]
+        },
+        "dataObjects": {
+            "src": {"type": "ParquetFileDataObject", "path": os.path.join(sf_dir, "region.parquet")},
+            "dst": {"type": "ParquetFileDataObject", "path": str(tmp_path / "ml_out")},
+            "action_log": {
+                "type": "ParquetTableDataObject",
+                "path": str(tmp_path / "action_log"),
+                "table": {"name": "action_log",
+                          "primaryKey": ["application", "run_id", "attempt_id", "action_id"]},
+            },
+            "metrics_log": {
+                "type": "ParquetTableDataObject",
+                "path": str(tmp_path / "metrics_log"),
+                "table": {"name": "metrics_log",
+                          "primaryKey": ["application", "run_id", "action_id",
+                                          "data_object_id", "metric"]},
+            },
+        },
+        "actions": {"cp": {"type": "CopyAction", "inputId": "src", "outputId": "dst"}},
+    }
+    builder = SmartDataLakeBuilder(config=config)
+    state = builder.run(spark=spark)
+    assert state.action_states["cp"] == "SUCCEEDED"
+    actions = spark.read.parquet(str(tmp_path / "action_log")).collect()
+    assert len(actions) == 1 and actions[0]["action_id"] == "cp"
+    assert actions[0]["state"] == "SUCCEEDED"
+    metrics = spark.read.parquet(str(tmp_path / "metrics_log")).collect()
+    keys = {(r["action_id"], r["data_object_id"], r["metric"]) for r in metrics}
+    assert ("cp", "dst", "records_written") in keys
+    # MERGE semantics: re-notifying the same final state upserts, not appends
+    run = builder.registry  # reuse listener directly
+    listener = run.state_listeners[0]
+    listener.notify_state(state, {"application": "sdl", "spark": spark, "registry": run}, None)
+    assert spark.read.parquet(str(tmp_path / "action_log")).count() == 1
