@@ -245,6 +245,12 @@ def load_config(config: dict[str, Any]) -> InstanceRegistry:
         {"dataObjects": {"src": {"type": "ParquetFileDataObject", "path": ...}},
          "actions": {"a": {"type": "CopyAction", "inputId": "src", ...}}}
     """
+    # type registries populate via decorators at module import — make sure
+    # the provider modules are loaded even when the caller imported only
+    # config.py (e.g. metadata-only tools like dag_export)
+    import smart_data_lake_spark.actions  # noqa: F401
+    import smart_data_lake_spark.dataobjects  # noqa: F401
+
     config = _resolve_secrets(_substitute(config))
     registry = InstanceRegistry()
     # global UDF registration (GlobalConfig.sparkUDFs in the reference):

@@ -144,3 +144,20 @@ def test_hocon_pipeline_end_to_end(spark, tmp_path, sf_dir):
 def test_include_as_ordinary_field_name():
     cfg = parse_hocon("include = 1\ninclude2 { x = 2 }")
     assert cfg["include"] == 1 and cfg["include2"] == {"x": 2}
+
+
+def test_dag_export_simplified_actions(monkeypatch, tmp_path):
+    """sdl-lang DagExporter parity: the simplified-actions JSON carries
+    metadata + inputIds/outputIds per action, no Spark session needed."""
+    monkeypatch.setenv("SDL_DATA_DIR", "/root/testdata/sf0.001")
+    monkeypatch.setenv("SDL_OUT_DIR", str(tmp_path))
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    from dag_export import export_dag, to_mermaid
+
+    dag = export_dag(["/root/repo/examples/cli_pipeline.conf"])
+    assert set(dag) == {"clean_orders", "aggregate_orders"}
+    assert dag["clean_orders"]["inputIds"] == ["orders_raw"]
+    assert dag["clean_orders"]["outputIds"] == ["orders_clean"]
+    assert dag["clean_orders"]["metadata"]["feed"] == "clean"
+    mermaid = to_mermaid(dag)
+    assert "orders_raw([orders_raw]) -->|clean_orders| orders_clean" in mermaid
