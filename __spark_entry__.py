@@ -2186,6 +2186,83 @@ def value_quartiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_quartiles(ev, "value", ["event_type"]).orderBy("event_type")
 
 
+def autocorr_lag1_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation per event type (functions/analytics
+    .lagged_autocorrelation): exact decimal sufficient statistics over the
+    lag-paired series — one window shuffle + one combinable aggregate."""
+    from smart_data_lake_spark.functions.analytics import lagged_autocorrelation
+
+    ev = _t(spark, sf_dir, "events")
+    return lagged_autocorrelation(ev).orderBy("event_type")
+
+
+def rolling_z_anomalies_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly top-k (functions/analytics
+    .rolling_zscore_anomalies): each event scored against its preceding-20
+    window via exact decimal frame sums; TakeOrdered top-25 by |z|."""
+    from smart_data_lake_spark.functions.analytics import rolling_zscore_anomalies
+
+    ev = _t(spark, sf_dir, "events")
+    return rolling_zscore_anomalies(ev)
+
+
+def zipf_slope_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency slope per source (functions/search.zipf_slope):
+    corpus-health regression over each source's top-100 terms, exact
+    decimal regression sums."""
+    from smart_data_lake_spark.functions.search import zipf_slope
+
+    docs = _t(spark, sf_dir, "documents")
+    return zipf_slope(docs).orderBy("source")
+
+
+def kmeans_assign_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One deterministic Lloyd assignment step (functions/similarity
+    .kmeans_assign_stats): 8 broadcast seed centroids, in-row decimal
+    distance fold, combinable cluster rollup — the auditable unit of the
+    IVF coarse quantizer."""
+    from smart_data_lake_spark.functions.similarity import kmeans_assign_stats
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_assign_stats(emb).orderBy("cluster")
+
+
+def doc_length_band_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-band length-filter audit (functions/quality
+    .length_band_stats): interpolated p05/p95 bounds broadcast back onto
+    the scan, combinable keep/drop rollup per source."""
+    from smart_data_lake_spark.functions.quality import length_band_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return length_band_stats(docs).orderBy("source")
+
+
+def fixed_k_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sample (functions/sampling
+    .fixed_k_per_group): the 5 docs whose md5(doc_id) sorts first in each
+    source — pure hash order, reproducible across engines and runs."""
+    from smart_data_lake_spark.functions.sampling import fixed_k_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        fixed_k_per_group(docs, "doc_id", "source", 5)
+        .select("source", "sample_rank", "doc_id", "n_chars")
+        .orderBy("source", "sample_rank")
+    )
+
+
+def normalized_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware exact dedup (functions/dedup
+    .normalized_duplicate_groups, bag-of-words mode): sorted unique token
+    set then ONE hash-groupBy — the order-insensitive tier between
+    byte-exact and MinHash dedup (finds real groups in this corpus, unlike
+    byte-exact which is clean at sf0.01)."""
+    from smart_data_lake_spark.functions.dedup import normalized_duplicate_groups
+
+    docs = _t(spark, sf_dir, "documents")
+    return normalized_duplicate_groups(docs, mode="bow").orderBy("norm_hash")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is the driver grading window: only the first 50
     # entries get a CORRECTNESS oracle row per round. r6 rotation —
@@ -2318,6 +2395,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new late in r6 (outside this round's window; rotate in r7)
         "pmi_collocations_corpus": pmi_collocations_corpus,
         "value_quartiles_by_type": value_quartiles_by_type,
+        "autocorr_lag1_value_by_type": autocorr_lag1_value_by_type,
+        "rolling_z_anomalies_events": rolling_z_anomalies_events,
+        "zipf_slope_by_source": zipf_slope_by_source,
+        "kmeans_assign_embeddings": kmeans_assign_embeddings,
+        "doc_length_band_by_source": doc_length_band_by_source,
+        "fixed_k_sample_per_source": fixed_k_sample_per_source,
+        "normalized_dedup_docs": normalized_dedup_docs,
     }
 
 # ---- oracle SQL builders (DuckDB dialect) --------------------------------
@@ -3977,4 +4061,158 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(SUM(logp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
             FROM toks JOIN sv USING (tok)
             GROUP BY doc_id ORDER BY doc_id""",
+        "autocorr_lag1_value_by_type": """
+            WITH lagged AS (
+              SELECT event_type,
+                     CAST(round(value, 6) AS DECIMAL(18,6)) AS x,
+                     LAG(CAST(round(value, 6) AS DECIMAL(18,6)))
+                       OVER (PARTITION BY event_type ORDER BY ts, event_id) AS y
+              FROM events
+            ),
+            s AS (
+              SELECT event_type, COUNT(*) AS n_pairs,
+                     SUM(x) AS sx, SUM(y) AS sy,
+                     SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+              FROM lagged WHERE y IS NOT NULL GROUP BY event_type
+            )
+            SELECT event_type, n_pairs,
+                   CASE WHEN sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           * sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                        THEN round((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                                   / (sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                      * sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                   END AS autocorr_lag1
+            FROM s ORDER BY event_type""",
+        "rolling_z_anomalies_events": """
+            WITH scored AS (
+              SELECT event_type, event_id,
+                     CAST(round(value, 6) AS DECIMAL(18,6)) AS x,
+                     COUNT(*) OVER w AS n,
+                     SUM(CAST(round(value, 6) AS DECIMAL(18,6))) OVER w AS s,
+                     SUM(CAST(round(value, 6) AS DECIMAL(18,6))
+                         * CAST(round(value, 6) AS DECIMAL(18,6))) OVER w AS ss
+              FROM events
+              WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                           ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+            ),
+            g AS (
+              SELECT event_type, event_id,
+                     CAST(x AS DOUBLE) AS value,
+                     CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                     (CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)) AS var
+              FROM scored WHERE n >= 10
+            )
+            SELECT event_type, event_id, value,
+                   mean AS roll_mean,
+                   (value - mean) / sqrt(var) AS z
+            FROM g WHERE var > 0
+            ORDER BY abs((value - mean) / sqrt(var)) DESC, event_id
+            LIMIT 25""",
+        "zipf_slope_by_source": f"""
+            WITH toks AS (
+              SELECT source, unnest({_TOKS}) AS term
+              FROM documents WHERE length(trim(lower(text))) > 0
+            ),
+            tf AS (SELECT source, term, COUNT(*) AS freq FROM toks GROUP BY 1, 2),
+            ranked AS (
+              SELECT source, freq,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY freq DESC, term) AS rank
+              FROM tf
+            ),
+            q AS (
+              SELECT source,
+                     CAST(round(ln(CAST(rank AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+                     CAST(round(ln(CAST(freq AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+              FROM ranked WHERE rank <= 100
+            ),
+            s AS (
+              SELECT source, COUNT(*) AS n_terms,
+                     SUM(x) AS sx, SUM(y) AS sy,
+                     SUM(x * x) AS sxx, SUM(x * y) AS sxy
+              FROM q GROUP BY source
+            )
+            SELECT source, n_terms,
+                   CASE WHEN CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                        THEN (CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                             / (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   END AS zipf_slope
+            FROM s ORDER BY source""",
+        "kmeans_assign_embeddings": """
+            WITH seeds AS (
+              SELECT vec_id AS seed_id, embedding AS seed_vec
+              FROM embeddings ORDER BY vec_id LIMIT 8
+            ),
+            dists AS (
+              SELECT e.vec_id, s.seed_id,
+                     SUM(CAST(round((CAST(e.embedding[g.i] AS DOUBLE)
+                                     - CAST(s.seed_vec[g.i] AS DOUBLE))
+                                    * (CAST(e.embedding[g.i] AS DOUBLE)
+                                       - CAST(s.seed_vec[g.i] AS DOUBLE)), 6)
+                              AS DECIMAL(38,6))) AS dist
+              FROM embeddings e
+                   CROSS JOIN seeds s
+                   CROSS JOIN generate_series(1, 64) g(i)
+              GROUP BY 1, 2
+            ),
+            best AS (
+              SELECT vec_id, seed_id AS cluster, dist,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY dist, seed_id) AS rk
+              FROM dists
+            )
+            SELECT cluster, COUNT(*) AS n_points,
+                   round(CAST(SUM(dist) AS DOUBLE), 6) AS total_sqdist
+            FROM best WHERE rk = 1 GROUP BY cluster ORDER BY cluster""",
+        "doc_length_band_by_source": """
+            WITH bounds AS (
+              SELECT source,
+                     quantile_cont(CAST(n_chars AS DOUBLE), 0.05) AS plo,
+                     quantile_cont(CAST(n_chars AS DOUBLE), 0.95) AS phi
+              FROM documents GROUP BY source
+            )
+            SELECT d.source, COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN n_chars >= plo AND n_chars <= phi
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                   CAST(SUM(CASE WHEN n_chars >= plo AND n_chars <= phi
+                                 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept,
+                   round(MIN(plo), 6) AS p_lo,
+                   round(MIN(phi), 6) AS p_hi
+            FROM documents d JOIN bounds b USING (source)
+            GROUP BY d.source ORDER BY d.source""",
+        "fixed_k_sample_per_source": """
+            WITH ranked AS (
+              SELECT source, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                                 doc_id) AS sample_rank
+              FROM documents
+            )
+            SELECT source, sample_rank, doc_id, n_chars
+            FROM ranked WHERE sample_rank <= 5
+            ORDER BY source, sample_rank""",
+        "normalized_dedup_docs": r"""
+            WITH normed AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(lower(text))) = 0 THEN ''
+                          ELSE array_to_string(list_sort(list_distinct(
+                                 regexp_split_to_array(trim(lower(text)), '\s+'))), ' ')
+                     END AS norm
+              FROM documents
+            )
+            SELECT md5(norm) AS norm_hash, COUNT(*) AS n_docs,
+                   MIN(doc_id) AS keep_id, MAX(doc_id) AS max_id,
+                   MIN(length(norm)) AS norm_chars
+            FROM normed GROUP BY norm_hash HAVING COUNT(*) > 1
+            ORDER BY norm_hash""",
     }

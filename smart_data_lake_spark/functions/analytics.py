@@ -408,3 +408,130 @@ def interarrival_stats(
         F.round(F.sum("_gap_us") / F.count(F.lit(1)) / 1e6, 6).alias("avg_gap_sec"),
         F.round(F.max("_gap_us") / 1e6, 6).alias("max_gap_sec"),
     )
+
+
+def lagged_autocorrelation(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    lag: int = 1,
+    decimals: int = 6,
+) -> DataFrame:
+    """Lag-k autocorrelation of a value series per group — the standard
+    seasonality/persistence probe on metric streams (reference scope: the
+    engine-delegated analytical SQL family, SURVEY.md §2.5).
+
+    Pearson correlation of (x_t, x_{t-k}) over each group's chronological
+    order. Exactness discipline matches `pairwise_correlations`: values
+    round to 1e-6 BEFORE summation, sufficient statistics accumulate in
+    exact DECIMAL (order/partition-independent), and the final corr is one
+    fixed IEEE expression of those exact sums — any engine computing the
+    same formula agrees bit-for-bit, unlike the built-in running corr().
+
+    Shape: one window shuffle (lag over the group's time order) + one
+    map-side-combinable aggregate. The window partitions by the GROUP key,
+    so a low-cardinality group column concentrates each series on one task;
+    at 100 TB re-key long histories by (group, coarse time bucket) with a
+    k-row overlap per bucket boundary — the lag pairs are local, so bucketed
+    evaluation is exact, not an approximation."""
+    w = Window.partitionBy(group_col).orderBy(ts_col, tiebreak_col)
+    # decimal(18,s) keeps Spark's product scale exact (38x38 multiplies
+    # round products back to scale s — see zipf_slope); caller contract:
+    # |value| must fit 12 integer digits
+    dec = f"decimal(18,{decimals})"
+    q = F.round(F.col(value_col), decimals).cast(dec)
+    pairs = (
+        df.select(F.col(group_col), q.alias("_x"), F.col(ts_col), F.col(tiebreak_col))
+        .withColumn("_y", F.lag("_x", lag).over(w))
+        .where(F.col("_y").isNotNull())
+    )
+    stats = pairs.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+    )
+    n = F.col("_n").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    num = n * sxy - sx * sy
+    den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    # ROUNDED output, unlike zipf_slope: full-series sums here are large
+    # enough to exceed int64 when decimal-scaled, and DuckDB's
+    # hugeint->double cast is lossy by ~1-2 ulp — rounding at 1e-6 absorbs
+    # that (the proven pairwise_correlations treatment); the correlation is
+    # a non-quantized ratio, so rounding-boundary collisions are measure-zero
+    return stats.select(
+        F.col(group_col),
+        F.col("_n").alias("n_pairs"),
+        F.when(den > 0, F.round(num / den, decimals)).alias(f"autocorr_lag{lag}"),
+    )
+
+
+def rolling_zscore_anomalies(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    window: int = 20,
+    min_obs: int = 10,
+    k: int = 25,
+    decimals: int = 6,
+) -> DataFrame:
+    """Rolling z-score anomaly detection: each observation scored against
+    the mean/std of the PRECEDING `window` observations in its group (the
+    current row is excluded — the score measures surprise vs history, so a
+    level shift flags its first point, not its whole tail). Returns the
+    top-k most anomalous rows by |z|.
+
+    Exactness: the frame's sum/sum-of-squares accumulate over 1e-6-rounded
+    DECIMAL values (exact integer arithmetic under any evaluation order —
+    running-frame vs recompute-per-row give identical results, so Spark and
+    DuckDB agree bit-for-bit); mean/std/z are then fixed IEEE expressions of
+    those exact sums. Shape: one window shuffle, then TakeOrdered top-k —
+    no global sort. Same 100 TB caveat as `lagged_autocorrelation`: the
+    window partitions by the group key; re-key long histories by coarse
+    time bucket with a `window`-row overlap for exact bucketed evaluation."""
+    dec = f"decimal(18,{decimals})"
+    ow = Window.partitionBy(group_col).orderBy(ts_col, tiebreak_col)
+    fw = ow.rowsBetween(-window, -1)
+    q = F.round(F.col(value_col), decimals).cast(dec)
+    scored = df.select(
+        F.col(group_col),
+        F.col(tiebreak_col),
+        F.col(ts_col),
+        q.alias("_x"),
+        F.count(F.lit(1)).over(fw).alias("_n"),
+        F.sum(q).over(fw).alias("_s"),
+        F.sum(q * q).over(fw).alias("_ss"),
+    ).where(F.col("_n") >= min_obs)
+    n = F.col("_n").cast("double")
+    s, ss = F.col("_s").cast("double"), F.col("_ss").cast("double")
+    x = F.col("_x").cast("double")
+    mean = s / n
+    var = (n * ss - s * s) / (n * (n - 1))
+    std = F.sqrt(var)
+    # z and roll_mean stay unrounded: exact decimal frame sums -> identical
+    # doubles in any engine; rounding would add boundary divergence
+    z = (x - mean) / std
+    # guard on var > 0, NOT std > 0: catastrophic cancellation can make var a
+    # tiny negative -> std = NaN, and NaN compares differently across engines
+    # (DuckDB orders NaN above all values; Spark's NaN > 0 is false)
+    return (
+        scored.select(
+            F.col(group_col),
+            F.col(tiebreak_col),
+            F.col("_x").cast("double").alias(value_col),
+            mean.alias("roll_mean"),
+            F.when(var > 0, z).alias("z"),
+        )
+        .where(F.col("z").isNotNull())
+        .orderBy(F.abs(F.col("z")).desc(), F.col(tiebreak_col))
+        .limit(k)
+    )

@@ -677,3 +677,53 @@ def semantic_dedup(
         F.coalesce(F.col("n_removed"), F.lit(0)).alias("n_removed"),
         (F.col("n_vectors") - F.coalesce(F.col("n_removed"), F.lit(0))).alias("n_kept"),
     )
+
+
+def normalized_duplicate_groups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "text",
+) -> DataFrame:
+    """Normalization-aware exact dedup — the cheap tier between byte-exact
+    `exact_duplicate_groups` and MinHash, at pure hash-groupBy cost (the
+    normalize-then-hash stage every web-corpus pipeline runs before fuzzy
+    dedup). Two normalizations:
+
+      * ``mode="text"`` — lowercase → strip-non-alphanumeric → collapse
+        whitespace: catches reformatted/re-cased byte-level mirrors.
+      * ``mode="bow"`` — sorted UNIQUE token set (bag-of-words
+        fingerprint): additionally order- and repetition-insensitive, so
+        shuffled/reordered mirrors collide too (Broder's "sketch of a
+        document" degenerate case w=1).
+
+    Shape: identical to exact dedup — per-row normalization is JVM
+    regex/array ops (whole-stage codegen), then ONE combinable groupBy on
+    the 32-byte normalized hash; the text column never shuffles. Returns
+    groups with >1 member: (norm_hash, n_docs, min/max member id, chars of
+    the normalized form)."""
+    if mode == "bow":
+        from .text import tokens
+
+        norm = F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(F.col(text_col)))))
+    elif mode == "text":
+        norm = F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9\\s]", ""),
+                "\\s+",
+                " ",
+            )
+        )
+    else:
+        raise ValueError(f"unknown normalization mode: {mode!r}")
+    return (
+        df.select(F.md5(norm).alias("norm_hash"), F.col(id_col), F.length(norm).alias("_nlen"))
+        .groupBy("norm_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+            F.max(id_col).alias("max_id"),
+            F.min("_nlen").alias("norm_chars"),
+        )
+        .where(F.col("n_docs") > 1)
+    )

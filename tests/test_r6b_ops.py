@@ -1,0 +1,254 @@
+"""Late-round-6 operators: lag-k autocorrelation, rolling z-score anomalies,
+Zipf slope, k-means assignment step, length-band filter, fixed-k sampling,
+normalized dedup (text + bag-of-words modes)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _events(spark, series, group="a"):
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 0, 0, i), group, float(v))
+        for i, v in enumerate(series)
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+
+
+def test_lagged_autocorrelation_matches_numpy(spark):
+    import numpy as np
+
+    from smart_data_lake_spark.functions.analytics import lagged_autocorrelation
+
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0]
+    out = lagged_autocorrelation(_events(spark, vals)).collect()
+    assert len(out) == 1 and out[0]["n_pairs"] == 9
+    x, y = np.array(vals[1:]), np.array(vals[:-1])
+    expect = np.corrcoef(x, y)[0, 1]
+    assert out[0]["autocorr_lag1"] == pytest.approx(round(expect, 6), abs=1e-6)
+
+
+def test_lagged_autocorrelation_alternating_series_is_negative(spark):
+    from smart_data_lake_spark.functions.analytics import lagged_autocorrelation
+
+    out = lagged_autocorrelation(_events(spark, [1, 9] * 10)).collect()
+    assert out[0]["autocorr_lag1"] == -1.0
+
+
+def test_lagged_autocorrelation_lag2_and_constant_series_null(spark):
+    from smart_data_lake_spark.functions.analytics import lagged_autocorrelation
+
+    # period-2 series: lag-2 autocorr is +1
+    out = lagged_autocorrelation(_events(spark, [1, 9] * 10), lag=2).collect()
+    assert out[0]["autocorr_lag2"] == 1.0
+    # zero variance -> NULL, not div-by-zero
+    out = lagged_autocorrelation(_events(spark, [5.0] * 8)).collect()
+    assert out[0]["autocorr_lag1"] is None
+
+
+def test_rolling_zscore_flags_the_spike(spark):
+    from smart_data_lake_spark.functions.analytics import rolling_zscore_anomalies
+
+    series = [10.0, 11.0, 10.0, 9.0, 10.0, 11.0, 9.0, 10.0, 10.0, 11.0, 100.0, 10.0]
+    out = rolling_zscore_anomalies(
+        _events(spark, series), window=10, min_obs=10, k=3
+    ).collect()
+    # the spike (event 10, value 100) must rank first by |z|
+    assert out[0]["event_id"] == 10 and out[0]["value"] == 100.0
+    assert out[0]["z"] > 5
+    # its roll_mean is the mean of the 10 preceding values
+    assert out[0]["roll_mean"] == pytest.approx(sum(series[:10]) / 10, abs=1e-9)
+
+
+def test_rolling_zscore_min_obs_gate(spark):
+    from smart_data_lake_spark.functions.analytics import rolling_zscore_anomalies
+
+    out = rolling_zscore_anomalies(
+        _events(spark, [1.0, 2.0, 3.0, 4.0]), window=10, min_obs=10
+    ).collect()
+    assert out == []  # never enough history
+
+
+def test_zipf_slope_recovers_planted_exponent(spark):
+    from smart_data_lake_spark.functions.search import zipf_slope
+
+    # corpus where term_i appears round(1000 / i) times -> slope ~= -1
+    words = []
+    for i in range(1, 31):
+        words += [f"w{i:02d}"] * round(1000 / i)
+    df = spark.createDataFrame([(1, " ".join(words), "s1")], "doc_id long, text string, source string")
+    out = zipf_slope(df, top_n=30).collect()
+    assert out[0]["n_terms"] == 30
+    assert out[0]["zipf_slope"] == pytest.approx(-1.0, abs=0.02)
+
+
+def test_zipf_slope_top_n_cap_and_tie_ranks(spark):
+    from smart_data_lake_spark.functions.search import zipf_slope
+
+    df = spark.createDataFrame(
+        [(1, "a a a b b c", "s1"), (2, "d e f g h i j", "s1")],
+        "doc_id long, text string, source string",
+    )
+    out = zipf_slope(df, top_n=5).collect()
+    assert out[0]["n_terms"] == 5  # 9 distinct terms, capped at 5
+
+
+def test_kmeans_assign_obvious_clusters_and_seed_tiebreak(spark):
+    from smart_data_lake_spark.functions.similarity import kmeans_assign_stats
+
+    # seeds = vec_ids 1,2 (k=2); vectors 3,4 sit exactly on seed 1; vector 5
+    # is equidistant -> tie breaks to the SMALLER seed id
+    rows = [
+        (1, [0.0, 0.0]),
+        (2, [10.0, 0.0]),
+        (3, [0.1, 0.0]),
+        (4, [0.0, 0.2]),
+        (5, [5.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["cluster"]: r for r in kmeans_assign_stats(df, k=2).collect()}
+    assert out[1]["n_points"] == 4  # seeds 1 + vectors 3,4 + tied vector 5
+    assert out[2]["n_points"] == 1
+    assert out[2]["total_sqdist"] == 0.0
+    assert out[1]["total_sqdist"] == pytest.approx(0.1**2 + 0.2**2 + 25.0, abs=1e-5)
+
+
+def test_length_band_stats_hand_computed(spark):
+    from smart_data_lake_spark.functions.quality import length_band_stats
+
+    rows = [(i, f"d{i}", "s1", n) for i, n in enumerate([10, 20, 30, 40, 1000])]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string, n_chars long")
+    out = length_band_stats(df, lo=0.25, hi=0.75).collect()[0]
+    # p25 of [10,20,30,40,1000] = 20, p75 = 40 (interpolated on n-1 steps)
+    assert out["p_lo"] == 20.0 and out["p_hi"] == 40.0
+    assert out["n_docs"] == 5 and out["n_kept"] == 3
+    assert out["chars_kept"] == 20 + 30 + 40
+
+
+def test_fixed_k_per_group_deterministic_under_repartition(spark):
+    from smart_data_lake_spark.functions.sampling import fixed_k_per_group
+
+    rows = [(i, f"s{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    a = sorted(
+        (r["source"], r["doc_id"], r["sample_rank"])
+        for r in fixed_k_per_group(df, "doc_id", "source", 4).collect()
+    )
+    b = sorted(
+        (r["source"], r["doc_id"], r["sample_rank"])
+        for r in fixed_k_per_group(df.repartition(7), "doc_id", "source", 4).collect()
+    )
+    assert a == b
+    assert len(a) == 12  # 4 per group, 3 groups
+    assert {g for g, _, _ in a} == {"s0", "s1", "s2"}
+
+
+def test_normalized_dedup_text_mode_catches_recased_mirror(spark):
+    from smart_data_lake_spark.functions.dedup import normalized_duplicate_groups
+
+    rows = [
+        (1, "Hello,   World!"),
+        (2, "hello world"),
+        (3, "something else"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = normalized_duplicate_groups(df).collect()
+    assert len(out) == 1
+    assert out[0]["n_docs"] == 2 and out[0]["keep_id"] == 1 and out[0]["max_id"] == 2
+
+
+def test_normalized_dedup_bow_mode_catches_shuffled_tokens(spark):
+    from smart_data_lake_spark.functions.dedup import normalized_duplicate_groups
+
+    rows = [
+        (1, "the quick brown fox"),
+        (2, "fox brown the quick quick"),  # reordered + repeated
+        (3, "the quick brown dog"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = normalized_duplicate_groups(df, mode="bow").collect()
+    assert len(out) == 1 and out[0]["n_docs"] == 2
+    # text mode must NOT merge them
+    assert normalized_duplicate_groups(df, mode="text").collect() == []
+    with pytest.raises(ValueError):
+        normalized_duplicate_groups(df, mode="nope")
+
+
+# ---- plan audits ----------------------------------------------------------
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_autocorr_plan_one_window_one_combinable_agg(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["autocorr_lag1_value_by_type"](spark, sf_dir))
+    # window shuffle + agg shuffle; the agg must be map-side partial
+    assert plan.count("Exchange") <= 3
+    assert "partial_" in plan
+    assert "SinglePartition" not in plan.split("Sort")[0]
+    assert "CartesianProduct" not in plan
+
+
+def test_rolling_z_plan_takeordered_no_global_sort(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["rolling_z_anomalies_events"](spark, sf_dir))
+    assert "TakeOrdered" in plan
+    assert plan.count("Exchange") <= 2
+
+
+def test_zipf_plan_partitioned_window_no_cartesian(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["zipf_slope_by_source"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_" in plan
+
+
+def test_kmeans_assign_plan_broadcast_seeds_no_explode(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["kmeans_assign_embeddings"](spark, sf_dir))
+    # the 8-row seed frame broadcasts (nested-loop on a broadcast 8-row side
+    # is the intended crossJoin shape); the vector column must never explode
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Generate" not in plan  # no posexplode: the fold is in-row
+    assert "partial_" in plan
+
+
+def test_length_band_plan_broadcasts_bounds(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["doc_length_band_by_source"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fixed_k_plan_group_partitioned_window(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["fixed_k_sample_per_source"](spark, sf_dir))
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_normalized_dedup_plan_single_combinable_groupby(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["normalized_dedup_docs"](spark, sf_dir))
+    # one shuffle on the hash, map-side partial aggregation, no sort
+    assert plan.count("Exchange") <= 2
+    assert "partial_" in plan
