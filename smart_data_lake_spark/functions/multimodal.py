@@ -302,10 +302,11 @@ def decode_png(payload: bytes) -> dict:
 
 
 def decode_media(payload: bytes) -> dict:
-    """Dispatch: real decoders where the stdlib can (BMP, WAV, PNG — PNG's
-    entropy coding is zlib, which IS stdlib), the declared deterministic
-    stub otherwise (JPEG/video entropy coding needs external libs absent in
-    this environment — the Spark-side plumbing is identical either way)."""
+    """Dispatch: real decoders where stdlib+numpy can (BMP, WAV, PNG —
+    zlib IS stdlib — and baseline JPEG via functions/jpeg.py), the declared
+    deterministic stub otherwise (progressive JPEG / video need external
+    libs absent in this environment — the Spark-side plumbing is identical
+    either way)."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -314,6 +315,14 @@ def decode_media(payload: bytes) -> dict:
         try:
             return decode_png(payload)
         except ValueError:
-            # interlaced/16-bit: fall back to the declared stub
+            # 16-bit depth: fall back to the declared stub
+            return decode_image_stub(payload)
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        try:
+            return decode_jpeg(payload)
+        except ValueError:
+            # progressive / arithmetic-coded: declared stub
             return decode_image_stub(payload)
     return decode_image_stub(payload)
