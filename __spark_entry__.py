@@ -4074,20 +4074,24 @@ def oracle_sql() -> dict[str, str]:
                      SUM(x) AS sx, SUM(y) AS sy,
                      SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
               FROM lagged WHERE y IS NOT NULL GROUP BY event_type
+            ),
+            g AS (
+              SELECT event_type, n_pairs,
+                     CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+                     CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS ra,
+                     CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS rb
+              FROM s
             )
+            -- radicands guarded BEFORE sqrt: a constant series cancels to a
+            -- tiny negative, where DuckDB's sqrt hard-errors (Spark -> NaN)
             SELECT event_type, n_pairs,
-                   CASE WHEN sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
-                                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                           * sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
-                                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
-                        THEN round((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
-                                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                                   / (sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
-                                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                                      * sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
-                                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                   CASE WHEN ra > 0 AND rb > 0
+                        THEN round(num / (sqrt(ra) * sqrt(rb)), 6)
                    END AS autocorr_lag1
-            FROM s ORDER BY event_type""",
+            FROM g ORDER BY event_type""",
         "rolling_z_anomalies_events": """
             WITH scored AS (
               SELECT event_type, event_id,
@@ -4161,8 +4165,8 @@ def oracle_sql() -> dict[str, str]:
                                        - CAST(s.seed_vec[g.i] AS DOUBLE)), 6)
                               AS DECIMAL(38,6))) AS dist
               FROM embeddings e
-                   CROSS JOIN seeds s
-                   CROSS JOIN generate_series(1, 64) g(i)
+                   CROSS JOIN seeds s,
+                   LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) g
               GROUP BY 1, 2
             ),
             best AS (

@@ -460,7 +460,12 @@ def lagged_autocorrelation(
     sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
     sxy = F.col("_sxy").cast("double")
     num = n * sxy - sx * sy
-    den = F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    # guard each RADICAND, not the sqrt product: double cancellation makes
+    # a constant series' n*sxx - sx*sx a tiny NEGATIVE (measured -1.2e-7 at
+    # n=34), and sqrt(negative) is NaN here but a hard error in DuckDB —
+    # the oracle must be able to phrase the same guard
+    ra = n * sxx - sx * sx
+    rb = n * syy - sy * sy
     # ROUNDED output, unlike zipf_slope: full-series sums here are large
     # enough to exceed int64 when decimal-scaled, and DuckDB's
     # hugeint->double cast is lossy by ~1-2 ulp — rounding at 1e-6 absorbs
@@ -469,7 +474,9 @@ def lagged_autocorrelation(
     return stats.select(
         F.col(group_col),
         F.col("_n").alias("n_pairs"),
-        F.when(den > 0, F.round(num / den, decimals)).alias(f"autocorr_lag{lag}"),
+        F.when(
+            (ra > 0) & (rb > 0), F.round(num / (F.sqrt(ra) * F.sqrt(rb)), decimals)
+        ).alias(f"autocorr_lag{lag}"),
     )
 
 

@@ -705,11 +705,21 @@ def normalized_duplicate_groups(
     if mode == "bow":
         from .text import tokens
 
-        norm = F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(F.col(text_col)))))
+        # NULL-preserving: concat_ws would fold a NULL token array to ""
+        # and silently merge NULL-text docs with genuinely-empty ones (and
+        # diverge from SQL engines, where the whole expression stays NULL)
+        norm = F.when(
+            F.col(text_col).isNotNull(),
+            F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(F.col(text_col))))),
+        )
     elif mode == "text":
+        # \p{L}\p{N}, not [a-z0-9]: an ASCII whitelist would collapse every
+        # non-Latin-script document to "" and report all CJK/Cyrillic docs
+        # as one giant duplicate group; unicode letter/number classes parse
+        # identically in Java regex and RE2
         norm = F.trim(
             F.regexp_replace(
-                F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9\\s]", ""),
+                F.regexp_replace(F.lower(F.col(text_col)), "[^\\p{L}\\p{N}\\s]", ""),
                 "\\s+",
                 " ",
             )

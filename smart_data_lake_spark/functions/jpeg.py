@@ -187,10 +187,13 @@ class _BitReader:
         raise ValueError("invalid JPEG Huffman code")
 
     def align_to_marker(self) -> None:
-        """Discard buffered bits and skip to the next marker boundary."""
+        """Discard buffered bits and skip to the next marker boundary
+        (past any 0xFF fill bytes, T.81 B.1.1.2, so data[pos+1] is the
+        marker code itself)."""
         self.bitbuf = 0
         self.nbits = 0
-        while self.data[self.pos] != 0xFF or self.data[self.pos + 1] == 0x00:
+        d = self.data
+        while d[self.pos] != 0xFF or d[self.pos + 1] in (0x00, 0xFF):
             self.pos += 1
 
 
@@ -217,6 +220,9 @@ def _parse(payload: bytes):
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
+        if payload[pos + 1] == 0xFF:  # fill byte (T.81 B.1.1.2): skip one
+            pos += 1
+            continue
         marker = payload[pos + 1]
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # SOI/RSTn: bare marker
             pos += 2
@@ -250,6 +256,11 @@ def _parse(payload: bytes):
             if seg[0] != 8:
                 raise ValueError(f"JPEG precision {seg[0]} unsupported")
             height, width = struct.unpack_from(">HH", seg, 1)
+            if seg[5] not in (1, 3):
+                # 2-component and CMYK (4) streams are outside the declared
+                # scope — raise so decode_media falls back to the stub
+                # instead of silently emitting wrong channel metadata
+                raise ValueError(f"JPEG with {seg[5]} components unsupported")
             comps = []
             for c in range(seg[5]):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
@@ -344,9 +355,18 @@ def _planes_to_rgb(planes: list[np.ndarray]) -> list[np.ndarray]:
 
 def decode_jpeg(payload: bytes) -> dict:
     """Decode a baseline JPEG; returns the `decode_bmp`/`decode_png`-shaped
-    dict (width/height/channels/format + exact per-channel means)."""
-    frame, scan, qt, hdc, hac, ri, pos = _parse(payload)
-    planes = _scan_planes(payload, pos, frame, scan, qt, hdc, hac, ri)
+    dict (width/height/channels/format + exact per-channel means).
+
+    Truncated/corrupt streams surface as ValueError (never IndexError/
+    KeyError/struct.error) so `decode_media` can fall back to the declared
+    stub instead of failing the whole mapInPandas batch."""
+    try:
+        frame, scan, qt, hdc, hac, ri, pos = _parse(payload)
+        planes = _scan_planes(payload, pos, frame, scan, qt, hdc, hac, ri)
+    except ValueError:
+        raise
+    except (IndexError, KeyError, struct.error) as exc:
+        raise ValueError(f"malformed JPEG stream: {type(exc).__name__}") from exc
     out = {
         "width": frame["w"],
         "height": frame["h"],
@@ -363,8 +383,13 @@ def decode_jpeg(payload: bytes) -> dict:
 def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
     """Full pixel decode to (H, W, 3|1) uint8 — the array the tests compare
     pixel-for-pixel against javax.imageio's reference decode."""
-    frame, scan, qt, hdc, hac, ri, pos = _parse(payload)
-    planes = _scan_planes(payload, pos, frame, scan, qt, hdc, hac, ri)
+    try:
+        frame, scan, qt, hdc, hac, ri, pos = _parse(payload)
+        planes = _scan_planes(payload, pos, frame, scan, qt, hdc, hac, ri)
+    except ValueError:
+        raise
+    except (IndexError, KeyError, struct.error) as exc:
+        raise ValueError(f"malformed JPEG stream: {type(exc).__name__}") from exc
     if len(planes) == 3:
         return np.round(np.stack(_planes_to_rgb(planes), axis=-1)).astype(np.uint8)
     return np.round(np.clip(planes[0], 0, 255)).astype(np.uint8)[..., None]

@@ -309,34 +309,23 @@ def zipf_slope(
     tf = toks.groupBy(group_col, "term").agg(F.count(F.lit(1)).alias("freq"))
     from pyspark.sql import Window
 
+    from .analytics import grouped_linear_trend
+
     w = Window.partitionBy(group_col).orderBy(F.desc("freq"), F.asc("term"))
     ranked = tf.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= top_n)
-    # decimal(18,s), NOT decimal(38,s): Spark's 38x38 multiply overflows
-    # precision and silently ROUNDS each product back to scale s (DuckDB
-    # keeps the exact 2s-scale product) — 18-digit inputs keep the product
-    # within precision 37, so both engines accumulate the identical exact
-    # sums (the grouped_linear_trend discipline)
-    dec = f"decimal(18,{decimals})"
-    x = F.round(F.log(F.col("rank").cast("double")), decimals).cast(dec)
-    y = F.round(F.log(F.col("freq").cast("double")), decimals).cast(dec)
-    stats = ranked.select(F.col(group_col), x.alias("_x"), y.alias("_y")).groupBy(group_col).agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.sum("_x").alias("_sx"),
-        F.sum("_y").alias("_sy"),
-        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
-        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+    # the regression itself IS grouped_linear_trend (same exact-decimal
+    # sufficient statistics; the decimal(18,s) cast applies the identical
+    # HALF_UP quantization an explicit round would) — one engine-parity-
+    # sensitive OLS formula in the codebase, not two
+    fit = grouped_linear_trend(
+        ranked,
+        [group_col],
+        x=F.log(F.col("rank").cast("double")),
+        y=F.log(F.col("freq").cast("double")),
+        scale=decimals,
     )
-    n = F.col("_n").cast("double")
-    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
-    sxx, sxy = F.col("_sxx").cast("double"), F.col("_sxy").cast("double")
-    den = n * sxx - sx * sx
-    # the slope is NOT rounded: it derives from exact decimal sums through
-    # fixed IEEE arithmetic, so both engines produce the bit-identical
-    # double — while ROUNDING it can diverge (quantized inputs make ratios
-    # land exactly on rounding boundaries, where Spark's exact-BigDecimal
-    # HALF_UP and DuckDB's multiply-based round() disagree; observed live)
-    return stats.select(
+    return fit.select(
         F.col(group_col),
-        F.col("_n").alias("n_terms"),
-        F.when(den > 0, (n * sxy - sx * sy) / den).alias("zipf_slope"),
+        F.col("n").alias("n_terms"),
+        F.col("slope").alias("zipf_slope"),
     )

@@ -172,3 +172,37 @@ def test_grayscale_jpeg_from_imageio(spark):
         [[jr.getSample(x, y, 0) for x in range(w)] for y in range(h)], dtype=np.int64
     )
     assert np.abs(java_gray - ours[..., 0].astype(int)).max() <= 2
+
+
+# ---- review-pass regressions ---------------------------------------------
+
+
+def test_truncated_entropy_data_is_valueerror_and_stub_fallback():
+    """Corrupt payloads must surface as ValueError (not IndexError) so
+    decode_media returns the stub instead of failing the whole batch."""
+    from smart_data_lake_spark.functions.multimodal import decode_media
+
+    payload = encode_jpeg(_gradient(24, 24))
+    truncated = payload[: len(payload) // 2]
+    with pytest.raises(ValueError, match="JPEG"):
+        decode_jpeg(truncated)
+    assert decode_media(truncated)["format"] == "stub"
+
+
+def test_four_component_cmyk_rejected_not_mangled():
+    payload = bytearray(encode_jpeg(_gradient(16, 16)))
+    i = payload.index(b"\xff\xc0")
+    # SOF0 payload: len(2) prec(1) h(2) w(2) ncomp(1): rewrite ncomp 3 -> 4
+    assert payload[i + 9] == 3
+    payload[i + 9] = 4
+    with pytest.raises(ValueError, match="components"):
+        decode_jpeg(bytes(payload))
+
+
+def test_fill_bytes_before_markers_are_legal():
+    """T.81 B.1.1.2: any marker may be preceded by 0xFF fill bytes."""
+    payload = encode_jpeg(_gradient(16, 16), quality=90)
+    # insert fill bytes after SOI (before APP0) and before the SOS marker
+    i = payload.index(b"\xff\xda")
+    padded = payload[:2] + b"\xff\xff" + payload[2:i] + b"\xff" + payload[i:]
+    assert np.array_equal(decode_jpeg_pixels(padded), decode_jpeg_pixels(payload))

@@ -252,3 +252,65 @@ def test_normalized_dedup_plan_single_combinable_groupby(spark, sf_dir):
     # one shuffle on the hash, map-side partial aggregation, no sort
     assert plan.count("Exchange") <= 2
     assert "partial_" in plan
+
+
+# ---- review-pass regressions ---------------------------------------------
+
+
+def test_autocorr_oracle_sql_survives_constant_series():
+    """The DuckDB oracle must NULL out a constant-value group, not hard-error
+    on sqrt of a cancellation-negative radicand (review finding: -1.2e-7 at
+    n=34 for value 820.096754)."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    con = duckdb.connect()
+    con.sql(
+        """CREATE VIEW events AS
+           SELECT i AS event_id,
+                  TIMESTAMP '2024-01-01' + INTERVAL (i) SECOND AS ts,
+                  i % 7 AS user_id, 'click' AS event_type,
+                  820.096754 AS value, '' AS props
+           FROM range(35) t(i)"""
+    )
+    rows = con.sql(entry.oracle_sql()["autocorr_lag1_value_by_type"]).fetchall()
+    assert len(rows) == 1
+    assert rows[0][2] is None  # autocorr NULL, no exception
+
+
+def test_normalized_dedup_text_mode_keeps_scripts_apart(spark):
+    from smart_data_lake_spark.functions.dedup import normalized_duplicate_groups
+
+    rows = [
+        (1, "你好 世界"),
+        (2, "再见了"),
+        (3, "Привет мир"),
+        (4, "你好, 世界!"),  # punctuation-variant of doc 1 SHOULD merge
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = normalized_duplicate_groups(df, mode="text").collect()
+    assert len(out) == 1  # only the 1/4 pair; CJK vs Cyrillic never merge
+    assert out[0]["n_docs"] == 2 and out[0]["keep_id"] == 1 and out[0]["max_id"] == 4
+
+
+def test_normalized_dedup_null_text_not_merged_with_empty(spark):
+    from pyspark.sql import types as T
+
+    from smart_data_lake_spark.functions.dedup import normalized_duplicate_groups
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, ""), (4, "   "), (5, "real text")], schema
+    )
+    for mode in ("text", "bow"):
+        groups = {r["norm_hash"]: r for r in normalized_duplicate_groups(df, mode=mode).collect()}
+        # NULL-text docs group under the NULL hash; empty/whitespace docs
+        # group under md5('') — never merged together
+        assert None in groups and groups[None]["n_docs"] == 2
+        import hashlib
+
+        empty_hash = hashlib.md5(b"").hexdigest()
+        assert empty_hash in groups and groups[empty_hash]["n_docs"] == 2

@@ -85,6 +85,13 @@ def main(factor: int) -> str:
         "token_entropy_docs",
         "containment_pairs_docs",
         "cross_source_dup_audit",
+        # late-r6 additions
+        "autocorr_lag1_value_by_type",
+        "rolling_z_anomalies_events",
+        "zipf_slope_by_source",
+        "doc_length_band_by_source",
+        "fixed_k_sample_per_source",
+        "normalized_dedup_docs",
     ]
 
     def timed(name: str, sf_dir: str) -> float:
