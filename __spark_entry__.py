@@ -2263,6 +2263,56 @@ def normalized_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalized_duplicate_groups(docs, mode="bow").orderBy("norm_hash")
 
 
+def streaming_enrich_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (streaming/operators.enrich_with_static):
+    the events stream joins a BROADCAST static user-cohort dim per
+    micro-batch (no state store on the static side), then daily windowed
+    counts per cohort — drained availableNow; oracle proves stream ≡ batch
+    join+window."""
+    from smart_data_lake_spark.streaming.operators import (
+        enrich_with_static,
+        read_events_batch,
+        read_events_stream,
+        run_available_now,
+        user_cohort_dim,
+    )
+
+    dim = user_cohort_dim(read_events_batch(spark, sf_dir))
+    res = enrich_with_static(read_events_stream(spark, sf_dir), dim)
+    return run_available_now(res).orderBy("window_start_epoch", "cohort_week")
+
+
+def source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources (functions/search
+    .source_vocab_overlap): term-keyed pair join, never corpus×corpus;
+    unrounded integer-derived division — bit-identical across engines."""
+    from smart_data_lake_spark.functions.search import source_vocab_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    return source_vocab_overlap(docs).orderBy("source_a", "source_b")
+
+
+def decayed_popularity_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed popularity score per event type (functions/analytics
+    .decayed_popularity): half-life weights off the observed max timestamp,
+    rounded pre-sum + exact decimal accumulation; broadcast 1-row ref."""
+    from smart_data_lake_spark.functions.analytics import decayed_popularity
+
+    ev = _t(spark, sf_dir, "events")
+    return decayed_popularity(ev, half_life_hours=24.0).orderBy("event_type")
+
+
+def lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence of language vs source (functions/profiling
+    .chi_square_independence): exact-integer contingency cells, per-cell
+    terms rounded pre-sum into exact decimal — the corpus-composition
+    drift alarm."""
+    from smart_data_lake_spark.functions.profiling import chi_square_independence
+
+    docs = _t(spark, sf_dir, "documents")
+    return chi_square_independence(docs, "lang", "source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is the driver grading window: only the first 50
     # entries get a CORRECTNESS oracle row per round. r6 rotation —
@@ -2402,6 +2452,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_band_by_source": doc_length_band_by_source,
         "fixed_k_sample_per_source": fixed_k_sample_per_source,
         "normalized_dedup_docs": normalized_dedup_docs,
+        "streaming_enrich_cohorts": streaming_enrich_cohorts,
+        "source_vocab_jaccard": source_vocab_jaccard,
+        "decayed_popularity_by_type": decayed_popularity_by_type,
+        "lang_source_chisq": lang_source_chisq,
     }
 
 # ---- oracle SQL builders (DuckDB dialect) --------------------------------
@@ -4219,4 +4273,83 @@ def oracle_sql() -> dict[str, str]:
                    MIN(length(norm)) AS norm_chars
             FROM normed GROUP BY norm_hash HAVING COUNT(*) > 1
             ORDER BY norm_hash""",
+        "streaming_enrich_cohorts": """
+            WITH dim AS (
+              SELECT user_id,
+                     CAST(floor(CAST(epoch_us(MIN(ts)) AS DOUBLE) / 604800000000.0)
+                          AS BIGINT) AS cohort_week
+              FROM events GROUP BY user_id
+            )
+            SELECT CAST(floor(epoch(e.ts) / 86400) * 86400 AS BIGINT)
+                     AS window_start_epoch,
+                   d.cohort_week,
+                   COUNT(*) AS n_events
+            FROM events e JOIN dim d USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2""",
+        "source_vocab_jaccard": f"""
+            WITH vocab AS (
+              SELECT DISTINCT source AS g, t.term
+              FROM (SELECT source, unnest({_TOKS}) AS term FROM documents
+                    WHERE length(trim(lower(text))) > 0) t
+            ),
+            sizes AS (SELECT g, COUNT(*) AS n_terms FROM vocab GROUP BY g),
+            pairs AS (
+              SELECT a.g AS source_a, b.g AS source_b, COUNT(*) AS n_common
+              FROM vocab a JOIN vocab b ON a.term = b.term AND a.g < b.g
+              GROUP BY 1, 2
+            )
+            SELECT p.source_a, p.source_b, p.n_common,
+                   sa.n_terms AS n_a, sb.n_terms AS n_b,
+                   CAST(p.n_common AS DOUBLE)
+                     / CAST(sa.n_terms + sb.n_terms - p.n_common AS DOUBLE) AS jaccard
+            FROM pairs p
+                 JOIN sizes sa ON sa.g = p.source_a
+                 JOIN sizes sb ON sb.g = p.source_b
+            ORDER BY p.source_a, p.source_b""",
+        "decayed_popularity_by_type": """
+            WITH ref AS (SELECT MAX(ts) AS ref_ts FROM events),
+            w AS (
+              SELECT event_type,
+                     CAST(round(exp(-0.6931471805599453
+                                    * (CAST(epoch_us(ref_ts) AS DOUBLE) / 1e6
+                                       - CAST(epoch_us(ts) AS DOUBLE) / 1e6)
+                                    / (24.0 * 3600.0)), 6)
+                          AS DECIMAL(18,6)) AS wgt
+              FROM events, ref
+            )
+            SELECT event_type, COUNT(*) AS n_events,
+                   CAST(SUM(wgt) AS DOUBLE) AS decayed_score
+            FROM w GROUP BY event_type ORDER BY event_type""",
+        "lang_source_chisq": """
+            WITH cells AS (
+              SELECT lang, source, COUNT(*) AS n_ij FROM documents GROUP BY 1, 2
+            ),
+            rm AS (SELECT lang, SUM(n_ij) AS n_i FROM cells GROUP BY lang),
+            cm AS (SELECT source, SUM(n_ij) AS n_j FROM cells GROUP BY source),
+            tot AS (SELECT CAST(SUM(n_ij) AS BIGINT) AS n, COUNT(*) AS n_cells,
+                           COUNT(DISTINCT lang) AS n_rows,
+                           COUNT(DISTINCT source) AS n_cols
+                    FROM cells),
+            grid AS (
+              SELECT r.lang, m.source, r.n_i, m.n_j,
+                     COALESCE(c.n_ij, 0) AS n_ij
+              FROM rm r CROSS JOIN cm m
+                   LEFT JOIN cells c ON c.lang = r.lang AND c.source = m.source
+            ),
+            terms AS (
+              SELECT CAST(round(
+                       (CAST(g.n_ij AS DOUBLE)
+                        - CAST(g.n_i AS DOUBLE) * CAST(g.n_j AS DOUBLE)
+                          / CAST(t.n AS DOUBLE))
+                       * (CAST(g.n_ij AS DOUBLE)
+                          - CAST(g.n_i AS DOUBLE) * CAST(g.n_j AS DOUBLE)
+                            / CAST(t.n AS DOUBLE))
+                       / (CAST(g.n_i AS DOUBLE) * CAST(g.n_j AS DOUBLE)
+                          / CAST(t.n AS DOUBLE)), 6) AS DECIMAL(18,6)) AS trm
+              FROM grid g, tot t
+            )
+            SELECT CAST(SUM(trm) AS DOUBLE) AS chi2,
+                   CAST((t.n_rows - 1) * (t.n_cols - 1) AS BIGINT) AS dof,
+                   t.n
+            FROM terms, tot t GROUP BY t.n_rows, t.n_cols, t.n""",
     }

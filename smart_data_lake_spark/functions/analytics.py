@@ -542,3 +542,38 @@ def rolling_zscore_anomalies(
         .orderBy(F.abs(F.col("z")).desc(), F.col(tiebreak_col))
         .limit(k)
     )
+
+
+def decayed_popularity(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    half_life_hours: float = 24.0,
+    decimals: int = 6,
+) -> DataFrame:
+    """Time-decayed popularity: each event contributes 2^(-age/half_life)
+    relative to the NEWEST event in the table — the standard trending-items
+    score (recent activity dominates, old volume fades geometrically).
+    Using the observed max timestamp as the reference keeps the operator
+    deterministic (no wall-clock read) and re-run reproducible.
+
+    Exactness: per-event weights are libm exp() values — rounded to 1e-6
+    BEFORE summation so sub-ulp exp() differences across engines cannot
+    survive — then summed in exact DECIMAL; the output is the exact sum
+    cast to double (bit-identical anywhere). Shape: one 1-row max-ts
+    aggregate broadcast onto the scan, one combinable sum — two scans, no
+    sort, no window."""
+    ref = df.agg(F.max(F.col(ts_col)).alias("_ref_ts"))
+    age_sec = F.unix_micros(F.col("_ref_ts")) / 1e6 - F.unix_micros(F.col(ts_col)) / 1e6
+    lam = 0.6931471805599453  # ln 2 as a fixed literal: same constant in any engine
+    w = F.exp(F.lit(-lam) * age_sec / F.lit(half_life_hours * 3600.0))
+    dec = f"decimal(18,{decimals})"
+    return (
+        df.crossJoin(F.broadcast(ref))
+        .select(F.col(key_col), F.round(w, decimals).cast(dec).alias("_w"))
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_w").cast("double").alias("decayed_score"),
+        )
+    )

@@ -346,3 +346,63 @@ def exact_quartiles(
         F.round(pcts[1], 6).alias("median"),
         F.round(pcts[2], 6).alias("q3"),
     )
+
+
+def chi_square_independence(
+    df,
+    col_a: str,
+    col_b: str,
+    decimals: int = 6,
+):
+    """Pearson chi-square independence statistic for two categorical
+    columns (is the language mix independent of the source?) — the
+    one-number drift alarm for corpus composition audits.
+
+    chi2 = sum over cells of (n_ij - e_ij)^2 / e_ij with
+    e_ij = row_i * col_j / N. Every count is exact; each cell's term is a
+    fixed IEEE expression of exact integers (identical in any engine), and
+    the CELL SUM — the only order-sensitive float reduction — rounds each
+    term to 1e-6 and accumulates in exact DECIMAL, so the statistic is
+    partition-order-independent and engine-exact. Shape: one (a,b) count
+    aggregate (cells ≈ |A|·|B|, tiny), marginals re-aggregated FROM the
+    cell frame (no second corpus scan), broadcast back."""
+    from pyspark.sql import functions as F
+
+    # the cell frame is consumed by four downstream aggregates (row/col
+    # marginals, totals, the grid join); without a lineage cut Catalyst
+    # re-derives it from the CORPUS SCAN each time (measured 5 scans).
+    # localCheckpoint materializes the marginal-scale frame once — same
+    # treatment as connected_components' iteration frames.
+    cells = (
+        df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("n_ij")).localCheckpoint()
+    )
+    row_m = cells.groupBy(col_a).agg(F.sum("n_ij").alias("n_i"))
+    col_m = cells.groupBy(col_b).agg(F.sum("n_ij").alias("n_j"))
+    tot = cells.agg(
+        F.sum("n_ij").alias("n"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.countDistinct(col_a).alias("n_rows"),
+        F.countDistinct(col_b).alias("n_cols"),
+    )
+    dec = f"decimal(18,{decimals})"
+    # expand to the FULL category grid: an absent cell is an observation of
+    # ZERO and still contributes (0 - e)^2 / e = e to the statistic —
+    # joining only observed cells silently understates dependence (a fully
+    # dependent 2x2 would report N/2 instead of N). The grid is
+    # |A| x |B| rows — marginal-scale, not corpus-scale.
+    grid = row_m.crossJoin(col_m)
+    joined = (
+        grid.join(cells, [col_a, col_b], "left")
+        .withColumn("n_ij", F.coalesce(F.col("n_ij"), F.lit(0)))
+        .crossJoin(F.broadcast(tot.select("n")))
+    )
+    e = F.col("n_i").cast("double") * F.col("n_j").cast("double") / F.col("n").cast("double")
+    term = (F.col("n_ij").cast("double") - e) * (F.col("n_ij").cast("double") - e) / e
+    summed = joined.select(F.round(term, decimals).cast(dec).alias("_t")).agg(
+        F.sum("_t").cast("double").alias("chi2")
+    )
+    return summed.crossJoin(F.broadcast(tot)).select(
+        F.col("chi2"),
+        ((F.col("n_rows") - 1) * (F.col("n_cols") - 1)).cast("long").alias("dof"),
+        F.col("n").cast("long").alias("n"),
+    )

@@ -329,3 +329,52 @@ def zipf_slope(
         F.col("n").alias("n_terms"),
         F.col("slope").alias("zipf_slope"),
     )
+
+
+def source_vocab_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard between groups — the corpus-audit matrix
+    answering "which sources speak the same language" (high overlap between
+    supposedly-independent sources is the classic syndication/mirror smell
+    that `cross_source_duplication` then confirms at document level).
+
+    Exactness: |A∩B| and the set sizes are exact integers; the Jaccard is
+    ONE integer-derived double division, bit-identical in any engine — no
+    rounding (see zipf_slope on why rounding derived doubles is the risky
+    operation, not the safe one).
+    Shape: distinct (group, term) once; the pair join is keyed on TERM
+    (each term contributes its group-pair combinations — never a cross
+    join of corpora); per-group sizes broadcast back onto the bounded
+    group-pair result. Pair fan-out is sum over terms of (groups sharing
+    the term choose 2), bounded by #groups² per term — vocab-scale work."""
+    vocab = df.select(
+        F.col(group_col).alias("g"), F.explode(tokens(F.col(text_col))).alias("term")
+    ).distinct()
+    sizes = vocab.groupBy("g").agg(F.count(F.lit(1)).alias("n_terms"))
+    pairs = (
+        vocab.alias("a")
+        .join(vocab.alias("b"), "term")
+        .where(F.col("a.g") < F.col("b.g"))
+        .groupBy(F.col("a.g").alias("source_a"), F.col("b.g").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("g").alias("source_a"), F.col("n_terms").alias("n_a"))
+    sb = sizes.select(F.col("g").alias("source_b"), F.col("n_terms").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )

