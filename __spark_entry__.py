@@ -2313,6 +2313,40 @@ def lang_source_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi_square_independence(docs, "lang", "source")
 
 
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash near-dup candidate pairs (functions/dedup
+    .simhash_candidate_pairs, Manku WWW'07): pigeonhole block equi-join,
+    exact popcount verify — integer-exact end to end."""
+    from smart_data_lake_spark.functions.dedup import simhash_candidate_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_candidate_pairs(docs, max_hamming=3).orderBy("doc_a", "doc_b")
+
+
+def cusum_changepoint_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift changepoint per event type (functions/analytics
+    .cusum_changepoint): exact decimal cumsum - i*mean formulation, immune
+    to engine window-evaluation order; per-group argmax."""
+    from smart_data_lake_spark.functions.analytics import cusum_changepoint
+
+    ev = _t(spark, sf_dir, "events")
+    return cusum_changepoint(ev).orderBy("event_type")
+
+
+def global_docs_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-N global deterministic sample (functions/sampling
+    .global_fixed_n_sample): TakeOrdered over md5(key) — reproducible
+    eval-slice extraction, never a rate-based binomial count."""
+    from smart_data_lake_spark.functions.sampling import global_fixed_n_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        global_fixed_n_sample(docs, "doc_id", 50)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is the driver grading window: only the first 50
     # entries get a CORRECTNESS oracle row per round. r6 rotation —
@@ -2456,6 +2490,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_vocab_jaccard": source_vocab_jaccard,
         "decayed_popularity_by_type": decayed_popularity_by_type,
         "lang_source_chisq": lang_source_chisq,
+        "simhash_near_pairs": simhash_near_pairs,
+        "cusum_changepoint_by_type": cusum_changepoint_by_type,
+        "global_docs_sample": global_docs_sample,
     }
 
 # ---- oracle SQL builders (DuckDB dialect) --------------------------------
@@ -4352,4 +4389,71 @@ def oracle_sql() -> dict[str, str]:
                    CAST((t.n_rows - 1) * (t.n_cols - 1) AS BIGINT) AS dof,
                    t.n
             FROM terms, tot t GROUP BY t.n_rows, t.n_cols, t.n""",
+        "simhash_near_pairs": rf"""
+            WITH tok AS (
+              SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+              WHERE length(trim(lower(text))) > 0
+            ), th AS (
+              SELECT doc_id, substr(md5(tok), 1, 8) AS h FROM tok
+            ), bits AS (
+              SELECT doc_id, h, bit FROM th, (SELECT unnest(range(0, 32)) AS bit) b
+            ), digits AS (
+              SELECT doc_id, bit, substr(h, bit // 4 + 1, 1) AS d FROM bits
+            ), contrib AS (
+              SELECT doc_id, bit,
+                SUM((((CASE WHEN d BETWEEN '0' AND '9' THEN ascii(d) - 48 ELSE ascii(d) - 87 END) >> (bit % 4)) % 2) * 2 - 1) AS vote
+              FROM digits GROUP BY doc_id, bit
+            ), sigs AS (
+              SELECT doc_id,
+                     CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+              FROM contrib GROUP BY doc_id
+            ), blocks AS (
+              SELECT doc_id, simhash, b.band,
+                     (simhash >> (b.band * 8)) & 255 AS val
+              FROM sigs, (SELECT unnest(range(0, 4)) AS band) b
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.simhash AS sa, b.simhash AS sb
+              FROM blocks a JOIN blocks b
+                ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+            FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+            ORDER BY doc_a, doc_b""",
+        "cusum_changepoint_by_type": """
+            WITH q AS (
+              SELECT event_type, event_id, ts,
+                     CAST(round(value, 6) AS DECIMAL(18,6)) AS x
+              FROM events
+            ), c AS (
+              SELECT event_type, event_id,
+                     SUM(x) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY ts, event_id) AS i
+              FROM q
+            ), t AS (
+              SELECT event_type, SUM(x) AS tot, COUNT(*) AS n
+              FROM q GROUP BY event_type
+            ), s AS (
+              SELECT c.event_type, t.n, c.event_id,
+                     abs(CAST(c.cum AS DOUBLE)
+                         - CAST(c.i AS DOUBLE)
+                           * (CAST(t.tot AS DOUBLE) / CAST(t.n AS DOUBLE))) AS abs_s
+              FROM c JOIN t USING (event_type)
+            )
+            SELECT event_type, n, event_id AS change_point_id,
+                   abs_s AS max_abs_cusum
+            FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                               ORDER BY abs_s DESC, event_id) AS rk
+                  FROM s)
+            WHERE rk = 1 ORDER BY event_type""",
+        "global_docs_sample": """
+            SELECT doc_id, source, n_chars FROM (
+              SELECT doc_id, source, n_chars
+              FROM documents
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+              LIMIT 50
+            ) ORDER BY doc_id""",
     }

@@ -577,3 +577,58 @@ def decayed_popularity(
             F.sum("_w").cast("double").alias("decayed_score"),
         )
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    decimals: int = 6,
+) -> DataFrame:
+    """Mean-shift changepoint location by CUSUM: per group, the cumulative
+    sum of deviations from the group mean, S_i = Σ_{j≤i}(x_j − x̄); the
+    index maximizing |S_i| is the classic single-changepoint estimator
+    (Page 1954 / Pettitt's statistic shape). Reports that location and
+    max|S| per group.
+
+    Exactness: S_i is phrased as cumsum(x) − i·(total/n) where cumsum and
+    total are EXACT DECIMAL window/group sums — exact regardless of the
+    engine's window evaluation strategy (DuckDB's segment-tree windows add
+    in a different ORDER than Spark's running frames, which would diverge
+    on double cumsums; integer/decimal addition is order-free) — and the
+    subtraction is fixed IEEE arithmetic on exactly-cast doubles. The
+    argmax tie breaks on the tiebreak column. Shape: one group-partitioned
+    window (cumsum + row_number share the sort), a broadcast per-group
+    totals join, a TakeOrdered-style per-group argmax — no global sort."""
+    dec = f"decimal(18,{decimals})"
+    q = F.round(F.col(value_col), decimals).cast(dec)
+    w = Window.partitionBy(group_col).orderBy(ts_col, tiebreak_col)
+    cum = (
+        df.select(F.col(group_col), F.col(ts_col), F.col(tiebreak_col), q.alias("_x"))
+        .withColumn("_cum", F.sum("_x").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("_i", F.row_number().over(w))
+    )
+    totals = cum.groupBy(group_col).agg(
+        F.sum("_x").alias("_tot"), F.count(F.lit(1)).alias("n")
+    )
+    s_i = F.col("_cum").cast("double") - F.col("_i").cast("double") * (
+        F.col("_tot").cast("double") / F.col("n").cast("double")
+    )
+    scored = cum.join(F.broadcast(totals), group_col).select(
+        F.col(group_col), F.col("n"), F.col(tiebreak_col), F.abs(s_i).alias("_abs_s")
+    )
+    pick = Window.partitionBy(group_col).orderBy(
+        F.desc("_abs_s"), F.col(tiebreak_col)
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(pick))
+        .where(F.col("_rk") == 1)
+        .select(
+            F.col(group_col),
+            F.col("n"),
+            F.col(tiebreak_col).alias("change_point_id"),
+            F.col("_abs_s").alias("max_abs_cusum"),
+        )
+    )

@@ -737,3 +737,62 @@ def normalized_duplicate_groups(
         )
         .where(F.col("n_docs") > 1)
     )
+
+
+def simhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup candidate pairs from SimHash signatures via banded Hamming
+    search (Manku/Jain/Sarma, WWW'07 "Detecting near-duplicates for web
+    crawling"): split each signature into ``bands`` equal bit-blocks; by
+    pigeonhole, any pair within Hamming distance ``bands - 1`` shares at
+    least one exact block, so an equi-join on (block index, block value)
+    finds every such pair without comparing all pairs. Pairs are then
+    verified with the exact popcount distance and kept iff
+    ``<= max_hamming`` (callers should keep max_hamming < bands for the
+    completeness guarantee; larger values are best-effort recall).
+
+    Shape: signatures once (see `simhash`), then a banded self-equi-join —
+    the same never-all-pairs discipline as MinHash LSH — and the XOR
+    popcount is one JVM expression. Everything is integer: oracle-exact."""
+    if bits % bands:
+        raise ValueError("bands must divide bits")
+    width = bits // bands
+    mask = (1 << width) - 1
+    sigs = simhash(df, id_col=id_col, text_col=text_col, bits=bits)
+    blocks = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(F.col("simhash"), b * width)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("val"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("_b"),
+    ).select(id_col, "simhash", "_b.band", "_b.val")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(b, ["band", "val"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.simhash").alias("_sa"),
+            F.col("b.simhash").alias("_sb"),
+        )
+        .distinct()  # a pair may share several bands
+    )
+    ham = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+    return cand.select("doc_a", "doc_b", ham.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

@@ -321,3 +321,26 @@ def fixed_k_per_group(
         df.withColumn("sample_rank", F.row_number().over(w))
         .where(F.col("sample_rank") <= k)
     )
+
+
+def global_fixed_n_sample(
+    df: DataFrame,
+    key_col: str,
+    n: int,
+) -> DataFrame:
+    """Deterministic global sample of exactly n rows: the n keys whose
+    md5(key) sorts first corpus-wide — the whole-corpus companion to
+    `fixed_k_per_group` (eval slices that must be exactly N documents,
+    reproducible across engines, runs, and repartitionings).
+
+    Shape: TakeOrdered over (hash, key) — a per-partition top-n plus one
+    n-row merge on the driver side of the exchange; NEVER a global sort.
+    At 100 TB this is the only correct shape for exact-N: any rate-based
+    filter gives a binomial count, not exactly n."""
+    h = F.md5(F.col(key_col).cast("string"))
+    return (
+        df.withColumn("_h", h)
+        .orderBy("_h", key_col)
+        .limit(n)
+        .drop("_h")
+    )

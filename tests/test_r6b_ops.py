@@ -430,3 +430,94 @@ def test_chisq_plan_no_second_corpus_scan(spark, sf_dir):
     # marginals re-aggregate the CELL frame: exactly one parquet scan
     assert plan.count("Scan parquet") <= 2  # cells scan (+ possible reuse print)
     assert "CartesianProduct" not in plan
+
+
+# ---- wave-4 operators -----------------------------------------------------
+
+
+def test_simhash_candidate_pairs_finds_near_identical_docs(spark):
+    from smart_data_lake_spark.functions.dedup import simhash_candidate_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    rows = [
+        (1, base),
+        (2, base + " tail"),  # near-identical -> tiny hamming
+        (3, "completely different content about databases and engines " * 5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = simhash_candidate_pairs(df, max_hamming=3).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out}
+    assert (1, 2) in pairs
+    assert all(p in {(1, 2)} or 3 not in p for p in pairs)
+    for r in out:
+        assert 0 <= r["hamming"] <= 3
+    with pytest.raises(ValueError, match="bands"):
+        simhash_candidate_pairs(df, bits=32, bands=5)
+
+
+def test_simhash_pairs_identical_docs_hamming_zero(spark):
+    from smart_data_lake_spark.functions.dedup import simhash_candidate_pairs
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma")], "doc_id long, text string"
+    )
+    out = simhash_candidate_pairs(df).collect()
+    assert len(out) == 1 and out[0]["hamming"] == 0
+
+
+def test_cusum_changepoint_locates_the_mean_shift(spark):
+    from smart_data_lake_spark.functions.analytics import cusum_changepoint
+
+    # level shift at index 10: 10 -> 20
+    series = [10.0] * 10 + [20.0] * 10
+    out = cusum_changepoint(_events(spark, series)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n"] == 20
+    # |S_i| peaks at the LAST pre-shift point (event_id 9): S_9 = 9*? ->
+    # mean = 15, S_i = -5i for i<=10 -> max |S| at i=10 (event_id 9)
+    assert r["change_point_id"] == 9
+    assert r["max_abs_cusum"] == pytest.approx(50.0, abs=1e-9)
+
+
+def test_cusum_constant_series_zero(spark):
+    from smart_data_lake_spark.functions.analytics import cusum_changepoint
+
+    out = cusum_changepoint(_events(spark, [7.0] * 12)).collect()
+    assert out[0]["max_abs_cusum"] == 0.0
+
+
+def test_global_fixed_n_sample_exact_n_and_stable(spark):
+    from smart_data_lake_spark.functions.sampling import global_fixed_n_sample
+
+    rows = [(i, f"s{i % 5}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    a = sorted(r["doc_id"] for r in global_fixed_n_sample(df, "doc_id", 17).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in global_fixed_n_sample(df.repartition(13), "doc_id", 17).collect()
+    )
+    assert a == b and len(a) == 17
+
+
+def test_simhash_pairs_plan_banded_equijoin_never_all_pairs(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["simhash_near_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cusum_plan_shared_window_sort_no_global(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["cusum_changepoint_by_type"](spark, sf_dir))
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_global_sample_plan_takeordered_not_global_sort(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["global_docs_sample"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
