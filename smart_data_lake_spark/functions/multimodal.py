@@ -4,9 +4,11 @@ Media are opaque `binary` columns with typed metadata structs, read via
 `binaryFile` (RawFileDataObject). Decode / feature-extract / resize /
 frame-sample run as Arrow-batched Pandas UDFs over mapInPandas — the
 Spark-side plumbing (schema, partition sizing, batch shape) is real and
-tested; the codec step itself is STUBBED (this container has no image/audio
-libraries) behind `decode_image_stub`, a deterministic fake that real
-deployments replace with PIL/ffmpeg calls.
+tested. Codecs: BMP, WAV, PNG (zlib + filters + Adam7) and baseline JPEG
+(functions/jpeg.py, javax.imageio-cross-verified) decode FOR REAL on
+stdlib+numpy; only progressive JPEG and video remain behind
+`decode_image_stub`, the deterministic declared fake that real deployments
+replace with PIL/ffmpeg calls.
 
 Scale notes: binary payloads inflate row size by 3-6 orders of magnitude, so
 the module repartitions by byte budget (`target_partition_bytes`) before any
@@ -326,3 +328,70 @@ def decode_media(payload: bytes) -> dict:
             # progressive / arithmetic-coded: declared stub
             return decode_image_stub(payload)
     return decode_image_stub(payload)
+
+
+JPEG_ROUNDTRIP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("payload_bytes", T.LongType()),
+    ]
+)
+
+
+def jpeg_roundtrip_features(
+    df: DataFrame, id_col: str = "doc_id", size_col: str = "n_chars"
+) -> DataFrame:
+    """Drive the REAL JPEG codec through the distributed decode path: each
+    row synthesizes a deterministic gradient image (dimensions derived from
+    ``size_col``), encodes it with `functions.jpeg.encode_jpeg` and decodes
+    it back through `decode_media` — all inside Arrow mapInPandas batches,
+    payloads never on the driver. The decoded dimensions/channels/format
+    are exact functions of ``size_col``, so the whole pipeline is
+    oracle-gradeable even though entropy coding itself is not
+    SQL-expressible (pixel-level correctness is covered by the
+    javax.imageio cross-verification tests)."""
+    import numpy as np
+
+    from .jpeg import encode_jpeg
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .multimodal import decode_media
+
+        for pdf in it:
+            out = []
+            for did, n in zip(pdf[id_col], pdf[size_col]):
+                w = 16 + int(n) % 16
+                h = 16 + (int(n) // 16) % 16
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = np.stack(
+                    [(yy * 3) % 256, (xx * 5) % 256, ((yy + xx) * 7) % 256], axis=-1
+                ).astype(np.uint8)
+                payload = encode_jpeg(img, quality=85)
+                meta = decode_media(payload)
+                out.append(
+                    (
+                        int(did),
+                        meta["width"],
+                        meta["height"],
+                        meta["channels"],
+                        meta["format"],
+                        len(payload),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "channels",
+                    "format",
+                    "payload_bytes",
+                ],
+            )
+
+    return df.select(id_col, size_col).mapInPandas(batches, JPEG_ROUNDTRIP_SCHEMA)

@@ -206,3 +206,25 @@ def test_fill_bytes_before_markers_are_legal():
     i = payload.index(b"\xff\xda")
     padded = payload[:2] + b"\xff\xff" + payload[2:i] + b"\xff" + payload[i:]
     assert np.array_equal(decode_jpeg_pixels(padded), decode_jpeg_pixels(payload))
+
+
+def test_jpeg_roundtrip_features_distributed(spark, sf_dir):
+    """The real codec runs inside mapInPandas; dims are exact functions of
+    n_chars and the stream is genuinely JPEG (payload_bytes plausible)."""
+    from pyspark.sql import functions as F
+
+    from smart_data_lake_spark.functions.multimodal import jpeg_roundtrip_features
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") % 100 == 0)
+    )
+    out = jpeg_roundtrip_features(docs).collect()
+    n_chars = {r["doc_id"]: r["n_chars"] for r in docs.select("doc_id", "n_chars").collect()}
+    assert len(out) == len(n_chars) > 0
+    for r in out:
+        n = n_chars[r["doc_id"]]
+        assert r["width"] == 16 + n % 16
+        assert r["height"] == 16 + (n // 16) % 16
+        assert r["channels"] == 3 and r["format"] == "jpeg"
+        assert r["payload_bytes"] > 200  # real entropy-coded stream
