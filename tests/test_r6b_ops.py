@@ -418,8 +418,9 @@ def test_decayed_popularity_plan_broadcast_ref_combinable_agg(spark, sf_dir):
 
     plan = _plan(entry.queries()["decayed_popularity_by_type"](spark, sf_dir))
     assert "partial_" in plan
-    assert "SinglePartition" not in plan.split("BroadcastNestedLoopJoin")[0] or True
-    # the 1-row ref frame broadcast-nested-loops onto the scan (8-row side)
+    # the 1-row max-ts ref frame must BROADCAST onto the scan (a 1-row
+    # nested loop), never a cartesian shuffle
+    assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
 
 
@@ -521,3 +522,52 @@ def test_global_sample_plan_takeordered_not_global_sort(spark, sf_dir):
 
     plan = _plan(entry.queries()["global_docs_sample"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_chi_square_null_categories_excluded(spark):
+    from pyspark.sql import types as T
+
+    from smart_data_lake_spark.functions.profiling import chi_square_independence
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    # proportional 2x2 plus NULL-lang noise: NULLs must not corrupt chi2=0
+    rows = []
+    i = 0
+    for lang, mult in (("en", 2), ("de", 1)):
+        for src, n in (("s1", 10), ("s2", 20)):
+            for _ in range(n * mult):
+                rows.append((i, lang, src)); i += 1
+    rows += [(i + j, None, "s1") for j in range(30)]
+    df = spark.createDataFrame(rows, schema)
+    out = chi_square_independence(df, "lang", "source").collect()[0]
+    assert out["chi2"] == 0.0 and out["n"] == 90  # NULL rows excluded from N
+
+
+def test_global_sample_null_keys_excluded(spark):
+    from pyspark.sql import types as T
+
+    from smart_data_lake_spark.functions.sampling import global_fixed_n_sample
+
+    schema = T.StructType([T.StructField("doc_id", T.LongType())])
+    df = spark.createDataFrame([(i,) for i in range(30)] + [(None,)] * 40, schema)
+    out = [r["doc_id"] for r in global_fixed_n_sample(df, "doc_id", 25).collect()]
+    assert len(out) == 25 and None not in out
+
+
+def test_jpeg_roundtrip_skips_null_rows(spark):
+    from pyspark.sql import types as T
+
+    from smart_data_lake_spark.functions.multimodal import jpeg_roundtrip_features
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("n_chars", T.LongType())]
+    )
+    df = spark.createDataFrame([(1, 100), (2, None), (None, 50)], schema)
+    out = jpeg_roundtrip_features(df).collect()
+    assert [r["doc_id"] for r in out] == [1]
