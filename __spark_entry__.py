@@ -2368,6 +2368,27 @@ def multimodal_jpeg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def length_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS drift statistic between src1/src2 length distributions
+    (functions/profiling.ks_statistic): exact integer ECDF ratios; the only
+    single-partition window runs over the aggregated distinct-value support,
+    never the corpus."""
+    from smart_data_lake_spark.functions.profiling import ks_statistic
+
+    docs = _t(spark, sf_dir, "documents")
+    return ks_statistic(docs, "n_chars", "source", "src1", "src2")
+
+
+def bigram_lm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc average bigram log-probability under the corpus's own
+    add-one-smoothed bigram LM (functions/quality.bigram_logprob_score) —
+    the phrase-level fluency upgrade of the unigram scorer."""
+    from smart_data_lake_spark.functions.quality import bigram_logprob_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_logprob_score(docs).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is the driver grading window: only the first 50
     # entries get a CORRECTNESS oracle row per round. r6 rotation —
@@ -2515,6 +2536,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_changepoint_by_type": cusum_changepoint_by_type,
         "global_docs_sample": global_docs_sample,
         "multimodal_jpeg_pipeline": multimodal_jpeg_pipeline,
+        "length_drift_ks": length_drift_ks,
+        "bigram_lm_docs": bigram_lm_docs,
     }
 
 # ---- oracle SQL builders (DuckDB dialect) --------------------------------
@@ -4487,4 +4510,59 @@ def oracle_sql() -> dict[str, str]:
                    'jpeg' AS format,
                    TRUE AS payload_nonempty
             FROM documents WHERE doc_id % 20 = 0 ORDER BY doc_id""",
+        "length_drift_ks": """
+            WITH tagged AS (
+              SELECT n_chars AS x,
+                     CASE WHEN source = 'src1' THEN 1 ELSE 0 END AS a,
+                     CASE WHEN source = 'src2' THEN 1 ELSE 0 END AS b
+              FROM documents WHERE source IN ('src1', 'src2')
+            ),
+            per_x AS (SELECT x, SUM(a) AS ca, SUM(b) AS cb FROM tagged GROUP BY x),
+            tot AS (SELECT SUM(a) AS na, SUM(b) AS nb FROM tagged),
+            cum AS (
+              SELECT x,
+                     SUM(ca) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum_a,
+                     SUM(cb) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum_b
+              FROM per_x
+            ),
+            d AS (
+              SELECT x, na, nb,
+                     abs(CAST(cum_a AS DOUBLE) / CAST(na AS DOUBLE)
+                         - CAST(cum_b AS DOUBLE) / CAST(nb AS DOUBLE)) AS dd
+              FROM cum, tot
+            )
+            SELECT dd AS ks, x AS at_value,
+                   CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
+            FROM (SELECT *, row_number() OVER (ORDER BY dd DESC, x) AS rk FROM d)
+            WHERE rk = 1""",
+        "bigram_lm_docs": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS} AS w FROM documents
+              WHERE length(trim(lower(text))) > 0 AND len({_TOKS}) >= 2
+            ),
+            doc_bi AS (
+              SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+              FROM toks, LATERAL (SELECT unnest(range(1, len(w))) AS i) x
+            ),
+            bi AS (SELECT w1, w2, COUNT(*) AS c12 FROM doc_bi GROUP BY 1, 2),
+            uni AS (
+              SELECT t.term, COUNT(*) AS c1
+              FROM (SELECT unnest({_TOKS}) AS term FROM documents
+                    WHERE length(trim(lower(text))) > 0) t
+              GROUP BY 1
+            ),
+            v AS (SELECT COUNT(*) AS v FROM uni),
+            scored AS (
+              SELECT d.doc_id,
+                     CAST(round(ln((b.c12 + 1.0)
+                                   / (CAST(u.c1 AS DOUBLE) + CAST(v.v AS DOUBLE))), 6)
+                          AS DECIMAL(18,6)) AS lp
+              FROM doc_bi d JOIN bi b USING (w1, w2)
+                   JOIN uni u ON u.term = d.w1, v
+            )
+            SELECT doc_id, COUNT(*) AS n_bigrams,
+                   round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_bigram_logprob
+            FROM scored GROUP BY doc_id ORDER BY doc_id""",
     }

@@ -411,3 +411,61 @@ def chi_square_independence(
         ((F.col("n_rows") - 1) * (F.col("n_cols") - 1)).cast("long").alias("dof"),
         F.col("n").cast("long").alias("n"),
     )
+
+
+def ks_statistic(
+    df,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+):
+    """Two-sample Kolmogorov-Smirnov statistic: D = max over x of
+    |F_a(x) − F_b(x)| between the value distributions of two groups — the
+    standard distribution-drift test for corpus audits ("did src7's length
+    distribution shift after the recrawl?").
+
+    Exactness: the ECDFs are ratios of exact integer cumulative counts, so
+    every D_x is one fixed IEEE division/subtraction — engine-identical;
+    the argmax ties break on the value. Shape: one combinable per-distinct-
+    value count aggregate, then a cumulative window over the DISTINCT value
+    frame — that window is a single partition by construction (KS needs the
+    global value order), but it runs on the aggregated support
+    (|distinct values| rows), never the corpus; for a value domain too
+    large to aggregate, pre-bucket into quantile bins first."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    tagged = df.where(F.col(group_col).isin(group_a, group_b)).select(
+        F.col(value_col).alias("x"),
+        F.when(F.col(group_col) == group_a, 1).otherwise(0).alias("_a"),
+        F.when(F.col(group_col) == group_b, 1).otherwise(0).alias("_b"),
+    )
+    per_x = tagged.groupBy("x").agg(
+        F.sum("_a").alias("ca"), F.sum("_b").alias("cb")
+    )
+    totals = tagged.agg(
+        F.sum("_a").alias("na"), F.sum("_b").alias("nb")
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_x.select(
+        "x",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    ).crossJoin(F.broadcast(totals))
+    d = F.abs(
+        F.col("cum_a").cast("double") / F.col("na").cast("double")
+        - F.col("cum_b").cast("double") / F.col("nb").cast("double")
+    )
+    pick = Window.orderBy(F.desc("_d"), F.col("x"))
+    return (
+        cum.select("x", "na", "nb", d.alias("_d"))
+        .withColumn("_rk", F.row_number().over(pick))
+        .where(F.col("_rk") == 1)
+        .select(
+            F.col("_d").alias("ks"),
+            F.col("x").alias("at_value"),
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+        )
+    )

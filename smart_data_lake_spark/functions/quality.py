@@ -325,3 +325,63 @@ def length_band_stats(
         F.round(F.first("_plo"), decimals).alias("p_lo"),
         F.round(F.first("_phi"), decimals).alias("p_hi"),
     )
+
+
+def bigram_logprob_score(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    decimals: int = 6,
+):
+    """Per-document average bigram log-probability under the corpus's own
+    add-one-smoothed bigram LM: logp(w2|w1) = ln((c(w1,w2)+1)/(c(w1)+V)).
+    The bigram upgrade of `unigram_logprob_score` — phrase-level fluency
+    that a unigram model cannot see (scrambled text scores near-unigram on
+    word choice but collapses on bigram logprob).
+
+    Exactness discipline identical to the unigram scorer: per-bigram
+    logprobs round to 1e-6 BEFORE the per-doc decimal sum. Shape: corpus
+    bigram/unigram counts are two combinable explode-aggregates; the doc
+    bigram stream joins them by key (vocab-scale join sides, key-
+    partitioned); V is one scalar broadcast."""
+    from pyspark.sql import functions as F
+
+    from .text import tokens
+
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t")).where(
+        F.size("_t") >= 2
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("_t") - 2),
+        lambda i: F.struct(
+            F.element_at(F.col("_t"), i + 1).alias("w1"),
+            F.element_at(F.col("_t"), i + 2).alias("w2"),
+        ),
+    )
+    doc_bi = toks.select(F.col(id_col), F.explode(grams).alias("g")).select(
+        id_col, "g.w1", "g.w2"
+    )
+    bi_counts = doc_bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni = df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+    uni_counts = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = uni_counts.agg(F.count(F.lit(1)).alias("v"))
+    dec = f"decimal(18,{decimals})"
+    logp = F.round(
+        F.log(
+            (F.col("c12") + 1.0)
+            / (F.col("c1").cast("double") + F.col("v").cast("double"))
+        ),
+        decimals,
+    ).cast(dec)
+    scored = (
+        doc_bi.join(bi_counts, ["w1", "w2"])
+        .join(uni_counts.withColumnRenamed("tok", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(F.col(id_col), logp.alias("_lp"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.sum("_lp").cast("double") / F.count(F.lit(1)), decimals).alias(
+            "avg_bigram_logprob"
+        ),
+    )

@@ -571,3 +571,83 @@ def test_jpeg_roundtrip_skips_null_rows(spark):
     df = spark.createDataFrame([(1, 100), (2, None), (None, 50)], schema)
     out = jpeg_roundtrip_features(df).collect()
     assert [r["doc_id"] for r in out] == [1]
+
+
+# ---- wave-5 operators -----------------------------------------------------
+
+
+def test_ks_statistic_identical_and_disjoint(spark):
+    from smart_data_lake_spark.functions.profiling import ks_statistic
+
+    rows = [(i, "a", float(v)) for i, v in enumerate([1, 2, 3, 4, 5])] + [
+        (i + 10, "b", float(v)) for i, v in enumerate([1, 2, 3, 4, 5])
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars double")
+    out = ks_statistic(df, "n_chars", "source", "a", "b").collect()[0]
+    assert out["ks"] == 0.0 and out["n_a"] == 5 and out["n_b"] == 5
+
+    rows = [(i, "a", float(i)) for i in range(5)] + [
+        (i + 10, "b", float(i + 100)) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars double")
+    out = ks_statistic(df, "n_chars", "source", "a", "b").collect()[0]
+    assert out["ks"] == 1.0  # fully separated distributions
+    assert out["at_value"] == 4.0  # D first hits 1.0 at a's max
+
+
+def test_ks_statistic_hand_computed_shift(spark):
+    from smart_data_lake_spark.functions.profiling import ks_statistic
+
+    a = [1.0, 2.0, 3.0, 4.0]
+    b = [3.0, 4.0, 5.0, 6.0]
+    rows = [(i, "a", v) for i, v in enumerate(a)] + [
+        (i + 10, "b", v) for i, v in enumerate(b)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars double")
+    out = ks_statistic(df, "n_chars", "source", "a", "b").collect()[0]
+    # at x=2: F_a = 2/4, F_b = 0 -> D = 0.5 (the max)
+    assert out["ks"] == pytest.approx(0.5) and out["at_value"] == 2.0
+
+
+def test_bigram_lm_scores_scrambled_text_lower(spark):
+    from smart_data_lake_spark.functions.quality import bigram_logprob_score
+
+    fluent = "the cat sat on the mat " * 10
+    # same unigram profile, scrambled word order -> unseen bigrams -> lower
+    scrambled = "cat the on sat mat the " * 10
+    df = spark.createDataFrame(
+        [(1, fluent), (2, fluent), (3, fluent), (4, scrambled)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bigram_logprob_score(df).collect()}
+    assert out[4]["avg_bigram_logprob"] < out[1]["avg_bigram_logprob"]
+    assert out[1]["n_bigrams"] == 59
+
+
+def test_bigram_lm_single_token_docs_excluded(spark):
+    from smart_data_lake_spark.functions.quality import bigram_logprob_score
+
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, "hello world")], "doc_id long, text string"
+    )
+    out = bigram_logprob_score(df).collect()
+    assert [r["doc_id"] for r in out] == [2]
+
+
+def test_ks_plan_window_only_on_aggregated_support(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["length_drift_ks"](spark, sf_dir))
+    # the single-partition window must sit ABOVE a partial aggregation
+    # (distinct-value support), never directly on the corpus scan
+    assert "partial_" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bigram_lm_plan_key_joins_no_cartesian(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["bigram_lm_docs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # only the 1-row vocab scalar may nested-loop broadcast
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
