@@ -276,6 +276,15 @@ def load_config(config: dict[str, Any]) -> InstanceRegistry:
             from smart_data_lake_spark.azure import FinalMetricsLogWriter
 
             listeners.append(FinalMetricsLogWriter(options=options))
+        elif cls_name == "StatusInfoServer":
+            from smart_data_lake_spark.statusinfo import StatusInfoServer
+
+            srv = StatusInfoServer(
+                port=int(options.get("port", 4440)),
+                max_port_retries=int(options.get("maxPortRetries", 10)),
+            )
+            srv.start()
+            listeners.append(srv)
         elif cls_name and "." in cls_name:
             import importlib
 
