@@ -118,6 +118,16 @@ def main(argv: list[str] | None = None) -> int:
     if not args.config:
         build_parser().error("--config is required (except with --export-schema)")
     config = _merge_configs(args.config)
+    # SDL plugin startup fires BEFORE config interpretation (SDLPlugin.scala:
+    # "as early as possible" — log/credential setup); configure() fires
+    # inside load_config, shutdown() on ordinary exit below
+    plugin = None
+    plugin_cls = (config.get("globalConfig") or {}).get("sdlPluginClassName")
+    if plugin_cls:
+        from smart_data_lake_spark.apputil import load_sdl_plugin
+
+        plugin = load_sdl_plugin(plugin_cls)
+        plugin.startup()
     builder = SmartDataLakeBuilder(config=config)
     spark = build_session(master=args.master) if args.master else build_session()
 
@@ -142,6 +152,8 @@ def main(argv: list[str] | None = None) -> int:
         metrics = state.action_metrics.get(aid, {})
         print(f"{aid}: {st} {json.dumps(metrics, default=str)}")
     failed = [a for a, s in state.action_states.items() if s == "FAILED"]
+    if plugin is not None and not failed:
+        plugin.shutdown()  # ordinary exit only, per the reference contract
     return 1 if failed else 0
 
 

@@ -292,7 +292,33 @@ def load_config(config: dict[str, Any]) -> InstanceRegistry:
             listeners.append(getattr(importlib.import_module(mod_name), attr)(options=options))
         else:
             raise ConfigError(f"unknown state listener className {cls_name!r}")
+    # UI backend (GlobalConfig.uiBackend -> StateUploader): ships run states
+    # to the SDLB UI's REST API with staged retry on outages
+    ui_backend = config.get("globalConfig", {}).get("uiBackend")
+    if ui_backend:
+        from smart_data_lake_spark.uploader import ui_backend_from_config
+
+        listeners.append(ui_backend_from_config(ui_backend))
     registry.state_listeners = listeners
+    # memory log timer (GlobalConfig.memoryLogTimer) — periodic process/proc/
+    # cgroup memory logging; stop via registry.memory_log_timer.stop()
+    mem_spec = config.get("globalConfig", {}).get("memoryLogTimer")
+    if mem_spec:
+        from smart_data_lake_spark.apputil import MemoryLogTimer
+
+        registry.memory_log_timer = MemoryLogTimer.from_config(mem_spec)
+        registry.memory_log_timer.start()
+    # SDL plugin hook (GlobalConfig.sdlPluginClassName + pluginOptions):
+    # configure() fires here at config parse; the CLI calls startup() before
+    # loading and shutdown() on ordinary exit
+    plugin_cls = config.get("globalConfig", {}).get("sdlPluginClassName")
+    if plugin_cls:
+        from smart_data_lake_spark.apputil import load_sdl_plugin
+
+        registry.sdl_plugin = load_sdl_plugin(plugin_cls)
+        registry.sdl_plugin.configure(
+            config.get("globalConfig", {}).get("pluginOptions", {}) or {}
+        )
     for conn_id, spec in (config.get("connections") or {}).items():
         spec = dict(spec)
         type_name = spec.pop("type", None)
