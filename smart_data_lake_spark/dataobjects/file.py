@@ -70,10 +70,14 @@ class SparkFileDataObject(
         repartition_keys: list[str] | None = None,
         expected_partitions_condition: str | None = None,
         format: str | None = None,
+        acl: dict[str, Any] | None = None,
         **kwargs: Any,
     ) -> None:
         super().__init__(id=id, **kwargs)
         self.path = path
+        # HadoopFileDataObject.acl: permission + ACL entries applied to the
+        # written hierarchy after every write (util/misc/AclUtil.scala)
+        self.acl = acl
         self.partitions = partitions or []
         self.schema = _parse_schema(schema)
         self.options = options or {}
@@ -327,7 +331,35 @@ class SparkFileDataObject(
                 raise ValueError(f"({self.id}) SaveMode.MERGE requires a table DataObject")
             writer.mode(spark_mode).save(self.path)
         self.persist_schema(df)
+        self._apply_acl(df.sparkSession)
         return dict(obs.get)
+
+    def _apply_acl(self, spark) -> None:
+        """Apply the configured acl {permission, acls} to the written path
+        (AclUtil.addACLs): local applier for file:// paths, JVM Hadoop
+        FileSystem for remote schemes. Failures warn, never kill the write
+        — ACLs are hygiene, the data landed."""
+        if not self.acl:
+            return
+        try:
+            from smart_data_lake_spark.acl import (
+                AclDef,
+                HadoopAclApplier,
+                add_acls,
+            )
+
+            acl_def = AclDef.from_config(self.acl)
+            scheme = self.path.split("://", 1)[0] if "://" in self.path else "file"
+            applier = (
+                HadoopAclApplier(spark, acl_def) if scheme not in ("file",) else None
+            )
+            add_acls(acl_def, self.path, applier=applier)
+        except Exception as e:  # noqa: BLE001 — hygiene must not fail the write
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "(%s) applying ACLs to %s failed: %s", self.id, self.path, e
+            )
 
     def write_streaming_dataframe(
         self,

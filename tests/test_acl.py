@@ -1,0 +1,125 @@
+"""AclUtil parity: permission parsing, traversal plan with safety guards,
+local application, DataObject wiring."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from smart_data_lake_spark.acl import (
+    AclDef,
+    AclElement,
+    LocalAclApplier,
+    add_acls,
+    parse_permission,
+    path_level,
+    plan_acl_ops,
+)
+
+
+def test_parse_permission():
+    assert parse_permission("rwxr-x---") == 0o750
+    assert parse_permission("rw-r--r--") == 0o644
+    assert parse_permission("---------") == 0o000
+    with pytest.raises(ValueError):
+        parse_permission("rwx")
+    with pytest.raises(ValueError):
+        parse_permission("rwxr-xr-q")
+
+
+def test_acl_def_from_config_and_spec():
+    d = AclDef.from_config(
+        {
+            "permission": "rwxr-x---",
+            "acls": [{"aclType": "group", "name": "t_app", "permission": "r-x"}],
+        }
+    )
+    assert d.acl_spec() == "group:t_app:r-x"
+    assert AclElement("user", "bob", "rwx").get_acl_spec() == "user:bob:rwx"
+
+
+def test_plan_overwrites_down_modifies_up(tmp_path):
+    root = tmp_path / "a" / "b" / "data"
+    (root / "p1").mkdir(parents=True)
+    (root / "p1" / "f.parquet").write_text("x")
+    lvl = path_level(str(root))
+    ops = plan_acl_ops(
+        str(root),
+        min_level_permission_modify=lvl - 2,
+        min_level_permission_overwrite=lvl,
+        list_children=lambda p: [os.path.join(p, c) for c in sorted(os.listdir(p))]
+        if os.path.isdir(p)
+        else [],
+    )
+    kinds = [(op, os.path.relpath(p, tmp_path)) for op, p in ops]
+    assert kinds[0] == ("overwrite", os.path.join("a", "b", "data"))
+    assert ("overwrite", os.path.join("a", "b", "data", "p1")) in kinds
+    assert ("overwrite", os.path.join("a", "b", "data", "p1", "f.parquet")) in kinds
+    # parents modified up to (and including) the modify min level, never above
+    modify_levels = [path_level(os.path.join(tmp_path, p)) for op, p in kinds if op == "modify"]
+    assert modify_levels and min(modify_levels) == lvl - 2
+    assert all(op == "modify" for op, p in ops if path_level(p) < lvl)
+
+
+def test_plan_guards():
+    with pytest.raises(ValueError, match="minLevelPermissionOverwrite"):
+        plan_acl_ops("/a/b/c", min_level_permission_modify=5, min_level_permission_overwrite=3)
+    with pytest.raises(ValueError, match="can't be overwritten"):
+        plan_acl_ops("/a", min_level_permission_overwrite=3)
+    with pytest.raises(ValueError, match="basedir"):
+        plan_acl_ops(
+            "/data/other/x",
+            basedir="/data/mine",
+            min_level_permission_modify=1,
+            min_level_permission_overwrite=1,
+        )
+    # inside basedir passes
+    assert plan_acl_ops(
+        "/data/mine/x",
+        basedir="/data/mine",
+        min_level_permission_modify=1,
+        min_level_permission_overwrite=1,
+    )
+
+
+def test_add_acls_local_chmod_and_xattr(tmp_path):
+    root = tmp_path / "u" / "proj" / "out"
+    root.mkdir(parents=True)
+    f = root / "part-0.parquet"
+    f.write_text("data")
+    acl = AclDef("rwxr-x---", [AclElement("group", "team", "r-x")])
+    lvl = path_level(str(root))
+    ops = add_acls(
+        acl,
+        str(root),
+        min_level_permission_modify=lvl,
+        min_level_permission_overwrite=lvl,
+    )
+    assert ("overwrite", str(f)) in ops
+    assert (os.stat(root).st_mode & 0o777) == 0o750
+    assert (os.stat(f).st_mode & 0o777) == 0o750
+    try:
+        assert os.getxattr(str(f), b"user.sdl.acl") == b"group:team:r-x"
+    except OSError:
+        pass  # fs without xattr: permission-only contract
+
+
+def test_file_dataobject_applies_acl_after_write(spark, tmp_path):
+    from smart_data_lake_spark.dataobjects.file import ParquetFileDataObject
+
+    out = tmp_path / "d1" / "d2" / "out"
+    do = ParquetFileDataObject(
+        id="po",
+        path=str(out),
+        acl={"permission": "rwxr-x---", "acls": []},
+    )
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    do.write_dataframe(df)
+    assert (os.stat(out).st_mode & 0o777) == 0o750
+    files = [p for p in os.listdir(out) if p.endswith(".parquet")]
+    assert files
+    assert (os.stat(out / files[0]).st_mode & 0o777) == 0o750
