@@ -93,6 +93,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-streaming-iterations", type=int, default=None)
     p.add_argument("--test", choices=["config", "dry-run"], default=None)
     p.add_argument("--master", default=None, help="Spark master override (default: local[*])")
+    p.add_argument(
+        "--agent-server",
+        choices=["http", "websocket"],
+        default=None,
+        help="run as a remote-execution agent (LocalJettyAgentSmartDataLakeBuilder "
+        "parity): serve ProxyAction phase requests until interrupted",
+    )
+    p.add_argument("--port", type=int, default=4441,
+                   help="agent server port (default 4441, JettyAgentServerConfig.DefaultPort)")
     p.add_argument("--export-schema", default=None, metavar="FILE",
                    help="write the config JSON schema (editor tooling) and exit")
     return p
@@ -114,6 +123,33 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     from smart_data_lake_spark.plans.app import SmartDataLakeBuilder
     from smart_data_lake_spark.session import build_session
+
+    if args.agent_server:
+        # agent mode (LocalJettyAgentSmartDataLakeBuilder.main): no config
+        # files — the coordinator ships config fragments per phase request
+        spark = build_session(master=args.master) if args.master else build_session()
+        from smart_data_lake_spark.agents import AgentServer
+
+        if args.agent_server == "http":
+            server = AgentServer(spark, port=args.port).start()
+        else:
+            from smart_data_lake_spark.relay_agent import WebSocketAgentServer
+
+            http_agent = AgentServer(spark, port=0)
+            server = WebSocketAgentServer(http_agent._handle, port=args.port)
+            server.start()
+        print(f"agent server ({args.agent_server}) listening on {server.url}")
+        try:
+            import signal
+            import threading as _threading
+
+            stop = _threading.Event()
+            signal.signal(signal.SIGTERM, lambda *a: stop.set())
+            signal.signal(signal.SIGINT, lambda *a: stop.set())
+            stop.wait()
+        finally:
+            server.stop()
+        return 0
 
     if not args.config:
         build_parser().error("--config is required (except with --export-schema)")

@@ -99,3 +99,56 @@ def test_proxy_action_remote_error_surfaces(spark, tmp_path, agent_server):
     with pytest.raises(RuntimeError, match="agent worker failed") as exc:
         SmartDataLakeBuilder(registry=registry).run(spark=spark)
     assert "PATH_NOT_FOUND" in str(exc.value)
+
+
+def test_cli_agent_server_mode_serves_and_stops(sf_dir):
+    """python -m smart_data_lake_spark --agent-server http: the
+    LocalJettyAgentSmartDataLakeBuilder-parity launcher serves phase
+    requests until SIGTERM."""
+    import json as _json
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+    import urllib.request
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "smart_data_lake_spark", "--agent-server", "http",
+         "--port", "0"],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    try:
+        line = ""
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            if "listening on" in line:
+                break
+        assert "listening on" in line, f"agent never came up: {line!r}"
+        url = line.strip().rsplit(" ", 1)[-1]
+        payload = {
+            "phase": "prepare",
+            "config": {
+                "dataObjects": {
+                    "src": {"type": "ParquetFileDataObject",
+                            "path": f"{sf_dir}/region.parquet"},
+                },
+                "actions": {},
+            },
+        }
+        req = urllib.request.Request(
+            url, data=_json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            body = _json.loads(resp.read().decode())
+        assert resp.status == 200 and "schemas" in body
+        proc.send_signal(signal.SIGTERM)
+        assert proc.wait(timeout=30) == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
