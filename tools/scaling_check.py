@@ -92,6 +92,14 @@ def main(factor: int) -> str:
         "doc_length_band_by_source",
         "fixed_k_sample_per_source",
         "normalized_dedup_docs",
+        "simhash_near_pairs",
+        "cusum_changepoint_by_type",
+        "global_docs_sample",
+        "length_drift_ks",
+        "bigram_lm_docs",
+        "source_vocab_jaccard",
+        "decayed_popularity_by_type",
+        "lang_source_chisq",
     ]
 
     def timed(name: str, sf_dir: str) -> float:
