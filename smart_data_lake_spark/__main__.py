@@ -133,10 +133,12 @@ def main(argv: list[str] | None = None) -> int:
         if args.agent_server == "http":
             server = AgentServer(spark, port=args.port).start()
         else:
+            from smart_data_lake_spark.agents import handle_phase_request
             from smart_data_lake_spark.relay_agent import WebSocketAgentServer
 
-            http_agent = AgentServer(spark, port=0)
-            server = WebSocketAgentServer(http_agent._handle, port=args.port)
+            server = WebSocketAgentServer(
+                lambda payload: handle_phase_request(spark, payload), port=args.port
+            )
             server.start()
         print(f"agent server ({args.agent_server}) listening on {server.url}")
         try:
@@ -172,6 +174,8 @@ def main(argv: list[str] | None = None) -> int:
             feed_sel=args.feed_sel, spark=spark, init="dry-run" == args.test
         )
         print(f"test={args.test}: {n} actions validated")
+        if plugin is not None:
+            plugin.shutdown()  # a clean test run is an ordinary exit too
         return 0
 
     state = builder.run(
@@ -188,8 +192,11 @@ def main(argv: list[str] | None = None) -> int:
         metrics = state.action_metrics.get(aid, {})
         print(f"{aid}: {st} {json.dumps(metrics, default=str)}")
     failed = [a for a, s in state.action_states.items() if s == "FAILED"]
+    # a failed run raises DAGError inside builder.run, so reaching this point
+    # IS the ordinary exit; the failed-list check remains for runners
+    # configured to return partial states instead of raising
     if plugin is not None and not failed:
-        plugin.shutdown()  # ordinary exit only, per the reference contract
+        plugin.shutdown()
     return 1 if failed else 0
 
 

@@ -73,9 +73,22 @@ def parse_permission(perm: str) -> int:
     return mode
 
 
+def split_uri(path: str) -> tuple[str, str]:
+    """('hdfs://nn', '/user/x') for URIs; ('', abspath) for local paths —
+    level computation and the parent walk operate on the PATH PART only
+    (os.path.abspath on an URI would prefix the CWD and corrupt both)."""
+    if "://" in path:
+        scheme_auth, _, rest = path.partition("://")
+        authority, sep, p = rest.partition("/")
+        return f"{scheme_auth}://{authority}", ("/" + p if sep else "/")
+    return "", os.path.abspath(path)
+
+
 def path_level(path: str) -> int:
-    """Depth of a path: '/user/x/data' -> 3 (AclUtil.getPathLevel)."""
-    return len([p for p in os.path.abspath(path).split(os.sep) if p])
+    """Depth of a path: '/user/x/data' -> 3, also for URIs
+    (AclUtil.getPathLevel)."""
+    _, p = split_uri(path)
+    return len([seg for seg in p.split("/") if seg])
 
 
 def plan_acl_ops(
@@ -105,10 +118,12 @@ def plan_acl_ops(
             f"ACLs can't be overwritten on path {path!r}: level={level} < "
             f"minLevelPermissionOverwrite={min_level_permission_overwrite}"
         )
+    prefix, pure = split_uri(path)
     if basedir is not None:
-        base = os.path.abspath(basedir)
-        target = os.path.abspath(path)
-        if not (target + os.sep).startswith(base.rstrip(os.sep) + os.sep) and target != base:
+        b_prefix, b_pure = split_uri(basedir)
+        if b_prefix != prefix or not (
+            (pure + "/").startswith(b_pure.rstrip("/") + "/") or pure == b_pure
+        ):
             raise ValueError(f"path {path!r} is outside the ACL basedir {basedir!r}")
     ops: list[tuple[str, str]] = [("overwrite", path)]
     if list_children is not None:
@@ -117,10 +132,10 @@ def plan_acl_ops(
             for child in list_children(stack.pop()):
                 ops.append(("overwrite", child))
                 stack.append(child)
-    parent = os.path.dirname(os.path.abspath(path))
-    while path_level(parent) >= min_level_permission_modify and parent not in ("", os.sep):
-        ops.append(("modify", parent))
-        parent = os.path.dirname(parent)
+    parent = pure.rsplit("/", 1)[0] or "/"
+    while path_level(prefix + parent) >= min_level_permission_modify and parent != "/":
+        ops.append(("modify", prefix + parent))
+        parent = parent.rsplit("/", 1)[0] or "/"
     return ops
 
 
@@ -162,8 +177,10 @@ class HadoopAclApplier:
         self._jvm = jvm
         conf = spark.sparkContext._jsc.hadoopConfiguration()
         self._fs = jvm.org.apache.hadoop.fs.FileSystem.get(conf)
-        self._permission = jvm.org.apache.hadoop.fs.permission.FsPermission(
-            acl_def.permission.replace("-", "-")
+        # FsPermission(String) parses octal/umask forms only; the ls-style
+        # 9-char spec needs valueOf with a leading file-type character
+        self._permission = jvm.org.apache.hadoop.fs.permission.FsPermission.valueOf(
+            "-" + acl_def.permission
         )
         spec = acl_def.acl_spec()
         self._entries = (
@@ -171,6 +188,17 @@ class HadoopAclApplier:
             if spec
             else None
         )
+
+    def list_children(self, path: str) -> list[str]:
+        """Descendant listing through the JVM FileSystem, so the plan's
+        overwrite-everything-below contract holds on remote schemes where
+        os.listdir cannot see the files."""
+        jpath = self._jvm.org.apache.hadoop.fs.Path(path)
+        if not self._fs.exists(jpath) or not self._fs.getFileStatus(jpath).isDirectory():
+            return []
+        return [
+            st.getPath().toString() for st in self._fs.listStatus(jpath)
+        ]
 
     def __call__(self, op: str, path: str) -> None:
         jpath = self._jvm.org.apache.hadoop.fs.Path(path)
@@ -196,19 +224,25 @@ def add_acls(
     into directories via os.walk-compatible listing for the local applier;
     a custom applier may pass its own listing through `plan_acl_ops`."""
 
-    def _children(p: str) -> list[str]:
+    def _local_children(p: str) -> list[str]:
         if os.path.isdir(p):
             return [os.path.join(p, c) for c in sorted(os.listdir(p))]
         return []
 
+    applier = applier or LocalAclApplier(acl_def)
+    if hasattr(applier, "list_children"):
+        lister = applier.list_children  # remote scheme: JVM FileSystem listing
+    elif os.path.exists(path):
+        lister = _local_children
+    else:
+        lister = None
     ops = plan_acl_ops(
         path,
         min_level_permission_modify=min_level_permission_modify,
         min_level_permission_overwrite=min_level_permission_overwrite,
         basedir=basedir,
-        list_children=_children if os.path.exists(path) else None,
+        list_children=lister,
     )
-    applier = applier or LocalAclApplier(acl_def)
     for op, p in ops:
         applier(op, p)
     return ops

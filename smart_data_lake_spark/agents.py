@@ -197,55 +197,7 @@ class AgentServer:
         return f"http://{host}:{port}"
 
     def _handle(self, payload: dict[str, Any]) -> dict[str, Any]:
-        phase = payload["phase"]
-        try:
-            registry = load_config(payload["config"])
-            from smart_data_lake_spark.plans.dag import ActionDAG, ActionDAGRun
-
-            dag = ActionDAG(list(registry.actions.values()))
-            run = ActionDAGRun(dag, registry)
-            if phase == "prepare":
-                run._phase_prepare(self.spark)
-                return {"schemas": {}, "metrics": {}}
-            if phase == "init":
-                # run the init walk and capture the OUTPUT subfeed schemas —
-                # the transformed lineage's schemas, exactly what the
-                # reference returns (AgentServerController:
-                # resultingSubfeeds → schema.toDDL), independent of whether
-                # the output storage exists yet
-                run._phase_prepare(self.spark)
-                feeds: dict[str, SparkSubFeed] = {}
-                schemas: dict[str, str] = {}
-                for aid in dag.topological_order():
-                    action = dag.actions[aid]
-                    inputs = [
-                        feeds.get(i, SparkSubFeed(data_object_id=i, is_dag_start=True))
-                        for i in action.input_ids
-                    ]
-                    for sf in action.init(self.spark, inputs):
-                        feeds[sf.data_object_id] = sf
-                        if sf.df is not None:
-                            # schema.json(), not hand-joined DDL: field names
-                            # with spaces/colons survive the round-trip
-                            schemas[sf.data_object_id] = sf.df.schema.json()
-                return {"schemas": schemas, "metrics": {}}
-            if phase == "exec":
-                state = run.run(self.spark)
-                schemas: dict[str, str] = {}
-                metrics: dict[str, Any] = {}
-                for aid, action in registry.actions.items():
-                    metrics[f"agent_{aid}"] = state.action_metrics.get(aid, {})
-                    for out_id in action.output_ids:
-                        do = registry.get_data_object(out_id)
-                        try:
-                            df = do.get_dataframe(self.spark)
-                            schemas[out_id] = df.schema.json()
-                        except Exception:  # noqa: BLE001 — schema optional
-                            pass
-                return {"schemas": schemas, "metrics": metrics}
-            raise ValueError(f"unknown phase {phase!r}")
-        except Exception:  # noqa: BLE001
-            return {"error": traceback.format_exc()}
+        return handle_phase_request(self.spark, payload)
 
     def start(self) -> "AgentServer":
         self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
@@ -257,3 +209,60 @@ class AgentServer:
         self._httpd.server_close()
         if self._thread:
             self._thread.join(timeout=5)
+
+
+def handle_phase_request(spark: SparkSession, payload: dict[str, Any]) -> dict[str, Any]:
+    """The agent's phase executor, usable without binding an HTTP socket
+    (AgentServer delegates here; the websocket CLI mode wraps it
+    directly)."""
+    phase = payload["phase"]
+    try:
+        registry = load_config(payload["config"])
+        from smart_data_lake_spark.plans.dag import ActionDAG, ActionDAGRun
+
+        dag = ActionDAG(list(registry.actions.values()))
+        run = ActionDAGRun(dag, registry)
+        if phase == "prepare":
+            run._phase_prepare(spark)
+            return {"schemas": {}, "metrics": {}}
+        if phase == "init":
+            # run the init walk and capture the OUTPUT subfeed schemas —
+            # the transformed lineage's schemas, exactly what the
+            # reference returns (AgentServerController:
+            # resultingSubfeeds → schema.toDDL), independent of whether
+            # the output storage exists yet
+            run._phase_prepare(spark)
+            feeds: dict[str, SparkSubFeed] = {}
+            schemas: dict[str, str] = {}
+            for aid in dag.topological_order():
+                action = dag.actions[aid]
+                inputs = [
+                    feeds.get(i, SparkSubFeed(data_object_id=i, is_dag_start=True))
+                    for i in action.input_ids
+                ]
+                for sf in action.init(spark, inputs):
+                    feeds[sf.data_object_id] = sf
+                    if sf.df is not None:
+                        # schema.json(), not hand-joined DDL: field names
+                        # with spaces/colons survive the round-trip
+                        schemas[sf.data_object_id] = sf.df.schema.json()
+            return {"schemas": schemas, "metrics": {}}
+        if phase == "exec":
+            state = run.run(spark)
+            schemas: dict[str, str] = {}
+            metrics: dict[str, Any] = {}
+            for aid, action in registry.actions.items():
+                metrics[f"agent_{aid}"] = state.action_metrics.get(aid, {})
+                for out_id in action.output_ids:
+                    do = registry.get_data_object(out_id)
+                    try:
+                        df = do.get_dataframe(spark)
+                        schemas[out_id] = df.schema.json()
+                    except Exception:  # noqa: BLE001 — schema optional
+                        pass
+            return {"schemas": schemas, "metrics": metrics}
+        raise ValueError(f"unknown phase {phase!r}")
+    except Exception:  # noqa: BLE001
+        return {"error": traceback.format_exc()}
+
+

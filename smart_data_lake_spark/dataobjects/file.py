@@ -380,7 +380,37 @@ class SparkFileDataObject(
             writer = writer.partitionBy(*self.partitions)
         if query_name:
             writer = writer.queryName(query_name)
-        return writer.start(self.path)
+        query = writer.start(self.path)
+        if self.acl:
+            # streaming parity for the acl option: re-apply after every
+            # micro-batch commit via a query listener (files created by the
+            # batch get the configured bits; the native writer path stays —
+            # foreachBatch would forfeit exactly-once file-sink semantics)
+            self._attach_streaming_acl_listener(df.sparkSession, query.id)
+        return query
+
+    def _attach_streaming_acl_listener(self, spark, query_id) -> None:
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        do = self
+
+        class _AclListener(StreamingQueryListener):
+            def onQueryStarted(self, event):  # noqa: N802 — Spark API
+                pass
+
+            def onQueryProgress(self, event):  # noqa: N802
+                if str(event.progress.id) == str(query_id):
+                    do._apply_acl(spark)
+
+            def onQueryIdle(self, event):  # noqa: N802
+                pass
+
+            def onQueryTerminated(self, event):  # noqa: N802
+                if str(event.id) == str(query_id):
+                    do._apply_acl(spark)
+                    spark.streams.removeListener(self)
+
+        spark.streams.addListener(_AclListener())
 
     def _repartition_for_write(self, df: DataFrame) -> DataFrame:
         """Control output file count/co-location (SparkRepartitionDef.scala)."""

@@ -188,6 +188,26 @@ class ActionDAGRun:
 
     # ------------------------------------------------------------------ run
     def run(self, spark: SparkSession, recover: bool = True) -> RunState:
+        # listener init fires once per run BEFORE any state change (the
+        # reference's StateListener.prepare): StateUploader retries staged
+        # uploads here, StatusInfoServer binds its port
+        for listener in self.state_listeners:
+            try:
+                listener.init(
+                    {
+                        "application": getattr(self.state_store, "app_name", "sdl")
+                        if self.state_store
+                        else "sdl",
+                        "spark": spark,
+                        "registry": self.registry,
+                    }
+                )
+            except Exception as e:  # noqa: BLE001 — hygiene must not kill the run
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "state listener %s init failed: %s", type(listener).__name__, e
+                )
         completed_from_recovery: set[str] = set()
         if self.state_store is not None:
             prev = self.state_store.latest()

@@ -26,7 +26,7 @@ import threading
 from typing import Any
 
 from .azure import StateListener
-from .ws import WebSocket, _accept_value
+from .ws import WebSocket, complete_server_handshake
 
 
 def _json_safe(obj: Any) -> Any:
@@ -221,32 +221,36 @@ class StatusInfoServer:
                 pass
 
     def _serve_websocket(self, conn: socket.socket, headers: dict[str, str], rest: bytes) -> None:
-        key = headers.get("sec-websocket-key")
-        if not key:
-            conn.sendall(b"HTTP/1.1 400 Bad Request\r\n\r\n")
+        try:
+            ws = complete_server_handshake(conn, headers, rest)
+        except ConnectionError:
             conn.close()
             return
-        conn.sendall(
-            (
-                "HTTP/1.1 101 Switching Protocols\r\n"
-                "Upgrade: websocket\r\n"
-                "Connection: Upgrade\r\n"
-                f"Sec-WebSocket-Accept: {_accept_value(key)}\r\n\r\n"
-            ).encode()
-        )
-        ws = WebSocket(conn, client=False)
-        ws._buf = rest
+        # a stalled client must never block the DAG runner: sends time out
+        # after 5s (notify_state treats the timeout as a dead client and
+        # drops the socket); the drain loop below treats its own timeouts
+        # as keep-waiting, not as failures
+        conn.settimeout(5.0)
         with self.incremental._lock:
             self.incremental.active_sockets.append(ws)
         # drain client frames (answers pings inside recv_message) until close
         try:
-            while ws.recv_message() is not None:
-                pass
+            while True:
+                try:
+                    if ws.recv_message() is None:
+                        break
+                except TimeoutError:
+                    continue  # idle client: keep listening
         except (OSError, ConnectionError):
             pass
-        with self.incremental._lock:
-            if ws in self.incremental.active_sockets:
-                self.incremental.active_sockets.remove(ws)
+        finally:
+            with self.incremental._lock:
+                if ws in self.incremental.active_sockets:
+                    self.incremental.active_sockets.remove(ws)
+            try:
+                ws.close()  # clean client close must not leak the fd
+            except OSError:
+                pass
 
     def _serve_rest(self, conn: socket.socket, method: str, target: str) -> None:
         path = target.split("?", 1)[0]

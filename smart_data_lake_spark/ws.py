@@ -208,10 +208,25 @@ def ws_accept(conn: socket.socket) -> tuple[str, dict[str, str], WebSocket]:
     except ValueError as e:
         raise ConnectionError(f"bad request line {lines[0]!r}") from e
     headers = {k.lower(): v.strip() for k, _, v in (ln.partition(":") for ln in lines[1:])}
-    key = headers.get("sec-websocket-key")
-    if not key or headers.get("upgrade", "").lower() != "websocket":
+    if headers.get("upgrade", "").lower() != "websocket":
         conn.sendall(b"HTTP/1.1 400 Bad Request\r\n\r\n")
         raise ConnectionError("not a websocket upgrade")
+    ws = complete_server_handshake(conn, headers, rest)
+    return target, headers, ws
+
+
+def complete_server_handshake(
+    conn: socket.socket, headers: dict[str, str], buffered: bytes = b""
+) -> WebSocket:
+    """Finish the server side of an upgrade whose request head is already
+    parsed: send the 101 + Sec-WebSocket-Accept and return the WebSocket
+    primed with any bytes read past the head. Shared by `ws_accept` and
+    servers that multiplex REST + WebSocket on one listener
+    (statusinfo.StatusInfoServer)."""
+    key = headers.get("sec-websocket-key")
+    if not key:
+        conn.sendall(b"HTTP/1.1 400 Bad Request\r\n\r\n")
+        raise ConnectionError("websocket upgrade without Sec-WebSocket-Key")
     conn.sendall(
         (
             "HTTP/1.1 101 Switching Protocols\r\n"
@@ -221,5 +236,5 @@ def ws_accept(conn: socket.socket) -> tuple[str, dict[str, str], WebSocket]:
         ).encode()
     )
     ws = WebSocket(conn, client=False)
-    ws._buf = rest
-    return target, headers, ws
+    ws._buf = buffered
+    return ws

@@ -133,3 +133,28 @@ def test_config_registers_and_starts_server(tmp_path):
     finally:
         for s in srvs:
             s.stop()
+
+
+def test_stalled_client_cannot_block_notify(server):
+    """A client that stops reading must be dropped via the send timeout,
+    never blocking the DAG runner thread (review finding)."""
+    import time
+
+    ws = ws_connect(f"ws://127.0.0.1:{server.port}/ws", recv_timeout_sec=5)
+    for _ in range(50):
+        if server.incremental.active_sockets:
+            break
+        time.sleep(0.02)
+    # shrink the client's receive window so the server-side send buffer
+    # fills fast, then never read
+    ws._sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 4096)
+    st = RunState(run_id=1, action_states={"a1": "SUCCEEDED" * 50})
+    start = time.time()
+    for i in range(5000):
+        server.notify_state(st, {"phase": "exec"}, "a1")
+        if not server.incremental.active_sockets:
+            break  # dropped as dead — the desired outcome
+        if time.time() - start > 30:
+            pytest.fail("notify_state never unblocked/dropped the stalled client")
+    assert server.incremental.active_sockets == []
+    assert time.time() - start < 30

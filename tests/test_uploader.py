@@ -177,3 +177,40 @@ def test_load_config_registers_ui_backend(backend):
         }
     )
     assert any(isinstance(l, StateUploader) for l in registry.state_listeners)
+
+
+def test_dag_run_calls_listener_init(spark, tmp_path, backend):
+    """The DAG runner must fire listener.init() before any state change —
+    that is what makes the staged-retry contract real (review finding: the
+    feature was dead because nothing called init)."""
+    import pyspark.sql.functions as F
+
+    from smart_data_lake_spark.plans import SmartDataLakeBuilder
+
+    # stage a leftover failed upload from a "previous run"
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+    with open(os.path.join(stage, "state_run9_attempt1.json"), "w") as f:
+        json.dump({"run_id": 9, "is_final": True}, f)
+
+    src = str(tmp_path / "in")
+    spark.range(3).withColumn("v", F.lit("x")).write.parquet(src)
+    config = {
+        "globalConfig": {
+            "uiBackend": {"baseUrl": backend.url, "repo": "r", "stagePath": stage}
+        },
+        "dataObjects": {
+            "src": {"type": "ParquetFileDataObject", "path": src},
+            "dst": {"type": "ParquetFileDataObject", "path": str(tmp_path / "out")},
+        },
+        "actions": {
+            "cp": {"type": "CopyAction", "inputId": "src", "outputId": "dst"}
+        },
+    }
+    SmartDataLakeBuilder(config=config).run(spark=spark)
+    # the staged file was retried (and cleared) during init, and the run's
+    # own states were uploaded
+    assert os.listdir(stage) == []
+    bodies = [json.loads(r["body"]) for r in backend.requests if r["method"] == "POST"]
+    assert any(b.get("run_id") == 9 for b in bodies)  # staged retry
+    assert any(b.get("action_states", {}).get("cp") == "SUCCEEDED" for b in bodies)
