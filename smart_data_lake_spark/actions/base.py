@@ -148,11 +148,16 @@ class DataFrameAction(Action):
         save_mode: SaveMode | str | None = None,
         merge_options: Any = None,
         checkpoint_location: str | None = None,
+        input_ids_to_ignore_filter: list[str] | None = None,
         **kwargs: Any,
     ) -> None:
         super().__init__(id=id, registry=registry, **kwargs)
         self.execution_mode = execution_mode
         self.break_dataframe_lineage = break_dataframe_lineage
+        # DataFrameActionImpl.inputIdsToIgnoreFilter: these inputs receive
+        # the FULL data even when the run carries partition-value filters
+        # (the lookup-table-next-to-a-filtered-fact pattern)
+        self.input_ids_to_ignore_filter = input_ids_to_ignore_filter or []
         self.persist = persist
         self.constraints = constraints or []
         self.expectations = expectations or []
@@ -264,10 +269,16 @@ class DataFrameAction(Action):
         if self.execution_mode is None:
             return None
         main_sf = by_id.get(self.main_input_id)
+        # PartitionDiffMode.alternativeOutputId: completeness is defined by
+        # another object's partitions (e.g. the final table two hops down)
+        out_id = (
+            getattr(self.execution_mode, "alternative_output_id", None)
+            or self.main_output_id
+        )
         return self.execution_mode.apply(
             spark,
             self._do(self.main_input_id),
-            self._do(self.main_output_id),
+            self._do(out_id),
             main_sf.partition_values if main_sf else [],
             self.execution_mode_state,
         )
@@ -292,6 +303,23 @@ class DataFrameAction(Action):
             pvs = list(sf.partition_values) if sf else []
             if mode_result is not None and in_id == self.main_input_id and mode_result.input_partition_values:
                 pvs = mode_result.input_partition_values
+            if in_id in self.input_ids_to_ignore_filter:
+                pvs = []  # inputIdsToIgnoreFilter: full data for this input
+            # partition values only ever filter a DataObject's DECLARED
+            # partition columns (SubFeed.updatePartitionValues semantics):
+            # an unpartitioned input ignores run-level pv filters entirely,
+            # and pv entries are reduced to the input's partition columns
+            do_parts = list(getattr(in_do, "partitions", []) or [])
+            if pvs and do_parts:
+                reduced = []
+                for pv in pvs:
+                    kept = {k: v for k, v in pv.as_dict.items() if k in do_parts}
+                    if kept:
+                        reduced.append(PartitionValues.of(kept))
+                # dedupe after reduction (several pvs may collapse onto one)
+                pvs = list({str(pv): pv for pv in reduced}.values())
+            elif pvs:
+                pvs = []
             streaming_mode = isinstance(self.execution_mode, SparkStreamingMode)
             if streaming and in_id == self.main_input_id and isinstance(in_do, CanCreateStreamingDataFrame):
                 df = in_do.get_streaming_dataframe(spark)

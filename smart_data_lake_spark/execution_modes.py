@@ -68,13 +68,20 @@ class PartitionDiffMode(ExecutionMode):
     Options mirror the reference: `partition_col_nb` compares only the first
     N partition columns; `nb_of_partition_values_per_run` bounds per-run work
     (scale lever: a backlog of 10k partitions is chewed in batches);
-    `apply_condition` / `select_expression` hooks are python callables here.
+    `apply_condition` / `select_expression` hooks are python callables here;
+    `alternative_output_id` diffs against another DataObject's partitions.
     """
 
     partition_col_nb: int | None = None
     nb_of_partition_values_per_run: int | None = None
     select_expression: Any = None  # callable: list[PartitionValues] -> list[PartitionValues]
     fail_condition: Any = None  # callable: ExecutionModeResult -> str | None
+    # compare against a DIFFERENT DataObject's partitions than the action's
+    # direct output (PartitionDiffMode.alternativeOutputId): the standard
+    # trick when the direct output is transient/non-partition-listable and
+    # completeness is defined by a table further down the chain — the action
+    # resolves the id and passes that object as output_do
+    alternative_output_id: str | None = None
 
     def apply(self, spark, input_do, output_do, given_partition_values, state):
         if not isinstance(input_do, CanHandlePartitions) or not isinstance(output_do, CanHandlePartitions):

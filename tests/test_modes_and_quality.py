@@ -430,3 +430,46 @@ def test_airbyte_protocol_parsing(spark):
         '{"type": "STATE", "state": {}}',
     ]
     assert do.parse_messages(lines) == [{"a": 1, "b": "x"}, {"a": 2, "b": "y"}]
+
+
+def test_partition_diff_alternative_output_id(spark, tmp_path):
+    """ActionDAGTest.scala 'PartitionDiffMode alternativeOutputId': the
+    diff compares against ANOTHER object's partitions — the first action
+    reprocesses a partition its own output already has, because the
+    alternative (final) output is still missing it."""
+    import pyspark.sql.functions as F
+
+    from smart_data_lake_spark.actions.copy import CopyAction
+    from smart_data_lake_spark.config import InstanceRegistry
+    from smart_data_lake_spark.dataobjects.file import ParquetFileDataObject
+    from smart_data_lake_spark.execution_modes import PartitionDiffMode
+
+    src = ParquetFileDataObject(id="src", path=str(tmp_path / "src"), partitions=["p"])
+    mid = ParquetFileDataObject(id="mid", path=str(tmp_path / "mid"), partitions=["p"])
+    fin = ParquetFileDataObject(id="fin", path=str(tmp_path / "fin"), partitions=["p"])
+    df = spark.range(4).withColumn("p", (F.col("id") % 2).cast("string"))
+    src.write_dataframe(df)
+    mid.write_dataframe(df)  # mid already HAS both partitions
+    fin.write_dataframe(df.where("p = '0'"))  # fin is missing p=1
+
+    registry = InstanceRegistry()
+    for do in (src, mid, fin):
+        registry.register_data_object(do)
+    action = CopyAction(
+        id="a1",
+        input_id="src",
+        output_id="mid",
+        execution_mode=PartitionDiffMode(alternative_output_id="fin"),
+    )
+    action.registry = registry
+    res = action._apply_execution_mode(spark, {})
+    got = sorted(str(pv) for pv in res.input_partition_values)
+    # diff vs FIN (missing p=1), not vs mid (missing nothing)
+    assert len(got) == 1 and "1" in got[0]
+
+    # sanity: without the alternative, the diff vs mid is empty
+    action2 = CopyAction(id="a2", input_id="src", output_id="mid",
+                         execution_mode=PartitionDiffMode())
+    action2.registry = registry
+    res2 = action2._apply_execution_mode(spark, {})
+    assert res2.no_data

@@ -173,3 +173,65 @@ def test_example_corpus_pipeline(spark, tmp_path):
     assert set(summary["splits"]) == {"train", "val", "test"}
     assert sum(summary["splits"].values()) == summary["unique_docs"]
     assert summary["n_shards"] >= 3  # at least one shard per split
+
+
+def test_multi_input_ignore_filter_scenario(spark, tmp_path):
+    """ActionDAGTest.scala 'first action has multiple input subfeeds, one
+    should ignore filters': the run's partition-values filter applies to
+    every partitioned input EXCEPT those in inputIdsToIgnoreFilter."""
+    import pyspark.sql.functions as F
+
+    from smart_data_lake_spark.plans import SmartDataLakeBuilder
+
+    both = spark.createDataFrame(
+        [("doe", "john", 5), ("xyz", "john", 5)], "lastname string, firstname string, rating int"
+    )
+    for name, partitioned in (("src1", False), ("src2", True), ("src3", True)):
+        w = both.write.mode("overwrite")
+        if partitioned:
+            w = w.partitionBy("lastname")
+        w.parquet(str(tmp_path / name))
+    config = {
+        "dataObjects": {
+            "src1": {"type": "ParquetFileDataObject", "path": str(tmp_path / "src1")},
+            "src2": {"type": "ParquetFileDataObject", "path": str(tmp_path / "src2"),
+                     "partitions": ["lastname"]},
+            "src3": {"type": "ParquetFileDataObject", "path": str(tmp_path / "src3"),
+                     "partitions": ["lastname"]},
+            "tgt": {"type": "ParquetFileDataObject", "path": str(tmp_path / "tgt")},
+        },
+        "actions": {
+            "a": {
+                "type": "CustomDataFrameAction",
+                "inputIds": ["src1", "src2", "src3"],
+                "outputIds": ["tgt"],
+                "inputIdsToIgnoreFilter": ["src3"],
+                "transformers": [
+                    {
+                        "type": "SQLDfsTransformer",
+                        "code": {
+                            "tgt": "SELECT lastname, firstname, 1 AS origin FROM src1 "
+                                   "UNION ALL SELECT lastname, firstname, 2 FROM src2 "
+                                   "UNION ALL SELECT lastname, firstname, 3 FROM src3"
+                        },
+                    }
+                ],
+            }
+        },
+    }
+    SmartDataLakeBuilder(config=config).run(
+        spark=spark, partition_values=[{"lastname": "doe"}]
+    )
+    got = {
+        (r["lastname"], r["firstname"], r["origin"])
+        for r in spark.read.parquet(str(tmp_path / "tgt")).collect()
+    }
+    # src1 unpartitioned (filter not applicable at scan; reference keeps its
+    # single record), src2 filtered to doe, src3 ignores the filter entirely
+    assert got == {
+        ("doe", "john", 1),
+        ("xyz", "john", 1),
+        ("doe", "john", 2),
+        ("doe", "john", 3),
+        ("xyz", "john", 3),
+    }
