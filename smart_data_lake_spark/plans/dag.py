@@ -87,16 +87,18 @@ class ActionDAG:
         if len(self.actions) != len(actions):
             raise DAGError("duplicate action ids")
         self.edges: dict[str, set[str]] = {a.id: set() for a in actions}  # action -> downstream actions
-        producers: dict[str, str] = {}
+        # a DataObject may be written by SEVERAL actions (ActionDAGTest
+        # 'two actions writing the same DataObject'): a reader depends on
+        # every writer, so all appends land before any downstream read
+        producers: dict[str, list[str]] = {}
         for a in actions:
             for out in a.output_ids:
-                if out in producers:
-                    raise DAGError(f"DataObject {out!r} written by {producers[out]!r} and {a.id!r}")
-                producers[out] = a.id
+                producers.setdefault(out, []).append(a.id)
         for a in actions:
             for inp in a.input_ids:
-                if inp in producers:
-                    self.edges[producers[inp]].add(a.id)
+                for producer in producers.get(inp, []):
+                    if producer != a.id:  # recursive self-input is not an edge
+                        self.edges[producer].add(a.id)
         self._check_cycles()
 
     def _check_cycles(self) -> None:

@@ -235,3 +235,35 @@ def test_multi_input_ignore_filter_scenario(spark, tmp_path):
         ("doe", "john", 3),
         ("xyz", "john", 3),
     }
+
+
+def test_two_actions_writing_same_dataobject(spark, tmp_path):
+    """ActionDAGTest.scala 'two actions writing the same DataObject':
+    actions A and B both append into tgtA; action C reads tgtA and must run
+    AFTER both writers."""
+    import pyspark.sql.functions as F
+
+    from smart_data_lake_spark.plans import SmartDataLakeBuilder
+
+    spark.range(3).withColumn("src", F.lit("a")).write.parquet(str(tmp_path / "s1"))
+    spark.range(3, 6).withColumn("src", F.lit("b")).write.parquet(str(tmp_path / "s2"))
+    config = {
+        "dataObjects": {
+            "s1": {"type": "ParquetFileDataObject", "path": str(tmp_path / "s1")},
+            "s2": {"type": "ParquetFileDataObject", "path": str(tmp_path / "s2")},
+            "tgtA": {"type": "ParquetFileDataObject", "path": str(tmp_path / "tgtA"),
+                     "saveMode": "append"},
+            "tgtC": {"type": "ParquetFileDataObject", "path": str(tmp_path / "tgtC")},
+        },
+        "actions": {
+            "a": {"type": "CopyAction", "inputId": "s1", "outputId": "tgtA"},
+            "b": {"type": "CopyAction", "inputId": "s2", "outputId": "tgtA"},
+            "c": {"type": "CopyAction", "inputId": "tgtA", "outputId": "tgtC"},
+        },
+    }
+    state = SmartDataLakeBuilder(config=config).run(spark=spark)
+    assert set(state.action_states.values()) == {"SUCCEEDED"}
+    out = spark.read.parquet(str(tmp_path / "tgtC"))
+    # C saw BOTH writers' rows: the reader edge covers every producer
+    assert out.count() == 6
+    assert {r["src"] for r in out.select("src").distinct().collect()} == {"a", "b"}
