@@ -156,8 +156,12 @@ class DataFrameAction(Action):
         self.break_dataframe_lineage = break_dataframe_lineage
         # DataFrameActionImpl.inputIdsToIgnoreFilter: these inputs receive
         # the FULL data even when the run carries partition-value filters
-        # (the lookup-table-next-to-a-filtered-fact pattern)
+        # (the lookup-table-next-to-a-filtered-fact pattern); validated
+        # against input_ids because a typo would otherwise SILENTLY apply
+        # the filter to the input meant to be exempt
         self.input_ids_to_ignore_filter = input_ids_to_ignore_filter or []
+        # (validated against input_ids in _enrich_inputs — subclasses define
+        # their input ids AFTER this base constructor runs)
         self.persist = persist
         self.constraints = constraints or []
         self.expectations = expectations or []
@@ -218,6 +222,17 @@ class DataFrameAction(Action):
             if self.persist:
                 df = df.persist()
             pvs = (mode_result.output_partition_values if mode_result else None) or []
+            # reduce mode pvs to the WRITTEN object's declared partitions
+            # (with alternative_output_id the diff keys can be foreign to the
+            # direct output — an unreduced pv would aim delete_partitions at
+            # non-existent hive paths and corrupt OverwriteOptimized)
+            out_parts = list(getattr(out_do, "partitions", []) or [])
+            if pvs:
+                reduced = [
+                    PartitionValues.of({k: v for k, v in pv.as_dict.items() if k in out_parts})
+                    for pv in pvs
+                ]
+                pvs = list(dict.fromkeys(pv for pv in reduced if pv.as_dict))
             assert isinstance(out_do, CanWriteDataFrame), f"({self.id}) {out_id} is not writable"
             if self.merge_options is not None and self.save_mode == SaveMode.MERGE:
                 metrics = out_do.write_dataframe(df, pvs, self.save_mode, merge_options=self.merge_options)
@@ -258,8 +273,15 @@ class DataFrameAction(Action):
             out_subfeeds.append(sf)
 
         if self.execution_mode is not None:
+            # same output resolution as _apply_execution_mode: apply() and
+            # post_exec() must see the SAME object when alternative_output_id
+            # redirects the mode's comparison target
+            mode_out_id = (
+                getattr(self.execution_mode, "alternative_output_id", None)
+                or self.main_output_id
+            )
             self.execution_mode.post_exec(
-                spark, self._do(self.main_input_id), self._do(self.main_output_id), self.execution_mode_state
+                spark, self._do(self.main_input_id), self._do(mode_out_id), self.execution_mode_state
             )
         self.check_metrics_fail_condition()
         return out_subfeeds
@@ -294,6 +316,12 @@ class DataFrameAction(Action):
         :157-225): in exec we always re-read from the DataObject unless the
         subfeed carries a usable frame; execution-mode partition values and
         filters are applied to the main input."""
+        unknown = set(self.input_ids_to_ignore_filter) - set(self.input_ids)
+        if unknown:
+            raise ValueError(
+                f"({self.id}) inputIdsToIgnoreFilter entries {sorted(unknown)} are "
+                f"not inputs of this action (inputs: {list(self.input_ids)})"
+            )
         by_id = {sf.data_object_id: sf for sf in subfeeds}
         dfs: dict[str, DataFrame] = {}
         streaming = isinstance(self.execution_mode, SparkStreamingMode) and phase == "exec"
@@ -316,8 +344,9 @@ class DataFrameAction(Action):
                     kept = {k: v for k, v in pv.as_dict.items() if k in do_parts}
                     if kept:
                         reduced.append(PartitionValues.of(kept))
-                # dedupe after reduction (several pvs may collapse onto one)
-                pvs = list({str(pv): pv for pv in reduced}.values())
+                # dedupe after reduction (several pvs may collapse onto one);
+                # PartitionValues is hashable on its canonical sorted tuple
+                pvs = list(dict.fromkeys(reduced))
             elif pvs:
                 pvs = []
             streaming_mode = isinstance(self.execution_mode, SparkStreamingMode)

@@ -746,6 +746,7 @@ def simhash_candidate_pairs(
     bits: int = 32,
     bands: int = 4,
     max_hamming: int = 3,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs from SimHash signatures via banded Hamming
     search (Manku/Jain/Sarma, WWW'07 "Detecting near-duplicates for web
@@ -764,7 +765,13 @@ def simhash_candidate_pairs(
         raise ValueError("bands must divide bits")
     width = bits // bands
     mask = (1 << width) - 1
-    sigs = simhash(df, id_col=id_col, text_col=text_col, bits=bits)
+    # `signatures` lets callers that already computed simhash(df) (quality
+    # harnesses, incremental pipelines) skip the second corpus pass
+    sigs = (
+        signatures
+        if signatures is not None
+        else simhash(df, id_col=id_col, text_col=text_col, bits=bits)
+    )
     blocks = sigs.select(
         F.col(id_col),
         F.col("simhash"),

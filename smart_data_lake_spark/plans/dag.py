@@ -135,11 +135,13 @@ class ActionDAG:
         return order
 
     def upstream_actions(self, action_id: str) -> set[str]:
-        action = self.actions[action_id]
-        produced_by = {
-            out: a.id for a in self.actions.values() for out in a.output_ids
-        }
-        return {produced_by[i] for i in action.input_ids if i in produced_by}
+        """ALL writers of this action's inputs, excluding itself — derived
+        from the same multi-producer edge construction as __init__, so the
+        exec scheduler waits for (and cancels on) EVERY writer of a
+        multi-writer input, and a recursive self-input never deadlocks on
+        itself (review finding: the old single-producer map kept only the
+        last writer and could include self)."""
+        return {a for a, downstream in self.edges.items() if action_id in downstream}
 
 
 class ActionDAGRun:

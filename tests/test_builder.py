@@ -551,27 +551,44 @@ def test_example_monitored_config_runs(spark, tmp_path, monkeypatch):
     """examples/monitored_pipeline.conf stays runnable: StatusInfoServer +
     uiBackend staged-upload + per-write ACLs + memory-log timer, all wired
     from one HOCON config. The placeholder UI backend is down by design, so
-    the full-state upload must be staged, not fatal."""
+    the full-state upload must be staged, not fatal. Runs through the
+    builder directly so the started listeners can be STOPPED afterwards
+    (no leaked port/threads into the rest of the suite), and reads the
+    actually-bound port instead of hardcoding 4440."""
     import json as _json
     import os
     import urllib.request
 
-    from smart_data_lake_spark.__main__ import main
+    from smart_data_lake_spark.__main__ import _merge_configs
+    from smart_data_lake_spark.plans import SmartDataLakeBuilder
+    from smart_data_lake_spark.statusinfo import StatusInfoServer
 
     monkeypatch.setenv("SDL_DATA_DIR", "/root/testdata/sf0.001")
     monkeypatch.setenv("SDL_OUT_DIR", str(tmp_path))
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    rc = main(["--config", os.path.join(repo, "examples", "monitored_pipeline.conf"),
-               "--state-path", str(tmp_path / "state")])
-    assert rc == 0
-    # data landed with the configured ACL bits on the written hierarchy
-    out = tmp_path / "events_curated"
-    assert (os.stat(out).st_mode & 0o777) == 0o750
-    assert spark.read.parquet(str(out)).count() > 0
-    # the unreachable UI backend staged the state for next-run retry
-    staged = os.listdir(tmp_path / "ui_stage")
-    assert staged and staged[0].endswith(".json")
-    # the status server answered live state during/after the run
-    with urllib.request.urlopen("http://127.0.0.1:4440/api/v1/state", timeout=5) as r:
-        body = _json.loads(r.read().decode())
-    assert body["action_states"]["curate_events"] == "SUCCEEDED"
+    config = _merge_configs([os.path.join(repo, "examples", "monitored_pipeline.conf")])
+    builder = SmartDataLakeBuilder(config=config)
+    registry = builder.registry
+    try:
+        state = builder.run(spark=spark, state_path=str(tmp_path / "state"))
+        assert state.action_states["curate_events"] == "SUCCEEDED"
+        # data landed with the configured ACL bits on the written hierarchy
+        out = tmp_path / "events_curated"
+        assert (os.stat(out).st_mode & 0o777) == 0o750
+        assert spark.read.parquet(str(out)).count() > 0
+        # the unreachable UI backend staged the state for next-run retry
+        staged = os.listdir(tmp_path / "ui_stage")
+        assert staged and staged[0].endswith(".json")
+        # the status server answered live state on whichever port it bound
+        srv = next(l for l in registry.state_listeners if isinstance(l, StatusInfoServer))
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/api/v1/state", timeout=5
+        ) as r:
+            body = _json.loads(r.read().decode())
+        assert body["action_states"]["curate_events"] == "SUCCEEDED"
+    finally:
+        for l in registry.state_listeners:
+            if isinstance(l, StatusInfoServer):
+                l.stop()
+        if getattr(registry, "memory_log_timer", None) is not None:
+            registry.memory_log_timer.stop()

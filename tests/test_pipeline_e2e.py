@@ -267,3 +267,41 @@ def test_two_actions_writing_same_dataobject(spark, tmp_path):
     # C saw BOTH writers' rows: the reader edge covers every producer
     assert out.count() == 6
     assert {r["src"] for r in out.select("src").distinct().collect()} == {"a", "b"}
+
+
+def test_multi_writer_scheduler_waits_and_cancels(spark, tmp_path):
+    """upstream_actions must cover EVERY writer (review finding): with one
+    of two writers failing, the reader is CANCELLED, never run on partial
+    data."""
+    import pyspark.sql.functions as F
+
+    from smart_data_lake_spark.plans import SmartDataLakeBuilder
+    from smart_data_lake_spark.plans.dag import ActionDAG, DAGError
+    from smart_data_lake_spark.config import load_config
+
+    spark.range(3).withColumn("src", F.lit("a")).write.parquet(str(tmp_path / "s1"))
+    spark.range(3, 6).withColumn("src", F.lit("b")).write.parquet(str(tmp_path / "s2"))
+    config = {
+        "dataObjects": {
+            "s1": {"type": "ParquetFileDataObject", "path": str(tmp_path / "s1")},
+            "s2": {"type": "ParquetFileDataObject", "path": str(tmp_path / "s2")},
+            "tgtA": {"type": "ParquetFileDataObject", "path": str(tmp_path / "tgtA"),
+                     "saveMode": "append"},
+            "tgtC": {"type": "ParquetFileDataObject", "path": str(tmp_path / "tgtC")},
+        },
+        "actions": {
+            "a": {"type": "CopyAction", "inputId": "s1", "outputId": "tgtA"},
+            # b fails AT EXEC: an impossible count expectation on its write
+            "b": {"type": "CopyAction", "inputId": "s2", "outputId": "tgtA",
+                  "expectations": [{"type": "CountExpectation", "name": "min_cnt",
+                                     "expectation": "> 1000"}]},
+            "c": {"type": "CopyAction", "inputId": "tgtA", "outputId": "tgtC"},
+        },
+    }
+    registry = load_config(config)
+    dag = ActionDAG(list(registry.actions.values()))
+    assert dag.upstream_actions("c") == {"a", "b"}  # every writer tracked
+    assert dag.upstream_actions("a") == set()
+    with pytest.raises(DAGError):
+        SmartDataLakeBuilder(config=config).run(spark=spark)
+    assert not os.path.exists(tmp_path / "tgtC")  # c never ran on partial data

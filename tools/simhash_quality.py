@@ -40,10 +40,11 @@ def measure(sf_dir: str, n_docs: int = 300):
     edit_rates = [0.02, 0.05, 0.1, 0.2]
     df, truth = build_corpus(sf_dir, spark, n_docs, edit_rates)
 
-    sigs = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    sig_df = simhash(df).localCheckpoint()  # ONE corpus pass, reused below
+    sigs = {r["doc_id"]: r["simhash"] for r in sig_df.collect()}
     loose = {
         (r["doc_a"], r["doc_b"]): r["hamming"]
-        for r in simhash_candidate_pairs(df, max_hamming=32).collect()
+        for r in simhash_candidate_pairs(df, max_hamming=32, signatures=sig_df).collect()
     }  # max_hamming=32 disables the verify filter -> pure candidate set
     tight = {p: h for p, h in loose.items() if h <= 3}
     loose8 = {p: h for p, h in loose.items() if h <= 8}
