@@ -803,3 +803,62 @@ def simhash_candidate_pairs(
     return cand.select("doc_a", "doc_b", ham.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
+
+
+def minhash_estimate_calibration(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """Sketch-accuracy audit inside the pipeline: for every LSH candidate
+    pair, compare the MinHash ESTIMATE of Jaccard (matching signature
+    components / num_hashes — the unbiased estimator the banding implicitly
+    thresholds on) against the EXACT shingle Jaccard the verify step
+    computes anyway, rolled up by match count. The output is the
+    calibration curve operators watch when tuning (num_hashes, bands):
+    a drifting mean|est − exact| says the sketch is too small for the
+    corpus's shingle-set sizes.
+
+    Exactness: match counts are integers; exact Jaccards are 1e-6-rounded
+    ratios summed in exact DECIMAL; the per-bucket means are single
+    divisions of exact sums — engine-identical unrounded. Shape: reuses
+    the graded dedup pipeline's frames (shingles → signatures → banded
+    candidates → equi-join verify); the rollup is one combinable aggregate
+    over candidate-pair scale."""
+    sh = shingles(df, id_col=id_col, text_col=text_col, n=3)
+    sigs = minhash_signatures(sh, id_col=id_col, num_hashes=num_hashes)
+    cands = lsh_candidate_pairs(sigs, id_col=id_col, num_hashes=num_hashes, bands=bands)
+    exact = ngram_jaccard(sh, cands, id_col=id_col)
+    sa, sb = sigs.alias("sa"), sigs.alias("sb")
+    matches = sum(
+        F.when(F.col(f"sa.mh_{i}") == F.col(f"sb.mh_{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    per_pair = (
+        cands.alias("p")
+        .join(sa, F.col(f"sa.{id_col}") == F.col("p.doc_a"))
+        .join(sb, F.col(f"sb.{id_col}") == F.col("p.doc_b"))
+        .select("p.doc_a", "p.doc_b", matches.alias("est_matches"))
+        .join(exact, ["doc_a", "doc_b"])
+    )
+    est = F.col("est_matches").cast("double") / float(num_hashes)
+    dec = "decimal(18,6)"
+    q_j = F.col("jaccard").cast(dec)  # already rounded to 1e-6 by the verify
+    q_err = F.round(F.abs(est - F.col("jaccard")), 6).cast(dec)
+    return (
+        per_pair.groupBy("est_matches")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            (F.sum(q_j).cast("double") / F.count(F.lit(1))).alias("avg_exact_jaccard"),
+            (F.sum(q_err).cast("double") / F.count(F.lit(1))).alias("mean_abs_error"),
+        )
+        .select(
+            "est_matches",
+            F.round(F.col("est_matches") / float(num_hashes), 6).alias("est_jaccard"),
+            "n_pairs",
+            "avg_exact_jaccard",
+            "mean_abs_error",
+        )
+    )

@@ -651,3 +651,24 @@ def test_bigram_lm_plan_key_joins_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # only the 1-row vocab scalar may nested-loop broadcast
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_minhash_calibration_estimates_track_exact(spark):
+    from smart_data_lake_spark.functions.dedup import minhash_estimate_calibration
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    rows = [
+        (1, base),
+        (2, base),  # identical -> 12/12 matches, exact jaccard 1.0
+        (3, base.replace("gamma", "lambda")),  # near-dup
+        (4, "totally different words everywhere all over this text " * 5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["est_matches"]: r for r in minhash_estimate_calibration(df).collect()}
+    top = out[max(out)]
+    assert top["est_jaccard"] == 1.0 and top["avg_exact_jaccard"] == 1.0
+    assert top["mean_abs_error"] == 0.0
+    # every bucket's estimate is k/12
+    for k, r in out.items():
+        assert r["est_jaccard"] == pytest.approx(k / 12, abs=1e-6)
+        assert 0 <= r["mean_abs_error"] <= 1
