@@ -4210,9 +4210,12 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id ORDER BY doc_id""",
         "autocorr_lag1_value_by_type": """
             WITH lagged AS (
+              -- DECIMAL(28,6), not (18,6): DuckDB's (18,6)x(18,6) product
+              -- type keeps only 6 integer digits and OVERFLOWS for values
+              -- >= 1e3 (hypothesis-found); (28,6)x(28,6) -> (38,12), exact
               SELECT event_type,
-                     CAST(round(value, 6) AS DECIMAL(18,6)) AS x,
-                     LAG(CAST(round(value, 6) AS DECIMAL(18,6)))
+                     CAST(round(value, 6) AS DECIMAL(28,6)) AS x,
+                     LAG(CAST(round(value, 6) AS DECIMAL(28,6)))
                        OVER (PARTITION BY event_type ORDER BY ts, event_id) AS y
               FROM events
             ),
@@ -4242,11 +4245,11 @@ def oracle_sql() -> dict[str, str]:
         "rolling_z_anomalies_events": """
             WITH scored AS (
               SELECT event_type, event_id,
-                     CAST(round(value, 6) AS DECIMAL(18,6)) AS x,
+                     CAST(round(value, 6) AS DECIMAL(28,6)) AS x,
                      COUNT(*) OVER w AS n,
-                     SUM(CAST(round(value, 6) AS DECIMAL(18,6))) OVER w AS s,
-                     SUM(CAST(round(value, 6) AS DECIMAL(18,6))
-                         * CAST(round(value, 6) AS DECIMAL(18,6))) OVER w AS ss
+                     SUM(CAST(round(value, 6) AS DECIMAL(28,6))) OVER w AS s,
+                     SUM(CAST(round(value, 6) AS DECIMAL(28,6))
+                         * CAST(round(value, 6) AS DECIMAL(28,6))) OVER w AS ss
               FROM events
               WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
                            ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)

@@ -1,0 +1,157 @@
+"""Property-based cross-engine exactness: the decimal-discipline operators
+must produce IDENTICAL values in Spark and DuckDB on randomized data, not
+just on the fixed sf0.01 corpus.
+
+These properties encode the round-6 exactness lessons (Spark's 38-digit
+decimal multiply silently re-rounds products; DuckDB's hugeint→double cast
+is lossy; rounded quotients diverge at quantized boundaries; window frames
+evaluate in different orders) — a regression in any of those disciplines
+shows up here as a value mismatch on some generated series, where the
+fixed-corpus oracle check might not hit the boundary."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import os
+import sys
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# full-precision doubles (NOT 3dp-quantized like the sf corpora): this is
+# what stresses the round-before-decimal-sum discipline
+_vals = st.lists(
+    st.floats(
+        min_value=-1e5, max_value=1e5, allow_nan=False, allow_infinity=False
+    ),
+    min_size=4,
+    max_size=40,
+)
+
+
+def _events_df(spark, series):
+    rows = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i), "g", float(v))
+        for i, v in enumerate(series)
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+
+
+def _duck_events(con, series):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(series)),
+            "ts": [
+                dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i)
+                for i in range(len(series))
+            ],
+            "event_type": ["g"] * len(series),
+            "value": [float(v) for v in series],
+        }
+    )
+    con.register("events", pdf)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_vals)
+def test_autocorr_engine_exact(spark, series):
+    import duckdb
+
+    import __spark_entry__ as entry
+    from smart_data_lake_spark.functions.analytics import lagged_autocorrelation
+
+    got = lagged_autocorrelation(_events_df(spark, series)).collect()
+    con = duckdb.connect()
+    _duck_events(con, series)
+    want = con.sql(entry.oracle_sql()["autocorr_lag1_value_by_type"]).fetchall()
+    assert len(got) == len(want) == 1
+    g, w = got[0], want[0]
+    assert g["n_pairs"] == w[1]
+    if g["autocorr_lag1"] is None:
+        assert w[2] is None
+    else:
+        assert g["autocorr_lag1"] == w[2]  # EXACT equality, not approx
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_vals)
+def test_cusum_engine_exact(spark, series):
+    import duckdb
+
+    import __spark_entry__ as entry
+    from smart_data_lake_spark.functions.analytics import cusum_changepoint
+
+    got = cusum_changepoint(_events_df(spark, series)).collect()
+    con = duckdb.connect()
+    _duck_events(con, series)
+    want = con.sql(entry.oracle_sql()["cusum_changepoint_by_type"]).fetchall()
+    assert len(got) == len(want) == 1
+    g, w = got[0], want[0]
+    assert (g["n"], g["change_point_id"]) == (w[1], w[2])
+    assert g["max_abs_cusum"] == w[3]  # bit-exact double
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_vals)
+def test_rolling_z_engine_exact(spark, series):
+    import duckdb
+
+    import __spark_entry__ as entry
+    from smart_data_lake_spark.functions.analytics import rolling_zscore_anomalies
+
+    got = rolling_zscore_anomalies(_events_df(spark, series)).collect()
+    con = duckdb.connect()
+    _duck_events(con, series)
+    want = con.sql(entry.oracle_sql()["rolling_z_anomalies_events"]).fetchall()
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g["event_id"] == w[1]
+        assert g["value"] == w[2] and g["roll_mean"] == w[3] and g["z"] == w[4]
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["s1", "s2"]), st.integers(1, 100000)),
+        min_size=4,
+        max_size=50,
+    )
+)
+def test_ks_engine_exact(spark, rows):
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry
+    from smart_data_lake_spark.functions.profiling import ks_statistic
+
+    if not any(s == "s1" for s, _ in rows) or not any(s == "s2" for s, _ in rows):
+        return  # KS needs both samples
+    df = spark.createDataFrame(
+        [(i, s, n) for i, (s, n) in enumerate(rows)],
+        "doc_id long, source string, n_chars long",
+    )
+    got = ks_statistic(df, "n_chars", "source", "s1", "s2").collect()[0]
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            {
+                "doc_id": range(len(rows)),
+                "source": [("src1" if s == "s1" else "src2") for s, _ in rows],
+                "n_chars": [n for _, n in rows],
+                "text": [""] * len(rows),
+                "lang": ["en"] * len(rows),
+            }
+        ),
+    )
+    w = con.sql(entry.oracle_sql()["length_drift_ks"]).fetchall()[0]
+    assert got["ks"] == w[0] and got["at_value"] == w[1]
+    assert (got["n_a"], got["n_b"]) == (w[2], w[3])
