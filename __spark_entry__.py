@@ -4265,9 +4265,9 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_type, event_id, value,
                    mean AS roll_mean,
-                   (value - mean) / sqrt(var) AS z
+                   round((value - mean) / sqrt(var), 6) AS z
             FROM g WHERE var > 0
-            ORDER BY abs((value - mean) / sqrt(var)) DESC, event_id
+            ORDER BY abs(round((value - mean) / sqrt(var), 6)) DESC, event_id
             LIMIT 25""",
         "zipf_slope_by_source": f"""
             WITH toks AS (

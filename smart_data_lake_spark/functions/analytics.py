@@ -524,9 +524,14 @@ def rolling_zscore_anomalies(
     mean = s / n
     var = (n * ss - s * s) / (n * (n - 1))
     std = F.sqrt(var)
-    # z and roll_mean stay unrounded: exact decimal frame sums -> identical
-    # doubles in any engine; rounding would add boundary divergence
-    z = (x - mean) / std
+    # roll_mean stays unrounded (the plain sum fits int64 at any realistic
+    # magnitude -> exact casts -> identical doubles). z IS rounded: the
+    # sum-of-squares at scale 12 exceeds int64 once |value| reaches ~1e5
+    # over a 20-row frame, and DuckDB's hugeint->double cast is ~1-ulp
+    # lossy (hypothesis-found divergence in the 16th digit) — round(…,6)
+    # absorbs it, and z is a non-quantized ratio so boundary collisions
+    # are measure-zero
+    z = F.round((x - mean) / std, decimals)
     # guard on var > 0, NOT std > 0: catastrophic cancellation can make var a
     # tiny negative -> std = NaN, and NaN compares differently across engines
     # (DuckDB orders NaN above all values; Spark's NaN > 0 is false)
