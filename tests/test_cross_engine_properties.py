@@ -155,3 +155,112 @@ def test_ks_engine_exact(spark, rows):
     w = con.sql(entry.oracle_sql()["length_drift_ks"]).fetchall()[0]
     assert got["ks"] == w[0] and got["at_value"] == w[1]
     assert (got["n_a"], got["n_b"]) == (w[2], w[3])
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_vals)
+def test_decayed_popularity_engine_exact(spark, series):
+    import duckdb
+
+    import __spark_entry__ as entry
+    from smart_data_lake_spark.functions.analytics import decayed_popularity
+
+    got = decayed_popularity(_events_df(spark, series), half_life_hours=24.0).collect()
+    con = duckdb.connect()
+    _duck_events(con, series)
+    want = con.sql(entry.oracle_sql()["decayed_popularity_by_type"]).fetchall()
+    assert len(got) == len(want) == 1
+    g, w = got[0], want[0]
+    assert g["n_events"] == w[1]
+    assert g["decayed_score"] == w[2]  # exact: rounded exp pre-sum + decimal
+
+
+_docs = st.lists(
+    st.tuples(
+        st.sampled_from(["en", "de", "fr"]),
+        st.sampled_from(["s1", "s2", "s3"]),
+        st.integers(1, 10**9),
+    ),
+    min_size=2,
+    max_size=60,
+)
+
+
+def _register_docs(con, rows):
+    import pandas as pd
+
+    con.register(
+        "documents",
+        pd.DataFrame(
+            {
+                "doc_id": range(len(rows)),
+                "text": [""] * len(rows),
+                "lang": [r[0] for r in rows],
+                "source": [r[1] for r in rows],
+                "n_chars": [r[2] for r in rows],
+            }
+        ),
+    )
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_docs)
+def test_chisq_engine_exact(spark, rows):
+    import duckdb
+
+    import __spark_entry__ as entry
+    from smart_data_lake_spark.functions.profiling import chi_square_independence
+
+    df = spark.createDataFrame(
+        [(i, "", lang, src, n) for i, (lang, src, n) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = chi_square_independence(df, "lang", "source").collect()[0]
+    con = duckdb.connect()
+    _register_docs(con, rows)
+    w = con.sql(entry.oracle_sql()["lang_source_chisq"]).fetchall()[0]
+    assert (got["dof"], got["n"]) == (w[1], w[2])
+    assert got["chi2"] == w[0]  # exact: per-cell terms rounded pre-decimal-sum
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["src1", "src2", "src3"]),
+            st.text(alphabet="abcde ", min_size=1, max_size=30),
+        ),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_vocab_jaccard_engine_exact(spark, rows):
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry
+    from smart_data_lake_spark.functions.search import source_vocab_overlap
+
+    df = spark.createDataFrame(
+        [(i, text, src) for i, (src, text) in enumerate(rows)],
+        "doc_id long, text string, source string",
+    )
+    got = sorted(
+        (r["source_a"], r["source_b"], r["n_common"], r["n_a"], r["n_b"], r["jaccard"])
+        for r in source_vocab_overlap(df).collect()
+    )
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            {
+                "doc_id": range(len(rows)),
+                "text": [t for _, t in rows],
+                "lang": ["en"] * len(rows),
+                "source": [s for s, _ in rows],
+                "n_chars": [len(t) for _, t in rows],
+            }
+        ),
+    )
+    want = sorted(tuple(r) for r in con.sql(entry.oracle_sql()["source_vocab_jaccard"]).fetchall())
+    assert got == want  # exact incl. the unrounded integer-derived division
