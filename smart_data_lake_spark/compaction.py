@@ -11,9 +11,13 @@ staging tree), strengthened in four ways (r6 review findings):
   ignores markers whose JSON payload is unreadable — a crash mid-marker-write
   means the swap never started, so the original partition is authoritative;
 * the ``_SDL_MOVING`` payload records this run's unique file prefix AND the
-  snapshot of pre-existing data files, so the cleanup step deletes EXACTLY
-  the files the compacted copy replaced — files appended by another writer
-  between read and swap survive with their rows;
+  snapshot of pre-existing data files; the rewrite READS exactly that
+  snapshot (``get_dataframe_for_files``) and the cleanup step deletes
+  exactly the same set — a file appended by another writer at ANY point
+  after the snapshot survives untouched, with its rows, never duplicated.
+  (Data objects whose codec can't read an explicit file list fall back to a
+  whole-partition read; for those only, an append in the snapshot-to-read
+  window would be duplicated — covered by the schedule-apart contract.);
 * the root lock is acquired with ``open(..., 'x')`` — atomic, no
   check-then-create race between two schedulers;
 * ``_SDL_COMPACTED`` does not make a partition one-shot: a partition is
@@ -238,9 +242,24 @@ def compact_partitions(
                 rel = pv.hive_path()
                 tmp_part = os.path.join(temp_root, rel)
                 old_files = _data_files(os.path.join(root, rel))
-                # 1. rewrite the partition's rows into the temp tree, then
-                # stamp the files with this run's unique prefix
-                df = data_object.get_dataframe(spark, [pv]).repartition(n_files)
+                if not old_files:
+                    metrics["partitions_skipped"] += 1
+                    continue
+                # 1. rewrite EXACTLY the snapshotted files into the temp tree
+                # (snapshot-consistent read: a file appended by another writer
+                # after the snapshot is neither rewritten nor deleted), then
+                # stamp the files with this run's unique prefix. Data objects
+                # whose codec can't read an explicit file list fall back to a
+                # whole-partition read — for those the snapshot-to-read window
+                # is covered by the schedule-apart contract (see module doc).
+                df = None
+                getter = getattr(data_object, "get_dataframe_for_files", None)
+                if getter is not None:
+                    part_dir = os.path.join(root, rel)
+                    df = getter(spark, [os.path.join(part_dir, f) for f in old_files])
+                if df is None:
+                    df = data_object.get_dataframe(spark, [pv])
+                df = df.repartition(n_files)
                 temp_do.write_dataframe(df, [pv], SaveMode.APPEND)
                 for i, f in enumerate(sorted(_data_files(tmp_part))):
                     ext = f.rsplit(".", 1)[-1] if "." in f else "bin"

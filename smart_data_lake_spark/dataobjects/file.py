@@ -169,6 +169,25 @@ class SparkFileDataObject(
             df = df.withColumn(self.filename_column, F.input_file_name())
         return df
 
+    def get_dataframe_for_files(
+        self, spark: SparkSession, files: list[str]
+    ) -> DataFrame | None:
+        """Read EXACTLY the given data files (compaction's snapshot-consistent
+        read: files appended after the snapshot are neither rewritten nor
+        deleted). Returns None when the object's read path can't target an
+        explicit file list (custom-codec fallbacks override get_dataframe);
+        callers fall back to a whole-partition read."""
+        if type(self).get_dataframe is not SparkFileDataObject.get_dataframe:
+            return None
+        reader = spark.read.format(self.format).options(**self._read_options())
+        resolved_schema = self.resolve_schema(spark)
+        if resolved_schema is not None:
+            reader = reader.schema(resolved_schema)
+        df = reader.option("basePath", self.path).load(sorted(files))
+        if self.filename_column:
+            df = df.withColumn(self.filename_column, F.input_file_name())
+        return df
+
     def get_streaming_dataframe(self, spark: SparkSession) -> DataFrame:
         schema = self.schema or self.create_read_schema(spark)
         if schema is None:

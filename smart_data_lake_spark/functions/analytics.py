@@ -88,6 +88,10 @@ def approx_quantile_buckets(
     expr = F.lit(n_buckets)
     for i in reversed(range(len(bounds))):
         expr = F.when(F.col(value_col) <= bounds[i], F.lit(i + 1)).otherwise(expr)
+    # NULL values get a NULL bucket — every <= comparison above is null for
+    # them, so without this guard the otherwise(n_buckets) default would
+    # silently file them in the top bucket
+    expr = F.when(F.col(value_col).isNotNull(), expr)
     return df.withColumn(bucket_col, expr.cast("int"))
 
 

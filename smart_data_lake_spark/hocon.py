@@ -38,11 +38,15 @@ _KEY_END = set("=:{\n")
 
 
 class _Parser:
-    def __init__(self, text: str, base_dir: str = ".") -> None:
+    def __init__(
+        self, text: str, base_dir: str = ".", visited: frozenset[str] = frozenset()
+    ) -> None:
         self.t = text
         self.i = 0
         self.n = len(text)
         self.base_dir = base_dir
+        # absolute paths already on the include stack — cycle detection
+        self.visited = visited
 
     # ------------------------------------------------------------ low level
     def _peek(self) -> str:
@@ -270,7 +274,7 @@ class _Parser:
                 self._skip_inline_ws()
                 fname = self._parse_quoted()
                 inc_path = os.path.join(self.base_dir, fname)
-                _deep_merge(obj, parse_file(inc_path))
+                _deep_merge(obj, parse_file(inc_path, _visited=self.visited))
                 continue
             key_path = self._parse_key()
             self._skip_inline_ws()
@@ -360,13 +364,23 @@ def resolve_templates(root: dict) -> dict:
     return _resolve_extends(root, root, lenient=False)
 
 
-def parse_hocon(text: str, base_dir: str = ".") -> dict[str, Any]:
+def parse_hocon(
+    text: str, base_dir: str = ".", _visited: frozenset[str] = frozenset()
+) -> dict[str, Any]:
     """Parse HOCON text → plain dict (``${a.b}`` substitutions left as
     strings for config.py's resolver; template inheritance resolved)."""
-    root = _Parser(text, base_dir)._parse_object(braced=False)
+    root = _Parser(text, base_dir, visited=_visited)._parse_object(braced=False)
     return _resolve_extends(root, root, lenient=True)
 
 
-def parse_file(path: str) -> dict[str, Any]:
+def parse_file(path: str, _visited: frozenset[str] = frozenset()) -> dict[str, Any]:
+    abspath = os.path.abspath(path)
+    if abspath in _visited:
+        cycle = " -> ".join(sorted(_visited) + [abspath])
+        raise ConfigError(f"HOCON include cycle detected: {cycle}")
     with open(path, "r", encoding="utf-8") as fh:
-        return parse_hocon(fh.read(), base_dir=os.path.dirname(os.path.abspath(path)))
+        return parse_hocon(
+            fh.read(),
+            base_dir=os.path.dirname(abspath),
+            _visited=_visited | {abspath},
+        )

@@ -175,12 +175,14 @@ def ui_backend_from_config(spec: dict[str, Any]) -> StateUploader:
     if auth_spec:
         from . import auth_modes
 
+        from .config import _snake_kwargs
+
         kind = auth_spec.get("type") or auth_spec.get("className")
         opts = {k: v for k, v in auth_spec.items() if k not in ("type", "className")}
         cls = getattr(auth_modes, str(kind), None)
         if cls is None:
             raise ValueError(f"unknown uiBackend authMode type {kind!r}")
-        auth = cls(**opts)
+        auth = cls(**_snake_kwargs(opts))
     svc = UploadService(
         base_url=spec["baseUrl"],
         tenant=spec.get("tenant", "PrivateTenant"),

@@ -27,6 +27,12 @@ _WS_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
 
 OP_CONT, OP_TEXT, OP_BINARY, OP_CLOSE, OP_PING, OP_PONG = 0x0, 0x1, 0x2, 0x8, 0x9, 0xA
 
+# Unauthenticated-peer hardening: a declared 64-bit payload length must not
+# drive the allocation, and fragmented messages must not accumulate without
+# bound. 64 MiB comfortably covers agent-protocol messages (serialized
+# subfeed configs + schemas).
+MAX_MESSAGE_BYTES = 64 * 1024 * 1024
+
 
 def _accept_value(key: str) -> str:
     return base64.b64encode(hashlib.sha1((key + _WS_GUID).encode()).digest()).decode()
@@ -85,13 +91,20 @@ class WebSocket:
             n = struct.unpack(">H", self._read_exact(2))[0]
         elif n == 127:
             n = struct.unpack(">Q", self._read_exact(8))[0]
+        if n > MAX_MESSAGE_BYTES:
+            # reject BEFORE allocating — a forged 64-bit length must not
+            # drive a multi-GiB buffer on an unauthenticated socket
+            raise ConnectionError(
+                f"websocket frame of {n} bytes exceeds cap {MAX_MESSAGE_BYTES}"
+            )
         mask = self._read_exact(4) if masked else b""
         payload = self._read_exact(n)
         if masked:
             payload = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
-        if not self._client and not masked and opcode in (OP_TEXT, OP_BINARY, OP_CONT):
-            # §5.1: a server MUST close the connection on unmasked client data
-            raise ConnectionError("client data frame not masked (RFC 6455 §5.1)")
+        if not self._client and not masked:
+            # §5.1: ALL client frames (data and control) must be masked;
+            # a server MUST close the connection on an unmasked client frame
+            raise ConnectionError("client frame not masked (RFC 6455 §5.1)")
         return opcode, fin, payload
 
     def recv_message(self) -> str | bytes | None:
@@ -115,10 +128,22 @@ class WebSocket:
                     self.closed = True
                 return None
             if opcode in (OP_TEXT, OP_BINARY):
+                if first_op is not None:
+                    raise ConnectionError(
+                        "new data frame while a fragmented message is in progress"
+                    )
                 first_op = opcode
                 parts = [payload]
             elif opcode == OP_CONT:
+                if first_op is None:
+                    # §5.4: continuation with no message in progress — without
+                    # this check a malicious peer makes recv loop forever
+                    raise ConnectionError("continuation frame with no message in progress")
                 parts.append(payload)
+            if sum(len(p) for p in parts) > MAX_MESSAGE_BYTES:
+                raise ConnectionError(
+                    f"fragmented message exceeds cap {MAX_MESSAGE_BYTES}"
+                )
             if fin and first_op is not None:
                 data = b"".join(parts)
                 return data.decode("utf-8") if first_op == OP_TEXT else data

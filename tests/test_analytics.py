@@ -113,6 +113,23 @@ def test_approx_quantile_buckets_monotone_and_balanced(spark):
         assert 800 <= agg[b][0] <= 1200
 
 
+def test_approx_quantile_buckets_null_values_get_null_bucket(spark):
+    # r7 ADVICE fix: NULLs must not silently land in the top bucket
+    from pyspark.sql import Row
+
+    from smart_data_lake_spark.functions.analytics import approx_quantile_buckets
+
+    df = spark.createDataFrame(
+        [Row(v=float(i)) for i in range(100)] + [Row(v=None), Row(v=None)],
+        "v double",
+    )
+    out = approx_quantile_buckets(df, "v", n_buckets=4, relative_error=0.0001)
+    nulls = out.where(F.col("v").isNull()).collect()
+    assert len(nulls) == 2 and all(r.bucket is None for r in nulls)
+    top = out.where(F.col("bucket") == 4)
+    assert top.where(F.col("v").isNull()).count() == 0
+
+
 def test_rolling_active_users_trailing_window(spark):
     """Hand-checkable case: trailing window includes the day itself and the
     6 before; repeat activity within a window counts once."""

@@ -194,6 +194,44 @@ def test_concurrent_append_survives_compaction(spark, fragmented):
     assert after == sorted(before + [999])  # appended row survived
 
 
+def test_append_in_snapshot_to_read_window_not_duplicated(spark, fragmented):
+    """r7 ADVICE fix: the rewrite reads EXACTLY the snapshotted files, so a
+    file appended after the snapshot but before the Spark read is neither
+    compacted (no duplicate rows) nor deleted (rows survive)."""
+    do = fragmented
+    pv = PartitionValues.of({"p": "a"})
+    before = sorted(r["id"] for r in do.get_dataframe(spark, [pv]).collect())
+    real_getter = do.get_dataframe_for_files
+    calls: list[list[str]] = []
+
+    def racing_getter(spark_, files):
+        # simulate a writer landing a file in the exact snapshot-to-read gap
+        do.write_dataframe(
+            spark.createDataFrame([(777, "a")], "id int, p string"),
+            save_mode=SaveMode.APPEND,
+        )
+        calls.append(sorted(os.path.basename(f) for f in files))
+        return real_getter(spark_, files)
+
+    do.get_dataframe_for_files = racing_getter
+    try:
+        m = compact_partitions(spark, do, [pv], n_files=1)
+    finally:
+        del do.get_dataframe_for_files
+    assert m["partitions_compacted"] == 1 and calls  # explicit-file path used
+    after = sorted(r["id"] for r in do.get_dataframe(spark, [pv]).collect())
+    assert after == sorted(before + [777])  # exactly once: no dup, no loss
+
+
+def test_get_dataframe_for_files_none_for_custom_codec(tmp_path):
+    """Objects overriding get_dataframe (custom codec fallbacks) opt out of
+    the explicit-file read and compaction falls back to the partition read."""
+    from smart_data_lake_spark.dataobjects.file import AvroFileDataObject
+
+    do = AvroFileDataObject(id="av", path=str(tmp_path / "av"), partitions=["p"])
+    assert do.get_dataframe_for_files(None, ["x"]) is None
+
+
 def test_partial_partition_values_rejected(spark, tmp_path):
     from smart_data_lake_spark.config import ConfigError
 

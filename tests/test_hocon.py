@@ -104,6 +104,27 @@ def test_include_directive(tmp_path):
     assert cfg == {"shared": {"retries": 3}, "main": 1}
 
 
+def test_include_cycle_raises_config_error(tmp_path):
+    # r7 ADVICE fix: self- and mutual-includes must raise ConfigError naming
+    # the cycle, not crash with RecursionError
+    (tmp_path / "self.conf").write_text('include "self.conf"\nx = 1\n')
+    with pytest.raises(ConfigError, match="include cycle"):
+        parse_file(str(tmp_path / "self.conf"))
+
+    (tmp_path / "a.conf").write_text('include "b.conf"\na = 1\n')
+    (tmp_path / "b.conf").write_text('include "a.conf"\nb = 1\n')
+    with pytest.raises(ConfigError, match="include cycle"):
+        parse_file(str(tmp_path / "a.conf"))
+
+    # diamond includes (same file twice, NOT a cycle) still parse fine
+    (tmp_path / "base.conf").write_text("shared = 7\n")
+    (tmp_path / "l.conf").write_text('include "base.conf"\nl = 1\n')
+    (tmp_path / "r.conf").write_text('include "base.conf"\nr = 1\n')
+    (tmp_path / "top.conf").write_text('include "l.conf"\ninclude "r.conf"\n')
+    cfg = parse_file(str(tmp_path / "top.conf"))
+    assert cfg == {"shared": 7, "l": 1, "r": 1}
+
+
 def test_unsupported_plus_equals_raises_loudly():
     with pytest.raises(ConfigError, match="not supported"):
         parse_hocon("xs += 1")

@@ -166,6 +166,26 @@ def test_ui_backend_config_wiring_with_auth(backend, tmp_path):
         ui_backend_from_config({"baseUrl": backend.url, "authMode": {"type": "Nope"}})
 
 
+def test_ui_backend_auth_camelcase_keys(backend):
+    # r7 ADVICE fix: multi-word auth fields arrive in config camelCase
+    # (tokenType, headerName, ...) and must be snake_cased before the
+    # auth-mode constructor sees them
+    spec = {
+        "baseUrl": backend.url,
+        "authMode": {"type": "TokenAuthMode", "token": "t0k", "tokenType": "SAS"},
+    }
+    up = ui_backend_from_config(spec)
+    st = RunState(run_id=1)
+    up.notify_state(st, {}, "a1")
+    assert backend.requests[-1]["auth"] == "SAS t0k"
+
+    spec = {
+        "baseUrl": backend.url,
+        "authMode": {"type": "AuthHeaderMode", "headerName": "X-Key", "secret": "s"},
+    }
+    assert ui_backend_from_config(spec) is not None
+
+
 def test_load_config_registers_ui_backend(backend):
     from smart_data_lake_spark.config import load_config
 
