@@ -805,6 +805,73 @@ def simhash_candidate_pairs(
     )
 
 
+def simhash_neardup_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size_col: str = "n_chars",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_iter: int = 20,
+) -> DataFrame:
+    """SimHash near-dup CLUSTERS: banded candidate pairs
+    (`simhash_candidate_pairs`, Manku WWW'07) fed into connected components
+    + canonical pick (`neardup_clusters`). This is the 100 TB output shape
+    for SimHash dedup — pair lists grow quadratically in near-dup cluster
+    size (a 1000-copy boilerplate page is ~500k pairs but ONE cluster row),
+    so emit clusters, exactly as the MinHash path already does
+    (`neardup_clusters_minhash`). Integer-exact end to end: signatures,
+    popcount verify, min-label components, and the size/id canonical
+    ordering are all engine-stable.
+
+    Scale shape: hamming(a, b) is a function of the two SIGNATURES alone,
+    so the pair graph factors through distinct signature values — docs with
+    identical signatures are pairwise hamming-0 (always connected) and any
+    cross-pair has exactly its representatives' distance. The banded join
+    and the component iteration therefore run over one REPRESENTATIVE per
+    distinct signature (min doc id), and members expand back with a single
+    signature-key join at the end. On boilerplate-heavy corpora (the 100 TB
+    reality) the quadratic candidate fan-out collapses from cluster size to
+    unique-signature count; component semantics are exactly those of the
+    full pair graph (docs in no qualifying pair stay absent)."""
+    sigs = simhash(docs, id_col=id_col, text_col=text_col, bits=bits)
+    reps = sigs.groupBy("simhash").agg(
+        F.min(id_col).alias("_rep"), F.count(F.lit(1)).alias("_n_members")
+    )
+    rep_sigs = reps.select(F.col("_rep").alias(id_col), "simhash")
+    pairs = simhash_candidate_pairs(
+        None, id_col=id_col, bits=bits, bands=bands, max_hamming=max_hamming,
+        signatures=rep_sigs,
+    )
+    comp = connected_components(pairs, max_iter=max_iter)
+    members = sigs.join(reps, "simhash").select(
+        F.col(id_col).alias("node"), "_rep", "_n_members"
+    )
+    labeled = (
+        members.join(
+            comp.select(F.col("node").alias("_rep"), "label"), "_rep", "left"
+        )
+        # multi-member signatures are clusters by themselves (hamming 0);
+        # a single-member signature needs a verified cross-signature edge
+        .where((F.col("_n_members") > 1) | F.col("label").isNotNull())
+        # component label = min rep = min doc id of the original component
+        .select("node", F.coalesce(F.col("label"), F.col("_rep")).alias("label"))
+    )
+    sized = labeled.join(
+        docs.select(F.col(id_col).alias("node"), F.col(size_col)), "node"
+    )
+    w = Window.partitionBy("label").orderBy(F.col(size_col).desc(), F.col("node").asc())
+    return (
+        sized.withColumn("rk", F.row_number().over(w))
+        .groupBy(F.col("label").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max(F.when(F.col("rk") == 1, F.col("node"))).alias("canonical_doc_id"),
+        )
+    )
+
+
 def minhash_estimate_calibration(
     df: DataFrame,
     id_col: str = "doc_id",

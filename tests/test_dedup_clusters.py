@@ -52,6 +52,52 @@ def test_neardup_clusters_canonical_pick(spark):
     assert got == {(1, 3, 2), (10, 2, 10)}
 
 
+def test_simhash_neardup_clusters_linear_output_in_cluster_size(spark):
+    """A k-copy near-dup family is k*(k-1)/2 PAIRS but ONE cluster row —
+    the 100 TB output shape the composition exists for."""
+    from smart_data_lake_spark.functions.dedup import (
+        simhash_candidate_pairs,
+        simhash_neardup_clusters,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [Row(doc_id=i, text=base + f" v{i}", n_chars=60 + i) for i in range(6)]
+    rows += [Row(doc_id=100, text="completely unrelated content about spark plans", n_chars=10)]
+    docs = spark.createDataFrame(rows)
+    pairs = simhash_candidate_pairs(docs, max_hamming=3)
+    clusters = simhash_neardup_clusters(docs, max_hamming=3).collect()
+    n_pairs = pairs.count()
+    assert n_pairs >= 10  # near-identical family collides across bands
+    assert len(clusters) == 1  # ...but collapses to one cluster row
+    (c,) = clusters
+    assert c.cluster_id == 0 and c.n_docs >= 5
+    # canonical = largest n_chars in the cluster (doc 5 here)
+    assert c.canonical_doc_id == 5
+
+
+def test_simhash_clusters_identical_sig_group_without_cross_edges(spark):
+    """Signature-collapse semantics: docs with IDENTICAL signatures are a
+    cluster by themselves (pairwise hamming 0) even when their
+    representative has no cross-signature edge; unrelated singletons stay
+    absent, exactly like the uncollapsed pair graph."""
+    from smart_data_lake_spark.functions.dedup import simhash_neardup_clusters
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="identical words in every copy", n_chars=10),
+            Row(doc_id=2, text="identical words in every copy", n_chars=30),
+            Row(doc_id=3, text="identical words in every copy", n_chars=30),
+            Row(doc_id=50, text="totally different subject matter entirely", n_chars=99),
+        ]
+    )
+    got = {
+        (r.cluster_id, r.n_docs, r.canonical_doc_id)
+        for r in simhash_neardup_clusters(docs).collect()
+    }
+    # canonical: largest n_chars, tie -> lowest id = 2; singleton 50 absent
+    assert got == {(1, 3, 2)}
+
+
 def test_exact_segment_dedup_marks_later_occurrences(spark):
     from smart_data_lake_spark.functions.dedup import exact_segment_dedup
 

@@ -60,7 +60,7 @@ def synthesize(spark, sf_dir: str, out_dir: str, factor: int) -> None:
     big_ev.write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
 
 
-def main(factor: int) -> str:
+def main(factor: int, only: list[str] | None = None) -> str:
     import __spark_entry__ as e
     from smart_data_lake_spark.session import build_session
 
@@ -93,6 +93,9 @@ def main(factor: int) -> str:
         "fixed_k_sample_per_source",
         "normalized_dedup_docs",
         "simhash_near_pairs",
+        # r7: the cluster-shaped output (pairs are quadratic in near-dup
+        # cluster size; clusters are linear — the 100 TB emit shape)
+        "simhash_neardup_clusters",
         "cusum_changepoint_by_type",
         "global_docs_sample",
         "length_drift_ks",
@@ -120,6 +123,8 @@ def main(factor: int) -> str:
         "|---|---|---|---|",
     ]
     for name in ops:
+        if only and name not in only:
+            continue
         t1 = timed(name, sf1)
         t10 = timed(name, big)
         lines.append(f"| {name} | {t1:.2f} | {t10:.2f} | {t10 / t1:.1f} |")
@@ -129,5 +134,6 @@ def main(factor: int) -> str:
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--only", nargs="*", default=None)
     args = ap.parse_args()
-    print(main(args.factor))
+    print(main(args.factor, args.only))
