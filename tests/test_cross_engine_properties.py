@@ -264,3 +264,153 @@ def test_vocab_jaccard_engine_exact(spark, rows):
     )
     want = sorted(tuple(r) for r in con.sql(entry.oracle_sql()["source_vocab_jaccard"]).fetchall())
     assert got == want  # exact incl. the unrounded integer-derived division
+
+
+# --- r7 additions: the remaining rotated decimal-discipline operators -----
+
+# small 2-char alphabet so bigrams repeat (pmi's min_count is reachable) and
+# rank ties exercise the (freq DESC, term) ordering on both engines
+_token_docs = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]), max_size=12),
+    min_size=1,
+    max_size=20,
+)
+
+
+def _text_docs_spark(spark, docs_tokens):
+    rows = [(i, f"s{i % 2 + 1}", " ".join(t)) for i, t in enumerate(docs_tokens)]
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def _register_text_docs(con, docs_tokens):
+    import pandas as pd
+
+    texts = [" ".join(t) for t in docs_tokens]
+    con.register(
+        "documents",
+        pd.DataFrame(
+            {
+                "doc_id": range(len(docs_tokens)),
+                "text": texts,
+                "lang": ["en"] * len(docs_tokens),
+                "source": [f"s{i % 2 + 1}" for i in range(len(docs_tokens))],
+                "n_chars": [len(t) for t in texts],
+            }
+        ),
+    )
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_token_docs)
+def test_zipf_slope_engine_exact(spark, docs_tokens):
+    import duckdb
+
+    import __spark_entry__ as entry
+    from smart_data_lake_spark.functions.search import zipf_slope
+
+    got = sorted(
+        (r["source"], r["n_terms"], r["zipf_slope"])
+        for r in zipf_slope(_text_docs_spark(spark, docs_tokens)).collect()
+    )
+    con = duckdb.connect()
+    _register_text_docs(con, docs_tokens)
+    want = [tuple(r) for r in con.sql(entry.oracle_sql()["zipf_slope_by_source"]).fetchall()]
+    assert got == want  # exact: rounded-ln decimal sufficient statistics
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_token_docs)
+def test_bigram_lm_engine_exact(spark, docs_tokens):
+    import duckdb
+
+    import __spark_entry__ as entry
+    from smart_data_lake_spark.functions.quality import bigram_logprob_score
+
+    got = sorted(
+        (r["doc_id"], r["n_bigrams"], r["avg_bigram_logprob"])
+        for r in bigram_logprob_score(_text_docs_spark(spark, docs_tokens)).collect()
+    )
+    con = duckdb.connect()
+    _register_text_docs(con, docs_tokens)
+    want = [tuple(r) for r in con.sql(entry.oracle_sql()["bigram_lm_docs"]).fetchall()]
+    assert got == want  # exact: per-bigram logp rounded pre-decimal-sum
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_token_docs)
+def test_pmi_engine_exact(spark, docs_tokens):
+    import duckdb
+
+    import __spark_entry__ as entry
+    from smart_data_lake_spark.functions.search import pmi_collocations
+
+    # min_count=2 so generated corpora actually produce collocations
+    got = [
+        (r["collocation"], r["c12"], r["pmi"])
+        for r in pmi_collocations(
+            _text_docs_spark(spark, docs_tokens), min_count=2, k=25
+        ).collect()
+    ]
+    con = duckdb.connect()
+    _register_text_docs(con, docs_tokens)
+    sql = entry.oracle_sql()["pmi_collocations_corpus"].replace(
+        "HAVING COUNT(*) >= 5", "HAVING COUNT(*) >= 2"
+    )
+    want = [tuple(r) for r in con.sql(sql).fetchall()]
+    assert got == want  # exact: rounded-pmi rank is the tie-stable order
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-1e4, max_value=1e4, allow_nan=False, allow_infinity=False),
+            min_size=3,
+            max_size=3,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_kmeans_assign_engine_exact(spark, vecs):
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry
+    from smart_data_lake_spark.functions.similarity import kmeans_assign_stats
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = sorted(
+        (r["cluster"], r["n_points"], r["total_sqdist"])
+        for r in kmeans_assign_stats(df).collect()
+    )
+    con = duckdb.connect()
+    con.register(
+        "embeddings",
+        pd.DataFrame(
+            {"vec_id": range(len(vecs)), "embedding": [[float(x) for x in v] for v in vecs]}
+        ),
+    )
+    want = [tuple(r) for r in con.sql(entry.oracle_sql()["kmeans_assign_embeddings"]).fetchall()]
+    assert got == want  # exact: per-dim sqdiff rounded pre-decimal-fold
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_vals)
+def test_value_quartiles_engine_exact(spark, series):
+    import duckdb
+
+    import __spark_entry__ as entry
+    from smart_data_lake_spark.functions.profiling import exact_quartiles
+
+    got = exact_quartiles(_events_df(spark, series), "value", ["event_type"]).collect()
+    con = duckdb.connect()
+    _duck_events(con, series)
+    want = con.sql(entry.oracle_sql()["value_quartiles_by_type"]).fetchall()
+    assert len(got) == len(want) == 1
+    g, w = got[0], want[0]
+    assert g["n"] == w[1]
+    assert (g["q1"], g["median"], g["q3"]) == (w[2], w[3], w[4])
