@@ -114,11 +114,44 @@ class Action(abc.ABC):
             if cleanup is not None:
                 cleanup()
 
-    def should_execute(self, subfeeds: list[SparkSubFeed]) -> bool:
-        """Default: skip if any input is skipped (Action.scala:189-207)."""
+    def should_execute(self, subfeeds: list[SparkSubFeed], spark: SparkSession | None = None) -> bool:
+        """Default: skip if any input is skipped (Action.scala:189-207).
+
+        `execution_condition` overrides the default: a callable gets the
+        input subfeeds; a string is a Spark-SQL boolean expression over the
+        reference's SubFeedsExpressionData (Condition.scala /
+        ActionDAGTest.scala:1003 `executionCondition = Condition("true")`):
+        `inputIsSkipped` plus an `inputSubFeeds` array of structs
+        (dataObjectId, isSkipped, isDAGStart).
+        """
         if self.execution_condition is not None:
-            return bool(self.execution_condition(subfeeds))
+            if callable(self.execution_condition):
+                return bool(self.execution_condition(subfeeds))
+            return self._eval_condition_expr(str(self.execution_condition), subfeeds, spark)
         return not any(sf.is_skipped for sf in subfeeds)
+
+    @staticmethod
+    def _eval_condition_expr(
+        expr: str, subfeeds: list[SparkSubFeed], spark: SparkSession | None = None
+    ) -> bool:
+        from pyspark.sql import functions as F
+
+        spark = spark or SparkSession.getActiveSession()
+        assert spark is not None, "executionCondition expression needs an active SparkSession"
+        rows = [
+            {
+                "dataObjectId": sf.data_object_id,
+                "isSkipped": bool(sf.is_skipped),
+                "isDAGStart": bool(getattr(sf, "is_dag_start", False)),
+            }
+            for sf in subfeeds
+        ]
+        ctx = spark.createDataFrame(
+            [(any(r["isSkipped"] for r in rows), rows)],
+            "inputIsSkipped boolean, inputSubFeeds array<struct<dataObjectId:string,isSkipped:boolean,isDAGStart:boolean>>",
+        )
+        row = ctx.select(F.expr(expr).cast("boolean").alias("r")).collect()[0]
+        return bool(row["r"])
 
     def check_metrics_fail_condition(self) -> None:
         if self.metrics_fail_condition is not None:
@@ -149,11 +182,19 @@ class DataFrameAction(Action):
         merge_options: Any = None,
         checkpoint_location: str | None = None,
         input_ids_to_ignore_filter: list[str] | None = None,
+        streaming_input_ids: list[str] | None = None,
         **kwargs: Any,
     ) -> None:
         super().__init__(id=id, registry=registry, **kwargs)
         self.execution_mode = execution_mode
         self.break_dataframe_lineage = break_dataframe_lineage
+        # Under SparkStreamingMode the reference reads EVERY input that
+        # implements CanCreateStreamingDataFrame as a stream
+        # (DataFrameActionImpl.scala:160-176; ActionDAGTest.scala:881 'union
+        # 2 streams'). Here the default is main-input-only — the stream-
+        # static enrichment pattern stays the cheap default — and multi-
+        # stream DAGs opt in by listing the streaming inputs explicitly.
+        self.streaming_input_ids = streaming_input_ids
         # DataFrameActionImpl.inputIdsToIgnoreFilter: these inputs receive
         # the FULL data even when the run carries partition-value filters
         # (the lookup-table-next-to-a-filtered-fact pattern); validated
@@ -350,12 +391,13 @@ class DataFrameAction(Action):
             elif pvs:
                 pvs = []
             streaming_mode = isinstance(self.execution_mode, SparkStreamingMode)
-            if streaming and in_id == self.main_input_id and isinstance(in_do, CanCreateStreamingDataFrame):
+            stream_ids = self.streaming_input_ids or [self.main_input_id]
+            if streaming and in_id in stream_ids and isinstance(in_do, CanCreateStreamingDataFrame):
                 df = in_do.get_streaming_dataframe(spark)
             elif (
                 streaming_mode
                 and phase == "init"
-                and in_id == self.main_input_id
+                and in_id in stream_ids
                 and isinstance(in_do, CanCreateStreamingDataFrame)
             ):
                 # init must not consume the real source (no offsets, no
@@ -380,6 +422,19 @@ class DataFrameAction(Action):
                 from smart_data_lake_spark.streaming import dummy_streaming_df
 
                 df = dummy_streaming_df(spark, schema)
+            elif sf is not None and sf.df is not None and phase == "init" and self.break_dataframe_lineage:
+                # breakDataframeLineage: don't pass the upstream frame on.
+                # In init the storage may not exist yet — validate lineage on
+                # an empty dummy (DataFrameActionImpl.scala:212-223 dummy-DF
+                # init phase); exec falls through to a fresh storage read
+                # below. The dummy's schema is the DataObject's READ schema
+                # when it declares one (a read may differ from what upstream
+                # produced, e.g. filenameColumn — ActionDAGTest.scala:169),
+                # else the upstream frame's schema.
+                schema = None
+                if isinstance(in_do, CanCreateDataFrame) and hasattr(in_do, "create_read_schema"):
+                    schema = in_do.create_read_schema(spark)
+                df = spark.createDataFrame([], schema or sf.df.schema)
             elif sf is not None and sf.df is not None and (phase == "init" or not sf.is_dummy) and not self.break_dataframe_lineage:
                 df = sf.df
                 if pvs:

@@ -106,7 +106,7 @@ class ProxyAction:
     def output_ids(self) -> list[str]:
         return self._output_ids
 
-    def should_execute(self, subfeeds: list[SparkSubFeed]) -> bool:
+    def should_execute(self, subfeeds: list[SparkSubFeed], spark=None) -> bool:
         return not any(sf.is_skipped for sf in subfeeds)
 
     def check_metrics_fail_condition(self) -> None:

@@ -192,12 +192,19 @@ class SparkFileDataObject(
         schema = self.schema or self.create_read_schema(spark)
         if schema is None:
             raise ValueError(f"({self.id}) streaming read requires a schema")
-        return (
+        if self.filename_column and self.filename_column in schema.fieldNames():
+            # the filename column is appended AFTER the scan — it is not in
+            # the files and must not be in the reader schema
+            schema = T.StructType([f for f in schema.fields if f.name != self.filename_column])
+        df = (
             spark.readStream.format(self.format)
             .options(**self._read_options())
             .schema(schema)
             .load(self.path)
         )
+        if self.filename_column:
+            df = df.withColumn(self.filename_column, F.input_file_name())
+        return df
 
     def _read_options(self) -> dict[str, str]:
         return dict(self.options)
@@ -280,13 +287,23 @@ class SparkFileDataObject(
         return opts
 
     def create_read_schema(self, spark: SparkSession) -> T.StructType | None:
+        """Schema of what a READ returns — the file schema plus the
+        filenameColumn this object appends on read
+        (SparkFileDataObject.scala:132-139 createReadSchema). Distinct from
+        `resolve_schema`, which is the on-file schema handed to the reader."""
         resolved = self.resolve_schema(spark)
-        if resolved is not None:
-            return resolved
-        try:
-            return spark.read.format(self.format).options(**self._read_options()).load(self.path).schema
-        except Exception:
-            return None
+        if resolved is None:
+            try:
+                resolved = (
+                    spark.read.format(self.format).options(**self._read_options()).load(self.path).schema
+                )
+            except Exception:
+                return None
+        if self.filename_column and self.filename_column not in resolved.fieldNames():
+            resolved = T.StructType(
+                list(resolved.fields) + [T.StructField(self.filename_column, T.StringType())]
+            )
+        return resolved
 
     # ----------------------------------------------------------------- write
     def init_write(self, df: DataFrame, partition_values: list[PartitionValues] | None = None) -> None:

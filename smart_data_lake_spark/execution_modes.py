@@ -76,6 +76,14 @@ class PartitionDiffMode(ExecutionMode):
     nb_of_partition_values_per_run: int | None = None
     select_expression: Any = None  # callable: list[PartitionValues] -> list[PartitionValues]
     fail_condition: Any = None  # callable: ExecutionModeResult -> str | None
+    # applyCondition (ExecutionModeWithMainInputOutput.scala /
+    # PartitionDiffMode.scala:92): callable list[PartitionValues] -> bool.
+    # Default = apply the diff ONLY when the run carries no partition values;
+    # a top-level `--partition-values` filter overrides the mode and the
+    # given partitions are processed as-is (ActionDAGTest.scala:460 'positive
+    # top-level partition values filter, ignoring executionMode=
+    # PartitionDiffMode').
+    apply_condition: Any = None
     # compare against a DIFFERENT DataObject's partitions than the action's
     # direct output (PartitionDiffMode.alternativeOutputId): the standard
     # trick when the direct output is transient/non-partition-listable and
@@ -84,6 +92,18 @@ class PartitionDiffMode(ExecutionMode):
     alternative_output_id: str | None = None
 
     def apply(self, spark, input_do, output_do, given_partition_values, state):
+        do_apply = (
+            bool(self.apply_condition(given_partition_values))
+            if self.apply_condition is not None
+            else not given_partition_values
+        )
+        if not do_apply:
+            # mode overridden: the given partition values flow through
+            # unchanged (reprocessing an already-loaded partition on purpose)
+            return ExecutionModeResult(
+                input_partition_values=list(given_partition_values),
+                output_partition_values=list(given_partition_values),
+            )
         if not isinstance(input_do, CanHandlePartitions) or not isinstance(output_do, CanHandlePartitions):
             raise ValueError("PartitionDiffMode requires partitioned input and output DataObjects")
         in_parts = input_do.list_partitions(spark)
@@ -132,6 +152,15 @@ class DataFrameIncrementalMode(ExecutionMode):
             hwm = row["hwm"]
         if hwm is None:
             return ExecutionModeResult()
+        # compare against the input's high watermark and SKIP when there is
+        # no increment (DataFrameIncrementalMode.scala:84-89: equal latest
+        # values, or an empty input, raise NoDataToProcessWarning) — one
+        # more single-column agg(max), same cost profile as the reference
+        assert isinstance(input_do, CanCreateDataFrame)
+        in_row = input_do.get_dataframe(spark).agg(F.max(self.compare_col).alias("hwm")).collect()[0]
+        in_hwm = in_row["hwm"]
+        if in_hwm is None or in_hwm == hwm:
+            return ExecutionModeResult(no_data=True)
         # build the predicate as a Column, not SQL text — immune to quoting
         # issues with string high-watermarks; Catalyst still pushes it into
         # the input scan

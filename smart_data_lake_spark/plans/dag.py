@@ -320,8 +320,26 @@ class ActionDAGRun:
                 self.state.data_object_state.get(aid, {})
             )
             inputs = [self._input_subfeed(spark, action, i, exec_feeds) for i in action.input_ids]
-            if not action.should_execute(inputs):
-                return aid, [SparkSubFeed(data_object_id=o, is_skipped=True) for o in action.output_ids]
+
+            def _skipped_outputs() -> list[SubFeed] | Exception:
+                # a skipped action still reports 'skipped' metrics and its
+                # metricsFailCondition is evaluated against them — a condition
+                # matching key='skipped' turns the skip into a FAILURE
+                # (ActionDAGTest.scala:1202 'Action skipped because of no-data
+                # fails with metricsFailCondition')
+                for o in action.output_ids:
+                    action.runtime_metrics[o] = {
+                        **action.runtime_metrics.get(o, {}),
+                        "skipped": True,
+                    }
+                try:
+                    action.check_metrics_fail_condition()
+                except Exception as e:  # noqa: BLE001 — recorded as FAILED
+                    return e
+                return [SparkSubFeed(data_object_id=o, is_skipped=True) for o in action.output_ids]
+
+            if not action.should_execute(inputs, spark):
+                return aid, _skipped_outputs()
             try:
                 t0 = time.time()
                 outputs = action.exec(spark, inputs)
@@ -331,7 +349,7 @@ class ActionDAGRun:
                     self.state.data_object_state[aid] = dict(action.execution_mode_state)
                 return aid, outputs
             except NoDataToProcessWarning:
-                return aid, [SparkSubFeed(data_object_id=o, is_skipped=True) for o in action.output_ids]
+                return aid, _skipped_outputs()
             except Exception as e:  # noqa: BLE001 — recorded as FAILED in run state
                 return aid, e
 
