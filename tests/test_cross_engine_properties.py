@@ -414,3 +414,131 @@ def test_value_quartiles_engine_exact(spark, series):
     g, w = got[0], want[0]
     assert g["n"] == w[1]
     assert (g["q1"], g["median"], g["q3"]) == (w[2], w[3], w[4])
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-1e3, max_value=1e3, allow_nan=False, allow_infinity=False),
+            min_size=8,
+            max_size=8,
+        ),
+        min_size=3,
+        max_size=15,
+    )
+)
+def test_pq_encode_engine_exact(spark, vecs):
+    """pq_encode's codes + decimal quantization error are bit-identical to
+    the DuckDB oracle formulation on arbitrary float vectors (dim=8, m=4
+    subspaces of 2, k=3 seeds)."""
+    import duckdb
+    import pandas as pd
+
+    from smart_data_lake_spark.functions.similarity import pq_encode
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    k = min(3, len(vecs))
+    got = sorted(
+        tuple(r) for r in pq_encode(df, m=4, k=k, dim=8).collect()
+    )
+    m, sub = 4, 2
+
+    def sub_dist(i, e="e.embedding", s="s.seed_vec"):
+        return (
+            f"(SELECT SUM(CAST(round((CAST({e}[g.i] AS DOUBLE) - CAST({s}[g.i] AS DOUBLE))"
+            f" * (CAST({e}[g.i] AS DOUBLE) - CAST({s}[g.i] AS DOUBLE)), 6) AS DECIMAL(38,6)))"
+            f" FROM (SELECT unnest(range({i * sub + 1}, {i * sub + sub + 1})) AS i) g)"
+        )
+
+    dist_cols = ", ".join(f"{sub_dist(i)} AS d_{i}" for i in range(m))
+    rk_cols = ", ".join(
+        f"row_number() OVER (PARTITION BY vec_id ORDER BY d_{i}, seed_id) AS rk{i}"
+        for i in range(m)
+    )
+    code_cols = ", ".join(
+        f"CAST(MAX(CASE WHEN rk{i}=1 THEN seed_id END) AS INT) AS code_{i}" for i in range(m)
+    )
+    md_cols = ", ".join(f"MAX(CASE WHEN rk{i}=1 THEN d_{i} END) AS md_{i}" for i in range(m))
+    con = duckdb.connect()
+    con.register(
+        "embeddings",
+        pd.DataFrame(
+            {"vec_id": range(len(vecs)), "embedding": [[float(x) for x in v] for v in vecs]}
+        ),
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            f"""
+        WITH seeds AS (SELECT vec_id AS seed_id, embedding AS seed_vec
+                       FROM embeddings ORDER BY vec_id LIMIT {k}),
+        dists AS (SELECT e.vec_id, s.seed_id, {dist_cols} FROM embeddings e CROSS JOIN seeds s),
+        ranked AS (SELECT *, {rk_cols} FROM dists),
+        agg AS (SELECT vec_id, {code_cols}, {md_cols} FROM ranked GROUP BY vec_id)
+        SELECT vec_id, code_0, code_1, code_2, code_3,
+               round(CAST(md_0 + md_1 + md_2 + md_3 AS DOUBLE), 6) AS qerr
+        FROM agg"""
+        ).fetchall()
+    )
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=1, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_cms_engine_exact(spark, texts):
+    """cms_heavy_hitters' md5 sketch estimates + exact counts are
+    bit-identical to the DuckDB oracle on arbitrary small corpora (width
+    forced tiny so collisions actually occur and the MIN-over-rows estimate
+    is exercised, not just the collision-free fast path)."""
+    import duckdb
+    import pandas as pd
+
+    from smart_data_lake_spark.functions.profiling import cms_heavy_hitters
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = sorted(
+        tuple(r) for r in cms_heavy_hitters(df, depth=2, width=4, phi_denominator=10).collect()
+    )
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    bucket = "CAST(('0x' || substr(md5(CAST({j} AS VARCHAR) || ':' || {term}), 1, 8)) AS BIGINT) % 4"
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            rf"""
+        WITH toks AS (
+          SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+          FROM documents WHERE length(trim(text)) > 0
+        ),
+        js AS (SELECT unnest(range(0, 2)) AS j),
+        cells AS (
+          SELECT j, {bucket.format(j='j', term='term')} AS bucket, COUNT(*) AS c
+          FROM toks, js GROUP BY 1, 2
+        ),
+        tot AS (SELECT SUM(c) AS t FROM cells WHERE j = 0),
+        terms AS (SELECT DISTINCT term FROM toks),
+        est AS (
+          SELECT t.term, MIN(c.c) AS cms_estimate
+          FROM terms t, js
+          JOIN cells c ON c.j = js.j AND c.bucket = {bucket.format(j='js.j', term='t.term')}
+          GROUP BY t.term
+        ),
+        cand AS (SELECT term, cms_estimate FROM est, tot WHERE cms_estimate * 10 >= t),
+        exact AS (
+          SELECT k.term, k.cms_estimate, COUNT(*) AS n_exact
+          FROM toks JOIN cand k USING (term) GROUP BY 1, 2
+        )
+        SELECT term, cms_estimate, n_exact FROM exact, tot WHERE n_exact * 10 >= t"""
+        ).fetchall()
+    )
+    assert got == want

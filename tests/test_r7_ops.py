@@ -1,0 +1,126 @@
+"""Round-7 operators: Count-Min-sketch heavy hitters, product quantization
+(encode + ADC search). Unit behavior + the plan shapes the 100 TB posture
+depends on. Cross-engine exactness is in test_cross_engine_properties.py;
+oracle grading in __spark_entry__ (registered post-freeze for the r8
+window)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from smart_data_lake_spark.functions.profiling import cms_heavy_hitters
+from smart_data_lake_spark.functions.similarity import pq_adc_topk, pq_encode
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_pq_seeds_encode_to_themselves(spark, emb):
+    enc = pq_encode(emb)
+    seeds = enc.orderBy("vec_id").limit(8).collect()
+    for r in seeds:
+        # a seed's nearest sub-centroid is itself in every subspace
+        assert (r.code_0, r.code_1, r.code_2, r.code_3) == (r.vec_id,) * 4
+        assert r.qerr == 0.0
+
+
+def test_pq_codes_bounded_and_total(spark, emb):
+    enc = pq_encode(emb, m=4, k=8)
+    n = emb.count()
+    assert enc.count() == n
+    stats = enc.agg(
+        *[F.min(f"code_{i}").alias(f"lo{i}") for i in range(4)],
+        *[F.max(f"code_{i}").alias(f"hi{i}") for i in range(4)],
+        F.min("qerr").alias("qlo"),
+    ).collect()[0]
+    for i in range(4):
+        assert 0 <= stats[f"lo{i}"] and stats[f"hi{i}"] <= 7
+    assert stats["qlo"] >= 0.0
+
+
+def test_pq_adc_shape_and_ranks(spark, emb):
+    out = pq_adc_topk(emb, n_queries=10, k_neighbors=5)
+    rows = out.collect()
+    assert len(rows) == 50
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+        assert r.query_id != r.neighbor_id
+    assert set(per_q) == set(range(10))
+    for q, rs in per_q.items():
+        rs = sorted(rs, key=lambda r: r.rank)
+        assert [r.rank for r in rs] == [1, 2, 3, 4, 5]
+        dists = [r.adc_dist for r in rs]
+        assert dists == sorted(dists)
+
+
+def test_pq_adc_recall_vs_exact(spark, emb):
+    """ADC is an approximation; sanity-bound its quality: over 10 queries,
+    the ADC top-5 must recover a nontrivial share of the exact-cosine top-5
+    (recall@5 >= 0.2 on the synthetic embeddings — PQ with m=4,k=8 on 64-d
+    noise is coarse; the bound catches implementation inversions, e.g.
+    max-instead-of-min, not tuning)."""
+    import itertools
+
+    adc = pq_adc_topk(emb, n_queries=10, k_neighbors=5).collect()
+    got = {}
+    for r in adc:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    from smart_data_lake_spark.functions.similarity import brute_force_topk
+
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    want = {}
+    for r in exact:
+        want.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(got[q] & want[q]) for q in got if q in want)
+    total = sum(len(want[q]) for q in got if q in want)
+    assert total > 0 and hits / total >= 0.2
+
+
+def test_pq_adc_plan_broadcasts_lut(spark, emb):
+    plan = (
+        pq_adc_topk(emb)._jdf.queryExecution().executedPlan().toString()
+    )
+    # database codes join the LUT via broadcast — never a shuffle keyed on
+    # the full vector table, never a nested loop over vectors×queries
+    assert "BroadcastHashJoin" in plan
+
+
+def test_cms_finds_injected_heavy_hitter(spark):
+    rows = [(i, "filler" + str(i)) for i in range(50)] + [
+        (100 + i, "spam spam spam") for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.term: (r.cms_estimate, r.n_exact) for r in
+           cms_heavy_hitters(df, phi_denominator=10).collect()}
+    assert "spam" in out
+    est, exact = out["spam"]
+    assert exact == 90
+    assert est >= exact  # CMS never under-counts
+    # the unique filler tokens are each 1/140 of the stream — below 1/10
+    assert all(t == "spam" for t in out)
+
+
+def test_cms_estimate_upper_bounds_exact(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = cms_heavy_hitters(docs).collect()
+    assert len(out) > 0
+    assert all(r.cms_estimate >= r.n_exact for r in out)
+
+
+def test_cms_collision_inflates_estimate_only(spark):
+    """With a deliberately tiny sketch, estimates inflate but the exact
+    column stays exact and no true heavy hitter is lost (no false
+    negatives)."""
+    rows = [(i, "alpha beta gamma delta") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.term: (r.cms_estimate, r.n_exact) for r in
+           cms_heavy_hitters(df, depth=2, width=2, phi_denominator=5).collect()}
+    assert set(out) == {"alpha", "beta", "gamma", "delta"}
+    for est, exact in out.values():
+        assert exact == 20 and est >= 20
