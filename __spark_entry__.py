@@ -2784,7 +2784,7 @@ def _pq_sql_parts(m: int = 4, k: int = 8, sub: int = 16) -> dict[str, str]:
 _PQ = _pq_sql_parts()
 
 _CMS_BUCKET = (
-    "CAST(('0x' || substr(md5(CAST({j} AS VARCHAR) || ':' || {term}), 1, 8)) AS BIGINT) % 1024"
+    "CAST(('0x' || substr(md5(CAST({j} AS VARCHAR) || ':' || {term}), 1, 8)) AS BIGINT) % {width}"
 )
 
 
@@ -4745,7 +4745,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             js AS (SELECT unnest(range(0, 4)) AS j),
             cells AS (
-              SELECT j, {_CMS_BUCKET.format(j='j', term='term')} AS bucket, COUNT(*) AS c
+              SELECT j, {_CMS_BUCKET.format(j='j', term='term', width=1024)} AS bucket, COUNT(*) AS c
               FROM toks, js GROUP BY 1, 2
             ),
             tot AS (SELECT SUM(c) AS t FROM cells WHERE j = 0),
@@ -4754,7 +4754,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT t.term, MIN(c.c) AS cms_estimate
               FROM terms t, js
               JOIN cells c ON c.j = js.j
-               AND c.bucket = {_CMS_BUCKET.format(j='js.j', term='t.term')}
+               AND c.bucket = {_CMS_BUCKET.format(j='js.j', term='t.term', width=1024)}
               GROUP BY t.term
             ),
             cand AS (SELECT term, cms_estimate FROM est, tot WHERE cms_estimate * 2000 >= t),

@@ -363,6 +363,15 @@ class DataFrameAction(Action):
                 f"({self.id}) inputIdsToIgnoreFilter entries {sorted(unknown)} are "
                 f"not inputs of this action (inputs: {list(self.input_ids)})"
             )
+        # same typo-guard as above: a misspelled streaming input would fall
+        # back to a FULL batch re-read each run and silently duplicate rows
+        # under an append sink
+        unknown_stream = set(self.streaming_input_ids or []) - set(self.input_ids)
+        if unknown_stream:
+            raise ValueError(
+                f"({self.id}) streamingInputIds entries {sorted(unknown_stream)} are "
+                f"not inputs of this action (inputs: {list(self.input_ids)})"
+            )
         by_id = {sf.data_object_id: sf for sf in subfeeds}
         dfs: dict[str, DataFrame] = {}
         streaming = isinstance(self.execution_mode, SparkStreamingMode) and phase == "exec"
@@ -411,14 +420,24 @@ class DataFrameAction(Action):
                 if sf is not None and sf.df is not None:
                     schema = sf.df.schema
                 if schema is None and isinstance(in_do, CanCreateDataFrame):
-                    schema = getattr(in_do, "resolve_schema", lambda s: None)(spark) or (
+                    schema = (
                         in_do.create_read_schema(spark)
                         if hasattr(in_do, "create_read_schema")
                         else None
-                    )
+                    ) or getattr(in_do, "resolve_schema", lambda s: None)(spark)
                 if schema is None:
                     assert isinstance(in_do, CanCreateDataFrame), f"({self.id}) {in_id} needs a schema"
                     schema = in_do.get_dataframe(spark, pvs or None).schema
+                # the exec-phase stream read appends the DO's filenameColumn
+                # after the scan — the init dummy must carry it too or a
+                # transformer selecting it fails Catalyst analysis in init
+                fn_col = getattr(in_do, "filename_column", None)
+                if fn_col and fn_col not in schema.fieldNames():
+                    import pyspark.sql.types as T
+
+                    schema = T.StructType(
+                        list(schema.fields) + [T.StructField(fn_col, T.StringType())]
+                    )
                 from smart_data_lake_spark.streaming import dummy_streaming_df
 
                 df = dummy_streaming_df(spark, schema)

@@ -142,24 +142,31 @@ class DataFrameIncrementalMode(ExecutionMode):
 
     def apply(self, spark, input_do, output_do, given_partition_values, state):
         assert self.compare_col, "compare_col required"
-        hwm = None
         exists = getattr(output_do, "exists", lambda s: True)(spark)
-        if exists and isinstance(output_do, CanCreateDataFrame):
-            # a read error must propagate: silently falling back to full
-            # reprocessing would duplicate rows under APPEND save mode
-            out_df = output_do.get_dataframe(spark)
-            row = out_df.agg(F.max(self.compare_col).alias("hwm")).collect()[0]
-            hwm = row["hwm"]
+        if not (exists and isinstance(output_do, CanCreateDataFrame)):
+            # output not created yet → select all (reference case (Some, None))
+            return ExecutionModeResult()
+        # both frames exist: the reference's case order (DataFrameIncremental
+        # Mode.scala:81-98) — empty input skips even when the output is
+        # empty; equal latest values skip; null output latest → process all.
+        # A read error must propagate: silently falling back to full
+        # reprocessing would duplicate rows under APPEND save mode.
+        assert isinstance(input_do, CanCreateDataFrame)
+        in_hwm = (
+            input_do.get_dataframe(spark)
+            .agg(F.max(self.compare_col).alias("hwm"))
+            .collect()[0]["hwm"]
+        )
+        if in_hwm is None:
+            return ExecutionModeResult(no_data=True)
+        hwm = (
+            output_do.get_dataframe(spark)
+            .agg(F.max(self.compare_col).alias("hwm"))
+            .collect()[0]["hwm"]
+        )
         if hwm is None:
             return ExecutionModeResult()
-        # compare against the input's high watermark and SKIP when there is
-        # no increment (DataFrameIncrementalMode.scala:84-89: equal latest
-        # values, or an empty input, raise NoDataToProcessWarning) — one
-        # more single-column agg(max), same cost profile as the reference
-        assert isinstance(input_do, CanCreateDataFrame)
-        in_row = input_do.get_dataframe(spark).agg(F.max(self.compare_col).alias("hwm")).collect()[0]
-        in_hwm = in_row["hwm"]
-        if in_hwm is None or in_hwm == hwm:
+        if in_hwm == hwm:
             return ExecutionModeResult(no_data=True)
         # build the predicate as a Column, not SQL text — immune to quoting
         # issues with string high-watermarks; Catalyst still pushes it into

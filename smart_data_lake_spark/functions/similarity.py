@@ -587,6 +587,7 @@ def pq_encode(
     k: int = 8,
     dim: int = 64,
     decimals: int = 6,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization encoding (Jégou, Douze & Schmid 2011, "Product
     quantization for nearest neighbor search"): each vector splits into m
@@ -609,7 +610,8 @@ def pq_encode(
     """
     assert dim % m == 0, "dim must divide evenly into m subspaces"
     sub = dim // m
-    seeds = _pq_seed_subvectors(df, id_col, vec_col, m, k, sub)
+    if seeds is None:
+        seeds = _pq_seed_subvectors(df, id_col, vec_col, m, k, sub)
     with_subs = df.select(
         F.col(id_col),
         *[F.slice(F.col(vec_col), i * sub + 1, sub).alias(f"_sub_{i}") for i in range(m)],
@@ -661,7 +663,9 @@ def pq_adc_topk(
     assert dim % m == 0
     sub = dim // m
     seeds = _pq_seed_subvectors(df, id_col, vec_col, m, k, sub)
-    codes = pq_encode(df, id_col, vec_col, m=m, k=k, dim=dim, decimals=decimals)
+    # pass the seeds through — encoding must not re-derive them with a
+    # second orderBy+limit scan of the (100 TB) vector table
+    codes = pq_encode(df, id_col, vec_col, m=m, k=k, dim=dim, decimals=decimals, seeds=seeds)
     codes_long = codes.select(
         F.col(id_col).alias("neighbor_id"),
         F.explode(

@@ -321,25 +321,27 @@ class ActionDAGRun:
             )
             inputs = [self._input_subfeed(spark, action, i, exec_feeds) for i in action.input_ids]
 
-            def _skipped_outputs() -> list[SubFeed] | Exception:
-                # a skipped action still reports 'skipped' metrics and its
-                # metricsFailCondition is evaluated against them — a condition
-                # matching key='skipped' turns the skip into a FAILURE
-                # (ActionDAGTest.scala:1202 'Action skipped because of no-data
-                # fails with metricsFailCondition')
+            def _skipped(check_metrics: bool) -> list[SubFeed] | Exception:
+                # a no-data skip reports ONLY the 'skipped' metric (never
+                # stale counters from a previous run of the same Action
+                # object) and its metricsFailCondition is evaluated against
+                # it — a condition matching key='skipped' turns the skip into
+                # a FAILURE (ActionDAGTest.scala:1202). Condition-based skips
+                # (executionCondition false / input-skip propagation) do NOT
+                # evaluate metricsFailCondition, matching the reference,
+                # which fails only on NoDataToProcessWarning
+                # (Action.scala postExec skip handling).
                 for o in action.output_ids:
-                    action.runtime_metrics[o] = {
-                        **action.runtime_metrics.get(o, {}),
-                        "skipped": True,
-                    }
-                try:
-                    action.check_metrics_fail_condition()
-                except Exception as e:  # noqa: BLE001 — recorded as FAILED
-                    return e
+                    action.runtime_metrics[o] = {"skipped": True}
+                if check_metrics:
+                    try:
+                        action.check_metrics_fail_condition()
+                    except Exception as e:  # noqa: BLE001 — recorded as FAILED
+                        return e
                 return [SparkSubFeed(data_object_id=o, is_skipped=True) for o in action.output_ids]
 
             if not action.should_execute(inputs, spark):
-                return aid, _skipped_outputs()
+                return aid, _skipped(check_metrics=False)
             try:
                 t0 = time.time()
                 outputs = action.exec(spark, inputs)
@@ -349,7 +351,7 @@ class ActionDAGRun:
                     self.state.data_object_state[aid] = dict(action.execution_mode_state)
                 return aid, outputs
             except NoDataToProcessWarning:
-                return aid, _skipped_outputs()
+                return aid, _skipped(check_metrics=True)
             except Exception as e:  # noqa: BLE001 — recorded as FAILED in run state
                 return aid, e
 

