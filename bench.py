@@ -73,6 +73,22 @@ def main() -> None:
     # a failing query must never zero out the whole benchmark (round 3 lost
     # all numbers to one AnalysisException): record the error per query and
     # keep going.
+    def _release_persistent_rdds() -> None:
+        """Unpersist everything the last query pinned (persist()/
+        localCheckpoint() blocks). 133 queries × 3 runs in one JVM otherwise
+        accumulate storage-memory pressure that inflates later queries'
+        timings by 2-4× (measured: json_extract_events 6.4s in-suite vs
+        1.7s isolated before this existed) — cross-query interference, not
+        plan cost."""
+        try:
+            jsc = spark.sparkContext._jsc.sc()
+            for rdd in spark.sparkContext._jvm.scala.collection.JavaConverters.mapAsJavaMap(
+                jsc.getPersistentRDDs()
+            ).values():
+                rdd.unpersist(False)
+        except Exception:  # noqa: BLE001 — hygiene must not fail the bench
+            pass
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, fn in entry.queries().items():
@@ -83,6 +99,7 @@ def main() -> None:
                 df = fn(spark, sf_dir)
                 df.write.mode("overwrite").format("noop").save()
                 runs.append(time.time() - t0)
+                _release_persistent_rdds()
             timings[name] = round(sorted(runs)[1], 3)
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]

@@ -196,9 +196,18 @@ class DataObjectStateIncrementalMode(ExecutionMode):
 
 @dataclass
 class FileIncrementalMoveMode(ExecutionMode):
-    """Process-then-archive/delete consumed files (FileIncrementalMoveMode.scala:55)."""
+    """Process-then-archive/delete consumed files (FileIncrementalMoveMode.scala:55).
+
+    archive_path semantics follow the reference (ExecutionModeTest.scala
+    archive scenarios): a RELATIVE path resolves against the input
+    DataObject's root (files land in `<src>/archive/...`); an absolute path
+    is used as-is; with `archive_inside_partition` each file archives into
+    an `archive/` subdirectory of ITS OWN partition directory. An empty
+    source raises NoDataToProcessWarning → the action skips.
+    """
 
     archive_path: str | None = None
+    archive_inside_partition: bool = False
     _consumed_files: list[str] = field(default_factory=list)
 
     def apply(self, spark, input_do, output_do, given_partition_values, state):
@@ -207,7 +216,26 @@ class FileIncrementalMoveMode(ExecutionMode):
                 self._consumed_files = list(input_do.get_dataframe(spark).inputFiles())
             except Exception:
                 self._consumed_files = []
+        if not self._consumed_files:
+            # FileIncrementalMoveMode.scala: no files selected → no data
+            return ExecutionModeResult(no_data=True)
         return ExecutionModeResult()
+
+    def _archive_target(self, input_do, file_path: str) -> str:
+        import os
+
+        if self.archive_inside_partition:
+            # <partition-dir>/<archive_path>/<filename>
+            return os.path.join(
+                os.path.dirname(file_path), self.archive_path or "archive",
+                os.path.basename(file_path),
+            )
+        base = self.archive_path or "archive"
+        if not os.path.isabs(base):
+            root = getattr(input_do, "path", None)
+            if root:
+                base = os.path.join(root, base)
+        return os.path.join(base, os.path.basename(file_path))
 
     def post_exec(self, spark, input_do, output_do, state):
         import os
@@ -218,9 +246,10 @@ class FileIncrementalMoveMode(ExecutionMode):
             p = urlparse(uri).path
             if not os.path.exists(p):
                 continue
-            if self.archive_path:
-                os.makedirs(self.archive_path, exist_ok=True)
-                shutil.move(p, os.path.join(self.archive_path, os.path.basename(p)))
+            if self.archive_path or self.archive_inside_partition:
+                target = self._archive_target(input_do, p)
+                os.makedirs(os.path.dirname(target), exist_ok=True)
+                shutil.move(p, target)
             else:
                 os.remove(p)
         self._consumed_files = []

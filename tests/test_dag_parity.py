@@ -498,3 +498,145 @@ def test_partition_diff_second_run_skips_unpartitioned_consumer(spark, tmp_path)
 
     state2 = run()
     assert state2.action_states == {"a": "SKIPPED", "b": "SKIPPED"}
+
+
+def test_dag_cycle_detected():
+    """DAGTest.scala:190 'create dag: detect loop': a write-read cycle
+    between actions raises DAGError at construction."""
+    registry = InstanceRegistry()
+    registry.register_data_object(ParquetFileDataObject(id="x", path="/tmp/x"))
+    registry.register_data_object(ParquetFileDataObject(id="y", path="/tmp/y"))
+    a = CopyAction(id="a", input_id="x", output_id="y", registry=registry)
+    b = CopyAction(id="b", input_id="y", output_id="x", registry=registry)
+    with pytest.raises(DAGError, match="cycle"):
+        ActionDAG([a, b])
+
+
+def test_failure_does_not_cancel_independent_branch(spark, tmp_path):
+    """DAGTest.scala:161 'exception in running dag: run pending tasks if not
+    dependent': a failing action cancels only its downstream; an unconnected
+    branch still completes."""
+    from smart_data_lake_spark.expectations import CountExpectation
+
+    registry = InstanceRegistry()
+    _people_df(spark).write.parquet(str(tmp_path / "s1"))
+    _people_df(spark).write.parquet(str(tmp_path / "s2"))
+    for t in ("bad_out", "bad_next", "good_out"):
+        registry.register_data_object(ParquetFileDataObject(id=t, path=str(tmp_path / t)))
+    registry.register_data_object(ParquetFileDataObject(id="s1", path=str(tmp_path / "s1")))
+    registry.register_data_object(ParquetFileDataObject(id="s2", path=str(tmp_path / "s2")))
+    bad = CopyAction(
+        id="bad", input_id="s1", output_id="bad_out", registry=registry,
+        expectations=[CountExpectation(name="min", expectation="> 1000")],  # fails at exec
+    )
+    bad_child = CopyAction(id="bad_child", input_id="bad_out", output_id="bad_next", registry=registry)
+    good = CopyAction(id="good", input_id="s2", output_id="good_out", registry=registry)
+    with pytest.raises(DAGError):
+        ActionDAGRun(ActionDAG([bad, bad_child, good]), registry, parallelism=2).run(spark)
+    # the unconnected branch ran to completion despite the failure
+    assert spark.read.parquet(str(tmp_path / "good_out")).count() == 1
+    assert not (tmp_path / "bad_next").exists()
+
+
+def test_partition_diff_apply_condition_override(spark, tmp_path):
+    """ExecutionModeTest.scala 'positive/negative applyCondition': an
+    explicit apply_condition overrides the given-partition-values default in
+    both directions."""
+    from smart_data_lake_spark.dataobjects import MockDataObject
+
+    in_do = MockDataObject(id="in", partitions=["p"])
+    in_do._df = spark.createDataFrame([("a", 1), ("b", 2)], "p string, v int")
+    out_do = MockDataObject(id="out", partitions=["p"])
+    out_do._df = spark.createDataFrame([("a", 1)], "p string, v int")
+    given = [PartitionValues.of({"p": "a"})]
+
+    # positive applyCondition: diff IS computed even with given values;
+    # the given values narrow the input side → 'a' already loaded → no_data
+    mode_pos = PartitionDiffMode(apply_condition=lambda pvs: True)
+    assert mode_pos.apply(spark, in_do, out_do, given, {}).no_data
+
+    # negative applyCondition: mode skipped even with NO given values
+    mode_neg = PartitionDiffMode(apply_condition=lambda pvs: False)
+    res = mode_neg.apply(spark, in_do, out_do, [], {})
+    assert not res.no_data and res.input_partition_values == []
+
+    # default: given values suppress the diff and flow through
+    res_d = PartitionDiffMode().apply(spark, in_do, out_do, given, {})
+    assert res_d.input_partition_values == given and not res_d.no_data
+
+
+def test_incremental_mode_empty_source_skips(spark):
+    """ExecutionModeTest.scala 'DataFrameIncrementalMode empty source': an
+    empty input skips (no_data) when the output exists — even an EMPTY
+    output — and processes all when the output doesn't exist yet."""
+    from smart_data_lake_spark.dataobjects import MockDataObject
+
+    schema = "v int, ts timestamp"
+    empty = spark.createDataFrame([], schema)
+    in_do = MockDataObject(id="in")
+    in_do._df = empty
+    out_do = MockDataObject(id="out")
+    out_do._df = empty
+    mode = DataFrameIncrementalMode(compare_col="ts")
+    assert mode.apply(spark, in_do, out_do, [], {}).no_data
+
+    out_missing = MockDataObject(id="out2")  # exists() False without _df
+    res = mode.apply(spark, in_do, out_missing, [], {})
+    assert not res.no_data and res.filter is None
+
+
+def test_file_move_archive_relative_and_inside_partition(spark, tmp_path):
+    """ExecutionModeTest.scala FileIncrementalMoveMode archive scenarios:
+    relative archivePath resolves against the SOURCE root; with
+    archiveInsidePartition files archive inside their own partition dir; an
+    empty source skips (no data)."""
+    import os
+
+    from smart_data_lake_spark.execution_modes import FileIncrementalMoveMode
+
+    # relative path: files land under <src>/archive, partition dirs flattened
+    src = tmp_path / "srcA"
+    registry = InstanceRegistry()
+    registry.register_data_object(
+        ParquetFileDataObject(id="srcA", path=str(src), partitions=["lastname"])
+    )
+    registry.register_data_object(ParquetFileDataObject(id="dstA", path=str(tmp_path / "dstA")))
+    _people_df(spark).write.partitionBy("lastname").parquet(str(src))
+    action = CopyAction(
+        id="mvA", input_id="srcA", output_id="dstA", registry=registry,
+        execution_mode=FileIncrementalMoveMode(archive_path="archive"),
+    )
+    ActionDAGRun(ActionDAG([action]), registry).run(spark)
+    assert any(f.endswith(".parquet") for f in os.listdir(src / "archive"))
+    assert not any((src / "lastname=doe").glob("*.parquet"))
+
+    # archiveInsidePartition: files stay in <partition>/archive
+    src2 = tmp_path / "srcB"
+    registry2 = InstanceRegistry()
+    registry2.register_data_object(
+        ParquetFileDataObject(id="srcB", path=str(src2), partitions=["lastname"])
+    )
+    registry2.register_data_object(ParquetFileDataObject(id="dstB", path=str(tmp_path / "dstB")))
+    _people_df(spark).write.partitionBy("lastname").parquet(str(src2))
+    action2 = CopyAction(
+        id="mvB", input_id="srcB", output_id="dstB", registry=registry2,
+        execution_mode=FileIncrementalMoveMode(archive_path="archive", archive_inside_partition=True),
+    )
+    ActionDAGRun(ActionDAG([action2]), registry2).run(spark)
+    assert not (src2 / "archive").exists()
+    assert any((src2 / "lastname=doe" / "archive").glob("*.parquet"))
+
+    # empty source → NoData skip, not an empty write
+    src3 = tmp_path / "srcC"
+    os.makedirs(src3)
+    registry3 = InstanceRegistry()
+    registry3.register_data_object(
+        ParquetFileDataObject(id="srcC", path=str(src3), schema="lastname string, rating int")
+    )
+    registry3.register_data_object(ParquetFileDataObject(id="dstC", path=str(tmp_path / "dstC")))
+    action3 = CopyAction(
+        id="mvC", input_id="srcC", output_id="dstC", registry=registry3,
+        execution_mode=FileIncrementalMoveMode(archive_path="archive"),
+    )
+    state3 = ActionDAGRun(ActionDAG([action3]), registry3).run(spark)
+    assert state3.action_states["mvC"] == "SKIPPED"
