@@ -2449,6 +2449,19 @@ def pq_adc_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(emb).orderBy("query_id", "rank")
 
 
+def bpe_merge_candidates_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training iteration's pair-count step (functions/text
+    .bpe_merge_candidates; Sennrich et al. 2016): corpus → word-frequency
+    table (ONE map-side-combined shuffle over the raw text — the only pass
+    that ever touches the corpus) → adjacent char-pair counts weighted by
+    word freq → top-20 merge candidates. Later BPE iterations loop over the
+    vocabulary-bounded table, never the corpus."""
+    from smart_data_lake_spark.functions.text import bpe_merge_candidates
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_merge_candidates(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Registry order is the driver grading window: only the first 50
     # entries get a CORRECTNESS oracle row per round. r7 rotation (window
@@ -2603,6 +2616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitter_terms": cms_heavy_hitter_terms,
         "pq_encode_embeddings": pq_encode_embeddings,
         "pq_adc_topk_embeddings": pq_adc_topk_embeddings,
+        "bpe_merge_candidates_corpus": bpe_merge_candidates_corpus,
     }
 
 # ---- oracle SQL builders (DuckDB dialect) --------------------------------
@@ -4793,4 +4807,21 @@ def oracle_sql() -> dict[str, str]:
                                                 ORDER BY adc, neighbor_id) AS INT) AS rank
               FROM scored WHERE query_id != neighbor_id
             ) WHERE rank <= 5 ORDER BY query_id, rank""",
+        "bpe_merge_candidates_corpus": r"""
+            WITH words AS (
+              SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            vocab AS (
+              SELECT word, COUNT(*) AS freq FROM words
+              WHERE length(word) >= 2 GROUP BY word
+            ),
+            pairs AS (
+              SELECT substr(word, CAST(g.i AS INT), 2) AS pair,
+                     CAST(SUM(freq) AS BIGINT) AS n_occurrences
+              FROM vocab, LATERAL (SELECT unnest(range(1, length(word))) AS i) g
+              GROUP BY 1
+            )
+            SELECT pair, n_occurrences FROM pairs
+            ORDER BY n_occurrences DESC, pair LIMIT 20""",
     }

@@ -215,3 +215,43 @@ def with_text_stats(df: DataFrame, text_col: str = "text", stopwords: list[str] 
         "_toks", "_n_chars", "_n_punct", "_n_toks", "_tok_len_sum", "_hits_sw",
         *[f"_hits_{code}" for code in sorted(STOPWORDS)],
     )
+
+
+def bpe_merge_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 20,
+) -> DataFrame:
+    """One BPE-training iteration's pair-count step (Sennrich, Haddow &
+    Birch 2016, "Neural machine translation of rare words with subword
+    units"): word frequencies → adjacent character-pair counts weighted by
+    word frequency → ranked merge candidates.
+
+    This is the combinable-aggregate unit that dominates byte-pair-encoding
+    tokenizer training at corpus scale: the corpus collapses to a
+    vocabulary-bounded word-frequency table in one map-side-combined
+    shuffle, and every later BPE iteration works on that tiny table
+    (driver-side loop) — the 100 TB corpus is touched exactly once. Emits
+    the first iteration's candidates; integer counts, so cross-engine
+    exact.
+    """
+    from pyspark.sql import functions as F
+
+    words = (
+        df.where(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .where(F.length("word") >= 2)
+    )
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    pairs = vocab.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "pair")
+        .limit(top_n)
+    )

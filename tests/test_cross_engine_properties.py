@@ -531,3 +531,32 @@ def test_cms_engine_exact(spark, texts):
         ).fetchall()
     )
     assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet="abcx", min_size=1, max_size=6), min_size=1, max_size=8
+        ).map(" ".join),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_bpe_merge_candidates_engine_exact(spark, texts):
+    """bpe_merge_candidates' weighted pair counts and tie-stable top-k are
+    bit-identical to the graded DuckDB oracle on arbitrary corpora
+    (single-char words excluded on both sides, limit-boundary ties broken
+    by pair text)."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry
+    from smart_data_lake_spark.functions.text import bpe_merge_candidates
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = [tuple(r) for r in bpe_merge_candidates(df).collect()]
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    want = [tuple(r) for r in con.sql(entry.oracle_sql()["bpe_merge_candidates_corpus"]).fetchall()]
+    assert got == want

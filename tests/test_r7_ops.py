@@ -124,3 +124,15 @@ def test_cms_collision_inflates_estimate_only(spark):
     assert set(out) == {"alpha", "beta", "gamma", "delta"}
     for est, exact in out.values():
         assert exact == 20 and est >= 20
+
+
+def test_bpe_merge_candidates_weighted_by_word_freq(spark):
+    from smart_data_lake_spark.functions.text import bpe_merge_candidates
+
+    # vocab: 'ab' freq 3, 'abc' freq 1; single-char words ('z') contribute
+    # nothing. Pair 'ab' = 3 (from 'ab') + 1 (inside 'abc') = 4; 'bc' = 1.
+    df = spark.createDataFrame(
+        [(1, "ab ab"), (2, "ab abc"), (3, "z z z")], "doc_id long, text string"
+    )
+    out = {r.pair: r.n_occurrences for r in bpe_merge_candidates(df).collect()}
+    assert out == {"ab": 4, "bc": 1}
