@@ -59,6 +59,24 @@ def synthesize(spark, sf_dir: str, out_dir: str, factor: int) -> None:
         big_ev = big_ev.unionByName(c)
     big_ev.write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
 
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_emb = emb.count()
+    copies = []
+    for i in range(factor):
+        c = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * n_emb))
+        if i:
+            # deterministic per-copy perturbation keeps neighbor structure
+            # realistic instead of factor-times exact duplicates
+            c = c.withColumn(
+                "embedding",
+                F.transform(F.col("embedding"), lambda x: (x + F.lit(i * 1e-4)).cast("float")),
+            )
+        copies.append(c)
+    big_emb = copies[0]
+    for c in copies[1:]:
+        big_emb = big_emb.unionByName(c)
+    big_emb.write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
+
 
 def main(factor: int, only: list[str] | None = None) -> str:
     import __spark_entry__ as e
@@ -103,6 +121,11 @@ def main(factor: int, only: list[str] | None = None) -> str:
         "source_vocab_jaccard",
         "decayed_popularity_by_type",
         "lang_source_chisq",
+        # late-r7 additions (registered for the r8 window)
+        "cms_heavy_hitter_terms",
+        "pq_encode_embeddings",
+        "pq_adc_topk_embeddings",
+        "bpe_merge_candidates_corpus",
     ]
 
     def timed(name: str, sf_dir: str) -> float:
