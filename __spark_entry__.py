@@ -2462,6 +2462,26 @@ def bpe_merge_candidates_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merge_candidates(docs)
 
 
+def pagerank_terms_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the corpus token-adjacency graph (functions/graph
+    .pagerank; Page et al. 1999): 5 power-method iterations, damping 0.85,
+    run entirely in scaled 64-bit INTEGER arithmetic so the iterative
+    reduction is exact and order-independent — the full rank vector is
+    oracle-graded bit-for-bit against 5 unrolled SQL iterations. Each
+    iteration = one edge-list join + one combinable groupBy; lineage cut
+    per iteration with localCheckpoint. Top 20 terms by final rank."""
+    from smart_data_lake_spark.functions.graph import pagerank, token_transition_edges
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = token_transition_edges(_fan_out(spark, docs))
+    pr = pagerank(edges, weight_col="weight", iterations=5)
+    return (
+        pr.select(F.col("node").alias("term"), "rank_e12")
+        .orderBy(F.desc("rank_e12"), "term")
+        .limit(20)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Registry order is the driver grading window: only the first 50
     # entries get a CORRECTNESS oracle row per round. r7 rotation (window
@@ -2617,6 +2637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_encode_embeddings": pq_encode_embeddings,
         "pq_adc_topk_embeddings": pq_adc_topk_embeddings,
         "bpe_merge_candidates_corpus": bpe_merge_candidates_corpus,
+        "pagerank_terms_corpus": pagerank_terms_corpus,
     }
 
 # ---- oracle SQL builders (DuckDB dialect) --------------------------------
@@ -2816,6 +2837,52 @@ def oracle_sql() -> dict[str, str]:
         f"{d} AS d{i}" for i, d in enumerate(cell_distance_sqls("embedding", _IVF_CENTROIDS))
     )
     ivf_cell = argmin_case_sql([f"d{i}" for i in range(len(_IVF_CENTROIDS))])
+    # PageRank: 5 unrolled power-method iterations in scaled-integer
+    # arithmetic (BIGINT // division), mirroring functions/graph.pagerank
+    # exactly — per-edge floor, then sum, then integer damping mix.
+    pr_iters = []
+    prev = "it0"
+    for k in range(1, 6):
+        pr_iters.append(
+            f"""it{k} AS (
+              SELECT nodes.node,
+                     CAST((15 * 1000000000000) // (100 * nn.n)
+                        + (85 * COALESCE(s.insum, CAST(0 AS BIGINT))) // 100 AS BIGINT) AS r
+              FROM nodes CROSS JOIN nn
+              LEFT JOIN (SELECT e.dst AS node,
+                                CAST(SUM((p.r * e.wgt) // e.outw) AS BIGINT) AS insum
+                         FROM e JOIN {prev} p ON p.node = e.src
+                         GROUP BY e.dst) s USING (node)
+            )"""
+        )
+        prev = f"it{k}"
+    pagerank_oracle = r"""
+            WITH toksrc AS (
+              SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+              FROM documents
+              WHERE length(trim(lower(text))) > 0
+                AND len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 2
+            ), pairs AS (
+              SELECT w[CAST(t.i AS INT)] AS src, w[CAST(t.i + 1 AS INT)] AS dst
+              FROM toksrc, LATERAL (SELECT unnest(range(1, len(w))) AS i) t
+            ), edges0 AS (
+              SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS wgt
+              FROM pairs GROUP BY src, dst
+            ), outw AS (
+              SELECT src, CAST(SUM(wgt) AS BIGINT) AS outw FROM edges0 GROUP BY src
+            ), e AS (
+              SELECT edges0.src, edges0.dst, edges0.wgt, outw.outw
+              FROM edges0 JOIN outw ON outw.src = edges0.src
+            ), nodes AS (
+              SELECT src AS node FROM edges0 UNION SELECT dst FROM edges0
+            ), nn AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes
+            ), it0 AS (
+              SELECT node, CAST(1000000000000 // n AS BIGINT) AS r
+              FROM nodes CROSS JOIN nn
+            ), """ + ",\n            ".join(pr_iters) + f"""
+            SELECT node AS term, r AS rank_e12 FROM {prev}
+            ORDER BY rank_e12 DESC, term LIMIT 20"""
     return {
         "winnow_fingerprints_docs": r"""
             WITH toksrc AS (
@@ -4824,4 +4891,5 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT pair, n_occurrences FROM pairs
             ORDER BY n_occurrences DESC, pair LIMIT 20""",
+        "pagerank_terms_corpus": pagerank_oracle,
     }

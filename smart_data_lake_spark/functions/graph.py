@@ -1,0 +1,120 @@
+"""Distributed graph algorithms over edge-list DataFrames.
+
+PageRank (Page, Brin, Motwani & Winograd 1999, "The PageRank Citation
+Ranking") as a fixed-iteration power method expressed with plain DataFrame
+joins + aggregates — the classic Pregel-free Spark formulation: each
+iteration is one join of the rank vector against the edge list, one
+map-side-combinable groupBy on the destination, and one left join back to
+the node set. No RDDs, no driver-side adjacency, no Python in the loop.
+
+Determinism across engines is the interesting part: a float power method
+accumulates rank in SUM(double), whose value depends on reduction order —
+exactly the cross-engine hash-mismatch class this repo eliminated
+elsewhere with exact DECIMAL folds. Here we go one step further and run
+the whole iteration in scaled 64-bit INTEGER arithmetic: ranks are stored
+as ``rank * 10^SCALE_DIGITS``, per-edge contributions use integral
+division (``div``), and the damping mix is an integer multiply-divide.
+Every operation is exact and order-independent, so Spark and any other
+engine that runs the same recurrence produce bit-identical outputs — the
+iterative-algorithm analog of the exact-decimal discipline used by
+kmeans_assign_stats / rolling-z.
+
+Dangling mass (nodes with no out-edges) is dropped rather than
+redistributed — the standard simplification; noted so oracle SQL matches.
+
+Scale shape: the rank vector and node list are O(V); each iteration
+shuffles the edge list once on src (join) and once on dst (groupBy) — the
+same two exchanges any distributed PageRank must pay. ``localCheckpoint``
+after each iteration cuts the growing lineage so the driver does not
+re-plan a 5-iteration-deep DAG per action at 100 TB. Reference framework
+surface: custom iterative transformers run through
+CustomDataFrameAction (sdl-core
+workflow/action/CustomDataFrameAction.scala:40); the algorithm itself is
+from the public paper.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE_DIGITS = 12
+SCALE = 10**SCALE_DIGITS
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    iterations: int = 5,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Weighted PageRank over a directed edge list; returns
+    ``(node, rank_e12)`` with rank scaled by 10^12 as a BIGINT.
+
+    ``damping_pct`` is the damping factor in percent (85 = the canonical
+    0.85) so the damping mix stays in integer arithmetic.
+    """
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    e = edges.select(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"), w.cast("long").alias("_w")
+    )
+    # collapse parallel edges once so the per-iteration join is minimal
+    e = e.groupBy("_src", "_dst").agg(F.sum("_w").alias("_w"))
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .unionByName(e.select(F.col("_dst").alias("node")))
+        .distinct()
+    )
+    out_w = e.groupBy("_src").agg(F.sum("_w").alias("_outw"))
+    # per-edge transition numerators stay as (w, outw) pairs; the division
+    # happens against the current rank each iteration: (r * w) div outw
+    e = e.join(out_w, "_src").localCheckpoint(eager=False)
+    nodes = nodes.localCheckpoint(eager=False)
+
+    n_nodes = nodes.count()
+    base = (100 - damping_pct) * SCALE // (100 * n_nodes)
+    init = SCALE // n_nodes
+    ranks = nodes.select("node", F.lit(init).cast("long").alias("rank_e12"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "_src"), "_src")
+            .select(
+                F.col("_dst").alias("node"),
+                F.expr(f"(rank_e12 * _w) div _outw").alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_insum"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(base).cast("long")
+                + F.expr(f"({damping_pct} * coalesce(_insum, 0L)) div 100")
+            ).alias("rank_e12"),
+        )
+        # cut lineage so iteration k+1 does not re-plan k joins deep
+        ranks = ranks.localCheckpoint(eager=False)
+    return ranks
+
+
+def token_transition_edges(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Directed token-adjacency edge list of a corpus: one edge per
+    occurrence of consecutive tokens (u, v), weight = occurrence count.
+    One narrow explode (pairs stay on their document's partition) + one
+    combinable count shuffle."""
+    from .text import tokens
+
+    toks = tokens(F.col(text_col))
+    pairs = docs.select(
+        F.explode(
+            F.when(F.size(toks) >= 2, F.arrays_zip(
+                F.slice(toks, 1, F.size(toks) - 1).alias("src"),
+                F.slice(toks, 2, F.size(toks) - 1).alias("dst"),
+            )).otherwise(F.array().cast("array<struct<src:string,dst:string>>"))
+        ).alias("p")
+    ).select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
+    return pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("weight"))

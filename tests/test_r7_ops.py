@@ -136,3 +136,67 @@ def test_bpe_merge_candidates_weighted_by_word_freq(spark):
     )
     out = {r.pair: r.n_occurrences for r in bpe_merge_candidates(df).collect()}
     assert out == {"ab": 4, "bc": 1}
+
+
+# --- PageRank (functions/graph) ---------------------------------------------
+
+def _pr_edges(spark, rows):
+    return spark.createDataFrame(rows, "src string, dst string, weight long")
+
+
+def test_pagerank_symmetric_cycle_uniform(spark):
+    from smart_data_lake_spark.functions.graph import SCALE, pagerank
+
+    # a 4-cycle: symmetry forces the uniform distribution at every iteration
+    edges = _pr_edges(
+        spark, [("a", "b", 1), ("b", "c", 1), ("c", "d", 1), ("d", "a", 1)]
+    )
+    out = {r.node: r.rank_e12 for r in pagerank(edges, weight_col="weight").collect()}
+    assert set(out) == {"a", "b", "c", "d"}
+    assert len(set(out.values())) == 1
+    assert abs(out["a"] - SCALE // 4) <= 4  # integer-floor drift only
+
+
+def test_pagerank_sink_accumulates_more_than_source(spark):
+    from smart_data_lake_spark.functions.graph import pagerank
+
+    # star into a hub: the hub must outrank every leaf
+    edges = _pr_edges(
+        spark, [("u1", "hub", 1), ("u2", "hub", 1), ("u3", "hub", 1), ("hub", "u1", 1)]
+    )
+    out = {r.node: r.rank_e12 for r in pagerank(edges, weight_col="weight").collect()}
+    assert out["hub"] > max(out["u1"], out["u2"], out["u3"])
+
+
+def test_pagerank_weight_shifts_mass(spark):
+    from smart_data_lake_spark.functions.graph import pagerank
+
+    # b gets 3x the edge weight of c from the same source -> higher rank
+    edges = _pr_edges(spark, [("a", "b", 3), ("a", "c", 1), ("b", "a", 1), ("c", "a", 1)])
+    out = {r.node: r.rank_e12 for r in pagerank(edges, weight_col="weight").collect()}
+    assert out["b"] > out["c"]
+
+
+def test_pagerank_mass_conserved_within_floor_drift(spark):
+    from smart_data_lake_spark.functions.graph import SCALE, pagerank
+
+    edges = _pr_edges(
+        spark,
+        [("a", "b", 2), ("b", "c", 1), ("c", "a", 5), ("c", "b", 1), ("b", "a", 3)],
+    )
+    pr = pagerank(edges, weight_col="weight", iterations=5)
+    total = pr.agg(F.sum("rank_e12")).collect()[0][0]
+    # no dangling nodes here: mass loss is only integer-floor drift,
+    # bounded by ~(edges + nodes) per iteration
+    assert SCALE * 0.999 < total <= SCALE
+
+
+def test_token_transition_edges_counts_occurrences(spark):
+    from smart_data_lake_spark.functions.graph import token_transition_edges
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, ""), (4, "solo")], "doc_id long, text string"
+    )
+    out = {(r.src, r.dst): r.weight for r in token_transition_edges(docs).collect()}
+    # "a b a b" -> (a,b) x2 + (b,a) x1 ; "a b" -> (a,b) ; empty + 1-token docs drop
+    assert out == {("a", "b"): 3, ("b", "a"): 1}
