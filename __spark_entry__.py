@@ -2482,6 +2482,34 @@ def pagerank_terms_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bloom_semi_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit runtime-filter pruning (functions/runtime_filters
+    .bloom_semi_join; Bloom 1970, Spark InjectRuntimeFilter made
+    deterministic): revenue of lineitems belonging to URGENT orders. The
+    build side's keys fold into a 2^16-bit / k=2 xxhash64 Bloom bitmap via
+    a map-side-combinable bit_or groupBy (driver sees m/64 = 1024 words,
+    never the keys); the probe scan is pre-pruned by a pure-Catalyst
+    membership test before the exact left_semi join removes false
+    positives — result identical to the plain semi join the oracle runs,
+    with ~80% of probe rows dropped before the shuffle."""
+    from smart_data_lake_spark.functions.runtime_filters import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    kept = bloom_semi_join(li, urgent, "l_orderkey")
+    return (
+        kept.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_revenue()).cast("double").alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Registry order is the driver grading window: only the first 50
     # entries get a CORRECTNESS oracle row per round. r7 rotation (window
@@ -2638,6 +2666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc_topk_embeddings": pq_adc_topk_embeddings,
         "bpe_merge_candidates_corpus": bpe_merge_candidates_corpus,
         "pagerank_terms_corpus": pagerank_terms_corpus,
+        "bloom_semi_revenue": bloom_semi_revenue,
     }
 
 # ---- oracle SQL builders (DuckDB dialect) --------------------------------
@@ -4892,4 +4921,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT pair, n_occurrences FROM pairs
             ORDER BY n_occurrences DESC, pair LIMIT 20""",
         "pagerank_terms_corpus": pagerank_oracle,
+        "bloom_semi_revenue": f"""
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(SUM({rev}) AS DOUBLE) AS revenue
+            FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                 WHERE o_orderpriority = '1-URGENT')
+            GROUP BY l_returnflag ORDER BY l_returnflag""",
     }

@@ -1,0 +1,121 @@
+"""Explicit runtime-filter (Bloom) pruning for selective joins.
+
+Spark's own runtime bloom filters (`spark.sql.optimizer.runtime.bloomFilter
+.enabled`, injected by `InjectRuntimeFilter`) fire only when the optimizer's
+heuristics line up (selective build side, shuffle on both sides, size
+thresholds). These helpers make the pattern explicit and deterministic so a
+pipeline can GUARANTEE the probe-side scan is pre-pruned before the shuffle:
+
+1. `bloom_build` — one distributed pass over the build side's keys:
+   k positions per key via seeded xxhash64, positions folded into 64-bit
+   words with a map-side-combinable `bit_or` groupBy, and only the
+   m/64-word bitmap (a few KiB, independent of build-side row count)
+   ever reaches the driver.
+2. `bloom_filter_probe` — a pure-Catalyst membership test (element_at +
+   shiftleft + bitwise AND on the broadcast word array; no Python, no UDF)
+   that drops most non-matching probe rows at scan time.
+3. `bloom_semi_join` — the safe composition: bloom prefilter, then an
+   exact `left_semi` join. Bloom false positives are eliminated by the
+   exact join, so the result is IDENTICAL to a plain semi join — the bloom
+   only reduces the rows entering the shuffle (the entire point at 100 TB,
+   where the probe side is the 100 TB table and the build side is a
+   filtered dimension).
+
+False-positive rate: (1 - e^(-k*n/m))^k; the default m=2^16 bits / k=2
+gives ~0.2% at n=1500 keys. Size m for the deployment's build-side
+cardinality (m ≈ 10n bits for ~1% at k=2).
+
+Reference parity: the reference delegates physical join strategy to its
+engines; this is the Spark-idiomatic equivalent of its pushdown-oriented
+reads (sdl-core CustomDfCreatorConfig / filter pushdown surface). Public
+technique (Bloom 1970; Spark's InjectRuntimeFilter).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_M_BITS = 1 << 16
+DEFAULT_SEEDS = (1, 2)
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = DEFAULT_M_BITS,
+    seeds: tuple[int, ...] = DEFAULT_SEEDS,
+) -> list[int]:
+    """Distributed Bloom-filter build: returns the dense m_bits/64-long
+    word list. Only m/64 aggregated rows are collected — driver traffic is
+    O(m), never O(build rows)."""
+    positions = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(key_col), F.lit(s)), F.lit(m_bits)).alias(f"p{s}")
+                    for s in seeds
+                ]
+            )
+        ).alias("pos")
+    )
+    words = (
+        positions.select(
+            (F.col("pos") / 64).cast("long").alias("w"),
+            F.expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))").alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+        .collect()
+    )
+    dense = [0] * (m_bits // 64)
+    for r in words:
+        dense[r.w] = r.bits
+    return dense
+
+
+def bloom_might_contain_sql(
+    key_expr: str, m_bits: int = DEFAULT_M_BITS, seeds: tuple[int, ...] = DEFAULT_SEEDS
+) -> str:
+    """SQL predicate testing `key_expr` against a bound `_bloom` array
+    column — pure Catalyst (element_at + shiftleft + bitwise AND), stays in
+    whole-stage codegen."""
+    conds = []
+    for s in seeds:
+        pos = f"pmod(xxhash64({key_expr}, {s}), {m_bits})"
+        word = f"element_at(_bloom, cast({pos} div 64 as int) + 1)"
+        bit = f"shiftleft(cast(1 as bigint), cast({pos} % 64 as int))"
+        conds.append(f"(({word} & {bit}) != 0)")
+    return " AND ".join(conds)
+
+
+def bloom_filter_probe(
+    probe: DataFrame,
+    key_col: str,
+    words: list[int],
+    m_bits: int = DEFAULT_M_BITS,
+    seeds: tuple[int, ...] = DEFAULT_SEEDS,
+) -> DataFrame:
+    """Keep probe rows whose key *might* be in the filter (plus all rows
+    with NULL keys removed — a NULL key cannot match a semi join anyway)."""
+    arr = F.array(*[F.lit(int(w)) for w in words])
+    bound = probe.withColumn("_bloom", arr)
+    kept = bound.where(F.expr(bloom_might_contain_sql(key_col, m_bits, seeds)))
+    return kept.drop("_bloom")
+
+
+def bloom_semi_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key_col: str,
+    m_bits: int = DEFAULT_M_BITS,
+    seeds: tuple[int, ...] = DEFAULT_SEEDS,
+) -> DataFrame:
+    """Exact semi join with an explicit Bloom prefilter on the probe side.
+
+    Result is identical to ``probe.join(build, key, "left_semi")`` — the
+    exact join removes bloom false positives; the bloom removes most
+    true negatives before the shuffle."""
+    words = bloom_build(build, key_col, m_bits, seeds)
+    pruned = bloom_filter_probe(probe, key_col, words, m_bits, seeds)
+    return pruned.join(build.select(key_col).distinct(), key_col, "left_semi")

@@ -200,3 +200,66 @@ def test_token_transition_edges_counts_occurrences(spark):
     out = {(r.src, r.dst): r.weight for r in token_transition_edges(docs).collect()}
     # "a b a b" -> (a,b) x2 + (b,a) x1 ; "a b" -> (a,b) ; empty + 1-token docs drop
     assert out == {("a", "b"): 3, ("b", "a"): 1}
+
+
+# --- Bloom runtime filter (functions/runtime_filters) -----------------------
+
+def test_bloom_no_false_negatives(spark):
+    from smart_data_lake_spark.functions.runtime_filters import (
+        bloom_build,
+        bloom_filter_probe,
+    )
+
+    build = spark.range(0, 500).withColumnRenamed("id", "k")
+    words = bloom_build(build, "k")
+    kept = bloom_filter_probe(build, "k", words)
+    # every build key must pass its own filter (Bloom never under-approximates)
+    assert kept.count() == 500
+
+
+def test_bloom_semi_join_equals_plain_semi_join(spark, sf_dir):
+    from smart_data_lake_spark.functions.runtime_filters import bloom_semi_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    got = bloom_semi_join(li, urgent, "l_orderkey")
+    want = li.join(urgent, "l_orderkey", "left_semi")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_bloom_prunes_most_true_negatives(spark):
+    from smart_data_lake_spark.functions.runtime_filters import (
+        bloom_build,
+        bloom_filter_probe,
+    )
+
+    build = spark.range(0, 1000).withColumnRenamed("id", "k")
+    probe = spark.range(1000, 101000).withColumnRenamed("id", "k")  # disjoint
+    words = bloom_build(build, "k")
+    survivors = bloom_filter_probe(probe, "k", words).count()
+    # m=2^16, k=2, n=1000 -> theoretical fp ~ 0.09%; allow 10x headroom
+    assert survivors < 1000
+
+
+def test_bloom_build_driver_traffic_is_bitmap_sized(spark):
+    from smart_data_lake_spark.functions.runtime_filters import bloom_build
+
+    words = bloom_build(spark.range(0, 10_000).withColumnRenamed("id", "k"), "k")
+    assert len(words) == (1 << 16) // 64  # O(m), independent of build rows
+
+
+def test_bloom_membership_test_stays_in_catalyst(spark):
+    from smart_data_lake_spark.functions.runtime_filters import (
+        bloom_build,
+        bloom_filter_probe,
+    )
+
+    build = spark.range(0, 100).withColumnRenamed("id", "k")
+    plan = bloom_filter_probe(
+        spark.range(0, 1000).withColumnRenamed("id", "k"), "k", bloom_build(build, "k")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan and "BatchEvalPython" not in plan
