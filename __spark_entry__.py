@@ -2510,6 +2510,22 @@ def bloom_semi_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fuzzy_name_pairs_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity resolution over part names (functions/linkage
+    .blocked_name_pairs; Fellegi-Sunter blocking, public technique): the
+    2000-row table collapses to its 64-name dictionary first
+    (dedup-before-match — at 100 TB the dictionary is orders of magnitude
+    smaller than the fact table), candidate pairs come from an equi-join
+    on the last name token (never all-pairs), and the JVM levenshtein
+    predicate runs on blocked candidates only."""
+    from smart_data_lake_spark.functions.linkage import blocked_name_pairs
+
+    parts = _t(spark, sf_dir, "part")
+    return blocked_name_pairs(parts, "p_name", max_dist=3).orderBy(
+        "block", "name_a", "name_b"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Registry order is the driver grading window: only the first 50
     # entries get a CORRECTNESS oracle row per round. r7 rotation (window
@@ -2667,6 +2683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merge_candidates_corpus": bpe_merge_candidates_corpus,
         "pagerank_terms_corpus": pagerank_terms_corpus,
         "bloom_semi_revenue": bloom_semi_revenue,
+        "fuzzy_name_pairs_parts": fuzzy_name_pairs_parts,
     }
 
 # ---- oracle SQL builders (DuckDB dialect) --------------------------------
@@ -4929,4 +4946,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                                  WHERE o_orderpriority = '1-URGENT')
             GROUP BY l_returnflag ORDER BY l_returnflag""",
+        "fuzzy_name_pairs_parts": """
+            WITH n AS (
+              SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL
+            ), b AS (
+              SELECT name, split_part(name, ' ', -1) AS block FROM n
+            )
+            SELECT a.block, a.name AS name_a, c.name AS name_b,
+                   CAST(levenshtein(a.name, c.name) AS INT) AS dist
+            FROM b a JOIN b c ON a.block = c.block AND a.name < c.name
+            WHERE levenshtein(a.name, c.name) <= 3
+            ORDER BY a.block, name_a, name_b""",
     }

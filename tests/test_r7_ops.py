@@ -263,3 +263,46 @@ def test_bloom_membership_test_stays_in_catalyst(spark):
         spark.range(0, 1000).withColumnRenamed("id", "k"), "k", bloom_build(build, "k")
     )._jdf.queryExecution().executedPlan().toString()
     assert "xxhash64" in plan and "BatchEvalPython" not in plan
+
+
+# --- Blocked fuzzy entity resolution (functions/linkage) --------------------
+
+def test_blocked_name_pairs_blocks_and_threshold(spark):
+    from smart_data_lake_spark.functions.linkage import blocked_name_pairs
+
+    df = spark.createDataFrame(
+        [(1, "red gear"), (2, "hot gear"), (3, "red bolt"), (4, "red gear"), (5, None)],
+        "id long, name string",
+    )
+    got = {(r.name_a, r.name_b, r.dist) for r in blocked_name_pairs(df, "name").collect()}
+    # gear-block pair matches at dist 3; bolt is alone in its block;
+    # cross-block (red gear, red bolt) must NOT be compared despite dist 3
+    assert got == {("hot gear", "red gear", 3)}
+
+
+def test_blocked_name_pairs_never_cross_joins(spark):
+    from smart_data_lake_spark.functions.linkage import blocked_name_pairs
+
+    df = spark.createDataFrame([(1, "a x"), (2, "b y")], "id long, name string")
+    plan = blocked_name_pairs(df, "name")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_blocked_entity_matches_expands_ids(spark):
+    from smart_data_lake_spark.functions.linkage import blocked_entity_matches
+
+    df = spark.createDataFrame(
+        [(1, "red gear"), (2, "hot gear"), (3, "red gear"), (4, "blue bolt")],
+        "id long, name string",
+    )
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in blocked_entity_matches(df, "id", "name").collect()
+    }
+    # exact-dup pair (1,3) at dist 0, fuzzy pairs across the two names:
+    # hot gear rows x red gear rows = (2,1) and (2,3) as (a=hot, b=red)
+    assert (1, 3, 0) in got
+    fuzzy = {(a, b) for a, b, d in got if d == 3}
+    assert fuzzy == {(2, 1), (2, 3)}
+    assert all(d in (0, 3) for _, _, d in got)
+    assert len(got) == 3
