@@ -2526,6 +2526,22 @@ def fuzzy_name_pairs_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling, 3 docs per source with probability
+    increasing in n_chars (functions/sampling.weighted_fixed_k_per_group;
+    Efraimidis-Spirtakis 2006 A-ES keys): ln(u)/w ranking with exact
+    dyadic md5-derived u and a rounded key so the selection is
+    reproducible across engines — the length-weighted eval-slice builder
+    (token-weighted sampling favors long documents the way
+    training-token exposure does)."""
+    from smart_data_lake_spark.functions.sampling import weighted_fixed_k_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_fixed_k_per_group(
+        docs, "doc_id", "source", "n_chars", k=3
+    ).select("doc_id", "source", "n_chars", "sample_rank").orderBy("source", "sample_rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Registry order is the driver grading window: only the first 50
     # entries get a CORRECTNESS oracle row per round. r7 rotation (window
@@ -2684,6 +2700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_terms_corpus": pagerank_terms_corpus,
         "bloom_semi_revenue": bloom_semi_revenue,
         "fuzzy_name_pairs_parts": fuzzy_name_pairs_parts,
+        "weighted_sample_docs": weighted_sample_docs,
     }
 
 # ---- oracle SQL builders (DuckDB dialect) --------------------------------
@@ -4957,4 +4974,19 @@ def oracle_sql() -> dict[str, str]:
             FROM b a JOIN b c ON a.block = c.block AND a.name < c.name
             WHERE levenshtein(a.name, c.name) <= 3
             ORDER BY a.block, name_a, name_b""",
+        "weighted_sample_docs": """
+            WITH s AS (
+              SELECT doc_id, source, n_chars,
+                     round(ln((CAST(('0x' || substr(md5('aes:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+                              / 4294967296.0)
+                           / CAST(n_chars AS DOUBLE), 6) AS aes_key
+              FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+            ), r AS (
+              SELECT doc_id, source, n_chars,
+                     CAST(row_number() OVER (PARTITION BY source
+                                             ORDER BY aes_key DESC, doc_id) AS INT) AS sample_rank
+              FROM s
+            )
+            SELECT doc_id, source, n_chars, sample_rank FROM r
+            WHERE sample_rank <= 3 ORDER BY source, sample_rank""",
     }

@@ -74,6 +74,8 @@ def pagerank(
     nodes = nodes.localCheckpoint(eager=False)
 
     n_nodes = nodes.count()
+    if n_nodes == 0:  # empty graph: empty rank vector, not a div-by-zero
+        return nodes.select("node", F.lit(0).cast("long").alias("rank_e12"))
     base = (100 - damping_pct) * SCALE // (100 * n_nodes)
     init = SCALE // n_nodes
     ranks = nodes.select("node", F.lit(init).cast("long").alias("rank_e12"))

@@ -350,3 +350,46 @@ def global_fixed_n_sample(
         .limit(n)
         .drop("_h")
     )
+
+
+def weighted_fixed_k_per_group(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    weight_col: str,
+    k: int,
+    decimals: int = 6,
+) -> DataFrame:
+    """Deterministic weighted sample of k rows per group with inclusion
+    probability increasing in ``weight_col`` — the A-ES key method
+    (Efraimidis & Spirtakis 2006, "Weighted random sampling with a
+    reservoir", public): each row gets key ln(u)/w for a uniform u and
+    the k LARGEST keys per group win (equivalent to the paper's u^(1/w)
+    ranking; heavier rows draw keys closer to 0).
+
+    Determinism discipline: u is an exact dyadic rational derived from
+    md5(key) — (h + 0.5) / 2^32, never 0 so ln is finite — and the ln/w
+    key is ROUNDED to ``decimals`` in every engine before ranking, with
+    the row key as tie-break, so a last-ulp ln() difference between libm
+    and the JVM cannot flip the selection (the rolling-z lesson applied
+    pre-emptively). Zero/negative/NULL weights are excluded: they have no
+    sampling mass.
+
+    Shape: stateless per-row key + one per-group window (sort bounded by
+    group size) — same scale posture as `fixed_k_per_group`, including
+    its pre-filter-then-window guidance at 100 TB."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("aes:"), F.col(key_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    s = F.round(F.log(u) / F.col(weight_col).cast("double"), decimals)
+    w = Window.partitionBy(group_col).orderBy(F.desc("aes_key"), F.col(key_col))
+    return (
+        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("aes_key", s)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
+        .drop("aes_key")
+    )

@@ -560,3 +560,67 @@ def test_bpe_merge_candidates_engine_exact(spark, texts):
     con.register("documents", pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
     want = [tuple(r) for r in con.sql(entry.oracle_sql()["bpe_merge_candidates_corpus"]).fetchall()]
     assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_token_docs)
+def test_pagerank_engine_exact(spark, docs_tokens):
+    import duckdb
+
+    import __spark_entry__ as entry
+    from smart_data_lake_spark.functions.graph import pagerank, token_transition_edges
+
+    edges = token_transition_edges(_text_docs_spark(spark, docs_tokens))
+    pr = pagerank(edges, weight_col="weight", iterations=5)
+    got = sorted(
+        (r["node"], r["rank_e12"])
+        for r in pr.orderBy(pr.rank_e12.desc(), "node").limit(20).collect()
+    )
+    con = duckdb.connect()
+    _register_text_docs(con, docs_tokens)
+    want = sorted(
+        tuple(r) for r in con.sql(entry.oracle_sql()["pagerank_terms_corpus"]).fetchall()
+    )
+    # exact: the whole power method runs in scaled-integer arithmetic
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["s1", "s2", "s3"]), st.integers(1, 100000)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_weighted_sample_engine_exact(spark, rows):
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry
+    from smart_data_lake_spark.functions.sampling import weighted_fixed_k_per_group
+
+    sdf = spark.createDataFrame(
+        [(i, s, n) for i, (s, n) in enumerate(rows)],
+        "doc_id long, source string, n_chars long",
+    )
+    got = sorted(
+        (r["doc_id"], r["source"], r["n_chars"], r["sample_rank"])
+        for r in weighted_fixed_k_per_group(sdf, "doc_id", "source", "n_chars", k=3)
+        .select("doc_id", "source", "n_chars", "sample_rank")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            {
+                "doc_id": range(len(rows)),
+                "source": [s for s, _ in rows],
+                "n_chars": [n for _, n in rows],
+            }
+        ),
+    )
+    want = sorted(tuple(r) for r in con.sql(entry.oracle_sql()["weighted_sample_docs"]).fetchall())
+    # exact: dyadic u + rounded ln(u)/w key + doc_id tie-break
+    assert got == want
