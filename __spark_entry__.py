@@ -2542,6 +2542,18 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "n_chars", "sample_rank").orderBy("source", "sample_rank")
 
 
+def benford_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals vs Benford's
+    law (functions/profiling.benford_first_digit; Newcomb 1881/Benford
+    1938): the fabricated-amounts data-quality screen. Integer-cents digit
+    extraction (no log10 on data) + shared-literal expected fractions keep
+    it engine-exact; one 9-key map-side-combined groupBy — scan-bound."""
+    from smart_data_lake_spark.functions.profiling import benford_first_digit
+
+    orders = _t(spark, sf_dir, "orders")
+    return benford_first_digit(orders, "o_totalprice").orderBy("digit")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Registry order is the driver grading window: only the first 50
     # entries get a CORRECTNESS oracle row per round. r7 rotation (window
@@ -2701,6 +2713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semi_revenue": bloom_semi_revenue,
         "fuzzy_name_pairs_parts": fuzzy_name_pairs_parts,
         "weighted_sample_docs": weighted_sample_docs,
+        "benford_order_totals": benford_order_totals,
     }
 
 # ---- oracle SQL builders (DuckDB dialect) --------------------------------
@@ -2919,6 +2932,11 @@ def oracle_sql() -> dict[str, str]:
             )"""
         )
         prev = f"it{k}"
+    from smart_data_lake_spark.functions.profiling import BENFORD_P
+
+    benford_vals = ", ".join(
+        f"({d}, CAST({BENFORD_P[d]!r} AS DOUBLE))" for d in range(1, 10)
+    )
     pagerank_oracle = r"""
             WITH toksrc AS (
               SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
@@ -4989,4 +5007,19 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, source, n_chars, sample_rank FROM r
             WHERE sample_rank <= 3 ORDER BY source, sample_rank""",
+        "benford_order_totals": f"""
+            WITH obs AS (
+              SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+                     CAST(COUNT(*) AS BIGINT) AS n_obs
+              FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+              GROUP BY 1
+            ), tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS t FROM obs),
+            expect(digit, benford_frac) AS (VALUES {benford_vals})
+            SELECT e.digit,
+                   CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs,
+                   round(COALESCE(o.n_obs, 0) / CAST(tot.t AS DOUBLE), 6) AS obs_frac,
+                   round(e.benford_frac, 6) AS benford_frac,
+                   round(abs(COALESCE(o.n_obs, 0) / CAST(tot.t AS DOUBLE) - e.benford_frac), 6) AS abs_dev
+            FROM expect e LEFT JOIN obs o ON o.digit = e.digit CROSS JOIN tot
+            ORDER BY e.digit""",
     }

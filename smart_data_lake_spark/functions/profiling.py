@@ -561,3 +561,59 @@ def cms_heavy_hitters(
     return exact.where(F.col("n_exact") * phi_denominator >= F.col("t")).select(
         "term", "cms_estimate", "n_exact"
     )
+
+
+# Benford probabilities log10(1 + 1/d) as shared Python-side literals: both
+# engines consume the SAME double constants, so no cross-engine log() call
+# can diverge (math.log10 evaluated once, here)
+BENFORD_P = {d: __import__("math").log10(1 + 1 / d) for d in range(1, 10)}
+
+
+def benford_first_digit(
+    df: DataFrame,
+    value_col: str,
+    cents: bool = True,
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law (Newcomb 1881
+    / Benford 1938, public): the classic fabricated-amounts /
+    data-quality screen for financial columns.
+
+    Exactness: values become integer cents first (round-half-up on the
+    identical input double in every engine), the leading digit comes from
+    the integer's decimal string — no log10 on data, no float digit
+    extraction. Expected fractions are shared Python literals (BENFORD_P),
+    so deviation arithmetic is identical-literal IEEE in both engines.
+
+    Shape: one map-side-combined groupBy on a 9-value key + a 9-row
+    broadcast join with the expectation table; scan-bound at any scale.
+
+    Output: (digit, n_obs, obs_frac, benford_frac, abs_dev), digits with
+    zero observations included.
+    """
+    scale = F.lit(100) if cents else F.lit(1)
+    v = F.round(F.col(value_col).cast("double") * scale).cast("long")
+    obs = (
+        df.where(F.col(value_col).isNotNull() & (F.col(value_col) > 0))
+        .select(F.substring(v.cast("string"), 1, 1).cast("int").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    spark = df.sparkSession
+    expect = spark.createDataFrame(
+        [(d, BENFORD_P[d]) for d in range(1, 10)], "digit int, benford_frac double"
+    )
+    total = obs.agg(F.sum("n_obs").alias("_tot"))
+    return (
+        expect.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.coalesce(F.col("n_obs"), F.lit(0)).alias("n_obs"),
+            F.round(F.coalesce(F.col("n_obs"), F.lit(0)) / F.col("_tot"), 6).alias("obs_frac"),
+            F.round(F.col("benford_frac"), 6).alias("benford_frac"),
+            F.round(
+                F.abs(F.coalesce(F.col("n_obs"), F.lit(0)) / F.col("_tot") - F.col("benford_frac")),
+                6,
+            ).alias("abs_dev"),
+        )
+    )

@@ -624,3 +624,27 @@ def test_weighted_sample_engine_exact(spark, rows):
     want = sorted(tuple(r) for r in con.sql(entry.oracle_sql()["weighted_sample_docs"]).fetchall())
     # exact: dyadic u + rounded ln(u)/w key + doc_id tie-break
     assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.floats(min_value=0.01, max_value=1e6, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_benford_engine_exact(spark, amounts):
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry
+    from smart_data_lake_spark.functions.profiling import benford_first_digit
+
+    sdf = spark.createDataFrame([(float(a),) for a in amounts], "o_totalprice double")
+    got = sorted(tuple(r) for r in benford_first_digit(sdf, "o_totalprice").collect())
+    con = duckdb.connect()
+    con.register("orders", pd.DataFrame({"o_totalprice": [float(a) for a in amounts]}))
+    want = sorted(tuple(r) for r in con.sql(entry.oracle_sql()["benford_order_totals"]).fetchall())
+    # exact: integer-cents digit extraction + shared-literal expectations
+    assert got == want

@@ -306,3 +306,36 @@ def test_blocked_entity_matches_expands_ids(spark):
     assert fuzzy == {(2, 1), (2, 3)}
     assert all(d in (0, 3) for _, _, d in got)
     assert len(got) == 3
+
+
+# --- Benford first-digit screen (functions/profiling) -----------------------
+
+def test_benford_uniform_digits_and_exclusions(spark):
+    from smart_data_lake_spark.functions.profiling import benford_first_digit
+
+    # 9 rows, one per leading digit (values in dollars -> cents digits same),
+    # plus null/zero/negative rows that must be excluded
+    rows = [(float(d * 111),) for d in range(1, 10)] + [(None,), (0.0,), (-5.0,)]
+    df = spark.createDataFrame(rows, "amount double")
+    out = {r.digit: r for r in benford_first_digit(df, "amount").collect()}
+    assert set(out) == set(range(1, 10))
+    for d in range(1, 10):
+        assert out[d].n_obs == 1
+        assert abs(out[d].obs_frac - round(1 / 9, 6)) < 1e-9
+
+
+def test_benford_missing_digit_rows_present_with_zero(spark):
+    from smart_data_lake_spark.functions.profiling import benford_first_digit
+
+    df = spark.createDataFrame([(123.0,), (145.0,)], "amount double")
+    out = {r.digit: r.n_obs for r in benford_first_digit(df, "amount").collect()}
+    assert out[1] == 2 and all(out[d] == 0 for d in range(2, 10))
+
+
+def test_benford_cents_digit_extraction(spark):
+    from smart_data_lake_spark.functions.profiling import benford_first_digit
+
+    # 0.095 dollars -> 9 cents (leading digit 9, not 0); 950.00 -> digit 9
+    df = spark.createDataFrame([(0.09,), (950.0,)], "amount double")
+    out = {r.digit: r.n_obs for r in benford_first_digit(df, "amount").collect()}
+    assert out[9] == 2
