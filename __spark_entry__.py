@@ -2554,6 +2554,20 @@ def benford_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_first_digit(orders, "o_totalprice").orderBy("digit")
 
 
+def ivfpq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN (functions/similarity.pq_adc_topk with
+    centroids; Jégou et al. 2011 §V, the FAISS IVFPQ shape): the coarse
+    quantizer prunes each query's candidates to its own inverted-list
+    cell, then PQ-ADC approximates distances from the 4-int codes — cell
+    pruning cuts candidate count ~n_cells-fold, PQ cuts bytes-per-
+    candidate 64-fold; together the billion-vector search memory/compute
+    budget. Raw-vector codes (not residuals) keep it oracle-exact."""
+    from smart_data_lake_spark.functions.similarity import pq_adc_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_adc_topk(emb, centroids=_IVF_CENTROIDS).orderBy("query_id", "rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Registry order is the driver grading window: only the first 50
     # entries get a CORRECTNESS oracle row per round. r7 rotation (window
@@ -2714,6 +2728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_name_pairs_parts": fuzzy_name_pairs_parts,
         "weighted_sample_docs": weighted_sample_docs,
         "benford_order_totals": benford_order_totals,
+        "ivfpq_topk_embeddings": ivfpq_topk_embeddings,
     }
 
 # ---- oracle SQL builders (DuckDB dialect) --------------------------------
@@ -5022,4 +5037,29 @@ def oracle_sql() -> dict[str, str]:
                    round(abs(COALESCE(o.n_obs, 0) / CAST(tot.t AS DOUBLE) - e.benford_frac), 6) AS abs_dev
             FROM expect e LEFT JOIN obs o ON o.digit = e.digit CROSS JOIN tot
             ORDER BY e.digit""",
+        "ivfpq_topk_embeddings": f"""
+            WITH seeds AS ({_PQ['seeds']}),
+            dists AS (SELECT e.vec_id, s.seed_id, {_PQ['dist_cols']}
+                      FROM embeddings e CROSS JOIN seeds s),
+            ranked AS (SELECT *, {_PQ['rk_cols']} FROM dists),
+            codes AS (SELECT vec_id, {_PQ['code_cols']} FROM ranked GROUP BY vec_id),
+            cellsrc AS (SELECT vec_id, {ivf_dists} FROM embeddings),
+            cells AS (SELECT vec_id, {ivf_cell} AS cell FROM cellsrc),
+            lut AS (SELECT q.vec_id AS query_id, s.seed_id, {_PQ['qd_cols']}
+                    FROM embeddings q CROSS JOIN seeds s WHERE q.vec_id < 10),
+            scored AS (
+              SELECT l.query_id, c.vec_id AS neighbor_id, {_PQ['adc']} AS adc
+              FROM codes c
+                   JOIN cells nc ON nc.vec_id = c.vec_id
+                   JOIN lut l ON TRUE
+                   JOIN cells qc ON qc.vec_id = l.query_id
+              WHERE nc.cell = qc.cell
+              GROUP BY l.query_id, c.vec_id
+            )
+            SELECT query_id, neighbor_id, round(CAST(adc AS DOUBLE), 6) AS adc_dist, rank
+            FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                                ORDER BY adc, neighbor_id) AS INT) AS rank
+              FROM scored WHERE query_id != neighbor_id
+            ) WHERE rank <= 5 ORDER BY query_id, rank""",
     }

@@ -339,3 +339,36 @@ def test_benford_cents_digit_extraction(spark):
     df = spark.createDataFrame([(0.09,), (950.0,)], "amount double")
     out = {r.digit: r.n_obs for r in benford_first_digit(df, "amount").collect()}
     assert out[9] == 2
+
+
+# --- IVF-PQ composition (pq_adc_topk with a coarse quantizer) ---------------
+
+def test_ivfpq_neighbors_share_query_cell(spark, emb):
+    import __spark_entry__ as entry
+    from smart_data_lake_spark.functions.similarity import cell_assign_udf
+
+    assign = cell_assign_udf(entry._IVF_CENTROIDS)
+    cells = {
+        r.vec_id: r.cell
+        for r in emb.select("vec_id", assign(F.col("embedding")).alias("cell")).collect()
+    }
+    out = pq_adc_topk(emb, centroids=entry._IVF_CENTROIDS).collect()
+    assert len(out) > 0
+    for r in out:
+        assert cells[r.query_id] == cells[r.neighbor_id]
+
+
+def test_ivfpq_distances_match_plain_adc_on_shared_pairs(spark, emb):
+    import __spark_entry__ as entry
+
+    plain = {
+        (r.query_id, r.neighbor_id): r.adc_dist
+        for r in pq_adc_topk(emb, k_neighbors=1000).collect()
+    }
+    ivf = pq_adc_topk(emb, centroids=entry._IVF_CENTROIDS).collect()
+    # raw-vector codes: the ADC distance of a pair is identical whether or
+    # not the cell pruning admitted it
+    for r in ivf:
+        key = (r.query_id, r.neighbor_id)
+        if key in plain:
+            assert plain[key] == r.adc_dist
