@@ -75,6 +75,12 @@ class PartitionDiffMode(ExecutionMode):
     partition_col_nb: int | None = None
     nb_of_partition_values_per_run: int | None = None
     select_expression: Any = None  # callable: list[PartitionValues] -> list[PartitionValues]
+    # selectAdditionalInputExpression (PartitionDiffMode.scala, ExecutionModeTest
+    # 'selectAdditionalInputExpression with udf'): callable
+    # (selected: list[PartitionValues], all_input: list[PartitionValues]) ->
+    # list[PartitionValues]. Widens the INPUT partitions only (e.g. always
+    # re-read a reference partition); the OUTPUT partitions stay the diff.
+    select_additional_input_expression: Any = None
     fail_condition: Any = None  # callable: ExecutionModeResult -> str | None
     # applyCondition (ExecutionModeWithMainInputOutput.scala /
     # PartitionDiffMode.scala:92): callable list[PartitionValues] -> bool.
@@ -120,8 +126,11 @@ class PartitionDiffMode(ExecutionMode):
             missing = self.select_expression(missing)
         if self.nb_of_partition_values_per_run is not None:
             missing = sorted(missing, key=str)[: self.nb_of_partition_values_per_run]
+        input_pvs = list(missing)
+        if self.select_additional_input_expression is not None:
+            input_pvs = list(self.select_additional_input_expression(input_pvs, in_parts))
         result = ExecutionModeResult(
-            input_partition_values=missing, output_partition_values=missing, no_data=not missing
+            input_partition_values=input_pvs, output_partition_values=missing, no_data=not missing
         )
         if self.fail_condition is not None:
             msg = self.fail_condition(result)
@@ -295,6 +304,11 @@ class CustomPartitionMode(ExecutionMode):
     contract stays declarative and partition-prunable."""
 
     fn: Any = None  # callable: (spark, input_do, output_do, given_pvs, state) -> list[PartitionValues] | None
+    # CustomPartitionMode.alternativeOutputId (ExecutionModeTest
+    # 'CustomPartitionMode alternativeOutputId'): resolved by the action
+    # exactly like PartitionDiffMode's — the plugin's output_do argument
+    # becomes the alternative object
+    alternative_output_id: str | None = None
 
     def apply(self, spark, input_do, output_do, given_partition_values, state):
         if not isinstance(input_do, CanHandlePartitions):
