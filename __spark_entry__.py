@@ -2568,6 +2568,23 @@ def ivfpq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(emb, centroids=_IVF_CENTROIDS).orderBy("query_id", "rank")
 
 
+def holt_forecast_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential level+trend smoothing per event type
+    (functions/analytics.holt_linear_by_group; Holt 1957): the repo's
+    canonical genuinely-sequential operator — the recursion has no
+    weighted-sum reformulation (unlike EWMA), so it runs as sorted-group
+    Arrow applyInPandas, the documented escape hatch for stateful per-key
+    logic. Every smoothing step rounds with the shared floor(x*1e9+0.5)/1e9
+    form, so the WHOLE recursion grades bit-for-bit against a DuckDB
+    RECURSIVE CTE running the identical recurrence."""
+    from smart_data_lake_spark.functions.analytics import holt_linear_by_group
+
+    ev = _t(spark, sf_dir, "events")
+    return holt_linear_by_group(
+        ev, "event_type", "ts", "value", tiebreak_col="event_id"
+    ).orderBy("event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Registry order is the driver grading window: only the first 50
     # entries get a CORRECTNESS oracle row per round. r7 rotation (window
@@ -2729,6 +2746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_docs": weighted_sample_docs,
         "benford_order_totals": benford_order_totals,
         "ivfpq_topk_embeddings": ivfpq_topk_embeddings,
+        "holt_forecast_by_type": holt_forecast_by_type,
     }
 
 # ---- oracle SQL builders (DuckDB dialect) --------------------------------
@@ -2952,6 +2970,43 @@ def oracle_sql() -> dict[str, str]:
     benford_vals = ", ".join(
         f"({d}, CAST({BENFORD_P[d]!r} AS DOUBLE))" for d in range(1, 10)
     )
+    # Holt recursion oracle: literals CAST to DOUBLE (DuckDB parses bare
+    # decimal literals as DECIMAL — exact-rational arithmetic would diverge
+    # from the Python loop's IEEE doubles), ops parenthesized exactly as
+    # analytics.holt_linear_by_group computes them
+    _ha, _hb = "CAST(0.3 AS DOUBLE)", "CAST(0.1 AS DOUBLE)"
+    _hs, _h1, _hhalf = (
+        "CAST(1000000000.0 AS DOUBLE)",
+        "CAST(1.0 AS DOUBLE)",
+        "CAST(0.5 AS DOUBLE)",
+    )
+    _lvl_new = (
+        f"floor(({_ha} * nxt.x + ({_h1} - {_ha}) * (r.lvl + r.trd)) * {_hs} + {_hhalf}) / {_hs}"
+    )
+    _trd_new = (
+        f"floor(({_hb} * (({_lvl_new}) - r.lvl) + ({_h1} - {_hb}) * r.trd) * {_hs} + {_hhalf}) / {_hs}"
+    )
+    holt_oracle = f"""
+            WITH RECURSIVE base AS (
+              SELECT event_type AS g, CAST(value AS DOUBLE) AS x,
+                     CAST(row_number() OVER (PARTITION BY event_type
+                                             ORDER BY ts, event_id) AS BIGINT) AS rn,
+                     CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+              FROM events
+            ),
+            r AS (
+              SELECT b1.g, CAST(1 AS BIGINT) AS rn, b1.x AS lvl, b2.x - b1.x AS trd
+              FROM base b1 JOIN base b2 ON b2.g = b1.g AND b2.rn = 2
+              WHERE b1.rn = 1
+              UNION ALL
+              SELECT nxt.g, nxt.rn, {_lvl_new} AS lvl, {_trd_new} AS trd
+              FROM r JOIN base nxt ON nxt.g = r.g AND nxt.rn = r.rn + 1
+            )
+            SELECT r.g AS event_type, last.n AS n_points, r.lvl AS level, r.trd AS trend,
+                   floor((r.lvl + r.trd) * {_hs} + {_hhalf}) / {_hs} AS forecast_1
+            FROM r JOIN (SELECT g, n FROM base WHERE rn = 1 AND n >= 2) last
+              ON last.g = r.g AND r.rn = last.n
+            ORDER BY event_type"""
     pagerank_oracle = r"""
             WITH toksrc AS (
               SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
@@ -5062,4 +5117,5 @@ def oracle_sql() -> dict[str, str]:
                                                 ORDER BY adc, neighbor_id) AS INT) AS rank
               FROM scored WHERE query_id != neighbor_id
             ) WHERE rank <= 5 ORDER BY query_id, rank""",
+        "holt_forecast_by_type": holt_oracle,
     }

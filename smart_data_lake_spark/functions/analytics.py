@@ -641,3 +641,77 @@ def cusum_changepoint(
             F.col("_abs_s").alias("max_abs_cusum"),
         )
     )
+
+
+def _round_half_up_py(x: float, scale: float) -> float:
+    """floor(x*scale + 0.5)/scale in IEEE double — the SHARED rounding used
+    by holt_linear_by_group in both engines (Python's round() is
+    banker's-rounding and DuckDB's is half-away; this explicit floor form
+    is the same three IEEE ops everywhere)."""
+    import math
+
+    return math.floor(x * scale + 0.5) / scale
+
+
+def holt_linear_by_group(
+    df: DataFrame,
+    group_col: str = "event_type",
+    order_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    decimals: int = 9,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing per group (Holt
+    1957, public): level/trend recursion
+    ``l_t = a*x_t + (1-a)*(l+b);  b_t = B*(l_t-l) + (1-B)*b`` with the
+    standard init l_0=x_0, b_0=x_1-x_0. Returns per-group (n_points, level,
+    trend, forecast_1) with forecast_1 = level + trend.
+
+    This is the repo's canonical GENUINELY-SEQUENTIAL operator: the
+    recursion cannot be expressed as a weighted sum (unlike EWMA, which
+    reformulates into one — `grouped_ewma`), so it runs as sorted-group
+    Arrow `applyInPandas` — the documented escape hatch for stateful
+    per-key logic Spark's built-ins can't express. Work is one shuffle on
+    the group key + an O(n) Python loop per group; at 100 TB the group
+    count provides the parallelism and no state leaves its group.
+
+    Engine-exact anyway: every smoothing step rounds with the explicit
+    ``floor(x*10^d + 0.5)/10^d`` form (same IEEE ops in Python and SQL —
+    Python's round() half-even vs DuckDB's half-away would diverge ON the
+    boundary), so the whole recursion is graded against a DuckDB RECURSIVE
+    CTE running the identical recurrence. Groups with < 2 points are
+    excluded (no trend is defined).
+    """
+    import pandas as pd
+
+    scale = float(10**decimals)
+    out_schema = (
+        f"{group_col} string, n_points long, level double, trend double, forecast_1 double"
+    )
+
+    sort_cols = [order_col] + ([tiebreak_col] if tiebreak_col else [])
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols).reset_index(drop=True)
+        xs = [float(v) for v in pdf[value_col]]
+        if len(xs) < 2:
+            return pd.DataFrame(columns=[group_col, "n_points", "level", "trend", "forecast_1"])
+        lvl = xs[0]
+        trd = xs[1] - xs[0]
+        for x in xs[1:]:
+            prev_lvl = lvl
+            lvl = _round_half_up_py(alpha * x + (1.0 - alpha) * (lvl + trd), scale)
+            trd = _round_half_up_py(beta * (lvl - prev_lvl) + (1.0 - beta) * trd, scale)
+        return pd.DataFrame(
+            {
+                group_col: [pdf[group_col].iloc[0]],
+                "n_points": [len(xs)],
+                "level": [lvl],
+                "trend": [trd],
+                "forecast_1": [_round_half_up_py(lvl + trd, scale)],
+            }
+        )
+
+    return df.groupBy(group_col).applyInPandas(fit, out_schema)

@@ -648,3 +648,24 @@ def test_benford_engine_exact(spark, amounts):
     want = sorted(tuple(r) for r in con.sql(entry.oracle_sql()["benford_order_totals"]).fetchall())
     # exact: integer-cents digit extraction + shared-literal expectations
     assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_vals)
+def test_holt_engine_exact(spark, series):
+    import duckdb
+
+    import __spark_entry__ as entry
+    from smart_data_lake_spark.functions.analytics import holt_linear_by_group
+
+    got = sorted(
+        tuple(r)
+        for r in holt_linear_by_group(
+            _events_df(spark, series), "event_type", "ts", "value", tiebreak_col="event_id"
+        ).collect()
+    )
+    con = duckdb.connect()
+    _duck_events(con, series)
+    want = sorted(tuple(r) for r in con.sql(entry.oracle_sql()["holt_forecast_by_type"]).fetchall())
+    # exact: every smoothing step rounds floor(x*1e9+0.5)/1e9 in both engines
+    assert got == want

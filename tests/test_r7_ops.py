@@ -372,3 +372,44 @@ def test_ivfpq_distances_match_plain_adc_on_shared_pairs(spark, emb):
         key = (r.query_id, r.neighbor_id)
         if key in plain:
             assert plain[key] == r.adc_dist
+
+
+# --- Holt linear-trend smoothing (functions/analytics) ----------------------
+
+def test_holt_constant_series_zero_trend(spark):
+    from smart_data_lake_spark.functions.analytics import holt_linear_by_group
+
+    import datetime as dt
+    rows = [(i, dt.datetime(2024, 1, 1, 0, i), "g", 5.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string, value double")
+    out = holt_linear_by_group(df, "event_type", "ts", "value", tiebreak_col="event_id").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_points == 10 and r.level == 5.0 and r.trend == 0.0 and r.forecast_1 == 5.0
+
+
+def test_holt_linear_series_recovers_slope(spark):
+    from smart_data_lake_spark.functions.analytics import holt_linear_by_group
+
+    import datetime as dt
+    # perfectly linear series x_t = 2t: level tracks, trend -> 2, forecast
+    # extrapolates the line exactly (Holt is exact on linear signals)
+    rows = [(i, dt.datetime(2024, 1, 1, 0, i), "g", float(2 * i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string, value double")
+    r = holt_linear_by_group(df, "event_type", "ts", "value", tiebreak_col="event_id").collect()[0]
+    assert abs(r.trend - 2.0) < 1e-6
+    assert abs(r.forecast_1 - 40.0) < 1e-6  # x_19 = 38, next = 40
+
+
+def test_holt_short_groups_excluded(spark):
+    from smart_data_lake_spark.functions.analytics import holt_linear_by_group
+
+    import datetime as dt
+    rows = [
+        (1, dt.datetime(2024, 1, 1), "lonely", 1.0),
+        (2, dt.datetime(2024, 1, 1), "pair", 1.0),
+        (3, dt.datetime(2024, 1, 2), "pair", 3.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string, value double")
+    out = {r.event_type for r in holt_linear_by_group(df, "event_type", "ts", "value", tiebreak_col="event_id").collect()}
+    assert out == {"pair"}
