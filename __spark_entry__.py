@@ -2959,7 +2959,7 @@ def oracle_sql() -> dict[str, str]:
                         + (85 * COALESCE(s.insum, CAST(0 AS BIGINT))) // 100 AS BIGINT) AS r
               FROM nodes CROSS JOIN nn
               LEFT JOIN (SELECT e.dst AS node,
-                                CAST(SUM((p.r * e.wgt) // e.outw) AS BIGINT) AS insum
+                                CAST(SUM((CAST(p.r AS HUGEINT) * e.wgt) // e.outw) AS BIGINT) AS insum
                          FROM e JOIN {prev} p ON p.node = e.src
                          GROUP BY e.dst) s USING (node)
             )"""
@@ -2992,7 +2992,7 @@ def oracle_sql() -> dict[str, str]:
                      CAST(row_number() OVER (PARTITION BY event_type
                                              ORDER BY ts, event_id) AS BIGINT) AS rn,
                      CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
-              FROM events
+              FROM events WHERE value IS NOT NULL
             ),
             r AS (
               SELECT b1.g, CAST(1 AS BIGINT) AS rn, b1.x AS lvl, b2.x - b1.x AS trd
@@ -5081,7 +5081,8 @@ def oracle_sql() -> dict[str, str]:
             WITH obs AS (
               SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
                      CAST(COUNT(*) AS BIGINT) AS n_obs
-              FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+              FROM orders WHERE o_totalprice IS NOT NULL
+                AND CAST(round(o_totalprice * 100) AS BIGINT) > 0
               GROUP BY 1
             ), tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS t FROM obs),
             expect(digit, benford_frac) AS (VALUES {benford_vals})

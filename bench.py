@@ -73,21 +73,10 @@ def main() -> None:
     # a failing query must never zero out the whole benchmark (round 3 lost
     # all numbers to one AnalysisException): record the error per query and
     # keep going.
+    from smart_data_lake_spark.session import release_persistent_rdds
+
     def _release_persistent_rdds() -> None:
-        """Unpersist everything the last query pinned (persist()/
-        localCheckpoint() blocks). 133 queries × 3 runs in one JVM otherwise
-        accumulate storage-memory pressure that inflates later queries'
-        timings by 2-4× (measured: json_extract_events 6.4s in-suite vs
-        1.7s isolated before this existed) — cross-query interference, not
-        plan cost."""
-        try:
-            jsc = spark.sparkContext._jsc.sc()
-            for rdd in spark.sparkContext._jvm.scala.collection.JavaConverters.mapAsJavaMap(
-                jsc.getPersistentRDDs()
-            ).values():
-                rdd.unpersist(False)
-        except Exception:  # noqa: BLE001 — hygiene must not fail the bench
-            pass
+        release_persistent_rdds(spark)
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

@@ -401,6 +401,20 @@ class DataFrameAction(Action):
                 pvs = []
             streaming_mode = isinstance(self.execution_mode, SparkStreamingMode)
             stream_ids = self.streaming_input_ids or [self.main_input_id]
+            if (
+                (streaming or streaming_mode)
+                and self.streaming_input_ids
+                and in_id in self.streaming_input_ids
+                and not isinstance(in_do, CanCreateStreamingDataFrame)
+            ):
+                # an EXPLICITLY listed streaming input that cannot stream
+                # must fail loudly: silently falling back to a full batch
+                # re-read every micro-batch duplicates rows under an append
+                # sink (same contract as the id-typo guard above)
+                raise ValueError(
+                    f"streaming_input_ids lists '{in_id}' but "
+                    f"{type(in_do).__name__} cannot create a streaming DataFrame"
+                )
             if streaming and in_id in stream_ids and isinstance(in_do, CanCreateStreamingDataFrame):
                 df = in_do.get_streaming_dataframe(spark)
             elif (

@@ -221,10 +221,11 @@ class FileIncrementalMoveMode(ExecutionMode):
 
     def apply(self, spark, input_do, output_do, given_partition_values, state):
         if isinstance(input_do, CanCreateDataFrame):
-            try:
-                self._consumed_files = list(input_do.get_dataframe(spark).inputFiles())
-            except Exception:
-                self._consumed_files = []
+            # a read/listing error must PROPAGATE, not degrade to "no data":
+            # converting it to a skip would silently stop the feed (same
+            # discipline as DataFrameIncrementalMode's read path). A legit
+            # empty source returns [] here without raising.
+            self._consumed_files = list(input_do.get_dataframe(spark).inputFiles())
         if not self._consumed_files:
             # FileIncrementalMoveMode.scala: no files selected → no data
             return ExecutionModeResult(no_data=True)

@@ -692,6 +692,10 @@ def holt_linear_by_group(
     )
 
     sort_cols = [order_col] + ([tiebreak_col] if tiebreak_col else [])
+    # NULL observations carry no signal and would arrive as NaN inside the
+    # pandas UDF, where the floor-rounding raises on NaN — exclude them up
+    # front (mirrored by the oracle's IS NOT NULL)
+    df = df.where(F.col(value_col).isNotNull())
 
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(sort_cols).reset_index(drop=True)

@@ -84,7 +84,14 @@ def pagerank(
             e.join(ranks.withColumnRenamed("node", "_src"), "_src")
             .select(
                 F.col("_dst").alias("node"),
-                F.expr(f"(rank_e12 * _w) div _outw").alias("_c"),
+                # rank*w is widened to DECIMAL(38,0) before the integral
+                # division: rank <= 10^12 and an aggregated edge weight can
+                # exceed 2^63/10^12 ~ 9.2e6 on a large corpus, so a LONG
+                # multiply would overflow (ANSI error / silent wrap); the
+                # quotient itself always fits a long (<= rank)
+                F.expr("cast((cast(rank_e12 as decimal(38,0)) * _w) div _outw as long)").alias(
+                    "_c"
+                ),
             )
             .groupBy("node")
             .agg(F.sum("_c").alias("_insum"))

@@ -69,3 +69,23 @@ def get_session() -> SparkSession:
     """Return the active session or build one with defaults."""
     active = SparkSession.getActiveSession()
     return active if active is not None else build_session()
+
+
+def release_persistent_rdds(spark: SparkSession) -> None:
+    """Unpersist every pinned RDD (persist()/localCheckpoint() blocks).
+
+    Shared by bench.py and tools/scaling_check.py: long-lived measurement
+    sessions that run a hundred-plus queries otherwise accumulate
+    storage-memory pressure that inflates later queries' timings 2-4x
+    (measured twice: json_extract_events 6.4s in-suite vs 1.7s isolated;
+    ivfpq 10x 21.1s in-suite vs 5.5s fresh-session) — cross-query
+    interference, not plan cost. Best-effort: hygiene must not fail the
+    caller."""
+    try:
+        jsc = spark.sparkContext._jsc.sc()
+        for rdd in spark.sparkContext._jvm.scala.collection.JavaConverters.mapAsJavaMap(
+            jsc.getPersistentRDDs()
+        ).values():
+            rdd.unpersist(False)
+    except Exception:  # noqa: BLE001
+        pass

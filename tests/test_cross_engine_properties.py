@@ -629,7 +629,9 @@ def test_weighted_sample_engine_exact(spark, rows):
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     st.lists(
-        st.floats(min_value=0.01, max_value=1e6, allow_nan=False, allow_infinity=False),
+        # min below half a cent on purpose: values rounding to 0 cents must
+        # be excluded from the denominator in BOTH engines
+        st.floats(min_value=0.001, max_value=1e6, allow_nan=False, allow_infinity=False),
         min_size=1,
         max_size=50,
     )

@@ -147,19 +147,10 @@ def main(factor: int, only: list[str] | None = None) -> str:
         "holt_forecast_by_type",
     ]
 
+    from smart_data_lake_spark.session import release_persistent_rdds
+
     def _release_persistent_rdds() -> None:
-        """Same hygiene as bench.py: unpersist whatever the last query pinned
-        (persist()/localCheckpoint() blocks) so accumulated storage pressure
-        does not inflate later queries' ratios (measured: ivfpq 10x read
-        21.1s in-suite vs 5.5s fresh-session before this existed)."""
-        try:
-            jsc = spark.sparkContext._jsc.sc()
-            for rdd in spark.sparkContext._jvm.scala.collection.JavaConverters.mapAsJavaMap(
-                jsc.getPersistentRDDs()
-            ).values():
-                rdd.unpersist(False)
-        except Exception:  # noqa: BLE001 — hygiene must not fail the check
-            pass
+        release_persistent_rdds(spark)
 
     def timed(name: str, sf_dir: str) -> float:
         fn = e.queries()[name]
