@@ -2585,6 +2585,39 @@ def holt_forecast_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-window streaming counts (streaming/operators
+    .sliding_event_counts): 2-hour windows hopping every hour — completes
+    the window-type matrix next to the tumbling/session/interval queries.
+    Each event lands in exactly two overlapping windows; drained
+    availableNow into a memory sink and graded against the equivalent
+    batch two-window expansion, proving stream-batch consistency of the
+    overlapping-window plan."""
+    from smart_data_lake_spark.streaming.operators import (
+        read_events_stream,
+        run_available_now,
+        sliding_event_counts,
+    )
+
+    sdf = read_events_stream(spark, sf_dir)
+    out = run_available_now(sliding_event_counts(sdf))
+    return out.orderBy("window_start_epoch", "event_type")
+
+
+def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (functions/similarity
+    .hard_negative_topk; ANCE-style, Xiong et al. 2021): per anchor, the 5
+    most-similar vectors with a DIFFERENT label — the boundary-hugging
+    negatives that make embedding training data effective. Anchors
+    broadcast; one corpus scan; label inequality filters before scoring.
+    At billion-vector scale the scan swaps for this module's IVF/PQ
+    candidate generation with the same label filter."""
+    from smart_data_lake_spark.functions.similarity import hard_negative_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return hard_negative_topk(emb, k=5).orderBy("anchor_id", "rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Registry order is the driver grading window: only the first 50
     # entries get a CORRECTNESS oracle row per round. r7 rotation (window
@@ -2747,6 +2780,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_order_totals": benford_order_totals,
         "ivfpq_topk_embeddings": ivfpq_topk_embeddings,
         "holt_forecast_by_type": holt_forecast_by_type,
+        "streaming_sliding_counts": streaming_sliding_counts,
+        "hard_negatives_embeddings": hard_negatives_embeddings,
     }
 
 # ---- oracle SQL builders (DuckDB dialect) --------------------------------
@@ -5119,4 +5154,24 @@ def oracle_sql() -> dict[str, str]:
               FROM scored WHERE query_id != neighbor_id
             ) WHERE rank <= 5 ORDER BY query_id, rank""",
         "holt_forecast_by_type": holt_oracle,
+        "streaming_sliding_counts": """
+            SELECT CAST((floor(epoch(ts) / 3600) - k.k) * 3600 AS BIGINT) AS window_start_epoch,
+                   event_type, COUNT(*) AS n_events, MAX(value) AS max_value
+            FROM events CROSS JOIN (VALUES (0), (1)) k(k)
+            GROUP BY 1, 2 ORDER BY window_start_epoch, event_type""",
+        "hard_negatives_embeddings": f"""
+            WITH q AS (SELECT vec_id AS anchor_id, label AS anchor_label, embedding AS qe
+                       FROM embeddings WHERE vec_id < 10),
+            scored AS (
+              SELECT q.anchor_id, q.anchor_label, e.vec_id AS neighbor_id,
+                     e.label AS neighbor_label,
+                     {_cos_sql('q.qe', 'e.embedding')} AS cos_sim
+              FROM q CROSS JOIN embeddings e WHERE q.anchor_label != e.label
+            )
+            SELECT anchor_id, anchor_label, neighbor_id, neighbor_label, cos_sim, rank
+            FROM (
+              SELECT *, CAST(row_number() OVER (PARTITION BY anchor_id
+                                                ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+              FROM scored
+            ) WHERE rank <= 5 ORDER BY anchor_id, rank""",
     }

@@ -741,3 +741,55 @@ def pq_adc_topk(
             "rank",
         )
     )
+
+
+def hard_negative_topk(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    n_queries: int = 10,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (public technique —
+    e.g. ANCE, Xiong et al. 2021): for each anchor, the k most-similar
+    vectors carrying a DIFFERENT label. These boundary-hugging negatives
+    are what make contrastive/embedding training data effective; random
+    negatives are trivially separable.
+
+    Shape: the anchor set broadcasts (bounded — the training batch or a
+    sampled anchor slice), the corpus streams past it once; label
+    inequality filters before scoring. Exact by construction here; at
+    billion-vector scale swap the scan for the IVF/PQ candidate generation
+    in this module and keep the label filter — the composition is the
+    documented production path.
+    """
+    nrm, dot_p = norm_udf(), pair_dot_udf()
+    q = df.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("anchor_label"),
+        F.col(vec_col).alias("_qvec"),
+        nrm(F.col(vec_col)).alias("_qnorm"),
+    )
+    c = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).alias("_cvec"),
+        nrm(F.col(vec_col)).alias("_cnorm"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("anchor_label") != F.col("neighbor_label"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "neighbor_id",
+            "neighbor_label",
+            F.round(
+                dot_p(F.col("_qvec"), F.col("_cvec")) / (F.col("_qnorm") * F.col("_cnorm")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

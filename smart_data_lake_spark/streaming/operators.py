@@ -460,3 +460,29 @@ def user_cohort_dim(batch_events: DataFrame) -> DataFrame:
     return batch_events.groupBy("user_id").agg(
         F.floor(F.unix_micros(F.min("ts")) / F.lit(604800000000.0)).cast("long").alias("cohort_week")
     )
+
+
+def sliding_event_counts(
+    sdf: DataFrame,
+    window_duration: str = "2 hours",
+    slide: str = "1 hour",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """SLIDING (hopping) window counts per event_type — the window type the
+    tumbling/session/interval trio doesn't cover: each event lands in
+    duration/slide overlapping windows (2 here), so trends smooth across
+    window boundaries instead of resetting. Spark assigns all overlapping
+    windows in one projection; the watermark bounds state exactly as for
+    tumbling windows. Output window starts as epoch seconds (engine/tz
+    neutral)."""
+    return (
+        sdf.withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", window_duration, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max("value").alias("max_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+            "max_value",
+        )
+    )

@@ -422,3 +422,55 @@ def test_levenshtein_codepoint_semantics_pinned(spark):
     silent change would surface."""
     df = spark.createDataFrame([("café", "cafe")], "a string, b string")
     assert df.select(F.levenshtein("a", "b").alias("d")).collect()[0].d == 1
+
+
+# --- sliding windows + hard negatives ----------------------------------------
+
+def test_sliding_window_each_event_in_two_windows(spark):
+    import datetime as dt
+
+    from smart_data_lake_spark.streaming.operators import sliding_event_counts
+
+    rows = [(1, dt.datetime(2024, 1, 1, 5, 30), 7, "click", 1.0, "{}")]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    # batch evaluation of the same plan (stream-batch consistent by design)
+    out = sorted(
+        (r.window_start_epoch, r.n_events)
+        for r in sliding_event_counts(df).collect()
+    )
+    base = int(dt.datetime(2024, 1, 1, 5, 0).timestamp())
+    assert out == [(base - 3600, 1), (base, 1)]
+
+
+def test_hard_negatives_labels_always_differ(spark, emb):
+    from smart_data_lake_spark.functions.similarity import hard_negative_topk
+
+    out = hard_negative_topk(emb, k=5).collect()
+    assert len(out) == 50
+    for r in out:
+        assert r.anchor_label != r.neighbor_label
+        assert 1 <= r.rank <= 5
+
+
+def test_hard_negatives_are_nearest_cross_label(spark, emb):
+    from smart_data_lake_spark.functions.similarity import (
+        brute_force_topk,
+        hard_negative_topk,
+    )
+
+    hn = hard_negative_topk(emb, k=1).collect()
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    # the rank-1 hard negative must score >= every other cross-label vector
+    # (spot-check against the exact full ranking for anchor 0)
+    full = brute_force_topk(
+        emb,
+        emb.where(F.col("vec_id") == 0).select(F.col("vec_id").alias("query_id"), "embedding"),
+        k=10_000,
+    ).collect()
+    a0 = [r for r in hn if r.anchor_id == 0][0]
+    best_cross = max(
+        (r.cos_sim for r in full if labels[r.neighbor_id] != labels[0]), default=None
+    )
+    assert a0.cos_sim == best_cross
