@@ -27,6 +27,7 @@ from smart_data_lake_spark.config import InstanceRegistry
 from smart_data_lake_spark.dataobjects.base import (
     CanCreateDataFrame,
     CanCreateStreamingDataFrame,
+    CanHandlePartitions,
     CanWriteDataFrame,
     CanWriteStreamingDataFrame,
     DataObject,
@@ -183,10 +184,19 @@ class DataFrameAction(Action):
         checkpoint_location: str | None = None,
         input_ids_to_ignore_filter: list[str] | None = None,
         streaming_input_ids: list[str] | None = None,
+        no_data_check: bool = False,
         **kwargs: Any,
     ) -> None:
         super().__init__(id=id, registry=registry, **kwargs)
         self.execution_mode = execution_mode
+        # Environment.enableSparkPlanNoDataCheck (CopyActionTest 'detect
+        # no-data rowCount=0 from SparkPlan'): when enabled, an output frame
+        # that evaluates to zero rows raises NoDataToProcessWarning BEFORE
+        # anything is written, so downstream skips instead of receiving an
+        # empty write. Opt-in here (the reference's global default is on)
+        # because the DAG semantics also support empty writes without
+        # exception (ActionDAGTest:1264) — a pipeline picks one contract.
+        self.no_data_check = no_data_check
         self.break_dataframe_lineage = break_dataframe_lineage
         # Under SparkStreamingMode the reference reads EVERY input that
         # implements CanCreateStreamingDataFrame as a stream
@@ -252,6 +262,12 @@ class DataFrameAction(Action):
         outputs = self.transform(spark, dfs)
 
         out_subfeeds: list[SparkSubFeed] = []
+        if self.no_data_check:
+            main_out = outputs.get(self.output_ids[0])
+            if main_out is not None and not main_out.isStreaming and main_out.isEmpty():
+                # rowCount=0 detected before any write happens — nothing
+                # reaches the target and downstream actions skip
+                raise NoDataToProcessWarning(self.id, "output row count is 0")
         for out_id in self.output_ids:
             df = outputs[out_id]
             out_do = self._do(out_id)
@@ -263,6 +279,16 @@ class DataFrameAction(Action):
             if self.persist:
                 df = df.persist()
             pvs = (mode_result.output_partition_values if mode_result else None) or []
+            # transformers may REMAP partition values input→output (date →
+            # month aggregation etc. — GenericDfTransformerDef
+            # .transformPartitionValues, CopyActionTest 'date to month
+            # aggregation with partition value transformation'): the OUTPUT
+            # side sees the mapped values; the input read above used the
+            # originals
+            for t in getattr(self, "transformers", None) or []:
+                mapper = getattr(t, "transform_partition_values", None)
+                if mapper is not None and pvs:
+                    pvs = list(mapper(pvs))
             # reduce mode pvs to the WRITTEN object's declared partitions
             # (with alternative_output_id the diff keys can be foreign to the
             # direct output — an unreduced pv would aim delete_partitions at
@@ -338,6 +364,20 @@ class DataFrameAction(Action):
             getattr(self.execution_mode, "alternative_output_id", None)
             or self.main_output_id
         )
+        if (
+            getattr(self.execution_mode, "apply_partition_values_transform", False)
+            and getattr(self.execution_mode, "partition_values_transform", None) is None
+        ):
+            # inject the transformer chain's pv mapping into the mode so its
+            # diff runs in the output's partition grain
+            def _pv_chain(pvs: list) -> list:
+                for t in getattr(self, "transformers", None) or []:
+                    mapper = getattr(t, "transform_partition_values", None)
+                    if mapper is not None:
+                        pvs = list(mapper(pvs))
+                return pvs
+
+            self.execution_mode.partition_values_transform = _pv_chain
         return self.execution_mode.apply(
             spark,
             self._do(self.main_input_id),
@@ -397,6 +437,29 @@ class DataFrameAction(Action):
                 # dedupe after reduction (several pvs may collapse onto one);
                 # PartitionValues is hashable on its canonical sorted tuple
                 pvs = list(dict.fromkeys(reduced))
+                # fail on reading a MISSING partition (CopyActionTest:530,
+                # DataObject.assertPartitionsExisting): enforced only when
+                # the pv keys form an INIT (prefix) of the declared partition
+                # columns — a non-prefix pv set (e.g. only the 2nd column)
+                # cannot be checked against hive paths and passes through
+                if phase == "exec" and isinstance(in_do, CanHandlePartitions):
+                    existing = None
+                    for pv in pvs:
+                        keys = set(pv.as_dict)
+                        # PartitionValues stores keys sorted — compare as a
+                        # SET against the leading partition columns
+                        if keys != set(do_parts[: len(keys)]):
+                            continue  # not an init of the partition columns
+                        if existing is None:
+                            existing = in_do.list_partitions(spark)
+                        prefix_match = any(
+                            all(str(e.as_dict.get(k)) == str(v) for k, v in pv.as_dict.items())
+                            for e in existing
+                        )
+                        if not prefix_match:
+                            raise AssertionError(
+                                f"({self.id}) partition {pv.as_dict} does not exist in {in_id}"
+                            )
             elif pvs:
                 pvs = []
             streaming_mode = isinstance(self.execution_mode, SparkStreamingMode)

@@ -45,6 +45,23 @@ class DeduplicateAction(DataFrameAction):
         self.update_captured_column_only_when_changed = update_captured_column_only_when_changed
         self.ignore_old_deleted_columns = ignore_old_deleted_columns
         self.reference_timestamp = reference_timestamp
+        self._validate_pk_early()
+
+    def _validate_pk_early(self) -> None:
+        """Fail at CONSTRUCTION when the output table declares no primary key
+        (DeduplicateActionTest 'early validation that output primary key
+        exists' — the reference intercepts at the constructor, not first
+        exec). Only enforced when the registry can already resolve the
+        output; config-driven construction always can."""
+        try:
+            out_do = self._do(self.output_id)
+        except Exception:  # noqa: BLE001 — DO registered later: exec re-checks
+            return
+        table = getattr(out_do, "table", None)
+        if table is not None and not table.primary_key:
+            raise ValueError(
+                f"({self.id}) output table of {type(self).__name__} needs a primary key"
+            )
 
     @property
     def input_ids(self) -> list[str]:

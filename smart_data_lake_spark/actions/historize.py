@@ -63,6 +63,22 @@ class HistorizeAction(DataFrameAction):
         self.merge_mode_cdc_deleted_value = merge_mode_cdc_deleted_value
         self.merge_mode_additional_join_predicate = merge_mode_additional_join_predicate
         self.reference_timestamp = reference_timestamp
+        self._validate_pk_early()
+
+    def _validate_pk_early(self) -> None:
+        """Fail at CONSTRUCTION when the output table declares no primary key
+        (HistorizeActionTest 'early validation that output primary key
+        exists'). Only enforced when the registry can already resolve the
+        output; exec re-checks otherwise."""
+        try:
+            out_do = self._do(self.output_id)
+        except Exception:  # noqa: BLE001
+            return
+        table = getattr(out_do, "table", None)
+        if table is not None and not table.primary_key:
+            raise ValueError(
+                f"({self.id}) output table of {type(self).__name__} needs a primary key"
+            )
 
     @property
     def input_ids(self) -> list[str]:

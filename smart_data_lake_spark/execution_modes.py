@@ -90,6 +90,14 @@ class PartitionDiffMode(ExecutionMode):
     # top-level partition values filter, ignoring executionMode=
     # PartitionDiffMode').
     apply_condition: Any = None
+    # applyPartitionValuesTransform (PartitionDiffMode.scala / CopyActionTest
+    # 'date to month aggregation...'): diff the INPUT partitions through the
+    # transformer chain's partition-value mapping before comparing with the
+    # output's partitions — date-grain input vs month-grain output. The
+    # ACTION injects `partition_values_transform` (positional list→list)
+    # from its transformers when the flag is set.
+    apply_partition_values_transform: bool = False
+    partition_values_transform: Any = None
     # compare against a DIFFERENT DataObject's partitions than the action's
     # direct output (PartitionDiffMode.alternativeOutputId): the standard
     # trick when the direct output is transient/non-partition-listable and
@@ -121,7 +129,14 @@ class PartitionDiffMode(ExecutionMode):
             out_parts = [PartitionValues.of({c: pv.as_dict.get(c) for c in cols}) for pv in out_parts]
         if given_partition_values:
             in_parts = [pv for pv in in_parts if pv in given_partition_values]
-        missing = diff_partition_values(in_parts, out_parts)
+        if self.apply_partition_values_transform and self.partition_values_transform is not None:
+            # diff in the OUTPUT's partition grain: an input partition is
+            # "done" when its mapped value already exists in the output
+            mapped = list(self.partition_values_transform(list(in_parts)))
+            out_set = set(out_parts)
+            missing = [pv for pv, m in zip(in_parts, mapped) if m not in out_set]
+        else:
+            missing = diff_partition_values(in_parts, out_parts)
         if self.select_expression is not None:
             missing = self.select_expression(missing)
         if self.nb_of_partition_values_per_run is not None:
