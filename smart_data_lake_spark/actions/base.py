@@ -197,6 +197,8 @@ class DataFrameAction(Action):
         # because the DAG semantics also support empty writes without
         # exception (ActionDAGTest:1264) — a pipeline picks one contract.
         self.no_data_check = no_data_check
+        # populated per-exec from the execution mode's result options
+        self.mode_options: dict[str, Any] = {}
         self.break_dataframe_lineage = break_dataframe_lineage
         # Under SparkStreamingMode the reference reads EVERY input that
         # implements CanCreateStreamingDataFrame as a stream
@@ -259,11 +261,18 @@ class DataFrameAction(Action):
             raise NoDataToProcessWarning(self.id)
 
         dfs = self._enrich_inputs(spark, subfeeds, phase="exec", mode_result=mode_result)
+        # executionModeResultOptions (CustomDataFrameActionTest 'custom
+        # execution mode result options'): a custom mode's options become
+        # transformer options for this run
+        self.mode_options = dict(mode_result.options) if mode_result else {}
         outputs = self.transform(spark, dfs)
 
         out_subfeeds: list[SparkSubFeed] = []
         if self.no_data_check:
-            main_out = outputs.get(self.output_ids[0])
+            # MAIN output only (CustomDataFrameActionTest 'ignore no-data
+            # warning from SparkPlan if not main output'): an empty side
+            # output is written empty, not skipped
+            main_out = outputs.get(self.main_output_id)
             if main_out is not None and not main_out.isStreaming and main_out.isEmpty():
                 # rowCount=0 detected before any write happens — nothing
                 # reaches the target and downstream actions skip

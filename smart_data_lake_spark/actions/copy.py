@@ -40,7 +40,9 @@ class CopyAction(DataFrameAction):
         return [self.output_id]
 
     def transform(self, spark: SparkSession, dfs: dict[str, DataFrame]) -> dict[str, DataFrame]:
-        df = apply_df_transformers(spark, dfs[self.input_id], self.transformers)
+        df = apply_df_transformers(
+            spark, dfs[self.input_id], self.transformers, options=self.mode_options
+        )
         return {self.output_id: df}
 
     def post_exec(self, spark, inputs, outputs):

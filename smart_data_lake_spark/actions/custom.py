@@ -60,7 +60,7 @@ class CustomDataFrameAction(DataFrameAction):
             rdo = self._do(rid)
             if getattr(rdo, "exists", lambda s: False)(spark):
                 dfs[rid] = rdo.get_dataframe(spark)  # type: ignore[attr-defined]
-        result = apply_dfs_transformers(spark, dfs, self.transformers)
+        result = apply_dfs_transformers(spark, dfs, self.transformers, options=self.mode_options)
         missing = [o for o in self._output_ids if o not in result]
         if missing:
             raise ValueError(f"({self.id}) transformers produced no DataFrame for outputs {missing}")

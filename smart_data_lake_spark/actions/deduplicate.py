@@ -79,7 +79,9 @@ class DeduplicateAction(DataFrameAction):
         return table.primary_key
 
     def transform(self, spark: SparkSession, dfs: dict[str, DataFrame]) -> dict[str, DataFrame]:
-        df = apply_df_transformers(spark, dfs[self.input_id], self.transformers)
+        df = apply_df_transformers(
+            spark, dfs[self.input_id], self.transformers, options=self.mode_options
+        )
         ref_ts = self.reference_timestamp or now_utc()
         out_do = self._do(self.output_id)
         existing = None

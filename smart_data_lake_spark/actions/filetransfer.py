@@ -56,14 +56,39 @@ class FileTransferAction(Action):
             if not f.startswith(("_", "."))
         ]
 
+    @staticmethod
+    def _filter_by_partitions(files: list[str], subfeeds) -> list[str]:
+        """Keep files living under a hive path matching ANY of the run's
+        partition values (FileTransferActionTest partition-filter scenarios:
+        a pv filters on `k=v` path segments at any declared level; no pvs =
+        all files)."""
+        pvs = []
+        for sf in subfeeds or []:
+            pvs.extend(getattr(sf, "partition_values", None) or [])
+        if not pvs:
+            return files
+
+        def matches(path: str, pv) -> bool:
+            segs = set(path.split(os.sep))
+            return all(f"{k}={v}" in segs for k, v in pv.as_dict.items())
+
+        return [f for f in files if any(matches(f, pv) for pv in pvs)]
+
     def init(self, spark, subfeeds):
-        return [FileSubFeed(data_object_id=self.output_id, file_refs=self._list_input_files())]
+        files = self._filter_by_partitions(self._list_input_files(), subfeeds)
+        return [FileSubFeed(data_object_id=self.output_id, file_refs=files)]
 
     def exec(self, spark, subfeeds):
+        from smart_data_lake_spark.actions.base import NoDataToProcessWarning
+
         src_root = getattr(self._do(self.input_id), "path")
         dst_root = getattr(self._do(self.output_id), "path")
         os.makedirs(dst_root, exist_ok=True)
-        files = self._list_input_files()
+        files = self._filter_by_partitions(self._list_input_files(), subfeeds)
+        if not files:
+            # no matching files (e.g. a non-existing partition filter) →
+            # skip, like the reference's NoDataToProcessWarning
+            raise NoDataToProcessWarning(self.id, "no files to transfer")
 
         def copy(path: str) -> str:
             rel = os.path.relpath(path, src_root)

@@ -96,7 +96,9 @@ class HistorizeAction(DataFrameAction):
         return table.primary_key
 
     def transform(self, spark: SparkSession, dfs: dict[str, DataFrame]) -> dict[str, DataFrame]:
-        df = apply_df_transformers(spark, dfs[self.input_id], self.transformers)
+        df = apply_df_transformers(
+            spark, dfs[self.input_id], self.transformers, options=self.mode_options
+        )
         pks = self._pks()
         ref_ts = self.reference_timestamp or now_utc()
         if self.historize_whitelist:
