@@ -145,6 +145,8 @@ def main(factor: int, only: list[str] | None = None) -> str:
         "benford_order_totals",
         "ivfpq_topk_embeddings",
         "holt_forecast_by_type",
+        "streaming_sliding_counts",
+        "hard_negatives_embeddings",
     ]
 
     from smart_data_lake_spark.session import release_persistent_rdds
