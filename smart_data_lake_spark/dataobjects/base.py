@@ -105,6 +105,18 @@ class DataObject(abc.ABC):
             raise SchemaViolationError(
                 f"({self.id}) schemaMin violation on {role}: missing columns {missing}"
             )
+        # a present column with the wrong type is as much a violation as an
+        # absent one (SchemaValidation.validateSchemaMin → SchemaUtil.isSubSchema
+        # type equality, reference SparkFileDataObjectSchemaBehavior:198,339)
+        mismatched = [
+            f"{f.name}: expected {f.dataType.simpleString()}, got {actual[f.name.lower()].simpleString()}"
+            for f in self.schema_min.fields
+            if actual[f.name.lower()] != f.dataType
+        ]
+        if mismatched:
+            raise SchemaViolationError(
+                f"({self.id}) schemaMin violation on {role}: type mismatch {mismatched}"
+            )
 
     def __repr__(self) -> str:  # pragma: no cover
         return f"{type(self).__name__}(id={self.id!r})"
@@ -184,6 +196,36 @@ class CanHandlePartitions(abc.ABC):
     @abc.abstractmethod
     def delete_partitions(self, spark: SparkSession, partition_values: list[PartitionValues]) -> None:
         ...
+
+    def filter_expected_partition_values(
+        self, spark: SparkSession, partition_values: list[PartitionValues]
+    ) -> list[PartitionValues]:
+        """Keep only partition values satisfying `expectedPartitionsCondition`
+        — a Spark SQL boolean over `elements` (map partition-col → value), e.g.
+        ``elements['p'] != 'A'`` (CanHandlePartitions.scala:58-70). Without a
+        condition every partition is expected. The candidate list is a small
+        driver-side set (one row per partition), so evaluating it through a
+        tiny local DataFrame costs one collect of at most a few thousand rows."""
+        if not self.expected_partitions_condition or not partition_values:
+            return list(partition_values)
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        rows = [(i, {k: str(v) for k, v in pv.as_dict.items()}) for i, pv in enumerate(partition_values)]
+        schema = T.StructType(
+            [
+                T.StructField("idx", T.IntegerType()),
+                T.StructField("elements", T.MapType(T.StringType(), T.StringType())),
+            ]
+        )
+        kept = (
+            spark.createDataFrame(rows, schema)
+            .where(F.expr(self.expected_partitions_condition))
+            .select("idx")
+            .collect()
+        )
+        keep_idx = {r["idx"] for r in kept}
+        return [pv for i, pv in enumerate(partition_values) if i in keep_idx]
 
 
 class CanCreateIncrementalOutput(abc.ABC):

@@ -45,6 +45,12 @@ class NoDataToProcessError(Exception):
     partitions (reference: NoDataToProcessWarning, SURVEY §3.1 step 8)."""
 
 
+class ProcessingLogicError(Exception):
+    """A write was requested in a combination the engine cannot honor safely,
+    e.g. OverwriteOptimized without partition values on a partitioned object
+    (reference: ProcessingLogicException, SparkFileDataObject.scala:505-511)."""
+
+
 @register_data_object_type
 class SparkFileDataObject(
     DataObject,
@@ -68,6 +74,8 @@ class SparkFileDataObject(
         filename_column: str | None = None,
         n_files_per_partition: int | None = None,
         repartition_keys: list[str] | None = None,
+        filename: str | None = None,
+        file_name: str = "*",
         expected_partitions_condition: str | None = None,
         format: str | None = None,
         acl: dict[str, Any] | None = None,
@@ -85,6 +93,12 @@ class SparkFileDataObject(
         self.filename_column = filename_column
         self.n_files_per_partition = n_files_per_partition
         self.repartition_keys = repartition_keys or []
+        # SparkRepartitionDef.filename: deterministic output-file naming —
+        # one task file keeps the name verbatim, N task files become
+        # `stem.{i}{ext}` (util/hdfs/SparkRepartitionDef.scala:60-78)
+        self.filename = filename
+        # glob pattern for file-level listings (RawFileDataObject.fileName)
+        self.file_name = file_name
         self.expected_partitions_condition = expected_partitions_condition
         if format:
             self.format = format
@@ -160,14 +174,46 @@ class SparkFileDataObject(
                     raise NoDataToProcessError(f"({self.id}) no data for {partition_values}")
                 return spark.createDataFrame([], schema)
             reader = reader.option("basePath", self.path)
-            df = reader.load(paths)
+            load_target: Any = paths
         else:
-            df = reader.load(self.path)
+            load_target = self.path
+        try:
+            df = reader.load(load_target)
+        except Exception as exc:  # noqa: BLE001 — only the inference case is handled
+            # a present-but-empty source is "no rows", not an error: schema
+            # inference has nothing to work with, so hand back an empty,
+            # schema-less frame (CsvFileDataObjectTest:41-91 — reference
+            # returns session.emptyDataFrame in exactly this case)
+            if (
+                resolved_schema is None
+                and "UNABLE_TO_INFER_SCHEMA" in str(exc)
+                and os.path.exists(self.path)
+                and self._all_data_files_empty()
+            ):
+                return spark.createDataFrame([], T.StructType([]))
+            raise
         if partition_values:
             df = apply_partition_filter(df, partition_values)
         if self.filename_column:
             df = df.withColumn(self.filename_column, F.input_file_name())
+        self.validate_schema_min(df, "read")
         return df
+
+    def _all_data_files_empty(self) -> bool:
+        """True when the path exists but every data file in it is zero bytes
+        (or there are none) — the 'empty source' read case."""
+        target = self.path
+        if os.path.isfile(target):
+            return os.path.getsize(target) == 0
+        if not os.path.isdir(target):
+            return False
+        for root, _dirs, files in os.walk(target):
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue
+                if os.path.getsize(os.path.join(root, f)) > 0:
+                    return False
+        return True
 
     def get_dataframe_for_files(
         self, spark: SparkSession, files: list[str]
@@ -284,6 +330,10 @@ class SparkFileDataObject(
             for k, v in self._read_options().items()
             if k not in ("inferSchema", "mode", "enforceSchema", "modifiedAfter", "multiLine")
         }
+        if opts.get("compression") == "zip":
+            # zip is OUR post-write packaging marker (see _zip_output_files),
+            # not a Spark codec — the task files are written uncompressed
+            del opts["compression"]
         return opts
 
     def create_read_schema(self, spark: SparkSession) -> T.StructType | None:
@@ -350,8 +400,24 @@ class SparkFileDataObject(
             if partition_values:
                 self.delete_partitions(df.sparkSession, partition_values)
                 writer.mode("append").save(self.path)
+            elif self.partitions:
+                # the whole point of OverwriteOptimized is partition-scoped
+                # deletes; without partition values it would silently become a
+                # whole-object overwrite (SparkFileDataObject.scala:505-511)
+                raise ProcessingLogicError(
+                    f"({self.id}) OverwriteOptimized without partition values "
+                    "is not allowed for a partitioned DataObject"
+                )
             else:
                 writer.mode("overwrite").save(self.path)
+        elif mode == SaveMode.OVERWRITE and self.partitions and partition_values:
+            # declared-partition overwrite: every *declared* partition is
+            # replaced, including ones the DataFrame carries no rows for —
+            # an empty declared partition ends up emptied, not kept
+            # (SparkFileDataObject.scala:525-536). Still dynamic underneath so
+            # undeclared partitions in the data are also replaced, not doubled.
+            self.delete_partitions(df.sparkSession, partition_values)
+            writer.mode("overwrite").option("partitionOverwriteMode", "dynamic").save(self.path)
         elif mode == SaveMode.OVERWRITE and self.partitions:
             # dynamic partition overwrite replaces only written partitions
             writer.mode("overwrite").option("partitionOverwriteMode", "dynamic").save(self.path)
@@ -366,7 +432,14 @@ class SparkFileDataObject(
             if spark_mode is None:
                 raise ValueError(f"({self.id}) SaveMode.MERGE requires a table DataObject")
             writer.mode(spark_mode).save(self.path)
+        if self.partitions and partition_values:
+            # materialize declared-but-empty partitions so listPartitions
+            # reflects the write plan, not just the data that happened to be
+            # present (createMissingPartitions, CanHandlePartitions.scala:77-84)
+            for pv in partition_values:
+                os.makedirs(os.path.join(self.path, pv.hive_path()), exist_ok=True)
         self.persist_schema(df)
+        self._rename_output_files()
         self._apply_acl(df.sparkSession)
         return dict(obs.get)
 
@@ -498,6 +571,161 @@ class SparkFileDataObject(
             if fs.is_dir(target):
                 fs.delete(target, recursive=True)
 
+    def move_partitions(
+        self, spark: SparkSession, moves: list[tuple[PartitionValues, PartitionValues]]
+    ) -> None:
+        """Move each source partition's files into the target partition dir
+        (merging with existing files) and drop the source dir — a pure
+        metadata/rename operation, no Spark job
+        (CanHandlePartitions.movePartitions / HdfsUtil.movePartitionDirectory)."""
+        for src_pv, dst_pv in moves:
+            src = os.path.join(self.path, src_pv.hive_path())
+            dst = os.path.join(self.path, dst_pv.hive_path())
+            if not os.path.isdir(src):
+                continue
+            os.makedirs(dst, exist_ok=True)
+            for name in os.listdir(src):
+                self.rename_file_handle_already_existing(
+                    os.path.join(src, name), os.path.join(dst, name)
+                )
+            shutil.rmtree(src)
+
+    # --------------------------------------------------------- path resolution
+    def _glob_parts_for(self, pv: PartitionValues, depth: int) -> list[str]:
+        d = pv.as_dict
+        return [
+            f"{col}={d[col]}" if col in d and d[col] is not None else f"{col}=*"
+            for col in self.partitions[:depth]
+        ]
+
+    def get_concrete_init_paths(self, pv: PartitionValues) -> list[str]:
+        """Existing directories down to the DEEPEST partition key present in
+        `pv`, wildcarding absent earlier levels — e.g. partitions (a,b,c) and
+        pv {b:1} resolves `a=*/b=1` (SparkFileDataObject getConcreteInitPaths).
+        Driver-side globbing over hive dirs: listing cost is one directory
+        walk, never a data scan."""
+        if not self.partitions:
+            return [self.path] if os.path.isdir(self.path) else []
+        keys = [c for c in self.partitions if c in pv.as_dict]
+        if not keys:
+            return [self.path] if os.path.isdir(self.path) else []
+        depth = max(self.partitions.index(k) for k in keys) + 1
+        pattern = os.path.join(self.path, *self._glob_parts_for(pv, depth))
+        return sorted(p for p in glob.glob(pattern) if os.path.isdir(p))
+
+    def get_concrete_full_paths(self, pv: PartitionValues, return_files: bool = False) -> list[str]:
+        """Like `get_concrete_init_paths` but expanded to full partition depth;
+        with `return_files` the `file_name` glob is appended so the result is
+        concrete data files (SparkFileDataObject getConcreteFullPaths)."""
+        if not self.partitions:
+            dirs = [self.path] if os.path.isdir(self.path) else []
+        else:
+            pattern = os.path.join(self.path, *self._glob_parts_for(pv, len(self.partitions)))
+            dirs = sorted(p for p in glob.glob(pattern) if os.path.isdir(p))
+        if not return_files:
+            return dirs
+        files: list[str] = []
+        for d in dirs:
+            files.extend(
+                f for f in sorted(glob.glob(os.path.join(d, self.file_name))) if os.path.isfile(f)
+            )
+        return files
+
+    def get_file_refs(self, partition_values: list[PartitionValues] | None = None) -> list[str]:
+        """Concrete data-file paths for the given partitions (or all), the
+        FileRef listing file-level actions operate on (FileRefDataObject
+        .getFileRefs). Hidden/marker files (`_*`, `.*`) are not data."""
+        pvs = partition_values or [PartitionValues.of({})]
+        out: list[str] = []
+        for pv in pvs:
+            out.extend(
+                f
+                for f in self.get_concrete_full_paths(pv, return_files=True)
+                if not os.path.basename(f).startswith(("_", "."))
+            )
+        if not self.partitions and os.path.isdir(self.path):
+            # unpartitioned: files live directly under the root
+            out = [
+                f
+                for f in sorted(glob.glob(os.path.join(self.path, self.file_name)))
+                if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
+            ]
+        return sorted(set(out))
+
+    @staticmethod
+    def rename_file_handle_already_existing(src: str, dst: str) -> str:
+        """Rename `src` to `dst`; when `dst` exists, probe `dst.1`, `dst.2`, …
+        instead of clobbering (HadoopFileDataObject
+        .renameFileHandleAlreadyExisting). Returns the path actually used."""
+        target = dst
+        suffix = 0
+        while os.path.exists(target):
+            suffix += 1
+            target = f"{dst}.{suffix}"
+        os.replace(src, target)
+        return target
+
+    def _rename_output_files(self) -> None:
+        """Apply SparkRepartitionDef.filename: per output directory, rename the
+        spark `part-*` task files to the configured name — a single file keeps
+        the name verbatim, N files become `stem.{i}{ext}` in task order
+        (SparkRepartitionDef.renameFiles). Driver-side renames only."""
+        if not self.filename:
+            return
+        stem, ext = os.path.splitext(self.filename)
+        if ext == ".zip" or self.options.get("compression") == "zip":
+            self._zip_output_files()
+            return
+        dirs = {self.path} if not self.partitions else {
+            os.path.dirname(f)
+            for f in glob.glob(os.path.join(self.path, *(["*"] * len(self.partitions)), "part-*"))
+        }
+        for d in sorted(dirs):
+            parts = sorted(glob.glob(os.path.join(d, "part-*")))
+            parts = [p for p in parts if os.path.isfile(p)]
+            if not parts:
+                continue
+            if len(parts) == 1:
+                self.rename_file_handle_already_existing(parts[0], os.path.join(d, self.filename))
+            else:
+                for i, p in enumerate(parts, start=1):
+                    self.rename_file_handle_already_existing(
+                        p, os.path.join(d, f"{stem}.{i}{ext}")
+                    )
+            for marker in glob.glob(os.path.join(d, "_SUCCESS")) + glob.glob(
+                os.path.join(d, ".part-*.crc")
+            ) + glob.glob(os.path.join(d, "._SUCCESS.crc")):
+                os.remove(marker)
+
+    def _zip_output_files(self) -> None:
+        """Package the written task files into `filename` as a zip archive —
+        the twin of the reference's ZipCsvCodec write path (ZipCsvCodec.scala;
+        the reference cannot read zip back either, CsvFileDataObjectTest:245).
+        Zip is an export-packaging convenience for small hand-offs, not a
+        big-data path: entries are streamed file-by-file, never held in memory,
+        but the archive itself is single-file by definition."""
+        import zipfile
+
+        stem, _zext = os.path.splitext(self.filename)  # data.csv.zip → data.csv
+        parts = sorted(
+            p
+            for p in glob.glob(os.path.join(self.path, "part-*"))
+            if os.path.isfile(p)
+        )
+        if not parts:
+            return
+        archive = os.path.join(self.path, self.filename)
+        with zipfile.ZipFile(archive, "w", zipfile.ZIP_DEFLATED) as zf:
+            for i, p in enumerate(parts, start=1):
+                entry = stem if len(parts) == 1 else f"{os.path.splitext(stem)[0]}.{i}{os.path.splitext(stem)[1]}"
+                zf.write(p, arcname=entry)
+        for p in parts:
+            os.remove(p)
+        for marker in glob.glob(os.path.join(self.path, "_SUCCESS")) + glob.glob(
+            os.path.join(self.path, ".*.crc")
+        ):
+            os.remove(marker)
+
     # ------------------------------------------------------------ incremental
     def set_state(self, state: str | None) -> None:
         self._incremental_state = state
@@ -540,7 +768,13 @@ class CsvFileDataObject(SparkFileDataObject):
     format = "csv"
 
     def _read_options(self) -> dict[str, str]:
-        return {"sep": "|", "header": "false", "inferSchema": "false", **self.options}
+        opts = {"sep": "|", "header": "false", "inferSchema": "false", **self.options}
+        # 'delimiter' is the reference's option name; normalize it onto 'sep'
+        # so a user-supplied delimiter beats the '|' default instead of
+        # coexisting with it (Spark accepts both keys, sep wins)
+        if "delimiter" in opts:
+            opts["sep"] = opts.pop("delimiter")
+        return opts
 
 
 @register_data_object_type
