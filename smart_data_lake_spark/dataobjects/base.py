@@ -241,6 +241,11 @@ class CanCreateIncrementalOutput(abc.ABC):
 def _parse_schema(schema: T.StructType | str | None) -> T.StructType | None:
     if schema is None or isinstance(schema, T.StructType):
         return schema
+    if "#" in schema:
+        # provider spec, e.g. "xsdfile#path;rowTag" (SchemaUtil.scala:300-395)
+        from smart_data_lake_spark.schema_providers import parse_schema_spec
+
+        return parse_schema_spec(schema)
     parsed = T._parse_datatype_string(schema)
     if not isinstance(parsed, T.StructType):
         raise ValueError(f"schema DDL must describe a struct, got {parsed}")

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import glob
 import os
+import re
 import shutil
 from typing import Any
 
@@ -25,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from smart_data_lake_spark.config import register_data_object_type
+from smart_data_lake_spark.config import register_connection_type, register_data_object_type
 from smart_data_lake_spark.dataobjects.base import (
     CanCreateDataFrame,
     CanCreateIncrementalOutput,
@@ -49,6 +50,23 @@ class ProcessingLogicError(Exception):
     """A write was requested in a combination the engine cannot honor safely,
     e.g. OverwriteOptimized without partition values on a partitioned object
     (reference: ProcessingLogicException, SparkFileDataObject.scala:505-511)."""
+
+
+@register_connection_type
+class HadoopFileConnection:
+    """Shared base path for file DataObjects; a DO with a RELATIVE `path`
+    and a `connectionId` resolves under the connection's path prefix
+    (connection/HadoopFileConnection.scala)."""
+
+    def __init__(self, id: str, path_prefix: str, acl: dict[str, Any] | None = None) -> None:
+        self.id = id
+        self.path_prefix = path_prefix
+        self.acl = acl
+
+    def resolve(self, path: str) -> str:
+        if os.path.isabs(path) or "://" in path:
+            return path
+        return os.path.join(self.path_prefix, path)
 
 
 @register_data_object_type
@@ -79,15 +97,33 @@ class SparkFileDataObject(
         expected_partitions_condition: str | None = None,
         format: str | None = None,
         acl: dict[str, Any] | None = None,
+        connection: "HadoopFileConnection | None" = None,
         **kwargs: Any,
     ) -> None:
         super().__init__(id=id, **kwargs)
-        self.path = path
+        # a relative path resolves under the connection's prefix
+        # (HadoopFileDataObject.scala getPath via connection)
+        self.connection = connection
+        self.path = connection.resolve(path) if connection is not None else path
         # HadoopFileDataObject.acl: permission + ACL entries applied to the
         # written hierarchy after every write (util/misc/AclUtil.scala)
         self.acl = acl
         self.partitions = partitions or []
-        self.schema = _parse_schema(schema)
+        # parseSchemaFilesLazy: a file-based schema spec (xsdfile#…,
+        # jsonschemafile#…) may reference a file that does not exist yet at
+        # config-parse time; resolution is deferred to prepare(), which then
+        # raises if the file is still missing (XmlFileDataObjectTest:167)
+        self._schema_spec = schema if isinstance(schema, str) else None
+        from smart_data_lake_spark import schema_providers as _sp
+
+        if (
+            isinstance(schema, str)
+            and _sp.PARSE_SCHEMA_FILES_LAZY
+            and _sp.is_file_based_spec(schema)
+        ):
+            self.schema = None
+        else:
+            self.schema = _parse_schema(schema)
         self.options = options or {}
         self.save_mode = SaveMode(save_mode)
         self.filename_column = filename_column
@@ -103,6 +139,19 @@ class SparkFileDataObject(
         if format:
             self.format = format
         self._incremental_state: str | None = None
+
+    def prepare(self, spark: SparkSession) -> None:
+        """Resolve a lazily-deferred file-based schema spec; a still-missing
+        schema file is a configuration error at prepare time."""
+        super().prepare(spark)
+        from smart_data_lake_spark import schema_providers as _sp
+        from smart_data_lake_spark.config import ConfigError
+
+        if self.schema is None and self._schema_spec and _sp.is_file_based_spec(self._schema_spec):
+            try:
+                self.schema = _sp.parse_schema_spec(self._schema_spec)
+            except _sp.SchemaProviderError as exc:
+                raise ConfigError(f"({self.id}) {exc}") from exc
 
     # ------------------------------------------------------------------ read
     def exists(self, spark: SparkSession) -> bool:
@@ -442,6 +491,23 @@ class SparkFileDataObject(
         self._rename_output_files()
         self._apply_acl(df.sparkSession)
         return dict(obs.get)
+
+    def write_dataframe_to_path(
+        self, df: DataFrame, path: str, save_mode: SaveMode | str | None = None
+    ) -> None:
+        """Write with this object's format/options to an EXPLICIT directory,
+        bypassing partition handling (CanWriteDataFrame.writeDataFrameToPath)
+        — e.g. laying out partitioned XML manually, which the xml source
+        cannot write itself (XmlFileDataObjectTest:49-60)."""
+        mode = SaveMode(save_mode) if save_mode is not None else self.save_mode
+        spark_mode = "append" if mode == SaveMode.APPEND else "overwrite"
+        (
+            self._repartition_for_write(df)
+            .write.format(self.format)
+            .options(**self._write_options())
+            .mode(spark_mode)
+            .save(path)
+        )
 
     def _apply_acl(self, spark) -> None:
         """Apply the configured acl {permission, acls} to the written path
@@ -794,59 +860,141 @@ class RelaxedCsvFileDataObject(CsvFileDataObject):
     bounded by the number of distinct producer versions, not the file
     count."""
 
+    #: column for the per-record corruption reason next to Spark's
+    #: columnNameOfCorruptRecord (RelaxedCsvFileDataObject.scala:68)
+    CORRUPT_MSG_COL = "_corrupt_record_msg"
+
+    def __init__(
+        self,
+        id: str,
+        path: str,
+        treat_missing_columns_as_corrupt: bool = False,
+        treat_superfluous_columns_as_corrupt: bool = False,
+        **kwargs: Any,
+    ) -> None:
+        super().__init__(id=id, path=path, **kwargs)
+        self.treat_missing_columns_as_corrupt = treat_missing_columns_as_corrupt
+        self.treat_superfluous_columns_as_corrupt = treat_superfluous_columns_as_corrupt
+
     def _read_options(self) -> dict[str, str]:
-        return {**super()._read_options(), "mode": "PERMISSIVE", "enforceSchema": "false"}
+        # defaults delimiter=',' (not the strict DO's '|'); header is FIXED
+        # true — a header line is the relaxed contract's whole premise
+        # (RelaxedCsvFileDataObject.scala:39-41,102)
+        opts = {"sep": ",", "inferSchema": "false", **self.options}
+        if "delimiter" in opts:
+            opts["sep"] = opts.pop("delimiter")
+        opts["header"] = "true"
+        opts.setdefault("mode", "PERMISSIVE")
+        opts["enforceSchema"] = "false"
+        return opts
 
     def get_dataframe(self, spark, partition_values=None):
         target = self.resolve_schema(spark)
         opts = self._read_options()
-        if target is None or opts.get("header", "false").lower() != "true":
+        if target is None:
             return super().get_dataframe(spark, partition_values)
         sep = opts.get("sep", ",")
+        corrupt_col = opts.get("columnNameOfCorruptRecord", "_corrupt_record")
+        target_names = [f.name for f in target.fields]
+        has_corrupt = corrupt_col in target_names
+        has_msg = self.CORRUPT_MSG_COL in target_names
+        special = {corrupt_col, self.CORRUPT_MSG_COL, self.filename_column}
+        # output order: non-partition data cols in schema order, then
+        # partition cols (they come from directories, like a Spark read),
+        # then the filename column last (reference column order in
+        # RelaxedCsvFileDataObjectTest:65-160)
+        data_fields = [f for f in target.fields if f.name not in special and f.name not in self.partitions]
+        part_fields = [f for f in target.fields if f.name in self.partitions]
+        corrupt_fields = [f for f in target.fields if f.name in (corrupt_col, self.CORRUPT_MSG_COL)]
+        out_fields = data_fields + part_fields + corrupt_fields
         files = [
             os.path.join(root, f)
             for root, _, fs in os.walk(self.path)
             for f in fs
             if not f.startswith(("_", "."))
         ]
-        if not files:
-            return spark.createDataFrame([], target)
 
         def _first_lines(paths):
-            # runs on executors: task-local file access, one line per file
+            # runs on executors: task-local file access, first NON-EMPTY line
+            # per file (Spark's csv parser skips leading blank lines too)
             for p in paths:
                 with open(p) as fh:
-                    yield p, fh.readline().rstrip("\n")
+                    for line in fh:
+                        if line.strip():
+                            yield p, line.rstrip("\n")
+                            break
 
-        n_slices = max(1, min(len(files), 256))
-        sniffed = (
-            spark.sparkContext.parallelize(sorted(files), n_slices)
-            .mapPartitions(_first_lines)
-            .collect()
-        )
+        sniffed = []
+        if files:
+            n_slices = max(1, min(len(files), 256))
+            sniffed = (
+                spark.sparkContext.parallelize(sorted(files), n_slices)
+                .mapPartitions(_first_lines)
+                .collect()
+            )
+        if not sniffed:  # no files, or only empty ones
+            empty_schema = T.StructType(
+                out_fields
+                + ([T.StructField(self.filename_column, T.StringType())] if self.filename_column else [])
+            )
+            return spark.createDataFrame([], empty_schema)
         by_header: dict[tuple[str, ...], list[str]] = {}
         for path, line in sorted(sniffed):
             header = tuple(h.strip() for h in line.split(sep))
             by_header.setdefault(header, []).append(path)
         target_types = {f.name: f.dataType for f in target.fields}
+        data_names = [f.name for f in data_fields]
+        all_data_names = set(data_names) | {f.name for f in part_fields}
         parts = []
         for header, group in sorted(by_header.items()):
             group_schema = T.StructType(
                 [T.StructField(h, target_types.get(h, T.StringType())) for h in header]
             )
-            df = spark.read.format("csv").options(**opts).schema(group_schema).load(group)
-            projected = df.select(
-                *[
-                    (F.col(f.name) if f.name in header else F.lit(None).cast(f.dataType)).alias(f.name)
-                    for f in target.fields
-                ]
+            if has_corrupt and corrupt_col not in header:
+                # Spark only materializes the corrupt-record column when it
+                # is part of the read schema
+                group_schema = group_schema.add(corrupt_col, T.StringType())
+            reader = spark.read.format("csv").options(**opts).schema(group_schema)
+            if self.partitions:
+                reader = reader.option("basePath", self.path)
+            df = reader.load(group)
+            missing = sorted(set(data_names) - set(header))
+            superfluous = sorted(set(header) - all_data_names - special)
+            flagged = (missing and self.treat_missing_columns_as_corrupt) or (
+                superfluous and self.treat_superfluous_columns_as_corrupt
             )
-            parts.append(projected)
+            cols = []
+            for f in data_fields + part_fields:
+                if f.name in header or f.name in self.partitions:
+                    cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+                else:
+                    cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            base_corrupt = F.col(corrupt_col) if has_corrupt else F.lit(None).cast("string")
+            if flagged:
+                reasons = []
+                if missing and self.treat_missing_columns_as_corrupt:
+                    reasons.append(f"Missing field(s) {', '.join(missing)} in header")
+                if superfluous and self.treat_superfluous_columns_as_corrupt:
+                    reasons.append(f"Superfluous field(s) {', '.join(superfluous)} in header")
+                raw = F.concat_ws(sep, *[F.col(h).cast("string") for h in header])
+                if has_corrupt:
+                    cols.append(F.coalesce(base_corrupt, raw).alias(corrupt_col))
+                if has_msg:
+                    cols.append(F.lit("; ".join(reasons)).alias(self.CORRUPT_MSG_COL))
+            else:
+                if has_corrupt:
+                    cols.append(base_corrupt.alias(corrupt_col))
+                if has_msg:
+                    cols.append(F.lit(None).cast("string").alias(self.CORRUPT_MSG_COL))
+            parts.append(df.select(*cols))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
         if partition_values:
             out = apply_partition_filter(out, partition_values)
+        if self.filename_column:
+            out = out.withColumn(self.filename_column, F.input_file_name())
+        self.validate_schema_min(out, "read")
         return out
 
 
@@ -856,8 +1004,20 @@ class JsonFileDataObject(SparkFileDataObject):
 
     format = "json"
 
+    def __init__(self, id: str, path: str, stringify: bool = False, **kwargs: Any) -> None:
+        super().__init__(id=id, path=path, **kwargs)
+        # deprecated in the reference but still honored: every column cast to
+        # string on read/write (JsonFileDataObject.scala:59,79 castAll2String)
+        self.stringify = stringify
+
     def _read_options(self) -> dict[str, str]:
         return {"multiLine": "true", **self.options}
+
+    def get_dataframe(self, spark, partition_values=None):
+        df = super().get_dataframe(spark, partition_values)
+        if self.stringify:
+            df = df.select(*[F.col(c).cast("string").alias(c) for c in df.columns])
+        return df
 
 
 _NATIVE_AVRO: dict[int, bool] = {}
@@ -1017,6 +1177,98 @@ class XmlFileDataObject(SparkFileDataObject):
 class RawFileDataObject(SparkFileDataObject):
     """binaryFile/text source (`dataobject/RawFileDataObject.scala:38-52`);
     the substrate for multimodal (image/audio/video) columns — see
-    functions/multimodal.py."""
+    functions/multimodal.py.
+
+    `custom_partition_layout` encodes partition values in FILE/DIR NAMES via
+    `%col%` / `%col:regex%` tokens (util/hdfs/PartitionLayout.scala), e.g.
+    ``AB_%town%_%year:[0-9]+%`` extracts town/year from ``AB_NYC_2019.csv``.
+    Extraction is a driver-side regex over the listing (metadata scale), the
+    data files themselves are never opened."""
 
     format = "binaryFile"
+
+    _TOKEN_RE = re.compile(r"%([A-Za-z0-9_]+)(?::((?:[^%\\]|\\.)*))?%")
+
+    def __init__(
+        self,
+        id: str,
+        path: str,
+        custom_format: str | None = None,
+        custom_partition_layout: str | None = None,
+        **kwargs: Any,
+    ) -> None:
+        if custom_format:
+            kwargs["format"] = custom_format
+        super().__init__(id=id, path=path, **kwargs)
+        self.custom_partition_layout = custom_partition_layout
+        if custom_partition_layout is not None:
+            tokens = [m.group(1) for m in self._TOKEN_RE.finditer(custom_partition_layout)]
+            if not self.partitions:
+                raise ValueError(
+                    f"({id}) customPartitionLayout requires partitions to be defined"
+                )
+            if set(tokens) != set(self.partitions):
+                raise ValueError(
+                    f"({id}) customPartitionLayout tokens {sorted(set(tokens))} must "
+                    f"match partitions {sorted(self.partitions)}"
+                )
+
+    def _layout_regex(self):
+        """Compile the layout into a prefix regex with one named group per
+        partition token (default value pattern: anything but a path sep)."""
+        pattern, pos = "", 0
+        for m in self._TOKEN_RE.finditer(self.custom_partition_layout):
+            pattern += re.escape(self.custom_partition_layout[pos : m.start()])
+            value_re = m.group(2) or "[^/]+?"
+            pattern += f"(?P<{m.group(1)}>{value_re})"
+            pos = m.end()
+        pattern += re.escape(self.custom_partition_layout[pos:])
+        return re.compile(pattern)
+
+    def extract_partition_values(self, file_path: str) -> PartitionValues | None:
+        """Match the layout against the path relative to the DO root; None if
+        the file does not conform (it is then not part of this object)."""
+        rel = os.path.relpath(file_path, self.path).replace(os.sep, "/")
+        m = self._layout_regex().match(rel)
+        return PartitionValues.of(m.groupdict()) if m else None
+
+    def get_file_refs(self, partition_values: list[PartitionValues] | None = None) -> list[str]:
+        if self.custom_partition_layout is None:
+            return super().get_file_refs(partition_values)
+        out = []
+        for root, _dirs, files in os.walk(self.path):
+            for f in sorted(files):
+                if f.startswith(("_", ".")):
+                    continue
+                full = os.path.join(root, f)
+                fpv = self.extract_partition_values(full)
+                if fpv is None:
+                    continue
+                if partition_values and not any(
+                    all(fpv.as_dict.get(k) == str(v) for k, v in want.as_dict.items())
+                    for want in partition_values
+                ):
+                    continue
+                out.append(full)
+        return out
+
+    def list_partitions(self, spark: SparkSession) -> list[PartitionValues]:
+        if self.custom_partition_layout is None:
+            return super().list_partitions(spark)
+        seen: dict[tuple, PartitionValues] = {}
+        for f in self.get_file_refs():
+            fpv = self.extract_partition_values(f)
+            if fpv is not None:
+                seen[tuple(sorted(fpv.as_dict.items()))] = fpv
+        return list(seen.values())
+
+    def get_dataframe(self, spark, partition_values=None):
+        df = super().get_dataframe(spark, partition_values)
+        # binaryFile/text have source-fixed schemas; partition columns only
+        # appear via directory discovery — add declared ones that are absent
+        # (e.g. an empty or non-hive layout) so the read schema is stable
+        # (RawFileDataObject fixes its schema, RawFileDataObjectTest:43-51)
+        for p in self.partitions:
+            if p not in df.columns:
+                df = df.withColumn(p, F.lit(None).cast("string"))
+        return df
