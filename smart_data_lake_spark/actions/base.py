@@ -283,8 +283,14 @@ class DataFrameAction(Action):
             if df.isStreaming:
                 out_subfeeds.append(self._write_streaming(spark, df, out_do, out_id))
                 continue
-            df = apply_constraints(df, self.constraints)
-            df, obs = setup_observation(df, self.expectations, f"{self.id}_{out_id}")
+            # expectations/constraints attach on the action AND on the output
+            # DataObject (ExpectationValidation: the writing action validates
+            # the object's own rules with its write metrics)
+            exps = self.expectations + list(getattr(out_do, "expectations", []) or [])
+            df = apply_constraints(
+                df, self.constraints + list(getattr(out_do, "constraints", []) or [])
+            )
+            df, obs = setup_observation(df, exps, f"{self.id}_{out_id}")
             if self.persist:
                 df = df.persist()
             pvs = (mode_result.output_partition_values if mode_result else None) or []
@@ -328,16 +334,19 @@ class DataFrameAction(Action):
                 metrics["count"] = metrics["records_written"]
             metrics["n_partitions"] = len(pvs) if pvs else None
             if isinstance(out_do, CanCreateDataFrame):
-                metrics.update(compute_scope_all_metrics_lazy(out_do, spark, self.expectations))
+                metrics.update(compute_scope_all_metrics_lazy(out_do, spark, exps))
                 metrics.update(self._job_partition_metrics(out_do, spark, pvs))
+            from smart_data_lake_spark.expectations import compute_unobservable_job_metrics
+
+            metrics.update(compute_unobservable_job_metrics(df, exps))
             metrics.update(self._action_level_input_metrics(spark, dfs))
             if getattr(out_do, "housekeeping_mode", None) is not None:
                 metrics.update(out_do.housekeeping_mode.post_write(spark, out_do))
             self.runtime_metrics[out_id] = metrics
-            warnings = validate_expectations(self.expectations, metrics)
+            warnings = validate_expectations(exps, metrics)
             from smart_data_lake_spark.expectations import validate_job_partition_expectations
 
-            warnings += validate_job_partition_expectations(self.expectations, metrics)
+            warnings += validate_job_partition_expectations(exps, metrics)
             for w in warnings:
                 print(f"WARN ({self.id}/{out_id}): {w}")
             sf = SparkSubFeed(data_object_id=out_id, partition_values=pvs, metrics=metrics)
@@ -559,6 +568,25 @@ class DataFrameAction(Action):
 
                 flt = mode_result.filter
                 df = df.where(F.expr(flt) if isinstance(flt, str) else flt)
+            if (
+                phase == "exec"
+                and not df.isStreaming
+                and self.registry is not None
+                and getattr(in_do, "expectations", None)
+                and self.registry.should_validate_data_object_on_read(in_id)
+            ):
+                # ValidateOnRead: a pure source's own expectations fire on the
+                # read side — objects some action WRITES are validated there
+                # instead (ValidateOnReadTest; one extra aggregate over what
+                # is being read anyway, no second scan of anything else)
+                from smart_data_lake_spark.expectations import (
+                    compute_read_metrics,
+                    validate_expectations as _validate,
+                )
+
+                read_metrics = compute_read_metrics(df, in_do.expectations)
+                for w in _validate(in_do.expectations, read_metrics):
+                    print(f"WARN ({self.id}/{in_id} read): {w}")
             dfs[in_id] = df
         return dfs
 

@@ -59,6 +59,24 @@ class InstanceRegistry:
         self.connections[conn_id] = conn
         return conn
 
+    def data_object_ids_to_validate_on_read(self) -> list[str]:
+        """DataObjects carrying expectations that NO registered action writes
+        — pure sources, whose quality rules can only ever fire on read
+        (InstanceRegistry.getDataObjectIdsToValidateOnRead,
+        expectations/ValidateOnReadTest). Objects written by an action are
+        validated with that action's write metrics instead."""
+        written: set[str] = set()
+        for a in self.actions.values():
+            written.update(getattr(a, "output_ids", []) or [])
+        return [
+            do_id
+            for do_id, do in self.data_objects.items()
+            if getattr(do, "expectations", None) and do_id not in written
+        ]
+
+    def should_validate_data_object_on_read(self, do_id: str) -> bool:
+        return do_id in self.data_object_ids_to_validate_on_read()
+
     def get_data_object(self, do_id: str) -> "DataObject":
         try:
             return self.data_objects[do_id]

@@ -63,6 +63,8 @@ class DataObject(abc.ABC):
         schema_min: T.StructType | str | None = None,
         metadata: dict[str, Any] | None = None,
         housekeeping_mode: Any = None,
+        expectations: list[Any] | None = None,
+        constraints: list[Any] | None = None,
     ) -> None:
         self.id = id
         self.schema_min = _parse_schema(schema_min)
@@ -70,6 +72,11 @@ class DataObject(abc.ABC):
         # PartitionRetentionMode / PartitionArchiveCompactionMode, run after
         # each successful write (DataObject.scala housekeepingMode hook)
         self.housekeeping_mode = housekeeping_mode
+        # DataObject-attached quality rules (ExpectationValidation.scala):
+        # validated with the writing action's metrics, or ON READ when no
+        # action writes this object (it is a pure source — ValidateOnRead)
+        self.expectations = expectations or []
+        self.constraints = constraints or []
 
     # -- lifecycle hooks (DataObject.scala:74-150) --
     def prepare(self, spark: SparkSession) -> None:
@@ -107,11 +114,13 @@ class DataObject(abc.ABC):
             )
         # a present column with the wrong type is as much a violation as an
         # absent one (SchemaValidation.validateSchemaMin → SchemaUtil.isSubSchema
-        # type equality, reference SparkFileDataObjectSchemaBehavior:198,339)
+        # type equality, reference SparkFileDataObjectSchemaBehavior:198,339).
+        # Nullability is IGNORED at every nesting level — the reference's
+        # comparison strips it (HiveTableSchemaViolationTest:61,138)
         mismatched = [
             f"{f.name}: expected {f.dataType.simpleString()}, got {actual[f.name.lower()].simpleString()}"
             for f in self.schema_min.fields
-            if actual[f.name.lower()] != f.dataType
+            if _strip_nullability(actual[f.name.lower()]) != _strip_nullability(f.dataType)
         ]
         if mismatched:
             raise SchemaViolationError(
@@ -236,6 +245,20 @@ class CanCreateIncrementalOutput(abc.ABC):
 
     def get_state(self) -> str | None:
         return getattr(self, "_incremental_state", None)
+
+
+def _strip_nullability(dt: T.DataType) -> T.DataType:
+    """Recursively normalize nullable/containsNull/valueContainsNull to True
+    so type comparisons ignore nullability (SchemaUtil.isSubSchema)."""
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [T.StructField(f.name, _strip_nullability(f.dataType), True) for f in dt.fields]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_strip_nullability(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(_strip_nullability(dt.keyType), _strip_nullability(dt.valueType), True)
+    return dt
 
 
 def _parse_schema(schema: T.StructType | str | None) -> T.StructType | None:

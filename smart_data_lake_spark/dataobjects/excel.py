@@ -71,6 +71,10 @@ class ExcelFileDataObject(DataObject, CanCreateDataFrame, CanWriteDataFrame):
         sheet_name: str | int = 0,
         header_row: int = 0,
         skip_rows: int = 0,
+        row_limit: int | None = None,
+        start_column: str | None = None,
+        end_column: str | None = None,
+        partitions: list[str] | None = None,
         use_spark_excel: bool = False,
         schema: str | None = None,
         **kwargs: Any,
@@ -80,8 +84,34 @@ class ExcelFileDataObject(DataObject, CanCreateDataFrame, CanWriteDataFrame):
         self.sheet_name = sheet_name
         self.header_row = header_row
         self.skip_rows = skip_rows
+        # ExcelOptions rowLimit / startColumn / endColumn
+        # (ExcelFileDataObject.scala:56-73, ExcelFileDataObjectTest:94-125):
+        # per-workbook row cap and an inclusive A..E column window
+        self.row_limit = row_limit
+        self.start_column = start_column
+        self.end_column = end_column
+        # hive-style partition dirs holding workbooks
+        # (ExcelFileDataObjectTest:154)
+        self.partitions = partitions or []
         self.use_spark_excel = use_spark_excel
         self.schema = schema
+
+    @staticmethod
+    def _col_index(letters: str) -> int:
+        n = 0
+        for ch in letters.strip().upper():
+            n = n * 26 + (ord(ch) - ord("A") + 1)
+        return n - 1
+
+    def _apply_range(self, cols: list, body: list) -> tuple[list, list]:
+        s = self._col_index(self.start_column) if self.start_column else 0
+        e = self._col_index(self.end_column) + 1 if self.end_column else len(cols)
+        if (s, e) != (0, len(cols)):
+            cols = cols[s:e]
+            body = [r[s:e] for r in body]
+        if self.row_limit is not None:
+            body = body[: self.row_limit]
+        return cols, body
 
     def reader_options(self) -> dict[str, str]:
         """Options for the spark-excel distributed reader
@@ -99,12 +129,40 @@ class ExcelFileDataObject(DataObject, CanCreateDataFrame, CanWriteDataFrame):
             "inferSchema": "false" if self.schema else "true",
         }
 
-    def _paths(self) -> list[str]:
+    def _paths(self, partition_values=None) -> list[str]:
         if any(c in self.path for c in "*?["):
-            return sorted(glob.glob(self.path))
-        if os.path.isdir(self.path):
-            return sorted(glob.glob(os.path.join(self.path, "*.xlsx")))
-        return [self.path] if os.path.exists(self.path) else []
+            paths = sorted(glob.glob(self.path))
+        elif os.path.isdir(self.path):
+            if self.partitions:
+                paths = sorted(
+                    os.path.join(root, f)
+                    for root, _d, fs in os.walk(self.path)
+                    for f in fs
+                    if f.endswith(".xlsx")
+                )
+            else:
+                paths = sorted(glob.glob(os.path.join(self.path, "*.xlsx")))
+        else:
+            paths = [self.path] if os.path.exists(self.path) else []
+        if partition_values and self.partitions:
+            keep = []
+            for p in paths:
+                rel = os.path.relpath(p, self.path)
+                segs = dict(
+                    s.split("=", 1) for s in rel.split(os.sep)[:-1] if "=" in s
+                )
+                if any(
+                    all(segs.get(k) == str(v) for k, v in pv.as_dict.items())
+                    for pv in partition_values
+                ):
+                    keep.append(p)
+            paths = keep
+        return paths
+
+    def _partition_values_of(self, path: str) -> dict:
+        rel = os.path.relpath(path, self.path)
+        segs = dict(s.split("=", 1) for s in rel.split(os.sep)[:-1] if "=" in s)
+        return {k: segs.get(k) for k in self.partitions}
 
     def get_dataframe(self, spark: SparkSession, partition_values=None) -> DataFrame:
         if self.use_spark_excel:
@@ -114,7 +172,7 @@ class ExcelFileDataObject(DataObject, CanCreateDataFrame, CanWriteDataFrame):
             return reader.load(self.path)
         if _has_pandas_excel():
             return self._read_via_pandas(spark)  # pragma: no cover — openpyxl absent here
-        return self._read_via_stdlib(spark)
+        return self._read_via_stdlib(spark, partition_values)
 
     def _read_via_pandas(self, spark: SparkSession) -> DataFrame:  # pragma: no cover
         import pandas as pd
@@ -132,8 +190,8 @@ class ExcelFileDataObject(DataObject, CanCreateDataFrame, CanWriteDataFrame):
         pdf = pd.concat(frames, ignore_index=True)
         return spark.createDataFrame(pdf, schema=self.schema)
 
-    def _read_via_stdlib(self, spark: SparkSession) -> DataFrame:
-        paths = self._paths()
+    def _read_via_stdlib(self, spark: SparkSession, partition_values=None) -> DataFrame:
+        paths = self._paths(partition_values)
         if not paths:
             raise FileNotFoundError(f"({self.id}) no workbooks at {self.path}")
         # one driver-side peek for columns + types; executors decode the rest
@@ -141,6 +199,7 @@ class ExcelFileDataObject(DataObject, CanCreateDataFrame, CanWriteDataFrame):
             columns, rows = read_xlsx_bytes(
                 fh.read(), self.sheet_name, self.header_row, self.skip_rows
             )
+        columns, rows = self._apply_range(columns, rows)
         # parse with the permissive inferred schema (Excel numbers are always
         # doubles); an explicit user schema is applied as a cast afterwards
         sschema = T.StructType(
@@ -154,11 +213,21 @@ class ExcelFileDataObject(DataObject, CanCreateDataFrame, CanWriteDataFrame):
             target_schema = (
                 T.StructType.fromDDL(self.schema) if isinstance(self.schema, str) else self.schema
             )
+        if self.partitions:
+            sschema = T.StructType(
+                list(sschema.fields)
+                + [T.StructField(p, T.StringType()) for p in self.partitions]
+            )
         cfg = json.dumps(
             {
                 "sheet": self.sheet_name,
                 "header_row": self.header_row,
                 "skip_rows": self.skip_rows,
+                "start_col": self._col_index(self.start_column) if self.start_column else 0,
+                "end_col": self._col_index(self.end_column) + 1 if self.end_column else None,
+                "row_limit": self.row_limit,
+                "partitions": self.partitions,
+                "base_path": os.path.abspath(self.path),
                 "columns": columns,
                 # inferred (from the first workbook) per-column kinds so the
                 # executor decode can SURFACE type drift in later workbooks
@@ -175,14 +244,26 @@ class ExcelFileDataObject(DataObject, CanCreateDataFrame, CanWriteDataFrame):
             opts = json.loads(cfg)
             for pdf in batches:
                 docs = []
-                for raw in pdf["content"]:
+                for raw, fpath in zip(pdf["content"], pdf["path"]):
                     cols, body = read_xlsx_bytes(
                         bytes(raw), opts["sheet"], opts["header_row"], opts["skip_rows"]
                     )
+                    s, e = opts["start_col"], opts["end_col"]
+                    if s or e is not None:
+                        cols = cols[s:e]
+                        body = [r[s:e] for r in body]
+                    if opts["row_limit"] is not None:
+                        body = body[: opts["row_limit"]]
                     if cols != opts["columns"]:
                         raise ValueError(
                             f"workbook column mismatch: {cols} != {opts['columns']}"
                         )
+                    pv_of_file = {}
+                    for seg in str(fpath).split("/")[:-1]:
+                        if "=" in seg:
+                            k, v = seg.split("=", 1)
+                            if k in opts["partitions"]:
+                                pv_of_file[k] = v
                     kinds = opts["kinds"]
                     for r in body:
                         rec = {}
@@ -199,6 +280,8 @@ class ExcelFileDataObject(DataObject, CanCreateDataFrame, CanWriteDataFrame):
                                     f"found text {v!r}"
                                 )
                             rec[c] = v
+                        for p in opts["partitions"]:
+                            rec[p] = pv_of_file.get(p)
                         docs.append(json.dumps(rec))
                 yield pd.DataFrame({"doc": docs})
 
@@ -206,7 +289,7 @@ class ExcelFileDataObject(DataObject, CanCreateDataFrame, CanWriteDataFrame):
             spark.read.format("binaryFile")
             .option("pathGlobFilter", "*.xlsx")
             .load(paths if len(paths) > 1 else paths[0])
-            .select("content")
+            .select("path", "content")
         )
         out = (
             files.mapInPandas(_decode, schema="doc string")

@@ -83,6 +83,17 @@ class ParquetTableDataObject(SparkFileDataObject, CanMergeDataFrame):
             f.endswith(".parquet") for _, _, fs in os.walk(self.path) for f in fs
         )
 
+    def get_dataframe(self, spark, partition_values=None):
+        if not self.exists(spark):
+            # a not-yet-written table with a declared (min) schema reads as an
+            # empty frame instead of failing — lets a first Historize/Dedup run
+            # union against "the previous state" uniformly
+            # (TickTockHiveTableDataObjectTest:49)
+            declared = self.schema or self.schema_min
+            if declared is not None:
+                return spark.createDataFrame([], declared)
+        return super().get_dataframe(spark, partition_values)
+
     def write_dataframe(
         self,
         df: DataFrame,
@@ -243,6 +254,7 @@ class HiveTableDataObject(ParquetTableDataObject):
                 from smart_data_lake_spark.partitions import apply_partition_filter
 
                 df = apply_partition_filter(df, partition_values)
+            self.validate_schema_min(df, "read")
             return df
         return super().get_dataframe(spark, partition_values)
 
@@ -278,17 +290,49 @@ class HiveTableDataObject(ParquetTableDataObject):
                     f"({self.id}) MERGE requires a transactional format — use "
                     "DeltaLakeTableDataObject/IcebergTableDataObject or external mode"
                 )
+            self.validate_schema_min(df, "write")
             metrics = self._write_managed(df, mode)
         else:
             metrics = super().write_dataframe(df, partition_values, save_mode, merge_options)
-            spark.sql(
-                f"CREATE TABLE IF NOT EXISTS {self.table.full_name} "
-                f"USING PARQUET LOCATION '{os.path.abspath(self.path)}'"
-            )
-            spark.sql(f"REFRESH TABLE {self.table.full_name}")
+            name = self.table.full_name
+            if self.partitions:
+                # partitioned external table needs explicit column DDL +
+                # PARTITIONED BY, then partition discovery. MSCK rescans the
+                # whole layout — fine here (metadata-only), but on a table
+                # with millions of partitions use ALTER TABLE ADD PARTITION
+                # for just the written ones (same contract as the reference's
+                # HiveUtil.repairPath)
+                data_cols = [f for f in df.schema.fields if f.name not in self.partitions]
+                part_cols = [f for f in df.schema.fields if f.name in self.partitions]
+                cols_ddl = ", ".join(
+                    f"`{f.name}` {f.dataType.simpleString()}" for f in data_cols + part_cols
+                )
+                spark.sql(
+                    f"CREATE TABLE IF NOT EXISTS {name} ({cols_ddl}) USING PARQUET "
+                    f"PARTITIONED BY ({', '.join(self.partitions)}) "
+                    f"LOCATION '{os.path.abspath(self.path)}'"
+                )
+                spark.sql(f"MSCK REPAIR TABLE {name}")
+            else:
+                spark.sql(
+                    f"CREATE TABLE IF NOT EXISTS {name} "
+                    f"USING PARQUET LOCATION '{os.path.abspath(self.path)}'"
+                )
+            spark.sql(f"REFRESH TABLE {name}")
         if self.analyze_table_after_write:
-            # feeds Catalyst CBO join reordering (HiveTableDataObject.scala:220-223)
-            spark.sql(f"ANALYZE TABLE {self.table.full_name} COMPUTE STATISTICS")
+            # feeds Catalyst CBO join reordering (HiveTableDataObject.scala:
+            # 220-223 analyzeTable / HiveUtil.analyze). With partition values
+            # only the WRITTEN partitions are analyzed (partial specs allowed)
+            # — a whole-table ANALYZE is a full scan, wrong at 100 TB
+            if self.partitions and partition_values and not self.managed:
+                for pv in partition_values:
+                    spec = ", ".join(f"{k}='{v}'" for k, v in pv.as_dict.items())
+                    spark.sql(
+                        f"ANALYZE TABLE {self.table.full_name} PARTITION ({spec}) "
+                        "COMPUTE STATISTICS"
+                    )
+            else:
+                spark.sql(f"ANALYZE TABLE {self.table.full_name} COMPUTE STATISTICS")
         return metrics
 
     def get_stats(self, spark: SparkSession, update: bool = False) -> dict[str, Any]:

@@ -136,6 +136,12 @@ class UniqueKeyExpectation(Expectation):
     approximate: bool = False
     expectation: str | None = ">= 0.999999"
 
+    @property
+    def observe_safe(self) -> bool:
+        # exact count(DISTINCT) is rejected by CollectMetrics; only the
+        # HyperLogLog variant can ride the write observation
+        return self.approximate
+
     def agg_expressions(self):
         keys = F.struct(*[F.col(c) for c in (self.key_cols or [])])
         distinct = (
@@ -287,8 +293,16 @@ def validate_job_partition_expectations(
 def setup_observation(
     df: DataFrame, expectations: list[Expectation], obs_name: str
 ) -> tuple[DataFrame, Observation | None]:
-    """Attach job-scope expectation metrics to the write via observe()."""
-    job_exps = [e for e in expectations if e.scope == ExpectationScope.JOB]
+    """Attach job-scope expectation metrics to the write via observe().
+    Expectations whose aggregates Spark's CollectMetrics cannot host (exact
+    count DISTINCT — UniqueKeyExpectation.scala:44-47 documents exactly this
+    engine limit) are left out here and computed by
+    `compute_unobservable_job_metrics` as a separate aggregate."""
+    job_exps = [
+        e
+        for e in expectations
+        if e.scope == ExpectationScope.JOB and getattr(e, "observe_safe", True)
+    ]
     exprs = [F.count(F.lit(1)).alias("count")]
     seen = {"count"}
     for e in job_exps:
@@ -330,6 +344,38 @@ def compute_scope_all_metrics(df: DataFrame, expectations: list[Expectation]) ->
     if exprs:
         metrics.update(df.agg(*exprs).collect()[0].asDict())
     for e in all_exps:
+        if isinstance(e, SQLQueryExpectation):
+            metrics.update(e.compute_metrics(df))
+    return metrics
+
+
+def compute_unobservable_job_metrics(
+    df: DataFrame, expectations: list[Expectation]
+) -> dict[str, Any]:
+    """Separate aggregate for job-scope expectations that cannot ride the
+    write observation (exact count distinct). One extra aggregation job over
+    the written frame — only run when such an expectation exists."""
+    exps = [
+        e
+        for e in expectations
+        if e.scope == ExpectationScope.JOB and not getattr(e, "observe_safe", True)
+    ]
+    if not exps:
+        return {}
+    exprs = [x for e in exps for x in e.agg_expressions()]
+    return df.agg(*exprs).collect()[0].asDict()
+
+
+def compute_read_metrics(df: DataFrame, expectations: list[Expectation]) -> dict[str, Any]:
+    """Metrics for validate-on-read: on the read side Job and All scope
+    collapse to the same thing — ONE aggregate over the frame being read
+    (ValidateOnReadTest; there is no write observation to ride on)."""
+    exps = [e for e in expectations if e.scope != ExpectationScope.JOB_PARTITION]
+    metrics: dict[str, Any] = {}
+    exprs = [x for e in exps for x in e.agg_expressions()]
+    if exprs:
+        metrics.update(df.agg(*exprs).collect()[0].asDict())
+    for e in exps:
         if isinstance(e, SQLQueryExpectation):
             metrics.update(e.compute_metrics(df))
     return metrics

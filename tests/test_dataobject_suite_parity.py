@@ -1144,3 +1144,677 @@ def test_xml_lazy_schema_file_parsing(spark, tmp_path):
             do.prepare(spark)
     finally:
         sp.PARSE_SCHEMA_FILES_LAZY = old
+
+
+# --------------------------------------------------------------------------
+# HiveTableDataObjectTest.scala (14 scenarios; the "authority restricted
+# ACL" scenario is N/A — it needs an HDFS authority config, the ACL plan
+# logic itself is covered in test_acl.py) + HiveTableSchemaViolationTest
+# (10) + TickTockHiveTableDataObjectTest (1)
+# --------------------------------------------------------------------------
+
+import itertools  # noqa: E402
+
+from smart_data_lake_spark.dataobjects.table import (  # noqa: E402
+    HiveTableDataObject,
+    ParquetTableDataObject,
+)
+
+_hive_seq = itertools.count()
+
+
+def _hive_do(tmp_path, spark, **kw):
+    n = next(_hive_seq)
+    name = f"hive_parity_{n}"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    return HiveTableDataObject(
+        id=name, path=str(tmp_path / name), table={"name": name}, **kw
+    )
+
+
+def test_hive_analyze_complex_datatypes(spark, tmp_path):
+    """HiveTableDataObjectTest:36 — unpartitioned write with array/struct
+    columns + analyzeTableAfterWrite; catalog stats become available."""
+    do = _hive_do(tmp_path, spark, analyze_table_after_write=True)
+    df = spark.createDataFrame(
+        [("a", [1, 2], {"x": 1}), ("b", [3], {"x": 2})],
+        "name string, nums array<int>, rec map<string,int>",
+    )
+    do.write_dataframe(df)
+    assert do.get_dataframe(spark).count() == 2
+    stats = do.get_stats(spark)
+    assert stats.get("catalogNumRows") == 2
+
+
+def test_hive_analyze_partitions_with_pvs(spark, tmp_path):
+    """HiveTableDataObjectTest:50 — partitioned write with declared pvs:
+    partition-level ANALYZE runs, table reads back complete."""
+    do = _hive_do(tmp_path, spark, partitions=["p"], analyze_table_after_write=True)
+    df = spark.createDataFrame([("A", 1), ("B", 2)], "p string, v int")
+    do.write_dataframe(df, [pv({"p": "A"}), pv({"p": "B"})])
+    assert spark.table(do.table.full_name).count() == 2
+    parts = spark.sql(f"SHOW PARTITIONS {do.table.full_name}").collect()
+    assert sorted(r[0] for r in parts) == ["p=A", "p=B"]
+
+
+def test_hive_analyze_partitions_without_pvs(spark, tmp_path):
+    """HiveTableDataObjectTest:64 — same but without declared pvs: the
+    whole-table ANALYZE path."""
+    do = _hive_do(tmp_path, spark, partitions=["p"], analyze_table_after_write=True)
+    df = spark.createDataFrame([("A", 1), ("B", 2)], "p string, v int")
+    do.write_dataframe(df)
+    assert spark.table(do.table.full_name).count() == 2
+
+
+def test_hive_multi_partition_partial_pvs(spark, tmp_path):
+    """HiveTableDataObjectTest:79 — two-level layout, analyze with PARTIAL
+    partition values (only the top level bound)."""
+    do = _hive_do(tmp_path, spark, partitions=["p1", "p2"], analyze_table_after_write=True)
+    df = spark.createDataFrame(
+        [("A", "X", 1), ("A", "Y", 2), ("B", "X", 3)], "p1 string, p2 string, v int"
+    )
+    do.write_dataframe(df, [pv({"p1": "A"}), pv({"p1": "B"})])
+    assert spark.table(do.table.full_name).count() == 3
+
+
+def test_hive_multi_partition_full_pvs(spark, tmp_path):
+    """HiveTableDataObjectTest:96 — two-level layout with fully-bound pvs."""
+    do = _hive_do(tmp_path, spark, partitions=["p1", "p2"], analyze_table_after_write=True)
+    df = spark.createDataFrame(
+        [("A", "X", 1), ("A", "Y", 2)], "p1 string, p2 string, v int"
+    )
+    do.write_dataframe(df, [pv({"p1": "A", "p2": "X"}), pv({"p1": "A", "p2": "Y"})])
+    assert spark.table(do.table.full_name).count() == 2
+
+
+def test_hive_overwrite_only_one_partition(spark, tmp_path):
+    """HiveTableDataObjectTest:113 — overwriting pv=[B] keeps partition A."""
+    do = _hive_do(tmp_path, spark, partitions=["p"])
+    df1 = spark.createDataFrame([("A", 1), ("A", 2), ("B", 3), ("B", 4)], "p string, v int")
+    do.write_dataframe(df1, [pv({"p": "A"}), pv({"p": "B"})])
+    do.write_dataframe(spark.createDataFrame([("B", 5)], "p string, v int"), [pv({"p": "B"})])
+    got = sorted((r["p"], r["v"]) for r in do.get_dataframe(spark).collect())
+    assert got == [("A", 1), ("A", 2), ("B", 5)]
+
+
+def test_hive_overwrite_optimized_one_partition(spark, tmp_path):
+    """HiveTableDataObjectTest:139 — OverwriteOptimized with pv=[B]: delete
+    + append semantics, partition A intact."""
+    do = _hive_do(tmp_path, spark, partitions=["p"])
+    df1 = spark.createDataFrame([("A", 1), ("B", 3)], "p string, v int")
+    do.write_dataframe(df1, [pv({"p": "A"}), pv({"p": "B"})])
+    do.write_dataframe(
+        spark.createDataFrame([("B", 9)], "p string, v int"),
+        [pv({"p": "B"})],
+        save_mode=SaveMode.OVERWRITE_OPTIMIZED,
+    )
+    got = sorted((r["p"], r["v"]) for r in do.get_dataframe(spark).collect())
+    assert got == [("A", 1), ("B", 9)]
+
+
+def test_hive_create_and_list_partitions(spark, tmp_path):
+    """HiveTableDataObjectTest:165/181/198 — one-level, multi-level, and
+    declared-empty partition listing on the hive-table layout."""
+    one = _hive_do(tmp_path, spark, partitions=["p"])
+    one.write_dataframe(
+        spark.createDataFrame([("A", 1), ("B", 2)], "p string, v int"),
+        [pv({"p": "A"}), pv({"p": "B"})],
+    )
+    assert sorted(x.as_dict["p"] for x in one.list_partitions(spark)) == ["A", "B"]
+    multi = _hive_do(tmp_path, spark, partitions=["p1", "p2"])
+    multi.write_dataframe(
+        spark.createDataFrame([("A", "X", 1)], "p1 string, p2 string, v int"),
+        [pv({"p1": "A", "p2": "X"}), pv({"p1": "E", "p2": "MPTY"})],
+    )
+    listed = {tuple(sorted(x.as_dict.items())) for x in multi.list_partitions(spark)}
+    assert listed == {
+        (("p1", "A"), ("p2", "X")),
+        (("p1", "E"), ("p2", "MPTY")),  # declared-empty partition materialized
+    }
+
+
+def test_hive_read_nonexisting_path_fails(spark, tmp_path):
+    """HiveTableDataObjectTest:214 — no data, no table, no schema: reading
+    raises."""
+    do = _hive_do(tmp_path, spark)
+    with pytest.raises(Exception):
+        do.get_dataframe(spark).collect()
+
+
+def test_hive_path_required_if_table_missing(spark):
+    """HiveTableDataObjectTest:257 — an external hive DO without a path is a
+    construction error (managed mode is the explicit alternative)."""
+    with pytest.raises(ValueError):
+        HiveTableDataObject(id="nopath", table={"name": "nopath"})
+
+
+def test_hive_overwrite_optimized_requires_pvs(spark, tmp_path):
+    """HiveTableDataObjectTest:264 — same guard as the file layer."""
+    do = _hive_do(tmp_path, spark, partitions=["p1", "p2"], save_mode=SaveMode.OVERWRITE_OPTIMIZED)
+    df = spark.createDataFrame([("A", "X", 1)], "p1 string, p2 string, v int")
+    with pytest.raises(ProcessingLogicError):
+        do.write_dataframe(df, partition_values=[])
+
+
+# ---- HiveTableSchemaViolationTest.scala (10) ------------------------------
+
+
+def _hive_with_min(tmp_path, spark, schema_min):
+    return _hive_do(tmp_path, spark, schema_min=schema_min)
+
+
+def test_hive_schema_min_read_matrix(spark, tmp_path):
+    """HiveTableSchemaViolationTest:48-105 — read side: equal schema, equal
+    ignoring nullability, subset all valid; missing column and wrong type
+    raise."""
+    writer = _hive_do(tmp_path, spark)
+    df = spark.createDataFrame([(1, "a", 1.5)], "id int, name string, score double")
+    writer.write_dataframe(df)
+    path = writer.path
+    for ok_min in ("id int, name string, score double", "id int", "name string, id int"):
+        HiveTableDataObject(
+            id=writer.id, path=path, table={"name": writer.table.name}, schema_min=ok_min
+        ).get_dataframe(spark).collect()
+    for bad_min in ("missing string", "id string"):
+        with pytest.raises(SchemaViolationError):
+            HiveTableDataObject(
+                id=writer.id, path=path, table={"name": writer.table.name}, schema_min=bad_min
+            ).get_dataframe(spark)
+
+
+def test_hive_schema_min_read_ignores_nested_nullability(spark, tmp_path):
+    """HiveTableSchemaViolationTest:61 — nullability differences at nested
+    levels do not violate schemaMin."""
+    writer = _hive_do(tmp_path, spark)
+    df = spark.createDataFrame([(1, [1, 2])], "id int, nums array<int>")
+    writer.write_dataframe(df)
+    ok = HiveTableDataObject(
+        id=writer.id, path=writer.path, table={"name": writer.table.name},
+        schema_min=T.StructType(
+            [T.StructField("nums", T.ArrayType(T.IntegerType(), containsNull=False), False)]
+        ),
+    )
+    ok.get_dataframe(spark).collect()  # must not raise despite containsNull diff
+
+
+def test_hive_schema_min_write_matrix(spark, tmp_path):
+    """HiveTableSchemaViolationTest:122-211 — write side: same matrix,
+    including the managed (saveAsTable/insertInto) path."""
+    df = spark.createDataFrame([(1, "a", 1.5)], "id int, name string, score double")
+    for ok_min in ("id int, name string, score double", "id int", "name string, id int"):
+        _hive_with_min(tmp_path, spark, ok_min).write_dataframe(df)
+    for bad_min in ("missing string", "id string"):
+        with pytest.raises(SchemaViolationError):
+            _hive_with_min(tmp_path, spark, bad_min).write_dataframe(df)
+    # managed path validates too
+    n = next(_hive_seq)
+    managed = HiveTableDataObject(
+        id=f"hive_parity_{n}", managed=True, table={"name": f"hive_parity_{n}"},
+        schema_min="missing string",
+    )
+    with pytest.raises(SchemaViolationError):
+        managed.write_dataframe(df)
+
+
+def test_ticktock_empty_frame_from_schema_min(spark, tmp_path):
+    """TickTockHiveTableDataObjectTest:49 — a never-written table with a
+    schemaMin reads as an empty frame with that schema (snapshot-based
+    ParquetTable replaces TickTock's alternating paths)."""
+    do = ParquetTableDataObject(
+        id="tt", path=str(tmp_path / "tt"), schema_min="a int, b string"
+    )
+    out = do.get_dataframe(spark)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["a", "b"]
+
+
+# --------------------------------------------------------------------------
+# CustomDfDataObjectTest.scala (6) + CustomFileDataObjectTest (1)
+# --------------------------------------------------------------------------
+
+from smart_data_lake_spark.dataobjects.custom import (  # noqa: E402
+    ActionsExporterDataObject,
+    CustomDfDataObject,
+    CustomFileDataObject,
+    DataObjectsExporterDataObject,
+    PKViolatorsDataObject,
+)
+
+
+def _exec_creator(spark):
+    return spark.createDataFrame([("a", 1), ("b", 2)], "name string, cnt int")
+
+
+def test_custom_df_init_with_schema_method(spark):
+    """CustomDfDataObjectTest:35/60 — init phase with a schema method:
+    schema comes from the schema method, zero rows."""
+    do = CustomDfDataObject(
+        id="c", creator=_exec_creator,
+        schema_creator=lambda spark: "name string, cnt int",
+    )
+    out = do.get_dataframe(spark, phase="init")
+    assert [f.name for f in out.schema.fields] == ["name", "cnt"]
+    assert out.count() == 0
+
+
+def test_custom_df_exec_with_schema_method(spark):
+    """CustomDfDataObjectTest:48/73 — exec phase returns the exec creator's
+    rows and schema."""
+    do = CustomDfDataObject(
+        id="c", creator=_exec_creator,
+        schema_creator=lambda spark: "name string, cnt int",
+    )
+    out = do.get_dataframe(spark, phase="exec")
+    assert out.count() == 2
+
+
+def test_custom_df_no_schema_method(spark):
+    """CustomDfDataObjectTest:85/98 — without a schema method BOTH phases run
+    the exec creator."""
+    do = CustomDfDataObject(id="c", creator=_exec_creator)
+    assert do.get_dataframe(spark, phase="init").count() == 2
+    assert do.get_dataframe(spark, phase="exec").count() == 2
+
+
+def test_custom_file_input_stream_contents(tmp_path):
+    """CustomFileDataObjectTest:33 — the creator's bytes ARE the file."""
+    do = CustomFileDataObject(
+        id="cf", creator=lambda: b"hello-bytes", path=str(tmp_path), file_name="x.bin"
+    )
+    target = do.materialize()
+    with open(target, "rb") as fh:
+        assert fh.read() == b"hello-bytes"
+
+
+# --------------------------------------------------------------------------
+# PKViolatorsDataObjectTest.scala (3)
+# --------------------------------------------------------------------------
+
+from smart_data_lake_spark.config import InstanceRegistry  # noqa: E402
+from smart_data_lake_spark.dataobjects.memory import MockDataObject  # noqa: E402
+
+
+def _non_unique_with_null(spark):
+    return spark.createDataFrame(
+        [("0let", None), ("1let", "singlet"),
+         ("2let", "doublet"), ("2let", "doublet"),
+         ("3let", "triplet"), ("3let", "triplet"), ("3let", "triplet"),
+         ("4let", "quatriplet"), ("4let", "quatriplet"), ("4let", "quatriplet"), ("4let", "quatriplet")],
+        "id string, value string",
+    )
+
+
+def test_pk_violators_normal(spark):
+    """PKViolatorsDataObjectTest:44 — PK=id: one output row per violating
+    record (2+3+4=9), null id absent, key/other columns as KV arrays."""
+    reg = InstanceRegistry()
+    src = reg.register_data_object(MockDataObject(id="source_tableDO", primary_key=["id"]))
+    src.write_dataframe(_non_unique_with_null(spark))
+    out = PKViolatorsDataObject(id="pkViol", registry=reg, row_level=True).get_dataframe(spark)
+    rows = out.collect()
+    assert len(rows) == 9
+    ids = sorted(r["pk"][0]["value"] for r in rows)
+    assert ids == ["2let"] * 2 + ["3let"] * 3 + ["4let"] * 4
+    assert all(r["pk"][0]["name"] == "id" for r in rows)
+    assert all(r["other_columns"][0]["name"] == "value" for r in rows)
+    assert rows[0]["data_object_id"] == "source_tableDO"
+
+
+def test_pk_violators_null_values(spark):
+    """PKViolatorsDataObjectTest:72 — PK=(id,value): the null-valued key
+    row IS a violation; 2+3+4+1 = 10 rows, no other columns left."""
+    reg = InstanceRegistry()
+    src = reg.register_data_object(
+        MockDataObject(id="pk_id_valueDO", primary_key=["id", "value"])
+    )
+    src.write_dataframe(_non_unique_with_null(spark))
+    out = PKViolatorsDataObject(id="pkViol", registry=reg, row_level=True).get_dataframe(spark)
+    rows = out.collect()
+    assert len(rows) == 10
+    nulls = [r for r in rows if r["pk"][1]["value"] is None]
+    assert len(nulls) == 1 and nulls[0]["pk"][0]["value"] == "0let"
+    assert all(r["other_columns"] == [] for r in rows)
+
+
+def test_pk_violators_multiple_sources(spark):
+    """PKViolatorsDataObjectTest:101 — several registered sources: tables
+    without a PK are skipped, the rest union."""
+    reg = InstanceRegistry()
+    a = reg.register_data_object(MockDataObject(id="aDO", primary_key=["id"]))
+    a.write_dataframe(_non_unique_with_null(spark))
+    b = reg.register_data_object(MockDataObject(id="no_pkDO"))
+    b.write_dataframe(_non_unique_with_null(spark))
+    c = reg.register_data_object(MockDataObject(id="cDO", primary_key=["id", "value"]))
+    c.write_dataframe(_non_unique_with_null(spark))
+    out = PKViolatorsDataObject(id="pkViol", registry=reg, row_level=True).get_dataframe(spark)
+    per_source = {r["data_object_id"] for r in out.collect()}
+    assert per_source == {"aDO", "cDO"}  # no_pkDO skipped
+    assert out.count() == 9 + 10
+
+
+# --------------------------------------------------------------------------
+# ExportMetadataDataObjectTest.scala (4)
+# --------------------------------------------------------------------------
+
+
+def test_dataobjects_export_from_registry(spark, tmp_path):
+    """ExportMetadataDataObjectTest:28 — id, metadata name/description and
+    connectionId are exported from the live registry."""
+    from smart_data_lake_spark.dataobjects.file import HadoopFileConnection
+
+    reg = InstanceRegistry()
+    con = HadoopFileConnection(id="con1", path_prefix=str(tmp_path))
+    reg.register_connection("con1", con)
+    reg.register_data_object(
+        CsvFileDataObject(
+            id="do1", path="rel", connection=con,
+            metadata={"name": "Test DataObject", "description": "For Testing"},
+        )
+    )
+    df = DataObjectsExporterDataObject(id="exp", registry=reg).get_dataframe(spark)
+    row = df.first()
+    assert row["id"] == "do1"
+    assert row["name"] == "Test DataObject"
+    assert row["description"] == "For Testing"
+    assert row["connectionId"] == "con1"
+
+
+def test_dataobjects_export_from_config(spark, tmp_path):
+    """ExportMetadataDataObjectTest:45 — exporter pointed at a CONFIG FILE
+    parses it and exports the objects defined there."""
+    conf = tmp_path / "cfg.conf"
+    conf.write_text(
+        """
+        dataObjects {
+          testDataObjectFromConfig {
+            type = CsvFileDataObject
+            path = "%s/some.csv"
+            metadata { name = "Test DataObject From Config", description = "Loaded from a Test Config" }
+          }
+        }
+        actions {}
+        """
+        % tmp_path
+    )
+    df = DataObjectsExporterDataObject(id="exp", config=str(conf)).get_dataframe(spark)
+    row = df.first()
+    assert row["id"] == "testDataObjectFromConfig"
+    assert row["name"] == "Test DataObject From Config"
+    assert row["description"] == "Loaded from a Test Config"
+
+
+def test_actions_export_from_registry(spark, tmp_path):
+    """ExportMetadataDataObjectTest:59 — actions export with metadata."""
+    from smart_data_lake_spark.actions.copy import CopyAction
+
+    reg = InstanceRegistry()
+    reg.register_data_object(CsvFileDataObject(id="s", path=str(tmp_path / "s")))
+    reg.register_data_object(CsvFileDataObject(id="t", path=str(tmp_path / "t")))
+    CopyAction(  # self-registers via the registry argument
+        id="a1", input_id="s", output_id="t", registry=reg,
+        metadata={"name": "Test Action", "description": "For Testing"},
+    )
+    df = ActionsExporterDataObject(id="exp", registry=reg).get_dataframe(spark)
+    row = df.first()
+    assert row["id"] == "a1" and row["name"] == "Test Action"
+    assert row["input_ids"] == "s" and row["output_ids"] == "t"
+
+
+def test_actions_export_from_config(spark, tmp_path):
+    """ExportMetadataDataObjectTest:81 — actions exported from a config
+    location."""
+    conf = tmp_path / "cfg2.conf"
+    conf.write_text(
+        """
+        dataObjects {
+          s { type = CsvFileDataObject, path = "%(p)s/s" }
+          t { type = CsvFileDataObject, path = "%(p)s/t" }
+        }
+        actions {
+          actionFromConfig {
+            type = CopyAction
+            inputId = s
+            outputId = t
+            metadata { name = "Action From Config" }
+          }
+        }
+        """
+        % {"p": tmp_path}
+    )
+    df = ActionsExporterDataObject(id="exp", config=str(conf)).get_dataframe(spark)
+    row = df.first()
+    assert row["id"] == "actionFromConfig" and row["name"] == "Action From Config"
+
+
+# --------------------------------------------------------------------------
+# ExcelFileDataObjectTest.scala (4 scenarios; the HSSF .xls legacy binary
+# format is out of scope — the codec here is the OOXML .xlsx one, so the
+# skip/limit scenario runs on xlsx with the same options)
+# --------------------------------------------------------------------------
+
+import datetime as _dt  # noqa: E402
+
+from smart_data_lake_spark.dataobjects import ExcelFileDataObject  # noqa: E402
+from smart_data_lake_spark.dataobjects.xlsx import write_xlsx_bytes  # noqa: E402
+
+
+def _workbook(path, rows, columns=("a_a", "bb", "ccc", "dd", "e"), sheet="Sheet1"):
+    data = write_xlsx_bytes(list(columns), [list(r) for r in rows], sheet_name=sheet)
+    with open(path, "wb") as fh:
+        fh.write(data)
+
+
+def test_excel_date_and_types(spark, tmp_path):
+    """ExcelFileDataObjectTest:76 — a sheet with int/bool/date/timestamp/
+    string cells reads back with faithful values."""
+    target = tmp_path / "d.xlsx"
+    stamp = _dt.datetime(2018, 11, 5, 10, 50, 49)
+    _workbook(target, [(42, True, _dt.date(2018, 11, 5), stamp, "Lorem Ipsum")] * 3)
+    out = ExcelFileDataObject(id="x", path=str(target)).get_dataframe(spark)
+    rows = out.collect()
+    assert len(rows) == 3
+    r = rows[0]
+    assert r["a_a"] == 42 and r["bb"] is True and r["e"] == "Lorem Ipsum"
+    assert str(r["dd"]).startswith("2018-11-05 10:50:49")
+    assert rows[1] == rows[0]
+
+
+def test_excel_skip_and_limit_rows(spark, tmp_path):
+    """ExcelFileDataObjectTest:94 — rowLimit + start/end column return only
+    the wanted window."""
+    target = tmp_path / "s.xlsx"
+    _workbook(target, [(i, True, f"c{i}", f"d{i}", f"e{i}") for i in range(5)])
+    out = ExcelFileDataObject(
+        id="x", path=str(target), row_limit=1, start_column="A", end_column="E"
+    ).get_dataframe(spark)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["a_a"] == 0
+    narrowed = ExcelFileDataObject(
+        id="x", path=str(target), start_column="B", end_column="C"
+    ).get_dataframe(spark)
+    assert narrowed.columns == ["bb", "ccc"]
+
+
+def test_excel_multiple_workbooks_folder(spark, tmp_path):
+    """ExcelFileDataObjectTest:127 — a folder of workbooks reads as one
+    frame."""
+    d = tmp_path / "many"
+    d.mkdir()
+    _workbook(d / "w1.xlsx", [(1, True, "a", "b", "c")])
+    _workbook(d / "w2.xlsx", [(2, False, "d", "e", "f")])
+    out = ExcelFileDataObject(id="x", path=str(d)).get_dataframe(spark)
+    assert sorted(r["a_a"] for r in out.collect()) == [1, 2]
+
+
+def test_excel_partitioned_workbooks(spark, tmp_path):
+    """ExcelFileDataObjectTest:154 — workbooks under hive-style partition
+    dirs: partition column appended, partition filter prunes files."""
+    base = tmp_path / "pxl"
+    for p, v in (("A", 1), ("B", 2)):
+        (base / f"p={p}").mkdir(parents=True)
+        _workbook(base / f"p={p}" / "w.xlsx", [(v, True, "x", "y", "z")])
+    do = ExcelFileDataObject(id="x", path=str(base), partitions=["p"])
+    out = do.get_dataframe(spark)
+    got = sorted((r["p"], r["a_a"]) for r in out.collect())
+    assert got == [("A", 1), ("B", 2)]
+    only_b = do.get_dataframe(spark, [pv({"p": "B"})])
+    assert [(r["p"], r["a_a"]) for r in only_b.collect()] == [("B", 2)]
+
+
+# --------------------------------------------------------------------------
+# expectations/ValidateOnReadTest.scala (4) + UniqueKeyExpectationTest (2)
+# --------------------------------------------------------------------------
+
+from smart_data_lake_spark.expectations import (  # noqa: E402
+    ExpectationScope,
+    ExpectationValidationError,
+    SQLExpectation,
+    UniqueKeyExpectation,
+)
+
+
+def _validate_on_read_rig(spark, tmp_path, scope, on_source):
+    """Two-action chain src -> tgt1 -> tgt2; the countTest expectation sits
+    on src (pure source) or tgt1 (written by ca1) depending on `on_source`."""
+    from smart_data_lake_spark.actions.copy import CopyAction
+    from smart_data_lake_spark.subfeed import SparkSubFeed
+
+    reg = InstanceRegistry()
+    exp = [SQLExpectation(name="countTest", aggExpression="count(lastname)",
+                          expectation="> 5", scope=scope)]
+    src = reg.register_data_object(
+        MockDataObject(id="src1", expectations=exp if on_source else None)
+    )
+    tgt1 = reg.register_data_object(
+        MockDataObject(id="tgt1", expectations=None if on_source else exp)
+    )
+    reg.register_data_object(MockDataObject(id="tgt2"))
+    CopyAction(id="ca1", input_id="src1", output_id="tgt1", registry=reg)
+    ca2 = CopyAction(id="ca2", input_id="tgt1", output_id="tgt2", registry=reg)
+    df = spark.createDataFrame(
+        [("jonson", "rob", 5), ("doe", "bob", 3)], "lastname string, firstname string, rating int"
+    )
+    (src if on_source else tgt1).write_dataframe(df)
+    return reg, ca2, SparkSubFeed(data_object_id="tgt1", partition_values=[])
+
+
+@pytest.mark.parametrize("scope", [ExpectationScope.JOB, ExpectationScope.ALL])
+def test_dont_validate_on_read_when_object_is_an_output(spark, tmp_path, scope):
+    """ValidateOnReadTest:47/51 — tgt1 is ca1's output, so its expectations
+    are NOT validated when ca2 reads it; ca2 succeeds despite count<=5."""
+    reg, ca2, subfeed = _validate_on_read_rig(spark, tmp_path, scope, on_source=False)
+    assert reg.data_object_ids_to_validate_on_read() == []
+    assert not reg.should_validate_data_object_on_read("tgt1")
+    out = ca2.exec(spark, [subfeed])
+    assert out[0].metrics["count"] == 2  # succeeded
+
+
+@pytest.mark.parametrize("scope", [ExpectationScope.JOB, ExpectationScope.ALL])
+def test_validate_on_read_when_pure_source(spark, tmp_path, scope):
+    """ValidateOnReadTest:82/86 — an expectations-carrying PURE SOURCE is
+    validated on read: reading 2 rows violates count(lastname) > 5."""
+    from smart_data_lake_spark.actions.copy import CopyAction
+    from smart_data_lake_spark.subfeed import SparkSubFeed
+
+    reg = InstanceRegistry()
+    exp = [SQLExpectation(name="countTest", aggExpression="count(lastname)",
+                          expectation="> 5", scope=scope)]
+    src = reg.register_data_object(MockDataObject(id="src1", expectations=exp))
+    reg.register_data_object(MockDataObject(id="tgt1"))
+    ca1 = CopyAction(id="ca1", input_id="src1", output_id="tgt1", registry=reg)
+    src.write_dataframe(
+        spark.createDataFrame([("jonson", "rob", 5), ("doe", "bob", 3)],
+                              "lastname string, firstname string, rating int")
+    )
+    assert reg.should_validate_data_object_on_read("src1")
+    with pytest.raises(ExpectationValidationError):
+        ca1.exec(spark, [SparkSubFeed(data_object_id="src1", partition_values=[])])
+
+
+def test_unique_key_expectation_job_scope(spark, tmp_path):
+    """UniqueKeyExpectationTest:47 — PK-uniqueness expectation on the write:
+    unique data passes, a duplicate key fails the action."""
+    from smart_data_lake_spark.actions.copy import CopyAction
+    from smart_data_lake_spark.subfeed import SparkSubFeed
+
+    def rig(rows):
+        reg = InstanceRegistry()
+        src = reg.register_data_object(MockDataObject(id="s"))
+        reg.register_data_object(
+            MockDataObject(
+                id="t",
+                expectations=[
+                    UniqueKeyExpectation(name="pkTest", key_cols=["id"], expectation="= 1",
+                                         scope=ExpectationScope.JOB)
+                ],
+            )
+        )
+        a = CopyAction(id="a", input_id="s", output_id="t", registry=reg)
+        src.write_dataframe(spark.createDataFrame(rows, "id int, v string"))
+        return a
+
+    ok = rig([(1, "x"), (2, "y")])
+    ok.exec(spark, [SparkSubFeed(data_object_id="s", partition_values=[])])
+    bad = rig([(1, "x"), (1, "y")])
+    with pytest.raises(ExpectationValidationError):
+        bad.exec(spark, [SparkSubFeed(data_object_id="s", partition_values=[])])
+
+
+def test_unique_key_expectation_all_scope(spark, tmp_path):
+    """UniqueKeyExpectationTest:83 — scope=All checks uniqueness over the
+    WHOLE table after the write (appended duplicate across jobs fails)."""
+    from smart_data_lake_spark.actions.copy import CopyAction
+    from smart_data_lake_spark.subfeed import SparkSubFeed
+    from smart_data_lake_spark.save_modes import SaveMode as SM
+
+    reg = InstanceRegistry()
+    src = reg.register_data_object(MockDataObject(id="s"))
+    reg.register_data_object(
+        MockDataObject(
+            id="t",
+            expectations=[
+                UniqueKeyExpectation(name="pkTest", key_cols=["id"], expectation="= 1",
+                                     scope=ExpectationScope.ALL)
+            ],
+        )
+    )
+    a = CopyAction(id="a", input_id="s", output_id="t", registry=reg, save_mode=SM.APPEND)
+    src.write_dataframe(spark.createDataFrame([(1, "x")], "id int, v string"))
+    a.exec(spark, [SparkSubFeed(data_object_id="s", partition_values=[])])
+    # second job appends the same key -> whole-table uniqueness violated
+    src.write_dataframe(spark.createDataFrame([(1, "y")], "id int, v string"))
+    with pytest.raises(ExpectationValidationError):
+        a.exec(spark, [SparkSubFeed(data_object_id="s", partition_values=[])])
+
+
+# --------------------------------------------------------------------------
+# HousekeepingModeTest.scala — rows 1-2 (retention / archive-compaction on a
+# file DO) live in test_modes_and_quality + test_compaction; row 3 is the
+# HiveTableDataObject variant:
+# --------------------------------------------------------------------------
+
+
+def test_housekeeping_archive_compaction_hive_table(spark, tmp_path):
+    """HousekeepingModeTest:101 — PartitionArchiveCompactionMode attached to
+    a Hive table DO compacts/archives partitions through post_write."""
+    from smart_data_lake_spark.housekeeping import PartitionArchiveCompactionMode
+
+    mode = PartitionArchiveCompactionMode(
+        archive_partition_expression="map('p', concat('archive_', elements['p']))",
+        compact_partition_expression="false",
+    )
+    n = next(_hive_seq)
+    name = f"hive_parity_{n}"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    do = HiveTableDataObject(
+        id=name, path=str(tmp_path / name), table={"name": name},
+        partitions=["p"], housekeeping_mode=mode,
+    )
+    do.write_dataframe(
+        spark.createDataFrame([("A", 1), ("B", 2)], "p string, v int"),
+        [pv({"p": "A"}), pv({"p": "B"})],
+    )
+    mode.post_write(spark, do)
+    listed = sorted(x.as_dict["p"] for x in do.list_partitions(spark))
+    assert listed == ["archive_A", "archive_B"]
+    assert do.get_dataframe(spark).count() == 2
