@@ -1187,8 +1187,6 @@ class RawFileDataObject(SparkFileDataObject):
 
     format = "binaryFile"
 
-    _TOKEN_RE = re.compile(r"%([A-Za-z0-9_]+)(?::((?:[^%\\]|\\.)*))?%")
-
     def __init__(
         self,
         id: str,
@@ -1202,35 +1200,17 @@ class RawFileDataObject(SparkFileDataObject):
         super().__init__(id=id, path=path, **kwargs)
         self.custom_partition_layout = custom_partition_layout
         if custom_partition_layout is not None:
-            tokens = [m.group(1) for m in self._TOKEN_RE.finditer(custom_partition_layout)]
-            if not self.partitions:
-                raise ValueError(
-                    f"({id}) customPartitionLayout requires partitions to be defined"
-                )
-            if set(tokens) != set(self.partitions):
-                raise ValueError(
-                    f"({id}) customPartitionLayout tokens {sorted(set(tokens))} must "
-                    f"match partitions {sorted(self.partitions)}"
-                )
+            from smart_data_lake_spark.partitions import validate_layout_against_partitions
 
-    def _layout_regex(self):
-        """Compile the layout into a prefix regex with one named group per
-        partition token (default value pattern: anything but a path sep)."""
-        pattern, pos = "", 0
-        for m in self._TOKEN_RE.finditer(self.custom_partition_layout):
-            pattern += re.escape(self.custom_partition_layout[pos : m.start()])
-            value_re = m.group(2) or "[^/]+?"
-            pattern += f"(?P<{m.group(1)}>{value_re})"
-            pos = m.end()
-        pattern += re.escape(self.custom_partition_layout[pos:])
-        return re.compile(pattern)
+            validate_layout_against_partitions(custom_partition_layout, self.partitions, id)
 
     def extract_partition_values(self, file_path: str) -> PartitionValues | None:
         """Match the layout against the path relative to the DO root; None if
         the file does not conform (it is then not part of this object)."""
+        from smart_data_lake_spark.partitions import extract_partition_values_from_path
+
         rel = os.path.relpath(file_path, self.path).replace(os.sep, "/")
-        m = self._layout_regex().match(rel)
-        return PartitionValues.of(m.groupdict()) if m else None
+        return extract_partition_values_from_path(self.custom_partition_layout, rel)
 
     def get_file_refs(self, partition_values: list[PartitionValues] | None = None) -> list[str]:
         if self.custom_partition_layout is None:

@@ -191,8 +191,17 @@ class JdbcTableDataObject(DataObject, CanCreateDataFrame, CanWriteDataFrame, Can
         table: Table | dict | None = None,
         connection_options: dict | None = None,
         sql_executor: Callable[[str], Any] | None = None,
+        sql_query: Callable[[str], list] | None = None,
         supports_merge_statement: bool = True,
         connection: JdbcConnection | None = None,
+        pre_read_sql: str | None = None,
+        post_read_sql: str | None = None,
+        pre_write_sql: str | None = None,
+        post_write_sql: str | None = None,
+        partitions: list[str] | None = None,
+        virtual_partitions: bool = False,
+        incremental_output_expr: str | None = None,
+        direct_table_overwrite: bool = False,
         **kwargs: Any,
     ) -> None:
         super().__init__(id=id, **kwargs)
@@ -210,8 +219,86 @@ class JdbcTableDataObject(DataObject, CanCreateDataFrame, CanWriteDataFrame, Can
         self.url = url
         self.connection_options = connection_options or {}
         self.sql_executor = sql_executor
+        self.sql_query = sql_query
         self.supports_merge_statement = supports_merge_statement
+        # engine-side hook statements around read/write
+        # (JdbcTableDataObject.scala preReadSql/postReadSql/pre/postWriteSql)
+        self.pre_read_sql = pre_read_sql
+        self.post_read_sql = post_read_sql
+        self.pre_write_sql = pre_write_sql
+        self.post_write_sql = post_write_sql
+        # VIRTUAL partitions: JDBC tables have no physical layout — partition
+        # listing is a SELECT DISTINCT over the partition columns
+        # (JdbcTableDataObject.scala virtualPartitions)
+        self.partitions = partitions or []
+        self.virtual_partitions = virtual_partitions or bool(partitions)
+        # incremental output: compare-column high-watermark
+        # (JdbcTableDataObject.scala incrementalOutputExpr)
+        self.incremental_output_expr = incremental_output_expr
+        self._incremental_state: Any = None
+        # kept for config parity: overwrite is ALWAYS transactional
+        # delete+insert on the existing target here (see write_dataframe)
+        self.direct_table_overwrite = direct_table_overwrite
         self.save_mode = SaveMode.OVERWRITE
+
+    # ------------------------------------------------------------- utilities
+    def _query(self, sql: str) -> list:
+        """Run a result-returning statement through sql_query, falling back
+        to sql_executor + fetchall (DB-API cursors support it)."""
+        if self.sql_query is not None:
+            return list(self.sql_query(sql))
+        if self.sql_executor is None:
+            raise RuntimeError(f"({self.id}) no sql_query/sql_executor configured")
+        result = self.sql_executor(sql)
+        fetch = getattr(result, "fetchall", None)
+        if fetch is None:
+            raise RuntimeError(f"({self.id}) sql_executor result has no fetchall for {sql!r}")
+        return list(fetch())
+
+    @staticmethod
+    def _quote_ident(name: str) -> str:
+        """Quote an identifier when it is not a plain lowercase/uppercase
+        word (JdbcCatalog quoteCaseSensitiveColumn)."""
+        import re as _re
+
+        if _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name) and (name.islower() or name.isupper()):
+            return name
+        return '"' + name.replace('"', '""') + '"'
+
+    def is_table_existing(self, spark: SparkSession | None = None) -> bool:
+        """True for TABLES AND VIEWS — probed with a zero-row select, which
+        any engine resolves for both object kinds
+        (JdbcTableDataObjectTest:123)."""
+        try:
+            self._query(f"SELECT 1 FROM {self.table.full_name} WHERE 1=0")
+            return True
+        except Exception:
+            return False
+
+    def list_partitions(self, spark: SparkSession | None = None) -> list:
+        from smart_data_lake_spark.partitions import PartitionValues
+
+        if not self.partitions:
+            return []
+        cols = ", ".join(self._quote_ident(c) for c in self.partitions)
+        rows = self._query(
+            f"SELECT DISTINCT {cols} FROM {self.table.full_name} ORDER BY {cols}"
+        )
+        return [
+            PartitionValues.of(dict(zip(self.partitions, [str(v) for v in r]))) for r in rows
+        ]
+
+    # ------------------------------------------------------------ incremental
+    def set_state(self, state: Any) -> None:
+        self._incremental_state = state
+
+    def get_state(self) -> Any:
+        if self.incremental_output_expr is None:
+            return self._incremental_state
+        rows = self._query(
+            f"SELECT MAX({self.incremental_output_expr}) FROM {self.table.full_name}"
+        )
+        return rows[0][0] if rows and rows[0] else self._incremental_state
 
     @property
     def primary_key(self) -> list[str]:
@@ -243,8 +330,51 @@ class JdbcTableDataObject(DataObject, CanCreateDataFrame, CanWriteDataFrame, Can
             reader = reader.option(k, v)
         return reader
 
-    def get_dataframe(self, spark, partition_values=None):
+    def _load(self, spark: SparkSession) -> DataFrame:
+        """Engine read — overridable seam (test doubles swap the transport,
+        the surrounding read semantics stay in get_dataframe)."""
         return self._reader(spark).load()
+
+    def get_dataframe(self, spark, partition_values=None):
+        if self.pre_read_sql:
+            self.sql_executor(self.pre_read_sql)
+        df = self._load(spark)
+        if self.incremental_output_expr and self._incremental_state is not None:
+            from pyspark.sql import functions as F
+
+            df = df.where(F.expr(self.incremental_output_expr) > F.lit(self._incremental_state))
+        if partition_values:
+            from smart_data_lake_spark.partitions import apply_partition_filter
+
+            df = apply_partition_filter(df, partition_values)
+        if self.post_read_sql:
+            self.sql_executor(self.post_read_sql)
+        return df
+
+    def _target_columns(self) -> list[str] | None:
+        """Column names of the existing target table (zero-row probe), used
+        to realign a differently-ordered source by NAME before the
+        position-based engine insert (JdbcTableDataObjectTest:280)."""
+        if self.sql_query is None and self.sql_executor is None:
+            return None
+        try:
+            if self.sql_executor is not None:
+                cur = self.sql_executor(f"SELECT * FROM {self.table.full_name} WHERE 1=0")
+                desc = getattr(cur, "description", None)
+                if desc:
+                    return [d[0] for d in desc]
+        except Exception:
+            return None
+        return None
+
+    def _align_columns(self, df: DataFrame) -> DataFrame:
+        target_cols = self._target_columns()
+        if not target_cols:
+            return df
+        lower = {c.lower(): c for c in df.columns}
+        if set(lower) != {c.lower() for c in target_cols}:
+            return df  # schema evolution path handles mismatches
+        return df.select(*[lower[c.lower()] for c in target_cols])
 
     def _stage(self, df: DataFrame, staging: str) -> None:
         """Distributed write of the source into the staging table (spark jdbc
@@ -256,22 +386,75 @@ class JdbcTableDataObject(DataObject, CanCreateDataFrame, CanWriteDataFrame, Can
 
     def write_dataframe(self, df, partition_values=None, save_mode=None, merge_options=None):
         mode = save_mode or self.save_mode
-        if mode == SaveMode.MERGE:
-            return self.merge_dataframe_by_primary_key(df, merge_options)
-        if mode == SaveMode.OVERWRITE:
-            staging = self._staging_name()
-            self._stage(df, staging)
-            self._execute(build_transactional_overwrite_sqls(self.table.full_name, staging))
+        if self.pre_write_sql:
+            self.sql_executor(self.pre_write_sql)
+        try:
+            df = self._align_columns(df)
+            if mode == SaveMode.MERGE:
+                return self.merge_dataframe_by_primary_key(df, merge_options)
+            if mode == SaveMode.OVERWRITE:
+                staging = self._staging_name()
+                self._stage(df, staging)
+                if not self.is_table_existing():
+                    # first write: the staging copy simply becomes the table
+                    self._execute(
+                        [
+                            f"CREATE TABLE {self.table.full_name} AS SELECT * FROM {staging}",
+                            f"DROP TABLE {staging}",
+                        ]
+                    )
+                else:
+                    # delete+insert in ONE transaction: the target object is
+                    # never dropped, so grants/indexes/views on it survive —
+                    # this IS the directTableOverwrite contract
+                    # (JdbcTableDataObjectTest:294); concurrent readers never
+                    # observe a partial table
+                    self._execute(build_transactional_overwrite_sqls(self.table.full_name, staging))
+                return {}
+            writer = df.write.format("jdbc").option("url", self.url).option("dbtable", self.table.full_name)
+            for k, v in self.connection_options.items():
+                writer = writer.option(k, v)
+            writer.mode("append").save()
             return {}
-        writer = df.write.format("jdbc").option("url", self.url).option("dbtable", self.table.full_name)
-        for k, v in self.connection_options.items():
-            writer = writer.option(k, v)
-        writer.mode("append").save()
-        return {}
+        finally:
+            if self.post_write_sql:
+                self.sql_executor(self.post_write_sql)
 
-    def merge_dataframe_by_primary_key(self, df, merge_options=None):
+    _SQL_TYPES = {
+        "string": "VARCHAR",
+        "int": "INTEGER",
+        "bigint": "BIGINT",
+        "double": "DOUBLE",
+        "float": "REAL",
+        "boolean": "BOOLEAN",
+        "date": "DATE",
+        "timestamp": "TIMESTAMP",
+    }
+
+    def evolve_schema_for(self, df: DataFrame) -> list[str]:
+        """ALTER TABLE ADD COLUMN statements for source columns the target
+        lacks (merge + schema evolution, JdbcTableDataObjectTest:215).
+        Pure metadata DDL — no data movement."""
+        target_cols = self._target_columns()
+        if not target_cols:
+            return []
+        existing = {c.lower() for c in target_cols}
+        stmts = []
+        for f in df.schema.fields:
+            if f.name.lower() not in existing:
+                sql_type = self._SQL_TYPES.get(f.dataType.simpleString(), "VARCHAR")
+                stmts.append(
+                    f"ALTER TABLE {self.table.full_name} ADD COLUMN "
+                    f"{self._quote_ident(f.name)} {sql_type}"
+                )
+        return stmts
+
+    def merge_dataframe_by_primary_key(self, df, merge_options=None, allow_schema_evolution: bool = False):
         staging = self._staging_name()
         self._stage(df, staging)
+        if allow_schema_evolution:
+            for stmt in self.evolve_schema_for(df):
+                self.sql_executor(stmt)
         if self.supports_merge_statement:
             sqls = [build_merge_sql(self.table.full_name, staging, self.primary_key, df.columns, merge_options)]
         else:

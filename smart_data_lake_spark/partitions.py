@@ -78,3 +78,53 @@ def diff_partition_values(
     """Set-diff used by PartitionDiffMode (PartitionDiffMode.scala:61-197)."""
     out = set(output_pvs)
     return [pv for pv in input_pvs if pv not in out]
+
+
+# --------------------------------------------------------------------- layout
+# Custom partition layouts (util/hdfs/PartitionLayout.scala): partition
+# values encoded in file/dir NAMES via %col% / %col:regex% tokens, e.g.
+# "AB_%town%_%year:[0-9]+%" or "%date%/AB_%town%_%year:[0-9]+%". Shared by
+# RawFileDataObject and SFtpFileRefDataObject. Pure driver-side regex over
+# listings — metadata scale, never a data scan.
+
+import re as _re
+
+_LAYOUT_TOKEN_RE = _re.compile(r"%([A-Za-z0-9_]+)(?::((?:[^%\\]|\\.)*))?%")
+
+
+def layout_tokens(layout: str) -> list[str]:
+    """Partition column names named by the layout's tokens, in order."""
+    return [m.group(1) for m in _LAYOUT_TOKEN_RE.finditer(layout)]
+
+
+def layout_regex(layout: str):
+    """Compile the layout into a PREFIX regex with one named group per
+    token (default value pattern: anything but a path separator)."""
+    pattern, pos = "", 0
+    for m in _LAYOUT_TOKEN_RE.finditer(layout):
+        pattern += _re.escape(layout[pos : m.start()])
+        value_re = m.group(2) or "[^/]+?"
+        pattern += f"(?P<{m.group(1)}>{value_re})"
+        pos = m.end()
+    pattern += _re.escape(layout[pos:])
+    return _re.compile(pattern)
+
+
+def extract_partition_values_from_path(layout: str, rel_path: str) -> PartitionValues | None:
+    """Match the layout against a '/'-separated relative path; None when the
+    path does not conform (the file is then not part of the object)."""
+    m = layout_regex(layout).match(rel_path)
+    return PartitionValues.of(m.groupdict()) if m else None
+
+
+def validate_layout_against_partitions(layout: str, partitions: list[str], owner: str) -> None:
+    """The layout's tokens must exactly cover the declared partition columns
+    (RawFileDataObjectTest:53 'initialize')."""
+    tokens = layout_tokens(layout)
+    if not partitions:
+        raise ValueError(f"({owner}) customPartitionLayout requires partitions to be defined")
+    if set(tokens) != set(partitions):
+        raise ValueError(
+            f"({owner}) customPartitionLayout tokens {sorted(set(tokens))} must "
+            f"match partitions {sorted(partitions)}"
+        )

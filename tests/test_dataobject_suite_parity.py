@@ -1818,3 +1818,164 @@ def test_housekeeping_archive_compaction_hive_table(spark, tmp_path):
     listed = sorted(x.as_dict["p"] for x in do.list_partitions(spark))
     assert listed == ["archive_A", "archive_B"]
     assert do.get_dataframe(spark).count() == 2
+
+
+# --------------------------------------------------------------------------
+# JdbcTableDataObjectTest.scala (11 scenarios) — via the DuckDB contract
+# double (tests/jdbc_double.py): product semantics, embedded SQL engine
+# --------------------------------------------------------------------------
+
+import duckdb  # noqa: E402
+
+from tests.jdbc_double import DuckDbJdbcTableDataObject  # noqa: E402
+
+
+@pytest.fixture()
+def ddb():
+    con = duckdb.connect()
+    yield con
+    con.close()
+
+
+def _jdo(con, name="t1", **kw):
+    return DuckDbJdbcTableDataObject(id=name, con=con, table={"name": name, **kw.pop("tbl", {})}, **kw)
+
+
+def test_jdbc_write_and_read(spark, ddb):
+    """JdbcTableDataObjectTest:35 — overwrite write then read back."""
+    do = _jdo(ddb)
+    df = spark.createDataFrame([("ext", "doe", 5)], "type string, lastname string, rating int")
+    do.write_dataframe(df)
+    out = do.get_dataframe(spark)
+    assert [tuple(r) for r in out.collect()] == [("ext", "doe", 5)]
+
+
+def test_jdbc_case_insensitive_read(spark, ddb):
+    """JdbcTableDataObjectTest:47 — table name case differences resolve."""
+    do = _jdo(ddb, name="CaseTest")
+    do.write_dataframe(spark.createDataFrame([(1,)], "id int"))
+    lower = DuckDbJdbcTableDataObject(id="lc", con=ddb, table={"name": "casetest"})
+    assert lower.get_dataframe(spark).count() == 1
+
+
+def test_jdbc_pre_post_sql(spark, ddb):
+    """JdbcTableDataObjectTest:61 — pre/postReadSql and pre/postWriteSql run
+    around the respective operations."""
+    ddb.execute("CREATE TABLE log(evt VARCHAR)")
+    do = _jdo(
+        ddb,
+        pre_read_sql="INSERT INTO log VALUES ('preRead')",
+        post_read_sql="INSERT INTO log VALUES ('postRead')",
+        pre_write_sql="INSERT INTO log VALUES ('preWrite')",
+        post_write_sql="INSERT INTO log VALUES ('postWrite')",
+    )
+    do.write_dataframe(spark.createDataFrame([(1,)], "id int"))
+    do.get_dataframe(spark).collect()
+    evts = [r[0] for r in ddb.execute("SELECT evt FROM log").fetchall()]
+    assert evts == ["preWrite", "postWrite", "preRead", "postRead"]
+
+
+def test_jdbc_is_table_existing_includes_views(spark, ddb):
+    """JdbcTableDataObjectTest:123 — isTableExisting is true for views too."""
+    ddb.execute("CREATE TABLE base(id INTEGER)")
+    ddb.execute("CREATE VIEW v1 AS SELECT * FROM base")
+    assert _jdo(ddb, name="base").is_table_existing()
+    assert _jdo(ddb, name="v1").is_table_existing()
+    assert not _jdo(ddb, name="nope").is_table_existing()
+
+
+def test_jdbc_virtual_partitions(spark, ddb):
+    """JdbcTableDataObjectTest:153 — virtual partitions = SELECT DISTINCT
+    over the partition column."""
+    do = _jdo(ddb, partitions=["abc"])
+    do.write_dataframe(
+        spark.createDataFrame([("A", 1), ("B", 2), ("A", 3)], "abc string, v int")
+    )
+    assert [p.as_dict for p in do.list_partitions()] == [{"abc": "A"}, {"abc": "B"}]
+
+
+def test_jdbc_virtual_partitions_quoted_identifier(spark, ddb):
+    """JdbcTableDataObjectTest:170 — a mixed-case partition column is quoted
+    in the DISTINCT listing."""
+    ddb.execute('CREATE TABLE q1("Abc" VARCHAR, v INTEGER)')
+    ddb.execute("INSERT INTO q1 VALUES ('X', 1), ('Y', 2)")
+    do = _jdo(ddb, name="q1", partitions=["Abc"])
+    assert [p.as_dict for p in do.list_partitions()] == [{"Abc": "X"}, {"Abc": "Y"}]
+
+
+def test_jdbc_savemode_merge(spark, ddb):
+    """JdbcTableDataObjectTest:186 — merge updates matched keys and inserts
+    new ones (engine-side upsert SQL, staged)."""
+    do = _jdo(ddb, tbl={"primary_key": ["id"]})
+    do.write_dataframe(spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string"))
+    do.merge_dataframe_by_primary_key(
+        spark.createDataFrame([(2, "B"), (3, "c")], "id int, v string")
+    )
+    out = sorted(tuple(r) for r in do.get_dataframe(spark).collect())
+    assert out == [(1, "a"), (2, "B"), (3, "c")]
+
+
+def test_jdbc_merge_with_schema_evolution(spark, ddb):
+    """JdbcTableDataObjectTest:215 — merge with a NEW source column: the
+    target table is ALTERed, old rows read NULL."""
+    do = _jdo(ddb, tbl={"primary_key": ["id"]})
+    do.write_dataframe(spark.createDataFrame([(1, "a")], "id int, v string"))
+    do.merge_dataframe_by_primary_key(
+        spark.createDataFrame([(2, "b", 9.5)], "id int, v string, score double"),
+        allow_schema_evolution=True,
+    )
+    out = {r["id"]: (r["v"], r["score"]) for r in do.get_dataframe(spark).collect()}
+    assert out[1] == ("a", None) and out[2] == ("b", 9.5)
+
+
+def test_jdbc_incremental_output_mode(spark, ddb):
+    """JdbcTableDataObjectTest:247 — compare-column high watermark: state
+    from the first read filters the second to new rows only."""
+    do = _jdo(ddb, incremental_output_expr="id")
+    do.write_dataframe(spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string"))
+    do.set_state(None)
+    assert do.get_dataframe(spark).count() == 2
+    state = do.get_state()
+    assert state == 2
+    ddb.execute("INSERT INTO t1 VALUES (3, 'c')")
+    do.set_state(state)
+    rows = do.get_dataframe(spark).collect()
+    assert [r["id"] for r in rows] == [3]
+    assert do.get_state() == 3
+
+
+def test_jdbc_write_different_column_order(spark, ddb):
+    """JdbcTableDataObjectTest:280 — a source with permuted columns is
+    realigned BY NAME before the position-based insert."""
+    do = _jdo(ddb)
+    do.write_dataframe(spark.createDataFrame([(1, "a")], "id int, v string"))
+    do.write_dataframe(spark.createDataFrame([("b", 2)], "v string, id int"))
+    out = [tuple(r) for r in do.get_dataframe(spark).collect()]
+    assert out == [(2, "b")]
+
+
+def test_jdbc_direct_table_overwrite_keeps_object(spark, ddb):
+    """JdbcTableDataObjectTest:294 — overwrite never drops the target
+    object: a dependent view survives the rewrite."""
+    do = _jdo(ddb, direct_table_overwrite=True)
+    do.write_dataframe(spark.createDataFrame([(1, "a")], "id int, v string"))
+    ddb.execute("CREATE VIEW dep AS SELECT * FROM t1")
+    do.write_dataframe(spark.createDataFrame([(2, "b")], "id int, v string"))
+    assert ddb.execute("SELECT * FROM dep").fetchall() == [(2, "b")]
+
+
+def test_parquet_empty_sources_embedded_schema(spark, tmp_path):
+    """SparkFileDataObjectSchemaBehavior.readEmptySourcesWithEmbeddedSchema
+    (applied by ParquetFileDataObjectTest) — a zero-row parquet source reads
+    as an empty frame with the EMBEDDED schema (no user schema needed), and
+    a user-defined schema wins when given."""
+    do = ParquetFileDataObject(id="p", path=str(tmp_path / "p"))
+    do.write_dataframe(spark.createDataFrame([], "a int, b string"))
+    out = do.get_dataframe(spark)
+    assert out.count() == 0
+    assert [(f.name, f.dataType.simpleString()) for f in out.schema.fields] == [
+        ("a", "int"), ("b", "string"),
+    ]
+    user = ParquetFileDataObject(id="p2", path=do.path, schema="a int, b string, c double")
+    out2 = user.get_dataframe(spark)
+    assert out2.columns == ["a", "b", "c"] and out2.count() == 0
