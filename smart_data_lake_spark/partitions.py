@@ -35,7 +35,22 @@ class PartitionValues:
         return tuple(k for k, _ in self.values)
 
     def is_complete(self, partition_cols: list[str]) -> bool:
-        return set(self.keys) >= set(partition_cols)
+        """Keys cover EXACTLY the given partition columns
+        (Partition.scala isComplete, PartitionValuesTest:88)."""
+        return set(self.keys) == set(partition_cols)
+
+    def is_init_of(self, partition_cols: list[str]) -> bool:
+        """Keys form a PREFIX (init) of the given column order
+        (PartitionValuesTest:95)."""
+        n = len(self.keys)
+        return n <= len(partition_cols) and set(self.keys) == set(partition_cols[:n])
+
+    def is_included_in(self, other: "PartitionValues") -> bool:
+        """Every key-value pair of `other` is present here — this partition
+        lies inside the (possibly coarser) `other`
+        (PartitionValuesTest:103)."""
+        mine = self.as_dict
+        return all(k in mine and mine[k] == v for k, v in other.as_dict.items())
 
     def filter_expr(self) -> Column:
         """AND of col==value equality predicates (Partition.scala:41)."""
@@ -128,3 +143,44 @@ def validate_layout_against_partitions(layout: str, partitions: list[str], owner
             f"({owner}) customPartitionLayout tokens {sorted(set(tokens))} must "
             f"match partitions {sorted(partitions)}"
         )
+
+
+def partition_values_ordering(cols: list[str]):
+    """Sort key over the given column precedence; columns a partition lacks
+    are skipped, so sorting is stable on the available ones
+    (PartitionValues.getOrdering, PartitionValuesTest:26-70)."""
+
+    def key(pv: PartitionValues):
+        d = pv.as_dict
+        return tuple(d[c] for c in cols if c in d)
+
+    return key
+
+
+def check_expected_partition_values(
+    actual: list[PartitionValues], expected: list[PartitionValues]
+) -> list[PartitionValues]:
+    """Expected partitions with NO covering actual partition — empty means
+    everything expected is present. An actual pv covers an expected one when
+    it includes all of its key-value pairs, so coarser expectations match
+    finer actuals (PartitionValues.checkExpectedPartitionValues,
+    PartitionValuesTest:71)."""
+    return [e for e in expected if not any(a.is_included_in(e) for a in actual)]
+
+
+def render_partition_string(layout: str, pv: PartitionValues) -> str:
+    """Fill the layout's %col%/%col:regex% tokens with the partition's
+    values (PartitionValues.getPartitionString,
+    PartitionLayoutTest:33)."""
+    d = pv.as_dict
+
+    def sub(m):
+        return str(d[m.group(1)])
+
+    return _LAYOUT_TOKEN_RE.sub(sub, layout)
+
+
+def hadoop_partition_layout(cols: list[str]) -> str:
+    """The default hive layout as a token layout: `a=%a%/b=%b%/`
+    (HdfsUtil.getHadoopPartitionLayout, PartitionLayoutTest:49)."""
+    return "".join(f"{c}=%{c}%/" for c in cols)

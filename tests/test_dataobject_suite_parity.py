@@ -1979,3 +1979,127 @@ def test_parquet_empty_sources_embedded_schema(spark, tmp_path):
     user = ParquetFileDataObject(id="p2", path=do.path, schema="a int, b string, c double")
     out2 = user.get_dataframe(spark)
     assert out2.columns == ["a", "b", "c"] and out2.count() == 0
+
+
+# --------------------------------------------------------------------------
+# util/hdfs/PartitionLayoutTest.scala (5) + PartitionValuesTest.scala (6)
+# --------------------------------------------------------------------------
+
+from smart_data_lake_spark.partitions import (  # noqa: E402
+    check_expected_partition_values,
+    extract_partition_values_from_path,
+    hadoop_partition_layout,
+    layout_tokens,
+    partition_values_ordering,
+    render_partition_string,
+)
+
+_LAYOUT = "abc/date%date:[0-9]+-[0-9]+-[0-9]+%-%type%-"
+
+
+def test_layout_extract_tokens():
+    """PartitionLayoutTest:26 — token names in order."""
+    assert layout_tokens(_LAYOUT) == ["date", "type"]
+
+
+def test_layout_render_partition_string():
+    """PartitionLayoutTest:33 — pv + layout → concrete string."""
+    out = render_partition_string(_LAYOUT, pv({"date": "2000-01-01", "type": "ZZ"}))
+    assert out == "abc/date2000-01-01-ZZ-"
+
+
+def test_layout_extract_partition_values():
+    """PartitionLayoutTest:41 — parse values back out of a concrete path."""
+    got = extract_partition_values_from_path(_LAYOUT, "abc/date2000-01-01-ZZ-test.csv")
+    assert got.as_dict == {"date": "2000-01-01", "type": "ZZ"}
+
+
+def test_layout_hadoop_layout_roundtrip():
+    """PartitionLayoutTest:49 — the hive layout a=%a%/b=%b%/ extracts from
+    a standard partition path."""
+    layout = hadoop_partition_layout(["a", "b"])
+    got = extract_partition_values_from_path(layout, "a=1/b=2/test.csv")
+    assert got.as_dict == {"a": "1", "b": "2"}
+
+
+def test_layout_extract_fails_on_prefix_mismatch():
+    """PartitionLayoutTest:57 — a path not STARTING with the layout yields
+    no partition values (our None ≙ the reference's exception)."""
+    layout = hadoop_partition_layout(["a", "b"])
+    assert extract_partition_values_from_path(layout, "test/a=1/b=2/test.csv") is None
+
+
+def test_pv_sorting_one_column():
+    """PartitionValuesTest:26."""
+    pvs = [pv({"dt": "20181201"}), pv({"dt": "20170101"})]
+    assert sorted(pvs, key=partition_values_ordering(["dt"])) == [
+        pv({"dt": "20170101"}), pv({"dt": "20181201"}),
+    ]
+
+
+def test_pv_sorting_two_columns():
+    """PartitionValuesTest:35 — precedence order, stability on partial
+    orderings, tolerance of extra ordering columns."""
+    seq = [
+        pv({"dt": "20181201", "cnt": 2}),
+        pv({"cnt": 2, "dt": "20170101"}),
+        pv({"dt": "20181201", "cnt": 1}),
+    ]
+    assert sorted(seq, key=partition_values_ordering(["dt", "cnt"])) == [
+        pv({"dt": "20170101", "cnt": 2}),
+        pv({"dt": "20181201", "cnt": 1}),
+        pv({"dt": "20181201", "cnt": 2}),
+    ]
+    assert sorted(seq, key=partition_values_ordering(["cnt", "dt"])) == [
+        pv({"dt": "20181201", "cnt": 1}),
+        pv({"dt": "20170101", "cnt": 2}),
+        pv({"dt": "20181201", "cnt": 2}),
+    ]
+    # ordering on a subset keeps original relative order of ties
+    assert sorted(seq, key=partition_values_ordering(["dt"])) == [
+        pv({"dt": "20170101", "cnt": 2}),
+        pv({"dt": "20181201", "cnt": 2}),
+        pv({"dt": "20181201", "cnt": 1}),
+    ]
+    # extra (absent) ordering columns are ignored
+    assert sorted(seq, key=partition_values_ordering(["dt", "cnt", "test"])) == [
+        pv({"dt": "20170101", "cnt": 2}),
+        pv({"dt": "20181201", "cnt": 1}),
+        pv({"dt": "20181201", "cnt": 2}),
+    ]
+
+
+def test_pv_check_expected():
+    """PartitionValuesTest:71 — coverage of expected by actual, coarser
+    expectations matching finer actuals, asymmetry."""
+    p3 = [pv({"date": "20190101", "town": "NYC", "year": "2019"})]
+    p3a = [pv({"date": "20190101", "town": "NYC", "year": "2020"})]
+    p2 = [pv({"date": "20190101", "town": "NYC"})]
+    p1 = [pv({"date": "20190101"})]
+    assert check_expected_partition_values(p3, p3) == []
+    assert check_expected_partition_values(p3, p2) == []
+    assert check_expected_partition_values(p2, p3) != []
+    assert check_expected_partition_values(p3, p1) == []
+    assert check_expected_partition_values(p1, p3) != []
+    assert check_expected_partition_values(p3 + p3a, p3 + p3a) == []
+    assert check_expected_partition_values(p3 + p3a, p3) == []
+    assert check_expected_partition_values(p3, p3 + p3a) != []
+
+
+def test_pv_is_complete_init_included():
+    """PartitionValuesTest:88/95/103 — isComplete exact-cover, isInitOf
+    prefix rule, isIncludedIn pair containment."""
+    p = pv({"town": "NYC", "date": "20190101"})
+    assert p.is_complete(["town", "date"])
+    assert not p.is_complete(["town", "abc"])
+    assert not p.is_complete(["town"])
+    assert not p.is_complete(["abc"])
+    assert p.is_init_of(["town", "date"])
+    assert not p.is_init_of(["town", "abc"])
+    assert not p.is_init_of(["town"])
+    assert p.is_init_of(["town", "date", "abc"])
+    assert not p.is_init_of(["abc"])
+    assert p.is_included_in(pv({"date": "20190101"}))
+    assert not pv({"town": "NYC", "date": "20180101"}).is_included_in(pv({"date": "20190101"}))
+    assert not pv({"town": "NYC", "abc": "a"}).is_included_in(pv({"date": "20190101"}))
+    assert not pv({"town": "NYC", "abc": "20190101"}).is_included_in(pv({"date": "20190101"}))
