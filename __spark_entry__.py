@@ -2618,6 +2618,62 @@ def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negative_topk(emb, k=5).orderBy("anchor_id", "rank")
 
 
+def basket_lift_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining over order lines
+    (functions/analytics.cooccurrence_lift): part pairs co-ordered in the
+    same order, exact support counts + lift. The self-join is keyed on the
+    ORDER id (fan-out bounded by lines-per-order, single digits), item
+    counts broadcast — the plan a 100 TB basket analysis needs."""
+    from smart_data_lake_spark.functions.analytics import cooccurrence_lift
+
+    li = _t(spark, sf_dir, "lineitem")
+    return cooccurrence_lift(li, "l_orderkey", "l_partkey", min_pair_count=2, top_k=20)
+
+
+def rfm_segments_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (functions/analytics.rfm_segments):
+    recency/frequency/monetary quintile scores with customer-id tie-breaks,
+    aggregated per segment. One fact aggregate, three window ntiles over the
+    (small) customer dimension."""
+    from smart_data_lake_spark.functions.analytics import rfm_segments
+
+    orders = _t(spark, sf_dir, "orders")
+    return rfm_segments(orders)
+
+
+def trimmed_mean_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type mean of event values (functions/analytics
+    .trimmed_mean_by_group): rank-based 10% two-sided trim — no percentile
+    interpolation, so the kept row set is engine-identical; DECIMAL sum,
+    one double division."""
+    from smart_data_lake_spark.functions.analytics import trimmed_mean_by_group
+
+    ev = _t(spark, sf_dir, "events")
+    return trimmed_mean_by_group(ev, "event_type", "value", "event_id", trim_fraction=0.1)
+
+
+def mann_kendall_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend S statistic per event type over per-day
+    means (functions/analytics.mann_kendall_by_group): day-level sufficient
+    statistics, division-free cross-multiplied sign comparisons — S is an
+    exact integer; pairwise only over DAYS, never rows."""
+    from smart_data_lake_spark.functions.analytics import mann_kendall_by_group
+
+    ev = _t(spark, sf_dir, "events")
+    return mann_kendall_by_group(ev, "event_type", "ts", "value")
+
+
+def c4_quality_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-rule document screen (functions/quality.c4_quality_flags, Raffel
+    et al. 2020 §2.2): terminal-punctuation line counts, lorem-ipsum and
+    curly-brace flags, keep decision. Pure JVM map over the corpus scan —
+    integer/boolean outputs, zero shuffles."""
+    from smart_data_lake_spark.functions.quality import c4_quality_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    return c4_quality_flags(docs).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Registry order is the driver grading window: only the first 50
     # entries get a CORRECTNESS oracle row per round. r7 rotation (window
@@ -2782,6 +2838,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_forecast_by_type": holt_forecast_by_type,
         "streaming_sliding_counts": streaming_sliding_counts,
         "hard_negatives_embeddings": hard_negatives_embeddings,
+        # --- r7 continuation (still post-freeze → r8 rotation candidates)
+        "basket_lift_parts": basket_lift_parts,
+        "rfm_segments_customers": rfm_segments_customers,
+        "trimmed_mean_value_by_type": trimmed_mean_value_by_type,
+        "mann_kendall_trend_by_type": mann_kendall_trend_by_type,
+        "c4_quality_filter_docs": c4_quality_filter_docs,
     }
 
 # ---- oracle SQL builders (DuckDB dialect) --------------------------------
@@ -5174,4 +5236,81 @@ def oracle_sql() -> dict[str, str]:
                                                 ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
               FROM scored
             ) WHERE rank <= 5 ORDER BY anchor_id, rank""",
+        "basket_lift_parts": """
+            WITH items AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+            nb AS (SELECT COUNT(DISTINCT basket) AS n FROM items),
+            ic AS (SELECT item, COUNT(*) AS item_cnt FROM items GROUP BY item),
+            pairs AS (
+              SELECT a.item AS item_a, b.item AS item_b, CAST(COUNT(*) AS BIGINT) AS pair_cnt
+              FROM items a JOIN items b ON a.basket = b.basket AND a.item < b.item
+              GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+            SELECT p.item_a, p.item_b, p.pair_cnt,
+                   ca.item_cnt AS cnt_a, cb.item_cnt AS cnt_b,
+                   round(CAST(p.pair_cnt AS DOUBLE) * nb.n
+                         / (CAST(ca.item_cnt AS DOUBLE) * CAST(cb.item_cnt AS DOUBLE)), 6) AS lift
+            FROM pairs p, nb
+            JOIN ic ca ON ca.item = p.item_a
+            JOIN ic cb ON cb.item = p.item_b
+            ORDER BY p.pair_cnt DESC, p.item_a, p.item_b LIMIT 20""",
+        "rfm_segments_customers": """
+            WITH pc AS (
+              SELECT o_custkey, MAX(o_orderdate) AS rd, COUNT(*) AS freq,
+                     SUM(o_totalprice) AS mon
+              FROM orders GROUP BY o_custkey),
+            sc AS (
+              SELECT o_custkey, mon,
+                     CAST(NTILE(5) OVER (ORDER BY rd DESC, o_custkey) AS INT) AS r_score,
+                     CAST(NTILE(5) OVER (ORDER BY freq DESC, o_custkey) AS INT) AS f_score,
+                     CAST(NTILE(5) OVER (ORDER BY mon DESC, o_custkey) AS INT) AS m_score
+              FROM pc)
+            SELECT r_score, f_score, m_score, COUNT(*) AS n_customers,
+                   SUM(mon) AS segment_monetary
+            FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+        "trimmed_mean_value_by_type": """
+            WITH ranked AS (
+              SELECT event_type, value,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY value, event_id) AS rn,
+                     COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM events WHERE value IS NOT NULL),
+            kept AS (
+              SELECT * FROM ranked
+              WHERE rn > floor(n * 0.1) AND rn <= n - floor(n * 0.1))
+            SELECT event_type, COUNT(*) AS n_kept,
+                   round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                         / COUNT(*), 6) AS trimmed_mean
+            FROM kept GROUP BY event_type ORDER BY event_type""",
+        "mann_kendall_trend_by_type": """
+            WITH daily AS (
+              SELECT event_type, CAST(ts AS DATE) AS period,
+                     SUM(CAST(value AS DECIMAL(18,6))) AS s, COUNT(*) AS n
+              FROM events WHERE value IS NOT NULL
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT a.event_type,
+                     CASE WHEN b.s * a.n > a.s * b.n THEN 1
+                          WHEN b.s * a.n < a.s * b.n THEN -1 ELSE 0 END AS s
+              FROM daily a JOIN daily b
+                ON a.event_type = b.event_type AND a.period < b.period),
+            np AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_periods
+                   FROM daily GROUP BY event_type)
+            SELECT p.event_type, CAST(SUM(p.s) AS BIGINT) AS s_statistic, np.n_periods
+            FROM pairs p JOIN np ON np.event_type = p.event_type
+            GROUP BY p.event_type, np.n_periods ORDER BY p.event_type""",
+        "c4_quality_filter_docs": r"""
+            WITH flags AS (
+              SELECT doc_id,
+                CAST(len(list_filter(string_split(text, chr(10)),
+                                     x -> length(trim(x)) > 0)) AS INT) AS n_lines,
+                CAST(len(list_filter(string_split(text, chr(10)),
+                                     x -> length(trim(x)) > 0
+                                          AND regexp_matches(rtrim(x), '[.!?"]$'))) AS INT)
+                  AS n_terminal_lines,
+                contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+                contains(text, '{') AS has_curly_brace
+              FROM documents)
+            SELECT doc_id, n_lines, n_terminal_lines, has_lorem_ipsum, has_curly_brace,
+                   (n_terminal_lines >= 3 AND NOT has_lorem_ipsum AND NOT has_curly_brace)
+                     AS c4_keep
+            FROM flags ORDER BY doc_id""",
     }

@@ -719,3 +719,180 @@ def holt_linear_by_group(
         )
 
     return df.groupBy(group_col).applyInPandas(fit, out_schema)
+
+
+def cooccurrence_lift(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+    top_k: int = 20,
+) -> DataFrame:
+    """Market-basket association strength: for item pairs co-occurring in the
+    same basket, support counts and LIFT = P(a,b) / (P(a)·P(b)).
+
+    The basket self-join is keyed on the basket id with `item_a < item_b`,
+    so fan-out is bounded by items-per-basket squared (single digits for
+    order lines) — never item×item across baskets. Counts are exact
+    integers; lift is one double division of exact integers, rounded —
+    deterministic across engines. At 100 TB the same plan holds: the join
+    key is the basket id, co-partitioned by the shuffle, and the item-count
+    dimension broadcasts.
+    """
+    items = df.select(
+        F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+    ).distinct()
+    n_baskets = items.select("basket").distinct().count()
+    item_counts = items.groupBy("item").agg(F.count(F.lit(1)).alias("item_cnt"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(b, on=F.col("a.basket") == F.col("b.basket"))
+        .where(F.col("a.item") < F.col("b.item"))
+        .groupBy(F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .where(F.col("pair_cnt") >= min_pair_count)
+    )
+    scored = (
+        pairs.join(F.broadcast(item_counts.withColumnsRenamed({"item": "item_a", "item_cnt": "cnt_a"})), "item_a")
+        .join(F.broadcast(item_counts.withColumnsRenamed({"item": "item_b", "item_cnt": "cnt_b"})), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "pair_cnt",
+            "cnt_a",
+            "cnt_b",
+            F.round(
+                (F.col("pair_cnt").cast("double") * F.lit(float(n_baskets)))
+                / (F.col("cnt_a").cast("double") * F.col("cnt_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.desc("pair_cnt"), "item_a", "item_b").limit(top_k)
+
+
+def rfm_segments(
+    orders: DataFrame,
+    customer_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    n_tiles: int = 5,
+) -> DataFrame:
+    """RFM segmentation: per customer recency (latest order date), frequency
+    (order count) and monetary (DECIMAL spend sum), each scored into
+    `n_tiles` quantile bins, then aggregated per R-F-M segment.
+
+    One aggregate + three window ntiles over the customer dimension (small
+    relative to the fact table), with customer id as the deterministic
+    tie-break inside every ntile ordering. Output is segment-level — tiny.
+    """
+    per_customer = orders.groupBy(customer_col).agg(
+        F.max(date_col).alias("recency_date"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(amount_col).alias("monetary"),
+    )
+    w_r = Window.orderBy(F.desc("recency_date"), F.col(customer_col))
+    w_f = Window.orderBy(F.desc("frequency"), F.col(customer_col))
+    w_m = Window.orderBy(F.desc("monetary"), F.col(customer_col))
+    scored = per_customer.select(
+        F.col(customer_col),
+        F.col("monetary"),
+        F.ntile(n_tiles).over(w_r).alias("r_score"),
+        F.ntile(n_tiles).over(w_f).alias("f_score"),
+        F.ntile(n_tiles).over(w_m).alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("monetary").alias("segment_monetary"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+def trimmed_mean_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    trim_fraction: float = 0.1,
+    scale: int = 6,
+) -> DataFrame:
+    """Robust per-group mean: drop the lowest and highest `trim_fraction`
+    of rows BY RANK (floor(n·f) rows each side) and average the rest.
+
+    Rank-based trimming avoids percentile interpolation, whose semantics
+    differ across engines; with a total order (value, tiebreak) the kept
+    row set is identical everywhere, and the mean is an exact DECIMAL sum
+    over it divided once at the end. One window sort per group — a single
+    shuffle."""
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col), F.col(tiebreak_col))
+    ranked = (
+        df.where(F.col(value_col).isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(group_col)))
+        .withColumn("_cut", F.floor(F.col("_n") * F.lit(trim_fraction)))
+        .where((F.col("_rn") > F.col("_cut")) & (F.col("_rn") <= F.col("_n") - F.col("_cut")))
+    )
+    # DECIMAL sum (order-independent, cross-engine exact), ONE double
+    # division at the end — the same discipline as the other analytics ops
+    return (
+        ranked.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(
+                F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                scale,
+            ).alias("trimmed_mean"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def mann_kendall_by_group(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    value_col: str,
+    scale: int = 6,
+) -> DataFrame:
+    """Mann-Kendall trend S-statistic per group over per-period means:
+    S = Σ_{i<j} sign(x_j − x_i), the classic non-parametric monotone-trend
+    test (Mann 1945, Kendall 1975).
+
+    The series is first reduced to per-period (day) sufficient statistics —
+    an exact DECIMAL sum and an integer count. Comparing period means
+    s_i/n_i never divides: sign(x_j − x_i) = sign(s_j·n_i − s_i·n_j), a
+    cross-multiplication of exact numbers, so S is bit-identical on any
+    engine. The pairwise stage self-joins PERIODS within a group: quadratic
+    in the number of days (bounded), never in the row count."""
+    del scale  # kept for signature symmetry with the other analytics ops
+    daily = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(group_col, F.to_date(time_col).alias("period"))
+        .agg(
+            F.sum(F.col(value_col).cast("decimal(18,6)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    cross = F.col("b.s") * F.col("a.n") - F.col("a.s") * F.col("b.n")
+    pairs = a.join(
+        b,
+        on=(F.col(f"a.{group_col}") == F.col(f"b.{group_col}"))
+        & (F.col("a.period") < F.col("b.period")),
+    ).select(
+        F.col(f"a.{group_col}").alias(group_col),
+        F.when(cross > 0, F.lit(1)).when(cross < 0, F.lit(-1)).otherwise(F.lit(0)).alias("s"),
+    )
+    n_periods = daily.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_periods"))
+    return (
+        pairs.groupBy(group_col)
+        .agg(F.sum("s").cast("long").alias("s_statistic"))
+        .join(F.broadcast(n_periods), group_col)
+        .orderBy(group_col)
+    )

@@ -385,3 +385,34 @@ def bigram_logprob_score(
             "avg_bigram_logprob"
         ),
     )
+
+
+def c4_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4-style document quality screen (Raffel et al. 2020, §2.2 public
+    rules): per document — line count, lines ending in terminal punctuation,
+    the "lorem ipsum" placeholder flag, the curly-brace (code) flag, and the
+    keep decision: ≥3 terminal-punctuated lines, no lorem ipsum, no '{'.
+
+    Entirely JVM-side (split + filter + size + contains) — integer and
+    boolean outputs, no shuffle: a pure map over the corpus scan, the shape
+    a 100 TB pre-filter must have."""
+    col = F.col(text_col)
+    lines_arr = F.split(col, "\n")
+    non_empty = F.filter(lines_arr, lambda x: F.length(F.trim(x)) > 0)
+    terminal = F.filter(
+        non_empty,
+        lambda x: F.rtrim(x).rlike('[.!?"]$'),
+    )
+    lower = F.lower(col)
+    return df.select(
+        "doc_id",
+        F.size(non_empty).alias("n_lines"),
+        F.size(terminal).alias("n_terminal_lines"),
+        lower.contains("lorem ipsum").alias("has_lorem_ipsum"),
+        col.contains("{").alias("has_curly_brace"),
+        (
+            (F.size(terminal) >= 3)
+            & ~lower.contains("lorem ipsum")
+            & ~col.contains("{")
+        ).alias("c4_keep"),
+    )

@@ -147,6 +147,12 @@ def main(factor: int, only: list[str] | None = None) -> str:
         "holt_forecast_by_type",
         "streaming_sliding_counts",
         "hard_negatives_embeddings",
+        # r7 continuation (r8 rotation candidates)
+        "basket_lift_parts",
+        "rfm_segments_customers",
+        "trimmed_mean_value_by_type",
+        "mann_kendall_trend_by_type",
+        "c4_quality_filter_docs",
     ]
 
     from smart_data_lake_spark.session import release_persistent_rdds
