@@ -671,3 +671,66 @@ def test_holt_engine_exact(spark, series):
     want = sorted(tuple(r) for r in con.sql(entry.oracle_sql()["holt_forecast_by_type"]).fetchall())
     # exact: every smoothing step rounds floor(x*1e9+0.5)/1e9 in both engines
     assert got == want
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_vals)
+def test_trimmed_mean_engine_exact(spark, series):
+    """Rank-based trimming must keep the IDENTICAL row set in both engines
+    (total order on value,event_id) and the decimal-sum/single-division mean
+    must agree to the rounded digit."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from smart_data_lake_spark.functions.analytics import trimmed_mean_by_group
+
+    got = trimmed_mean_by_group(
+        _events_df(spark, series), "event_type", "value", "event_id"
+    ).collect()
+    con = duckdb.connect()
+    _duck_events(con, series)
+    want = con.sql(entry.oracle_sql()["trimmed_mean_value_by_type"]).fetchall()
+    assert len(got) == len(want) == 1
+    g, w = got[0], want[0]
+    assert g["n_kept"] == w[1]
+    assert g["trimmed_mean"] == pytest.approx(w[2], abs=0)  # bit-identical
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_vals)
+def test_mann_kendall_engine_exact(spark, series):
+    """S is an exact integer built from division-free cross-multiplied sign
+    comparisons — any engine divergence is a hard failure, no tolerance."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from smart_data_lake_spark.functions.analytics import mann_kendall_by_group
+
+    # spread the series over several days so the pairwise stage has work
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + (i % 7)), "g", float(v))
+        for i, v in enumerate(series)
+    ]
+    sdf = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    got = mann_kendall_by_group(sdf, "event_type", "ts", "value").collect()
+    con = duckdb.connect()
+    import pandas as pd
+
+    con.register(
+        "events",
+        pd.DataFrame(
+            {
+                "event_id": range(len(series)),
+                "ts": [dt.datetime(2024, 1, 1 + (i % 7)) for i in range(len(series))],
+                "event_type": ["g"] * len(series),
+                "value": [float(v) for v in series],
+            }
+        ),
+    )
+    want = con.sql(entry.oracle_sql()["mann_kendall_trend_by_type"]).fetchall()
+    assert len(got) == len(want) == 1
+    g, w = got[0], want[0]
+    assert g["s_statistic"] == w[1]
+    assert g["n_periods"] == w[2]
