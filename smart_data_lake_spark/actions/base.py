@@ -335,7 +335,7 @@ class DataFrameAction(Action):
             metrics["n_partitions"] = len(pvs) if pvs else None
             if isinstance(out_do, CanCreateDataFrame):
                 metrics.update(compute_scope_all_metrics_lazy(out_do, spark, exps))
-                metrics.update(self._job_partition_metrics(out_do, spark, pvs))
+                metrics.update(self._job_partition_metrics(out_do, spark, pvs, exps))
             from smart_data_lake_spark.expectations import compute_unobservable_job_metrics
 
             metrics.update(compute_unobservable_job_metrics(df, exps))
@@ -368,6 +368,15 @@ class DataFrameAction(Action):
             self.execution_mode.post_exec(
                 spark, self._do(self.main_input_id), self._do(mode_out_id), self.execution_mode_state
             )
+        # post-read lifecycle on inputs AFTER the exec reads have actually
+        # been consumed by the writes above (DataObject.postRead — e.g. a
+        # JDBC postReadSql archiving processed rows must not run while the
+        # lazy read is still pending)
+        for in_id in self.input_ids:
+            in_do = self._do(in_id)
+            hook = getattr(in_do, "post_read", None)
+            if hook is not None:
+                hook(spark, [])
         self.check_metrics_fail_condition()
         return out_subfeeds
 
@@ -590,16 +599,17 @@ class DataFrameAction(Action):
             dfs[in_id] = df
         return dfs
 
-    def _job_partition_metrics(self, out_do, spark, pvs):
+    def _job_partition_metrics(self, out_do, spark, pvs, expectations=None):
         from smart_data_lake_spark.expectations import ExpectationScope, compute_job_partition_metrics
 
-        if not any(e.scope == ExpectationScope.JOB_PARTITION for e in self.expectations):
+        exps = expectations if expectations is not None else self.expectations
+        if not any(e.scope == ExpectationScope.JOB_PARTITION for e in exps):
             return {}
         partition_cols = list(getattr(out_do, "partitions", []) or [])
         if not partition_cols and pvs:
             partition_cols = list(pvs[0].keys)
         df = out_do.get_dataframe(spark, pvs or None)
-        return compute_job_partition_metrics(df, self.expectations, partition_cols)
+        return compute_job_partition_metrics(df, exps, partition_cols)
 
     def _action_level_input_metrics(self, spark, dfs):
         """Input-side counts for action-level Completeness/TransferRate

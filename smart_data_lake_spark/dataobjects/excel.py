@@ -116,12 +116,17 @@ class ExcelFileDataObject(DataObject, CanCreateDataFrame, CanWriteDataFrame):
     def reader_options(self) -> dict[str, str]:
         """Options for the spark-excel distributed reader
         (ExcelFileDataObject.scala:56-73 option mapping)."""
-        # spark-excel dataAddress grammar: "<sheet>!<cell>" where sheet is a
-        # 0-based index or a quoted name; a bare integer is not a valid address
+        # spark-excel dataAddress grammar: "<sheet>!<cell>" (or a range) where
+        # sheet is a 0-based index or a quoted name; the start/end column
+        # window maps onto the range form "Sheet!B1:C1048576"
+        start = self.start_column or "A"
+        cell = f"{start}{self.header_row + 1}"
+        if self.end_column:
+            cell = f"{cell}:{self.end_column}1048576"
         address = (
-            f"'{self.sheet_name}'!A{self.header_row + 1}"
+            f"'{self.sheet_name}'!{cell}"
             if isinstance(self.sheet_name, str)
-            else f"{self.sheet_name}!A{self.header_row + 1}"
+            else f"{self.sheet_name}!{cell}"
         )
         return {
             "dataAddress": address,
@@ -166,10 +171,19 @@ class ExcelFileDataObject(DataObject, CanCreateDataFrame, CanWriteDataFrame):
 
     def get_dataframe(self, spark: SparkSession, partition_values=None) -> DataFrame:
         if self.use_spark_excel:
+            if self.partitions:
+                raise NotImplementedError(
+                    f"({self.id}) partitioned excel reads need the built-in "
+                    "codec (use_spark_excel=False) — spark-excel has no "
+                    "partition-dir discovery"
+                )
             reader = spark.read.format("excel").options(**self.reader_options())
             if self.schema:
                 reader = reader.schema(self.schema)
-            return reader.load(self.path)
+            df = reader.load(self.path)
+            if self.row_limit is not None:
+                df = df.limit(self.row_limit)
+            return df
         if _has_pandas_excel():
             return self._read_via_pandas(spark)  # pragma: no cover — openpyxl absent here
         return self._read_via_stdlib(spark, partition_values)
@@ -193,6 +207,31 @@ class ExcelFileDataObject(DataObject, CanCreateDataFrame, CanWriteDataFrame):
     def _read_via_stdlib(self, spark: SparkSession, partition_values=None) -> DataFrame:
         paths = self._paths(partition_values)
         if not paths:
+            if partition_values and self._paths(None):
+                # workbooks exist, just not for the requested partitions: an
+                # empty frame (schema known) or the DAG's no-data signal —
+                # a routine empty-partition read must not crash the run
+                if self.schema:
+                    target = (
+                        T.StructType.fromDDL(self.schema)
+                        if isinstance(self.schema, str)
+                        else self.schema
+                    )
+                    if self.partitions:
+                        target = T.StructType(
+                            list(target.fields)
+                            + [
+                                T.StructField(p, T.StringType())
+                                for p in self.partitions
+                                if p not in target.fieldNames()
+                            ]
+                        )
+                    return spark.createDataFrame([], target)
+                from smart_data_lake_spark.dataobjects.file import NoDataToProcessError
+
+                raise NoDataToProcessError(
+                    f"({self.id}) no workbooks for partitions {partition_values}"
+                )
             raise FileNotFoundError(f"({self.id}) no workbooks at {self.path}")
         # one driver-side peek for columns + types; executors decode the rest
         with open(paths[0], "rb") as fh:

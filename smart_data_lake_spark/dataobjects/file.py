@@ -1242,7 +1242,46 @@ class RawFileDataObject(SparkFileDataObject):
                 seen[tuple(sorted(fpv.as_dict.items()))] = fpv
         return list(seen.values())
 
+    _FIXED_SCHEMAS = {
+        "binaryFile": "path string, modificationTime timestamp, length long, content binary",
+        "text": "value string",
+    }
+
     def get_dataframe(self, spark, partition_values=None):
+        if self.custom_partition_layout is not None:
+            # name-encoded partitions have NO hive dirs for the base class's
+            # path pruning to find — resolve concrete files via the layout,
+            # read them grouped per partition, and attach the partition
+            # values as literal columns (bounded by #partitions, and each
+            # group read is a normal distributed scan)
+            groups: dict[tuple, list[str]] = {}
+            for f in self.get_file_refs(partition_values):
+                fpv = self.extract_partition_values(f)
+                if fpv is not None:
+                    groups.setdefault(tuple(sorted(fpv.as_dict.items())), []).append(f)
+            base_ddl = self._FIXED_SCHEMAS.get(self.format)
+            if not groups:
+                if base_ddl is None:
+                    raise NoDataToProcessError(
+                        f"({self.id}) no files match the partition layout for {partition_values}"
+                    )
+                empty_schema = T.StructType(
+                    list(T._parse_datatype_string(base_ddl).fields)
+                    + [T.StructField(p, T.StringType()) for p in self.partitions]
+                )
+                return spark.createDataFrame([], empty_schema)
+            parts = []
+            for key, files in sorted(groups.items()):
+                g = spark.read.format(self.format).options(**self._read_options()).load(files)
+                for col_name, value in key:
+                    g = g.withColumn(col_name, F.lit(value))
+                parts.append(g)
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+            if self.filename_column:
+                df = df.withColumn(self.filename_column, F.input_file_name())
+            return df
         df = super().get_dataframe(spark, partition_values)
         # binaryFile/text have source-fixed schemas; partition columns only
         # appear via directory discovery — add declared ones that are absent

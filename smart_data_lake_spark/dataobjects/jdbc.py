@@ -268,11 +268,18 @@ class JdbcTableDataObject(DataObject, CanCreateDataFrame, CanWriteDataFrame, Can
     def is_table_existing(self, spark: SparkSession | None = None) -> bool:
         """True for TABLES AND VIEWS — probed with a zero-row select, which
         any engine resolves for both object kinds
-        (JdbcTableDataObjectTest:123)."""
+        (JdbcTableDataObjectTest:123). The probe goes through sql_executor
+        directly (no fetchall needed) so executors that return nothing still
+        work; only the statement FAILING marks the table as absent."""
+        if self.sql_executor is None:
+            raise RuntimeError(f"({self.id}) existence probe needs a sql_executor")
         try:
-            self._query(f"SELECT 1 FROM {self.table.full_name} WHERE 1=0")
+            self.sql_executor(f"SELECT 1 FROM {self.table.full_name} WHERE 1=0")
             return True
         except Exception:
+            # engines raise engine-specific errors for unknown relations;
+            # a transient connection failure also lands here — callers on
+            # flaky links should probe via information_schema with sql_query
             return False
 
     def list_partitions(self, spark: SparkSession | None = None) -> list:
@@ -347,9 +354,16 @@ class JdbcTableDataObject(DataObject, CanCreateDataFrame, CanWriteDataFrame, Can
             from smart_data_lake_spark.partitions import apply_partition_filter
 
             df = apply_partition_filter(df, partition_values)
+        # post_read_sql is NOT run here: the frame is lazy, so a hook like
+        # "DELETE processed rows" would fire before Spark reads anything.
+        # The action layer invokes post_read() after the exec write completes.
+        return df
+
+    def post_read(self, spark: SparkSession, partition_values: list) -> None:
+        """postReadSql lifecycle — runs once the read has actually been
+        consumed (called by the action layer after exec)."""
         if self.post_read_sql:
             self.sql_executor(self.post_read_sql)
-        return df
 
     def _target_columns(self) -> list[str] | None:
         """Column names of the existing target table (zero-row probe), used
@@ -400,6 +414,25 @@ class JdbcTableDataObject(DataObject, CanCreateDataFrame, CanWriteDataFrame, Can
                     self._execute(
                         [
                             f"CREATE TABLE {self.table.full_name} AS SELECT * FROM {staging}",
+                            f"DROP TABLE {staging}",
+                        ]
+                    )
+                elif self.partitions and partition_values:
+                    # partition-scoped overwrite: delete ONLY the declared
+                    # virtual partitions, never the whole table — mirrors the
+                    # file layer's declared-partition semantics
+                    preds = " OR ".join(
+                        "("
+                        + " AND ".join(
+                            f"{self._quote_ident(k)} = '{v}'" for k, v in pv.as_dict.items()
+                        )
+                        + ")"
+                        for pv in partition_values
+                    )
+                    self._execute(
+                        [
+                            f"DELETE FROM {self.table.full_name} WHERE {preds}",
+                            f"INSERT INTO {self.table.full_name} SELECT * FROM {staging}",
                             f"DROP TABLE {staging}",
                         ]
                     )

@@ -206,7 +206,6 @@ class WebserviceFileDataObject(DataObject, CanCreateDataFrame, CanWriteDataFrame
         return {"records_written": n}
 
 
-@register_data_object_type
 class ODataResponseMemoryBuffer:
     """Driver-memory page buffer (ODataResponseBufferMemory,
     ODataResponseBuffer.scala): fine for small extracts; `switch_if_necessary`
@@ -252,6 +251,12 @@ class ODataResponseFileBuffer:
         self.temp_dir = temp_dir
         self._n = 0
         self.make_temp_dir_if_not_exists()
+        # a fresh extraction must not read a previous run's spill files:
+        # clear leftovers up front (the result DataFrame is lazy over this
+        # dir, so cleanup can't run right after the read either)
+        for f in os.listdir(self.temp_dir):
+            if f.startswith("page_") and f.endswith(".json"):
+                os.remove(os.path.join(self.temp_dir, f))
 
     def make_temp_dir_if_not_exists(self) -> None:
         os.makedirs(self.temp_dir, exist_ok=True)

@@ -368,10 +368,15 @@ def json_schema_to_schema(doc: dict[str, Any]) -> T.StructType:
     SchemaUtil.scala:352-357)."""
     defs = {**doc.get("definitions", {}), **doc.get("$defs", {})}
 
-    def resolve(node: dict[str, Any], seen: frozenset[str]) -> dict[str, Any]:
+    def resolve(
+        node: dict[str, Any], seen: frozenset[str]
+    ) -> tuple[dict[str, Any], frozenset[str]]:
+        """Chase $refs, ACCUMULATING the visited definition names so a
+        definition that (transitively) references itself is detected at any
+        nesting depth — not just on direct ref→ref chains."""
         ref = node.get("$ref")
         if not ref:
-            return node
+            return node, seen
         name = ref.split("/")[-1]
         if name in seen:
             raise SchemaProviderError(f"circular $ref {ref}")
@@ -380,7 +385,7 @@ def json_schema_to_schema(doc: dict[str, Any]) -> T.StructType:
         return resolve(defs[name], seen | {name})
 
     def convert(node: dict[str, Any], seen: frozenset[str] = frozenset()) -> T.DataType:
-        node = resolve(node, seen)
+        node, seen = resolve(node, seen)
         jtype = node.get("type", "object")
         if isinstance(jtype, list):  # e.g. ["string", "null"]
             jtype = next((t for t in jtype if t != "null"), "string")

@@ -1871,6 +1871,7 @@ def test_jdbc_pre_post_sql(spark, ddb):
     )
     do.write_dataframe(spark.createDataFrame([(1,)], "id int"))
     do.get_dataframe(spark).collect()
+    do.post_read(spark, [])  # the action layer fires this after exec reads
     evts = [r[0] for r in ddb.execute("SELECT evt FROM log").fetchall()]
     assert evts == ["preWrite", "postWrite", "preRead", "postRead"]
 
@@ -2103,3 +2104,88 @@ def test_pv_is_complete_init_included():
     assert not pv({"town": "NYC", "date": "20180101"}).is_included_in(pv({"date": "20190101"}))
     assert not pv({"town": "NYC", "abc": "a"}).is_included_in(pv({"date": "20190101"}))
     assert not pv({"town": "NYC", "abc": "20190101"}).is_included_in(pv({"date": "20190101"}))
+
+
+# --------------------------------------------------------------------------
+# Review-pass regressions (r7 continuation findings)
+# --------------------------------------------------------------------------
+
+
+def test_jdbc_partitioned_overwrite_keeps_other_partitions(spark, ddb):
+    """Finding: OVERWRITE with declared partition values must replace ONLY
+    those virtual partitions, never the whole table."""
+    do = _jdo(ddb, partitions=["p"])
+    do.write_dataframe(
+        spark.createDataFrame([("A", 1), ("B", 2)], "p string, v int")
+    )
+    do.write_dataframe(
+        spark.createDataFrame([("B", 9)], "p string, v int"),
+        partition_values=[pv({"p": "B"})],
+    )
+    got = sorted(tuple(r) for r in do.get_dataframe(spark).collect())
+    assert got == [("A", 1), ("B", 9)]
+
+
+def test_raw_layout_dataframe_read(spark, tmp_path):
+    """Finding: a layout-partitioned Raw DO must READ data frames too, with
+    partition values attached as columns, and an unmatched partition filter
+    yields an empty frame of the fixed schema."""
+    d = tmp_path / "rawdf"
+    d.mkdir()
+    (d / "AB_NYC_2019.csv").write_bytes(b"nyc-bytes")
+    (d / "AB_SFO_2020.csv").write_bytes(b"sfo-bytes")
+    do = RawFileDataObject(
+        id="t", path=str(d), partitions=["town", "year"],
+        custom_partition_layout="AB_%town%_%year:[0-9]+%",
+    )
+    out = do.get_dataframe(spark)
+    got = {(r["town"], r["year"], bytes(r["content"])) for r in out.collect()}
+    assert got == {("NYC", "2019", b"nyc-bytes"), ("SFO", "2020", b"sfo-bytes")}
+    only = do.get_dataframe(spark, [pv({"town": "NYC", "year": "2019"})])
+    assert [r["town"] for r in only.collect()] == ["NYC"]
+    empty = do.get_dataframe(spark, [pv({"town": "LAX", "year": "1999"})])
+    assert empty.count() == 0
+    assert {"path", "content", "town", "year"} <= set(empty.columns)
+
+
+def test_excel_empty_partition_read_no_crash(spark, tmp_path):
+    """Finding: reading an absent partition must not crash the run."""
+    base = tmp_path / "xlp"
+    (base / "p=A").mkdir(parents=True)
+    _workbook(base / "p=A" / "w.xlsx", [(1, True, "x", "y", "z")])
+    do = ExcelFileDataObject(
+        id="x", path=str(base), partitions=["p"],
+        schema="a_a bigint, bb boolean, ccc string, dd string, e string",
+    )
+    out = do.get_dataframe(spark, [pv({"p": "ZZZ"})])
+    assert out.count() == 0 and "p" in out.columns
+
+
+def test_do_level_job_partition_expectation_fires(spark, tmp_path):
+    """Finding: a JOB_PARTITION-scope expectation attached to the OUTPUT
+    DataObject (not the action) must be computed and validated."""
+    from smart_data_lake_spark.actions.copy import CopyAction
+    from smart_data_lake_spark.expectations import (
+        ExpectationScope,
+        ExpectationValidationError,
+        SQLExpectation,
+    )
+    from smart_data_lake_spark.subfeed import SparkSubFeed
+
+    reg = InstanceRegistry()
+    src = reg.register_data_object(MockDataObject(id="s"))
+    reg.register_data_object(
+        MockDataObject(
+            id="t", partitions=["p"],
+            expectations=[
+                SQLExpectation(
+                    name="minRows", aggExpression="count(*)", expectation="> 10",
+                    scope=ExpectationScope.JOB_PARTITION,
+                )
+            ],
+        )
+    )
+    a = CopyAction(id="a", input_id="s", output_id="t", registry=reg)
+    src.write_dataframe(spark.createDataFrame([("A", 1)], "p string, v int"))
+    with pytest.raises(ExpectationValidationError):
+        a.exec(spark, [SparkSubFeed(data_object_id="s", partition_values=[pv({"p": "A"})])])

@@ -490,3 +490,39 @@ def test_airbyte_serialization_roundtrip():
         msg = AirbyteDataObject.parse_protocol_message(line)
         again = AirbyteDataObject.parse_protocol_message(json.dumps(msg))
         assert again == msg
+
+
+def test_file_buffer_clears_stale_pages(spark, tmp_path):
+    """Review finding: a new extraction must not resurrect a previous run's
+    spill files from the same temp dir."""
+    d = tmp_path / "reuse"
+    first = ODataResponseFileBuffer(str(d))
+    first.add_response(PAGE1)
+    first.add_response(PAGE2)
+    second = ODataResponseFileBuffer(str(d))  # same configured dir, new run
+    second.add_response(PAGE2)
+    df = second.get_dataframe(spark, "id int, name string")
+    assert sorted(r["id"] for r in df.collect()) == [3]
+
+
+def test_json_schema_nested_self_reference_detected(tmp_path):
+    """Review finding: a definition referencing ITSELF through a property
+    must raise SchemaProviderError, not RecursionError."""
+    import json as _json
+
+    from smart_data_lake_spark import schema_providers as sp
+
+    doc = {
+        "type": "object",
+        "properties": {"root": {"$ref": "#/$defs/Node"}},
+        "$defs": {
+            "Node": {
+                "type": "object",
+                "properties": {"child": {"$ref": "#/$defs/Node"}},
+            }
+        },
+    }
+    f = tmp_path / "rec.json"
+    f.write_text(_json.dumps(doc))
+    with pytest.raises(sp.SchemaProviderError, match="circular"):
+        sp.parse_schema_spec(f"jsonschemafile#{f};")
