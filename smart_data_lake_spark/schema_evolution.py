@@ -58,17 +58,20 @@ def _widen(old: T.DataType, new: T.DataType) -> T.DataType:
 
 
 def _evolve_struct_type(old: T.StructType, new: T.StructType) -> T.StructType:
-    """Union of fields: new-side order first, deleted old fields appended
-    (ComplexTypeEvolution semantics)."""
-    old_by_name = {f.name: f for f in old.fields}
+    """Union of fields in the reference's ordering contract: OLD-side order
+    first (incl. deleted columns, kept with their old type), then the new
+    side's additions in new order (SchemaEvolution.scala sortResultsByOldDf;
+    SchemaEvolutionTest:161/389)."""
+    new_by_name = {f.name: f for f in new.fields}
     fields = []
-    for f_ in new.fields:
-        if f_.name in old_by_name:
-            fields.append(T.StructField(f_.name, _widen(old_by_name[f_.name].dataType, f_.dataType), True))
+    for f_ in old.fields:
+        if f_.name in new_by_name:
+            fields.append(T.StructField(f_.name, _widen(f_.dataType, new_by_name[f_.name].dataType), True))
         else:
             fields.append(T.StructField(f_.name, f_.dataType, True))
-    for f_ in old.fields:
-        if f_.name not in {x.name for x in new.fields}:
+    old_names = {x.name for x in old.fields}
+    for f_ in new.fields:
+        if f_.name not in old_names:
             fields.append(T.StructField(f_.name, f_.dataType, True))
     return T.StructType(fields)
 
@@ -80,18 +83,68 @@ class EvolutionResult:
     target_schema: T.StructType
 
 
-def evolve(old_df: DataFrame, new_df: DataFrame, ignore_old_deleted_columns: bool = False) -> EvolutionResult:
+def has_same_col_names_and_types(a: T.StructType, b: T.StructType) -> bool:
+    """Order-insensitive schema identity on (name, type) pairs
+    (SchemaEvolution.hasSameColNamesAndTypes, SchemaEvolutionTest:40-56)."""
+    return {(f.name, f.dataType) for f in a.fields} == {(f.name, f.dataType) for f in b.fields}
+
+
+def evolve(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    ignore_old_deleted_columns: bool = False,
+    cols_to_ignore: list[str] | None = None,
+) -> EvolutionResult:
     """Return both frames projected onto the evolved common schema
-    (SchemaEvolution.process, SchemaEvolution.scala:151-224)."""
-    target = _evolve_struct_type(old_df.schema, new_df.schema)
+    (SchemaEvolution.process, SchemaEvolution.scala:151-224).
+
+    `cols_to_ignore` are technical columns (dl_ts_captured, dl_hash, …):
+    they take no part in the evolution comparison and are re-appended at the
+    END of the result, after old-order columns and new columns
+    (SchemaEvolutionTest:321 'New columns and technical cols to ignore',
+    :389 output-ordering contract)."""
+    ignore = [c for c in (cols_to_ignore or [])]
+    ignore_set = {c.lower() for c in ignore}
+    old_data = old_df.drop(*[c for c in old_df.columns if c.lower() in ignore_set])
+    new_data = new_df.drop(*[c for c in new_df.columns if c.lower() in ignore_set])
+    target = _evolve_struct_type(old_data.schema, new_data.schema)
     if ignore_old_deleted_columns:
-        new_names = {f.name for f in new_df.schema.fields}
+        new_names = {f.name for f in new_data.schema.fields}
         target = T.StructType([f for f in target.fields if f.name in new_names])
+
+    old_out = project_to_schema(old_data, target)
+    new_out = project_to_schema(new_data, target)
+    if ignore:
+        old_kept = [c for c in old_df.columns if c.lower() in ignore_set]
+        new_kept = [c for c in new_df.columns if c.lower() in ignore_set]
+        if old_kept:
+            old_out = _project_with_ignored(old_df, target, old_kept)
+        if new_kept:
+            new_out = _project_with_ignored(new_df, target, new_kept)
     return EvolutionResult(
-        old_df=project_to_schema(old_df, target),
-        new_df=project_to_schema(new_df, target),
+        old_df=old_out,
+        new_df=new_out,
         target_schema=target,
     )
+
+
+def _project_with_ignored(df: DataFrame, target: T.StructType, kept: list[str]) -> DataFrame:
+    """Project onto the evolved schema and append the ignored technical
+    columns LAST (single select — row order preserved trivially)."""
+    have = {f.name: f for f in df.schema.fields}
+    cols = []
+    for f_ in target.fields:
+        if f_.name in have:
+            if have[f_.name].dataType == f_.dataType:
+                cols.append(F.col(f"`{f_.name}`"))
+            else:
+                cols.append(
+                    _cast_nested(F.col(f"`{f_.name}`"), have[f_.name].dataType, f_.dataType).alias(f_.name)
+                )
+        else:
+            cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
+    cols.extend(F.col(f"`{c}`") for c in kept)
+    return df.select(*cols)
 
 
 def project_to_schema(df: DataFrame, target: T.StructType) -> DataFrame:
