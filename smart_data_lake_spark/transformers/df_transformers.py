@@ -50,6 +50,14 @@ class SQLDfTransformer(DfTransformer):
         view = re.sub(r"[^A-Za-z0-9_]", "_", self.input_view_name)
         df.createOrReplaceTempView(view)
         sql = self.code.replace("%{inputViewName}", view)
+        input_id = (options or {}).get("input_id")
+        if input_id:
+            # per-input token %{inputViewName_<id>} AND the legacy bare
+            # view name <id> (SQLDfTransformerTest:56-70): both resolve to
+            # a registered temp view
+            safe_id = re.sub(r"[^A-Za-z0-9_]", "_", str(input_id))
+            df.createOrReplaceTempView(safe_id)
+            sql = sql.replace("%{inputViewName_" + str(input_id) + "}", safe_id)
         for k, v in (options or {}).items():
             sql = sql.replace("%{" + str(k) + "}", str(v))
         return spark.sql(sql)
@@ -76,7 +84,11 @@ class WhitelistTransformer(DfTransformer):
 
     def transform(self, spark, df, options=None):
         lower = {c.lower(): c for c in df.columns}
-        return df.select(*[lower[c.lower()] for c in self.column_whitelist if c.lower() in lower])
+        # backtick-quote: a kept column named e.g. `b.c` must not be parsed
+        # as a struct-field access (BlacklistTransformerTest:83 class of bug)
+        return df.select(
+            *[F.col(f"`{lower[c.lower()]}`") for c in self.column_whitelist if c.lower() in lower]
+        )
 
 
 @dataclass
@@ -88,7 +100,8 @@ class BlacklistTransformer(DfTransformer):
 
     def transform(self, spark, df, options=None):
         drop = {c.lower() for c in self.column_blacklist}
-        return df.select(*[c for c in df.columns if c.lower() not in drop])
+        # backtick-quote so surviving dotted names stay plain columns
+        return df.select(*[F.col(f"`{c}`") for c in df.columns if c.lower() not in drop])
 
 
 @dataclass
@@ -104,16 +117,39 @@ class AdditionalColumnsTransformer(DfTransformer):
 
 @dataclass
 class ConvertNullValuesTransformer(DfTransformer):
-    """Fill nulls: strings→value_for_string, numerics→value_for_number
-    (ConvertNullValuesTransformer.scala:38)."""
+    """Fill nulls: strings→value_for_string, numerics→value_for_number;
+    non-string/number columns are left alone. `include_columns` XOR
+    `exclude_columns` limits the scope, and both are validated against the
+    frame (case-insensitively) so a typo'd column name fails loudly
+    (ConvertNullValuesTransformer.scala:38, ConvertNullValuesTransformerTest
+    :41-285). `columns` is the legacy alias of include_columns."""
 
     columns: list[str] | None = None
+    include_columns: list[str] | None = None
+    exclude_columns: list[str] | None = None
     value_for_string: str = "na"
     value_for_number: int = -1
     name: str = "convert_nulls"
 
     def transform(self, spark, df, options=None):
-        cols = self.columns or df.columns
+        include = self.include_columns or self.columns
+        if include and self.exclude_columns:
+            raise ValueError(
+                f"({self.name}) includeColumns and excludeColumns are exclusive"
+            )
+        by_lower = {c.lower(): c for c in df.columns}
+        for declared in (include or []) + (self.exclude_columns or []):
+            if declared.lower() not in by_lower:
+                raise ValueError(
+                    f"({self.name}) column {declared!r} does not exist in {df.columns}"
+                )
+        if include:
+            cols = {by_lower[c.lower()] for c in include}
+        elif self.exclude_columns:
+            excluded = {by_lower[c.lower()] for c in self.exclude_columns}
+            cols = {c for c in df.columns if c not in excluded}
+        else:
+            cols = set(df.columns)
         str_cols = [f.name for f in df.schema.fields if f.name in cols and isinstance(f.dataType, T.StringType)]
         num_cols = [
             f.name
@@ -154,16 +190,27 @@ class DeduplicateTransformer(DfTransformer):
     shuffle on the PK; AQE handles skewed keys.
     """
 
-    primary_key: list[str]
+    primary_key: list[str] | None = None
     rank_expression: str | None = None
     name: str = "deduplicate"
 
     def transform(self, spark, df, options=None):
         from pyspark.sql import Window
 
+        pk = self.primary_key
+        if pk is None:
+            # pk detection from the OUTPUT table (the action supplies it);
+            # no pk anywhere is a configuration error
+            # (DeduplicateTransformerTest:126/:169)
+            pk = (options or {}).get("output_primary_key")
+        if not pk:
+            raise ValueError(
+                f"({self.name}) no primaryKey configured and the output "
+                "DataObject's table declares none"
+            )
         if self.rank_expression is None:
-            return df.dropDuplicates(self.primary_key)
-        w = Window.partitionBy(*self.primary_key).orderBy(F.expr(self.rank_expression).desc())
+            return df.dropDuplicates(pk)
+        w = Window.partitionBy(*pk).orderBy(F.expr(self.rank_expression).desc())
         return (
             df.withColumn("_dl_rn", F.row_number().over(w))
             .where(F.col("_dl_rn") == 1)
@@ -215,11 +262,24 @@ class StandardizeDatatypesTransformer(DfTransformer):
         return df.withColumns(casts) if casts else df
 
 
+def _load_crypt_class(path: str):
+    """Pluggable codec: a dotted path to a class with
+    `encrypt(value, key) -> str` / `decrypt(value, key) -> str`
+    (EncryptColumnsTransformer 'algorithm as class name',
+    EncryptColumnsTransformerTest:172). Python-UDF path — config-driven
+    edge logic, not for hot loops."""
+    import importlib
+
+    module_name, _, cls_name = path.rpartition(".")
+    return getattr(importlib.import_module(module_name), cls_name)()
+
+
 @dataclass
 class EncryptColumnsTransformer(DfTransformer):
-    """AES-GCM column encryption via Spark's built-in aes_encrypt
+    """AES column encryption via Spark's built-in aes_encrypt
     (EncryptColumnsTransformer.scala:43 uses a scala UDF; Spark ≥3.3 has it
-    native, keeping the hot path in the JVM)."""
+    native, keeping the hot path in the JVM). `algorithm` is GCM/ECB/CBC —
+    or a dotted class path for a custom codec (slow Python-UDF path)."""
 
     encrypt_columns: list[str]
     key: str = ""
@@ -227,6 +287,16 @@ class EncryptColumnsTransformer(DfTransformer):
     name: str = "encrypt_columns"
 
     def transform(self, spark, df, options=None):
+        if "." in self.algorithm:
+            codec = _load_crypt_class(self.algorithm)
+            key = self.key
+            fn = F.udf(lambda v: None if v is None else codec.encrypt(str(v), key))
+            return df.withColumns({c: fn(F.col(c)) for c in self.encrypt_columns})
+        if self.algorithm.upper() not in ("GCM", "CBC", "ECB"):
+            raise ValueError(
+                f"({self.name}) unsupported algorithm {self.algorithm!r} — "
+                "use GCM/CBC/ECB or a codec class path"
+            )
         key = F.lit(self.key.ljust(16)[:16].encode())
         mode = F.lit(self.algorithm)
         return df.withColumns(
@@ -247,6 +317,16 @@ class DecryptColumnsTransformer(DfTransformer):
     name: str = "decrypt_columns"
 
     def transform(self, spark, df, options=None):
+        if "." in self.algorithm:
+            codec = _load_crypt_class(self.algorithm)
+            key_str = self.key
+            fn = F.udf(lambda v: None if v is None else codec.decrypt(str(v), key_str))
+            return df.withColumns({c: fn(F.col(c)) for c in self.decrypt_columns})
+        if self.algorithm.upper() not in ("GCM", "CBC", "ECB"):
+            raise ValueError(
+                f"({self.name}) unsupported algorithm {self.algorithm!r} — "
+                "use GCM/CBC/ECB or a codec class path"
+            )
         key = F.lit(self.key.ljust(16)[:16].encode())
         mode = F.lit(self.algorithm)
         return df.withColumns(
