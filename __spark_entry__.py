@@ -2674,6 +2674,60 @@ def c4_quality_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_quality_flags(docs).orderBy("doc_id")
 
 
+def readability_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch Reading Ease per document (functions/text.flesch_reading_ease;
+    public Flesch 1948 formula with the standard vowel-group syllable
+    approximation): exact integer word/sentence/syllable counts, one fixed
+    arithmetic expression. Pure JVM regexp map — zero shuffles."""
+    from smart_data_lake_spark.functions.text import (
+        flesch_reading_ease,
+        syllable_count,
+        token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_words"),
+        F.greatest(F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1)).alias("n_sentences"),
+        syllable_count(F.col("text")).alias("n_syllables"),
+        flesch_reading_ease(F.col("text")).alias("flesch"),
+    ).orderBy("doc_id")
+
+
+def luhn_check_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn checksum validation at scale (functions/text.luhn_valid; ISO/IEC
+    7812 public algorithm) — the PII/data-quality primitive behind card-
+    number detection, run over deterministic 14-digit candidates derived
+    from order keys. In-row JVM array fold, no UDF; one tiny aggregate."""
+    from smart_data_lake_spark.functions.text import luhn_valid
+
+    orders = _t(spark, sf_dir, "orders")
+    cand = orders.select(
+        "o_orderpriority",
+        F.lpad(F.col("o_orderkey").cast("string"), 14, "5").alias("cand"),
+    )
+    return (
+        cand.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum(luhn_valid(F.col("cand")).cast("long")).alias("n_luhn_valid"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def seasonal_strength_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality strength per event type (functions/analytics
+    .seasonal_strength_by_group): one-way variance decomposition over exact
+    DECIMAL sufficient statistics — two combinable aggregates + a broadcast
+    join, scan-bound."""
+    from smart_data_lake_spark.functions.analytics import seasonal_strength_by_group
+
+    ev = _t(spark, sf_dir, "events")
+    return seasonal_strength_by_group(ev, "event_type", "ts", "value")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # Registry order is the driver grading window: only the first 50
     # entries get a CORRECTNESS oracle row per round. r7 rotation (window
@@ -2844,6 +2898,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trimmed_mean_value_by_type": trimmed_mean_value_by_type,
         "mann_kendall_trend_by_type": mann_kendall_trend_by_type,
         "c4_quality_filter_docs": c4_quality_filter_docs,
+        "readability_docs": readability_docs,
+        "luhn_check_orders": luhn_check_orders,
+        "seasonal_strength_value_by_type": seasonal_strength_value_by_type,
     }
 
 # ---- oracle SQL builders (DuckDB dialect) --------------------------------
@@ -5313,4 +5370,59 @@ def oracle_sql() -> dict[str, str]:
                    (n_terminal_lines >= 3 AND NOT has_lorem_ipsum AND NOT has_curly_brace)
                      AS c4_keep
             FROM flags ORDER BY doc_id""",
+        "readability_docs": rf"""
+            WITH counts AS (
+              SELECT doc_id,
+                CAST({_NTOK} AS INT) AS n_words,
+                CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS INT)
+                  AS n_sentences,
+                CAST(greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')),
+                              {_NTOK}) AS INT) AS n_syllables
+              FROM documents)
+            SELECT doc_id, n_words, n_sentences, n_syllables,
+                   CASE WHEN n_words > 0 THEN
+                     round(206.835
+                           - 1.015 * CAST(n_words AS DOUBLE) / n_sentences
+                           - 84.6 * CAST(n_syllables AS DOUBLE) / n_words, 2)
+                   END AS flesch
+            FROM counts ORDER BY doc_id""",
+        "luhn_check_orders": """
+            WITH cand AS (
+              SELECT o_orderpriority,
+                     lpad(CAST(o_orderkey AS VARCHAR), 14, '5') AS c
+              FROM orders),
+            checked AS (
+              SELECT o_orderpriority,
+                     (len(ds) > 1 AND
+                      list_sum(list_transform(range(1, len(ds)+1),
+                        i -> CASE WHEN (i-1) % 2 = 1
+                                  THEN CASE WHEN CAST(ds[i] AS INT)*2 > 9
+                                            THEN CAST(ds[i] AS INT)*2-9
+                                            ELSE CAST(ds[i] AS INT)*2 END
+                                  ELSE CAST(ds[i] AS INT) END)) % 10 = 0) AS ok
+              FROM (SELECT o_orderpriority,
+                           list_filter(string_split(reverse(c), ''), x -> x != '') AS ds
+                    FROM cand))
+            SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+                   CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_luhn_valid
+            FROM checked GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+        "seasonal_strength_value_by_type": """
+            WITH base AS (
+              SELECT event_type, dayofweek(ts) + 1 AS dow,
+                     CAST(value AS DECIMAL(18,6)) AS x
+              FROM events WHERE value IS NOT NULL),
+            per_dow AS (
+              SELECT event_type, dow, SUM(x) AS s, COUNT(*) AS n
+              FROM base GROUP BY 1, 2),
+            per_group AS (
+              SELECT event_type, SUM(x) AS st, SUM(x * x) AS sq, COUNT(*) AS nt
+              FROM base GROUP BY 1)
+            SELECT g.event_type, CAST(g.nt AS BIGINT) AS n_obs,
+                   round((SUM(CAST(d.s AS DOUBLE) * CAST(d.s AS DOUBLE) / d.n)
+                          - CAST(g.st AS DOUBLE) * CAST(g.st AS DOUBLE) / g.nt)
+                         / (CAST(g.sq AS DOUBLE)
+                            - CAST(g.st AS DOUBLE) * CAST(g.st AS DOUBLE) / g.nt), 6)
+                     AS seasonal_strength
+            FROM per_dow d JOIN per_group g ON g.event_type = d.event_type
+            GROUP BY g.event_type, g.nt, g.st, g.sq ORDER BY g.event_type""",
     }

@@ -896,3 +896,55 @@ def mann_kendall_by_group(
         .join(F.broadcast(n_periods), group_col)
         .orderBy(group_col)
     )
+
+
+def seasonal_strength_by_group(
+    df: DataFrame,
+    group_col: str,
+    time_col: str,
+    value_col: str,
+    scale: int = 6,
+) -> DataFrame:
+    """Day-of-week seasonality strength per group: the share of value
+    variance explained by the day-of-week profile,
+    between-group sum of squares / total sum of squares (a one-way
+    variance decomposition — Hyndman's seasonal-strength idea restricted
+    to the weekday factor so it stays SQL-exact).
+
+    Two combinable aggregates (per (group, dow) and per group) + one
+    broadcast join; every sum is DECIMAL, the final ratio is a single
+    double division, rounded. Scan-bound at any scale."""
+    base = df.where(F.col(value_col).isNotNull()).select(
+        group_col,
+        F.dayofweek(time_col).alias("dow"),
+        F.col(value_col).cast("decimal(18,6)").alias("x"),
+    )
+    per_dow = base.groupBy(group_col, "dow").agg(
+        F.sum("x").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    per_group = base.groupBy(group_col).agg(
+        F.sum("x").alias("st"),
+        F.sum(F.col("x") * F.col("x")).alias("sq"),
+        F.count(F.lit(1)).alias("nt"),
+    )
+    # SS_total = Σx² − (Σx)²/N ; SS_between = Σ_dow (s_d²/n_d) − (Σx)²/N —
+    # one double conversion per exact decimal sufficient statistic
+    joined = per_dow.join(F.broadcast(per_group), group_col)
+    return (
+        joined.groupBy(group_col, "st", "sq", "nt")
+        .agg(
+            F.sum(
+                (F.col("s").cast("double") * F.col("s").cast("double")) / F.col("n")
+            ).alias("ss_dow")
+        )
+        .select(
+            F.col(group_col),
+            F.col("nt").alias("n_obs"),
+            F.round(
+                (F.col("ss_dow") - F.col("st").cast("double") * F.col("st").cast("double") / F.col("nt"))
+                / (F.col("sq").cast("double") - F.col("st").cast("double") * F.col("st").cast("double") / F.col("nt")),
+                scale,
+            ).alias("seasonal_strength"),
+        )
+        .orderBy(group_col)
+    )

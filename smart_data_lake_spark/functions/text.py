@@ -255,3 +255,52 @@ def bpe_merge_candidates(
         .orderBy(F.desc("n_occurrences"), "pair")
         .limit(top_n)
     )
+
+
+def syllable_count(col: Column) -> Column:
+    """Approximate syllables = vowel GROUPS per word (the standard Flesch
+    approximation): count maximal [aeiouy]+ runs, minimum 1 per word.
+    JVM regexp_count — zero shuffles."""
+    groups = F.regexp_count(F.lower(col), F.lit(r"[aeiouy]+"))
+    words = token_count(col)
+    # every word has at least one syllable even without vowels ("tsk")
+    return F.greatest(groups, words)
+
+
+def flesch_reading_ease(col: Column, scale: int = 2) -> Column:
+    """Flesch Reading Ease (Flesch 1948, public formula):
+    206.835 − 1.015·(words/sentences) − 84.6·(syllables/words).
+    Sentences = terminal-punctuation runs (min 1). All three counts are
+    exact integers; the score is a fixed arithmetic expression over them,
+    rounded — deterministic across engines."""
+    words = token_count(col)
+    sentences = F.greatest(F.regexp_count(col, F.lit(r"[.!?]+")), F.lit(1))
+    syllables = syllable_count(col)
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * words.cast("double") / sentences.cast("double")
+        - F.lit(84.6) * syllables.cast("double") / words.cast("double")
+    )
+    return F.when(words > 0, F.round(score, scale))
+
+
+def luhn_valid(digits_col: Column) -> Column:
+    """Luhn checksum over a digit string (public algorithm, ISO/IEC 7812):
+    double every second digit from the right, subtract 9 when >9, valid iff
+    the sum is divisible by 10. Pure in-row `aggregate` over the reversed
+    digit array — JVM-side, no UDF."""
+    ds = F.reverse(F.split(digits_col, ""))
+    ds = F.filter(ds, lambda x: x != "")
+    total = F.aggregate(
+        F.zip_with(
+            ds,
+            F.sequence(F.lit(0), F.greatest(F.size(ds) - 1, F.lit(0))),
+            lambda d, i: F.when(
+                i % 2 == 1,
+                F.when(d.cast("int") * 2 > 9, d.cast("int") * 2 - 9).otherwise(d.cast("int") * 2),
+            ).otherwise(d.cast("int")),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (F.size(ds) > 1) & (total % 10 == 0)

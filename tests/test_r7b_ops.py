@@ -121,3 +121,54 @@ def test_basket_lift_plan_broadcasts_item_counts(spark, sf_dir):
     out = cooccurrence_lift(li, "l_orderkey", "l_partkey", min_pair_count=2, top_k=5)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # item-count dims broadcast, no extra shuffle
+
+
+def test_flesch_reading_ease_known_values(spark):
+    from smart_data_lake_spark.functions.text import flesch_reading_ease, syllable_count
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran."), (2, ""), (3, "Extraordinary vocabulary necessitates comprehension.")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        syllable_count(F.col("text")).alias("syl"),
+        flesch_reading_ease(F.col("text")).alias("score"),
+    ).collect()}
+    # 6 one-syllable words, 2 sentences: 206.835 - 1.015*3 - 84.6*1 = 119.19
+    assert out[1]["syl"] == 6 and out[1]["score"] == pytest.approx(119.19)
+    assert out[2]["score"] is None  # empty text -> no score
+    assert out[3]["score"] < out[1]["score"]  # polysyllabic text reads harder
+
+
+def test_luhn_valid_known_numbers(spark):
+    from smart_data_lake_spark.functions.text import luhn_valid
+
+    df = spark.createDataFrame(
+        [("4539578763621486",), ("1234567812345678",), ("79927398713",), ("0",)],
+        "num string",
+    )
+    got = [r[0] for r in df.select(luhn_valid(F.col("num"))).collect()]
+    # first and third are canonical Luhn-valid test numbers; single digit is not a candidate
+    assert got == [True, False, True, False]
+
+
+def test_seasonal_strength_extremes(spark):
+    from smart_data_lake_spark.functions.analytics import seasonal_strength_by_group
+
+    import datetime as dt
+
+    # perfectly weekly signal: value depends ONLY on the weekday -> strength ~1
+    weekly = [
+        ("w", dt.datetime(2024, 1, 1 + d) + dt.timedelta(hours=h), float((d % 7) * 10))
+        for d in range(28) for h in (1, 13)
+    ]
+    # constant-per-day noise-free aperiodic ramp -> strength well below 1
+    ramp = [
+        ("r", dt.datetime(2024, 1, 1 + d), float(d)) for d in range(28)
+    ]
+    df = spark.createDataFrame(weekly + ramp, "event_type string, ts timestamp, value double")
+    out = {r["event_type"]: r["seasonal_strength"] for r in
+           seasonal_strength_by_group(df, "event_type", "ts", "value").collect()}
+    assert out["w"] == pytest.approx(1.0, abs=1e-6)
+    assert out["r"] < 0.2

@@ -153,6 +153,9 @@ def main(factor: int, only: list[str] | None = None) -> str:
         "trimmed_mean_value_by_type",
         "mann_kendall_trend_by_type",
         "c4_quality_filter_docs",
+        "readability_docs",
+        "luhn_check_orders",
+        "seasonal_strength_value_by_type",
     ]
 
     from smart_data_lake_spark.session import release_persistent_rdds
