@@ -5376,8 +5376,10 @@ def oracle_sql() -> dict[str, str]:
                 CAST({_NTOK} AS INT) AS n_words,
                 CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS INT)
                   AS n_sentences,
-                CAST(greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')),
-                              {_NTOK}) AS INT) AS n_syllables
+                CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                     + ({_NTOK}
+                        - len(list_filter({_TOKS}, x -> regexp_matches(x, '[aeiouy]'))))
+                  AS INT) AS n_syllables
               FROM documents)
             SELECT doc_id, n_words, n_sentences, n_syllables,
                    CASE WHEN n_words > 0 THEN
@@ -5408,7 +5410,7 @@ def oracle_sql() -> dict[str, str]:
             FROM checked GROUP BY o_orderpriority ORDER BY o_orderpriority""",
         "seasonal_strength_value_by_type": """
             WITH base AS (
-              SELECT event_type, dayofweek(ts) + 1 AS dow,
+              SELECT event_type, CAST(floor(epoch(ts) / 86400.0) AS BIGINT) % 7 AS dow,
                      CAST(value AS DECIMAL(18,6)) AS x
               FROM events WHERE value IS NOT NULL),
             per_dow AS (

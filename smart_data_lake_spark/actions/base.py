@@ -599,6 +599,21 @@ class DataFrameAction(Action):
             dfs[in_id] = df
         return dfs
 
+    def transformer_context(self, input_id: str, output_id: str) -> dict:
+        """Context options every transformer run gets regardless of the
+        action class: the input id (SQL view-name tokens) and the OUTPUT
+        table's primary key (DeduplicateTransformer pk detection). Merged
+        BELOW mode options so an execution mode can override."""
+        ctx: dict = {"input_id": input_id}
+        try:
+            out_do = self._do(output_id)
+            pk = getattr(getattr(out_do, "table", None), "primary_key", None)
+            if pk:
+                ctx["output_primary_key"] = list(pk)
+        except Exception:  # noqa: BLE001 — registry-less unit usage
+            pass
+        return ctx
+
     def _job_partition_metrics(self, out_do, spark, pvs, expectations=None):
         from smart_data_lake_spark.expectations import ExpectationScope, compute_job_partition_metrics
 

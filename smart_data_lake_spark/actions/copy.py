@@ -40,19 +40,11 @@ class CopyAction(DataFrameAction):
         return [self.output_id]
 
     def transform(self, spark: SparkSession, dfs: dict[str, DataFrame]) -> dict[str, DataFrame]:
-        # context options every transformer can rely on: the input id (SQL
-        # view-name tokens) and the OUTPUT table's primary key (Deduplicate
-        # Transformer's pk detection, DeduplicateTransformerTest:169)
-        ctx: dict = {"input_id": self.input_id}
-        try:
-            out_do = self._do(self.output_id)
-            pk = getattr(getattr(out_do, "table", None), "primary_key", None)
-            if pk:
-                ctx["output_primary_key"] = list(pk)
-        except Exception:  # noqa: BLE001 — registry-less unit usage
-            pass
         df = apply_df_transformers(
-            spark, dfs[self.input_id], self.transformers, options={**ctx, **self.mode_options}
+            spark,
+            dfs[self.input_id],
+            self.transformers,
+            options={**self.transformer_context(self.input_id, self.output_id), **self.mode_options},
         )
         return {self.output_id: df}
 

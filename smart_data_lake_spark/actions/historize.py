@@ -97,7 +97,10 @@ class HistorizeAction(DataFrameAction):
 
     def transform(self, spark: SparkSession, dfs: dict[str, DataFrame]) -> dict[str, DataFrame]:
         df = apply_df_transformers(
-            spark, dfs[self.input_id], self.transformers, options=self.mode_options
+            spark,
+            dfs[self.input_id],
+            self.transformers,
+            options={**self.transformer_context(self.input_id, self.output_id), **self.mode_options},
         )
         pks = self._pks()
         ref_ts = self.reference_timestamp or now_utc()

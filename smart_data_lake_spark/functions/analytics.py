@@ -914,9 +914,13 @@ def seasonal_strength_by_group(
     Two combinable aggregates (per (group, dow) and per group) + one
     broadcast join; every sum is DECIMAL, the final ratio is a single
     double division, rounded. Scan-bound at any scale."""
+    # tz-FREE weekday: epoch-day mod 7 — F.dayofweek reads the session
+    # timezone, which would shift midnight-adjacent events to a different
+    # weekday under a non-UTC session and diverge from the oracle. The dow
+    # is only a grouping key, so any consistent epoch-anchored mapping works.
     base = df.where(F.col(value_col).isNotNull()).select(
         group_col,
-        F.dayofweek(time_col).alias("dow"),
+        (F.floor(F.col(time_col).cast("double") / F.lit(86400.0)) % 7).alias("dow"),
         F.col(value_col).cast("decimal(18,6)").alias("x"),
     )
     per_dow = base.groupBy(group_col, "dow").agg(

@@ -259,12 +259,13 @@ def bpe_merge_candidates(
 
 def syllable_count(col: Column) -> Column:
     """Approximate syllables = vowel GROUPS per word (the standard Flesch
-    approximation): count maximal [aeiouy]+ runs, minimum 1 per word.
-    JVM regexp_count — zero shuffles."""
+    approximation): count maximal [aeiouy]+ runs, minimum 1 PER WORD — a
+    vowel-less token ("tsk") contributes one syllable without eating into
+    other words' counts. JVM regexp ops — zero shuffles."""
     groups = F.regexp_count(F.lower(col), F.lit(r"[aeiouy]+"))
     words = token_count(col)
-    # every word has at least one syllable even without vowels ("tsk")
-    return F.greatest(groups, words)
+    words_with_vowels = F.size(F.filter(tokens(col), lambda x: x.rlike("[aeiouy]")))
+    return groups + (words - words_with_vowels)
 
 
 def flesch_reading_ease(col: Column, scale: int = 2) -> Column:
@@ -285,11 +286,15 @@ def flesch_reading_ease(col: Column, scale: int = 2) -> Column:
 
 
 def luhn_valid(digits_col: Column) -> Column:
-    """Luhn checksum over a digit string (public algorithm, ISO/IEC 7812):
-    double every second digit from the right, subtract 9 when >9, valid iff
-    the sum is divisible by 10. Pure in-row `aggregate` over the reversed
-    digit array — JVM-side, no UDF."""
-    ds = F.reverse(F.split(digits_col, ""))
+    """Luhn checksum (public algorithm, ISO/IEC 7812): strip the customary
+    space/dash separators, require the remainder to be ALL digits (anything
+    else is False, never NULL — a data-quality filter must partition rows
+    cleanly), then: double every second digit from the right, subtract 9
+    when >9, valid iff the sum is divisible by 10. Pure in-row `aggregate`
+    over the reversed digit array — JVM-side, no UDF."""
+    cleaned = F.regexp_replace(digits_col, r"[ \-]", "")
+    is_digits = cleaned.rlike(r"^[0-9]{2,}$")
+    ds = F.reverse(F.split(cleaned, ""))
     ds = F.filter(ds, lambda x: x != "")
     total = F.aggregate(
         F.zip_with(
@@ -303,4 +308,4 @@ def luhn_valid(digits_col: Column) -> Column:
         F.lit(0),
         lambda acc, x: acc + x,
     )
-    return (F.size(ds) > 1) & (total % 10 == 0)
+    return F.when(is_digits, total % 10 == 0).otherwise(F.lit(False))

@@ -105,6 +105,17 @@ def evolve(
     :389 output-ordering contract)."""
     ignore = [c for c in (cols_to_ignore or [])]
     ignore_set = {c.lower() for c in ignore}
+    # ignored technical columns present on BOTH sides must agree on type —
+    # they bypass evolution, so a silent type conflict would surface only as
+    # a downstream union failure (reference asserts the same)
+    old_types = {f.name.lower(): f.dataType for f in old_df.schema.fields}
+    new_types = {f.name.lower(): f.dataType for f in new_df.schema.fields}
+    for c in ignore_set & set(old_types) & set(new_types):
+        if old_types[c] != new_types[c]:
+            raise ValueError(
+                f"cols_to_ignore column {c!r} has conflicting types: "
+                f"{old_types[c].simpleString()} vs {new_types[c].simpleString()}"
+            )
     old_data = old_df.drop(*[c for c in old_df.columns if c.lower() in ignore_set])
     new_data = new_df.drop(*[c for c in new_df.columns if c.lower() in ignore_set])
     target = _evolve_struct_type(old_data.schema, new_data.schema)
@@ -112,45 +123,25 @@ def evolve(
         new_names = {f.name for f in new_data.schema.fields}
         target = T.StructType([f for f in target.fields if f.name in new_names])
 
-    old_out = project_to_schema(old_data, target)
-    new_out = project_to_schema(new_data, target)
-    if ignore:
-        old_kept = [c for c in old_df.columns if c.lower() in ignore_set]
-        new_kept = [c for c in new_df.columns if c.lower() in ignore_set]
-        if old_kept:
-            old_out = _project_with_ignored(old_df, target, old_kept)
-        if new_kept:
-            new_out = _project_with_ignored(new_df, target, new_kept)
+    def projected(df: DataFrame) -> DataFrame:
+        kept = [c for c in df.columns if c.lower() in ignore_set]
+        return project_to_schema(df, target, append_cols=kept)
+
     return EvolutionResult(
-        old_df=old_out,
-        new_df=new_out,
+        old_df=projected(old_df),
+        new_df=projected(new_df),
         target_schema=target,
     )
 
 
-def _project_with_ignored(df: DataFrame, target: T.StructType, kept: list[str]) -> DataFrame:
-    """Project onto the evolved schema and append the ignored technical
-    columns LAST (single select — row order preserved trivially)."""
-    have = {f.name: f for f in df.schema.fields}
-    cols = []
-    for f_ in target.fields:
-        if f_.name in have:
-            if have[f_.name].dataType == f_.dataType:
-                cols.append(F.col(f"`{f_.name}`"))
-            else:
-                cols.append(
-                    _cast_nested(F.col(f"`{f_.name}`"), have[f_.name].dataType, f_.dataType).alias(f_.name)
-                )
-        else:
-            cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
-    cols.extend(F.col(f"`{c}`") for c in kept)
-    return df.select(*cols)
-
-
-def project_to_schema(df: DataFrame, target: T.StructType) -> DataFrame:
+def project_to_schema(
+    df: DataFrame, target: T.StructType, append_cols: list[str] | None = None
+) -> DataFrame:
     """Project/cast a frame onto a target schema, adding missing columns as
     null and recursively casting nested types. Struct-to-struct cast handles
-    the nested rebuild inside Catalyst (no UDF)."""
+    the nested rebuild inside Catalyst (no UDF). `append_cols` (technical
+    columns excluded from evolution) are passed through verbatim at the END
+    — one select, so both paths share the cast logic."""
     have = {f.name: f for f in df.schema.fields}
     cols = []
     for f_ in target.fields:
@@ -161,6 +152,7 @@ def project_to_schema(df: DataFrame, target: T.StructType) -> DataFrame:
                 cols.append(_cast_nested(F.col(f"`{f_.name}`"), have[f_.name].dataType, f_.dataType).alias(f_.name))
         else:
             cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
+    cols.extend(F.col(f"`{c}`") for c in (append_cols or []))
     return df.select(*cols)
 
 

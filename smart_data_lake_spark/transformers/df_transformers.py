@@ -53,11 +53,16 @@ class SQLDfTransformer(DfTransformer):
         input_id = (options or {}).get("input_id")
         if input_id:
             # per-input token %{inputViewName_<id>} AND the legacy bare
-            # view name <id> (SQLDfTransformerTest:56-70): both resolve to
-            # a registered temp view
+            # view name <id> (SQLDfTransformerTest:56-70). The id-named view
+            # is registered ONLY when the statement actually references it —
+            # an unconditional registration would shadow a same-named catalog
+            # table for every later spark.sql in the session
             safe_id = re.sub(r"[^A-Za-z0-9_]", "_", str(input_id))
-            df.createOrReplaceTempView(safe_id)
-            sql = sql.replace("%{inputViewName_" + str(input_id) + "}", safe_id)
+            token = "%{inputViewName_" + str(input_id) + "}"
+            uses_bare = re.search(rf"\b{re.escape(safe_id)}\b", sql) is not None
+            if token in sql or uses_bare:
+                df.createOrReplaceTempView(safe_id)
+                sql = sql.replace(token, safe_id)
         for k, v in (options or {}).items():
             sql = sql.replace("%{" + str(k) + "}", str(v))
         return spark.sql(sql)

@@ -137,6 +137,9 @@ def test_flesch_reading_ease_known_values(spark):
     ).collect()}
     # 6 one-syllable words, 2 sentences: 206.835 - 1.015*3 - 84.6*1 = 119.19
     assert out[1]["syl"] == 6 and out[1]["score"] == pytest.approx(119.19)
+    # per-word minimum: vowel-less token adds one syllable
+    mixed = spark.createDataFrame([(9, "banana tsk")], "doc_id int, text string")
+    assert mixed.select(syllable_count(F.col("text"))).first()[0] == 4
     assert out[2]["score"] is None  # empty text -> no score
     assert out[3]["score"] < out[1]["score"]  # polysyllabic text reads harder
 
@@ -145,12 +148,14 @@ def test_luhn_valid_known_numbers(spark):
     from smart_data_lake_spark.functions.text import luhn_valid
 
     df = spark.createDataFrame(
-        [("4539578763621486",), ("1234567812345678",), ("79927398713",), ("0",)],
+        [("4539578763621486",), ("1234567812345678",), ("79927398713",), ("0",),
+         ("4539-5787-6362-1486",), ("45x9578763621486",)],
         "num string",
     )
     got = [r[0] for r in df.select(luhn_valid(F.col("num"))).collect()]
-    # first and third are canonical Luhn-valid test numbers; single digit is not a candidate
-    assert got == [True, False, True, False]
+    # canonical Luhn-valid test numbers, incl. the dash-separated form;
+    # a single digit and an input with stray letters are False (never NULL)
+    assert got == [True, False, True, False, True, False]
 
 
 def test_seasonal_strength_extremes(spark):
