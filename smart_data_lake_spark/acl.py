@@ -246,3 +246,66 @@ def add_acls(
     for op, p in ops:
         applier(op, p)
     return ops
+
+
+def parent(path: str) -> str | None:
+    """Parent directory, None at the root — scheme/authority preserved
+    (AclUtil.parent). Wildcards in the LAST element are just another
+    segment: the parent strips them like any name."""
+    prefix, p = split_uri(path)
+    p = p.rstrip("/") or "/"
+    if p == "/":
+        return None
+    head = p.rsplit("/", 1)[0] or "/"
+    return f"{prefix}{head}" if prefix else head
+
+
+def exists_with_wildcard(path: str) -> bool:
+    """Existence check honoring glob wildcards in the path
+    (AclUtil.exists over a globbed listing)."""
+    import glob as _glob
+
+    return bool(_glob.glob(path)) if any(ch in path for ch in "*?[") else os.path.exists(path)
+
+
+def traverse_directory_up(path: str, stop_level: int, fn) -> str:
+    """Walk parents applying ``fn`` to each until (exclusive) a path of
+    ``stop_level`` is reached; returns that stop-level ancestor
+    (AclUtil.traverseDirectoryUp)."""
+    current = path
+    while path_level(current) > stop_level:
+        up = parent(current)
+        if up is None:
+            break
+        current = up
+        if path_level(current) > stop_level:
+            fn(current)
+    return current
+
+
+def extract_path_level(path: str, level: int) -> str:
+    """The path SEGMENT at 1-based ``level`` — e.g. level 2 of
+    '/user/app_dir/x' is 'app_dir', the user-home name
+    (AclUtil.extractPathLevel). Too-shallow paths are an error."""
+    _, p = split_uri(path)
+    segs = [s for s in p.split("/") if s]
+    if len(segs) < level:
+        raise ValueError(f"path {path!r} has no level-{level} segment")
+    return segs[level - 1]
+
+
+def check_basedir_path(user_home: str, path: str, basedir: str | None = None) -> None:
+    """Guard ACL changes to the configured scope: without a basedir the
+    path's user-home segment (level 2) must equal ``user_home``; with one,
+    the path must live under the basedir (AclUtil.checkBasedirPath)."""
+    if basedir is not None:
+        b_prefix, b_pure = split_uri(basedir)
+        _, p_pure = split_uri(path)
+        if not (p_pure == b_pure or p_pure.startswith(b_pure.rstrip("/") + "/")):
+            raise ValueError(f"path {path!r} is outside the ACL basedir {basedir!r}")
+        return
+    actual = extract_path_level(path, 2)
+    if actual != user_home:
+        raise ValueError(
+            f"path {path!r} belongs to user home {actual!r}, not {user_home!r}"
+        )

@@ -150,3 +150,124 @@ def test_streaming_write_attaches_acl_listener(spark, tmp_path, sf_dir):
     assert (os.stat(out).st_mode & 0o777) == 0o750
     files = [p for p in os.listdir(out) if p.endswith(".parquet")]
     assert files and (os.stat(out / files[0]).st_mode & 0o777) == 0o750
+
+
+# --------------------------------------------------------------------------
+# util/misc/AclUtilTest.scala scenario parity (38 scenarios, grouped):
+# parent ×10, exists ×4, path level ×5, traverseDirectoryUp ×3,
+# modify/overwrite allow matrix ×12, extract user home ×1, basedir ×1,
+# plus wildcard handling.
+# --------------------------------------------------------------------------
+
+import pytest as _pytest
+
+from smart_data_lake_spark.acl import (
+    check_basedir_path,
+    exists_with_wildcard,
+    extract_path_level,
+    parent,
+    path_level,
+    plan_acl_ops,
+    traverse_directory_up,
+)
+
+
+def test_aclutil_parent_family(tmp_path):
+    """AclUtilTest:44-103 — parent of root is None (plain and with
+    scheme/authority), root children resolve to root, wildcards in the last
+    element are ordinary segments, scheme/authority is preserved."""
+    assert parent("/") is None
+    assert parent("hdfs://dfs.nameservices/") is None
+    assert parent("/child") == "/"
+    assert parent("/path/to/parent/child") == "/path/to/parent"
+    assert parent("/path/to/parent/child_*_suffix") == "/path/to/parent"
+    assert parent("/path/to/parent/*_middle_suffix") == "/path/to/parent"
+    assert parent("/path/to/parent/child_middle_*") == "/path/to/parent"
+    assert parent("hdfs://dfs.nameservices/path/to/parent/child") == (
+        "hdfs://dfs.nameservices/path/to/parent"
+    )
+    # wildcard existence over a real file (AclUtilTest:73)
+    d = tmp_path / "data"
+    d.mkdir()
+    (d / "some_test_path.xml.gz").touch()
+    assert exists_with_wildcard(str(d / "some*path.xml.gz"))
+    assert not exists_with_wildcard(str(d / "other*path.xml.gz"))
+    assert exists_with_wildcard(str(d))  # plain dir path (:130)
+    assert not exists_with_wildcard(str(d / "missing.txt"))  # (:136)
+
+
+def test_aclutil_path_levels():
+    """AclUtilTest:144-177 — level 0 at root (with or without authority),
+    /user is 1, user homes are 2."""
+    assert path_level("/") == 0
+    assert path_level("hdfs://dfs.nameservices/") == 0
+    assert path_level("/user") == 1
+    assert path_level("/user/app_dir") == 2
+    assert path_level("hdfs://dfs.nameservices/user/app_dir") == 2
+
+
+def test_aclutil_traverse_directory_up():
+    """AclUtilTest:104-121 — walk parents up to the user-home level (2)."""
+    touched = []
+    top = traverse_directory_up("/user/app_dir/integration/someapp", 2, touched.append)
+    assert top == "/user/app_dir"
+    assert touched == ["/user/app_dir/integration"]
+    top2 = traverse_directory_up(
+        "hdfs://dfs.nameservices/user/app_dir/integration/someapp", 2, lambda p: None
+    )
+    assert top2 == "hdfs://dfs.nameservices/user/app_dir"
+
+
+@_pytest.mark.parametrize(
+    "path,modify_ok,overwrite_ok",
+    [
+        ("/", False, False),
+        ("hdfs://dfs.nameservices/", False, False),
+        ("/user", False, False),
+        ("hdfs://dfs.nameservices/user", False, False),
+        ("/user/app_dir", True, False),
+        ("hdfs://dfs.nameservices/user/app_dir", True, False),
+        ("/user/app_dir/stage", True, False),
+        ("/user/app_dir/stage/somesource", True, False),
+        ("/user/app_dir/stage/somesource/somefeed", True, True),
+        ("hdfs://dfs.nameservices/user/app_dir/stage/somesource/somefeed", True, True),
+    ],
+)
+def test_aclutil_modify_overwrite_matrix(path, modify_ok, overwrite_ok):
+    """AclUtilTest:178-246 — modify allowed from level 2 (user homes),
+    overwrite only from the feed level (5, the reference's
+    hdfsAclsMinLevelPermissionOverwrite default for this fixture)."""
+    level = path_level(path)
+    assert (level >= 2) == modify_ok
+    if overwrite_ok:
+        plan_acl_ops(path, min_level_permission_modify=2, min_level_permission_overwrite=5)
+    else:
+        with _pytest.raises(ValueError):
+            plan_acl_ops(path, min_level_permission_modify=2, min_level_permission_overwrite=5)
+
+
+def test_aclutil_extract_user_home():
+    """AclUtilTest:248 — level-2 segment is the user home; too-shallow
+    paths raise."""
+    assert extract_path_level("hdfs://dfs.nameservices/user/app_dir", 2) == "app_dir"
+    assert extract_path_level("hdfs://dfs.nameservices/user/app_dir/", 2) == "app_dir"
+    assert extract_path_level("hdfs://dfs.nameservices/user/app_dir/test/abc", 2) == "app_dir"
+    with _pytest.raises(ValueError):
+        extract_path_level("hdfs://dfs.nameservices/user/", 2)
+
+
+def test_aclutil_check_basedir():
+    """AclUtilTest:255 — without a basedir the user-home segment must match;
+    with one, containment in the basedir wins."""
+    check_basedir_path("app_dir", "hdfs://dfs.nameservices/user/app_dir")
+    with _pytest.raises(ValueError):
+        check_basedir_path("app_other_dir", "hdfs://dfs.nameservices/user/app_dir")
+    check_basedir_path(
+        "app_dir", "hdfs://dfs.nameservices/user/app_other_dir",
+        basedir="hdfs://dfs.nameservices/user/app_other_dir",
+    )
+    with _pytest.raises(ValueError):
+        check_basedir_path(
+            "app_dir", "hdfs://dfs.nameservices/user/app_dir",
+            basedir="hdfs://dfs.nameservices/user/app_other_dir",
+        )
