@@ -120,6 +120,8 @@ class ActionDAG:
             visit(n)
 
     def topological_order(self) -> list[str]:
+        import bisect
+
         indeg = {n: 0 for n in self.edges}
         for n, ds in self.edges.items():
             for d in ds:
@@ -131,7 +133,11 @@ class ActionDAG:
             for d in sorted(self.edges[n]):
                 indeg[d] -= 1
                 if indeg[d] == 0:
-                    ready.append(d)
+                    # keep the ready set SORTED so concurrently-runnable
+                    # nodes are always taken alphabetically — deterministic
+                    # schedules across runs (DAGTest 'parallel running nodes
+                    # are sorted alphabetically')
+                    bisect.insort(ready, d)
         return order
 
     def upstream_actions(self, action_id: str) -> set[str]:

@@ -640,3 +640,145 @@ def test_file_move_archive_relative_and_inside_partition(spark, tmp_path):
     )
     state3 = ActionDAGRun(ActionDAG([action3]), registry3).run(spark)
     assert state3.action_states["mvC"] == "SKIPPED"
+
+
+# --------------------------------------------------------------------------
+# workflow/DAGTest.scala scenario parity (8): the pure DAG-engine semantics.
+# 'detect loop' lives in test_dag_parity::test_dag_cycle_detected; 'exception
+# in running dag: run pending tasks if not dependent' in
+# test_failure_does_not_cancel_independent_branch.
+# --------------------------------------------------------------------------
+
+
+def _chain_actions(spark, reg, pairs):
+    from smart_data_lake_spark.actions.copy import CopyAction
+    from smart_data_lake_spark.dataobjects.memory import MockDataObject
+
+    ids = {x for p in pairs for x in p}
+    for do_id in sorted(ids):
+        if do_id not in reg.data_objects:
+            reg.register_data_object(MockDataObject(id=do_id))
+    actions = [
+        CopyAction(id=f"{a}_{b}", input_id=a, output_id=b, registry=reg) for a, b in pairs
+    ]
+    return actions
+
+
+def test_dagtest_linear_unordered(spark):
+    """DAGTest:68 — actions REGISTERED out of order still schedule in
+    dependency order."""
+    from smart_data_lake_spark.config import InstanceRegistry
+    from smart_data_lake_spark.plans.dag import ActionDAG
+
+    reg = InstanceRegistry()
+    # register C->D first, then A->B, then B->C: construction order must not matter
+    actions = _chain_actions(spark, reg, [("c", "d"), ("a", "b"), ("b", "c")])
+    dag = ActionDAG(actions)
+    assert dag.topological_order() == ["a_b", "b_c", "c_d"]
+
+
+def test_dagtest_split_and_join(spark):
+    """DAGTest:83/:109 — diamond A→(B,C)→D: both middles run after the
+    head, the join waits for both (order deterministic alphabetical)."""
+    from smart_data_lake_spark.config import InstanceRegistry
+    from smart_data_lake_spark.actions.custom import CustomDataFrameAction
+    from smart_data_lake_spark.actions.copy import CopyAction
+    from smart_data_lake_spark.dataobjects.memory import MockDataObject
+    from smart_data_lake_spark.plans.dag import ActionDAG
+
+    reg = InstanceRegistry()
+    for do_id in ("src", "m1", "m2", "out"):
+        reg.register_data_object(MockDataObject(id=do_id))
+    head1 = CopyAction(id="b_mid1", input_id="src", output_id="m1", registry=reg)
+    head2 = CopyAction(id="a_mid2", input_id="src", output_id="m2", registry=reg)
+    from smart_data_lake_spark.transformers.dfs_transformers import PythonCodeDfsTransformer
+
+    join = CustomDataFrameAction(
+        id="z_join", input_ids=["m1", "m2"], output_ids=["out"], registry=reg,
+        transformers=[PythonCodeDfsTransformer(
+            fn=lambda spark, dfs, options: {"out": dfs["m1"].unionByName(dfs["m2"])}
+        )],
+    )
+    order = ActionDAG([head1, head2, join]).topological_order()
+    assert order == ["a_mid2", "b_mid1", "z_join"]  # parallel heads alphabetical
+
+
+def test_dagtest_parallel_nodes_alphabetical(spark):
+    """DAGTest:133 — concurrently-READY nodes are always taken in name
+    order, including waves unlocked mid-run."""
+    from smart_data_lake_spark.config import InstanceRegistry
+    from smart_data_lake_spark.plans.dag import ActionDAG
+
+    reg = InstanceRegistry()
+    actions = _chain_actions(
+        spark, reg,
+        [("s", "z1"), ("s", "a1"), ("z1", "q1"), ("a1", "b1")],
+    )
+    order = ActionDAG(actions).topological_order()
+    assert order.index("s_a1") < order.index("s_z1")
+    # second wave (unlocked after the heads) also alphabetical
+    assert order.index("a1_b1") < order.index("z1_q1")
+
+
+def test_dagtest_unconnected_subgraphs(spark, tmp_path):
+    """DAGTest:197 — two disjoint pipelines run in one DAG, both complete."""
+    from smart_data_lake_spark.config import InstanceRegistry
+    from smart_data_lake_spark.plans.dag import ActionDAGRun
+    from smart_data_lake_spark.dataobjects.memory import MockDataObject
+
+    reg = InstanceRegistry()
+    actions = _chain_actions(spark, reg, [("a", "b"), ("x", "y")])
+    df = spark.createDataFrame([(1,)], "v int")
+    reg.data_objects["a"].write_dataframe(df)
+    reg.data_objects["x"].write_dataframe(df)
+    from smart_data_lake_spark.plans.dag import ActionDAG
+
+    state = ActionDAGRun(ActionDAG(actions), reg).run(spark)
+    assert set(state.action_states.values()) == {"SUCCEEDED"}
+    assert reg.data_objects["b"].get_dataframe(spark).count() == 1
+    assert reg.data_objects["y"].get_dataframe(spark).count() == 1
+
+
+def test_dagtest_failure_cancels_dependents_only(spark, tmp_path):
+    """DAGTest:147/:161 — a failing node CANCELS its pending dependents but
+    an unconnected branch still runs."""
+    from smart_data_lake_spark.config import InstanceRegistry
+    from smart_data_lake_spark.actions.custom import CustomDataFrameAction
+    from smart_data_lake_spark.plans.dag import ActionDAGRun
+    from smart_data_lake_spark.dataobjects.memory import MockDataObject
+
+    reg = InstanceRegistry()
+    for do_id in ("a", "b", "c", "x", "y"):
+        reg.register_data_object(MockDataObject(id=do_id))
+
+    calls = []
+
+    def boom_fn(spark, dfs, options):
+        calls.append(1)
+        if len(calls) > 1:  # succeed in INIT (lineage build), fail in EXEC
+            raise RuntimeError("boom")
+        return {"b": dfs["a"]}
+
+    from smart_data_lake_spark.transformers.dfs_transformers import PythonCodeDfsTransformer
+
+    failing = CustomDataFrameAction(
+        id="fail_ab", input_ids=["a"], output_ids=["b"], registry=reg,
+        transformers=[PythonCodeDfsTransformer(fn=boom_fn)],
+    )
+    from smart_data_lake_spark.actions.copy import CopyAction
+
+    dependent = CopyAction(id="dep_bc", input_id="b", output_id="c", registry=reg)
+    independent = CopyAction(id="ind_xy", input_id="x", output_id="y", registry=reg)
+    df = spark.createDataFrame([(1,)], "v int")
+    reg.data_objects["a"].write_dataframe(df)
+    reg.data_objects["x"].write_dataframe(df)
+    from smart_data_lake_spark.plans.dag import ActionDAG
+
+    run = ActionDAGRun(ActionDAG([failing, dependent, independent]), reg)
+    try:
+        state = run.run(spark)
+    except Exception:
+        state = run.state
+    assert state.action_states["fail_ab"] == "FAILED"
+    assert state.action_states["dep_bc"] == "CANCELLED"
+    assert state.action_states["ind_xy"] == "SUCCEEDED"
