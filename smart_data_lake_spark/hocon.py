@@ -384,3 +384,36 @@ def parse_file(path: str, _visited: frozenset[str] = frozenset()) -> dict[str, A
             base_dir=os.path.dirname(abspath),
             _visited=_visited | {abspath},
         )
+
+
+def get_config_value(config, path: list[str]):
+    """Navigate a parsed config by key path; `[N]` segments index lists
+    (util/misc/HoconUtil.getConfigValue)."""
+    cur = config
+    for seg in path:
+        if seg.startswith("[") and seg.endswith("]"):
+            cur = cur[int(seg[1:-1])]
+        else:
+            cur = cur[seg]
+    return cur
+
+
+def update_config_value(config, path: list[str], value):
+    """Return a COPY of the config with the value at `path` set/added —
+    `[N]` segments index lists; the original structure is not mutated
+    (HoconUtil.updateConfigValue)."""
+    import copy
+
+    updated = copy.deepcopy(config)
+    cur = updated
+    for seg in path[:-1]:
+        if seg.startswith("[") and seg.endswith("]"):
+            cur = cur[int(seg[1:-1])]
+        else:
+            cur = cur[seg]
+    last = path[-1]
+    if last.startswith("[") and last.endswith("]"):
+        cur[int(last[1:-1])] = value
+    else:
+        cur[last] = value
+    return updated

@@ -421,3 +421,25 @@ class ActionDAGRun:
         return SparkSubFeed(
             data_object_id=do_id, partition_values=list(self.partition_values), is_dag_start=True
         )
+
+
+def connected_nodes_forward(edges: set[tuple[str, str]], start: str) -> set[str]:
+    """Transitive downstream closure incl. the start node
+    (util/misc/GraphUtil.getConnectedNodesForward) — the reachability
+    primitive behind feed-selection algebra (`startFromActionIds` etc.)."""
+    adj: dict[str, set[str]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    out, todo = {start}, [start]
+    while todo:
+        for nxt in adj.get(todo.pop(), ()):  # DFS, cycle-safe via the seen set
+            if nxt not in out:
+                out.add(nxt)
+                todo.append(nxt)
+    return out
+
+
+def connected_nodes_reverse(edges: set[tuple[str, str]], start: str) -> set[str]:
+    """Transitive upstream closure incl. the start node
+    (GraphUtil.getConnectedNodesReverse)."""
+    return connected_nodes_forward({(b, a) for a, b in edges}, start)

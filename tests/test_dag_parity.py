@@ -782,3 +782,23 @@ def test_dagtest_failure_cancels_dependents_only(spark, tmp_path):
     assert state.action_states["fail_ab"] == "FAILED"
     assert state.action_states["dep_bc"] == "CANCELLED"
     assert state.action_states["ind_xy"] == "SUCCEEDED"
+
+
+def test_graphutil_connected_closures():
+    """util/misc/GraphUtilTest (2 scenarios) — forward and reverse
+    transitive closures over the edge set."""
+    from smart_data_lake_spark.plans.dag import (
+        connected_nodes_forward,
+        connected_nodes_reverse,
+    )
+
+    edges = {("A", "B"), ("A", "C"), ("B", "D"), ("C", "D"), ("D", "E")}
+    all_nodes = {"A", "B", "C", "D", "E"}
+    assert connected_nodes_forward(edges, "A") == all_nodes
+    assert connected_nodes_forward(edges, "B") == {"B", "D", "E"}
+    assert connected_nodes_forward(edges, "D") == {"D", "E"}
+    assert connected_nodes_forward(edges, "E") == {"E"}
+    assert connected_nodes_reverse(edges, "E") == all_nodes
+    assert connected_nodes_reverse(edges, "D") == {"A", "B", "C", "D"}
+    assert connected_nodes_reverse(edges, "B") == {"A", "B"}
+    assert connected_nodes_reverse(edges, "A") == {"A"}

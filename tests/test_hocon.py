@@ -182,3 +182,36 @@ def test_dag_export_simplified_actions(monkeypatch, tmp_path):
     assert dag["clean_orders"]["metadata"]["feed"] == "clean"
     mermaid = to_mermaid(dag)
     assert "orders_raw([orders_raw]) -->|clean_orders| orders_clean" in mermaid
+
+
+# ---- util/misc/HoconUtilTest.scala (3 scenarios) ---------------------------
+
+
+def test_hoconutil_get_update_nested_list_values():
+    """HoconUtilTest:42-55 — read, ADD and UPDATE a nested value inside a
+    list element, immutably."""
+    from smart_data_lake_spark.hocon import get_config_value, parse_hocon, update_config_value
+
+    cfg = parse_hocon(
+        """
+        actions = {
+          a1 = {
+            type = FileTransferAction
+            inputId = do3
+            outputId = do1
+            transformers = [{
+               type = PythonClassDfTransformer
+               className = some.module.DummyTransformer
+            }]
+          }
+        }
+        """
+    )
+    path = ["actions", "a1", "transformers", "[0]", "className"]
+    assert get_config_value(cfg, path) == "some.module.DummyTransformer"
+    added = update_config_value(cfg, ["actions", "a1", "transformers", "[0]", "_sourceDoc"], "abc")
+    assert get_config_value(added, ["actions", "a1", "transformers", "[0]", "_sourceDoc"]) == "abc"
+    updated = update_config_value(cfg, path, "abc")
+    assert get_config_value(updated, path) == "abc"
+    # immutability: the source config is untouched
+    assert get_config_value(cfg, path) == "some.module.DummyTransformer"
