@@ -415,3 +415,37 @@ def json_schema_to_schema(doc: dict[str, Any]) -> T.StructType:
     if not isinstance(result, T.StructType):
         raise SchemaProviderError("JSON Schema root must be an object")
     return result
+
+
+def transform_schema_fields(schema: T.StructType, field_transformer) -> T.StructType:
+    """Recursively rewrite every field of a schema with `field_transformer`
+    (StructField -> StructField), descending into structs, arrays and maps
+    (SchemaUtil.transformSchemaFields)."""
+
+    def visit_field(f: T.StructField) -> T.StructField:
+        nf = field_transformer(f)
+        return T.StructField(nf.name, visit_type(nf.dataType), nf.nullable, nf.metadata)
+
+    def visit_type(dt: T.DataType) -> T.DataType:
+        if isinstance(dt, T.StructType):
+            return T.StructType([visit_field(f) for f in dt.fields])
+        if isinstance(dt, T.ArrayType):
+            return T.ArrayType(visit_type(dt.elementType), dt.containsNull)
+        if isinstance(dt, T.MapType):
+            return T.MapType(visit_type(dt.keyType), visit_type(dt.valueType), dt.valueContainsNull)
+        return dt
+
+    return T.StructType([visit_field(f) for f in schema.fields])
+
+
+def make_xsd_json_compatible(schema: T.StructType) -> T.StructType:
+    """XML models arrays as repeated SINGULAR-named elements; JSON names the
+    array attribute in PLURAL. For data published both ways from one XSD,
+    pluralize every array field by appending 's'
+    (SchemaUtil.makeXsdJsonCompatible)."""
+
+    def pluralize(f: T.StructField) -> T.StructField:
+        name = f.name + "s" if isinstance(f.dataType, T.ArrayType) else f.name
+        return T.StructField(name, f.dataType, f.nullable, f.metadata)
+
+    return transform_schema_fields(schema, pluralize)

@@ -283,3 +283,32 @@ def test_eager_schema_spec_in_dataobject(tmp_path):
     f.write_text("a string, b int")
     do = CsvFileDataObject(id="t", path=str(tmp_path / "t"), schema=f"ddlfile#{f}")
     assert [x.name for x in do.schema.fields] == ["a", "b"]
+
+
+def test_transform_schema_fields_recursive():
+    """SchemaUtil.transformSchemaFields (SchemaUtilTest family) — the
+    transformer reaches fields nested in structs, arrays and maps."""
+    schema = T.StructType.fromDDL(
+        "a int, rec struct<b:int, xs:array<struct<c:int>>>, m map<string,struct<d:int>>"
+    )
+    upper = sp.transform_schema_fields(
+        schema, lambda f: T.StructField(f.name.upper(), f.dataType, f.nullable, f.metadata)
+    )
+    assert [f.name for f in upper.fields] == ["A", "REC", "M"]
+    rec = upper["REC"].dataType
+    assert [f.name for f in rec.fields] == ["B", "XS"]
+    assert rec["XS"].dataType.elementType.fieldNames() == ["C"]
+    assert upper["M"].dataType.valueType.fieldNames() == ["D"]
+
+
+def test_make_xsd_json_compatible_pluralizes_arrays():
+    """SchemaUtil.makeXsdJsonCompatible (SchemaUtil.scala:268-287) — array
+    fields (XML repeated singular elements) get plural JSON names, at every
+    nesting level; scalar names are untouched."""
+    schema = T.StructType.fromDDL(
+        "name string, entry array<struct<key:string, tag:array<string>>>"
+    )
+    out = sp.make_xsd_json_compatible(schema)
+    assert [f.name for f in out.fields] == ["name", "entrys"]
+    inner = out["entrys"].dataType.elementType
+    assert [f.name for f in inner.fields] == ["key", "tags"]
