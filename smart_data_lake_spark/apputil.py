@@ -189,3 +189,14 @@ def load_sdl_plugin(class_name: str) -> SDLPlugin:
         raise TypeError(f"{class_name} does not implement the SDLPlugin protocol")
     _PLUGIN_INSTANCES[class_name] = plugin
     return plugin
+
+
+def mask_secrets_in_conf(conf: dict) -> dict:
+    """Mask values of config keys that look secret-bearing before logging
+    (AppUtil 'mask secrets when logging spark conf'): keys containing
+    secret/password/token/passphrase/credential are replaced with '***';
+    ordinary keys pass through untouched."""
+    import re
+
+    sensitive = re.compile(r"(?i)secret|password|token|passphrase|credential")
+    return {k: ("***" if sensitive.search(k) else v) for k, v in conf.items()}

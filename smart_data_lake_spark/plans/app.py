@@ -121,26 +121,52 @@ class SmartDataLakeBuilder:
         if not feed_sel or feed_sel == "*":
             return actions
 
+        _PREFIXES = {
+            "feeds", "ids", "names", "layers",
+            "startfromactionids", "endwithactionids",
+            "startfromdataobjectids", "endwithdataobjectids",
+        }
+
         def term_match(term: str) -> set[str]:
             prefix, _, pat = term.partition(":")
             if not pat:
                 prefix, pat = "feeds", term
             prefix = prefix.lower()
+            if prefix not in _PREFIXES:
+                # 'filter action list with wrong operation' (AppUtilTest:108)
+                raise ValueError(
+                    f"unknown feed-selector operation {prefix!r}; "
+                    f"use one of {sorted(_PREFIXES)}"
+                )
             pat = pat.lower()
             ids = set()
             dag = ActionDAG(actions)
             for a in actions:
                 feed = str(a.metadata.get("feed", "")).lower()
                 layer = str(a.metadata.get("layer", "")).lower()
+                name = str(a.metadata.get("name", "")).lower()
                 if prefix == "feeds" and fnmatch.fnmatch(feed, pat):
                     ids.add(a.id)
                 elif prefix == "ids" and fnmatch.fnmatch(a.id.lower(), pat):
+                    ids.add(a.id)
+                elif prefix == "names" and fnmatch.fnmatch(name, pat):
                     ids.add(a.id)
                 elif prefix == "layers" and fnmatch.fnmatch(layer, pat):
                     ids.add(a.id)
                 elif prefix == "startfromactionids" and fnmatch.fnmatch(a.id.lower(), pat):
                     ids |= {a.id} | _closure(dag, a.id, downstream=True)
                 elif prefix == "endwithactionids" and fnmatch.fnmatch(a.id.lower(), pat):
+                    ids |= {a.id} | _closure(dag, a.id, downstream=False)
+                elif prefix == "startfromdataobjectids" and any(
+                    fnmatch.fnmatch(i.lower(), pat) for i in a.input_ids
+                ):
+                    # actions READING the DataObject, plus everything after
+                    # (AppUtil startFromDataObjectIds)
+                    ids |= {a.id} | _closure(dag, a.id, downstream=True)
+                elif prefix == "endwithdataobjectids" and any(
+                    fnmatch.fnmatch(o.lower(), pat) for o in a.output_ids
+                ):
+                    # actions WRITING the DataObject, plus everything before
                     ids |= {a.id} | _closure(dag, a.id, downstream=False)
             return ids
 

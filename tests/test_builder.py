@@ -592,3 +592,42 @@ def test_example_monitored_config_runs(spark, tmp_path, monkeypatch):
                 l.stop()
         if getattr(registry, "memory_log_timer", None) is not None:
             registry.memory_log_timer.stop()
+
+
+def test_feed_selection_dataobject_ids_and_names(spark):
+    """AppUtilTest:66/:86/:91 — names:, startFromDataObjectIds: and
+    endWithDataObjectIds: selector prefixes."""
+    b = SmartDataLakeBuilder(registry=_registry_with_feeds(spark))
+    # attach metadata names for the names: selector
+    for i, a in enumerate(sorted(b.registry.actions.values(), key=lambda x: x.id)):
+        a.metadata["name"] = f"action_{a.id}"
+    ids = lambda sel: sorted(a.id for a in b.select_actions(sel))
+    assert ids("names:action_a2") == ["a2"]
+    # a2 reads what a1 wrote: starting from that DataObject runs a2 and after
+    mid_do = sorted(b.registry.actions.values(), key=lambda x: x.id)[1].input_ids[0]
+    assert ids(f"startFromDataObjectIds:{mid_do}") == ["a2", "a3"]
+    assert ids(f"endWithDataObjectIds:{mid_do}") == ["a1"]
+
+
+def test_feed_selection_wrong_operation_raises(spark):
+    """AppUtilTest:108 — an unknown selector operation is a loud error."""
+    import pytest
+
+    b = SmartDataLakeBuilder(registry=_registry_with_feeds(spark))
+    with pytest.raises(ValueError, match="unknown feed-selector operation"):
+        b.select_actions("wrongOp:foo")
+
+
+def test_mask_secrets_in_conf():
+    """AppUtilTest:30/:35 — secret-bearing conf keys are masked for logging,
+    ordinary keys pass through."""
+    from smart_data_lake_spark.apputil import mask_secrets_in_conf
+
+    conf = {
+        "spark.my.password": "p", "spark.authToken": "t",
+        "spark.clientSecret": "s", "fs.s3a.credentials": "c",
+        "spark.executor.memory": "4g",
+    }
+    masked = mask_secrets_in_conf(conf)
+    assert masked["spark.executor.memory"] == "4g"
+    assert all(masked[k] == "***" for k in conf if k != "spark.executor.memory")
