@@ -194,3 +194,65 @@ def test_project_to_schema_is_catalyst_only(spark):
     target = T.StructType.fromDDL("id int, xs array<struct<a:string,b:int>>")
     plan = project_to_schema(old, target)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+# --------------------------------------------------------------------------
+# util/misc/NestedColumnUtilTest.scala (5) — selectSchema/transformColumns
+# semantics live in project_to_schema/_cast_nested here.
+# --------------------------------------------------------------------------
+
+
+def test_nested_select_with_reduced_schema(spark):
+    """NestedColumnUtilTest:51 — projecting onto a schema that drops nested
+    fields keeps only the requested ones."""
+    df = spark.createDataFrame(
+        [((1, "x", True), 9)], "rec struct<a:int,b:string,c:boolean>, n int"
+    )
+    target = T.StructType.fromDDL("rec struct<a:int,b:string>, n int")
+    out = project_to_schema(df, target)
+    assert [(f.name, f.dataType.simpleString()) for f in out.schema.fields] == [
+        ("rec", "struct<a:int,b:string>"), ("n", "int"),
+    ]
+    row = out.first()
+    assert row["rec"]["a"] == 1 and row["rec"]["b"] == "x"
+
+
+def test_nested_select_with_cast(spark):
+    """NestedColumnUtilTest:66 — reduced schema + nested datatype casts in
+    one projection."""
+    df = spark.createDataFrame([((1, 5),)], "rec struct<a:int,b:int>")
+    target = T.StructType.fromDDL("rec struct<a:long,b:string>")
+    out = project_to_schema(df, target)
+    row = out.first()["rec"]
+    assert row["a"] == 1 and row["b"] == "5"
+    assert out.schema["rec"].dataType.simpleString() == "struct<a:bigint,b:string>"
+
+
+def test_nested_select_changed_column_order(spark):
+    """NestedColumnUtilTest:82 — the target schema's field ORDER wins."""
+    df = spark.createDataFrame([((1, "x"),)], "rec struct<a:int,b:string>")
+    target = T.StructType.fromDDL("rec struct<b:string,a:int>")
+    out = project_to_schema(df, target)
+    assert out.schema["rec"].dataType.fieldNames() == ["b", "a"]
+    assert tuple(out.first()["rec"]) == ("x", 1)
+
+
+def test_nested_transform_datatype(spark):
+    """NestedColumnUtilTest:99 — a nested field's datatype is transformed in
+    place (int → string) without touching siblings."""
+    df = spark.createDataFrame([((1, 2),)], "rec struct<keep:int,change:int>")
+    target = T.StructType.fromDDL("rec struct<keep:int,change:string>")
+    out = project_to_schema(df, target).first()["rec"]
+    assert out["keep"] == 1 and out["change"] == "2"
+
+
+def test_nested_remove_column_from_array(spark):
+    """NestedColumnUtilTest:110 — dropping a field from array<struct>
+    elements."""
+    df = spark.createDataFrame(
+        [([("x", 1), ("y", 2)],)], "xs array<struct<keep:string,drop:int>>"
+    )
+    target = T.StructType.fromDDL("xs array<struct<keep:string>>")
+    out = project_to_schema(df, target)
+    assert out.schema["xs"].dataType.elementType.fieldNames() == ["keep"]
+    assert [e["keep"] for e in out.first()["xs"]] == ["x", "y"]
