@@ -2729,23 +2729,79 @@ def seasonal_strength_value_by_type(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-# Registry order is the driver grading window: only the first 50
-    # entries get a CORRECTNESS oracle row per round. r7 rotation (window
-    # FROZEN at the commit adding this comment; later r7 operators go BELOW
-    # the line per the freeze-aware sequencing rule):
-    # 1-20 the late-r6 queries never driver-graded, 21 the one new r7
-    # operator (landed before the freeze), 22-26 stable structural canaries
-    # (pinned every round), 27-50 fill from the displaced r4/r5 greens —
-    # the 8 TPC-H queries that missed the r6 window, the r4 streaming pair,
-    # the LLM-sampling trio, and lineitem_correlations (the r6 bench-drift
-    # flag — regrade alongside the A/B). Rotated out: everything green in
-    # CORRECTNESS_r06.
+    # Registry order is the driver grading window: only the first 50
+    # entries get a CORRECTNESS oracle row per round. r8 rotation (window
+    # FROZEN at the commit adding this comment; any operator added later
+    # in r8 goes BELOW the line per the freeze-aware sequencing rule):
+    # 1-21 the 21 post-freeze r7 operators never driver-graded (the whole
+    # r7 debt queue, per the r7 verdict item 1), 22-26 the pinned
+    # structural canaries, 27-31 the five >1.4x r6->r7 bench movers
+    # (regraded alongside the A/B protocol, like lineitem_correlations in
+    # r7), 32-50 displaced greens: 9 TPC-H queries last graded r6, the
+    # window/set-op family, rolling_z_anomalies_events (re-proves the
+    # re-key-by-time-bucket mitigation landing this round), the r6
+    # streaming pair, and a dedup/ANN slice. Rotated out: everything
+    # green in CORRECTNESS_r07.
     return {
-        # --- never driver-graded (added after the r6 window froze)
+        # --- never driver-graded: the 21 post-freeze r7 operators
+        "cms_heavy_hitter_terms": cms_heavy_hitter_terms,
+        "pq_encode_embeddings": pq_encode_embeddings,
+        "pq_adc_topk_embeddings": pq_adc_topk_embeddings,
+        "bpe_merge_candidates_corpus": bpe_merge_candidates_corpus,
+        "pagerank_terms_corpus": pagerank_terms_corpus,
+        "bloom_semi_revenue": bloom_semi_revenue,
+        "fuzzy_name_pairs_parts": fuzzy_name_pairs_parts,
+        "weighted_sample_docs": weighted_sample_docs,
+        "benford_order_totals": benford_order_totals,
+        "ivfpq_topk_embeddings": ivfpq_topk_embeddings,
+        "holt_forecast_by_type": holt_forecast_by_type,
+        "streaming_sliding_counts": streaming_sliding_counts,
+        "hard_negatives_embeddings": hard_negatives_embeddings,
+        "basket_lift_parts": basket_lift_parts,
+        "rfm_segments_customers": rfm_segments_customers,
+        "trimmed_mean_value_by_type": trimmed_mean_value_by_type,
+        "mann_kendall_trend_by_type": mann_kendall_trend_by_type,
+        "c4_quality_filter_docs": c4_quality_filter_docs,
+        "readability_docs": readability_docs,
+        "luhn_check_orders": luhn_check_orders,
+        "seasonal_strength_value_by_type": seasonal_strength_value_by_type,
+        # --- canaries (pinned every round)
+        "q3_shipping_priority": q3_shipping_priority,
+        "topk_customers_window": topk_customers_window,
+        "streaming_windowed_counts": streaming_windowed_counts,
+        "dedup_latest_event": dedup_latest_event,
+        "scd2_user_history": scd2_user_history,
+        # --- the five >1.4x bench movers (regrade + A/B this round)
+        "unigram_quality_docs": unigram_quality_docs,
+        "bm25_search": bm25_search,
+        "chunk_documents_overlap": chunk_documents_overlap,
+        "dedup_exact": dedup_exact,
+        "streaming_stateful_totals": streaming_stateful_totals,
+        # --- fill: displaced greens (last graded r5/r6)
+        "q4_order_priority": q4_order_priority,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "q6_revenue_forecast": q6_revenue_forecast,
+        "q10_returned_items": q10_returned_items,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q16_parts_supplier": q16_parts_supplier,
+        "q18_large_orders": q18_large_orders,
+        "q20_excess_stock_suppliers": q20_excess_stock_suppliers,
+        "q22_global_sales": q22_global_sales,
+        "grouping_sets_sales": grouping_sets_sales,
+        "range_frame_trailing_value": range_frame_trailing_value,
+        "customer_set_ops": customer_set_ops,
+        "rolling_z_anomalies_events": rolling_z_anomalies_events,
+        "streaming_session_counts": streaming_session_counts,
+        "streaming_interval_join": streaming_interval_join,
+        "simhash_docs": simhash_docs,
+        "winnow_fingerprints_docs": winnow_fingerprints_docs,
+        "semantic_dedup_embeddings": semantic_dedup_embeddings,
+        "asof_click_attribution": asof_click_attribution,
+        # ================= end of 50-entry grading window =================
+        # --- green in CORRECTNESS_r07 or earlier, rotated out
         "pmi_collocations_corpus": pmi_collocations_corpus,
         "value_quartiles_by_type": value_quartiles_by_type,
         "autocorr_lag1_value_by_type": autocorr_lag1_value_by_type,
-        "rolling_z_anomalies_events": rolling_z_anomalies_events,
         "zipf_slope_by_source": zipf_slope_by_source,
         "kmeans_assign_embeddings": kmeans_assign_embeddings,
         "doc_length_band_by_source": doc_length_band_by_source,
@@ -2762,15 +2818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_drift_ks": length_drift_ks,
         "bigram_lm_docs": bigram_lm_docs,
         "minhash_calibration_audit": minhash_calibration_audit,
-        # --- new in r7 (pre-freeze)
         "simhash_neardup_clusters": simhash_neardup_clusters,
-        # --- canaries (pinned every round)
-        "q3_shipping_priority": q3_shipping_priority,
-        "topk_customers_window": topk_customers_window,
-        "streaming_windowed_counts": streaming_windowed_counts,
-        "dedup_latest_event": dedup_latest_event,
-        "scd2_user_history": scd2_user_history,
-        # --- fill: displaced r4/r5 greens
         "q7_nation_volume": q7_nation_volume,
         "q8_market_share": q8_market_share,
         "q9_product_profit": q9_product_profit,
@@ -2795,8 +2843,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": ann_topk,
         "hybrid_search_rrf": hybrid_search_rrf,
         "incremental_highwatermark": incremental_highwatermark,
-        # ================= end of 50-entry grading window =================
-        # --- green in CORRECTNESS_r06, rotated out
         "mix_sources_audit": mix_sources_audit,
         "user_event_paths": user_event_paths,
         "normalized_doc_scores": normalized_doc_scores,
@@ -2813,10 +2859,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_entropy_docs": token_entropy_docs,
         "containment_pairs_docs": containment_pairs_docs,
         "cross_source_dup_audit": cross_source_dup_audit,
-        "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "kmv_distinct_users": kmv_distinct_users,
         "temperature_mix_sources": temperature_mix_sources,
-        "asof_click_attribution": asof_click_attribution,
         "partition_diff": partition_diff,
         "sessionize_events": sessionize_events,
         "benchmark_decontamination": benchmark_decontamination,
@@ -2827,21 +2871,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": text_stats,
         "profile_orders_columns": profile_orders_columns,
         "events_value_outliers": events_value_outliers,
-        "q4_order_priority": q4_order_priority,
-        "q5_local_supplier_volume": q5_local_supplier_volume,
-        "q6_revenue_forecast": q6_revenue_forecast,
-        "q10_returned_items": q10_returned_items,
-        "q13_customer_distribution": q13_customer_distribution,
-        "q16_parts_supplier": q16_parts_supplier,
-        "q18_large_orders": q18_large_orders,
-        "q22_global_sales": q22_global_sales,
-        "q20_excess_stock_suppliers": q20_excess_stock_suppliers,
         "range_clicks_before_purchase": range_clicks_before_purchase,
         "orders_running_total": orders_running_total,
         "lang_id_confusion": lang_id_confusion,
         "token_count_by_source": token_count_by_source,
-        "streaming_session_counts": streaming_session_counts,
-        "streaming_interval_join": streaming_interval_join,
         "json_extract_events": json_extract_events,
         "cube_sales": cube_sales,
         "ntile_customer_spend": ntile_customer_spend,
@@ -2854,53 +2887,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention_weekly": cohort_retention_weekly,
         "funnel_signup_purchase": funnel_signup_purchase,
         "segment_dedup_docs": segment_dedup_docs,
-        "unigram_quality_docs": unigram_quality_docs,
         "orders_gaps_lead_lag": orders_gaps_lead_lag,
-        "customer_set_ops": customer_set_ops,
-        "streaming_stateful_totals": streaming_stateful_totals,
-        "chunk_documents_overlap": chunk_documents_overlap,
-        "bm25_search": bm25_search,
         "pii_redaction": pii_redaction,
-        "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
-        "simhash_docs": simhash_docs,
         "embedding_neardup": embedding_neardup,
         "embedding_neardup_exact": embedding_neardup_exact,
         "ann_topk_lsh": ann_topk_lsh,
         "ann_topk_ivf": ann_topk_ivf,
         "multimodal_image_meta": multimodal_image_meta,
-        "winnow_fingerprints_docs": winnow_fingerprints_docs,
         "incremental_dedup_new_source": incremental_dedup_new_source,
-        "range_frame_trailing_value": range_frame_trailing_value,
-        "grouping_sets_sales": grouping_sets_sales,
         "user_top_event": user_top_event,
         "mad_outliers_events": mad_outliers_events,
         "top_bigrams_corpus": top_bigrams_corpus,
         "rolling_active_users_7d": rolling_active_users_7d,
-        # --- new in r7 AFTER the window freeze (freeze-aware sequencing):
-        # registered for the r8 rotation, self-graded + property-tested now
-        "cms_heavy_hitter_terms": cms_heavy_hitter_terms,
-        "pq_encode_embeddings": pq_encode_embeddings,
-        "pq_adc_topk_embeddings": pq_adc_topk_embeddings,
-        "bpe_merge_candidates_corpus": bpe_merge_candidates_corpus,
-        "pagerank_terms_corpus": pagerank_terms_corpus,
-        "bloom_semi_revenue": bloom_semi_revenue,
-        "fuzzy_name_pairs_parts": fuzzy_name_pairs_parts,
-        "weighted_sample_docs": weighted_sample_docs,
-        "benford_order_totals": benford_order_totals,
-        "ivfpq_topk_embeddings": ivfpq_topk_embeddings,
-        "holt_forecast_by_type": holt_forecast_by_type,
-        "streaming_sliding_counts": streaming_sliding_counts,
-        "hard_negatives_embeddings": hard_negatives_embeddings,
-        # --- r7 continuation (still post-freeze → r8 rotation candidates)
-        "basket_lift_parts": basket_lift_parts,
-        "rfm_segments_customers": rfm_segments_customers,
-        "trimmed_mean_value_by_type": trimmed_mean_value_by_type,
-        "mann_kendall_trend_by_type": mann_kendall_trend_by_type,
-        "c4_quality_filter_docs": c4_quality_filter_docs,
-        "readability_docs": readability_docs,
-        "luhn_check_orders": luhn_check_orders,
-        "seasonal_strength_value_by_type": seasonal_strength_value_by_type,
     }
 
 # ---- oracle SQL builders (DuckDB dialect) --------------------------------
