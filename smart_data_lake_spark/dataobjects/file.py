@@ -773,24 +773,33 @@ class SparkFileDataObject(
         import zipfile
 
         stem, _zext = os.path.splitext(self.filename)  # data.csv.zip → data.csv
-        parts = sorted(
-            p
-            for p in glob.glob(os.path.join(self.path, "part-*"))
-            if os.path.isfile(p)
-        )
-        if not parts:
-            return
-        archive = os.path.join(self.path, self.filename)
-        with zipfile.ZipFile(archive, "w", zipfile.ZIP_DEFLATED) as zf:
-            for i, p in enumerate(parts, start=1):
-                entry = stem if len(parts) == 1 else f"{os.path.splitext(stem)[0]}.{i}{os.path.splitext(stem)[1]}"
-                zf.write(p, arcname=entry)
-        for p in parts:
-            os.remove(p)
-        for marker in glob.glob(os.path.join(self.path, "_SUCCESS")) + glob.glob(
-            os.path.join(self.path, ".*.crc")
-        ):
-            os.remove(marker)
+        # Partitioned objects write task files under col=val/ subdirectories;
+        # package one archive per partition directory, mirroring
+        # _rename_output_files' directory walk (driver-ADVICE r7: the flat
+        # glob left partitioned task files unpackaged).
+        dirs = {self.path} if not self.partitions else {
+            os.path.dirname(f)
+            for f in glob.glob(
+                os.path.join(self.path, *(["*"] * len(self.partitions)), "part-*")
+            )
+        }
+        for d in sorted(dirs):
+            parts = sorted(
+                p for p in glob.glob(os.path.join(d, "part-*")) if os.path.isfile(p)
+            )
+            if not parts:
+                continue
+            archive = os.path.join(d, self.filename)
+            with zipfile.ZipFile(archive, "w", zipfile.ZIP_DEFLATED) as zf:
+                for i, p in enumerate(parts, start=1):
+                    entry = stem if len(parts) == 1 else f"{os.path.splitext(stem)[0]}.{i}{os.path.splitext(stem)[1]}"
+                    zf.write(p, arcname=entry)
+            for p in parts:
+                os.remove(p)
+            for marker in glob.glob(os.path.join(d, "_SUCCESS")) + glob.glob(
+                os.path.join(d, ".*.crc")
+            ):
+                os.remove(marker)
 
     # ------------------------------------------------------------ incremental
     def set_state(self, state: str | None) -> None:
@@ -976,7 +985,13 @@ class RelaxedCsvFileDataObject(CsvFileDataObject):
                     reasons.append(f"Missing field(s) {', '.join(missing)} in header")
                 if superfluous and self.treat_superfluous_columns_as_corrupt:
                     reasons.append(f"Superfluous field(s) {', '.join(superfluous)} in header")
-                raw = F.concat_ws(sep, *[F.col(h).cast("string") for h in header])
+                # concat_ws silently DROPS null fields, which would shift the
+                # reconstructed line's field positions; coalesce each field to
+                # '' so the raw record is faithful (driver-ADVICE r7)
+                raw = F.concat_ws(
+                    sep,
+                    *[F.coalesce(F.col(h).cast("string"), F.lit("")) for h in header],
+                )
                 if has_corrupt:
                     cols.append(F.coalesce(base_corrupt, raw).alias(corrupt_col))
                 if has_msg:

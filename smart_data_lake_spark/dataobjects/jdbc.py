@@ -256,6 +256,26 @@ class JdbcTableDataObject(DataObject, CanCreateDataFrame, CanWriteDataFrame, Can
         return list(fetch())
 
     @staticmethod
+    def _quote_literal(value: Any) -> str:
+        """SQL string literal with embedded quotes doubled (ANSI escaping).
+        Partition values flow into DELETE predicates and ANALYZE specs as
+        literals; a value containing a single quote must not be able to
+        break or redirect the statement (driver-ADVICE r7, injection-shaped)."""
+        return "'" + str(value).replace("'", "''") + "'"
+
+    def _run_hook(self, name: str, sql: str | None) -> None:
+        """Execute a configured pre/post SQL hook with a clear error when no
+        executor is wired, instead of an opaque TypeError (driver-ADVICE r7)."""
+        if not sql:
+            return
+        if self.sql_executor is None:
+            raise RuntimeError(
+                f"({self.id}) {name} is configured but no sql_executor is set — "
+                "hook statements need a DB-API executor (sql_query alone can't run them)"
+            )
+        self.sql_executor(sql)
+
+    @staticmethod
     def _quote_ident(name: str) -> str:
         """Quote an identifier when it is not a plain lowercase/uppercase
         word (JdbcCatalog quoteCaseSensitiveColumn)."""
@@ -305,7 +325,11 @@ class JdbcTableDataObject(DataObject, CanCreateDataFrame, CanWriteDataFrame, Can
         rows = self._query(
             f"SELECT MAX({self.incremental_output_expr}) FROM {self.table.full_name}"
         )
-        return rows[0][0] if rows and rows[0] else self._incremental_state
+        # MAX over an empty table yields a (None,) row — a non-empty tuple, so
+        # a truthiness check on rows[0] would wrongly return None and discard
+        # the persisted watermark, forcing a full re-read (driver-ADVICE r7).
+        v = rows[0][0] if rows else None
+        return v if v is not None else self._incremental_state
 
     @property
     def primary_key(self) -> list[str]:
@@ -343,8 +367,7 @@ class JdbcTableDataObject(DataObject, CanCreateDataFrame, CanWriteDataFrame, Can
         return self._reader(spark).load()
 
     def get_dataframe(self, spark, partition_values=None):
-        if self.pre_read_sql:
-            self.sql_executor(self.pre_read_sql)
+        self._run_hook("pre_read_sql", self.pre_read_sql)
         df = self._load(spark)
         if self.incremental_output_expr and self._incremental_state is not None:
             from pyspark.sql import functions as F
@@ -362,8 +385,7 @@ class JdbcTableDataObject(DataObject, CanCreateDataFrame, CanWriteDataFrame, Can
     def post_read(self, spark: SparkSession, partition_values: list) -> None:
         """postReadSql lifecycle — runs once the read has actually been
         consumed (called by the action layer after exec)."""
-        if self.post_read_sql:
-            self.sql_executor(self.post_read_sql)
+        self._run_hook("post_read_sql", self.post_read_sql)
 
     def _target_columns(self) -> list[str] | None:
         """Column names of the existing target table (zero-row probe), used
@@ -400,8 +422,7 @@ class JdbcTableDataObject(DataObject, CanCreateDataFrame, CanWriteDataFrame, Can
 
     def write_dataframe(self, df, partition_values=None, save_mode=None, merge_options=None):
         mode = save_mode or self.save_mode
-        if self.pre_write_sql:
-            self.sql_executor(self.pre_write_sql)
+        self._run_hook("pre_write_sql", self.pre_write_sql)
         try:
             df = self._align_columns(df)
             if mode == SaveMode.MERGE:
@@ -424,7 +445,7 @@ class JdbcTableDataObject(DataObject, CanCreateDataFrame, CanWriteDataFrame, Can
                     preds = " OR ".join(
                         "("
                         + " AND ".join(
-                            f"{self._quote_ident(k)} = '{v}'" for k, v in pv.as_dict.items()
+                            f"{self._quote_ident(k)} = {self._quote_literal(v)}" for k, v in pv.as_dict.items()
                         )
                         + ")"
                         for pv in partition_values
@@ -450,8 +471,7 @@ class JdbcTableDataObject(DataObject, CanCreateDataFrame, CanWriteDataFrame, Can
             writer.mode("append").save()
             return {}
         finally:
-            if self.post_write_sql:
-                self.sql_executor(self.post_write_sql)
+            self._run_hook("post_write_sql", self.post_write_sql)
 
     _SQL_TYPES = {
         "string": "VARCHAR",

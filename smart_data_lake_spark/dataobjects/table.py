@@ -326,7 +326,12 @@ class HiveTableDataObject(ParquetTableDataObject):
             # — a whole-table ANALYZE is a full scan, wrong at 100 TB
             if self.partitions and partition_values and not self.managed:
                 for pv in partition_values:
-                    spec = ", ".join(f"{k}='{v}'" for k, v in pv.as_dict.items())
+                    # escape embedded quotes: partition values are data-derived
+                    # literals and must not break the spec (driver-ADVICE r7)
+                    spec = ", ".join(
+                        "{}='{}'".format(k, str(v).replace("'", "\\'"))
+                        for k, v in pv.as_dict.items()
+                    )
                     spark.sql(
                         f"ANALYZE TABLE {self.table.full_name} PARTITION ({spec}) "
                         "COMPUTE STATISTICS"
