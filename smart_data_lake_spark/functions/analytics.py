@@ -494,6 +494,7 @@ def rolling_zscore_anomalies(
     min_obs: int = 10,
     k: int = 25,
     decimals: int = 6,
+    bucket_seconds: int | None = 86400,
 ) -> DataFrame:
     """Rolling z-score anomaly detection: each observation scored against
     the mean/std of the PRECEDING `window` observations in its group (the
@@ -505,23 +506,93 @@ def rolling_zscore_anomalies(
     DECIMAL values (exact integer arithmetic under any evaluation order —
     running-frame vs recompute-per-row give identical results, so Spark and
     DuckDB agree bit-for-bit); mean/std/z are then fixed IEEE expressions of
-    those exact sums. Shape: one window shuffle, then TakeOrdered top-k —
-    no global sort. Same 100 TB caveat as `lagged_autocorrelation`: the
-    window partitions by the group key; re-key long histories by coarse
-    time bucket with a `window`-row overlap for exact bucketed evaluation."""
+    those exact sums.
+
+    100 TB shape (the r7-verdict mitigation, implemented): a window keyed by
+    the group column alone caps parallelism at the number of groups — for a
+    5-value event_type, 10x data means 10x-longer sorted frames on 5 fixed
+    partitions (measured 7.6x at 10x). With `bucket_seconds` set (default),
+    the evaluation is re-keyed EXACTLY:
+
+      1. per-(group, time-bucket) counts — a tiny combinable aggregate;
+      2. exclusive cumulative offsets over that tiny frame -> a global
+         per-group row number rn = offset + within-bucket row_number, where
+         the within-bucket window partitions by (group, bucket) so its
+         parallelism tracks data volume;
+      3. re-key by rn-block of size `window`, duplicating every row once
+         into the following block as frame context: a row in block B needs
+         only rows with rn >= (B-1)*window, all present in partition
+         (group, B) by construction. Every partition is <= 2*window rows.
+
+    The per-row frame contains exactly the same rows as the single-window
+    formulation, and the sums are DECIMAL-exact, so the two paths are
+    bit-identical (pinned by a test); `bucket_seconds=None` keeps the plain
+    one-shuffle form for small-group-history data."""
     dec = f"decimal(18,{decimals})"
-    ow = Window.partitionBy(group_col).orderBy(ts_col, tiebreak_col)
-    fw = ow.rowsBetween(-window, -1)
     q = F.round(F.col(value_col), decimals).cast(dec)
-    scored = df.select(
-        F.col(group_col),
-        F.col(tiebreak_col),
-        F.col(ts_col),
-        q.alias("_x"),
-        F.count(F.lit(1)).over(fw).alias("_n"),
-        F.sum(q).over(fw).alias("_s"),
-        F.sum(q * q).over(fw).alias("_ss"),
-    ).where(F.col("_n") >= min_obs)
+    if bucket_seconds is None:
+        ow = Window.partitionBy(group_col).orderBy(ts_col, tiebreak_col)
+        fw = ow.rowsBetween(-window, -1)
+        scored = df.select(
+            F.col(group_col),
+            F.col(tiebreak_col),
+            F.col(ts_col),
+            q.alias("_x"),
+            F.count(F.lit(1)).over(fw).alias("_n"),
+            F.sum(q).over(fw).alias("_s"),
+            F.sum(q * q).over(fw).alias("_ss"),
+        ).where(F.col("_n") >= min_obs)
+    else:
+        base = df.select(
+            F.col(group_col),
+            F.col(tiebreak_col),
+            F.col(ts_col),
+            q.alias("_x"),
+            F.floor(
+                F.unix_timestamp(F.col(ts_col)) / F.lit(bucket_seconds)
+            ).alias("_tb"),
+        )
+        counts = base.groupBy(group_col, "_tb").agg(F.count(F.lit(1)).alias("_c"))
+        cum = Window.partitionBy(group_col).orderBy("_tb").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = counts.select(
+            group_col,
+            "_tb",
+            F.coalesce(F.sum("_c").over(cum), F.lit(0)).alias("_off"),
+        )
+        in_bucket = Window.partitionBy(group_col, "_tb").orderBy(ts_col, tiebreak_col)
+        rn_df = base.join(F.broadcast(offsets), [group_col, "_tb"]).select(
+            group_col,
+            tiebreak_col,
+            "_x",
+            (F.col("_off") + F.row_number().over(in_bucket)).alias("_rn"),
+        )
+        blk = F.floor((F.col("_rn") - F.lit(1)) / F.lit(window))
+        native = rn_df.select(
+            group_col, tiebreak_col, "_x", "_rn", blk.alias("_blk"),
+            F.lit(True).alias("_nat"),
+        )
+        context = rn_df.select(
+            group_col, tiebreak_col, "_x", "_rn", (blk + 1).alias("_blk"),
+            F.lit(False).alias("_nat"),
+        )
+        ow = Window.partitionBy(group_col, "_blk").orderBy("_rn")
+        fw = ow.rowsBetween(-window, -1)
+        qx = F.col("_x")
+        scored = (
+            native.unionByName(context)
+            .select(
+                F.col(group_col),
+                F.col(tiebreak_col),
+                F.col("_nat"),
+                F.col("_x"),
+                F.count(F.lit(1)).over(fw).alias("_n"),
+                F.sum(qx).over(fw).alias("_s"),
+                F.sum(qx * qx).over(fw).alias("_ss"),
+            )
+            .where(F.col("_nat") & (F.col("_n") >= min_obs))
+        )
     n = F.col("_n").cast("double")
     s, ss = F.col("_s").cast("double"), F.col("_ss").cast("double")
     x = F.col("_x").cast("double")

@@ -153,3 +153,33 @@ def test_rolling_active_users_trailing_window(spark):
     assert out["2024-01-01"] == (2, 2)
     assert out["2024-01-05"] == (1, 2)   # u1 (again) + u2 from day 1
     assert out["2024-01-08"] == (1, 2)   # u3 + u1@day5; day-1 activity aged out
+
+
+def test_rolling_zscore_bucketed_matches_single_window(spark):
+    """The r7-verdict scale mitigation: the rn-block re-keyed evaluation
+    (bucket_seconds set) must be BIT-IDENTICAL to the plain per-group window
+    — same frames, same DECIMAL-exact sums — at any bucket granularity,
+    including buckets far smaller than the frame (forcing heavy cross-bucket
+    context) and histories shorter than one window."""
+    import datetime as dt
+    import random
+
+    from pyspark.sql import Row
+
+    from smart_data_lake_spark.functions.analytics import rolling_zscore_anomalies
+
+    rng = random.Random(8)
+    rows = []
+    eid = 0
+    for g, n in (("a", 300), ("b", 45), ("c", 7)):  # c: shorter than min_obs
+        t = dt.datetime(2024, 3, 1)
+        for _ in range(n):
+            t += dt.timedelta(minutes=rng.randint(1, 900))
+            rows.append(Row(event_type=g, event_id=eid, ts=t,
+                            value=rng.uniform(-50, 50)))
+            eid += 1
+    df = spark.createDataFrame(rows)
+    ref = rolling_zscore_anomalies(df, bucket_seconds=None).collect()
+    for bs in (3600, 86400, 7 * 86400):
+        got = rolling_zscore_anomalies(df, bucket_seconds=bs).collect()
+        assert got == ref, f"bucket_seconds={bs} diverged"
