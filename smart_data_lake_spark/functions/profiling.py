@@ -539,6 +539,21 @@ def cms_heavy_hitters(
     total = cells.where(F.col("j") == 0).agg(F.sum("c").alias("t"))
 
     terms = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n_exact"))
+    # Candidate bound (r7-verdict item 5): a term's estimate is the MIN over
+    # its depth cells, so estimate >= t/phi requires EVERY cell to clear the
+    # threshold. Prefilter the sketch to those "hot" cells first — each
+    # sketch row sums to the stream length, so at most phi_denominator cells
+    # per row clear it: the join side is bounded at depth*phi_denominator
+    # rows INDEPENDENT of data volume, and the join output collapses from
+    # |vocab|*depth matches to hot-cell hits only. A heavy term (exact >=
+    # t/phi) has every cell count >= exact >= t/phi, so all its cells are
+    # hot and it matches depth times — no false negatives; survivors carry
+    # the same min-over-cells estimate, so the output is bit-identical.
+    hot = (
+        cells.crossJoin(F.broadcast(total))
+        .where(F.col("c") * phi_denominator >= F.col("t"))
+        .select("j", "bucket", "c", "t")
+    )
     est = (
         terms.select(
             "term",
@@ -552,14 +567,12 @@ def cms_heavy_hitters(
                 )
             ).alias("jb"),
         )
-        .join(F.broadcast(cells), (F.col("jb.j") == cells.j) & (F.col("jb.bucket") == cells.bucket))
-        .groupBy("term", "n_exact")
-        .agg(F.min("c").alias("cms_estimate"))
+        .join(F.broadcast(hot), (F.col("jb.j") == hot.j) & (F.col("jb.bucket") == hot.bucket))
+        .groupBy("term", "n_exact", "t")
+        .agg(F.min("c").alias("cms_estimate"), F.count(F.lit(1)).alias("_hits"))
+        .where(F.col("_hits") == depth)
     )
-    candidates = est.crossJoin(F.broadcast(total)).where(
-        F.col("cms_estimate") * phi_denominator >= F.col("t")
-    )
-    return candidates.where(F.col("n_exact") * phi_denominator >= F.col("t")).select(
+    return est.where(F.col("n_exact") * phi_denominator >= F.col("t")).select(
         "term", "cms_estimate", "n_exact"
     )
 
