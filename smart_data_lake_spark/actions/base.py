@@ -74,6 +74,11 @@ class Action(abc.ABC):
         self.metrics_fail_condition = metrics_fail_condition
         self.metadata = metadata or {}
         self.runtime_metrics: dict[str, Any] = {}
+        # per-execution event/metric history (RuntimeData.scala); streaming
+        # actions swap in AsynchronousRuntimeData during init
+        from smart_data_lake_spark.runtime_data import SynchronousRuntimeData
+
+        self.runtime_data = SynchronousRuntimeData(10)
         if registry is not None and id not in registry.actions:
             registry.register_action(self)
 

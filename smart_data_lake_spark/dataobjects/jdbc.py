@@ -160,11 +160,55 @@ def build_transactional_overwrite_sqls(target: str, staging: str) -> list[str]:
     ]
 
 
+class JdbcTransaction:
+    """One pooled DB-API connection running inside an explicit transaction
+    (JdbcTableConnection.scala JdbcTransaction): statements batch on the
+    connection and become visible only at commit(); commit()/rollback()
+    return the connection to the pool either way."""
+
+    def __init__(self, pool: "JdbcConnection", con: Any) -> None:
+        self._pool = pool
+        self._con = con
+        self._open = True
+        con.execute("BEGIN TRANSACTION")
+
+    def execute(self, sql: str) -> Any:
+        if not self._open:
+            raise RuntimeError("transaction already closed")
+        return self._con.execute(sql)
+
+    def _finish(self, stmt: str) -> None:
+        if not self._open:
+            raise RuntimeError("transaction already closed")
+        self._open = False
+        try:
+            self._con.execute(stmt)
+        finally:
+            self._pool._return(self._con)
+
+    def commit(self) -> None:
+        self._finish("COMMIT")
+
+    def rollback(self) -> None:
+        self._finish("ROLLBACK")
+
+
 @register_connection_type
 class JdbcConnection:
-    """Shared JDBC endpoint config (`connection/JdbcTableConnection.scala`):
-    url + driver/auth options + optional DB-API executor, referenced by any
-    number of JdbcTableDataObjects via `connectionId`."""
+    """Shared JDBC endpoint config + connection pool
+    (`connection/JdbcTableConnection.scala`): url + driver/auth options,
+    referenced by any number of JdbcTableDataObjects via `connectionId`.
+
+    Two executor styles, matching the transport split documented on
+    JdbcTableDataObject: a plain `sql_executor` callable (one shared DB-API
+    handle), or a `connection_factory` () -> DB-API connection, which
+    enables the reference's pooled-transaction surface — autocommit is
+    conceptually OFF (every statement runs inside an explicit BEGIN …
+    COMMIT/ROLLBACK), `max_parallel_connections` bounds concurrent
+    transactions with `max_wait_time_sec` borrow timeout, and
+    `test_on_borrow`/`test_on_return` validate pooled handles with a probe
+    query, discarding dead ones instead of handing them out
+    (ConnectionPoolConfig)."""
 
     def __init__(
         self,
@@ -172,11 +216,86 @@ class JdbcConnection:
         url: str,
         connection_options: dict | None = None,
         sql_executor: Callable[[str], Any] | None = None,
+        connection_factory: Callable[[], Any] | None = None,
+        max_parallel_connections: int = 1,
+        max_wait_time_sec: float = 10.0,
+        test_on_borrow: bool = False,
+        test_on_return: bool = False,
     ) -> None:
+        import threading
+
         self.id = id
         self.url = url
         self.connection_options = connection_options or {}
         self.sql_executor = sql_executor
+        self.connection_factory = connection_factory
+        self.max_parallel_connections = max_parallel_connections
+        self.max_wait_time_sec = max_wait_time_sec
+        self.test_on_borrow = test_on_borrow
+        self.test_on_return = test_on_return
+        self._capacity = threading.Semaphore(max_parallel_connections)
+        self._idle_lock = threading.Lock()
+        self._idle: list[Any] = []
+
+    # ------------------------------------------------------------ pool
+    def _probe(self, con: Any) -> bool:
+        try:
+            con.execute("SELECT 1")
+            return True
+        except Exception:
+            return False
+
+    def _borrow(self) -> Any:
+        if self.connection_factory is None:
+            raise RuntimeError(
+                f"({self.id}) pooled transactions need a connection_factory"
+            )
+        if not self._capacity.acquire(timeout=self.max_wait_time_sec):
+            raise TimeoutError(
+                f"({self.id}) no pooled connection available within "
+                f"{self.max_wait_time_sec}s (max_parallel_connections="
+                f"{self.max_parallel_connections})"
+            )
+        while True:
+            with self._idle_lock:
+                con = self._idle.pop() if self._idle else None
+            if con is None:
+                return self.connection_factory()
+            if not self.test_on_borrow or self._probe(con):
+                return con
+            # dead idle connection: discard, try the next (or create fresh)
+
+    def _return(self, con: Any) -> None:
+        try:
+            if self.test_on_return and not self._probe(con):
+                return  # discard dead handle; capacity still freed below
+            with self._idle_lock:
+                self._idle.append(con)
+        finally:
+            self._capacity.release()
+
+    # ------------------------------------------------------------ surface
+    def begin_transaction(self) -> JdbcTransaction:
+        return JdbcTransaction(self, self._borrow())
+
+    def exec_with_connection(self, fn: Callable[[Any], Any]) -> Any:
+        con = self._borrow()
+        try:
+            return fn(con)
+        finally:
+            self._return(con)
+
+    def exec_statement(self, sql: str) -> None:
+        tx = self.begin_transaction()
+        try:
+            tx.execute(sql)
+        except Exception:
+            tx.rollback()
+            raise
+        tx.commit()
+
+    def exec_query(self, sql: str) -> list:
+        return self.exec_with_connection(lambda con: list(con.execute(sql).fetchall()))
 
 
 @register_data_object_type
@@ -214,6 +333,17 @@ class JdbcTableDataObject(DataObject, CanCreateDataFrame, CanWriteDataFrame, Can
             url = url or connection.url
             connection_options = {**connection.connection_options, **(connection_options or {})}
             sql_executor = sql_executor or connection.sql_executor
+            if sql_executor is None and connection.connection_factory is not None:
+                # pooled transport: statements run through pooled explicit
+                # transactions, queries through borrowed handles
+                sql_executor = connection.exec_statement
+                if sql_query is None:
+                    sql_query = connection.exec_query
+        self._pool = (
+            connection
+            if connection is not None and connection.connection_factory is not None
+            else None
+        )
         if url is None:
             raise ValueError(f"({id}) url is required (directly or via connectionId)")
         self.url = url
@@ -341,6 +471,17 @@ class JdbcTableDataObject(DataObject, CanCreateDataFrame, CanWriteDataFrame, Can
         return f"{self.table.full_name}_sdltmp"
 
     def _execute(self, sqls: list[str]) -> None:
+        if self._pool is not None:
+            # pooled transport: the statement batch IS one pooled transaction
+            tx = self._pool.begin_transaction()
+            try:
+                for s in sqls:
+                    tx.execute(s)
+            except Exception:
+                tx.rollback()
+                raise
+            tx.commit()
+            return
         if self.sql_executor is None:
             raise RuntimeError(
                 f"({self.id}) no sql_executor configured and no JDBC driver jar on the "

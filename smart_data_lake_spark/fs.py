@@ -144,6 +144,58 @@ class HadoopFileSystem:
             stream.close()
 
 
+# ---- HdfsUtil-analog helpers (util/hdfs/HdfsUtil.scala) -------------------
+# Driver-side path utilities shared by compaction, file transfer and
+# housekeeping. All are O(files-touched) metadata ops over the FileSystem
+# protocol, so they run unchanged against local disk or a Hadoop store.
+
+
+def touch(fs: FileSystem, path: str) -> None:
+    """Create `path` as an empty file (parents included), or refresh its
+    modification time when it already exists (HdfsUtil.touchFile)."""
+    if fs.exists(path):
+        if isinstance(fs, LocalFileSystem):
+            os.utime(path)
+        else:
+            # Hadoop semantics: rewriting zero bytes bumps modificationTime
+            fs.write_text(path, fs.read_text(path))
+    else:
+        fs.write_text(path, "")
+
+
+def is_subdirectory(child: str, parent: str) -> bool:
+    """True when `child` is STRICTLY below `parent` (HdfsUtil.isSubdirectory:
+    a path is not a subdirectory of itself)."""
+    c = os.path.normpath(strip_local_scheme(child)).rstrip("/")
+    p = os.path.normpath(strip_local_scheme(parent)).rstrip("/")
+    if c == p:
+        return False
+    return c.startswith(p + "/")
+
+
+def delete_empty_parent_paths(fs: FileSystem, path: str, stop_path: str) -> None:
+    """Walk from `path`'s parent up to (exclusive) `stop_path`, removing each
+    directory that is empty (HdfsUtil.deleteEmptyParentPath) — used after
+    partition deletes so col=val/ chains don't accumulate as husks."""
+    current = os.path.dirname(strip_local_scheme(path).rstrip("/"))
+    stop = os.path.normpath(strip_local_scheme(stop_path)).rstrip("/")
+    while is_subdirectory(current, stop):
+        if not fs.exists(current) or fs.listdir(current):
+            break
+        fs.delete(current, recursive=False)
+        current = os.path.dirname(current)
+
+
+def rename_path(fs: FileSystem, src: str, dst: str) -> None:
+    """Strict rename (HdfsUtil.renamePath): raises FileExistsError when the
+    target exists instead of clobbering or suffixing — callers that want the
+    suffixing behavior use rename_file_handle_already_existing on the
+    DataObject."""
+    if fs.exists(dst):
+        raise FileExistsError(f"rename target already exists: {dst}")
+    fs.move(src, dst)
+
+
 _LOCAL_SCHEMES = ("", "file")
 
 

@@ -11,6 +11,7 @@ concurrently inside the shared SparkSession, exactly the reference's model).
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import time
@@ -348,17 +349,33 @@ class ActionDAGRun:
 
             if not action.should_execute(inputs, spark):
                 return aid, _skipped(check_metrics=False)
+            from smart_data_lake_spark.runtime_data import RuntimeEvent, SDLExecutionId
+
+            exec_id = SDLExecutionId(self.state.run_id, self.state.attempt_id)
+
+            def _event(state: str) -> None:
+                action.runtime_data.add_event(
+                    exec_id,
+                    RuntimeEvent(
+                        ts=datetime.datetime.now(), phase="Exec", state=state
+                    ),
+                )
+
             try:
                 t0 = time.time()
+                _event("STARTED")
                 outputs = action.exec(spark, inputs)
                 action.runtime_metrics["duration_sec"] = round(time.time() - t0, 3)
                 action.post_exec(spark, inputs, outputs)
                 if action.execution_mode_state:
                     self.state.data_object_state[aid] = dict(action.execution_mode_state)
+                _event("SUCCEEDED")
                 return aid, outputs
             except NoDataToProcessWarning:
+                _event("SKIPPED")
                 return aid, _skipped(check_metrics=True)
             except Exception as e:  # noqa: BLE001 — recorded as FAILED in run state
+                _event("FAILED")
                 return aid, e
 
         with ThreadPoolExecutor(max_workers=max(1, self.parallelism)) as pool:
