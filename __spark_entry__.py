@@ -5633,10 +5633,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE i.i * 10 >= 6 * (sa.s + sb.s - i.i)
             ORDER BY doc_a, doc_b""",
         "tfidf_cosine_pairs_docs": f"""
-            WITH tok AS (
-              SELECT doc_id AS doc, t.tok FROM documents,
-                LATERAL (SELECT unnest({_TOKS}) AS tok) t
-              WHERE length(trim(lower(text))) > 0
+            WITH toksrc AS (
+              SELECT doc_id AS doc, {_TOKS} AS w FROM documents
+              WHERE length(trim(lower(text))) > 0 AND len({_TOKS}) >= 3
+            ),
+            tok AS (
+              -- 3-gram shingle features WITH multiplicity (no DISTINCT)
+              SELECT doc, w[CAST(t.i AS INT)] || ' ' || w[CAST(t.i + 1 AS INT)]
+                          || ' ' || w[CAST(t.i + 2 AS INT)] AS tok
+              FROM toksrc, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) t
             ),
             tf AS (SELECT doc, tok, COUNT(*) AS tf FROM tok GROUP BY doc, tok),
             dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),

@@ -387,14 +387,23 @@ def tfidf_cosine_pairs(
     min_cosine_num: int = 98,
     min_cosine_den: int = 100,
     decimals: int = 6,
+    shingle_n: int = 3,
 ) -> DataFrame:
     """All document pairs with TF-IDF cosine similarity >= num/den, via the
     sparse posting-list self-join (Salton's vector model over an inverted
     index — the classic exact sparse-similarity shape): pairs only ever
-    materialize for documents SHARING a term, so the join cost tracks
+    materialize for documents SHARING a feature, so the join cost tracks
     posting-list sizes, never N^2. The semantic complement to the
-    token-SET joins (jaccard_prefix_join): weighting by tf*idf makes rare
-    shared terms dominate and stopword overlap irrelevant.
+    feature-SET joins (jaccard_prefix_join): weighting by tf*idf makes rare
+    shared features dominate and boilerplate overlap irrelevant.
+
+    Features are word `shingle_n`-grams WITH multiplicity (default 3) —
+    the shape that keeps posting lists short: a unigram feature space over
+    a small vocabulary makes every posting list a constant fraction of the
+    corpus and the self-join quadratic (measured: the unigram form on the
+    40-word synthetic corpus pairs every doc with every doc). Set
+    shingle_n=1 for classic unigram TF-IDF when the vocabulary is known to
+    be Zipfian-sparse.
 
     Determinism: per-(doc, term) weights are rounded to 1e-6 and summed as
     exact DECIMAL for both the dot products and the squared norms, so every
@@ -409,7 +418,21 @@ def tfidf_cosine_pairs(
     from pyspark.sql import functions as F
 
     dec = f"decimal(18,{decimals})"
-    toks = df.select(F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("tok"))
+    if shingle_n > 1:
+        base = df.select(
+            F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("_toks")
+        ).where(F.size("_toks") >= shingle_n)
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size("_toks") - shingle_n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("_toks"), i + j + 1) for j in range(shingle_n)]
+            ),
+        )
+        toks = base.select("doc", F.explode(grams).alias("tok"))
+    else:
+        toks = df.select(
+            F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("tok")
+        )
     tf = toks.groupBy("doc", "tok").agg(F.count(F.lit(1)).alias("tf"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))

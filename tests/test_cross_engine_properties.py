@@ -734,3 +734,89 @@ def test_mann_kendall_engine_exact(spark, series):
     g, w = got[0], want[0]
     assert g["s_statistic"] == w[1]
     assert g["n_periods"] == w[2]
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_vals)
+def test_theil_sen_engine_exact(spark, series):
+    """Daily means are double divisions of exact decimal sums and the
+    median picks by row_number — the full lag chain must agree with DuckDB
+    bit-for-bit on full-precision doubles."""
+    import duckdb
+
+    import pandas as pd
+
+    import __spark_entry__ as entry
+    from smart_data_lake_spark.functions.analytics import theil_sen_trend_by_group
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + (i % 9)), "g", float(v))
+        for i, v in enumerate(series)
+    ]
+    sdf = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    got = theil_sen_trend_by_group(sdf).collect()
+    con = duckdb.connect()
+    con.register(
+        "events",
+        pd.DataFrame(
+            {
+                "event_id": range(len(series)),
+                "ts": [dt.datetime(2024, 1, 1 + (i % 9)) for i in range(len(series))],
+                "event_type": ["g"] * len(series),
+                "value": [float(v) for v in series],
+            }
+        ),
+    )
+    want = con.sql(entry.oracle_sql()["theil_sen_trend_by_type"]).fetchall()
+    assert len(got) == len(want) == 1
+    assert got[0]["n_pairs"] == want[0][1]
+    assert got[0]["ts_slope"] == want[0][2]
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_vals)
+def test_gini_engine_exact(spark, series):
+    """Rank-weighted decimal sums: equal values must commute under any tie
+    order and the final double ratio must match DuckDB exactly."""
+    import duckdb
+
+    import pandas as pd
+
+    from smart_data_lake_spark.functions.profiling import gini_by_group
+
+    # non-negative values (Gini's domain); include exact duplicates
+    vals = [abs(v) for v in series] + [abs(series[0])]
+    sdf = spark.createDataFrame(
+        [("g", f"k{i}", float(v)) for i, v in enumerate(vals)],
+        "grp string, key string, v double",
+    )
+    got = gini_by_group(sdf, "grp", "key", "v").collect()
+    con = duckdb.connect()
+    con.register(
+        "t",
+        pd.DataFrame({"grp": ["g"] * len(vals), "key": [f"k{i}" for i in range(len(vals))],
+                      "v": [float(v) for v in vals]}),
+    )
+    want = con.sql(
+        """
+        WITH ranked AS (
+          SELECT grp, CAST(v AS DECIMAL(18,6)) AS x,
+                 row_number() OVER (PARTITION BY grp ORDER BY CAST(v AS DECIMAL(18,6)), key) AS i
+          FROM t
+        ), agg AS (
+          SELECT grp, COUNT(*) AS n, SUM(x) AS sx,
+                 SUM(CAST(i AS DECIMAL(28,6)) * CAST(x AS DECIMAL(28,6))) AS six
+          FROM ranked GROUP BY grp
+        )
+        SELECT grp, CAST(n AS BIGINT),
+               CASE WHEN CAST(sx AS DOUBLE) != 0
+                    THEN round((2.0 * CAST(six AS DOUBLE) - (CAST(n AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE))
+                               / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 6) END
+        FROM agg
+        """
+    ).fetchall()
+    assert len(got) == len(want) == 1
+    assert got[0]["n_keys"] == want[0][1]
+    assert got[0]["gini"] == want[0][2]

@@ -279,7 +279,7 @@ def test_tfidf_cosine_pairs_matches_brute_force(spark):
     docs = [(i, " ".join(rng.choices(vocab, k=rng.randint(3, 20)))) for i in range(15)]
     df = spark.createDataFrame(docs, "doc_id int, text string")
     got = {(r["doc_a"], r["doc_b"]): r["cosine"] for r in tfidf_cosine_pairs(
-        df, min_cosine_num=0, min_cosine_den=100
+        df, min_cosine_num=0, min_cosine_den=100, shingle_n=1
     ).collect()}
     # dense reference
     n = len(docs)

@@ -90,6 +90,27 @@ def synthesize(spark, sf_dir: str, out_dir: str, factor: int) -> None:
     big_o.write.mode("overwrite").parquet(os.path.join(out_dir, "orders.parquet"))
     big_l.write.mode("overwrite").parquet(os.path.join(out_dir, "lineitem.parquet"))
 
+    # supplier + customer: id-shifted copies with names REGENERATED from the
+    # shifted key (keeps the name-dictionary edit-distance structure real
+    # instead of factor-times exact duplicates); nation is a dimension, as-is
+    for tbl, key, namecol, prefix in (
+        ("supplier", "s_suppkey", "s_name", "Supplier"),
+        ("customer", "c_custkey", "c_name", "Customer"),
+    ):
+        t = spark.read.parquet(f"{sf_dir}/{tbl}.parquet")
+        n_rows = t.agg(F.max(key)).collect()[0][0] + 1
+        big = t
+        for i in range(1, factor):
+            c = t.withColumn(key, F.col(key) + F.lit(i * n_rows)).withColumn(
+                namecol,
+                F.concat(F.lit(prefix + "#"), F.lpad(F.col(key).cast("string"), 9, "0")),
+            )
+            big = big.unionByName(c)
+        big.write.mode("overwrite").parquet(os.path.join(out_dir, f"{tbl}.parquet"))
+    spark.read.parquet(f"{sf_dir}/nation.parquet").write.mode("overwrite").parquet(
+        os.path.join(out_dir, "nation.parquet")
+    )
+
 
 def main(factor: int, only: list[str] | None = None) -> str:
     import __spark_entry__ as e
@@ -156,6 +177,19 @@ def main(factor: int, only: list[str] | None = None) -> str:
         "readability_docs",
         "luhn_check_orders",
         "seasonal_strength_value_by_type",
+        # r8 additions (r9 rotation queue)
+        "jaccard_prefix_pairs_docs",
+        "qgram_editdist_suppliers",
+        "gini_customer_spend_by_nation",
+        "tfidf_cosine_pairs_docs",
+        "theil_sen_trend_by_type",
+        "xcorr_view_click_lags",
+        "survival_conversion_curve",
+        "ab_test_purchase_conversion",
+        "user_behavior_entropy_events",
+        "seq_pattern_support_events",
+        "fd_histogram_value_events",
+        "scd2_snapshot_asof",
     ]
 
     from smart_data_lake_spark.session import release_persistent_rdds
