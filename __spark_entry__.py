@@ -2898,7 +2898,10 @@ def scd2_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min(F.col("ts").cast("double")) + F.max(F.col("ts").cast("double"))) / 2.0
         ).alias("m")
     ).collect()[0]["m"]
-    mid = _dt.datetime.utcfromtimestamp(int(mid_epoch))
+    # tz-AWARE instant: lit() converts a NAIVE datetime through the
+    # driver's OS timezone (not the session tz), which would shift the
+    # snapshot on any non-UTC machine (r8 review)
+    mid = _dt.datetime.fromtimestamp(int(mid_epoch), tz=_dt.timezone.utc)
     snap = snapshot_as_of(hist, as_of=mid)
     return snap.select("user_id", "event_type", TS_CAPTURED).orderBy("user_id")
 
@@ -5881,12 +5884,19 @@ def oracle_sql() -> dict[str, str]:
                      quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
               FROM events WHERE value IS NOT NULL
             ),
-            p AS (
+            p0 AS (
               SELECT n, mn, mx,
-                     2.0 * (q3 - q1) / cbrt(CAST(n AS DOUBLE)) AS h,
-                     GREATEST(1, CAST(ceil((mx - mn) / (2.0 * (q3 - q1) / cbrt(CAST(n AS DOUBLE))))
-                                      AS BIGINT)) AS n_bins
+                     -- degenerate-IQR guard mirrors fd_histogram: q1=q3 ->
+                     -- fall back to one [mn,mx] bin (width floor 1.0)
+                     CASE WHEN 2.0 * (q3 - q1) / cbrt(CAST(n AS DOUBLE)) > 0
+                          THEN 2.0 * (q3 - q1) / cbrt(CAST(n AS DOUBLE))
+                          WHEN mx > mn THEN mx - mn ELSE 1.0 END AS h
               FROM s
+            ),
+            p AS (
+              SELECT n, mn, mx, h,
+                     GREATEST(1, CAST(ceil((mx - mn) / h) AS BIGINT)) AS n_bins
+              FROM p0
             ),
             binned AS (
               SELECT LEAST(CAST(floor((CAST(e.value AS DOUBLE) - p.mn) / p.h) AS BIGINT),

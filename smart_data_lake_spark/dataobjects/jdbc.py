@@ -170,7 +170,13 @@ class JdbcTransaction:
         self._pool = pool
         self._con = con
         self._open = True
-        con.execute("BEGIN TRANSACTION")
+        try:
+            con.execute("BEGIN TRANSACTION")
+        except Exception:
+            # dead handle: discard it (never idle a handle in unknown
+            # transaction state) and free the capacity slot (r8 review)
+            pool._discard(con)
+            raise
 
     def execute(self, sql: str) -> Any:
         if not self._open:
@@ -183,8 +189,13 @@ class JdbcTransaction:
         self._open = False
         try:
             self._con.execute(stmt)
-        finally:
-            self._pool._return(self._con)
+        except Exception:
+            # a failed COMMIT/ROLLBACK leaves the handle mid-transaction:
+            # returning it would poison the pool (the next borrower's BEGIN
+            # nests) — discard, but still free the slot (r8 review)
+            self._pool._discard(self._con)
+            raise
+        self._pool._return(self._con)
 
     def commit(self) -> None:
         self._finish("COMMIT")
@@ -256,14 +267,32 @@ class JdbcConnection:
                 f"{self.max_wait_time_sec}s (max_parallel_connections="
                 f"{self.max_parallel_connections})"
             )
-        while True:
-            with self._idle_lock:
-                con = self._idle.pop() if self._idle else None
-            if con is None:
-                return self.connection_factory()
-            if not self.test_on_borrow or self._probe(con):
-                return con
-            # dead idle connection: discard, try the next (or create fresh)
+        try:
+            while True:
+                with self._idle_lock:
+                    con = self._idle.pop() if self._idle else None
+                if con is None:
+                    return self.connection_factory()
+                if not self.test_on_borrow or self._probe(con):
+                    return con
+                # dead idle connection: discard, try the next (or create fresh)
+        except Exception:
+            # factory failure must not leak the acquired capacity slot — a
+            # transiently-down DB would otherwise exhaust the pool forever
+            # (r8 review)
+            self._capacity.release()
+            raise
+
+    def _discard(self, con: Any) -> None:
+        """Drop a handle in unknown state WITHOUT idling it; the capacity
+        slot is freed so the pool can mint a replacement."""
+        try:
+            close = getattr(con, "close", None)
+            if close is not None:
+                close()
+        except Exception:
+            pass
+        self._capacity.release()
 
     def _return(self, con: Any) -> None:
         try:

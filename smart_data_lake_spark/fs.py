@@ -152,13 +152,17 @@ class HadoopFileSystem:
 
 def touch(fs: FileSystem, path: str) -> None:
     """Create `path` as an empty file (parents included), or refresh its
-    modification time when it already exists (HdfsUtil.touchFile)."""
+    modification time when it already exists (HdfsUtil.touchFile). Always a
+    METADATA operation — never rewrites content (a data round-trip would be
+    O(bytes) and unsafe on binary files; r8 review)."""
     if fs.exists(path):
-        if isinstance(fs, LocalFileSystem):
-            os.utime(path)
+        if isinstance(fs, HadoopFileSystem):
+            import time
+
+            # FileSystem.setTimes(path, mtimeMillis, atimeMillis); -1 keeps atime
+            fs._fs.setTimes(fs._p(path), int(time.time() * 1000), -1)
         else:
-            # Hadoop semantics: rewriting zero bytes bumps modificationTime
-            fs.write_text(path, fs.read_text(path))
+            os.utime(path)
     else:
         fs.write_text(path, "")
 

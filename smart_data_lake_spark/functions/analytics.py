@@ -543,13 +543,17 @@ def rolling_zscore_anomalies(
             F.sum(q * q).over(fw).alias("_ss"),
         ).where(F.col("_n") >= min_obs)
     else:
+        # _tb is null-safe: a NULL ts lands in a sentinel earliest bucket so
+        # it keeps its NULLS-FIRST position from the single-window ordering
+        # instead of being dropped by the offsets equi-join (r8 review)
         base = df.select(
             F.col(group_col),
             F.col(tiebreak_col),
             F.col(ts_col),
             q.alias("_x"),
-            F.floor(
-                F.unix_timestamp(F.col(ts_col)) / F.lit(bucket_seconds)
+            F.coalesce(
+                F.floor(F.unix_timestamp(F.col(ts_col)) / F.lit(bucket_seconds)),
+                F.lit(-(2**62)),
             ).alias("_tb"),
         )
         counts = base.groupBy(group_col, "_tb").agg(F.count(F.lit(1)).alias("_c"))
@@ -557,12 +561,17 @@ def rolling_zscore_anomalies(
             Window.unboundedPreceding, -1
         )
         offsets = counts.select(
-            group_col,
-            "_tb",
+            F.col(group_col).alias("_og"),
+            F.col("_tb").alias("_otb"),
             F.coalesce(F.sum("_c").over(cum), F.lit(0)).alias("_off"),
         )
         in_bucket = Window.partitionBy(group_col, "_tb").orderBy(ts_col, tiebreak_col)
-        rn_df = base.join(F.broadcast(offsets), [group_col, "_tb"]).select(
+        # null-SAFE group equality: a NULL group key is a real window
+        # partition in the single-window form and must survive the join
+        rn_df = base.join(
+            F.broadcast(offsets),
+            base[group_col].eqNullSafe(F.col("_og")) & (base["_tb"] == F.col("_otb")),
+        ).select(
             group_col,
             tiebreak_col,
             "_x",

@@ -710,7 +710,15 @@ def fd_histogram(
         pcts[0].alias("q1"),
         pcts[1].alias("q3"),
     )
-    h = 2.0 * (F.col("q3") - F.col("q1")) / F.cbrt(F.col("n").cast("double"))
+    raw_h = 2.0 * (F.col("q3") - F.col("q1")) / F.cbrt(F.col("n").cast("double"))
+    # degenerate-IQR guard (r8 review): a zero-inflated / majority-constant
+    # column has q1 == q3 -> h = 0 -> div-by-zero garbage (and NULL bins in
+    # ANSI engines). Fall back to ONE bin spanning [mn, mx] — deterministic
+    # in both engines; (mx - mn) can itself be 0 for a constant column, so
+    # the width floor is 1.0 in that last resort.
+    h = F.when(raw_h > 0, raw_h).otherwise(
+        F.when(F.col("mx") > F.col("mn"), F.col("mx") - F.col("mn")).otherwise(F.lit(1.0))
+    )
     n_bins = F.greatest(
         F.lit(1), F.ceil((F.col("mx") - F.col("mn")) / h).cast("long")
     )

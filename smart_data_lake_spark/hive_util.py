@@ -36,7 +36,9 @@ def normalize_path(path: str) -> str:
     p = re.sub(r"file:/+", "/", p)
     p = re.sub(r"/+", "/", p)
     p = re.sub(r"/+$", "", p)
-    return re.sub(r"tock$", TICK, p)
+    # only a LITERAL trailing tock path element — /warehouse/livestock must
+    # not become /warehouse/livestick (r8 review)
+    return re.sub(r"(^|/)tock$", r"\g<1>" + TICK, p)
 
 
 def is_table_existing(spark: SparkSession, table_name: str) -> bool:
@@ -168,13 +170,11 @@ def write_df_to_hive_with_ticktock(
         raise ValueError(f"({table_name}) partition columns {missing} not in DataFrame")
     exists = is_table_existing(spark, table_name)
     evolution = exists and _schema_differs(spark, table_name, df)
+    # decision table (HiveUtil.scala:388-393); evolution implies do_ticktock
+    # when the table exists, so the rewrite branch is exactly these two
     do_ticktock = force_tick_tock or ((not partitions or evolution) and exists)
-    if not exists or do_ticktock or evolution:
-        location = (
-            _alternating_ticktock_location(spark, table_name, output_path)
-            if (do_ticktock or not exists)
-            else hive_table_location(spark, table_name).replace("file:", "")
-        )
+    if not exists or do_ticktock:
+        location = _alternating_ticktock_location(spark, table_name, output_path)
         cols = _move_partition_cols_last(list(df.columns), partitions)
         _create_at_location(df.select(*cols), table_name, location, partitions)
         return

@@ -183,3 +183,30 @@ def test_rolling_zscore_bucketed_matches_single_window(spark):
     for bs in (3600, 86400, 7 * 86400):
         got = rolling_zscore_anomalies(df, bucket_seconds=bs).collect()
         assert got == ref, f"bucket_seconds={bs} diverged"
+
+
+def test_rolling_zscore_bucketed_keeps_null_keys(spark):
+    """r8 review: NULL ts / NULL group rows are real window rows in the
+    single-window form (NULLS FIRST) and must survive the bucketed
+    re-key's joins bit-identically."""
+    import datetime as dt
+    import random
+
+    from pyspark.sql import Row
+
+    from smart_data_lake_spark.functions.analytics import rolling_zscore_anomalies
+
+    rng = random.Random(8)
+    rows = []
+    for i in range(120):
+        g = None if i % 17 == 0 else "g"
+        ts = None if i % 23 == 0 else dt.datetime(2024, 3, 1) + dt.timedelta(
+            minutes=rng.randint(1, 50000)
+        )
+        rows.append(Row(event_type=g, event_id=i, ts=ts, value=rng.uniform(-9, 9)))
+    df = spark.createDataFrame(
+        rows, "event_type string, event_id long, ts timestamp, value double"
+    )
+    ref = rolling_zscore_anomalies(df, window=10, min_obs=4, bucket_seconds=None).collect()
+    got = rolling_zscore_anomalies(df, window=10, min_obs=4, bucket_seconds=86400).collect()
+    assert got == ref

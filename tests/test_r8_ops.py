@@ -339,3 +339,16 @@ def test_snapshot_as_of_matches_keep_latest(spark):
         .collect()
     }
     assert snap == expected
+
+
+def test_fd_histogram_degenerate_iqr(spark):
+    """r8 review: q1 == q3 (zero IQR) must fall back to one [mn, mx] bin
+    instead of dividing by a zero width; a fully-constant column also
+    works."""
+    df = spark.createDataFrame([(1.0,)] * 8 + [(9.0,)], "value double")
+    out = fd_histogram(df, "value").collect()
+    assert sum(r["n_rows"] for r in out) == 9
+    assert out[0]["bin"] == 0 and out[0]["bin_lo"] == 1.0
+    const = spark.createDataFrame([(5.0,)] * 4, "value double")
+    [r] = fd_histogram(const, "value").collect()
+    assert (r["bin"], r["n_rows"]) == (0, 4)

@@ -584,3 +584,45 @@ def test_runtime_data_wired_into_dag(spark, tmp_path):
     states = [e.state for e in act.runtime_data.get_events(SDLExecutionId(1, 1))]
     assert states == ["STARTED", "SUCCEEDED"]
     assert act.runtime_data.get_runtime_info().state == "SUCCEEDED"
+
+
+def test_jdbc_conn_pool_survives_factory_failure(pooled):
+    """r8 review: a failing connection_factory must not leak the capacity
+    slot — the pool recovers once the factory works again."""
+    base, _ = pooled
+    state = {"fail": True}
+
+    def flaky():
+        if state["fail"]:
+            raise OSError("db down")
+        return base.cursor()
+
+    con = JdbcConnection(
+        id="flaky", url="jdbc:duckdb:memory", connection_factory=flaky,
+        max_parallel_connections=1, max_wait_time_sec=0.5,
+    )
+    for _ in range(3):
+        with pytest.raises(OSError):
+            con.begin_transaction()
+    state["fail"] = False
+    con.begin_transaction().commit()  # would TimeoutError if slots leaked
+
+
+def test_jdbc_conn_discards_handle_on_failed_commit(pooled):
+    """r8 review: a handle whose COMMIT failed must be discarded, not
+    idled — the next transaction gets a fresh handle whose BEGIN works."""
+    base, make = pooled
+    con = make(max_parallel_connections=1, max_wait_time_sec=2)
+    tx = con.begin_transaction()
+    tx._con.close()  # simulate the connection dying mid-transaction
+    with pytest.raises(Exception):
+        tx.commit()
+    assert con._idle == []  # dead handle not idled
+    con.begin_transaction().commit()  # fresh handle, slot not leaked
+
+
+def test_hive_normalize_path_literal_tock_only():
+    """r8 review: only a literal trailing /tock element flips to tick."""
+    assert hu.normalize_path("/warehouse/livestock") == "/warehouse/livestock"
+    assert hu.normalize_path("/warehouse/tbl/tock") == "/warehouse/tbl/tick"
+    assert hu.normalize_path("tock") == "tick"
