@@ -2906,6 +2906,35 @@ def scd2_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snap.select("user_id", "event_type", TS_CAPTURED).orderBy("user_id")
 
 
+
+def hits_terms_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the token-adjacency graph
+    (functions/graph.hits): the mutually-recursive companion of
+    pagerank_terms_corpus, whole recurrence in scaled integer arithmetic
+    with max-normalization — oracle-graded bit-for-bit against 3 unrolled
+    SQL iterations. Top-20 authorities."""
+    from smart_data_lake_spark.functions.graph import hits, token_transition_edges
+
+    docs = _t(spark, sf_dir, "documents")
+    h = hits(token_transition_edges(docs), weight_col="weight", iterations=3)
+    return (
+        h.orderBy(F.desc("authority_e12"), F.asc("node"))
+        .limit(20)
+        .select(F.col("node").alias("term"), "authority_e12", "hub_e12")
+    )
+
+
+def vocab_coverage_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve per source (functions/search
+    .vocab_coverage_curve): token-mass share of the top-10/top-100 terms —
+    Zipf's law as a direct corpus-health quantity; vocab-scale ranking
+    window, exact integer counts."""
+    from smart_data_lake_spark.functions.search import vocab_coverage_curve
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_coverage_curve(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is the driver grading window: only the first 50
     # entries get a CORRECTNESS oracle row per round. r8 rotation (window
@@ -3091,6 +3120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_customer_spend_by_nation": gini_customer_spend_by_nation,
         "fd_histogram_value_events": fd_histogram_value_events,
         "scd2_snapshot_asof": scd2_snapshot_asof,
+        "hits_terms_corpus": hits_terms_corpus,
+        "vocab_coverage_by_source": vocab_coverage_by_source,
     }
 
 # ---- oracle SQL builders (DuckDB dialect) --------------------------------
@@ -3351,6 +3382,8 @@ def oracle_sql() -> dict[str, str]:
             FROM r JOIN (SELECT g, n FROM base WHERE rn = 1 AND n >= 2) last
               ON last.g = r.g AND r.rn = last.n
             ORDER BY event_type"""
+    hits_oracle_sql = "\n            WITH toksrc AS (\n              SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w\n              FROM documents\n              WHERE length(trim(lower(text))) > 0\n                AND len(regexp_split_to_array(trim(lower(text)), '\\s+')) >= 2\n            ), pairs AS (\n              SELECT w[CAST(t.i AS INT)] AS src, w[CAST(t.i + 1 AS INT)] AS dst\n              FROM toksrc, LATERAL (SELECT unnest(range(1, len(w))) AS i) t\n            ), e AS (\n              SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS wgt\n              FROM pairs GROUP BY src, dst\n            ), nodes AS (\n              SELECT src AS node FROM e UNION SELECT dst FROM e\n            ), h0 AS (\n              SELECT node, CAST(1000000000000 AS HUGEINT) AS h FROM nodes\n            ), rawa1 AS (\n              SELECT nodes.node, COALESCE(s.raw, CAST(0 AS HUGEINT)) AS raw\n              FROM nodes LEFT JOIN (\n                SELECT e.dst AS node, SUM(CAST(p.h AS HUGEINT) * e.wgt) AS raw\n                FROM e JOIN h0 p ON p.node = e.src GROUP BY e.dst) s USING (node)\n            ), amax1 AS (SELECT MAX(raw) AS mx FROM rawa1),\n            a1 AS (\n              SELECT node, CASE WHEN mx > 0\n                           THEN (raw * 1000000000000) // mx\n                           ELSE CAST(0 AS HUGEINT) END AS a\n              FROM rawa1 CROSS JOIN amax1\n            ), rawh1 AS (\n              SELECT nodes.node, COALESCE(s.raw, CAST(0 AS HUGEINT)) AS raw\n              FROM nodes LEFT JOIN (\n                SELECT e.src AS node, SUM(CAST(p.a AS HUGEINT) * e.wgt) AS raw\n                FROM e JOIN a1 p ON p.node = e.dst GROUP BY e.src) s USING (node)\n            ), hmax1 AS (SELECT MAX(raw) AS mx FROM rawh1),\n            h1 AS (\n              SELECT node, CASE WHEN mx > 0\n                           THEN (raw * 1000000000000) // mx\n                           ELSE CAST(0 AS HUGEINT) END AS h\n              FROM rawh1 CROSS JOIN hmax1\n            ),\n            rawa2 AS (\n              SELECT nodes.node, COALESCE(s.raw, CAST(0 AS HUGEINT)) AS raw\n              FROM nodes LEFT JOIN (\n                SELECT e.dst AS node, SUM(CAST(p.h AS HUGEINT) * e.wgt) AS raw\n                FROM e JOIN h1 p ON p.node = e.src GROUP BY e.dst) s USING (node)\n            ), amax2 AS (SELECT MAX(raw) AS mx FROM rawa2),\n            a2 AS (\n              SELECT node, CASE WHEN mx > 0\n                           THEN (raw * 1000000000000) // mx\n                           ELSE CAST(0 AS HUGEINT) END AS a\n              FROM rawa2 CROSS JOIN amax2\n            ), rawh2 AS (\n              SELECT nodes.node, COALESCE(s.raw, CAST(0 AS HUGEINT)) AS raw\n              FROM nodes LEFT JOIN (\n                SELECT e.src AS node, SUM(CAST(p.a AS HUGEINT) * e.wgt) AS raw\n                FROM e JOIN a2 p ON p.node = e.dst GROUP BY e.src) s USING (node)\n            ), hmax2 AS (SELECT MAX(raw) AS mx FROM rawh2),\n            h2 AS (\n              SELECT node, CASE WHEN mx > 0\n                           THEN (raw * 1000000000000) // mx\n                           ELSE CAST(0 AS HUGEINT) END AS h\n              FROM rawh2 CROSS JOIN hmax2\n            ),\n            rawa3 AS (\n              SELECT nodes.node, COALESCE(s.raw, CAST(0 AS HUGEINT)) AS raw\n              FROM nodes LEFT JOIN (\n                SELECT e.dst AS node, SUM(CAST(p.h AS HUGEINT) * e.wgt) AS raw\n                FROM e JOIN h2 p ON p.node = e.src GROUP BY e.dst) s USING (node)\n            ), amax3 AS (SELECT MAX(raw) AS mx FROM rawa3),\n            a3 AS (\n              SELECT node, CASE WHEN mx > 0\n                           THEN (raw * 1000000000000) // mx\n                           ELSE CAST(0 AS HUGEINT) END AS a\n              FROM rawa3 CROSS JOIN amax3\n            ), rawh3 AS (\n              SELECT nodes.node, COALESCE(s.raw, CAST(0 AS HUGEINT)) AS raw\n              FROM nodes LEFT JOIN (\n                SELECT e.src AS node, SUM(CAST(p.a AS HUGEINT) * e.wgt) AS raw\n                FROM e JOIN a3 p ON p.node = e.dst GROUP BY e.src) s USING (node)\n            ), hmax3 AS (SELECT MAX(raw) AS mx FROM rawh3),\n            h3 AS (\n              SELECT node, CASE WHEN mx > 0\n                           THEN (raw * 1000000000000) // mx\n                           ELSE CAST(0 AS HUGEINT) END AS h\n              FROM rawh3 CROSS JOIN hmax3\n            )\n            SELECT a3.node AS term,\n                   CAST(a3.a AS BIGINT) AS authority_e12,\n                   CAST(h3.h AS BIGINT) AS hub_e12\n            FROM a3 JOIN h3 USING (node)\n            ORDER BY authority_e12 DESC, term LIMIT 20"
+    cov_oracle_sql = "\n            WITH tok AS (\n              SELECT source, t.tok FROM documents,\n                LATERAL (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok) t\n              WHERE length(trim(lower(text))) > 0\n            ),\n            counts AS (SELECT source, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),\n            totals AS (\n              SELECT source, SUM(c) AS total, COUNT(*) AS n_terms FROM counts GROUP BY source\n            ),\n            ranked AS (\n              SELECT source, c,\n                     row_number() OVER (PARTITION BY source ORDER BY c DESC, tok) AS rn\n              FROM counts\n            ),\n            agg AS (\n              SELECT source,\n                     SUM(CASE WHEN rn <= 10 THEN c ELSE 0 END) AS cov10,\n                     SUM(CASE WHEN rn <= 100 THEN c ELSE 0 END) AS cov100\n              FROM ranked WHERE rn <= 100 GROUP BY source\n            ),\n            rows_ AS (\n              SELECT source, 10 AS top_n, cov10 AS covered FROM agg\n              UNION ALL\n              SELECT source, 100, cov100 FROM agg\n            )\n            SELECT r.source, CAST(r.top_n AS INT) AS top_n,\n                   CAST(r.covered AS BIGINT) AS covered_tokens,\n                   CAST(t.total AS BIGINT) AS total_tokens,\n                   CAST(t.n_terms AS BIGINT) AS n_terms,\n                   CAST(r.covered AS DOUBLE) / CAST(t.total AS DOUBLE) AS coverage\n            FROM rows_ r JOIN totals t USING (source)\n            ORDER BY source, top_n"
     pagerank_oracle = r"""
             WITH toksrc AS (
               SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
@@ -5933,4 +5966,6 @@ def oracle_sql() -> dict[str, str]:
             FROM hist h CROSS JOIN mid
             WHERE epoch(h.cap) <= mid.m AND epoch(h.del) > mid.m
             ORDER BY h.user_id""",
+        "hits_terms_corpus": hits_oracle_sql,
+        "vocab_coverage_by_source": cov_oracle_sql,
     }

@@ -127,3 +127,99 @@ def token_transition_edges(
         ).alias("p")
     ).select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
     return pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("weight"))
+
+
+def hits(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    iterations: int = 3,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999, "Authoritative sources in a
+    hyperlinked environment" — public): the mutually-recursive counterpart
+    of PageRank — a node is a good AUTHORITY if good hubs point at it, a
+    good HUB if it points at good authorities. Returns
+    ``(node, authority_e12, hub_e12)`` scaled by 10^12 as BIGINTs.
+
+    Same engine-exactness discipline as `pagerank`: the whole recurrence
+    runs in scaled integer arithmetic — each half-iteration is one edge
+    join + one map-side-combinable groupBy, then MAX-normalization
+    (x * SCALE div max) instead of the float L2 norm; max-normalization is
+    the standard integer-friendly variant and preserves the ranking the
+    power iteration converges to. Every multiply widens to DECIMAL(38,0)
+    before the integral division, so Spark and any ANSI engine running the
+    same recurrence agree bit-for-bit. Per iteration: two edge shuffles
+    (src-join, dst-group) — the unavoidable HITS exchange pattern — with a
+    `localCheckpoint` lineage cut."""
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    e = edges.select(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"), w.cast("long").alias("_w")
+    )
+    e = e.groupBy("_src", "_dst").agg(F.sum("_w").alias("_w")).localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .unionByName(e.select(F.col("_dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    if e.limit(1).count() == 0:
+        return nodes.select(
+            "node",
+            F.lit(0).cast("long").alias("authority_e12"),
+            F.lit(0).cast("long").alias("hub_e12"),
+        )
+    hubs = nodes.select("node", F.lit(SCALE).cast("long").alias("h"))
+    auths = nodes.select("node", F.lit(SCALE).cast("long").alias("a"))
+
+    def _normalize(df: DataFrame, col: str) -> DataFrame:
+        mx = df.agg(F.max(col).alias("_mx"))
+        return df.crossJoin(F.broadcast(mx)).select(
+            "node",
+            F.when(
+                F.col("_mx") > 0,
+                F.expr(f"cast((cast({col} as decimal(38,0)) * {SCALE}) div _mx as long)"),
+            )
+            .otherwise(F.lit(0))
+            .alias(col),
+        )
+
+    for _ in range(iterations):
+        raw_a = (
+            e.join(hubs.withColumnRenamed("node", "_src"), "_src")
+            .select(
+                F.col("_dst").alias("node"),
+                F.expr("cast(cast(h as decimal(38,0)) * _w as decimal(38,0))").alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").cast("decimal(38,0)").alias("_raw"))
+        )
+        auths = _normalize(
+            nodes.join(raw_a, "node", "left").select(
+                "node", F.coalesce(F.col("_raw"), F.lit(0)).alias("a")
+            ),
+            "a",
+        ).localCheckpoint(eager=False)
+        raw_h = (
+            e.join(auths.withColumnRenamed("node", "_dst"), "_dst")
+            .select(
+                F.col("_src").alias("node"),
+                F.expr("cast(cast(a as decimal(38,0)) * _w as decimal(38,0))").alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").cast("decimal(38,0)").alias("_raw"))
+        )
+        hubs = _normalize(
+            nodes.join(raw_h, "node", "left").select(
+                "node", F.coalesce(F.col("_raw"), F.lit(0)).alias("h")
+            ),
+            "h",
+        ).localCheckpoint(eager=False)
+    return (
+        auths.join(hubs, "node")
+        .select(
+            "node",
+            F.col("a").cast("long").alias("authority_e12"),
+            F.col("h").cast("long").alias("hub_e12"),
+        )
+    )

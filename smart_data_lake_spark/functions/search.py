@@ -482,3 +482,67 @@ def tfidf_cosine_pairs(
         .select("doc_a", "doc_b", cosine.alias("cosine"))
         .where(F.col("cosine") >= F.lit(threshold))
     )
+
+
+def vocab_coverage_curve(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    tops: tuple = (10, 100),
+) -> DataFrame:
+    """Vocabulary coverage curve per group: what fraction of the token MASS
+    do the top-N most frequent terms cover (N in `tops`)? The
+    corpus-health diagnostic behind tokenizer and stopword decisions — a
+    96%-at-100-terms source is templated boilerplate, a 40% one is diverse
+    prose (Zipf's law made actionable; complements zipf_slope's regression
+    with the direct quantity).
+
+    Shape: one combinable (group, term) count, one VOCAB-scale per-group
+    ranking window (vocabulary, not corpus, bounds the sort), then a
+    threshold rollup. Counts are exact integers; coverage is one double
+    division per row."""
+    from pyspark.sql import Window
+
+    from .text import tokens
+
+    toks = df.select(
+        F.col(group_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    counts = toks.groupBy(group_col, "tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy(group_col).agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("n_terms")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(group_col).orderBy(F.desc("c"), F.asc("tok"))
+    )
+    ranked = counts.select(group_col, "c", rn.alias("rn")).where(
+        F.col("rn") <= max(tops)
+    )
+    agg = ranked.groupBy(group_col).agg(
+        *[
+            F.sum(F.when(F.col("rn") <= n, F.col("c")).otherwise(0)).alias(f"_cov_{n}")
+            for n in tops
+        ]
+    )
+    rows = None
+    for n in tops:
+        part = agg.select(
+            F.col(group_col),
+            F.lit(n).cast("int").alias("top_n"),
+            F.col(f"_cov_{n}").cast("long").alias("covered_tokens"),
+        )
+        rows = part if rows is None else rows.unionByName(part)
+    return (
+        rows.join(totals, group_col)
+        .select(
+            group_col,
+            "top_n",
+            "covered_tokens",
+            F.col("total").cast("long").alias("total_tokens"),
+            F.col("n_terms").cast("long").alias("n_terms"),
+            (F.col("covered_tokens").cast("double") / F.col("total").cast("double")).alias(
+                "coverage"
+            ),
+        )
+        .orderBy(group_col, "top_n")
+    )

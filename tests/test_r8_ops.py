@@ -352,3 +352,47 @@ def test_fd_histogram_degenerate_iqr(spark):
     const = spark.createDataFrame([(5.0,)] * 4, "value double")
     [r] = fd_histogram(const, "value").collect()
     assert (r["bin"], r["n_rows"]) == (0, 4)
+
+
+# --------------------------------------------------------------------- graph
+
+
+def test_hits_known_graph(spark):
+    """Star graph: hub center pointing at 3 sinks — the center is the max
+    hub (normalized to SCALE) with authority 0; sinks are equal max
+    authorities with hub 0."""
+    from smart_data_lake_spark.functions.graph import SCALE, hits
+
+    edges = spark.createDataFrame(
+        [("c", "s1"), ("c", "s2"), ("c", "s3")], "src string, dst string"
+    )
+    out = {r["node"]: (r["authority_e12"], r["hub_e12"]) for r in hits(edges).collect()}
+    assert out["c"] == (0, SCALE)
+    assert out["s1"] == out["s2"] == out["s3"] == (SCALE, 0)
+
+
+def test_hits_weighted_ranks(spark):
+    """A doubly-weighted edge makes its target the strictly top authority."""
+    from smart_data_lake_spark.functions.graph import hits
+
+    edges = spark.createDataFrame(
+        [("a", "x", 2), ("b", "x", 2), ("a", "y", 1), ("b", "y", 1)],
+        "src string, dst string, weight int",
+    )
+    out = {r["node"]: r["authority_e12"] for r in hits(edges, weight_col="weight").collect()}
+    assert out["x"] > out["y"] > 0
+
+
+def test_vocab_coverage_curve_values(spark):
+    """Hand corpus: top-1 term covers its exact token share; coverage is
+    monotone in N and total/term counts are exact."""
+    from smart_data_lake_spark.functions.search import vocab_coverage_curve
+
+    df = spark.createDataFrame(
+        [("s", "a a a a b b c"), ("s", "a b d")], "source string, text string"
+    )
+    out = {r["top_n"]: r for r in vocab_coverage_curve(df, tops=(1, 2)).collect()}
+    # counts: a=5, b=3, c=1, d=1; total 10
+    assert out[1]["covered_tokens"] == 5 and out[1]["total_tokens"] == 10
+    assert out[1]["coverage"] == 0.5
+    assert out[2]["covered_tokens"] == 8 and out[2]["n_terms"] == 4

@@ -190,6 +190,8 @@ def main(factor: int, only: list[str] | None = None) -> str:
         "seq_pattern_support_events",
         "fd_histogram_value_events",
         "scd2_snapshot_asof",
+        "hits_terms_corpus",
+        "vocab_coverage_by_source",
     ]
 
     from smart_data_lake_spark.session import release_persistent_rdds
