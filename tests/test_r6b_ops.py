@@ -206,7 +206,13 @@ def test_rolling_z_plan_takeordered_no_global_sort(spark, sf_dir):
 
     plan = _plan(entry.queries()["rolling_z_anomalies_events"](spark, sf_dir))
     assert "TakeOrdered" in plan
-    assert plan.count("Exchange") <= 2
+    # r8 re-key: the bucketed evaluation trades the single 2-exchange plan
+    # (whose window parallelism was capped at the GROUP-COLUMN cardinality)
+    # for a bounded handful of exchanges over rn-block partitions of
+    # <= 2*window rows — more stages, unbounded parallelism. Top-k stays
+    # TakeOrdered (never a global sort).
+    assert plan.count("Exchange") <= 10
+    assert "CartesianProduct" not in plan
 
 
 def test_zipf_plan_partitioned_window_no_cartesian(spark, sf_dir):
