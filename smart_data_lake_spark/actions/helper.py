@@ -1,0 +1,41 @@
+"""Action naming/SQL helpers (workflow/action/ActionHelper.scala and
+script/CmdScript.scala:splitCmdParameters).
+
+Small pure functions shared by the SQL transformers (temp-view naming) and
+the script action (command splitting) — extracted so the reference's
+ActionHelperTest/CmdScriptTest scenarios map one-to-one.
+"""
+
+from __future__ import annotations
+
+import re
+import shlex
+
+TEMP_VIEW_SUFFIX = "_sdltemp"
+
+
+def replace_special_characters_with_underscore(name: str) -> str:
+    """ActionHelper.replaceSpecialCharactersWithUnderscore: any character
+    outside [A-Za-z0-9_] becomes '_' (legal Spark temp-view names)."""
+    return re.sub(r"[^A-Za-z0-9_]", "_", name)
+
+
+def create_temporary_view_name(name: str) -> str:
+    """ActionHelper.createTemporaryViewName: sanitized name + '_sdltemp'."""
+    return replace_special_characters_with_underscore(name) + TEMP_VIEW_SUFFIX
+
+
+def replace_legacy_view_name(sql: str, view_name: str) -> str:
+    """ActionHelper.replaceLegacyViewName: rewrite whole-word references to
+    the LEGACY (un-suffixed) view name into the suffixed one — historic
+    configs wrote `select * from src1`, the engine registers `src1_sdltemp`."""
+    if not view_name.endswith(TEMP_VIEW_SUFFIX):
+        return sql
+    legacy = view_name[: -len(TEMP_VIEW_SUFFIX)]
+    return re.sub(rf"\b{re.escape(legacy)}\b", view_name, sql)
+
+
+def split_cmd_parameters(cmd: str) -> list[str]:
+    """CmdScript.splitCmdParameters: shell-style tokenization where single-
+    and double-quoted spans stay one parameter (quotes stripped)."""
+    return shlex.split(cmd)

@@ -24,6 +24,7 @@ class CustomScriptAction(Action):
         output_ids: list[str] | None = None,
         cmd: list[str] | str = "",
         env: dict[str, str] | None = None,
+        shell: bool = True,
         **kwargs: Any,
     ) -> None:
         super().__init__(id=id, **kwargs)
@@ -31,6 +32,10 @@ class CustomScriptAction(Action):
         self._output_ids = output_ids or []
         self.cmd = cmd
         self.env = env or {}
+        # shell=False tokenizes a string cmd with CmdScript.splitCmdParameters
+        # semantics (quoted spans stay one argv element) instead of handing it
+        # to a shell — the reference's CmdScript execution mode
+        self.shell = shell
 
     @property
     def input_ids(self) -> list[str]:
@@ -53,9 +58,16 @@ class CustomScriptAction(Action):
             if isinstance(sf, ScriptSubFeed):
                 params.update(sf.parameters)
         env = {**os.environ, **self.env, **{f"SDL_{k.upper()}": str(v) for k, v in params.items()}}
-        shell = isinstance(self.cmd, str)
+        if isinstance(self.cmd, str) and not self.shell:
+            from smart_data_lake_spark.actions.helper import split_cmd_parameters
+
+            argv: list[str] | str = split_cmd_parameters(self.cmd)
+            use_shell = False
+        else:
+            argv = self.cmd
+            use_shell = isinstance(self.cmd, str)
         proc = subprocess.run(
-            self.cmd, shell=shell, env=env, capture_output=True, text=True, check=False
+            argv, shell=use_shell, env=env, capture_output=True, text=True, check=False
         )
         if proc.returncode != 0:
             raise RuntimeError(f"({self.id}) script failed rc={proc.returncode}: {proc.stderr[-2000:]}")

@@ -111,6 +111,26 @@ def register_connection_type(cls: type) -> type:
 _SECRET_PROVIDERS: dict[str, Any] = {}
 
 
+def global_spark_options(config: dict) -> dict[str, str]:
+    """globalConfig.sparkOptions with secrets RESOLVED (GlobalConfig.scala:
+    sparkOptions feed the session builder and, for spark.hadoop.* keys, the
+    Hadoop configuration; secret tokens like ###ENV#NAME### resolve through
+    the registered providers). Returns the plain resolved map — hand it to
+    build_session(extra_conf=...) or apply_hadoop_options."""
+    opts = (config.get("globalConfig", {}) or {}).get("sparkOptions", {}) or {}
+    return {k: resolve_secret(str(v)) for k, v in opts.items()}
+
+
+def apply_hadoop_options(spark, options: dict[str, str]) -> None:
+    """Apply spark.hadoop.*-prefixed options onto the LIVE session's Hadoop
+    configuration (mutable at runtime, unlike static Spark confs) —
+    GlobalConfig.getHadoopConfiguration parity."""
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for k, v in options.items():
+        if k.startswith("spark.hadoop."):
+            hconf.set(k[len("spark.hadoop."):], v)
+
+
 def register_secret_provider(name: str, fn) -> None:
     _SECRET_PROVIDERS[name.upper()] = fn
 
@@ -123,6 +143,11 @@ def resolve_secret(value: str) -> str:
 
     if not isinstance(value, str) or "#" not in value:
         return value
+    # the reference's StringOrSecret canonical form wraps the token as
+    # ###PROVIDER#NAME### (SecretsUtil.scala); accept both the wrapped and
+    # the bare PROVIDER#NAME spelling
+    if value.startswith("###") and value.endswith("###") and len(value) > 6:
+        value = value[3:-3]
     provider, _, name = value.partition("#")
     if provider == "CLEAR":
         return name

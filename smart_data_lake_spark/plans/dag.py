@@ -68,6 +68,20 @@ class StateStore:
     def save(self, state: RunState) -> None:
         with open(self._file(state.run_id, state.attempt_id), "w") as f:
             f.write(state.to_json())
+        if state.is_final:
+            # one summary line per FINAL state into index.jsonl — the fast
+            # listing a dashboard reads instead of parsing every state file
+            # (HadoopFileActionDAGRunStateStore index append,
+            # ActionDAGRunTest "append to state index file")
+            summary = {
+                "app_name": self.app_name,
+                "run_id": state.run_id,
+                "attempt_id": state.attempt_id,
+                "is_final": state.is_final,
+                "action_states": state.action_states,
+            }
+            with open(os.path.join(self.state_path, "index.jsonl"), "a") as f:
+                f.write(json.dumps(summary) + "\n")
 
     def latest(self) -> RunState | None:
         files = sorted(

@@ -19,18 +19,19 @@ from dataclasses import dataclass, field
 from typing import Any
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, order=True)
 class SDLExecutionId:
-    """Synchronous DAG run execution id (attempt number)."""
+    """Synchronous DAG run execution id; ORDERED by (run_id, attempt_id)
+    (ExecutionId.scala compare / ExecutionIdTest)."""
 
     run_id: int = 1
     attempt_id: int = 1
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, order=True)
 class StreamingExecutionId:
-    """Asynchronous (streaming micro-batch) execution id
-    (SparkStreamingExecutionId)."""
+    """Asynchronous (streaming micro-batch) execution id, ordered by
+    batch_id (SparkStreamingExecutionId compare)."""
 
     batch_id: int = 0
 

@@ -47,7 +47,11 @@ class SQLDfTransformer(DfTransformer):
     name: str = "sql"
 
     def transform(self, spark, df, options=None):
-        view = re.sub(r"[^A-Za-z0-9_]", "_", self.input_view_name)
+        from smart_data_lake_spark.actions.helper import (
+            replace_special_characters_with_underscore,
+        )
+
+        view = replace_special_characters_with_underscore(self.input_view_name)
         df.createOrReplaceTempView(view)
         sql = self.code.replace("%{inputViewName}", view)
         input_id = (options or {}).get("input_id")

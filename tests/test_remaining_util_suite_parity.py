@@ -626,3 +626,167 @@ def test_hive_normalize_path_literal_tock_only():
     assert hu.normalize_path("/warehouse/livestock") == "/warehouse/livestock"
     assert hu.normalize_path("/warehouse/tbl/tock") == "/warehouse/tbl/tick"
     assert hu.normalize_path("tock") == "tick"
+
+
+# ---------------------------------------------------------------------------
+# ExecutionIdTest.scala (2) / ActionHelperTest.scala (3) / CmdScriptTest.scala
+# (1) / ActionDAGRunTest.scala (3) / GlobalConfigTest.scala (2) — the last
+# suites SURVEY §5 had noted-not-row-mapped
+# ---------------------------------------------------------------------------
+
+from smart_data_lake_spark.actions.helper import (  # noqa: E402
+    create_temporary_view_name,
+    replace_legacy_view_name,
+    replace_special_characters_with_underscore,
+    split_cmd_parameters,
+)
+from smart_data_lake_spark.runtime_data import (  # noqa: E402
+    SDLExecutionId,
+    StreamingExecutionId,
+)
+
+
+def test_sdl_execution_id_ordering():
+    """ExecutionIdTest:26 — (run, attempt) lexicographic order."""
+    assert SDLExecutionId(1, 1) < SDLExecutionId(1, 2)
+    assert SDLExecutionId(1, 2) < SDLExecutionId(2, 1)
+
+
+def test_streaming_execution_id_ordering():
+    """ExecutionIdTest:31 — batch order."""
+    assert StreamingExecutionId(1) < StreamingExecutionId(2)
+
+
+def test_action_helper_replace_special_characters():
+    """ActionHelperTest:26."""
+    assert replace_special_characters_with_underscore("1-x.y+z!9") == "1_x_y_z_9"
+
+
+def test_action_helper_create_temporary_view_name():
+    """ActionHelperTest:30."""
+    assert create_temporary_view_name("1-x.y+z!9") == "1_x_y_z_9_sdltemp"
+
+
+def test_action_helper_replace_legacy_view_name():
+    """ActionHelperTest:34 — whole-word rewrites only."""
+    assert (
+        replace_legacy_view_name("select * from src1", "src1_sdltemp")
+        == "select * from src1_sdltemp"
+    )
+    assert (
+        replace_legacy_view_name("select src1.* from src1", "src1_sdltemp")
+        == "select src1_sdltemp.* from src1_sdltemp"
+    )
+    assert (
+        replace_legacy_view_name("select s.* from src1 as s", "src1_sdltemp")
+        == "select s.* from src1_sdltemp as s"
+    )
+
+
+def test_cmd_script_split_with_quotes(spark, tmp_path):
+    """CmdScriptTest:26 — quoted spans stay single parameters; and the
+    script ACTION executes a shell=False cmd through the splitter."""
+    assert split_cmd_parameters("""my test "is splitted" correctly 'or not' """) == [
+        "my", "test", "is splitted", "correctly", "or not",
+    ]
+    from smart_data_lake_spark.actions.script import CustomScriptAction
+
+    act = CustomScriptAction(id="s", cmd="echo 'one arg'", shell=False)
+    [out] = act.exec(spark, [])
+    assert out.parameters["stdout"] == "one arg"
+
+
+def test_dag_run_state_json_roundtrip(tmp_path):
+    """ActionDAGRunTest:45 — RunState serializes to json and back equal,
+    including metrics, incremental data-object state and streaming
+    queries."""
+    from smart_data_lake_spark.plans.dag import RunState
+
+    state = RunState(
+        run_id=3,
+        attempt_id=2,
+        is_final=True,
+        action_states={"a": "SUCCEEDED", "b": "SKIPPED"},
+        action_metrics={"a": {"records_written": 5, "note": "abc"}},
+        data_object_state={"a": {"watermark": "2024-01-01"}},
+        streaming_queries={"a": [{"output_id": "do1", "query_name": "q"}]},
+    )
+    assert RunState.from_json(state.to_json()) == state
+
+
+def test_dag_run_state_reads_old_version(tmp_path):
+    """ActionDAGRunTest:67 — a state file from an OLDER format (missing new
+    fields, carrying unknown extras) still loads; unknown fields are
+    dropped, missing ones default."""
+    import json as _json
+
+    from smart_data_lake_spark.plans.dag import RunState
+
+    old = {
+        "run_id": 7,
+        "attempt_id": 1,
+        "action_states": {"load-test": "SUCCEEDED"},
+        "legacyField": {"version": "2.5.2"},  # unknown: ignored
+    }
+    st = RunState.from_json(_json.dumps(old))
+    assert st.run_id == 7 and st.action_states == {"load-test": "SUCCEEDED"}
+    assert st.streaming_queries == {} and st.is_final is False
+
+
+def test_dag_run_state_index_append(tmp_path):
+    """ActionDAGRunTest:82 — every FINAL state appends one summary line to
+    index.jsonl; non-final saves don't."""
+    import json as _json
+
+    from smart_data_lake_spark.plans.dag import RunState, StateStore
+
+    store = StateStore(str(tmp_path), app_name="test")
+    store.save(RunState(run_id=1, attempt_id=1, is_final=False))
+    store.save(RunState(run_id=1, attempt_id=1, is_final=True, action_states={"a": "SUCCEEDED"}))
+    store.save(RunState(run_id=2, attempt_id=1, is_final=True, action_states={"a": "FAILED"}))
+    lines = [
+        _json.loads(ln)
+        for ln in (tmp_path / "index.jsonl").read_text().splitlines()
+    ]
+    assert [(e["run_id"], e["action_states"]) for e in lines] == [
+        (1, {"a": "SUCCEEDED"}),
+        (2, {"a": "FAILED"}),
+    ]
+
+
+def test_global_config_secrets_in_hadoop_config(spark):
+    """GlobalConfigTest:26 — a spark.hadoop.* sparkOption carrying a secret
+    token resolves through the registered provider and lands in the LIVE
+    Hadoop configuration."""
+    from smart_data_lake_spark.config import (
+        apply_hadoop_options,
+        global_spark_options,
+        register_secret_provider,
+    )
+
+    register_secret_provider("TESTPROVIDER", lambda name: "resolvedSecret")
+    cfg = {
+        "globalConfig": {
+            "sparkOptions": {
+                "spark.hadoop.hadoop.security.authentication": "###TESTPROVIDER#secret###"
+            }
+        }
+    }
+    opts = global_spark_options(cfg)
+    apply_hadoop_options(spark, opts)
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hconf.get("hadoop.security.authentication") == "resolvedSecret"
+
+
+def test_global_config_secrets_in_session_conf(spark):
+    """GlobalConfigTest:39 — a sparkOption secret resolves into the session
+    configuration (runtime-settable conf key used here; static keys take
+    the same resolved map through build_session(extra_conf=...))."""
+    from smart_data_lake_spark.config import global_spark_options, register_secret_provider
+
+    register_secret_provider("TESTPROVIDER", lambda name: "resolvedSecret")
+    cfg = {"globalConfig": {"sparkOptions": {"spark.sql.cbo.enabled": "###TESTPROVIDER#secret###"}}}
+    opts = global_spark_options(cfg)
+    assert opts == {"spark.sql.cbo.enabled": "resolvedSecret"}
+    spark.conf.set("spark.sdl.test.resolved", opts["spark.sql.cbo.enabled"])
+    assert spark.conf.get("spark.sdl.test.resolved") == "resolvedSecret"
