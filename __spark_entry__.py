@@ -1402,7 +1402,10 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs exact near-dup — the small-N VERIFIER for the LSH variant
     (O(N²): input capped at a fixed 500 vectors regardless of SF, the role
-    this operator plays in production recall audits)."""
+    this operator plays in production recall audits). The BNLJ in this plan
+    is N/A-as-designed — constant 125k-pair work at any corpus scale, and
+    the exhaustive shape is the point: it is the ground truth the LSH/IVF
+    recall audits measure against (README 'Standing plan exceptions')."""
     from smart_data_lake_spark.functions.dedup import embedding_neardup_pairs
 
     emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 500)
@@ -2746,6 +2749,22 @@ def jaccard_prefix_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def exact_neardup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard near-dup CLUSTERS (functions/dedup
+    .jaccard_neardup_clusters): the prefix-filtered exact join collapsed
+    through connected components — one row per duplicate family instead of
+    the quadratic pair list (the r8-measured 40.5x-at-10x output blowup of
+    the pair form). The join and component iteration run on one
+    representative per distinct shingle set; members expand back by
+    fingerprint."""
+    from smart_data_lake_spark.functions.dedup import jaccard_neardup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    return jaccard_neardup_clusters(docs, threshold_num=6, threshold_den=10).orderBy(
+        "cluster_id"
+    )
+
+
 def tfidf_cosine_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse TF-IDF cosine pairs via the posting-list self-join
     (functions/search.tfidf_cosine_pairs): pairs materialize only for docs
@@ -2935,22 +2954,201 @@ def vocab_coverage_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_coverage_curve(docs)
 
 
+# ---- round-9 operators (registered below the r9 freeze line) -------------
+
+
+def spearman_value_hour_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between event value and hour-of-day per
+    type (functions/analytics.spearman_by_group): average-rank ties via the
+    integer doubled-rank trick — the whole statistic reduces to integer
+    sufficient statistics, one double expression at the end."""
+    from smart_data_lake_spark.functions.analytics import spearman_by_group
+
+    ev = _t(spark, sf_dir, "events")
+    hour_utc = (F.floor(F.col("ts").cast("double") / 3600.0) % 24).cast("long")
+    return spearman_by_group(ev, "event_type", F.col("value"), hour_utc, "event_id")
+
+
+def winsorized_mean_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% winsorized mean of event values per type (functions/analytics
+    .winsorized_mean_by_group): rank-based clamp boundaries — the
+    keep-n-constant companion of the graded trimmed mean."""
+    from smart_data_lake_spark.functions.analytics import winsorized_mean_by_group
+
+    ev = _t(spark, sf_dir, "events")
+    return winsorized_mean_by_group(ev, "event_type", "value", "event_id")
+
+
+def burstiness_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor + Goh-Barabási burstiness of the daily event-count
+    series per type (functions/analytics.burstiness_by_group): dispersion
+    diagnostics from integer sufficient statistics."""
+    from smart_data_lake_spark.functions.analytics import burstiness_by_group
+
+    ev = _t(spark, sf_dir, "events")
+    return burstiness_by_group(ev, "event_type")
+
+
+def next_event_entropy_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional entropy of the next event type given the current one
+    (functions/analytics.next_event_conditional_entropy): the
+    predictability collapse of the transition matrix; decimal-summed
+    c·ln(c) terms."""
+    from smart_data_lake_spark.functions.analytics import (
+        next_event_conditional_entropy,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return next_event_conditional_entropy(ev)
+
+
+def twap_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trapezoidal time-weighted average of event values per type
+    (functions/analytics.twap_by_group): the sampling-density-unbiased
+    mean over the (ts, event_id) total order; decimal-summed trapezoids."""
+    from smart_data_lake_spark.functions.analytics import twap_by_group
+
+    ev = _t(spark, sf_dir, "events")
+    return twap_by_group(ev, "event_type")
+
+
+def llr_collocations_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning log-likelihood-ratio collocations over the corpus
+    (functions/search.llr_collocations): the evidence-weighted complement
+    of pmi_collocations_corpus — G² over exact 2×2 contingency integers,
+    top-25 on the rounded score."""
+    from smart_data_lake_spark.functions.search import llr_collocations
+
+    docs = _t(spark, sf_dir, "documents")
+    return llr_collocations(docs, min_count=5, k=25).orderBy(
+        F.desc("llr_g2"), "collocation"
+    )
+
+
+def distinct_ngram_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-1/Distinct-2 diversity per source (functions/search
+    .distinct_ngram_ratio): unique-type share of unigram/bigram tokens —
+    the standard corpus-diversity readout next to vocab_coverage's mass
+    curve."""
+    from smart_data_lake_spark.functions.search import distinct_ngram_ratio
+
+    docs = _t(spark, sf_dir, "documents")
+    return distinct_ngram_ratio(docs)
+
+
+def entity_clusters_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution clusters over supplier names (functions/linkage
+    .entity_resolution_clusters): the exact edit-distance join collapsed
+    through connected components — one row per entity, canonical = longest
+    member name."""
+    from smart_data_lake_spark.functions.linkage import entity_resolution_clusters
+
+    sup = _t(spark, sf_dir, "supplier")
+    return entity_resolution_clusters(sup, "s_name", max_dist=1).orderBy("cluster_id")
+
+
+def tfidf_topk_neighbors_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF cosine neighbors per document (functions/search
+    .tfidf_topk_neighbors): the bounded-output form of the exact cosine
+    pair join — at most k rows per doc regardless of duplicate-family
+    size."""
+    from smart_data_lake_spark.functions.search import tfidf_topk_neighbors
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_topk_neighbors(docs, k=3, min_cosine_num=1, min_cosine_den=4).orderBy(
+        "doc", "rk"
+    )
+
+
+def streaming_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window top-k event types through the streaming gate
+    (streaming/operators.topk_per_window + rank_topk_per_window): the
+    watermarked tumbling aggregation runs in the stream, the rank-and-cut
+    on the drained (final) windows — the canonical two-stage streaming
+    top-k."""
+    from smart_data_lake_spark.streaming.operators import (
+        rank_topk_per_window,
+        read_events_stream,
+        run_available_now,
+        topk_per_window,
+    )
+
+    sdf = read_events_stream(spark, sf_dir)
+    drained = run_available_now(topk_per_window(sdf))
+    return rank_topk_per_window(drained, k=3).orderBy("window_start_epoch", "rk")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is the driver grading window: only the first 50
-    # entries get a CORRECTNESS oracle row per round. r8 rotation (window
+    # entries get a CORRECTNESS oracle row per round. r9 rotation (window
     # FROZEN at the commit adding this comment; any operator added later
-    # in r8 goes BELOW the line per the freeze-aware sequencing rule):
-    # 1-21 the 21 post-freeze r7 operators never driver-graded (the whole
-    # r7 debt queue, per the r7 verdict item 1), 22-26 the pinned
-    # structural canaries, 27-31 the five >1.4x r6->r7 bench movers
-    # (regraded alongside the A/B protocol, like lineitem_correlations in
-    # r7), 32-50 displaced greens: 9 TPC-H queries last graded r6, the
-    # window/set-op family, rolling_z_anomalies_events (re-proves the
-    # re-key-by-time-bucket mitigation landing this round), the r6
-    # streaming pair, and a dedup/ANN slice. Rotated out: everything
-    # green in CORRECTNESS_r07.
+    # in r9 goes BELOW the line per the freeze-aware sequencing rule):
+    # 1-14 the 14 post-freeze r8 operators never driver-graded (the whole
+    # r8 debt queue, per the r8 verdict item 1), 15-19 the pinned
+    # structural canaries, 20-50 displaced greens: the 25 queries last
+    # graded r5 (the oldest cohort in the registry — includes the
+    # embedding_neardup_exact re-proof alongside its r9 closure) and the
+    # 6 oldest r6 greens. Rotated out: everything green in
+    # CORRECTNESS_r07/r08, plus streaming_stateful_totals (declared
+    # rows-only/no_oracle by design; regraded r8, nothing new to prove).
     return {
-        # --- never driver-graded: the 21 post-freeze r7 operators
+        # --- never driver-graded: the 14 post-freeze r8 operators
+        "jaccard_prefix_pairs_docs": jaccard_prefix_pairs_docs,
+        "tfidf_cosine_pairs_docs": tfidf_cosine_pairs_docs,
+        "qgram_editdist_suppliers": qgram_editdist_suppliers,
+        "theil_sen_trend_by_type": theil_sen_trend_by_type,
+        "xcorr_view_click_lags": xcorr_view_click_lags,
+        "survival_conversion_curve": survival_conversion_curve,
+        "ab_test_purchase_conversion": ab_test_purchase_conversion,
+        "user_behavior_entropy_events": user_behavior_entropy_events,
+        "seq_pattern_support_events": seq_pattern_support_events,
+        "gini_customer_spend_by_nation": gini_customer_spend_by_nation,
+        "fd_histogram_value_events": fd_histogram_value_events,
+        "scd2_snapshot_asof": scd2_snapshot_asof,
+        "hits_terms_corpus": hits_terms_corpus,
+        "vocab_coverage_by_source": vocab_coverage_by_source,
+        # --- canaries (pinned every round)
+        "q3_shipping_priority": q3_shipping_priority,
+        "topk_customers_window": topk_customers_window,
+        "streaming_windowed_counts": streaming_windowed_counts,
+        "dedup_latest_event": dedup_latest_event,
+        "scd2_user_history": scd2_user_history,
+        # --- fill: displaced greens (last graded r5)
+        "json_extract_events": json_extract_events,
+        "cube_sales": cube_sales,
+        "ntile_customer_spend": ntile_customer_spend,
+        "event_value_percentiles": event_value_percentiles,
+        "approx_distinct_users": approx_distinct_users,
+        "embedding_quantize_error": embedding_quantize_error,
+        "label_centroid_outliers": label_centroid_outliers,
+        "train_val_split_documents": train_val_split_documents,
+        "trend_value_by_type": trend_value_by_type,
+        "cohort_retention_weekly": cohort_retention_weekly,
+        "funnel_signup_purchase": funnel_signup_purchase,
+        "segment_dedup_docs": segment_dedup_docs,
+        "orders_gaps_lead_lag": orders_gaps_lead_lag,
+        "pii_redaction": pii_redaction,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "embedding_neardup": embedding_neardup,
+        "embedding_neardup_exact": embedding_neardup_exact,
+        "ann_topk_lsh": ann_topk_lsh,
+        "ann_topk_ivf": ann_topk_ivf,
+        "multimodal_image_meta": multimodal_image_meta,
+        "incremental_dedup_new_source": incremental_dedup_new_source,
+        "user_top_event": user_top_event,
+        "mad_outliers_events": mad_outliers_events,
+        "top_bigrams_corpus": top_bigrams_corpus,
+        "rolling_active_users_7d": rolling_active_users_7d,
+        # --- fill: displaced greens (oldest r6 cohort)
+        "mix_sources_audit": mix_sources_audit,
+        "user_event_paths": user_event_paths,
+        "normalized_doc_scores": normalized_doc_scores,
+        "event_transitions": event_transitions,
+        "event_value_histogram": event_value_histogram,
+        "top_docs_per_source": top_docs_per_source,
+        # ================= end of 50-entry grading window =================
+        # --- green in CORRECTNESS_r06/r07/r08, rotated out (plus the
+        # --- declared rows-only streaming_stateful_totals)
         "cms_heavy_hitter_terms": cms_heavy_hitter_terms,
         "pq_encode_embeddings": pq_encode_embeddings,
         "pq_adc_topk_embeddings": pq_adc_topk_embeddings,
@@ -2972,19 +3170,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability_docs": readability_docs,
         "luhn_check_orders": luhn_check_orders,
         "seasonal_strength_value_by_type": seasonal_strength_value_by_type,
-        # --- canaries (pinned every round)
-        "q3_shipping_priority": q3_shipping_priority,
-        "topk_customers_window": topk_customers_window,
-        "streaming_windowed_counts": streaming_windowed_counts,
-        "dedup_latest_event": dedup_latest_event,
-        "scd2_user_history": scd2_user_history,
-        # --- the five >1.4x bench movers (regrade + A/B this round)
         "unigram_quality_docs": unigram_quality_docs,
         "bm25_search": bm25_search,
         "chunk_documents_overlap": chunk_documents_overlap,
         "dedup_exact": dedup_exact,
         "streaming_stateful_totals": streaming_stateful_totals,
-        # --- fill: displaced greens (last graded r5/r6)
         "q4_order_priority": q4_order_priority,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q6_revenue_forecast": q6_revenue_forecast,
@@ -3004,8 +3194,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints_docs": winnow_fingerprints_docs,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "asof_click_attribution": asof_click_attribution,
-        # ================= end of 50-entry grading window =================
-        # --- green in CORRECTNESS_r07 or earlier, rotated out
         "pmi_collocations_corpus": pmi_collocations_corpus,
         "value_quartiles_by_type": value_quartiles_by_type,
         "autocorr_lag1_value_by_type": autocorr_lag1_value_by_type,
@@ -3050,12 +3238,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": ann_topk,
         "hybrid_search_rrf": hybrid_search_rrf,
         "incremental_highwatermark": incremental_highwatermark,
-        "mix_sources_audit": mix_sources_audit,
-        "user_event_paths": user_event_paths,
-        "normalized_doc_scores": normalized_doc_scores,
-        "event_transitions": event_transitions,
-        "event_value_histogram": event_value_histogram,
-        "top_docs_per_source": top_docs_per_source,
         "value_histogram_by_type": value_histogram_by_type,
         "stratified_sample_documents": stratified_sample_documents,
         "pack_sequences_by_source": pack_sequences_by_source,
@@ -3082,46 +3264,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_running_total": orders_running_total,
         "lang_id_confusion": lang_id_confusion,
         "token_count_by_source": token_count_by_source,
-        "json_extract_events": json_extract_events,
-        "cube_sales": cube_sales,
-        "ntile_customer_spend": ntile_customer_spend,
-        "event_value_percentiles": event_value_percentiles,
-        "approx_distinct_users": approx_distinct_users,
-        "embedding_quantize_error": embedding_quantize_error,
-        "label_centroid_outliers": label_centroid_outliers,
-        "train_val_split_documents": train_val_split_documents,
-        "trend_value_by_type": trend_value_by_type,
-        "cohort_retention_weekly": cohort_retention_weekly,
-        "funnel_signup_purchase": funnel_signup_purchase,
-        "segment_dedup_docs": segment_dedup_docs,
-        "orders_gaps_lead_lag": orders_gaps_lead_lag,
-        "pii_redaction": pii_redaction,
-        "dedup_ngram_jaccard": dedup_ngram_jaccard,
-        "embedding_neardup": embedding_neardup,
-        "embedding_neardup_exact": embedding_neardup_exact,
-        "ann_topk_lsh": ann_topk_lsh,
-        "ann_topk_ivf": ann_topk_ivf,
-        "multimodal_image_meta": multimodal_image_meta,
-        "incremental_dedup_new_source": incremental_dedup_new_source,
-        "user_top_event": user_top_event,
-        "mad_outliers_events": mad_outliers_events,
-        "top_bigrams_corpus": top_bigrams_corpus,
-        "rolling_active_users_7d": rolling_active_users_7d,
-        # --- new in r8 (below the r8 freeze line; r9 rotation queue)
-        "jaccard_prefix_pairs_docs": jaccard_prefix_pairs_docs,
-        "tfidf_cosine_pairs_docs": tfidf_cosine_pairs_docs,
-        "qgram_editdist_suppliers": qgram_editdist_suppliers,
-        "theil_sen_trend_by_type": theil_sen_trend_by_type,
-        "xcorr_view_click_lags": xcorr_view_click_lags,
-        "survival_conversion_curve": survival_conversion_curve,
-        "ab_test_purchase_conversion": ab_test_purchase_conversion,
-        "user_behavior_entropy_events": user_behavior_entropy_events,
-        "seq_pattern_support_events": seq_pattern_support_events,
-        "gini_customer_spend_by_nation": gini_customer_spend_by_nation,
-        "fd_histogram_value_events": fd_histogram_value_events,
-        "scd2_snapshot_asof": scd2_snapshot_asof,
-        "hits_terms_corpus": hits_terms_corpus,
-        "vocab_coverage_by_source": vocab_coverage_by_source,
+        # --- new in r9 (below the r9 freeze line; r10 rotation queue)
+        "exact_neardup_clusters_docs": exact_neardup_clusters_docs,
+        "spearman_value_hour_by_type": spearman_value_hour_by_type,
+        "winsorized_mean_value_by_type": winsorized_mean_value_by_type,
+        "burstiness_daily_by_type": burstiness_daily_by_type,
+        "next_event_entropy_by_type": next_event_entropy_by_type,
+        "twap_value_by_type": twap_value_by_type,
+        "llr_collocations_corpus": llr_collocations_corpus,
+        "distinct_ngram_ratio_by_source": distinct_ngram_ratio_by_source,
+        "entity_clusters_suppliers": entity_clusters_suppliers,
+        "tfidf_topk_neighbors_docs": tfidf_topk_neighbors_docs,
+        "streaming_topk_per_window": streaming_topk_per_window,
     }
 
 # ---- oracle SQL builders (DuckDB dialect) --------------------------------
@@ -5668,6 +5822,42 @@ def oracle_sql() -> dict[str, str]:
               JOIN sz sb ON sb.doc_id = i.doc_b
             WHERE i.i * 10 >= 6 * (sa.s + sb.s - i.i)
             ORDER BY doc_a, doc_b""",
+        "exact_neardup_clusters_docs": f"""
+            WITH RECURSIVE {_SHINGLE_CTE.strip().rstrip(',')},
+            sz AS (SELECT doc_id, COUNT(*) AS s FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            jpairs AS (
+              SELECT i.doc_a, i.doc_b
+              FROM inter i
+                JOIN sz sa ON sa.doc_id = i.doc_a
+                JOIN sz sb ON sb.doc_id = i.doc_b
+              WHERE i.i * 10 >= 6 * (sa.s + sb.s - i.i)
+            ),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM jpairs
+              UNION SELECT doc_b, doc_a FROM jpairs
+            ),
+            reach(src, dst) AS (
+              SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            ),
+            comp AS (SELECT src AS node, MIN(dst) AS label FROM reach GROUP BY src),
+            sized AS (
+              SELECT c.node, c.label, d.n_chars FROM comp c JOIN documents d ON d.doc_id = c.node
+            ),
+            ranked AS (
+              SELECT node, label, ROW_NUMBER() OVER (
+                PARTITION BY label ORDER BY n_chars DESC, node ASC) AS rk
+              FROM sized
+            )
+            SELECT label AS cluster_id, COUNT(*) AS n_docs,
+                   MAX(CASE WHEN rk = 1 THEN node END) AS canonical_doc_id
+            FROM ranked GROUP BY label ORDER BY cluster_id""",
         "tfidf_cosine_pairs_docs": f"""
             WITH toksrc AS (
               SELECT doc_id AS doc, {_TOKS} AS w FROM documents
@@ -5806,12 +5996,16 @@ def oracle_sql() -> dict[str, str]:
               FROM per_day CROSS JOIN tot
             ),
             terms AS (
+              -- full-depletion step (n_risk = d): KM factor is exactly 0 —
+              -- keep the row, pin lnterm to 0, force survival to 0 below
               SELECT t, d, c, n_risk,
+                     CASE WHEN d = n_risk THEN 1 ELSE 0 END AS depl,
                      CAST(round(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE), 9)
                           AS DECIMAL(28,9)) AS hterm,
-                     CAST(round(ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)), 9)
+                     CAST(round(CASE WHEN d = n_risk THEN 0.0
+                           ELSE ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)) END, 9)
                           AS DECIMAL(28,9)) AS lnterm
-              FROM risk WHERE n_risk > d
+              FROM risk
             )
             SELECT CAST(t AS BIGINT) AS days_since_signup,
                    CAST(n_risk AS BIGINT) AS n_at_risk,
@@ -5820,8 +6014,12 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(SUM(hterm) OVER (ORDER BY t
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
                      AS cum_hazard,
-                   round(exp(CAST(SUM(lnterm) OVER (ORDER BY t
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)), 6)
+                   round(CASE WHEN MAX(depl) OVER (ORDER BY t
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+                         THEN 0.0
+                         ELSE exp(CAST(SUM(lnterm) OVER (ORDER BY t
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE))
+                         END, 6)
                      AS km_survival
             FROM terms ORDER BY days_since_signup""",
         "ab_test_purchase_conversion": """
@@ -5968,4 +6166,286 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY h.user_id""",
         "hits_terms_corpus": hits_oracle_sql,
         "vocab_coverage_by_source": cov_oracle_sql,
+        # ---- round-9 operators ------------------------------------------
+        "spearman_value_hour_by_type": """
+            WITH base AS (
+              SELECT event_type AS g, value AS x,
+                     CAST(floor(epoch(ts) / 3600.0) % 24 AS BIGINT) AS y
+              FROM events WHERE value IS NOT NULL
+            ),
+            ranked AS (
+              SELECT g,
+                     CAST(2 * rank() OVER (PARTITION BY g ORDER BY x)
+                          + COUNT(*) OVER (PARTITION BY g, x) - 1 AS BIGINT) AS a,
+                     CAST(2 * rank() OVER (PARTITION BY g ORDER BY y)
+                          + COUNT(*) OVER (PARTITION BY g, y) - 1 AS BIGINT) AS b
+              FROM base
+            ),
+            agg AS (
+              SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
+                     CAST(SUM(a * a) AS BIGINT) AS saa,
+                     CAST(SUM(b * b) AS BIGINT) AS sbb,
+                     CAST(SUM(a * b) AS BIGINT) AS sab
+              FROM ranked GROUP BY g
+            )
+            SELECT g AS event_type, n,
+                   CASE WHEN sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+                                  * CAST(n * sbb - sb * sb AS DOUBLE)) > 0
+                        THEN round(CAST(n * sab - sa * sb AS DOUBLE)
+                                   / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+                                          * CAST(n * sbb - sb * sb AS DOUBLE)), 6)
+                   END AS spearman_rho
+            FROM agg ORDER BY event_type""",
+        "winsorized_mean_value_by_type": """
+            WITH ranked AS (
+              SELECT event_type, CAST(round(value, 6) AS DECIMAL(18,6)) AS v,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY value, event_id) AS rn,
+                     COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM events WHERE value IS NOT NULL
+            ),
+            cutf AS (SELECT *, CAST(floor(n * 0.1) AS BIGINT) AS cut FROM ranked),
+            bounds AS (
+              SELECT event_type,
+                     MAX(CASE WHEN rn = cut + 1 THEN v END) AS lo,
+                     MAX(CASE WHEN rn = n - cut THEN v END) AS hi
+              FROM cutf GROUP BY event_type
+            ),
+            clamped AS (
+              SELECT f.event_type,
+                     CASE WHEN f.rn <= f.cut THEN b.lo
+                          WHEN f.rn > f.n - f.cut THEN b.hi
+                          ELSE f.v END AS cv
+              FROM cutf f JOIN bounds b USING (event_type)
+            )
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   round(CAST(SUM(cv) AS DOUBLE) / COUNT(*), 6) AS winsorized_mean
+            FROM clamped GROUP BY event_type ORDER BY event_type""",
+        "burstiness_daily_by_type": """
+            WITH daily AS (
+              SELECT event_type AS g,
+                     CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS d,
+                     COUNT(*) AS c
+              FROM events GROUP BY 1, 2
+            ),
+            agg AS (
+              SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(c) AS BIGINT) AS s,
+                     CAST(SUM(c * c) AS BIGINT) AS ss
+              FROM daily GROUP BY g
+            )
+            SELECT g AS event_type, n AS n_days,
+                   round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_daily,
+                   CASE WHEN s > 0 THEN
+                     round((CAST(n * ss - s * s AS DOUBLE) / CAST(n * n AS DOUBLE))
+                           / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                   END AS fano_factor,
+                   CASE WHEN sqrt(CAST(n * ss - s * s AS DOUBLE) / CAST(n * n AS DOUBLE))
+                             + CAST(s AS DOUBLE) / CAST(n AS DOUBLE) > 0 THEN
+                     round((sqrt(CAST(n * ss - s * s AS DOUBLE) / CAST(n * n AS DOUBLE))
+                            - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                           / (sqrt(CAST(n * ss - s * s AS DOUBLE) / CAST(n * n AS DOUBLE))
+                              + CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                   END AS burstiness
+            FROM agg ORDER BY event_type""",
+        "next_event_entropy_by_type": """
+            WITH seqs AS (
+              SELECT user_id, list(event_type ORDER BY ts, event_id) AS types
+              FROM events GROUP BY user_id
+            ),
+            pairs AS (
+              SELECT types[CAST(t.i + 1 AS INT)] AS cur,
+                     types[CAST(t.i + 2 AS INT)] AS nxt
+              FROM seqs, LATERAL (SELECT unnest(range(0, len(types) - 1)) AS i) t
+              WHERE len(types) >= 2
+            ),
+            counted AS (SELECT cur, nxt, COUNT(*) AS c FROM pairs GROUP BY 1, 2),
+            agg AS (
+              SELECT cur, CAST(SUM(c) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS k,
+                     SUM(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)), 9)
+                              AS DECIMAL(28,9))) AS clnc
+              FROM counted GROUP BY cur
+            )
+            SELECT cur AS event_type, t AS n_transitions, k AS n_next_types,
+                   round(ln(CAST(t AS DOUBLE)) - CAST(clnc AS DOUBLE) / CAST(t AS DOUBLE), 6)
+                     AS next_entropy
+            FROM agg ORDER BY event_type""",
+        "twap_value_by_type": """
+            WITH base AS (
+              SELECT event_type AS g, CAST(epoch(ts) AS DOUBLE) AS t,
+                     CAST(round(value, 6) AS DECIMAL(18,6)) AS v, event_id AS id
+              FROM events WHERE value IS NOT NULL
+            ),
+            lagd AS (
+              SELECT g, t, v,
+                     lag(t) OVER (PARTITION BY g ORDER BY t, id) AS pt,
+                     lag(v) OVER (PARTITION BY g ORDER BY t, id) AS pv
+              FROM base
+            ),
+            seg AS (SELECT * FROM lagd WHERE pt IS NOT NULL),
+            agg AS (
+              SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                     SUM(CAST(round(t - pt, 9) AS DECIMAL(28,9))) AS span,
+                     SUM(CAST(round(CAST(pv + v AS DOUBLE) / 2.0 * (t - pt), 9)
+                              AS DECIMAL(28,9))) AS area
+              FROM seg GROUP BY g
+            )
+            SELECT g AS event_type, n AS n_segments,
+                   round(CAST(span AS DOUBLE), 6) AS total_span_sec,
+                   CASE WHEN span > 0
+                        THEN round(CAST(area AS DOUBLE) / CAST(span AS DOUBLE), 6)
+                   END AS twap
+            FROM agg ORDER BY event_type""",
+        "llr_collocations_corpus": f"""
+            WITH toks AS (
+              SELECT doc_id, {_TOKS} AS w FROM documents
+              WHERE length(trim(lower(text))) > 0 AND len({_TOKS}) >= 2
+            ),
+            bi AS (
+              SELECT w[CAST(x.i AS INT)] AS w1, w[CAST(x.i + 1 AS INT)] AS w2
+              FROM toks, LATERAL (SELECT unnest(range(1, len(w))) AS i) x
+            ),
+            c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS k11
+                    FROM bi GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+            r AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS r1 FROM bi GROUP BY 1),
+            c AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS c1 FROM bi GROUP BY 1),
+            n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM bi)
+            SELECT w1 || ' ' || w2 AS collocation, k11 AS n_pair,
+                   round(2.0 * (
+                     (CASE WHEN k11 > 0 THEN CAST(k11 AS DOUBLE)
+                        * ln(CAST(k11 AS DOUBLE) * CAST(nn AS DOUBLE)
+                             / (CAST(r1 AS DOUBLE) * CAST(c1 AS DOUBLE))) ELSE 0.0 END)
+                     + (CASE WHEN r1 - k11 > 0 THEN CAST(r1 - k11 AS DOUBLE)
+                        * ln(CAST(r1 - k11 AS DOUBLE) * CAST(nn AS DOUBLE)
+                             / (CAST(r1 AS DOUBLE) * CAST(nn - c1 AS DOUBLE))) ELSE 0.0 END)
+                     + (CASE WHEN c1 - k11 > 0 THEN CAST(c1 - k11 AS DOUBLE)
+                        * ln(CAST(c1 - k11 AS DOUBLE) * CAST(nn AS DOUBLE)
+                             / (CAST(nn - r1 AS DOUBLE) * CAST(c1 AS DOUBLE))) ELSE 0.0 END)
+                     + (CASE WHEN nn - r1 - c1 + k11 > 0 THEN CAST(nn - r1 - c1 + k11 AS DOUBLE)
+                        * ln(CAST(nn - r1 - c1 + k11 AS DOUBLE) * CAST(nn AS DOUBLE)
+                             / (CAST(nn - r1 AS DOUBLE) * CAST(nn - c1 AS DOUBLE))) ELSE 0.0 END)
+                   ), 6) AS llr_g2
+            FROM c12 JOIN r USING (w1) JOIN c USING (w2), n
+            ORDER BY llr_g2 DESC, collocation LIMIT 25""",
+        "distinct_ngram_ratio_by_source": f"""
+            WITH toks AS (
+              SELECT source, {_TOKS} AS w FROM documents
+              WHERE length(trim(lower(text))) > 0 AND len({_TOKS}) >= 1
+            ),
+            u AS (SELECT source, unnest(w) AS tok FROM toks),
+            uni AS (
+              SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                     CAST(COUNT(DISTINCT tok) AS BIGINT) AS d1
+              FROM u GROUP BY source
+            ),
+            bg AS (
+              SELECT source, w[CAST(x.i AS INT)] || ' ' || w[CAST(x.i + 1 AS INT)] AS b
+              FROM toks, LATERAL (SELECT unnest(range(1, len(w))) AS i) x
+              WHERE len(w) >= 2
+            ),
+            big AS (
+              SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                     CAST(COUNT(DISTINCT b) AS BIGINT) AS d2
+              FROM bg GROUP BY source
+            )
+            SELECT uni.source, n_tokens, d1 AS n_unigram_types,
+                   round(CAST(d1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS distinct1,
+                   COALESCE(n_bigrams, 0) AS n_bigrams,
+                   COALESCE(d2, 0) AS n_bigram_types,
+                   CASE WHEN n_bigrams > 0
+                        THEN round(CAST(d2 AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6)
+                   END AS distinct2
+            FROM uni LEFT JOIN big USING (source) ORDER BY source""",
+        "entity_clusters_suppliers": """
+            WITH RECURSIVE n AS (
+              SELECT DISTINCT s_name AS name FROM supplier WHERE s_name IS NOT NULL
+            ),
+            p AS (
+              SELECT a.name AS na, b.name AS nb
+              FROM n a JOIN n b ON a.name < b.name
+              WHERE abs(length(a.name) - length(b.name)) <= 1
+                AND levenshtein(a.name, b.name) = 1
+            ),
+            edges AS (
+              SELECT na AS src, nb AS dst FROM p UNION SELECT nb, na FROM p
+            ),
+            reach(src, dst) AS (
+              SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            ),
+            comp AS (SELECT src AS node, MIN(dst) AS label FROM reach GROUP BY src),
+            ranked AS (
+              SELECT node, label, ROW_NUMBER() OVER (
+                PARTITION BY label ORDER BY length(node) DESC, node ASC) AS rk
+              FROM comp
+            )
+            SELECT label AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_names,
+                   MAX(CASE WHEN rk = 1 THEN node END) AS canonical_name
+            FROM ranked GROUP BY label ORDER BY cluster_id""",
+        "tfidf_topk_neighbors_docs": f"""
+            WITH toksrc AS (
+              SELECT doc_id AS doc, {_TOKS} AS w FROM documents
+              WHERE length(trim(lower(text))) > 0 AND len({_TOKS}) >= 3
+            ),
+            tok AS (
+              SELECT doc, w[CAST(t.i AS INT)] || ' ' || w[CAST(t.i + 1 AS INT)]
+                          || ' ' || w[CAST(t.i + 2 AS INT)] AS tok
+              FROM toksrc, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) t
+            ),
+            tf AS (SELECT doc, tok, COUNT(*) AS tf FROM tok GROUP BY doc, tok),
+            dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+            nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+            w AS (
+              SELECT tf.doc, tf.tok,
+                     CAST(round(tf.tf * (ln((1.0 + nd.n_docs) / (1.0 + dfreq.df)) + 1.0), 6)
+                          AS DECIMAL(28,6)) AS w
+              FROM tf JOIN dfreq ON dfreq.tok = tf.tok CROSS JOIN nd
+            ),
+            norms AS (SELECT doc, SUM(w * w) AS nsq FROM w GROUP BY doc),
+            dots AS (
+              SELECT a.doc AS doc_a, b.doc AS doc_b, SUM(a.w * b.w) AS dot
+              FROM w a JOIN w b ON a.tok = b.tok AND a.doc < b.doc
+              GROUP BY 1, 2
+            ),
+            pairsfull AS (
+              SELECT d.doc_a, d.doc_b,
+                     round(CAST(d.dot AS DOUBLE)
+                           / sqrt(CAST(na.nsq AS DOUBLE) * CAST(nb.nsq AS DOUBLE)), 6) AS cosine
+              FROM dots d
+                JOIN norms na ON na.doc = d.doc_a
+                JOIN norms nb ON nb.doc = d.doc_b
+              WHERE d.dot > 0
+                AND round(CAST(d.dot AS DOUBLE)
+                          / sqrt(CAST(na.nsq AS DOUBLE) * CAST(nb.nsq AS DOUBLE)), 6) >= 0.25
+            ),
+            sym AS (
+              SELECT doc_a AS doc, doc_b AS neighbor, cosine FROM pairsfull
+              UNION ALL
+              SELECT doc_b, doc_a, cosine FROM pairsfull
+            ),
+            rankedn AS (
+              SELECT doc, neighbor, cosine, ROW_NUMBER() OVER (
+                PARTITION BY doc ORDER BY cosine DESC, neighbor ASC) AS rk
+              FROM sym
+            )
+            SELECT doc, CAST(rk AS INT) AS rk, neighbor, cosine
+            FROM rankedn WHERE rk <= 3 ORDER BY doc, rk""",
+        "streaming_topk_per_window": """
+            WITH wc AS (
+              SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start_epoch,
+                     event_type, COUNT(*) AS n_events,
+                     SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS sum_value
+              FROM events GROUP BY 1, 2
+            ),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY window_start_epoch
+                ORDER BY n_events DESC, event_type ASC) AS rk
+              FROM wc
+            )
+            SELECT window_start_epoch, CAST(rk AS INT) AS rk, event_type,
+                   n_events, round(CAST(sum_value AS DOUBLE), 6) AS sum_value
+            FROM ranked WHERE rk <= 3 ORDER BY window_start_epoch, rk""",
     }

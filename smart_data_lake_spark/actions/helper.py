@@ -26,13 +26,22 @@ def create_temporary_view_name(name: str) -> str:
 
 
 def replace_legacy_view_name(sql: str, view_name: str) -> str:
-    """ActionHelper.replaceLegacyViewName: rewrite whole-word references to
-    the LEGACY (un-suffixed) view name into the suffixed one — historic
-    configs wrote `select * from src1`, the engine registers `src1_sdltemp`."""
+    """ActionHelper.replaceLegacyViewName: rewrite references to the LEGACY
+    (un-suffixed) view name into the suffixed one — historic configs wrote
+    `select * from src1`, the engine registers `src1_sdltemp`.
+
+    Mirrors the reference pattern exactly (ActionHelper.scala:146-148):
+    the name must be PRECEDED by a whitespace character (consumed, emitted
+    as a single space) and FOLLOWED by whitespace, '.', or end-of-string
+    (kept). A bare \\b on both sides would additionally rewrite qualified
+    references like `db.src1` and occurrences inside string literals,
+    which the reference does not (r8 ADVICE)."""
     if not view_name.endswith(TEMP_VIEW_SUFFIX):
         return sql
     legacy = view_name[: -len(TEMP_VIEW_SUFFIX)]
-    return re.sub(rf"\b{re.escape(legacy)}\b", view_name, sql)
+    return re.sub(
+        rf"\s{re.escape(legacy)}(\s|\.|$)", rf" {view_name}\1", sql
+    )
 
 
 def split_cmd_parameters(cmd: str) -> list[str]:

@@ -800,6 +800,14 @@ class SparkFileDataObject(
                 os.path.join(d, ".*.crc")
             ):
                 os.remove(marker)
+        # Spark writes _SUCCESS/.crc at the DATASET ROOT regardless of
+        # partitioning; the per-partition walk above misses those in the
+        # partitioned case (r8 ADVICE) — clean the root too.
+        if self.partitions:
+            for marker in glob.glob(os.path.join(self.path, "_SUCCESS")) + glob.glob(
+                os.path.join(self.path, ".*.crc")
+            ):
+                os.remove(marker)
 
     # ------------------------------------------------------------ incremental
     def set_state(self, state: str | None) -> None:

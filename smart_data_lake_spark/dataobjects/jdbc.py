@@ -275,7 +275,9 @@ class JdbcConnection:
                     return self.connection_factory()
                 if not self.test_on_borrow or self._probe(con):
                     return con
-                # dead idle connection: discard, try the next (or create fresh)
+                # dead idle connection: close best-effort (don't leak the DB
+                # handle/fd — r8 ADVICE), then try the next (or create fresh)
+                self._close_quietly(con)
         except Exception:
             # factory failure must not leak the acquired capacity slot — a
             # transiently-down DB would otherwise exhaust the pool forever
@@ -283,21 +285,31 @@ class JdbcConnection:
             self._capacity.release()
             raise
 
-    def _discard(self, con: Any) -> None:
-        """Drop a handle in unknown state WITHOUT idling it; the capacity
-        slot is freed so the pool can mint a replacement."""
+    @staticmethod
+    def _close_quietly(con: Any) -> None:
+        """Best-effort close of a handle being dropped from the pool, so
+        dead connections free their DB handle/file descriptor instead of
+        leaking until GC (every discard path routes through here)."""
         try:
             close = getattr(con, "close", None)
             if close is not None:
                 close()
         except Exception:
             pass
+
+    def _discard(self, con: Any) -> None:
+        """Drop a handle in unknown state WITHOUT idling it; the capacity
+        slot is freed so the pool can mint a replacement."""
+        self._close_quietly(con)
         self._capacity.release()
 
     def _return(self, con: Any) -> None:
         try:
             if self.test_on_return and not self._probe(con):
-                return  # discard dead handle; capacity still freed below
+                # discard dead handle (closed, not just dropped); capacity
+                # still freed below
+                self._close_quietly(con)
+                return
             with self._idle_lock:
                 self._idle.append(con)
         finally:

@@ -1231,19 +1231,30 @@ def survival_hazard_curve(
     )
     dec9 = "decimal(28,9)"
     hterm = F.round(F.col("d").cast("double") / F.col("n_risk").cast("double"), 9).cast(dec9)
+    # At the full-depletion step (n_risk == d) the KM factor is exactly 0 —
+    # ln(0) is undefined, so that row's lnterm is pinned to 0 and survival
+    # is forced to 0 from that step on, instead of dropping the row (which
+    # silently truncated the curve's defined final time point — r8 ADVICE).
+    depleted = F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0)
     lnterm = F.round(
-        F.log(1.0 - F.col("d").cast("double") / F.col("n_risk").cast("double")), 9
+        F.when(F.col("d") == F.col("n_risk"), F.lit(0.0)).otherwise(
+            F.log(1.0 - F.col("d").cast("double") / F.col("n_risk").cast("double"))
+        ),
+        9,
     ).cast(dec9)
     cw = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    km = F.when(F.max(depleted).over(cw) == 1, F.lit(0.0)).otherwise(
+        F.exp(F.sum(lnterm).over(cw).cast("double"))
+    )
     return (
-        at_risk.where(F.col("n_risk") > F.col("d"))  # guard ln(0) at full-depletion step
+        at_risk
         .select(
             F.col("t").cast("long").alias("days_since_signup"),
             F.col("n_risk").cast("long").alias("n_at_risk"),
             F.col("d").cast("long").alias("n_converted"),
             F.col("c").cast("long").alias("n_censored"),
             F.round(F.sum(hterm).over(cw).cast("double"), decimals).alias("cum_hazard"),
-            F.round(F.exp(F.sum(lnterm).over(cw).cast("double")), decimals).alias("km_survival"),
+            F.round(km, decimals).alias("km_survival"),
         )
         .orderBy("days_since_signup")
     )
@@ -1368,3 +1379,253 @@ def sequential_pattern_support(
         )
         .orderBy("type_a", "type_b")
     )
+
+
+def spearman_by_group(
+    df: DataFrame,
+    group_col: str,
+    x_col,
+    y_col,
+    tiebreak_col: str,
+    scale: int = 6,
+) -> DataFrame:
+    """Spearman rank correlation per group between two expressions, with
+    the statistically standard AVERAGE ranks for ties — computed exactly:
+    2*avg_rank = 2*rank_min + (tie_count - 1) is an INTEGER, and Pearson's
+    rho is scale-invariant, so the whole statistic reduces to integer
+    sufficient statistics (n, Σa, Σb, Σa², Σb², Σab over the doubled ranks)
+    combined in ONE double expression — bit-identical on any engine, no
+    float accumulation anywhere.
+
+    Shape: two window ranks (same per-group shuffle), one combinable
+    aggregate. The rank windows sort within groups only — no global sort."""
+    x = x_col if not isinstance(x_col, str) else F.col(x_col)
+    y = y_col if not isinstance(y_col, str) else F.col(y_col)
+    base = df.select(
+        F.col(group_col).alias("g"),
+        x.alias("_x"),
+        y.alias("_y"),
+        F.col(tiebreak_col).alias("_tb"),
+    ).where(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+
+    def doubled_rank(col: str) -> any:
+        wr = Window.partitionBy("g").orderBy(F.col(col))
+        wt = Window.partitionBy("g", col)
+        # 2*average_rank = 2*min_rank + (ties - 1): exact integer
+        return (F.rank().over(wr) * 2 + F.count(F.lit(1)).over(wt) - 1).cast("long")
+
+    ranked = base.select(
+        "g", doubled_rank("_x").alias("a"), doubled_rank("_y").alias("b")
+    )
+    agg = ranked.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("a").alias("sa"),
+        F.sum("b").alias("sb"),
+        F.sum(F.col("a") * F.col("a")).alias("saa"),
+        F.sum(F.col("b") * F.col("b")).alias("sbb"),
+        F.sum(F.col("a") * F.col("b")).alias("sab"),
+    )
+    num = F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")
+    den = F.sqrt(
+        (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")).cast("double")
+        * (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double")
+    )
+    return (
+        agg.select(
+            F.col("g").alias(group_col),
+            F.col("n").cast("long").alias("n"),
+            F.when(den > 0, F.round(num.cast("double") / den, scale)).alias("spearman_rho"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def winsorized_mean_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    winsor_fraction: float = 0.1,
+    scale: int = 6,
+) -> DataFrame:
+    """Winsorized per-group mean: the lowest and highest floor(n·f) rows BY
+    RANK are CLAMPED to the nearest kept value (vs `trimmed_mean_by_group`,
+    which drops them — winsorizing keeps n constant, the robust-statistics
+    textbook pair). Rank-based cuts avoid percentile interpolation whose
+    semantics differ across engines; with the (value, tiebreak) total order
+    the clamp boundaries are identical everywhere, and the mean is an exact
+    DECIMAL sum divided once. One window sort per group."""
+    wg = Window.partitionBy(group_col)
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col), F.col(tiebreak_col))
+    ranked = (
+        df.where(F.col(value_col).isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wg))
+        .withColumn("_cut", F.floor(F.col("_n") * F.lit(winsor_fraction)))
+    )
+    dec = "decimal(18,6)"
+    v = F.round(F.col(value_col), 6).cast(dec)
+    lo = F.max(F.when(F.col("_rn") == F.col("_cut") + 1, v)).over(wg)
+    hi = F.max(F.when(F.col("_rn") == F.col("_n") - F.col("_cut"), v)).over(wg)
+    clamped = (
+        F.when(F.col("_rn") <= F.col("_cut"), lo)
+        .when(F.col("_rn") > F.col("_n") - F.col("_cut"), hi)
+        .otherwise(v)
+    )
+    return (
+        ranked.withColumn("_cv", clamped)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(
+                F.sum("_cv").cast("double") / F.count(F.lit(1)), scale
+            ).alias("winsorized_mean"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def burstiness_by_group(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str = "ts",
+    scale: int = 6,
+) -> DataFrame:
+    """Burstiness of the per-day event-count series per group: the Fano
+    factor (variance/mean of daily counts — 1 for a Poisson process, >1
+    bursty, <1 regular) and the Goh–Barabási burstiness coefficient
+    B = (σ−μ)/(σ+μ) ∈ [−1, 1). The dispersion diagnostics behind rate
+    limiting and bot detection in event pipelines.
+
+    Exactness: daily counts are exact integers; population variance comes
+    from the integer sufficient statistics (n·Σc² − (Σc)²)/n², so Fano and
+    B are each ONE double expression of exact ints, rounded once. Two
+    combinable aggregates (day rollup, then group rollup) — no windows."""
+    # epoch-day bucket (tz-neutral — the repo-wide discipline for cross-
+    # engine date math; calendar to_date would shift on non-UTC engines)
+    daily = df.groupBy(
+        F.col(group_col).alias("g"),
+        F.floor(F.col(ts_col).cast("double") / 86400.0).alias("_d"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    agg = daily.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    mean = s.cast("double") / n.cast("double")
+    var = (n * ss - s * s).cast("double") / (n * n).cast("double")
+    sigma = F.sqrt(var)
+    return (
+        agg.select(
+            F.col("g").alias(group_col),
+            n.cast("long").alias("n_days"),
+            F.round(mean, scale).alias("mean_daily"),
+            F.when(s > 0, F.round(var / mean, scale)).alias("fano_factor"),
+            F.when(
+                (sigma + mean) > 0, F.round((sigma - mean) / (sigma + mean), scale)
+            ).alias("burstiness"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def next_event_conditional_entropy(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    scale: int = 6,
+) -> DataFrame:
+    """Conditional entropy of the NEXT event type given the current one:
+    for each current type, H(next | current) = ln(T) − (Σ_next c·ln c)/T
+    over the per-user ADJACENT transition counts. The predictability
+    readout on top of the transition matrix (`event_transition_matrix`
+    emits the probabilities; this collapses each row to one number — a
+    type whose successor is near-deterministic scores ~0, a uniformly
+    unpredictable one scores ln(n_types)).
+
+    Determinism: transition counts are exact integers from the (user)
+    window; each c·ln(c) term is rounded to 1e-9 and summed as exact
+    DECIMAL (type-dictionary-sized sum), then H is one double expression
+    rounded once. One window per user + two combinable aggregates."""
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    trans = (
+        df.select(user_col, type_col, ts_col, id_col)
+        .withColumn("_next", F.lead(type_col).over(w))
+        .where(F.col("_next").isNotNull())
+        .groupBy(F.col(type_col).alias("cur"), F.col("_next").alias("nxt"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dec9 = "decimal(28,9)"
+    term = F.round(F.col("c").cast("double") * F.log(F.col("c").cast("double")), 9).cast(dec9)
+    agg = trans.groupBy("cur").agg(
+        F.sum("c").alias("t"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(term).alias("clnc"),
+    )
+    h = F.log(F.col("t").cast("double")) - F.col("clnc").cast("double") / F.col("t").cast("double")
+    return agg.select(
+        F.col("cur").alias("event_type"),
+        F.col("t").cast("long").alias("n_transitions"),
+        F.col("k").cast("long").alias("n_next_types"),
+        F.round(h, scale).alias("next_entropy"),
+    ).orderBy("event_type")
+
+
+def twap_by_group(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    scale: int = 6,
+) -> DataFrame:
+    """Time-weighted average (trapezoidal) of an irregularly-sampled series
+    per group: Σ (vᵢ₋₁+vᵢ)/2 · Δtᵢ / Σ Δtᵢ over consecutive observations —
+    the unbiased mean when sampling density varies (the finance/telemetry
+    TWAP), vs the naive row mean that over-weights dense bursts.
+
+    Determinism: the series order is the (ts, id) total order; values are
+    1e-6 DECIMALs; each trapezoid contribution is one double expression
+    rounded to 1e-9 and summed as exact DECIMAL, as is Δt. One window per
+    group (single shuffle) + one combinable aggregate."""
+    w = Window.partitionBy(group_col).orderBy(F.col(ts_col), F.col(id_col))
+    dec6 = "decimal(18,6)"
+    base = (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col).alias("g"),
+            F.col(ts_col).cast("double").alias("_t"),
+            F.round(F.col(value_col), 6).cast(dec6).alias("_v"),
+            F.col(id_col).alias("_id"),
+        )
+        .withColumn("_pt", F.lag("_t").over(
+            Window.partitionBy("g").orderBy(F.col("_t"), F.col("_id"))
+        ))
+        .withColumn("_pv", F.lag("_v").over(
+            Window.partitionBy("g").orderBy(F.col("_t"), F.col("_id"))
+        ))
+        .where(F.col("_pt").isNotNull())
+    )
+    del w
+    dt = F.col("_t") - F.col("_pt")
+    dec9 = "decimal(28,9)"
+    contrib = F.round(
+        (F.col("_pv") + F.col("_v")).cast("double") / 2.0 * dt, 9
+    ).cast(dec9)
+    agg = base.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.round(dt, 9).cast(dec9)).alias("span"),
+        F.sum(contrib).alias("area"),
+    )
+    return agg.select(
+        F.col("g").alias(group_col),
+        F.col("n_segments").cast("long").alias("n_segments"),
+        F.round(F.col("span").cast("double"), scale).alias("total_span_sec"),
+        F.when(
+            F.col("span") > 0,
+            F.round(F.col("area").cast("double") / F.col("span").cast("double"), scale),
+        ).alias("twap"),
+    ).orderBy(group_col)

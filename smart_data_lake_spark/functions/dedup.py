@@ -965,18 +965,33 @@ def jaccard_prefix_join(
     same similarity notion, guaranteed-total recall, prefix-filter pruning
     instead of banding.
     """
+    toks = _similarity_token_sets(df, id_col, text_col, shingle_n)
+    return _jaccard_prefix_join_toks(toks, threshold_num, threshold_den)
+
+
+def _similarity_token_sets(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int | None
+) -> DataFrame:
+    """(doc, tok) distinct set elements: word n-gram shingles (default) or
+    unigrams — the shared feature frame of the exact-similarity family."""
     from .text import tokens as _tokens
 
-    tau_num, tau_den = threshold_num, threshold_den
     if shingle_n:
-        toks = shingles(df, id_col, text_col, n=shingle_n).select(
+        return shingles(df, id_col, text_col, n=shingle_n).select(
             F.col(id_col).alias("doc"), F.col("shingle").alias("tok")
         )
-    else:
-        toks = df.select(
-            F.col(id_col).alias("doc"),
-            F.explode(F.array_distinct(_tokens(F.col(text_col)))).alias("tok"),
-        )
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(_tokens(F.col(text_col)))).alias("tok"),
+    )
+
+
+def _jaccard_prefix_join_toks(
+    toks: DataFrame, tau_num: int, tau_den: int
+) -> DataFrame:
+    """Core of `jaccard_prefix_join` over a pre-built (doc, tok) set frame —
+    shared with `jaccard_neardup_clusters`, whose representative collapse
+    feeds a reduced frame through the identical exact join."""
     size = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     ranked = (
@@ -1027,5 +1042,78 @@ def jaccard_prefix_join(
             F.col("inter").cast("long").alias("n_shared_tokens"),
             F.col("uni").cast("long").alias("n_union_tokens"),
             (F.col("inter").cast("double") / F.col("uni").cast("double")).alias("jaccard"),
+        )
+    )
+
+
+def jaccard_neardup_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size_col: str = "n_chars",
+    threshold_num: int = 6,
+    threshold_den: int = 10,
+    shingle_n: int | None = 3,
+    max_iter: int = 20,
+) -> DataFrame:
+    """EXACT Jaccard near-dup CLUSTERS: the prefix-filtered set-similarity
+    join (`jaccard_prefix_join`, SSJoin ICDE'06 / AllPairs WWW'07) collapsed
+    through connected components into one row per duplicate family. This is
+    the 100 TB output shape for the exact join — the pair list grows
+    quadratically in copy-family size (a 1000-copy boilerplate page is
+    ~500k pairs but ONE cluster row), which is exactly the blowup measured
+    on the pair form (40.5x at 10x on a copy-dense corpus).
+
+    Scale shape, same factoring as `simhash_neardup_clusters`: Jaccard(a,b)
+    is a function of the two token SETS alone, so the pair graph factors
+    through distinct set values. Docs with identical sets are pairwise
+    Jaccard-1 (always connected for any threshold <= 1); any cross pair
+    qualifies iff its representatives' pair does. The expensive prefix join
+    and the component iteration therefore run over ONE REPRESENTATIVE per
+    distinct set fingerprint (min doc id), and members expand back with a
+    single fingerprint-key join at the end — on copy-dense corpora the
+    quadratic candidate fan-out collapses from family size to
+    unique-set count. Component semantics are exactly those of the full
+    pair graph; docs in no qualifying pair stay absent, matching the pair
+    form's coverage.
+
+    Determinism: the fingerprint is sha2 over the SORTED distinct set (no
+    collect-order dependence); thresholds are integer cross-multiplied;
+    components use min-label propagation (engine-stable); the canonical
+    pick orders by (size desc, id asc)."""
+    toks = _similarity_token_sets(docs, id_col, text_col, shingle_n)
+    fps = toks.groupBy("doc").agg(
+        F.sha2(F.concat_ws("\x00", F.sort_array(F.collect_set("tok"))), 256).alias("fp")
+    )
+    reps = fps.groupBy("fp").agg(
+        F.min("doc").alias("_rep"), F.count(F.lit(1)).alias("_n_members")
+    )
+    rep_toks = toks.join(
+        reps.select(F.col("_rep").alias("doc")), "doc"
+    )
+    pairs = _jaccard_prefix_join_toks(rep_toks, threshold_num, threshold_den)
+    comp = connected_components(pairs.select("doc_a", "doc_b"), max_iter=max_iter)
+    members = fps.join(reps, "fp").select(
+        F.col("doc").alias("node"), "_rep", "_n_members"
+    )
+    labeled = (
+        members.join(
+            comp.select(F.col("node").alias("_rep"), "label"), "_rep", "left"
+        )
+        # multi-member fingerprints are clusters by themselves (Jaccard 1);
+        # a single-member set needs a verified cross-set edge
+        .where((F.col("_n_members") > 1) | F.col("label").isNotNull())
+        .select("node", F.coalesce(F.col("label"), F.col("_rep")).alias("label"))
+    )
+    sized = labeled.join(
+        docs.select(F.col(id_col).alias("node"), F.col(size_col)), "node"
+    )
+    w = Window.partitionBy("label").orderBy(F.col(size_col).desc(), F.col("node").asc())
+    return (
+        sized.withColumn("rk", F.row_number().over(w))
+        .groupBy(F.col("label").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max(F.when(F.col("rk") == 1, F.col("node"))).alias("canonical_doc_id"),
         )
     )

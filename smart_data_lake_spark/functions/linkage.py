@@ -106,6 +106,7 @@ def qgram_editdist_pairs(
     name_col: str,
     max_dist: int = 1,
     q: int = 3,
+    max_short_bucket: int = 100_000,
 ) -> DataFrame:
     """EXACT edit-distance join without blocking keys: all DISTINCT-name
     pairs with Levenshtein distance in (0, max_dist], pruned by positional
@@ -123,7 +124,12 @@ def qgram_editdist_pairs(
 
     Strings too short for the filter to bite (len < q + k*q, where the
     count bound is vacuous) fall back to a brute pairing WITHIN that short
-    bucket — bounded, and empty for dictionary-like inputs.
+    bucket — fine for name dictionaries (where it's empty or tiny) but
+    O(bucket²) for arbitrary short-string corpora, so the bucket is
+    COUNTED FIRST and the join REFUSES loudly past `max_short_bucket`
+    (r8 verdict item 4): the failure mode is a ValueError naming the fix
+    (block by (length, first char) or raise q), never a silent quadratic
+    stage.
 
     Complements `blocked_name_pairs`: blocking needs a domain key and can
     miss cross-block matches; this is the no-domain-knowledge EXACT join.
@@ -174,6 +180,16 @@ def qgram_editdist_pairs(
         .distinct()
     )
     shorts = names.where(F.col("len") < q + k * q)
+    n_short = shorts.count()  # bounded scalar: guards the theta-join below
+    if n_short > max_short_bucket:
+        raise ValueError(
+            f"qgram_editdist_pairs: {n_short} distinct strings shorter than "
+            f"q + k*q = {q + k * q} chars exceed max_short_bucket="
+            f"{max_short_bucket}; the short-bucket fallback is a bounded "
+            f"brute pairing that would go quadratic here. Block the short "
+            f"strings by (length, first char) before joining, raise q, or "
+            f"raise max_short_bucket explicitly if the cost is intended."
+        )
     sa = shorts.select(F.col("name").alias("name_a"), F.col("len").alias("la"))
     sb = shorts.select(F.col("name").alias("name_b"), F.col("len").alias("lb"))
     short_cand = (
@@ -201,4 +217,47 @@ def qgram_editdist_pairs(
         all_cand.withColumn("dist", F.levenshtein("name_a", "name_b"))
         .where((F.col("dist") > 0) & (F.col("dist") <= k))
         .select("name_a", "name_b", F.col("dist").cast("int").alias("dist"))
+    )
+
+
+def entity_resolution_clusters(
+    df: DataFrame,
+    name_col: str,
+    max_dist: int = 1,
+    q: int = 3,
+    max_short_bucket: int = 100_000,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Entity-resolution CLUSTERS: the exact edit-distance join
+    (`qgram_editdist_pairs`) collapsed through connected components into
+    one row per entity — transitive closure over the match graph, the
+    Fellegi-Sunter resolution step that turns pairwise verdicts into
+    entities. Same linear-output rationale as the dedup cluster operators:
+    a k-variant entity is k(k-1)/2 pairs but ONE cluster row.
+
+    Output per entity: cluster_id (lexicographically-min member name),
+    n_names, canonical_name (the LONGEST member, ties by string order —
+    the usual pick: abbreviations collapse into the fullest form).
+    Components use min-label propagation over the distinct-name dictionary
+    (dictionary-sized, not row-count-sized); only names in at least one
+    qualifying pair appear, matching the pair form's coverage."""
+    from .dedup import connected_components
+
+    pairs = qgram_editdist_pairs(
+        df, name_col, max_dist=max_dist, q=q, max_short_bucket=max_short_bucket
+    )
+    comp = connected_components(
+        pairs.select("name_a", "name_b"), id_a="name_a", id_b="name_b",
+        max_iter=max_iter,
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.length("node").desc(), F.col("node").asc()
+    )
+    return (
+        comp.withColumn("rk", F.row_number().over(w))
+        .groupBy(F.col("label").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_names"),
+            F.max(F.when(F.col("rk") == 1, F.col("node"))).alias("canonical_name"),
+        )
     )

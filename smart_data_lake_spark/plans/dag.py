@@ -80,8 +80,29 @@ class StateStore:
                 "is_final": state.is_final,
                 "action_states": state.action_states,
             }
-            with open(os.path.join(self.state_path, "index.jsonl"), "a") as f:
-                f.write(json.dumps(summary) + "\n")
+            # Idempotent append: re-saving the same (run_id, attempt_id)
+            # final state must not duplicate its index line (r8 ADVICE) —
+            # rewrite the existing line in place if one exists.
+            index_path = os.path.join(self.state_path, "index.jsonl")
+            lines: list[str] = []
+            if os.path.exists(index_path):
+                with open(index_path) as f:
+                    lines = [ln for ln in f.read().splitlines() if ln.strip()]
+            key = (self.app_name, state.run_id, state.attempt_id)
+            replaced = False
+            for i, ln in enumerate(lines):
+                try:
+                    rec = json.loads(ln)
+                except ValueError:
+                    continue
+                if (rec.get("app_name"), rec.get("run_id"), rec.get("attempt_id")) == key:
+                    lines[i] = json.dumps(summary)
+                    replaced = True
+                    break
+            if not replaced:
+                lines.append(json.dumps(summary))
+            with open(index_path, "w") as f:
+                f.write("\n".join(lines) + "\n")
 
     def latest(self) -> RunState | None:
         files = sorted(

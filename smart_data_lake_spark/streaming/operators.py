@@ -486,3 +486,54 @@ def sliding_event_counts(
             "max_value",
         )
     )
+
+
+def topk_per_window(
+    sdf: DataFrame,
+    k: int = 3,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Streaming per-window top-k building block: the WATERMARKED tumbling
+    window aggregation runs in the stream (bounded state, late data
+    handled); the rank-and-cut runs on the drained result, because ranking
+    needs a window's aggregation to be FINAL — the canonical two-stage
+    split (stream aggregates, batch ranks) rather than an unsupported
+    streaming window-function. Returns the streaming aggregate; compose
+    with `rank_topk_per_window` after the drain."""
+    return (
+        sdf.withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", window_duration).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value"), 6).cast("decimal(18,6)")).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def rank_topk_per_window(drained: DataFrame, k: int = 3) -> DataFrame:
+    """Batch rank-and-cut over a drained `topk_per_window` sink: the k
+    busiest event types per window, rank on (n_events desc, type asc) —
+    deterministic under ties."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window_start_epoch").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        drained.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(
+            "window_start_epoch",
+            F.col("rk").cast("int").alias("rk"),
+            "event_type",
+            "n_events",
+            F.round(F.col("sum_value").cast("double"), 6).alias("sum_value"),
+        )
+    )

@@ -167,3 +167,67 @@ def test_connected_components_raises_on_non_convergence(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iter=2)
+
+
+def test_jaccard_neardup_clusters_matches_full_pair_graph(spark):
+    """jaccard_neardup_clusters must equal connected components over the
+    FULL exact pair graph (jaccard_prefix_join) — the representative
+    collapse is an execution detail, not a semantics change."""
+    from pyspark.sql import functions as F
+
+    from smart_data_lake_spark.functions.dedup import (
+        connected_components,
+        jaccard_neardup_clusters,
+        jaccard_prefix_join,
+        neardup_clusters,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = []
+    # family A: 4 exact copies + 1 near copy (one word changed)
+    for i in range(4):
+        rows.append((i, base, 100 + i))
+    rows.append((4, base.replace("kappa", "lambda"), 104))
+    # family B: 2 exact copies of a different text
+    other = "one two three four five six seven eight nine ten"
+    rows.append((10, other, 50))
+    rows.append((11, other, 60))
+    # singletons: unrelated text, and a doc too short to shingle
+    rows.append((20, "completely different words nothing shared here at all yes", 10))
+    rows.append((21, "xy", 5))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, n_chars int")
+
+    got = {
+        (r.cluster_id, r.n_docs, r.canonical_doc_id)
+        for r in jaccard_neardup_clusters(docs).collect()
+    }
+    pairs = jaccard_prefix_join(docs)
+    expected = {
+        (r.cluster_id, r.n_docs, r.canonical_doc_id)
+        for r in neardup_clusters(
+            docs.select("doc_id", "n_chars"), pairs.select("doc_a", "doc_b")
+        ).collect()
+    }
+    assert got == expected
+    # family A is one 5-doc cluster (canonical = largest n_chars: doc 4 or 3)
+    assert {(c, n) for c, n, _ in got} == {(0, 5), (10, 2)}
+
+
+def test_jaccard_neardup_clusters_linear_output_in_family_size(spark):
+    """A k-copy family is k*(k-1)/2 PAIRS but ONE cluster row, and the
+    expensive join runs on ONE representative per distinct token set."""
+    from smart_data_lake_spark.functions.dedup import (
+        jaccard_neardup_clusters,
+        jaccard_prefix_join,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog tonight"
+    docs = spark.createDataFrame(
+        [(i, text, 100) for i in range(30)], "doc_id long, text string, n_chars int"
+    )
+    pairs = jaccard_prefix_join(docs)
+    clusters = jaccard_neardup_clusters(docs)
+    assert pairs.count() == 30 * 29 // 2
+    got = clusters.collect()
+    assert len(got) == 1
+    assert got[0].n_docs == 30 and got[0].cluster_id == 0

@@ -24,71 +24,83 @@ import time
 sys.path.insert(0, "/root/repo")
 
 
-def synthesize(spark, sf_dir: str, out_dir: str, factor: int) -> None:
+def synthesize(
+    spark, sf_dir: str, out_dir: str, factor: int, tables: list[str] | None = None
+) -> None:
+    """Write factor-scaled copies of the base tables; `tables` limits the
+    set (e.g. a 100x run over events/documents need not write a 60M-row
+    lineitem it never reads)."""
     import os
 
     from pyspark.sql import functions as F
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    n_docs = docs.count()
-    copies = []
-    for i in range(factor):
-        c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * n_docs))
-        if i:
-            # perturb each copy so near-dup structure stays realistic instead
-            # of factor-times exact duplicates: prepend a copy marker token
-            c = c.withColumn("text", F.concat(F.lit(f"copy{i} "), F.col("text")))
-        copies.append(c)
-    big_docs = copies[0]
-    for c in copies[1:]:
-        big_docs = big_docs.unionByName(c)
-    big_docs.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
+    def want(name: str) -> bool:
+        return tables is None or name in tables
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    n_ev = ev.count()
-    n_users = ev.agg(F.max("user_id")).collect()[0][0] + 1
-    copies = []
-    for i in range(factor):
-        c = (
-            ev.withColumn("event_id", F.col("event_id") + F.lit(i * n_ev))
-            .withColumn("user_id", F.col("user_id") + F.lit(i * n_users))
-        )
-        copies.append(c)
-    big_ev = copies[0]
-    for c in copies[1:]:
-        big_ev = big_ev.unionByName(c)
-    big_ev.write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
+    if want("documents"):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n_docs = docs.count()
+        copies = []
+        for i in range(factor):
+            c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * n_docs))
+            if i:
+                # perturb each copy so near-dup structure stays realistic instead
+                # of factor-times exact duplicates: prepend a copy marker token
+                c = c.withColumn("text", F.concat(F.lit(f"copy{i} "), F.col("text")))
+            copies.append(c)
+        big_docs = copies[0]
+        for c in copies[1:]:
+            big_docs = big_docs.unionByName(c)
+        big_docs.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    n_emb = emb.count()
-    copies = []
-    for i in range(factor):
-        c = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * n_emb))
-        if i:
-            # deterministic per-copy perturbation keeps neighbor structure
-            # realistic instead of factor-times exact duplicates
-            c = c.withColumn(
-                "embedding",
-                F.transform(F.col("embedding"), lambda x: (x + F.lit(i * 1e-4)).cast("float")),
+    if want("events"):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        n_ev = ev.count()
+        n_users = ev.agg(F.max("user_id")).collect()[0][0] + 1
+        copies = []
+        for i in range(factor):
+            c = (
+                ev.withColumn("event_id", F.col("event_id") + F.lit(i * n_ev))
+                .withColumn("user_id", F.col("user_id") + F.lit(i * n_users))
             )
-        copies.append(c)
-    big_emb = copies[0]
-    for c in copies[1:]:
-        big_emb = big_emb.unionByName(c)
-    big_emb.write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
+            copies.append(c)
+        big_ev = copies[0]
+        for c in copies[1:]:
+            big_ev = big_ev.unionByName(c)
+        big_ev.write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
 
-    # orders + lineitem: shift o_orderkey/l_orderkey CONSISTENTLY so the
-    # join/semi-join semantics (and selectivities) survive the scale-up
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    n_ord = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
-    big_o = orders
-    big_l = li
-    for i in range(1, factor):
-        big_o = big_o.unionByName(orders.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * n_ord)))
-        big_l = big_l.unionByName(li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * n_ord)))
-    big_o.write.mode("overwrite").parquet(os.path.join(out_dir, "orders.parquet"))
-    big_l.write.mode("overwrite").parquet(os.path.join(out_dir, "lineitem.parquet"))
+    if want("embeddings"):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        n_emb = emb.count()
+        copies = []
+        for i in range(factor):
+            c = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * n_emb))
+            if i:
+                # deterministic per-copy perturbation keeps neighbor structure
+                # realistic instead of factor-times exact duplicates
+                c = c.withColumn(
+                    "embedding",
+                    F.transform(F.col("embedding"), lambda x: (x + F.lit(i * 1e-4)).cast("float")),
+                )
+            copies.append(c)
+        big_emb = copies[0]
+        for c in copies[1:]:
+            big_emb = big_emb.unionByName(c)
+        big_emb.write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
+
+    if want("orders") or want("lineitem"):
+        # orders + lineitem: shift o_orderkey/l_orderkey CONSISTENTLY so the
+        # join/semi-join semantics (and selectivities) survive the scale-up
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        n_ord = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+        big_o = orders
+        big_l = li
+        for i in range(1, factor):
+            big_o = big_o.unionByName(orders.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * n_ord)))
+            big_l = big_l.unionByName(li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * n_ord)))
+        big_o.write.mode("overwrite").parquet(os.path.join(out_dir, "orders.parquet"))
+        big_l.write.mode("overwrite").parquet(os.path.join(out_dir, "lineitem.parquet"))
 
     # supplier + customer: id-shifted copies with names REGENERATED from the
     # shifted key (keeps the name-dictionary edit-distance structure real
@@ -97,6 +109,8 @@ def synthesize(spark, sf_dir: str, out_dir: str, factor: int) -> None:
         ("supplier", "s_suppkey", "s_name", "Supplier"),
         ("customer", "c_custkey", "c_name", "Customer"),
     ):
+        if not want(tbl):
+            continue
         t = spark.read.parquet(f"{sf_dir}/{tbl}.parquet")
         n_rows = t.agg(F.max(key)).collect()[0][0] + 1
         big = t
@@ -107,19 +121,22 @@ def synthesize(spark, sf_dir: str, out_dir: str, factor: int) -> None:
             )
             big = big.unionByName(c)
         big.write.mode("overwrite").parquet(os.path.join(out_dir, f"{tbl}.parquet"))
-    spark.read.parquet(f"{sf_dir}/nation.parquet").write.mode("overwrite").parquet(
-        os.path.join(out_dir, "nation.parquet")
-    )
+    if want("nation"):
+        spark.read.parquet(f"{sf_dir}/nation.parquet").write.mode("overwrite").parquet(
+            os.path.join(out_dir, "nation.parquet")
+        )
 
 
-def main(factor: int, only: list[str] | None = None) -> str:
+def main(
+    factor: int, only: list[str] | None = None, tables: list[str] | None = None
+) -> str:
     import __spark_entry__ as e
     from smart_data_lake_spark.session import build_session
 
     spark = build_session(app_name="scaling_check")
     sf1 = "/root/testdata/sf0.1"
     big = tempfile.mkdtemp(prefix="sdl_scale_")
-    synthesize(spark, sf1, big, factor)
+    synthesize(spark, sf1, big, factor, tables=tables)
 
     ops = [
         "dedup_minhash",
@@ -192,6 +209,9 @@ def main(factor: int, only: list[str] | None = None) -> str:
         "scd2_snapshot_asof",
         "hits_terms_corpus",
         "vocab_coverage_by_source",
+        # r9: cluster-shaped emit for the exact set-similarity join — the
+        # linear-output fix for jaccard_prefix_pairs' quadratic pair list
+        "exact_neardup_clusters_docs",
     ]
 
     from smart_data_lake_spark.session import release_persistent_rdds
@@ -231,5 +251,9 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--only", nargs="*", default=None)
+    ap.add_argument(
+        "--tables", nargs="*", default=None,
+        help="limit table synthesis (default: all base tables)",
+    )
     args = ap.parse_args()
-    print(main(args.factor, args.only))
+    print(main(args.factor, args.only, args.tables))
