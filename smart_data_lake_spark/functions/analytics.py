@@ -1591,8 +1591,8 @@ def twap_by_group(
     1e-6 DECIMALs; each trapezoid contribution is one double expression
     rounded to 1e-9 and summed as exact DECIMAL, as is Δt. One window per
     group (single shuffle) + one combinable aggregate."""
-    w = Window.partitionBy(group_col).orderBy(F.col(ts_col), F.col(id_col))
     dec6 = "decimal(18,6)"
+    w = Window.partitionBy("g").orderBy(F.col("_t"), F.col("_id"))
     base = (
         df.where(F.col(value_col).isNotNull())
         .select(
@@ -1601,15 +1601,10 @@ def twap_by_group(
             F.round(F.col(value_col), 6).cast(dec6).alias("_v"),
             F.col(id_col).alias("_id"),
         )
-        .withColumn("_pt", F.lag("_t").over(
-            Window.partitionBy("g").orderBy(F.col("_t"), F.col("_id"))
-        ))
-        .withColumn("_pv", F.lag("_v").over(
-            Window.partitionBy("g").orderBy(F.col("_t"), F.col("_id"))
-        ))
+        .withColumn("_pt", F.lag("_t").over(w))
+        .withColumn("_pv", F.lag("_v").over(w))
         .where(F.col("_pt").isNotNull())
     )
-    del w
     dt = F.col("_t") - F.col("_pt")
     dec9 = "decimal(28,9)"
     contrib = F.round(

@@ -1085,12 +1085,22 @@ def jaccard_neardup_clusters(
     fps = toks.groupBy("doc").agg(
         F.sha2(F.concat_ws("\x00", F.sort_array(F.collect_set("tok"))), 256).alias("fp")
     )
+    # fps feeds reps, the rep_toks filter AND the member expansion — one
+    # materialization instead of three collect_set+sha2 passes
+    fps = fps.localCheckpoint(eager=False)
     reps = fps.groupBy("fp").agg(
         F.min("doc").alias("_rep"), F.count(F.lit(1)).alias("_n_members")
     )
     rep_toks = toks.join(
         reps.select(F.col("_rep").alias("doc")), "doc"
     )
+    # The prefix-join core references its token frame ~6 times (sizes, df,
+    # ranked prefix, verify a/b). For the PAIR operator that frame is a
+    # cheap scan+explode; here its lineage includes the fingerprint pass
+    # (collect_set + sha2 + join), so materialize it ONCE — without this
+    # the whole fingerprint subtree re-runs per reference (measured 2.4x
+    # the pair form's wall-clock at 10x before the cut).
+    rep_toks = rep_toks.localCheckpoint(eager=False)
     pairs = _jaccard_prefix_join_toks(rep_toks, threshold_num, threshold_den)
     comp = connected_components(pairs.select("doc_a", "doc_b"), max_iter=max_iter)
     members = fps.join(reps, "fp").select(

@@ -25,11 +25,19 @@ sys.path.insert(0, "/root/repo")
 
 
 def synthesize(
-    spark, sf_dir: str, out_dir: str, factor: int, tables: list[str] | None = None
+    spark,
+    sf_dir: str,
+    out_dir: str,
+    factor: int,
+    tables: list[str] | None = None,
+    exact_copies: bool = False,
 ) -> None:
     """Write factor-scaled copies of the base tables; `tables` limits the
     set (e.g. a 100x run over events/documents need not write a 60M-row
-    lineitem it never reads)."""
+    lineitem it never reads). `exact_copies` skips the per-copy text/vector
+    perturbation — the boilerplate-duplication regime (byte-identical crawl
+    copies) where signature/fingerprint collapses are SUPPOSED to win;
+    the default perturbed regime is their worst case (every copy distinct)."""
     import os
 
     from pyspark.sql import functions as F
@@ -43,7 +51,7 @@ def synthesize(
         copies = []
         for i in range(factor):
             c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * n_docs))
-            if i:
+            if i and not exact_copies:
                 # perturb each copy so near-dup structure stays realistic instead
                 # of factor-times exact duplicates: prepend a copy marker token
                 c = c.withColumn("text", F.concat(F.lit(f"copy{i} "), F.col("text")))
@@ -128,7 +136,10 @@ def synthesize(
 
 
 def main(
-    factor: int, only: list[str] | None = None, tables: list[str] | None = None
+    factor: int,
+    only: list[str] | None = None,
+    tables: list[str] | None = None,
+    exact_copies: bool = False,
 ) -> str:
     import __spark_entry__ as e
     from smart_data_lake_spark.session import build_session
@@ -136,7 +147,7 @@ def main(
     spark = build_session(app_name="scaling_check")
     sf1 = "/root/testdata/sf0.1"
     big = tempfile.mkdtemp(prefix="sdl_scale_")
-    synthesize(spark, sf1, big, factor, tables=tables)
+    synthesize(spark, sf1, big, factor, tables=tables, exact_copies=exact_copies)
 
     ops = [
         "dedup_minhash",
@@ -255,5 +266,9 @@ if __name__ == "__main__":
         "--tables", nargs="*", default=None,
         help="limit table synthesis (default: all base tables)",
     )
+    ap.add_argument(
+        "--exact-copies", action="store_true",
+        help="skip per-copy perturbation (exact-duplication regime)",
+    )
     args = ap.parse_args()
-    print(main(args.factor, args.only, args.tables))
+    print(main(args.factor, args.only, args.tables, args.exact_copies))
