@@ -2966,7 +2966,7 @@ def spearman_value_hour_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     hour_utc = (F.floor(F.col("ts").cast("double") / 3600.0) % 24).cast("long")
-    return spearman_by_group(ev, "event_type", F.col("value"), hour_utc, "event_id")
+    return spearman_by_group(ev, "event_type", F.col("value"), hour_utc)
 
 
 def winsorized_mean_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6223,19 +6223,25 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(SUM(cv) AS DOUBLE) / COUNT(*), 6) AS winsorized_mean
             FROM clamped GROUP BY event_type ORDER BY event_type""",
         "burstiness_daily_by_type": """
-            WITH daily AS (
+            WITH span AS (
+              SELECT CAST(max(floor(epoch(ts) / 86400.0))
+                          - min(floor(epoch(ts) / 86400.0)) + 1 AS BIGINT) AS n
+              FROM events
+            ),
+            daily AS (
               SELECT event_type AS g,
                      CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS d,
                      COUNT(*) AS c
               FROM events GROUP BY 1, 2
             ),
             agg AS (
-              SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+              SELECT g, CAST(COUNT(*) AS BIGINT) AS n_active,
                      CAST(SUM(c) AS BIGINT) AS s,
                      CAST(SUM(c * c) AS BIGINT) AS ss
               FROM daily GROUP BY g
-            )
-            SELECT g AS event_type, n AS n_days,
+            ),
+            withspan AS (SELECT * FROM agg CROSS JOIN span)
+            SELECT g AS event_type, n AS n_days, n_active AS n_active_days,
                    round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_daily,
                    CASE WHEN s > 0 THEN
                      round((CAST(n * ss - s * s AS DOUBLE) / CAST(n * n AS DOUBLE))
@@ -6248,7 +6254,7 @@ def oracle_sql() -> dict[str, str]:
                            / (sqrt(CAST(n * ss - s * s AS DOUBLE) / CAST(n * n AS DOUBLE))
                               + CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6)
                    END AS burstiness
-            FROM agg ORDER BY event_type""",
+            FROM withspan ORDER BY event_type""",
         "next_event_entropy_by_type": """
             WITH seqs AS (
               SELECT user_id, list(event_type ORDER BY ts, event_id) AS types

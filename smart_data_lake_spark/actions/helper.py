@@ -32,10 +32,14 @@ def replace_legacy_view_name(sql: str, view_name: str) -> str:
 
     Mirrors the reference pattern exactly (ActionHelper.scala:146-148):
     the name must be PRECEDED by a whitespace character (consumed, emitted
-    as a single space) and FOLLOWED by whitespace, '.', or end-of-string
+    as a single space — newlines collapse, exactly as the Scala
+    replaceAll does) and FOLLOWED by whitespace, '.', or end-of-string
     (kept). A bare \\b on both sides would additionally rewrite qualified
     references like `db.src1` and occurrences inside string literals,
-    which the reference does not (r8 ADVICE)."""
+    which the reference does not (r8 ADVICE). Reference-faithful gap,
+    kept deliberately: a legacy name followed by ',', ')' or ';' is NOT
+    rewritten — the reference's own trailing class has the same hole, and
+    this helper exists for parity with its historic-config behavior."""
     if not view_name.endswith(TEMP_VIEW_SUFFIX):
         return sql
     legacy = view_name[: -len(TEMP_VIEW_SUFFIX)]

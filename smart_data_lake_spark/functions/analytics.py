@@ -1386,7 +1386,6 @@ def spearman_by_group(
     group_col: str,
     x_col,
     y_col,
-    tiebreak_col: str,
     scale: int = 6,
 ) -> DataFrame:
     """Spearman rank correlation per group between two expressions, with
@@ -1395,7 +1394,9 @@ def spearman_by_group(
     rho is scale-invariant, so the whole statistic reduces to integer
     sufficient statistics (n, Σa, Σb, Σa², Σb², Σab over the doubled ranks)
     combined in ONE double expression — bit-identical on any engine, no
-    float accumulation anywhere.
+    float accumulation anywhere. No tiebreak column is needed: average
+    ranks are tie-INVARIANT by construction (r9 review dropped the dead
+    parameter).
 
     Shape: two window ranks (same per-group shuffle), one combinable
     aggregate. The rank windows sort within groups only — no global sort."""
@@ -1405,10 +1406,9 @@ def spearman_by_group(
         F.col(group_col).alias("g"),
         x.alias("_x"),
         y.alias("_y"),
-        F.col(tiebreak_col).alias("_tb"),
     ).where(F.col("_x").isNotNull() & F.col("_y").isNotNull())
 
-    def doubled_rank(col: str) -> any:
+    def doubled_rank(col: str):
         wr = Window.partitionBy("g").orderBy(F.col(col))
         wt = Window.partitionBy("g", col)
         # 2*average_rank = 2*min_rank + (ties - 1): exact integer
@@ -1497,21 +1497,32 @@ def burstiness_by_group(
     B = (σ−μ)/(σ+μ) ∈ [−1, 1). The dispersion diagnostics behind rate
     limiting and bot detection in event pipelines.
 
+    The day series is zero-filled over the CORPUS-WIDE observation window
+    [min day, max day] — a group firing everything in one day of a 90-day
+    corpus must read as bursty, not as "one perfectly regular day" (the
+    inversion an events-days-only denominator produces — r9 review). Zero
+    days contribute nothing to Σc/Σc², so the fill is just the window span
+    as n: no row explosion.
+
     Exactness: daily counts are exact integers; population variance comes
     from the integer sufficient statistics (n·Σc² − (Σc)²)/n², so Fano and
     B are each ONE double expression of exact ints, rounded once. Two
-    combinable aggregates (day rollup, then group rollup) — no windows."""
+    combinable aggregates (day rollup, then group rollup) + a broadcast
+    1-row corpus span — no windows."""
     # epoch-day bucket (tz-neutral — the repo-wide discipline for cross-
     # engine date math; calendar to_date would shift on non-UTC engines)
+    day = F.floor(F.col(ts_col).cast("double") / 86400.0)
+    span = df.agg(
+        (F.max(day) - F.min(day) + 1).cast("long").alias("n")
+    )
     daily = df.groupBy(
-        F.col(group_col).alias("g"),
-        F.floor(F.col(ts_col).cast("double") / 86400.0).alias("_d"),
+        F.col(group_col).alias("g"), day.alias("_d")
     ).agg(F.count(F.lit(1)).alias("c"))
     agg = daily.groupBy("g").agg(
-        F.count(F.lit(1)).alias("n"),
+        F.count(F.lit(1)).alias("n_active"),
         F.sum("c").alias("s"),
         F.sum(F.col("c") * F.col("c")).alias("ss"),
-    )
+    ).crossJoin(F.broadcast(span))
     n, s, ss = F.col("n"), F.col("s"), F.col("ss")
     mean = s.cast("double") / n.cast("double")
     var = (n * ss - s * s).cast("double") / (n * n).cast("double")
@@ -1520,6 +1531,7 @@ def burstiness_by_group(
         agg.select(
             F.col("g").alias(group_col),
             n.cast("long").alias("n_days"),
+            F.col("n_active").cast("long").alias("n_active_days"),
             F.round(mean, scale).alias("mean_daily"),
             F.when(s > 0, F.round(var / mean, scale)).alias("fano_factor"),
             F.when(

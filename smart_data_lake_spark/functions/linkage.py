@@ -142,6 +142,10 @@ def qgram_editdist_pairs(
         .distinct()
         .withColumn("len", F.length("name"))
     )
+    # the guard's count() below materializes the dictionary anyway —
+    # checkpoint it so the main plan reuses that pass instead of
+    # re-running tokenize+distinct (r9 review)
+    names = names.localCheckpoint(eager=False)
     long_names = names.where(F.col("len") >= q + k * q)
     gram_arr = F.transform(
         F.sequence(F.lit(1), F.col("len") - q + 1),

@@ -450,7 +450,11 @@ def tfidf_cosine_pairs(
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     if max_df is not None:
         # hot-term cap: bound every posting list at max_df BEFORE the
-        # self-join; the drop is loud, never silent (r8 verdict item 3)
+        # self-join; the drop is loud, never silent (r8 verdict item 3).
+        # dfreq is referenced by the count, the top-5 log collect AND the
+        # main weighting join — materialize the tokenize+tf+df subtree
+        # once (r9 review)
+        dfreq = dfreq.localCheckpoint(eager=False)
         dropped = dfreq.where(F.col("df") > max_df)
         n_dropped = dropped.count()  # bounded: at most |vocab| rows aggregated
         if n_dropped:

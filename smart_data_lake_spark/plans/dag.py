@@ -81,8 +81,11 @@ class StateStore:
                 "action_states": state.action_states,
             }
             # Idempotent append: re-saving the same (run_id, attempt_id)
-            # final state must not duplicate its index line (r8 ADVICE) —
-            # rewrite the existing line in place if one exists.
+            # final state must not duplicate its index line (r8 ADVICE).
+            # The COMMON path stays an atomic 'a'-mode append (a crash can
+            # lose only the new line, never the history); only the rare
+            # duplicate-key re-save rewrites, via temp file + os.replace
+            # so a kill mid-write can't truncate the index (r9 review).
             index_path = os.path.join(self.state_path, "index.jsonl")
             lines: list[str] = []
             if os.path.exists(index_path):
@@ -100,9 +103,13 @@ class StateStore:
                     replaced = True
                     break
             if not replaced:
-                lines.append(json.dumps(summary))
-            with open(index_path, "w") as f:
-                f.write("\n".join(lines) + "\n")
+                with open(index_path, "a") as f:
+                    f.write(json.dumps(summary) + "\n")
+            else:
+                tmp_path = index_path + ".tmp"
+                with open(tmp_path, "w") as f:
+                    f.write("\n".join(lines) + "\n")
+                os.replace(tmp_path, index_path)
 
     def latest(self) -> RunState | None:
         files = sorted(

@@ -490,7 +490,6 @@ def sliding_event_counts(
 
 def topk_per_window(
     sdf: DataFrame,
-    k: int = 3,
     window_duration: str = "1 hour",
     watermark_delay: str = "2 hours",
 ) -> DataFrame:

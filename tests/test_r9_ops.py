@@ -66,18 +66,18 @@ def _brute_spearman(xs, ys):
 def test_spearman_matches_brute_force_with_ties(spark):
     xs = [1.0, 2.0, 2.0, 3.0, 5.0, 4.0, 2.5, 1.5]
     ys = [3, 1, 4, 1, 5, 9, 2, 6]
-    rows = [("g", x, y, i) for i, (x, y) in enumerate(zip(xs, ys))]
-    df = spark.createDataFrame(rows, "g string, x double, y long, id long")
-    got = spearman_by_group(df, "g", "x", "y", "id").collect()[0]
+    rows = [("g", x, y) for x, y in zip(xs, ys)]
+    df = spark.createDataFrame(rows, "g string, x double, y long")
+    got = spearman_by_group(df, "g", "x", "y").collect()[0]
     assert got.n == len(xs)
     assert got.spearman_rho == pytest.approx(_brute_spearman(xs, ys), abs=1e-6)
 
 
 def test_spearman_perfect_monotone_and_constant(spark):
-    rows = [("up", float(i), i * 10, i) for i in range(6)]
-    rows += [("flat", 1.0, i, i) for i in range(6)]
-    df = spark.createDataFrame(rows, "g string, x double, y long, id long")
-    out = {r.g: r.spearman_rho for r in spearman_by_group(df, "g", "x", "y", "id").collect()}
+    rows = [("up", float(i), i * 10) for i in range(6)]
+    rows += [("flat", 1.0, i) for i in range(6)]
+    df = spark.createDataFrame(rows, "g string, x double, y long")
+    out = {r.g: r.spearman_rho for r in spearman_by_group(df, "g", "x", "y").collect()}
     assert out["up"] == pytest.approx(1.0, abs=1e-9)
     assert out["flat"] is None  # zero variance in x -> undefined, NULL not NaN
 
@@ -109,22 +109,43 @@ def test_winsorized_small_group_unchanged(spark):
 
 def test_burstiness_poisson_like_and_bursty(spark):
     rows = []
-    # 'steady': exactly 4 events every day for 5 days -> variance 0,
-    # fano 0, burstiness (0-4)/(0+4) = -1
+    # 'steady': exactly 4 events every day for all 5 corpus days ->
+    # variance 0, fano 0, burstiness (0-4)/(0+4) = -1
     for d in range(1, 6):
         for k in range(4):
             rows.append(("steady", _ts(d, hour=k)))
-    # 'bursty': daily counts [1, 9] -> mean 5, var_pop 16, fano 3.2
+    # 'bursty': active on 2 of the 5 corpus days with counts [1, 9];
+    # the CORPUS-WIDE span (5 days) is the denominator, so the series is
+    # [1, 9, 0, 0, 0]: mean 2, var_pop (5*82-100)/25 = 12.4, fano 6.2
     rows += [("bursty", _ts(1))]
     rows += [("bursty", _ts(2, hour=h, minute=m)) for h in range(3) for m in range(3)]
     df = spark.createDataFrame(rows, "event_type string, ts timestamp")
     out = {r.event_type: r for r in burstiness_by_group(df, "event_type").collect()}
+    assert out["steady"].n_days == 5 and out["steady"].n_active_days == 5
     assert out["steady"].fano_factor == pytest.approx(0.0, abs=1e-9)
     assert out["steady"].burstiness == pytest.approx(-1.0, abs=1e-9)
-    assert out["bursty"].n_days == 2
-    assert out["bursty"].mean_daily == pytest.approx(5.0, abs=1e-9)
-    assert out["bursty"].fano_factor == pytest.approx(16 / 5.0, abs=1e-6)
-    assert out["bursty"].burstiness == pytest.approx((4 - 5) / (4 + 5), abs=1e-6)
+    assert out["bursty"].n_days == 5 and out["bursty"].n_active_days == 2
+    assert out["bursty"].mean_daily == pytest.approx(2.0, abs=1e-9)
+    assert out["bursty"].fano_factor == pytest.approx(12.4 / 2.0, abs=1e-6)
+    sigma = math.sqrt(12.4)
+    assert out["bursty"].burstiness == pytest.approx((sigma - 2) / (sigma + 2), abs=1e-6)
+
+
+def test_burstiness_one_day_bot_reads_as_bursty(spark):
+    """The r9 review scenario: 50 events in ONE day of a 10-day corpus must
+    read as maximally bursty, not as 'one perfectly regular day' (the
+    inversion an active-days-only denominator produced)."""
+    rows = [("bot", _ts(1, hour=h % 24, minute=m)) for h in range(5) for m in range(10)]
+    rows += [("background", _ts(d)) for d in range(1, 11)]  # pins the span
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = {r.event_type: r for r in burstiness_by_group(df, "event_type").collect()}
+    bot = out["bot"]
+    assert bot.n_days == 10 and bot.n_active_days == 1
+    # series [50,0,...,0]: mean 5, var (10*2500-2500)/100 = 225, fano 45
+    assert bot.mean_daily == pytest.approx(5.0, abs=1e-9)
+    assert bot.fano_factor == pytest.approx(45.0, abs=1e-6)
+    # sigma = 15, mean = 5 -> B = (15-5)/(15+5) = 0.5, firmly bursty
+    assert bot.burstiness == pytest.approx(0.5, abs=1e-9)
 
 
 # ---------------------------------------------------------- next-event entropy

@@ -107,8 +107,10 @@ def synthesize(
         for i in range(1, factor):
             big_o = big_o.unionByName(orders.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * n_ord)))
             big_l = big_l.unionByName(li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * n_ord)))
-        big_o.write.mode("overwrite").parquet(os.path.join(out_dir, "orders.parquet"))
-        big_l.write.mode("overwrite").parquet(os.path.join(out_dir, "lineitem.parquet"))
+        if want("orders"):
+            big_o.write.mode("overwrite").parquet(os.path.join(out_dir, "orders.parquet"))
+        if want("lineitem"):
+            big_l.write.mode("overwrite").parquet(os.path.join(out_dir, "lineitem.parquet"))
 
     # supplier + customer: id-shifted copies with names REGENERATED from the
     # shifted key (keeps the name-dictionary edit-distance structure real
