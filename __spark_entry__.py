@@ -3078,6 +3078,39 @@ def streaming_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_topk_per_window(drained, k=3).orderBy("window_start_epoch", "rk")
 
 
+def kendall_tau_level_volume_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b per event type between daily mean value and daily
+    volume (functions/analytics.kendall_tau_daily_level_volume): the
+    ties-corrected concordance test, exact via cross-multiplied mean
+    comparisons over the collapsed daily frame — do busy days run hot?"""
+    from smart_data_lake_spark.functions.analytics import (
+        kendall_tau_daily_level_volume,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return kendall_tau_daily_level_volume(ev, "event_type")
+
+
+def markov_stationary_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the user event-type Markov chain
+    (functions/graph.markov_stationary): scaled-integer power iteration
+    over per-user adjacent transition counts — the long-run occupancy
+    collapse of the transition matrix, oracle-graded bit-for-bit against
+    3 unrolled HUGEINT SQL iterations (the PageRank/HITS discipline)."""
+    from smart_data_lake_spark.functions.graph import markov_stationary
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("_next", F.lead("event_type").over(w))
+        .where(F.col("_next").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("_next").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return markov_stationary(trans, iterations=3).orderBy("node")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is the driver grading window: only the first 50
     # entries get a CORRECTNESS oracle row per round. r9 rotation (window
@@ -3276,6 +3309,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_clusters_suppliers": entity_clusters_suppliers,
         "tfidf_topk_neighbors_docs": tfidf_topk_neighbors_docs,
         "streaming_topk_per_window": streaming_topk_per_window,
+        "kendall_tau_level_volume_by_type": kendall_tau_level_volume_by_type,
+        "markov_stationary_event_types": markov_stationary_event_types,
     }
 
 # ---- oracle SQL builders (DuckDB dialect) --------------------------------
@@ -3565,6 +3600,50 @@ def oracle_sql() -> dict[str, str]:
             ), """ + ",\n            ".join(pr_iters) + f"""
             SELECT node AS term, r AS rank_e12 FROM {prev}
             ORDER BY rank_e12 DESC, term LIMIT 20"""
+    # markov stationary: 3 unrolled power-iteration steps in HUGEINT with
+    # floor division, mirroring graph.markov_stationary's decimal(38,0) div
+    mk_iters = []
+    for _i in range(1, 4):
+        mk_iters.append(f"""mv{_i} AS (
+              SELECT e.dst AS node, SUM((p.x * e.c) // e.t) AS m
+              FROM e JOIN x{_i - 1} p ON p.node = e.src GROUP BY e.dst
+            ), x{_i} AS (
+              SELECT n.node,
+                     CAST(COALESCE(mv.m, 0) + COALESCE(k.x, 0) AS HUGEINT) AS x
+              FROM nodes n
+              LEFT JOIN mv{_i} mv ON mv.node = n.node
+              LEFT JOIN (SELECT s.node, p.x FROM sinks s
+                         JOIN x{_i - 1} p ON p.node = s.node) k
+                ON k.node = n.node
+            )""")
+    markov_oracle = (
+        """
+            WITH seqs AS (
+              SELECT user_id, list(event_type ORDER BY ts, event_id) AS types
+              FROM events GROUP BY user_id
+            ), tpairs AS (
+              SELECT types[CAST(t.i + 1 AS INT)] AS src,
+                     types[CAST(t.i + 2 AS INT)] AS dst
+              FROM seqs, LATERAL (SELECT unnest(range(0, len(types) - 1)) AS i) t
+              WHERE len(types) >= 2
+            ), e0 AS (
+              SELECT src, dst, CAST(COUNT(*) AS HUGEINT) AS c FROM tpairs GROUP BY 1, 2
+            ), tot AS (
+              SELECT src, CAST(SUM(c) AS HUGEINT) AS t FROM e0 GROUP BY src
+            ), e AS (
+              SELECT e0.src, e0.dst, e0.c, tot.t FROM e0 JOIN tot USING (src)
+            ), nodes AS (
+              SELECT src AS node FROM e0 UNION SELECT dst FROM e0
+            ), sinks AS (
+              SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM e0)
+            ), x0 AS (
+              SELECT node, CAST(1000000000000 AS HUGEINT) AS x FROM nodes
+            ), """
+        + ",\n            ".join(mk_iters)
+        + """
+            SELECT node, CAST(x AS BIGINT) AS stationary_e12
+            FROM x3 ORDER BY node"""
+    )
     return {
         "winnow_fingerprints_docs": r"""
             WITH toksrc AS (
@@ -6454,4 +6533,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT window_start_epoch, CAST(rk AS INT) AS rk, event_type,
                    n_events, round(CAST(sum_value AS DOUBLE), 6) AS sum_value
             FROM ranked WHERE rk <= 3 ORDER BY window_start_epoch, rk""",
+        "kendall_tau_level_volume_by_type": """
+            WITH daily AS (
+              SELECT event_type AS g,
+                     CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS d,
+                     SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS s,
+                     CAST(COUNT(*) AS BIGINT) AS c
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+            ),
+            tpairs AS (
+              SELECT a.g,
+                     sign(CAST(b.s * a.c - a.s * b.c AS DOUBLE)) AS xc,
+                     sign(CAST(b.c - a.c AS DOUBLE)) AS yc
+              FROM daily a JOIN daily b ON a.g = b.g AND a.d < b.d
+            ),
+            agg AS (
+              SELECT g, CAST(COUNT(*) AS BIGINT) AS n0,
+                     CAST(SUM(CASE WHEN xc * yc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+                     CAST(SUM(CASE WHEN xc * yc < 0 THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+                     CAST(SUM(CASE WHEN xc = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+                     CAST(SUM(CASE WHEN yc = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ty
+              FROM tpairs GROUP BY g
+            )
+            SELECT g AS event_type, n0 AS n_day_pairs,
+                   conc AS n_concordant, disc AS n_discordant,
+                   CASE WHEN sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE)) > 0
+                        THEN round(CAST(conc - disc AS DOUBLE)
+                                   / sqrt(CAST(n0 - tx AS DOUBLE)
+                                          * CAST(n0 - ty AS DOUBLE)), 6)
+                   END AS kendall_tau_b
+            FROM agg ORDER BY event_type""",
+        "markov_stationary_event_types": markov_oracle,
     }

@@ -1636,3 +1636,59 @@ def twap_by_group(
             F.round(F.col("area").cast("double") / F.col("span").cast("double"), scale),
         ).alias("twap"),
     ).orderBy(group_col)
+
+
+def kendall_tau_daily_level_volume(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    scale: int = 6,
+) -> DataFrame:
+    """Kendall's tau-b per group between the DAILY MEAN level and the DAILY
+    VOLUME (event count) — "do busy days run hot or cold?", the
+    concordance question behind load-dependent quality drift. tau-b is the
+    ties-corrected Kendall coefficient (Kendall 1945):
+    (C − D) / sqrt((n0 − t_x)(n0 − t_y)) over all day pairs, with
+    n0 = n(n−1)/2 and t_x/t_y the tied-pair counts per variable.
+
+    Exactness end to end: day means are never divided — comparing
+    s_i/c_i vs s_j/c_j uses the cross-multiplication sign(s_i·c_j −
+    s_j·c_i) over exact DECIMAL sums and integer counts (the Mann-Kendall
+    discipline); volumes are integers; C, D and the tie counts are exact
+    integers from ONE self-join over the collapsed daily frame (quadratic
+    in days, never in rows); tau is one double expression rounded once."""
+    day = F.floor(F.col(ts_col).cast("double") / 86400.0)
+    daily = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col).alias("g"), day.alias("d"))
+        .agg(
+            F.sum(F.round(F.col(value_col), 6).cast("decimal(18,6)")).alias("s"),
+            F.count(F.lit(1)).alias("c"),
+        )
+    )
+    a = daily.select("g", F.col("d").alias("da"), F.col("s").alias("sa"), F.col("c").alias("ca"))
+    b = daily.select("g", F.col("d").alias("db"), F.col("s").alias("sb"), F.col("c").alias("cb"))
+    pairs = a.join(b, "g").where(F.col("da") < F.col("db"))
+    # sign of mean difference without dividing: sa/ca vs sb/cb
+    x_cmp = F.signum((F.col("sb") * F.col("ca") - F.col("sa") * F.col("cb")).cast("double"))
+    y_cmp = F.signum((F.col("cb") - F.col("ca")).cast("double"))
+    agg = pairs.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(F.when(x_cmp * y_cmp > 0, 1).otherwise(0)).alias("conc"),
+        F.sum(F.when(x_cmp * y_cmp < 0, 1).otherwise(0)).alias("disc"),
+        F.sum(F.when(x_cmp == 0, 1).otherwise(0)).alias("tx"),
+        F.sum(F.when(y_cmp == 0, 1).otherwise(0)).alias("ty"),
+    )
+    den = F.sqrt(
+        (F.col("n0") - F.col("tx")).cast("double") * (F.col("n0") - F.col("ty")).cast("double")
+    )
+    return agg.select(
+        F.col("g").alias(group_col),
+        F.col("n0").cast("long").alias("n_day_pairs"),
+        F.col("conc").cast("long").alias("n_concordant"),
+        F.col("disc").cast("long").alias("n_discordant"),
+        F.when(den > 0, F.round((F.col("conc") - F.col("disc")).cast("double") / den, scale)).alias(
+            "kendall_tau_b"
+        ),
+    ).orderBy(group_col)

@@ -223,3 +223,65 @@ def hits(
             F.col("h").cast("long").alias("hub_e12"),
         )
     )
+
+
+def markov_stationary(
+    transitions: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    count_col: str = "c",
+    iterations: int = 3,
+) -> DataFrame:
+    """Stationary distribution of a Markov chain by power iteration in
+    SCALED INTEGER arithmetic — the long-run occupancy the transition
+    matrix converges to (the "where do users end up" collapse of the
+    per-step transition counts). Start uniform (SCALE per state), then
+    iterate x ← x·P with P(i,j) = c_ij / Σ_j c_ij computed WITHOUT floats:
+    contribution = x_i · c_ij div row_total_i, every multiply widened to
+    DECIMAL(38,0) before the integral division — the PageRank/HITS
+    engine-exactness discipline, bit-identical on any ANSI engine running
+    the same unrolled recurrence. Mass is conserved up to the div
+    truncation (< one unit per edge), so no per-iteration normalization is
+    needed for the RANKING; scores stay on the SCALE=10^12 grid.
+
+    States with no outgoing transitions keep their mass (self-loop
+    semantics — the absorbing-state convention that avoids mass leaks).
+    Per iteration: one broadcast-sized join + one combinable groupBy over
+    the state-dictionary-sized edge list — never row-count-sized."""
+    e = transitions.select(
+        F.col(src_col).alias("_src"),
+        F.col(dst_col).alias("_dst"),
+        F.col(count_col).cast("long").alias("_c"),
+    )
+    e = e.groupBy("_src", "_dst").agg(F.sum("_c").alias("_c"))
+    tot = e.groupBy("_src").agg(F.sum("_c").alias("_t"))
+    e = e.join(tot, "_src").localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .unionByName(e.select(F.col("_dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # absorbing states: nodes with no outgoing edges route mass to themselves
+    sinks = nodes.join(
+        e.select(F.col("_src").alias("node")).distinct(), "node", "left_anti"
+    ).select("node")
+    x = nodes.select("node", F.lit(SCALE).cast("decimal(38,0)").alias("x"))
+    for _ in range(iterations):
+        moved = (
+            e.join(x.withColumnRenamed("node", "_src"), "_src")
+            .select(
+                F.col("_dst").alias("node"),
+                F.expr("cast((cast(x as decimal(38,0)) * _c) div _t as decimal(38,0))").alias("_m"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_m").cast("decimal(38,0)").alias("_in"))
+        )
+        kept = sinks.join(x, "node").select("node", F.col("x").alias("_in"))
+        x = (
+            nodes.join(moved.unionByName(kept), "node", "left")
+            .groupBy("node")
+            .agg(F.coalesce(F.sum("_in"), F.lit(0)).cast("decimal(38,0)").alias("x"))
+            .localCheckpoint(eager=False)
+        )
+    return x.select("node", F.col("x").cast("long").alias("stationary_e12"))

@@ -333,3 +333,88 @@ def test_streaming_topk_matches_batch(spark, sf_dir):
     want = rank_topk_per_window(batch_agg, k=3).orderBy("window_start_epoch", "rk").collect()
     assert got == want
     assert len(got) > 0
+
+
+# ------------------------------------------------------------- kendall tau-b
+
+
+def test_kendall_tau_matches_brute_force(spark):
+    from smart_data_lake_spark.functions.analytics import (
+        kendall_tau_daily_level_volume,
+    )
+
+    # 5 days: per-day (mean, count) with ties in both variables
+    days = {1: [10.0, 10.0], 2: [20.0], 3: [20.0], 4: [5.0, 5.0, 5.0], 5: [30.0]}
+    rows = []
+    eid = 0
+    for d, vals in days.items():
+        for h, v in enumerate(vals):
+            rows.append(("g", _ts(d, hour=h), v, eid))
+            eid += 1
+    df = spark.createDataFrame(rows, "g string, ts timestamp, value double, event_id long")
+    got = kendall_tau_daily_level_volume(df, "g").collect()[0]
+
+    means = [sum(v) / len(v) for v in days.values()]
+    counts = [len(v) for v in days.values()]
+    conc = disc = tx = ty = 0
+    n = len(means)
+    for i in range(n):
+        for j in range(i + 1, n):
+            xc = (means[j] > means[i]) - (means[j] < means[i])
+            yc = (counts[j] > counts[i]) - (counts[j] < counts[i])
+            if xc * yc > 0:
+                conc += 1
+            elif xc * yc < 0:
+                disc += 1
+            if xc == 0:
+                tx += 1
+            if yc == 0:
+                ty += 1
+    n0 = n * (n - 1) // 2
+    expected = (conc - disc) / math.sqrt((n0 - tx) * (n0 - ty))
+    assert got.n_day_pairs == n0
+    assert (got.n_concordant, got.n_discordant) == (conc, disc)
+    assert got.kendall_tau_b == pytest.approx(expected, abs=1e-6)
+
+
+def test_kendall_tau_all_tied_is_null(spark):
+    from smart_data_lake_spark.functions.analytics import (
+        kendall_tau_daily_level_volume,
+    )
+
+    rows = [("g", _ts(d), 7.0, d) for d in range(1, 4)]  # same mean+count daily
+    df = spark.createDataFrame(rows, "g string, ts timestamp, value double, event_id long")
+    got = kendall_tau_daily_level_volume(df, "g").collect()[0]
+    assert got.kendall_tau_b is None  # zero denominator -> NULL, not NaN
+
+
+# -------------------------------------------------------- markov stationary
+
+
+def test_markov_stationary_absorbing_sink(spark):
+    from smart_data_lake_spark.functions.graph import markov_stationary
+
+    trans = spark.createDataFrame([("a", "b", 1)], "src string, dst string, c long")
+    out = {r.node: r.stationary_e12 for r in markov_stationary(trans, iterations=3).collect()}
+    # a pushes all mass to b in iteration 1; b (sink) keeps everything
+    assert out == {"a": 0, "b": 2 * 10**12}
+
+
+def test_markov_stationary_matches_integer_simulation(spark):
+    from smart_data_lake_spark.functions.graph import SCALE, markov_stationary
+
+    edges = [("a", "b", 3), ("a", "c", 1), ("b", "a", 1), ("b", "c", 1)]
+    trans = spark.createDataFrame(edges, "src string, dst string, c long")
+    got = {r.node: r.stationary_e12 for r in markov_stationary(trans, iterations=3).collect()}
+
+    # plain-integer simulation of the same recurrence (floor division)
+    nodes = ["a", "b", "c"]
+    out_tot = {"a": 4, "b": 2}
+    x = {n: SCALE for n in nodes}
+    for _ in range(3):
+        nxt = {n: 0 for n in nodes}
+        for s, d, c in edges:
+            nxt[d] += (x[s] * c) // out_tot[s]
+        nxt["c"] += x["c"]  # sink keeps its mass
+        x = nxt
+    assert got == x
