@@ -225,6 +225,18 @@ def main(
         # r9: cluster-shaped emit for the exact set-similarity join — the
         # linear-output fix for jaccard_prefix_pairs' quadratic pair list
         "exact_neardup_clusters_docs",
+        # r9 additions (r10 rotation queue)
+        "spearman_value_hour_by_type",
+        "winsorized_mean_value_by_type",
+        "burstiness_daily_by_type",
+        "next_event_entropy_by_type",
+        "twap_value_by_type",
+        "llr_collocations_corpus",
+        "distinct_ngram_ratio_by_source",
+        "entity_clusters_suppliers",
+        "tfidf_topk_neighbors_docs",
+        "kendall_tau_level_volume_by_type",
+        "markov_stationary_event_types",
     ]
 
     from smart_data_lake_spark.session import release_persistent_rdds
