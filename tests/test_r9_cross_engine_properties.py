@@ -1,0 +1,183 @@
+"""Property-based cross-engine exactness for the r9 statistics: Spark and
+DuckDB must agree EXACTLY (not approx) on randomized full-precision series,
+per the repo's decimal/integer-sufficient-statistics discipline. The fixed
+sf0.01 oracle check can miss quantized boundaries; these generators hit
+them.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import sys
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_vals = st.lists(
+    st.floats(min_value=-1e5, max_value=1e5, allow_nan=False, allow_infinity=False),
+    min_size=4,
+    max_size=40,
+)
+
+
+def _frame(series):
+    """(event_id, ts, event_type, user_id, value): ts advances 7h per row so
+    the series spans multiple days AND hours — exercises the hour ranks,
+    day buckets and transition order all at once."""
+    base = dt.datetime(2024, 1, 1)
+    return [
+        (i, base + dt.timedelta(hours=7 * i), "g", i % 3, float(v))
+        for i, v in enumerate(series)
+    ]
+
+
+def _spark_df(spark, series):
+    return spark.createDataFrame(
+        _frame(series),
+        "event_id long, ts timestamp, event_type string, user_id long, value double",
+    )
+
+
+def _duck(series):
+    import duckdb
+    import pandas as pd
+
+    rows = _frame(series)
+    con = duckdb.connect()
+    con.register(
+        "events",
+        pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": [r[1] for r in rows],
+                "event_type": [r[2] for r in rows],
+                "user_id": [r[3] for r in rows],
+                "value": [r[4] for r in rows],
+            }
+        ),
+    )
+    return con
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_vals)
+def test_spearman_engine_exact(spark, series):
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    from smart_data_lake_spark.functions.analytics import spearman_by_group
+
+    hour_utc = (F.floor(F.col("ts").cast("double") / 3600.0) % 24).cast("long")
+    got = spearman_by_group(_spark_df(spark, series), "event_type", F.col("value"), hour_utc).collect()
+    con = _duck(series)
+    want = con.sql(entry.oracle_sql()["spearman_value_hour_by_type"]).fetchall()
+    assert len(got) == len(want) == 1
+    g, w = got[0], want[0]
+    assert g["n"] == w[1]
+    assert g["spearman_rho"] == w[2]  # EXACT (both None or both equal)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_vals)
+def test_winsorized_engine_exact(spark, series):
+    import __spark_entry__ as entry
+
+    from smart_data_lake_spark.functions.analytics import winsorized_mean_by_group
+
+    got = winsorized_mean_by_group(_spark_df(spark, series), "event_type", "value", "event_id").collect()
+    con = _duck(series)
+    want = con.sql(entry.oracle_sql()["winsorized_mean_value_by_type"]).fetchall()
+    assert len(got) == len(want) == 1
+    assert got[0]["n"] == want[0][1]
+    assert got[0]["winsorized_mean"] == want[0][2]
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_vals)
+def test_twap_engine_exact(spark, series):
+    import __spark_entry__ as entry
+
+    from smart_data_lake_spark.functions.analytics import twap_by_group
+
+    got = twap_by_group(_spark_df(spark, series), "event_type").collect()
+    con = _duck(series)
+    want = con.sql(entry.oracle_sql()["twap_value_by_type"]).fetchall()
+    assert len(got) == len(want) == 1
+    g, w = got[0], want[0]
+    assert (g["n_segments"], g["total_span_sec"], g["twap"]) == (w[1], w[2], w[3])
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_vals)
+def test_kendall_engine_exact(spark, series):
+    import __spark_entry__ as entry
+
+    from smart_data_lake_spark.functions.analytics import (
+        kendall_tau_daily_level_volume,
+    )
+
+    got = kendall_tau_daily_level_volume(_spark_df(spark, series), "event_type").collect()
+    con = _duck(series)
+    want = con.sql(entry.oracle_sql()["kendall_tau_level_volume_by_type"]).fetchall()
+    # a series inside one calendar day has no day pairs: BOTH engines
+    # must agree on emptiness, not just on values
+    assert len(got) == len(want)
+    if got:
+        g, w = got[0], want[0]
+        assert (g["n_day_pairs"], g["n_concordant"], g["n_discordant"]) == (w[1], w[2], w[3])
+        assert g["kendall_tau_b"] == w[4]
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_vals)
+def test_burstiness_engine_exact(spark, series):
+    import __spark_entry__ as entry
+
+    from smart_data_lake_spark.functions.analytics import burstiness_by_group
+
+    got = burstiness_by_group(_spark_df(spark, series), "event_type").collect()
+    con = _duck(series)
+    want = con.sql(entry.oracle_sql()["burstiness_daily_by_type"]).fetchall()
+    assert len(got) == len(want) == 1
+    g, w = got[0], want[0]
+    assert (g["n_days"], g["n_active_days"]) == (w[1], w[2])
+    assert (g["mean_daily"], g["fano_factor"], g["burstiness"]) == (w[3], w[4], w[5])
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_vals)
+def test_next_entropy_engine_exact(spark, series):
+    import __spark_entry__ as entry
+
+    from smart_data_lake_spark.functions.analytics import (
+        next_event_conditional_entropy,
+    )
+
+    # vary the type so transitions exist: type cycles with the value sign
+    rows = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(hours=7 * i),
+         "pos" if v >= 0 else "neg", i % 3, float(v))
+        for i, v in enumerate(series)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, user_id long, value double"
+    )
+    got = {r["event_type"]: r for r in next_event_conditional_entropy(df).collect()}
+
+    import duckdb
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register("events", pd.DataFrame({
+        "event_id": [r[0] for r in rows], "ts": [r[1] for r in rows],
+        "event_type": [r[2] for r in rows], "user_id": [r[3] for r in rows],
+        "value": [r[4] for r in rows],
+    }))
+    want = con.sql(entry.oracle_sql()["next_event_entropy_by_type"]).fetchall()
+    assert len(got) == len(want)
+    for w in want:
+        g = got[w[0]]
+        assert (g["n_transitions"], g["n_next_types"], g["next_entropy"]) == (w[1], w[2], w[3])
