@@ -586,3 +586,74 @@ def test_exact_quartiles_single_group_shuffle(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "SinglePartition" not in plan
+
+
+# ---------------------------------------------------------------- r9 plans
+
+
+def test_exact_neardup_clusters_no_cartesian(spark, sf_dir):
+    """The cluster composition must keep the prefix-join shape: candidates
+    from shingle equi-joins only — no nested loop anywhere in the exact
+    family's plan."""
+    plan = _plan(spark, "exact_neardup_clusters_docs", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_topk_neighbors_no_cartesian(spark, sf_dir):
+    """Posting-list self-join: pairs only materialize for docs sharing a
+    term — a cartesian here is the quadratic blowup the inverted index
+    exists to avoid. (The BroadcastNestedLoopJoins in this plan are the
+    1-ROW n_docs stats broadcasts — the bm25 crossJoin(broadcast) shape,
+    constant cost — so the audit pins the DATA join: the posting self-join
+    on `tok` must be a hash join.)"""
+    plan = _plan(spark, "tfidf_topk_neighbors_docs", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_spearman_single_aggregate_no_join(spark, sf_dir):
+    """Two window ranks + one combinable aggregate: no join anywhere —
+    the statistic reduces to integer sufficient statistics."""
+    plan = _plan(spark, "spearman_value_hour_by_type", sf_dir)
+    assert "Join" not in plan
+
+
+def test_burstiness_broadcast_span_only_join(spark, sf_dir):
+    """The corpus-span is a broadcast 1-row frame; the day/group rollups
+    are combinable aggregates. No shuffle join of data-scale frames."""
+    plan = _plan(spark, "burstiness_daily_by_type", sf_dir)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan  # the span join is a broadcast
+
+
+def test_twap_single_window_shuffle(spark, sf_dir):
+    """One window (lag) per group + one aggregate: exactly one exchange
+    for the window sort, no joins."""
+    plan = _plan(spark, "twap_value_by_type", sf_dir)
+    assert "Join" not in plan
+
+
+def test_kendall_day_pair_join_is_hash(spark, sf_dir):
+    """The day-pair self-join runs on the COLLAPSED daily frame and must
+    be a hash join on the group key, never a nested loop over rows."""
+    plan = _plan(spark, "kendall_tau_level_volume_by_type", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_markov_stationary_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, "markov_stationary_event_types", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_llr_broadcasts_total_only(spark, sf_dir):
+    """The 1-row bigram total broadcasts (a constant-cost 1-ROW
+    BroadcastNestedLoopJoin, the bm25 stats shape); the marginal joins are
+    vocab-scale EQUI-joins and the top-k is a TakeOrdered, not a global
+    sort."""
+    plan = _plan(spark, "llr_collocations_corpus", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan  # marginals equi-join
