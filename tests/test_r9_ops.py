@@ -418,3 +418,44 @@ def test_markov_stationary_matches_integer_simulation(spark):
         nxt["c"] += x["c"]  # sink keeps its mass
         x = nxt
     assert got == x
+
+
+def test_kendall_tau_volume_counts_null_value_events(spark):
+    """r9 review: volume must count ALL events on a day — heartbeat rows
+    without a measurement still are load; only the level mean is
+    restricted to measured rows."""
+    from smart_data_lake_spark.functions.analytics import (
+        kendall_tau_daily_level_volume,
+    )
+
+    rows = [
+        # day 1: 1 measured event, low value
+        ("g", _ts(1), 1.0, 1),
+        # day 2: 1 measured (high value) + 3 NULL heartbeats -> the BUSY day
+        ("g", _ts(2), 9.0, 2),
+        ("g", _ts(2, hour=13), None, 3),
+        ("g", _ts(2, hour=14), None, 4),
+        ("g", _ts(2, hour=15), None, 5),
+        # day 3: all-NULL day -> no level, excluded from pairing
+        ("g", _ts(3), None, 6),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, value double, event_id long")
+    got = kendall_tau_daily_level_volume(df, "g").collect()[0]
+    # only days 1 and 2 pair; day 2 is both busier (4 > 1) and hotter
+    # (9 > 1) -> one concordant pair, tau = 1
+    assert got.n_day_pairs == 1
+    assert (got.n_concordant, got.n_discordant) == (1, 0)
+    assert got.kendall_tau_b == 1.0
+
+
+def test_markov_stationary_ignores_null_states(spark):
+    """r9 review: NULL is not a state — edges touching NULL are dropped
+    explicitly, identically in the oracle."""
+    from smart_data_lake_spark.functions.graph import markov_stationary
+
+    trans = spark.createDataFrame(
+        [("a", "b", 1), (None, "a", 5), ("b", None, 7)],
+        "src string, dst string, c long",
+    )
+    out = {r.node: r.stationary_e12 for r in markov_stationary(trans, iterations=3).collect()}
+    assert out == {"a": 0, "b": 2 * 10**12}
