@@ -3853,11 +3853,42 @@ def oracle_sql() -> dict[str, str]:
                     JOIN uni ub ON ub.term = bi.w2, nu, nb
             ORDER BY pmi DESC, collocation LIMIT 25""",
         "value_quartiles_by_type": """
-            SELECT event_type, COUNT(*) AS n,
-                   round(quantile_cont(CAST(value AS DOUBLE), 0.25), 6) AS q1,
-                   round(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS median,
-                   round(quantile_cont(CAST(value AS DOUBLE), 0.75), 6) AS q3
-            FROM events GROUP BY event_type ORDER BY event_type""",
+            -- explicit order-statistic interpolation (NOT quantile_cont):
+            -- mirrors exact_quartiles' engine-exact formulation — for
+            -- quartile k, lo = ((n-1)*k) div 4 (1-based +1), frac =
+            -- ((n-1)*k mod 4)/4 (exact binary fraction), result =
+            -- v_lo + (v_hi - v_lo)*frac, one fixed IEEE expression
+            WITH ranked AS (
+              SELECT event_type, value,
+                     row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+                     COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM events WHERE value IS NOT NULL
+            ),
+            q AS (
+              SELECT event_type, k,
+                     MAX(CASE WHEN rn = ((n - 1) * k) // 4 + 1 THEN value END) AS vlo,
+                     MAX(CASE WHEN rn = least(((n - 1) * k) // 4 + 2, n) THEN value END) AS vhi,
+                     MAX(CASE WHEN rn = 1
+                         THEN CAST(((n - 1) * k) % 4 AS DOUBLE) / 4.0 END) AS fr,
+                     MAX(n) AS n
+              FROM ranked CROSS JOIN (VALUES (1), (2), (3)) ks(k)
+              GROUP BY event_type, k
+            ),
+            wide AS (
+              SELECT event_type, MAX(n) AS n,
+                     -- pure-double grid round: floor(x*1e6 + 0.5)/1e6 is the
+                     -- identical IEEE expression in Spark and DuckDB (engine
+                     -- round() differs at half-grid boundaries)
+                     MAX(CASE WHEN k = 1
+                         THEN floor((vlo + (vhi - vlo) * fr) * 1000000 + 0.5) / 1000000 END) AS q1,
+                     MAX(CASE WHEN k = 2
+                         THEN floor((vlo + (vhi - vlo) * fr) * 1000000 + 0.5) / 1000000 END) AS median,
+                     MAX(CASE WHEN k = 3
+                         THEN floor((vlo + (vhi - vlo) * fr) * 1000000 + 0.5) / 1000000 END) AS q3
+              FROM q GROUP BY event_type
+            )
+            SELECT event_type, CAST(n AS BIGINT) AS n, q1, median, q3
+            FROM wide ORDER BY event_type""",
         "semantic_dedup_embeddings": f"""
             WITH dists AS (
               SELECT vec_id, embedding, {ivf_dists} FROM embeddings

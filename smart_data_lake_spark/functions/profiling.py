@@ -332,19 +332,59 @@ def exact_quartiles(
     group_cols: list[str],
 ):
     """Exact linear-interpolated quartiles per group (the SQL-standard
-    percentile_cont semantics — Spark's `percentile`, DuckDB's
-    `quantile_cont` compute the identical interpolation), plus count. The
-    exact form sorts each group once; at the 100 TB tier swap in
-    approx_quantile_buckets (GK sketch) for the same contract at bounded
-    memory — this operator is the audit-grade companion."""
+    percentile_cont semantics), plus count. The exact form sorts each
+    group once; at the 100 TB tier swap in approx_quantile_buckets (GK
+    sketch) for the same contract at bounded memory — this operator is
+    the audit-grade companion.
+
+    Engine-exactness (r9 hardening — a hypothesis run caught Spark's
+    `percentile` and DuckDB's `quantile_cont` diverging by one 1e-6 digit
+    on a boundary series): the interpolation is computed EXPLICITLY from
+    order statistics instead of each engine's library. For quartile k,
+    position (n−1)·k/4 splits into an integer rank lo = ((n−1)·k) div 4
+    and an EXACT binary fraction frac = ((n−1)·k mod 4)/4 ∈ {0, ¼, ½, ¾},
+    and the result is v_lo + (v_hi − v_lo)·frac — one fixed IEEE
+    expression of raw input doubles, bit-identical on any engine. One
+    window sort per group + one combinable aggregate (same shuffle shape
+    as before).
+
+    The final 1e-6 quantization is floor(x·1e6 + 0.5)/1e6 — pure double
+    arithmetic, identical in every engine — NOT the engine round():
+    Spark's round() rounds the double's SHORTEST-DECIMAL representation
+    HALF_UP while DuckDB rounds the binary value, and an interpolated
+    quartile can land exactly on the half-grid (hypothesis constructed
+    one: 0.4750075 → 0.475008 vs 0.475007)."""
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    pcts = F.percentile(F.col(value_col), F.lit([0.25, 0.5, 0.75]))
-    return df.groupBy(*group_cols).agg(
+    wg = Window.partitionBy(*group_cols)
+    w = Window.partitionBy(*group_cols).orderBy(F.col(value_col))
+    ranked = (
+        df.where(F.col(value_col).isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wg))
+    )
+
+    def quartile(k: int):
+        pos = (F.col("_n") - 1) * k  # quarter-units
+        lo = F.floor(pos / 4) + 1    # 1-based rank of the lower value
+        hi = F.least(lo + 1, F.col("_n"))
+        frac = (pos % 4).cast("double") / 4.0  # exact: 0, .25, .5, .75
+        vlo = F.max(F.when(F.col("_rn") == lo, F.col(value_col)))
+        vhi = F.max(
+            F.when(F.col("_rn") == hi, F.col(value_col))
+        )
+        # frac is constant within a group; max() just extracts it
+        fr = F.max(F.when(F.col("_rn") == 1, frac))
+        q = vlo + (vhi - vlo) * fr
+        # engine-exact 1e-6 grid: pure double floor, not engine round()
+        return F.floor(q * 1e6 + 0.5) / 1e6
+
+    return ranked.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(pcts[0], 6).alias("q1"),
-        F.round(pcts[1], 6).alias("median"),
-        F.round(pcts[2], 6).alias("q3"),
+        quartile(1).alias("q1"),
+        quartile(2).alias("median"),
+        quartile(3).alias("q3"),
     )
 
 
