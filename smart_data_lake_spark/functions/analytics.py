@@ -1404,6 +1404,14 @@ def spearman_by_group(
     ranks are tie-INVARIANT by construction (r9 review dropped the dead
     parameter).
 
+    The sufficient statistics are DECIMAL(38,0), not BIGINT: Σa² and Σab
+    reach ~4n³ and the n·Σab cross terms ~4n⁴, which silently wraps (or
+    ANSI-throws) 64-bit math past ~40k rows per group — found in the r9
+    follow-up review, latent at exactly the 100 TB tier this operator
+    targets. Decimal headroom holds to ~10⁹ rows per group (documented
+    bound; beyond that the 1e-6-rounded rho is rank-noise-dominated
+    anyway). Values are unchanged wherever the long math didn't overflow.
+
     Shape: two window ranks (same per-group shuffle), one combinable
     aggregate. The rank windows sort within groups only — no global sort."""
     x = x_col if not isinstance(x_col, str) else F.col(x_col)
@@ -1418,18 +1426,21 @@ def spearman_by_group(
         wr = Window.partitionBy("g").orderBy(F.col(col))
         wt = Window.partitionBy("g", col)
         # 2*average_rank = 2*min_rank + (ties - 1): exact integer
-        return (F.rank().over(wr) * 2 + F.count(F.lit(1)).over(wt) - 1).cast("long")
+        return (F.rank().over(wr) * 2 + F.count(F.lit(1)).over(wt) - 1).cast(
+            "decimal(19,0)"
+        )
 
     ranked = base.select(
         "g", doubled_rank("_x").alias("a"), doubled_rank("_y").alias("b")
     )
+    d38 = "decimal(38,0)"
     agg = ranked.groupBy("g").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("a").alias("sa"),
-        F.sum("b").alias("sb"),
-        F.sum(F.col("a") * F.col("a")).alias("saa"),
-        F.sum(F.col("b") * F.col("b")).alias("sbb"),
-        F.sum(F.col("a") * F.col("b")).alias("sab"),
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("a").cast(d38).alias("sa"),
+        F.sum("b").cast(d38).alias("sb"),
+        F.sum((F.col("a") * F.col("b")).cast(d38)).cast(d38).alias("sab"),
+        F.sum((F.col("a") * F.col("a")).cast(d38)).cast(d38).alias("saa"),
+        F.sum((F.col("b") * F.col("b")).cast(d38)).cast(d38).alias("sbb"),
     )
     num = F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")
     den = F.sqrt(
@@ -1524,10 +1535,15 @@ def burstiness_by_group(
     daily = df.groupBy(
         F.col(group_col).alias("g"), day.alias("_d")
     ).agg(F.count(F.lit(1)).alias("c"))
+    # DECIMAL(38,0) sufficient statistics: s is the group's TOTAL row count,
+    # so s·s in BIGINT wraps (ANSI: throws) past ~3e9 rows/group — the same
+    # latent-overflow class the r9 follow-up review fixed in spearman.
+    # Identical values wherever the long math didn't overflow.
+    d38 = "decimal(38,0)"
     agg = daily.groupBy("g").agg(
         F.count(F.lit(1)).alias("n_active"),
-        F.sum("c").alias("s"),
-        F.sum(F.col("c") * F.col("c")).alias("ss"),
+        F.sum("c").cast(d38).alias("s"),
+        F.sum(F.col("c").cast("decimal(19,0)") * F.col("c")).cast(d38).alias("ss"),
     ).crossJoin(F.broadcast(span))
     n, s, ss = F.col("n"), F.col("s"), F.col("ss")
     mean = s.cast("double") / n.cast("double")

@@ -147,32 +147,46 @@ def qgram_editdist_pairs(
     # re-running tokenize+distinct (r9 review)
     names = names.localCheckpoint(eager=False)
     long_names = names.where(F.col("len") >= q + k * q)
+    # (gram, occ) multiset built ARRAY-SIDE in one narrow stage: occ is the
+    # occurrence index of the gram among its equals up to this position —
+    # O(len²) per string on ~tens of chars, in exchange for dropping the
+    # per-(name,gram) row_number window the exploded form needed (the r9
+    # follow-up shuffle cut: 2 window shuffles → 1 groupBy, same output
+    # multiset because duplicate grams are interchangeable under any
+    # stable numbering).
     gram_arr = F.transform(
         F.sequence(F.lit(1), F.col("len") - q + 1),
         lambda i: F.col("name").substr(i, F.lit(q)),
     )
-    gexp = long_names.select("name", "len", F.explode(gram_arr).alias("gram"))
-    # occurrence index per (name, gram) makes the join MULTISET-correct;
-    # duplicate grams are interchangeable, so any stable numbering works
-    gocc = gexp.select(
-        "name",
-        "len",
-        "gram",
-        F.row_number().over(Window.partitionBy("name", "gram").orderBy(F.lit(1))).alias("occ"),
+    go_arr = F.transform(
+        gram_arr,
+        lambda g, i: F.struct(
+            g.alias("gram"),
+            F.size(F.filter(F.slice(gram_arr, F.lit(1), i + 1), lambda x: x == g)).alias(
+                "occ"
+            ),
+        ),
+    )
+    gocc = long_names.select("name", "len", F.explode(go_arr).alias("_go")).select(
+        "name", "len", F.col("_go.gram").alias("gram"), F.col("_go.occ").alias("occ")
     )
     freq = gocc.groupBy("gram", "occ").agg(F.count(F.lit(1)).alias("gf"))
+    # frequency-ordered prefix: the k*q+1 globally-rarest (gram, occ)
+    # entries per name, ties by (gram, occ) — array_sort over the struct
+    # sorts by (gf, gram, occ) exactly like the orderBy it replaces, and
+    # (gram, occ) is unique per name so the order is total
     prefix = (
         gocc.join(freq, ["gram", "occ"])
-        .withColumn(
-            "pos",
-            F.row_number().over(
-                Window.partitionBy("name").orderBy(
-                    F.asc("gf"), F.asc("gram"), F.asc("occ")
-                )
-            ),
+        .groupBy("name", "len")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("gf", "gram", "occ"))),
+                1,
+                k * q + 1,
+            ).alias("_pref")
         )
-        .where(F.col("pos") <= k * q + 1)
-        .select("name", "len", "gram", "occ")
+        .select("name", "len", F.explode("_pref").alias("_p"))
+        .select("name", "len", F.col("_p.gram").alias("gram"), F.col("_p.occ").alias("occ"))
     )
     a = prefix.select(F.col("name").alias("name_a"), F.col("len").alias("la"), "gram", "occ")
     b = prefix.select(F.col("name").alias("name_b"), F.col("len").alias("lb"), "gram", "occ")
@@ -181,7 +195,6 @@ def qgram_editdist_pairs(
         .where(F.col("name_a") < F.col("name_b"))
         .where(F.abs(F.col("la") - F.col("lb")) <= k)
         .select("name_a", "name_b")
-        .distinct()
     )
     shorts = names.where(F.col("len") < q + k * q)
     n_short = shorts.count()  # bounded scalar: guards the theta-join below
