@@ -966,6 +966,9 @@ def jaccard_prefix_join(
     instead of banding.
     """
     toks = _similarity_token_sets(df, id_col, text_col, shingle_n)
+    # the core references the set frame twice (df-frequency aggregate +
+    # per-doc fold); pin the tokenize+distinct pass once
+    toks = toks.localCheckpoint(eager=False)
     return _jaccard_prefix_join_toks(toks, threshold_num, threshold_den)
 
 
@@ -991,27 +994,43 @@ def _jaccard_prefix_join_toks(
 ) -> DataFrame:
     """Core of `jaccard_prefix_join` over a pre-built (doc, tok) set frame —
     shared with `jaccard_neardup_clusters`, whose representative collapse
-    feeds a reduced frame through the identical exact join."""
-    size = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    feeds a reduced frame through the identical exact join.
+
+    Plan shape (r9 follow-up shuffle cut — same output, ~half the stages):
+    ONE groupBy(doc) folds size + the frequency-ordered prefix (array_sort
+    over (df, tok) structs + a Column-length slice replaces the old
+    join-size-then-window cascade) AND carries the doc's full sorted token
+    array; verification then joins the candidate pairs to that per-doc
+    frame twice and intersects ARRAYS (`array_intersect`, JVM-side) instead
+    of re-exploding tokens through a two-way join + groupBy. Documents are
+    bounded-size rows, so per-doc arrays are KB-scale at any corpus size —
+    the array width is a constant, the stage count is what scales."""
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    ranked = (
+    per_doc = (
         toks.join(dfreq, "tok")
-        .join(size, "doc")
-        .withColumn(
-            "pos",
-            F.row_number().over(
-                Window.partitionBy("doc").orderBy(F.asc("df"), F.asc("tok"))
-            ),
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("sz"),
+            F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("_ranked"),
         )
         # prefix length = sz - ceil(tau*sz) + 1, integer ceil = (num*sz + den - 1) // den
-        .where(
-            F.col("pos")
-            <= F.col("sz") - F.floor((F.lit(tau_num) * F.col("sz") + tau_den - 1) / tau_den) + 1
+        .withColumn(
+            "_plen",
+            F.col("sz")
+            - F.floor((F.lit(tau_num) * F.col("sz") + tau_den - 1) / tau_den)
+            + 1,
         )
-        .select("doc", "tok", "sz")
+        .withColumn("toks", F.transform("_ranked", lambda s: s["tok"]))
     )
-    a = ranked.select(F.col("doc").alias("doc_a"), "tok", F.col("sz").alias("sz_a"))
-    b = ranked.select(F.col("doc").alias("doc_b"), "tok", F.col("sz").alias("sz_b"))
+    prefix = per_doc.select(
+        "doc",
+        "sz",
+        F.explode(F.transform(F.slice("_ranked", F.lit(1), F.col("_plen")), lambda s: s["tok"])).alias(
+            "tok"
+        ),
+    )
+    a = prefix.select(F.col("doc").alias("doc_a"), "tok", F.col("sz").alias("sz_a"))
+    b = prefix.select(F.col("doc").alias("doc_b"), "tok", F.col("sz").alias("sz_b"))
     cands = (
         a.join(b, "tok")
         .where(F.col("doc_a") < F.col("doc_b"))
@@ -1021,20 +1040,24 @@ def _jaccard_prefix_join_toks(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    ta = toks.select(F.col("doc").alias("doc_a"), "tok")
-    tb = toks.select(F.col("doc").alias("doc_b"), "tok")
-    inter = (
-        cands.join(ta, "doc_a")
-        .join(tb, ["doc_b", "tok"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    arrs = per_doc.select("doc", "sz", "toks")
+    verified = (
+        cands.join(
+            arrs.select(
+                F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"), F.col("toks").alias("_ta")
+            ),
+            "doc_a",
+        )
+        .join(
+            arrs.select(
+                F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"), F.col("toks").alias("_tb")
+            ),
+            "doc_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("_ta", "_tb")))
     )
-    sa = size.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = size.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("uni", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        verified.withColumn("uni", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
         .where(F.col("inter") * tau_den >= F.lit(tau_num) * F.col("uni"))
         .select(
             "doc_a",
@@ -1082,6 +1105,9 @@ def jaccard_neardup_clusters(
     components use min-label propagation (engine-stable); the canonical
     pick orders by (size desc, id asc)."""
     toks = _similarity_token_sets(docs, id_col, text_col, shingle_n)
+    # referenced by the fingerprint pass AND the representative filter —
+    # pin the tokenize+distinct pass once
+    toks = toks.localCheckpoint(eager=False)
     fps = toks.groupBy("doc").agg(
         F.sha2(F.concat_ws("\x00", F.sort_array(F.collect_set("tok"))), 256).alias("fp")
     )
