@@ -1022,6 +1022,10 @@ def _jaccard_prefix_join_toks(
         )
         .withColumn("toks", F.transform("_ranked", lambda s: s["tok"]))
     )
+    # NOT pinned: per_doc feeds three references, but it carries the full
+    # per-doc token arrays — measured A/B, materializing those wide rows
+    # into the block manager costs ~3x more than recomputing the fold from
+    # the pinned `toks` (3.8s → 14.8s at sf0.1 with a localCheckpoint here)
     prefix = per_doc.select(
         "doc",
         "sz",

@@ -188,6 +188,9 @@ def qgram_editdist_pairs(
         .select("name", "len", F.explode("_pref").alias("_p"))
         .select("name", "len", F.col("_p.gram").alias("gram"), F.col("_p.occ").alias("occ"))
     )
+    # the prefix frame feeds BOTH sides of the self-join: without pinning,
+    # Spark re-executes the freq-join + collect_list subtree once per side
+    prefix = prefix.localCheckpoint(eager=False)
     a = prefix.select(F.col("name").alias("name_a"), F.col("len").alias("la"), "gram", "occ")
     b = prefix.select(F.col("name").alias("name_b"), F.col("len").alias("lb"), "gram", "occ")
     cand = (
@@ -229,11 +232,16 @@ def qgram_editdist_pairs(
             F.greatest("name_a", "name_b").alias("name_b"),
         )
     )
-    all_cand = cand.unionByName(short_cand).unionByName(mixed).distinct()
+    all_cand = cand.unionByName(short_cand).unionByName(mixed)
+    # verify BEFORE deduplicating: the JVM levenshtein on short strings is
+    # ~1µs/pair while the dedup is a shuffle — filtering first shrinks the
+    # distinct() input from the candidate count (incl. multi-prefix dups)
+    # to the true-pair count
     return (
         all_cand.withColumn("dist", F.levenshtein("name_a", "name_b"))
         .where((F.col("dist") > 0) & (F.col("dist") <= k))
         .select("name_a", "name_b", F.col("dist").cast("int").alias("dist"))
+        .distinct()
     )
 
 
