@@ -396,3 +396,28 @@ def test_vocab_coverage_curve_values(spark):
     assert out[1]["covered_tokens"] == 5 and out[1]["total_tokens"] == 10
     assert out[1]["coverage"] == 0.5
     assert out[2]["covered_tokens"] == 8 and out[2]["n_terms"] == 4
+
+
+def test_qgram_editdist_pairs_repeated_gram_multisets(spark):
+    """Duplicate-gram-heavy strings (runs of one character) pin the
+    MULTISET occurrence numbering of the r9 follow-up array-side (gram,
+    occ) build: 'aaaaaaaa'-family strings share every gram TEXT, so only
+    correct occurrence indexing keeps the prefix filter complete and the
+    join non-degenerate."""
+    names = [
+        "aaaaaaaa",      # 8 a's
+        "aaaaaaab",      # dist 1 (sub)
+        "aaaaaaa",       # 7 a's: dist 1 (del)
+        "aaabaaaa",      # dist 1 (sub mid)
+        "aabbaaaa",      # dist 2
+        "abababab",
+        "babababa",      # dist 2 from abababab
+        "aaaaaaaaaa",    # 10 a's: dist 2
+    ]
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    for k in (1, 2):
+        got = {
+            (r["name_a"], r["name_b"], r["dist"])
+            for r in qgram_editdist_pairs(df, "name", max_dist=k).collect()
+        }
+        assert got == _brute_editdist_pairs(names, k), f"k={k}"
