@@ -657,3 +657,28 @@ def test_llr_broadcasts_total_only(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan  # marginals equi-join
+
+
+# ------------------------------------------------- r9 follow-up plan pins
+
+
+def test_qgram_prefix_build_has_no_window(spark, sf_dir):
+    """The r9 follow-up shuffle cut: the (gram, occ) multiset is built
+    array-side and the frequency-ordered prefix via one groupBy fold — a
+    Window reappearing in the qgram PAIR plan means the two row_number
+    shuffles crept back (the cluster query adds its own canonical-pick
+    window, so the pin is on the pair form)."""
+    plan = _plan(spark, "qgram_editdist_suppliers", sf_dir)
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_jaccard_prefix_join_single_fold_array_verify(spark, sf_dir):
+    """The jaccard core folds size+prefix+token-array in ONE groupBy(doc)
+    and verifies with array_intersect: no Window, and exactly one
+    ObjectHashAggregate family for the per-doc fold (plus plain hash aggs);
+    a second explode-join verify shows up as extra SortAggregate/Window."""
+    plan = _plan(spark, "jaccard_prefix_pairs_docs", sf_dir)
+    assert "Window" not in plan
+    assert "array_intersect" in plan
+    assert "CartesianProduct" not in plan
