@@ -836,6 +836,9 @@ def simhash_neardup_clusters(
     unique-signature count; component semantics are exactly those of the
     full pair graph (docs in no qualifying pair stay absent)."""
     sigs = simhash(docs, id_col=id_col, text_col=text_col, bits=bits)
+    # referenced by the representative rollup AND the member expansion —
+    # pin the tokenize+hash pass once (narrow rows: id + one long)
+    sigs = sigs.localCheckpoint(eager=False)
     reps = sigs.groupBy("simhash").agg(
         F.min(id_col).alias("_rep"), F.count(F.lit(1)).alias("_n_members")
     )
