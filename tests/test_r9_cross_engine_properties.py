@@ -181,3 +181,86 @@ def test_next_entropy_engine_exact(spark, series):
     for w in want:
         g = got[w[0]]
         assert (g["n_transitions"], g["n_next_types"], g["next_entropy"]) == (w[1], w[2], w[3])
+
+
+_words = st.sampled_from(["aa", "ab", "b", "cc", "dd d".split()[0], "e"])
+_docs = st.lists(
+    st.lists(_words, min_size=1, max_size=12).map(" ".join),
+    min_size=2,
+    max_size=15,
+)
+
+
+def _doc_frame(texts):
+    return [(i, t, f"src{i % 2}", len(t)) for i, t in enumerate(texts)]
+
+
+def _duck_docs(texts):
+    import duckdb
+    import pandas as pd
+
+    rows = _doc_frame(texts)
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "source": [r[2] for r in rows],
+                "n_chars": [r[3] for r in rows],
+            }
+        ),
+    )
+    return con
+
+
+def _spark_docs(spark, texts):
+    return spark.createDataFrame(
+        _doc_frame(texts), "doc_id long, text string, source string, n_chars long"
+    )
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_docs)
+def test_llr_collocations_engine_exact(spark, texts):
+    """Dunning G² over a tiny Zipf-ish vocabulary: repeated bigrams cross
+    the min_count=5 floor often, so the ranked top-k and the rounded G²
+    must agree exactly across engines (integer contingency cells, one
+    double expression)."""
+    import __spark_entry__ as entry
+
+    from smart_data_lake_spark.functions.search import llr_collocations
+
+    got = [
+        (r["collocation"], r["n_pair"], r["llr_g2"])
+        for r in llr_collocations(_spark_docs(spark, texts)).collect()
+    ]
+    con = _duck_docs(texts)
+    want = [tuple(r) for r in con.sql(
+        entry.oracle_sql()["llr_collocations_corpus"]
+    ).fetchall()]
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_docs)
+def test_distinct_ngram_ratio_engine_exact(spark, texts):
+    """Distinct-1/2 diversity: exact integer type/token counts and one
+    rounded division each; single-token docs exercise the no-bigram
+    NULL path."""
+    import __spark_entry__ as entry
+
+    from smart_data_lake_spark.functions.search import distinct_ngram_ratio
+
+    got = [
+        tuple(r)
+        for r in distinct_ngram_ratio(_spark_docs(spark, texts))
+        .orderBy("source")
+        .collect()
+    ]
+    con = _duck_docs(texts)
+    want = [tuple(r) for r in con.sql(
+        entry.oracle_sql()["distinct_ngram_ratio_by_source"]
+    ).fetchall()]
+    assert got == want
