@@ -1425,10 +1425,12 @@ def spearman_by_group(
     def doubled_rank(col: str):
         wr = Window.partitionBy("g").orderBy(F.col(col))
         wt = Window.partitionBy("g", col)
-        # 2*average_rank = 2*min_rank + (ties - 1): exact integer
-        return (F.rank().over(wr) * 2 + F.count(F.lit(1)).over(wt) - 1).cast(
-            "decimal(19,0)"
-        )
+        # 2*average_rank = 2*min_rank + (ties - 1): exact integer. rank()
+        # is INT — widen BEFORE doubling, or rank > 2^30 overflows int32
+        # upstream of the decimal sums (review follow-up to the r9 fix)
+        return (
+            F.rank().over(wr).cast("long") * 2 + F.count(F.lit(1)).over(wt) - 1
+        ).cast("decimal(19,0)")
 
     ranked = base.select(
         "g", doubled_rank("_x").alias("a"), doubled_rank("_y").alias("b")

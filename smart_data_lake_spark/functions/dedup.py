@@ -1009,6 +1009,11 @@ def _jaccard_prefix_join_toks(
     bounded-size rows, so per-doc arrays are KB-scale at any corpus size —
     the array width is a constant, the stage count is what scales."""
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # dfreq is also deliberately NOT pinned (review follow-up, measured):
+    # a localCheckpoint here strips the aggregate's statistics, the
+    # toks⋈dfreq join loses its broadcast decision, and the pair form
+    # slows 3.7s → 4.4s at sf0.1 — the recompute off the pinned `toks`
+    # is cheaper than the de-optimized join
     per_doc = (
         toks.join(dfreq, "tok")
         .groupBy("doc")

@@ -183,7 +183,7 @@ def test_next_entropy_engine_exact(spark, series):
         assert (g["n_transitions"], g["n_next_types"], g["next_entropy"]) == (w[1], w[2], w[3])
 
 
-_words = st.sampled_from(["aa", "ab", "b", "cc", "dd d".split()[0], "e"])
+_words = st.sampled_from(["aa", "ab", "b", "cc", "dd", "e"])
 _docs = st.lists(
     st.lists(_words, min_size=1, max_size=12).map(" ".join),
     min_size=2,
