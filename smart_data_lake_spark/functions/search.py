@@ -446,6 +446,11 @@ def tfidf_cosine_pairs(
             F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("tok")
         )
     tf = toks.groupBy("doc", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds dfreq AND the weighting join; `weighted` below feeds the
+    # norm aggregate and BOTH posting-join sides — without a pin the
+    # tokenize+shingle+tf subtree re-executes ~4x (narrow rows: doc, tok,
+    # count — the cheap-to-pin shape, unlike the jaccard per_doc arrays)
+    tf = tf.localCheckpoint(eager=False)
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     if max_df is not None:
