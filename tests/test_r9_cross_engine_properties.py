@@ -264,3 +264,67 @@ def test_distinct_ngram_ratio_engine_exact(spark, texts):
         entry.oracle_sql()["distinct_ngram_ratio_by_source"]
     ).fetchall()]
     assert got == want
+
+
+_types = st.lists(
+    st.sampled_from(["a", "b", "c", "d"]), min_size=2, max_size=30
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_types)
+def test_markov_stationary_engine_exact(spark, type_seq):
+    """Scaled-integer power iteration vs the unrolled HUGEINT recurrence:
+    random per-user event-type sequences produce arbitrary transition
+    matrices (including absorbing states and NULL-free single chains);
+    every stationary_e12 must match the oracle's integral arithmetic
+    BIT-FOR-BIT — any div/widening divergence shows up as an off-by-one
+    on the 1e12 grid."""
+    import __spark_entry__ as entry
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from smart_data_lake_spark.functions.graph import markov_stationary
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(hours=i), t, i % 3, 1.0)
+        for i, t in enumerate(type_seq)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, user_id long, value double"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        df.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("_next", F.lead("event_type").over(w))
+        .where(F.col("_next").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("_next").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    got = sorted(
+        (r["node"], r["stationary_e12"]) for r in markov_stationary(trans).collect()
+    )
+
+    import duckdb
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register(
+        "events",
+        pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": [r[1] for r in rows],
+                "event_type": [r[2] for r in rows],
+                "user_id": [r[3] for r in rows],
+                "value": [r[4] for r in rows],
+            }
+        ),
+    )
+    want = sorted(
+        (r[0], r[1]) for r in con.sql(
+            entry.oracle_sql()["markov_stationary_event_types"]
+        ).fetchall()
+    )
+    assert got == want
