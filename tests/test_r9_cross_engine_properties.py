@@ -328,3 +328,35 @@ def test_markov_stationary_engine_exact(spark, type_seq):
         ).fetchall()
     )
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_docs)
+def test_hits_engine_exact(spark, texts):
+    """HITS hubs/authorities vs the unrolled HUGEINT recurrence: random
+    tiny corpora produce arbitrary token-adjacency graphs (self-loops,
+    sinks, disconnected terms); the scaled-integer power method with
+    max-normalization must match the oracle bit-for-bit on the 1e12
+    grid, including the deterministic top-20 cut."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    from smart_data_lake_spark.functions.graph import hits, token_transition_edges
+
+    h = hits(
+        token_transition_edges(_spark_docs(spark, texts)),
+        weight_col="weight",
+        iterations=3,
+    )
+    got = [
+        (r["term"], r["authority_e12"], r["hub_e12"])
+        for r in h.orderBy(F.desc("authority_e12"), F.asc("node"))
+        .limit(20)
+        .select(F.col("node").alias("term"), "authority_e12", "hub_e12")
+        .collect()
+    ]
+    con = _duck_docs(texts)
+    want = [tuple(r) for r in con.sql(
+        entry.oracle_sql()["hits_terms_corpus"]
+    ).fetchall()]
+    assert got == want
