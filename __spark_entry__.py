@@ -5823,9 +5823,11 @@ def oracle_sql() -> dict[str, str]:
             kept AS (
               SELECT * FROM ranked
               WHERE rn > floor(n * 0.1) AND rn <= n - floor(n * 0.1))
+            -- pure-double grid (engine round() diverges on the rational
+            -- mean's half-grid — the winsorized class)
             SELECT event_type, COUNT(*) AS n_kept,
-                   round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-                         / COUNT(*), 6) AS trimmed_mean
+                   floor(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                         / COUNT(*) * 1000000 + 0.5) / 1000000 AS trimmed_mean
             FROM kept GROUP BY event_type ORDER BY event_type""",
         "mann_kendall_trend_by_type": """
             WITH daily AS (
@@ -6332,8 +6334,13 @@ def oracle_sql() -> dict[str, str]:
                           ELSE f.v END AS cv
               FROM cutf f JOIN bounds b USING (event_type)
             )
+            -- pure-double grid quantization, NOT engine round(): the mean
+            -- is rational (exact decimal sum / integer count) and can land
+            -- exactly on the 1e-6 half-grid where Spark and DuckDB round()
+            -- diverge (hypothesis-found; same fix as value_quartiles)
             SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-                   round(CAST(SUM(cv) AS DOUBLE) / COUNT(*), 6) AS winsorized_mean
+                   floor(CAST(SUM(cv) AS DOUBLE) / COUNT(*) * 1000000 + 0.5) / 1000000
+                     AS winsorized_mean
             FROM clamped GROUP BY event_type ORDER BY event_type""",
         "burstiness_daily_by_type": """
             WITH span AS (
@@ -6354,18 +6361,23 @@ def oracle_sql() -> dict[str, str]:
               FROM daily GROUP BY g
             ),
             withspan AS (SELECT * FROM agg CROSS JOIN span)
+            -- pure-double grid finals (mean/fano rational, B rational on
+            -- perfect-square variances — the winsorized class)
             SELECT g AS event_type, n AS n_days, n_active AS n_active_days,
-                   round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_daily,
+                   floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                         * 1000000 + 0.5) / 1000000 AS mean_daily,
                    CASE WHEN s > 0 THEN
-                     round((CAST(n * ss - s * s AS DOUBLE) / CAST(n * n AS DOUBLE))
-                           / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                     floor((CAST(n * ss - s * s AS DOUBLE) / CAST(n * n AS DOUBLE))
+                           / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                           * 1000000 + 0.5) / 1000000
                    END AS fano_factor,
                    CASE WHEN sqrt(CAST(n * ss - s * s AS DOUBLE) / CAST(n * n AS DOUBLE))
                              + CAST(s AS DOUBLE) / CAST(n AS DOUBLE) > 0 THEN
-                     round((sqrt(CAST(n * ss - s * s AS DOUBLE) / CAST(n * n AS DOUBLE))
+                     floor((sqrt(CAST(n * ss - s * s AS DOUBLE) / CAST(n * n AS DOUBLE))
                             - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
                            / (sqrt(CAST(n * ss - s * s AS DOUBLE) / CAST(n * n AS DOUBLE))
-                              + CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                              + CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                           * 1000000 + 0.5) / 1000000
                    END AS burstiness
             FROM withspan ORDER BY event_type""",
         "next_event_entropy_by_type": """
@@ -6410,10 +6422,13 @@ def oracle_sql() -> dict[str, str]:
                               AS DECIMAL(28,9))) AS area
               FROM seg GROUP BY g
             )
+            -- pure-double grid finals (rational span and area/span —
+            -- the winsorized class)
             SELECT g AS event_type, n AS n_segments,
-                   round(CAST(span AS DOUBLE), 6) AS total_span_sec,
+                   floor(CAST(span AS DOUBLE) * 1000000 + 0.5) / 1000000 AS total_span_sec,
                    CASE WHEN span > 0
-                        THEN round(CAST(area AS DOUBLE) / CAST(span AS DOUBLE), 6)
+                        THEN floor(CAST(area AS DOUBLE) / CAST(span AS DOUBLE)
+                                   * 1000000 + 0.5) / 1000000
                    END AS twap
             FROM agg ORDER BY event_type""",
         "llr_collocations_corpus": f"""
@@ -6468,12 +6483,16 @@ def oracle_sql() -> dict[str, str]:
                      CAST(COUNT(DISTINCT b) AS BIGINT) AS d2
               FROM bg GROUP BY source
             )
+            -- pure-double grid (rational int/int ratios — the winsorized
+            -- class)
             SELECT uni.source, n_tokens, d1 AS n_unigram_types,
-                   round(CAST(d1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS distinct1,
+                   floor(CAST(d1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                         * 1000000 + 0.5) / 1000000 AS distinct1,
                    COALESCE(n_bigrams, 0) AS n_bigrams,
                    COALESCE(d2, 0) AS n_bigram_types,
                    CASE WHEN n_bigrams > 0
-                        THEN round(CAST(d2 AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6)
+                        THEN floor(CAST(d2 AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+                                   * 1000000 + 0.5) / 1000000
                    END AS distinct2
             FROM uni LEFT JOIN big USING (source) ORDER BY source""",
         "entity_clusters_suppliers": """

@@ -917,16 +917,22 @@ def trimmed_mean_by_group(
         .where((F.col("_rn") > F.col("_cut")) & (F.col("_rn") <= F.col("_n") - F.col("_cut")))
     )
     # DECIMAL sum (order-independent, cross-engine exact), ONE double
-    # division at the end — the same discipline as the other analytics ops
+    # division at the end. The final quantization is the pure-double grid
+    # floor(x·10^s + 0.5)/10^s, NOT engine round(): the mean is RATIONAL
+    # (exact decimal sum / integer count) and can land exactly on the
+    # half-grid where Spark and DuckDB round() diverge — hypothesis found
+    # the live case on this operator's twin (winsorized mean); same fix
+    # as exact_quartiles.
+    grid = float(10**scale)
+    mean = (
+        F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double")
+        / F.count(F.lit(1))
+    )
     return (
         ranked.groupBy(group_col)
         .agg(
             F.count(F.lit(1)).alias("n_kept"),
-            F.round(
-                F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double")
-                / F.count(F.lit(1)),
-                scale,
-            ).alias("trimmed_mean"),
+            (F.floor(mean * grid + F.lit(0.5)) / grid).alias("trimmed_mean"),
         )
         .orderBy(group_col)
     )
@@ -1491,14 +1497,21 @@ def winsorized_mean_by_group(
         .when(F.col("_rn") > F.col("_n") - F.col("_cut"), hi)
         .otherwise(v)
     )
+    # engine-exact grid quantization, NOT engine round(): the mean is an
+    # exact DECIMAL sum over an integer count — a RATIONAL value that can
+    # land exactly on the half-grid, where Spark rounds the double's
+    # shortest-decimal representation HALF_UP and DuckDB rounds the binary
+    # value (hypothesis found a live divergence: sum 99997.999929 / 6 →
+    # ...321 vs ...322). floor(x·10^s + 0.5)/10^s is one fixed IEEE
+    # expression, identical in every engine — the exact_quartiles fix.
+    grid = float(10**scale)
+    mean = F.sum("_cv").cast("double") / F.count(F.lit(1))
     return (
         ranked.withColumn("_cv", clamped)
         .groupBy(group_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            F.round(
-                F.sum("_cv").cast("double") / F.count(F.lit(1)), scale
-            ).alias("winsorized_mean"),
+            (F.floor(mean * grid + F.lit(0.5)) / grid).alias("winsorized_mean"),
         )
         .orderBy(group_col)
     )
@@ -1551,16 +1564,25 @@ def burstiness_by_group(
     mean = s.cast("double") / n.cast("double")
     var = (n * ss - s * s).cast("double") / (n * n).cast("double")
     sigma = F.sqrt(var)
+    # pure-double grid finals: mean and fano are RATIONAL (integer
+    # sufficient statistics) and B is rational whenever the variance is a
+    # perfect square — all can land exactly on the half-grid where engine
+    # round() diverges (the hypothesis-found winsorized class)
+    grid = float(10**scale)
+
+    def q(c):
+        return F.floor(c * grid + F.lit(0.5)) / grid
+
     return (
         agg.select(
             F.col("g").alias(group_col),
             n.cast("long").alias("n_days"),
             F.col("n_active").cast("long").alias("n_active_days"),
-            F.round(mean, scale).alias("mean_daily"),
-            F.when(s > 0, F.round(var / mean, scale)).alias("fano_factor"),
-            F.when(
-                (sigma + mean) > 0, F.round((sigma - mean) / (sigma + mean), scale)
-            ).alias("burstiness"),
+            q(mean).alias("mean_daily"),
+            F.when(s > 0, q(var / mean)).alias("fano_factor"),
+            F.when((sigma + mean) > 0, q((sigma - mean) / (sigma + mean))).alias(
+                "burstiness"
+            ),
         )
         .orderBy(group_col)
     )
@@ -1651,13 +1673,22 @@ def twap_by_group(
         F.sum(F.round(dt, 9).cast(dec9)).alias("span"),
         F.sum(contrib).alias("area"),
     )
+    # pure-double grid finals (NOT engine round()): span is an exact
+    # 1e-9 decimal and twap = area/span a ratio of exact decimals — both
+    # RATIONAL, so they can land exactly on the 1e-6 half-grid where
+    # Spark/DuckDB round() diverge (the hypothesis-found winsorized class)
+    grid = float(10**scale)
+
+    def q(c):
+        return F.floor(c * grid + F.lit(0.5)) / grid
+
     return agg.select(
         F.col("g").alias(group_col),
         F.col("n_segments").cast("long").alias("n_segments"),
-        F.round(F.col("span").cast("double"), scale).alias("total_span_sec"),
+        q(F.col("span").cast("double")).alias("total_span_sec"),
         F.when(
             F.col("span") > 0,
-            F.round(F.col("area").cast("double") / F.col("span").cast("double"), scale),
+            q(F.col("area").cast("double") / F.col("span").cast("double")),
         ).alias("twap"),
     ).orderBy(group_col)
 

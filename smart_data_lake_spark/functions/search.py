@@ -692,17 +692,24 @@ def distinct_ngram_ratio(
         .groupBy("g")
         .agg(F.count(F.lit(1)).alias("n_bigrams"), F.count_distinct("b").alias("d2"))
     )
+    # pure-double grid finals: the ratios are RATIONAL (int/int) and can
+    # land exactly on the 1e-6 half-grid where engine round() diverges
+    # (the hypothesis-found winsorized class); floor(x·1e6 + 0.5)/1e6 is
+    # engine-identical
+    def q(c):
+        return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+
     return (
         uni.join(big, "g", "left")
         .select(
             F.col("g").alias(group_col),
             F.col("n_tokens").cast("long").alias("n_tokens"),
             F.col("d1").cast("long").alias("n_unigram_types"),
-            F.round(F.col("d1") / F.col("n_tokens"), 6).alias("distinct1"),
+            q(F.col("d1") / F.col("n_tokens")).alias("distinct1"),
             F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
             F.coalesce(F.col("d2"), F.lit(0)).cast("long").alias("n_bigram_types"),
             F.when(
-                F.col("n_bigrams") > 0, F.round(F.col("d2") / F.col("n_bigrams"), 6)
+                F.col("n_bigrams") > 0, q(F.col("d2") / F.col("n_bigrams"))
             ).alias("distinct2"),
         )
         .orderBy(group_col)
