@@ -6403,8 +6403,13 @@ def oracle_sql() -> dict[str, str]:
                      AS next_entropy
             FROM agg ORDER BY event_type""",
         "twap_value_by_type": """
+            -- exact integer-microsecond Δt and a fully-decimal trapezoid
+            -- numerator: the old round(x, 9)-on-double per segment was
+            -- engine-divergent at magnitude (DuckDB scales by 1e9 in
+            -- double); area2 = Σ (pv+v)·Δt_us is exact, one grid-quantized
+            -- double division at the end (hypothesis-found, r9 follow-up)
             WITH base AS (
-              SELECT event_type AS g, CAST(epoch(ts) AS DOUBLE) AS t,
+              SELECT event_type AS g, epoch_us(ts) AS t,
                      CAST(round(value, 6) AS DECIMAL(18,6)) AS v, event_id AS id
               FROM events WHERE value IS NOT NULL
             ),
@@ -6417,17 +6422,16 @@ def oracle_sql() -> dict[str, str]:
             seg AS (SELECT * FROM lagd WHERE pt IS NOT NULL),
             agg AS (
               SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
-                     SUM(CAST(round(t - pt, 9) AS DECIMAL(28,9))) AS span,
-                     SUM(CAST(round(CAST(pv + v AS DOUBLE) / 2.0 * (t - pt), 9)
-                              AS DECIMAL(28,9))) AS area
+                     CAST(SUM(t - pt) AS DECIMAL(38,0)) AS span_us,
+                     SUM(CAST(pv + v AS DECIMAL(19,6)) * (t - pt)) AS area2
               FROM seg GROUP BY g
             )
-            -- pure-double grid finals (rational span and area/span —
-            -- the winsorized class)
             SELECT g AS event_type, n AS n_segments,
-                   floor(CAST(span AS DOUBLE) * 1000000 + 0.5) / 1000000 AS total_span_sec,
-                   CASE WHEN span > 0
-                        THEN floor(CAST(area AS DOUBLE) / CAST(span AS DOUBLE)
+                   floor(CAST(span_us AS DOUBLE) / 1000000.0
+                         * 1000000 + 0.5) / 1000000 AS total_span_sec,
+                   CASE WHEN span_us > 0
+                        THEN floor(CAST(area2 AS DOUBLE)
+                                   / (2.0 * CAST(span_us AS DOUBLE))
                                    * 1000000 + 0.5) / 1000000
                    END AS twap
             FROM agg ORDER BY event_type""",

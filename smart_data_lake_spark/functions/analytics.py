@@ -1645,17 +1645,25 @@ def twap_by_group(
     the unbiased mean when sampling density varies (the finance/telemetry
     TWAP), vs the naive row mean that over-weights dense bursts.
 
-    Determinism: the series order is the (ts, id) total order; values are
-    1e-6 DECIMALs; each trapezoid contribution is one double expression
-    rounded to 1e-9 and summed as exact DECIMAL, as is Δt. One window per
-    group (single shuffle) + one combinable aggregate."""
+    Determinism (r9 follow-up hardening — a hypothesis run falsified the
+    previous formulation live): the series order is the (ts, id) total
+    order; Δt is EXACT INTEGER MICROSECONDS (unix_micros — never a double
+    timestamp difference), values are 1e-6 DECIMALs, and the trapezoid
+    numerator Σ (vᵢ₋₁+vᵢ)·Δtᵢ accumulates as EXACT DECIMAL with no
+    intermediate rounding at all. The old per-segment `round(x, 9)` on a
+    double was engine-divergent at MAGNITUDE: DuckDB scales by 1e9 in
+    double (loses ulps past ~9e6) while Spark rounds via BigDecimal —
+    measured one-ulp area drift on a 1.26e9 contribution. With the exact
+    numerator, twap = area2 / (2·span_us) is ONE double division
+    quantized on the pure-double 1e-6 grid. One window per group (single
+    shuffle) + one combinable aggregate."""
     dec6 = "decimal(18,6)"
     w = Window.partitionBy("g").orderBy(F.col("_t"), F.col("_id"))
     base = (
         df.where(F.col(value_col).isNotNull())
         .select(
             F.col(group_col).alias("g"),
-            F.col(ts_col).cast("double").alias("_t"),
+            F.unix_micros(F.col(ts_col)).alias("_t"),
             F.round(F.col(value_col), 6).cast(dec6).alias("_v"),
             F.col(id_col).alias("_id"),
         )
@@ -1663,32 +1671,28 @@ def twap_by_group(
         .withColumn("_pv", F.lag("_v").over(w))
         .where(F.col("_pt").isNotNull())
     )
-    dt = F.col("_t") - F.col("_pt")
-    dec9 = "decimal(28,9)"
-    contrib = F.round(
-        (F.col("_pv") + F.col("_v")).cast("double") / 2.0 * dt, 9
-    ).cast(dec9)
+    dt_us = F.col("_t") - F.col("_pt")
+    # (pv+v)·Δt_us: decimal(19,6) × long → decimal(38,6), exact while the
+    # product fits 32 integral digits (|v| ≤ 1e12 over ≤ ~30-year spans)
+    contrib = (F.col("_pv") + F.col("_v")).cast("decimal(19,6)") * dt_us
     agg = base.groupBy("g").agg(
         F.count(F.lit(1)).alias("n_segments"),
-        F.sum(F.round(dt, 9).cast(dec9)).alias("span"),
-        F.sum(contrib).alias("area"),
+        F.sum(dt_us).cast("decimal(38,0)").alias("span_us"),
+        F.sum(contrib).alias("area2"),
     )
-    # pure-double grid finals (NOT engine round()): span is an exact
-    # 1e-9 decimal and twap = area/span a ratio of exact decimals — both
-    # RATIONAL, so they can land exactly on the 1e-6 half-grid where
-    # Spark/DuckDB round() diverge (the hypothesis-found winsorized class)
     grid = float(10**scale)
 
     def q(c):
         return F.floor(c * grid + F.lit(0.5)) / grid
 
+    span_d = F.col("span_us").cast("double")
     return agg.select(
         F.col("g").alias(group_col),
         F.col("n_segments").cast("long").alias("n_segments"),
-        q(F.col("span").cast("double")).alias("total_span_sec"),
+        q(span_d / F.lit(1e6)).alias("total_span_sec"),
         F.when(
-            F.col("span") > 0,
-            q(F.col("area").cast("double") / F.col("span").cast("double")),
+            F.col("span_us") > 0,
+            q(F.col("area2").cast("double") / (F.lit(2.0) * span_d)),
         ).alias("twap"),
     ).orderBy(group_col)
 
