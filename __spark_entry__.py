@@ -872,16 +872,20 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     composing the per-stat functions; 23.7s → ~2s at sf0.1)."""
     from smart_data_lake_spark.functions.text import with_text_stats
 
+    from smart_data_lake_spark.functions.analytics import grid_round
+
     docs = _t(spark, sf_dir, "documents")
     stats = with_text_stats(docs)
+    # the ratios are int/int RATIONALS — the half-grid cross-engine
+    # divergence class (r10 sweep): grid_round, not engine round()
     return stats.select(
         "doc_id",
         "n_tokens",
         "n_chars_computed",
-        F.round("punct_ratio", 6).alias("punct_ratio"),
-        F.round("stopword_ratio", 6).alias("stopword_ratio"),
-        F.round("mean_token_len", 6).alias("mean_token_len"),
-        F.round("quality", 6).alias("quality"),
+        grid_round(F.col("punct_ratio"), 6).alias("punct_ratio"),
+        grid_round(F.col("stopword_ratio"), 6).alias("stopword_ratio"),
+        grid_round(F.col("mean_token_len"), 6).alias("mean_token_len"),
+        grid_round(F.col("quality"), 6).alias("quality"),
         "lang_pred",
         "fingerprint",
     )
@@ -1674,14 +1678,19 @@ def trend_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     range; final slope arithmetic is plain float64, identical per engine."""
     from smart_data_lake_spark.functions.analytics import grouped_linear_trend
 
+    from smart_data_lake_spark.functions.analytics import grid_round
+
     ev = _t(spark, sf_dir, "events")
     x = F.col("ts").cast("double") - F.lit(1704067200.0)
     out = grouped_linear_trend(ev, ["event_type"], x, F.col("value"))
+    # slope/intercept are RATIONAL (double divisions of exact decimal
+    # sufficient statistics) — the half-grid cross-engine class (r10
+    # sweep): grid_round, not engine round()
     return out.select(
         "event_type",
         "n",
-        F.round("slope", 6).alias("slope"),
-        F.round("intercept", 6).alias("intercept"),
+        grid_round(F.col("slope"), 6).alias("slope"),
+        grid_round(F.col("intercept"), 6).alias("intercept"),
     ).orderBy("event_type")
 
 
@@ -3317,6 +3326,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _TOKS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
 _NTOK = rf"CASE WHEN length(trim(lower(text))) = 0 THEN 0 ELSE len({_TOKS}) END"
+# punctuation-ratio fragment for text_stats (module-level because f-string
+# expressions cannot contain the regex backslashes on py3.11)
+_PUNCT = (
+    "CASE WHEN length(text) = 0 THEN 0.0 ELSE (length(text) - "
+    "length(regexp_replace(text, '[.,;:!?''\"()\\-]', '', 'g'))) * 1.0 "
+    "/ length(text) END"
+)
 
 _STOPWORDS = {
     "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "ein", "im"],
@@ -3496,6 +3512,21 @@ _CMS_BUCKET = (
 )
 
 
+def _gq(expr: str, decimals: int) -> str:
+    """SQL twin of `functions.analytics.grid_round` (r10 rounding sweep):
+    sign-symmetric round-half-away-from-zero on the pure IEEE-double grid —
+    the same floor/negate/compare ops Spark evaluates, so any engine
+    computes the identical double at any magnitude, unlike engine round()
+    (Spark: shortest-decimal HALF_UP via BigDecimal; DuckDB: binary scaling
+    that loses ulps past ~9e6·10^−d). Used in lockstep wherever the Spark
+    side quantizes with grid_round."""
+    s = 10**decimals
+    return (
+        f"(CASE WHEN ({expr}) >= 0 THEN floor(({expr}) * {s}.0 + 0.5) / {s}.0 "
+        f"ELSE -(floor(-({expr}) * {s}.0 + 0.5) / {s}.0) END)"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     from smart_data_lake_spark.functions.similarity import (
         argmin_case_sql,
@@ -3668,7 +3699,7 @@ def oracle_sql() -> dict[str, str]:
             share AS (SELECT fp, COUNT(*) AS n_docs FROM fps GROUP BY fp)
             SELECT f.doc_id, COUNT(*) AS n_fingerprints,
                    CAST(SUM(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
-                   round(SUM(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS shared_frac
+                   (CASE WHEN (SUM(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)) >= 0 THEN floor((SUM(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(SUM(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0) END) AS shared_frac
             FROM fps f JOIN share s USING (fp)
             GROUP BY f.doc_id ORDER BY f.doc_id""",
         "incremental_dedup_new_source": """
@@ -3876,15 +3907,16 @@ def oracle_sql() -> dict[str, str]:
             ),
             wide AS (
               SELECT event_type, MAX(n) AS n,
-                     -- pure-double grid round: floor(x*1e6 + 0.5)/1e6 is the
-                     -- identical IEEE expression in Spark and DuckDB (engine
-                     -- round() differs at half-grid boundaries)
+                     -- pure-double grid round, identical IEEE expression in
+                     -- Spark and DuckDB (engine round() differs at half-grid
+                     -- boundaries); r10: sign-symmetric form, lockstep with
+                     -- grid_round
                      MAX(CASE WHEN k = 1
-                         THEN floor((vlo + (vhi - vlo) * fr) * 1000000 + 0.5) / 1000000 END) AS q1,
+                         THEN """ + _gq("vlo + (vhi - vlo) * fr", 6) + """ END) AS q1,
                      MAX(CASE WHEN k = 2
-                         THEN floor((vlo + (vhi - vlo) * fr) * 1000000 + 0.5) / 1000000 END) AS median,
+                         THEN """ + _gq("vlo + (vhi - vlo) * fr", 6) + """ END) AS median,
                      MAX(CASE WHEN k = 3
-                         THEN floor((vlo + (vhi - vlo) * fr) * 1000000 + 0.5) / 1000000 END) AS q3
+                         THEN """ + _gq("vlo + (vhi - vlo) * fr", 6) + """ END) AS q3
               FROM q GROUP BY event_type
             )
             SELECT event_type, CAST(n AS BIGINT) AS n, q1, median, q3
@@ -3925,12 +3957,17 @@ def oracle_sql() -> dict[str, str]:
                      MAX(CASE WHEN rk = 64 THEN h END) AS hk
               FROM ranked GROUP BY event_type
             )
+            , per2 AS (
+              SELECT event_type, n_exact,
+                     (CASE WHEN (CASE WHEN n_exact < 64 THEN CAST(n_exact AS DOUBLE) ELSE 63 / hk END) >= 0 THEN floor((CASE WHEN n_exact < 64 THEN CAST(n_exact AS DOUBLE) ELSE 63 / hk END) * 1.0 + 0.5) / 1.0 ELSE -(floor(-(CASE WHEN n_exact < 64 THEN CAST(n_exact AS DOUBLE) ELSE 63 / hk END) * 1.0 + 0.5) / 1.0) END) AS est_r
+              FROM per
+            )
+            -- r10 sweep: the estimate and relative error are RATIONALS —
+            -- grid form, lockstep with grid_round
             SELECT event_type, n_exact,
-                   CAST(round(CASE WHEN n_exact < 64 THEN CAST(n_exact AS DOUBLE)
-                              ELSE 63 / hk END) AS BIGINT) AS kmv_estimate,
-                   round((round(CASE WHEN n_exact < 64 THEN CAST(n_exact AS DOUBLE)
-                                ELSE 63 / hk END) - n_exact) / n_exact, 4) AS rel_error
-            FROM per ORDER BY event_type""",
+                   CAST(est_r AS BIGINT) AS kmv_estimate,
+                   (CASE WHEN ((est_r - n_exact) / n_exact) >= 0 THEN floor(((est_r - n_exact) / n_exact) * 10000.0 + 0.5) / 10000.0 ELSE -(floor(-((est_r - n_exact) / n_exact) * 10000.0 + 0.5) / 10000.0) END) AS rel_error
+            FROM per2 ORDER BY event_type""",
         "temperature_mix_sources": f"""
             WITH per AS (
               SELECT source, COUNT(*) AS n_docs, CAST(SUM({_NTOK}) AS BIGINT) AS n_tokens
@@ -3938,8 +3975,8 @@ def oracle_sql() -> dict[str, str]:
             ),
             t AS (SELECT SUM(pow(CAST(n_tokens AS DOUBLE), 0.5)) AS tw FROM per)
             SELECT source, n_docs, n_tokens,
-                   round(pow(CAST(n_tokens AS DOUBLE), 0.5) / tw, 6) AS mix_weight,
-                   round(pow(CAST(n_tokens AS DOUBLE), 0.5) / tw * 100000, 3) AS budget_tokens
+                   (CASE WHEN (pow(CAST(n_tokens AS DOUBLE), 0.5) / tw) >= 0 THEN floor((pow(CAST(n_tokens AS DOUBLE), 0.5) / tw) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(pow(CAST(n_tokens AS DOUBLE), 0.5) / tw) * 1000000.0 + 0.5) / 1000000.0) END) AS mix_weight,
+                   (CASE WHEN (pow(CAST(n_tokens AS DOUBLE), 0.5) / tw * 100000) >= 0 THEN floor((pow(CAST(n_tokens AS DOUBLE), 0.5) / tw * 100000) * 1000.0 + 0.5) / 1000.0 ELSE -(floor(-(pow(CAST(n_tokens AS DOUBLE), 0.5) / tw * 100000) * 1000.0 + 0.5) / 1000.0) END) AS budget_tokens
             FROM per, t ORDER BY source""",
         "ewma_value_by_type": """
             WITH seqs AS (
@@ -3957,9 +3994,10 @@ def oracle_sql() -> dict[str, str]:
                                ts) AS gap_us
               FROM events
             )
+            -- int/int RATIONALS — grid form, lockstep with grid_round (r10)
             SELECT event_type, COUNT(*) AS n_gaps,
-                   round(CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) / 1e6, 6) AS avg_gap_sec,
-                   round(CAST(MAX(gap_us) AS DOUBLE) / 1e6, 6) AS max_gap_sec
+                   """ + _gq("CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) / 1e6", 6) + """ AS avg_gap_sec,
+                   """ + _gq("CAST(MAX(gap_us) AS DOUBLE) / 1e6", 6) + """ AS max_gap_sec
             FROM g WHERE gap_us IS NOT NULL
             GROUP BY event_type ORDER BY event_type""",
         "tfidf_top_terms_per_source": f"""
@@ -3988,9 +4026,12 @@ def oracle_sql() -> dict[str, str]:
               FROM documents WHERE length(trim(lower(text))) > 0
             ),
             c AS (SELECT doc_id, tok, COUNT(*) AS n FROM toks GROUP BY 1, 2)
+            -- r10 sweep: each n·ln(n) term is grid-quantized to 1e-9 and
+            -- summed as exact DECIMAL (the old raw-double sum was
+            -- order-sensitive), final on the 1e-6 grid — lockstep with
+            -- functions/quality.token_entropy
             SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens, COUNT(*) AS n_unique,
-                   round(ln(CAST(SUM(n) AS DOUBLE))
-                         - SUM(n * ln(CAST(n AS DOUBLE))) / SUM(n), 6) AS entropy_nats
+                   (CASE WHEN (ln(CAST(SUM(n) AS DOUBLE)) - CAST(SUM(CAST((CASE WHEN (CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) >= 0 THEN floor((CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) * 1000000000.0 + 0.5) / 1000000000.0 ELSE -(floor(-(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) * 1000000000.0 + 0.5) / 1000000000.0) END) AS DECIMAL(28,9))) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)) >= 0 THEN floor((ln(CAST(SUM(n) AS DOUBLE)) - CAST(SUM(CAST((CASE WHEN (CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) >= 0 THEN floor((CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) * 1000000000.0 + 0.5) / 1000000000.0 ELSE -(floor(-(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) * 1000000000.0 + 0.5) / 1000000000.0) END) AS DECIMAL(28,9))) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(ln(CAST(SUM(n) AS DOUBLE)) - CAST(SUM(CAST((CASE WHEN (CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) >= 0 THEN floor((CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) * 1000000000.0 + 0.5) / 1000000000.0 ELSE -(floor(-(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) * 1000000000.0 + 0.5) / 1000000000.0) END) AS DECIMAL(28,9))) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0) END) AS entropy_nats
             FROM c GROUP BY doc_id ORDER BY doc_id""",
         "containment_pairs_docs": f"""
             WITH {_SHINGLE5_CTE},
@@ -4002,9 +4043,9 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY 1, 2
             )
             SELECT doc_a, doc_b, n_shared,
-                   round(CAST(n_shared AS DOUBLE) / sz, 6) AS containment
+                   (CASE WHEN (CAST(n_shared AS DOUBLE) / sz) >= 0 THEN floor((CAST(n_shared AS DOUBLE) / sz) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(CAST(n_shared AS DOUBLE) / sz) * 1000000.0 + 0.5) / 1000000.0) END) AS containment
             FROM inter JOIN sizes ON sizes.doc_id = inter.doc_a
-            WHERE round(CAST(n_shared AS DOUBLE) / sz, 6) >= 0.5
+            WHERE (CASE WHEN (CAST(n_shared AS DOUBLE) / sz) >= 0 THEN floor((CAST(n_shared AS DOUBLE) / sz) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(CAST(n_shared AS DOUBLE) / sz) * 1000000.0 + 0.5) / 1000000.0) END) >= 0.5
             ORDER BY doc_a, doc_b""",
         "cross_source_dup_audit": rf"""
             WITH {_SHINGLE5_CTE},
@@ -4034,18 +4075,18 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY source_a, source_b""",
         "value_histogram_by_type": """
             WITH b AS (
-              SELECT event_type, round(min(value), 6) AS lo, round(max(value), 6) AS hi
+              SELECT event_type, (CASE WHEN (min(value)) >= 0 THEN floor((min(value)) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(min(value)) * 1000000.0 + 0.5) / 1000000.0) END) AS lo, (CASE WHEN (max(value)) >= 0 THEN floor((max(value)) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(max(value)) * 1000000.0 + 0.5) / 1000000.0) END) AS hi
               FROM events GROUP BY event_type
             ), x AS (
               SELECT e.event_type,
                      CASE WHEN b.hi = b.lo THEN 0
-                          ELSE least(9, CAST(floor((round(e.value, 6) - b.lo) * 10 / (b.hi - b.lo)) AS INT))
+                          ELSE least(9, CAST(floor(((CASE WHEN (e.value) >= 0 THEN floor((e.value) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(e.value) * 1000000.0 + 0.5) / 1000000.0) END) - b.lo) * 10 / (b.hi - b.lo)) AS INT))
                      END AS bucket,
                      b.lo, b.hi
               FROM events e JOIN b USING (event_type)
             )
             SELECT event_type, bucket, COUNT(*) AS n,
-                   round(min(lo) + bucket * (min(hi) - min(lo)) / 10, 6) AS bucket_lo
+                   (CASE WHEN (min(lo) + bucket * (min(hi) - min(lo)) / 10) >= 0 THEN floor((min(lo) + bucket * (min(hi) - min(lo)) / 10) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(min(lo) + bucket * (min(hi) - min(lo)) / 10) * 1000000.0 + 0.5) / 1000000.0) END) AS bucket_lo
             FROM x GROUP BY event_type, bucket
             ORDER BY event_type, bucket""",
         "top_docs_per_source": """
@@ -4057,14 +4098,14 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rk <= 3 ORDER BY source, rk""",
         "event_value_histogram": """
             WITH b AS (
-              SELECT round(min(value), 6) AS lo, round(max(value), 6) AS hi FROM events
+              SELECT (CASE WHEN (min(value)) >= 0 THEN floor((min(value)) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(min(value)) * 1000000.0 + 0.5) / 1000000.0) END) AS lo, (CASE WHEN (max(value)) >= 0 THEN floor((max(value)) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(max(value)) * 1000000.0 + 0.5) / 1000000.0) END) AS hi FROM events
             ), x AS (
-              SELECT least(19, CAST(floor((round(value, 6) - lo) * 20 / (hi - lo)) AS INT)) AS bucket,
+              SELECT least(19, CAST(floor(((CASE WHEN (value) >= 0 THEN floor((value) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(value) * 1000000.0 + 0.5) / 1000000.0) END) - lo) * 20 / (hi - lo)) AS INT)) AS bucket,
                      lo, hi
               FROM events, b
             )
             SELECT bucket, COUNT(*) AS n,
-                   round(min(lo) + bucket * (min(hi) - min(lo)) / 20, 6) AS bucket_lo
+                   (CASE WHEN (min(lo) + bucket * (min(hi) - min(lo)) / 20) >= 0 THEN floor((min(lo) + bucket * (min(hi) - min(lo)) / 20) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(min(lo) + bucket * (min(hi) - min(lo)) / 20) * 1000000.0 + 0.5) / 1000000.0) END) AS bucket_lo
             FROM x GROUP BY bucket ORDER BY bucket""",
         "lineitem_correlations": """
             WITH q AS (
@@ -4113,12 +4154,13 @@ def oracle_sql() -> dict[str, str]:
               SELECT from_type, SUM(n_transitions) AS total FROM counted GROUP BY from_type
             )
             SELECT c.from_type, c.to_type, c.n_transitions,
-                   round(c.n_transitions * 1.0 / t.total, 6) AS p_transition
+                   -- int/int RATIONAL — grid form, lockstep with grid_round
+                   """ + _gq("c.n_transitions * 1.0 / t.total", 6) + """ AS p_transition
             FROM counted c JOIN totals t USING (from_type)
             ORDER BY c.from_type, c.to_type""",
         "normalized_doc_scores": """
             SELECT doc_id, source, n_chars,
-                   round(percent_rank() OVER (PARTITION BY source ORDER BY n_chars), 6)
+                   (CASE WHEN (percent_rank() OVER (PARTITION BY source ORDER BY n_chars)) >= 0 THEN floor((percent_rank() OVER (PARTITION BY source ORDER BY n_chars)) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(percent_rank() OVER (PARTITION BY source ORDER BY n_chars)) * 1000000.0 + 0.5) / 1000000.0) END)
                      AS norm_score
             FROM documents WHERE source IN ('src0', 'src1', 'src2')
             ORDER BY doc_id""",
@@ -4149,7 +4191,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             cmin AS (SELECT MIN(tokens / share) AS c FROM per),
             rates AS (
-              SELECT source, round(least(1.0, c * share / tokens), 9) AS rate
+              SELECT source, (CASE WHEN (least(1.0, c * share / tokens)) >= 0 THEN floor((least(1.0, c * share / tokens)) * 1000000000.0 + 0.5) / 1000000000.0 ELSE -(floor(-(least(1.0, c * share / tokens)) * 1000000000.0 + 0.5) / 1000000000.0) END) AS rate
               FROM per, cmin
             ),
             flagged AS (
@@ -4162,7 +4204,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
                    CAST(SUM(tok) AS BIGINT) AS tokens,
                    CAST(SUM(CASE WHEN keep THEN tok ELSE 0 END) AS BIGINT) AS tokens_kept,
-                   round(MIN(rate), 9) AS rate
+                   MIN(rate) AS rate
             FROM flagged GROUP BY source ORDER BY source""",
         "q1_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
@@ -4541,20 +4583,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(MAX(session_no) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
             FROM sessions GROUP BY user_id ORDER BY user_id""",
         "text_stats": f"""
+            -- r10 sweep: the ratios are int/int RATIONALS — grid form,
+            -- lockstep with grid_round, not engine round()
             SELECT doc_id,
                    {_NTOK} AS n_tokens,
                    length(text) AS n_chars_computed,
-                   round(CASE WHEN length(text) = 0 THEN 0.0
-                         ELSE (length(text) - length(regexp_replace(text, '[.,;:!?''"()\\-]', '', 'g'))) * 1.0 / length(text) END, 6) AS punct_ratio,
-                   round(CASE WHEN {_NTOK} = 0 THEN 0.0
-                         ELSE {_sw_hits('en')} * 1.0 / {_NTOK} END, 6) AS stopword_ratio,
-                   round(CASE WHEN {_NTOK} = 0 THEN 0.0
-                         ELSE list_sum(list_transform({_TOKS}, t -> length(t))) * 1.0 / {_NTOK} END, 6) AS mean_token_len,
-                   CAST(round((CASE WHEN {_NTOK} BETWEEN 10 AND 100000 THEN 0.5 ELSE 0.0 END)
-                       + (CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0
-                              ELSE (length(text) - length(regexp_replace(text, '[.,;:!?''"()\\-]', '', 'g'))) * 1.0 / length(text) END) < 0.2 THEN 0.3 ELSE 0.0 END)
-                       + (CASE WHEN (CASE WHEN {_NTOK} = 0 THEN 0.0
-                              ELSE list_sum(list_transform({_TOKS}, t -> length(t))) * 1.0 / {_NTOK} END) BETWEEN 2 AND 12 THEN 0.2 ELSE 0.0 END), 6) AS DOUBLE) AS quality,
+                   {_gq(_PUNCT, 6)} AS punct_ratio,
+                   {_gq(f"CASE WHEN {_NTOK} = 0 THEN 0.0 ELSE {_sw_hits('en')} * 1.0 / {_NTOK} END", 6)} AS stopword_ratio,
+                   {_gq(f"CASE WHEN {_NTOK} = 0 THEN 0.0 ELSE list_sum(list_transform({_TOKS}, t -> length(t))) * 1.0 / {_NTOK} END", 6)} AS mean_token_len,
+                   CAST({_gq(f"(CASE WHEN {_NTOK} BETWEEN 10 AND 100000 THEN 0.5 ELSE 0.0 END) + (CASE WHEN ({_PUNCT}) < 0.2 THEN 0.3 ELSE 0.0 END) + (CASE WHEN (CASE WHEN {_NTOK} = 0 THEN 0.0 ELSE list_sum(list_transform({_TOKS}, t -> length(t))) * 1.0 / {_NTOK} END) BETWEEN 2 AND 12 THEN 0.2 ELSE 0.0 END)", 6)} AS DOUBLE) AS quality,
                    (SELECT {_lang_case()} FROM (SELECT
                         {_sw_hits('de')} AS s_de, {_sw_hits('en')} AS s_en, {_sw_hits('es')} AS s_es,
                         {_sw_hits('fr')} AS s_fr, {_sw_hits('zh')} AS s_zh)) AS lang_pred,
@@ -4604,9 +4641,12 @@ def oracle_sql() -> dict[str, str]:
             ) ORDER BY col_name""",
         "events_value_outliers": """
             WITH st AS (
+              -- r10 sweep: grid-quantized input BEFORE the decimal cast
+              -- (bare double→DECIMAL casts round engine-natively — the
+              -- half-grid class), lockstep with grid_round
               SELECT event_type,
-                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
-                CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sq,
+                CAST(SUM(CAST(""" + _gq("value", 6) + """ AS DECIMAL(18,6))) AS DOUBLE) AS s,
+                CAST(SUM(CAST(""" + _gq("value", 6) + """ AS DECIMAL(18,6)) * CAST(""" + _gq("value", 6) + """ AS DECIMAL(18,6))) AS DOUBLE) AS sq,
                 COUNT(value) AS n
               FROM events GROUP BY event_type
             ), en AS (
@@ -4671,8 +4711,7 @@ def oracle_sql() -> dict[str, str]:
             corpus AS (SELECT doc_id, shingle FROM g5 WHERE doc_id % 29 <> 0)
             SELECT c.doc_id, COUNT(*) AS n_grams,
                    CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
-                   round(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) * 1.0
-                         / COUNT(*), 6) AS contamination,
+                   (CASE WHEN (SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*)) >= 0 THEN floor((SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0) END) AS contamination,
                    (SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) * 1.0
                          / COUNT(*)) >= 0.05 AS contaminated
             FROM corpus c LEFT JOIN bench b ON c.shingle = b.shingle
@@ -4682,7 +4721,7 @@ def oracle_sql() -> dict[str, str]:
             freq AS (SELECT shingle, COUNT(*) AS d FROM g5 GROUP BY shingle)
             SELECT g.doc_id, COUNT(*) AS n_spans,
                    CAST(SUM(CASE WHEN f.d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
-                   round(SUM(CASE WHEN f.d > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS dup_fraction
+                   (CASE WHEN (SUM(CASE WHEN f.d > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)) >= 0 THEN floor((SUM(CASE WHEN f.d > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(SUM(CASE WHEN f.d > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0) END) AS dup_fraction
             FROM g5 g JOIN freq f ON g.shingle = f.shingle
             GROUP BY g.doc_id ORDER BY doc_id""",
         "importance_sample_documents": f"""
@@ -5103,24 +5142,33 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY source, split ORDER BY source, split""",
         "trend_value_by_type": """
             WITH s AS (
+              -- r10 sweep: grid-quantized y input BEFORE the decimal cast
+              -- (a bare double→DECIMAL cast rounds engine-natively — the
+              -- half-grid class); x is integer-valued, its cast is exact
               SELECT event_type, COUNT(*) AS n,
                      SUM(CAST(epoch(ts) - 1704067200 AS DECIMAL(18,6))) AS sx,
-                     SUM(CAST(value AS DECIMAL(18,6))) AS sy,
+                     SUM(CAST(""" + _gq("value", 6) + """ AS DECIMAL(18,6))) AS sy,
                      -- the 19,6 up-cast (same value, int128 storage) keeps DuckDB's
                      -- product exact; Spark computes the identical exact product at 18,6
                      SUM(CAST(CAST(CAST(epoch(ts) - 1704067200 AS DECIMAL(18,6)) AS DECIMAL(19,6))
-                              * CAST(CAST(value AS DECIMAL(18,6)) AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS sxy,
+                              * CAST(CAST(""" + _gq("value", 6) + """ AS DECIMAL(18,6)) AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS sxy,
                      SUM(CAST(CAST(CAST(epoch(ts) - 1704067200 AS DECIMAL(18,6)) AS DECIMAL(19,6))
                               * CAST(CAST(epoch(ts) - 1704067200 AS DECIMAL(18,6)) AS DECIMAL(19,6)) AS DECIMAL(38,12))) AS sxx
               FROM events GROUP BY event_type
             )
             SELECT event_type, n,
-                   round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
-                   round((CAST(sy AS DOUBLE)
-                          - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
-                            * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept
+                   """ + _gq(
+            "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+            " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))",
+            6,
+        ) + """ AS slope,
+                   """ + _gq(
+            "(CAST(sy AS DOUBLE)"
+            " - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+            " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))"
+            " * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)",
+            6,
+        ) + """ AS intercept
             FROM s ORDER BY event_type""",
         "cohort_retention_weekly": """
             WITH ev AS (
@@ -5244,12 +5292,13 @@ def oracle_sql() -> dict[str, str]:
             FROM g ORDER BY event_type""",
         "rolling_z_anomalies_events": """
             WITH scored AS (
+              -- r10: grid-quantized input, lockstep with grid_round
               SELECT event_type, event_id,
-                     CAST(round(value, 6) AS DECIMAL(28,6)) AS x,
+                     CAST((CASE WHEN (value) >= 0 THEN floor((value) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(value) * 1000000.0 + 0.5) / 1000000.0) END) AS DECIMAL(28,6)) AS x,
                      COUNT(*) OVER w AS n,
-                     SUM(CAST(round(value, 6) AS DECIMAL(28,6))) OVER w AS s,
-                     SUM(CAST(round(value, 6) AS DECIMAL(28,6))
-                         * CAST(round(value, 6) AS DECIMAL(28,6))) OVER w AS ss
+                     SUM(CAST((CASE WHEN (value) >= 0 THEN floor((value) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(value) * 1000000.0 + 0.5) / 1000000.0) END) AS DECIMAL(28,6))) OVER w AS s,
+                     SUM(CAST((CASE WHEN (value) >= 0 THEN floor((value) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(value) * 1000000.0 + 0.5) / 1000000.0) END) AS DECIMAL(28,6))
+                         * CAST((CASE WHEN (value) >= 0 THEN floor((value) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(value) * 1000000.0 + 0.5) / 1000000.0) END) AS DECIMAL(28,6))) OVER w AS ss
               FROM events
               WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
                            ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
@@ -5824,10 +5873,16 @@ def oracle_sql() -> dict[str, str]:
               SELECT * FROM ranked
               WHERE rn > floor(n * 0.1) AND rn <= n - floor(n * 0.1))
             -- pure-double grid (engine round() diverges on the rational
-            -- mean's half-grid — the winsorized class)
+            -- mean's half-grid — the winsorized class); r10: grid-quantized
+            -- input BEFORE the decimal cast (a bare double→DECIMAL cast
+            -- rounds engine-natively) and the sign-symmetric final, both
+            -- lockstep with grid_round
             SELECT event_type, COUNT(*) AS n_kept,
-                   floor(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-                         / COUNT(*) * 1000000 + 0.5) / 1000000 AS trimmed_mean
+                   """ + _gq(
+            "CAST(SUM(CAST(" + _gq("value", 6) + " AS DECIMAL(18,6))) AS DOUBLE)"
+            " / COUNT(*)",
+            6,
+        ) + """ AS trimmed_mean
             FROM kept GROUP BY event_type ORDER BY event_type""",
         "mann_kendall_trend_by_type": """
             WITH daily AS (
@@ -5875,9 +5930,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             SELECT doc_id, n_words, n_sentences, n_syllables,
                    CASE WHEN n_words > 0 THEN
-                     round(206.835
-                           - 1.015 * CAST(n_words AS DOUBLE) / n_sentences
-                           - 84.6 * CAST(n_syllables AS DOUBLE) / n_words, 2)
+                     (CASE WHEN (206.835 - 1.015 * CAST(n_words AS DOUBLE) / n_sentences - 84.6 * CAST(n_syllables AS DOUBLE) / n_words) >= 0 THEN floor((206.835 - 1.015 * CAST(n_words AS DOUBLE) / n_sentences - 84.6 * CAST(n_syllables AS DOUBLE) / n_words) * 100.0 + 0.5) / 100.0 ELSE -(floor(-(206.835 - 1.015 * CAST(n_words AS DOUBLE) / n_sentences - 84.6 * CAST(n_syllables AS DOUBLE) / n_words) * 100.0 + 0.5) / 100.0) END)
                    END AS flesch
             FROM counts ORDER BY doc_id""",
         "luhn_check_orders": """
@@ -6021,8 +6074,11 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY name_a, name_b""",
         "theil_sen_trend_by_type": """
             WITH daily AS (
+              -- r10 sweep: input-side quantization is the grid form
+              -- (lockstep with grid_round) — engine round() on a raw
+              -- double diverges on shortest-decimal half-grid inputs
               SELECT event_type, CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS d,
-                     CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                     CAST(SUM(CAST(""" + _gq("value", 6) + """ AS DECIMAL(18,6))) AS DOUBLE)
                        / CAST(COUNT(*) AS DOUBLE) AS m
               FROM events WHERE value IS NOT NULL GROUP BY 1, 2
             ),
@@ -6037,15 +6093,18 @@ def oracle_sql() -> dict[str, str]:
               FROM slopes
             )
             SELECT event_type, CAST(MAX(cnt) AS BIGINT) AS n_pairs,
-                   round(SUM(s) / COUNT(*), 6) AS ts_slope
+                   -- RATIONAL final — grid form, lockstep with grid_round
+                   """ + _gq("SUM(s) / COUNT(*)", 6) + """ AS ts_slope
             FROM ranked
             WHERE rn = CAST(floor((cnt + 1) / 2) AS BIGINT)
                OR rn = CAST(floor(cnt / 2) AS BIGINT) + 1
             GROUP BY event_type ORDER BY event_type""",
         "xcorr_view_click_lags": """
             WITH daily AS (
+              -- r10 sweep: input quantization via the grid form (lockstep
+              -- with grid_round), not engine round()
               SELECT event_type, CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS d,
-                     SUM(CAST(round(value, 6) AS DECIMAL(28,6))) AS v
+                     SUM(CAST(""" + _gq("value", 6) + """ AS DECIMAL(28,6))) AS v
               FROM events
               WHERE event_type IN ('view', 'click') AND value IS NOT NULL
               GROUP BY 1, 2
@@ -6113,12 +6172,20 @@ def oracle_sql() -> dict[str, str]:
             terms AS (
               -- full-depletion step (n_risk = d): KM factor is exactly 0 —
               -- keep the row, pin lnterm to 0, force survival to 0 below
-              SELECT t, d, c, n_risk,
+              -- r10 sweep: hterm = d/n_risk is RATIONAL and lands exactly on
+            -- the 1e-9 half-grid for realistic cohorts (d odd, n_risk
+            -- 1024), and cum_hazard (a 1e-9 decimal sum) can sit on the
+            -- 1e-6 half-grid — all quantization is the sign-symmetric
+            -- IEEE grid form, lockstep with grid_round
+            SELECT t, d, c, n_risk,
                      CASE WHEN d = n_risk THEN 1 ELSE 0 END AS depl,
-                     CAST(round(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE), 9)
+                     CAST(""" + _gq("CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)", 9) + """
                           AS DECIMAL(28,9)) AS hterm,
-                     CAST(round(CASE WHEN d = n_risk THEN 0.0
-                           ELSE ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)) END, 9)
+                     CAST(""" + _gq(
+            "CASE WHEN d = n_risk THEN 0.0"
+            " ELSE ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)) END",
+            9,
+        ) + """
                           AS DECIMAL(28,9)) AS lnterm
               FROM risk
             )
@@ -6126,15 +6193,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_risk AS BIGINT) AS n_at_risk,
                    CAST(d AS BIGINT) AS n_converted,
                    CAST(c AS BIGINT) AS n_censored,
-                   round(CAST(SUM(hterm) OVER (ORDER BY t
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
+                   """ + _gq(
+            "CAST(SUM(hterm) OVER (ORDER BY t"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)",
+            6,
+        ) + """
                      AS cum_hazard,
-                   round(CASE WHEN MAX(depl) OVER (ORDER BY t
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
-                         THEN 0.0
-                         ELSE exp(CAST(SUM(lnterm) OVER (ORDER BY t
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE))
-                         END, 6)
+                   """ + _gq(
+            "CASE WHEN MAX(depl) OVER (ORDER BY t"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1"
+            " THEN 0.0"
+            " ELSE exp(CAST(SUM(lnterm) OVER (ORDER BY t"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE))"
+            " END",
+            6,
+        ) + """
                      AS km_survival
             FROM terms ORDER BY days_since_signup""",
         "ab_test_purchase_conversion": """
@@ -6155,16 +6228,21 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(n0 AS BIGINT) AS n_control, CAST(k0 AS BIGINT) AS conv_control,
                    CAST(n1 AS BIGINT) AS n_treatment, CAST(k1 AS BIGINT) AS conv_treatment,
-                   round(CAST(k0 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) AS rate_control,
-                   round(CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS rate_treatment,
+                   -- r10 sweep: the rates are int/int RATIONALS — grid
+                   -- quantization in lockstep with grid_round
+                   """ + _gq("CAST(k0 AS DOUBLE) / CAST(n0 AS DOUBLE)", 6) + """ AS rate_control,
+                   """ + _gq("CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)", 6) + """ AS rate_treatment,
                    CASE WHEN sqrt((CAST(k0 + k1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
                                   * (1.0 - CAST(k0 + k1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
                                   * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))) > 0
-                        THEN round((CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)
-                                    - CAST(k0 AS DOUBLE) / CAST(n0 AS DOUBLE))
-                                   / sqrt((CAST(k0 + k1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
-                                          * (1.0 - CAST(k0 + k1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
-                                          * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))), 6)
+                        THEN """ + _gq(
+            "(CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+            " - CAST(k0 AS DOUBLE) / CAST(n0 AS DOUBLE))"
+            " / sqrt((CAST(k0 + k1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))"
+            " * (1.0 - CAST(k0 + k1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))"
+            " * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))",
+            6,
+        ) + """
                    END AS z_score
             FROM j""",
         "user_behavior_entropy_events": """
@@ -6175,9 +6253,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.user_id,
                    CAST(t.n AS BIGINT) AS n_events,
                    CAST(COUNT(*) AS BIGINT) AS n_types,
-                   round(CAST(SUM(CAST(round(-(CAST(p.c AS DOUBLE) / CAST(t.n AS DOUBLE))
-                                             * ln(CAST(p.c AS DOUBLE) / CAST(t.n AS DOUBLE)), 9)
-                                       AS DECIMAL(28,9))) AS DOUBLE), 6) AS entropy
+                   -- r10 sweep: the final is a 1e-9 decimal sum cast to
+                   -- double — it can sit on the 1e-6 half-grid, so the
+                   -- final is the grid form (lockstep with grid_round);
+                   -- the -p·ln p term keeps engine round (log-irrational,
+                   -- tie measure-zero, |term| ≤ 1/e magnitude-safe)
+                   """ + _gq(
+            "CAST(SUM(CAST(round(-(CAST(p.c AS DOUBLE) / CAST(t.n AS DOUBLE))"
+            " * ln(CAST(p.c AS DOUBLE) / CAST(t.n AS DOUBLE)), 9)"
+            " AS DECIMAL(28,9))) AS DOUBLE)",
+            6,
+        ) + """ AS entropy
             FROM per p JOIN tot t ON t.user_id = p.user_id
             GROUP BY p.user_id, t.n ORDER BY p.user_id""",
         "seq_pattern_support_events": """
@@ -6217,10 +6303,16 @@ def oracle_sql() -> dict[str, str]:
               FROM ranked GROUP BY n_name
             )
             SELECT n_name, CAST(n AS BIGINT) AS n_keys,
+                   -- r10 sweep: G is RATIONAL — grid quantization (the
+                   -- sign-symmetric IEEE form, lockstep with grid_round),
+                   -- not engine round()
                    CASE WHEN CAST(sx AS DOUBLE) != 0
-                        THEN round((2.0 * CAST(six AS DOUBLE)
-                                    - (CAST(n AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE))
-                                   / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+                        THEN """ + _gq(
+            "(2.0 * CAST(six AS DOUBLE)"
+            " - (CAST(n AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE))"
+            " / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))",
+            6,
+        ) + """
                    END AS gini
             FROM agg ORDER BY n_name""",
         "fd_histogram_value_events": """
@@ -6314,7 +6406,10 @@ def oracle_sql() -> dict[str, str]:
             FROM agg ORDER BY event_type""",
         "winsorized_mean_value_by_type": """
             WITH ranked AS (
-              SELECT event_type, CAST(round(value, 6) AS DECIMAL(18,6)) AS v,
+              -- r10 sweep: input quantization via the grid form (lockstep
+              -- with grid_round) — engine round() diverges on
+              -- shortest-decimal half-grid inputs
+              SELECT event_type, CAST(""" + _gq("value", 6) + """ AS DECIMAL(18,6)) AS v,
                      row_number() OVER (PARTITION BY event_type
                                         ORDER BY value, event_id) AS rn,
                      COUNT(*) OVER (PARTITION BY event_type) AS n
@@ -6337,9 +6432,10 @@ def oracle_sql() -> dict[str, str]:
             -- pure-double grid quantization, NOT engine round(): the mean
             -- is rational (exact decimal sum / integer count) and can land
             -- exactly on the 1e-6 half-grid where Spark and DuckDB round()
-            -- diverge (hypothesis-found; same fix as value_quartiles)
+            -- diverge (hypothesis-found; r10: sign-symmetric form —
+            -- ties away from zero, lockstep with grid_round)
             SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-                   floor(CAST(SUM(cv) AS DOUBLE) / COUNT(*) * 1000000 + 0.5) / 1000000
+                   """ + _gq("CAST(SUM(cv) AS DOUBLE) / COUNT(*)", 6) + """
                      AS winsorized_mean
             FROM clamped GROUP BY event_type ORDER BY event_type""",
         "burstiness_daily_by_type": """
@@ -6362,22 +6458,27 @@ def oracle_sql() -> dict[str, str]:
             ),
             withspan AS (SELECT * FROM agg CROSS JOIN span)
             -- pure-double grid finals (mean/fano rational, B rational on
-            -- perfect-square variances — the winsorized class)
+            -- perfect-square variances — the winsorized class); r10:
+            -- sign-symmetric form, lockstep with grid_round (B can be
+            -- negative)
             SELECT g AS event_type, n AS n_days, n_active AS n_active_days,
-                   floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
-                         * 1000000 + 0.5) / 1000000 AS mean_daily,
+                   """ + _gq("CAST(s AS DOUBLE) / CAST(n AS DOUBLE)", 6) + """ AS mean_daily,
                    CASE WHEN s > 0 THEN
-                     floor((CAST(n * ss - s * s AS DOUBLE) / CAST(n * n AS DOUBLE))
-                           / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
-                           * 1000000 + 0.5) / 1000000
+                     """ + _gq(
+            "(CAST(n * ss - s * s AS DOUBLE) / CAST(n * n AS DOUBLE))"
+            " / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))",
+            6,
+        ) + """
                    END AS fano_factor,
                    CASE WHEN sqrt(CAST(n * ss - s * s AS DOUBLE) / CAST(n * n AS DOUBLE))
                              + CAST(s AS DOUBLE) / CAST(n AS DOUBLE) > 0 THEN
-                     floor((sqrt(CAST(n * ss - s * s AS DOUBLE) / CAST(n * n AS DOUBLE))
-                            - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
-                           / (sqrt(CAST(n * ss - s * s AS DOUBLE) / CAST(n * n AS DOUBLE))
-                              + CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
-                           * 1000000 + 0.5) / 1000000
+                     """ + _gq(
+            "(sqrt(CAST(n * ss - s * s AS DOUBLE) / CAST(n * n AS DOUBLE))"
+            " - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+            " / (sqrt(CAST(n * ss - s * s AS DOUBLE) / CAST(n * n AS DOUBLE))"
+            " + CAST(s AS DOUBLE) / CAST(n AS DOUBLE))",
+            6,
+        ) + """
                    END AS burstiness
             FROM withspan ORDER BY event_type""",
         "next_event_entropy_by_type": """
@@ -6393,13 +6494,21 @@ def oracle_sql() -> dict[str, str]:
             ),
             counted AS (SELECT cur, nxt, COUNT(*) AS c FROM pairs GROUP BY 1, 2),
             agg AS (
+              -- r10 sweep: c·ln(c) is magnitude-exposed under engine
+              -- round() (DuckDB loses ulps past ~9e6); the grid form is
+              -- the same IEEE ops at any magnitude — lockstep with
+              -- grid_round
               SELECT cur, CAST(SUM(c) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS k,
-                     SUM(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)), 9)
+                     SUM(CAST(""" + _gq(
+            "CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))", 9
+        ) + """
                               AS DECIMAL(28,9))) AS clnc
               FROM counted GROUP BY cur
             )
             SELECT cur AS event_type, t AS n_transitions, k AS n_next_types,
-                   round(ln(CAST(t AS DOUBLE)) - CAST(clnc AS DOUBLE) / CAST(t AS DOUBLE), 6)
+                   """ + _gq(
+            "ln(CAST(t AS DOUBLE)) - CAST(clnc AS DOUBLE) / CAST(t AS DOUBLE)", 6
+        ) + """
                      AS next_entropy
             FROM agg ORDER BY event_type""",
         "twap_value_by_type": """
@@ -6409,8 +6518,9 @@ def oracle_sql() -> dict[str, str]:
             -- double); area2 = Σ (pv+v)·Δt_us is exact, one grid-quantized
             -- double division at the end (hypothesis-found, r9 follow-up)
             WITH base AS (
+              -- r10: grid-quantized input, lockstep with grid_round
               SELECT event_type AS g, epoch_us(ts) AS t,
-                     CAST(round(value, 6) AS DECIMAL(18,6)) AS v, event_id AS id
+                     CAST(""" + _gq("value", 6) + """ AS DECIMAL(18,6)) AS v, event_id AS id
               FROM events WHERE value IS NOT NULL
             ),
             lagd AS (
@@ -6427,12 +6537,11 @@ def oracle_sql() -> dict[str, str]:
               FROM seg GROUP BY g
             )
             SELECT g AS event_type, n AS n_segments,
-                   floor(CAST(span_us AS DOUBLE) / 1000000.0
-                         * 1000000 + 0.5) / 1000000 AS total_span_sec,
+                   """ + _gq("CAST(span_us AS DOUBLE) / 1000000.0", 6) + """ AS total_span_sec,
                    CASE WHEN span_us > 0
-                        THEN floor(CAST(area2 AS DOUBLE)
-                                   / (2.0 * CAST(span_us AS DOUBLE))
-                                   * 1000000 + 0.5) / 1000000
+                        THEN """ + _gq(
+            "CAST(area2 AS DOUBLE) / (2.0 * CAST(span_us AS DOUBLE))", 6
+        ) + """
                    END AS twap
             FROM agg ORDER BY event_type""",
         "llr_collocations_corpus": f"""
@@ -6488,15 +6597,15 @@ def oracle_sql() -> dict[str, str]:
               FROM bg GROUP BY source
             )
             -- pure-double grid (rational int/int ratios — the winsorized
-            -- class)
+            -- class); r10: sign-symmetric form, lockstep with grid_round
             SELECT uni.source, n_tokens, d1 AS n_unigram_types,
-                   floor(CAST(d1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
-                         * 1000000 + 0.5) / 1000000 AS distinct1,
+                   """ + _gq("CAST(d1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)", 6) + """ AS distinct1,
                    COALESCE(n_bigrams, 0) AS n_bigrams,
                    COALESCE(d2, 0) AS n_bigram_types,
                    CASE WHEN n_bigrams > 0
-                        THEN floor(CAST(d2 AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
-                                   * 1000000 + 0.5) / 1000000
+                        THEN """ + _gq(
+            "CAST(d2 AS DOUBLE) / CAST(n_bigrams AS DOUBLE)", 6
+        ) + """
                    END AS distinct2
             FROM uni LEFT JOIN big USING (source) ORDER BY source""",
         "entity_clusters_suppliers": """
@@ -6576,9 +6685,10 @@ def oracle_sql() -> dict[str, str]:
             FROM rankedn WHERE rk <= 3 ORDER BY doc, rk""",
         "streaming_topk_per_window": """
             WITH wc AS (
+              -- r10: grid-quantized input, lockstep with grid_round
               SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start_epoch,
                      event_type, COUNT(*) AS n_events,
-                     SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS sum_value
+                     SUM(CAST(""" + _gq("value", 6) + """ AS DECIMAL(18,6))) AS sum_value
               FROM events GROUP BY 1, 2
             ),
             ranked AS (
@@ -6588,14 +6698,14 @@ def oracle_sql() -> dict[str, str]:
               FROM wc
             )
             SELECT window_start_epoch, CAST(rk AS INT) AS rk, event_type,
-                   n_events, round(CAST(sum_value AS DOUBLE), 6) AS sum_value
+                   n_events, """ + _gq("CAST(sum_value AS DOUBLE)", 6) + """ AS sum_value
             FROM ranked WHERE rk <= 3 ORDER BY window_start_epoch, rk""",
         "kendall_tau_level_volume_by_type": """
             WITH daily AS (
               -- volume = ALL rows; level mean divides over MEASURED rows
               SELECT event_type AS g,
                      CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS d,
-                     SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS s,
+                     SUM(CAST(""" + _gq("value", 6) + """ AS DECIMAL(18,6))) AS s,
                      CAST(COUNT(value) AS BIGINT) AS cv,
                      CAST(COUNT(*) AS BIGINT) AS c
               FROM events GROUP BY 1, 2

@@ -28,6 +28,46 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def grid_round(c: Column, decimals: int) -> Column:
+    """The repo's SHARED cross-engine quantizer: round-half-AWAY-FROM-ZERO
+    on the pure IEEE-double grid —
+
+        x >= 0:  floor(x·10^d + 0.5) / 10^d
+        x <  0: -floor(−x·10^d + 0.5) / 10^d
+
+    Why not the engine's ``round()``: Spark rounds the double's
+    SHORTEST-DECIMAL representation HALF_UP via BigDecimal while DuckDB
+    rounds the BINARY value by scaling in double — they diverge (a) on
+    values whose shortest-decimal lands exactly on the half-grid
+    (hypothesis-falsified live: 99997.999929/6 → ...321 vs ...322) and
+    (b) at MAGNITUDE past ~9e6·10^−d, where DuckDB's ``x·10^d`` loses
+    ulps that BigDecimal keeps (falsified live on a 1.26e9 trapezoid
+    term). This form is the SAME few IEEE ops in every engine, so it is
+    bit-identical at any magnitude, and the sign split makes ties round
+    away from zero — matching both engines' native tie direction (the
+    r9 one-sided ``floor(x·s + 0.5)/s`` form rounded negative ties
+    toward +inf, a user-visible deviation flagged by review). NULL in →
+    NULL out (the comparison is NULL, so the ``otherwise`` branch's
+    arithmetic on NULL yields NULL).
+    """
+    grid = float(10**decimals)
+    pos = F.floor(c * grid + F.lit(0.5)) / grid
+    neg = -(F.floor((-c) * grid + F.lit(0.5)) / grid)
+    return F.when(c >= 0, pos).otherwise(neg)
+
+
+def grid_round_sql(expr: str, decimals: int) -> str:
+    """The ANSI-SQL twin of `grid_round`, for oracle queries — the SAME
+    IEEE ops (floor / negate / compare), so any engine computes the
+    identical double. Kept as a string builder so every oracle stays in
+    lockstep with the Spark expression by construction."""
+    s = 10**decimals
+    return (
+        f"(CASE WHEN ({expr}) >= 0 THEN floor(({expr}) * {s}.0 + 0.5) / {s}.0 "
+        f"ELSE -(floor(-({expr}) * {s}.0 + 0.5) / {s}.0) END)"
+    )
+
+
 def grouped_linear_trend(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -43,8 +83,12 @@ def grouped_linear_trend(
     expression evaluated identically everywhere. Groups with zero
     x-variance yield NULL slope/intercept. Caller contract: |x| and |y|
     must fit 12 integer digits (offset/scale inputs accordingly)."""
-    xd = x.cast(f"decimal(18,{scale})")
-    yd = y.cast(f"decimal(18,{scale})")
+    # grid_round before the decimal cast (r10 sweep): a bare double→DECIMAL
+    # cast rounds engine-natively (Spark shortest-decimal HALF_UP vs DuckDB
+    # binary) and diverges on half-grid inputs; the grid fixes the value
+    # with shared IEEE ops first, making the cast exact
+    xd = grid_round(x, scale).cast(f"decimal(18,{scale})")
+    yd = grid_round(y, scale).cast(f"decimal(18,{scale})")
     agg = df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(xd).alias("sx"),
@@ -343,7 +387,9 @@ def event_transition_matrix(
             "from_type",
             "to_type",
             "n_transitions",
-            F.round(F.col("n_transitions") / F.col("_total"), 6).alias("p_transition"),
+            # int/int RATIONAL — the half-grid divergence class (r10
+            # sweep): grid_round, not engine round()
+            grid_round(F.col("n_transitions") / F.col("_total"), 6).alias("p_transition"),
         )
     )
 
@@ -409,8 +455,11 @@ def interarrival_stats(
     gaps = df.select(F.col(type_col), gap.alias("_gap_us")).where(F.col("_gap_us").isNotNull())
     return gaps.groupBy(type_col).agg(
         F.count(F.lit(1)).alias("n_gaps"),
-        F.round(F.sum("_gap_us") / F.count(F.lit(1)) / 1e6, 6).alias("avg_gap_sec"),
-        F.round(F.max("_gap_us") / 1e6, 6).alias("max_gap_sec"),
+        # int/int RATIONALS — the half-grid divergence class (r10 sweep):
+        # grid_round, not engine round() (max_gap is numerically identical
+        # either way — its value has ≤ 6 true decimals — kept uniform)
+        grid_round(F.sum("_gap_us") / F.count(F.lit(1)) / 1e6, 6).alias("avg_gap_sec"),
+        grid_round(F.max("_gap_us") / 1e6, 6).alias("max_gap_sec"),
     )
 
 
@@ -529,7 +578,9 @@ def rolling_zscore_anomalies(
     bit-identical (pinned by a test); `bucket_seconds=None` keeps the plain
     one-shuffle form for small-group-history data."""
     dec = f"decimal(18,{decimals})"
-    q = F.round(F.col(value_col), decimals).cast(dec)
+    # input-side quantization via grid_round (r10 sweep — engine round()
+    # on raw doubles is the cross-engine shortest-decimal half-grid class)
+    q = grid_round(F.col(value_col), decimals).cast(dec)
     if bucket_seconds is None:
         ow = Window.partitionBy(group_col).orderBy(ts_col, tiebreak_col)
         fw = ow.rowsBetween(-window, -1)
@@ -917,22 +968,26 @@ def trimmed_mean_by_group(
         .where((F.col("_rn") > F.col("_cut")) & (F.col("_rn") <= F.col("_n") - F.col("_cut")))
     )
     # DECIMAL sum (order-independent, cross-engine exact), ONE double
-    # division at the end. The final quantization is the pure-double grid
-    # floor(x·10^s + 0.5)/10^s, NOT engine round(): the mean is RATIONAL
-    # (exact decimal sum / integer count) and can land exactly on the
-    # half-grid where Spark and DuckDB round() diverge — hypothesis found
-    # the live case on this operator's twin (winsorized mean); same fix
-    # as exact_quartiles.
-    grid = float(10**scale)
+    # division at the end. The final quantization is `grid_round`, NOT
+    # engine round(): the mean is RATIONAL (exact decimal sum / integer
+    # count) and can land exactly on the half-grid where Spark and DuckDB
+    # round() diverge — hypothesis found the live case on this operator's
+    # twin (winsorized mean); same fix as exact_quartiles. Ties round
+    # away from zero (r10: sign-symmetric form, see grid_round).
+    # input-side quantization via grid_round BEFORE the decimal cast: a
+    # bare double→DECIMAL cast rounds half-grid inputs engine-natively
+    # (Spark shortest-decimal HALF_UP vs DuckDB binary — the same
+    # divergence class as round()), so the grid fixes the value first and
+    # the cast is then exact (r10 sweep)
     mean = (
-        F.sum(F.col(value_col).cast("decimal(18,6)")).cast("double")
+        F.sum(grid_round(F.col(value_col), 6).cast("decimal(18,6)")).cast("double")
         / F.count(F.lit(1))
     )
     return (
         ranked.groupBy(group_col)
         .agg(
             F.count(F.lit(1)).alias("n_kept"),
-            (F.floor(mean * grid + F.lit(0.5)) / grid).alias("trimmed_mean"),
+            grid_round(mean, scale).alias("trimmed_mean"),
         )
         .orderBy(group_col)
     )
@@ -1075,7 +1130,10 @@ def theil_sen_trend_by_group(
             F.floor(F.col(ts_col).cast("double") / F.lit(86400.0)).alias("_day"),
         )
         .agg(
-            F.sum(F.round(F.col(value_col), decimals).cast(f"decimal(18,{decimals})")).alias("_s"),
+            # input-side quantization via grid_round (r10 sweep): engine
+            # round() on a raw double diverges cross-engine on
+            # shortest-decimal half-grid inputs — same class as the finals
+            F.sum(grid_round(F.col(value_col), decimals).cast(f"decimal(18,{decimals})")).alias("_s"),
             F.count(F.lit(1)).alias("_n"),
         )
         .select(
@@ -1110,7 +1168,11 @@ def theil_sen_trend_by_group(
     return (
         mid.groupBy(group_col)
         .agg(
-            F.round(F.sum("_slope") / F.count(F.lit(1)), decimals).alias("ts_slope"),
+            # r10 rounding sweep: the median slope is a RATIONAL chain
+            # (decimal means over integer day gaps, averaged over 1-2
+            # middles) — the winsorized half-grid class — so the final
+            # quantization is grid_round, not engine round()
+            grid_round(F.sum("_slope") / F.count(F.lit(1)), decimals).alias("ts_slope"),
             F.max("_cnt").alias("n_pairs"),
         )
         .select(group_col, "n_pairs", "ts_slope")
@@ -1143,7 +1205,7 @@ def xcorr_lags(
             group_col,
             F.floor(F.col(ts_col).cast("double") / F.lit(86400.0)).alias("_day"),
         )
-        .agg(F.sum(F.round(F.col(value_col), decimals).cast(dec)).alias("_v"))
+        .agg(F.sum(grid_round(F.col(value_col), decimals).cast(dec)).alias("_v"))
     )
     a = daily.where(F.col(group_col) == type_a).select(
         F.col("_day").alias("da"), F.col("_v").alias("x")
@@ -1242,13 +1304,21 @@ def survival_hazard_curve(
         (F.col("n0") - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w), F.lit(0))).alias("n_risk"),
     )
     dec9 = "decimal(28,9)"
-    hterm = F.round(F.col("d").cast("double") / F.col("n_risk").cast("double"), 9).cast(dec9)
+    # r10 rounding sweep: hterm = d/n_risk is RATIONAL and lands EXACTLY
+    # on the 1e-9 half-grid for realistic cohorts — d odd, n_risk = 1024
+    # gives d·5⁹/2, a half-integer in grid units — the winsorized
+    # divergence class, so the 1e-9 pre-quantization is grid_round, not
+    # engine round(). lnterm is log-irrational (tie measure-zero) but uses
+    # the same form for one uniform semantics.
+    hterm = grid_round(
+        F.col("d").cast("double") / F.col("n_risk").cast("double"), 9
+    ).cast(dec9)
     # At the full-depletion step (n_risk == d) the KM factor is exactly 0 —
     # ln(0) is undefined, so that row's lnterm is pinned to 0 and survival
     # is forced to 0 from that step on, instead of dropping the row (which
     # silently truncated the curve's defined final time point — r8 ADVICE).
     depleted = F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0)
-    lnterm = F.round(
+    lnterm = grid_round(
         F.when(F.col("d") == F.col("n_risk"), F.lit(0.0)).otherwise(
             F.log(1.0 - F.col("d").cast("double") / F.col("n_risk").cast("double"))
         ),
@@ -1265,8 +1335,12 @@ def survival_hazard_curve(
             F.col("n_risk").cast("long").alias("n_at_risk"),
             F.col("d").cast("long").alias("n_converted"),
             F.col("c").cast("long").alias("n_censored"),
-            F.round(F.sum(hterm).over(cw).cast("double"), decimals).alias("cum_hazard"),
-            F.round(km, decimals).alias("km_survival"),
+            # cum_hazard is a 1e-9 DECIMAL sum cast to double — it can sit
+            # exactly on the 1e-6 half-grid (e.g. a 0.0000005 running sum),
+            # so the final is grid_round too; km is exp() (irrational,
+            # tie measure-zero) and uses the same form for uniformity.
+            grid_round(F.sum(hterm).over(cw).cast("double"), decimals).alias("cum_hazard"),
+            grid_round(km, decimals).alias("km_survival"),
         )
         .orderBy("days_since_signup")
     )
@@ -1311,9 +1385,14 @@ def two_proportion_ab_test(
         F.col("k0").cast("long").alias("conv_control"),
         F.col("n1").cast("long").alias("n_treatment"),
         F.col("k1").cast("long").alias("conv_treatment"),
-        F.round(k0 / n0, decimals).alias("rate_control"),
-        F.round(k1 / n1, decimals).alias("rate_treatment"),
-        F.when(se > 0, F.round((k1 / n1 - k0 / n0) / se, decimals)).alias("z_score"),
+        # r10 rounding sweep: the conversion rates are int/int RATIONALS —
+        # the winsorized half-grid class (e.g. k/n whose shortest-decimal
+        # lands on ...5 at digit 7) — so they quantize with grid_round.
+        # z_score's denominator is a sqrt (irrational, tie measure-zero);
+        # same form for uniformity.
+        grid_round(k0 / n0, decimals).alias("rate_control"),
+        grid_round(k1 / n1, decimals).alias("rate_treatment"),
+        F.when(se > 0, grid_round((k1 / n1 - k0 / n0) / se, decimals)).alias("z_score"),
     )
 
 
@@ -1337,7 +1416,10 @@ def user_behavior_entropy(
         .groupBy(user_col, "n")
         .agg(
             F.count(F.lit(1)).alias("n_types"),
-            F.round(F.sum(term).cast("double"), decimals).alias("entropy"),
+            # r10 rounding sweep: the entropy is a 1e-9 DECIMAL sum cast
+            # to double — it can sit exactly on the 1e-6 half-grid (the
+            # cum_hazard mechanism), so the final is grid_round
+            grid_round(F.sum(term).cast("double"), decimals).alias("entropy"),
         )
         .select(
             user_col,
@@ -1489,7 +1571,9 @@ def winsorized_mean_by_group(
         .withColumn("_cut", F.floor(F.col("_n") * F.lit(winsor_fraction)))
     )
     dec = "decimal(18,6)"
-    v = F.round(F.col(value_col), 6).cast(dec)
+    # input-side quantization via grid_round (r10 sweep — engine round()
+    # on raw doubles is the same cross-engine divergence class)
+    v = grid_round(F.col(value_col), 6).cast(dec)
     lo = F.max(F.when(F.col("_rn") == F.col("_cut") + 1, v)).over(wg)
     hi = F.max(F.when(F.col("_rn") == F.col("_n") - F.col("_cut"), v)).over(wg)
     clamped = (
@@ -1497,21 +1581,20 @@ def winsorized_mean_by_group(
         .when(F.col("_rn") > F.col("_n") - F.col("_cut"), hi)
         .otherwise(v)
     )
-    # engine-exact grid quantization, NOT engine round(): the mean is an
-    # exact DECIMAL sum over an integer count — a RATIONAL value that can
-    # land exactly on the half-grid, where Spark rounds the double's
-    # shortest-decimal representation HALF_UP and DuckDB rounds the binary
-    # value (hypothesis found a live divergence: sum 99997.999929 / 6 →
-    # ...321 vs ...322). floor(x·10^s + 0.5)/10^s is one fixed IEEE
-    # expression, identical in every engine — the exact_quartiles fix.
-    grid = float(10**scale)
+    # engine-exact grid quantization (`grid_round`), NOT engine round():
+    # the mean is an exact DECIMAL sum over an integer count — a RATIONAL
+    # value that can land exactly on the half-grid, where Spark rounds the
+    # double's shortest-decimal representation HALF_UP and DuckDB rounds
+    # the binary value (hypothesis found a live divergence: sum
+    # 99997.999929 / 6 → ...321 vs ...322). Ties round away from zero
+    # (r10: sign-symmetric form, see grid_round).
     mean = F.sum("_cv").cast("double") / F.count(F.lit(1))
     return (
         ranked.withColumn("_cv", clamped)
         .groupBy(group_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            (F.floor(mean * grid + F.lit(0.5)) / grid).alias("winsorized_mean"),
+            grid_round(mean, scale).alias("winsorized_mean"),
         )
         .orderBy(group_col)
     )
@@ -1564,14 +1647,14 @@ def burstiness_by_group(
     mean = s.cast("double") / n.cast("double")
     var = (n * ss - s * s).cast("double") / (n * n).cast("double")
     sigma = F.sqrt(var)
-    # pure-double grid finals: mean and fano are RATIONAL (integer
-    # sufficient statistics) and B is rational whenever the variance is a
-    # perfect square — all can land exactly on the half-grid where engine
-    # round() diverges (the hypothesis-found winsorized class)
-    grid = float(10**scale)
-
+    # pure-double grid finals (`grid_round`): mean and fano are RATIONAL
+    # (integer sufficient statistics) and B is rational whenever the
+    # variance is a perfect square — all can land exactly on the half-grid
+    # where engine round() diverges (the hypothesis-found winsorized
+    # class). B is the one possibly-NEGATIVE final here (σ < μ), so the
+    # r10 sign-symmetric form matters: its ties round away from zero.
     def q(c):
-        return F.floor(c * grid + F.lit(0.5)) / grid
+        return grid_round(c, scale)
 
     return (
         agg.select(
@@ -1617,7 +1700,14 @@ def next_event_conditional_entropy(
         .agg(F.count(F.lit(1)).alias("c"))
     )
     dec9 = "decimal(28,9)"
-    term = F.round(F.col("c").cast("double") * F.log(F.col("c").cast("double")), 9).cast(dec9)
+    # r10 rounding sweep: c·ln(c) is log-irrational (half-grid ties are
+    # measure-zero) but MAGNITUDE-exposed — past c ≈ 5e5 the term exceeds
+    # ~9e6, where DuckDB's round() scales by 1e9 in double and loses ulps
+    # that Spark's BigDecimal keeps (the falsified TWAP mechanism). The
+    # grid form is the same IEEE ops in both engines at ANY magnitude.
+    term = grid_round(
+        F.col("c").cast("double") * F.log(F.col("c").cast("double")), 9
+    ).cast(dec9)
     agg = trans.groupBy("cur").agg(
         F.sum("c").alias("t"),
         F.count(F.lit(1)).alias("k"),
@@ -1628,7 +1718,9 @@ def next_event_conditional_entropy(
         F.col("cur").alias("event_type"),
         F.col("t").cast("long").alias("n_transitions"),
         F.col("k").cast("long").alias("n_next_types"),
-        F.round(h, scale).alias("next_entropy"),
+        # final: ln(t) − clnc/t — the clnc/t part is a quantized-decimal /
+        # integer rational; grid_round for the same half-grid safety
+        grid_round(h, scale).alias("next_entropy"),
     ).orderBy("event_type")
 
 
@@ -1664,7 +1756,7 @@ def twap_by_group(
         .select(
             F.col(group_col).alias("g"),
             F.unix_micros(F.col(ts_col)).alias("_t"),
-            F.round(F.col(value_col), 6).cast(dec6).alias("_v"),
+            grid_round(F.col(value_col), 6).cast(dec6).alias("_v"),
             F.col(id_col).alias("_id"),
         )
         .withColumn("_pt", F.lag("_t").over(w))
@@ -1680,10 +1772,12 @@ def twap_by_group(
         F.sum(dt_us).cast("decimal(38,0)").alias("span_us"),
         F.sum(contrib).alias("area2"),
     )
-    grid = float(10**scale)
-
+    # grid_round finals (r10 sign-symmetric): twap is a RATIONAL double
+    # division (exact decimal / integer microseconds) and CAN be negative
+    # with negative-valued series — ties round away from zero, matching
+    # engine-native round() semantics while staying engine-identical.
     def q(c):
-        return F.floor(c * grid + F.lit(0.5)) / grid
+        return grid_round(c, scale)
 
     span_d = F.col("span_us").cast("double")
     return agg.select(
@@ -1729,7 +1823,7 @@ def kendall_tau_daily_level_volume(
     daily = (
         df.groupBy(F.col(group_col).alias("g"), day.alias("d"))
         .agg(
-            F.sum(F.round(F.col(value_col), 6).cast("decimal(18,6)")).alias("s"),
+            F.sum(grid_round(F.col(value_col), 6).cast("decimal(18,6)")).alias("s"),
             F.count(value_col).alias("cv"),  # measured rows: mean denominator
             F.count(F.lit(1)).alias("c"),    # ALL rows: the day's volume
         )

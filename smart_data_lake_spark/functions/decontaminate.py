@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from smart_data_lake_spark.functions.analytics import grid_round
 from smart_data_lake_spark.functions.dedup import shingles
 
 
@@ -82,7 +83,9 @@ def benchmark_contamination(
             F.col(id_col),
             "n_grams",
             "n_matched",
-            F.round(frac, 6).alias("contamination"),
+            # int/int RATIONAL — the half-grid cross-engine divergence
+            # class (r10 sweep): grid_round, not engine round()
+            grid_round(frac, 6).alias("contamination"),
             (frac >= F.lit(threshold)).alias("contaminated"),
         )
     )
@@ -117,6 +120,6 @@ def duplicated_span_stats(
             F.col(id_col),
             "n_spans",
             "n_dup_spans",
-            F.round(F.col("n_dup_spans") / F.col("n_spans"), 6).alias("dup_fraction"),
+            grid_round(F.col("n_dup_spans") / F.col("n_spans"), 6).alias("dup_fraction"),
         )
     )

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .analytics import grid_round
 from .text import tokens
 
 
@@ -504,7 +505,8 @@ def winnow_fingerprints(
             F.sum(F.when(F.col("_n_docs") > 1, 1).otherwise(0)).alias("n_shared"),
         )
         .withColumn(
-            "shared_frac", F.round(F.col("n_shared") / F.col("n_fingerprints"), 6)
+            # int/int RATIONAL — half-grid cross-engine class (r10 sweep)
+            "shared_frac", grid_round(F.col("n_shared") / F.col("n_fingerprints"), 6)
         )
     )
 
@@ -572,7 +574,8 @@ def containment_pairs(
             "doc_a",
             "doc_b",
             "n_shared",
-            F.round(F.col("n_shared") / F.col("_size"), 6).alias("containment"),
+            # int/int RATIONAL — half-grid cross-engine class (r10 sweep)
+            grid_round(F.col("n_shared") / F.col("_size"), 6).alias("containment"),
         )
         .where(F.col("containment") >= threshold)
     )

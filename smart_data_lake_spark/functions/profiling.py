@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType
 
+from smart_data_lake_spark.functions.analytics import grid_round
+
 
 def grouped_outliers(
     df: DataFrame,
@@ -46,8 +48,14 @@ def grouped_outliers(
     over the group keys + a broadcast join back — two scans, one tiny
     shuffle; group count is assumed small (dimension-like)."""
     # decimal(18,s) so the square stays within the 38-digit decimal cap that
-    # both Spark and ANSI engines share (18+18 = 36 < 38); sums widen safely
-    v_dec = F.col(value_col).cast(f"decimal(18,{decimal_scale})")
+    # both Spark and ANSI engines share (18+18 = 36 < 38); sums widen safely.
+    # grid_round before the cast (r10 sweep): a bare double→DECIMAL cast
+    # rounds engine-natively (Spark shortest-decimal HALF_UP vs DuckDB
+    # binary — measured divergence on 16666.3333215) — the grid form fixes
+    # the value with shared IEEE ops first, making the cast exact
+    v_dec = grid_round(F.col(value_col), decimal_scale).cast(
+        f"decimal(18,{decimal_scale})"
+    )
     stats = df.groupBy(*group_cols).agg(
         F.sum(v_dec).cast("double").alias("_sum"),
         F.sum(v_dec * v_dec).cast("double").alias("_sumsq"),
@@ -262,9 +270,12 @@ def value_histogram(
     from pyspark.sql import functions as F
 
     keys = [group_col] if group_col else []
-    v = F.round(F.col(value_col), 6)
+    # grid_round, not engine round() (r10 sweep): raw-double inputs can
+    # sit on the shortest-decimal half-grid where engines' round diverges
+    v = grid_round(F.col(value_col), 6)
     bounds = df.groupBy(*keys).agg(
-        F.round(F.min(value_col), 6).alias("_lo"), F.round(F.max(value_col), 6).alias("_hi")
+        grid_round(F.min(value_col), 6).alias("_lo"),
+        grid_round(F.max(value_col), 6).alias("_hi"),
     )
     joined = df.join(F.broadcast(bounds), keys) if keys else df.crossJoin(F.broadcast(bounds))
     bucket = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
@@ -278,7 +289,12 @@ def value_histogram(
         .groupBy(*keys, "bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.first("_lo") + F.col("bucket") * (F.first("_hi") - F.first("_lo")) / n_buckets, 6).alias("bucket_lo"),
+            # lo + b·(hi−lo)/n is RATIONAL in the 1e-6-quantized bounds —
+            # half-grid class → grid_round (r10 sweep)
+            grid_round(
+                F.first("_lo") + F.col("bucket") * (F.first("_hi") - F.first("_lo")) / n_buckets,
+                6,
+            ).alias("bucket_lo"),
         )
     )
 
@@ -318,11 +334,15 @@ def kmv_distinct(
     est = F.when(F.col("n_exact") < k, F.col("n_exact").cast("double")).otherwise(
         (k - 1) / F.col("_hk")
     )
+    # grid_round (r10 sweep): the estimate (k−1)·2³²/m and the relative
+    # error are RATIONALS — the half-grid class where engine round()
+    # diverges cross-engine
+    est_r = grid_round(est, 0)
     return per.select(
         *keys,
         "n_exact",
-        F.round(est).cast("long").alias("kmv_estimate"),
-        F.round((F.round(est) - F.col("n_exact")) / F.col("n_exact"), 4).alias("rel_error"),
+        est_r.cast("long").alias("kmv_estimate"),
+        grid_round((est_r - F.col("n_exact")) / F.col("n_exact"), 4).alias("rel_error"),
     )
 
 
@@ -377,8 +397,10 @@ def exact_quartiles(
         # frac is constant within a group; max() just extracts it
         fr = F.max(F.when(F.col("_rn") == 1, frac))
         q = vlo + (vhi - vlo) * fr
-        # engine-exact 1e-6 grid: pure double floor, not engine round()
-        return F.floor(q * 1e6 + 0.5) / 1e6
+        # engine-exact 1e-6 grid, not engine round(); r10: the shared
+        # sign-symmetric form (ties away from zero — quartiles of a
+        # negative-valued column hit negative ties)
+        return grid_round(q, 6)
 
     return ranked.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n"),
@@ -717,7 +739,13 @@ def gini_by_group(
     )
     n = F.col("n").cast("double")
     sx, six = F.col("sx").cast("double"), F.col("six").cast("double")
-    g = F.when(sx != 0, F.round((2.0 * six - (n + 1.0) * sx) / (n * sx), decimals))
+    # r10 rounding sweep: G is RATIONAL (exact decimal sufficient
+    # statistics, one double division) — the winsorized divergence class,
+    # where a value exactly on the half-grid rounds differently in Spark
+    # (shortest-decimal HALF_UP) and DuckDB (binary). grid_round is the
+    # shared sign-symmetric IEEE form, engine-identical; ties round away
+    # from zero.
+    g = F.when(sx != 0, grid_round((2.0 * six - (n + 1.0) * sx) / (n * sx), decimals))
     return agg.select(
         group_col,
         F.col("n").cast("long").alias("n_keys"),

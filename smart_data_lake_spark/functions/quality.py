@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .analytics import grid_round
 from .text import tokens
 
 
@@ -250,7 +251,9 @@ def quantile_normalize_scores(
         F.col(id_col),
         F.col(group_col),
         F.col(score_col),
-        F.round(F.percent_rank().over(w), 6).alias("norm_score"),
+        # rank/(n−1) is RATIONAL — half-grid cross-engine class (r10
+        # sweep): grid_round, not engine round()
+        grid_round(F.percent_rank().over(w), 6).alias("norm_score"),
     )
 
 
@@ -278,12 +281,22 @@ def token_entropy(
         .groupBy(id_col, "_tok")
         .agg(F.count(F.lit(1)).alias("_n"))
     )
+    # r10 sweep: the old raw-double Σ n·ln(n) was ORDER-SENSITIVE (float
+    # addition is not associative — a different partitioning could move the
+    # last ulp) and its round() final was the engine-divergent half-grid
+    # class. Now each n·ln(n) term is grid-quantized to 1e-9 and summed as
+    # exact DECIMAL (the next_event_conditional_entropy discipline), so the
+    # entropy is partition-order-independent and engine-exact; the final
+    # ln(T) − Σ/T is one double expression grid-quantized once.
+    term = grid_round(
+        F.col("_n").cast("double") * F.log(F.col("_n").cast("double")), 9
+    ).cast("decimal(28,9)")
     return counts.groupBy(id_col).agg(
         F.sum("_n").alias("n_tokens"),
         F.count(F.lit(1)).alias("n_unique"),
-        F.round(
+        grid_round(
             F.log(F.sum("_n").cast("double"))
-            - F.sum(F.col("_n") * F.log(F.col("_n").cast("double"))) / F.sum("_n"),
+            - F.sum(term).cast("double") / F.sum("_n"),
             6,
         ).alias("entropy_nats"),
     )

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from smart_data_lake_spark.functions.analytics import grid_round
+
 
 def hash_fraction(key: Column, denom: int = 10000) -> Column:
     """Uniform [0, denom) integer derived from the row key: first 8 hex chars
@@ -234,7 +236,9 @@ def mix_sources(
     rates = per_source.crossJoin(F.broadcast(c_min)).select(
         "source",
         "_tokens",
-        F.round(F.least(F.lit(1.0), F.col("_c") * F.col("_share") / F.col("_tokens")), 9).alias("_rate"),
+        # RATIONAL acceptance rate — the half-grid class (r10 sweep):
+        # grid_round, not engine round()
+        grid_round(F.least(F.lit(1.0), F.col("_c") * F.col("_share") / F.col("_tokens")), 9).alias("_rate"),
     )
     # stateless hash acceptance in [0,1): first 8 md5 hex chars / 16^8
     frac = F.conv(F.substring(F.md5(F.concat(F.lit("mix:"), F.col(id_col).cast("string"))), 1, 8), 16, 10).cast(
@@ -250,7 +254,9 @@ def mix_sources(
             F.sum(F.when(F.col("_keep"), 1).otherwise(0)).alias("n_kept"),
             F.sum("_tok").alias("tokens"),
             F.sum(F.when(F.col("_keep"), F.col("_tok")).otherwise(0)).alias("tokens_kept"),
-            F.round(F.first("_rate"), 9).alias("rate"),
+            # _rate is already on the 1e-9 grid; re-quantization is an
+            # identity in both engines — emitted as-is
+            F.first("_rate").alias("rate"),
         )
     )
 
@@ -290,8 +296,10 @@ def temperature_mix_rates(
         source_col,
         "n_docs",
         "n_tokens",
-        F.round(F.col("_w") / tw, 6).alias("mix_weight"),
-        F.round(F.col("_w") / tw * token_budget, 3).alias("budget_tokens"),
+        # w/Σw CAN be rational (n^α with α=0.5 of a perfect square is an
+        # integer) — half-grid class (r10 sweep): grid_round
+        grid_round(F.col("_w") / tw, 6).alias("mix_weight"),
+        grid_round(F.col("_w") / tw * token_budget, 3).alias("budget_tokens"),
     )
 
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .analytics import grid_round
 from .text import tokens
 
 
@@ -694,10 +695,11 @@ def distinct_ngram_ratio(
     )
     # pure-double grid finals: the ratios are RATIONAL (int/int) and can
     # land exactly on the 1e-6 half-grid where engine round() diverges
-    # (the hypothesis-found winsorized class); floor(x·1e6 + 0.5)/1e6 is
-    # engine-identical
+    # (the hypothesis-found winsorized class); grid_round is the shared
+    # sign-symmetric IEEE form (a no-op vs the r9 one-sided form here —
+    # the ratios are non-negative — kept uniform repo-wide)
     def q(c):
-        return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+        return grid_round(c, 6)
 
     return (
         uni.join(big, "g", "left")

@@ -282,7 +282,11 @@ def flesch_reading_ease(col: Column, scale: int = 2) -> Column:
         - F.lit(1.015) * words.cast("double") / sentences.cast("double")
         - F.lit(84.6) * syllables.cast("double") / words.cast("double")
     )
-    return F.when(words > 0, F.round(score, scale))
+    # the score is RATIONAL (fixed arithmetic over exact integer counts) —
+    # the half-grid cross-engine divergence class (r10 sweep): grid_round
+    from .analytics import grid_round
+
+    return F.when(words > 0, grid_round(score, scale))
 
 
 def luhn_valid(digits_col: Column) -> Column:

@@ -31,6 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from smart_data_lake_spark.functions.analytics import grid_round
 from smart_data_lake_spark.session import ensure_nanos_shim
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
@@ -505,7 +506,10 @@ def topk_per_window(
         .groupBy(F.window("ts", window_duration).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.round(F.col("value"), 6).cast("decimal(18,6)")).alias("sum_value"),
+            # input-side quantization via grid_round (r10 sweep): engine
+            # round() on raw doubles diverges cross-engine on
+            # shortest-decimal half-grid inputs
+            F.sum(grid_round(F.col("value"), 6).cast("decimal(18,6)")).alias("sum_value"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
@@ -533,6 +537,8 @@ def rank_topk_per_window(drained: DataFrame, k: int = 3) -> DataFrame:
             F.col("rk").cast("int").alias("rk"),
             "event_type",
             "n_events",
-            F.round(F.col("sum_value").cast("double"), 6).alias("sum_value"),
+            # numerically a no-op either way (the 6-dp decimal sum survives
+            # the double round-trip exactly), grid_round for uniformity
+            grid_round(F.col("sum_value").cast("double"), 6).alias("sum_value"),
         )
     )
