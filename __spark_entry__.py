@@ -3518,13 +3518,12 @@ def _gq(expr: str, decimals: int) -> str:
     the same floor/negate/compare ops Spark evaluates, so any engine
     computes the identical double at any magnitude, unlike engine round()
     (Spark: shortest-decimal HALF_UP via BigDecimal; DuckDB: binary scaling
-    that loses ulps past ~9e6·10^−d). Used in lockstep wherever the Spark
-    side quantizes with grid_round."""
-    s = 10**decimals
-    return (
-        f"(CASE WHEN ({expr}) >= 0 THEN floor(({expr}) * {s}.0 + 0.5) / {s}.0 "
-        f"ELSE -(floor(-({expr}) * {s}.0 + 0.5) / {s}.0) END)"
-    )
+    that loses ulps past ~9e6·10^−d). Delegates to
+    `analytics.grid_round_sql` so the oracle form and the Spark form can
+    never drift."""
+    from smart_data_lake_spark.functions.analytics import grid_round_sql
+
+    return grid_round_sql(expr, decimals)
 
 
 def oracle_sql() -> dict[str, str]:

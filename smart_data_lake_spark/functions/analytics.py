@@ -49,22 +49,41 @@ def grid_round(c: Column, decimals: int) -> Column:
     toward +inf, a user-visible deviation flagged by review). NULL in →
     NULL out (the comparison is NULL, so the ``otherwise`` branch's
     arithmetic on NULL yields NULL).
+
+    Guarded at extreme magnitude: Spark's ``floor`` returns BIGINT, so for
+    |x|·10^d ≥ 2^63 the long conversion would clamp while DuckDB's
+    double-valued floor sails on (found by the r10 mechanism property
+    test — a latent bug in the r9 one-sided sites too). Past
+    |x| ≥ 2^62/10^d the grid spacing is far below ulp(x), quantization is
+    a no-op, and both engines take the same identity branch on the same
+    comparison. (Residual exposure: a downstream DECIMAL cast of such an
+    unquantized huge double keeps the engine-native cast rounding — the
+    structural fix at that tier is integer/decimal accumulation, as in
+    twap_by_group.)
     """
     grid = float(10**decimals)
+    lim = float(2**62) / grid
     pos = F.floor(c * grid + F.lit(0.5)) / grid
     neg = -(F.floor((-c) * grid + F.lit(0.5)) / grid)
-    return F.when(c >= 0, pos).otherwise(neg)
+    return F.when(F.abs(c) < lim, F.when(c >= 0, pos).otherwise(neg)).otherwise(c)
 
 
 def grid_round_sql(expr: str, decimals: int) -> str:
     """The ANSI-SQL twin of `grid_round`, for oracle queries — the SAME
-    IEEE ops (floor / negate / compare), so any engine computes the
-    identical double. Kept as a string builder so every oracle stays in
-    lockstep with the Spark expression by construction."""
+    IEEE ops (abs-compare / floor / negate), so any engine computes the
+    identical double, including the same identity branch past the
+    2^62/10^d magnitude guard. Kept as a string builder so every oracle
+    stays in lockstep with the Spark expression by construction. The
+    guard limit is emitted in scientific notation: DuckDB parses
+    decimal-point literals through DECIMAL (double-rounding past 2^53)
+    but e-notation literals through strtod, which is exact."""
     s = 10**decimals
+    lim = float(2**62) / float(s)
     return (
+        f"(CASE WHEN abs({expr}) < {lim:.17e} THEN "
         f"(CASE WHEN ({expr}) >= 0 THEN floor(({expr}) * {s}.0 + 0.5) / {s}.0 "
-        f"ELSE -(floor(-({expr}) * {s}.0 + 0.5) / {s}.0) END)"
+        f"ELSE -(floor(-({expr}) * {s}.0 + 0.5) / {s}.0) END) "
+        f"ELSE ({expr}) END)"
     )
 
 
