@@ -1494,12 +1494,39 @@ def sequential_pattern_support(
     )
 
 
+def _check_group_rows_bound(
+    df: DataFrame, group_expr, bound: int, op_name: str
+) -> None:
+    """Opt-in pre-check for the DECIMAL(38,0) sufficient-statistics
+    operators (r9 ADVICE): under Spark 4's default ANSI mode exceeding the
+    documented rows-per-group bound fails the whole job with an opaque
+    decimal-overflow error. This runs one cheap combinable count and
+    raises a DIAGNOSABLE error naming the operator, the group size, and
+    the mitigation instead. Opt-in because it is an extra job."""
+    mx_row = (
+        df.groupBy(group_expr)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.max("_n").alias("_mx"))
+        .collect()
+    )
+    mx = mx_row[0]["_mx"] if mx_row else None
+    if mx is not None and mx > bound:
+        raise ValueError(
+            f"{op_name}: a group holds {mx} rows, past the DECIMAL(38,0) "
+            f"sufficient-statistics bound (~{bound:.0e} rows/group) — the "
+            f"aggregate would overflow (ANSI mode: job failure). "
+            f"Pre-aggregate, shard the group, or sample before correlating."
+        )
+
+
 def spearman_by_group(
     df: DataFrame,
     group_col: str,
     x_col,
     y_col,
     scale: int = 6,
+    check_bound: bool = False,
+    _bound_rows: int | None = None,
 ) -> DataFrame:
     """Spearman rank correlation per group between two expressions, with
     the statistically standard AVERAGE ranks for ties — computed exactly:
@@ -1528,6 +1555,13 @@ def spearman_by_group(
         x.alias("_x"),
         y.alias("_y"),
     ).where(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+    if check_bound:
+        # Σa² ~ 4n³ and n·Σab ~ 4n⁴ over doubled ranks: 4n⁴ < 10³⁸ →
+        # n < ~2.2e9; the guarded bound is a conservative 1e9 (the
+        # docstring's documented headroom)
+        _check_group_rows_bound(
+            base, F.col("g"), _bound_rows or 1_000_000_000, "spearman_by_group"
+        )
 
     def doubled_rank(col: str):
         wr = Window.partitionBy("g").orderBy(F.col(col))
@@ -1624,6 +1658,8 @@ def burstiness_by_group(
     group_col: str,
     ts_col: str = "ts",
     scale: int = 6,
+    check_bound: bool = False,
+    _bound_rows: int | None = None,
 ) -> DataFrame:
     """Burstiness of the per-day event-count series per group: the Fano
     factor (variance/mean of daily counts — 1 for a Poisson process, >1
@@ -1646,6 +1682,16 @@ def burstiness_by_group(
     # epoch-day bucket (tz-neutral — the repo-wide discipline for cross-
     # engine date math; calendar to_date would shift on non-UTC engines)
     day = F.floor(F.col(ts_col).cast("double") / 86400.0)
+    if check_bound:
+        # s·s with s = total rows/group must stay within DECIMAL(38,0):
+        # s < ~1e19; guarded conservatively at 1e15 (r9 ADVICE — surface
+        # the bound as a diagnosable error instead of an ANSI overflow)
+        _check_group_rows_bound(
+            df.select(F.col(group_col).alias("g")),
+            F.col("g"),
+            _bound_rows or 1_000_000_000_000_000,
+            "burstiness_by_group",
+        )
     span = df.agg(
         (F.max(day) - F.min(day) + 1).cast("long").alias("n")
     )

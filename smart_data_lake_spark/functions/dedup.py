@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from smart_data_lake_spark.session import lineage_pin
+
 from .analytics import grid_round
 from .text import tokens
 
@@ -362,7 +364,7 @@ def connected_components(
     sym = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).unionByName(
         edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     )
-    sym = sym.localCheckpoint(eager=True)
+    sym = sym.transform(lineage_pin, eager=True)
     # round 0 fused into initialization: label = min(self, direct neighbors)
     # — one agg instead of the first join round
     labels = (
@@ -403,7 +405,7 @@ def connected_components(
                 ),
                 "old_label",
             )
-            .localCheckpoint(eager=True)
+            .transform(lineage_pin, eager=True)
         )
         labels = new_labels.select("node", F.col("new_label").alias("label"))
         # cheap count on the already-materialized checkpoint gates each round
@@ -841,7 +843,7 @@ def simhash_neardup_clusters(
     sigs = simhash(docs, id_col=id_col, text_col=text_col, bits=bits)
     # referenced by the representative rollup AND the member expansion —
     # pin the tokenize+hash pass once (narrow rows: id + one long)
-    sigs = sigs.localCheckpoint(eager=False)
+    sigs = sigs.transform(lineage_pin)
     reps = sigs.groupBy("simhash").agg(
         F.min(id_col).alias("_rep"), F.count(F.lit(1)).alias("_n_members")
     )
@@ -944,6 +946,7 @@ def jaccard_prefix_join(
     threshold_num: int = 6,
     threshold_den: int = 10,
     shingle_n: int | None = 3,
+    max_pairs: int | None = 5_000_000,
 ) -> DataFrame:
     """EXACT token-set similarity join via prefix filtering (Chaudhuri,
     Ganti & Kaushik, SSJoin ICDE 2006; Bayardo, Ma & Srikant, WWW 2007 —
@@ -970,11 +973,40 @@ def jaccard_prefix_join(
     `ngram_jaccard` (whose banded-MinHash candidates are probabilistic):
     same similarity notion, guaranteed-total recall, prefix-filter pruning
     instead of banding.
+
+    Output-size guard (r9 verdict item — mirrors `max_short_bucket` in the
+    q-gram join and `max_df` in the TF-IDF join): the PAIR emit is
+    inherently Ω(true pairs), so a 1000-copy family alone yields ~500k
+    rows. Before building the join, the identical-set families are counted
+    (one cheap fingerprint groupBy over the already-pinned set frame — the
+    same collapse `jaccard_neardup_clusters` runs) and Σ m·(m−1)/2, a hard
+    LOWER bound on emitted pairs, is compared against `max_pairs`; past it
+    the call fails LOUDLY with the cluster form named as the scale path
+    instead of OOMing mid-join. `max_pairs=None` disables the pre-count
+    (no extra job).
     """
     toks = _similarity_token_sets(df, id_col, text_col, shingle_n)
     # the core references the set frame twice (df-frequency aggregate +
     # per-doc fold); pin the tokenize+distinct pass once
-    toks = toks.localCheckpoint(eager=False)
+    toks = toks.transform(lineage_pin)
+    if max_pairs is not None:
+        fams = (
+            toks.groupBy("doc")
+            .agg(F.sha2(F.concat_ws("\x1f", F.array_sort(F.collect_list("tok"))), 256).alias("_fp"))
+            .groupBy("_fp")
+            .agg(F.count(F.lit(1)).alias("m"))
+        )
+        est = fams.agg(
+            F.sum(F.col("m") * (F.col("m") - 1) / 2).cast("long").alias("lb")
+        ).collect()[0]["lb"]
+        if est is not None and est > max_pairs:
+            raise ValueError(
+                f"jaccard_prefix_join: identical-set families alone imply >= "
+                f"{est} output pairs (> max_pairs={max_pairs}); the pair emit "
+                f"is Ω(true pairs) for ANY exact algorithm. Use "
+                f"jaccard_neardup_clusters (linear, cluster-shaped output) "
+                f"for copy-dense corpora, or raise max_pairs deliberately."
+            )
     return _jaccard_prefix_join_toks(toks, threshold_num, threshold_den)
 
 
@@ -1122,13 +1154,13 @@ def jaccard_neardup_clusters(
     toks = _similarity_token_sets(docs, id_col, text_col, shingle_n)
     # referenced by the fingerprint pass AND the representative filter —
     # pin the tokenize+distinct pass once
-    toks = toks.localCheckpoint(eager=False)
+    toks = toks.transform(lineage_pin)
     fps = toks.groupBy("doc").agg(
         F.sha2(F.concat_ws("\x00", F.sort_array(F.collect_set("tok"))), 256).alias("fp")
     )
     # fps feeds reps, the rep_toks filter AND the member expansion — one
     # materialization instead of three collect_set+sha2 passes
-    fps = fps.localCheckpoint(eager=False)
+    fps = fps.transform(lineage_pin)
     reps = fps.groupBy("fp").agg(
         F.min("doc").alias("_rep"), F.count(F.lit(1)).alias("_n_members")
     )
@@ -1141,7 +1173,7 @@ def jaccard_neardup_clusters(
     # (collect_set + sha2 + join), so materialize it ONCE — without this
     # the whole fingerprint subtree re-runs per reference (measured 2.4x
     # the pair form's wall-clock at 10x before the cut).
-    rep_toks = rep_toks.localCheckpoint(eager=False)
+    rep_toks = rep_toks.transform(lineage_pin)
     pairs = _jaccard_prefix_join_toks(rep_toks, threshold_num, threshold_den)
     comp = connected_components(pairs.select("doc_a", "doc_b"), max_iter=max_iter)
     members = fps.join(reps, "fp").select(

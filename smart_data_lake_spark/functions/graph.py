@@ -38,6 +38,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from smart_data_lake_spark.session import lineage_pin
+
 SCALE_DIGITS = 12
 SCALE = 10**SCALE_DIGITS
 
@@ -70,8 +72,8 @@ def pagerank(
     out_w = e.groupBy("_src").agg(F.sum("_w").alias("_outw"))
     # per-edge transition numerators stay as (w, outw) pairs; the division
     # happens against the current rank each iteration: (r * w) div outw
-    e = e.join(out_w, "_src").localCheckpoint(eager=False)
-    nodes = nodes.localCheckpoint(eager=False)
+    e = e.join(out_w, "_src").transform(lineage_pin)
+    nodes = nodes.transform(lineage_pin)
 
     n_nodes = nodes.count()
     if n_nodes == 0:  # empty graph: empty rank vector, not a div-by-zero
@@ -104,7 +106,7 @@ def pagerank(
             ).alias("rank_e12"),
         )
         # cut lineage so iteration k+1 does not re-plan k joins deep
-        ranks = ranks.localCheckpoint(eager=False)
+        ranks = ranks.transform(lineage_pin)
     return ranks
 
 
@@ -156,12 +158,12 @@ def hits(
     e = edges.select(
         F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"), w.cast("long").alias("_w")
     )
-    e = e.groupBy("_src", "_dst").agg(F.sum("_w").alias("_w")).localCheckpoint(eager=False)
+    e = e.groupBy("_src", "_dst").agg(F.sum("_w").alias("_w")).transform(lineage_pin)
     nodes = (
         e.select(F.col("_src").alias("node"))
         .unionByName(e.select(F.col("_dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(lineage_pin)
     )
     if e.limit(1).count() == 0:
         return nodes.select(
@@ -199,7 +201,7 @@ def hits(
                 "node", F.coalesce(F.col("_raw"), F.lit(0)).alias("a")
             ),
             "a",
-        ).localCheckpoint(eager=False)
+        ).transform(lineage_pin)
         raw_h = (
             e.join(auths.withColumnRenamed("node", "_dst"), "_dst")
             .select(
@@ -214,7 +216,7 @@ def hits(
                 "node", F.coalesce(F.col("_raw"), F.lit(0)).alias("h")
             ),
             "h",
-        ).localCheckpoint(eager=False)
+        ).transform(lineage_pin)
     return (
         auths.join(hubs, "node")
         .select(
@@ -260,12 +262,12 @@ def markov_stationary(
     e = e.where(F.col("_src").isNotNull() & F.col("_dst").isNotNull())
     e = e.groupBy("_src", "_dst").agg(F.sum("_c").alias("_c"))
     tot = e.groupBy("_src").agg(F.sum("_c").alias("_t"))
-    e = e.join(tot, "_src").localCheckpoint(eager=False)
+    e = e.join(tot, "_src").transform(lineage_pin)
     nodes = (
         e.select(F.col("_src").alias("node"))
         .unionByName(e.select(F.col("_dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(lineage_pin)
     )
     # absorbing states: nodes with no outgoing edges route mass to themselves
     sinks = nodes.join(
@@ -287,6 +289,6 @@ def markov_stationary(
             nodes.join(moved.unionByName(kept), "node", "left")
             .groupBy("node")
             .agg(F.coalesce(F.sum("_in"), F.lit(0)).cast("decimal(38,0)").alias("x"))
-            .localCheckpoint(eager=False)
+            .transform(lineage_pin)
         )
     return x.select("node", F.col("x").cast("long").alias("stationary_e12"))

@@ -39,6 +39,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from smart_data_lake_spark.session import lineage_pin
+
 
 def blocked_name_pairs(
     df: DataFrame,
@@ -145,7 +147,7 @@ def qgram_editdist_pairs(
     # the guard's count() below materializes the dictionary anyway —
     # checkpoint it so the main plan reuses that pass instead of
     # re-running tokenize+distinct (r9 review)
-    names = names.localCheckpoint(eager=False)
+    names = names.transform(lineage_pin)
     long_names = names.where(F.col("len") >= q + k * q)
     # (gram, occ) multiset built ARRAY-SIDE in one narrow stage: occ is the
     # occurrence index of the gram among its equals up to this position —
@@ -154,20 +156,30 @@ def qgram_editdist_pairs(
     # follow-up shuffle cut: 2 window shuffles → 1 groupBy, same output
     # multiset because duplicate grams are interchangeable under any
     # stable numbering).
+    # Input-length assumption (r9 ADVICE): the occurrence fold is
+    # O(len²) ARRAY ops per string — bounded for identifier/name keys
+    # (tens of chars); unbounded free-text keys belong in the shingle
+    # operators, not this join. The gram array is materialized ONCE in a
+    # prior select so the fold references the array COLUMN — without it,
+    # each filter element would re-evaluate the nested substr-transform
+    # construction (O(len²..³) string work) if Catalyst declined to CSE
+    # it; CollapseProject keeps a non-cheap multi-referenced alias in its
+    # own projection, so the build runs once per row.
     gram_arr = F.transform(
         F.sequence(F.lit(1), F.col("len") - q + 1),
         lambda i: F.col("name").substr(i, F.lit(q)),
     )
+    grams_named = long_names.select("name", "len", gram_arr.alias("_grams"))
     go_arr = F.transform(
-        gram_arr,
+        F.col("_grams"),
         lambda g, i: F.struct(
             g.alias("gram"),
-            F.size(F.filter(F.slice(gram_arr, F.lit(1), i + 1), lambda x: x == g)).alias(
-                "occ"
-            ),
+            F.size(
+                F.filter(F.slice(F.col("_grams"), F.lit(1), i + 1), lambda x: x == g)
+            ).alias("occ"),
         ),
     )
-    gocc = long_names.select("name", "len", F.explode(go_arr).alias("_go")).select(
+    gocc = grams_named.select("name", "len", F.explode(go_arr).alias("_go")).select(
         "name", "len", F.col("_go.gram").alias("gram"), F.col("_go.occ").alias("occ")
     )
     freq = gocc.groupBy("gram", "occ").agg(F.count(F.lit(1)).alias("gf"))
@@ -190,7 +202,7 @@ def qgram_editdist_pairs(
     )
     # the prefix frame feeds BOTH sides of the self-join: without pinning,
     # Spark re-executes the freq-join + collect_list subtree once per side
-    prefix = prefix.localCheckpoint(eager=False)
+    prefix = prefix.transform(lineage_pin)
     a = prefix.select(F.col("name").alias("name_a"), F.col("len").alias("la"), "gram", "occ")
     b = prefix.select(F.col("name").alias("name_b"), F.col("len").alias("lb"), "gram", "occ")
     cand = (

@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from smart_data_lake_spark.session import lineage_pin
 from pyspark.sql.types import NumericType
 
 from smart_data_lake_spark.functions.analytics import grid_round
@@ -442,7 +444,7 @@ def chi_square_independence(
     # the corrupted statistic)
     obs = df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
     cells = (
-        obs.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("n_ij")).localCheckpoint()
+        obs.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("n_ij")).transform(lineage_pin, eager=True)
     )
     row_m = cells.groupBy(col_a).agg(F.sum("n_ij").alias("n_i"))
     col_m = cells.groupBy(col_b).agg(F.sum("n_ij").alias("n_j"))

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from smart_data_lake_spark.session import lineage_pin
+
 from .analytics import grid_round
 from .text import tokens
 
@@ -451,7 +453,7 @@ def tfidf_cosine_pairs(
     # norm aggregate and BOTH posting-join sides — without a pin the
     # tokenize+shingle+tf subtree re-executes ~4x (narrow rows: doc, tok,
     # count — the cheap-to-pin shape, unlike the jaccard per_doc arrays)
-    tf = tf.localCheckpoint(eager=False)
+    tf = tf.transform(lineage_pin)
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     if max_df is not None:
@@ -460,7 +462,7 @@ def tfidf_cosine_pairs(
         # dfreq is referenced by the count, the top-5 log collect AND the
         # main weighting join — materialize the tokenize+tf+df subtree
         # once (r9 review)
-        dfreq = dfreq.localCheckpoint(eager=False)
+        dfreq = dfreq.transform(lineage_pin)
         dropped = dfreq.where(F.col("df") > max_df)
         n_dropped = dropped.count()  # bounded: at most |vocab| rows aggregated
         if n_dropped:

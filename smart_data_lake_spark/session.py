@@ -71,6 +71,35 @@ def get_session() -> SparkSession:
     return active if active is not None else build_session()
 
 
+def lineage_pin(df, eager: bool = False):
+    """Cut lineage for a multiply-referenced frame, deployment-aware.
+
+    The analytic operators pin intermediate frames (token sets, signatures,
+    iteration states) so Catalyst doesn't re-derive them from the corpus
+    scan per consumer. `localCheckpoint` blocks live ONLY in executor
+    storage — fast, but executor loss or dynamic-allocation downscaling
+    makes the job unrecoverable instead of recomputable (r9 ADVICE). This
+    helper keeps the single-box default and lets large dynamic-allocation
+    deployments choose, via session conf `spark.smartdatalake.lineagePin`:
+
+      * ``local`` (default) — ``df.localCheckpoint(eager)``: executor-
+        storage blocks, no configuration needed, not fault-tolerant.
+      * ``reliable`` — ``df.checkpoint(eager)``: writes to the configured
+        ``spark.sparkContext.setCheckpointDir`` location (HDFS/S3),
+        survives executor loss; requires a checkpoint dir or Spark raises.
+      * ``off`` — return the frame unpinned: every consumer recomputes
+        from source (fully recoverable, possibly much slower — iterative
+        operators like PageRank/connected-components grow their plan per
+        iteration without a cut).
+    """
+    mode = df.sparkSession.conf.get("spark.smartdatalake.lineagePin", "local")
+    if mode == "off":
+        return df
+    if mode == "reliable":
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
 def release_persistent_rdds(spark: SparkSession) -> None:
     """Unpersist every pinned RDD (persist()/localCheckpoint() blocks).
 
