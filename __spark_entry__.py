@@ -3122,40 +3122,87 @@ def markov_stationary_event_types(spark: SparkSession, sf_dir: str) -> DataFrame
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is the driver grading window: only the first 50
-    # entries get a CORRECTNESS oracle row per round. r9 rotation (window
-    # FROZEN at the commit adding this comment; any operator added later
-    # in r9 goes BELOW the line per the freeze-aware sequencing rule):
-    # 1-14 the 14 post-freeze r8 operators never driver-graded (the whole
-    # r8 debt queue, per the r8 verdict item 1), 15-19 the pinned
-    # structural canaries, 20-50 displaced greens: the 25 queries last
-    # graded r5 (the oldest cohort in the registry — includes the
-    # embedding_neardup_exact re-proof alongside its r9 closure) and the
-    # 6 oldest r6 greens. Rotated out: everything green in
-    # CORRECTNESS_r07/r08, plus streaming_stateful_totals (declared
-    # rows-only/no_oracle by design; regraded r8, nothing new to prove).
+    # entries get a CORRECTNESS oracle row per round. r10 rotation (window
+    # FROZEN at the commit adding this comment; operators added later in
+    # r10 go BELOW the line per the freeze-aware sequencing rule):
+    # 1-13 the 13 never-driver-graded r9 post-window operators (the whole
+    # r9 debt queue, incl. the five whose oracles had post-freeze lockstep
+    # edits: winsorized, TWAP, burstiness, distinct-ngram, markov/kendall),
+    # 14-18 the pinned structural canaries, 19-45 every query whose
+    # function or oracle moved in the r10 rounding sweep (engine round() /
+    # bare decimal casts -> the shared sign-symmetric grid_round, in
+    # lockstep on both sides -- each needs an INDEPENDENT driver row
+    # because the local harness is builder-self-certified), 46-50 the
+    # oldest unchanged displaced greens incl. the two r9 bench movers
+    # (cross_source_dup_audit, token_count_by_source) so their A/B has a
+    # fresh correctness row alongside. Rotated out: unchanged r6/r7/r8/r9
+    # greens -- the 12 unchanged r6-cohort members lead the r11 queue.
     return {
-        # --- never driver-graded: the 14 post-freeze r8 operators
-        "jaccard_prefix_pairs_docs": jaccard_prefix_pairs_docs,
-        "tfidf_cosine_pairs_docs": tfidf_cosine_pairs_docs,
-        "qgram_editdist_suppliers": qgram_editdist_suppliers,
-        "theil_sen_trend_by_type": theil_sen_trend_by_type,
-        "xcorr_view_click_lags": xcorr_view_click_lags,
-        "survival_conversion_curve": survival_conversion_curve,
-        "ab_test_purchase_conversion": ab_test_purchase_conversion,
-        "user_behavior_entropy_events": user_behavior_entropy_events,
-        "seq_pattern_support_events": seq_pattern_support_events,
-        "gini_customer_spend_by_nation": gini_customer_spend_by_nation,
-        "fd_histogram_value_events": fd_histogram_value_events,
-        "scd2_snapshot_asof": scd2_snapshot_asof,
-        "hits_terms_corpus": hits_terms_corpus,
-        "vocab_coverage_by_source": vocab_coverage_by_source,
+        # --- never driver-graded: the 13 r9 post-window operators
+        "exact_neardup_clusters_docs": exact_neardup_clusters_docs,
+        "spearman_value_hour_by_type": spearman_value_hour_by_type,
+        "winsorized_mean_value_by_type": winsorized_mean_value_by_type,
+        "burstiness_daily_by_type": burstiness_daily_by_type,
+        "next_event_entropy_by_type": next_event_entropy_by_type,
+        "twap_value_by_type": twap_value_by_type,
+        "kendall_tau_level_volume_by_type": kendall_tau_level_volume_by_type,
+        "llr_collocations_corpus": llr_collocations_corpus,
+        "distinct_ngram_ratio_by_source": distinct_ngram_ratio_by_source,
+        "entity_clusters_suppliers": entity_clusters_suppliers,
+        "tfidf_topk_neighbors_docs": tfidf_topk_neighbors_docs,
+        "streaming_topk_per_window": streaming_topk_per_window,
+        "markov_stationary_event_types": markov_stationary_event_types,
         # --- canaries (pinned every round)
         "q3_shipping_priority": q3_shipping_priority,
         "topk_customers_window": topk_customers_window,
         "streaming_windowed_counts": streaming_windowed_counts,
         "dedup_latest_event": dedup_latest_event,
         "scd2_user_history": scd2_user_history,
-        # --- fill: displaced greens (last graded r5)
+        # --- r10 rounding-sweep regrades: r9/r7 greens whose function+oracle moved
+        "trimmed_mean_value_by_type": trimmed_mean_value_by_type,
+        "value_quartiles_by_type": value_quartiles_by_type,
+        "seq_pattern_support_events": seq_pattern_support_events,
+        "gini_customer_spend_by_nation": gini_customer_spend_by_nation,
+        "survival_conversion_curve": survival_conversion_curve,
+        "user_behavior_entropy_events": user_behavior_entropy_events,
+        "ab_test_purchase_conversion": ab_test_purchase_conversion,
+        "theil_sen_trend_by_type": theil_sen_trend_by_type,
+        "xcorr_view_click_lags": xcorr_view_click_lags,
+        # --- r10 rounding-sweep regrades: other displaced greens with lockstep edits
+        "mix_sources_audit": mix_sources_audit,
+        "winnow_fingerprints_docs": winnow_fingerprints_docs,
+        "dup_span_stats": dup_span_stats,
+        "rolling_z_anomalies_events": rolling_z_anomalies_events,
+        "readability_docs": readability_docs,
+        # --- r10 rounding-sweep regrades: r6-cohort members (oldest, also sweep-touched)
+        "event_transitions": event_transitions,
+        "trend_value_by_type": trend_value_by_type,
+        "interarrival_stats_by_type": interarrival_stats_by_type,
+        "events_value_outliers": events_value_outliers,
+        "event_value_histogram": event_value_histogram,
+        "value_histogram_by_type": value_histogram_by_type,
+        "benchmark_decontamination": benchmark_decontamination,
+        "temperature_mix_sources": temperature_mix_sources,
+        "containment_pairs_docs": containment_pairs_docs,
+        "normalized_doc_scores": normalized_doc_scores,
+        "token_entropy_docs": token_entropy_docs,
+        "kmv_distinct_users": kmv_distinct_users,
+        "text_stats": text_stats,
+        # --- fill: oldest UNCHANGED displaced greens (incl. both r9 bench movers)
+        "cross_source_dup_audit": cross_source_dup_audit,
+        "token_count_by_source": token_count_by_source,
+        "ewma_value_by_type": ewma_value_by_type,
+        "tfidf_top_terms_per_source": tfidf_top_terms_per_source,
+        "sessionize_events": sessionize_events,
+        # ================= end of 50-entry grading window =================
+        # --- green in earlier rounds, rotated out; unchanged r6 members first
+        "jaccard_prefix_pairs_docs": jaccard_prefix_pairs_docs,
+        "tfidf_cosine_pairs_docs": tfidf_cosine_pairs_docs,
+        "qgram_editdist_suppliers": qgram_editdist_suppliers,
+        "fd_histogram_value_events": fd_histogram_value_events,
+        "scd2_snapshot_asof": scd2_snapshot_asof,
+        "hits_terms_corpus": hits_terms_corpus,
+        "vocab_coverage_by_source": vocab_coverage_by_source,
         "json_extract_events": json_extract_events,
         "cube_sales": cube_sales,
         "ntile_customer_spend": ntile_customer_spend,
@@ -3164,7 +3211,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize_error": embedding_quantize_error,
         "label_centroid_outliers": label_centroid_outliers,
         "train_val_split_documents": train_val_split_documents,
-        "trend_value_by_type": trend_value_by_type,
         "cohort_retention_weekly": cohort_retention_weekly,
         "funnel_signup_purchase": funnel_signup_purchase,
         "segment_dedup_docs": segment_dedup_docs,
@@ -3181,16 +3227,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers_events": mad_outliers_events,
         "top_bigrams_corpus": top_bigrams_corpus,
         "rolling_active_users_7d": rolling_active_users_7d,
-        # --- fill: displaced greens (oldest r6 cohort)
-        "mix_sources_audit": mix_sources_audit,
         "user_event_paths": user_event_paths,
-        "normalized_doc_scores": normalized_doc_scores,
-        "event_transitions": event_transitions,
-        "event_value_histogram": event_value_histogram,
         "top_docs_per_source": top_docs_per_source,
-        # ================= end of 50-entry grading window =================
-        # --- green in CORRECTNESS_r06/r07/r08, rotated out (plus the
-        # --- declared rows-only streaming_stateful_totals)
         "cms_heavy_hitter_terms": cms_heavy_hitter_terms,
         "pq_encode_embeddings": pq_encode_embeddings,
         "pq_adc_topk_embeddings": pq_adc_topk_embeddings,
@@ -3206,10 +3244,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives_embeddings": hard_negatives_embeddings,
         "basket_lift_parts": basket_lift_parts,
         "rfm_segments_customers": rfm_segments_customers,
-        "trimmed_mean_value_by_type": trimmed_mean_value_by_type,
         "mann_kendall_trend_by_type": mann_kendall_trend_by_type,
         "c4_quality_filter_docs": c4_quality_filter_docs,
-        "readability_docs": readability_docs,
         "luhn_check_orders": luhn_check_orders,
         "seasonal_strength_value_by_type": seasonal_strength_value_by_type,
         "unigram_quality_docs": unigram_quality_docs,
@@ -3229,15 +3265,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_sales": grouping_sets_sales,
         "range_frame_trailing_value": range_frame_trailing_value,
         "customer_set_ops": customer_set_ops,
-        "rolling_z_anomalies_events": rolling_z_anomalies_events,
         "streaming_session_counts": streaming_session_counts,
         "streaming_interval_join": streaming_interval_join,
         "simhash_docs": simhash_docs,
-        "winnow_fingerprints_docs": winnow_fingerprints_docs,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "asof_click_attribution": asof_click_attribution,
         "pmi_collocations_corpus": pmi_collocations_corpus,
-        "value_quartiles_by_type": value_quartiles_by_type,
         "autocorr_lag1_value_by_type": autocorr_lag1_value_by_type,
         "zipf_slope_by_source": zipf_slope_by_source,
         "kmeans_assign_embeddings": kmeans_assign_embeddings,
@@ -3269,7 +3302,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_waiting_suppliers": q21_waiting_suppliers,
         "streaming_dedup_users": streaming_dedup_users,
         "streaming_upsert_latest": streaming_upsert_latest,
-        "dup_span_stats": dup_span_stats,
         "importance_sample_documents": importance_sample_documents,
         "bpe_token_count_by_source": bpe_token_count_by_source,
         "quality_filter_gopher": quality_filter_gopher,
@@ -3280,46 +3312,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": ann_topk,
         "hybrid_search_rrf": hybrid_search_rrf,
         "incremental_highwatermark": incremental_highwatermark,
-        "value_histogram_by_type": value_histogram_by_type,
         "stratified_sample_documents": stratified_sample_documents,
         "pack_sequences_by_source": pack_sequences_by_source,
         "token_budget_sample_docs": token_budget_sample_docs,
-        "ewma_value_by_type": ewma_value_by_type,
-        "interarrival_stats_by_type": interarrival_stats_by_type,
-        "tfidf_top_terms_per_source": tfidf_top_terms_per_source,
-        "token_entropy_docs": token_entropy_docs,
-        "containment_pairs_docs": containment_pairs_docs,
-        "cross_source_dup_audit": cross_source_dup_audit,
-        "kmv_distinct_users": kmv_distinct_users,
-        "temperature_mix_sources": temperature_mix_sources,
         "partition_diff": partition_diff,
-        "sessionize_events": sessionize_events,
-        "benchmark_decontamination": benchmark_decontamination,
         "pivot_order_status": pivot_order_status,
         "rollup_sales": rollup_sales,
         "pk_violations_events": pk_violations_events,
         "data_validation_lineitem": data_validation_lineitem,
-        "text_stats": text_stats,
         "profile_orders_columns": profile_orders_columns,
-        "events_value_outliers": events_value_outliers,
         "range_clicks_before_purchase": range_clicks_before_purchase,
         "orders_running_total": orders_running_total,
         "lang_id_confusion": lang_id_confusion,
-        "token_count_by_source": token_count_by_source,
-        # --- new in r9 (below the r9 freeze line; r10 rotation queue)
-        "exact_neardup_clusters_docs": exact_neardup_clusters_docs,
-        "spearman_value_hour_by_type": spearman_value_hour_by_type,
-        "winsorized_mean_value_by_type": winsorized_mean_value_by_type,
-        "burstiness_daily_by_type": burstiness_daily_by_type,
-        "next_event_entropy_by_type": next_event_entropy_by_type,
-        "twap_value_by_type": twap_value_by_type,
-        "llr_collocations_corpus": llr_collocations_corpus,
-        "distinct_ngram_ratio_by_source": distinct_ngram_ratio_by_source,
-        "entity_clusters_suppliers": entity_clusters_suppliers,
-        "tfidf_topk_neighbors_docs": tfidf_topk_neighbors_docs,
-        "streaming_topk_per_window": streaming_topk_per_window,
-        "kendall_tau_level_volume_by_type": kendall_tau_level_volume_by_type,
-        "markov_stationary_event_types": markov_stationary_event_types,
     }
 
 # ---- oracle SQL builders (DuckDB dialect) --------------------------------
