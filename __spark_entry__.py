@@ -3120,6 +3120,86 @@ def markov_stationary_event_types(spark: SparkSession, sf_dir: str) -> DataFrame
     return markov_stationary(trans, iterations=3).orderBy("node")
 
 
+def mann_whitney_value_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank test between the user_id%2 variants
+    (functions/analytics.mann_whitney_u_by_variant): tie-exact doubled-rank
+    integer statistics, rank-biserial effect size, tie-corrected z. The
+    nonparametric CONTINUOUS-metric A/B companion to the proportion z-test."""
+    from smart_data_lake_spark.functions.analytics import mann_whitney_u_by_variant
+
+    ev = _t(spark, sf_dir, "events")
+    return mann_whitney_u_by_variant(ev)
+
+
+def welch_t_value_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t between the user_id%2 variants
+    (functions/analytics.welch_t_by_variant): exact decimal sufficient
+    statistics, one combinable aggregate, grid-quantized finals."""
+    from smart_data_lake_spark.functions.analytics import welch_t_by_variant
+
+    ev = _t(spark, sf_dir, "events")
+    return welch_t_by_variant(ev)
+
+
+def hour_profile_hhi_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day concentration profile per event type
+    (functions/analytics.hour_profile_by_group): deterministic peak-hour
+    argmax + Herfindahl concentration index from exact integer counts."""
+    from smart_data_lake_spark.functions.analytics import hour_profile_by_group
+
+    ev = _t(spark, sf_dir, "events")
+    return hour_profile_by_group(ev)
+
+
+def attribution_last_touch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution over the event stream
+    (functions/analytics.last_touch_attribution): each purchase credited to
+    the user's most recent non-purchase event within 7 days — one
+    user-window pass, no self-joins; includes the honest (unattributed)
+    bucket."""
+    from smart_data_lake_spark.functions.analytics import last_touch_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    return last_touch_attribution(ev)
+
+
+def psi_value_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the value distribution, first half vs
+    second half of the observation window, per type
+    (functions/analytics.psi_value_drift_by_group): the production drift
+    gate, equal-width engine-exact bins, ε-floored shares."""
+    from smart_data_lake_spark.functions.analytics import psi_value_drift_by_group
+
+    ev = _t(spark, sf_dir, "events")
+    return psi_value_drift_by_group(ev)
+
+
+def triangle_count_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the token-adjacency graph (functions/graph
+    .triangle_counts; Schank–Wagner degree-ordered node-iterator): the
+    orientation bounds every out-degree by O(√m), so the wedge join cannot
+    blow up on hub terms. Top 20 terms by triangle participation."""
+    from smart_data_lake_spark.functions.graph import (
+        token_transition_edges,
+        triangle_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = token_transition_edges(docs)
+    return triangle_counts(edges, top_k=20)
+
+
+def source_divergence_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-vs-rest unigram KL / Jensen–Shannon divergence per source
+    (functions/search.source_divergence): add-α smoothing over the corpus
+    vocabulary, exact-decimal term sums, linear in source count — the
+    corpus-mix drift gauge."""
+    from smart_data_lake_spark.functions.search import source_divergence
+
+    docs = _t(spark, sf_dir, "documents")
+    return source_divergence(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is the driver grading window: only the first 50
     # entries get a CORRECTNESS oracle row per round. r10 rotation (window
@@ -3195,6 +3275,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms_per_source": tfidf_top_terms_per_source,
         "sessionize_events": sessionize_events,
         # ================= end of 50-entry grading window =================
+        # --- NEW in r10 (added post-freeze, below the line per the
+        # --- sequencing rule — the r11 rotation queue starts here)
+        "mann_whitney_value_variants": mann_whitney_value_variants,
+        "welch_t_value_variants": welch_t_value_variants,
+        "hour_profile_hhi_by_type": hour_profile_hhi_by_type,
+        "attribution_last_touch_events": attribution_last_touch_events,
+        "psi_value_drift_by_type": psi_value_drift_by_type,
+        "triangle_count_terms": triangle_count_terms,
+        "source_divergence_docs": source_divergence_docs,
         # --- green in earlier rounds, rotated out; unchanged r6 members first
         "jaccard_prefix_pairs_docs": jaccard_prefix_pairs_docs,
         "tfidf_cosine_pairs_docs": tfidf_cosine_pairs_docs,
@@ -6737,4 +6826,281 @@ def oracle_sql() -> dict[str, str]:
                    END AS kendall_tau_b
             FROM agg ORDER BY event_type""",
         "markov_stationary_event_types": markov_oracle,
+        # ----- NEW r10 operators (below the grading window; r11 queue) ----
+        "mann_whitney_value_variants": """
+            WITH base AS (
+              SELECT CAST(user_id % 2 AS INT) AS variant, value AS v
+              FROM events WHERE value IS NOT NULL
+            ),
+            ranked AS (
+              SELECT variant,
+                     CAST(rank() OVER (ORDER BY v) * 2
+                          + COUNT(*) OVER (PARTITION BY v) - 1 AS DECIMAL(19,0)) AS r2,
+                     COUNT(*) OVER (PARTITION BY v) AS t
+              FROM base
+            ),
+            agg AS (
+              SELECT CAST(SUM(CASE WHEN variant = 1 THEN r2 END) AS DECIMAL(38,0)) AS r2sum1,
+                     CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                     CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+                     CAST(SUM(CAST(t * t - 1 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS tie3
+              FROM ranked
+            ),
+            s1 AS (
+              SELECT n0, n1, tie3,
+                     CAST(n1 AS DOUBLE) AS n1d, CAST(n0 AS DOUBLE) AS n0d,
+                     CAST(n1 + n0 AS DOUBLE) AS nd,
+                     (CAST(r2sum1 AS DOUBLE)
+                      - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0)) / 2.0 AS u1
+              FROM agg
+            ),
+            s2 AS (
+              SELECT *, n1d * n0d / 2.0 AS mu,
+                     n1d * n0d / 12.0
+                       * ((nd + 1.0) - CAST(tie3 AS DOUBLE) / (nd * (nd - 1.0))) AS vr
+              FROM s1
+            )
+            SELECT n0 AS n_control, n1 AS n_treatment, u1,
+                   """ + _gq("2.0 * u1 / (n1d * n0d) - 1.0", 6) + """ AS rank_biserial,
+                   CASE WHEN vr > 0 THEN """ + _gq("(u1 - mu) / sqrt(vr)", 6) + """ END AS z_score
+            FROM s2""",
+        "welch_t_value_variants": """
+            WITH base AS (
+              SELECT CAST(user_id % 2 AS INT) AS variant,
+                     CAST(""" + _gq("value", 6) + """ AS DECIMAL(18,6)) AS v
+              FROM events WHERE value IS NOT NULL
+            ),
+            per AS (
+              SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(v) AS DECIMAL(38,6)) AS s,
+                     CAST(SUM(CAST(v * v AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS ss
+              FROM base GROUP BY variant
+            ),
+            j AS (
+              SELECT a.n AS n0, a.s AS s0, a.ss AS ss0, b.n AS n1, b.s AS s1, b.ss AS ss1
+              FROM (SELECT * FROM per WHERE variant = 0) a,
+                   (SELECT * FROM per WHERE variant = 1) b
+            ),
+            v AS (
+              SELECT n0, n1, CAST(n0 AS DOUBLE) AS n0d, CAST(n1 AS DOUBLE) AS n1d,
+                     CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS m0,
+                     CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+                     (CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                       / (CAST(n0 AS DOUBLE) - 1.0) AS v0,
+                     (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                       / (CAST(n1 AS DOUBLE) - 1.0) AS v1
+              FROM j
+            ),
+            w AS (SELECT *, v0 / n0d + v1 / n1d AS se2 FROM v)
+            SELECT n0 AS n_control, n1 AS n_treatment,
+                   """ + _gq("m0", 6) + """ AS mean_control,
+                   """ + _gq("m1", 6) + """ AS mean_treatment,
+                   CASE WHEN se2 > 0 THEN """ + _gq("(m1 - m0) / sqrt(se2)", 6) + """ END AS welch_t,
+                   CASE WHEN se2 > 0 THEN """ + _gq(
+            "(se2 * se2) / ((v0 / n0d) * (v0 / n0d) / (n0d - 1.0)"
+            " + (v1 / n1d) * (v1 / n1d) / (n1d - 1.0))",
+            6,
+        ) + """ END AS welch_df
+            FROM w""",
+        "hour_profile_hhi_by_type": """
+            WITH hourly AS (
+              SELECT event_type AS g,
+                     CAST(CAST(floor(epoch(ts) / 3600.0) AS BIGINT) % 24 AS INT) AS h,
+                     CAST(COUNT(*) AS BIGINT) AS c
+              FROM events GROUP BY 1, 2
+            ),
+            agg AS (
+              SELECT g, CAST(SUM(c) AS BIGINT) AS total,
+                     CAST(SUM(CAST(CAST(c AS DECIMAL(19,0)) * c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sc2,
+                     CAST(COUNT(*) AS BIGINT) AS n_active_hours
+              FROM hourly GROUP BY g
+            ),
+            pk AS (
+              SELECT g, h AS peak_hour, c AS peak_c,
+                     row_number() OVER (PARTITION BY g ORDER BY c DESC, h ASC) AS rn
+              FROM hourly
+            )
+            SELECT a.g AS event_type, a.total AS n_events, a.n_active_hours,
+                   CAST(p.peak_hour AS INT) AS peak_hour,
+                   """ + _gq("CAST(p.peak_c AS DOUBLE) / CAST(a.total AS DOUBLE)", 6) + """ AS peak_share,
+                   """ + _gq(
+            "CAST(a.sc2 AS DOUBLE) / (CAST(a.total AS DOUBLE) * CAST(a.total AS DOUBLE))", 6
+        ) + """ AS hhi
+            FROM agg a JOIN pk p ON p.g = a.g AND p.rn = 1
+            ORDER BY event_type""",
+        "attribution_last_touch_events": """
+            WITH lt AS (
+              SELECT user_id, event_type, epoch(ts) AS t, event_id, value,
+                     last_value(CASE WHEN event_type <> 'purchase' THEN epoch(ts) END
+                                IGNORE NULLS) OVER w AS lt_t,
+                     last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                                IGNORE NULLS) OVER w AS lt_typ
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts), event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            ),
+            conv AS (
+              SELECT CASE WHEN lt_t IS NOT NULL AND t - lt_t <= 604800
+                          THEN lt_typ END AS touch_type,
+                     COALESCE(value, 0.0) AS val
+              FROM lt WHERE event_type = 'purchase'
+            ),
+            per AS (
+              SELECT COALESCE(touch_type, '(unattributed)') AS touch_type,
+                     CAST(COUNT(*) AS BIGINT) AS n_conversions,
+                     SUM(CAST(""" + _gq("val", 6) + """ AS DECIMAL(18,6))) AS sv
+              FROM conv GROUP BY 1
+            ),
+            tot AS (SELECT SUM(n_conversions) AS t FROM per)
+            SELECT touch_type, n_conversions,
+                   """ + _gq("CAST(sv AS DOUBLE)", 6) + """ AS credited_value,
+                   """ + _gq("CAST(n_conversions AS DOUBLE) / CAST(t AS DOUBLE)", 6) + """ AS share
+            FROM per, tot ORDER BY touch_type""",
+        "psi_value_drift_by_type": """
+            WITH mid AS (SELECT (min(epoch(ts)) + max(epoch(ts))) / 2.0 AS m FROM events),
+            bounds AS (
+              SELECT event_type AS g, """ + _gq("min(value)", 6) + """ AS lo,
+                     """ + _gq("max(value)", 6) + """ AS hi
+              FROM events WHERE value IS NOT NULL GROUP BY 1
+            ),
+            base AS (
+              SELECT e.event_type AS g, """ + _gq("e.value", 6) + """ AS v,
+                     epoch(e.ts) > m.m AS late, b.lo, b.hi
+              FROM events e CROSS JOIN mid m JOIN bounds b ON b.g = e.event_type
+              WHERE e.value IS NOT NULL
+            ),
+            binned AS (
+              SELECT g,
+                     CASE WHEN hi = lo THEN 0
+                          ELSE least(9, CAST(floor((v - lo) * 10 / (hi - lo)) AS INT))
+                     END AS b,
+                     CAST(SUM(CASE WHEN NOT late THEN 1 ELSE 0 END) AS BIGINT) AS c_early,
+                     CAST(SUM(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS c_late
+              FROM base GROUP BY 1, 2
+            ),
+            totals AS (
+              SELECT g, CAST(SUM(c_early) AS BIGINT) AS t_early,
+                     CAST(SUM(c_late) AS BIGINT) AS t_late
+              FROM binned GROUP BY g
+            ),
+            terms AS (
+              SELECT b.g, t.t_early, t.t_late,
+                     (CAST(b.c_early AS DOUBLE) + 0.5) / (CAST(t.t_early AS DOUBLE) + 5.0) AS p,
+                     (CAST(b.c_late AS DOUBLE) + 0.5) / (CAST(t.t_late AS DOUBLE) + 5.0) AS q
+              FROM binned b JOIN totals t USING (g)
+            ),
+            agg AS (
+              SELECT g, MAX(t_early) AS n_early, MAX(t_late) AS n_late,
+                     CAST(COUNT(*) AS BIGINT) AS n_bins_used,
+                     SUM(CAST(""" + _gq("(p - q) * ln(p / q)", 9) + """ AS DECIMAL(28,9))) AS s
+              FROM terms GROUP BY g
+            )
+            SELECT g AS event_type, n_early, n_late, n_bins_used,
+                   """ + _gq("CAST(s AS DOUBLE)", 6) + """ AS psi
+            FROM agg ORDER BY event_type""",
+        "triangle_count_terms": """
+            WITH toksrc AS (
+              SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+              FROM documents
+              WHERE length(trim(lower(text))) > 0
+                AND len(regexp_split_to_array(trim(lower(text)), '\\s+')) >= 2
+            ), pairs AS (
+              SELECT w[CAST(t.i AS INT)] AS src, w[CAST(t.i + 1 AS INT)] AS dst
+              FROM toksrc, LATERAL (SELECT unnest(range(1, len(w))) AS i) t
+            ),
+            und AS (
+              SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM pairs
+              WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+            ),
+            deg AS (
+              SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+              FROM (SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+              GROUP BY n
+            ),
+            oriented AS (
+              SELECT CASE WHEN lt THEN a ELSE b END AS u,
+                     CASE WHEN lt THEN b ELSE a END AS v
+              FROM (SELECT und.a, und.b,
+                           (da.d < db.d) OR (da.d = db.d AND und.a < und.b) AS lt
+                    FROM und
+                    JOIN deg da ON da.n = und.a
+                    JOIN deg db ON db.n = und.b)
+            ),
+            wedges AS (
+              SELECT e1.u, e1.v AS x, e2.v AS y
+              FROM oriented e1 JOIN oriented e2 ON e1.u = e2.u AND e1.v < e2.v
+            ),
+            tris AS (
+              SELECT w.u, w.x, w.y FROM wedges w
+              WHERE EXISTS (SELECT 1 FROM und WHERE und.a = w.x AND und.b = w.y)
+            ),
+            corners AS (
+              SELECT u AS node FROM tris
+              UNION ALL SELECT x FROM tris
+              UNION ALL SELECT y FROM tris
+            )
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM corners GROUP BY node
+            ORDER BY n_triangles DESC, node ASC LIMIT 20""",
+        "source_divergence_docs": """
+            WITH toks AS (
+              SELECT source AS g,
+                     unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+              FROM documents WHERE length(trim(lower(text))) > 0
+            ),
+            per AS (SELECT g, term, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2),
+            corpus AS (SELECT term, CAST(SUM(c) AS BIGINT) AS ct FROM per GROUP BY term),
+            vocab AS (SELECT CAST(COUNT(*) AS BIGINT) AS nv FROM corpus),
+            totals AS (SELECT g, CAST(SUM(c) AS BIGINT) AS tg FROM per GROUP BY g),
+            gtot AS (SELECT CAST(SUM(tg) AS BIGINT) AS tt FROM totals),
+            seen_t AS (
+              SELECT per.g, totals.tg,
+                     (CAST(per.c AS DOUBLE) + 0.5)
+                       / (CAST(totals.tg AS DOUBLE) + 0.5 * vocab.nv) AS p,
+                     (CAST(corpus.ct - per.c AS DOUBLE) + 0.5)
+                       / (CAST(gtot.tt - totals.tg AS DOUBLE) + 0.5 * vocab.nv) AS q
+              FROM per JOIN corpus USING (term) JOIN totals USING (g)
+                   CROSS JOIN gtot CROSS JOIN vocab
+            ),
+            agg AS (
+              SELECT g, CAST(MAX(tg) AS BIGINT) AS n_tokens,
+                     CAST(COUNT(*) AS BIGINT) AS n_terms,
+                     SUM(CAST(""" + _gq("p * ln(p / q)", 9) + """ AS DECIMAL(28,9))) AS klpq,
+                     SUM(CAST(""" + _gq("q * ln(q / p)", 9) + """ AS DECIMAL(28,9))) AS klqp,
+                     SUM(CAST(""" + _gq(
+            "p * ln(2.0 * p / (p + q)) + q * ln(2.0 * q / (p + q))", 9
+        ) + """ AS DECIMAL(28,9))) AS js2
+              FROM seen_t GROUP BY g
+            ),
+            comp_t AS (
+              SELECT t.g,
+                     0.5 / (CAST(t.tg AS DOUBLE) + 0.5 * vocab.nv) AS p,
+                     (CAST(c0.ct AS DOUBLE) + 0.5)
+                       / (CAST(gtot.tt - t.tg AS DOUBLE) + 0.5 * vocab.nv) AS q
+              FROM corpus c0 CROSS JOIN totals t CROSS JOIN gtot CROSS JOIN vocab
+              WHERE NOT EXISTS (SELECT 1 FROM per
+                                WHERE per.g = t.g AND per.term = c0.term)
+            ),
+            comp_agg AS (
+              SELECT g,
+                     SUM(CAST(""" + _gq("p * ln(p / q)", 9) + """ AS DECIMAL(28,9))) AS klpq0,
+                     SUM(CAST(""" + _gq("q * ln(q / p)", 9) + """ AS DECIMAL(28,9))) AS klqp0,
+                     SUM(CAST(""" + _gq(
+            "p * ln(2.0 * p / (p + q)) + q * ln(2.0 * q / (p + q))", 9
+        ) + """ AS DECIMAL(28,9))) AS js20
+              FROM comp_t GROUP BY g
+            )
+            SELECT a.g AS source, a.n_tokens, a.n_terms,
+                   """ + _gq(
+            "CAST(a.klpq + COALESCE(ca.klpq0, CAST(0 AS DECIMAL(28,9))) AS DOUBLE)", 6
+        ) + """ AS kl_source_rest,
+                   """ + _gq(
+            "CAST(a.klqp + COALESCE(ca.klqp0, CAST(0 AS DECIMAL(28,9))) AS DOUBLE)", 6
+        ) + """ AS kl_rest_source,
+                   """ + _gq(
+            "CAST(a.js2 + COALESCE(ca.js20, CAST(0 AS DECIMAL(28,9))) AS DOUBLE) / 2.0", 6
+        ) + """ AS js_divergence
+            FROM agg a LEFT JOIN comp_agg ca ON ca.g = a.g
+            ORDER BY source""",
     }

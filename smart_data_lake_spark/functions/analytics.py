@@ -1925,3 +1925,329 @@ def kendall_tau_daily_level_volume(
             "kendall_tau_b"
         ),
     ).orderBy(group_col)
+
+
+def mann_whitney_u_by_variant(
+    df: DataFrame,
+    value_col: str = "value",
+    user_col: str = "user_id",
+    scale: int = 6,
+) -> DataFrame:
+    """Mann–Whitney U rank test between two variants (Mann & Whitney 1947,
+    public): the nonparametric complement to `two_proportion_ab_test` for
+    CONTINUOUS metrics — does variant 1's value distribution stochastically
+    dominate variant 0's, without any normality assumption. Variant =
+    user_id % 2 (the same deterministic split the A/B z-test uses).
+
+    Tie-exact integer statistics via the doubled-rank identity shared with
+    `spearman_by_group`: 2·avg_rank = 2·min_rank + (ties − 1) is an
+    INTEGER, so 2·R1 (the doubled rank sum of variant 1) is an exact
+    DECIMAL sum and U1 = R1 − n1(n1+1)/2 derives from it without any float
+    accumulation. Emits U1, the rank-biserial effect size
+    r = 2·U1/(n1·n2) − 1 ∈ [−1, 1] (RATIONAL → grid_round, the half-grid
+    class), and the tie-corrected z statistic (sqrt-denominated; grid for
+    uniformity).
+
+    Shape: one global rank window over the pooled values (the two-sample
+    test is one total order by definition — at 100 TB pre-aggregate to a
+    value histogram and rank the DICTIONARY, same trick as the linkage
+    collapse) + one combinable aggregate. Tie correction Σ(t³−t) comes
+    from the same window pass.
+    """
+    base = df.where(F.col(value_col).isNotNull()).select(
+        (F.col(user_col) % 2).cast("int").alias("variant"),
+        F.col(value_col).alias("_v"),
+    )
+    wr = Window.orderBy("_v")
+    wt = Window.partitionBy("_v")
+    # doubled average rank (exact integer), tie-group size for correction
+    ranked = base.select(
+        "variant",
+        (F.rank().over(wr).cast("long") * 2 + F.count(F.lit(1)).over(wt) - 1)
+        .cast("decimal(19,0)")
+        .alias("r2"),
+        F.count(F.lit(1)).over(wt).cast("long").alias("t"),
+    )
+    agg = ranked.groupBy().agg(
+        F.sum(F.when(F.col("variant") == 1, F.col("r2"))).cast("decimal(38,0)").alias("r2sum1"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).cast("long").alias("n0"),
+        # Σ(t³−t) over tie GROUPS = Σ_rows (t³−t)/t = Σ_rows (t²−1), exact
+        F.sum((F.col("t") * F.col("t") - 1).cast("decimal(38,0)")).cast("decimal(38,0)").alias("tie3"),
+    )
+    n1, n0 = F.col("n1").cast("double"), F.col("n0").cast("double")
+    n = n1 + n0
+    # U1 = R1 − n1(n1+1)/2; with r2sum1 = 2·R1 exact: U1 = (r2sum1 − n1(n1+1))/2
+    u1 = (F.col("r2sum1").cast("double") - n1 * (n1 + 1.0)) / 2.0
+    mu = n1 * n0 / 2.0
+    var = n1 * n0 / 12.0 * ((n + 1.0) - F.col("tie3").cast("double") / (n * (n - 1.0)))
+    z = F.when(var > 0, grid_round((u1 - mu) / F.sqrt(var), scale))
+    return agg.select(
+        F.col("n0").alias("n_control"),
+        F.col("n1").alias("n_treatment"),
+        # U is exact in half-units ((int − int)/2 — an exact double), so it
+        # is emitted RAW: no cast (Spark long-cast truncates while DuckDB's
+        # rounds — a divergence), no quantization needed
+        u1.alias("u1"),
+        grid_round(2.0 * u1 / (n1 * n0) - 1.0, scale).alias("rank_biserial"),
+        z.alias("z_score"),
+    )
+
+
+def welch_t_by_variant(
+    df: DataFrame,
+    value_col: str = "value",
+    user_col: str = "user_id",
+    scale: int = 6,
+) -> DataFrame:
+    """Welch's unequal-variance t statistic between two variants (Welch
+    1947, public) — the parametric mean-difference companion to the
+    Mann-Whitney rank test, from exact DECIMAL sufficient statistics
+    (n, Σv, Σv² per variant after grid-quantized 1e-6 input): means are
+    RATIONAL finals (grid_round), t and the Welch–Satterthwaite df are
+    sqrt/ratio expressions of the exact sums evaluated once (grid for
+    uniformity). One combinable aggregate — a single shuffle of two
+    partial rows at any scale."""
+    v = grid_round(F.col(value_col), 6).cast("decimal(18,6)")
+    base = df.where(F.col(value_col).isNotNull()).select(
+        (F.col(user_col) % 2).cast("int").alias("variant"), v.alias("_v")
+    )
+    per = base.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_v").cast("decimal(38,6)").alias("s"),
+        F.sum((F.col("_v") * F.col("_v")).cast("decimal(38,12)")).cast("decimal(38,12)").alias("ss"),
+    )
+    a = per.where(F.col("variant") == 0).select(
+        F.col("n").alias("n0"), F.col("s").alias("s0"), F.col("ss").alias("ss0")
+    )
+    b = per.where(F.col("variant") == 1).select(
+        F.col("n").alias("n1"), F.col("s").alias("s1"), F.col("ss").alias("ss1")
+    )
+    j = a.crossJoin(b)
+    n0, n1 = F.col("n0").cast("double"), F.col("n1").cast("double")
+    m0 = F.col("s0").cast("double") / n0
+    m1 = F.col("s1").cast("double") / n1
+    # unbiased sample variance from exact sums: (Σv² − (Σv)²/n) / (n−1)
+    v0 = (F.col("ss0").cast("double") - F.col("s0").cast("double") * F.col("s0").cast("double") / n0) / (n0 - 1.0)
+    v1 = (F.col("ss1").cast("double") - F.col("s1").cast("double") * F.col("s1").cast("double") / n1) / (n1 - 1.0)
+    se2 = v0 / n0 + v1 / n1
+    t = F.when(se2 > 0, grid_round((m1 - m0) / F.sqrt(se2), scale))
+    dof = F.when(
+        se2 > 0,
+        grid_round(
+            (se2 * se2)
+            / ((v0 / n0) * (v0 / n0) / (n0 - 1.0) + (v1 / n1) * (v1 / n1) / (n1 - 1.0)),
+            scale,
+        ),
+    )
+    return j.select(
+        F.col("n0").alias("n_control"),
+        F.col("n1").alias("n_treatment"),
+        grid_round(m0, scale).alias("mean_control"),
+        grid_round(m1, scale).alias("mean_treatment"),
+        t.alias("welch_t"),
+        dof.alias("welch_df"),
+    )
+
+
+def hour_profile_by_group(
+    df: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    scale: int = 6,
+) -> DataFrame:
+    """Hour-of-day activity profile per group: peak hour (deterministic
+    argmax — max count, ties to the EARLIEST hour), the peak's share of
+    all events, and the Herfindahl–Hirschman concentration index
+    HHI = Σ_h (c_h/total)² ∈ [1/24, 1] — the one-number "is this traffic
+    spread or spiky" readout (1/24 = uniform, 1 = single-hour bot burst).
+
+    Exactness: hour counts are exact integers; HHI's numerator Σc² is an
+    exact DECIMAL sum, so HHI and peak_share are single RATIONAL double
+    divisions — grid_round finals (the half-grid class). Shape: one
+    (group, hour) combinable count + one group rollup; the argmax rides
+    the same rollup via max_by on an (count, −hour) struct — no window."""
+    hour = (F.floor(F.col(ts_col).cast("double") / 3600.0) % 24).cast("int")
+    hourly = df.groupBy(F.col(group_col).alias("g"), hour.alias("h")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    agg = hourly.groupBy("g").agg(
+        F.sum("c").cast("long").alias("total"),
+        F.sum((F.col("c").cast("decimal(19,0)") * F.col("c")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("sc2"),
+        F.max(F.struct(F.col("c").alias("c"), (-F.col("h")).alias("nh"))).alias("_pk"),
+        F.count(F.lit(1)).cast("long").alias("n_active_hours"),
+    )
+    tot = F.col("total").cast("double")
+    return agg.select(
+        F.col("g").alias(group_col),
+        F.col("total").alias("n_events"),
+        F.col("n_active_hours"),
+        (-F.col("_pk.nh")).cast("int").alias("peak_hour"),
+        grid_round(F.col("_pk.c").cast("double") / tot, scale).alias("peak_share"),
+        grid_round(F.col("sc2").cast("double") / (tot * tot), scale).alias("hhi"),
+    ).orderBy(group_col)
+
+
+def last_touch_attribution(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    conversion_type: str = "purchase",
+    window_seconds: int = 7 * 86400,
+    scale: int = 6,
+) -> DataFrame:
+    """Last-touch conversion attribution (the standard marketing/journey
+    credit rule, public): each conversion is credited to the LAST
+    non-conversion event by the same user within `window_seconds` before
+    it. Emits per touch type: conversions credited, credited conversion
+    value, and share of attributed conversions (plus an `(unattributed)`
+    row for conversions with no touch in the window — dropping them would
+    silently inflate every share).
+
+    Shape: ONE user-partitioned window (`last(when(non-conv, struct),
+    ignorenulls=True)` over the (ts, id) order gives the most recent touch
+    at each conversion — no self-join, no per-type scan), then one
+    combinable rollup + a broadcast 1-row total for the shares. Shares are
+    int/int RATIONALS → grid_round."""
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col).cast("double"), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(
+            F.col(type_col) != conversion_type,
+            F.struct(
+                F.col(ts_col).cast("double").alias("t"),
+                F.col(type_col).alias("typ"),
+            ),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    conv = (
+        df.select(
+            F.col(user_col),
+            F.col(type_col),
+            F.col(ts_col),
+            F.col(id_col),
+            F.col(value_col),
+            touch.alias("_touch"),
+        )
+        .where(F.col(type_col) == conversion_type)
+        .select(
+            F.when(
+                F.col("_touch").isNotNull()
+                & (F.col(ts_col).cast("double") - F.col("_touch.t") <= window_seconds),
+                F.col("_touch.typ"),
+            ).alias("touch_type"),
+            F.coalesce(F.col(value_col), F.lit(0.0)).alias("_val"),
+        )
+    )
+    per = conv.groupBy(
+        F.coalesce(F.col("touch_type"), F.lit("(unattributed)")).alias("touch_type")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_conversions"),
+        F.sum(grid_round(F.col("_val"), 6).cast("decimal(18,6)")).alias("_sv"),
+    )
+    total = per.agg(F.sum("n_conversions").alias("_tot"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "touch_type",
+            "n_conversions",
+            grid_round(F.col("_sv").cast("double"), scale).alias("credited_value"),
+            grid_round(
+                F.col("n_conversions").cast("double") / F.col("_tot").cast("double"), scale
+            ).alias("share"),
+        )
+        .orderBy("touch_type")
+    )
+
+
+def psi_value_drift_by_group(
+    df: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_bins: int = 10,
+    scale: int = 6,
+) -> DataFrame:
+    """Population Stability Index of the value distribution, first half of
+    the observation window vs second half, per group — THE production
+    drift gate for model inputs (PSI < 0.1 stable, 0.1–0.25 shifting,
+    > 0.25 drifted; standard credit-scoring folklore, public). Bins are
+    EQUAL-WIDTH over the group's full value range quantized to 1e-6 (the
+    same engine-exact binning as `value_histogram` — rank-free, so no
+    global sort), halves split at the corpus mid-TIMESTAMP.
+
+    PSI = Σ_bins (p_b − q_b)·ln(p_b / q_b) with Laplace-style ε-floors on
+    empty bins (ε = 0.5 count) so a bin emptying out is a large-but-finite
+    signal, never a division by zero. Each bin term is grid-quantized to
+    1e-9 and summed as exact DECIMAL (order-independent), PSI is one
+    grid-rounded final. Shape: two combinable aggregates + a broadcast
+    bounds row — no windows, no sort."""
+    mid = df.agg(
+        ((F.min(F.col(ts_col).cast("double")) + F.max(F.col(ts_col).cast("double"))) / 2.0).alias(
+            "_mid"
+        )
+    )
+    v = grid_round(F.col(value_col), 6)
+    bounds = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col).alias("g"))
+        .agg(grid_round(F.min(value_col), 6).alias("_lo"), grid_round(F.max(value_col), 6).alias("_hi"))
+    )
+    base = (
+        df.where(F.col(value_col).isNotNull())
+        .crossJoin(F.broadcast(mid))
+        .select(
+            F.col(group_col).alias("g"),
+            v.alias("_v"),
+            (F.col(ts_col).cast("double") > F.col("_mid")).alias("_late"),
+        )
+        .join(F.broadcast(bounds), "g")
+    )
+    bucket = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(n_bins - 1),
+            F.floor((F.col("_v") - F.col("_lo")) * n_bins / (F.col("_hi") - F.col("_lo"))).cast(
+                "int"
+            ),
+        )
+    )
+    binned = base.groupBy("g", bucket.alias("b")).agg(
+        F.sum(F.when(~F.col("_late"), 1).otherwise(0)).cast("long").alias("c_early"),
+        F.sum(F.when(F.col("_late"), 1).otherwise(0)).cast("long").alias("c_late"),
+    )
+    totals = binned.groupBy("g").agg(
+        F.sum("c_early").cast("long").alias("t_early"),
+        F.sum("c_late").cast("long").alias("t_late"),
+    )
+    joined = binned.join(totals, "g")
+    # ε-floored shares: (c + 0.5) / (t + 0.5·n_bins) keeps empty bins finite
+    # and both halves normalized — the standard smoothed-PSI form
+    p = (F.col("c_early").cast("double") + 0.5) / (
+        F.col("t_early").cast("double") + 0.5 * n_bins
+    )
+    q = (F.col("c_late").cast("double") + 0.5) / (
+        F.col("t_late").cast("double") + 0.5 * n_bins
+    )
+    term = grid_round((p - q) * F.log(p / q), 9).cast("decimal(28,9)")
+    agg = joined.groupBy("g").agg(
+        F.max("t_early").alias("n_early"),
+        F.max("t_late").alias("n_late"),
+        F.count(F.lit(1)).cast("long").alias("n_bins_used"),
+        F.sum(term).alias("_psi"),
+    )
+    return agg.select(
+        F.col("g").alias(group_col),
+        F.col("n_early"),
+        F.col("n_late"),
+        F.col("n_bins_used"),
+        grid_round(F.col("_psi").cast("double"), scale).alias("psi"),
+    ).orderBy(group_col)

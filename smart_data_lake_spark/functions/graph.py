@@ -292,3 +292,81 @@ def markov_stationary(
             .transform(lineage_pin)
         )
     return x.select("node", F.col("x").cast("long").alias("stationary_e12"))
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    top_k: int | None = 20,
+) -> DataFrame:
+    """Per-node triangle counts over the UNDIRECTED simple graph induced by
+    the edge list (self-loops and duplicate/reverse edges collapsed) — the
+    clustering/cohesion census (Newman 2003, public; the node-iterator++
+    degree-ordered formulation is Schank & Wagner 2005 / the standard
+    MapReduce triangle recipe).
+
+    Scale shape — the part that matters at 100 TB: counting wedges naively
+    joins the edge list on its hubs (a degree-d node contributes d²
+    wedges). Orienting every edge from the (degree, id)-SMALLER endpoint
+    to the larger one first makes the out-degree of EVERY node at most
+    O(√m), so the wedge join is bounded by Σ d_out² ≤ m^1.5 — the classic
+    hub-killer. Three stages, all equi-joins: orient (one degree aggregate
+    + broadcast-friendly join), wedge build (oriented ⋈ oriented on the
+    low endpoint), close (wedge ⋈ oriented edge set). Triangle credit is
+    then propagated to all three corners via one union + combinable count.
+
+    Returns (node, n_triangles) — `top_k` bounds the output by
+    (n_triangles desc, node) for the census readout; None emits all nodes.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b")))
+        .distinct()
+    )
+    und = und.transform(lineage_pin)
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient from (degree, node)-smaller endpoint to larger: every node's
+    # out-degree is O(sqrt(m)), so the wedge self-join below cannot blow up
+    # on hubs
+    withdeg = (
+        und.join(deg.select(F.col("n").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")), "b")
+    )
+    lt = (F.col("da") < F.col("db")) | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    oriented = withdeg.select(
+        F.when(lt, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lt, F.col("b")).otherwise(F.col("a")).alias("v"),
+    ).transform(lineage_pin)
+    # wedges u -> (v, w) with v < w by the SAME orientation order are
+    # closed by an oriented edge (v, w)
+    e1 = oriented.select(F.col("u"), F.col("v").alias("x"))
+    e2 = oriented.select(F.col("u"), F.col("v").alias("y"))
+    wedges = (
+        e1.join(e2, "u")
+        .where(F.col("x") < F.col("y"))
+        .select("u", "x", "y")
+    )
+    # the closing-edge set in NAME order is exactly `und` (orientation is a
+    # bijection on the undirected pair set) — semi-join the wedges against
+    # it directly, no re-normalization stage
+    tris = wedges.join(
+        und.select(F.col("a").alias("x"), F.col("b").alias("y")), ["x", "y"], "left_semi"
+    )
+    corners = (
+        tris.select(F.col("u").alias("node"))
+        .unionAll(tris.select(F.col("x").alias("node")))
+        .unionAll(tris.select(F.col("y").alias("node")))
+    )
+    out = corners.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    if top_k is not None:
+        out = out.orderBy(F.desc("n_triangles"), F.asc("node")).limit(top_k)
+    return out

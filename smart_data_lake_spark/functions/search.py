@@ -765,3 +765,106 @@ def tfidf_topk_neighbors(
         .where(F.col("rk") <= k)
         .select("doc", F.col("rk").cast("int").alias("rk"), "neighbor", "cosine")
     )
+
+
+def source_divergence(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    scale: int = 6,
+) -> DataFrame:
+    """Unigram-distribution divergence of each source AGAINST THE REST of
+    the corpus: smoothed KL(source‖rest), KL(rest‖source) and the
+    symmetric Jensen–Shannon divergence (Lin 1991, public) — the corpus
+    composition drift gauge ("which source speaks a different language
+    than everything else") that sits next to `vocab_coverage_curve` in a
+    mixing audit. One-vs-rest keeps the output LINEAR in source count
+    (pairwise would be S²·|vocab|).
+
+    Smoothing: add-α (α = 0.5) over the CORPUS vocabulary for both sides,
+    so every term has positive mass and the KLs are finite. Rest counts
+    derive from corpus − source (no second scan). Each term's
+    contributions p·ln(p/q), q·ln(q/p), p·ln(2p/(p+q)), q·ln(2q/(p+q))
+    are grid-quantized to 1e-9 and summed as exact DECIMAL
+    (order-independent); finals grid-round once.
+
+    Shape: one (source, term) count + one corpus term rollup, re-joined
+    key-partitioned on term (vocab-dictionary-sized, too big to broadcast
+    at corpus scale, tiny next to the corpus) + per-source combinable
+    divergence sums. Zero windows, zero UDFs."""
+    toks = df.select(
+        F.col(group_col).alias("g"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    per = toks.groupBy("g", "term").agg(F.count(F.lit(1)).alias("c"))
+    per = per.transform(lineage_pin)
+    corpus = per.groupBy("term").agg(F.sum("c").alias("ct"))
+    vocab = corpus.count()  # scalar: one number to the driver
+    totals = per.groupBy("g").agg(F.sum("c").alias("tg"))
+    gtot = totals.agg(F.sum("tg").alias("tt"))
+    joined = (
+        per.join(corpus, "term")
+        .join(F.broadcast(totals), "g")
+        .crossJoin(F.broadcast(gtot))
+    )
+    # smoothed shares over the corpus vocabulary; terms the source never
+    # uses contribute a CLOSED-FORM remainder (vocab - k_g terms of count
+    # 0) folded in below, so the join stays on observed (g, term) rows only
+    p = (F.col("c").cast("double") + alpha) / (
+        F.col("tg").cast("double") + alpha * vocab
+    )
+    q = ((F.col("ct") - F.col("c")).cast("double") + alpha) / (
+        (F.col("tt") - F.col("tg")).cast("double") + alpha * vocab
+    )
+    m2 = p + q  # 2m where m is the JS mixture
+    dec9 = "decimal(28,9)"
+
+    def t9(c):
+        return grid_round(c, 9).cast(dec9)
+
+    agg = joined.groupBy("g").agg(
+        F.max("tg").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum(t9(p * F.log(p / q))).alias("_klpq"),
+        F.sum(t9(q * F.log(q / p))).alias("_klqp"),
+        F.sum(t9(p * F.log(F.lit(2.0) * p / m2) + q * F.log(F.lit(2.0) * q / m2))).alias("_js2"),
+        F.max(F.col("tg").cast("double") + alpha * vocab).alias("_dp"),
+        F.max((F.col("tt") - F.col("tg")).cast("double") + alpha * vocab).alias("_dq"),
+    )
+    # unseen-term remainder: the corpus terms this source lacks (count 0
+    # on the p side, full corpus count on the q side) still carry
+    # divergence mass under add-α smoothing — fold them exactly via the
+    # per-source complement (corpus vocab anti-joined against the seen
+    # (g, term) pairs; dictionary-scale, key-partitioned)
+    srcs = totals.select("g", "tg")
+    comp = (
+        corpus.crossJoin(F.broadcast(srcs))
+        .join(per.select("g", "term", "c"), ["g", "term"], "left")
+        .where(F.col("c").isNull())
+        .crossJoin(F.broadcast(gtot))
+    )
+    p0 = F.lit(alpha) / (F.col("tg").cast("double") + alpha * vocab)
+    q0 = (F.col("ct").cast("double") + alpha) / (
+        (F.col("tt") - F.col("tg")).cast("double") + alpha * vocab
+    )
+    m20 = p0 + q0
+    comp_agg = comp.groupBy("g").agg(
+        F.sum(t9(p0 * F.log(p0 / q0))).alias("_klpq0"),
+        F.sum(t9(q0 * F.log(q0 / p0))).alias("_klqp0"),
+        F.sum(t9(p0 * F.log(F.lit(2.0) * p0 / m20) + q0 * F.log(F.lit(2.0) * q0 / m20))).alias(
+            "_js20"
+        ),
+    )
+    out = agg.join(comp_agg, "g", "left")
+    z = F.lit(0).cast("decimal(28,9)")
+    kl_pq = (F.col("_klpq") + F.coalesce(F.col("_klpq0"), z)).cast("double")
+    kl_qp = (F.col("_klqp") + F.coalesce(F.col("_klqp0"), z)).cast("double")
+    js = ((F.col("_js2") + F.coalesce(F.col("_js20"), z)).cast("double")) / 2.0
+    return out.select(
+        F.col("g").alias(group_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_terms").alias("n_terms"),
+        grid_round(kl_pq, scale).alias("kl_source_rest"),
+        grid_round(kl_qp, scale).alias("kl_rest_source"),
+        grid_round(js, scale).alias("js_divergence"),
+    ).orderBy(group_col)
