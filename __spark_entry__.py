@@ -3791,7 +3791,7 @@ def oracle_sql() -> dict[str, str]:
             share AS (SELECT fp, COUNT(*) AS n_docs FROM fps GROUP BY fp)
             SELECT f.doc_id, COUNT(*) AS n_fingerprints,
                    CAST(SUM(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
-                   (CASE WHEN (SUM(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)) >= 0 THEN floor((SUM(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(SUM(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0) END) AS shared_frac
+                   (CASE WHEN abs(SUM(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)) < 4.61168601842738770e+12 THEN (CASE WHEN (SUM(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)) >= 0 THEN floor((SUM(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(SUM(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0) END) ELSE (SUM(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)) END) AS shared_frac
             FROM fps f JOIN share s USING (fp)
             GROUP BY f.doc_id ORDER BY f.doc_id""",
         "incremental_dedup_new_source": """
@@ -4051,14 +4051,14 @@ def oracle_sql() -> dict[str, str]:
             )
             , per2 AS (
               SELECT event_type, n_exact,
-                     (CASE WHEN (CASE WHEN n_exact < 64 THEN CAST(n_exact AS DOUBLE) ELSE 63 / hk END) >= 0 THEN floor((CASE WHEN n_exact < 64 THEN CAST(n_exact AS DOUBLE) ELSE 63 / hk END) * 1.0 + 0.5) / 1.0 ELSE -(floor(-(CASE WHEN n_exact < 64 THEN CAST(n_exact AS DOUBLE) ELSE 63 / hk END) * 1.0 + 0.5) / 1.0) END) AS est_r
+                     (CASE WHEN abs(CASE WHEN n_exact < 64 THEN CAST(n_exact AS DOUBLE) ELSE 63 / hk END) < 4.61168601842738790e+18 THEN (CASE WHEN (CASE WHEN n_exact < 64 THEN CAST(n_exact AS DOUBLE) ELSE 63 / hk END) >= 0 THEN floor((CASE WHEN n_exact < 64 THEN CAST(n_exact AS DOUBLE) ELSE 63 / hk END) * 1.0 + 0.5) / 1.0 ELSE -(floor(-(CASE WHEN n_exact < 64 THEN CAST(n_exact AS DOUBLE) ELSE 63 / hk END) * 1.0 + 0.5) / 1.0) END) ELSE (CASE WHEN n_exact < 64 THEN CAST(n_exact AS DOUBLE) ELSE 63 / hk END) END) AS est_r
               FROM per
             )
             -- r10 sweep: the estimate and relative error are RATIONALS —
             -- grid form, lockstep with grid_round
             SELECT event_type, n_exact,
                    CAST(est_r AS BIGINT) AS kmv_estimate,
-                   (CASE WHEN ((est_r - n_exact) / n_exact) >= 0 THEN floor(((est_r - n_exact) / n_exact) * 10000.0 + 0.5) / 10000.0 ELSE -(floor(-((est_r - n_exact) / n_exact) * 10000.0 + 0.5) / 10000.0) END) AS rel_error
+                   (CASE WHEN abs((est_r - n_exact) / n_exact) < 4.61168601842738812e+14 THEN (CASE WHEN ((est_r - n_exact) / n_exact) >= 0 THEN floor(((est_r - n_exact) / n_exact) * 10000.0 + 0.5) / 10000.0 ELSE -(floor(-((est_r - n_exact) / n_exact) * 10000.0 + 0.5) / 10000.0) END) ELSE ((est_r - n_exact) / n_exact) END) AS rel_error
             FROM per2 ORDER BY event_type""",
         "temperature_mix_sources": f"""
             WITH per AS (
@@ -4067,8 +4067,8 @@ def oracle_sql() -> dict[str, str]:
             ),
             t AS (SELECT SUM(pow(CAST(n_tokens AS DOUBLE), 0.5)) AS tw FROM per)
             SELECT source, n_docs, n_tokens,
-                   (CASE WHEN (pow(CAST(n_tokens AS DOUBLE), 0.5) / tw) >= 0 THEN floor((pow(CAST(n_tokens AS DOUBLE), 0.5) / tw) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(pow(CAST(n_tokens AS DOUBLE), 0.5) / tw) * 1000000.0 + 0.5) / 1000000.0) END) AS mix_weight,
-                   (CASE WHEN (pow(CAST(n_tokens AS DOUBLE), 0.5) / tw * 100000) >= 0 THEN floor((pow(CAST(n_tokens AS DOUBLE), 0.5) / tw * 100000) * 1000.0 + 0.5) / 1000.0 ELSE -(floor(-(pow(CAST(n_tokens AS DOUBLE), 0.5) / tw * 100000) * 1000.0 + 0.5) / 1000.0) END) AS budget_tokens
+                   (CASE WHEN abs(pow(CAST(n_tokens AS DOUBLE), 0.5) / tw) < 4.61168601842738770e+12 THEN (CASE WHEN (pow(CAST(n_tokens AS DOUBLE), 0.5) / tw) >= 0 THEN floor((pow(CAST(n_tokens AS DOUBLE), 0.5) / tw) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(pow(CAST(n_tokens AS DOUBLE), 0.5) / tw) * 1000000.0 + 0.5) / 1000000.0) END) ELSE (pow(CAST(n_tokens AS DOUBLE), 0.5) / tw) END) AS mix_weight,
+                   (CASE WHEN abs(pow(CAST(n_tokens AS DOUBLE), 0.5) / tw * 100000) < 4.61168601842738800e+15 THEN (CASE WHEN (pow(CAST(n_tokens AS DOUBLE), 0.5) / tw * 100000) >= 0 THEN floor((pow(CAST(n_tokens AS DOUBLE), 0.5) / tw * 100000) * 1000.0 + 0.5) / 1000.0 ELSE -(floor(-(pow(CAST(n_tokens AS DOUBLE), 0.5) / tw * 100000) * 1000.0 + 0.5) / 1000.0) END) ELSE (pow(CAST(n_tokens AS DOUBLE), 0.5) / tw * 100000) END) AS budget_tokens
             FROM per, t ORDER BY source""",
         "ewma_value_by_type": """
             WITH seqs AS (
@@ -4120,10 +4120,11 @@ def oracle_sql() -> dict[str, str]:
             c AS (SELECT doc_id, tok, COUNT(*) AS n FROM toks GROUP BY 1, 2)
             -- r10 sweep: each n·ln(n) term is grid-quantized to 1e-9 and
             -- summed as exact DECIMAL (the old raw-double sum was
-            -- order-sensitive), final on the 1e-6 grid — lockstep with
+            -- order-sensitive), final on the 1e-6 grid — both levels via
+            -- the runtime _gq twin (guards included), lockstep with
             -- functions/quality.token_entropy
             SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens, COUNT(*) AS n_unique,
-                   (CASE WHEN (ln(CAST(SUM(n) AS DOUBLE)) - CAST(SUM(CAST((CASE WHEN (CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) >= 0 THEN floor((CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) * 1000000000.0 + 0.5) / 1000000000.0 ELSE -(floor(-(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) * 1000000000.0 + 0.5) / 1000000000.0) END) AS DECIMAL(28,9))) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)) >= 0 THEN floor((ln(CAST(SUM(n) AS DOUBLE)) - CAST(SUM(CAST((CASE WHEN (CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) >= 0 THEN floor((CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) * 1000000000.0 + 0.5) / 1000000000.0 ELSE -(floor(-(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) * 1000000000.0 + 0.5) / 1000000000.0) END) AS DECIMAL(28,9))) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(ln(CAST(SUM(n) AS DOUBLE)) - CAST(SUM(CAST((CASE WHEN (CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) >= 0 THEN floor((CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) * 1000000000.0 + 0.5) / 1000000000.0 ELSE -(floor(-(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))) * 1000000000.0 + 0.5) / 1000000000.0) END) AS DECIMAL(28,9))) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0) END) AS entropy_nats
+                   {_gq("ln(CAST(SUM(n) AS DOUBLE)) - CAST(SUM(CAST(" + _gq("CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))", 9) + " AS DECIMAL(28,9))) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)", 6)} AS entropy_nats
             FROM c GROUP BY doc_id ORDER BY doc_id""",
         "containment_pairs_docs": f"""
             WITH {_SHINGLE5_CTE},
@@ -4135,9 +4136,9 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY 1, 2
             )
             SELECT doc_a, doc_b, n_shared,
-                   (CASE WHEN (CAST(n_shared AS DOUBLE) / sz) >= 0 THEN floor((CAST(n_shared AS DOUBLE) / sz) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(CAST(n_shared AS DOUBLE) / sz) * 1000000.0 + 0.5) / 1000000.0) END) AS containment
+                   (CASE WHEN abs(CAST(n_shared AS DOUBLE) / sz) < 4.61168601842738770e+12 THEN (CASE WHEN (CAST(n_shared AS DOUBLE) / sz) >= 0 THEN floor((CAST(n_shared AS DOUBLE) / sz) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(CAST(n_shared AS DOUBLE) / sz) * 1000000.0 + 0.5) / 1000000.0) END) ELSE (CAST(n_shared AS DOUBLE) / sz) END) AS containment
             FROM inter JOIN sizes ON sizes.doc_id = inter.doc_a
-            WHERE (CASE WHEN (CAST(n_shared AS DOUBLE) / sz) >= 0 THEN floor((CAST(n_shared AS DOUBLE) / sz) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(CAST(n_shared AS DOUBLE) / sz) * 1000000.0 + 0.5) / 1000000.0) END) >= 0.5
+            WHERE (CASE WHEN abs(CAST(n_shared AS DOUBLE) / sz) < 4.61168601842738770e+12 THEN (CASE WHEN (CAST(n_shared AS DOUBLE) / sz) >= 0 THEN floor((CAST(n_shared AS DOUBLE) / sz) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(CAST(n_shared AS DOUBLE) / sz) * 1000000.0 + 0.5) / 1000000.0) END) ELSE (CAST(n_shared AS DOUBLE) / sz) END) >= 0.5
             ORDER BY doc_a, doc_b""",
         "cross_source_dup_audit": rf"""
             WITH {_SHINGLE5_CTE},
@@ -4167,18 +4168,18 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY source_a, source_b""",
         "value_histogram_by_type": """
             WITH b AS (
-              SELECT event_type, (CASE WHEN (min(value)) >= 0 THEN floor((min(value)) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(min(value)) * 1000000.0 + 0.5) / 1000000.0) END) AS lo, (CASE WHEN (max(value)) >= 0 THEN floor((max(value)) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(max(value)) * 1000000.0 + 0.5) / 1000000.0) END) AS hi
+              SELECT event_type, (CASE WHEN abs(min(value)) < 4.61168601842738770e+12 THEN (CASE WHEN (min(value)) >= 0 THEN floor((min(value)) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(min(value)) * 1000000.0 + 0.5) / 1000000.0) END) ELSE (min(value)) END) AS lo, (CASE WHEN abs(max(value)) < 4.61168601842738770e+12 THEN (CASE WHEN (max(value)) >= 0 THEN floor((max(value)) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(max(value)) * 1000000.0 + 0.5) / 1000000.0) END) ELSE (max(value)) END) AS hi
               FROM events GROUP BY event_type
             ), x AS (
               SELECT e.event_type,
                      CASE WHEN b.hi = b.lo THEN 0
-                          ELSE least(9, CAST(floor(((CASE WHEN (e.value) >= 0 THEN floor((e.value) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(e.value) * 1000000.0 + 0.5) / 1000000.0) END) - b.lo) * 10 / (b.hi - b.lo)) AS INT))
+                          ELSE least(9, CAST(floor(((CASE WHEN abs(e.value) < 4.61168601842738770e+12 THEN (CASE WHEN (e.value) >= 0 THEN floor((e.value) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(e.value) * 1000000.0 + 0.5) / 1000000.0) END) ELSE (e.value) END) - b.lo) * 10 / (b.hi - b.lo)) AS INT))
                      END AS bucket,
                      b.lo, b.hi
               FROM events e JOIN b USING (event_type)
             )
             SELECT event_type, bucket, COUNT(*) AS n,
-                   (CASE WHEN (min(lo) + bucket * (min(hi) - min(lo)) / 10) >= 0 THEN floor((min(lo) + bucket * (min(hi) - min(lo)) / 10) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(min(lo) + bucket * (min(hi) - min(lo)) / 10) * 1000000.0 + 0.5) / 1000000.0) END) AS bucket_lo
+                   (CASE WHEN abs(min(lo) + bucket * (min(hi) - min(lo)) / 10) < 4.61168601842738770e+12 THEN (CASE WHEN (min(lo) + bucket * (min(hi) - min(lo)) / 10) >= 0 THEN floor((min(lo) + bucket * (min(hi) - min(lo)) / 10) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(min(lo) + bucket * (min(hi) - min(lo)) / 10) * 1000000.0 + 0.5) / 1000000.0) END) ELSE (min(lo) + bucket * (min(hi) - min(lo)) / 10) END) AS bucket_lo
             FROM x GROUP BY event_type, bucket
             ORDER BY event_type, bucket""",
         "top_docs_per_source": """
@@ -4190,14 +4191,14 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rk <= 3 ORDER BY source, rk""",
         "event_value_histogram": """
             WITH b AS (
-              SELECT (CASE WHEN (min(value)) >= 0 THEN floor((min(value)) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(min(value)) * 1000000.0 + 0.5) / 1000000.0) END) AS lo, (CASE WHEN (max(value)) >= 0 THEN floor((max(value)) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(max(value)) * 1000000.0 + 0.5) / 1000000.0) END) AS hi FROM events
+              SELECT (CASE WHEN abs(min(value)) < 4.61168601842738770e+12 THEN (CASE WHEN (min(value)) >= 0 THEN floor((min(value)) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(min(value)) * 1000000.0 + 0.5) / 1000000.0) END) ELSE (min(value)) END) AS lo, (CASE WHEN abs(max(value)) < 4.61168601842738770e+12 THEN (CASE WHEN (max(value)) >= 0 THEN floor((max(value)) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(max(value)) * 1000000.0 + 0.5) / 1000000.0) END) ELSE (max(value)) END) AS hi FROM events
             ), x AS (
-              SELECT least(19, CAST(floor(((CASE WHEN (value) >= 0 THEN floor((value) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(value) * 1000000.0 + 0.5) / 1000000.0) END) - lo) * 20 / (hi - lo)) AS INT)) AS bucket,
+              SELECT least(19, CAST(floor(((CASE WHEN abs(value) < 4.61168601842738770e+12 THEN (CASE WHEN (value) >= 0 THEN floor((value) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(value) * 1000000.0 + 0.5) / 1000000.0) END) ELSE (value) END) - lo) * 20 / (hi - lo)) AS INT)) AS bucket,
                      lo, hi
               FROM events, b
             )
             SELECT bucket, COUNT(*) AS n,
-                   (CASE WHEN (min(lo) + bucket * (min(hi) - min(lo)) / 20) >= 0 THEN floor((min(lo) + bucket * (min(hi) - min(lo)) / 20) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(min(lo) + bucket * (min(hi) - min(lo)) / 20) * 1000000.0 + 0.5) / 1000000.0) END) AS bucket_lo
+                   (CASE WHEN abs(min(lo) + bucket * (min(hi) - min(lo)) / 20) < 4.61168601842738770e+12 THEN (CASE WHEN (min(lo) + bucket * (min(hi) - min(lo)) / 20) >= 0 THEN floor((min(lo) + bucket * (min(hi) - min(lo)) / 20) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(min(lo) + bucket * (min(hi) - min(lo)) / 20) * 1000000.0 + 0.5) / 1000000.0) END) ELSE (min(lo) + bucket * (min(hi) - min(lo)) / 20) END) AS bucket_lo
             FROM x GROUP BY bucket ORDER BY bucket""",
         "lineitem_correlations": """
             WITH q AS (
@@ -4252,7 +4253,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY c.from_type, c.to_type""",
         "normalized_doc_scores": """
             SELECT doc_id, source, n_chars,
-                   (CASE WHEN (percent_rank() OVER (PARTITION BY source ORDER BY n_chars)) >= 0 THEN floor((percent_rank() OVER (PARTITION BY source ORDER BY n_chars)) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(percent_rank() OVER (PARTITION BY source ORDER BY n_chars)) * 1000000.0 + 0.5) / 1000000.0) END)
+                   (CASE WHEN abs(percent_rank() OVER (PARTITION BY source ORDER BY n_chars)) < 4.61168601842738770e+12 THEN (CASE WHEN (percent_rank() OVER (PARTITION BY source ORDER BY n_chars)) >= 0 THEN floor((percent_rank() OVER (PARTITION BY source ORDER BY n_chars)) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(percent_rank() OVER (PARTITION BY source ORDER BY n_chars)) * 1000000.0 + 0.5) / 1000000.0) END) ELSE (percent_rank() OVER (PARTITION BY source ORDER BY n_chars)) END)
                      AS norm_score
             FROM documents WHERE source IN ('src0', 'src1', 'src2')
             ORDER BY doc_id""",
@@ -4283,7 +4284,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             cmin AS (SELECT MIN(tokens / share) AS c FROM per),
             rates AS (
-              SELECT source, (CASE WHEN (least(1.0, c * share / tokens)) >= 0 THEN floor((least(1.0, c * share / tokens)) * 1000000000.0 + 0.5) / 1000000000.0 ELSE -(floor(-(least(1.0, c * share / tokens)) * 1000000000.0 + 0.5) / 1000000000.0) END) AS rate
+              SELECT source, (CASE WHEN abs(least(1.0, c * share / tokens)) < 4.61168601842738819e+09 THEN (CASE WHEN (least(1.0, c * share / tokens)) >= 0 THEN floor((least(1.0, c * share / tokens)) * 1000000000.0 + 0.5) / 1000000000.0 ELSE -(floor(-(least(1.0, c * share / tokens)) * 1000000000.0 + 0.5) / 1000000000.0) END) ELSE (least(1.0, c * share / tokens)) END) AS rate
               FROM per, cmin
             ),
             flagged AS (
@@ -4803,7 +4804,7 @@ def oracle_sql() -> dict[str, str]:
             corpus AS (SELECT doc_id, shingle FROM g5 WHERE doc_id % 29 <> 0)
             SELECT c.doc_id, COUNT(*) AS n_grams,
                    CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
-                   (CASE WHEN (SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*)) >= 0 THEN floor((SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0) END) AS contamination,
+                   (CASE WHEN abs(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*)) < 4.61168601842738770e+12 THEN (CASE WHEN (SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*)) >= 0 THEN floor((SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0) END) ELSE (SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*)) END) AS contamination,
                    (SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) * 1.0
                          / COUNT(*)) >= 0.05 AS contaminated
             FROM corpus c LEFT JOIN bench b ON c.shingle = b.shingle
@@ -4813,7 +4814,7 @@ def oracle_sql() -> dict[str, str]:
             freq AS (SELECT shingle, COUNT(*) AS d FROM g5 GROUP BY shingle)
             SELECT g.doc_id, COUNT(*) AS n_spans,
                    CAST(SUM(CASE WHEN f.d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
-                   (CASE WHEN (SUM(CASE WHEN f.d > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)) >= 0 THEN floor((SUM(CASE WHEN f.d > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(SUM(CASE WHEN f.d > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0) END) AS dup_fraction
+                   (CASE WHEN abs(SUM(CASE WHEN f.d > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)) < 4.61168601842738770e+12 THEN (CASE WHEN (SUM(CASE WHEN f.d > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)) >= 0 THEN floor((SUM(CASE WHEN f.d > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(SUM(CASE WHEN f.d > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0) END) ELSE (SUM(CASE WHEN f.d > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)) END) AS dup_fraction
             FROM g5 g JOIN freq f ON g.shingle = f.shingle
             GROUP BY g.doc_id ORDER BY doc_id""",
         "importance_sample_documents": f"""
@@ -5386,11 +5387,11 @@ def oracle_sql() -> dict[str, str]:
             WITH scored AS (
               -- r10: grid-quantized input, lockstep with grid_round
               SELECT event_type, event_id,
-                     CAST((CASE WHEN (value) >= 0 THEN floor((value) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(value) * 1000000.0 + 0.5) / 1000000.0) END) AS DECIMAL(28,6)) AS x,
+                     CAST((CASE WHEN abs(value) < 4.61168601842738770e+12 THEN (CASE WHEN (value) >= 0 THEN floor((value) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(value) * 1000000.0 + 0.5) / 1000000.0) END) ELSE (value) END) AS DECIMAL(28,6)) AS x,
                      COUNT(*) OVER w AS n,
-                     SUM(CAST((CASE WHEN (value) >= 0 THEN floor((value) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(value) * 1000000.0 + 0.5) / 1000000.0) END) AS DECIMAL(28,6))) OVER w AS s,
-                     SUM(CAST((CASE WHEN (value) >= 0 THEN floor((value) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(value) * 1000000.0 + 0.5) / 1000000.0) END) AS DECIMAL(28,6))
-                         * CAST((CASE WHEN (value) >= 0 THEN floor((value) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(value) * 1000000.0 + 0.5) / 1000000.0) END) AS DECIMAL(28,6))) OVER w AS ss
+                     SUM(CAST((CASE WHEN abs(value) < 4.61168601842738770e+12 THEN (CASE WHEN (value) >= 0 THEN floor((value) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(value) * 1000000.0 + 0.5) / 1000000.0) END) ELSE (value) END) AS DECIMAL(28,6))) OVER w AS s,
+                     SUM(CAST((CASE WHEN abs(value) < 4.61168601842738770e+12 THEN (CASE WHEN (value) >= 0 THEN floor((value) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(value) * 1000000.0 + 0.5) / 1000000.0) END) ELSE (value) END) AS DECIMAL(28,6))
+                         * CAST((CASE WHEN abs(value) < 4.61168601842738770e+12 THEN (CASE WHEN (value) >= 0 THEN floor((value) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(value) * 1000000.0 + 0.5) / 1000000.0) END) ELSE (value) END) AS DECIMAL(28,6))) OVER w AS ss
               FROM events
               WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
                            ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
@@ -6022,7 +6023,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             SELECT doc_id, n_words, n_sentences, n_syllables,
                    CASE WHEN n_words > 0 THEN
-                     (CASE WHEN (206.835 - 1.015 * CAST(n_words AS DOUBLE) / n_sentences - 84.6 * CAST(n_syllables AS DOUBLE) / n_words) >= 0 THEN floor((206.835 - 1.015 * CAST(n_words AS DOUBLE) / n_sentences - 84.6 * CAST(n_syllables AS DOUBLE) / n_words) * 100.0 + 0.5) / 100.0 ELSE -(floor(-(206.835 - 1.015 * CAST(n_words AS DOUBLE) / n_sentences - 84.6 * CAST(n_syllables AS DOUBLE) / n_words) * 100.0 + 0.5) / 100.0) END)
+                     (CASE WHEN abs(206.835 - 1.015 * CAST(n_words AS DOUBLE) / n_sentences - 84.6 * CAST(n_syllables AS DOUBLE) / n_words) < 4.61168601842738800e+16 THEN (CASE WHEN (206.835 - 1.015 * CAST(n_words AS DOUBLE) / n_sentences - 84.6 * CAST(n_syllables AS DOUBLE) / n_words) >= 0 THEN floor((206.835 - 1.015 * CAST(n_words AS DOUBLE) / n_sentences - 84.6 * CAST(n_syllables AS DOUBLE) / n_words) * 100.0 + 0.5) / 100.0 ELSE -(floor(-(206.835 - 1.015 * CAST(n_words AS DOUBLE) / n_sentences - 84.6 * CAST(n_syllables AS DOUBLE) / n_words) * 100.0 + 0.5) / 100.0) END) ELSE (206.835 - 1.015 * CAST(n_words AS DOUBLE) / n_sentences - 84.6 * CAST(n_syllables AS DOUBLE) / n_words) END)
                    END AS flesch
             FROM counts ORDER BY doc_id""",
         "luhn_check_orders": """
@@ -6221,12 +6222,7 @@ def oracle_sql() -> dict[str, str]:
                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                            * (CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)
                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
-                        THEN round((CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
-                                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                                   / sqrt((CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
-                                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                                          * (CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)
-                                             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                        THEN (CASE WHEN abs((CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / sqrt((CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * (CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) < 4.61168601842738770e+12 THEN (CASE WHEN abs((CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / sqrt((CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * (CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) < 4.61168601842738770e+12 THEN (CASE WHEN ((CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / sqrt((CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * (CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) >= 0 THEN floor(((CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / sqrt((CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * (CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-((CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / sqrt((CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * (CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) * 1000000.0 + 0.5) / 1000000.0) END) ELSE ((CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / sqrt((CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * (CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) END) ELSE ((CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / sqrt((CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * (CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) END)
                    END AS xcorr
             FROM s ORDER BY lag""",
         "survival_conversion_curve": """
@@ -6489,11 +6485,11 @@ def oracle_sql() -> dict[str, str]:
               FROM ranked GROUP BY g
             )
             SELECT g AS event_type, n,
+                   -- rho can be RATIONAL (matching rank-variance
+                   -- factors) — grid form, lockstep with grid_round (r10)
                    CASE WHEN sqrt(CAST(n * saa - sa * sa AS DOUBLE)
                                   * CAST(n * sbb - sb * sb AS DOUBLE)) > 0
-                        THEN round(CAST(n * sab - sa * sb AS DOUBLE)
-                                   / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
-                                          * CAST(n * sbb - sb * sb AS DOUBLE)), 6)
+                        THEN (CASE WHEN abs(CAST(n * sab - sa * sb AS DOUBLE) / sqrt(CAST(n * saa - sa * sa AS DOUBLE) * CAST(n * sbb - sb * sb AS DOUBLE))) < 4.61168601842738770e+12 THEN (CASE WHEN abs(CAST(n * sab - sa * sb AS DOUBLE) / sqrt(CAST(n * saa - sa * sa AS DOUBLE) * CAST(n * sbb - sb * sb AS DOUBLE))) < 4.61168601842738770e+12 THEN (CASE WHEN (CAST(n * sab - sa * sb AS DOUBLE) / sqrt(CAST(n * saa - sa * sa AS DOUBLE) * CAST(n * sbb - sb * sb AS DOUBLE))) >= 0 THEN floor((CAST(n * sab - sa * sb AS DOUBLE) / sqrt(CAST(n * saa - sa * sa AS DOUBLE) * CAST(n * sbb - sb * sb AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(CAST(n * sab - sa * sb AS DOUBLE) / sqrt(CAST(n * saa - sa * sa AS DOUBLE) * CAST(n * sbb - sb * sb AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0) END) ELSE (CAST(n * sab - sa * sb AS DOUBLE) / sqrt(CAST(n * saa - sa * sa AS DOUBLE) * CAST(n * sbb - sb * sb AS DOUBLE))) END) ELSE (CAST(n * sab - sa * sb AS DOUBLE) / sqrt(CAST(n * saa - sa * sa AS DOUBLE) * CAST(n * sbb - sb * sb AS DOUBLE))) END)
                    END AS spearman_rho
             FROM agg ORDER BY event_type""",
         "winsorized_mean_value_by_type": """
@@ -6819,10 +6815,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT g AS event_type, n0 AS n_day_pairs,
                    conc AS n_concordant, disc AS n_discordant,
+                   -- tau_b is RATIONAL for tie-free groups — grid form,
+                   -- lockstep with grid_round (r10)
                    CASE WHEN sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE)) > 0
-                        THEN round(CAST(conc - disc AS DOUBLE)
-                                   / sqrt(CAST(n0 - tx AS DOUBLE)
-                                          * CAST(n0 - ty AS DOUBLE)), 6)
+                        THEN (CASE WHEN abs(CAST(conc - disc AS DOUBLE) / sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE))) < 4.61168601842738770e+12 THEN (CASE WHEN abs(CAST(conc - disc AS DOUBLE) / sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE))) < 4.61168601842738770e+12 THEN (CASE WHEN (CAST(conc - disc AS DOUBLE) / sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE))) >= 0 THEN floor((CAST(conc - disc AS DOUBLE) / sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(CAST(conc - disc AS DOUBLE) / sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0) END) ELSE (CAST(conc - disc AS DOUBLE) / sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE))) END) ELSE (CAST(conc - disc AS DOUBLE) / sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE))) END)
                    END AS kendall_tau_b
             FROM agg ORDER BY event_type""",
         "markov_stationary_event_types": markov_oracle,
@@ -6843,7 +6839,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT CAST(SUM(CASE WHEN variant = 1 THEN r2 END) AS DECIMAL(38,0)) AS r2sum1,
                      CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
                      CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
-                     CAST(SUM(CAST(t * t - 1 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS tie3
+                     CAST(SUM(CAST(CAST(t AS DECIMAL(19,0)) * t - 1 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS tie3
               FROM ranked
             ),
             s1 AS (
@@ -6969,7 +6965,7 @@ def oracle_sql() -> dict[str, str]:
               FROM events e CROSS JOIN mid m JOIN bounds b ON b.g = e.event_type
               WHERE e.value IS NOT NULL
             ),
-            binned AS (
+            observed AS (
               SELECT g,
                      CASE WHEN hi = lo THEN 0
                           ELSE least(9, CAST(floor((v - lo) * 10 / (hi - lo)) AS INT))
@@ -6981,17 +6977,29 @@ def oracle_sql() -> dict[str, str]:
             totals AS (
               SELECT g, CAST(SUM(c_early) AS BIGINT) AS t_early,
                      CAST(SUM(c_late) AS BIGINT) AS t_late
-              FROM binned GROUP BY g
+              FROM observed GROUP BY g
+            ),
+            -- the FULL bin grid per group: a bin empty in BOTH halves
+            -- still carries its epsilon-floor term (lockstep with the
+            -- Spark side)
+            binned AS (
+              SELECT t.g, CAST(r.i AS INT) AS b,
+                     COALESCE(o.c_early, 0) AS c_early,
+                     COALESCE(o.c_late, 0) AS c_late
+              FROM totals t
+              CROSS JOIN (SELECT unnest(range(0, 10)) AS i) r
+              LEFT JOIN observed o ON o.g = t.g AND o.b = CAST(r.i AS INT)
             ),
             terms AS (
-              SELECT b.g, t.t_early, t.t_late,
+              SELECT b.g, t.t_early, t.t_late, b.c_early, b.c_late,
                      (CAST(b.c_early AS DOUBLE) + 0.5) / (CAST(t.t_early AS DOUBLE) + 5.0) AS p,
                      (CAST(b.c_late AS DOUBLE) + 0.5) / (CAST(t.t_late AS DOUBLE) + 5.0) AS q
               FROM binned b JOIN totals t USING (g)
             ),
             agg AS (
               SELECT g, MAX(t_early) AS n_early, MAX(t_late) AS n_late,
-                     CAST(COUNT(*) AS BIGINT) AS n_bins_used,
+                     CAST(SUM(CASE WHEN c_early + c_late > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_bins_used,
                      SUM(CAST(""" + _gq("(p - q) * ln(p / q)", 9) + """ AS DECIMAL(28,9))) AS s
               FROM terms GROUP BY g
             )

@@ -28,63 +28,10 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def grid_round(c: Column, decimals: int) -> Column:
-    """The repo's SHARED cross-engine quantizer: round-half-AWAY-FROM-ZERO
-    on the pure IEEE-double grid —
-
-        x >= 0:  floor(x·10^d + 0.5) / 10^d
-        x <  0: -floor(−x·10^d + 0.5) / 10^d
-
-    Why not the engine's ``round()``: Spark rounds the double's
-    SHORTEST-DECIMAL representation HALF_UP via BigDecimal while DuckDB
-    rounds the BINARY value by scaling in double — they diverge (a) on
-    values whose shortest-decimal lands exactly on the half-grid
-    (hypothesis-falsified live: 99997.999929/6 → ...321 vs ...322) and
-    (b) at MAGNITUDE past ~9e6·10^−d, where DuckDB's ``x·10^d`` loses
-    ulps that BigDecimal keeps (falsified live on a 1.26e9 trapezoid
-    term). This form is the SAME few IEEE ops in every engine, so it is
-    bit-identical at any magnitude, and the sign split makes ties round
-    away from zero — matching both engines' native tie direction (the
-    r9 one-sided ``floor(x·s + 0.5)/s`` form rounded negative ties
-    toward +inf, a user-visible deviation flagged by review). NULL in →
-    NULL out (the comparison is NULL, so the ``otherwise`` branch's
-    arithmetic on NULL yields NULL).
-
-    Guarded at extreme magnitude: Spark's ``floor`` returns BIGINT, so for
-    |x|·10^d ≥ 2^63 the long conversion would clamp while DuckDB's
-    double-valued floor sails on (found by the r10 mechanism property
-    test — a latent bug in the r9 one-sided sites too). Past
-    |x| ≥ 2^62/10^d the grid spacing is far below ulp(x), quantization is
-    a no-op, and both engines take the same identity branch on the same
-    comparison. (Residual exposure: a downstream DECIMAL cast of such an
-    unquantized huge double keeps the engine-native cast rounding — the
-    structural fix at that tier is integer/decimal accumulation, as in
-    twap_by_group.)
-    """
-    grid = float(10**decimals)
-    lim = float(2**62) / grid
-    pos = F.floor(c * grid + F.lit(0.5)) / grid
-    neg = -(F.floor((-c) * grid + F.lit(0.5)) / grid)
-    return F.when(F.abs(c) < lim, F.when(c >= 0, pos).otherwise(neg)).otherwise(c)
-
-
-def grid_round_sql(expr: str, decimals: int) -> str:
-    """The ANSI-SQL twin of `grid_round`, for oracle queries — the SAME
-    IEEE ops (abs-compare / floor / negate), so any engine computes the
-    identical double, including the same identity branch past the
-    2^62/10^d magnitude guard. Kept as a string builder so every oracle
-    stays in lockstep with the Spark expression by construction. The
-    guard limit is emitted in scientific notation: DuckDB parses
-    decimal-point literals through DECIMAL (double-rounding past 2^53)
-    but e-notation literals through strtod, which is exact."""
-    s = 10**decimals
-    lim = float(2**62) / float(s)
-    return (
-        f"(CASE WHEN abs({expr}) < {lim:.17e} THEN "
-        f"(CASE WHEN ({expr}) >= 0 THEN floor(({expr}) * {s}.0 + 0.5) / {s}.0 "
-        f"ELSE -(floor(-({expr}) * {s}.0 + 0.5) / {s}.0) END) "
-        f"ELSE ({expr}) END)"
-    )
+# The shared cross-engine quantizer lives in the leaf module `numeric`;
+# re-exported here because most call sites historically import it from
+# analytics (and the oracle twin must stay next to it).
+from .numeric import grid_round, grid_round_sql  # noqa: F401
 
 
 def grouped_linear_trend(
@@ -1252,7 +1199,10 @@ def xcorr_lags(
         F.col("syy").cast("double"),
     )
     denom = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
-    r = F.when(denom > 0, F.round((n * sxy - sx * sy) / denom, decimals))
+    # r is RATIONAL whenever the two variance factors form a perfect
+    # square (proportional series make it exact) — half-grid class (r10
+    # review): grid_round, not engine round()
+    r = F.when(denom > 0, grid_round((n * sxy - sx * sy) / denom, decimals))
     return stats.select(
         F.col("lag").cast("int").alias("lag"),
         F.col("n_days").cast("long").alias("n_days"),
@@ -1594,7 +1544,10 @@ def spearman_by_group(
         agg.select(
             F.col("g").alias(group_col),
             F.col("n").cast("long").alias("n"),
-            F.when(den > 0, F.round(num.cast("double") / den, scale)).alias("spearman_rho"),
+            # rho is RATIONAL when the x/y rank-variance factors match
+            # (den = sqrt(A·B) exact for A = B) — half-grid class (r10
+            # review): grid_round, not engine round()
+            F.when(den > 0, grid_round(num.cast("double") / den, scale)).alias("spearman_rho"),
         )
         .orderBy(group_col)
     )
@@ -1921,7 +1874,9 @@ def kendall_tau_daily_level_volume(
         F.col("n0").cast("long").alias("n_day_pairs"),
         F.col("conc").cast("long").alias("n_concordant"),
         F.col("disc").cast("long").alias("n_discordant"),
-        F.when(den > 0, F.round((F.col("conc") - F.col("disc")).cast("double") / den, scale)).alias(
+        # tau_b is RATIONAL for tie-free groups (den = sqrt(n0²) = n0) —
+        # half-grid class (r10 review): grid_round, not engine round()
+        F.when(den > 0, grid_round((F.col("conc") - F.col("disc")).cast("double") / den, scale)).alias(
             "kendall_tau_b"
         ),
     ).orderBy(group_col)
@@ -1972,8 +1927,13 @@ def mann_whitney_u_by_variant(
         F.sum(F.when(F.col("variant") == 1, F.col("r2"))).cast("decimal(38,0)").alias("r2sum1"),
         F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).cast("long").alias("n1"),
         F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).cast("long").alias("n0"),
-        # Σ(t³−t) over tie GROUPS = Σ_rows (t³−t)/t = Σ_rows (t²−1), exact
-        F.sum((F.col("t") * F.col("t") - 1).cast("decimal(38,0)")).cast("decimal(38,0)").alias("tie3"),
+        # Σ(t³−t) over tie GROUPS = Σ_rows (t³−t)/t = Σ_rows (t²−1), exact;
+        # t widens to DECIMAL BEFORE squaring — a long t·t wraps (ANSI:
+        # throws) past t ~ 3e9 rows sharing one value, exactly the
+        # 100 TB-tier tie a constant default metric produces (r10 review)
+        F.sum((F.col("t").cast("decimal(19,0)") * F.col("t") - 1).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("tie3"),
     )
     n1, n0 = F.col("n1").cast("double"), F.col("n0").cast("double")
     n = n1 + n0
@@ -2220,13 +2180,26 @@ def psi_value_drift_by_group(
             ),
         )
     )
-    binned = base.groupBy("g", bucket.alias("b")).agg(
+    observed = base.groupBy("g", bucket.alias("b")).agg(
         F.sum(F.when(~F.col("_late"), 1).otherwise(0)).cast("long").alias("c_early"),
         F.sum(F.when(F.col("_late"), 1).otherwise(0)).cast("long").alias("c_late"),
     )
-    totals = binned.groupBy("g").agg(
+    totals = observed.groupBy("g").agg(
         F.sum("c_early").cast("long").alias("t_early"),
         F.sum("c_late").cast("long").alias("t_late"),
+    )
+    # the FULL bin grid per group, not just observed bins (r10 review): a
+    # bin empty in BOTH halves still carries its ε-floor term — with
+    # unbalanced halves p₀ ≠ q₀ and dropping it understates drift (and the
+    # smoothed shares would no longer sum to 1). n_bins rows per group.
+    grid_bins = totals.select(
+        "g", F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("b")
+    )
+    binned = grid_bins.join(observed, ["g", "b"], "left").select(
+        "g",
+        "b",
+        F.coalesce(F.col("c_early"), F.lit(0)).alias("c_early"),
+        F.coalesce(F.col("c_late"), F.lit(0)).alias("c_late"),
     )
     joined = binned.join(totals, "g")
     # ε-floored shares: (c + 0.5) / (t + 0.5·n_bins) keeps empty bins finite
@@ -2241,7 +2214,11 @@ def psi_value_drift_by_group(
     agg = joined.groupBy("g").agg(
         F.max("t_early").alias("n_early"),
         F.max("t_late").alias("n_late"),
-        F.count(F.lit(1)).cast("long").alias("n_bins_used"),
+        # bins observed in at least one half (the PSI sum itself runs over
+        # ALL n_bins rows incl. both-empty ε-floor terms)
+        F.sum(F.when(F.col("c_early") + F.col("c_late") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bins_used"),
         F.sum(term).alias("_psi"),
     )
     return agg.select(

@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from smart_data_lake_spark.functions.analytics import grid_round
+from smart_data_lake_spark.functions.numeric import grid_round
 from smart_data_lake_spark.functions.dedup import shingles
 
 

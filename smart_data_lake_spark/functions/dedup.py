@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from smart_data_lake_spark.session import lineage_pin
 
-from .analytics import grid_round
+from .numeric import grid_round
 from .text import tokens
 
 
@@ -983,7 +983,11 @@ def jaccard_prefix_join(
     LOWER bound on emitted pairs, is compared against `max_pairs`; past it
     the call fails LOUDLY with the cluster form named as the scale path
     instead of OOMing mid-join. `max_pairs=None` disables the pre-count
-    (no extra job).
+    (no extra job). Deliberately ON by default — same convention as the
+    q-gram join's `max_short_bucket` eager count — because pair blowup is
+    this operator's COMMON misuse mode, unlike the rare decimal-bound
+    overflow whose check is opt-in; a caller who genuinely wants >5M pairs
+    states it by raising the cap.
     """
     toks = _similarity_token_sets(df, id_col, text_col, shingle_n)
     # the core references the set frame twice (df-frequency aggregate +

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from smart_data_lake_spark.session import lineage_pin
 from pyspark.sql.types import NumericType
 
-from smart_data_lake_spark.functions.analytics import grid_round
+from smart_data_lake_spark.functions.numeric import grid_round
 
 
 def grouped_outliers(

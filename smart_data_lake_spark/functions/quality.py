@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .analytics import grid_round
+from .numeric import grid_round
 from .text import tokens
 
 

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from smart_data_lake_spark.functions.analytics import grid_round
+from smart_data_lake_spark.functions.numeric import grid_round
 
 
 def hash_fraction(key: Column, denom: int = 10000) -> Column:

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from smart_data_lake_spark.session import lineage_pin
 
-from .analytics import grid_round
+from .numeric import grid_round
 from .text import tokens
 
 
@@ -828,8 +828,6 @@ def source_divergence(
         F.sum(t9(p * F.log(p / q))).alias("_klpq"),
         F.sum(t9(q * F.log(q / p))).alias("_klqp"),
         F.sum(t9(p * F.log(F.lit(2.0) * p / m2) + q * F.log(F.lit(2.0) * q / m2))).alias("_js2"),
-        F.max(F.col("tg").cast("double") + alpha * vocab).alias("_dp"),
-        F.max((F.col("tt") - F.col("tg")).cast("double") + alpha * vocab).alias("_dq"),
     )
     # unseen-term remainder: the corpus terms this source lacks (count 0
     # on the p side, full corpus count on the q side) still carry

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .numeric import grid_round
+
 # small multilingual stopword inventories for the language-ID heuristic;
 # plain public common words (the synthetic corpus is english-ish token soup,
 # but the operator is the real n-gram/stopword heuristic)
@@ -284,8 +286,6 @@ def flesch_reading_ease(col: Column, scale: int = 2) -> Column:
     )
     # the score is RATIONAL (fixed arithmetic over exact integer counts) —
     # the half-grid cross-engine divergence class (r10 sweep): grid_round
-    from .analytics import grid_round
-
     return F.when(words > 0, grid_round(score, scale))
 
 

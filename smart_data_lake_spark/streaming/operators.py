@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from smart_data_lake_spark.functions.analytics import grid_round
+from smart_data_lake_spark.functions.numeric import grid_round
 from smart_data_lake_spark.session import ensure_nanos_shim
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
