@@ -3837,23 +3837,47 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (PARTITION BY user_id
                                        ORDER BY cnt DESC, event_type DESC) = 1
             ORDER BY user_id""",
-        "mad_outliers_events": """
-            WITH med AS (
-              SELECT event_type, quantile_cont(value, 0.5) AS med
-              FROM events GROUP BY event_type
+        "mad_outliers_events": f"""
+            -- r11 sweep: both medians via EXPLICIT order statistics
+            -- (v_lo + (v_hi - v_lo) * frac, frac in {{0, 0.5}}), lockstep
+            -- with profiling.mad_outliers — engine percentile libraries
+            -- interpolate through different expression shapes
+            WITH ranked AS (
+              SELECT event_type, value,
+                     row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+                     COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM events WHERE value IS NOT NULL
+            ), med AS (
+              SELECT event_type,
+                     MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN value END)
+                     + (MAX(CASE WHEN rn = least((n - 1) // 2 + 2, n) THEN value END)
+                        - MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN value END))
+                       * MAX(CASE WHEN rn = 1
+                             THEN CAST((n - 1) % 2 AS DOUBLE) / 2.0 END) AS med
+              FROM ranked GROUP BY event_type
             ), dev AS (
               SELECT e.event_type, e.value, abs(e.value - m.med) AS adev, m.med
-              FROM events e JOIN med m USING (event_type)
+              FROM events e LEFT JOIN med m USING (event_type)
+            ), ranked2 AS (
+              SELECT event_type, adev,
+                     row_number() OVER (PARTITION BY event_type ORDER BY adev) AS rn,
+                     COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM dev WHERE adev IS NOT NULL
             ), mads AS (
-              SELECT event_type, quantile_cont(adev, 0.5) AS mad
-              FROM dev GROUP BY event_type
+              SELECT event_type,
+                     MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN adev END)
+                     + (MAX(CASE WHEN rn = least((n - 1) // 2 + 2, n) THEN adev END)
+                        - MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN adev END))
+                       * MAX(CASE WHEN rn = 1
+                             THEN CAST((n - 1) % 2 AS DOUBLE) / 2.0 END) AS mad
+              FROM ranked2 GROUP BY event_type
             )
             SELECT d.event_type, COUNT(*) AS n,
-                   round(MAX(d.med), 6) AS median_value,
-                   round(MAX(m.mad), 6) AS mad,
+                   {_gq("MAX(d.med)", 6)} AS median_value,
+                   {_gq("MAX(m.mad)", 6)} AS mad,
                    CAST(SUM(CASE WHEN m.mad > 0 AND d.adev > 3 * m.mad
                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
-            FROM dev d JOIN mads m USING (event_type)
+            FROM dev d LEFT JOIN mads m USING (event_type)
             GROUP BY d.event_type ORDER BY d.event_type""",
         "top_bigrams_corpus": r"""
             WITH toksrc AS (
@@ -3903,7 +3927,7 @@ def oracle_sql() -> dict[str, str]:
               FROM base, st
             ),
             bm_top AS (
-              SELECT doc_id, round(raw_score, 6) AS score
+              SELECT doc_id, {_gq("raw_score", 6)} AS score
               FROM sc WHERE n_matched > 0
               ORDER BY score DESC, doc_id LIMIT 50
             ),
@@ -3917,9 +3941,9 @@ def oracle_sql() -> dict[str, str]:
               ) WHERE rank <= 50
             ),
             contrib AS (
-              SELECT doc_id, CAST(round(1.0 / (60 + rank), 9) AS DECIMAL(12,9)) AS c FROM r1
+              SELECT doc_id, CAST({_gq("1.0 / (60 + rank)", 9)} AS DECIMAL(12,9)) AS c FROM r1
               UNION ALL
-              SELECT doc_id, CAST(round(1.0 / (60 + rank), 9) AS DECIMAL(12,9)) AS c FROM r2
+              SELECT doc_id, CAST({_gq("1.0 / (60 + rank)", 9)} AS DECIMAL(12,9)) AS c FROM r2
             )
             SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS rrf_score, COUNT(*) AS n_rankings
             FROM contrib GROUP BY doc_id
@@ -4200,12 +4224,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT bucket, COUNT(*) AS n,
                    (CASE WHEN abs(min(lo) + bucket * (min(hi) - min(lo)) / 20) < 4.61168601842738770e+12 THEN (CASE WHEN (min(lo) + bucket * (min(hi) - min(lo)) / 20) >= 0 THEN floor((min(lo) + bucket * (min(hi) - min(lo)) / 20) * 1000000.0 + 0.5) / 1000000.0 ELSE -(floor(-(min(lo) + bucket * (min(hi) - min(lo)) / 20) * 1000000.0 + 0.5) / 1000000.0) END) ELSE (min(lo) + bucket * (min(hi) - min(lo)) / 20) END) AS bucket_lo
             FROM x GROUP BY bucket ORDER BY bucket""",
-        "lineitem_correlations": """
+        "lineitem_correlations": f"""
+            -- grid-quantized input-side rounds + rational final (r10/r11
+            -- sweep), lockstep with profiling.pairwise_correlations.
+            -- DECIMAL(28,6), not (38,6): DuckDB's (38,6)x(38,6) product
+            -- cannot widen, while (28,6)x(28,6) -> (38,12) keeps the
+            -- squares of sub-1e-3 values exact — the Spark side uses
+            -- (18,6) whose (37,12) product is exact in ITS engine
             WITH q AS (
-              SELECT CAST(round(l_quantity, 6) AS DECIMAL(38,6)) AS a,
-                     CAST(round(l_extendedprice, 6) AS DECIMAL(38,6)) AS b,
-                     CAST(round(l_discount, 6) AS DECIMAL(38,6)) AS c,
-                     CAST(round(l_tax, 6) AS DECIMAL(38,6)) AS d
+              SELECT CAST({_gq("l_quantity", 6)} AS DECIMAL(28,6)) AS a,
+                     CAST({_gq("l_extendedprice", 6)} AS DECIMAL(28,6)) AS b,
+                     CAST({_gq("l_discount", 6)} AS DECIMAL(28,6)) AS c,
+                     CAST({_gq("l_tax", 6)} AS DECIMAL(28,6)) AS d
               FROM lineitem
             ), s AS (
               SELECT COUNT(*) AS n,
@@ -4222,15 +4252,25 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT 'l_extendedprice', 'l_tax', sbd, sb, sd, ssb, ssd, n FROM s
               UNION ALL SELECT 'l_discount', 'l_tax', scd, sc, sd, ssc, ssd, n FROM s
             )
+            , g AS (
+              SELECT col_a, col_b, n,
+                     CAST(n AS DOUBLE) * CAST(sp AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) AS num,
+                     CAST(n AS DOUBLE) * CAST(q1 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) AS ra,
+                     CAST(n AS DOUBLE) * CAST(q2 AS DOUBLE)
+                       - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) AS rb
+              FROM pairs
+            )
+            -- radicands guarded BEFORE sqrt (lockstep with the Spark
+            -- side): a constant series cancels to a tiny negative where
+            -- sqrt hard-errors here and Spark's NaN > 0 is TRUE
             SELECT col_a, col_b,
-                   CASE WHEN sqrt(CAST(n AS DOUBLE) * CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
-                             * sqrt(CAST(n AS DOUBLE) * CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)) > 0
-                        THEN round((CAST(n AS DOUBLE) * CAST(sp AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE))
-                                   / (sqrt(CAST(n AS DOUBLE) * CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
-                                      * sqrt(CAST(n AS DOUBLE) * CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))), 6)
+                   CASE WHEN ra > 0 AND rb > 0
+                        THEN {_gq("num / (sqrt(ra) * sqrt(rb))", 6)}
                    END AS corr,
                    n
-            FROM pairs ORDER BY col_a, col_b""",
+            FROM g ORDER BY col_a, col_b""",
         "event_transitions": """
             WITH seqs AS (
               SELECT user_id, list(event_type ORDER BY ts, event_id) AS types
@@ -4953,7 +4993,7 @@ def oracle_sql() -> dict[str, str]:
                  + CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS n_matched
               FROM base, st
             )
-            SELECT doc_id, round(raw_score, 6) AS score, n_matched
+            SELECT doc_id, {_gq("raw_score", 6)} AS score, n_matched
             FROM sc WHERE n_matched > 0
             ORDER BY score DESC, doc_id LIMIT 20""",
         "pii_redaction": """
@@ -5043,7 +5083,7 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY p.doc_a, p.doc_b
             )
             SELECT i.doc_a, i.doc_b,
-                   round(i.n_inter * 1.0 / (za.n + zb.n - i.n_inter), 6) AS jaccard
+                   {_gq("i.n_inter * 1.0 / (za.n + zb.n - i.n_inter)", 6)} AS jaccard
             FROM inter i JOIN sizes za ON za.doc_id = i.doc_a JOIN sizes zb ON zb.doc_id = i.doc_b
             ORDER BY doc_a, doc_b""",
         "simhash_docs": rf"""
@@ -5334,7 +5374,7 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT COUNT(*) FROM (SELECT * FROM b96 EXCEPT SELECT * FROM b97)) AS n_only_96,
                    (SELECT COUNT(*) FROM (SELECT * FROM b97 EXCEPT SELECT * FROM b96)) AS n_only_97,
                    (SELECT COUNT(*) FROM (SELECT * FROM b96 UNION SELECT * FROM b97)) AS n_union""",
-        "unigram_quality_docs": r"""
+        "unigram_quality_docs": rf"""
             WITH toks AS (
               SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
               FROM documents WHERE length(trim(lower(text))) > 0
@@ -5342,21 +5382,23 @@ def oracle_sql() -> dict[str, str]:
               SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
             ), tot AS (SELECT SUM(cnt) AS total FROM vocab),
             sv AS (
-              SELECT tok, CAST(round(ln(cnt * 1.0 / total), 6) AS DECIMAL(18,6)) AS logp
+              -- grid-quantized libm-log term + rational final (r10/r11
+              -- rounding sweep), lockstep with quality.unigram_logprob_score
+              SELECT tok, CAST({_gq("ln(cnt * 1.0 / total)", 6)} AS DECIMAL(18,6)) AS logp
               FROM vocab, tot
             )
             SELECT doc_id, COUNT(*) AS n_tokens,
-                   round(CAST(SUM(logp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob
+                   {_gq("CAST(SUM(logp) AS DOUBLE) / COUNT(*)", 6)} AS avg_logprob
             FROM toks JOIN sv USING (tok)
             GROUP BY doc_id ORDER BY doc_id""",
-        "autocorr_lag1_value_by_type": """
+        "autocorr_lag1_value_by_type": f"""
             WITH lagged AS (
               -- DECIMAL(28,6), not (18,6): DuckDB's (18,6)x(18,6) product
               -- type keeps only 6 integer digits and OVERFLOWS for values
               -- >= 1e3 (hypothesis-found); (28,6)x(28,6) -> (38,12), exact
               SELECT event_type,
-                     CAST(round(value, 6) AS DECIMAL(28,6)) AS x,
-                     LAG(CAST(round(value, 6) AS DECIMAL(28,6)))
+                     CAST({_gq("value", 6)} AS DECIMAL(28,6)) AS x,
+                     LAG(CAST({_gq("value", 6)} AS DECIMAL(28,6)))
                        OVER (PARTITION BY event_type ORDER BY ts, event_id) AS y
               FROM events
             ),
@@ -5380,7 +5422,7 @@ def oracle_sql() -> dict[str, str]:
             -- tiny negative, where DuckDB's sqrt hard-errors (Spark -> NaN)
             SELECT event_type, n_pairs,
                    CASE WHEN ra > 0 AND rb > 0
-                        THEN round(num / (sqrt(ra) * sqrt(rb)), 6)
+                        THEN {_gq("num / (sqrt(ra) * sqrt(rb))", 6)}
                    END AS autocorr_lag1
             FROM g ORDER BY event_type""",
         "rolling_z_anomalies_events": """
@@ -5544,14 +5586,11 @@ def oracle_sql() -> dict[str, str]:
                  JOIN sizes sa ON sa.g = p.source_a
                  JOIN sizes sb ON sb.g = p.source_b
             ORDER BY p.source_a, p.source_b""",
-        "decayed_popularity_by_type": """
+        "decayed_popularity_by_type": f"""
             WITH ref AS (SELECT MAX(ts) AS ref_ts FROM events),
             w AS (
               SELECT event_type,
-                     CAST(round(exp(-0.6931471805599453
-                                    * (CAST(epoch_us(ref_ts) AS DOUBLE) / 1e6
-                                       - CAST(epoch_us(ts) AS DOUBLE) / 1e6)
-                                    / (24.0 * 3600.0)), 6)
+                     CAST({_gq("exp(-0.6931471805599453 * (CAST(epoch_us(ref_ts) AS DOUBLE) / 1e6 - CAST(epoch_us(ts) AS DOUBLE) / 1e6) / (24.0 * 3600.0))", 6)}
                           AS DECIMAL(18,6)) AS wgt
               FROM events, ref
             )
@@ -5623,10 +5662,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT label AS cluster_id, COUNT(*) AS n_docs,
                    MAX(CASE WHEN rk = 1 THEN node END) AS canonical_doc_id
             FROM ranked GROUP BY label ORDER BY cluster_id""",
-        "cusum_changepoint_by_type": """
+        "cusum_changepoint_by_type": f"""
             WITH q AS (
               SELECT event_type, event_id, ts,
-                     CAST(round(value, 6) AS DECIMAL(18,6)) AS x
+                     CAST({_gq("value", 6)} AS DECIMAL(18,6)) AS x
               FROM events
             ), c AS (
               SELECT event_type, event_id,
@@ -5712,14 +5751,13 @@ def oracle_sql() -> dict[str, str]:
             v AS (SELECT COUNT(*) AS v FROM uni),
             scored AS (
               SELECT d.doc_id,
-                     CAST(round(ln((b.c12 + 1.0)
-                                   / (CAST(u.c1 AS DOUBLE) + CAST(v.v AS DOUBLE))), 6)
+                     CAST({_gq("ln((b.c12 + 1.0) / (CAST(u.c1 AS DOUBLE) + CAST(v.v AS DOUBLE)))", 6)}
                           AS DECIMAL(18,6)) AS lp
               FROM doc_bi d JOIN bi b USING (w1, w2)
                    JOIN uni u ON u.term = d.w1, v
             )
             SELECT doc_id, COUNT(*) AS n_bigrams,
-                   round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_bigram_logprob
+                   {_gq("CAST(SUM(lp) AS DOUBLE) / COUNT(*)", 6)} AS avg_bigram_logprob
             FROM scored GROUP BY doc_id ORDER BY doc_id""",
         "minhash_calibration_audit": f"""
             WITH {_SHINGLE_CTE}, {_minhash_cte()},
@@ -5734,8 +5772,7 @@ def oracle_sql() -> dict[str, str]:
             per_pair AS (
               SELECT p.doc_a, p.doc_b,
                      (CASE WHEN a.mh_0 = b.mh_0 THEN 1 ELSE 0 END + CASE WHEN a.mh_1 = b.mh_1 THEN 1 ELSE 0 END + CASE WHEN a.mh_2 = b.mh_2 THEN 1 ELSE 0 END + CASE WHEN a.mh_3 = b.mh_3 THEN 1 ELSE 0 END + CASE WHEN a.mh_4 = b.mh_4 THEN 1 ELSE 0 END + CASE WHEN a.mh_5 = b.mh_5 THEN 1 ELSE 0 END + CASE WHEN a.mh_6 = b.mh_6 THEN 1 ELSE 0 END + CASE WHEN a.mh_7 = b.mh_7 THEN 1 ELSE 0 END + CASE WHEN a.mh_8 = b.mh_8 THEN 1 ELSE 0 END + CASE WHEN a.mh_9 = b.mh_9 THEN 1 ELSE 0 END + CASE WHEN a.mh_10 = b.mh_10 THEN 1 ELSE 0 END + CASE WHEN a.mh_11 = b.mh_11 THEN 1 ELSE 0 END) AS est_matches,
-                     CAST(round(i.n_inter * 1.0
-                                / (za.n_sh + zb.n_sh - i.n_inter), 6)
+                     CAST({_gq("i.n_inter * 1.0 / (za.n_sh + zb.n_sh - i.n_inter)", 6)}
                           AS DECIMAL(18,6)) AS jac
               FROM pairs p
                    JOIN mh a ON a.doc_id = p.doc_a
@@ -5748,11 +5785,10 @@ def oracle_sql() -> dict[str, str]:
                    JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
             )
             SELECT est_matches,
-                   round(est_matches / 12.0, 6) AS est_jaccard,
+                   {_gq("est_matches / 12.0", 6)} AS est_jaccard,
                    COUNT(*) AS n_pairs,
                    CAST(SUM(jac) AS DOUBLE) / COUNT(*) AS avg_exact_jaccard,
-                   CAST(SUM(CAST(round(abs(CAST(est_matches AS DOUBLE) / 12.0
-                                            - CAST(jac AS DOUBLE)), 6)
+                   CAST(SUM(CAST({_gq("abs(CAST(est_matches AS DOUBLE) / 12.0 - CAST(jac AS DOUBLE))", 6)}
                                  AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
                      AS mean_abs_error
             FROM per_pair GROUP BY est_matches ORDER BY est_matches""",
@@ -5865,18 +5901,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE sample_rank <= 3 ORDER BY source, sample_rank""",
         "benford_order_totals": f"""
             WITH obs AS (
-              SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+              SELECT CAST(substr(CAST(CAST({_gq("o_totalprice * 100", 0)} AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
                      CAST(COUNT(*) AS BIGINT) AS n_obs
               FROM orders WHERE o_totalprice IS NOT NULL
-                AND CAST(round(o_totalprice * 100) AS BIGINT) > 0
+                AND CAST({_gq("o_totalprice * 100", 0)} AS BIGINT) > 0
               GROUP BY 1
             ), tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS t FROM obs),
             expect(digit, benford_frac) AS (VALUES {benford_vals})
             SELECT e.digit,
                    CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs,
-                   round(COALESCE(o.n_obs, 0) / CAST(tot.t AS DOUBLE), 6) AS obs_frac,
-                   round(e.benford_frac, 6) AS benford_frac,
-                   round(abs(COALESCE(o.n_obs, 0) / CAST(tot.t AS DOUBLE) - e.benford_frac), 6) AS abs_dev
+                   {_gq("COALESCE(o.n_obs, 0) / CAST(tot.t AS DOUBLE)", 6)} AS obs_frac,
+                   {_gq("e.benford_frac", 6)} AS benford_frac,
+                   {_gq("abs(COALESCE(o.n_obs, 0) / CAST(tot.t AS DOUBLE) - e.benford_frac)", 6)} AS abs_dev
             FROM expect e LEFT JOIN obs o ON o.digit = e.digit CROSS JOIN tot
             ORDER BY e.digit""",
         "ivfpq_topk_embeddings": f"""

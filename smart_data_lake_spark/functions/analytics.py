@@ -460,7 +460,8 @@ def lagged_autocorrelation(
     # round products back to scale s — see zipf_slope); caller contract:
     # |value| must fit 12 integer digits
     dec = f"decimal(18,{decimals})"
-    q = F.round(F.col(value_col), decimals).cast(dec)
+    # grid_round before the cast (r10/r11 sweep: input-side class)
+    q = grid_round(F.col(value_col), decimals).cast(dec)
     pairs = (
         df.select(F.col(group_col), q.alias("_x"), F.col(ts_col), F.col(tiebreak_col))
         .withColumn("_y", F.lag("_x", lag).over(w))
@@ -494,7 +495,7 @@ def lagged_autocorrelation(
         F.col(group_col),
         F.col("_n").alias("n_pairs"),
         F.when(
-            (ra > 0) & (rb > 0), F.round(num / (F.sqrt(ra) * F.sqrt(rb)), decimals)
+            (ra > 0) & (rb > 0), grid_round(num / (F.sqrt(ra) * F.sqrt(rb)), decimals)
         ).alias(f"autocorr_lag{lag}"),
     )
 
@@ -676,7 +677,9 @@ def decayed_popularity(
     dec = f"decimal(18,{decimals})"
     return (
         df.crossJoin(F.broadcast(ref))
-        .select(F.col(key_col), F.round(w, decimals).cast(dec).alias("_w"))
+        # grid_round, not engine round() (r10/r11 sweep: the libm-exp
+        # weight can land on the half-grid)
+        .select(F.col(key_col), grid_round(w, decimals).cast(dec).alias("_w"))
         .groupBy(key_col)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -709,7 +712,8 @@ def cusum_changepoint(
     window (cumsum + row_number share the sort), a broadcast per-group
     totals join, a TakeOrdered-style per-group argmax — no global sort."""
     dec = f"decimal(18,{decimals})"
-    q = F.round(F.col(value_col), decimals).cast(dec)
+    # grid_round before the cast (r10/r11 sweep: input-side class)
+    q = grid_round(F.col(value_col), decimals).cast(dec)
     w = Window.partitionBy(group_col).orderBy(ts_col, tiebreak_col)
     cum = (
         df.select(F.col(group_col), F.col(ts_col), F.col(tiebreak_col), q.alias("_x"))

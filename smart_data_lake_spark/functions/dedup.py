@@ -131,7 +131,9 @@ def ngram_jaccard(
         .select(
             "doc_a",
             "doc_b",
-            F.round(
+            # grid_round, not engine round() (r10 sweep: the emitted
+            # similarity is an int/int rational — the half-grid class)
+            grid_round(
                 F.col("n_inter")
                 / (F.col("za.n_shingles") + F.col("zb.n_shingles") - F.col("n_inter")),
                 6,
@@ -921,7 +923,7 @@ def minhash_estimate_calibration(
     est = F.col("est_matches").cast("double") / float(num_hashes)
     dec = "decimal(18,6)"
     q_j = F.col("jaccard").cast(dec)  # already rounded to 1e-6 by the verify
-    q_err = F.round(F.abs(est - F.col("jaccard")), 6).cast(dec)
+    q_err = grid_round(F.abs(est - F.col("jaccard")), 6).cast(dec)
     return (
         per_pair.groupBy("est_matches")
         .agg(
@@ -931,7 +933,7 @@ def minhash_estimate_calibration(
         )
         .select(
             "est_matches",
-            F.round(F.col("est_matches") / float(num_hashes), 6).alias("est_jaccard"),
+            grid_round(F.col("est_matches") / float(num_hashes), 6).alias("est_jaccard"),
             "n_pairs",
             "avg_exact_jaccard",
             "mean_abs_error",

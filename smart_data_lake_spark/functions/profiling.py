@@ -158,32 +158,57 @@ def mad_outliers(
     threshold × MAD; groups with MAD = 0 report zero outliers (degenerate
     spread) rather than dividing by zero.
 
-    Shape: exact `percentile` aggregation per group (one shuffle), broadcast
-    medians back, second exact percentile over deviations (second shuffle),
-    one final conditional count. Two shuffles total, both map-side
-    combinable; at the 100 TB tier swap `percentile` for
-    `approx_percentile`'s t-digest (documented trade, same plan shape) —
-    mirrors the `event_value_percentiles` scale note.
+    Engine-exactness (r11 sweep — the exact_quartiles rework applied to
+    the two medians): both medians are computed EXPLICITLY from order
+    statistics — rank lo = (n−1) div 2 + 1, exact binary fraction
+    frac = ((n−1) mod 2)/2 ∈ {0, ½}, result v_lo + (v_hi − v_lo)·frac —
+    one fixed IEEE expression of raw doubles, bit-identical on any
+    engine, instead of each engine's percentile library (Spark
+    `percentile` and DuckDB `quantile_cont` interpolate through
+    different expression shapes). Finals quantize through the shared
+    `grid_round`, never engine round().
+
+    Shape: one window sort per group for each median (two shuffles, same
+    count as the old percentile form), broadcast joins back; at the
+    100 TB tier swap in `approx_quantile_buckets`' GK sketch for the
+    same contract at bounded memory — this is the audit-grade companion.
     """
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    medians = df.groupBy(group_col).agg(
-        F.expr(f"percentile({value_col}, 0.5)").alias("_med")
-    )
-    with_dev = df.join(F.broadcast(medians), group_col).withColumn(
+    def interp_median(frame, col):
+        """One explicit order-statistics median per group: the unrounded
+        interpolated double, NULL for groups with no non-null values."""
+        w = Window.partitionBy(group_col).orderBy(F.col(col))
+        wg = Window.partitionBy(group_col)
+        ranked = (
+            frame.where(F.col(col).isNotNull())
+            .withColumn("_rn", F.row_number().over(w))
+            .withColumn("_n", F.count(F.lit(1)).over(wg))
+        )
+        pos = F.col("_n") - 1
+        lo = F.floor(pos / 2) + 1
+        hi = F.least(lo + 1, F.col("_n"))
+        frac = (pos % 2).cast("double") / 2.0
+        vlo = F.max(F.when(F.col("_rn") == lo, F.col(col)))
+        vhi = F.max(F.when(F.col("_rn") == hi, F.col(col)))
+        fr = F.max(F.when(F.col("_rn") == 1, frac))
+        return ranked.groupBy(group_col).agg((vlo + (vhi - vlo) * fr).alias("_m"))
+
+    medians = interp_median(df, value_col).withColumnRenamed("_m", "_med")
+    # LEFT joins keep all-null groups in the output (median/mad NULL, the
+    # old percentile()-based form's semantics) instead of dropping them
+    with_dev = df.join(F.broadcast(medians), group_col, "left").withColumn(
         "_adev", F.abs(F.col(value_col) - F.col("_med"))
     )
-    mads = with_dev.groupBy(group_col).agg(
-        F.expr("percentile(_adev, 0.5)").alias("_mad"),
-        F.first("_med").alias("_med2"),
-    )
+    mads = interp_median(with_dev, "_adev").withColumnRenamed("_m", "_mad")
     return (
-        with_dev.join(F.broadcast(mads.drop("_med2")), group_col)
+        with_dev.join(F.broadcast(mads), group_col, "left")
         .groupBy(group_col)
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.first("_med"), 6).alias("median_value"),
-            F.round(F.first("_mad"), 6).alias("mad"),
+            grid_round(F.first("_med"), 6).alias("median_value"),
+            grid_round(F.first("_mad"), 6).alias("mad"),
             F.sum(
                 F.when(
                     (F.col("_mad") > 0)
@@ -217,8 +242,15 @@ def pairwise_correlations(
     """
     from pyspark.sql import functions as F
 
-    dec = "decimal(38,6)"
-    q = {c: F.round(F.col(c), decimals).cast(dec) for c in cols}
+    # decimal(18,s), not (38,s): Spark's (38,s)x(38,s) product CLAMPS the
+    # scale back to s (hypothesis-found live: 0.000061^2 -> 0.000000 while
+    # DuckDB keeps scale 2s), so squares of sub-1e-3 values vanished on one
+    # side only; (18,6)x(18,6) -> (37,12), exact — the proven
+    # lagged_autocorrelation treatment. Caller contract: |value| < 1e12.
+    dec = f"decimal(18,{decimals})"
+    # grid_round before the cast (r10/r11 sweep): the input-side
+    # quantization of raw doubles is the same cross-engine class
+    q = {c: grid_round(F.col(c), decimals).cast(dec) for c in cols}
     aggs = [F.count(F.lit(1)).alias("_n")]
     for c in cols:
         aggs.append(F.sum(q[c]).alias(f"_s_{c}"))
@@ -239,8 +271,16 @@ def pairwise_correlations(
         ssa, ssb = F.col(f"_ss_{a}").cast("double"), F.col(f"_ss_{b}").cast("double")
         sp = F.col(f"_sp_{a}_{b}").cast("double")
         num = n * sp - sa * sb
-        den = F.sqrt(n * ssa - sa * sa) * F.sqrt(n * ssb - sb * sb)
-        corr = F.when(den > 0, F.round(num / den, decimals))
+        # guard each RADICAND before sqrt (the lagged_autocorrelation
+        # treatment): a constant series cancels to a tiny NEGATIVE in
+        # double, sqrt(negative) is NaN in Spark — and Spark's NaN > 0 is
+        # TRUE (NaN sorts greatest), so the old post-sqrt den > 0 guard
+        # emitted NaN where DuckDB hard-errors (hypothesis-found live)
+        ra = n * ssa - sa * sa
+        rb = n * ssb - sb * sb
+        corr = F.when(
+            (ra > 0) & (rb > 0), grid_round(num / (F.sqrt(ra) * F.sqrt(rb)), decimals)
+        )
         pair_structs.append(
             F.struct(
                 F.lit(a).alias("col_a"),
@@ -669,7 +709,9 @@ def benford_first_digit(
     zero observations included.
     """
     scale = F.lit(100) if cents else F.lit(1)
-    v = F.round(F.col(value_col).cast("double") * scale).cast("long")
+    # grid_round, not engine round() (r10/r11 sweep): the cents
+    # quantization of a raw double is the input-side half-grid class
+    v = grid_round(F.col(value_col).cast("double") * scale, 0).cast("long")
     # filter on the SCALED integer, not the raw value: a value in
     # (0, 0.005) rounds to 0 cents — digit '0' has no Benford expectation
     # row, so counting it in the denominator would bias every obs_frac
@@ -691,9 +733,9 @@ def benford_first_digit(
         .select(
             "digit",
             F.coalesce(F.col("n_obs"), F.lit(0)).alias("n_obs"),
-            F.round(F.coalesce(F.col("n_obs"), F.lit(0)) / F.col("_tot"), 6).alias("obs_frac"),
-            F.round(F.col("benford_frac"), 6).alias("benford_frac"),
-            F.round(
+            grid_round(F.coalesce(F.col("n_obs"), F.lit(0)) / F.col("_tot"), 6).alias("obs_frac"),
+            grid_round(F.col("benford_frac"), 6).alias("benford_frac"),
+            grid_round(
                 F.abs(F.coalesce(F.col("n_obs"), F.lit(0)) / F.col("_tot") - F.col("benford_frac")),
                 6,
             ).alias("abs_dev"),

@@ -208,7 +208,9 @@ def unigram_logprob_score(
     total = vocab.agg(F.sum("cnt").alias("total"))
     scored_vocab = vocab.crossJoin(F.broadcast(total)).select(
         "tok",
-        F.round(F.log(F.col("cnt") / F.col("total")), round_scale)
+        # grid_round, not engine round() (r10 sweep: libm log output can
+        # land on the half-grid; engine round() diverges there)
+        grid_round(F.log(F.col("cnt") / F.col("total")), round_scale)
         .cast("decimal(18,6)")
         .alias("logp"),
     )
@@ -217,7 +219,7 @@ def unigram_logprob_score(
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(
+            grid_round(
                 (F.sum("logp").cast("double") / F.count(F.lit(1))), round_scale
             ).alias("avg_logprob"),
         )
@@ -379,7 +381,9 @@ def bigram_logprob_score(
     uni_counts = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
     vocab = uni_counts.agg(F.count(F.lit(1)).alias("v"))
     dec = f"decimal(18,{decimals})"
-    logp = F.round(
+    # grid_round, not engine round() (r10 sweep — same class as the
+    # unigram scorer: libm-log terms and the decimal-sum/count final)
+    logp = grid_round(
         F.log(
             (F.col("c12") + 1.0)
             / (F.col("c1").cast("double") + F.col("v").cast("double"))
@@ -394,7 +398,7 @@ def bigram_logprob_score(
     )
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(F.sum("_lp").cast("double") / F.count(F.lit(1)), decimals).alias(
+        grid_round(F.sum("_lp").cast("double") / F.count(F.lit(1)), decimals).alias(
             "avg_bigram_logprob"
         ),
     )

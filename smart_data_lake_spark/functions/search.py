@@ -87,7 +87,10 @@ def bm25_topk(
     return (
         scored.select(
             F.col(id_col),
-            F.round(score, 6).alias("score"),
+            # grid_round, not engine round() (r10/r11 sweep: the libm-log
+            # BM25 score can pseudo-tie on the 1e-6 grid, and the rounded
+            # value also drives the top-k ordering)
+            grid_round(score, 6).alias("score"),
             matched.alias("n_matched"),
         )
         .where(F.col("n_matched") > 0)
@@ -166,7 +169,9 @@ def rrf_fuse(
         parts.append(
             r.select(
                 F.col(id_col),
-                F.round(F.lit(1.0) / (F.lit(k) + F.col(rank_col)), 9)
+                # grid_round, not engine round() (r10/r11 sweep: the
+                # 1/(k+rank) rational can pseudo-tie on the 1e-9 grid)
+                grid_round(F.lit(1.0) / (F.lit(k) + F.col(rank_col)), 9)
                 .cast("decimal(12,9)")
                 .alias("_contrib"),
             )
