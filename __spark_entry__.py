@@ -3200,6 +3200,64 @@ def source_divergence_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_divergence(docs)
 
 
+def cramers_v_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association between document language and source
+    (functions/profiling.cramers_v; Cramér 1946): the [0,1]-normalized
+    chi-square — "how strongly does language depend on source",
+    comparable across corpus sizes. Marginal-scale frames only."""
+    from smart_data_lake_spark.functions.profiling import cramers_v
+
+    docs = _t(spark, sf_dir, "documents")
+    return cramers_v(docs, "lang", "source")
+
+
+def k_anonymity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of orders under the quasi-identifier set
+    (status, priority, order month) (functions/profiling
+    .k_anonymity_audit; Sweeney 2002): class count, worst class size, and
+    the fraction of rows below k=5 — the privacy gate before a table joins
+    a training mix. One combinable groupBy + one 1-row reduce."""
+    from smart_data_lake_spark.functions.profiling import k_anonymity_audit
+
+    orders = _t(spark, sf_dir, "orders").withColumn("o_month", F.month("o_orderdate"))
+    return k_anonymity_audit(orders, ["o_orderstatus", "o_orderpriority", "o_month"], k=5)
+
+
+def chao1_vocab_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 estimated true vocabulary size per source (functions/
+    profiling.chao1_vocab_richness; Chao 1984, bias-corrected form): the
+    unseen-vocabulary complement of kmv_distinct, from exact
+    singleton/doubleton counts."""
+    from smart_data_lake_spark.functions.profiling import chao1_vocab_richness
+
+    docs = _t(spark, sf_dir, "documents")
+    return chao1_vocab_richness(docs).orderBy("source")
+
+
+def kcore_terms_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round k=16 core peeling of the token-adjacency graph
+    (functions/graph.kcore_peel; Seidman 1983): the densely
+    interconnected vocabulary backbone after low-degree terms peel away.
+    Fixed-round pure-integer recurrence, bit-exact vs 3 unrolled SQL
+    rounds (the pagerank/HITS/markov grading discipline)."""
+    from smart_data_lake_spark.functions.graph import kcore_peel, token_transition_edges
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = token_transition_edges(docs)
+    return kcore_peel(edges, k=16, rounds=3).orderBy("node")
+
+
+def heaps_law_fit_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit V(N) = K·N^beta over the corpus in
+    doc_id order (functions/search.heaps_law_fit; Heaps 1978): OLS of
+    ln(cumulative vocabulary) on ln(cumulative tokens) through the shared
+    grid + exact-decimal sufficient statistics."""
+    from smart_data_lake_spark.functions.search import heaps_law_fit
+
+    docs = _t(spark, sf_dir, "documents")
+    return heaps_law_fit(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is the driver grading window: only the first 50
     # entries get a CORRECTNESS oracle row per round. r10 rotation (window
@@ -3284,6 +3342,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_value_drift_by_type": psi_value_drift_by_type,
         "triangle_count_terms": triangle_count_terms,
         "source_divergence_docs": source_divergence_docs,
+        "cramers_v_lang_source": cramers_v_lang_source,
+        "k_anonymity_orders": k_anonymity_orders,
+        "chao1_vocab_by_source": chao1_vocab_by_source,
+        "kcore_terms_corpus": kcore_terms_corpus,
+        "heaps_law_fit_corpus": heaps_law_fit_corpus,
         # --- green in earlier rounds, rotated out; unchanged r6 members first
         "jaccard_prefix_pairs_docs": jaccard_prefix_pairs_docs,
         "tfidf_cosine_pairs_docs": tfidf_cosine_pairs_docs,
@@ -5466,9 +5529,12 @@ def oracle_sql() -> dict[str, str]:
               FROM tf
             ),
             q AS (
+              -- grid-quantized ln terms (r11 sweep): the Spark side goes
+              -- through grouped_linear_trend's shared grid_round; this
+              -- oracle had been left on engine round() — lockstep restored
               SELECT source,
-                     CAST(round(ln(CAST(rank AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
-                     CAST(round(ln(CAST(freq AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+                     CAST({_gq("ln(CAST(rank AS DOUBLE))", 6)} AS DECIMAL(18,6)) AS x,
+                     CAST({_gq("ln(CAST(freq AS DOUBLE))", 6)} AS DECIMAL(18,6)) AS y
               FROM ranked WHERE rank <= 100
             ),
             s AS (
@@ -5597,7 +5663,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(*) AS n_events,
                    CAST(SUM(wgt) AS DOUBLE) AS decayed_score
             FROM w GROUP BY event_type ORDER BY event_type""",
-        "lang_source_chisq": """
+        "lang_source_chisq": f"""
             WITH cells AS (
               SELECT lang, source, COUNT(*) AS n_ij FROM documents
               WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2
@@ -5615,15 +5681,7 @@ def oracle_sql() -> dict[str, str]:
                    LEFT JOIN cells c ON c.lang = r.lang AND c.source = m.source
             ),
             terms AS (
-              SELECT CAST(round(
-                       (CAST(g.n_ij AS DOUBLE)
-                        - CAST(g.n_i AS DOUBLE) * CAST(g.n_j AS DOUBLE)
-                          / CAST(t.n AS DOUBLE))
-                       * (CAST(g.n_ij AS DOUBLE)
-                          - CAST(g.n_i AS DOUBLE) * CAST(g.n_j AS DOUBLE)
-                            / CAST(t.n AS DOUBLE))
-                       / (CAST(g.n_i AS DOUBLE) * CAST(g.n_j AS DOUBLE)
-                          / CAST(t.n AS DOUBLE)), 6) AS DECIMAL(18,6)) AS trm
+              SELECT CAST({_gq("(CAST(g.n_ij AS DOUBLE) - CAST(g.n_i AS DOUBLE) * CAST(g.n_j AS DOUBLE) / CAST(t.n AS DOUBLE)) * (CAST(g.n_ij AS DOUBLE) - CAST(g.n_i AS DOUBLE) * CAST(g.n_j AS DOUBLE) / CAST(t.n AS DOUBLE)) / (CAST(g.n_i AS DOUBLE) * CAST(g.n_j AS DOUBLE) / CAST(t.n AS DOUBLE))", 6)} AS DECIMAL(18,6)) AS trm
               FROM grid g, tot t
             )
             SELECT CAST(SUM(trm) AS DOUBLE) AS chi2,
@@ -7147,4 +7205,153 @@ def oracle_sql() -> dict[str, str]:
         ) + """ AS js_divergence
             FROM agg a LEFT JOIN comp_agg ca ON ca.g = a.g
             ORDER BY source""",
+        "cramers_v_lang_source": f"""
+            WITH cells AS (
+              SELECT lang, source, COUNT(*) AS n_ij FROM documents
+              WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2
+            ),
+            rm AS (SELECT lang, SUM(n_ij) AS n_i FROM cells GROUP BY lang),
+            cm AS (SELECT source, SUM(n_ij) AS n_j FROM cells GROUP BY source),
+            tot AS (SELECT CAST(SUM(n_ij) AS BIGINT) AS n,
+                           COUNT(DISTINCT lang) AS n_rows,
+                           COUNT(DISTINCT source) AS n_cols
+                    FROM cells),
+            grid AS (
+              SELECT r.lang, m.source, r.n_i, m.n_j,
+                     COALESCE(c.n_ij, 0) AS n_ij
+              FROM rm r CROSS JOIN cm m
+                   LEFT JOIN cells c ON c.lang = r.lang AND c.source = m.source
+            ),
+            terms AS (
+              SELECT CAST({_gq("(CAST(g.n_ij AS DOUBLE) - CAST(g.n_i AS DOUBLE) * CAST(g.n_j AS DOUBLE) / CAST(t.n AS DOUBLE)) * (CAST(g.n_ij AS DOUBLE) - CAST(g.n_i AS DOUBLE) * CAST(g.n_j AS DOUBLE) / CAST(t.n AS DOUBLE)) / (CAST(g.n_i AS DOUBLE) * CAST(g.n_j AS DOUBLE) / CAST(t.n AS DOUBLE))", 6)} AS DECIMAL(18,6)) AS trm
+              FROM grid g, tot t
+            ),
+            s AS (SELECT CAST(SUM(trm) AS DOUBLE) AS chi2 FROM terms)
+            SELECT s.chi2,
+                   CAST((t.n_rows - 1) * (t.n_cols - 1) AS BIGINT) AS dof,
+                   t.n,
+                   CASE WHEN least(t.n_rows - 1, t.n_cols - 1) > 0 AND t.n > 0
+                        THEN {_gq("sqrt(s.chi2 / (CAST(t.n AS DOUBLE) * CAST(least(t.n_rows - 1, t.n_cols - 1) AS DOUBLE)))", 6)}
+                   END AS cramers_v
+            FROM s, tot t""",
+        "k_anonymity_orders": f"""
+            WITH classes AS (
+              SELECT o_orderstatus, o_orderpriority, month(o_orderdate) AS m,
+                     COUNT(*) AS sz
+              FROM orders GROUP BY 1, 2, 3
+            )
+            SELECT CAST(SUM(sz) AS BIGINT) AS n_rows,
+                   COUNT(*) AS n_classes,
+                   CAST(MIN(sz) AS BIGINT) AS min_class_size,
+                   CAST(COALESCE(SUM(CASE WHEN sz < 5 THEN sz END), 0) AS BIGINT)
+                     AS n_rows_below_k,
+                   {_gq("CAST(COALESCE(SUM(CASE WHEN sz < 5 THEN sz END), 0) AS DOUBLE) / CAST(SUM(sz) AS DOUBLE)", 6)}
+                     AS frac_rows_below_k
+            FROM classes""",
+        "chao1_vocab_by_source": rf"""
+            WITH toks AS (
+              SELECT source, unnest({_TOKS}) AS t FROM documents
+              WHERE length(trim(lower(text))) > 0
+            ),
+            tf AS (SELECT source, t, COUNT(*) AS c FROM toks GROUP BY 1, 2)
+            SELECT source,
+                   COUNT(*) AS n_observed_terms,
+                   CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1_singletons,
+                   CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2_doubletons,
+                   {_gq("CAST(COUNT(*) AS DOUBLE) + CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) * (CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) - 1) / (2.0 * (CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS DOUBLE) + 1))", 6)}
+                     AS chao1_estimate
+            FROM tf GROUP BY source ORDER BY source""",
+        "kcore_terms_corpus": rf"""
+            -- 3 unrolled peeling rounds, lockstep with graph.kcore_peel
+            -- (the pagerank/HITS/markov fixed-iteration grading discipline)
+            WITH toksrc AS (
+              SELECT doc_id, {_TOKS} AS w FROM documents
+              WHERE length(trim(lower(text))) > 0
+                AND len({_TOKS}) >= 2
+            ),
+            prs AS (
+              SELECT w[i] AS s, w[i+1] AS t
+              FROM toksrc, LATERAL (SELECT unnest(range(1, len(w))) AS i) x
+            ),
+            edges AS (
+              SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+              FROM prs WHERE s IS NOT NULL AND t IS NOT NULL AND s <> t
+            ),
+            d1 AS (SELECT n, COUNT(*) AS d
+                   FROM (SELECT a AS n FROM edges UNION ALL SELECT b AS n FROM edges)
+                   GROUP BY n),
+            k1 AS (SELECT n FROM d1 WHERE d >= 16),
+            e1 AS (SELECT e.a, e.b FROM edges e
+                   JOIN k1 x ON x.n = e.a JOIN k1 y ON y.n = e.b),
+            d2 AS (SELECT n, COUNT(*) AS d
+                   FROM (SELECT a AS n FROM e1 UNION ALL SELECT b AS n FROM e1)
+                   GROUP BY n),
+            k2 AS (SELECT n FROM d2 WHERE d >= 16),
+            e2 AS (SELECT e.a, e.b FROM e1 e
+                   JOIN k2 x ON x.n = e.a JOIN k2 y ON y.n = e.b),
+            d3 AS (SELECT n, COUNT(*) AS d
+                   FROM (SELECT a AS n FROM e2 UNION ALL SELECT b AS n FROM e2)
+                   GROUP BY n),
+            k3 AS (SELECT n FROM d3 WHERE d >= 16),
+            e3 AS (SELECT e.a, e.b FROM e2 e
+                   JOIN k3 x ON x.n = e.a JOIN k3 y ON y.n = e.b)
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM (SELECT a AS node FROM e3 UNION ALL SELECT b AS node FROM e3)
+            GROUP BY node ORDER BY node""",
+        "heaps_law_fit_corpus": rf"""
+            WITH toksrc AS (
+              SELECT doc_id, {_TOKS} AS w FROM documents
+              WHERE length(trim(lower(text))) > 0
+            ),
+            tk AS (
+              SELECT doc_id, i AS pos, w[i] AS term
+              FROM toksrc, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) x
+            ),
+            marked AS (
+              SELECT doc_id,
+                     CASE WHEN row_number() OVER (PARTITION BY term
+                                                  ORDER BY doc_id, pos) = 1
+                          THEN 1 ELSE 0 END AS fst
+              FROM tk
+            ),
+            per_doc AS (
+              SELECT doc_id, COUNT(*) AS n_tok, SUM(fst) AS n_new
+              FROM marked GROUP BY doc_id
+            ),
+            cum AS (
+              SELECT SUM(n_tok) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nn,
+                     SUM(n_new) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vv
+              FROM per_doc
+            ),
+            q AS (
+              -- grid-quantized ln points + exact-decimal sufficient
+              -- statistics, lockstep with grouped_linear_trend
+              SELECT CAST({_gq("ln(CAST(nn AS DOUBLE))", 6)} AS DECIMAL(18,6)) AS x,
+                     CAST({_gq("ln(CAST(vv AS DOUBLE))", 6)} AS DECIMAL(18,6)) AS y
+              FROM cum WHERE nn > 0 AND vv > 0
+            ),
+            s AS (
+              SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                     SUM(CAST(x * y AS DECIMAL(38,12))) AS sxy,
+                     SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx
+              FROM q
+            ),
+            g AS (
+              SELECT n,
+                     CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS numer,
+                     CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS denom,
+                     CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+              FROM s
+            )
+            SELECT CAST(n AS BIGINT) AS n_docs,
+                   CASE WHEN denom != 0
+                        THEN {_gq("numer / denom", 6)} END AS heaps_beta,
+                   CASE WHEN denom != 0
+                        THEN {_gq("exp((syd - (numer / denom) * sxd) / CAST(n AS DOUBLE))", 6)}
+                   END AS heaps_k
+            FROM g""",
     }

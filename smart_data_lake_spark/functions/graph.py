@@ -370,3 +370,68 @@ def triangle_counts(
     if top_k is not None:
         out = out.orderBy(F.desc("n_triangles"), F.asc("node")).limit(top_k)
     return out
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-round k-core peeling over the undirected simple graph induced
+    by the edge list (Seidman 1983, public): each round removes every node
+    whose CURRENT degree is below ``k`` (and the edges it carried), the
+    standard cohesion filter separating a graph's dense backbone from its
+    sparse fringe — in the term-graph reading, the vocabulary that stays
+    densely interconnected after boilerplate-degree terms peel away.
+
+    Like pagerank/hits/markov here, the iteration count is FIXED
+    (``rounds``), not run-to-convergence: the output after R rounds is a
+    deterministic pure-integer function of the edge list, so any engine
+    evaluating the same recurrence agrees bit-for-bit (the oracle unrolls
+    the same R rounds as SQL CTEs). A node can survive round R and still
+    leave a later round — callers wanting the true k-core raise ``rounds``
+    (peeling is monotone: survivors only shrink, and on a graph of
+    diameter d it converges within O(d) rounds).
+
+    Returns (node, degree) for the survivors of ``rounds`` rounds, with
+    their degree at that point (>= k unless the node exits next round).
+
+    Scale shape: each round is one combinable degree aggregate over the
+    surviving edge list + two semi/anti joins keyed on node id — never a
+    wedge or pair blowup; the edge list only SHRINKS round over round.
+    localCheckpoint after each round cuts the R-deep lineage (the
+    pagerank treatment).
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b")))
+        .distinct()
+        .transform(lineage_pin)
+    )
+    surv = und
+    for _ in range(rounds):
+        deg = (
+            surv.select(F.col("a").alias("n"))
+            .unionAll(surv.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.where(F.col("d") >= k).select("n")
+        surv = (
+            surv.join(keep.select(F.col("n").alias("a")), "a", "left_semi")
+            .join(keep.select(F.col("n").alias("b")), "b", "left_semi")
+            .select("a", "b")
+            .transform(lineage_pin)
+        )
+    final_deg = (
+        surv.select(F.col("a").alias("node"))
+        .unionAll(surv.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    return final_deg

@@ -452,7 +452,7 @@ def exact_quartiles(
     )
 
 
-def chi_square_independence(
+def _chi2_stats(
     df,
     col_a: str,
     col_b: str,
@@ -460,7 +460,9 @@ def chi_square_independence(
 ):
     """Pearson chi-square independence statistic for two categorical
     columns (is the language mix independent of the source?) — the
-    one-number drift alarm for corpus composition audits.
+    one-number drift alarm for corpus composition audits. Shared core of
+    `chi_square_independence` and `cramers_v`; returns
+    (chi2, dof, n, n_rows, n_cols).
 
     chi2 = sum over cells of (n_ij - e_ij)^2 / e_ij with
     e_ij = row_i * col_j / N. Every count is exact; each cell's term is a
@@ -507,13 +509,127 @@ def chi_square_independence(
     )
     e = F.col("n_i").cast("double") * F.col("n_j").cast("double") / F.col("n").cast("double")
     term = (F.col("n_ij").cast("double") - e) * (F.col("n_ij").cast("double") - e) / e
-    summed = joined.select(F.round(term, decimals).cast(dec).alias("_t")).agg(
+    # grid_round, not engine round() (r10/r11 sweep: the cell term is a
+    # float rational that can land on the half-grid)
+    summed = joined.select(grid_round(term, decimals).cast(dec).alias("_t")).agg(
         F.sum("_t").cast("double").alias("chi2")
     )
     return summed.crossJoin(F.broadcast(tot)).select(
         F.col("chi2"),
         ((F.col("n_rows") - 1) * (F.col("n_cols") - 1)).cast("long").alias("dof"),
         F.col("n").cast("long").alias("n"),
+        F.col("n_rows"),
+        F.col("n_cols"),
+    )
+
+
+def chi_square_independence(
+    df,
+    col_a: str,
+    col_b: str,
+    decimals: int = 6,
+):
+    """Pearson chi-square independence statistic for two categorical
+    columns — see `_chi2_stats` for the full exactness/shape discussion
+    (this is its public (chi2, dof, n) projection)."""
+    return _chi2_stats(df, col_a, col_b, decimals).select("chi2", "dof", "n")
+
+
+def cramers_v(
+    df,
+    col_a: str,
+    col_b: str,
+    decimals: int = 6,
+):
+    """Cramér's V association strength between two categorical columns
+    (Cramér 1946, public): V = sqrt(chi2 / (N · min(r−1, c−1))) — the
+    [0, 1]-normalized companion of `chi_square_independence`, comparable
+    across tables of different size and shape (the raw chi2 is not). The
+    corpus-audit use: a one-number "how strongly does language depend on
+    source" that stays interpretable as the corpus grows.
+
+    Exactness: chi2 comes from `_chi2_stats`' decimal-summed engine-exact
+    cells; the V expression is one fixed IEEE sqrt of that plus exact
+    integers, final on the shared 1e-6 grid (never engine round()).
+    Shape: identical to chi2 — marginal-scale frames only. Degenerate
+    tables (single row or column category) yield NULL V."""
+    s = _chi2_stats(df, col_a, col_b, decimals)
+    mind = F.least(F.col("n_rows") - 1, F.col("n_cols") - 1).cast("double")
+    v = F.when(
+        (mind > 0) & (F.col("n") > 0),
+        grid_round(F.sqrt(F.col("chi2") / (F.col("n").cast("double") * mind)), decimals),
+    )
+    return s.select("chi2", "dof", "n", v.alias("cramers_v"))
+
+
+def k_anonymity_audit(
+    df,
+    qi_cols: list[str],
+    k: int = 5,
+):
+    """k-anonymity audit over a quasi-identifier column set (Sweeney 2002,
+    public): every row whose QI equivalence class has fewer than ``k``
+    members is re-identifiable at the k threshold. The privacy gate run
+    before a table is released into a training mix: "how many rows are
+    below k, and how small is the worst class".
+
+    Returns one row: (n_rows, n_classes, min_class_size, n_rows_below_k,
+    frac_rows_below_k). Rows with a NULL in any QI column form their own
+    NULL-keyed classes (groupBy semantics) — a NULL quasi-identifier still
+    identifies.
+
+    Exactness: everything is exact integers except the final fraction —
+    one int/int rational on the shared 1e-6 grid. Shape: one map-side
+    combinable groupBy on the QI key + one 1-row reduce over class sizes;
+    no joins, no windows — scan-bound at any scale, and the class-size
+    frame is |distinct QI| rows, never corpus-scale."""
+    classes = df.groupBy(*qi_cols).agg(F.count(F.lit(1)).alias("_sz"))
+    return classes.agg(
+        F.sum("_sz").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("_sz").cast("long").alias("min_class_size"),
+        F.coalesce(
+            F.sum(F.when(F.col("_sz") < k, F.col("_sz"))), F.lit(0)
+        ).cast("long").alias("n_rows_below_k"),
+        grid_round(
+            F.coalesce(F.sum(F.when(F.col("_sz") < k, F.col("_sz"))), F.lit(0))
+            / F.sum("_sz"),
+            6,
+        ).alias("frac_rows_below_k"),
+    )
+
+
+def chao1_vocab_richness(
+    df,
+    group_col: str = "source",
+    text_col: str = "text",
+):
+    """Chao1 species-richness estimate of the TRUE vocabulary size per
+    group (Chao 1984, public): the observed distinct-term count plus the
+    unseen-mass correction f1·(f1−1)/(2·(f2+1)) from singleton/doubleton
+    counts — the bias-corrected form, defined even when no term occurs
+    exactly twice. The corpus-audit companion of `kmv_distinct`: KMV
+    estimates what IS in the data; Chao1 estimates how much vocabulary the
+    sample has NOT seen yet (a low chao1/observed ratio says the source is
+    vocabulary-saturated; a high one says more data would keep adding
+    terms).
+
+    Exactness: term counts, f1, f2 are exact integers; the correction is
+    one int-derived IEEE rational on the shared 1e-6 grid. Shape: one
+    explode + (group, term) map-side-combined count, then one combinable
+    per-group reduce over vocabulary-scale rows — no joins, no windows."""
+    from .text import tokens
+
+    toks = df.select(F.col(group_col), F.explode(tokens(F.col(text_col))).alias("_t"))
+    tf = toks.groupBy(group_col, "_t").agg(F.count(F.lit(1)).alias("_c"))
+    f1 = F.sum(F.when(F.col("_c") == 1, 1).otherwise(0)).cast("double")
+    f2 = F.sum(F.when(F.col("_c") == 2, 1).otherwise(0)).cast("double")
+    d = F.count(F.lit(1)).cast("double")
+    return tf.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_observed_terms"),
+        F.sum(F.when(F.col("_c") == 1, 1).otherwise(0)).cast("long").alias("f1_singletons"),
+        F.sum(F.when(F.col("_c") == 2, 1).otherwise(0)).cast("long").alias("f2_doubletons"),
+        grid_round(d + f1 * (f1 - 1) / (2.0 * (f2 + 1)), 6).alias("chao1_estimate"),
     )
 
 

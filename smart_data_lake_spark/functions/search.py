@@ -871,3 +871,62 @@ def source_divergence(
         grid_round(kl_qp, scale).alias("kl_rest_source"),
         grid_round(js, scale).alias("js_divergence"),
     ).orderBy(group_col)
+
+
+def heaps_law_fit(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Heaps'-law fit of corpus vocabulary growth (Heaps 1978, public):
+    V(N) ≈ K·N^β, estimated by OLS of ln(V_i) over ln(N_i) where, with
+    documents processed in ``id_col`` order, N_i is the cumulative token
+    count and V_i the cumulative distinct-vocabulary size after document
+    i. The scaling-audit answer to "how fast does this corpus keep adding
+    vocabulary" — natural text sits near β ≈ 0.5; template/boilerplate
+    corpora saturate (low β), id-like noise inflates it toward 1.
+
+    Returns one row: (n_docs, heaps_beta, heaps_k).
+
+    Exactness: token/vocab counts are exact integers; each point's
+    ln() values quantize through `grouped_linear_trend`'s shared grid
+    before DECIMAL summation, so the fit is row-order- and
+    engine-independent; K = exp(intercept) lands on the 1e-6 grid.
+    Shape: one explode + a first-occurrence window keyed on TERM (the
+    vocabulary shuffle any exact distinct-growth computation must pay),
+    one per-doc combinable aggregate, then cumulative sums over the
+    PER-DOCUMENT frame — #docs rows, not tokens — and a 1-row OLS reduce.
+    The cumulative window is a single global prefix sum over doc
+    aggregates; at the 100 TB tier that frame is still only #docs rows
+    (the standard two-pass distributed prefix-sum applies if even that
+    outgrows one partition)."""
+    from pyspark.sql import Window
+
+    from .analytics import grouped_linear_trend
+
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("_pos", "_term")
+    )
+    w_first = Window.partitionBy("_term").orderBy(F.col(id_col), F.col("_pos"))
+    marked = toks.withColumn("_first", (F.row_number().over(w_first) == 1).cast("int"))
+    per_doc = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n_tok"),
+        F.sum("_first").alias("_n_new"),
+    )
+    w_cum = Window.orderBy(F.col(id_col)).rowsBetween(Window.unboundedPreceding, 0)
+    pts = per_doc.select(
+        F.sum("_n_tok").over(w_cum).alias("_N"),
+        F.sum("_n_new").over(w_cum).alias("_V"),
+    ).where((F.col("_N") > 0) & (F.col("_V") > 0))
+    fit = grouped_linear_trend(
+        pts,
+        [],
+        x=F.log(F.col("_N").cast("double")),
+        y=F.log(F.col("_V").cast("double")),
+        scale=6,
+    )
+    return fit.select(
+        F.col("n").alias("n_docs"),
+        grid_round(F.col("slope"), 6).alias("heaps_beta"),
+        grid_round(F.exp(F.col("intercept")), 6).alias("heaps_k"),
+    )
