@@ -919,15 +919,21 @@ def token_count_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass column profiling (functions/profiling.profile_columns):
-    count/nulls/distinct/min/max/mean/median for three orders columns in a
-    single aggregate. Mean uses the exact decimal-sum path (order-independent
-    across engines); median is the exact interpolated percentile, identical
-    to ANSI quantile_cont at p=0.5."""
+    count/nulls/distinct/min/max/mean/median for three orders columns.
+    Mean uses the exact decimal-sum path (order-independent across
+    engines); exact_median swaps Spark's percentile library for the
+    explicit order-statistics interpolation (r11 sweep — engine
+    percentile libraries interpolate through different expression
+    shapes), and finals quantize through the shared grid."""
+    from smart_data_lake_spark.functions.numeric import grid_round
     from smart_data_lake_spark.functions.profiling import profile_columns
 
     orders = _t(spark, sf_dir, "orders")
     prof = profile_columns(
-        orders, ["o_orderkey", "o_orderstatus", "o_totalprice"], decimal_mean_scale=6
+        orders,
+        ["o_orderkey", "o_orderstatus", "o_totalprice"],
+        decimal_mean_scale=6,
+        exact_median=True,
     )
     return prof.select(
         "col_name",
@@ -936,8 +942,8 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_distinct",
         "min_str",
         "max_str",
-        F.round("mean", 6).alias("mean"),
-        F.round("median", 6).alias("median"),
+        grid_round(F.col("mean"), 6).alias("mean"),
+        grid_round(F.col("median"), 6).alias("median"),
     )
 
 
@@ -4805,15 +4811,45 @@ def oracle_sql() -> dict[str, str]:
         "token_count_by_source": f"""
             SELECT source, CAST(SUM({_NTOK}) AS BIGINT) AS total_tokens, COUNT(*) AS n_docs
             FROM documents GROUP BY source ORDER BY source""",
-        "profile_orders_columns": """
-            WITH s AS (
+        "profile_orders_columns": f"""
+            -- r11 sweep: medians via EXPLICIT order statistics + grid
+            -- finals, lockstep with profile_columns(exact_median=True)
+            WITH rk AS (
+              SELECT CAST(o_orderkey AS DOUBLE) AS v,
+                     row_number() OVER (ORDER BY o_orderkey) AS rn,
+                     COUNT(*) OVER () AS n
+              FROM orders WHERE o_orderkey IS NOT NULL
+            ),
+            kmed AS (
+              SELECT MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN v END)
+                     + (MAX(CASE WHEN rn = least((n - 1) // 2 + 2, n) THEN v END)
+                        - MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN v END))
+                       * MAX(CASE WHEN rn = 1
+                             THEN CAST((n - 1) % 2 AS DOUBLE) / 2.0 END) AS med
+              FROM rk
+            ),
+            rp AS (
+              SELECT o_totalprice AS v,
+                     row_number() OVER (ORDER BY o_totalprice) AS rn,
+                     COUNT(*) OVER () AS n
+              FROM orders WHERE o_totalprice IS NOT NULL
+            ),
+            pmed AS (
+              SELECT MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN v END)
+                     + (MAX(CASE WHEN rn = least((n - 1) // 2 + 2, n) THEN v END)
+                        - MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN v END))
+                       * MAX(CASE WHEN rn = 1
+                             THEN CAST((n - 1) % 2 AS DOUBLE) / 2.0 END) AS med
+              FROM rp
+            ),
+            s AS (
               SELECT COUNT(*) AS n,
                 CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_nulls,
                 CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS k_d,
                 CAST(MIN(o_orderkey) AS VARCHAR) AS k_min,
                 CAST(MAX(o_orderkey) AS VARCHAR) AS k_max,
-                round(CAST(SUM(CAST(o_orderkey AS DECIMAL(28,6))) AS DOUBLE) / COUNT(o_orderkey), 6) AS k_mean,
-                round(quantile_cont(o_orderkey, 0.5), 6) AS k_med,
+                {_gq("CAST(SUM(CAST(o_orderkey AS DECIMAL(28,6))) AS DOUBLE) / COUNT(o_orderkey)", 6)} AS k_mean,
+                {_gq("(SELECT med FROM kmed)", 6)} AS k_med,
                 CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS s_nulls,
                 CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS s_d,
                 CAST(MIN(o_orderstatus) AS VARCHAR) AS s_min,
@@ -4822,8 +4858,8 @@ def oracle_sql() -> dict[str, str]:
                 CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS p_d,
                 CAST(MIN(o_totalprice) AS VARCHAR) AS p_min,
                 CAST(MAX(o_totalprice) AS VARCHAR) AS p_max,
-                round(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(o_totalprice), 6) AS p_mean,
-                round(quantile_cont(o_totalprice, 0.5), 6) AS p_med
+                {_gq("CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(o_totalprice)", 6)} AS p_mean,
+                {_gq("(SELECT med FROM pmed)", 6)} AS p_med
               FROM orders
             )
             SELECT * FROM (

@@ -80,10 +80,39 @@ def grouped_outliers(
     )
 
 
+def _interp_median(frame, col: str, group_cols: list[str]):
+    """Explicit order-statistics median (global when ``group_cols`` is
+    empty): rank lo = (n−1) div 2 + 1, exact binary fraction
+    frac = ((n−1) mod 2)/2 ∈ {0, ½}, median = v_lo + (v_hi − v_lo)·frac —
+    one fixed IEEE expression of raw doubles, bit-identical on any engine
+    (Spark `percentile` and DuckDB `quantile_cont` interpolate through
+    DIFFERENT expression shapes — the mad_outliers/exact_quartiles r11
+    lesson). Returns (group_cols..., _m) with the UNROUNDED interpolated
+    double; groups with no non-null values are absent (callers left-join)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(F.col(col))
+    wg = Window.partitionBy(*group_cols)
+    ranked = (
+        frame.where(F.col(col).isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wg))
+    )
+    pos = F.col("_n") - 1
+    lo = F.floor(pos / 2) + 1
+    hi = F.least(lo + 1, F.col("_n"))
+    frac = (pos % 2).cast("double") / 2.0
+    vlo = F.max(F.when(F.col("_rn") == lo, F.col(col)))
+    vhi = F.max(F.when(F.col("_rn") == hi, F.col(col)))
+    fr = F.max(F.when(F.col("_rn") == 1, frac))
+    return ranked.groupBy(*group_cols).agg((vlo + (vhi - vlo) * fr).alias("_m"))
+
+
 def profile_columns(
     df: DataFrame,
     cols: list[str] | None = None,
     decimal_mean_scale: int | None = None,
+    exact_median: bool = False,
 ) -> DataFrame:
     """One-pass profile of `cols` (default: all columns).
 
@@ -95,7 +124,13 @@ def profile_columns(
     decimal(28,scale) sum followed by ONE double division — order-independent
     and bit-identical across engines, unlike a plain double avg whose
     summation order varies with partitioning. Use it whenever the profile is
-    compared across systems."""
+    compared across systems.
+
+    `exact_median`: when set, numeric medians come from `_interp_median`'s
+    explicit order statistics (one window sort per numeric column) instead
+    of Spark's `percentile` library — the cross-engine-exact form (engine
+    percentile libraries interpolate through different expression shapes);
+    the default keeps the cheap one-pass aggregate for local profiling."""
     cols = cols or df.columns
     by_name = {f.name: f.dataType for f in df.schema.fields}
     # Two aggregate nodes, cross-joined as 1-row × 1-row: Catalyst rewrites
@@ -125,12 +160,22 @@ def profile_columns(
             F.min(col).cast("string").alias(f"{c}__min"),
             F.max(col).cast("string").alias(f"{c}__max"),
             mean_expr.alias(f"{c}__mean"),
-            (
-                F.expr(f"percentile({c}, 0.5D)") if numeric else F.lit(None).cast("double")
-            ).alias(f"{c}__median"),
         ]
+        if numeric and exact_median:
+            pass  # joined below from the explicit order-statistics frame
+        else:
+            plain_aggs.append(
+                (
+                    F.expr(f"percentile({c}, 0.5D)") if numeric else F.lit(None).cast("double")
+                ).alias(f"{c}__median")
+            )
         distinct_aggs.append(F.countDistinct(col).alias(f"{c}__distinct"))
     one_row = df.agg(*plain_aggs).crossJoin(df.agg(*distinct_aggs))
+    if exact_median:
+        for c in cols:
+            if isinstance(by_name[c], NumericType):
+                med = _interp_median(df, c, []).withColumnRenamed("_m", f"{c}__median")
+                one_row = one_row.crossJoin(F.broadcast(med))
     stack_args = ", ".join(
         f"'{c}', {c}__n, {c}__nulls, {c}__distinct, {c}__min, {c}__max, {c}__mean, {c}__median"
         for c in cols
@@ -176,32 +221,13 @@ def mad_outliers(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    def interp_median(frame, col):
-        """One explicit order-statistics median per group: the unrounded
-        interpolated double, NULL for groups with no non-null values."""
-        w = Window.partitionBy(group_col).orderBy(F.col(col))
-        wg = Window.partitionBy(group_col)
-        ranked = (
-            frame.where(F.col(col).isNotNull())
-            .withColumn("_rn", F.row_number().over(w))
-            .withColumn("_n", F.count(F.lit(1)).over(wg))
-        )
-        pos = F.col("_n") - 1
-        lo = F.floor(pos / 2) + 1
-        hi = F.least(lo + 1, F.col("_n"))
-        frac = (pos % 2).cast("double") / 2.0
-        vlo = F.max(F.when(F.col("_rn") == lo, F.col(col)))
-        vhi = F.max(F.when(F.col("_rn") == hi, F.col(col)))
-        fr = F.max(F.when(F.col("_rn") == 1, frac))
-        return ranked.groupBy(group_col).agg((vlo + (vhi - vlo) * fr).alias("_m"))
-
-    medians = interp_median(df, value_col).withColumnRenamed("_m", "_med")
+    medians = _interp_median(df, value_col, [group_col]).withColumnRenamed("_m", "_med")
     # LEFT joins keep all-null groups in the output (median/mad NULL, the
     # old percentile()-based form's semantics) instead of dropping them
     with_dev = df.join(F.broadcast(medians), group_col, "left").withColumn(
         "_adev", F.abs(F.col(value_col) - F.col("_med"))
     )
-    mads = interp_median(with_dev, "_adev").withColumnRenamed("_m", "_mad")
+    mads = _interp_median(with_dev, "_adev", [group_col]).withColumnRenamed("_m", "_mad")
     return (
         with_dev.join(F.broadcast(mads), group_col, "left")
         .groupBy(group_col)
