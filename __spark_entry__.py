@@ -19,6 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from smart_data_lake_spark.functions.numeric import grid_round
 from smart_data_lake_spark.session import ensure_nanos_shim
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -479,7 +480,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_name",
             "p_partkey",
             "p_brand",
-            F.round("supply_cost", 6).alias("supply_cost"),
+            grid_round(F.col("supply_cost"), 6).alias("supply_cost"),
         )
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
         .limit(100)
@@ -566,7 +567,7 @@ def q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             s.s_suppkey == F.col("x_suppkey"),
             "left_semi",
         )
-        .select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .select("s_suppkey", "s_name", grid_round(F.col("s_acctbal"), 2).alias("s_acctbal"))
         .orderBy("s_name")
     )
 
@@ -1025,8 +1026,8 @@ def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats.groupBy("source", "quality_keep")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.sum("top_2gram_count") / F.sum("n_2grams"), 6).alias("pooled_top_2gram_frac"),
-            F.round(F.sum("dup_5gram_count") / F.sum("n_5grams"), 6).alias("pooled_dup_5gram_frac"),
+            grid_round(F.sum("top_2gram_count") / F.sum("n_2grams"), 6).alias("pooled_top_2gram_frac"),
+            grid_round(F.sum("dup_5gram_count") / F.sum("n_5grams"), 6).alias("pooled_dup_5gram_frac"),
         )
         .orderBy("source", "quality_keep")
     )
@@ -1080,7 +1081,7 @@ def importance_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted = docs.withColumn("w", quality_score(F.col("text")) * ramp)
     kept = importance_sample(weighted, F.col("w"), key_col="doc_id")
     return kept.select(
-        "doc_id", "source", F.round("w", 6).alias("weight")
+        "doc_id", "source", grid_round(F.col("w"), 6).alias("weight")
     ).orderBy("doc_id")
 
 
@@ -1552,8 +1553,8 @@ def ntile_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             F.col("spend_dec").cast("double").alias("spend"),
             F.ntile(10).over(w).alias("decile"),
-            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-            F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+            grid_round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            grid_round(F.cume_dist().over(w), 6).alias("cume_dist"),
         )
         .where(F.col("decile") == 1)
         .orderBy("o_custkey")
@@ -1561,20 +1562,32 @@ def ntile_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles (Spark `percentile` ≡ ANSI
-    percentile_cont) of event value per type. Exact percentiles sort within
+    """Exact interpolated percentiles of event value per type via
+    profiling.exact_percentiles' explicit order statistics (r11 sweep —
+    engine percentile libraries interpolate through different expression
+    shapes), finals on the shared grid. Exact percentiles sort within
     each group — acceptable when groups are bounded; the 100 TB path is
     approx_percentile (t-digest sketch, mergeable map-side), same call
     shape. The oracle pins the exact variant."""
+    from smart_data_lake_spark.functions.profiling import exact_percentiles
+
     ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    pct = exact_percentiles(
+        ev,
+        "value",
+        ["event_type"],
+        [("_p25", 1, 4), ("_p50", 1, 2), ("_p75", 3, 4), ("_p90", 9, 10)],
+    )
     return (
-        ev.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
-            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
-            F.round(F.expr("percentile(value, 0.75)"), 6).alias("p75"),
-            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        counts.join(pct, "event_type", "left")
+        .select(
+            "event_type",
+            "n",
+            grid_round(F.col("_p25"), 6).alias("p25"),
+            grid_round(F.col("_p50"), 6).alias("p50"),
+            grid_round(F.col("_p75"), 6).alias("p75"),
+            grid_round(F.col("_p90"), 6).alias("p90"),
         )
         .orderBy("event_type")
     )
@@ -1623,8 +1636,8 @@ def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "label",
-            F.round("q_scale", 6).alias("q_scale"),
-            F.round("mean_abs_err", 6).alias("mean_abs_err"),
+            grid_round(F.col("q_scale"), 6).alias("q_scale"),
+            grid_round(F.col("mean_abs_err"), 6).alias("mean_abs_err"),
         )
         .orderBy("vec_id")
     )
@@ -1648,7 +1661,7 @@ def label_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= 5)
-        .select("label", "rnk", "vec_id", F.round("centroid_dist", 6).alias("centroid_dist"))
+        .select("label", "rnk", "vec_id", grid_round(F.col("centroid_dist"), 6).alias("centroid_dist"))
         .orderBy("label", "rnk")
     )
 
@@ -3628,11 +3641,27 @@ def _banded_bucket_cte(bands: int, planes_per_band: int, seed: int = 42) -> str:
     return "\n  UNION ALL ".join(selects)
 
 
+def _gq(expr: str, decimals: int) -> str:
+    """SQL twin of `functions.analytics.grid_round` (r10 rounding sweep):
+    sign-symmetric round-half-away-from-zero on the pure IEEE-double grid —
+    the same floor/negate/compare ops Spark evaluates, so any engine
+    computes the identical double at any magnitude, unlike engine round()
+    (Spark: shortest-decimal HALF_UP via BigDecimal; DuckDB: binary scaling
+    that loses ulps past ~9e6·10^−d). Delegates to
+    `analytics.grid_round_sql` so the oracle form and the Spark form can
+    never drift."""
+    from smart_data_lake_spark.functions.analytics import grid_round_sql
+
+    return grid_round_sql(expr, decimals)
+
+
 def _cos_sql(a: str, b: str, dim: int = 64) -> str:
     dot = " + ".join(f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)" for i in range(1, dim + 1))
     na = " + ".join(f"CAST({a}[{i}] AS DOUBLE) * CAST({a}[{i}] AS DOUBLE)" for i in range(1, dim + 1))
     nb = " + ".join(f"CAST({b}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)" for i in range(1, dim + 1))
-    return f"round(({dot}) / (sqrt({na}) * sqrt({nb})), 6)"
+    # grid form, not engine round() (r11 sweep), lockstep with the
+    # Spark operators' shared grid_round on the same cosine
+    return _gq(f"({dot}) / (sqrt({na}) * sqrt({nb}))", 6)
 
 
 def _pq_sql_parts(m: int = 4, k: int = 8, sub: int = 16) -> dict[str, str]:
@@ -3641,8 +3670,13 @@ def _pq_sql_parts(m: int = 4, k: int = 8, sub: int = 16) -> dict[str, str]:
 
     def sub_dist(i: int, e: str = "e.embedding", s: str = "s.seed_vec") -> str:
         return (
-            f"(SELECT SUM(CAST(round((CAST({e}[g.i] AS DOUBLE) - CAST({s}[g.i] AS DOUBLE))"
-            f" * (CAST({e}[g.i] AS DOUBLE) - CAST({s}[g.i] AS DOUBLE)), 6) AS DECIMAL(38,6)))"
+            f"(SELECT SUM(CAST("
+            + _gq(
+                f"(CAST({e}[g.i] AS DOUBLE) - CAST({s}[g.i] AS DOUBLE))"
+                f" * (CAST({e}[g.i] AS DOUBLE) - CAST({s}[g.i] AS DOUBLE))",
+                6,
+            )
+            + f" AS DECIMAL(38,6)))"
             f" FROM (SELECT unnest(range({i * sub + 1}, {i * sub + sub + 1})) AS i) g)"
         )
 
@@ -3672,20 +3706,6 @@ _PQ = _pq_sql_parts()
 _CMS_BUCKET = (
     "CAST(('0x' || substr(md5(CAST({j} AS VARCHAR) || ':' || {term}), 1, 8)) AS BIGINT) % {width}"
 )
-
-
-def _gq(expr: str, decimals: int) -> str:
-    """SQL twin of `functions.analytics.grid_round` (r10 rounding sweep):
-    sign-symmetric round-half-away-from-zero on the pure IEEE-double grid —
-    the same floor/negate/compare ops Spark evaluates, so any engine
-    computes the identical double at any magnitude, unlike engine round()
-    (Spark: shortest-decimal HALF_UP via BigDecimal; DuckDB: binary scaling
-    that loses ulps past ~9e6·10^−d). Delegates to
-    `analytics.grid_round_sql` so the oracle form and the Spark form can
-    never drift."""
-    from smart_data_lake_spark.functions.analytics import grid_round_sql
-
-    return grid_round_sql(expr, decimals)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4632,7 +4652,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
                OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
                OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""",
-        "q2_min_cost_supplier": """
+        "q2_min_cost_supplier": f"""
             WITH cost AS (
               SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS supply_cost
               FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -4643,7 +4663,7 @@ def oracle_sql() -> dict[str, str]:
               FROM cost GROUP BY l_partkey
             )
             SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
-                   round(supply_cost, 6) AS supply_cost
+                   {_gq("supply_cost", 6)} AS supply_cost
             FROM cost
             JOIN mc ON l_partkey = mc_partkey AND supply_cost = min_cost
             JOIN supplier ON l_suppkey = s_suppkey
@@ -4675,7 +4695,7 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate > o_orderdate + INTERVAL 60 DAY
             GROUP BY l_returnflag
             ORDER BY l_returnflag""",
-        "q20_excess_stock_suppliers": """
+        "q20_excess_stock_suppliers": f"""
             WITH red AS (
               SELECT l_suppkey, l_partkey, l_quantity
               FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -4689,7 +4709,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT l_partkey AS pq_partkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS part_qty
               FROM red GROUP BY l_partkey
             )
-            SELECT s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal
+            SELECT s_suppkey, s_name, {_gq("s_acctbal", 2)} AS s_acctbal
             FROM supplier
             WHERE s_suppkey IN (
               SELECT l_suppkey FROM sp JOIN pq ON l_partkey = pq_partkey
@@ -4969,7 +4989,7 @@ def oracle_sql() -> dict[str, str]:
             ), wr AS (
               SELECT doc_id, source, wq_base * ramp AS wq FROM w
             )
-            SELECT doc_id, source, round(wq, 6) AS weight FROM wr
+            SELECT doc_id, source, {_gq("wq", 6)} AS weight FROM wr
             WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
                   < CAST(floor(wq * 1000000) AS BIGINT)
             ORDER BY doc_id""",
@@ -5037,8 +5057,8 @@ def oracle_sql() -> dict[str, str]:
               FROM m
             )
             SELECT source, quality_keep, COUNT(*) AS n_docs,
-                   round(CAST(SUM(best2) AS DOUBLE) / CAST(SUM(n2) AS DOUBLE), 6) AS pooled_top_2gram_frac,
-                   round(CAST(SUM(dup5) AS DOUBLE) / CAST(SUM(n5) AS DOUBLE), 6) AS pooled_dup_5gram_frac
+                   {_gq("CAST(SUM(best2) AS DOUBLE) / CAST(SUM(n2) AS DOUBLE)", 6)} AS pooled_top_2gram_frac,
+                   {_gq("CAST(SUM(dup5) AS DOUBLE) / CAST(SUM(n5) AS DOUBLE)", 6)} AS pooled_dup_5gram_frac
             FROM v GROUP BY source, quality_keep ORDER BY source, quality_keep""",
         "chunk_documents_overlap": """
             WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
@@ -5295,31 +5315,54 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_lines
             FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
             ORDER BY returnflag, linestatus""",
-        "ntile_customer_spend": """
+        "ntile_customer_spend": f"""
             WITH spend AS (
               SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend_dec
               FROM orders GROUP BY o_custkey
             )
             SELECT o_custkey, CAST(spend_dec AS DOUBLE) AS spend,
                    CAST(ntile(10) OVER w AS INT) AS decile,
-                   round(percent_rank() OVER w, 6) AS pct_rank,
-                   round(cume_dist() OVER w, 6) AS cume_dist
+                   {_gq("percent_rank() OVER w", 6)} AS pct_rank,
+                   {_gq("cume_dist() OVER w", 6)} AS cume_dist
             FROM spend
             WINDOW w AS (ORDER BY spend_dec DESC, o_custkey)
             QUALIFY decile = 1
             ORDER BY o_custkey""",
-        "event_value_percentiles": """
-            SELECT event_type, COUNT(*) AS n,
-                   round(quantile_cont(value, 0.25), 6) AS p25,
-                   round(quantile_cont(value, 0.5), 6) AS p50,
-                   round(quantile_cont(value, 0.75), 6) AS p75,
-                   round(quantile_cont(value, 0.9), 6) AS p90
-            FROM events GROUP BY event_type ORDER BY event_type""",
+        "event_value_percentiles": f"""
+            -- r11 sweep: explicit order-statistics percentiles, lockstep
+            -- with profiling.exact_percentiles (engine percentile
+            -- libraries interpolate through different expression shapes)
+            WITH ranked AS (
+              SELECT event_type, value,
+                     row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+                     COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM events WHERE value IS NOT NULL
+            ),
+            q AS (
+              SELECT event_type,
+                     {", ".join(
+                         "MAX(CASE WHEN rn = ((n - 1) * %(num)d) // %(den)d + 1 THEN value END)"
+                         " + (MAX(CASE WHEN rn = least(((n - 1) * %(num)d) // %(den)d + 2, n) THEN value END)"
+                         "    - MAX(CASE WHEN rn = ((n - 1) * %(num)d) // %(den)d + 1 THEN value END))"
+                         "   * MAX(CASE WHEN rn = 1 THEN CAST(((n - 1) * %(num)d) %% %(den)d AS DOUBLE) / %(den)d.0 END)"
+                         " AS %(alias)s" % dict(num=num, den=den, alias=alias)
+                         for alias, num, den in
+                         [("q25", 1, 4), ("q50", 1, 2), ("q75", 3, 4), ("q90", 9, 10)]
+                     )}
+              FROM ranked GROUP BY event_type
+            ),
+            c AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type)
+            SELECT c.event_type, c.n,
+                   {_gq("q.q25", 6)} AS p25,
+                   {_gq("q.q50", 6)} AS p50,
+                   {_gq("q.q75", 6)} AS p75,
+                   {_gq("q.q90", 6)} AS p90
+            FROM c LEFT JOIN q USING (event_type) ORDER BY event_type""",
         "approx_distinct_users": """
             SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
                    TRUE AS approx_within_5pct
             FROM events GROUP BY event_type ORDER BY event_type""",
-        "embedding_quantize_error": """
+        "embedding_quantize_error": f"""
             WITH v AS (
               SELECT vec_id, label,
                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -5331,14 +5374,10 @@ def oracle_sql() -> dict[str, str]:
               FROM v
             )
             SELECT vec_id, label,
-                   round(scale, 6) AS q_scale,
-                   round(
-                     list_sum(list_transform(e, x -> abs(x - (
-                       CASE WHEN scale > 0
-                            THEN vmin + floor((x - vmin) / scale + 0.5) * scale
-                            ELSE x END)))) / len(e), 6) AS mean_abs_err
+                   {_gq("scale", 6)} AS q_scale,
+                   {_gq("list_sum(list_transform(e, x -> abs(x - (CASE WHEN scale > 0 THEN vmin + floor((x - vmin) / scale + 0.5) * scale ELSE x END)))) / len(e)", 6)} AS mean_abs_err
             FROM s ORDER BY vec_id""",
-        "label_centroid_outliers": """
+        "label_centroid_outliers": f"""
             WITH dims AS (
               SELECT vec_id, label, t.i AS pos,
                      CAST(embedding[t.i] AS DOUBLE) AS x
@@ -5355,7 +5394,7 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY d.vec_id, d.label
             )
             SELECT label, rnk, vec_id, centroid_dist FROM (
-              SELECT label, vec_id, round(centroid_dist, 6) AS centroid_dist,
+              SELECT label, vec_id, {_gq("centroid_dist", 6)} AS centroid_dist,
                      CAST(row_number() OVER (PARTITION BY label
                           ORDER BY centroid_dist DESC, vec_id) AS INT) AS rnk
               FROM dist
@@ -5428,7 +5467,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT (SELECT COUNT(*) FROM t0) AS n_step0_view,
                    (SELECT COUNT(*) FROM c1) AS n_step1_click,
                    (SELECT COUNT(*) FROM c2) AS n_step2_purchase""",
-        "segment_dedup_docs": r"""
+        "segment_dedup_docs": rf"""
             WITH toksrc AS (
               SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
               FROM documents
@@ -5446,7 +5485,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, COUNT(*) AS n_segments,
                    CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments,
-                   round(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS dup_frac
+                   {_gq("SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) * 1.0 / COUNT(*)", 6)} AS dup_frac
             FROM marked GROUP BY doc_id ORDER BY doc_id""",
         "orders_gaps_lead_lag": """
             SELECT o_custkey, o_orderkey,
@@ -5588,17 +5627,14 @@ def oracle_sql() -> dict[str, str]:
                                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                    END AS zipf_slope
             FROM s ORDER BY source""",
-        "kmeans_assign_embeddings": """
+        "kmeans_assign_embeddings": f"""
             WITH seeds AS (
               SELECT vec_id AS seed_id, embedding AS seed_vec
               FROM embeddings ORDER BY vec_id LIMIT 8
             ),
             dists AS (
               SELECT e.vec_id, s.seed_id,
-                     SUM(CAST(round((CAST(e.embedding[g.i] AS DOUBLE)
-                                     - CAST(s.seed_vec[g.i] AS DOUBLE))
-                                    * (CAST(e.embedding[g.i] AS DOUBLE)
-                                       - CAST(s.seed_vec[g.i] AS DOUBLE)), 6)
+                     SUM(CAST({_gq("(CAST(e.embedding[g.i] AS DOUBLE) - CAST(s.seed_vec[g.i] AS DOUBLE)) * (CAST(e.embedding[g.i] AS DOUBLE) - CAST(s.seed_vec[g.i] AS DOUBLE))", 6)}
                               AS DECIMAL(38,6))) AS dist
               FROM embeddings e
                    CROSS JOIN seeds s,
@@ -5612,22 +5648,38 @@ def oracle_sql() -> dict[str, str]:
               FROM dists
             )
             SELECT cluster, COUNT(*) AS n_points,
-                   round(CAST(SUM(dist) AS DOUBLE), 6) AS total_sqdist
+                   {_gq("CAST(SUM(dist) AS DOUBLE)", 6)} AS total_sqdist
             FROM best WHERE rk = 1 GROUP BY cluster ORDER BY cluster""",
-        "doc_length_band_by_source": """
-            WITH bounds AS (
+        "doc_length_band_by_source": f"""
+            -- r11 sweep: explicit order-statistics bounds (positions in
+            -- exact twentieths), lockstep with profiling.exact_percentiles
+            WITH ranked AS (
+              SELECT source, n_chars,
+                     row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+                     COUNT(*) OVER (PARTITION BY source) AS n
+              FROM documents WHERE n_chars IS NOT NULL
+            ),
+            bounds AS (
               SELECT source,
-                     quantile_cont(CAST(n_chars AS DOUBLE), 0.05) AS plo,
-                     quantile_cont(CAST(n_chars AS DOUBLE), 0.95) AS phi
-              FROM documents GROUP BY source
+                     MAX(CASE WHEN rn = (n - 1) // 20 + 1 THEN n_chars END)
+                     + (MAX(CASE WHEN rn = least((n - 1) // 20 + 2, n) THEN n_chars END)
+                        - MAX(CASE WHEN rn = (n - 1) // 20 + 1 THEN n_chars END))
+                       * MAX(CASE WHEN rn = 1
+                             THEN CAST((n - 1) % 20 AS DOUBLE) / 20.0 END) AS plo,
+                     MAX(CASE WHEN rn = ((n - 1) * 19) // 20 + 1 THEN n_chars END)
+                     + (MAX(CASE WHEN rn = least(((n - 1) * 19) // 20 + 2, n) THEN n_chars END)
+                        - MAX(CASE WHEN rn = ((n - 1) * 19) // 20 + 1 THEN n_chars END))
+                       * MAX(CASE WHEN rn = 1
+                             THEN CAST(((n - 1) * 19) % 20 AS DOUBLE) / 20.0 END) AS phi
+              FROM ranked GROUP BY source
             )
             SELECT d.source, COUNT(*) AS n_docs,
                    CAST(SUM(CASE WHEN n_chars >= plo AND n_chars <= phi
                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
                    CAST(SUM(CASE WHEN n_chars >= plo AND n_chars <= phi
                                  THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept,
-                   round(MIN(plo), 6) AS p_lo,
-                   round(MIN(phi), 6) AS p_hi
+                   {_gq("MIN(plo)", 6)} AS p_lo,
+                   {_gq("MIN(phi)", 6)} AS p_hi
             FROM documents d JOIN bounds b USING (source)
             GROUP BY d.source ORDER BY d.source""",
         "fixed_k_sample_per_source": """
@@ -5920,7 +5972,7 @@ def oracle_sql() -> dict[str, str]:
             agg AS (SELECT vec_id, {_PQ['code_cols']}, {_PQ['md_cols']}
                     FROM ranked GROUP BY vec_id)
             SELECT vec_id, code_0, code_1, code_2, code_3,
-                   round(CAST({_PQ['qerr']} AS DOUBLE), 6) AS qerr
+                   {_gq(f"CAST({_PQ['qerr']} AS DOUBLE)", 6)} AS qerr
             FROM agg ORDER BY vec_id""",
         "pq_adc_topk_embeddings": f"""
             WITH seeds AS ({_PQ['seeds']}),
@@ -5935,7 +5987,7 @@ def oracle_sql() -> dict[str, str]:
               FROM codes c JOIN lut l ON TRUE
               GROUP BY l.query_id, c.vec_id
             )
-            SELECT query_id, neighbor_id, round(CAST(adc AS DOUBLE), 6) AS adc_dist, rank
+            SELECT query_id, neighbor_id, {_gq("CAST(adc AS DOUBLE)", 6)} AS adc_dist, rank
             FROM (
               SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                                                 ORDER BY adc, neighbor_id) AS INT) AS rank
@@ -5978,12 +6030,10 @@ def oracle_sql() -> dict[str, str]:
             FROM b a JOIN b c ON a.block = c.block AND a.name < c.name
             WHERE levenshtein(a.name, c.name) <= 3
             ORDER BY a.block, name_a, name_b""",
-        "weighted_sample_docs": """
+        "weighted_sample_docs": f"""
             WITH s AS (
               SELECT doc_id, source, n_chars,
-                     round(ln((CAST(('0x' || substr(md5('aes:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
-                              / 4294967296.0)
-                           / CAST(n_chars AS DOUBLE), 6) AS aes_key
+                     {_gq("ln((CAST(('0x' || substr(md5('aes:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5) / 4294967296.0) / CAST(n_chars AS DOUBLE)", 6)} AS aes_key
               FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
             ), r AS (
               SELECT doc_id, source, n_chars,
@@ -6028,7 +6078,7 @@ def oracle_sql() -> dict[str, str]:
               WHERE nc.cell = qc.cell
               GROUP BY l.query_id, c.vec_id
             )
-            SELECT query_id, neighbor_id, round(CAST(adc AS DOUBLE), 6) AS adc_dist, rank
+            SELECT query_id, neighbor_id, {_gq("CAST(adc AS DOUBLE)", 6)} AS adc_dist, rank
             FROM (
               SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                                                 ORDER BY adc, neighbor_id) AS INT) AS rank
@@ -6055,7 +6105,7 @@ def oracle_sql() -> dict[str, str]:
                                                 ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
               FROM scored
             ) WHERE rank <= 5 ORDER BY anchor_id, rank""",
-        "basket_lift_parts": """
+        "basket_lift_parts": f"""
             WITH items AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
             nb AS (SELECT COUNT(DISTINCT basket) AS n FROM items),
             ic AS (SELECT item, COUNT(*) AS item_cnt FROM items GROUP BY item),
@@ -6065,8 +6115,7 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY 1, 2 HAVING COUNT(*) >= 2)
             SELECT p.item_a, p.item_b, p.pair_cnt,
                    ca.item_cnt AS cnt_a, cb.item_cnt AS cnt_b,
-                   round(CAST(p.pair_cnt AS DOUBLE) * nb.n
-                         / (CAST(ca.item_cnt AS DOUBLE) * CAST(cb.item_cnt AS DOUBLE)), 6) AS lift
+                   {_gq("CAST(p.pair_cnt AS DOUBLE) * nb.n / (CAST(ca.item_cnt AS DOUBLE) * CAST(cb.item_cnt AS DOUBLE))", 6)} AS lift
             FROM pairs p, nb
             JOIN ic ca ON ca.item = p.item_a
             JOIN ic cb ON cb.item = p.item_b
@@ -6176,7 +6225,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_candidates,
                    CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_luhn_valid
             FROM checked GROUP BY o_orderpriority ORDER BY o_orderpriority""",
-        "seasonal_strength_value_by_type": """
+        "seasonal_strength_value_by_type": f"""
             WITH base AS (
               SELECT event_type, CAST(floor(epoch(ts) / 86400.0) AS BIGINT) % 7 AS dow,
                      CAST(value AS DECIMAL(18,6)) AS x
@@ -6188,10 +6237,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT event_type, SUM(x) AS st, SUM(x * x) AS sq, COUNT(*) AS nt
               FROM base GROUP BY 1)
             SELECT g.event_type, CAST(g.nt AS BIGINT) AS n_obs,
-                   round((SUM(CAST(d.s AS DOUBLE) * CAST(d.s AS DOUBLE) / d.n)
-                          - CAST(g.st AS DOUBLE) * CAST(g.st AS DOUBLE) / g.nt)
-                         / (CAST(g.sq AS DOUBLE)
-                            - CAST(g.st AS DOUBLE) * CAST(g.st AS DOUBLE) / g.nt), 6)
+                   {_gq("(SUM(CAST(d.s AS DOUBLE) * CAST(d.s AS DOUBLE) / d.n) - CAST(g.st AS DOUBLE) * CAST(g.st AS DOUBLE) / g.nt) / (CAST(g.sq AS DOUBLE) - CAST(g.st AS DOUBLE) * CAST(g.st AS DOUBLE) / g.nt)", 6)}
                      AS seasonal_strength
             FROM per_dow d JOIN per_group g ON g.event_type = d.event_type
             GROUP BY g.event_type, g.nt, g.st, g.sq ORDER BY g.event_type""",

@@ -863,7 +863,8 @@ def cooccurrence_lift(
             "pair_cnt",
             "cnt_a",
             "cnt_b",
-            F.round(
+            # grid_round, not engine round() (r11 sweep: int rational)
+            grid_round(
                 (F.col("pair_cnt").cast("double") * F.lit(float(n_baskets)))
                 / (F.col("cnt_a").cast("double") * F.col("cnt_b").cast("double")),
                 6,
@@ -1061,7 +1062,8 @@ def seasonal_strength_by_group(
         .select(
             F.col(group_col),
             F.col("nt").alias("n_obs"),
-            F.round(
+            # grid_round, not engine round() (r11 sweep)
+            grid_round(
                 (F.col("ss_dow") - F.col("st").cast("double") * F.col("st").cast("double") / F.col("nt"))
                 / (F.col("sq").cast("double") - F.col("st").cast("double") * F.col("st").cast("double") / F.col("nt")),
                 scale,

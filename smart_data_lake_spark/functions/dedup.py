@@ -204,7 +204,9 @@ def embedding_neardup_pairs(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), nrm(F.col(vec_col)).alias("_nb")
     )
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    sim = F.round(dot_p(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6)
+    # grid_round, not engine round() (r11 sweep: UDF-float cosine can
+    # pseudo-tie on the 1e-6 grid; the rounded value also thresholds)
+    sim = grid_round(dot_p(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6)
     return pairs.select("id_a", "id_b", sim.alias("cos_sim")).where(F.col("cos_sim") >= threshold)
 
 
@@ -279,7 +281,7 @@ def embedding_neardup_lsh(
         .select(
             "id_a",
             "id_b",
-            F.round(dot_p(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6).alias(
+            grid_round(dot_p(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6).alias(
                 "cos_sim"
             ),
         )
@@ -330,7 +332,8 @@ def exact_segment_dedup(
     return marked.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_segments"),
         F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("n_dup_segments"),
-        F.round(
+        # grid_round, not engine round() (r11 sweep: int/int rational)
+        grid_round(
             F.sum(F.when(F.col("is_dup"), 1).otherwise(0)) / F.count(F.lit(1)), 6
         ).alias("dup_frac"),
     )
@@ -669,7 +672,7 @@ def semantic_dedup(
         a.join(b, "cell")
         .where(F.col("_ida") < F.col("_idb"))
         .where(
-            F.round(dot_p(F.col("_veca"), F.col("_vecb")) / (F.col("_norma") * F.col("_normb")), 6)
+            grid_round(dot_p(F.col("_veca"), F.col("_vecb")) / (F.col("_norma") * F.col("_normb")), 6)
             >= threshold
         )
         .select("cell", F.col("_idb").alias("_id"))

@@ -80,15 +80,19 @@ def grouped_outliers(
     )
 
 
-def _interp_median(frame, col: str, group_cols: list[str]):
-    """Explicit order-statistics median (global when ``group_cols`` is
-    empty): rank lo = (n−1) div 2 + 1, exact binary fraction
-    frac = ((n−1) mod 2)/2 ∈ {0, ½}, median = v_lo + (v_hi − v_lo)·frac —
-    one fixed IEEE expression of raw doubles, bit-identical on any engine
+def exact_percentiles(frame, col: str, group_cols: list[str], probs):
+    """Explicit order-statistics percentile_cont for EXACT-RATIONAL
+    probabilities (global when ``group_cols`` is empty). ``probs`` is a
+    list of (alias, num, den): position (n−1)·num/den splits into integer
+    rank lo = ((n−1)·num) div den + 1 and fraction
+    frac = ((n−1)·num mod den)/den — frac is ONE correctly-rounded double
+    division of small integers, identical in every engine — and the value
+    is v_lo + (v_hi − v_lo)·frac, one fixed IEEE expression of raw inputs
     (Spark `percentile` and DuckDB `quantile_cont` interpolate through
     DIFFERENT expression shapes — the mad_outliers/exact_quartiles r11
-    lesson). Returns (group_cols..., _m) with the UNROUNDED interpolated
-    double; groups with no non-null values are absent (callers left-join)."""
+    lesson). One window sort serves every requested percentile. Returns
+    (group_cols..., *aliases) UNROUNDED; groups with no non-null values
+    are absent (callers left-join)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(*group_cols).orderBy(F.col(col))
@@ -98,14 +102,23 @@ def _interp_median(frame, col: str, group_cols: list[str]):
         .withColumn("_rn", F.row_number().over(w))
         .withColumn("_n", F.count(F.lit(1)).over(wg))
     )
-    pos = F.col("_n") - 1
-    lo = F.floor(pos / 2) + 1
-    hi = F.least(lo + 1, F.col("_n"))
-    frac = (pos % 2).cast("double") / 2.0
-    vlo = F.max(F.when(F.col("_rn") == lo, F.col(col)))
-    vhi = F.max(F.when(F.col("_rn") == hi, F.col(col)))
-    fr = F.max(F.when(F.col("_rn") == 1, frac))
-    return ranked.groupBy(*group_cols).agg((vlo + (vhi - vlo) * fr).alias("_m"))
+    aggs = []
+    for alias, num, den in probs:
+        pos = (F.col("_n") - 1) * num
+        lo = F.floor(pos / den) + 1
+        hi = F.least(lo + 1, F.col("_n"))
+        frac = (pos % den).cast("double") / float(den)
+        vlo = F.max(F.when(F.col("_rn") == lo, F.col(col)))
+        vhi = F.max(F.when(F.col("_rn") == hi, F.col(col)))
+        fr = F.max(F.when(F.col("_rn") == 1, frac))
+        aggs.append((vlo + (vhi - vlo) * fr).alias(alias))
+    return ranked.groupBy(*group_cols).agg(*aggs)
+
+
+def _interp_median(frame, col: str, group_cols: list[str]):
+    """The median instance of `exact_percentiles` (rank lo = (n−1) div 2
+    + 1, frac ∈ {0, ½}); returns (group_cols..., _m)."""
+    return exact_percentiles(frame, col, group_cols, [("_m", 1, 2)])
 
 
 def profile_columns(

@@ -319,17 +319,33 @@ def length_band_stats(
     Gopher both apply document-length cuts; this reports the cut's effect
     per source before committing to it).
 
-    Exactness: bounds use SQL-standard percentile_cont interpolation
-    (Spark `percentile` ≡ DuckDB `quantile_cont` — same proven pairing as
-    `exact_quartiles`); the band comparison is integer-vs-double, exact in
-    any engine. Shape: one per-group percentile aggregate (tiny result)
-    broadcast back onto the scan, then one combinable rollup — two scans,
-    no global sort."""
+    Exactness (r11 sweep — the percentile-library class): bounds come from
+    `profiling.exact_percentiles`' explicit order statistics (exact
+    rational positions via Fraction(lo/hi), one fixed IEEE interpolation
+    expression) instead of each engine's percentile library, whose
+    interpolation shapes differ; an ulp there could flip a band-boundary
+    document. The band comparison is integer-vs-double, exact in any
+    engine; bound finals quantize through the shared grid. Shape: one
+    per-group window sort for both bounds (tiny result) broadcast back
+    onto the scan, then one combinable rollup — two scans, no global
+    sort."""
+    from fractions import Fraction
+
     from pyspark.sql import functions as F
 
-    pcts = F.percentile(F.col(len_col), F.lit([lo, hi]))
-    bounds = df.groupBy(group_col).agg(
-        pcts[0].alias("_plo"), pcts[1].alias("_phi")
+    from .numeric import grid_round as _gr
+
+    flo, fhi = Fraction(str(lo)), Fraction(str(hi))
+    from smart_data_lake_spark.functions.profiling import exact_percentiles
+
+    bounds = exact_percentiles(
+        df,
+        len_col,
+        [group_col],
+        [
+            ("_plo", flo.numerator, flo.denominator),
+            ("_phi", fhi.numerator, fhi.denominator),
+        ],
     )
     joined = df.join(F.broadcast(bounds), group_col)
     kept = (F.col(len_col) >= F.col("_plo")) & (F.col(len_col) <= F.col("_phi"))
@@ -337,8 +353,8 @@ def length_band_stats(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(kept.cast("long")).alias("n_kept"),
         F.sum(F.when(kept, F.col(len_col)).otherwise(F.lit(0))).alias("chars_kept"),
-        F.round(F.first("_plo"), decimals).alias("p_lo"),
-        F.round(F.first("_phi"), decimals).alias("p_hi"),
+        _gr(F.first("_plo"), decimals).alias("p_lo"),
+        _gr(F.first("_phi"), decimals).alias("p_hi"),
     )
 
 

@@ -392,7 +392,9 @@ def weighted_fixed_k_per_group(
         10,
     ).cast("long")
     u = (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
-    s = F.round(F.log(u) / F.col(weight_col).cast("double"), decimals)
+    # grid_round, not engine round() (r11 sweep: the A-ES key is a
+    # libm-log rational that also drives the sample ordering)
+    s = grid_round(F.log(u) / F.col(weight_col).cast("double"), decimals)
     w = Window.partitionBy(group_col).orderBy(F.desc("aes_key"), F.col(key_col))
     return (
         df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))

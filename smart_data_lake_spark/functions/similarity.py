@@ -17,6 +17,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .numeric import grid_round
+
 
 def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     """Dot product of two array<float> columns.
@@ -109,7 +111,7 @@ def brute_force_topk(
         .select(
             query_id_col,
             "neighbor_id",
-            F.round(
+            grid_round(
                 dot_p(F.col("_qvec"), F.col("_cvec")) / (F.col("_qnorm") * F.col("_cnorm")), 6
             ).alias("cos_sim"),
         )
@@ -313,7 +315,7 @@ def ivf_topk(
         .select(
             query_id_col,
             "neighbor_id",
-            F.round(
+            grid_round(
                 dot_p(F.col("_qvec"), F.col("_cvec")) / (F.col("_qnorm") * F.col("_cnorm")), 6
             ).alias("cos_sim"),
         )
@@ -482,7 +484,7 @@ def lsh_topk(
         .select(
             query_id_col,
             "neighbor_id",
-            F.round(
+            grid_round(
                 dot_p(F.col("_qvec"), F.col("_cvec")) / (F.col("_qnorm") * F.col("_cnorm")), 6
             ).alias("cos_sim"),
         )
@@ -527,7 +529,7 @@ def kmeans_assign_stats(
     diffs = F.zip_with(
         F.col(vec_col),
         F.col("_seed_vec"),
-        lambda a, b: F.round(
+        lambda a, b: grid_round(
             (a.cast("double") - b.cast("double")) * (a.cast("double") - b.cast("double")),
             decimals,
         ).cast(dec),
@@ -542,7 +544,7 @@ def kmeans_assign_stats(
     )
     return assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_points"),
-        F.round(F.sum("_dist").cast("double"), 6).alias("total_sqdist"),
+        grid_round(F.sum("_dist").cast("double"), 6).alias("total_sqdist"),
     )
 
 
@@ -571,7 +573,7 @@ def _sub_sqdist(a_col, b_col, decimals):
     diffs = F.zip_with(
         a_col,
         b_col,
-        lambda a, b: F.round(
+        lambda a, b: grid_round(
             (a.cast("double") - b.cast("double")) * (a.cast("double") - b.cast("double")),
             decimals,
         ).cast(dec),
@@ -634,7 +636,7 @@ def pq_encode(
     return best.select(
         F.col(id_col),
         *[F.col(f"_best_{i}._seed_id").cast("int").alias(f"code_{i}") for i in range(m)],
-        F.round(qerr.cast("double"), decimals).alias("qerr"),
+        grid_round(qerr.cast("double"), decimals).alias("qerr"),
     )
 
 
@@ -737,7 +739,7 @@ def pq_adc_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(F.col("_adc").cast("double"), decimals).alias("adc_dist"),
+            grid_round(F.col("_adc").cast("double"), decimals).alias("adc_dist"),
             "rank",
         )
     )
@@ -786,7 +788,7 @@ def hard_negative_topk(
             "anchor_label",
             "neighbor_id",
             "neighbor_label",
-            F.round(
+            grid_round(
                 dot_p(F.col("_qvec"), F.col("_cvec")) / (F.col("_qnorm") * F.col("_cnorm")), 6
             ).alias("cos_sim"),
         )
