@@ -926,7 +926,6 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit order-statistics interpolation (r11 sweep — engine
     percentile libraries interpolate through different expression
     shapes), and finals quantize through the shared grid."""
-    from smart_data_lake_spark.functions.numeric import grid_round
     from smart_data_lake_spark.functions.profiling import profile_columns
 
     orders = _t(spark, sf_dir, "orders")
@@ -3655,6 +3654,23 @@ def _gq(expr: str, decimals: int) -> str:
     return grid_round_sql(expr, decimals)
 
 
+def _interp_sql(val: str, num: int, den: int) -> str:
+    """SQL twin of profiling.exact_percentiles' interpolation for ONE
+    exact-rational percentile num/den over a CTE exposing (rn, n, val):
+    v_lo + (v_hi - v_lo) * frac with integer-arithmetic rank and an
+    exactly-once-rounded fraction. Kept as a builder so every percentile
+    oracle stays in lockstep with the Spark order statistics by
+    construction (the _gq discipline; r10 review folded six inline
+    copies into this)."""
+    lo = f"((n - 1) * {num}) // {den} + 1"
+    return (
+        f"MAX(CASE WHEN rn = {lo} THEN {val} END)"
+        f" + (MAX(CASE WHEN rn = least(((n - 1) * {num}) // {den} + 2, n) THEN {val} END)"
+        f" - MAX(CASE WHEN rn = {lo} THEN {val} END))"
+        f" * MAX(CASE WHEN rn = 1 THEN CAST(((n - 1) * {num}) % {den} AS DOUBLE) / {den}.0 END)"
+    )
+
+
 def _cos_sql(a: str, b: str, dim: int = 64) -> str:
     dot = " + ".join(f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)" for i in range(1, dim + 1))
     na = " + ".join(f"CAST({a}[{i}] AS DOUBLE) * CAST({a}[{i}] AS DOUBLE)" for i in range(1, dim + 1))
@@ -3937,12 +3953,7 @@ def oracle_sql() -> dict[str, str]:
                      COUNT(*) OVER (PARTITION BY event_type) AS n
               FROM events WHERE value IS NOT NULL
             ), med AS (
-              SELECT event_type,
-                     MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN value END)
-                     + (MAX(CASE WHEN rn = least((n - 1) // 2 + 2, n) THEN value END)
-                        - MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN value END))
-                       * MAX(CASE WHEN rn = 1
-                             THEN CAST((n - 1) % 2 AS DOUBLE) / 2.0 END) AS med
+              SELECT event_type, {_interp_sql("value", 1, 2)} AS med
               FROM ranked GROUP BY event_type
             ), dev AS (
               SELECT e.event_type, e.value, abs(e.value - m.med) AS adev, m.med
@@ -3953,12 +3964,7 @@ def oracle_sql() -> dict[str, str]:
                      COUNT(*) OVER (PARTITION BY event_type) AS n
               FROM dev WHERE adev IS NOT NULL
             ), mads AS (
-              SELECT event_type,
-                     MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN adev END)
-                     + (MAX(CASE WHEN rn = least((n - 1) // 2 + 2, n) THEN adev END)
-                        - MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN adev END))
-                       * MAX(CASE WHEN rn = 1
-                             THEN CAST((n - 1) % 2 AS DOUBLE) / 2.0 END) AS mad
+              SELECT event_type, {_interp_sql("adev", 1, 2)} AS mad
               FROM ranked2 GROUP BY event_type
             )
             SELECT d.event_type, COUNT(*) AS n,
@@ -4316,10 +4322,14 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_correlations": f"""
             -- grid-quantized input-side rounds + rational final (r10/r11
             -- sweep), lockstep with profiling.pairwise_correlations.
-            -- DECIMAL(28,6), not (38,6): DuckDB's (38,6)x(38,6) product
-            -- cannot widen, while (28,6)x(28,6) -> (38,12) keeps the
-            -- squares of sub-1e-3 values exact — the Spark side uses
-            -- (18,6) whose (37,12) product is exact in ITS engine
+            -- DECIMAL(28,6) HERE vs (18,6) on the Spark side — deliberate
+            -- asymmetry: each engine needs the width that makes ITS
+            -- product exact. DuckDB stores DECIMAL(<=18) in int64 and
+            -- OVERFLOWS multiplying two of them (measured: 68423.46^2),
+            -- while (28,6) takes the int128 path -> (38,12) exact; Spark's
+            -- (18,6)x(18,6) -> (37,12) exact, but its (28,6) product
+            -- would CLAMP scale. Same VALUES either way in contract
+            -- (|x| < 1e12, see pairwise_correlations check_bound)
             WITH q AS (
               SELECT CAST({_gq("l_quantity", 6)} AS DECIMAL(28,6)) AS a,
                      CAST({_gq("l_extendedprice", 6)} AS DECIMAL(28,6)) AS b,
@@ -4841,12 +4851,7 @@ def oracle_sql() -> dict[str, str]:
               FROM orders WHERE o_orderkey IS NOT NULL
             ),
             kmed AS (
-              SELECT MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN v END)
-                     + (MAX(CASE WHEN rn = least((n - 1) // 2 + 2, n) THEN v END)
-                        - MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN v END))
-                       * MAX(CASE WHEN rn = 1
-                             THEN CAST((n - 1) % 2 AS DOUBLE) / 2.0 END) AS med
-              FROM rk
+              SELECT {_interp_sql("v", 1, 2)} AS med FROM rk
             ),
             rp AS (
               SELECT o_totalprice AS v,
@@ -4855,12 +4860,7 @@ def oracle_sql() -> dict[str, str]:
               FROM orders WHERE o_totalprice IS NOT NULL
             ),
             pmed AS (
-              SELECT MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN v END)
-                     + (MAX(CASE WHEN rn = least((n - 1) // 2 + 2, n) THEN v END)
-                        - MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN v END))
-                       * MAX(CASE WHEN rn = 1
-                             THEN CAST((n - 1) % 2 AS DOUBLE) / 2.0 END) AS med
-              FROM rp
+              SELECT {_interp_sql("v", 1, 2)} AS med FROM rp
             ),
             s AS (
               SELECT COUNT(*) AS n,
@@ -5341,11 +5341,7 @@ def oracle_sql() -> dict[str, str]:
             q AS (
               SELECT event_type,
                      {", ".join(
-                         "MAX(CASE WHEN rn = ((n - 1) * %(num)d) // %(den)d + 1 THEN value END)"
-                         " + (MAX(CASE WHEN rn = least(((n - 1) * %(num)d) // %(den)d + 2, n) THEN value END)"
-                         "    - MAX(CASE WHEN rn = ((n - 1) * %(num)d) // %(den)d + 1 THEN value END))"
-                         "   * MAX(CASE WHEN rn = 1 THEN CAST(((n - 1) * %(num)d) %% %(den)d AS DOUBLE) / %(den)d.0 END)"
-                         " AS %(alias)s" % dict(num=num, den=den, alias=alias)
+                         f'{_interp_sql("value", num, den)} AS {alias}'
                          for alias, num, den in
                          [("q25", 1, 4), ("q50", 1, 2), ("q75", 3, 4), ("q90", 9, 10)]
                      )}
@@ -5661,16 +5657,8 @@ def oracle_sql() -> dict[str, str]:
             ),
             bounds AS (
               SELECT source,
-                     MAX(CASE WHEN rn = (n - 1) // 20 + 1 THEN n_chars END)
-                     + (MAX(CASE WHEN rn = least((n - 1) // 20 + 2, n) THEN n_chars END)
-                        - MAX(CASE WHEN rn = (n - 1) // 20 + 1 THEN n_chars END))
-                       * MAX(CASE WHEN rn = 1
-                             THEN CAST((n - 1) % 20 AS DOUBLE) / 20.0 END) AS plo,
-                     MAX(CASE WHEN rn = ((n - 1) * 19) // 20 + 1 THEN n_chars END)
-                     + (MAX(CASE WHEN rn = least(((n - 1) * 19) // 20 + 2, n) THEN n_chars END)
-                        - MAX(CASE WHEN rn = ((n - 1) * 19) // 20 + 1 THEN n_chars END))
-                       * MAX(CASE WHEN rn = 1
-                             THEN CAST(((n - 1) * 19) % 20 AS DOUBLE) / 20.0 END) AS phi
+                     {_interp_sql("n_chars", 1, 20)} AS plo,
+                     {_interp_sql("n_chars", 19, 20)} AS phi
               FROM ranked GROUP BY source
             )
             SELECT d.source, COUNT(*) AS n_docs,
@@ -5680,7 +5668,7 @@ def oracle_sql() -> dict[str, str]:
                                  THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept,
                    {_gq("MIN(plo)", 6)} AS p_lo,
                    {_gq("MIN(phi)", 6)} AS p_hi
-            FROM documents d JOIN bounds b USING (source)
+            FROM documents d LEFT JOIN bounds b USING (source)
             GROUP BY d.source ORDER BY d.source""",
         "fixed_k_sample_per_source": """
             WITH ranked AS (

@@ -231,9 +231,6 @@ def mad_outliers(
     100 TB tier swap in `approx_quantile_buckets`' GK sketch for the
     same contract at bounded memory — this is the audit-grade companion.
     """
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
     medians = _interp_median(df, value_col, [group_col]).withColumnRenamed("_m", "_med")
     # LEFT joins keep all-null groups in the output (median/mad NULL, the
     # old percentile()-based form's semantics) instead of dropping them
@@ -264,6 +261,7 @@ def pairwise_correlations(
     cols: list[str],
     group_col: str | None = None,
     decimals: int = 6,
+    check_bound: bool = False,
 ):
     """Pearson correlations for every column pair via exact DECIMAL
     sufficient statistics — the engine/partition-order-independent
@@ -278,6 +276,14 @@ def pairwise_correlations(
     One map-side-combinable aggregation for ALL pairs (no per-pair scans);
     k columns → k + k(k+1)/2 sum columns in a single reduce row per group.
     Returns (group?, col_a, col_b, corr, n) for a < b pairs.
+
+    Caller contract: |value| < 10^(12) (the decimal(18,6) integer-digit
+    budget) — an out-of-contract value silently NULLs out of the Spark
+    sums (non-ANSI cast) while a DECIMAL-typed engine hard-errors, so the
+    failure mode is divergent, not just wrong. Opt-in ``check_bound``
+    counts violations in one cheap combinable pre-aggregate and raises a
+    diagnosable error naming the column (the spearman/burstiness
+    `check_bound` discipline).
     """
     from pyspark.sql import functions as F
 
@@ -285,8 +291,23 @@ def pairwise_correlations(
     # scale back to s (hypothesis-found live: 0.000061^2 -> 0.000000 while
     # DuckDB keeps scale 2s), so squares of sub-1e-3 values vanished on one
     # side only; (18,6)x(18,6) -> (37,12), exact — the proven
-    # lagged_autocorrelation treatment. Caller contract: |value| < 1e12.
+    # lagged_autocorrelation treatment.
     dec = f"decimal(18,{decimals})"
+    if check_bound:
+        lim = float(10 ** (18 - decimals))
+        bad = df.agg(
+            *[
+                F.sum(F.when(F.abs(F.col(c)) >= lim, 1).otherwise(0)).alias(c)
+                for c in cols
+            ]
+        ).collect()[0]
+        for c in cols:
+            if bad[c]:
+                raise ValueError(
+                    f"pairwise_correlations: {bad[c]} value(s) in {c!r} exceed "
+                    f"|x| < 1e{18 - decimals} (decimal(18,{decimals}) budget); "
+                    "rescale the column or lower `decimals`"
+                )
     # grid_round before the cast (r10/r11 sweep): the input-side
     # quantization of raw doubles is the same cross-engine class
     q = {c: grid_round(F.col(c), decimals).cast(dec) for c in cols}

@@ -331,13 +331,9 @@ def length_band_stats(
     sort."""
     from fractions import Fraction
 
-    from pyspark.sql import functions as F
-
-    from .numeric import grid_round as _gr
-
-    flo, fhi = Fraction(str(lo)), Fraction(str(hi))
     from smart_data_lake_spark.functions.profiling import exact_percentiles
 
+    flo, fhi = Fraction(str(lo)), Fraction(str(hi))
     bounds = exact_percentiles(
         df,
         len_col,
@@ -347,14 +343,19 @@ def length_band_stats(
             ("_phi", fhi.numerator, fhi.denominator),
         ],
     )
-    joined = df.join(F.broadcast(bounds), group_col)
+    # LEFT join: exact_percentiles omits groups whose len_col is entirely
+    # NULL (its documented contract) — those groups must still report
+    # (n_docs, 0 kept, NULL bounds), not vanish (r10 review)
+    joined = df.join(F.broadcast(bounds), group_col, "left")
     kept = (F.col(len_col) >= F.col("_plo")) & (F.col(len_col) <= F.col("_phi"))
     return joined.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(kept.cast("long")).alias("n_kept"),
+        # when/otherwise, not a bare cast: a NULL-bound group must count 0
+        # kept rows (matching the oracle's CASE ... ELSE 0), not NULL
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
         F.sum(F.when(kept, F.col(len_col)).otherwise(F.lit(0))).alias("chars_kept"),
-        _gr(F.first("_plo"), decimals).alias("p_lo"),
-        _gr(F.first("_phi"), decimals).alias("p_hi"),
+        grid_round(F.first("_plo"), decimals).alias("p_lo"),
+        grid_round(F.first("_phi"), decimals).alias("p_hi"),
     )
 
 

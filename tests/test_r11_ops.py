@@ -170,3 +170,38 @@ def test_heaps_exact_linear_case(spark):
     out = heaps_law_fit(df).collect()[0]
     assert out["heaps_beta"] == 1.0
     assert out["heaps_k"] == 1.0
+
+
+def test_pairwise_correlations_check_bound_raises(spark):
+    """Opt-in bound check: a value past the decimal(18,6) integer budget
+    raises a diagnosable error naming the column instead of silently
+    NULLing out of the Spark sums (r10 review finding)."""
+    import pytest
+
+    from smart_data_lake_spark.functions.profiling import pairwise_correlations
+
+    df = spark.createDataFrame([(2e12, 1.0), (1.0, 2.0)], "a double, b double")
+    with pytest.raises(ValueError, match="'a'"):
+        pairwise_correlations(df, ["a", "b"], check_bound=True)
+    # in-contract data passes the check and computes
+    ok = spark.createDataFrame([(1.0, 2.0), (2.0, 4.0), (3.0, 7.0)], "a double, b double")
+    out = pairwise_correlations(ok, ["a", "b"], check_bound=True).collect()
+    assert len(out) == 1 and out[0]["n"] == 3
+
+
+def test_length_band_keeps_all_null_group(spark):
+    """A group whose length column is entirely NULL still reports
+    (n_docs, 0 kept, NULL bounds) instead of vanishing (r10 review
+    finding — exact_percentiles omits such groups; the caller must
+    left-join)."""
+    from smart_data_lake_spark.functions.quality import length_band_stats
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("a", 30), ("b", None), ("b", None)],
+        "source string, n_chars int",
+    )
+    out = {r["source"]: r for r in length_band_stats(df).collect()}
+    assert set(out) == {"a", "b"}
+    assert out["b"]["n_docs"] == 2
+    assert out["b"]["n_kept"] == 0
+    assert out["b"]["p_lo"] is None and out["b"]["p_hi"] is None
