@@ -105,7 +105,12 @@ def exact_percentiles(frame, col: str, group_cols: list[str], probs):
     aggs = []
     for alias, num, den in probs:
         pos = (F.col("_n") - 1) * num
-        lo = F.floor(pos / den) + 1
+        # Exact INTEGER division for the rank (r11 ADVICE): the old
+        # F.floor(pos / den) went through a double quotient, which past
+        # 2^53 can floor to a different rank than the exactly-computed
+        # `frac` / the oracle's integer `//`. SQL `div` is exact long
+        # arithmetic — lockstep with _interp_sql's `//`.
+        lo = F.expr(f"((_n - 1) * {int(num)}) div {int(den)}") + 1
         hi = F.least(lo + 1, F.col("_n"))
         frac = (pos % den).cast("double") / float(den)
         vlo = F.max(F.when(F.col("_rn") == lo, F.col(col)))
@@ -140,10 +145,16 @@ def profile_columns(
     compared across systems.
 
     `exact_median`: when set, numeric medians come from `_interp_median`'s
-    explicit order statistics (one window sort per numeric column) instead
-    of Spark's `percentile` library — the cross-engine-exact form (engine
-    percentile libraries interpolate through different expression shapes);
-    the default keeps the cheap one-pass aggregate for local profiling."""
+    explicit order statistics instead of Spark's `percentile` library — the
+    cross-engine-exact form (engine percentile libraries interpolate through
+    different expression shapes); the default keeps the cheap one-pass
+    aggregate for local profiling. All numeric columns are MELTED into one
+    (col_name, value) frame and ranked in a single window pass PARTITIONED
+    by col_name (r11 ADVICE: the old form ran one unpartitioned global sort
+    plus a full rescan PER numeric column — O(cols) single-partition sorts).
+    Values interpolate in double (ints < 2^53 are exact); an all-null
+    numeric column profiles with median NULL (the old per-column crossJoin
+    emptied the whole result on that edge)."""
     cols = cols or df.columns
     by_name = {f.name: f.dataType for f in df.schema.fields}
     # Two aggregate nodes, cross-joined as 1-row × 1-row: Catalyst rewrites
@@ -185,10 +196,20 @@ def profile_columns(
         distinct_aggs.append(F.countDistinct(col).alias(f"{c}__distinct"))
     one_row = df.agg(*plain_aggs).crossJoin(df.agg(*distinct_aggs))
     if exact_median:
-        for c in cols:
-            if isinstance(by_name[c], NumericType):
-                med = _interp_median(df, c, []).withColumnRenamed("_m", f"{c}__median")
-                one_row = one_row.crossJoin(F.broadcast(med))
+        num_cols = [c for c in cols if isinstance(by_name[c], NumericType)]
+        if num_cols:
+            melt = ", ".join(f"'{c}', CAST({c} AS DOUBLE)" for c in num_cols)
+            melted = df.select(
+                F.expr(f"stack({len(num_cols)}, {melt}) AS (_pc_col, _pc_val)")
+            )
+            meds = (
+                _interp_median(melted, "_pc_val", ["_pc_col"])
+                .groupBy()
+                .pivot("_pc_col", num_cols)
+                .agg(F.first("_m"))
+                .select(*[F.col(c).alias(f"{c}__median") for c in num_cols])
+            )
+            one_row = one_row.crossJoin(F.broadcast(meds))
     stack_args = ", ".join(
         f"'{c}', {c}__n, {c}__nulls, {c}__distinct, {c}__min, {c}__max, {c}__mean, {c}__median"
         for c in cols
@@ -295,9 +316,16 @@ def pairwise_correlations(
     dec = f"decimal(18,{decimals})"
     if check_bound:
         lim = float(10 ** (18 - decimals))
+        # Bound-check the QUANTIZED value, not the raw one (r11 ADVICE): a
+        # raw value in [lim - 0.5·10^-d, lim) passes a raw check yet
+        # grid_rounds up to exactly lim, overflowing the decimal on the
+        # non-ANSI side into a silent NULL — the divergent failure mode
+        # this check exists to catch.
         bad = df.agg(
             *[
-                F.sum(F.when(F.abs(F.col(c)) >= lim, 1).otherwise(0)).alias(c)
+                F.sum(
+                    F.when(F.abs(grid_round(F.col(c), decimals)) >= lim, 1).otherwise(0)
+                ).alias(c)
                 for c in cols
             ]
         ).collect()[0]
