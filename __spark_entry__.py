@@ -19,7 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from smart_data_lake_spark.functions.numeric import grid_round
+from smart_data_lake_spark.functions.numeric import grid_round, grid_round_sql
 from smart_data_lake_spark.session import ensure_nanos_shim
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -960,7 +960,9 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         "value",
-        F.round("zscore", 6).alias("zscore"),
+        # r11 sweep: grid_round, not engine round() (sqrt-irrational z,
+        # but uniform class discipline — zero engine-round sites)
+        grid_round(F.col("zscore"), 6).alias("zscore"),
     ).orderBy("event_id")
 
 
@@ -1873,7 +1875,10 @@ def range_frame_trailing_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     the result is deterministic under any shuffle order). Frame bounds in
     integer MICROSECONDS (unix_micros ≡ DuckDB epoch_us) — sub-second
     precision with no float boundary drift; decimal sum = order-independent.
-    One shuffle (the window sort)."""
+    One shuffle (the window sort). r11 sweep: the input double→DECIMAL cast
+    goes through grid_round (bare casts round engine-natively), and the sum
+    is emitted as DECIMAL(38,6) directly — exact on both engines, the old
+    round(CAST(.. AS DOUBLE), 6) final was the engine-round class."""
     ev = _t(spark, sf_dir, "events").where(F.col("user_id") % 50 == 0)
     w = (
         Window.partitionBy("user_id")
@@ -1883,9 +1888,10 @@ def range_frame_trailing_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        F.round(F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double"), 6).alias(
-            "trailing_1h_sum"
-        ),
+        F.sum(grid_round(F.col("value"), 6).cast("decimal(18,6)"))
+        .over(w)
+        .cast("decimal(38,6)")
+        .alias("trailing_1h_sum"),
         F.count(F.lit(1)).over(w).alias("trailing_1h_n"),
     ).orderBy("event_id")
 
@@ -1894,15 +1900,22 @@ def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (completes the cube/rollup family): chosen
     subtotal combinations only — Catalyst compiles to ONE Expand + one hash
     aggregate (a single shuffle for all four sets), strictly cheaper than
-    unioning four aggregates. GROUPING() disambiguates subtotal NULLs."""
+    unioning four aggregates. GROUPING() disambiguates subtotal NULLs.
+    r11 sweep: grid-quantized input cast + exact DECIMAL(38,2) sum output
+    (the old ROUND(CAST(.. AS DOUBLE), 2) final was the engine-round
+    class)."""
     _t(spark, sf_dir, "orders").createOrReplaceTempView("sdl_gs_orders")
+    # grid_round_sql is engine-neutral SQL (abs/floor/CASE) — the same
+    # builder serves the Spark SQL side here and the DuckDB oracle, so
+    # the two sides cannot drift.
+    gq_price = grid_round_sql("o_totalprice", 2)
     return spark.sql(
-        """
+        f"""
         SELECT o_orderstatus, o_orderpriority,
                CAST(grouping(o_orderstatus) AS INT) AS g_status,
                CAST(grouping(o_orderpriority) AS INT) AS g_prio,
                COUNT(*) AS n_orders,
-               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price
+               CAST(SUM(CAST({gq_price} AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
         FROM sdl_gs_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
                                 (o_orderstatus, o_orderpriority), ())
@@ -3914,20 +3927,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT f.doc_id, length(f.text) AS n_chars_kept
             FROM fresh f JOIN firsts USING (h, doc_id)
             ORDER BY f.doc_id""",
-        "range_frame_trailing_value": """
+        "range_frame_trailing_value": f"""
+            -- r11 sweep: grid-quantized input cast, exact DECIMAL(38,6)
+            -- sum output (no engine round())
             SELECT event_id, user_id,
-                   round(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE), 6) AS trailing_1h_sum,
+                   CAST(SUM(CAST({_gq("value", 6)} AS DECIMAL(18,6))) OVER w AS DECIMAL(38,6)) AS trailing_1h_sum,
                    COUNT(*) OVER w AS trailing_1h_n
             FROM events WHERE user_id % 50 = 0
             WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
             ORDER BY event_id""",
-        "grouping_sets_sales": """
+        "grouping_sets_sales": f"""
+            -- r11 sweep: grid-quantized input cast, exact DECIMAL(38,2)
+            -- sum output (no engine round())
             SELECT o_orderstatus, o_orderpriority,
                    CAST(grouping(o_orderstatus) AS INT) AS g_status,
                    CAST(grouping(o_orderpriority) AS INT) AS g_prio,
                    COUNT(*) AS n_orders,
-                   ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price
+                   CAST(SUM(CAST({_gq("o_totalprice", 2)} AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
             FROM orders
             GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
                                     (o_orderstatus, o_orderpriority), ())
@@ -4088,9 +4105,9 @@ def oracle_sql() -> dict[str, str]:
             ),
             nu AS (SELECT CAST(SUM(c1) AS DOUBLE) AS total_uni FROM uni),
             nb AS (SELECT CAST(SUM(len(w) - 1) AS DOUBLE) AS total_bi FROM toks)
+            -- r11 sweep: grid form, lockstep with grid_round
             SELECT w1 || ' ' || w2 AS collocation, c12,
-                   round(ln((c12 / total_bi) /
-                            ((ua.c1 / total_uni) * (ub.c1 / total_uni))), 6) AS pmi
+                   {_gq("ln((c12 / total_bi) / ((ua.c1 / total_uni) * (ub.c1 / total_uni)))", 6)} AS pmi
             FROM bi JOIN uni ua ON ua.term = bi.w1
                     JOIN uni ub ON ub.term = bi.w2, nu, nb
             ORDER BY pmi DESC, collocation LIMIT 25""",
@@ -4194,8 +4211,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT event_type, list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
               FROM events GROUP BY event_type
             )
+            -- r11 sweep: grid form, lockstep with grid_round
             SELECT event_type, len(vals) AS n_obs,
-                   round(list_reduce(vals, (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma
+                   """ + _gq("list_reduce(vals, (acc, x) -> 0.3 * x + 0.7 * acc)", 6) + """ AS ewma
             FROM seqs ORDER BY event_type""",
         "interarrival_stats_by_type": """
             WITH g AS (
@@ -4221,7 +4239,7 @@ def oracle_sql() -> dict[str, str]:
             n AS (SELECT COUNT(*) AS n_docs FROM documents),
             scored AS (
               SELECT source, term, tf, df,
-                     round(tf * (ln((CAST(n_docs AS DOUBLE) + 1) / (df + 1)) + 1), 6) AS tfidf
+                     {_gq("tf * (ln((CAST(n_docs AS DOUBLE) + 1) / (df + 1)) + 1)", 6)} AS tfidf
               FROM tf JOIN dfq USING (term), n
             ),
             ranked AS (
@@ -4876,8 +4894,10 @@ def oracle_sql() -> dict[str, str]:
                 CAST(MAX(o_orderstatus) AS VARCHAR) AS s_max,
                 CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS p_nulls,
                 CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS p_d,
-                CAST(MIN(o_totalprice) AS VARCHAR) AS p_min,
-                CAST(MAX(o_totalprice) AS VARCHAR) AS p_max,
+                -- r11: float min/max stringify through grid-quantized
+                -- DECIMAL (engine double->string rendering differs)
+                CAST(CAST({_gq("MIN(o_totalprice)", 6)} AS DECIMAL(38,6)) AS VARCHAR) AS p_min,
+                CAST(CAST({_gq("MAX(o_totalprice)", 6)} AS DECIMAL(38,6)) AS VARCHAR) AS p_max,
                 {_gq("CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(o_totalprice)", 6)} AS p_mean,
                 {_gq("(SELECT med FROM pmed)", 6)} AS p_med
               FROM orders
@@ -4906,8 +4926,9 @@ def oracle_sql() -> dict[str, str]:
                      sqrt(greatest(sq / n - (s / n) * (s / n), 0.0)) AS sd
               FROM st
             )
+            -- r11 sweep: grid form, lockstep with grid_round
             SELECT e.event_id, e.event_type, e.value,
-                   round((e.value - m) / sd, 6) AS zscore
+                   """ + _gq("(e.value - m) / sd", 6) + """ AS zscore
             FROM events e JOIN en USING (event_type)
             WHERE sd > 0 AND abs((e.value - m) / sd) > 2.5
             ORDER BY e.event_id""",
@@ -5581,11 +5602,12 @@ def oracle_sql() -> dict[str, str]:
                        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)) AS var
               FROM scored WHERE n >= 10
             )
+            -- r11 sweep: grid form, lockstep with grid_round
             SELECT event_type, event_id, value,
                    mean AS roll_mean,
-                   round((value - mean) / sqrt(var), 6) AS z
+                   """ + _gq("(value - mean) / sqrt(var)", 6) + """ AS z
             FROM g WHERE var > 0
-            ORDER BY abs(round((value - mean) / sqrt(var), 6)) DESC, event_id
+            ORDER BY abs(""" + _gq("(value - mean) / sqrt(var)", 6) + """) DESC, event_id
             LIMIT 25""",
         "zipf_slope_by_source": f"""
             WITH toks AS (
@@ -6301,7 +6323,7 @@ def oracle_sql() -> dict[str, str]:
             -- digits and overflows (same pitfall as autocorr oracle)
             w AS (
               SELECT tf.doc, tf.tok,
-                     CAST(round(tf.tf * (ln((1.0 + nd.n_docs) / (1.0 + dfreq.df)) + 1.0), 6)
+                     CAST({_gq("tf.tf * (ln((1.0 + nd.n_docs) / (1.0 + dfreq.df)) + 1.0)", 6)}
                           AS DECIMAL(28,6)) AS w
               FROM tf JOIN dfreq ON dfreq.tok = tf.tok CROSS JOIN nd
             ),
@@ -6312,14 +6334,12 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY 1, 2
             )
             SELECT d.doc_a, d.doc_b,
-                   round(CAST(d.dot AS DOUBLE)
-                         / sqrt(CAST(na.nsq AS DOUBLE) * CAST(nb.nsq AS DOUBLE)), 6) AS cosine
+                   {_gq("CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nsq AS DOUBLE) * CAST(nb.nsq AS DOUBLE))", 6)} AS cosine
             FROM dots d
               JOIN norms na ON na.doc = d.doc_a
               JOIN norms nb ON nb.doc = d.doc_b
             WHERE d.dot > 0
-              AND round(CAST(d.dot AS DOUBLE)
-                        / sqrt(CAST(na.nsq AS DOUBLE) * CAST(nb.nsq AS DOUBLE)), 6) >= 0.95
+              AND {_gq("CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nsq AS DOUBLE) * CAST(nb.nsq AS DOUBLE))", 6)} >= 0.95
             ORDER BY doc_a, doc_b""",
         "qgram_editdist_suppliers": """
             WITH n AS (SELECT DISTINCT s_name AS name FROM supplier WHERE s_name IS NOT NULL)
@@ -6508,12 +6528,18 @@ def oracle_sql() -> dict[str, str]:
                    -- r10 sweep: the final is a 1e-9 decimal sum cast to
                    -- double — it can sit on the 1e-6 half-grid, so the
                    -- final is the grid form (lockstep with grid_round);
-                   -- the -p·ln p term keeps engine round (log-irrational,
-                   -- tie measure-zero, |term| ≤ 1/e magnitude-safe)
+                   -- r11 sweep: the -p·ln p term is ALSO the grid form —
+                   -- at d=9 the magnitude-divergence mode starts at ~9e-3,
+                   -- inside the term's [0, 1/e] range, so engine round()
+                   -- was not magnitude-safe there after all
                    """ + _gq(
-            "CAST(SUM(CAST(round(-(CAST(p.c AS DOUBLE) / CAST(t.n AS DOUBLE))"
-            " * ln(CAST(p.c AS DOUBLE) / CAST(t.n AS DOUBLE)), 9)"
-            " AS DECIMAL(28,9))) AS DOUBLE)",
+            "CAST(SUM(CAST("
+            + _gq(
+                "-(CAST(p.c AS DOUBLE) / CAST(t.n AS DOUBLE))"
+                " * ln(CAST(p.c AS DOUBLE) / CAST(t.n AS DOUBLE))",
+                9,
+            )
+            + " AS DECIMAL(28,9))) AS DOUBLE)",
             6,
         ) + """ AS entropy
             FROM per p JOIN tot t ON t.user_id = p.user_id
@@ -6594,9 +6620,10 @@ def oracle_sql() -> dict[str, str]:
                      p.mn, p.h
               FROM events e CROSS JOIN p WHERE e.value IS NOT NULL
             )
+            -- r11 sweep: grid form, lockstep with grid_round
             SELECT CAST(bin AS BIGINT) AS bin,
-                   round(mn + bin * h, 6) AS bin_lo,
-                   round(mn + (bin + 1) * h, 6) AS bin_hi,
+                   """ + _gq("mn + bin * h", 6) + """ AS bin_lo,
+                   """ + _gq("mn + (bin + 1) * h", 6) + """ AS bin_hi,
                    CAST(COUNT(*) AS BIGINT) AS n_rows
             FROM binned GROUP BY bin, mn, h ORDER BY bin""",
         "scd2_snapshot_asof": """
@@ -6810,21 +6837,25 @@ def oracle_sql() -> dict[str, str]:
             r AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS r1 FROM bi GROUP BY 1),
             c AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS c1 FROM bi GROUP BY 1),
             n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM bi)
+            -- r11 sweep: grid form, lockstep with grid_round
             SELECT w1 || ' ' || w2 AS collocation, k11 AS n_pair,
-                   round(2.0 * (
-                     (CASE WHEN k11 > 0 THEN CAST(k11 AS DOUBLE)
-                        * ln(CAST(k11 AS DOUBLE) * CAST(nn AS DOUBLE)
-                             / (CAST(r1 AS DOUBLE) * CAST(c1 AS DOUBLE))) ELSE 0.0 END)
-                     + (CASE WHEN r1 - k11 > 0 THEN CAST(r1 - k11 AS DOUBLE)
-                        * ln(CAST(r1 - k11 AS DOUBLE) * CAST(nn AS DOUBLE)
-                             / (CAST(r1 AS DOUBLE) * CAST(nn - c1 AS DOUBLE))) ELSE 0.0 END)
-                     + (CASE WHEN c1 - k11 > 0 THEN CAST(c1 - k11 AS DOUBLE)
-                        * ln(CAST(c1 - k11 AS DOUBLE) * CAST(nn AS DOUBLE)
-                             / (CAST(nn - r1 AS DOUBLE) * CAST(c1 AS DOUBLE))) ELSE 0.0 END)
-                     + (CASE WHEN nn - r1 - c1 + k11 > 0 THEN CAST(nn - r1 - c1 + k11 AS DOUBLE)
-                        * ln(CAST(nn - r1 - c1 + k11 AS DOUBLE) * CAST(nn AS DOUBLE)
-                             / (CAST(nn - r1 AS DOUBLE) * CAST(nn - c1 AS DOUBLE))) ELSE 0.0 END)
-                   ), 6) AS llr_g2
+                   """ + _gq(
+            "2.0 * ("
+            "  (CASE WHEN k11 > 0 THEN CAST(k11 AS DOUBLE)"
+            "     * ln(CAST(k11 AS DOUBLE) * CAST(nn AS DOUBLE)"
+            "          / (CAST(r1 AS DOUBLE) * CAST(c1 AS DOUBLE))) ELSE 0.0 END)"
+            "  + (CASE WHEN r1 - k11 > 0 THEN CAST(r1 - k11 AS DOUBLE)"
+            "     * ln(CAST(r1 - k11 AS DOUBLE) * CAST(nn AS DOUBLE)"
+            "          / (CAST(r1 AS DOUBLE) * CAST(nn - c1 AS DOUBLE))) ELSE 0.0 END)"
+            "  + (CASE WHEN c1 - k11 > 0 THEN CAST(c1 - k11 AS DOUBLE)"
+            "     * ln(CAST(c1 - k11 AS DOUBLE) * CAST(nn AS DOUBLE)"
+            "          / (CAST(nn - r1 AS DOUBLE) * CAST(c1 AS DOUBLE))) ELSE 0.0 END)"
+            "  + (CASE WHEN nn - r1 - c1 + k11 > 0 THEN CAST(nn - r1 - c1 + k11 AS DOUBLE)"
+            "     * ln(CAST(nn - r1 - c1 + k11 AS DOUBLE) * CAST(nn AS DOUBLE)"
+            "          / (CAST(nn - r1 AS DOUBLE) * CAST(nn - c1 AS DOUBLE))) ELSE 0.0 END)"
+            ")",
+            6,
+        ) + """ AS llr_g2
             FROM c12 JOIN r USING (w1) JOIN c USING (w2), n
             ORDER BY llr_g2 DESC, collocation LIMIT 25""",
         "distinct_ngram_ratio_by_source": f"""
@@ -6902,7 +6933,7 @@ def oracle_sql() -> dict[str, str]:
             nd AS (SELECT COUNT(*) AS n_docs FROM documents),
             w AS (
               SELECT tf.doc, tf.tok,
-                     CAST(round(tf.tf * (ln((1.0 + nd.n_docs) / (1.0 + dfreq.df)) + 1.0), 6)
+                     CAST({_gq("tf.tf * (ln((1.0 + nd.n_docs) / (1.0 + dfreq.df)) + 1.0)", 6)}
                           AS DECIMAL(28,6)) AS w
               FROM tf JOIN dfreq ON dfreq.tok = tf.tok CROSS JOIN nd
             ),
@@ -6914,14 +6945,12 @@ def oracle_sql() -> dict[str, str]:
             ),
             pairsfull AS (
               SELECT d.doc_a, d.doc_b,
-                     round(CAST(d.dot AS DOUBLE)
-                           / sqrt(CAST(na.nsq AS DOUBLE) * CAST(nb.nsq AS DOUBLE)), 6) AS cosine
+                     {_gq("CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nsq AS DOUBLE) * CAST(nb.nsq AS DOUBLE))", 6)} AS cosine
               FROM dots d
                 JOIN norms na ON na.doc = d.doc_a
                 JOIN norms nb ON nb.doc = d.doc_b
               WHERE d.dot > 0
-                AND round(CAST(d.dot AS DOUBLE)
-                          / sqrt(CAST(na.nsq AS DOUBLE) * CAST(nb.nsq AS DOUBLE)), 6) >= 0.25
+                AND {_gq("CAST(d.dot AS DOUBLE) / sqrt(CAST(na.nsq AS DOUBLE) * CAST(nb.nsq AS DOUBLE))", 6)} >= 0.25
             ),
             sym AS (
               SELECT doc_a AS doc, doc_b AS neighbor, cosine FROM pairsfull

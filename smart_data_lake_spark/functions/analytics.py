@@ -394,7 +394,9 @@ def grouped_ewma(
     return seqs.select(
         *keys,
         F.size("_vals").alias("n_obs"),
-        F.round(folded, 6).alias("ewma"),
+        # r11 sweep: the fold's result is a plain double — engine round()
+        # diverges on shortest-decimal half-grid values, grid_round doesn't
+        grid_round(folded, 6).alias("ewma"),
     )
 
 
@@ -630,10 +632,11 @@ def rolling_zscore_anomalies(
     # magnitude -> exact casts -> identical doubles). z IS rounded: the
     # sum-of-squares at scale 12 exceeds int64 once |value| reaches ~1e5
     # over a 20-row frame, and DuckDB's hugeint->double cast is ~1-ulp
-    # lossy (hypothesis-found divergence in the 16th digit) — round(…,6)
-    # absorbs it, and z is a non-quantized ratio so boundary collisions
-    # are measure-zero
-    z = F.round((x - mean) / std, decimals)
+    # lossy (hypothesis-found divergence in the 16th digit) — quantizing
+    # to 1e-6 absorbs it. r11 sweep: the quantizer is grid_round (one
+    # IEEE expression, engine-identical), not engine round() whose
+    # half-grid behavior differs between Spark and DuckDB.
+    z = grid_round((x - mean) / std, decimals)
     # guard on var > 0, NOT std > 0: catastrophic cancellation can make var a
     # tiny negative -> std = NaN, and NaN compares differently across engines
     # (DuckDB orders NaN above all values; Spark's NaN > 0 is false)
@@ -1385,7 +1388,13 @@ def user_behavior_entropy(
     per = df.groupBy(user_col, type_col).agg(F.count(F.lit(1)).alias("c"))
     tot = df.groupBy(user_col).agg(F.count(F.lit(1)).alias("n"))
     p = F.col("c").cast("double") / F.col("n").cast("double")
-    term = F.round(-p * F.log(p), 9).cast("decimal(28,9)")
+    # r11 sweep: grid_round, not engine round() — the term is
+    # log-irrational (half-grid ties measure-zero) but at d=9 the
+    # magnitude-divergence mode starts at ~9e6·1e-9 = 9e-3, well inside
+    # the term's [0, 1/e] range, so DuckDB's ×10^9 scaling can lose the
+    # deciding ulp on ordinary values; the grid form is the same IEEE
+    # expression in both engines.
+    term = grid_round(-p * F.log(p), 9).cast("decimal(28,9)")
     return (
         per.join(tot, user_col)
         .groupBy(user_col, "n")

@@ -554,6 +554,7 @@ def containment_pairs(
     text_col: str = "text",
     n: int = 5,
     threshold: float = 0.5,
+    max_pairs: int | None = 5_000_000,
 ) -> DataFrame:
     """Asymmetric near-duplicate detection by shingle CONTAINMENT:
     C(a→b) = |S(a) ∩ S(b)| / |S(a)| — unlike Jaccard, containment flags a
@@ -564,8 +565,40 @@ def containment_pairs(
     Shape: the same posting-list equi-join as `ngram_jaccard_pairs` — pairs
     materialize only for docs sharing at least one n-shingle, never
     all-pairs; |S(a)| sizes join back key-partitioned. Emits both directions
-    a→b and b→a when both clear the threshold (containment is directional)."""
+    a→b and b→a when both clear the threshold (containment is directional).
+
+    `max_pairs` (r11, the jaccard_prefix_join guard applied to the two
+    remaining pair emitters): identical-shingle-set families are counted
+    up front (one fingerprint groupBy over the already-built shingle
+    frame); each m-member family alone emits m·(m−1) DIRECTIONAL pairs at
+    containment 1.0, a hard LOWER bound on the output, so past the cap
+    the call fails LOUDLY naming the mitigations instead of OOMing
+    mid-join. ``max_pairs=None`` disables the pre-count."""
     sh = shingles(df, id_col=id_col, text_col=text_col, n=n)
+    sh = sh.transform(lineage_pin)  # feeds sizes + both join sides (+ guard)
+    if max_pairs is not None:
+        fams = (
+            sh.groupBy(id_col)
+            .agg(
+                F.sha2(
+                    F.concat_ws("\x1f", F.array_sort(F.collect_list("shingle"))), 256
+                ).alias("_fp")
+            )
+            .groupBy("_fp")
+            .agg(F.count(F.lit(1)).alias("m"))
+        )
+        est = fams.agg(
+            F.sum(F.col("m") * (F.col("m") - 1)).cast("long").alias("lb")
+        ).collect()[0]["lb"]
+        if est is not None and est > max_pairs:
+            raise ValueError(
+                f"containment_pairs: identical-shingle-set families alone "
+                f"imply >= {est} directional output pairs (> max_pairs="
+                f"{max_pairs}); the pair emit is Ω(true pairs) for ANY exact "
+                f"algorithm. Raise the containment threshold, dedup exact "
+                f"copies first (exact_neardup_clusters), or raise max_pairs "
+                f"deliberately."
+            )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_size"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
@@ -757,6 +790,7 @@ def simhash_candidate_pairs(
     bands: int = 4,
     max_hamming: int = 3,
     signatures: DataFrame | None = None,
+    max_pairs: int | None = 5_000_000,
 ) -> DataFrame:
     """Near-dup candidate pairs from SimHash signatures via banded Hamming
     search (Manku/Jain/Sarma, WWW'07 "Detecting near-duplicates for web
@@ -770,7 +804,16 @@ def simhash_candidate_pairs(
 
     Shape: signatures once (see `simhash`), then a banded self-equi-join —
     the same never-all-pairs discipline as MinHash LSH — and the XOR
-    popcount is one JVM expression. Everything is integer: oracle-exact."""
+    popcount is one JVM expression. Everything is integer: oracle-exact.
+
+    `max_pairs` (r11, the jaccard_prefix_join guard applied to the two
+    remaining pair emitters): equal-signature families are counted up
+    front (one groupBy over the signature frame — identical docs hash to
+    identical simhashes and every within-family pair survives at Hamming
+    0); Σ m·(m−1)/2 is a hard LOWER bound on emitted pairs, so past the
+    cap the call fails LOUDLY naming `simhash_neardup_clusters` as the
+    scale path instead of OOMing mid-join. ``max_pairs=None`` disables
+    the pre-count."""
     if bits % bands:
         raise ValueError("bands must divide bits")
     width = bits // bands
@@ -782,6 +825,20 @@ def simhash_candidate_pairs(
         if signatures is not None
         else simhash(df, id_col=id_col, text_col=text_col, bits=bits)
     )
+    if max_pairs is not None:
+        sigs = sigs.transform(lineage_pin)  # guard + block explode share it
+        fams = sigs.groupBy("simhash").agg(F.count(F.lit(1)).alias("m"))
+        est = fams.agg(
+            F.sum(F.col("m") * (F.col("m") - 1) / 2).cast("long").alias("lb")
+        ).collect()[0]["lb"]
+        if est is not None and est > max_pairs:
+            raise ValueError(
+                f"simhash_candidate_pairs: equal-signature families alone "
+                f"imply >= {est} output pairs (> max_pairs={max_pairs}); the "
+                f"pair emit is Ω(true pairs) for ANY exact banded search. Use "
+                f"simhash_neardup_clusters (linear, cluster-shaped output) "
+                f"for copy-dense corpora, or raise max_pairs deliberately."
+            )
     blocks = sigs.select(
         F.col(id_col),
         F.col("simhash"),
@@ -856,6 +913,9 @@ def simhash_neardup_clusters(
     pairs = simhash_candidate_pairs(
         None, id_col=id_col, bits=bits, bands=bands, max_hamming=max_hamming,
         signatures=rep_sigs,
+        # reps are one-per-signature by construction — the equal-signature
+        # pre-count is vacuous here, skip its job
+        max_pairs=None,
     )
     comp = connected_components(pairs, max_iter=max_iter)
     members = sigs.join(reps, "simhash").select(

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from smart_data_lake_spark.session import lineage_pin
-from pyspark.sql.types import NumericType
+from pyspark.sql.types import DoubleType, FloatType, NumericType
 
 from smart_data_lake_spark.functions.numeric import grid_round
 
@@ -178,11 +178,24 @@ def profile_columns(
             )
         else:
             mean_expr = F.avg(col.cast("double"))
+        if isinstance(by_name[c], (FloatType, DoubleType)):
+            # Engine-exact min/max STRINGS for binary floats (r11,
+            # property-harness-found): Spark renders doubles via Java
+            # Double.toString ('5.96E-8'), DuckDB via C++ shortest repr
+            # ('5.96e-08') — same value, different text. Fixed-scale
+            # DECIMAL renders identically in both engines ('0.000000'),
+            # so float min/max quantize through the shared grid and
+            # stringify as DECIMAL(38,6).
+            min_expr = grid_round(F.min(col), 6).cast("decimal(38,6)").cast("string")
+            max_expr = grid_round(F.max(col), 6).cast("decimal(38,6)").cast("string")
+        else:
+            min_expr = F.min(col).cast("string")
+            max_expr = F.max(col).cast("string")
         plain_aggs += [
             F.count(F.lit(1)).alias(f"{c}__n"),
             F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
-            F.min(col).cast("string").alias(f"{c}__min"),
-            F.max(col).cast("string").alias(f"{c}__max"),
+            min_expr.alias(f"{c}__min"),
+            max_expr.alias(f"{c}__max"),
             mean_expr.alias(f"{c}__mean"),
         ]
         if numeric and exact_median:
@@ -1055,8 +1068,11 @@ def fd_histogram(
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .select(
             F.col("bin").cast("long").alias("bin"),
-            F.round(F.col("mn") + F.col("bin") * F.col("h"), decimals).alias("bin_lo"),
-            F.round(F.col("mn") + (F.col("bin") + 1) * F.col("h"), decimals).alias("bin_hi"),
+            # r11 sweep: bin edges are rational in the quantized bounds —
+            # the half-grid class — so they quantize through grid_round,
+            # not engine round()
+            grid_round(F.col("mn") + F.col("bin") * F.col("h"), decimals).alias("bin_lo"),
+            grid_round(F.col("mn") + (F.col("bin") + 1) * F.col("h"), decimals).alias("bin_hi"),
             F.col("n_rows").cast("long").alias("n_rows"),
         )
         .orderBy("bin")

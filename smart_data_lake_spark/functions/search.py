@@ -128,7 +128,9 @@ def tfidf_vectors(
     )
     scored = base.crossJoin(F.broadcast(stats))
     comps = [
-        F.round(
+        # r11 sweep: grid_round, not engine round() — zero engine-round
+        # sites in cross-engine paths
+        grid_round(
             F.col(f"_tf_{i}")
             * (F.log((F.lit(1.0) + F.col("_n_docs")) / (F.lit(1.0) + F.col(f"_df_{i}"))) + F.lit(1.0)),
             6,
@@ -216,7 +218,8 @@ def tfidf_top_terms(
         F.col("term"),
         F.col("tf"),
         F.col("df"),
-        F.round(
+        # r11 sweep: grid_round, not engine round()
+        grid_round(
             F.col("tf") * (F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
         ).alias("tfidf"),
     )
@@ -281,7 +284,10 @@ def pmi_collocations(
         .select(
             F.concat_ws(" ", "w1", "w2").alias("collocation"),
             "c12",
-            F.round(
+            # r11 sweep: grid_round, not engine round() (this is the
+            # pmi/llr shared site deferred from the r10 sweep because its
+            # consumer fed a then-frozen window query)
+            grid_round(
                 F.log(
                     (F.col("c12") / F.col("_nb"))
                     / ((F.col("ca") / F.col("_nu")) * (F.col("cb") / F.col("_nu")))
@@ -397,6 +403,7 @@ def tfidf_cosine_pairs(
     decimals: int = 6,
     shingle_n: int = 3,
     max_df: int | None = None,
+    collapse_identical: bool = True,
 ) -> DataFrame:
     """All document pairs with TF-IDF cosine similarity >= num/den, via the
     sparse posting-list self-join (Salton's vector model over an inverted
@@ -405,6 +412,20 @@ def tfidf_cosine_pairs(
     posting-list sizes, never N^2. The semantic complement to the
     feature-SET joins (jaccard_prefix_join): weighting by tf*idf makes rare
     shared features dominate and boilerplate overlap irrelevant.
+
+    `collapse_identical` (r11, the exact_neardup_clusters lesson applied
+    to the TF-IDF family): documents sharing an IDENTICAL (token, tf)
+    multiset — byte-identical crawl copies after tokenization — have
+    identical weight vectors, so each fingerprint family enters the
+    quadratic posting join ONCE via its min-id representative and the
+    result expands by family membership afterward (cross-family pairs
+    copy the representative cosine; within-family pairs get the
+    self-cosine dot=‖v‖² computed through the SAME expression, so the
+    output is bit-identical to the uncollapsed join — sqrt(x·x)=x is
+    exact in IEEE round-to-nearest). Document frequencies and n_docs
+    still count the FULL corpus, so weights are unchanged. At 100 TB this
+    is the difference between a crawl with 50× duplication costing 2500×
+    in the join and costing 1× + an output-bound expansion.
 
     Features are word `shingle_n`-grams WITH multiplicity (default 3) —
     the shape that keeps posting lists short: a unigram feature space over
@@ -482,13 +503,36 @@ def tfidf_cosine_pairs(
                 max_df, n_dropped, ", ".join(top),
             )
         dfreq = dfreq.where(F.col("df") <= max_df)
+    members = None
+    tf_join = tf
+    if collapse_identical:
+        # Fingerprint each doc's (tok, tf) multiset; one min-id
+        # representative per family enters the posting join. df/n_docs
+        # above are full-corpus, so rep weights equal member weights.
+        fam = tf.groupBy("doc").agg(
+            F.md5(
+                F.to_json(F.sort_array(F.collect_list(F.struct("tok", "tf"))))
+            ).alias("_fp")
+        )
+        reps = fam.groupBy("_fp").agg(
+            F.min("doc").alias("_rep"), F.count(F.lit(1)).alias("_m")
+        )
+        # members feeds the rep filter, the self-pair seed, and both
+        # expansion joins — pin the narrow (doc, _rep, _m) frame once
+        members = fam.join(reps, "_fp").select("doc", "_rep", "_m").transform(lineage_pin)
+        tf_join = tf.join(
+            members.where(F.col("doc") == F.col("_rep")).select("doc"), "doc"
+        )
     weighted = (
-        tf.join(dfreq, "tok")
+        tf_join.join(dfreq, "tok")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc",
             "tok",
-            F.round(
+            # r11 sweep: grid_round, not engine round() (tfidf shared
+            # site deferred from r10 — its consumer fed a frozen window
+            # query); the grid-fixed double then casts exactly
+            grid_round(
                 F.col("tf")
                 * (
                     F.log(
@@ -513,20 +557,54 @@ def tfidf_cosine_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.sum((F.col("wa") * F.col("wb")).cast("decimal(38,12)")).alias("dot"))
     )
+    if collapse_identical:
+        # Self-pair seed for multi-member families: dot = ‖v‖² feeds the
+        # SAME cosine expression below (sqrt(x·x) = x exactly), so the
+        # within-family cosine is bit-identical to the uncollapsed join's.
+        selfp = norms.join(
+            members.where((F.col("doc") == F.col("_rep")) & (F.col("_m") >= 2)).select(
+                "doc"
+            ),
+            "doc",
+        ).select(
+            F.col("doc").alias("doc_a"),
+            F.col("doc").alias("doc_b"),
+            F.col("nsq").alias("dot"),
+        )
+        dots = dots.unionByName(selfp)
     na = norms.select(F.col("doc").alias("doc_a"), F.col("nsq").alias("na"))
     nb = norms.select(F.col("doc").alias("doc_b"), F.col("nsq").alias("nb"))
     threshold = float(min_cosine_num) / float(min_cosine_den)
-    cosine = F.round(
+    # r11 sweep: grid_round, not engine round()
+    cosine = grid_round(
         F.col("dot").cast("double")
         / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")),
         decimals,
     )
-    return (
+    rep_pairs = (
         dots.join(na, "doc_a")
         .join(nb, "doc_b")
         .where(F.col("dot") > 0)
         .select("doc_a", "doc_b", cosine.alias("cosine"))
         .where(F.col("cosine") >= F.lit(threshold))
+    )
+    if not collapse_identical:
+        return rep_pairs
+    # Expand representative pairs by family membership: cross-family pairs
+    # enumerate fam(a) × fam(b) (normalized so doc_a < doc_b — families are
+    # disjoint, so each unordered pair appears exactly once); within-family
+    # self-pairs keep _ma < _mb to emit each unordered pair once.
+    ma = members.select(F.col("_rep").alias("doc_a"), F.col("doc").alias("_ma"))
+    mb = members.select(F.col("_rep").alias("doc_b"), F.col("doc").alias("_mb"))
+    return (
+        rep_pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .where((F.col("doc_a") != F.col("doc_b")) | (F.col("_ma") < F.col("_mb")))
+        .select(
+            F.least("_ma", "_mb").alias("doc_a"),
+            F.greatest("_ma", "_mb").alias("doc_b"),
+            "cosine",
+        )
     )
 
 
@@ -661,7 +739,8 @@ def llr_collocations(
         .select(
             F.concat_ws(" ", "w1", "w2").alias("collocation"),
             F.col("k11").cast("long").alias("n_pair"),
-            F.round(g2, 6).alias("llr_g2"),
+            # r11 sweep: grid_round, not engine round()
+            grid_round(g2, 6).alias("llr_g2"),
         )
     )
     return scored.orderBy(F.desc("llr_g2"), "collocation").limit(k)

@@ -105,3 +105,54 @@ def test_sufficient_stats_bound_check(spark):
         ).count()
     with pytest.raises(ValueError, match="sufficient-statistics bound"):
         burstiness_by_group(ev, "event_type", check_bound=True, _bound_rows=10).count()
+
+
+# --------------------------- r11: the two remaining pair emitters guarded
+
+
+def test_simhash_pair_guard_raises_loudly(spark):
+    from smart_data_lake_spark.functions.dedup import simhash_candidate_pairs
+
+    docs = _copy_dense_docs(spark, 60)  # identical docs -> identical simhash
+    with pytest.raises(ValueError, match="simhash_neardup_clusters"):
+        simhash_candidate_pairs(docs, max_pairs=1000)
+
+
+def test_simhash_pair_guard_passes_below_bound(spark):
+    from smart_data_lake_spark.functions.dedup import simhash_candidate_pairs
+
+    docs = _copy_dense_docs(spark, 5)
+    out = simhash_candidate_pairs(docs, max_pairs=1000)
+    assert out.where("hamming = 0").count() >= 10
+
+
+def test_simhash_pair_guard_disabled_runs_no_precount(spark):
+    from smart_data_lake_spark.functions.dedup import simhash_candidate_pairs
+
+    docs = _copy_dense_docs(spark, 60)
+    out = simhash_candidate_pairs(docs, max_pairs=None)
+    assert out.count() >= 60 * 59 // 2
+
+
+def test_containment_pair_guard_raises_loudly(spark):
+    from smart_data_lake_spark.functions.dedup import containment_pairs
+
+    docs = _copy_dense_docs(spark, 60)  # 60*59 DIRECTIONAL pairs at C=1.0
+    with pytest.raises(ValueError, match="containment"):
+        containment_pairs(docs, max_pairs=1000)
+
+
+def test_containment_pair_guard_passes_below_bound(spark):
+    from smart_data_lake_spark.functions.dedup import containment_pairs
+
+    docs = _copy_dense_docs(spark, 5)
+    out = containment_pairs(docs, max_pairs=1000)
+    assert out.where("containment = 1.0").count() >= 20
+
+
+def test_containment_pair_guard_disabled_runs_no_precount(spark):
+    from smart_data_lake_spark.functions.dedup import containment_pairs
+
+    docs = _copy_dense_docs(spark, 60)
+    out = containment_pairs(docs, max_pairs=None)
+    assert out.count() >= 60 * 59
