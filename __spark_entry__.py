@@ -3289,83 +3289,158 @@ def heaps_law_fit_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heaps_law_fit(docs)
 
 
+def kruskal_wallis_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across the five event types (functions/analytics
+    .kruskal_wallis_by_group; Kruskal & Wallis 1952): the k-sample rank
+    pre-gate before per-pair Mann-Whitney tests. Doubled-rank exact
+    integer statistics, tie-corrected H'."""
+    from smart_data_lake_spark.functions.analytics import kruskal_wallis_by_group
+
+    ev = _t(spark, sf_dir, "events")
+    return kruskal_wallis_by_group(ev)
+
+
+def cmh_conversion_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel stratified conversion test over orders
+    (functions/analytics.cmh_test_stratified; Mantel & Haenszel 1959):
+    variant = orderkey parity, success = status 'F', stratified by order
+    priority — the Simpson's-paradox-proof A/B readout."""
+    from smart_data_lake_spark.functions.analytics import cmh_test_stratified
+
+    orders = _t(spark, sf_dir, "orders")
+    return cmh_test_stratified(
+        orders,
+        "o_orderpriority",
+        (F.col("o_orderkey") % 2).cast("int"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0),
+    )
+
+
+def page_hinkley_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley sequential drift statistic per event type
+    (functions/analytics.page_hinkley_by_group; Page 1954): the
+    running-mean one-directional detector next to CUSUM's global-mean
+    form. Fully-decimal walk, DECIMAL(38,9) statistic."""
+    from smart_data_lake_spark.functions.analytics import page_hinkley_by_group
+
+    ev = _t(spark, sf_dir, "events")
+    return page_hinkley_by_group(ev).orderBy("event_type")
+
+
+def gumbel_return_level_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel block-maxima fit with a 30-day return level per event type
+    (functions/analytics.gumbel_return_level_by_group; Gumbel 1958,
+    method-of-moments): daily max values -> moment fit -> the provisioning
+    percentile. Exact decimal moments, grid finals."""
+    from smart_data_lake_spark.functions.analytics import gumbel_return_level_by_group
+
+    ev = _t(spark, sf_dir, "events")
+    return gumbel_return_level_by_group(ev, return_period=30).orderBy("event_type")
+
+
+def theil_index_spend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality of customer spend per nation (functions/
+    profiling.theil_index_by_group; Theil 1967): the additively
+    decomposable complement of the Gini query, over the same
+    customer-spend base (zero-spend customers included, 0·ln 0 = 0)."""
+    from smart_data_lake_spark.functions.profiling import theil_index_by_group
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend")
+    )
+    base = (
+        cust.join(spend, cust.c_custkey == spend.o_custkey, "left")
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "n_name",
+            F.coalesce(F.col("spend"), F.lit(0).cast("decimal(18,2)")).alias("spend"),
+        )
+    )
+    return theil_index_by_group(base, "n_name", "spend").orderBy("n_name")
+
+
+def longest_streak_by_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest same-type event run per user (functions/analytics
+    .longest_streak_by_user): the gaps-and-islands engagement/bot signal.
+    Exact integers; ties break on type string via one max(struct)."""
+    from smart_data_lake_spark.functions.analytics import longest_streak_by_user
+
+    ev = _t(spark, sf_dir, "events")
+    return longest_streak_by_user(ev).orderBy("user_id")
+
+
+def simpson_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson token diversity per source (functions/profiling
+    .simpson_diversity; Simpson 1949): head-duplication-sensitive [0,1]
+    companion of the entropy/HHI family. One exact rational final."""
+    from smart_data_lake_spark.functions.profiling import simpson_diversity
+
+    docs = _t(spark, sf_dir, "documents")
+    return simpson_diversity(docs).orderBy("source")
+
+
+def yules_k_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's K lexical-richness characteristic per source
+    (functions/profiling.yules_k; Yule 1944): the length-invariant
+    templatedness constant. Exact integer spectrum, one rational final."""
+    from smart_data_lake_spark.functions.profiling import yules_k
+
+    docs = _t(spark, sf_dir, "documents")
+    return yules_k(docs).orderBy("source")
+
+
+def vocab_churn_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-half/second-half vocabulary churn per source
+    (functions/profiling.vocab_churn_by_group): what fraction of the
+    second half's vocabulary is new — the recrawl-drift gauge. Exact
+    order-statistic split on doc_id."""
+    from smart_data_lake_spark.functions.profiling import vocab_churn_by_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_churn_by_group(docs).orderBy("source")
+
+
+def cohens_kappa_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's κ between the declared language and the stopword-vote
+    language ID (functions/profiling.cohens_kappa; Cohen 1960): the
+    chance-corrected agreement behind lang_id_confusion's raw matrix —
+    the labeling-quality gate raw accuracy overstates."""
+    from smart_data_lake_spark.functions.profiling import cohens_kappa
+    from smart_data_lake_spark.functions.text import with_text_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return cohens_kappa(
+        with_text_stats(docs).select("lang", "lang_pred"), "lang", "lang_pred"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is the driver grading window: only the first 50
-    # entries get a CORRECTNESS oracle row per round. r10 rotation (window
-    # FROZEN at the commit adding this comment; operators added later in
-    # r10 go BELOW the line per the freeze-aware sequencing rule):
-    # 1-13 the 13 never-driver-graded r9 post-window operators (the whole
-    # r9 debt queue, incl. the five whose oracles had post-freeze lockstep
-    # edits: winsorized, TWAP, burstiness, distinct-ngram, markov/kendall),
-    # 14-18 the pinned structural canaries, 19-45 every query whose
-    # function or oracle moved in the r10 rounding sweep (engine round() /
-    # bare decimal casts -> the shared sign-symmetric grid_round, in
-    # lockstep on both sides -- each needs an INDEPENDENT driver row
-    # because the local harness is builder-self-certified), 46-50 the
-    # oldest unchanged displaced greens incl. the two r9 bench movers
-    # (cross_source_dup_audit, token_count_by_source) so their A/B has a
-    # fresh correctness row alongside. Rotated out: unchanged r6/r7/r8/r9
-    # greens -- the 12 unchanged r6-cohort members lead the r11 queue.
+    # entries get a CORRECTNESS oracle row per round. The r11 window is
+    # FROZEN at the commit adding FREEZE_r11.json; the freeze is enforced
+    # MECHANICALLY now (tools/freeze_check.py records the key list + an
+    # oracle-text sha256 per member; tests/test_freeze_window.py fails the
+    # suite on any post-freeze window edit). Composition is inline below.
+    # Every new r11 operator was added BEFORE the freeze and sits INSIDE
+    # the window, so the never-driver-graded debt queue entering r12 is
+    # EMPTY (was 21 -> 14 -> 13 -> 12 -> 0).
     return {
-        # --- never driver-graded: the 13 r9 post-window operators
-        "exact_neardup_clusters_docs": exact_neardup_clusters_docs,
-        "spearman_value_hour_by_type": spearman_value_hour_by_type,
-        "winsorized_mean_value_by_type": winsorized_mean_value_by_type,
-        "burstiness_daily_by_type": burstiness_daily_by_type,
-        "next_event_entropy_by_type": next_event_entropy_by_type,
-        "twap_value_by_type": twap_value_by_type,
-        "kendall_tau_level_volume_by_type": kendall_tau_level_volume_by_type,
-        "llr_collocations_corpus": llr_collocations_corpus,
-        "distinct_ngram_ratio_by_source": distinct_ngram_ratio_by_source,
-        "entity_clusters_suppliers": entity_clusters_suppliers,
-        "tfidf_topk_neighbors_docs": tfidf_topk_neighbors_docs,
-        "streaming_topk_per_window": streaming_topk_per_window,
-        "markov_stationary_event_types": markov_stationary_event_types,
-        # --- canaries (pinned every round)
-        "q3_shipping_priority": q3_shipping_priority,
-        "topk_customers_window": topk_customers_window,
-        "streaming_windowed_counts": streaming_windowed_counts,
-        "dedup_latest_event": dedup_latest_event,
-        "scd2_user_history": scd2_user_history,
-        # --- r10 rounding-sweep regrades: r9/r7 greens whose function+oracle moved
-        "trimmed_mean_value_by_type": trimmed_mean_value_by_type,
-        "value_quartiles_by_type": value_quartiles_by_type,
-        "seq_pattern_support_events": seq_pattern_support_events,
-        "gini_customer_spend_by_nation": gini_customer_spend_by_nation,
-        "survival_conversion_curve": survival_conversion_curve,
-        "user_behavior_entropy_events": user_behavior_entropy_events,
-        "ab_test_purchase_conversion": ab_test_purchase_conversion,
-        "theil_sen_trend_by_type": theil_sen_trend_by_type,
-        "xcorr_view_click_lags": xcorr_view_click_lags,
-        # --- r10 rounding-sweep regrades: other displaced greens with lockstep edits
-        "mix_sources_audit": mix_sources_audit,
-        "winnow_fingerprints_docs": winnow_fingerprints_docs,
-        "dup_span_stats": dup_span_stats,
-        "rolling_z_anomalies_events": rolling_z_anomalies_events,
-        "readability_docs": readability_docs,
-        # --- r10 rounding-sweep regrades: r6-cohort members (oldest, also sweep-touched)
-        "event_transitions": event_transitions,
-        "trend_value_by_type": trend_value_by_type,
-        "interarrival_stats_by_type": interarrival_stats_by_type,
-        "events_value_outliers": events_value_outliers,
-        "event_value_histogram": event_value_histogram,
-        "value_histogram_by_type": value_histogram_by_type,
-        "benchmark_decontamination": benchmark_decontamination,
-        "temperature_mix_sources": temperature_mix_sources,
-        "containment_pairs_docs": containment_pairs_docs,
-        "normalized_doc_scores": normalized_doc_scores,
-        "token_entropy_docs": token_entropy_docs,
-        "kmv_distinct_users": kmv_distinct_users,
-        "text_stats": text_stats,
-        # --- fill: oldest UNCHANGED displaced greens (incl. both r9 bench movers)
-        "cross_source_dup_audit": cross_source_dup_audit,
-        "token_count_by_source": token_count_by_source,
-        "ewma_value_by_type": ewma_value_by_type,
-        "tfidf_top_terms_per_source": tfidf_top_terms_per_source,
-        "sessionize_events": sessionize_events,
-        # ================= end of 50-entry grading window =================
-        # --- NEW in r10 (added post-freeze, below the line per the
-        # --- sequencing rule — the r11 rotation queue starts here)
+        # ======== r11 GRADING WINDOW (FROZEN at the commit adding
+        # ======== FREEZE_r11.json; tools/freeze_check.py +
+        # ======== tests/test_freeze_window.py enforce key-set and
+        # ======== oracle-text identity on every pytest run).
+        # ======== Composition: 1-12 the 12 r10 operators (the whole
+        # ======== debt queue - first driver rows), 13-17 the pinned
+        # ======== canaries, 18-27 the 10 NEW r11 operators (added
+        # ======== PRE-freeze so the r12 queue starts empty), 28-46
+        # ======== every query whose function or oracle moved in the
+        # ======== r11 sweep (engine-round closure, percentile `div`
+        # ======== rank fix, tfidf collapse, pair-emitter guards,
+        # ======== float min/max rendering), 47-50 fill: the jaccard
+        # ======== guard's never-regraded consumer + oldest rotators.
         "mann_whitney_value_variants": mann_whitney_value_variants,
         "welch_t_value_variants": welch_t_value_variants,
         "hour_profile_hhi_by_type": hour_profile_hhi_by_type,
@@ -3378,18 +3453,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chao1_vocab_by_source": chao1_vocab_by_source,
         "kcore_terms_corpus": kcore_terms_corpus,
         "heaps_law_fit_corpus": heaps_law_fit_corpus,
-        # --- green in earlier rounds, rotated out; unchanged r6 members first
-        "jaccard_prefix_pairs_docs": jaccard_prefix_pairs_docs,
+        "q3_shipping_priority": q3_shipping_priority,
+        "topk_customers_window": topk_customers_window,
+        "streaming_windowed_counts": streaming_windowed_counts,
+        "dedup_latest_event": dedup_latest_event,
+        "scd2_user_history": scd2_user_history,
+        "kruskal_wallis_value_by_type": kruskal_wallis_value_by_type,
+        "cmh_conversion_by_priority": cmh_conversion_by_priority,
+        "page_hinkley_value_by_type": page_hinkley_value_by_type,
+        "gumbel_return_level_by_type": gumbel_return_level_by_type,
+        "theil_index_spend_by_nation": theil_index_spend_by_nation,
+        "longest_streak_by_user_events": longest_streak_by_user_events,
+        "simpson_diversity_by_source": simpson_diversity_by_source,
+        "yules_k_by_source": yules_k_by_source,
+        "vocab_churn_by_source": vocab_churn_by_source,
+        "cohens_kappa_lang_id": cohens_kappa_lang_id,
+        "range_frame_trailing_value": range_frame_trailing_value,
+        "grouping_sets_sales": grouping_sets_sales,
+        "pmi_collocations_corpus": pmi_collocations_corpus,
+        "ewma_value_by_type": ewma_value_by_type,
+        "tfidf_top_terms_per_source": tfidf_top_terms_per_source,
+        "events_value_outliers": events_value_outliers,
+        "rolling_z_anomalies_events": rolling_z_anomalies_events,
         "tfidf_cosine_pairs_docs": tfidf_cosine_pairs_docs,
-        "qgram_editdist_suppliers": qgram_editdist_suppliers,
+        "user_behavior_entropy_events": user_behavior_entropy_events,
         "fd_histogram_value_events": fd_histogram_value_events,
+        "llr_collocations_corpus": llr_collocations_corpus,
+        "tfidf_topk_neighbors_docs": tfidf_topk_neighbors_docs,
+        "value_quartiles_by_type": value_quartiles_by_type,
+        "mad_outliers_events": mad_outliers_events,
+        "event_value_percentiles": event_value_percentiles,
+        "doc_length_band_by_source": doc_length_band_by_source,
+        "profile_orders_columns": profile_orders_columns,
+        "simhash_near_pairs": simhash_near_pairs,
+        "containment_pairs_docs": containment_pairs_docs,
+        "jaccard_prefix_pairs_docs": jaccard_prefix_pairs_docs,
+        "qgram_editdist_suppliers": qgram_editdist_suppliers,
         "scd2_snapshot_asof": scd2_snapshot_asof,
         "hits_terms_corpus": hits_terms_corpus,
+        # ================= end of 50-entry grading window =================
+        # --- below the line: green in earlier rounds, rotated out
+        "exact_neardup_clusters_docs": exact_neardup_clusters_docs,
+        "spearman_value_hour_by_type": spearman_value_hour_by_type,
+        "winsorized_mean_value_by_type": winsorized_mean_value_by_type,
+        "burstiness_daily_by_type": burstiness_daily_by_type,
+        "next_event_entropy_by_type": next_event_entropy_by_type,
+        "twap_value_by_type": twap_value_by_type,
+        "kendall_tau_level_volume_by_type": kendall_tau_level_volume_by_type,
+        "distinct_ngram_ratio_by_source": distinct_ngram_ratio_by_source,
+        "entity_clusters_suppliers": entity_clusters_suppliers,
+        "streaming_topk_per_window": streaming_topk_per_window,
+        "markov_stationary_event_types": markov_stationary_event_types,
+        "trimmed_mean_value_by_type": trimmed_mean_value_by_type,
+        "seq_pattern_support_events": seq_pattern_support_events,
+        "gini_customer_spend_by_nation": gini_customer_spend_by_nation,
+        "survival_conversion_curve": survival_conversion_curve,
+        "ab_test_purchase_conversion": ab_test_purchase_conversion,
+        "theil_sen_trend_by_type": theil_sen_trend_by_type,
+        "xcorr_view_click_lags": xcorr_view_click_lags,
+        "mix_sources_audit": mix_sources_audit,
+        "winnow_fingerprints_docs": winnow_fingerprints_docs,
+        "dup_span_stats": dup_span_stats,
+        "readability_docs": readability_docs,
+        "event_transitions": event_transitions,
+        "trend_value_by_type": trend_value_by_type,
+        "interarrival_stats_by_type": interarrival_stats_by_type,
+        "event_value_histogram": event_value_histogram,
+        "value_histogram_by_type": value_histogram_by_type,
+        "benchmark_decontamination": benchmark_decontamination,
+        "temperature_mix_sources": temperature_mix_sources,
+        "normalized_doc_scores": normalized_doc_scores,
+        "token_entropy_docs": token_entropy_docs,
+        "kmv_distinct_users": kmv_distinct_users,
+        "text_stats": text_stats,
+        "cross_source_dup_audit": cross_source_dup_audit,
+        "token_count_by_source": token_count_by_source,
+        "sessionize_events": sessionize_events,
         "vocab_coverage_by_source": vocab_coverage_by_source,
         "json_extract_events": json_extract_events,
         "cube_sales": cube_sales,
         "ntile_customer_spend": ntile_customer_spend,
-        "event_value_percentiles": event_value_percentiles,
         "approx_distinct_users": approx_distinct_users,
         "embedding_quantize_error": embedding_quantize_error,
         "label_centroid_outliers": label_centroid_outliers,
@@ -3407,7 +3550,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_meta": multimodal_image_meta,
         "incremental_dedup_new_source": incremental_dedup_new_source,
         "user_top_event": user_top_event,
-        "mad_outliers_events": mad_outliers_events,
         "top_bigrams_corpus": top_bigrams_corpus,
         "rolling_active_users_7d": rolling_active_users_7d,
         "user_event_paths": user_event_paths,
@@ -3445,26 +3587,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": q18_large_orders,
         "q20_excess_stock_suppliers": q20_excess_stock_suppliers,
         "q22_global_sales": q22_global_sales,
-        "grouping_sets_sales": grouping_sets_sales,
-        "range_frame_trailing_value": range_frame_trailing_value,
         "customer_set_ops": customer_set_ops,
         "streaming_session_counts": streaming_session_counts,
         "streaming_interval_join": streaming_interval_join,
         "simhash_docs": simhash_docs,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "asof_click_attribution": asof_click_attribution,
-        "pmi_collocations_corpus": pmi_collocations_corpus,
         "autocorr_lag1_value_by_type": autocorr_lag1_value_by_type,
         "zipf_slope_by_source": zipf_slope_by_source,
         "kmeans_assign_embeddings": kmeans_assign_embeddings,
-        "doc_length_band_by_source": doc_length_band_by_source,
         "fixed_k_sample_per_source": fixed_k_sample_per_source,
         "normalized_dedup_docs": normalized_dedup_docs,
         "streaming_enrich_cohorts": streaming_enrich_cohorts,
         "source_vocab_jaccard": source_vocab_jaccard,
         "decayed_popularity_by_type": decayed_popularity_by_type,
         "lang_source_chisq": lang_source_chisq,
-        "simhash_near_pairs": simhash_near_pairs,
         "cusum_changepoint_by_type": cusum_changepoint_by_type,
         "global_docs_sample": global_docs_sample,
         "multimodal_jpeg_pipeline": multimodal_jpeg_pipeline,
@@ -3503,7 +3640,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_sales": rollup_sales,
         "pk_violations_events": pk_violations_events,
         "data_validation_lineitem": data_validation_lineitem,
-        "profile_orders_columns": profile_orders_columns,
         "range_clicks_before_purchase": range_clicks_before_purchase,
         "orders_running_total": orders_running_total,
         "lang_id_confusion": lang_id_confusion,
@@ -7062,7 +7198,9 @@ def oracle_sql() -> dict[str, str]:
             per AS (
               SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
                      CAST(SUM(v) AS DECIMAL(38,6)) AS s,
-                     CAST(SUM(CAST(v * v AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS ss
+                     -- (28,6) operands force DuckDB's int128 multiply
+                     -- path (int64-storage product overflow, r10 lesson)
+                     CAST(SUM(CAST(CAST(v AS DECIMAL(28,6)) * CAST(v AS DECIMAL(28,6)) AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS ss
               FROM base GROUP BY variant
             ),
             j AS (
@@ -7453,4 +7591,284 @@ def oracle_sql() -> dict[str, str]:
                         THEN {_gq("exp((syd - (numer / denom) * sxd) / CAST(n AS DOUBLE))", 6)}
                    END AS heaps_k
             FROM g""",
+        "kruskal_wallis_value_by_type": f"""
+            -- doubled-midrank identity shared with mann_whitney: exact
+            -- integer rank sums; R_j^2/n_j terms on the 1e-2 grid
+            -- (definitional, keeps the 2^62/10^d guard at 4.6e16)
+            WITH base AS (
+              SELECT event_type AS g, value AS v FROM events WHERE value IS NOT NULL
+            ),
+            ranked AS (
+              SELECT g,
+                     CAST(rank() OVER (ORDER BY v) * 2
+                          + COUNT(*) OVER (PARTITION BY v) - 1 AS DECIMAL(19,0)) AS r2,
+                     COUNT(*) OVER (PARTITION BY v) AS t
+              FROM base
+            ),
+            per AS (
+              SELECT g, CAST(COUNT(*) AS BIGINT) AS nj,
+                     CAST(SUM(r2) AS DECIMAL(38,0)) AS r2j,
+                     CAST(SUM(CAST(CAST(t AS DECIMAL(19,0)) * t - 1 AS DECIMAL(38,0)))
+                          AS DECIMAL(38,0)) AS tie3j
+              FROM ranked GROUP BY g
+            ),
+            red AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+                     CAST(SUM(nj) AS BIGINT) AS n_total,
+                     SUM(CAST({_gq("(CAST(r2j AS DOUBLE) / 2.0) * (CAST(r2j AS DOUBLE) / 2.0) / CAST(nj AS DOUBLE)", 2)} AS DECIMAL(38,2))) AS sq,
+                     CAST(SUM(tie3j) AS DECIMAL(38,0)) AS tie3
+              FROM per
+            )
+            SELECT n_groups, n_total,
+                   {_gq("12.0 / (CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) + 1.0)) * CAST(sq AS DOUBLE) - 3.0 * (CAST(n_total AS DOUBLE) + 1.0)", 6)} AS h_statistic,
+                   CASE WHEN 1.0 - CAST(tie3 AS DOUBLE) / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE) - CAST(n_total AS DOUBLE)) > 0
+                        THEN {_gq("(12.0 / (CAST(n_total AS DOUBLE) * (CAST(n_total AS DOUBLE) + 1.0)) * CAST(sq AS DOUBLE) - 3.0 * (CAST(n_total AS DOUBLE) + 1.0)) / (1.0 - CAST(tie3 AS DOUBLE) / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE) - CAST(n_total AS DOUBLE)))", 6)}
+                   END AS h_tie_corrected
+            FROM red""",
+        "cmh_conversion_by_priority": f"""
+            -- per-stratum E/V rationals on the 1e-9 grid into exact
+            -- decimal sums; continuity-corrected final on the 1e-6 grid
+            WITH base AS (
+              SELECT o_orderpriority AS s,
+                     CAST(o_orderkey % 2 AS INT) AS x,
+                     CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+              FROM orders
+            ),
+            per AS (
+              SELECT s,
+                     CAST(SUM(x * y) AS BIGINT) AS a,
+                     CAST(SUM(x) AS BIGINT) AS n1,
+                     CAST(SUM(1 - x) AS BIGINT) AS n0,
+                     CAST(SUM(y) AS BIGINT) AS m1,
+                     CAST(SUM(1 - y) AS BIGINT) AS m0,
+                     CAST(COUNT(*) AS BIGINT) AS nn
+              FROM base GROUP BY s
+            ),
+            terms AS (
+              SELECT a,
+                     CAST({_gq("CAST(n1 AS DOUBLE) * CAST(m1 AS DOUBLE) / CAST(nn AS DOUBLE)", 9)} AS DECIMAL(28,9)) AS e,
+                     CAST(CASE WHEN nn > 1 THEN {_gq("CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE) * CAST(m1 AS DOUBLE) * CAST(m0 AS DOUBLE) / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0))", 9)} ELSE 0.0 END AS DECIMAL(28,9)) AS v
+              FROM per
+            ),
+            red AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+                     CAST(SUM(a) AS BIGINT) AS sum_a,
+                     SUM(e) AS se, SUM(v) AS sv
+              FROM terms
+            )
+            SELECT n_strata, sum_a,
+                   {_gq("CAST(se AS DOUBLE)", 6)} AS sum_expected,
+                   CASE WHEN CAST(sv AS DOUBLE) > 0
+                        THEN {_gq("(abs(CAST(sum_a AS DOUBLE) - CAST(se AS DOUBLE)) - 0.5) * (abs(CAST(sum_a AS DOUBLE) - CAST(se AS DOUBLE)) - 0.5) / CAST(sv AS DOUBLE)", 6)}
+                   END AS cmh_statistic
+            FROM red""",
+        "page_hinkley_value_by_type": f"""
+            -- fully-decimal PH walk: grid-6 inputs, grid-9 running means,
+            -- exact decimal cumsum/min/max (lockstep with
+            -- analytics.page_hinkley_by_group)
+            WITH base AS (
+              SELECT event_type AS g, ts, event_id,
+                     CAST({_gq("value", 6)} AS DECIMAL(18,6)) AS x
+              FROM events WHERE value IS NOT NULL
+            ),
+            cum AS (
+              SELECT g, ts, event_id, x,
+                     row_number() OVER w AS i,
+                     SUM(x) OVER w AS s
+              FROM base
+              WINDOW w AS (PARTITION BY g ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING)
+            ),
+            dev AS (
+              SELECT g, ts, event_id,
+                     CAST(x AS DECIMAL(28,9))
+                       - CAST({_gq("CAST(s AS DOUBLE) / CAST(i AS DOUBLE)", 9)} AS DECIMAL(28,9))
+                       - CAST('0.005' AS DECIMAL(28,9)) AS d
+              FROM cum
+            ),
+            usum AS (
+              SELECT g, ts, event_id, SUM(d) OVER w AS u
+              FROM dev
+              WINDOW w AS (PARTITION BY g ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING)
+            ),
+            walked AS (
+              SELECT g, u, MIN(u) OVER w AS m
+              FROM usum
+              WINDOW w AS (PARTITION BY g ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING)
+            )
+            SELECT g AS event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_obs,
+                   -- (37,9) operands, lockstep with the Spark side's
+                   -- precision-clamp workaround
+                   MAX(CAST(CAST(u AS DECIMAL(37,9)) - CAST(m AS DECIMAL(37,9)) AS DECIMAL(38,9))) AS ph_stat
+            FROM walked GROUP BY g ORDER BY event_type""",
+        "gumbel_return_level_by_type": f"""
+            -- daily block maxima -> exact decimal moments -> one IEEE
+            -- fit/level expression with shared numeric literals
+            WITH daily AS (
+              SELECT event_type AS g,
+                     CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS d,
+                     MAX(value) AS mx
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+            ),
+            per AS (
+              SELECT g, CAST(COUNT(*) AS BIGINT) AS n_days,
+                     CAST(SUM(CAST({_gq("mx", 6)} AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS s,
+                     -- (28,6) operands: DuckDB multiplies DECIMAL(<=18)
+                     -- pairs in int64 physical width (r10 lesson) — the
+                     -- wider operand forces the int128 path, values equal
+                     CAST(SUM(CAST(CAST({_gq("mx", 6)} AS DECIMAL(28,6)) * CAST({_gq("mx", 6)} AS DECIMAL(28,6)) AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS ss
+              FROM daily GROUP BY g
+            )
+            SELECT g AS event_type, n_days,
+                   {_gq("CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)", 6)} AS mean_daily_max,
+                   CASE WHEN n_days > 1 THEN {_gq("sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)) / (CAST(n_days AS DOUBLE) - 1.0)) * 2.449489742783178 / 3.141592653589793", 6)} END AS gumbel_beta,
+                   CASE WHEN n_days > 1 THEN {_gq("CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE) - 0.5772156649015329 * (sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)) / (CAST(n_days AS DOUBLE) - 1.0)) * 2.449489742783178 / 3.141592653589793)", 6)} END AS gumbel_mu,
+                   CASE WHEN n_days > 1 THEN {_gq("CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE) - 0.5772156649015329 * (sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)) / (CAST(n_days AS DOUBLE) - 1.0)) * 2.449489742783178 / 3.141592653589793) - (sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)) / (CAST(n_days AS DOUBLE) - 1.0)) * 2.449489742783178 / 3.141592653589793) * ln(-ln(1.0 - 1.0 / 30.0))", 6)} END AS return_level_30d
+            FROM per ORDER BY event_type""",
+        "theil_index_spend_by_nation": f"""
+            -- (x/mu)*ln(x/mu) terms on the 1e-9 grid into an exact
+            -- decimal sum (the behavior-entropy discipline); same
+            -- customer-spend base as the gini query
+            WITH spend AS (
+              SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+              FROM orders GROUP BY o_custkey
+            ),
+            base AS (
+              -- x >= 0: Theil is defined on non-negative values; negative
+              -- rows are excluded by contract (lockstep with
+              -- theil_index_by_group)
+              SELECT n_name, x FROM (
+                SELECT n.n_name,
+                       CAST(COALESCE(s.spend, 0) AS DECIMAL(18,6)) AS x
+                FROM customer c
+                  LEFT JOIN spend s ON s.o_custkey = c.c_custkey
+                  JOIN nation n ON n.n_nationkey = c.c_nationkey
+              ) WHERE x >= 0
+            ),
+            per AS (
+              SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx
+              FROM base GROUP BY n_name
+            ),
+            terms AS (
+              SELECT b.n_name, p.n, p.sx,
+                     CAST(CASE WHEN b.x > 0 AND p.sx > 0 THEN {_gq("(CAST(b.x AS DOUBLE) / (CAST(p.sx AS DOUBLE) / CAST(p.n AS DOUBLE))) * ln(CAST(b.x AS DOUBLE) / (CAST(p.sx AS DOUBLE) / CAST(p.n AS DOUBLE)))", 9)} ELSE 0.0 END AS DECIMAL(28,9)) AS term
+              FROM base b JOIN per p USING (n_name)
+            )
+            SELECT n_name, CAST(MAX(n) AS BIGINT) AS n,
+                   CASE WHEN MAX(sx) > 0
+                        THEN {_gq("CAST(SUM(term) AS DOUBLE) / CAST(MAX(n) AS DOUBLE)", 6)}
+                   END AS theil_t
+            FROM terms GROUP BY n_name ORDER BY n_name""",
+        "longest_streak_by_user_events": """
+            WITH runs AS (
+              SELECT user_id, event_type,
+                     row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     - row_number() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts, event_id) AS isl
+              FROM events
+            ),
+            rl AS (
+              SELECT user_id, event_type, isl, COUNT(*) AS len
+              FROM runs GROUP BY 1, 2, 3
+            ),
+            ranked AS (
+              SELECT user_id, event_type, len,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY len DESC, event_type DESC) AS rk,
+                     COUNT(*) OVER (PARTITION BY user_id) AS n_streaks
+              FROM rl
+            )
+            SELECT user_id, CAST(n_streaks AS BIGINT) AS n_streaks,
+                   CAST(len AS BIGINT) AS max_streak, event_type AS streak_type
+            FROM ranked WHERE rk = 1 ORDER BY user_id""",
+        "simpson_diversity_by_source": rf"""
+            WITH toks AS (
+              SELECT source, unnest({_TOKS}) AS t FROM documents
+              WHERE length(trim(lower(text))) > 0
+            ),
+            tf AS (SELECT source, t, COUNT(*) AS c FROM toks GROUP BY 1, 2)
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_types,
+                   CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CASE WHEN SUM(c) > 1
+                        THEN {_gq("1.0 - CAST(SUM(c * (c - 1)) AS DOUBLE) / (CAST(SUM(c) AS DOUBLE) * (CAST(SUM(c) AS DOUBLE) - 1.0))", 6)}
+                   END AS simpson_diversity
+            FROM tf GROUP BY source ORDER BY source""",
+        "yules_k_by_source": rf"""
+            WITH toks AS (
+              SELECT source, unnest({_TOKS}) AS t FROM documents
+              WHERE length(trim(lower(text))) > 0
+            ),
+            tf AS (SELECT source, t, COUNT(*) AS c FROM toks GROUP BY 1, 2)
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_types,
+                   CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CASE WHEN SUM(c) > 0
+                        THEN {_gq("10000.0 * (CAST(SUM(c * c) AS DOUBLE) - CAST(SUM(c) AS DOUBLE)) / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE))", 6)}
+                   END AS yules_k
+            FROM tf GROUP BY source ORDER BY source""",
+        "vocab_churn_by_source": rf"""
+            -- halves split by doc_id ORDER over ALL docs (empty texts
+            -- count toward the split, contribute no tokens) — lockstep
+            -- with vocab_churn_by_group's window
+            WITH halved AS (
+              SELECT source, text,
+                     (row_number() OVER (PARTITION BY source ORDER BY doc_id) * 2
+                        <= COUNT(*) OVER (PARTITION BY source) + 1) AS fh
+              FROM documents
+            ),
+            toks AS (
+              SELECT source, fh, unnest({_TOKS}) AS t
+              FROM halved WHERE length(trim(lower(text))) > 0
+            ),
+            th AS (
+              SELECT source, t,
+                     MAX(CASE WHEN fh THEN 1 ELSE 0 END) AS in1,
+                     MAX(CASE WHEN NOT fh THEN 1 ELSE 0 END) AS in2
+              FROM toks GROUP BY 1, 2
+            )
+            SELECT source,
+                   CAST(SUM(in1) AS BIGINT) AS v1_types,
+                   CAST(SUM(in2) AS BIGINT) AS v2_types,
+                   CAST(SUM(CASE WHEN in2 = 1 AND in1 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS new_types,
+                   CASE WHEN SUM(in2) > 0
+                        THEN {_gq("CAST(SUM(CASE WHEN in2 = 1 AND in1 = 0 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(SUM(in2) AS DOUBLE)", 6)}
+                   END AS new_type_rate
+            FROM th GROUP BY source ORDER BY source""",
+        "cohens_kappa_lang_id": f"""
+            WITH scored AS (
+              SELECT lang,
+                     {_sw_hits('de')} AS s_de, {_sw_hits('en')} AS s_en, {_sw_hits('es')} AS s_es,
+                     {_sw_hits('fr')} AS s_fr, {_sw_hits('zh')} AS s_zh
+              FROM documents
+            ),
+            pred AS (SELECT lang, {_lang_case()} AS lang_pred FROM scored),
+            conf AS (
+              SELECT lang AS a, lang_pred AS b, CAST(COUNT(*) AS BIGINT) AS c
+              FROM pred WHERE lang IS NOT NULL AND lang_pred IS NOT NULL
+              GROUP BY 1, 2
+            ),
+            ra AS (SELECT a, SUM(c) AS r FROM conf GROUP BY a),
+            cb AS (SELECT b, SUM(c) AS k FROM conf GROUP BY b),
+            crossed AS (
+              SELECT CAST(CAST(COALESCE(r, 0) AS DECIMAL(19,0))
+                          * CAST(COALESCE(k, 0) AS DECIMAL(19,0)) AS DECIMAL(38,0)) AS rc
+              FROM ra FULL JOIN cb ON ra.a = cb.b
+            ),
+            tot AS (
+              SELECT CAST(SUM(c) AS DECIMAL(19,0)) AS nn,
+                     CAST(SUM(CASE WHEN a = b THEN c ELSE 0 END) AS DECIMAL(19,0)) AS diag
+              FROM conf
+            ),
+            red AS (SELECT CAST(SUM(rc) AS DECIMAL(38,0)) AS src FROM crossed)
+            SELECT CAST(nn AS BIGINT) AS n_rows,
+                   {_gq("CAST(diag AS DOUBLE) / CAST(nn AS DOUBLE)", 6)} AS observed_agreement,
+                   {_gq("CAST(src AS DOUBLE) / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))", 6)} AS expected_agreement,
+                   CASE WHEN CAST(src AS DOUBLE) / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)) < 1.0
+                        THEN {_gq("(CAST(diag AS DOUBLE) / CAST(nn AS DOUBLE) - CAST(src AS DOUBLE) / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))) / (1.0 - CAST(src AS DOUBLE) / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)))", 6)}
+                   END AS kappa
+            FROM red, tot""",
     }

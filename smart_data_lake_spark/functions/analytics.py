@@ -2243,3 +2243,298 @@ def psi_value_drift_by_group(
         F.col("n_bins_used"),
         grid_round(F.col("_psi").cast("double"), scale).alias("psi"),
     ).orderBy(group_col)
+
+
+def kruskal_wallis_by_group(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    scale: int = 6,
+) -> DataFrame:
+    """Kruskal–Wallis H rank test across k groups (Kruskal & Wallis 1952,
+    public): the k-sample extension of `mann_whitney_u_by_variant` — do
+    the groups' value distributions differ, without any normality
+    assumption. The standard pre-gate before investing in per-pair tests.
+
+    Tie-exact integer rank statistics via the shared doubled-rank identity
+    (2·avg_rank = 2·min_rank + ties − 1 is an INTEGER): per-group doubled
+    rank sums and the tie term Σ(t³−t) = Σ_rows(t²−1) accumulate as exact
+    DECIMALs. Each group's R_j²/n_j term is one IEEE expression of those
+    exact sums quantized on the 1e-2 grid (coarse on purpose: the term is
+    O(N²)-scaled, so d=2 keeps the 2^62/10^d guard at 4.6e16 — N up to
+    ~1e8 ranked rows before the identity branch; past that, rank the value
+    DICTIONARY, the mann_whitney mitigation), summed exactly over the
+    group frame; H and the tie-corrected H' are single expressions of the
+    exact reduces, on the shared 1e-6 grid.
+
+    Shape: one global rank window over pooled values (the test is one
+    total order by definition) + one (group) aggregate + one k-row reduce.
+    """
+    base = df.where(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("_g"), F.col(value_col).alias("_v")
+    )
+    wr = Window.orderBy("_v")
+    wt = Window.partitionBy("_v")
+    ranked = base.select(
+        "_g",
+        (F.rank().over(wr).cast("long") * 2 + F.count(F.lit(1)).over(wt) - 1)
+        .cast("decimal(19,0)")
+        .alias("r2"),
+        F.count(F.lit(1)).over(wt).cast("long").alias("t"),
+    )
+    per = ranked.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("long").alias("nj"),
+        F.sum("r2").cast("decimal(38,0)").alias("r2j"),
+        F.sum((F.col("t").cast("decimal(19,0)") * F.col("t") - 1).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("tie3j"),
+    )
+    # R_j = r2j/2 is an exact half-integer double below 2^53; the grid-2
+    # quantization of R_j²/n_j is DEFINITIONAL (part of the operator), so
+    # both engines agree bit-for-bit at any aggregation order
+    termj = grid_round(
+        (F.col("r2j").cast("double") / 2.0)
+        * (F.col("r2j").cast("double") / 2.0)
+        / F.col("nj").cast("double"),
+        2,
+    ).cast("decimal(38,2)")
+    red = per.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("nj").cast("long").alias("n_total"),
+        F.sum(termj).alias("_sq"),
+        F.sum("tie3j").cast("decimal(38,0)").alias("tie3"),
+    )
+    n = F.col("n_total").cast("double")
+    h = 12.0 / (n * (n + 1.0)) * F.col("_sq").cast("double") - 3.0 * (n + 1.0)
+    corr = 1.0 - F.col("tie3").cast("double") / (n * n * n - n)
+    return red.select(
+        "n_groups",
+        "n_total",
+        grid_round(h, scale).alias("h_statistic"),
+        F.when(corr > 0, grid_round(h / corr, scale)).alias("h_tie_corrected"),
+    )
+
+
+def cmh_test_stratified(
+    df: DataFrame,
+    stratum_col: str,
+    variant_col,
+    success_col,
+    scale: int = 6,
+) -> DataFrame:
+    """Cochran–Mantel–Haenszel test of a 2×2 association ACROSS strata
+    (Mantel & Haenszel 1959, public): does treatment move conversion once
+    a confounding stratum (region, priority tier, device class) is
+    controlled for — the stratified complement of
+    `two_proportion_ab_test`, and the standard guard against Simpson's
+    paradox in experiment readouts.
+
+    Per stratum k (exact integer a, n1, n0, m1, m0, N): E_k = n1·m1/N and
+    V_k = n1·n0·m1·m0 / (N²(N−1)) are RATIONALS quantized on the 1e-9
+    grid into exact DECIMAL sums; the continuity-corrected statistic
+    (|Σa − ΣE| − 0.5)² / ΣV is one IEEE expression of the exact reduces
+    on the shared 1e-6 grid. One combinable per-stratum aggregate + one
+    k-row reduce — two tiny shuffles at any scale.
+
+    `variant_col` / `success_col` are 0/1 integer Column expressions.
+    """
+    base = df.select(
+        F.col(stratum_col).alias("_s"),
+        variant_col.cast("int").alias("_x"),
+        success_col.cast("int").alias("_y"),
+    )
+    per = base.groupBy("_s").agg(
+        F.sum(F.col("_x") * F.col("_y")).cast("long").alias("a"),
+        F.sum("_x").cast("long").alias("n1"),
+        F.sum(1 - F.col("_x")).cast("long").alias("n0"),
+        F.sum("_y").cast("long").alias("m1"),
+        F.sum(1 - F.col("_y")).cast("long").alias("m0"),
+        F.count(F.lit(1)).cast("long").alias("nn"),
+    )
+    nn = F.col("nn").cast("double")
+    e = grid_round(F.col("n1").cast("double") * F.col("m1").cast("double") / nn, 9).cast(
+        "decimal(28,9)"
+    )
+    v = F.when(
+        F.col("nn") > 1,
+        grid_round(
+            F.col("n1").cast("double")
+            * F.col("n0").cast("double")
+            * F.col("m1").cast("double")
+            * F.col("m0").cast("double")
+            / (nn * nn * (nn - 1.0)),
+            9,
+        ),
+    ).otherwise(F.lit(0.0)).cast("decimal(28,9)")
+    red = per.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum("a").cast("long").alias("sum_a"),
+        F.sum(e).alias("_se"),
+        F.sum(v).alias("_sv"),
+    )
+    dev = F.abs(F.col("sum_a").cast("double") - F.col("_se").cast("double"))
+    sv = F.col("_sv").cast("double")
+    return red.select(
+        "n_strata",
+        "sum_a",
+        grid_round(F.col("_se").cast("double"), scale).alias("sum_expected"),
+        F.when(
+            sv > 0,
+            grid_round((dev - 0.5) * (dev - 0.5) / sv, scale),
+        ).alias("cmh_statistic"),
+    )
+
+
+def page_hinkley_by_group(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    delta: str = "0.005",
+) -> DataFrame:
+    """Page–Hinkley drift statistic per group (Page 1954; the sequential
+    mean-shift detector production drift monitors run): PH = max_t (U_t −
+    min_{s≤t} U_s) where U_t = Σ_{i≤t} (x_i − x̄_i − δ) and x̄_i is the
+    running mean up to i. Complements `cusum_changepoint` (which tests
+    against the GLOBAL mean and needs the full series) — PH is the
+    one-directional online form whose reference mean only uses the past.
+
+    Exactness: inputs quantize to 1e-6 DECIMAL on the shared grid; each
+    running mean is one rational (exact cumsum / i) on the 1e-9 grid; the
+    deviation cumsum, running minimum and the final max are then EXACT
+    decimal arithmetic — the statistic is emitted as DECIMAL(38,9), no
+    float accumulation anywhere. δ is a decimal string so both engines
+    parse the identical constant.
+
+    Shape: one window sort per group (the sequential definition's price;
+    groups are assumed time-series-sized) + one combinable max.
+    """
+    xq = grid_round(F.col(value_col), 6).cast("decimal(18,6)")
+    w = Window.partitionBy(group_col).orderBy(ts_col, tiebreak_col)
+    cum = (
+        df.where(F.col(value_col).isNotNull())
+        .select(group_col, F.col(ts_col), F.col(tiebreak_col), xq.alias("_x"))
+        .withColumn("_i", F.row_number().over(w))
+        .withColumn("_s", F.sum("_x").over(w))
+    )
+    mean_i = grid_round(
+        F.col("_s").cast("double") / F.col("_i").cast("double"), 9
+    ).cast("decimal(28,9)")
+    dev = cum.select(
+        group_col,
+        F.col(ts_col),
+        F.col(tiebreak_col),
+        (
+            F.col("_x").cast("decimal(28,9)")
+            - mean_i
+            - F.lit(delta).cast("decimal(28,9)")
+        ).alias("_d"),
+    )
+    wu = Window.partitionBy(group_col).orderBy(ts_col, tiebreak_col)
+    walked = dev.withColumn("_u", F.sum("_d").over(wu)).withColumn(
+        "_m", F.min(F.col("_u")).over(wu)
+    )
+    # narrow u/m to (37,9) BEFORE subtracting: a (38,9)−(38,9) difference
+    # needs precision 39, and Spark's overflow rule clamps the SCALE to 8
+    # (silent last-digit loss) while DuckDB keeps 9 — found live by the
+    # oracle check; (37,9)−(37,9) → (38,9) exact in both engines
+    u = F.col("_u").cast("decimal(37,9)")
+    m = F.col("_m").cast("decimal(37,9)")
+    return walked.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.max((u - m).cast("decimal(38,9)")).alias("ph_stat"),
+    )
+
+
+def gumbel_return_level_by_group(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    return_period: int = 30,
+    scale: int = 6,
+) -> DataFrame:
+    """Gumbel extreme-value fit over daily block maxima with a
+    T-period return level (Gumbel 1958, method-of-moments form): per
+    group, take each day's max value, fit location/scale by moments
+    (β = s·√6/π, μ = m − γ·β with Euler–Mascheroni γ), and report the
+    value exceeded once per `return_period` days on average —
+    μ − β·ln(−ln(1 − 1/T)). The capacity-planning primitive ("what hourly
+    peak should we provision for per month") next to the drift family.
+
+    Exactness: daily maxima are exact (max of raw doubles); moments come
+    from exact DECIMAL sums of 1e-6 grid-quantized maxima; β/μ/level are
+    one IEEE expression of those reduces with shared numeric literals for
+    π and γ, finals on the 1e-6 grid. Shape: two combinable aggregates
+    (day-max, then moments) — no windows, no joins."""
+    day = F.floor(F.unix_micros(F.col(ts_col)) / F.lit(86_400_000_000)).alias("_day")
+    daily = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col).alias("_g"), day)
+        .agg(F.max(value_col).alias("_mx"))
+    )
+    mq = grid_round(F.col("_mx"), 6).cast("decimal(18,6)")
+    per = daily.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(mq).cast("decimal(38,6)").alias("s"),
+        F.sum((mq * mq).cast("decimal(38,12)")).cast("decimal(38,12)").alias("ss"),
+    )
+    n = F.col("n_days").cast("double")
+    m = F.col("s").cast("double") / n
+    # unbiased sample variance from exact sums
+    var = (F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s").cast("double") / n) / (n - 1.0)
+    beta = F.sqrt(var) * 2.449489742783178 / 3.141592653589793  # sqrt(6)/pi
+    mu = m - 0.5772156649015329 * beta
+    t = float(return_period)
+    level = mu - beta * F.log(-F.log(F.lit(1.0) - F.lit(1.0) / F.lit(t)))
+    return per.select(
+        F.col("_g").alias(group_col),
+        "n_days",
+        grid_round(m, scale).alias("mean_daily_max"),
+        F.when(F.col("n_days") > 1, grid_round(beta, scale)).alias("gumbel_beta"),
+        F.when(F.col("n_days") > 1, grid_round(mu, scale)).alias("gumbel_mu"),
+        F.when(F.col("n_days") > 1, grid_round(level, scale)).alias(
+            f"return_level_{return_period}d"
+        ),
+    )
+
+
+def longest_streak_by_user(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Longest run of consecutive same-type events per user (the classic
+    gaps-and-islands rollup): engagement/bot signal — a 400-event 'view'
+    streak is a scraper, alternating short streaks are organic. Exact
+    integers end to end.
+
+    Island id = global position − per-type position (both row_numbers over
+    the same (ts, tiebreak) order), constant exactly within a run; per-run
+    lengths roll up combinably. The per-user winner takes the LONGEST run,
+    ties broken by type string DESCENDING via one max(struct) — no second
+    window. One window shuffle + two combinable aggregates."""
+    wall = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    wtyp = Window.partitionBy(user_col, type_col).orderBy(ts_col, tiebreak_col)
+    runs = (
+        df.select(user_col, type_col, F.col(ts_col), F.col(tiebreak_col))
+        .withColumn("_isl", F.row_number().over(wall) - F.row_number().over(wtyp))
+        .groupBy(user_col, type_col, "_isl")
+        .agg(F.count(F.lit(1)).alias("_len"))
+    )
+    return (
+        runs.groupBy(user_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_streaks"),
+            F.max(F.struct(F.col("_len"), F.col(type_col))).alias("_m"),
+        )
+        .select(
+            user_col,
+            "n_streaks",
+            F.col("_m._len").cast("long").alias("max_streak"),
+            F.col(f"_m.{type_col}").alias("streak_type"),
+        )
+    )

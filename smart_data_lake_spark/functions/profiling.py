@@ -530,7 +530,9 @@ def exact_quartiles(
 
     def quartile(k: int):
         pos = (F.col("_n") - 1) * k  # quarter-units
-        lo = F.floor(pos / 4) + 1    # 1-based rank of the lower value
+        # exact long `div` (r11 ADVICE, the exact_percentiles treatment):
+        # the double quotient can mis-floor past 2^53
+        lo = F.expr(f"((_n - 1) * {int(k)}) div 4") + 1  # 1-based lower rank
         hi = F.least(lo + 1, F.col("_n"))
         frac = (pos % 4).cast("double") / 4.0  # exact: 0, .25, .5, .75
         vlo = F.max(F.when(F.col("_rn") == lo, F.col(value_col)))
@@ -1076,4 +1078,253 @@ def fd_histogram(
             F.col("n_rows").cast("long").alias("n_rows"),
         )
         .orderBy("bin")
+    )
+
+
+def theil_index_by_group(
+    df,
+    group_col: str,
+    value_col: str,
+    decimals: int = 6,
+):
+    """Theil T inequality index per group (Theil 1967, public):
+    T = (1/n)·Σ (x_i/μ)·ln(x_i/μ) over non-negative values, with 0·ln 0
+    taken as 0 — the entropy-based complement to `gini_by_group` whose
+    defining property Gini lacks: T decomposes additively into
+    within-group + between-group components, so per-nation readings roll
+    up to a corpus total exactly.
+
+    Exactness: μ is one rational of exact DECIMAL sums; each (x/μ)·ln(x/μ)
+    term quantizes on the 1e-9 grid into an exact DECIMAL sum (the
+    behavior-entropy discipline); the final is one IEEE expression on the
+    shared 1e-6 grid. Shape: one combinable per-group aggregate, one
+    broadcast join back, one combinable term sum — no windows.
+
+    Contract: Theil is defined on NON-NEGATIVE values — negative rows are
+    excluded (property-harness-found: a negative group sum makes x/μ
+    negative, where ln() NULLs on one engine and hard-errors on another),
+    and terms additionally guard on Σx > 0 so an all-zero group never
+    reaches the division."""
+    dec = f"decimal(18,{decimals})"
+    base = df.where(F.col(value_col).isNotNull() & (F.col(value_col) >= 0)).select(
+        F.col(group_col), F.col(value_col).cast(dec).alias("_x")
+    )
+    stats = base.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("_x").alias("sx")
+    )
+    joined = base.join(F.broadcast(stats), group_col)
+    mu = F.col("sx").cast("double") / F.col("n").cast("double")
+    r = F.col("_x").cast("double") / mu
+    term = F.when(
+        (F.col("_x") > 0) & (F.col("sx") > 0), grid_round(r * F.log(r), 9)
+    ).otherwise(F.lit(0.0)).cast("decimal(28,9)")
+    agg = joined.groupBy(group_col).agg(
+        F.max("n").alias("n"),
+        F.max("sx").alias("_sx"),
+        F.sum(term).alias("_t"),
+    )
+    return agg.select(
+        group_col,
+        F.col("n"),
+        F.when(
+            F.col("_sx") > 0,
+            grid_round(F.col("_t").cast("double") / F.col("n").cast("double"), decimals),
+        ).alias("theil_t"),
+    )
+
+
+def simpson_diversity(
+    df,
+    group_col: str = "source",
+    text_col: str = "text",
+    decimals: int = 6,
+):
+    """Simpson diversity of the token distribution per group (Simpson
+    1949, public): 1 − Σ c_i(c_i−1) / (N(N−1)) — the probability two
+    tokens drawn WITHOUT replacement are different types. The bounded
+    [0,1] companion of the entropy/HHI family: insensitive to the long
+    tail (rare types barely move it), so it isolates head-duplication —
+    a boilerplate-stuffed source scores low here while still showing a
+    large Chao1 vocabulary.
+
+    Exactness: Σ c(c−1) and N are exact integers (DECIMAL-widened before
+    the product); the final is ONE rational on the shared 1e-6 grid.
+    Shape: chao1's — one explode + (group, term) count, one combinable
+    per-group reduce."""
+    from .text import tokens
+
+    toks = df.select(F.col(group_col), F.explode(tokens(F.col(text_col))).alias("_t"))
+    tf = toks.groupBy(group_col, "_t").agg(F.count(F.lit(1)).alias("_c"))
+    c = F.col("_c").cast("decimal(19,0)")
+    agg = tf.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("_c")).cast("long").alias("n_tokens"),
+        F.sum((c * (c - 1)).cast("decimal(38,0)")).cast("decimal(38,0)").alias("_rep"),
+    )
+    n = F.col("n_tokens").cast("double")
+    return agg.select(
+        group_col,
+        "n_types",
+        "n_tokens",
+        F.when(
+            F.col("n_tokens") > 1,
+            grid_round(1.0 - F.col("_rep").cast("double") / (n * (n - 1.0)), decimals),
+        ).alias("simpson_diversity"),
+    )
+
+
+def yules_k(
+    df,
+    group_col: str = "source",
+    text_col: str = "text",
+    decimals: int = 6,
+):
+    """Yule's K lexical-richness characteristic per group (Yule 1944,
+    public): K = 10⁴·(Σ c_i² − N)/N² over the term-frequency spectrum —
+    the classic authorship/templatedness constant, LENGTH-INVARIANT by
+    construction (unlike type/token ratios, which shrink with corpus
+    size), so sources of different sizes compare directly. High K =
+    repetitive/templated text; ~100–200 = natural prose.
+
+    Exactness: Σ c² and N are exact integers (DECIMAL-widened squares);
+    the final is ONE rational on the shared 1e-6 grid. Shape: chao1's —
+    one explode + count, one combinable reduce."""
+    from .text import tokens
+
+    toks = df.select(F.col(group_col), F.explode(tokens(F.col(text_col))).alias("_t"))
+    tf = toks.groupBy(group_col, "_t").agg(F.count(F.lit(1)).alias("_c"))
+    c = F.col("_c").cast("decimal(19,0)")
+    agg = tf.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("_c")).cast("long").alias("n_tokens"),
+        F.sum((c * c).cast("decimal(38,0)")).cast("decimal(38,0)").alias("_m2"),
+    )
+    n = F.col("n_tokens").cast("double")
+    return agg.select(
+        group_col,
+        "n_types",
+        "n_tokens",
+        F.when(
+            F.col("n_tokens") > 0,
+            grid_round(
+                10000.0 * (F.col("_m2").cast("double") - n) / (n * n), decimals
+            ),
+        ).alias("yules_k"),
+    )
+
+
+def vocab_churn_by_group(
+    df,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    decimals: int = 6,
+):
+    """Vocabulary churn per group: split each group's documents into
+    first/second halves by id order (first half = ceil(n/2) docs — the
+    exact order-statistic split, engine-identical) and report how much of
+    the second half's vocabulary is NEW — the corpus-drift gauge that
+    catches a recrawl changing a source's language before any
+    distribution test fires. Complements `chao1_vocab_richness` (how much
+    vocab is unseen) with how fast the seen vocab TURNS OVER.
+
+    Exactness: set sizes are exact integers from distinct counts; the
+    churn rate is ONE rational on the shared 1e-6 grid. Shape: one
+    ranking window per group (id order), two (group, term) distincts, one
+    left-anti-shaped conditional count — all combinable aggregates."""
+    from pyspark.sql import Window
+
+    from .text import tokens
+
+    w = Window.partitionBy(group_col).orderBy(id_col)
+    wg = Window.partitionBy(group_col)
+    halved = df.select(
+        F.col(group_col),
+        F.col(id_col),
+        F.col(text_col),
+        (
+            F.row_number().over(w) * 2 <= F.count(F.lit(1)).over(wg) + 1
+        ).alias("_first"),
+    )
+    term_half = (
+        halved.select(
+            group_col, "_first", F.explode(tokens(F.col(text_col))).alias("_t")
+        )
+        .groupBy(group_col, "_t")
+        .agg(
+            F.max(F.when(F.col("_first"), 1).otherwise(0)).alias("in1"),
+            F.max(F.when(~F.col("_first"), 1).otherwise(0)).alias("in2"),
+        )
+    )
+    agg = term_half.groupBy(group_col).agg(
+        F.sum("in1").cast("long").alias("v1_types"),
+        F.sum("in2").cast("long").alias("v2_types"),
+        F.sum(F.when((F.col("in2") == 1) & (F.col("in1") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("new_types"),
+    )
+    return agg.select(
+        group_col,
+        "v1_types",
+        "v2_types",
+        "new_types",
+        F.when(
+            F.col("v2_types") > 0,
+            grid_round(
+                F.col("new_types").cast("double") / F.col("v2_types").cast("double"),
+                decimals,
+            ),
+        ).alias("new_type_rate"),
+    )
+
+
+def cohens_kappa(
+    df,
+    col_a: str,
+    col_b: str,
+    decimals: int = 6,
+):
+    """Cohen's κ chance-corrected agreement between two categorical
+    columns (Cohen 1960, public): κ = (p_o − p_e)/(1 − p_e) with p_o the
+    observed agreement and p_e the agreement expected from the marginals
+    — the standard labeling-quality gate (annotator vs annotator, or
+    declared label vs classifier) that raw accuracy overstates whenever
+    one class dominates.
+
+    Exactness: the confusion counts, marginals and their products are
+    exact integers (DECIMAL-widened: N·Σdiag and Σr·c reach N², past
+    int64 at the 100 TB tier); κ, p_o, p_e are single rationals on the
+    shared 1e-6 grid. Shape: one (a, b) count aggregate, two marginal
+    rollups of that small frame, one 1-row reduce — the confusion matrix
+    is |categories|², never data-scale."""
+    conf = (
+        df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(F.col(col_a).alias("_a"), F.col(col_b).alias("_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    ra = conf.groupBy("_a").agg(F.sum("c").alias("r"))
+    cb = conf.groupBy("_b").agg(F.sum("c").alias("k"))
+    cross = ra.join(cb, ra["_a"] == cb["_b"], "full").select(
+        (
+            F.coalesce(F.col("r"), F.lit(0)).cast("decimal(19,0)")
+            * F.coalesce(F.col("k"), F.lit(0)).cast("decimal(19,0)")
+        ).cast("decimal(38,0)").alias("rc")
+    )
+    tot = conf.agg(
+        F.sum("c").cast("decimal(19,0)").alias("nn"),
+        F.sum(F.when(F.col("_a") == F.col("_b"), F.col("c")).otherwise(0))
+        .cast("decimal(19,0)")
+        .alias("diag"),
+    )
+    red = cross.agg(F.sum("rc").cast("decimal(38,0)").alias("src")).crossJoin(
+        F.broadcast(tot)
+    )
+    nn = F.col("nn").cast("double")
+    po = F.col("diag").cast("double") / nn
+    pe = F.col("src").cast("double") / (nn * nn)
+    return red.select(
+        F.col("nn").cast("long").alias("n_rows"),
+        grid_round(po, decimals).alias("observed_agreement"),
+        grid_round(pe, decimals).alias("expected_agreement"),
+        F.when(pe < 1.0, grid_round((po - pe) / (1.0 - pe), decimals)).alias("kappa"),
     )

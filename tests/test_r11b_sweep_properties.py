@@ -291,3 +291,114 @@ def test_tfidf_collapse_bit_identical(spark):
     # within-family pairs present with cosine exactly 1.0
     ones = {(a, b) for a, b, c in got if c == 1.0}
     assert {(0, 2), (0, 5), (2, 5), (1, 4)} <= ones
+
+
+# ------------------------------------------------- r11 new-operator parity
+
+
+def _customer_nation_tables():
+    """Minimal customer/nation dims for the Theil spend base."""
+    n_cust = 9
+    customer = pa.table(
+        {
+            "c_custkey": pa.array(range(n_cust), pa.int64()),
+            "c_name": pa.array([f"c{i}" for i in range(n_cust)], pa.string()),
+            "c_nationkey": pa.array([i % 3 for i in range(n_cust)], pa.int64()),
+            "c_acctbal": pa.array([float(i) for i in range(n_cust)], pa.float64()),
+        }
+    )
+    nation = pa.table(
+        {
+            "n_nationkey": pa.array([0, 1, 2], pa.int64()),
+            "n_name": pa.array(["AAA", "BBB", "CCC"], pa.string()),
+            "n_regionkey": pa.array([0, 0, 1], pa.int64()),
+        }
+    )
+    return customer, nation
+
+
+@settings(**_SETTINGS)
+@given(_vals)
+def test_kruskal_wallis_engine_exact(spark, series):
+    _run_query_vs_oracle(
+        spark, "kruskal_wallis_value_by_type", {"events": _events_table_types(series)}
+    )
+
+
+@settings(**_SETTINGS)
+@given(_vals)
+def test_cmh_engine_exact(spark, prices):
+    _run_query_vs_oracle(
+        spark, "cmh_conversion_by_priority", {"orders": _orders_table_classes(prices)}
+    )
+
+
+@settings(**_SETTINGS)
+@given(_vals)
+def test_page_hinkley_engine_exact(spark, series):
+    _run_query_vs_oracle(
+        spark, "page_hinkley_value_by_type", {"events": _events_table_types(series)}
+    )
+
+
+@settings(**_SETTINGS)
+@given(_vals)
+def test_gumbel_engine_exact(spark, series):
+    _run_query_vs_oracle(
+        spark, "gumbel_return_level_by_type", {"events": _events_table_types(series)}
+    )
+
+
+@settings(**_SETTINGS)
+@given(_vals)
+def test_theil_engine_exact(spark, prices):
+    customer, nation = _customer_nation_tables()
+    _run_query_vs_oracle(
+        spark,
+        "theil_index_spend_by_nation",
+        {
+            "orders": _orders_table_classes(prices),
+            "customer": customer,
+            "nation": nation,
+        },
+    )
+
+
+@settings(**_SETTINGS)
+@given(_vals)
+def test_longest_streak_engine_exact(spark, series):
+    _run_query_vs_oracle(
+        spark, "longest_streak_by_user_events", {"events": _events_table_types(series)}
+    )
+
+
+@settings(**_SETTINGS)
+@given(_texts)
+def test_simpson_engine_exact(spark, token_lists):
+    _run_query_vs_oracle(
+        spark, "simpson_diversity_by_source", {"documents": _docs_table(token_lists)}
+    )
+
+
+@settings(**_SETTINGS)
+@given(_texts)
+def test_yules_k_engine_exact(spark, token_lists):
+    _run_query_vs_oracle(
+        spark, "yules_k_by_source", {"documents": _docs_table(token_lists)}
+    )
+
+
+@settings(**_SETTINGS)
+@given(_texts)
+def test_vocab_churn_engine_exact(spark, token_lists):
+    _run_query_vs_oracle(
+        spark, "vocab_churn_by_source", {"documents": _docs_table(token_lists)}
+    )
+
+
+@settings(**_SETTINGS)
+@given(_texts)
+def test_cohens_kappa_engine_exact(spark, token_lists):
+    _run_query_vs_oracle(
+        spark, "cohens_kappa_lang_id", {"documents": _docs_table_langs(token_lists)}
+    )

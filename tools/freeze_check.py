@@ -1,0 +1,103 @@
+"""Mechanical freeze-discipline check (r10 verdict item 4, committed form).
+
+The driver grades the FIRST 50 entries of `queries()` each round; the
+window is frozen at a named commit and must not change afterwards — any
+post-freeze function/oracle edit to a window member invalidates its
+already-earned independent driver row.
+
+Usage:
+  python tools/freeze_check.py --freeze <round>   # record FREEZE_r<N>.json
+  python tools/freeze_check.py                    # verify against the
+                                                  # newest FREEZE_r*.json
+
+The freeze file records the round, the ordered first-50 key list, and a
+sha256 of each window member's oracle SQL text (so a post-freeze oracle
+edit — not just a reorder — is caught). `tests/test_freeze_window.py`
+runs the verification on every pytest run, making the discipline a suite
+failure instead of a session note.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WINDOW = 50
+
+
+def _window_state():
+    import __spark_entry__ as entry
+
+    keys = list(entry.queries().keys())[:WINDOW]
+    oracles = entry.oracle_sql()
+    hashes = {
+        k: hashlib.sha256(oracles[k].encode()).hexdigest()
+        for k in keys
+        if k in oracles
+    }
+    return keys, hashes
+
+
+def newest_freeze_file() -> str | None:
+    files = glob.glob(os.path.join(ROOT, "FREEZE_r*.json"))
+    if not files:
+        return None
+    return max(files, key=lambda p: int(re.search(r"FREEZE_r(\d+)", p).group(1)))
+
+
+def verify(path: str) -> list[str]:
+    """Return a list of violations (empty = freeze holds)."""
+    with open(path) as f:
+        frozen = json.load(f)
+    keys, hashes = _window_state()
+    problems = []
+    if keys != frozen["window_keys"]:
+        gone = set(frozen["window_keys"]) - set(keys)
+        new = set(keys) - set(frozen["window_keys"])
+        problems.append(
+            f"window key list changed since {os.path.basename(path)}: "
+            f"removed={sorted(gone)} added={sorted(new)}"
+            if gone or new
+            else "window key ORDER changed"
+        )
+    for k, h in frozen["oracle_sha256"].items():
+        if k in hashes and hashes[k] != h:
+            problems.append(f"oracle SQL of frozen window member {k!r} changed")
+    return problems
+
+
+def main() -> int:
+    if "--freeze" in sys.argv:
+        rnd = int(sys.argv[sys.argv.index("--freeze") + 1])
+        keys, hashes = _window_state()
+        path = os.path.join(ROOT, f"FREEZE_r{rnd}.json")
+        with open(path, "w") as f:
+            json.dump(
+                {"round": rnd, "window_keys": keys, "oracle_sha256": hashes},
+                f,
+                indent=1,
+            )
+        print(f"froze {len(keys)}-key window -> {path}")
+        return 0
+    path = newest_freeze_file()
+    if path is None:
+        print("no FREEZE_r*.json found — nothing to verify")
+        return 0
+    problems = verify(path)
+    if problems:
+        for p in problems:
+            print("FREEZE VIOLATION:", p)
+        return 1
+    print(f"freeze holds ({os.path.basename(path)})")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
