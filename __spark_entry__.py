@@ -5031,9 +5031,20 @@ def oracle_sql() -> dict[str, str]:
                 CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS p_nulls,
                 CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS p_d,
                 -- r11: float min/max stringify through grid-quantized
-                -- DECIMAL (engine double->string rendering differs)
-                CAST(CAST({_gq("MIN(o_totalprice)", 6)} AS DECIMAL(38,6)) AS VARCHAR) AS p_min,
-                CAST(CAST({_gq("MAX(o_totalprice)", 6)} AS DECIMAL(38,6)) AS VARCHAR) AS p_max,
+                -- DECIMAL (engine double->string rendering differs);
+                -- total over NaN/Inf/huge, lockstep with profile_columns
+                CASE WHEN isnan(MIN(o_totalprice)) THEN 'NaN'
+                     WHEN isinf(MIN(o_totalprice)) AND MIN(o_totalprice) > 0 THEN 'Infinity'
+                     WHEN isinf(MIN(o_totalprice)) THEN '-Infinity'
+                     WHEN abs(MIN(o_totalprice)) < 4.61168601842738770e+12
+                     THEN CAST(CAST({_gq("MIN(o_totalprice)", 6)} AS DECIMAL(38,6)) AS VARCHAR)
+                     ELSE CAST(MIN(o_totalprice) AS VARCHAR) END AS p_min,
+                CASE WHEN isnan(MAX(o_totalprice)) THEN 'NaN'
+                     WHEN isinf(MAX(o_totalprice)) AND MAX(o_totalprice) > 0 THEN 'Infinity'
+                     WHEN isinf(MAX(o_totalprice)) THEN '-Infinity'
+                     WHEN abs(MAX(o_totalprice)) < 4.61168601842738770e+12
+                     THEN CAST(CAST({_gq("MAX(o_totalprice)", 6)} AS DECIMAL(38,6)) AS VARCHAR)
+                     ELSE CAST(MAX(o_totalprice) AS VARCHAR) END AS p_max,
                 {_gq("CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(o_totalprice)", 6)} AS p_mean,
                 {_gq("(SELECT med FROM pmed)", 6)} AS p_med
               FROM orders
@@ -7629,10 +7640,14 @@ def oracle_sql() -> dict[str, str]:
             -- per-stratum E/V rationals on the 1e-9 grid into exact
             -- decimal sums; continuity-corrected final on the 1e-6 grid
             WITH base AS (
-              SELECT o_orderpriority AS s,
-                     CAST(o_orderkey % 2 AS INT) AS x,
-                     CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
-              FROM orders
+              -- NULL variant/success rows excluded (review-found margin
+              -- inconsistency), lockstep with cmh_test_stratified
+              SELECT s, x, y FROM (
+                SELECT o_orderpriority AS s,
+                       CAST(o_orderkey % 2 AS INT) AS x,
+                       CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+                FROM orders
+              ) WHERE x IS NOT NULL AND y IS NOT NULL
             ),
             per AS (
               SELECT s,
@@ -7724,9 +7739,9 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT g AS event_type, n_days,
                    {_gq("CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)", 6)} AS mean_daily_max,
-                   CASE WHEN n_days > 1 THEN {_gq("sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)) / (CAST(n_days AS DOUBLE) - 1.0)) * 2.449489742783178 / 3.141592653589793", 6)} END AS gumbel_beta,
-                   CASE WHEN n_days > 1 THEN {_gq("CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE) - 0.5772156649015329 * (sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)) / (CAST(n_days AS DOUBLE) - 1.0)) * 2.449489742783178 / 3.141592653589793)", 6)} END AS gumbel_mu,
-                   CASE WHEN n_days > 1 THEN {_gq("CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE) - 0.5772156649015329 * (sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)) / (CAST(n_days AS DOUBLE) - 1.0)) * 2.449489742783178 / 3.141592653589793) - (sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)) / (CAST(n_days AS DOUBLE) - 1.0)) * 2.449489742783178 / 3.141592653589793) * ln(-ln(1.0 - 1.0 / 30.0))", 6)} END AS return_level_30d
+                   CASE WHEN n_days > 1 THEN {_gq("sqrt(greatest((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)) / (CAST(n_days AS DOUBLE) - 1.0), 0.0)) * 2.449489742783178 / 3.141592653589793", 6)} END AS gumbel_beta,
+                   CASE WHEN n_days > 1 THEN {_gq("CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE) - 0.5772156649015329 * (sqrt(greatest((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)) / (CAST(n_days AS DOUBLE) - 1.0), 0.0)) * 2.449489742783178 / 3.141592653589793)", 6)} END AS gumbel_mu,
+                   CASE WHEN n_days > 1 THEN {_gq("CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE) - 0.5772156649015329 * (sqrt(greatest((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)) / (CAST(n_days AS DOUBLE) - 1.0), 0.0)) * 2.449489742783178 / 3.141592653589793) - (sqrt(greatest((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)) / (CAST(n_days AS DOUBLE) - 1.0), 0.0)) * 2.449489742783178 / 3.141592653589793) * ln(-ln(1.0 - 1.0 / 30.0))", 6)} END AS return_level_30d
             FROM per ORDER BY event_type""",
         "theil_index_spend_by_nation": f"""
             -- (x/mu)*ln(x/mu) terms on the 1e-9 grid into an exact

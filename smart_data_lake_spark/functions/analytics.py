@@ -2342,7 +2342,10 @@ def cmh_test_stratified(
         F.col(stratum_col).alias("_s"),
         variant_col.cast("int").alias("_x"),
         success_col.cast("int").alias("_y"),
-    )
+    # NULL variant/success rows are excluded (review-found: they counted
+    # into N via count(*) while every margin sum skipped them, making
+    # E/V denominators inconsistent with the margins)
+    ).where(F.col("_x").isNotNull() & F.col("_y").isNotNull())
     per = base.groupBy("_s").agg(
         F.sum(F.col("_x") * F.col("_y")).cast("long").alias("a"),
         F.sum("_x").cast("long").alias("n1"),
@@ -2482,8 +2485,15 @@ def gumbel_return_level_by_group(
     )
     n = F.col("n_days").cast("double")
     m = F.col("s").cast("double") / n
-    # unbiased sample variance from exact sums
-    var = (F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s").cast("double") / n) / (n - 1.0)
+    # unbiased sample variance from exact sums; clamped at 0 (review-found:
+    # constant daily maxima cancel to a tiny NEGATIVE var, where sqrt NaNs
+    # on Spark and hard-errors on an ANSI engine — the grouped_outliers
+    # greatest() treatment)
+    var = F.greatest(
+        (F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s").cast("double") / n)
+        / (n - 1.0),
+        F.lit(0.0),
+    )
     beta = F.sqrt(var) * 2.449489742783178 / 3.141592653589793  # sqrt(6)/pi
     mu = m - 0.5772156649015329 * beta
     t = float(return_period)

@@ -185,9 +185,28 @@ def profile_columns(
             # ('5.96e-08') — same value, different text. Fixed-scale
             # DECIMAL renders identically in both engines ('0.000000'),
             # so float min/max quantize through the shared grid and
-            # stringify as DECIMAL(38,6).
-            min_expr = grid_round(F.min(col), 6).cast("decimal(38,6)").cast("string")
-            max_expr = grid_round(F.max(col), 6).cast("decimal(38,6)").cast("string")
+            # stringify as DECIMAL(38,6). TOTAL over the double domain
+            # (review-found): NaN/±Infinity render as fixed literals (a
+            # bare decimal cast NULLs on Spark and hard-errors on an ANSI
+            # engine), and |x| past grid_round's 2^62/1e6 identity limit —
+            # where the decimal cast would round engine-natively anyway —
+            # falls back to the engine's native string (documented
+            # residual, the pre-r11 behavior for those magnitudes).
+            def _fstr(agg):
+                lim = float(2**62) / 1e6
+                return (
+                    F.when(F.isnan(agg), F.lit("NaN"))
+                    .when(agg == float("inf"), F.lit("Infinity"))
+                    .when(agg == float("-inf"), F.lit("-Infinity"))
+                    .when(
+                        F.abs(agg) < F.lit(lim),
+                        grid_round(agg, 6).cast("decimal(38,6)").cast("string"),
+                    )
+                    .otherwise(agg.cast("string"))
+                )
+
+            min_expr = _fstr(F.min(col))
+            max_expr = _fstr(F.max(col))
         else:
             min_expr = F.min(col).cast("string")
             max_expr = F.max(col).cast("string")

@@ -212,3 +212,44 @@ def test_cohens_kappa_perfect_and_chance(spark):
     assert out2["observed_agreement"] == 0.5
     assert out2["expected_agreement"] == 0.5
     assert out2["kappa"] == 0.0
+
+
+# ------------------------------------------------- r11 review regressions
+
+
+def test_gumbel_constant_maxima_no_nan(spark):
+    from smart_data_lake_spark.functions.analytics import gumbel_return_level_by_group
+
+    # constant daily maxima: var cancels to a tiny negative double without
+    # the greatest() clamp -> sqrt NaN (review-found); clamped, beta = 0
+    # and the return level degenerates to the mean
+    rows = [(i, 0, "a", 126.614243, 24 * i + 1) for i in range(5)]
+    out = gumbel_return_level_by_group(_events(spark, rows)).collect()[0]
+    assert out["gumbel_beta"] == 0.0
+    assert out["return_level_30d"] == out["mean_daily_max"]
+    assert not math.isnan(out["gumbel_mu"])
+
+
+def test_cmh_null_rows_excluded(spark):
+    from smart_data_lake_spark.functions.analytics import cmh_test_stratified
+
+    rows = [("P", 1, 1), ("P", 1, 0), ("P", 0, 0), ("P", 0, 0), ("P", None, 1)]
+    df = spark.createDataFrame(rows, "s string, x int, y int")
+    out = cmh_test_stratified(df, "s", F.col("x"), F.col("y")).collect()[0]
+    # the NULL-variant row must not inflate N: E = 2*1/4 = 0.5, not 2*2/5
+    assert out["sum_expected"] == 0.5
+
+
+def test_profile_float_minmax_nan_inf_total(spark):
+    from smart_data_lake_spark.functions.profiling import profile_columns
+
+    df = spark.createDataFrame(
+        [(float("nan"),), (float("inf"),), (1.5,)], "v double"
+    )
+    row = {r["col_name"]: r for r in profile_columns(df, ["v"]).collect()}["v"]
+    # NaN sorts greatest in Spark: max=NaN; min is the finite 1.5
+    assert row["max_str"] == "NaN"
+    assert row["min_str"] == "1.500000"
+    big = spark.createDataFrame([(1e40,), (2.0,)], "v double")
+    row2 = {r["col_name"]: r for r in profile_columns(big, ["v"]).collect()}["v"]
+    assert row2["max_str"] is not None  # native fallback, not NULL

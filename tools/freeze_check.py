@@ -68,7 +68,11 @@ def verify(path: str) -> list[str]:
             else "window key ORDER changed"
         )
     for k, h in frozen["oracle_sha256"].items():
-        if k in hashes and hashes[k] != h:
+        if k not in hashes:
+            problems.append(
+                f"frozen window member {k!r} lost its oracle_sql() entry"
+            )
+        elif hashes[k] != h:
             problems.append(f"oracle SQL of frozen window member {k!r} changed")
     return problems
 
