@@ -45,6 +45,40 @@ def _window_state():
     return keys, hashes
 
 
+def _normalize_plan(s: str) -> str:
+    """Strip the session-varying parts of an analyzed-plan string so the
+    hash is stable across processes: expression ids (#123), lambda
+    variable numbering, and absolute temp paths."""
+    s = re.sub(r"#\d+", "#N", s)
+    s = re.sub(r"\blambda x_\d+\b", "lambda x_N", s)
+    s = re.sub(r"/tmp/[^\s,\]]+", "/tmp/PATH", s)
+    return s
+
+
+def plan_hashes(keys: list[str], sf_dir: str = "/root/testdata/sf0.001") -> dict:
+    """sha256 of each window member's NORMALIZED analyzed logical plan —
+    the Spark-side twin of the oracle-text hash (a post-freeze edit to a
+    member's function or any library it calls shows up in the plan even
+    when the wrapper is untouched). Streaming members are skipped:
+    building their result executes an availableNow drain through a temp
+    sink whose path varies. OPT-IN (``--plans``) and NOT part of the
+    pytest gate: plan strings are best-effort stable, and a flaky suite
+    gate would be worse than a manual check."""
+    import __spark_entry__ as entry
+    from smart_data_lake_spark.session import build_session
+
+    spark = build_session(app_name="freeze_check")
+    q = entry.queries()
+    out = {}
+    for k in keys:
+        if k.startswith("streaming_"):
+            continue
+        df = q[k](spark, sf_dir)
+        s = df._jdf.queryExecution().analyzed().toString()
+        out[k] = hashlib.sha256(_normalize_plan(s).encode()).hexdigest()
+    return out
+
+
 def newest_freeze_file() -> str | None:
     files = glob.glob(os.path.join(ROOT, "FREEZE_r*.json"))
     if not files:
@@ -81,13 +115,12 @@ def main() -> int:
     if "--freeze" in sys.argv:
         rnd = int(sys.argv[sys.argv.index("--freeze") + 1])
         keys, hashes = _window_state()
+        rec = {"round": rnd, "window_keys": keys, "oracle_sha256": hashes}
+        if "--plans" in sys.argv:
+            rec["plan_sha256"] = plan_hashes(keys)
         path = os.path.join(ROOT, f"FREEZE_r{rnd}.json")
         with open(path, "w") as f:
-            json.dump(
-                {"round": rnd, "window_keys": keys, "oracle_sha256": hashes},
-                f,
-                indent=1,
-            )
+            json.dump(rec, f, indent=1)
         print(f"froze {len(keys)}-key window -> {path}")
         return 0
     path = newest_freeze_file()
@@ -95,6 +128,19 @@ def main() -> int:
         print("no FREEZE_r*.json found — nothing to verify")
         return 0
     problems = verify(path)
+    if "--plans" in sys.argv:
+        with open(path) as f:
+            frozen = json.load(f)
+        want = frozen.get("plan_sha256")
+        if want:
+            got = plan_hashes(frozen["window_keys"])
+            for k, h in want.items():
+                if got.get(k) != h:
+                    problems.append(
+                        f"Spark-side analyzed plan of frozen member {k!r} changed"
+                    )
+        else:
+            print("(freeze file has no plan hashes; run --freeze with --plans)")
     if problems:
         for p in problems:
             print("FREEZE VIOLATION:", p)

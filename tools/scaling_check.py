@@ -237,6 +237,32 @@ def main(
         "tfidf_topk_neighbors_docs",
         "kendall_tau_level_volume_by_type",
         "markov_stationary_event_types",
+        # r10 additions (r11 window): the graph/audit family whose scale
+        # claims the 100x rows prove (degree-ordered triangles, shrinking
+        # k-core edge list, bounded-bin PSI)
+        "mann_whitney_value_variants",
+        "welch_t_value_variants",
+        "hour_profile_hhi_by_type",
+        "attribution_last_touch_events",
+        "psi_value_drift_by_type",
+        "triangle_count_terms",
+        "source_divergence_docs",
+        "cramers_v_lang_source",
+        "k_anonymity_orders",
+        "chao1_vocab_by_source",
+        "kcore_terms_corpus",
+        "heaps_law_fit_corpus",
+        # r11 additions (r11 window, added pre-freeze)
+        "kruskal_wallis_value_by_type",
+        "cmh_conversion_by_priority",
+        "page_hinkley_value_by_type",
+        "gumbel_return_level_by_type",
+        "theil_index_spend_by_nation",
+        "longest_streak_by_user_events",
+        "simpson_diversity_by_source",
+        "yules_k_by_source",
+        "vocab_churn_by_source",
+        "cohens_kappa_lang_id",
     ]
 
     from smart_data_lake_spark.session import release_persistent_rdds
