@@ -2548,3 +2548,134 @@ def longest_streak_by_user(
             F.col(f"_m.{type_col}").alias("streak_type"),
         )
     )
+
+
+def _dict_rank_counts(df: DataFrame, value_col, tag_col):
+    """Shared dictionary-rank core for the rank-test family: aggregate to
+    one row per DISTINCT value with per-tag counts, then derive each
+    value's doubled midrank from the cumulative count — the 100 TB form
+    of the global rank window (the sort runs over |distinct values| rows,
+    never the corpus; identical ranks by construction since equal values
+    share a midrank anyway).
+
+    Returns one row per (value, tag) with (r2, t, n) where r2 = doubled
+    midrank (exact integer), t = tie-group size, n = rows carrying that
+    tag at this value."""
+    per_val = (
+        df.groupBy(F.col(value_col).alias("_v"), tag_col.alias("_tag"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    )
+    w = Window.orderBy("_v")
+    totals = (
+        per_val.groupBy("_v")
+        .agg(F.sum("_n").cast("long").alias("_t"))
+        .withColumn("_cum", F.sum("_t").over(w))
+    )
+    # doubled midrank of a tie group ending at cumulative count c with
+    # size t: ranks are c-t+1 .. c, so 2*avg = (c-t+1) + c
+    ranked = totals.select(
+        "_v",
+        "_t",
+        ((F.col("_cum") - F.col("_t") + 1) + F.col("_cum"))
+        .cast("decimal(19,0)")
+        .alias("_r2"),
+    )
+    return per_val.join(ranked, "_v")
+
+
+def mann_whitney_u_by_variant_dict(
+    df: DataFrame,
+    value_col: str = "value",
+    user_col: str = "user_id",
+    scale: int = 6,
+) -> DataFrame:
+    """`mann_whitney_u_by_variant` computed by DICTIONARY RANKING — the
+    documented 100 TB mitigation, now a callable: instead of a global
+    rank window over every row, aggregate to (value, variant, count)
+    (map-side-combinable), sort only the DISTINCT-value dictionary, and
+    derive each value's doubled midrank from the cumulative tie counts.
+    Bit-identical output to the row-ranked form (property-tested): equal
+    values share a midrank either way, so the rank sums, tie correction
+    and U are the same exact integers. Use this form when the value
+    domain is small relative to the corpus (metrics, prices, scores) —
+    the single-partition sort drops from O(rows) to O(|distinct|)."""
+    base = df.where(F.col(value_col).isNotNull()).select(
+        F.col(value_col), (F.col(user_col) % 2).cast("int").alias("_variant")
+    )
+    counted = _dict_rank_counts(base, value_col, F.col("_variant"))
+    agg = counted.groupBy().agg(
+        F.sum(F.when(F.col("_tag") == 1, F.col("_r2") * F.col("_n")))
+        .cast("decimal(38,0)")
+        .alias("r2sum1"),
+        F.sum(F.when(F.col("_tag") == 1, F.col("_n")).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("_tag") == 0, F.col("_n")).otherwise(0)).cast("long").alias("n0"),
+        # Σ over tie GROUPS of (t³−t): per (value, tag) row, weight the
+        # group term by this row's share n/t → Σ n·(t²−1) row-additively
+        F.sum(
+            (F.col("_n").cast("decimal(19,0)")
+             * (F.col("_t").cast("decimal(19,0)") * F.col("_t") - 1)).cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("tie3"),
+    )
+    n1, n0 = F.col("n1").cast("double"), F.col("n0").cast("double")
+    n = n1 + n0
+    u1 = (F.col("r2sum1").cast("double") - n1 * (n1 + 1.0)) / 2.0
+    mu = n1 * n0 / 2.0
+    var = n1 * n0 / 12.0 * ((n + 1.0) - F.col("tie3").cast("double") / (n * (n - 1.0)))
+    z = F.when(var > 0, grid_round((u1 - mu) / F.sqrt(var), scale))
+    return agg.select(
+        F.col("n0").alias("n_control"),
+        F.col("n1").alias("n_treatment"),
+        u1.alias("u1"),
+        grid_round(2.0 * u1 / (n1 * n0) - 1.0, scale).alias("rank_biserial"),
+        z.alias("z_score"),
+    )
+
+
+def kruskal_wallis_by_group_dict(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    scale: int = 6,
+) -> DataFrame:
+    """`kruskal_wallis_by_group` by DICTIONARY RANKING (see
+    `mann_whitney_u_by_variant_dict`): the global sort runs over the
+    distinct-value dictionary instead of the corpus. Bit-identical
+    output (property-tested) — same doubled midranks, same exact
+    decimal sums, same grid finals."""
+    base = df.where(F.col(value_col).isNotNull()).select(
+        F.col(value_col), F.col(group_col).alias("_g")
+    )
+    counted = _dict_rank_counts(base, value_col, F.col("_g"))
+    per = counted.groupBy(F.col("_tag").alias("_g")).agg(
+        F.sum("_n").cast("long").alias("nj"),
+        F.sum(F.col("_r2") * F.col("_n")).cast("decimal(38,0)").alias("r2j"),
+        F.sum(
+            (F.col("_n").cast("decimal(19,0)")
+             * (F.col("_t").cast("decimal(19,0)") * F.col("_t") - 1)).cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("tie3j"),
+    )
+    termj = grid_round(
+        (F.col("r2j").cast("double") / 2.0)
+        * (F.col("r2j").cast("double") / 2.0)
+        / F.col("nj").cast("double"),
+        2,
+    ).cast("decimal(38,2)")
+    red = per.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("nj").cast("long").alias("n_total"),
+        F.sum(termj).alias("_sq"),
+        F.sum("tie3j").cast("decimal(38,0)").alias("tie3"),
+    )
+    n = F.col("n_total").cast("double")
+    h = 12.0 / (n * (n + 1.0)) * F.col("_sq").cast("double") - 3.0 * (n + 1.0)
+    corr = 1.0 - F.col("tie3").cast("double") / (n * n * n - n)
+    return red.select(
+        "n_groups",
+        "n_total",
+        grid_round(h, scale).alias("h_statistic"),
+        F.when(corr > 0, grid_round(h / corr, scale)).alias("h_tie_corrected"),
+    )

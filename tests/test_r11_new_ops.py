@@ -253,3 +253,62 @@ def test_profile_float_minmax_nan_inf_total(spark):
     big = spark.createDataFrame([(1e40,), (2.0,)], "v double")
     row2 = {r["col_name"]: r for r in profile_columns(big, ["v"]).collect()}["v"]
     assert row2["max_str"] is not None  # native fallback, not NULL
+
+
+# ------------------------------ dictionary-rank == row-rank equivalence
+
+
+def test_mann_whitney_dict_rank_bit_identical(spark):
+    from smart_data_lake_spark.functions.analytics import (
+        mann_whitney_u_by_variant,
+        mann_whitney_u_by_variant_dict,
+    )
+
+    # heavy ties + both variants sharing values: the case midranks exist for
+    vals = [1.0, 1.0, 1.0, 2.5, 2.5, 3.0, 3.0, 3.0, 3.0, 7.0, -2.0, -2.0]
+    rows = [(i, i, "a", v, i) for i, v in enumerate(vals)]
+    df = _events(spark, rows)
+    a = mann_whitney_u_by_variant(df).collect()[0]
+    b = mann_whitney_u_by_variant_dict(df).collect()[0]
+    assert a.asDict() == b.asDict()
+
+
+def test_kruskal_dict_rank_bit_identical(spark):
+    from smart_data_lake_spark.functions.analytics import (
+        kruskal_wallis_by_group,
+        kruskal_wallis_by_group_dict,
+    )
+
+    vals = [1.0, 1.0, 2.0, 2.0, 2.0, 5.0, 5.0, 9.0, 0.5, 0.5]
+    rows = [(i, 0, ["x", "y", "z"][i % 3], v, i) for i, v in enumerate(vals)]
+    df = _events(spark, rows)
+    a = kruskal_wallis_by_group(df).collect()[0]
+    b = kruskal_wallis_by_group_dict(df).collect()[0]
+    assert a.asDict() == b.asDict()
+
+
+def test_mann_whitney_dict_rank_property(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from smart_data_lake_spark.functions.analytics import (
+        mann_whitney_u_by_variant,
+        mann_whitney_u_by_variant_dict,
+    )
+
+    @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        st.lists(
+            st.sampled_from([0.0, 1.0, 1.0, 2.5, -3.0, 7.25]),  # tie-dense
+            min_size=4,
+            max_size=20,
+        )
+    )
+    def run(vals):
+        rows = [(i, i, "a", v, i) for i, v in enumerate(vals)]
+        df = _events(spark, rows)
+        a = mann_whitney_u_by_variant(df).collect()[0]
+        b = mann_whitney_u_by_variant_dict(df).collect()[0]
+        assert a.asDict() == b.asDict()
+
+    run()
