@@ -3417,6 +3417,77 @@ def cohens_kappa_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def wilcoxon_signed_rank_user_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank over paired per-user half means
+    (functions/analytics.wilcoxon_signed_rank_by_user; Wilcoxon 1945):
+    the within-subject shift test next to the two-sample Mann-Whitney.
+    Doubled-midrank exact integers over USER-count rows."""
+    from smart_data_lake_spark.functions.analytics import wilcoxon_signed_rank_by_user
+
+    ev = _t(spark, sf_dir, "events")
+    return wilcoxon_signed_rank_by_user(ev)
+
+
+def friedman_value_by_type_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test of event-type means over complete user blocks
+    (functions/analytics.friedman_test_by_block; Friedman 1937): the
+    repeated-measures complement of Kruskal-Wallis. Tie-corrected
+    chi-square from exact within-block midranks."""
+    from smart_data_lake_spark.functions.analytics import friedman_test_by_block
+
+    ev = _t(spark, sf_dir, "events")
+    return friedman_test_by_block(ev)
+
+
+def cuped_adjusted_value_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (functions/analytics
+    .cuped_adjusted_ab; Deng/Xu/Kohavi/Walker WSDM 2013): first-half
+    means as the pre-period covariate, pooled theta, adjusted per-variant
+    means + variance-reduction ratio. Exact decimal sufficient stats."""
+    from smart_data_lake_spark.functions.analytics import cuped_adjusted_ab
+
+    ev = _t(spark, sf_dir, "events")
+    return cuped_adjusted_ab(ev)
+
+
+def lorenz_curve_spend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz decile points of customer spend per nation
+    (functions/profiling.lorenz_curve_points; Lorenz 1905): WHERE the
+    inequality the Gini query summarizes actually lives. Exact decimal
+    cumsums, exact div cutoff ranks; same spend base as gini/theil."""
+    from smart_data_lake_spark.functions.profiling import lorenz_curve_points
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend")
+    )
+    base = (
+        cust.join(spend, cust.c_custkey == spend.o_custkey, "left")
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "n_name",
+            "c_custkey",
+            F.coalesce(F.col("spend"), F.lit(0).cast("decimal(18,2)")).alias("spend"),
+        )
+    )
+    return lorenz_curve_points(base, "n_name", "c_custkey", "spend").orderBy(
+        "n_name", "decile"
+    )
+
+
+def bowley_moors_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Octile-based distribution shape per event type
+    (functions/profiling.bowley_moors_shape; Bowley 1901, Moors 1988):
+    outlier-robust skewness/kurtosis through one exact_percentiles
+    window pass."""
+    from smart_data_lake_spark.functions.profiling import bowley_moors_shape
+
+    ev = _t(spark, sf_dir, "events")
+    return bowley_moors_shape(ev, "event_type", "value").orderBy("event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is the driver grading window: only the first 50
     # entries get a CORRECTNESS oracle row per round. The r11 window is
@@ -3492,6 +3563,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_snapshot_asof": scd2_snapshot_asof,
         "hits_terms_corpus": hits_terms_corpus,
         # ================= end of 50-entry grading window =================
+        # --- NEW post-freeze (the r12 rotation queue, <= 12 throttle)
+        "wilcoxon_signed_rank_user_halves": wilcoxon_signed_rank_user_halves,
+        "friedman_value_by_type_blocks": friedman_value_by_type_blocks,
+        "cuped_adjusted_value_ab": cuped_adjusted_value_ab,
+        "lorenz_curve_spend_by_nation": lorenz_curve_spend_by_nation,
+        "bowley_moors_value_by_type": bowley_moors_value_by_type,
         # --- below the line: green in earlier rounds, rotated out
         "exact_neardup_clusters_docs": exact_neardup_clusters_docs,
         "spearman_value_hour_by_type": spearman_value_hour_by_type,
@@ -7886,4 +7963,247 @@ def oracle_sql() -> dict[str, str]:
                         THEN {_gq("(CAST(diag AS DOUBLE) / CAST(nn AS DOUBLE) - CAST(src AS DOUBLE) / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))) / (1.0 - CAST(src AS DOUBLE) / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)))", 6)}
                    END AS kappa
             FROM red, tot""",
+        "wilcoxon_signed_rank_user_halves": f"""
+            -- paired per-user half means on the grid-9 rationals;
+            -- doubled-midrank |d| ranks over USER rows (lockstep with
+            -- analytics.wilcoxon_signed_rank_by_user)
+            WITH halved AS (
+              SELECT user_id AS u,
+                     CAST({_gq("value", 6)} AS DECIMAL(18,6)) AS x,
+                     (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) * 2
+                        <= COUNT(*) OVER (PARTITION BY user_id) + 1) AS fh
+              FROM events WHERE value IS NOT NULL
+            ),
+            per AS (
+              SELECT u,
+                     SUM(CASE WHEN fh THEN x END) AS s1,
+                     SUM(CASE WHEN fh THEN 1 ELSE 0 END) AS n1,
+                     SUM(CASE WHEN NOT fh THEN x END) AS s2,
+                     SUM(CASE WHEN NOT fh THEN 1 ELSE 0 END) AS n2
+              FROM halved GROUP BY u
+            ),
+            nz AS (
+              SELECT u,
+                     ({_gq("CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)", 9)}
+                      - {_gq("CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)", 9)}) AS d
+              FROM per WHERE n1 > 0 AND n2 > 0
+            ),
+            nzf AS (SELECT * FROM nz WHERE d != 0),
+            ranked AS (
+              SELECT d,
+                     CAST(rank() OVER (ORDER BY abs(d)) * 2
+                          + COUNT(*) OVER (PARTITION BY abs(d)) - 1 AS DECIMAL(19,0)) AS r2,
+                     COUNT(*) OVER (PARTITION BY abs(d)) AS t
+              FROM nzf
+            ),
+            agg AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                     CAST(SUM(CASE WHEN d > 0 THEN r2 END) AS DECIMAL(38,0)) AS w2plus,
+                     CAST(SUM(CAST(CAST(t AS DECIMAL(19,0)) * t - 1 AS DECIMAL(38,0)))
+                          AS DECIMAL(38,0)) AS tie3
+              FROM ranked
+            )
+            SELECT n_pairs,
+                   COALESCE(CAST(w2plus AS DOUBLE), 0.0) / 2.0 AS w_plus,
+                   CASE WHEN CAST(n_pairs AS DOUBLE) * (CAST(n_pairs AS DOUBLE) + 1.0) * (2.0 * CAST(n_pairs AS DOUBLE) + 1.0) / 24.0 - CAST(tie3 AS DOUBLE) / 48.0 > 0
+                        THEN {_gq("(COALESCE(CAST(w2plus AS DOUBLE), 0.0) / 2.0 - CAST(n_pairs AS DOUBLE) * (CAST(n_pairs AS DOUBLE) + 1.0) / 4.0) / sqrt(CAST(n_pairs AS DOUBLE) * (CAST(n_pairs AS DOUBLE) + 1.0) * (2.0 * CAST(n_pairs AS DOUBLE) + 1.0) / 24.0 - CAST(tie3 AS DOUBLE) / 48.0)", 6)}
+                   END AS z_score
+            FROM agg""",
+        "friedman_value_by_type_blocks": f"""
+            -- complete-block Friedman over grid-9 per-(user, type) means;
+            -- within-block doubled midranks (lockstep with
+            -- analytics.friedman_test_by_block)
+            WITH per AS (
+              SELECT user_id AS b, event_type AS t,
+                     {_gq("CAST(SUM(CAST(" + _gq("value", 6) + " AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)", 9)} AS m
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+            ),
+            k AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS kt FROM per),
+            complete AS (
+              SELECT b, t, m FROM (
+                SELECT b, t, m, COUNT(*) OVER (PARTITION BY b) AS kb FROM per
+              ), k WHERE kb = k.kt
+            ),
+            ranked AS (
+              SELECT b, t,
+                     CAST(rank() OVER (PARTITION BY b ORDER BY m) * 2
+                          + COUNT(*) OVER (PARTITION BY b, m) - 1 AS DECIMAL(19,0)) AS r2,
+                     COUNT(*) OVER (PARTITION BY b, m) AS tt
+              FROM complete
+            ),
+            pt AS (
+              SELECT t, CAST(SUM(r2) AS DECIMAL(38,0)) AS r2sum
+              FROM ranked GROUP BY t
+            ),
+            ties AS (
+              SELECT CAST(SUM(CAST(CAST(tt AS DECIMAL(19,0)) * tt - 1 AS DECIMAL(38,0)))
+                          AS DECIMAL(38,0)) AS tie3,
+                     CAST(COUNT(*) // (SELECT kt FROM k) AS BIGINT) AS n_blocks
+              FROM ranked
+            ),
+            red AS (
+              SELECT SUM(CAST({_gq("(CAST(r2sum AS DOUBLE) / 2.0) * (CAST(r2sum AS DOUBLE) / 2.0)", 2)} AS DECIMAL(38,2))) AS sq
+              FROM pt
+            )
+            SELECT CAST(k.kt AS BIGINT) AS n_treatments,
+                   ties.n_blocks,
+                   CASE WHEN ties.n_blocks > 0
+                         AND CAST(ties.n_blocks AS DOUBLE) * CAST(k.kt AS DOUBLE) * (CAST(k.kt AS DOUBLE) + 1.0) - CAST(ties.tie3 AS DOUBLE) / (CAST(k.kt AS DOUBLE) - 1.0) > 0
+                        THEN {_gq("(12.0 * CAST(red.sq AS DOUBLE) - 3.0 * CAST(ties.n_blocks AS DOUBLE) * CAST(ties.n_blocks AS DOUBLE) * CAST(k.kt AS DOUBLE) * (CAST(k.kt AS DOUBLE) + 1.0) * (CAST(k.kt AS DOUBLE) + 1.0)) / (CAST(ties.n_blocks AS DOUBLE) * CAST(k.kt AS DOUBLE) * (CAST(k.kt AS DOUBLE) + 1.0) - CAST(ties.tie3 AS DOUBLE) / (CAST(k.kt AS DOUBLE) - 1.0))", 6)}
+                   END AS friedman_chi2
+            FROM red, ties, k""",
+        "cuped_adjusted_value_ab": f"""
+            -- grid-9 per-user half means; exact decimal sufficient stats
+            -- ((28,9) product operands here: DuckDB needs the int128
+            -- path, while the Spark side multiplies (18,9) operands —
+            -- its (28,9) product clamps scale to 6); theta/means/ratio
+            -- one IEEE expression each (lockstep with
+            -- analytics.cuped_adjusted_ab)
+            WITH halved AS (
+              SELECT user_id AS u, CAST(user_id % 2 AS INT) AS v,
+                     CAST({_gq("value", 6)} AS DECIMAL(18,6)) AS x,
+                     (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) * 2
+                        <= COUNT(*) OVER (PARTITION BY user_id) + 1) AS fh
+              FROM events WHERE value IS NOT NULL
+            ),
+            per AS (
+              SELECT u, v,
+                     SUM(CASE WHEN fh THEN x END) AS s1,
+                     SUM(CASE WHEN fh THEN 1 ELSE 0 END) AS n1,
+                     SUM(CASE WHEN NOT fh THEN x END) AS s2,
+                     SUM(CASE WHEN NOT fh THEN 1 ELSE 0 END) AS n2
+              FROM halved GROUP BY u, v
+            ),
+            urows AS (
+              SELECT v,
+                     CAST({_gq("CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)", 9)} AS DECIMAL(28,9)) AS pre,
+                     CAST({_gq("CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)", 9)} AS DECIMAL(28,9)) AS post
+              FROM per WHERE n1 > 0 AND n2 > 0
+            ),
+            red AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                     CAST(SUM(pre) AS DECIMAL(38,9)) AS sx,
+                     CAST(SUM(post) AS DECIMAL(38,9)) AS sy,
+                     CAST(SUM(pre * post) AS DECIMAL(38,18)) AS sxy,
+                     CAST(SUM(pre * pre) AS DECIMAL(38,18)) AS sxx,
+                     CAST(SUM(post * post) AS DECIMAL(38,18)) AS syy,
+                     CAST(SUM(CASE WHEN v = 1 THEN post END) AS DECIMAL(38,9)) AS sy1,
+                     CAST(SUM(CASE WHEN v = 1 THEN pre END) AS DECIMAL(38,9)) AS sx1,
+                     CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+                     CAST(SUM(CASE WHEN v = 0 THEN post END) AS DECIMAL(38,9)) AS sy0,
+                     CAST(SUM(CASE WHEN v = 0 THEN pre END) AS DECIMAL(38,9)) AS sx0,
+                     CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS m0
+              FROM urows
+            ),
+            d AS (
+              SELECT n_users, m0, m1,
+                     CAST(n_users AS DOUBLE) AS nd,
+                     CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+                     CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd,
+                     CAST(syy AS DOUBLE) AS syyd,
+                     CAST(sy1 AS DOUBLE) AS sy1d, CAST(sx1 AS DOUBLE) AS sx1d,
+                     CAST(m1 AS DOUBLE) AS m1d,
+                     CAST(sy0 AS DOUBLE) AS sy0d, CAST(sx0 AS DOUBLE) AS sx0d,
+                     CAST(m0 AS DOUBLE) AS m0d
+              FROM red
+            ),
+            e AS (
+              SELECT *,
+                     sxyd / nd - (sxd / nd) * (syd / nd) AS cov,
+                     sxxd / nd - (sxd / nd) * (sxd / nd) AS varx,
+                     syyd / nd - (syd / nd) * (syd / nd) AS vary
+              FROM d
+            ),
+            t AS (
+              SELECT *, CASE WHEN varx > 0 THEN cov / varx END AS theta
+              FROM e
+            )
+            SELECT n_users,
+                   {_gq("theta", 6)} AS theta,
+                   CASE WHEN m0 > 0 AND theta IS NOT NULL
+                        THEN {_gq("sy0d / m0d - theta * (sx0d / m0d - sxd / nd)", 6)}
+                   END AS adj_mean_control,
+                   CASE WHEN m1 > 0 AND theta IS NOT NULL
+                        THEN {_gq("sy1d / m1d - theta * (sx1d / m1d - sxd / nd)", 6)}
+                   END AS adj_mean_treatment,
+                   CASE WHEN m0 > 0 AND m1 > 0 AND theta IS NOT NULL
+                        THEN {_gq("(sy1d / m1d - theta * (sx1d / m1d - sxd / nd)) - (sy0d / m0d - theta * (sx0d / m0d - sxd / nd))", 6)}
+                   END AS adj_effect,
+                   CASE WHEN varx > 0 AND vary > 0
+                        THEN {_gq("1.0 - (cov * cov) / (varx * vary)", 6)}
+                   END AS var_ratio
+            FROM t""",
+        "lorenz_curve_spend_by_nation": f"""
+            -- exact decimal cumsums in (spend, custkey) order; decile
+            -- cutoff rank = (n*d) div 10 in exact long arithmetic
+            -- (lockstep with profiling.lorenz_curve_points)
+            WITH spend AS (
+              SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+              FROM orders GROUP BY o_custkey
+            ),
+            base AS (
+              SELECT n.n_name, c.c_custkey,
+                     CAST(COALESCE(s.spend, 0) AS DECIMAL(18,6)) AS x
+              FROM customer c
+                LEFT JOIN spend s ON s.o_custkey = c.c_custkey
+                JOIN nation n ON n.n_nationkey = c.c_nationkey
+            ),
+            ranked AS (
+              SELECT n_name,
+                     row_number() OVER (PARTITION BY n_name ORDER BY x, c_custkey) AS i,
+                     SUM(x) OVER (PARTITION BY n_name ORDER BY x, c_custkey
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                     COUNT(*) OVER (PARTITION BY n_name) AS n,
+                     SUM(x) OVER (PARTITION BY n_name) AS tot
+              FROM base
+            )
+            SELECT n_name, CAST(d.decile AS INT) AS decile,
+                   CAST(n AS BIGINT) AS n,
+                   CASE WHEN tot > 0
+                        THEN {_gq("CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE)", 6)}
+                   END AS cum_share
+            FROM ranked, (SELECT unnest(range(1, 11)) AS decile) d
+            WHERE i = (n * d.decile) // 10
+            ORDER BY n_name, decile""",
+        "bowley_moors_value_by_type": f"""
+            -- seven octiles via explicit order statistics (the
+            -- exact_percentiles shape), one fixed IEEE expression per
+            -- shape statistic (lockstep with profiling.bowley_moors_shape)
+            WITH ranked AS (
+              SELECT event_type, value,
+                     row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+                     COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM events WHERE value IS NOT NULL
+            ),
+            oct AS (
+              SELECT event_type, k,
+                     MAX(CASE WHEN rn = ((n - 1) * k) // 8 + 1 THEN value END) AS vlo,
+                     MAX(CASE WHEN rn = least(((n - 1) * k) // 8 + 2, n) THEN value END) AS vhi,
+                     MAX(CASE WHEN rn = 1
+                         THEN CAST(((n - 1) * k) % 8 AS DOUBLE) / 8.0 END) AS fr
+              FROM ranked CROSS JOIN (SELECT unnest(range(1, 8)) AS k) ks
+              GROUP BY event_type, k
+            ),
+            wide AS (
+              SELECT event_type,
+                     MAX(CASE WHEN k = 1 THEN vlo + (vhi - vlo) * fr END) AS e1,
+                     MAX(CASE WHEN k = 2 THEN vlo + (vhi - vlo) * fr END) AS e2,
+                     MAX(CASE WHEN k = 3 THEN vlo + (vhi - vlo) * fr END) AS e3,
+                     MAX(CASE WHEN k = 4 THEN vlo + (vhi - vlo) * fr END) AS e4,
+                     MAX(CASE WHEN k = 5 THEN vlo + (vhi - vlo) * fr END) AS e5,
+                     MAX(CASE WHEN k = 6 THEN vlo + (vhi - vlo) * fr END) AS e6,
+                     MAX(CASE WHEN k = 7 THEN vlo + (vhi - vlo) * fr END) AS e7
+              FROM oct GROUP BY event_type
+            )
+            SELECT event_type,
+                   {_gq("e2", 6)} AS q1,
+                   {_gq("e4", 6)} AS median,
+                   {_gq("e6", 6)} AS q3,
+                   CASE WHEN e6 - e2 != 0
+                        THEN {_gq("(e2 + e6 - 2.0 * e4) / (e6 - e2)", 6)}
+                   END AS bowley_skew,
+                   CASE WHEN e6 - e2 != 0
+                        THEN {_gq("((e7 - e5) + (e3 - e1)) / (e6 - e2)", 6)}
+                   END AS moors_kurtosis
+            FROM wide ORDER BY event_type""",
     }

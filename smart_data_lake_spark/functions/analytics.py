@@ -2679,3 +2679,281 @@ def kruskal_wallis_by_group_dict(
         grid_round(h, scale).alias("h_statistic"),
         F.when(corr > 0, grid_round(h / corr, scale)).alias("h_tie_corrected"),
     )
+
+
+def wilcoxon_signed_rank_by_user(
+    df: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    scale: int = 6,
+) -> DataFrame:
+    """Wilcoxon signed-rank test on PAIRED per-user metrics (Wilcoxon
+    1945, public): each user's mean value over their chronological first
+    half vs second half — "did the same users' behavior shift", the
+    within-subject complement of the two-sample Mann-Whitney (which
+    compares DIFFERENT users). Users with an odd single event or a zero
+    difference drop out, per the classic procedure.
+
+    Exactness: per-user half means are rationals of exact DECIMAL sums
+    quantized on the 1e-9 grid BEFORE differencing, so the sign/|d| rank
+    base is engine-identical; |d| ranks use the shared doubled-midrank
+    identity (exact integers), W+ accumulates as exact DECIMAL, and the
+    tie-corrected normal approximation is one IEEE expression of the
+    reduces on the 1e-6 grid.
+
+    Shape: one per-user window split + combinable half sums, then one
+    rank window over USERS (not events — the frame is user-count-sized),
+    then a 1-row reduce."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    wg = Window.partitionBy(user_col)
+    xq = grid_round(F.col(value_col), 6).cast("decimal(18,6)")
+    halved = (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            F.col(user_col).alias("_u"),
+            xq.alias("_x"),
+            (F.row_number().over(w) * 2 <= F.count(F.lit(1)).over(wg) + 1).alias("_fh"),
+        )
+    )
+    per = halved.groupBy("_u").agg(
+        F.sum(F.when(F.col("_fh"), F.col("_x"))).alias("s1"),
+        F.sum(F.when(F.col("_fh"), 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(~F.col("_fh"), F.col("_x"))).alias("s2"),
+        F.sum(F.when(~F.col("_fh"), 1).otherwise(0)).cast("long").alias("n2"),
+    )
+    m1 = grid_round(F.col("s1").cast("double") / F.col("n1").cast("double"), 9)
+    m2 = grid_round(F.col("s2").cast("double") / F.col("n2").cast("double"), 9)
+    diffs = (
+        per.where((F.col("n1") > 0) & (F.col("n2") > 0))
+        .select("_u", (m2 - m1).alias("_d"))
+        .where(F.col("_d") != 0)
+    )
+    wr = Window.orderBy(F.abs(F.col("_d")))
+    wt = Window.partitionBy(F.abs(F.col("_d")))
+    ranked = diffs.select(
+        "_d",
+        (F.rank().over(wr).cast("long") * 2 + F.count(F.lit(1)).over(wt) - 1)
+        .cast("decimal(19,0)")
+        .alias("r2"),
+        F.count(F.lit(1)).over(wt).cast("long").alias("t"),
+    )
+    agg = ranked.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("_d") > 0, F.col("r2"))).cast("decimal(38,0)").alias("w2plus"),
+        F.sum((F.col("t").cast("decimal(19,0)") * F.col("t") - 1).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("tie3"),
+    )
+    n = F.col("n_pairs").cast("double")
+    wplus = F.coalesce(F.col("w2plus").cast("double"), F.lit(0.0)) / 2.0
+    mu = n * (n + 1.0) / 4.0
+    var = n * (n + 1.0) * (2.0 * n + 1.0) / 24.0 - F.col("tie3").cast("double") / 48.0
+    z = F.when(var > 0, grid_round((wplus - mu) / F.sqrt(var), scale))
+    return agg.select(
+        "n_pairs",
+        # W+ is exact in half-units ((int)/2 — exact double), emitted raw
+        wplus.alias("w_plus"),
+        z.alias("z_score"),
+    )
+
+
+def friedman_test_by_block(
+    df: DataFrame,
+    block_col: str = "user_id",
+    treatment_col: str = "event_type",
+    value_col: str = "value",
+    scale: int = 6,
+) -> DataFrame:
+    """Friedman rank test for k treatments over matched blocks (Friedman
+    1937, public): rank each block's per-treatment mean WITHIN the block,
+    test whether treatment rank sums differ — the repeated-measures
+    complement of Kruskal-Wallis (which ignores the block pairing). Only
+    blocks observing EVERY treatment enter (the classic complete-block
+    requirement).
+
+    Exactness: per-(block, treatment) means are grid-9 rationals of
+    exact decimal sums; within-block ranks use the doubled-midrank
+    identity (the within-block window is k-sized); rank sums and the
+    per-block tie term Σ(t³−t) accumulate as exact DECIMALs; the
+    tie-corrected statistic is one IEEE expression on the 1e-6 grid.
+
+    Shape: one (block, treatment) combinable aggregate, one k-row window
+    per block, one k-row reduce. Nothing is corpus-scale after the first
+    aggregate."""
+    per = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(block_col).alias("_b"), F.col(treatment_col).alias("_t"))
+        .agg(
+            F.sum(grid_round(F.col(value_col), 6).cast("decimal(18,6)")).alias("_s"),
+            F.count(F.lit(1)).cast("long").alias("_n"),
+        )
+        .select(
+            "_b",
+            "_t",
+            grid_round(F.col("_s").cast("double") / F.col("_n").cast("double"), 9).alias("_m"),
+        )
+    )
+    k_treat = per.select("_t").distinct().count()
+    wb = Window.partitionBy("_b")
+    complete = per.withColumn("_kb", F.count(F.lit(1)).over(wb)).where(
+        F.col("_kb") == k_treat
+    )
+    wr = Window.partitionBy("_b").orderBy("_m")
+    wt = Window.partitionBy("_b", "_m")
+    ranked = complete.select(
+        "_b",
+        "_t",
+        (F.rank().over(wr).cast("long") * 2 + F.count(F.lit(1)).over(wt) - 1)
+        .cast("decimal(19,0)")
+        .alias("r2"),
+        F.count(F.lit(1)).over(wt).cast("long").alias("tt"),
+    )
+    per_treat = ranked.groupBy("_t").agg(
+        F.count(F.lit(1)).cast("long").alias("nb"),
+        F.sum("r2").cast("decimal(38,0)").alias("r2sum"),
+    )
+    # per-block tie term distributes row-additively as (tt² − 1) per row
+    ties = ranked.groupBy().agg(
+        F.sum((F.col("tt").cast("decimal(19,0)") * F.col("tt") - 1).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("tie3"),
+        (F.count(F.lit(1)) / k_treat).cast("long").alias("n_blocks"),
+    )
+    termj = grid_round(
+        (F.col("r2sum").cast("double") / 2.0)
+        * (F.col("r2sum").cast("double") / 2.0),
+        2,
+    ).cast("decimal(38,2)")
+    red = per_treat.groupBy().agg(F.sum(termj).alias("_sq")).crossJoin(
+        F.broadcast(ties)
+    )
+    nb = F.col("n_blocks").cast("double")
+    kk = float(k_treat)
+    # tie-corrected Friedman: chi2 = (12·ΣR_j² − 3·n²k(k+1)²) /
+    #   (n·k(k+1) − tie3/(k−1))   [Conover 1999 form]
+    num = 12.0 * F.col("_sq").cast("double") - 3.0 * nb * nb * kk * (kk + 1.0) * (kk + 1.0)
+    den = nb * kk * (kk + 1.0) - F.col("tie3").cast("double") / (kk - 1.0)
+    return red.select(
+        F.lit(int(k_treat)).cast("long").alias("n_treatments"),
+        F.col("n_blocks"),
+        F.when((F.col("n_blocks") > 0) & (den > 0), grid_round(num / den, scale)).alias(
+            "friedman_chi2"
+        ),
+    )
+
+
+def cuped_adjusted_ab(
+    df: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    scale: int = 6,
+) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng, Xu, Kohavi & Walker,
+    WSDM 2013, public): per user, the PRE-period covariate (chronological
+    first-half mean) adjusts the post-period metric (second-half mean) by
+    Y' = Y − θ·(X − X̄) with θ = cov(X, Y)/var(X) pooled across variants —
+    the industry-standard experiment sensitivity boost, typically cutting
+    metric variance 30-60% when pre-period behavior predicts post.
+
+    Output: one row with per-variant adjusted means, the adjusted
+    difference, θ, and the variance-reduction ratio
+    var(Y')/var(Y) ∈ (0, 1].
+
+    Exactness: half means are grid-9 rationals of exact decimal sums;
+    every covariance/variance comes from exact DECIMAL sufficient
+    statistics of those grid-fixed user rows (the pairwise_correlations
+    discipline); θ, means and the ratio are single IEEE expressions on
+    the 1e-6 grid. Shape: one per-user window split + combinable sums,
+    then ONE 1-row reduce over user rows — no joins."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    wg = Window.partitionBy(user_col)
+    xq = grid_round(F.col(value_col), 6).cast("decimal(18,6)")
+    halved = (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            F.col(user_col).alias("_u"),
+            (F.col(user_col) % 2).cast("int").alias("_v"),
+            xq.alias("_x"),
+            (F.row_number().over(w) * 2 <= F.count(F.lit(1)).over(wg) + 1).alias("_fh"),
+        )
+    )
+    per = (
+        halved.groupBy("_u", "_v")
+        .agg(
+            F.sum(F.when(F.col("_fh"), F.col("_x"))).alias("s1"),
+            F.sum(F.when(F.col("_fh"), 1).otherwise(0)).cast("long").alias("n1"),
+            F.sum(F.when(~F.col("_fh"), F.col("_x"))).alias("s2"),
+            F.sum(F.when(~F.col("_fh"), 1).otherwise(0)).cast("long").alias("n2"),
+        )
+        .where((F.col("n1") > 0) & (F.col("n2") > 0))
+        .select(
+            "_v",
+            grid_round(F.col("s1").cast("double") / F.col("n1").cast("double"), 9)
+            .cast("decimal(28,9)")
+            .alias("_pre"),
+            grid_round(F.col("s2").cast("double") / F.col("n2").cast("double"), 9)
+            .cast("decimal(28,9)")
+            .alias("_post"),
+        )
+    )
+    # (18,9) product operands: Spark's (28,9)x(28,9) CLAMPS the scale to 6
+    # (0.000000061^2 -> 0.000000, measured — the pairwise_correlations
+    # class at scale 9) while (18,9)x(18,9) -> (37,18) is exact; the
+    # DuckDB oracle widens operands to (28,9) instead (int64-storage
+    # product overflow, the gumbel lesson). Contract: |half mean| < 1e9.
+    p18 = F.col("_pre").cast("decimal(18,9)")
+    q18 = F.col("_post").cast("decimal(18,9)")
+    red = per.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("_pre").cast("decimal(38,9)").alias("sx"),
+        F.sum("_post").cast("decimal(38,9)").alias("sy"),
+        F.sum((p18 * q18).cast("decimal(38,18)")).alias("sxy"),
+        F.sum((p18 * p18).cast("decimal(38,18)")).alias("sxx"),
+        F.sum((q18 * q18).cast("decimal(38,18)")).alias("syy"),
+        F.sum(F.when(F.col("_v") == 1, F.col("_post"))).cast("decimal(38,9)").alias("sy1"),
+        F.sum(F.when(F.col("_v") == 1, F.col("_pre"))).cast("decimal(38,9)").alias("sx1"),
+        F.sum(F.when(F.col("_v") == 1, 1).otherwise(0)).cast("long").alias("m1"),
+        F.sum(F.when(F.col("_v") == 0, F.col("_post"))).cast("decimal(38,9)").alias("sy0"),
+        F.sum(F.when(F.col("_v") == 0, F.col("_pre"))).cast("decimal(38,9)").alias("sx0"),
+        F.sum(F.when(F.col("_v") == 0, 1).otherwise(0)).cast("long").alias("m0"),
+    )
+    n = F.col("n_users").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    cov = sxy / n - (sx / n) * (sy / n)
+    varx = sxx / n - (sx / n) * (sx / n)
+    vary = syy / n - (sy / n) * (sy / n)
+    theta = F.when(varx > 0, cov / varx)
+    xbar = sx / n
+    adj1 = F.col("sy1").cast("double") / F.col("m1").cast("double") - theta * (
+        F.col("sx1").cast("double") / F.col("m1").cast("double") - xbar
+    )
+    adj0 = F.col("sy0").cast("double") / F.col("m0").cast("double") - theta * (
+        F.col("sx0").cast("double") / F.col("m0").cast("double") - xbar
+    )
+    # guard BOTH variances: varx = 0 with vary > 0 makes cov²/(varx·vary)
+    # a 0/0 — NaN on Spark, NULL on engines that null zero-division
+    ratio = F.when((varx > 0) & (vary > 0), 1.0 - (cov * cov) / (varx * vary))
+    return red.select(
+        "n_users",
+        grid_round(theta, scale).alias("theta"),
+        F.when(
+            (F.col("m0") > 0) & theta.isNotNull(), grid_round(adj0, scale)
+        ).alias("adj_mean_control"),
+        F.when(
+            (F.col("m1") > 0) & theta.isNotNull(), grid_round(adj1, scale)
+        ).alias("adj_mean_treatment"),
+        F.when(
+            (F.col("m0") > 0) & (F.col("m1") > 0) & theta.isNotNull(),
+            grid_round(adj1 - adj0, scale),
+        ).alias("adj_effect"),
+        grid_round(ratio, scale).alias("var_ratio"),
+    )

@@ -1347,3 +1347,99 @@ def cohens_kappa(
         grid_round(pe, decimals).alias("expected_agreement"),
         F.when(pe < 1.0, grid_round((po - pe) / (1.0 - pe), decimals)).alias("kappa"),
     )
+
+
+def lorenz_curve_points(
+    df,
+    group_col: str,
+    key_col: str,
+    value_col: str,
+    deciles: int = 10,
+    decimals: int = 6,
+):
+    """Lorenz curve decile points per group (Lorenz 1905, public): the
+    cumulative share of the total held by the bottom d/10 of keys,
+    sorted ascending — the CURVE whose area the Gini coefficient
+    summarizes to one number. gini_by_group says HOW unequal; this says
+    WHERE the inequality lives ("bottom 80% of customers hold 31% of
+    spend").
+
+    Exactness: the cutoff rank for decile d is (n·d) div 10 — exact long
+    arithmetic; cumulative sums are exact DECIMAL over the
+    (value, key)-ordered window (equal values commute, tie order cannot
+    change any cumulative READ AT a cutoff since ties share a value);
+    each share is ONE rational on the shared grid. Shape: one window
+    sort per group + a decile-frame join on the cutoff rank — the same
+    cost class as gini itself.
+
+    NOTE on ties at the cutoff: the share at rank r is the cumsum over
+    the FIRST r rows in (value, key) order — with equal values split
+    across the boundary, any r-row prefix of the tie group has the same
+    sum, so the point is well-defined and engine-identical."""
+    from pyspark.sql import Window
+
+    dec = f"decimal(18,{decimals})"
+    base = df.where(F.col(value_col).isNotNull()).select(
+        F.col(group_col),
+        F.col(key_col),
+        F.col(value_col).cast(dec).alias("_x"),
+    )
+    w = Window.partitionBy(group_col).orderBy(F.asc("_x"), F.asc(key_col))
+    wg = Window.partitionBy(group_col)
+    ranked = base.select(
+        group_col,
+        F.row_number().over(w).cast("long").alias("_i"),
+        F.sum("_x").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("_cum"),
+        F.count(F.lit(1)).over(wg).cast("long").alias("_n"),
+        F.sum("_x").over(wg).alias("_tot"),
+    )
+    ds = [(d,) for d in range(1, deciles + 1)]
+    dfr = base.sparkSession.createDataFrame(ds, "decile int")
+    cut = ranked.crossJoin(F.broadcast(dfr)).where(
+        F.col("_i") == F.expr(f"(_n * decile) div {int(deciles)}")
+    )
+    return cut.select(
+        group_col,
+        F.col("decile"),
+        F.col("_n").alias("n"),
+        F.when(
+            F.col("_tot") > 0,
+            grid_round(
+                F.col("_cum").cast("double") / F.col("_tot").cast("double"), decimals
+            ),
+        ).alias("cum_share"),
+    )
+
+
+def bowley_moors_shape(
+    df,
+    group_col: str,
+    value_col: str,
+    decimals: int = 6,
+):
+    """Quantile-based distribution shape per group: Bowley's quartile
+    skewness (Q1+Q3−2·Q2)/(Q3−Q1) (Bowley 1901) and Moors' octile
+    kurtosis ((E7−E5)+(E3−E1))/(E6−E2) (Moors 1988) — the
+    outlier-robust complements of moment skew/kurtosis (a single 1e308
+    row saturates moments; octiles don't move). The distribution-shape
+    audit next to the percentile family.
+
+    Exactness: all seven octiles come from ONE `exact_percentiles` pass
+    (explicit order statistics, one window sort); both shape statistics
+    are single IEEE expressions on the shared grid, NULL when the
+    denominator octile spread is 0 (degenerate spread)."""
+    probs = [(f"_e{k}", k, 8) for k in range(1, 8)]
+    oct_ = exact_percentiles(
+        df.where(F.col(value_col).isNotNull()), value_col, [group_col], probs
+    )
+    e = {k: F.col(f"_e{k}") for k in range(1, 8)}
+    bowley = (e[2] + e[6] - 2.0 * e[4]) / (e[6] - e[2])
+    moors = ((e[7] - e[5]) + (e[3] - e[1])) / (e[6] - e[2])
+    return oct_.select(
+        group_col,
+        grid_round(e[2], decimals).alias("q1"),
+        grid_round(e[4], decimals).alias("median"),
+        grid_round(e[6], decimals).alias("q3"),
+        F.when(e[6] - e[2] != 0, grid_round(bowley, decimals)).alias("bowley_skew"),
+        F.when(e[6] - e[2] != 0, grid_round(moors, decimals)).alias("moors_kurtosis"),
+    )

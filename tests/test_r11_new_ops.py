@@ -312,3 +312,100 @@ def test_mann_whitney_dict_rank_property(spark):
         assert a.asDict() == b.asDict()
 
     run()
+
+
+# ------------------------------------------- post-freeze r12-queue operators
+
+
+def test_wilcoxon_known_value(spark):
+    from smart_data_lake_spark.functions.analytics import wilcoxon_signed_rank_by_user
+
+    # 4 users, 2 events each (halves = 1 event each); diffs: +1, +2, -0.5, +4
+    rows = []
+    diffs = {1: 1.0, 2: 2.0, 3: -0.5, 4: 4.0}
+    for u, d in diffs.items():
+        rows += [(u * 10, u, "a", 5.0, 0), (u * 10 + 1, u, "a", 5.0 + d, 5)]
+    out = wilcoxon_signed_rank_by_user(_events(spark, rows)).collect()[0]
+    # |d| order: 0.5 < 1 < 2 < 4 -> ranks 1..4; W+ = 2+3+4 = 9
+    assert out["n_pairs"] == 4
+    assert out["w_plus"] == 9.0
+    # mu = 5, var = 4*5*9/24 = 7.5, z = (9-5)/sqrt(7.5)
+    assert abs(out["z_score"] - (9 - 5) / math.sqrt(7.5)) < 1e-6
+
+
+def test_wilcoxon_zero_diffs_drop(spark):
+    from smart_data_lake_spark.functions.analytics import wilcoxon_signed_rank_by_user
+
+    rows = [(0, 1, "a", 5.0, 0), (1, 1, "a", 5.0, 5),  # d = 0 -> drops
+            (2, 2, "a", 1.0, 0), (3, 2, "a", 2.0, 5)]
+    out = wilcoxon_signed_rank_by_user(_events(spark, rows)).collect()[0]
+    assert out["n_pairs"] == 1 and out["w_plus"] == 1.0
+
+
+def test_friedman_known_value(spark):
+    from smart_data_lake_spark.functions.analytics import friedman_test_by_block
+
+    # 3 blocks x 3 treatments, consistent ordering a < b < c in every block
+    rows = []
+    eid = 0
+    for b in range(3):
+        for j, t in enumerate(["a", "b", "c"]):
+            rows.append((eid, b, t, float(j + 1) * (b + 1), eid))
+            eid += 1
+    out = friedman_test_by_block(_events(spark, rows)).collect()[0]
+    # perfectly consistent ranks: chi2 = n*(k-1)... for k=3, n=3:
+    # R = 3,6,9 (half-units: ranks 1,2,3 per block) -> chi2 = 12*126/ (3*3*4) - 3*3*4
+    # classic value: n(k-1) * W=1 -> chi2 = n*(k-1)*... compute directly:
+    # sum R_j^2 = 9+36+81 = 126; 12*126/(3*3*4) - 3*3*16/4 ... use textbook:
+    # chi2 = 12/(n k (k+1)) * sum R^2 - 3 n (k+1) = 12*126/36 - 36 = 6
+    assert out["n_treatments"] == 3 and out["n_blocks"] == 3
+    assert out["friedman_chi2"] == 6.0
+
+
+def test_friedman_incomplete_blocks_drop(spark):
+    from smart_data_lake_spark.functions.analytics import friedman_test_by_block
+
+    rows = [(0, 0, "a", 1.0, 0), (1, 0, "b", 2.0, 1),
+            (2, 1, "a", 1.0, 2)]  # block 1 misses treatment b
+    out = friedman_test_by_block(_events(spark, rows)).collect()[0]
+    assert out["n_blocks"] == 1
+
+
+def test_cuped_perfect_covariate_kills_variance(spark):
+    from smart_data_lake_spark.functions.analytics import cuped_adjusted_ab
+
+    # post = pre exactly -> theta = 1, var_ratio = 0, adjusted effect 0
+    rows = []
+    for u in range(6):
+        v = float(u + 1)
+        rows += [(u * 10, u, "a", v, 0), (u * 10 + 1, u, "a", v, 5)]
+    out = cuped_adjusted_ab(_events(spark, rows)).collect()[0]
+    assert out["theta"] == 1.0
+    assert out["var_ratio"] == 0.0
+    assert out["adj_effect"] == 0.0
+
+
+def test_lorenz_points_known(spark):
+    from smart_data_lake_spark.functions.profiling import lorenz_curve_points
+
+    df = spark.createDataFrame(
+        [("g", i, float(v)) for i, v in enumerate([1, 1, 1, 1, 1, 1, 1, 1, 1, 91])],
+        "grp string, k long, v double",
+    )
+    rows = {r["decile"]: r["cum_share"] for r in
+            lorenz_curve_points(df, "grp", "k", "v").collect()}
+    # bottom 90% hold 9/100; decile 10 = 1.0
+    assert rows[9] == 0.09 and rows[10] == 1.0
+    assert rows[5] == 0.05
+
+
+def test_bowley_moors_symmetric_uniform(spark):
+    from smart_data_lake_spark.functions.profiling import bowley_moors_shape
+
+    # 0..8: octiles are exact integers 1..7; symmetric -> bowley 0;
+    # moors = ((7-5)+(3-1))/(6-2) = 1.0
+    df = spark.createDataFrame([("g", float(i)) for i in range(9)], "grp string, v double")
+    out = bowley_moors_shape(df, "grp", "v").collect()[0]
+    assert out["bowley_skew"] == 0.0
+    assert out["moors_kurtosis"] == 1.0
+    assert (out["q1"], out["median"], out["q3"]) == (2.0, 4.0, 6.0)

@@ -402,3 +402,53 @@ def test_cohens_kappa_engine_exact(spark, token_lists):
     _run_query_vs_oracle(
         spark, "cohens_kappa_lang_id", {"documents": _docs_table_langs(token_lists)}
     )
+
+
+# --------------------------------------------- post-freeze r12-queue parity
+
+
+@settings(**_SETTINGS)
+@given(_vals)
+def test_wilcoxon_engine_exact(spark, series):
+    _run_query_vs_oracle(
+        spark, "wilcoxon_signed_rank_user_halves", {"events": _events_table(series)}
+    )
+
+
+@settings(**_SETTINGS)
+@given(_vals)
+def test_friedman_engine_exact(spark, series):
+    _run_query_vs_oracle(
+        spark, "friedman_value_by_type_blocks", {"events": _events_table_types(series)}
+    )
+
+
+@settings(**_SETTINGS)
+@given(_vals)
+def test_cuped_engine_exact(spark, series):
+    _run_query_vs_oracle(
+        spark, "cuped_adjusted_value_ab", {"events": _events_table(series)}
+    )
+
+
+@settings(**_SETTINGS)
+@given(_vals)
+def test_lorenz_engine_exact(spark, prices):
+    customer, nation = _customer_nation_tables()
+    _run_query_vs_oracle(
+        spark,
+        "lorenz_curve_spend_by_nation",
+        {
+            "orders": _orders_table_classes(prices),
+            "customer": customer,
+            "nation": nation,
+        },
+    )
+
+
+@settings(**_SETTINGS)
+@given(_vals)
+def test_bowley_moors_engine_exact(spark, series):
+    _run_query_vs_oracle(
+        spark, "bowley_moors_value_by_type", {"events": _events_table_types(series)}
+    )
