@@ -5142,7 +5142,10 @@ def oracle_sql() -> dict[str, str]:
               -- half-grid class), lockstep with grid_round
               SELECT event_type,
                 CAST(SUM(CAST(""" + _gq("value", 6) + """ AS DECIMAL(18,6))) AS DOUBLE) AS s,
-                CAST(SUM(CAST(""" + _gq("value", 6) + """ AS DECIMAL(18,6)) * CAST(""" + _gq("value", 6) + """ AS DECIMAL(18,6))) AS DOUBLE) AS sq,
+                -- (28,6) first operand: DuckDB multiplies DECIMAL(<=18)
+                -- pairs in int64 physical width (r11 harness-found at
+                -- |v| >= ~3037) — force the int128 path, values equal
+                CAST(SUM(CAST(""" + _gq("value", 6) + """ AS DECIMAL(28,6)) * CAST(""" + _gq("value", 6) + """ AS DECIMAL(18,6))) AS DOUBLE) AS sq,
                 COUNT(value) AS n
               FROM events GROUP BY event_type
             ), en AS (
@@ -6835,12 +6838,15 @@ def oracle_sql() -> dict[str, str]:
             ),
             p AS (
               SELECT n, mn, mx, h,
-                     GREATEST(1, CAST(ceil((mx - mn) / h) AS BIGINT)) AS n_bins
+                     -- 10k-bin cap clamped in DOUBLE before the integer
+                     -- cast (pathological tiny-IQR spread overflows
+                     -- BIGINT), lockstep with fd_histogram
+                     GREATEST(1, CAST(ceil(LEAST((mx - mn) / h, 10000.0)) AS BIGINT)) AS n_bins
               FROM p0
             ),
             binned AS (
-              SELECT LEAST(CAST(floor((CAST(e.value AS DOUBLE) - p.mn) / p.h) AS BIGINT),
-                           p.n_bins - 1) AS bin,
+              SELECT CAST(floor(LEAST((CAST(e.value AS DOUBLE) - p.mn) / p.h,
+                                      CAST(p.n_bins - 1 AS DOUBLE))) AS BIGINT) AS bin,
                      p.mn, p.h
               FROM events e CROSS JOIN p WHERE e.value IS NOT NULL
             )

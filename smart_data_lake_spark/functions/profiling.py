@@ -1069,17 +1069,29 @@ def fd_histogram(
     h = F.when(raw_h > 0, raw_h).otherwise(
         F.when(F.col("mx") > F.col("mn"), F.col("mx") - F.col("mn")).otherwise(F.lit(1.0))
     )
+    # 10k-bin cap, clamped in DOUBLE before any integer cast (r11
+    # property-harness-found): a pathological spread (IQR ~ 1e-175 with
+    # range ~ 1) makes (mx−mn)/h ~ 1e174, where the BIGINT cast saturates
+    # silently on Spark but hard-errors on an ANSI engine — a divergent
+    # crash class. An FD histogram past 10k bins is not an audit anyway;
+    # the cap is the max_pairs spirit. Value-identical whenever the
+    # natural bin count is ≤ 10000.
+    ratio = (F.col("mx") - F.col("mn")) / h
     n_bins = F.greatest(
-        F.lit(1), F.ceil((F.col("mx") - F.col("mn")) / h).cast("long")
+        F.lit(1), F.ceil(F.least(ratio, F.lit(10000.0))).cast("long")
     )
     binned = (
         df.where(F.col(value_col).isNotNull())
         .crossJoin(F.broadcast(stats))
         .select(
-            F.least(
-                F.floor((F.col(value_col).cast("double") - F.col("mn")) / h).cast("long"),
-                n_bins - 1,
-            ).alias("bin"),
+            F.floor(
+                F.least(
+                    (F.col(value_col).cast("double") - F.col("mn")) / h,
+                    (n_bins - 1).cast("double"),
+                )
+            )
+            .cast("long")
+            .alias("bin"),
             F.col("mn"),
             h.alias("h"),
         )
