@@ -3488,6 +3488,41 @@ def bowley_moors_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bowley_moors_shape(ev, "event_type", "value").orderBy("event_type")
 
 
+def theil_decomposition_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Between/within-nation decomposition of spend inequality
+    (functions/profiling.theil_decomposition; Theil 1967, Shorrocks
+    1980): the additive split Gini cannot provide, over the same
+    customer-spend base as the gini/theil/lorenz queries."""
+    from smart_data_lake_spark.functions.profiling import theil_decomposition
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend")
+    )
+    base = (
+        cust.join(spend, cust.c_custkey == spend.o_custkey, "left")
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "n_name",
+            F.coalesce(F.col("spend"), F.lit(0).cast("decimal(18,2)")).alias("spend"),
+        )
+    )
+    return theil_decomposition(base, "n_name", "spend")
+
+
+def wasserstein_value_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 drift between chronological halves per event type
+    (functions/analytics.wasserstein_drift_by_group): the earth-mover
+    magnitude gauge next to KS (max gap) and PSI (binned) — drift in
+    VALUE UNITS, no binning choice."""
+    from smart_data_lake_spark.functions.analytics import wasserstein_drift_by_group
+
+    ev = _t(spark, sf_dir, "events")
+    return wasserstein_drift_by_group(ev).orderBy("event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is the driver grading window: only the first 50
     # entries get a CORRECTNESS oracle row per round. The r11 window is
@@ -3569,6 +3604,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuped_adjusted_value_ab": cuped_adjusted_value_ab,
         "lorenz_curve_spend_by_nation": lorenz_curve_spend_by_nation,
         "bowley_moors_value_by_type": bowley_moors_value_by_type,
+        "theil_decomposition_spend": theil_decomposition_spend,
+        "wasserstein_value_drift_by_type": wasserstein_value_drift_by_type,
         # --- below the line: green in earlier rounds, rotated out
         "exact_neardup_clusters_docs": exact_neardup_clusters_docs,
         "spearman_value_hour_by_type": spearman_value_hour_by_type,
@@ -8212,4 +8249,108 @@ def oracle_sql() -> dict[str, str]:
                         THEN {_gq("((e7 - e5) + (e3 - e1)) / (e6 - e2)", 6)}
                    END AS moors_kurtosis
             FROM wide ORDER BY event_type""",
+        "theil_decomposition_spend": f"""
+            -- grid-9 log terms into exact decimal sums on every tier
+            -- (lockstep with profiling.theil_decomposition)
+            WITH spend AS (
+              SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+              FROM orders GROUP BY o_custkey
+            ),
+            base AS (
+              SELECT n_name, x FROM (
+                SELECT n.n_name,
+                       CAST(COALESCE(s.spend, 0) AS DECIMAL(18,6)) AS x
+                FROM customer c
+                  LEFT JOIN spend s ON s.o_custkey = c.c_custkey
+                  JOIN nation n ON n.n_nationkey = c.c_nationkey
+              ) WHERE x >= 0
+            ),
+            per_g AS (
+              SELECT n_name, CAST(COUNT(*) AS BIGINT) AS ng, SUM(x) AS sg
+              FROM base GROUP BY n_name
+            ),
+            tot AS (
+              SELECT CAST(SUM(ng) AS BIGINT) AS n, CAST(SUM(sg) AS DECIMAL(38,6)) AS s
+              FROM per_g
+            ),
+            terms AS (
+              SELECT b.n_name, g.ng, g.sg, t.n, t.s,
+                     CAST(CASE WHEN b.x > 0 AND t.s > 0
+                          THEN {_gq("(CAST(b.x AS DOUBLE) / (CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE))) * ln(CAST(b.x AS DOUBLE) / (CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE)))", 9)}
+                          ELSE 0.0 END AS DECIMAL(28,9)) AS t_term,
+                     CAST(CASE WHEN b.x > 0 AND g.sg > 0
+                          THEN {_gq("(CAST(b.x AS DOUBLE) / (CAST(g.sg AS DOUBLE) / CAST(g.ng AS DOUBLE))) * ln(CAST(b.x AS DOUBLE) / (CAST(g.sg AS DOUBLE) / CAST(g.ng AS DOUBLE)))", 9)}
+                          ELSE 0.0 END AS DECIMAL(28,9)) AS w_term
+              FROM base b JOIN per_g g USING (n_name) CROSS JOIN tot t
+            ),
+            grp AS (
+              SELECT n_name, MAX(ng) AS ng, MAX(sg) AS sg, MAX(n) AS n, MAX(s) AS s,
+                     SUM(t_term) AS tt, SUM(w_term) AS wt
+              FROM terms GROUP BY n_name
+            ),
+            gterms AS (
+              SELECT n, s, tt,
+                     CAST(CASE WHEN sg > 0 AND s > 0
+                          THEN {_gq("(CAST(sg AS DOUBLE) / CAST(s AS DOUBLE)) * ln((CAST(sg AS DOUBLE) / CAST(s AS DOUBLE)) / (CAST(ng AS DOUBLE) / CAST(n AS DOUBLE)))", 9)}
+                          ELSE 0.0 END AS DECIMAL(28,9)) AS b_term,
+                     CAST(CASE WHEN sg > 0 AND s > 0
+                          THEN {_gq("(CAST(sg AS DOUBLE) / CAST(s AS DOUBLE)) * (CAST(wt AS DOUBLE) / CAST(ng AS DOUBLE))", 9)}
+                          ELSE 0.0 END AS DECIMAL(28,9)) AS in_term
+              FROM grp
+            ),
+            red AS (
+              SELECT MAX(n) AS n, MAX(s) AS s, SUM(tt) AS tt,
+                     SUM(b_term) AS bt, SUM(in_term) AS wt
+              FROM gterms
+            )
+            SELECT n,
+                   CASE WHEN s > 0
+                        THEN {_gq("CAST(tt AS DOUBLE) / CAST(n AS DOUBLE)", 6)}
+                   END AS theil_total,
+                   CASE WHEN s > 0 THEN {_gq("CAST(bt AS DOUBLE)", 6)} END AS theil_between,
+                   CASE WHEN s > 0 THEN {_gq("CAST(wt AS DOUBLE)", 6)} END AS theil_within
+            FROM red""",
+        "wasserstein_value_drift_by_type": f"""
+            -- exact order-statistic half split; |F1-F2|*dv segment terms
+            -- on the grid-9 into exact decimal sums (lockstep with
+            -- analytics.wasserstein_drift_by_group)
+            WITH halved AS (
+              SELECT event_type AS g, CAST(value AS DOUBLE) AS v,
+                     (row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) * 2
+                        <= COUNT(*) OVER (PARTITION BY event_type) + 1) AS fh
+              FROM events WHERE value IS NOT NULL
+            ),
+            per_v AS (
+              SELECT g, v,
+                     CAST(SUM(CASE WHEN fh THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                     CAST(SUM(CASE WHEN NOT fh THEN 1 ELSE 0 END) AS BIGINT) AS c2
+              FROM halved GROUP BY g, v
+            ),
+            cum AS (
+              SELECT g, v,
+                     CAST(SUM(c1) OVER wv AS BIGINT) AS k1,
+                     CAST(SUM(c2) OVER wv AS BIGINT) AS k2,
+                     CAST(SUM(c1) OVER wg AS BIGINT) AS n1,
+                     CAST(SUM(c2) OVER wg AS BIGINT) AS n2,
+                     lead(v) OVER wv AS nv
+              FROM per_v
+              WINDOW wv AS (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING),
+                     wg AS (PARTITION BY g)
+            ),
+            seg AS (
+              SELECT g, n1, n2,
+                     CAST(CASE WHEN nv IS NOT NULL AND n1 > 0 AND n2 > 0
+                          THEN {_gq("abs(CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE)) * (nv - v)", 9)}
+                          ELSE 0.0 END AS DECIMAL(28,9)) AS t
+              FROM cum
+            ),
+            red AS (
+              SELECT g, MAX(n1) AS n1, MAX(n2) AS n2, SUM(t) AS w FROM seg GROUP BY g
+            )
+            SELECT g AS event_type,
+                   n1 AS n_first_half, n2 AS n_second_half,
+                   CASE WHEN n1 > 0 AND n2 > 0
+                        THEN {_gq("CAST(w AS DOUBLE)", 6)}
+                   END AS w1_distance
+            FROM red ORDER BY event_type""",
     }

@@ -2957,3 +2957,77 @@ def cuped_adjusted_ab(
         ).alias("adj_effect"),
         grid_round(ratio, scale).alias("var_ratio"),
     )
+
+
+def wasserstein_drift_by_group(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    scale: int = 6,
+) -> DataFrame:
+    """Wasserstein-1 (earth-mover) distance between each group's
+    chronological first-half and second-half value distributions
+    (Monge 1781/Kantorovich 1942 form; for 1-D, W₁ = ∫|F₁−F₂| dv) — the
+    drift MAGNITUDE gauge next to the KS test's max-gap and PSI's binned
+    form: W₁ is in VALUE UNITS ("the value distribution moved by ~0.8"),
+    integrates the whole CDF gap, and needs no binning choice.
+
+    Exactness: the half split is the exact order-statistic rank rule;
+    per-distinct-value cumulative counts are exact integers; each
+    segment term |c₁/n₁ − c₂/n₂|·Δv quantizes on the 1e-9 grid into an
+    exact DECIMAL sum; the final is on the 1e-6 grid. Shape: one window
+    split, one (group, value) count aggregate, one window over DISTINCT
+    values per group (support-sized, not corpus-sized), one combinable
+    reduce."""
+    w = Window.partitionBy(group_col).orderBy(ts_col, tiebreak_col)
+    wg = Window.partitionBy(group_col)
+    halved = (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col).alias("_g"),
+            F.col(value_col).cast("double").alias("_v"),
+            (F.row_number().over(w) * 2 <= F.count(F.lit(1)).over(wg) + 1).alias("_fh"),
+        )
+    )
+    per_v = halved.groupBy("_g", "_v").agg(
+        F.sum(F.when(F.col("_fh"), 1).otherwise(0)).cast("long").alias("c1"),
+        F.sum(F.when(~F.col("_fh"), 1).otherwise(0)).cast("long").alias("c2"),
+    )
+    wv = Window.partitionBy("_g").orderBy("_v")
+    wgg = Window.partitionBy("_g")
+    cum = per_v.select(
+        "_g",
+        "_v",
+        F.sum("c1").over(wv).cast("long").alias("k1"),
+        F.sum("c2").over(wv).cast("long").alias("k2"),
+        F.sum("c1").over(wgg).cast("long").alias("n1"),
+        F.sum("c2").over(wgg).cast("long").alias("n2"),
+        F.lead("_v").over(wv).alias("_nv"),
+    )
+    seg = F.when(
+        F.col("_nv").isNotNull() & (F.col("n1") > 0) & (F.col("n2") > 0),
+        grid_round(
+            F.abs(
+                F.col("k1").cast("double") / F.col("n1").cast("double")
+                - F.col("k2").cast("double") / F.col("n2").cast("double")
+            )
+            * (F.col("_nv") - F.col("_v")),
+            9,
+        ),
+    ).otherwise(F.lit(0.0)).cast("decimal(28,9)")
+    red = cum.groupBy("_g").agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.sum(seg).alias("_w"),
+    )
+    return red.select(
+        F.col("_g").alias(group_col),
+        F.col("n1").alias("n_first_half"),
+        F.col("n2").alias("n_second_half"),
+        F.when(
+            (F.col("n1") > 0) & (F.col("n2") > 0),
+            grid_round(F.col("_w").cast("double"), scale),
+        ).alias("w1_distance"),
+    )

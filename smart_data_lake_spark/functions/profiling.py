@@ -1455,3 +1455,90 @@ def bowley_moors_shape(
         F.when(e[6] - e[2] != 0, grid_round(bowley, decimals)).alias("bowley_skew"),
         F.when(e[6] - e[2] != 0, grid_round(moors, decimals)).alias("moors_kurtosis"),
     )
+
+
+def theil_decomposition(
+    df,
+    group_col: str,
+    value_col: str,
+    decimals: int = 6,
+):
+    """Theil T decomposition into BETWEEN-group and WITHIN-group
+    inequality (Theil 1967; Shorrocks 1980 on additive decomposability):
+    T_total = Σ_g (s_g/s)·ln((s_g/s)/(n_g/n)) + Σ_g (s_g/s)·T_g — the
+    property that makes Theil the inequality index for mixture audits
+    ("is spend inequality a nation story or a within-nation story"),
+    which Gini cannot do. One row: (n, theil_total, theil_between,
+    theil_within).
+
+    Exactness: shares are rationals of exact DECIMAL sums; every log
+    term quantizes on the 1e-9 grid into exact DECIMAL sums (the
+    behavior-entropy discipline); finals on the 1e-6 grid. The additive
+    identity holds exactly in the reals and to ~1e-9 after term
+    quantization — both engines agree bit-for-bit on all three numbers.
+    Non-negative contract as in `theil_index_by_group`.
+
+    Shape: one per-group aggregate, one 1-row total, one term pass with
+    broadcast joins, two small reduces — no windows."""
+    dec = f"decimal(18,{decimals})"
+    base = df.where(F.col(value_col).isNotNull() & (F.col(value_col) >= 0)).select(
+        F.col(group_col).alias("_g"), F.col(value_col).cast(dec).alias("_x")
+    )
+    per_g = base.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"), F.sum("_x").alias("sg")
+    )
+    tot = per_g.groupBy().agg(
+        F.sum("ng").cast("long").alias("n"),
+        F.sum("sg").cast(f"decimal(38,{decimals})").alias("s"),
+    )
+    joined = base.join(F.broadcast(per_g), "_g").crossJoin(F.broadcast(tot))
+    mu = F.col("s").cast("double") / F.col("n").cast("double")
+    mug = F.col("sg").cast("double") / F.col("ng").cast("double")
+    xd = F.col("_x").cast("double")
+    t_term = F.when(
+        (F.col("_x") > 0) & (F.col("s") > 0),
+        grid_round((xd / mu) * F.log(xd / mu), 9),
+    ).otherwise(F.lit(0.0)).cast("decimal(28,9)")
+    w_term = F.when(
+        (F.col("_x") > 0) & (F.col("sg") > 0),
+        grid_round((xd / mug) * F.log(xd / mug), 9),
+    ).otherwise(F.lit(0.0)).cast("decimal(28,9)")
+    grp = joined.groupBy("_g").agg(
+        F.max("ng").alias("ng"),
+        F.max("sg").alias("sg"),
+        F.max("n").alias("n"),
+        F.max("s").alias("s"),
+        F.sum(t_term).alias("_tt"),
+        F.sum(w_term).alias("_wt"),
+    )
+    share = F.col("sg").cast("double") / F.col("s").cast("double")
+    popsh = F.col("ng").cast("double") / F.col("n").cast("double")
+    between_term = F.when(
+        (F.col("sg") > 0) & (F.col("s") > 0),
+        grid_round(share * F.log(share / popsh), 9),
+    ).otherwise(F.lit(0.0)).cast("decimal(28,9)")
+    # T_g = _wt/ng; its share-weighted contribution = share * T_g
+    within_term = F.when(
+        (F.col("sg") > 0) & (F.col("s") > 0),
+        grid_round(share * (F.col("_wt").cast("double") / F.col("ng").cast("double")), 9),
+    ).otherwise(F.lit(0.0)).cast("decimal(28,9)")
+    red = grp.groupBy().agg(
+        F.max("n").alias("n"),
+        F.max("s").alias("s"),
+        F.sum("_tt").alias("tt"),
+        F.sum(between_term).alias("bt"),
+        F.sum(within_term).alias("wt"),
+    )
+    return red.select(
+        F.col("n"),
+        F.when(
+            F.col("s") > 0,
+            grid_round(F.col("tt").cast("double") / F.col("n").cast("double"), decimals),
+        ).alias("theil_total"),
+        F.when(F.col("s") > 0, grid_round(F.col("bt").cast("double"), decimals)).alias(
+            "theil_between"
+        ),
+        F.when(F.col("s") > 0, grid_round(F.col("wt").cast("double"), decimals)).alias(
+            "theil_within"
+        ),
+    )

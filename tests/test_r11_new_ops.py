@@ -409,3 +409,48 @@ def test_bowley_moors_symmetric_uniform(spark):
     assert out["bowley_skew"] == 0.0
     assert out["moors_kurtosis"] == 1.0
     assert (out["q1"], out["median"], out["q3"]) == (2.0, 4.0, 6.0)
+
+
+def test_theil_decomposition_identity(spark):
+    from smart_data_lake_spark.functions.profiling import theil_decomposition
+
+    # within-group equal values -> T_within = 0 and total == between
+    df = spark.createDataFrame(
+        [("g", 2.0), ("g", 2.0), ("h", 4.0), ("h", 4.0)], "grp string, v double"
+    )
+    out = theil_decomposition(df, "grp", "v").collect()[0]
+    want_between = (1 / 3) * math.log((1 / 3) / 0.5) + (2 / 3) * math.log((2 / 3) / 0.5)
+    assert out["theil_within"] == 0.0
+    assert abs(out["theil_between"] - want_between) < 1e-6
+    assert abs(out["theil_total"] - out["theil_between"]) < 1e-6
+
+
+def test_theil_decomposition_additivity(spark):
+    from smart_data_lake_spark.functions.profiling import theil_decomposition
+
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", 3.0), ("h", 2.0), ("h", 10.0), ("h", 0.0)],
+        "grp string, v double",
+    )
+    out = theil_decomposition(df, "grp", "v").collect()[0]
+    # additive identity up to the 1e-9 term grid
+    assert abs(out["theil_total"] - (out["theil_between"] + out["theil_within"])) < 1e-5
+
+
+def test_wasserstein_pure_shift(spark):
+    from smart_data_lake_spark.functions.analytics import wasserstein_drift_by_group
+
+    # first half [0,1], second half [2,3]: W1 = mean shift = 2
+    rows = [(0, 0, "a", 0.0, 0), (1, 0, "a", 1.0, 1),
+            (2, 0, "a", 2.0, 2), (3, 0, "a", 3.0, 3)]
+    out = wasserstein_drift_by_group(_events(spark, rows)).collect()[0]
+    assert (out["n_first_half"], out["n_second_half"]) == (2, 2)
+    assert out["w1_distance"] == 2.0
+
+
+def test_wasserstein_identical_halves_zero(spark):
+    from smart_data_lake_spark.functions.analytics import wasserstein_drift_by_group
+
+    rows = [(i, 0, "a", float(i % 3), i) for i in range(6)]  # 0,1,2 | 0,1,2
+    out = wasserstein_drift_by_group(_events(spark, rows)).collect()[0]
+    assert out["w1_distance"] == 0.0

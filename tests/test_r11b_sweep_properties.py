@@ -452,3 +452,26 @@ def test_bowley_moors_engine_exact(spark, series):
     _run_query_vs_oracle(
         spark, "bowley_moors_value_by_type", {"events": _events_table_types(series)}
     )
+
+
+@settings(**_SETTINGS)
+@given(_vals)
+def test_theil_decomposition_engine_exact(spark, prices):
+    customer, nation = _customer_nation_tables()
+    _run_query_vs_oracle(
+        spark,
+        "theil_decomposition_spend",
+        {
+            "orders": _orders_table_classes(prices),
+            "customer": customer,
+            "nation": nation,
+        },
+    )
+
+
+@settings(**_SETTINGS)
+@given(_vals)
+def test_wasserstein_engine_exact(spark, series):
+    _run_query_vs_oracle(
+        spark, "wasserstein_value_drift_by_type", {"events": _events_table_types(series)}
+    )
