@@ -3457,24 +3457,9 @@ def lorenz_curve_spend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumsums, exact div cutoff ranks; same spend base as gini/theil."""
     from smart_data_lake_spark.functions.profiling import lorenz_curve_points
 
-    orders = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer")
-    nation = _t(spark, sf_dir, "nation")
-    spend = orders.groupBy("o_custkey").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend")
-    )
-    base = (
-        cust.join(spend, cust.c_custkey == spend.o_custkey, "left")
-        .join(nation, cust.c_nationkey == nation.n_nationkey)
-        .select(
-            "n_name",
-            "c_custkey",
-            F.coalesce(F.col("spend"), F.lit(0).cast("decimal(18,2)")).alias("spend"),
-        )
-    )
-    return lorenz_curve_points(base, "n_name", "c_custkey", "spend").orderBy(
-        "n_name", "decile"
-    )
+    return lorenz_curve_points(
+        _customer_spend_base(spark, sf_dir), "n_name", "c_custkey", "spend"
+    ).orderBy("n_name", "decile")
 
 
 def bowley_moors_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3488,6 +3473,29 @@ def bowley_moors_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bowley_moors_shape(ev, "event_type", "value").orderBy("event_type")
 
 
+def _customer_spend_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared per-customer spend base (n_name, c_custkey, spend incl.
+    zero-spend customers) for the post-freeze inequality entries
+    (lorenz, theil decomposition). The frozen gini/theil window entries
+    keep their inline copies untouched; at the r12 rotation they should
+    move onto this helper too (r11 review: the block existed 4×)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend")
+    )
+    return (
+        cust.join(spend, cust.c_custkey == spend.o_custkey, "left")
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "n_name",
+            "c_custkey",
+            F.coalesce(F.col("spend"), F.lit(0).cast("decimal(18,2)")).alias("spend"),
+        )
+    )
+
+
 def theil_decomposition_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Between/within-nation decomposition of spend inequality
     (functions/profiling.theil_decomposition; Theil 1967, Shorrocks
@@ -3495,21 +3503,11 @@ def theil_decomposition_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer-spend base as the gini/theil/lorenz queries."""
     from smart_data_lake_spark.functions.profiling import theil_decomposition
 
-    orders = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer")
-    nation = _t(spark, sf_dir, "nation")
-    spend = orders.groupBy("o_custkey").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend")
+    return theil_decomposition(
+        _customer_spend_base(spark, sf_dir).select("n_name", "spend"),
+        "n_name",
+        "spend",
     )
-    base = (
-        cust.join(spend, cust.c_custkey == spend.o_custkey, "left")
-        .join(nation, cust.c_nationkey == nation.n_nationkey)
-        .select(
-            "n_name",
-            F.coalesce(F.col("spend"), F.lit(0).cast("decimal(18,2)")).alias("spend"),
-        )
-    )
-    return theil_decomposition(base, "n_name", "spend")
 
 
 def wasserstein_value_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8118,10 +8116,14 @@ def oracle_sql() -> dict[str, str]:
               FROM halved GROUP BY u, v
             ),
             urows AS (
+              -- |half mean| < 1e9 contract filter, lockstep with
+              -- cuped_adjusted_ab (consistent population in every sum)
               SELECT v,
                      CAST({_gq("CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)", 9)} AS DECIMAL(28,9)) AS pre,
                      CAST({_gq("CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)", 9)} AS DECIMAL(28,9)) AS post
               FROM per WHERE n1 > 0 AND n2 > 0
+                AND abs({_gq("CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)", 9)}) < 1e9
+                AND abs({_gq("CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)", 9)}) < 1e9
             ),
             red AS (
               SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
@@ -8199,15 +8201,27 @@ def oracle_sql() -> dict[str, str]:
                      COUNT(*) OVER (PARTITION BY n_name) AS n,
                      SUM(x) OVER (PARTITION BY n_name) AS tot
               FROM base
+            ),
+            gstats AS (
+              SELECT n_name, MAX(n) AS n, MAX(tot) AS tot FROM ranked GROUP BY n_name
+            ),
+            -- always 10 rows per group (r11 review: a zero cutoff emits
+            -- the mathematically-correct 0.0 point instead of dropping
+            -- the row), lockstep with lorenz_curve_points
+            grid AS (
+              SELECT g.n_name, g.n, g.tot, CAST(d.decile AS INT) AS decile,
+                     (g.n * d.decile) // 10 AS cutoff
+              FROM gstats g, (SELECT unnest(range(1, 11)) AS decile) d
             )
-            SELECT n_name, CAST(d.decile AS INT) AS decile,
-                   CAST(n AS BIGINT) AS n,
-                   CASE WHEN tot > 0
-                        THEN {_gq("CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE)", 6)}
+            SELECT gr.n_name, gr.decile,
+                   CAST(gr.n AS BIGINT) AS n,
+                   CASE WHEN gr.cutoff = 0 THEN 0.0
+                        WHEN gr.tot > 0
+                        THEN {_gq("CAST(r.cum AS DOUBLE) / CAST(gr.tot AS DOUBLE)", 6)}
                    END AS cum_share
-            FROM ranked, (SELECT unnest(range(1, 11)) AS decile) d
-            WHERE i = (n * d.decile) // 10
-            ORDER BY n_name, decile""",
+            FROM grid gr LEFT JOIN ranked r
+              ON r.n_name = gr.n_name AND r.i = gr.cutoff
+            ORDER BY gr.n_name, gr.decile""",
         "bowley_moors_value_by_type": f"""
             -- seven octiles via explicit order statistics (the
             -- exact_percentiles shape), one fixed IEEE expression per

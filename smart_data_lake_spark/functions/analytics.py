@@ -2681,6 +2681,37 @@ def kruskal_wallis_by_group_dict(
     )
 
 
+def _user_half_sums(
+    df: DataFrame,
+    user_col: str,
+    value_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    extra_cols: tuple = (),
+) -> DataFrame:
+    """Shared per-user chronological half-split (r11 review: this block
+    appeared verbatim in wilcoxon AND cuped): first half = the ceil(n/2)
+    earliest events by (ts, tiebreak) — the exact order-statistic rule —
+    with values grid-6-quantized to DECIMAL(18,6). Returns one row per
+    user (plus ``extra_cols`` grouping columns): (s1, n1, s2, n2)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    wg = Window.partitionBy(user_col)
+    xq = grid_round(F.col(value_col), 6).cast("decimal(18,6)")
+    halved = df.where(F.col(value_col).isNotNull()).select(
+        F.col(user_col).alias("_u"),
+        *extra_cols,
+        xq.alias("_x"),
+        (F.row_number().over(w) * 2 <= F.count(F.lit(1)).over(wg) + 1).alias("_fh"),
+    )
+    group_cols = ["_u"] + [halved.columns[1 + i] for i in range(len(extra_cols))]
+    return halved.groupBy(*group_cols).agg(
+        F.sum(F.when(F.col("_fh"), F.col("_x"))).alias("s1"),
+        F.sum(F.when(F.col("_fh"), 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(~F.col("_fh"), F.col("_x"))).alias("s2"),
+        F.sum(F.when(~F.col("_fh"), 1).otherwise(0)).cast("long").alias("n2"),
+    )
+
+
 def wilcoxon_signed_rank_by_user(
     df: DataFrame,
     user_col: str = "user_id",
@@ -2706,23 +2737,7 @@ def wilcoxon_signed_rank_by_user(
     Shape: one per-user window split + combinable half sums, then one
     rank window over USERS (not events — the frame is user-count-sized),
     then a 1-row reduce."""
-    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
-    wg = Window.partitionBy(user_col)
-    xq = grid_round(F.col(value_col), 6).cast("decimal(18,6)")
-    halved = (
-        df.where(F.col(value_col).isNotNull())
-        .select(
-            F.col(user_col).alias("_u"),
-            xq.alias("_x"),
-            (F.row_number().over(w) * 2 <= F.count(F.lit(1)).over(wg) + 1).alias("_fh"),
-        )
-    )
-    per = halved.groupBy("_u").agg(
-        F.sum(F.when(F.col("_fh"), F.col("_x"))).alias("s1"),
-        F.sum(F.when(F.col("_fh"), 1).otherwise(0)).cast("long").alias("n1"),
-        F.sum(F.when(~F.col("_fh"), F.col("_x"))).alias("s2"),
-        F.sum(F.when(~F.col("_fh"), 1).otherwise(0)).cast("long").alias("n2"),
-    )
+    per = _user_half_sums(df, user_col, value_col, ts_col, tiebreak_col)
     m1 = grid_round(F.col("s1").cast("double") / F.col("n1").cast("double"), 9)
     m2 = grid_round(F.col("s2").cast("double") / F.col("n2").cast("double"), 9)
     diffs = (
@@ -2795,23 +2810,29 @@ def friedman_test_by_block(
             grid_round(F.col("_s").cast("double") / F.col("_n").cast("double"), 9).alias("_m"),
         )
     )
-    k_treat = per.select("_t").distinct().count()
+    # k as a 1-row broadcast aggregate INSIDE the plan (r11 review: the
+    # old driver-side distinct().count() ran a full scan at plan-BUILD
+    # time and baked a stale literal into the plan — the registry's only
+    # non-lazy operator)
+    kf = per.groupBy().agg(F.count_distinct(F.col("_t")).cast("long").alias("_kt"))
     wb = Window.partitionBy("_b")
-    complete = per.withColumn("_kb", F.count(F.lit(1)).over(wb)).where(
-        F.col("_kb") == k_treat
+    complete = (
+        per.withColumn("_kb", F.count(F.lit(1)).over(wb))
+        .crossJoin(F.broadcast(kf))
+        .where(F.col("_kb") == F.col("_kt"))
     )
     wr = Window.partitionBy("_b").orderBy("_m")
     wt = Window.partitionBy("_b", "_m")
     ranked = complete.select(
         "_b",
         "_t",
+        "_kt",
         (F.rank().over(wr).cast("long") * 2 + F.count(F.lit(1)).over(wt) - 1)
         .cast("decimal(19,0)")
         .alias("r2"),
         F.count(F.lit(1)).over(wt).cast("long").alias("tt"),
     )
     per_treat = ranked.groupBy("_t").agg(
-        F.count(F.lit(1)).cast("long").alias("nb"),
         F.sum("r2").cast("decimal(38,0)").alias("r2sum"),
     )
     # per-block tie term distributes row-additively as (tt² − 1) per row
@@ -2819,24 +2840,27 @@ def friedman_test_by_block(
         F.sum((F.col("tt").cast("decimal(19,0)") * F.col("tt") - 1).cast("decimal(38,0)"))
         .cast("decimal(38,0)")
         .alias("tie3"),
-        (F.count(F.lit(1)) / k_treat).cast("long").alias("n_blocks"),
+        (F.count(F.lit(1)) / F.max("_kt")).cast("long").alias("n_blocks"),
     )
     termj = grid_round(
         (F.col("r2sum").cast("double") / 2.0)
         * (F.col("r2sum").cast("double") / 2.0),
         2,
     ).cast("decimal(38,2)")
-    red = per_treat.groupBy().agg(F.sum(termj).alias("_sq")).crossJoin(
-        F.broadcast(ties)
+    red = (
+        per_treat.groupBy()
+        .agg(F.sum(termj).alias("_sq"))
+        .crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(kf))
     )
     nb = F.col("n_blocks").cast("double")
-    kk = float(k_treat)
+    kk = F.col("_kt").cast("double")
     # tie-corrected Friedman: chi2 = (12·ΣR_j² − 3·n²k(k+1)²) /
     #   (n·k(k+1) − tie3/(k−1))   [Conover 1999 form]
     num = 12.0 * F.col("_sq").cast("double") - 3.0 * nb * nb * kk * (kk + 1.0) * (kk + 1.0)
     den = nb * kk * (kk + 1.0) - F.col("tie3").cast("double") / (kk - 1.0)
     return red.select(
-        F.lit(int(k_treat)).cast("long").alias("n_treatments"),
+        F.col("_kt").alias("n_treatments"),
         F.col("n_blocks"),
         F.when((F.col("n_blocks") > 0) & (den > 0), grid_round(num / den, scale)).alias(
             "friedman_chi2"
@@ -2868,43 +2892,38 @@ def cuped_adjusted_ab(
     statistics of those grid-fixed user rows (the pairwise_correlations
     discipline); θ, means and the ratio are single IEEE expressions on
     the 1e-6 grid. Shape: one per-user window split + combinable sums,
-    then ONE 1-row reduce over user rows — no joins."""
-    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
-    wg = Window.partitionBy(user_col)
-    xq = grid_round(F.col(value_col), 6).cast("decimal(18,6)")
-    halved = (
-        df.where(F.col(value_col).isNotNull())
-        .select(
-            F.col(user_col).alias("_u"),
-            (F.col(user_col) % 2).cast("int").alias("_v"),
-            xq.alias("_x"),
-            (F.row_number().over(w) * 2 <= F.count(F.lit(1)).over(wg) + 1).alias("_fh"),
-        )
-    )
+    then ONE 1-row reduce over user rows — no joins.
+
+    Contract: users whose |half mean| ≥ 1e9 are EXCLUDED — consistently,
+    from every sum (r11 review: the old form silently dropped only the
+    out-of-range user's product terms via the (18,9) cast's NULL while
+    the linear sums kept them, mixing populations); a metric at that
+    magnitude should be rescaled before CUPED."""
+    pre9 = grid_round(F.col("s1").cast("double") / F.col("n1").cast("double"), 9)
+    post9 = grid_round(F.col("s2").cast("double") / F.col("n2").cast("double"), 9)
     per = (
-        halved.groupBy("_u", "_v")
-        .agg(
-            F.sum(F.when(F.col("_fh"), F.col("_x"))).alias("s1"),
-            F.sum(F.when(F.col("_fh"), 1).otherwise(0)).cast("long").alias("n1"),
-            F.sum(F.when(~F.col("_fh"), F.col("_x"))).alias("s2"),
-            F.sum(F.when(~F.col("_fh"), 1).otherwise(0)).cast("long").alias("n2"),
+        _user_half_sums(
+            df,
+            user_col,
+            value_col,
+            ts_col,
+            tiebreak_col,
+            extra_cols=((F.col(user_col) % 2).cast("int").alias("_v"),),
         )
         .where((F.col("n1") > 0) & (F.col("n2") > 0))
+        .where((F.abs(pre9) < 1e9) & (F.abs(post9) < 1e9))
         .select(
             "_v",
-            grid_round(F.col("s1").cast("double") / F.col("n1").cast("double"), 9)
-            .cast("decimal(28,9)")
-            .alias("_pre"),
-            grid_round(F.col("s2").cast("double") / F.col("n2").cast("double"), 9)
-            .cast("decimal(28,9)")
-            .alias("_post"),
+            pre9.cast("decimal(28,9)").alias("_pre"),
+            post9.cast("decimal(28,9)").alias("_post"),
         )
     )
     # (18,9) product operands: Spark's (28,9)x(28,9) CLAMPS the scale to 6
     # (0.000000061^2 -> 0.000000, measured — the pairwise_correlations
     # class at scale 9) while (18,9)x(18,9) -> (37,18) is exact; the
     # DuckDB oracle widens operands to (28,9) instead (int64-storage
-    # product overflow, the gumbel lesson). Contract: |half mean| < 1e9.
+    # product overflow, the gumbel lesson). The |half mean| < 1e9 filter
+    # above makes the (18,9) casts total.
     p18 = F.col("_pre").cast("decimal(18,9)")
     q18 = F.col("_post").cast("decimal(18,9)")
     red = per.groupBy().agg(

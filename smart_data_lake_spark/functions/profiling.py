@@ -1387,7 +1387,13 @@ def lorenz_curve_points(
     NOTE on ties at the cutoff: the share at rank r is the cumsum over
     the FIRST r rows in (value, key) order — with equal values split
     across the boundary, any r-row prefix of the tie group has the same
-    sum, so the point is well-defined and engine-identical."""
+    sum, so the point is well-defined and engine-identical.
+
+    Output shape is ALWAYS `deciles` rows per non-empty group (r11
+    review: the old form silently dropped deciles whose cutoff rank
+    (n·d) div 10 was 0 — a 6-customer nation lost its decile-1 row): a
+    zero cutoff emits cum_share 0.0, which is the mathematically correct
+    'bottom 0 rows hold 0' point."""
     from pyspark.sql import Window
 
     dec = f"decimal(18,{decimals})"
@@ -1407,19 +1413,32 @@ def lorenz_curve_points(
     )
     ds = [(d,) for d in range(1, deciles + 1)]
     dfr = base.sparkSession.createDataFrame(ds, "decile int")
-    cut = ranked.crossJoin(F.broadcast(dfr)).where(
-        F.col("_i") == F.expr(f"(_n * decile) div {int(deciles)}")
+    groups = ranked.groupBy(group_col).agg(
+        F.max("_n").alias("_n"), F.max("_tot").alias("_tot")
     )
+    grid = groups.crossJoin(F.broadcast(dfr)).withColumn(
+        "_cutoff", F.expr(f"(_n * decile) div {int(deciles)}")
+    )
+    cut = grid.join(
+        ranked.select(group_col, F.col("_i"), F.col("_cum")),
+        (grid[group_col] == ranked[group_col]) & (F.col("_cutoff") == F.col("_i")),
+        "left",
+    ).drop(ranked[group_col])
     return cut.select(
         group_col,
         F.col("decile"),
         F.col("_n").alias("n"),
-        F.when(
-            F.col("_tot") > 0,
-            grid_round(
-                F.col("_cum").cast("double") / F.col("_tot").cast("double"), decimals
-            ),
-        ).alias("cum_share"),
+        F.when(F.col("_cutoff") == 0, F.lit(0.0))
+        .otherwise(
+            F.when(
+                F.col("_tot") > 0,
+                grid_round(
+                    F.col("_cum").cast("double") / F.col("_tot").cast("double"),
+                    decimals,
+                ),
+            )
+        )
+        .alias("cum_share"),
     )
 
 

@@ -71,7 +71,10 @@ def plan_hashes(keys: list[str], sf_dir: str = "/root/testdata/sf0.001") -> dict
     q = entry.queries()
     out = {}
     for k in keys:
-        if k.startswith("streaming_"):
+        if k.startswith("streaming_") or k not in q:
+            # a frozen key missing from queries() is reported as a key-set
+            # violation by verify(); skipping here keeps the tool able to
+            # PRINT that violation instead of dying on a KeyError
             continue
         df = q[k](spark, sf_dir)
         s = df._jdf.queryExecution().analyzed().toString()
@@ -135,7 +138,11 @@ def main() -> int:
         if want:
             got = plan_hashes(frozen["window_keys"])
             for k, h in want.items():
-                if got.get(k) != h:
+                if k not in got:
+                    problems.append(
+                        f"frozen member {k!r} no longer buildable for plan hashing"
+                    )
+                elif got[k] != h:
                     problems.append(
                         f"Spark-side analyzed plan of frozen member {k!r} changed"
                     )
