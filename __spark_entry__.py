@@ -3521,6 +3521,59 @@ def wasserstein_value_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFra
     return wasserstein_drift_by_group(ev).orderBy("event_type")
 
 
+def brown_forsythe_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test across event types
+    (functions/analytics.brown_forsythe_test; Brown & Forsythe 1974):
+    ANOVA F on |value − group median| with exact order-statistic medians
+    — the same-SPREAD question next to Kruskal-Wallis's same-location."""
+    from smart_data_lake_spark.functions.analytics import brown_forsythe_test
+
+    ev = _t(spark, sf_dir, "events")
+    return brown_forsythe_test(ev)
+
+
+def log_rank_conversion_by_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-group log-rank test on time-to-first-purchase, variant =
+    user_id mod 2 (functions/analytics.log_rank_test; Mantel 1966): the
+    significance companion to survival_conversion_curve's KM curve."""
+    from smart_data_lake_spark.functions.analytics import log_rank_test
+
+    ev = _t(spark, sf_dir, "events")
+    return log_rank_test(ev)
+
+
+def mcnemar_paired_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar paired-binary test of within-user purchase-rate change
+    between each user's chronological halves (functions/analytics.
+    mcnemar_paired_test; McNemar 1947, Edwards-corrected)."""
+    from smart_data_lake_spark.functions.analytics import mcnemar_paired_test
+
+    ev = _t(spark, sf_dir, "events")
+    return mcnemar_paired_test(ev)
+
+
+def jonckheere_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra ordered trend of o_totalprice across order
+    priorities in label order (functions/analytics.
+    jonckheere_terpstra_test; Terpstra 1952/Jonckheere 1954,
+    tie-corrected variance): does price trend with urgency."""
+    from smart_data_lake_spark.functions.analytics import jonckheere_terpstra_test
+
+    orders = _t(spark, sf_dir, "orders")
+    return jonckheere_terpstra_test(orders, "o_orderpriority", "o_totalprice")
+
+
+def good_turing_missing_mass_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing unseen-probability-mass estimate per source
+    (functions/profiling.good_turing_missing_mass; Good 1953): P₀=N₁/N —
+    how much probability the never-seen vocabulary carries; the coverage
+    companion to chao1's how-many-types estimate."""
+    from smart_data_lake_spark.functions.profiling import good_turing_missing_mass
+
+    docs = _t(spark, sf_dir, "documents")
+    return good_turing_missing_mass(docs).orderBy("source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order is the driver grading window: only the first 50
     # entries get a CORRECTNESS oracle row per round. The r11 window is
@@ -3604,6 +3657,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bowley_moors_value_by_type": bowley_moors_value_by_type,
         "theil_decomposition_spend": theil_decomposition_spend,
         "wasserstein_value_drift_by_type": wasserstein_value_drift_by_type,
+        "brown_forsythe_value_by_type": brown_forsythe_value_by_type,
+        "log_rank_conversion_by_variant": log_rank_conversion_by_variant,
+        "mcnemar_paired_conversion": mcnemar_paired_conversion,
+        "jonckheere_price_by_priority": jonckheere_price_by_priority,
+        "good_turing_missing_mass_by_source": good_turing_missing_mass_by_source,
         # --- below the line: green in earlier rounds, rotated out
         "exact_neardup_clusters_docs": exact_neardup_clusters_docs,
         "spearman_value_hour_by_type": spearman_value_hour_by_type,
@@ -8367,4 +8425,247 @@ def oracle_sql() -> dict[str, str]:
                         THEN {_gq("CAST(w AS DOUBLE)", 6)}
                    END AS w1_distance
             FROM red ORDER BY event_type""",
+        "brown_forsythe_value_by_type": f"""
+            -- exact order-statistic group medians (_interp_sql), grid-9
+            -- |x - med| into DECIMAL(18,9) exact sufficient statistics,
+            -- fixed-IEEE SS terms on the grid (lockstep with
+            -- analytics.brown_forsythe_test)
+            WITH ranked AS (
+              SELECT event_type AS g, CAST(value AS DOUBLE) AS val,
+                     row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+                     COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM events WHERE value IS NOT NULL
+            ),
+            meds AS (SELECT g, {_interp_sql("val", 1, 2)} AS m FROM ranked GROUP BY g),
+            zrows AS (
+              SELECT e.event_type AS g,
+                     CAST({_gq("abs(CAST(e.value AS DOUBLE) - m.m)", 9)} AS DECIMAL(18,9)) AS z
+              FROM events e JOIN meds m ON m.g = e.event_type
+              WHERE e.value IS NOT NULL
+            ),
+            per AS (
+              SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(z) AS DECIMAL(28,9)) AS s,
+                     CAST(SUM(CAST(z AS DECIMAL(28,9)) * CAST(z AS DECIMAL(28,9))) AS DECIMAL(38,18)) AS q
+              FROM zrows GROUP BY g
+            ),
+            gtot AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS nn,
+                     CAST(SUM(s) AS DECIMAL(38,9)) AS ss
+              FROM per
+            ),
+            terms AS (
+              SELECT p.n, g.k, g.nn, CAST(p.q AS DOUBLE) AS qd,
+                     {_gq("CAST(p.s AS DOUBLE) / CAST(p.n AS DOUBLE)", 9)} AS mj,
+                     {_gq("CAST(g.ss AS DOUBLE) / CAST(g.nn AS DOUBLE)", 9)} AS mg
+              FROM per p, gtot g
+            ),
+            t2 AS (
+              SELECT k, nn,
+                     CAST({_gq("qd - CAST(n AS DOUBLE) * mj * mj", 9)} AS DECIMAL(38,9)) AS sswt,
+                     CAST({_gq("CAST(n AS DOUBLE) * (mj - mg) * (mj - mg)", 9)} AS DECIMAL(38,9)) AS ssbt
+              FROM terms
+            ),
+            red AS (
+              SELECT MAX(k) AS k, MAX(nn) AS nn,
+                     SUM(sswt) AS ssw, SUM(ssbt) AS ssb
+              FROM t2
+            )
+            SELECT CAST(k AS BIGINT) AS n_groups, CAST(nn AS BIGINT) AS n_total,
+                   CAST(k - 1 AS BIGINT) AS df_between,
+                   CAST(nn - k AS BIGINT) AS df_within,
+                   CASE WHEN k > 1 AND nn > k AND ssw > 0
+                        THEN {_gq("((CAST(nn AS DOUBLE) - CAST(k AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0)) * (CAST(ssb AS DOUBLE) / CAST(ssw AS DOUBLE))", 6)}
+                   END AS bf_statistic
+            FROM red""",
+        "log_rank_conversion_by_variant": f"""
+            -- the survival_conversion_curve per-user collapse split by
+            -- variant = user_id mod 2; hypergeometric E/V terms grid-9
+            -- into exact decimal sums (lockstep with
+            -- analytics.log_rank_test)
+            WITH starts AS (
+              SELECT user_id, MIN(epoch(ts)) AS t0 FROM events
+              WHERE event_type = 'signup' GROUP BY user_id
+            ),
+            horizon AS (SELECT MAX(epoch(ts)) AS tmax FROM events),
+            conv AS (
+              SELECT e.user_id, MIN(epoch(e.ts)) AS te
+              FROM events e JOIN starts s ON s.user_id = e.user_id
+              WHERE e.event_type = 'purchase' AND epoch(e.ts) >= s.t0
+              GROUP BY e.user_id
+            ),
+            per_user AS (
+              SELECT CAST(s.user_id % 2 AS INT) AS v,
+                     CASE WHEN c.te IS NOT NULL
+                          THEN CAST(floor((c.te - s.t0) / 86400.0) AS BIGINT) END AS event_day,
+                     CAST(floor((h.tmax - s.t0) / 86400.0) AS BIGINT) AS censor_day
+              FROM starts s LEFT JOIN conv c ON c.user_id = s.user_id CROSS JOIN horizon h
+            ),
+            per_day AS (
+              SELECT COALESCE(event_day, censor_day) AS t,
+                     SUM(CASE WHEN event_day IS NOT NULL AND v = 0 THEN 1 ELSE 0 END) AS d0,
+                     SUM(CASE WHEN event_day IS NOT NULL AND v = 1 THEN 1 ELSE 0 END) AS d1,
+                     SUM(CASE WHEN event_day IS NULL AND v = 0 THEN 1 ELSE 0 END) AS c0,
+                     SUM(CASE WHEN event_day IS NULL AND v = 1 THEN 1 ELSE 0 END) AS c1
+              FROM per_user GROUP BY 1
+            ),
+            tot AS (
+              SELECT CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                     CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+              FROM per_user
+            ),
+            risk AS (
+              SELECT t, d0, d1, na, nb,
+                     na - COALESCE(SUM(d0 + c0) OVER (ORDER BY t
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r0,
+                     nb - COALESCE(SUM(d1 + c1) OVER (ORDER BY t
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS r1
+              FROM per_day CROSS JOIN tot
+            ),
+            terms AS (
+              SELECT t, d1, na, nb,
+                     CAST(CASE WHEN d0 + d1 > 0 AND r0 + r1 > 0
+                          THEN {_gq("CAST(d0 + d1 AS DOUBLE) * CAST(r1 AS DOUBLE) / CAST(r0 + r1 AS DOUBLE)", 9)}
+                          ELSE 0.0 END AS DECIMAL(28,9)) AS e1,
+                     CAST(CASE WHEN d0 + d1 > 0 AND r0 + r1 > 1
+                          THEN {_gq("CAST(d0 + d1 AS DOUBLE) * (CAST(r0 AS DOUBLE) / CAST(r0 + r1 AS DOUBLE)) * (CAST(r1 AS DOUBLE) / CAST(r0 + r1 AS DOUBLE)) * ((CAST(r0 + r1 AS DOUBLE) - CAST(d0 + d1 AS DOUBLE)) / (CAST(r0 + r1 AS DOUBLE) - 1.0))", 9)}
+                          ELSE 0.0 END AS DECIMAL(28,9)) AS v1
+              FROM risk
+            ),
+            red AS (
+              SELECT MAX(na) AS na, MAX(nb) AS nb,
+                     CAST(SUM(d1) AS BIGINT) AS o1,
+                     SUM(e1) AS e1, SUM(v1) AS v1
+              FROM terms
+            )
+            SELECT CAST(na AS BIGINT) AS n_users_a, CAST(nb AS BIGINT) AS n_users_b,
+                   o1 AS observed_b,
+                   {_gq("CAST(e1 AS DOUBLE)", 6)} AS expected_b,
+                   CASE WHEN v1 > 0
+                        THEN {_gq("(CAST(o1 AS DOUBLE) - CAST(e1 AS DOUBLE)) * (CAST(o1 AS DOUBLE) - CAST(e1 AS DOUBLE)) / CAST(v1 AS DOUBLE)", 6)}
+                   END AS logrank_chi2
+            FROM red""",
+        "mcnemar_paired_conversion": f"""
+            -- exact order-statistic half split (the wilcoxon/cuped rule)
+            -- over ALL events; Edwards continuity-corrected chi2 floored
+            -- at 0 (lockstep with analytics.mcnemar_paired_test)
+            WITH halved AS (
+              SELECT user_id AS u,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS hit,
+                     (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) * 2
+                        <= COUNT(*) OVER (PARTITION BY user_id) + 1) AS fh,
+                     COUNT(*) OVER (PARTITION BY user_id) AS n
+              FROM events
+            ),
+            per AS (
+              SELECT u,
+                     MAX(CASE WHEN fh THEN hit ELSE 0 END) AS p1,
+                     MAX(CASE WHEN NOT fh THEN hit ELSE 0 END) AS p2
+              FROM halved WHERE n >= 2 GROUP BY u
+            ),
+            red AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                     CAST(SUM(CASE WHEN p1 = 1 AND p2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+                     CAST(SUM(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_first_only,
+                     CAST(SUM(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_second_only,
+                     CAST(SUM(CASE WHEN p1 = 0 AND p2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neither
+              FROM per
+            )
+            SELECT n_users, n_both, n_first_only, n_second_only, n_neither,
+                   CASE WHEN n_first_only + n_second_only > 0
+                        THEN {_gq("greatest(abs(CAST(n_first_only AS DOUBLE) - CAST(n_second_only AS DOUBLE)) - 1.0, 0.0) * greatest(abs(CAST(n_first_only AS DOUBLE) - CAST(n_second_only AS DOUBLE)) - 1.0, 0.0) / (CAST(n_first_only AS DOUBLE) + CAST(n_second_only AS DOUBLE))", 6)}
+                   END AS mcnemar_chi2
+            FROM red""",
+        "jonckheere_price_by_priority": f"""
+            -- dictionary formulation: (value x group) grid with
+            -- cumulative-below counts, one support-sized self-join for
+            -- all ordered group pairs; HUGEINT exact variance
+            -- ingredients (Spark twin uses DECIMAL(38,0)); lockstep with
+            -- analytics.jonckheere_terpstra_test
+            WITH per_gv AS (
+              SELECT o_orderpriority AS g, CAST(o_totalprice AS DOUBLE) AS v,
+                     CAST(COUNT(*) AS BIGINT) AS c
+              FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1, 2
+            ),
+            grid AS (
+              SELECT vs.v, gs.g, COALESCE(p.c, 0) AS c
+              FROM (SELECT DISTINCT v FROM per_gv) vs
+              CROSS JOIN (SELECT DISTINCT g FROM per_gv) gs
+              LEFT JOIN per_gv p ON p.v = vs.v AND p.g = gs.g
+            ),
+            cum AS (
+              SELECT v, g, c,
+                     COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lt
+              FROM grid
+            ),
+            pairs AS (
+              SELECT lo.v, lo.c AS ci, lo.lt AS lti, hi.c AS cj
+              FROM cum lo JOIN cum hi ON lo.v = hi.v AND lo.g < hi.g
+            ),
+            jt AS (
+              SELECT SUM(2 * CAST(cj AS HUGEINT) * CAST(lti AS HUGEINT)
+                         + CAST(ci AS HUGEINT) * CAST(cj AS HUGEINT)) AS jt2
+              FROM pairs
+            ),
+            per_g AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM per_gv GROUP BY g),
+            g1 AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS nn,
+                     SUM(CAST(n AS HUGEINT) * CAST(n AS HUGEINT)) AS sn2,
+                     SUM(CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) - 1) * (2 * CAST(n AS HUGEINT) + 5)) AS u1,
+                     SUM(CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) - 1)) AS u2,
+                     SUM(CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) - 1) * (CAST(n AS HUGEINT) - 2)) AS u3
+              FROM per_g
+            ),
+            per_v AS (SELECT v, CAST(SUM(c) AS BIGINT) AS t FROM per_gv GROUP BY v),
+            t1 AS (
+              SELECT SUM(CAST(t AS HUGEINT) * (CAST(t AS HUGEINT) - 1) * (2 * CAST(t AS HUGEINT) + 5)) AS w1,
+                     SUM(CAST(t AS HUGEINT) * (CAST(t AS HUGEINT) - 1)) AS w2,
+                     SUM(CAST(t AS HUGEINT) * (CAST(t AS HUGEINT) - 1) * (CAST(t AS HUGEINT) - 2)) AS w3
+              FROM per_v
+            ),
+            d AS (
+              SELECT j.jt2, g.k, g.nn, CAST(g.nn AS DOUBLE) AS nd,
+                     CAST(CAST(g.nn AS HUGEINT) * g.nn - g.sn2 AS DOUBLE) / 2.0 AS e2,
+                     CAST(g.u1 AS DOUBLE) AS u1d, CAST(g.u2 AS DOUBLE) AS u2d,
+                     CAST(g.u3 AS DOUBLE) AS u3d,
+                     CAST(t.w1 AS DOUBLE) AS w1d, CAST(t.w2 AS DOUBLE) AS w2d,
+                     CAST(t.w3 AS DOUBLE) AS w3d
+              FROM jt j, g1 g, t1 t
+            ),
+            e AS (
+              SELECT jt2, k, nn, nd, e2,
+                     nd * (nd - 1.0) * (2.0 * nd + 5.0) - u1d - w1d AS a,
+                     u3d * w3d / (36.0 * nd * (nd - 1.0) * (nd - 2.0)) AS bb,
+                     u2d * w2d / (8.0 * nd * (nd - 1.0)) AS cc
+              FROM d
+            )
+            SELECT CAST(k AS BIGINT) AS n_groups, CAST(nn AS BIGINT) AS n_total,
+                   {_gq("CAST(jt2 AS DOUBLE) / 2.0", 6)} AS jt_statistic,
+                   {_gq("e2 / 2.0", 6)} AS expected_jt,
+                   CASE WHEN k > 1 AND a / 72.0 + bb + cc > 0
+                        THEN {_gq("(CAST(jt2 AS DOUBLE) - e2) / (2.0 * sqrt(a / 72.0 + bb + cc))", 6)}
+                   END AS jt_z
+            FROM e""",
+        "good_turing_missing_mass_by_source": rf"""
+            -- the chao1 tokenization and term-frequency frame; P0 = N1/N
+            -- and r1* = 2*N2/N1 as single int-derived IEEE divisions
+            -- (lockstep with profiling.good_turing_missing_mass)
+            WITH toks AS (
+              SELECT source, unnest({_TOKS}) AS t FROM documents
+              WHERE length(trim(lower(text))) > 0
+            ),
+            tf AS (SELECT source, t, COUNT(*) AS c FROM toks GROUP BY 1, 2)
+            SELECT source,
+                   CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_terms,
+                   CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1_singletons,
+                   CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2_doubletons,
+                   CASE WHEN SUM(c) > 0
+                        THEN {_gq("CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)", 6)}
+                   END AS missing_mass,
+                   CASE WHEN SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) > 0
+                        THEN {_gq("2.0 * CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)", 6)}
+                   END AS r1_adjusted
+            FROM tf GROUP BY source ORDER BY source""",
     }

@@ -3050,3 +3050,369 @@ def wasserstein_drift_by_group(
             grid_round(F.col("_w").cast("double"), scale),
         ).alias("w1_distance"),
     )
+
+
+def brown_forsythe_test(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    scale: int = 6,
+) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test (Brown & Forsythe 1974,
+    public; Levene 1960's test with median centers): one-way ANOVA F on
+    the absolute deviations z = |x − median_group| — the robust "do these
+    groups have the same SPREAD" companion to Kruskal-Wallis's
+    same-location question, and the precondition check before any pooled-
+    variance readout (welch_t exists precisely because this often fails).
+
+    Exactness: per-group medians come from `profiling.exact_percentiles`'
+    explicit order statistics (fixed IEEE interpolation, engine-identical);
+    z quantizes on the 1e-9 grid into DECIMAL(18,9) so Σz and Σz² are
+    exact (the (18,9)×(18,9)→(37,18) product is exact — the CUPED operand
+    discipline; contract: |z| < 1e9); per-group means and the
+    sum-of-squares terms are fixed IEEE expressions grid-9-quantized into
+    exact DECIMAL sums; F is one final expression on the 1e-6 grid.
+    Shape: one window sort for the medians (per-group partitions), one
+    broadcast join of the k-row median frame, two combinable reduces and
+    a k-row pass — no corpus-sized joins."""
+    from .profiling import _interp_median
+
+    meds = _interp_median(df.select(group_col, value_col), value_col, [group_col])
+    z9 = grid_round(
+        F.abs(F.col(value_col).cast("double") - F.col("_m")), 9
+    ).cast("decimal(18,9)")
+    zrows = (
+        df.where(F.col(value_col).isNotNull())
+        .join(F.broadcast(meds), group_col)
+        .select(F.col(group_col).alias("_g"), z9.alias("_z"))
+    )
+    per = zrows.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_z").cast("decimal(28,9)").alias("s"),
+        F.sum((F.col("_z") * F.col("_z")).cast("decimal(38,18)"))
+        .cast("decimal(38,18)")
+        .alias("q"),
+    )
+    glob = per.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("s").cast("decimal(38,9)").alias("ss"),
+    )
+    mj = grid_round(F.col("s").cast("double") / F.col("n").cast("double"), 9)
+    mg = grid_round(F.col("ss").cast("double") / F.col("nn").cast("double"), 9)
+    # SSW_j = Σz² − n·m_j² and SSB_j = n·(m_j − m)², each one fixed IEEE
+    # expression of exact decimal/long inputs, 1e-9-quantized into exact
+    # decimal sums (partition-order independence)
+    ssw_t = grid_round(
+        F.col("q").cast("double") - F.col("n").cast("double") * mj * mj, 9
+    ).cast("decimal(38,9)")
+    ssb_t = grid_round(
+        F.col("n").cast("double") * (mj - mg) * (mj - mg), 9
+    ).cast("decimal(38,9)")
+    red = (
+        per.crossJoin(F.broadcast(glob))
+        .groupBy()
+        .agg(
+            F.max("k").alias("k"),
+            F.max("nn").alias("nn"),
+            F.sum(ssw_t).alias("ssw"),
+            F.sum(ssb_t).alias("ssb"),
+        )
+    )
+    kd = F.col("k").cast("double")
+    nd = F.col("nn").cast("double")
+    fstat = ((nd - kd) / (kd - 1.0)) * (
+        F.col("ssb").cast("double") / F.col("ssw").cast("double")
+    )
+    return red.select(
+        F.col("k").cast("long").alias("n_groups"),
+        F.col("nn").cast("long").alias("n_total"),
+        (F.col("k") - 1).cast("long").alias("df_between"),
+        (F.col("nn") - F.col("k")).cast("long").alias("df_within"),
+        F.when(
+            (F.col("k") > 1) & (F.col("nn") > F.col("k")) & (F.col("ssw") > 0),
+            grid_round(fstat, scale),
+        ).alias("bf_statistic"),
+    )
+
+
+def log_rank_test(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    start_type: str = "signup",
+    event_type: str = "purchase",
+    scale: int = 6,
+) -> DataFrame:
+    """Two-group log-rank test (Mantel 1966 / Peto & Peto 1972, public)
+    comparing time-to-first-conversion between the deterministic 50/50
+    split variant = user_id mod 2, with right-censoring at the corpus
+    horizon — the SIGNIFICANCE companion to `survival_hazard_curve`'s
+    descriptive KM curve and the survival-time analog of
+    `two_proportion_ab_test`'s endpoint-only z: at every distinct event
+    day the observed variant-1 events are compared against the
+    hypergeometric expectation given both risk sets.
+
+    Exactness: risk sets, event and censor counts are exact integers
+    (same per-user collapse as survival_hazard_curve, ref
+    sdl-core test queries have no analog — public construction); each
+    day's E₁ = d·n₁/n and hypergeometric variance
+    V = d·(n₁/n)·(n₂/n)·(n−d)/(n−1) are fixed IEEE expressions
+    1e-9-quantized into exact DECIMAL sums; the final chi-square is one
+    expression on the 1e-6 grid. Shape: corpus collapses to one row per
+    user (combinable), then day-grain frames bounded by the observation
+    window — the cumulative window runs on the day dictionary, never the
+    corpus."""
+    starts = (
+        df.where(F.col(type_col) == start_type)
+        .groupBy(user_col)
+        .agg(F.min(F.col(ts_col).cast("double")).alias("t0"))
+    )
+    horizon = df.agg(F.max(F.col(ts_col).cast("double")).alias("tmax"))
+    first_ev = (
+        df.where(F.col(type_col) == event_type)
+        .select(user_col, F.col(ts_col).cast("double").alias("te"))
+        .join(starts, user_col)
+        .where(F.col("te") >= F.col("t0"))
+        .groupBy(user_col)
+        .agg(F.min("te").alias("te"))
+    )
+    per_user = (
+        starts.join(first_ev, user_col, "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            (F.col(user_col) % 2).cast("int").alias("_v"),
+            F.when(
+                F.col("te").isNotNull(),
+                F.floor((F.col("te") - F.col("t0")) / 86400.0),
+            ).alias("event_day"),
+            F.floor((F.col("tmax") - F.col("t0")) / 86400.0).alias("censor_day"),
+        )
+    )
+    per_day = per_user.groupBy(
+        F.coalesce(F.col("event_day"), F.col("censor_day")).alias("t")
+    ).agg(
+        F.sum(F.when(F.col("event_day").isNotNull() & (F.col("_v") == 0), 1).otherwise(0)).alias("d0"),
+        F.sum(F.when(F.col("event_day").isNotNull() & (F.col("_v") == 1), 1).otherwise(0)).alias("d1"),
+        F.sum(F.when(F.col("event_day").isNull() & (F.col("_v") == 0), 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("event_day").isNull() & (F.col("_v") == 1), 1).otherwise(0)).alias("c1"),
+    )
+    totals = per_user.groupBy().agg(
+        F.sum(F.when(F.col("_v") == 0, 1).otherwise(0)).cast("long").alias("na"),
+        F.sum(F.when(F.col("_v") == 1, 1).otherwise(0)).cast("long").alias("nb"),
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    at_risk = per_day.crossJoin(F.broadcast(totals)).select(
+        "t",
+        "d0",
+        "d1",
+        "na",
+        "nb",
+        (F.col("na") - F.coalesce(F.sum(F.col("d0") + F.col("c0")).over(w), F.lit(0))).alias("r0"),
+        (F.col("nb") - F.coalesce(F.sum(F.col("d1") + F.col("c1")).over(w), F.lit(0))).alias("r1"),
+    )
+    n = (F.col("r0") + F.col("r1")).cast("double")
+    d = (F.col("d0") + F.col("d1")).cast("double")
+    e1 = F.when(
+        (F.col("d0") + F.col("d1") > 0) & (F.col("r0") + F.col("r1") > 0),
+        grid_round(d * F.col("r1").cast("double") / n, 9),
+    ).otherwise(F.lit(0.0)).cast("decimal(28,9)")
+    v1 = F.when(
+        (F.col("d0") + F.col("d1") > 0) & (F.col("r0") + F.col("r1") > 1),
+        grid_round(
+            d
+            * (F.col("r0").cast("double") / n)
+            * (F.col("r1").cast("double") / n)
+            * ((n - d) / (n - 1.0)),
+            9,
+        ),
+    ).otherwise(F.lit(0.0)).cast("decimal(28,9)")
+    red = at_risk.groupBy().agg(
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum(e1).alias("e1"),
+        F.sum(v1).alias("v1"),
+    )
+    diff = F.col("o1").cast("double") - F.col("e1").cast("double")
+    return red.select(
+        F.col("na").cast("long").alias("n_users_a"),
+        F.col("nb").cast("long").alias("n_users_b"),
+        F.col("o1").cast("long").alias("observed_b"),
+        grid_round(F.col("e1").cast("double"), scale).alias("expected_b"),
+        F.when(
+            F.col("v1") > 0,
+            grid_round(diff * diff / F.col("v1").cast("double"), scale),
+        ).alias("logrank_chi2"),
+    )
+
+
+def mcnemar_paired_test(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    event_type: str = "purchase",
+    scale: int = 6,
+) -> DataFrame:
+    """McNemar's paired-binary test (McNemar 1947, public) on the
+    within-user change of a binary outcome between the user's
+    chronological first and second half of activity: did the per-user
+    probability of `event_type` CHANGE over each user's own timeline —
+    the paired companion to `two_proportion_ab_test`'s independent-groups
+    z (pairing on the user removes between-user variance). Uses the
+    Edwards continuity-corrected form (|b−c|−1)²/(b+c) over the
+    discordant counts, with the corrected numerator floored at 0.
+
+    Exactness: every input is an exact integer count (the half split is
+    the exact order-statistic rule shared with wilcoxon/cuped); the
+    statistic is one fixed IEEE expression on the 1e-6 grid. Shape: one
+    per-user window split, one combinable per-user reduce, one 1-row
+    reduce — no joins."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    wg = Window.partitionBy(user_col)
+    halved = df.select(
+        F.col(user_col).alias("_u"),
+        (F.col(type_col) == event_type).cast("int").alias("_hit"),
+        (F.row_number().over(w) * 2 <= F.count(F.lit(1)).over(wg) + 1).alias("_fh"),
+        F.count(F.lit(1)).over(wg).alias("_n"),
+    )
+    per = (
+        halved.where(F.col("_n") >= 2)
+        .groupBy("_u")
+        .agg(
+            F.max(F.when(F.col("_fh"), F.col("_hit")).otherwise(0)).alias("p1"),
+            F.max(F.when(~F.col("_fh"), F.col("_hit")).otherwise(0)).alias("p2"),
+        )
+    )
+    red = per.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(((F.col("p1") == 1) & (F.col("p2") == 1)).cast("int")).cast("long").alias("n_both"),
+        F.sum(((F.col("p1") == 1) & (F.col("p2") == 0)).cast("int")).cast("long").alias("n_first_only"),
+        F.sum(((F.col("p1") == 0) & (F.col("p2") == 1)).cast("int")).cast("long").alias("n_second_only"),
+        F.sum(((F.col("p1") == 0) & (F.col("p2") == 0)).cast("int")).cast("long").alias("n_neither"),
+    )
+    b = F.col("n_first_only").cast("double")
+    c = F.col("n_second_only").cast("double")
+    num = F.greatest(F.abs(b - c) - 1.0, F.lit(0.0))
+    return red.select(
+        "n_users",
+        "n_both",
+        "n_first_only",
+        "n_second_only",
+        "n_neither",
+        F.when(b + c > 0, grid_round(num * num / (b + c), scale)).alias("mcnemar_chi2"),
+    )
+
+
+def jonckheere_terpstra_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    scale: int = 6,
+) -> DataFrame:
+    """Jonckheere-Terpstra ordered-alternative trend test (Terpstra 1952 /
+    Jonckheere 1954, public): across groups in their natural label order,
+    is the value distribution stochastically INCREASING — strictly more
+    powerful than Kruskal-Wallis when the alternative is a monotone trend
+    (K-W asks "any difference", J-T asks "ordered difference"). JT is the
+    sum over ordered group pairs (i<j) of Mann-Whitney counts
+    #{x∈Gᵢ < y∈Gⱼ} + ½·ties; the z-score uses the tie-corrected null
+    variance (Hollander & Wolfe 1999 form).
+
+    Exactness: 2·JT and 2·E[JT] are exact integers (halves only from tie
+    counts); every variance ingredient (Σnᵢ(nᵢ−1)(2nᵢ+5), the pooled
+    tie-count analogs) is an exact DECIMAL(38,0) integer aggregate; z is
+    one final IEEE expression on the 1e-6 grid. Shape: the corpus
+    collapses to a per-(group, value) dictionary; cumulative-below counts
+    come from k dictionary-length window passes; the pair sum is ONE
+    dictionary self-join on the value (k²/2 ordered group pairs share
+    it). The dictionary is value-SUPPORT-sized — for currency/integer
+    domains it is bounded by the value range regardless of corpus rows
+    (the ks_statistic discipline; quantize continuous values first)."""
+    per_gv = (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col).alias("_g"),
+            F.col(value_col).cast("double").alias("_v"),
+        )
+        .groupBy("_g", "_v")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    # (value × group) grid so cum-below is defined at EVERY support point
+    vals = per_gv.select("_v").distinct()
+    grps = per_gv.select("_g").distinct()
+    grid = vals.crossJoin(F.broadcast(grps)).join(per_gv, ["_v", "_g"], "left").select(
+        "_v", "_g", F.coalesce(F.col("_c"), F.lit(0)).alias("c")
+    )
+    wv = Window.partitionBy("_g").orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = grid.select(
+        "_v", "_g", "c", F.coalesce(F.sum("c").over(wv), F.lit(0)).alias("lt")
+    )
+    lo = cum.select(
+        F.col("_v").alias("v"),
+        F.col("_g").alias("gi"),
+        F.col("c").alias("ci"),
+        F.col("lt").alias("lti"),
+    )
+    hi = cum.select(
+        F.col("_v").alias("v"), F.col("_g").alias("gj"), F.col("c").alias("cj")
+    )
+    # ordered pairs share one support-sized equi-join on the value;
+    # the pair terms multiply in DECIMAL(38,0), never long (2·c·lt can
+    # pass 2^63 on a 100 TB corpus long before the decimal cap)
+    pairs = lo.join(hi, "v").where(F.col("gi") < F.col("gj"))
+    cj38 = F.col("cj").cast("decimal(38,0)")
+    jt2 = pairs.groupBy().agg(
+        F.sum(
+            F.lit(2).cast("decimal(38,0)") * cj38 * F.col("lti")
+            + F.col("ci").cast("decimal(38,0)") * cj38
+        )
+        .cast("decimal(38,0)")
+        .alias("jt2")
+    )
+    per_g = per_gv.groupBy("_g").agg(F.sum("_c").cast("long").alias("n"))
+    ni = F.col("n").cast("decimal(38,0)")
+    gstats = per_g.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum(ni * ni).cast("decimal(38,0)").alias("sn2"),
+        F.sum(ni * (ni - 1) * (2 * ni + 5)).cast("decimal(38,0)").alias("u1"),
+        F.sum(ni * (ni - 1)).cast("decimal(38,0)").alias("u2"),
+        F.sum(ni * (ni - 1) * (ni - 2)).cast("decimal(38,0)").alias("u3"),
+    )
+    per_v = per_gv.groupBy("_v").agg(F.sum("_c").cast("long").alias("t"))
+    tv = F.col("t").cast("decimal(38,0)")
+    tstats = per_v.groupBy().agg(
+        F.sum(tv * (tv - 1) * (2 * tv + 5)).cast("decimal(38,0)").alias("w1"),
+        F.sum(tv * (tv - 1)).cast("decimal(38,0)").alias("w2"),
+        F.sum(tv * (tv - 1) * (tv - 2)).cast("decimal(38,0)").alias("w3"),
+    )
+    red = jt2.crossJoin(F.broadcast(gstats)).crossJoin(F.broadcast(tstats))
+    nd = F.col("nn").cast("double")
+    # E[2·JT] = (N² − Σnᵢ²)/2 — exact integer halves cancel in 2·JT − 2·E
+    e2 = (
+        F.col("nn").cast("decimal(38,0)") * F.col("nn") - F.col("sn2")
+    ).cast("double") / 2.0
+    a = nd * (nd - 1.0) * (2.0 * nd + 5.0) - F.col("u1").cast("double") - F.col(
+        "w1"
+    ).cast("double")
+    bb = F.col("u3").cast("double") * F.col("w3").cast("double") / (
+        36.0 * nd * (nd - 1.0) * (nd - 2.0)
+    )
+    cc = F.col("u2").cast("double") * F.col("w2").cast("double") / (
+        8.0 * nd * (nd - 1.0)
+    )
+    var = a / 72.0 + bb + cc
+    z = (F.col("jt2").cast("double") - e2) / (2.0 * F.sqrt(var))
+    return red.select(
+        F.col("k").cast("long").alias("n_groups"),
+        F.col("nn").cast("long").alias("n_total"),
+        grid_round(F.col("jt2").cast("double") / 2.0, scale).alias("jt_statistic"),
+        grid_round(e2 / 2.0, scale).alias("expected_jt"),
+        F.when((F.col("k") > 1) & (var > 0), grid_round(z, scale)).alias("jt_z"),
+    )

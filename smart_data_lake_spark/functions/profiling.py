@@ -1561,3 +1561,42 @@ def theil_decomposition(
             "theil_within"
         ),
     )
+
+
+def good_turing_missing_mass(
+    df,
+    group_col: str = "source",
+    text_col: str = "text",
+    decimals: int = 6,
+):
+    """Good-Turing estimate of the UNSEEN probability mass per group
+    (Good 1953, public): P₀ = N₁/N — the probability that the next token
+    drawn from the source is a type never seen in the sample — plus the
+    Good-Turing adjusted count for singletons r₁* = 2·N₂/N₁. The
+    training-data coverage gauge next to `chao1_vocab_richness`: Chao1
+    estimates how many TYPES are missing; Good-Turing estimates how much
+    PROBABILITY the missing types carry (a source can have huge unseen
+    vocabulary of negligible mass, or few unseen types you will still hit
+    constantly). A high missing_mass says more data from this source
+    still adds information; near zero says the source is token-saturated.
+
+    Exactness: N, N₁, N₂ are exact integer aggregates over the term-
+    frequency frame; both ratios are single int-derived IEEE divisions on
+    the shared 1e-6 grid. Shape: one explode + (group, term) map-side-
+    combined count, then one combinable per-group reduce over
+    vocabulary-scale rows — no joins, no windows (the chao1 shape)."""
+    from .text import tokens
+
+    toks = df.select(F.col(group_col), F.explode(tokens(F.col(text_col))).alias("_t"))
+    tf = toks.groupBy(group_col, "_t").agg(F.count(F.lit(1)).alias("_c"))
+    n = F.sum("_c").cast("double")
+    n1 = F.sum(F.when(F.col("_c") == 1, 1).otherwise(0)).cast("double")
+    n2 = F.sum(F.when(F.col("_c") == 2, 1).otherwise(0)).cast("double")
+    return tf.groupBy(group_col).agg(
+        F.sum("_c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum(F.when(F.col("_c") == 1, 1).otherwise(0)).cast("long").alias("f1_singletons"),
+        F.sum(F.when(F.col("_c") == 2, 1).otherwise(0)).cast("long").alias("f2_doubletons"),
+        F.when(n > 0, grid_round(n1 / n, decimals)).alias("missing_mass"),
+        F.when(n1 > 0, grid_round(2.0 * n2 / n1, decimals)).alias("r1_adjusted"),
+    )
