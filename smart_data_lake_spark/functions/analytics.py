@@ -3332,6 +3332,11 @@ def jonckheere_terpstra_test(
     it). The dictionary is value-SUPPORT-sized — for currency/integer
     domains it is bounded by the value range regardless of corpus rows
     (the ks_statistic discipline; quantize continuous values first)."""
+    from ..session import lineage_pin
+
+    # the dictionary feeds FOUR consumers (pair-join lo/hi, per-group and
+    # per-value tie stats) — pin it so each doesn't re-run the corpus
+    # aggregation (lazy pin: plan building stays execution-free)
     per_gv = (
         df.where(F.col(value_col).isNotNull())
         .select(
@@ -3340,6 +3345,7 @@ def jonckheere_terpstra_test(
         )
         .groupBy("_g", "_v")
         .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        .transform(lineage_pin)
     )
     # (value × group) grid so cum-below is defined at EVERY support point
     vals = per_gv.select("_v").distinct()

@@ -263,6 +263,19 @@ def main(
         "yules_k_by_source",
         "vocab_churn_by_source",
         "cohens_kappa_lang_id",
+        # post-freeze r11 additions (r12 rotation queue)
+        "wilcoxon_signed_rank_user_halves",
+        "friedman_value_by_type_blocks",
+        "cuped_adjusted_value_ab",
+        "lorenz_curve_spend_by_nation",
+        "bowley_moors_value_by_type",
+        "theil_decomposition_spend",
+        "wasserstein_value_drift_by_type",
+        "brown_forsythe_value_by_type",
+        "log_rank_conversion_by_variant",
+        "mcnemar_paired_conversion",
+        "jonckheere_price_by_priority",
+        "good_turing_missing_mass_by_source",
     ]
 
     from smart_data_lake_spark.session import release_persistent_rdds
