@@ -2681,6 +2681,18 @@ def kruskal_wallis_by_group_dict(
     )
 
 
+def _chrono_first_half(partition_col: str, ts_col: str, tiebreak_col: str) -> Column:
+    """THE chronological half-split predicate (one definition for the
+    whole paired family — wilcoxon/cuped via _user_half_sums, mcnemar,
+    wasserstein): row r of n in (ts, tiebreak) order is in the first half
+    iff 2r ≤ n+1, i.e. the first half takes the ceil(n/2) EARLIEST rows —
+    the exact order-statistic rule every lockstep oracle spells as
+    `row_number()*2 <= COUNT(*)+1`."""
+    w = Window.partitionBy(partition_col).orderBy(ts_col, tiebreak_col)
+    wg = Window.partitionBy(partition_col)
+    return F.row_number().over(w) * 2 <= F.count(F.lit(1)).over(wg) + 1
+
+
 def _user_half_sums(
     df: DataFrame,
     user_col: str,
@@ -2694,14 +2706,12 @@ def _user_half_sums(
     earliest events by (ts, tiebreak) — the exact order-statistic rule —
     with values grid-6-quantized to DECIMAL(18,6). Returns one row per
     user (plus ``extra_cols`` grouping columns): (s1, n1, s2, n2)."""
-    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
-    wg = Window.partitionBy(user_col)
     xq = grid_round(F.col(value_col), 6).cast("decimal(18,6)")
     halved = df.where(F.col(value_col).isNotNull()).select(
         F.col(user_col).alias("_u"),
         *extra_cols,
         xq.alias("_x"),
-        (F.row_number().over(w) * 2 <= F.count(F.lit(1)).over(wg) + 1).alias("_fh"),
+        _chrono_first_half(user_col, ts_col, tiebreak_col).alias("_fh"),
     )
     group_cols = ["_u"] + [halved.columns[1 + i] for i in range(len(extra_cols))]
     return halved.groupBy(*group_cols).agg(
@@ -2840,7 +2850,13 @@ def friedman_test_by_block(
         F.sum((F.col("tt").cast("decimal(19,0)") * F.col("tt") - 1).cast("decimal(38,0)"))
         .cast("decimal(38,0)")
         .alias("tie3"),
-        (F.count(F.lit(1)) / F.max("_kt")).cast("long").alias("n_blocks"),
+        # coalesce to 0: with NO complete block the ranked frame is empty,
+        # max(_kt) is NULL and 0/NULL would emit NULL where the oracle's
+        # integer COUNT(*)//kt (and the pre-refactor literal k) compute 0
+        # (review-confirmed cross-engine bug)
+        F.coalesce((F.count(F.lit(1)) / F.max("_kt")).cast("long"), F.lit(0).cast("long")).alias(
+            "n_blocks"
+        ),
     )
     termj = grid_round(
         (F.col("r2sum").cast("double") / 2.0)
@@ -3000,14 +3016,12 @@ def wasserstein_drift_by_group(
     split, one (group, value) count aggregate, one window over DISTINCT
     values per group (support-sized, not corpus-sized), one combinable
     reduce."""
-    w = Window.partitionBy(group_col).orderBy(ts_col, tiebreak_col)
-    wg = Window.partitionBy(group_col)
     halved = (
         df.where(F.col(value_col).isNotNull())
         .select(
             F.col(group_col).alias("_g"),
             F.col(value_col).cast("double").alias("_v"),
-            (F.row_number().over(w) * 2 <= F.count(F.lit(1)).over(wg) + 1).alias("_fh"),
+            _chrono_first_half(group_col, ts_col, tiebreak_col).alias("_fh"),
         )
     )
     per_v = halved.groupBy("_g", "_v").agg(
@@ -3271,12 +3285,11 @@ def mcnemar_paired_test(
     statistic is one fixed IEEE expression on the 1e-6 grid. Shape: one
     per-user window split, one combinable per-user reduce, one 1-row
     reduce — no joins."""
-    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
     wg = Window.partitionBy(user_col)
     halved = df.select(
         F.col(user_col).alias("_u"),
         (F.col(type_col) == event_type).cast("int").alias("_hit"),
-        (F.row_number().over(w) * 2 <= F.count(F.lit(1)).over(wg) + 1).alias("_fh"),
+        _chrono_first_half(user_col, ts_col, tiebreak_col).alias("_fh"),
         F.count(F.lit(1)).over(wg).alias("_n"),
     )
     per = (

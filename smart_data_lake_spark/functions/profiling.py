@@ -1403,27 +1403,32 @@ def lorenz_curve_points(
         F.col(value_col).cast(dec).alias("_x"),
     )
     w = Window.partitionBy(group_col).orderBy(F.asc("_x"), F.asc(key_col))
-    wg = Window.partitionBy(group_col)
+    # ONE corpus-sized window pass (rank + cumsum); group totals come from
+    # a plain map-side-combinable aggregate, not a second window (r11
+    # review follow-up: the first rewrite ran the per-group sort twice).
+    # The rank side's group column is RENAMED so the left join below is
+    # unambiguous — the first rewrite's drop(ranked[group_col]) kept the
+    # RIGHT side's column, which is NULL exactly on the zero-cutoff rows
+    # the rewrite existed to add (review-confirmed bug).
     ranked = base.select(
-        group_col,
+        F.col(group_col).alias("_rg"),
         F.row_number().over(w).cast("long").alias("_i"),
         F.sum("_x").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("_cum"),
-        F.count(F.lit(1)).over(wg).cast("long").alias("_n"),
-        F.sum("_x").over(wg).alias("_tot"),
     )
     ds = [(d,) for d in range(1, deciles + 1)]
     dfr = base.sparkSession.createDataFrame(ds, "decile int")
-    groups = ranked.groupBy(group_col).agg(
-        F.max("_n").alias("_n"), F.max("_tot").alias("_tot")
+    groups = base.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_x").alias("_tot"),
     )
     grid = groups.crossJoin(F.broadcast(dfr)).withColumn(
         "_cutoff", F.expr(f"(_n * decile) div {int(deciles)}")
     )
     cut = grid.join(
-        ranked.select(group_col, F.col("_i"), F.col("_cum")),
-        (grid[group_col] == ranked[group_col]) & (F.col("_cutoff") == F.col("_i")),
+        ranked,
+        (F.col(group_col) == F.col("_rg")) & (F.col("_cutoff") == F.col("_i")),
         "left",
-    ).drop(ranked[group_col])
+    )
     return cut.select(
         group_col,
         F.col("decile"),

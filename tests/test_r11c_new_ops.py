@@ -282,3 +282,37 @@ def test_good_turing_engine_exact(spark, token_lists):
         "good_turing_missing_mass_by_source",
         {"documents": _docs_table(token_lists)},
     )
+
+
+# --------------------------------------------- r11 late-review regressions
+
+
+def test_lorenz_small_group_keeps_group_name(spark):
+    """Review-confirmed bug: the first always-10-rows rewrite dropped the
+    GRID side's group column in the left join, so zero-cutoff rows (groups
+    with < deciles members) came back with group NULL instead of the name."""
+    from smart_data_lake_spark.functions.profiling import lorenz_curve_points
+
+    df = spark.createDataFrame(
+        [("A", i, float(i + 1)) for i in range(3)],
+        "grp string, k long, v double",
+    )
+    rows = lorenz_curve_points(df, "grp", "k", "v").orderBy("decile").collect()
+    assert len(rows) == 10
+    assert all(r["grp"] == "A" for r in rows)
+    # cutoffs for n=3: deciles 1-3 -> rank 0 -> exact 0.0 points
+    assert [r["cum_share"] for r in rows[:3]] == [0.0, 0.0, 0.0]
+    assert rows[-1]["cum_share"] == 1.0
+
+
+def test_friedman_no_complete_blocks_zero(spark):
+    """Review-confirmed bug: with NO block observing every treatment the
+    ranked frame is empty and 0/NULL emitted n_blocks NULL where the
+    oracle's integer division (and the pre-refactor literal) compute 0."""
+    from smart_data_lake_spark.functions.analytics import friedman_test_by_block
+
+    rows = [(0, 0, "a", 1.0, 0), (1, 1, "b", 2.0, 1)]
+    out = friedman_test_by_block(_events(spark, rows)).collect()[0]
+    assert out["n_treatments"] == 2
+    assert out["n_blocks"] == 0
+    assert out["friedman_chi2"] is None

@@ -76,8 +76,15 @@ def plan_hashes(keys: list[str], sf_dir: str = "/root/testdata/sf0.001") -> dict
             # violation by verify(); skipping here keeps the tool able to
             # PRINT that violation instead of dying on a KeyError
             continue
-        df = q[k](spark, sf_dir)
-        s = df._jdf.queryExecution().analyzed().toString()
+        try:
+            df = q[k](spark, sf_dir)
+            s = df._jdf.queryExecution().analyzed().toString()
+        except Exception as exc:  # noqa: BLE001
+            # a frozen member whose BUILDER raises (e.g. a signature change
+            # in a shared library function) must surface as a reported
+            # violation, not a tool traceback (r11 review)
+            out[k] = f"BUILD_ERROR: {type(exc).__name__}: {exc}"
+            continue
         out[k] = hashlib.sha256(_normalize_plan(s).encode()).hexdigest()
     return out
 
@@ -142,6 +149,8 @@ def main() -> int:
                     problems.append(
                         f"frozen member {k!r} no longer buildable for plan hashing"
                     )
+                elif got[k].startswith("BUILD_ERROR:"):
+                    problems.append(f"frozen member {k!r} fails to build: {got[k]}")
                 elif got[k] != h:
                     problems.append(
                         f"Spark-side analyzed plan of frozen member {k!r} changed"
