@@ -3959,6 +3959,18 @@ def _banded_bucket_cte(bands: int, planes_per_band: int, seed: int = 42) -> str:
     return "\n  UNION ALL ".join(selects)
 
 
+def _dd(expr: str) -> str:
+    """SQL twin of `functions.numeric.dec_double` (r11 class fix):
+    engine-identical DECIMAL → DOUBLE via a VARCHAR round-trip — DuckDB's
+    native int128 cast double-rounds past 2^53 scaled, Spark's BigDecimal
+    cast is correctly rounded; the string path is correctly rounded in
+    BOTH. Delegates to `numeric.dec_double_sql` so the forms cannot
+    drift."""
+    from smart_data_lake_spark.functions.numeric import dec_double_sql
+
+    return dec_double_sql(expr)
+
+
 def _gq(expr: str, decimals: int) -> str:
     """SQL twin of `functions.analytics.grid_round` (r10 rounding sweep):
     sign-symmetric round-half-away-from-zero on the pure IEEE-double grid —
@@ -8199,14 +8211,18 @@ def oracle_sql() -> dict[str, str]:
               FROM urows
             ),
             d AS (
+              -- dec_double VARCHAR round-trips, not bare casts (r11 class
+              -- fix, lockstep with analytics.dec_double): the wide-decimal
+              -- sums pass 2^53 scaled, where the int128 two-step cast can
+              -- land an ulp off the correctly-rounded double
               SELECT n_users, m0, m1,
                      CAST(n_users AS DOUBLE) AS nd,
-                     CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
-                     CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd,
-                     CAST(syy AS DOUBLE) AS syyd,
-                     CAST(sy1 AS DOUBLE) AS sy1d, CAST(sx1 AS DOUBLE) AS sx1d,
+                     {_dd("sx")} AS sxd, {_dd("sy")} AS syd,
+                     {_dd("sxy")} AS sxyd, {_dd("sxx")} AS sxxd,
+                     {_dd("syy")} AS syyd,
+                     {_dd("sy1")} AS sy1d, {_dd("sx1")} AS sx1d,
                      CAST(m1 AS DOUBLE) AS m1d,
-                     CAST(sy0 AS DOUBLE) AS sy0d, CAST(sx0 AS DOUBLE) AS sx0d,
+                     {_dd("sy0")} AS sy0d, {_dd("sx0")} AS sx0d,
                      CAST(m0 AS DOUBLE) AS m0d
               FROM red
             ),
@@ -8426,8 +8442,10 @@ def oracle_sql() -> dict[str, str]:
                    END AS w1_distance
             FROM red ORDER BY event_type""",
         "brown_forsythe_value_by_type": f"""
-            -- exact order-statistic group medians (_interp_sql), grid-9
-            -- |x - med| into DECIMAL(18,9) exact sufficient statistics,
+            -- exact order-statistic group medians (_interp_sql), grid-6
+            -- |x - med| into DECIMAL(18,6) exact sufficient statistics
+            -- (the welch input discipline: scale-6 casts stay engine-
+            -- exact to |z| < 2^53/1e6),
             -- fixed-IEEE SS terms on the grid (lockstep with
             -- analytics.brown_forsythe_test)
             WITH ranked AS (
@@ -8439,42 +8457,56 @@ def oracle_sql() -> dict[str, str]:
             meds AS (SELECT g, {_interp_sql("val", 1, 2)} AS m FROM ranked GROUP BY g),
             zrows AS (
               SELECT e.event_type AS g,
-                     CAST({_gq("abs(CAST(e.value AS DOUBLE) - m.m)", 9)} AS DECIMAL(18,9)) AS z
+                     CAST({_gq("abs(CAST(e.value AS DOUBLE) - m.m)", 6)} AS DECIMAL(18,6)) AS z
               FROM events e JOIN meds m ON m.g = e.event_type
               WHERE e.value IS NOT NULL
             ),
             per AS (
               SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
-                     CAST(SUM(z) AS DECIMAL(28,9)) AS s,
-                     CAST(SUM(CAST(z AS DECIMAL(28,9)) * CAST(z AS DECIMAL(28,9))) AS DECIMAL(38,18)) AS q
+                     CAST(SUM(z) AS DECIMAL(28,6)) AS s,
+                     CAST(SUM(CAST(z AS DECIMAL(28,6)) * CAST(z AS DECIMAL(28,6))) AS DECIMAL(38,12)) AS q
               FROM zrows GROUP BY g
             ),
             gtot AS (
               SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS nn,
-                     CAST(SUM(s) AS DECIMAL(38,9)) AS ss
+                     CAST(SUM(s) AS DECIMAL(38,6)) AS ss
               FROM per
             ),
             terms AS (
-              SELECT p.n, g.k, g.nn, CAST(p.q AS DOUBLE) AS qd,
-                     {_gq("CAST(p.s AS DOUBLE) / CAST(p.n AS DOUBLE)", 9)} AS mj,
-                     {_gq("CAST(g.ss AS DOUBLE) / CAST(g.nn AS DOUBLE)", 9)} AS mg
+              SELECT p.n, g.k, g.nn, {_dd("p.q")} AS qd,
+                     {_gq(f'{_dd("p.s")} / CAST(p.n AS DOUBLE)', 9)} AS mj,
+                     {_gq(f'{_dd("g.ss")} / CAST(g.nn AS DOUBLE)', 9)} AS mg
               FROM per p, gtot g
             ),
             t2 AS (
-              SELECT k, nn,
-                     CAST({_gq("qd - CAST(n AS DOUBLE) * mj * mj", 9)} AS DECIMAL(38,9)) AS sswt,
-                     CAST({_gq("CAST(n AS DOUBLE) * (mj - mg) * (mj - mg)", 9)} AS DECIMAL(38,9)) AS ssbt
+              -- per-group MEAN-SQUARE quantities (bounded by squared
+              -- spread, not n*spread^2) to 1e-3-grid scaled integers,
+              -- n-multiplied in exact HUGEINT (the Spark DECIMAL(38,0)
+              -- twin); out-of-range pins to 0 inside the CASE (lockstep
+              -- with the ANSI-guarded Spark _si3) and the oob flags NULL
+              -- the statistic
+              SELECT k, nn, n,
+                     qd / CAST(n AS DOUBLE) - mj * mj AS w,
+                     (mj - mg) * (mj - mg) AS b
               FROM terms
             ),
             red AS (
               SELECT MAX(k) AS k, MAX(nn) AS nn,
-                     SUM(sswt) AS ssw, SUM(ssbt) AS ssb
+                     SUM(CASE WHEN abs(w) >= 4.61168601842738800e+15 THEN 1 ELSE 0 END) AS oob_w,
+                     SUM(CASE WHEN abs(b) >= 4.61168601842738800e+15 THEN 1 ELSE 0 END) AS oob_b,
+                     SUM(CAST(n AS HUGEINT) * (CASE WHEN abs(w) >= 4.61168601842738800e+15 THEN 0
+                         WHEN w >= 0 THEN CAST(floor(w * 1000.0 + 0.5) AS HUGEINT)
+                         ELSE -CAST(floor(-w * 1000.0 + 0.5) AS HUGEINT) END)) AS ssw,
+                     SUM(CAST(n AS HUGEINT) * (CASE WHEN abs(b) >= 4.61168601842738800e+15 THEN 0
+                         WHEN b >= 0 THEN CAST(floor(b * 1000.0 + 0.5) AS HUGEINT)
+                         ELSE -CAST(floor(-b * 1000.0 + 0.5) AS HUGEINT) END)) AS ssb
               FROM t2
             )
             SELECT CAST(k AS BIGINT) AS n_groups, CAST(nn AS BIGINT) AS n_total,
                    CAST(k - 1 AS BIGINT) AS df_between,
                    CAST(nn - k AS BIGINT) AS df_within,
                    CASE WHEN k > 1 AND nn > k AND ssw > 0
+                             AND oob_w = 0 AND oob_b = 0
                         THEN {_gq("((CAST(nn AS DOUBLE) - CAST(k AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0)) * (CAST(ssb AS DOUBLE) / CAST(ssw AS DOUBLE))", 6)}
                    END AS bf_statistic
             FROM red""",

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 # The shared cross-engine quantizer lives in the leaf module `numeric`;
 # re-exported here because most call sites historically import it from
 # analytics (and the oracle twin must stay next to it).
-from .numeric import grid_round, grid_round_sql  # noqa: F401
+from .numeric import dec_double, dec_double_sql, grid_round, grid_round_sql  # noqa: F401
 
 
 def grouped_linear_trend(
@@ -2957,22 +2957,25 @@ def cuped_adjusted_ab(
         F.sum(F.when(F.col("_v") == 0, 1).otherwise(0)).cast("long").alias("m0"),
     )
     n = F.col("n_users").cast("double")
-    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    # dec_double, not a bare cast (r11 class fix): the (38,18)/(38,9) sums
+    # pass 2^53 in scaled-integer terms, where DuckDB's two-step int128
+    # cast can land an ulp off Spark's correctly-rounded BigDecimal cast
+    sx, sy = dec_double(F.col("sx")), dec_double(F.col("sy"))
     sxy, sxx, syy = (
-        F.col("sxy").cast("double"),
-        F.col("sxx").cast("double"),
-        F.col("syy").cast("double"),
+        dec_double(F.col("sxy")),
+        dec_double(F.col("sxx")),
+        dec_double(F.col("syy")),
     )
     cov = sxy / n - (sx / n) * (sy / n)
     varx = sxx / n - (sx / n) * (sx / n)
     vary = syy / n - (sy / n) * (sy / n)
     theta = F.when(varx > 0, cov / varx)
     xbar = sx / n
-    adj1 = F.col("sy1").cast("double") / F.col("m1").cast("double") - theta * (
-        F.col("sx1").cast("double") / F.col("m1").cast("double") - xbar
+    adj1 = dec_double(F.col("sy1")) / F.col("m1").cast("double") - theta * (
+        dec_double(F.col("sx1")) / F.col("m1").cast("double") - xbar
     )
-    adj0 = F.col("sy0").cast("double") / F.col("m0").cast("double") - theta * (
-        F.col("sx0").cast("double") / F.col("m0").cast("double") - xbar
+    adj0 = dec_double(F.col("sy0")) / F.col("m0").cast("double") - theta * (
+        dec_double(F.col("sx0")) / F.col("m0").cast("double") - xbar
     )
     # guard BOTH variances: varx = 0 with vary > 0 makes cov²/(varx·vary)
     # a 0/0 — NaN on Spark, NULL on engines that null zero-division
@@ -3081,60 +3084,99 @@ def brown_forsythe_test(
 
     Exactness: per-group medians come from `profiling.exact_percentiles`'
     explicit order statistics (fixed IEEE interpolation, engine-identical);
-    z quantizes on the 1e-9 grid into DECIMAL(18,9) so Σz and Σz² are
-    exact (the (18,9)×(18,9)→(37,18) product is exact — the CUPED operand
-    discipline; contract: |z| < 1e9); per-group means and the
-    sum-of-squares terms are fixed IEEE expressions grid-9-quantized into
-    exact DECIMAL sums; F is one final expression on the 1e-6 grid.
+    z quantizes on the 1e-6 grid into DECIMAL(18,6) so Σz and Σz² are
+    exact (the (18,6)×(18,6)→(37,12) product is exact — the welch operand
+    discipline; contract: |z| < 9e9, the 2^53/1e6 cast-exactness bound);
+    per-group means are grid-9 finals;
+    the sum-of-squares terms are fixed IEEE expressions accumulated as
+    1e-3-grid SCALED INTEGERS (DECIMAL(38,0)) whose factor cancels in
+    the F ratio; F is one final expression on the 1e-6 grid. An SSW that
+    quantizes to 0 (spread below the 1e-3 grid) returns NULL — the
+    F statistic is unstable there by definition.
     Shape: one window sort for the medians (per-group partitions), one
     broadcast join of the k-row median frame, two combinable reduces and
     a k-row pass — no corpus-sized joins."""
     from .profiling import _interp_median
 
     meds = _interp_median(df.select(group_col, value_col), value_col, [group_col])
-    z9 = grid_round(
-        F.abs(F.col(value_col).cast("double") - F.col("_m")), 9
-    ).cast("decimal(18,9)")
+    # z quantizes at the 1e-6 grid into DECIMAL(18,6) — the welch/cuped
+    # INPUT discipline, not grid 9: a scale-d double→decimal cast is only
+    # engine-exact while |x|·10^d ≤ 2^53 (≈9e6 at d=9 but 9e9 at d=6 —
+    # the parity sweep caught grid-9 z's diverging at |z| ~ 6e8)
+    z6 = grid_round(
+        F.abs(F.col(value_col).cast("double") - F.col("_m")), 6
+    ).cast("decimal(18,6)")
     zrows = (
         df.where(F.col(value_col).isNotNull())
         .join(F.broadcast(meds), group_col)
-        .select(F.col(group_col).alias("_g"), z9.alias("_z"))
+        .select(F.col(group_col).alias("_g"), z6.alias("_z"))
     )
     per = zrows.groupBy("_g").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("_z").cast("decimal(28,9)").alias("s"),
-        F.sum((F.col("_z") * F.col("_z")).cast("decimal(38,18)"))
-        .cast("decimal(38,18)")
+        F.sum("_z").cast("decimal(28,6)").alias("s"),
+        F.sum((F.col("_z") * F.col("_z")).cast("decimal(38,12)"))
+        .cast("decimal(38,12)")
         .alias("q"),
     )
     glob = per.groupBy().agg(
         F.count(F.lit(1)).cast("long").alias("k"),
         F.sum("n").cast("long").alias("nn"),
-        F.sum("s").cast("decimal(38,9)").alias("ss"),
+        F.sum("s").cast("decimal(38,6)").alias("ss"),
     )
-    mj = grid_round(F.col("s").cast("double") / F.col("n").cast("double"), 9)
-    mg = grid_round(F.col("ss").cast("double") / F.col("nn").cast("double"), 9)
-    # SSW_j = Σz² − n·m_j² and SSB_j = n·(m_j − m)², each one fixed IEEE
-    # expression of exact decimal/long inputs, 1e-9-quantized into exact
-    # decimal sums (partition-order independence)
-    ssw_t = grid_round(
-        F.col("q").cast("double") - F.col("n").cast("double") * mj * mj, 9
-    ).cast("decimal(38,9)")
-    ssb_t = grid_round(
-        F.col("n").cast("double") * (mj - mg) * (mj - mg), 9
-    ).cast("decimal(38,9)")
+    # dec_double, not bare casts (r11 class fix, found live by THIS
+    # operator's parity harness: q's scaled integer passes 2^53, where
+    # DuckDB's two-step int128 cast lands an ulp off Spark's
+    # correctly-rounded BigDecimal cast — an ulp at q ~ 4e9 spans ~500
+    # 1e-9 grid steps, flipping ssw between exactly-0 and ~5e-7)
+    mj = grid_round(dec_double(F.col("s")) / F.col("n").cast("double"), 9)
+    mg = grid_round(dec_double(F.col("ss")) / F.col("nn").cast("double"), 9)
+    # SSW_j = n_j·w_j with w_j = Σz²/n − m_j², and SSB_j = n_j·b_j with
+    # b_j = (m_j − m)²: the PER-GROUP MEAN-SQUARE quantities w/b (bounded
+    # by the squared spread, NOT by n·spread²) quantize to 1e-3-grid
+    # SCALED INTEGERS, then multiply by n in exact DECIMAL(38,0) — the
+    # graph family's scaled-integer discipline. A grid-quantized-decimal
+    # accumulation is the engine-round() class at SS magnitudes (Spark
+    # casts double→decimal via the shortest-17-digit string, DuckDB by
+    # binary scaling — different decimals past scaled 2^53; found live by
+    # this operator's parity harness), and long-typed floor overflows if
+    # n multiplies INSIDE the double. The 1e3 factor cancels in F.
+    # Contract: squared spread < 2^62/1e3 (|z| ≲ 6.7e7) — an
+    # out-of-range group NULLs the whole statistic DETERMINISTICALLY in
+    # both engines instead of silently wrapping.
+
+    _lim = float(2**62) / 1e3
+
+    def _si3(x):
+        # in-range guard INSIDE the rounding (ANSI Spark errors on a
+        # long-overflowing floor): out-of-range pins to 0 and the oob
+        # flags NULL the statistic
+        p = F.floor(x * 1000.0 + 0.5)
+        m = -F.floor(-x * 1000.0 + 0.5)
+        return (
+            F.when(F.abs(x) >= _lim, F.lit(0))
+            .otherwise(F.when(x >= 0, p).otherwise(m))
+            .cast("decimal(38,0)")
+        )
+
+    wj = dec_double(F.col("q")) / F.col("n").cast("double") - mj * mj
+    bj = (mj - mg) * (mj - mg)
+    n19 = F.col("n").cast("decimal(19,0)")
     red = (
         per.crossJoin(F.broadcast(glob))
         .groupBy()
         .agg(
             F.max("k").alias("k"),
             F.max("nn").alias("nn"),
-            F.sum(ssw_t).alias("ssw"),
-            F.sum(ssb_t).alias("ssb"),
+            F.sum(F.when(F.abs(wj) >= _lim, 1).otherwise(0)).alias("oob_w"),
+            F.sum(F.when(F.abs(bj) >= _lim, 1).otherwise(0)).alias("oob_b"),
+            F.sum(n19 * _si3(wj)).alias("ssw"),
+            F.sum(n19 * _si3(bj)).alias("ssb"),
         )
     )
     kd = F.col("k").cast("double")
     nd = F.col("nn").cast("double")
+    # scale-0 decimal→double is a SINGLE correctly-rounded conversion in
+    # both engines (no 10^-scale second rounding)
     fstat = ((nd - kd) / (kd - 1.0)) * (
         F.col("ssb").cast("double") / F.col("ssw").cast("double")
     )
@@ -3144,7 +3186,11 @@ def brown_forsythe_test(
         (F.col("k") - 1).cast("long").alias("df_between"),
         (F.col("nn") - F.col("k")).cast("long").alias("df_within"),
         F.when(
-            (F.col("k") > 1) & (F.col("nn") > F.col("k")) & (F.col("ssw") > 0),
+            (F.col("k") > 1)
+            & (F.col("nn") > F.col("k"))
+            & (F.col("ssw") > 0)
+            & (F.col("oob_w") == 0)
+            & (F.col("oob_b") == 0),
             grid_round(fstat, scale),
         ).alias("bf_statistic"),
     )

@@ -69,3 +69,34 @@ def grid_round_sql(expr: str, decimals: int) -> str:
         f"ELSE -(floor(-({expr}) * {s}.0 + 0.5) / {s}.0) END) "
         f"ELSE ({expr}) END)"
     )
+
+
+def dec_double(c: Column) -> Column:
+    """Engine-identical DECIMAL → DOUBLE conversion via a string
+    round-trip — the class fix for the second rounding in wide-decimal
+    casts (found live by the brown_forsythe parity harness, r11):
+
+    Spark casts DECIMAL to double through ``BigDecimal.doubleValue()`` —
+    ONE correctly-rounded conversion of the true rational. DuckDB casts
+    its int128-backed decimals as ``(double)int128`` THEN divides by
+    ``10^scale`` — TWO roundings, which past ``scaled_int > 2^53`` can
+    land one ulp away from the correctly-rounded double (measured:
+    3378553576.3203125 at scale 18 → ``...a4001`` in DuckDB vs the exact
+    ``...a4000``; the value IS representable). An ulp at magnitude ~4e9
+    spans ~500 1e-9 grid steps, so grid_round does NOT absorb it.
+
+    decimal→string is exact plain-digit notation in both engines, and
+    string→double is correctly rounded in both (Java
+    ``Double.parseDouble`` / DuckDB strtod-class fast_float), so the
+    round-trip IS the correctly-rounded conversion everywhere. Apply to
+    any decimal whose scaled integer can pass 2^53 (scale-18 second
+    moments always; scale-9 sums past ~9e6); the frames involved are
+    post-reduce (1-row/k-row), so the per-row string cost is nil."""
+    return c.cast("string").cast("double")
+
+
+def dec_double_sql(expr: str) -> str:
+    """SQL twin of `dec_double` (the grid_round/grid_round_sql pairing
+    discipline): VARCHAR round-trip instead of DuckDB's double-rounding
+    int128 cast."""
+    return f"CAST(CAST(({expr}) AS VARCHAR) AS DOUBLE)"

@@ -1605,3 +1605,56 @@ def good_turing_missing_mass(
         F.when(n > 0, grid_round(n1 / n, decimals)).alias("missing_mass"),
         F.when(n1 > 0, grid_round(2.0 * n2 / n1, decimals)).alias("r1_adjusted"),
     )
+
+
+def exact_percentiles_dict(frame, col: str, group_cols: list[str], probs):
+    """Dictionary-rank twin of `exact_percentiles` — bit-identical values
+    from the DISTINCT-VALUE dictionary instead of a corpus-sized per-group
+    sort (the `mann_whitney_u_by_variant_dict` scale path applied to the
+    percentile library): per (group, value) counts, one cumulative window
+    over the value SUPPORT, and the order statistic at rank r is the
+    distinct value whose cumulative range covers r. The interpolation
+    `v_lo + (v_hi − v_lo)·frac` and the exact-integer rank/frac arithmetic
+    are the SAME expressions as `exact_percentiles`, so results are
+    bit-identical (hypothesis-proven equivalence); cost drops from
+    O(rows·log rows) per group to O(support·log support) after a
+    map-side-combinable count — for currency/integer/quantized domains the
+    support is bounded by the value RANGE regardless of corpus size. Use
+    this form when rows per group is corpus-scale; `exact_percentiles`
+    when the support is as large as the data anyway."""
+    from pyspark.sql import Window
+
+    per_v = (
+        frame.where(F.col(col).isNotNull())
+        .groupBy(*group_cols, col)
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    wv = Window.partitionBy(*group_cols).orderBy(F.col(col))
+    wg = Window.partitionBy(*group_cols)
+    cum = per_v.select(
+        *group_cols,
+        F.col(col),
+        F.sum("_c").over(wv.rowsBetween(Window.unboundedPreceding, 0)).cast("long").alias("_cum"),
+        F.col("_c"),
+        F.sum("_c").over(wg).cast("long").alias("_n"),
+    )
+    aggs = [F.max("_n").alias("_n")]
+    names = []
+    for alias, num, den in probs:
+        # identical rank arithmetic to exact_percentiles (exact integer div)
+        lo = F.expr(f"((_n - 1) * {int(num)}) div {int(den)}") + 1
+        hi = F.least(lo + 1, F.col("_n"))
+        covers_lo = (F.col("_cum") - F.col("_c") < lo) & (lo <= F.col("_cum"))
+        covers_hi = (F.col("_cum") - F.col("_c") < hi) & (hi <= F.col("_cum"))
+        aggs.append(F.max(F.when(covers_lo, F.col(col))).alias(f"_vlo_{alias}"))
+        aggs.append(F.max(F.when(covers_hi, F.col(col))).alias(f"_vhi_{alias}"))
+        names.append((alias, num, den))
+    red = cum.groupBy(*group_cols).agg(*aggs)
+    outs = list(group_cols)
+    for alias, num, den in names:
+        pos = (F.col("_n") - 1) * num
+        frac = (pos % den).cast("double") / float(den)
+        outs.append(
+            (F.col(f"_vlo_{alias}") + (F.col(f"_vhi_{alias}") - F.col(f"_vlo_{alias}")) * frac).alias(alias)
+        )
+    return red.select(*outs)

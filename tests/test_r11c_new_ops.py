@@ -11,7 +11,7 @@ import os
 import sys
 
 import pyarrow as pa
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -80,6 +80,10 @@ def test_brown_forsythe_single_group_null(spark):
 
 @settings(**_SETTINGS)
 @given(_vals)
+# the r11 dec_double class-fix witness: q = 2*41100.8125^2 has a scaled
+# integer past 2^53, where DuckDB's bare int128 decimal->double cast
+# landed an ulp off Spark's (ssw exactly-0 vs ~5e-7 -> None vs 1.77e15)
+@example(series=[0.0, 0.0, 0.0, 82201.625])
 def test_brown_forsythe_engine_exact(spark, series):
     _run_query_vs_oracle(
         spark,
@@ -316,3 +320,73 @@ def test_friedman_no_complete_blocks_zero(spark):
     assert out["n_treatments"] == 2
     assert out["n_blocks"] == 0
     assert out["friedman_chi2"] is None
+
+
+# ------------------------------------- dictionary-rank percentile scale path
+
+
+def _pct_rows(df, fn, probs):
+    out = fn(df, "v", ["g"], probs).orderBy("g").collect()
+    return [tuple(r) for r in out]
+
+
+def test_exact_percentiles_dict_known_ties(spark):
+    from smart_data_lake_spark.functions.profiling import (
+        exact_percentiles,
+        exact_percentiles_dict,
+    )
+
+    df = spark.createDataFrame(
+        [("a", v) for v in [1.0, 1.0, 1.0, 2.0, 5.0, 5.0]]
+        + [("b", v) for v in [3.0, 3.0, 3.0, 3.0]],
+        "g string, v double",
+    )
+    probs = [("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4)]
+    assert _pct_rows(df, exact_percentiles_dict, probs) == _pct_rows(
+        df, exact_percentiles, probs
+    )
+
+
+@settings(**_SETTINGS)
+@given(_vals)
+def test_exact_percentiles_dict_equivalence(spark, series):
+    """The dictionary-rank twin must be BIT-identical to the row-ranked
+    form on any frame (the mann_whitney _dict equivalence discipline) —
+    including tie-dense frames (values quantized to force collisions)."""
+    from smart_data_lake_spark.functions.profiling import (
+        exact_percentiles,
+        exact_percentiles_dict,
+    )
+
+    rows = [("g%d" % (i % 2), float(round(v, 1))) for i, v in enumerate(series)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    probs = [("p10", 1, 10), ("p50", 1, 2), ("p90", 9, 10)]
+    assert _pct_rows(df, exact_percentiles_dict, probs) == _pct_rows(
+        df, exact_percentiles, probs
+    )
+
+
+def test_dec_double_engine_identical(spark):
+    """The measured divergence witness for the dec_double class fix:
+    DuckDB's bare DECIMAL(38,18)->DOUBLE cast of 3378553576.3203125 is
+    one ulp off (two-step int128 cast); the VARCHAR round-trip is the
+    correctly-rounded double in BOTH engines."""
+    import duckdb
+
+    from smart_data_lake_spark.functions.numeric import dec_double, dec_double_sql
+    from pyspark.sql import functions as F
+
+    v = "3378553576.320312500000000000"
+    con = duckdb.connect()
+    bare = con.sql(f"SELECT CAST(CAST({v} AS DECIMAL(38,18)) AS DOUBLE)").fetchone()[0]
+    fixed = con.sql(
+        f"SELECT {dec_double_sql(f'CAST({v} AS DECIMAL(38,18))')}"
+    ).fetchone()[0]
+    assert bare != 3378553576.3203125  # the broken cast stays broken
+    assert fixed == 3378553576.3203125
+    got = (
+        spark.range(1)
+        .select(dec_double(F.lit(v).cast("decimal(38,18)")).alias("x"))
+        .collect()[0]["x"]
+    )
+    assert got == fixed == 3378553576.3203125
