@@ -8164,10 +8164,11 @@ def oracle_sql() -> dict[str, str]:
                    END AS friedman_chi2
             FROM red, ties, k""",
         "cuped_adjusted_value_ab": f"""
-            -- grid-9 per-user half means; exact decimal sufficient stats
-            -- ((28,9) product operands here: DuckDB needs the int128
-            -- path, while the Spark side multiplies (18,9) operands —
-            -- its (28,9) product clamps scale to 6); theta/means/ratio
+            -- GRID-6 per-user half means (the welch input discipline —
+            -- grid-9 decimal casts diverge past ~9e6, r11 magnitude
+            -- sweep); exact decimal sufficient stats ((28,6) product
+            -- operands here: DuckDB needs the int128 path, while the
+            -- Spark side multiplies (18,6) operands); theta/means/ratio
             -- one IEEE expression each (lockstep with
             -- analytics.cuped_adjusted_ab)
             WITH halved AS (
@@ -8189,24 +8190,24 @@ def oracle_sql() -> dict[str, str]:
               -- |half mean| < 1e9 contract filter, lockstep with
               -- cuped_adjusted_ab (consistent population in every sum)
               SELECT v,
-                     CAST({_gq("CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)", 9)} AS DECIMAL(28,9)) AS pre,
-                     CAST({_gq("CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)", 9)} AS DECIMAL(28,9)) AS post
+                     CAST({_gq("CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)", 6)} AS DECIMAL(28,6)) AS pre,
+                     CAST({_gq("CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)", 6)} AS DECIMAL(28,6)) AS post
               FROM per WHERE n1 > 0 AND n2 > 0
-                AND abs({_gq("CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)", 9)}) < 1e9
-                AND abs({_gq("CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)", 9)}) < 1e9
+                AND abs({_gq("CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)", 6)}) < 1e9
+                AND abs({_gq("CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)", 6)}) < 1e9
             ),
             red AS (
               SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
-                     CAST(SUM(pre) AS DECIMAL(38,9)) AS sx,
-                     CAST(SUM(post) AS DECIMAL(38,9)) AS sy,
-                     CAST(SUM(pre * post) AS DECIMAL(38,18)) AS sxy,
-                     CAST(SUM(pre * pre) AS DECIMAL(38,18)) AS sxx,
-                     CAST(SUM(post * post) AS DECIMAL(38,18)) AS syy,
-                     CAST(SUM(CASE WHEN v = 1 THEN post END) AS DECIMAL(38,9)) AS sy1,
-                     CAST(SUM(CASE WHEN v = 1 THEN pre END) AS DECIMAL(38,9)) AS sx1,
+                     CAST(SUM(pre) AS DECIMAL(38,6)) AS sx,
+                     CAST(SUM(post) AS DECIMAL(38,6)) AS sy,
+                     CAST(SUM(pre * post) AS DECIMAL(38,12)) AS sxy,
+                     CAST(SUM(pre * pre) AS DECIMAL(38,12)) AS sxx,
+                     CAST(SUM(post * post) AS DECIMAL(38,12)) AS syy,
+                     CAST(SUM(CASE WHEN v = 1 THEN post END) AS DECIMAL(38,6)) AS sy1,
+                     CAST(SUM(CASE WHEN v = 1 THEN pre END) AS DECIMAL(38,6)) AS sx1,
                      CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m1,
-                     CAST(SUM(CASE WHEN v = 0 THEN post END) AS DECIMAL(38,9)) AS sy0,
-                     CAST(SUM(CASE WHEN v = 0 THEN pre END) AS DECIMAL(38,9)) AS sx0,
+                     CAST(SUM(CASE WHEN v = 0 THEN post END) AS DECIMAL(38,6)) AS sy0,
+                     CAST(SUM(CASE WHEN v = 0 THEN pre END) AS DECIMAL(38,6)) AS sx0,
                      CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS m0
               FROM urows
             ),

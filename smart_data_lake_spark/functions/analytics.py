@@ -2903,20 +2903,23 @@ def cuped_adjusted_ab(
     difference, θ, and the variance-reduction ratio
     var(Y')/var(Y) ∈ (0, 1].
 
-    Exactness: half means are grid-9 rationals of exact decimal sums;
-    every covariance/variance comes from exact DECIMAL sufficient
-    statistics of those grid-fixed user rows (the pairwise_correlations
-    discipline); θ, means and the ratio are single IEEE expressions on
-    the 1e-6 grid. Shape: one per-user window split + combinable sums,
-    then ONE 1-row reduce over user rows — no joins.
+    Exactness: half means are GRID-6 rationals of exact decimal sums
+    (the welch input discipline — a scale-d double→decimal cast is only
+    engine-exact while |x|·10^d ≤ 2^53, so grid 6 covers the full 1e9
+    mean contract where grid 9 diverged past ~9e6; caught by the r11
+    magnitude sweep); every covariance/variance comes from exact DECIMAL
+    sufficient statistics of those grid-fixed user rows (the
+    pairwise_correlations discipline); θ, means and the ratio are single
+    IEEE expressions on the 1e-6 grid. Shape: one per-user window split
+    + combinable sums, then ONE 1-row reduce over user rows — no joins.
 
     Contract: users whose |half mean| ≥ 1e9 are EXCLUDED — consistently,
     from every sum (r11 review: the old form silently dropped only the
-    out-of-range user's product terms via the (18,9) cast's NULL while
-    the linear sums kept them, mixing populations); a metric at that
+    out-of-range user's product terms via the cast's NULL while the
+    linear sums kept them, mixing populations); a metric at that
     magnitude should be rescaled before CUPED."""
-    pre9 = grid_round(F.col("s1").cast("double") / F.col("n1").cast("double"), 9)
-    post9 = grid_round(F.col("s2").cast("double") / F.col("n2").cast("double"), 9)
+    pre9 = grid_round(F.col("s1").cast("double") / F.col("n1").cast("double"), 6)
+    post9 = grid_round(F.col("s2").cast("double") / F.col("n2").cast("double"), 6)
     per = (
         _user_half_sums(
             df,
@@ -2930,30 +2933,30 @@ def cuped_adjusted_ab(
         .where((F.abs(pre9) < 1e9) & (F.abs(post9) < 1e9))
         .select(
             "_v",
-            pre9.cast("decimal(28,9)").alias("_pre"),
-            post9.cast("decimal(28,9)").alias("_post"),
+            pre9.cast("decimal(28,6)").alias("_pre"),
+            post9.cast("decimal(28,6)").alias("_post"),
         )
     )
-    # (18,9) product operands: Spark's (28,9)x(28,9) CLAMPS the scale to 6
-    # (0.000000061^2 -> 0.000000, measured — the pairwise_correlations
-    # class at scale 9) while (18,9)x(18,9) -> (37,18) is exact; the
-    # DuckDB oracle widens operands to (28,9) instead (int64-storage
-    # product overflow, the gumbel lesson). The |half mean| < 1e9 filter
-    # above makes the (18,9) casts total.
-    p18 = F.col("_pre").cast("decimal(18,9)")
-    q18 = F.col("_post").cast("decimal(18,9)")
+    # (18,6) product operands: a wide-decimal product CLAMPS the scale
+    # (the pairwise_correlations class) while (18,6)x(18,6) -> (37,12) is
+    # exact — the welch operand discipline; the DuckDB oracle widens
+    # operands to (28,6) instead (int64-storage product overflow, the
+    # gumbel lesson). The |half mean| < 1e9 filter above makes the
+    # (18,6) casts total.
+    p18 = F.col("_pre").cast("decimal(18,6)")
+    q18 = F.col("_post").cast("decimal(18,6)")
     red = per.groupBy().agg(
         F.count(F.lit(1)).cast("long").alias("n_users"),
-        F.sum("_pre").cast("decimal(38,9)").alias("sx"),
-        F.sum("_post").cast("decimal(38,9)").alias("sy"),
-        F.sum((p18 * q18).cast("decimal(38,18)")).alias("sxy"),
-        F.sum((p18 * p18).cast("decimal(38,18)")).alias("sxx"),
-        F.sum((q18 * q18).cast("decimal(38,18)")).alias("syy"),
-        F.sum(F.when(F.col("_v") == 1, F.col("_post"))).cast("decimal(38,9)").alias("sy1"),
-        F.sum(F.when(F.col("_v") == 1, F.col("_pre"))).cast("decimal(38,9)").alias("sx1"),
+        F.sum("_pre").cast("decimal(38,6)").alias("sx"),
+        F.sum("_post").cast("decimal(38,6)").alias("sy"),
+        F.sum((p18 * q18).cast("decimal(38,12)")).alias("sxy"),
+        F.sum((p18 * p18).cast("decimal(38,12)")).alias("sxx"),
+        F.sum((q18 * q18).cast("decimal(38,12)")).alias("syy"),
+        F.sum(F.when(F.col("_v") == 1, F.col("_post"))).cast("decimal(38,6)").alias("sy1"),
+        F.sum(F.when(F.col("_v") == 1, F.col("_pre"))).cast("decimal(38,6)").alias("sx1"),
         F.sum(F.when(F.col("_v") == 1, 1).otherwise(0)).cast("long").alias("m1"),
-        F.sum(F.when(F.col("_v") == 0, F.col("_post"))).cast("decimal(38,9)").alias("sy0"),
-        F.sum(F.when(F.col("_v") == 0, F.col("_pre"))).cast("decimal(38,9)").alias("sx0"),
+        F.sum(F.when(F.col("_v") == 0, F.col("_post"))).cast("decimal(38,6)").alias("sy0"),
+        F.sum(F.when(F.col("_v") == 0, F.col("_pre"))).cast("decimal(38,6)").alias("sx0"),
         F.sum(F.when(F.col("_v") == 0, 1).otherwise(0)).cast("long").alias("m0"),
     )
     n = F.col("n_users").cast("double")
