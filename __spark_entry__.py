@@ -8457,50 +8457,63 @@ def oracle_sql() -> dict[str, str]:
             ),
             meds AS (SELECT g, {_interp_sql("val", 1, 2)} AS m FROM ranked GROUP BY g),
             zrows AS (
+              -- |deviation| past 2^53/1e6 cannot quantize engine-exactly
+              -- at scale 6: pinned to 0 in the sums and COUNTED, so the
+              -- statistic NULLs deterministically (lockstep with the
+              -- Spark z_oob guard)
               SELECT e.event_type AS g,
-                     CAST({_gq("abs(CAST(e.value AS DOUBLE) - m.m)", 6)} AS DECIMAL(18,6)) AS z
+                     CAST(CASE WHEN abs(CAST(e.value AS DOUBLE) - m.m) >= 9.0e9 THEN 0.0
+                          ELSE {_gq("abs(CAST(e.value AS DOUBLE) - m.m)", 6)} END AS DECIMAL(18,6)) AS z,
+                     CASE WHEN abs(CAST(e.value AS DOUBLE) - m.m) >= 9.0e9 THEN 1 ELSE 0 END AS zoob
               FROM events e JOIN meds m ON m.g = e.event_type
               WHERE e.value IS NOT NULL
             ),
             per AS (
               SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
                      CAST(SUM(z) AS DECIMAL(28,6)) AS s,
-                     CAST(SUM(CAST(z AS DECIMAL(28,6)) * CAST(z AS DECIMAL(28,6))) AS DECIMAL(38,12)) AS q
+                     CAST(SUM(CAST(z AS DECIMAL(28,6)) * CAST(z AS DECIMAL(28,6))) AS DECIMAL(38,12)) AS q,
+                     CAST(SUM(zoob) AS BIGINT) AS zoob
               FROM zrows GROUP BY g
             ),
             gtot AS (
               SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS nn,
-                     CAST(SUM(s) AS DECIMAL(38,6)) AS ss
+                     CAST(SUM(s) AS DECIMAL(38,6)) AS ss,
+                     CAST(SUM(zoob) AS BIGINT) AS g_zoob
               FROM per
             ),
             terms AS (
-              SELECT p.n, g.k, g.nn, {_dd("p.q")} AS qd,
+              SELECT p.n, g.k, g.nn, g.g_zoob, g.ss AS g_ss, {_dd("p.q")} AS qd,
                      {_gq(f'{_dd("p.s")} / CAST(p.n AS DOUBLE)', 9)} AS mj,
                      {_gq(f'{_dd("g.ss")} / CAST(g.nn AS DOUBLE)', 9)} AS mg
               FROM per p, gtot g
             ),
             t2 AS (
-              -- per-group MEAN-SQUARE quantities (bounded by squared
-              -- spread, not n*spread^2) to 1e-3-grid scaled integers,
-              -- n-multiplied in exact HUGEINT (the Spark DECIMAL(38,0)
-              -- twin); out-of-range pins to 0 inside the CASE (lockstep
-              -- with the ANSI-guarded Spark _si3) and the oob flags NULL
-              -- the statistic
-              SELECT k, nn, n,
-                     qd / CAST(n AS DOUBLE) - mj * mj AS w,
-                     (mj - mg) * (mj - mg) AS b
+              -- per-group mean-square quantities NORMALIZED by mg^2 (F
+              -- is scale-invariant; mg^2 cancels in the ratio) so the
+              -- 1e-9 scaled-integer grid carries ~9 RELATIVE digits at
+              -- any magnitude; mg = 0 pins to 0 (0/0 is NaN) and the
+              -- g_ss > 0 output condition returns the NULL (lockstep
+              -- with analytics.brown_forsythe_test)
+              SELECT k, nn, n, g_zoob, g_ss,
+                     CASE WHEN mg > 0
+                          THEN (qd / CAST(n AS DOUBLE) - mj * mj) / (mg * mg)
+                          ELSE 0.0 END AS w,
+                     CASE WHEN mg > 0
+                          THEN ((mj - mg) / mg) * ((mj - mg) / mg)
+                          ELSE 0.0 END AS b
               FROM terms
             ),
             red AS (
               SELECT MAX(k) AS k, MAX(nn) AS nn,
-                     SUM(CASE WHEN abs(w) >= 4.61168601842738800e+15 THEN 1 ELSE 0 END) AS oob_w,
-                     SUM(CASE WHEN abs(b) >= 4.61168601842738800e+15 THEN 1 ELSE 0 END) AS oob_b,
-                     SUM(CAST(n AS HUGEINT) * (CASE WHEN abs(w) >= 4.61168601842738800e+15 THEN 0
-                         WHEN w >= 0 THEN CAST(floor(w * 1000.0 + 0.5) AS HUGEINT)
-                         ELSE -CAST(floor(-w * 1000.0 + 0.5) AS HUGEINT) END)) AS ssw,
-                     SUM(CAST(n AS HUGEINT) * (CASE WHEN abs(b) >= 4.61168601842738800e+15 THEN 0
-                         WHEN b >= 0 THEN CAST(floor(b * 1000.0 + 0.5) AS HUGEINT)
-                         ELSE -CAST(floor(-b * 1000.0 + 0.5) AS HUGEINT) END)) AS ssb
+                     MAX(g_zoob) AS g_zoob, MAX(g_ss) AS g_ss,
+                     SUM(CASE WHEN abs(w) >= 4.61168601842738819e+09 THEN 1 ELSE 0 END) AS oob_w,
+                     SUM(CASE WHEN abs(b) >= 4.61168601842738819e+09 THEN 1 ELSE 0 END) AS oob_b,
+                     SUM(CAST(n AS HUGEINT) * (CASE WHEN abs(w) >= 4.61168601842738819e+09 THEN 0
+                         WHEN w >= 0 THEN CAST(floor(w * 1e9 + 0.5) AS HUGEINT)
+                         ELSE -CAST(floor(-w * 1e9 + 0.5) AS HUGEINT) END)) AS ssw,
+                     SUM(CAST(n AS HUGEINT) * (CASE WHEN abs(b) >= 4.61168601842738819e+09 THEN 0
+                         WHEN b >= 0 THEN CAST(floor(b * 1e9 + 0.5) AS HUGEINT)
+                         ELSE -CAST(floor(-b * 1e9 + 0.5) AS HUGEINT) END)) AS ssb
               FROM t2
             )
             SELECT CAST(k AS BIGINT) AS n_groups, CAST(nn AS BIGINT) AS n_total,
@@ -8508,6 +8521,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(nn - k AS BIGINT) AS df_within,
                    CASE WHEN k > 1 AND nn > k AND ssw > 0
                              AND oob_w = 0 AND oob_b = 0
+                             AND g_zoob = 0 AND g_ss > 0
                         THEN {_gq("((CAST(nn AS DOUBLE) - CAST(k AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0)) * (CAST(ssb AS DOUBLE) / CAST(ssw AS DOUBLE))", 6)}
                    END AS bf_statistic
             FROM red""",

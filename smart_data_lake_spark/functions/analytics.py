@@ -2918,8 +2918,8 @@ def cuped_adjusted_ab(
     out-of-range user's product terms via the cast's NULL while the
     linear sums kept them, mixing populations); a metric at that
     magnitude should be rescaled before CUPED."""
-    pre9 = grid_round(F.col("s1").cast("double") / F.col("n1").cast("double"), 6)
-    post9 = grid_round(F.col("s2").cast("double") / F.col("n2").cast("double"), 6)
+    pre6 = grid_round(F.col("s1").cast("double") / F.col("n1").cast("double"), 6)
+    post6 = grid_round(F.col("s2").cast("double") / F.col("n2").cast("double"), 6)
     per = (
         _user_half_sums(
             df,
@@ -2930,11 +2930,11 @@ def cuped_adjusted_ab(
             extra_cols=((F.col(user_col) % 2).cast("int").alias("_v"),),
         )
         .where((F.col("n1") > 0) & (F.col("n2") > 0))
-        .where((F.abs(pre9) < 1e9) & (F.abs(post9) < 1e9))
+        .where((F.abs(pre6) < 1e9) & (F.abs(post6) < 1e9))
         .select(
             "_v",
-            pre9.cast("decimal(28,6)").alias("_pre"),
-            post9.cast("decimal(28,6)").alias("_post"),
+            pre6.cast("decimal(28,6)").alias("_pre"),
+            post6.cast("decimal(28,6)").alias("_post"),
         )
     )
     # (18,6) product operands: a wide-decimal product CLAMPS the scale
@@ -3091,11 +3091,14 @@ def brown_forsythe_test(
     exact (the (18,6)×(18,6)→(37,12) product is exact — the welch operand
     discipline; contract: |z| < 9e9, the 2^53/1e6 cast-exactness bound);
     per-group means are grid-9 finals;
-    the sum-of-squares terms are fixed IEEE expressions accumulated as
-    1e-3-grid SCALED INTEGERS (DECIMAL(38,0)) whose factor cancels in
-    the F ratio; F is one final expression on the 1e-6 grid. An SSW that
-    quantizes to 0 (spread below the 1e-3 grid) returns NULL — the
-    F statistic is unstable there by definition.
+    the sum-of-squares terms are normalized by the squared grand mean
+    deviation (F is scale-invariant, so mg² cancels) and accumulated as
+    1e-9-grid SCALED INTEGERS (DECIMAL(38,0)) — ~9 RELATIVE digits at
+    any data magnitude; F is one final expression on the 1e-6 grid. The
+    statistic is NULL when: the spread is zero (mg = 0 or SSW quantizes
+    to 0 — F is unstable there by definition), any |deviation| ≥ 9e9
+    (the scale-6 cast-exactness bound), or a normalized term exceeds the
+    2^62/1e9 grid range — each NULL is DETERMINISTIC in both engines.
     Shape: one window sort for the medians (per-group partitions), one
     broadcast join of the k-row median frame, two combinable reduces and
     a k-row pass — no corpus-sized joins."""
@@ -3106,13 +3109,20 @@ def brown_forsythe_test(
     # INPUT discipline, not grid 9: a scale-d double→decimal cast is only
     # engine-exact while |x|·10^d ≤ 2^53 (≈9e6 at d=9 but 9e9 at d=6 —
     # the parity sweep caught grid-9 z's diverging at |z| ~ 6e8)
-    z6 = grid_round(
-        F.abs(F.col(value_col).cast("double") - F.col("_m")), 6
-    ).cast("decimal(18,6)")
+    zraw = F.abs(F.col(value_col).cast("double") - F.col("_m"))
+    # a deviation past 2^53/1e6 cannot quantize engine-exactly at scale 6
+    # — pin it to 0 in the sums (ANSI would error on the cast) and COUNT
+    # it, so the statistic NULLs deterministically in both engines
+    # instead of silently diverging (r11 review: the old (18,9) cast at
+    # least errored; the widened (18,6) cast left a silent window)
+    z_oob = (zraw >= 9.0e9).cast("int")
+    z6 = F.when(z_oob == 1, F.lit(0.0)).otherwise(grid_round(zraw, 6)).cast(
+        "decimal(18,6)"
+    )
     zrows = (
         df.where(F.col(value_col).isNotNull())
         .join(F.broadcast(meds), group_col)
-        .select(F.col(group_col).alias("_g"), z6.alias("_z"))
+        .select(F.col(group_col).alias("_g"), z6.alias("_z"), z_oob.alias("_zoob"))
     )
     per = zrows.groupBy("_g").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -3120,11 +3130,13 @@ def brown_forsythe_test(
         F.sum((F.col("_z") * F.col("_z")).cast("decimal(38,12)"))
         .cast("decimal(38,12)")
         .alias("q"),
+        F.sum("_zoob").cast("long").alias("zoob"),
     )
     glob = per.groupBy().agg(
         F.count(F.lit(1)).cast("long").alias("k"),
         F.sum("n").cast("long").alias("nn"),
         F.sum("s").cast("decimal(38,6)").alias("ss"),
+        F.sum("zoob").cast("long").alias("zoob"),
     )
     # dec_double, not bare casts (r11 class fix, found live by THIS
     # operator's parity harness: q's scaled integer passes 2^53, where
@@ -3134,46 +3146,54 @@ def brown_forsythe_test(
     mj = grid_round(dec_double(F.col("s")) / F.col("n").cast("double"), 9)
     mg = grid_round(dec_double(F.col("ss")) / F.col("nn").cast("double"), 9)
     # SSW_j = n_j·w_j with w_j = Σz²/n − m_j², and SSB_j = n_j·b_j with
-    # b_j = (m_j − m)²: the PER-GROUP MEAN-SQUARE quantities w/b (bounded
-    # by the squared spread, NOT by n·spread²) quantize to 1e-3-grid
-    # SCALED INTEGERS, then multiply by n in exact DECIMAL(38,0) — the
-    # graph family's scaled-integer discipline. A grid-quantized-decimal
-    # accumulation is the engine-round() class at SS magnitudes (Spark
-    # casts double→decimal via the shortest-17-digit string, DuckDB by
-    # binary scaling — different decimals past scaled 2^53; found live by
-    # this operator's parity harness), and long-typed floor overflows if
-    # n multiplies INSIDE the double. The 1e3 factor cancels in F.
-    # Contract: squared spread < 2^62/1e3 (|z| ≲ 6.7e7) — an
-    # out-of-range group NULLs the whole statistic DETERMINISTICALLY in
-    # both engines instead of silently wrapping.
+    # b_j = (m_j − m)². Because F is SCALE-INVARIANT in z, w and b are
+    # NORMALIZED by mg² (the squared grand mean deviation) before
+    # quantizing — dimensionless O(1)-ish quantities carry ~9 RELATIVE
+    # digits on the 1e-9 scaled-integer grid at ANY data magnitude (the
+    # r11 review: a fixed ABSOLUTE grid either loses small-magnitude
+    # precision or overflows large magnitudes; mg² cancels in the F
+    # ratio along with the 1e9 factor). Scaled integers × n in exact
+    # DECIMAL(38,0) — the graph family's discipline; a
+    # grid-quantized-decimal accumulation is the engine-round() class at
+    # these magnitudes and long-typed floor overflows if n multiplies
+    # inside the double. Contract: normalized w, b < 2^62/1e9 (relative
+    # spread ≲ 6.8e4× the grand mean) — an out-of-range group, an
+    # out-of-cast-range deviation (|z| ≥ 9e9), or mg = 0 NULLs the
+    # statistic DETERMINISTICALLY in both engines.
 
-    _lim = float(2**62) / 1e3
+    _lim = float(2**62) / 1e9
 
-    def _si3(x):
+    def _si9(x):
         # in-range guard INSIDE the rounding (ANSI Spark errors on a
         # long-overflowing floor): out-of-range pins to 0 and the oob
         # flags NULL the statistic
-        p = F.floor(x * 1000.0 + 0.5)
-        m = -F.floor(-x * 1000.0 + 0.5)
+        p = F.floor(x * 1e9 + 0.5)
+        m = -F.floor(-x * 1e9 + 0.5)
         return (
             F.when(F.abs(x) >= _lim, F.lit(0))
             .otherwise(F.when(x >= 0, p).otherwise(m))
             .cast("decimal(38,0)")
         )
 
-    wj = dec_double(F.col("q")) / F.col("n").cast("double") - mj * mj
-    bj = (mj - mg) * (mj - mg)
+    # mg = 0 means every deviation is 0 (z ≥ 0): pin the normalized terms
+    # to 0 — 0/0 is NaN, which would ANSI-error inside the floor cast —
+    # and let the g_ss > 0 output condition return the NULL
+    wj = F.when(
+        mg > 0,
+        (dec_double(F.col("q")) / F.col("n").cast("double") - mj * mj) / (mg * mg),
+    ).otherwise(F.lit(0.0))
+    bj = F.when(mg > 0, ((mj - mg) / mg) * ((mj - mg) / mg)).otherwise(F.lit(0.0))
     n19 = F.col("n").cast("decimal(19,0)")
     red = (
-        per.crossJoin(F.broadcast(glob))
+        per.crossJoin(F.broadcast(glob.drop("zoob")))
         .groupBy()
         .agg(
             F.max("k").alias("k"),
             F.max("nn").alias("nn"),
             F.sum(F.when(F.abs(wj) >= _lim, 1).otherwise(0)).alias("oob_w"),
             F.sum(F.when(F.abs(bj) >= _lim, 1).otherwise(0)).alias("oob_b"),
-            F.sum(n19 * _si3(wj)).alias("ssw"),
-            F.sum(n19 * _si3(bj)).alias("ssb"),
+            F.sum(n19 * _si9(wj)).alias("ssw"),
+            F.sum(n19 * _si9(bj)).alias("ssb"),
         )
     )
     kd = F.col("k").cast("double")
@@ -3183,19 +3203,25 @@ def brown_forsythe_test(
     fstat = ((nd - kd) / (kd - 1.0)) * (
         F.col("ssb").cast("double") / F.col("ssw").cast("double")
     )
-    return red.select(
-        F.col("k").cast("long").alias("n_groups"),
-        F.col("nn").cast("long").alias("n_total"),
-        (F.col("k") - 1).cast("long").alias("df_between"),
-        (F.col("nn") - F.col("k")).cast("long").alias("df_within"),
-        F.when(
-            (F.col("k") > 1)
-            & (F.col("nn") > F.col("k"))
-            & (F.col("ssw") > 0)
-            & (F.col("oob_w") == 0)
-            & (F.col("oob_b") == 0),
-            grid_round(fstat, scale),
-        ).alias("bf_statistic"),
+    gz = glob.select(F.col("zoob").alias("g_zoob"), F.col("ss").alias("g_ss"))
+    return (
+        red.crossJoin(F.broadcast(gz))
+        .select(
+            F.col("k").cast("long").alias("n_groups"),
+            F.col("nn").cast("long").alias("n_total"),
+            (F.col("k") - 1).cast("long").alias("df_between"),
+            (F.col("nn") - F.col("k")).cast("long").alias("df_within"),
+            F.when(
+                (F.col("k") > 1)
+                & (F.col("nn") > F.col("k"))
+                & (F.col("ssw") > 0)
+                & (F.col("oob_w") == 0)
+                & (F.col("oob_b") == 0)
+                & (F.col("g_zoob") == 0)
+                & (F.col("g_ss") > 0),
+                grid_round(fstat, scale),
+            ).alias("bf_statistic"),
+        )
     )
 
 

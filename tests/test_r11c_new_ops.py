@@ -382,7 +382,9 @@ def test_dec_double_engine_identical(spark):
     fixed = con.sql(
         f"SELECT {dec_double_sql(f'CAST({v} AS DECIMAL(38,18))')}"
     ).fetchone()[0]
-    assert bare != 3378553576.3203125  # the broken cast stays broken
+    if bare == 3378553576.3203125:  # informational, not an invariant:
+        print("NOTE: DuckDB's bare wide-decimal cast is now correctly "
+              "rounded here — dec_double may be retirable")
     assert fixed == 3378553576.3203125
     got = (
         spark.range(1)
@@ -390,3 +392,39 @@ def test_dec_double_engine_identical(spark):
         .collect()[0]["x"]
     )
     assert got == fixed == 3378553576.3203125
+
+
+def test_brown_forsythe_small_magnitude_precision(spark):
+    """r11 review regression: rate-scale data ([0,1] values) must keep
+    full precision — the mg²-normalized 1e-9 scaled-integer grid carries
+    RELATIVE digits, where a fixed absolute grid lost them.
+    a: z=[.15,.05,.05,.15] (w=.0025), b: z=[.3,.1,.1,.3] (w=.01);
+    SSW=.05, SSB=.02, F = 6*(.02/.05) = 2.4 exactly."""
+    from smart_data_lake_spark.functions.analytics import brown_forsythe_test
+
+    rows = [(i, 0, "a", v, i) for i, v in enumerate([0.1, 0.2, 0.3, 0.4])]
+    rows += [(10 + i, 0, "b", v, i) for i, v in enumerate([0.1, 0.3, 0.5, 0.7])]
+    out = brown_forsythe_test(_events(spark, rows)).collect()[0]
+    assert out["bf_statistic"] == 2.4
+
+
+def test_brown_forsythe_all_zero_spread_null(spark):
+    """mg = 0 (every value at its group median): F undefined -> NULL,
+    never a NaN/ANSI crash."""
+    from smart_data_lake_spark.functions.analytics import brown_forsythe_test
+
+    rows = [(i, 0, "a", 7.0, i) for i in range(3)]
+    rows += [(10 + i, 0, "b", 9.0, i) for i in range(3)]
+    out = brown_forsythe_test(_events(spark, rows)).collect()[0]
+    assert out["bf_statistic"] is None
+
+
+def test_brown_forsythe_huge_deviation_null(spark):
+    """|z| >= 9e9 (past the scale-6 cast-exactness bound) NULLs the
+    statistic deterministically instead of silently diverging."""
+    from smart_data_lake_spark.functions.analytics import brown_forsythe_test
+
+    rows = [(i, 0, "a", v, i) for i, v in enumerate([0.0, 4.0e10])]
+    rows += [(10 + i, 0, "b", v, i) for i, v in enumerate([1.0, 2.0, 3.0])]
+    out = brown_forsythe_test(_events(spark, rows)).collect()[0]
+    assert out["bf_statistic"] is None
