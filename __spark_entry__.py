@@ -6568,19 +6568,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_luhn_valid
             FROM checked GROUP BY o_orderpriority ORDER BY o_orderpriority""",
         "seasonal_strength_value_by_type": f"""
+            -- grid-6 input quantization + (28,6) product operands
+            -- (int128 path; the r11 magnitude sweep caught the int64
+            -- product overflowing) + dec_double VARCHAR round-trips on
+            -- the wide sums (lockstep with
+            -- analytics.seasonal_strength_by_group)
             WITH base AS (
               SELECT event_type, CAST(floor(epoch(ts) / 86400.0) AS BIGINT) % 7 AS dow,
-                     CAST(value AS DECIMAL(18,6)) AS x
+                     CAST({_gq("CAST(value AS DOUBLE)", 6)} AS DECIMAL(18,6)) AS x
               FROM events WHERE value IS NOT NULL),
             per_dow AS (
               SELECT event_type, dow, SUM(x) AS s, COUNT(*) AS n
               FROM base GROUP BY 1, 2),
             per_group AS (
-              SELECT event_type, SUM(x) AS st, SUM(x * x) AS sq, COUNT(*) AS nt
+              SELECT event_type, SUM(x) AS st,
+                     CAST(SUM(CAST(x AS DECIMAL(28,6)) * CAST(x AS DECIMAL(28,6))) AS DECIMAL(38,12)) AS sq,
+                     COUNT(*) AS nt
               FROM base GROUP BY 1)
             SELECT g.event_type, CAST(g.nt AS BIGINT) AS n_obs,
-                   {_gq("(SUM(CAST(d.s AS DOUBLE) * CAST(d.s AS DOUBLE) / d.n) - CAST(g.st AS DOUBLE) * CAST(g.st AS DOUBLE) / g.nt) / (CAST(g.sq AS DOUBLE) - CAST(g.st AS DOUBLE) * CAST(g.st AS DOUBLE) / g.nt)", 6)}
-                     AS seasonal_strength
+                   -- normalized t_d = s_d^2/(n_d*sq) in [0,1] as 1e-9
+                   -- scaled integers (exact HUGEINT sum — the raw-double
+                   -- sum was partition-order-dependent), c = st^2/(nt*sq)
+                   CASE WHEN g.sq > 0
+                             AND 1.0 - {_dd("g.st")} * {_dd("g.st")} / (CAST(g.nt AS DOUBLE) * {_dd("g.sq")}) <> 0
+                        THEN {_gq(f'(CAST(SUM(CASE WHEN g.sq > 0 THEN CAST(floor({_dd("d.s")} * {_dd("d.s")} / (CAST(d.n AS DOUBLE) * {_dd("g.sq")}) * 1e9 + 0.5) AS HUGEINT) ELSE 0 END) AS DOUBLE) / 1e9 - {_dd("g.st")} * {_dd("g.st")} / (CAST(g.nt AS DOUBLE) * {_dd("g.sq")})) / (1.0 - {_dd("g.st")} * {_dd("g.st")} / (CAST(g.nt AS DOUBLE) * {_dd("g.sq")}))', 6)}
+                   END AS seasonal_strength
             FROM per_dow d JOIN per_group g ON g.event_type = d.event_type
             GROUP BY g.event_type, g.nt, g.st, g.sq ORDER BY g.event_type""",
         # --- r8 additions (r9 rotation queue) ------------------------------

@@ -1039,37 +1039,57 @@ def seasonal_strength_by_group(
     # timezone, which would shift midnight-adjacent events to a different
     # weekday under a non-UTC session and diverge from the oracle. The dow
     # is only a grouping key, so any consistent epoch-anchored mapping works.
+    # grid_round BEFORE the decimal cast (the r10 input-quantization
+    # class — a bare double→DECIMAL cast diverges between engines), and
+    # dec_double instead of bare casts on the sufficient statistics
+    # (their scaled integers pass 2^53 at large value magnitudes — the
+    # r11 magnitude sweep caught the oracle's int64 product overflowing
+    # here, the gumbel class)
     base = df.where(F.col(value_col).isNotNull()).select(
         group_col,
         (F.floor(F.col(time_col).cast("double") / F.lit(86400.0)) % 7).alias("dow"),
-        F.col(value_col).cast("decimal(18,6)").alias("x"),
+        grid_round(F.col(value_col).cast("double"), 6).cast("decimal(18,6)").alias("x"),
     )
     per_dow = base.groupBy(group_col, "dow").agg(
         F.sum("x").alias("s"), F.count(F.lit(1)).alias("n")
     )
     per_group = base.groupBy(group_col).agg(
         F.sum("x").alias("st"),
-        F.sum(F.col("x") * F.col("x")).alias("sq"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)")).alias("sq"),
         F.count(F.lit(1)).alias("nt"),
     )
-    # SS_total = Σx² − (Σx)²/N ; SS_between = Σ_dow (s_d²/n_d) − (Σx)²/N —
-    # one double conversion per exact decimal sufficient statistic
+    # SS_total = Σx² − (Σx)²/N ; SS_between = Σ_dow (s_d²/n_d) − (Σx)²/N.
+    # The ratio is computed with every term NORMALIZED by nt·(sq/nt) = sq
+    # (it cancels): t_d = s_d²/(n_d·sq) ∈ [0,1] and c = st²/(nt·sq) ∈
+    # [0,1], so strength = (Σt_d − c)/(1 − c). The t_d accumulate as
+    # 1e-9-grid SCALED INTEGERS (exact DECIMAL sum) — the old raw-double
+    # Σ s_d²/n_d was partition-order-dependent (the token_entropy
+    # nondeterminism class, r11 sweep follow-up) and its magnitude made
+    # any absolute quantization grid impossible; normalized terms carry 9
+    # absolute digits on [0,1].
     joined = per_dow.join(F.broadcast(per_group), group_col)
+    sqd = dec_double(F.col("sq"))
+    std = dec_double(F.col("st"))
+    td = (dec_double(F.col("s")) * dec_double(F.col("s"))) / (
+        F.col("n").cast("double") * sqd
+    )
+    tsi = (
+        F.when(F.col("sq") > 0, F.floor(td * 1e9 + 0.5)).otherwise(F.lit(0))
+        .cast("decimal(38,0)")
+    )
+    red = joined.groupBy(group_col, "st", "sq", "nt").agg(F.sum(tsi).alias("tsum"))
+    c = (std * std) / (F.col("nt").cast("double") * sqd)
+    num = F.col("tsum").cast("double") / 1e9 - c
     return (
-        joined.groupBy(group_col, "st", "sq", "nt")
-        .agg(
-            F.sum(
-                (F.col("s").cast("double") * F.col("s").cast("double")) / F.col("n")
-            ).alias("ss_dow")
-        )
-        .select(
+        red.select(
             F.col(group_col),
             F.col("nt").alias("n_obs"),
-            # grid_round, not engine round() (r11 sweep)
-            grid_round(
-                (F.col("ss_dow") - F.col("st").cast("double") * F.col("st").cast("double") / F.col("nt"))
-                / (F.col("sq").cast("double") - F.col("st").cast("double") * F.col("st").cast("double") / F.col("nt")),
-                scale,
+            # zero total variance (single row / all-equal group, or the
+            # all-zero sq = 0 case) → NULL, never an ANSI divide-by-zero
+            # vs DuckDB's Inf (r11 sweep); grid_round, not engine round()
+            F.when(
+                (F.col("sq") > 0) & (1.0 - c != 0),
+                grid_round(num / (1.0 - c), scale),
             ).alias("seasonal_strength"),
         )
         .orderBy(group_col)

@@ -90,6 +90,25 @@ def registry():
         "jonckheere_price_by_priority": orders,
         "theil_decomposition_spend": spend,
         "lorenz_curve_spend_by_nation": spend,
+        # older below-window members (r11 extension of the registry —
+        # anything found here is immediately fixable)
+        "spearman_value_hour_by_type": ev,
+        "winsorized_mean_value_by_type": ev,
+        "twap_value_by_type": ev,
+        "kendall_tau_level_volume_by_type": ev,
+        "cusum_changepoint_by_type": ev,
+        "theil_sen_trend_by_type": ev,
+        "burstiness_daily_by_type": ev,
+        "next_event_entropy_by_type": ev,
+        "trimmed_mean_value_by_type": ev,
+        "holt_forecast_by_type": ev,
+        "mann_kendall_trend_by_type": ev,
+        "seasonal_strength_value_by_type": ev,
+        "autocorr_lag1_value_by_type": ev,
+        "gini_customer_spend_by_nation": spend,
+        "survival_conversion_curve": ev_life,
+        "interarrival_stats_by_type": ev,
+        "trend_value_by_type": ev,
     }
 
 
