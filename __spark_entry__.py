@@ -2161,7 +2161,9 @@ def containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smart_data_lake_spark.functions.dedup import containment_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return containment_pairs(docs, n=5, threshold=0.5).orderBy("doc_a", "doc_b")
+    return containment_pairs(_fan_out(spark, docs), n=5, threshold=0.5).orderBy(
+        "doc_a", "doc_b"
+    )
 
 
 def cross_source_dup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2363,7 +2365,9 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smart_data_lake_spark.functions.dedup import simhash_candidate_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_candidate_pairs(docs, max_hamming=3).orderBy("doc_a", "doc_b")
+    return simhash_candidate_pairs(_fan_out(spark, docs), max_hamming=3).orderBy(
+        "doc_a", "doc_b"
+    )
 
 
 def simhash_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2728,7 +2732,7 @@ def readability_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan_out(spark, _t(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         token_count(F.col("text")).alias("n_words"),
@@ -2784,7 +2788,7 @@ def jaccard_prefix_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smart_data_lake_spark.functions.dedup import jaccard_prefix_join
 
     docs = _t(spark, sf_dir, "documents")
-    return jaccard_prefix_join(docs, threshold_num=6, threshold_den=10).orderBy(
+    return jaccard_prefix_join(_fan_out(spark, docs), threshold_num=6, threshold_den=10).orderBy(
         "doc_a", "doc_b"
     )
 
@@ -2800,9 +2804,9 @@ def exact_neardup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smart_data_lake_spark.functions.dedup import jaccard_neardup_clusters
 
     docs = _t(spark, sf_dir, "documents")
-    return jaccard_neardup_clusters(docs, threshold_num=6, threshold_den=10).orderBy(
-        "cluster_id"
-    )
+    return jaccard_neardup_clusters(
+        _fan_out(spark, docs), threshold_num=6, threshold_den=10
+    ).orderBy("cluster_id")
 
 
 def tfidf_cosine_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2813,9 +2817,9 @@ def tfidf_cosine_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smart_data_lake_spark.functions.search import tfidf_cosine_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return tfidf_cosine_pairs(docs, min_cosine_num=95, min_cosine_den=100).orderBy(
-        "doc_a", "doc_b"
-    )
+    return tfidf_cosine_pairs(
+        _fan_out(spark, docs), min_cosine_num=95, min_cosine_den=100
+    ).orderBy("doc_a", "doc_b")
 
 
 def qgram_editdist_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3095,9 +3099,9 @@ def tfidf_topk_neighbors_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smart_data_lake_spark.functions.search import tfidf_topk_neighbors
 
     docs = _t(spark, sf_dir, "documents")
-    return tfidf_topk_neighbors(docs, k=3, min_cosine_num=1, min_cosine_den=4).orderBy(
-        "doc", "rk"
-    )
+    return tfidf_topk_neighbors(
+        _fan_out(spark, docs), k=3, min_cosine_num=1, min_cosine_den=4
+    ).orderBy("doc", "rk")
 
 
 def streaming_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3216,7 +3220,7 @@ def triangle_count_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    edges = token_transition_edges(docs)
+    edges = token_transition_edges(_fan_out(spark, docs))
     return triangle_counts(edges, top_k=20)
 
 
@@ -3228,7 +3232,7 @@ def source_divergence_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smart_data_lake_spark.functions.search import source_divergence
 
     docs = _t(spark, sf_dir, "documents")
-    return source_divergence(docs)
+    return source_divergence(_fan_out(spark, docs))
 
 
 def cramers_v_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3262,7 +3266,7 @@ def chao1_vocab_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smart_data_lake_spark.functions.profiling import chao1_vocab_richness
 
     docs = _t(spark, sf_dir, "documents")
-    return chao1_vocab_richness(docs).orderBy("source")
+    return chao1_vocab_richness(_fan_out(spark, docs)).orderBy("source")
 
 
 def kcore_terms_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3274,7 +3278,7 @@ def kcore_terms_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smart_data_lake_spark.functions.graph import kcore_peel, token_transition_edges
 
     docs = _t(spark, sf_dir, "documents")
-    edges = token_transition_edges(docs)
+    edges = token_transition_edges(_fan_out(spark, docs))
     return kcore_peel(edges, k=16, rounds=3).orderBy("node")
 
 

@@ -64,6 +64,20 @@ def main() -> None:
         F.avg("l_quantity"),
     ).write.mode("overwrite").format("noop").save()
 
+    # ... and Spark 4's ICU collation tables: CollationAwareUTF8String's
+    # static initializer builds the full ICU case-mapping state the first
+    # time a case-mapping expression (lower/upper/initcap) EXECUTES, a
+    # one-off 60-100s single-threaded stall on this box (thread-dumped:
+    # CaseMapImpl.toTitle inside <clinit> on the first text query's task).
+    # Trigger it here on a 2-row frame so the first measured text query
+    # times its plan, not a JVM class initializer (guide §1: measure the
+    # computation). Non-ASCII literals force the full ICU path.
+    spark.range(2).select(
+        F.lower(F.concat(F.lit("Äx"), F.col("id").cast("string"))),
+        F.upper(F.lit("ßy")),
+        F.initcap(F.lit("éz")),
+    ).write.mode("overwrite").format("noop").save()
+
     # three timed iterations per query, report the MEDIAN: robust to the
     # one-off scheduler stall that a min hides asymmetrically and a mean
     # amplifies. This machine's load drift is a documented 2-3x — two rounds

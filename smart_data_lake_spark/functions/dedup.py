@@ -1113,7 +1113,7 @@ def _jaccard_prefix_join_toks(
     bounded-size rows, so per-doc arrays are KB-scale at any corpus size —
     the array width is a constant, the stage count is what scales."""
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    # dfreq is also deliberately NOT pinned (review follow-up, measured):
+    # dfreq is deliberately NOT pinned (review follow-up, measured):
     # a localCheckpoint here strips the aggregate's statistics, the
     # toks⋈dfreq join loses its broadcast decision, and the pair form
     # slows 3.7s → 4.4s at sf0.1 — the recompute off the pinned `toks`
@@ -1134,10 +1134,15 @@ def _jaccard_prefix_join_toks(
         )
         .withColumn("toks", F.transform("_ranked", lambda s: s["tok"]))
     )
-    # NOT pinned: per_doc feeds three references, but it carries the full
-    # per-doc token arrays — measured A/B, materializing those wide rows
-    # into the block manager costs ~3x more than recomputing the fold from
-    # the pinned `toks` (3.8s → 14.8s at sf0.1 with a localCheckpoint here)
+    # Pinned (r11 optimization — reverses the r9 "NOT pinned" A/B): per_doc
+    # feeds three references (prefix explode + both verify sides), and each
+    # recompute replays the dfreq join + the collect_list sort fold. The
+    # old 3.8s → 14.8s regression that justified recomputation was an
+    # artifact of the degraded block manager (the GC-starved ContextCleaner
+    # pathology fixed in session.py this round): with storage healthy,
+    # materializing the ~KB-per-doc arrays once is strictly cheaper than
+    # three fold recomputes (A/B in OPTIMIZATION_r11.md).
+    per_doc = per_doc.transform(lineage_pin)
     prefix = per_doc.select(
         "doc",
         "sz",
@@ -1157,6 +1162,11 @@ def _jaccard_prefix_join_toks(
         .distinct()
     )
     arrs = per_doc.select("doc", "sz", "toks")
+    # No broadcast HINT on the array side: a hint would be a local-only win
+    # (at fact-table doc counts the per-doc arrays outgrow any broadcast).
+    # The per_doc pin above gives the planner EXACT sizes instead, so
+    # auto-broadcast/AQE picks BHJ exactly when the side genuinely fits —
+    # the scale-adaptive form of the same optimization (guide §3.1).
     verified = (
         cands.join(
             arrs.select(

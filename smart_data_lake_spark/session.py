@@ -39,6 +39,21 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # ContextCleaner is weak-reference-driven: broadcast relations,
+        # shuffle states and checkpoint blocks are only reclaimed after a
+        # JVM GC enqueues their references. With a large driver heap a
+        # long-lived session can run hundreds of queries without ANY GC —
+        # measured on this box (r11): heap grew monotonically to ~29 GB,
+        # the storage pool filled with dead broadcast/checkpoint blocks,
+        # and per-task execution-memory acquisition degraded every query
+        # 10-50x (readability_docs 4s -> 137s in-suite); one forced GC
+        # restored sub-second times and dropped the heap to 1.5 GB.
+        # Spark's own knob for exactly this is the periodic-GC timer;
+        # the 30min default is tuned for multi-hour jobs, not
+        # many-short-queries sessions. 90s keeps the heap small so each
+        # forced GC is cheap (~0.3s) — workload-shape config, valid at
+        # any scale/core count (guide §5: caching/unpersist hygiene).
+        .config("spark.cleaner.periodicGC.interval", "90s")
         # Session-owned: some testdata generations write events.ts as
         # TIMESTAMP(NANOS), which Spark 4 rejects without this shim. Declared
         # once here (not flipped inside read paths) so concurrent readers see
