@@ -3290,7 +3290,7 @@ def heaps_law_fit_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smart_data_lake_spark.functions.search import heaps_law_fit
 
     docs = _t(spark, sf_dir, "documents")
-    return heaps_law_fit(docs)
+    return heaps_law_fit(_fan_out(spark, docs))
 
 
 def kruskal_wallis_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
