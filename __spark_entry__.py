@@ -1372,12 +1372,17 @@ def pack_sequences_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smart_data_lake_spark.functions.dedup import lsh_candidate_pairs, minhash_signatures, ngram_jaccard, shingles
+    from smart_data_lake_spark.session import lineage_pin
 
     docs = _t(spark, sf_dir, "documents")
-    # the shingle set feeds four subplans; measured: recompute + Spark's
-    # ReusedExchange beats persist() here (caching the exploded shingle rows
-    # costs more than the regex recompute at any tested SF)
-    sh = shingles(_fan_out(spark, docs))
+    # the shingle set feeds five subplans (minhash, per-doc sizes, both
+    # intersection sides — and the minhash side twice through the banding
+    # self-join); pinned (r11, reverses the r9 "recompute + ReusedExchange"
+    # A/B, which was measured against the GC-starved block manager fixed in
+    # session.py this round). The static plan drops 12 document scans /
+    # 30 Exchanges to 1 scan / 11 Exchanges; measured A/B with healthy
+    # storage: ~3s pinned vs ~6-9s (23-30s first run) recomputed.
+    sh = lineage_pin(shingles(_fan_out(spark, docs)))
     pairs = lsh_candidate_pairs(minhash_signatures(sh))
     return ngram_jaccard(sh, pairs).orderBy("doc_a", "doc_b")
 

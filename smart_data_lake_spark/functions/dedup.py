@@ -366,6 +366,13 @@ def connected_components(
     Only nodes present in `edges` appear — callers decide how to treat
     singletons.
     """
+    # Pin the edge list BEFORE the symmetrizing union: every caller feeds
+    # this from an expensive similarity join (LSH, prefix-filter, q-gram),
+    # and the union's two branches would otherwise each replay that join to
+    # materialize `sym` (r11, measured on exact_neardup_clusters: the CC
+    # phase was 20.2s of which ~2x12s was prefix-join recompute; the pin
+    # of a pair list is KB-to-MB at any corpus scale — output-bound).
+    edges = edges.transform(lineage_pin)
     sym = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).unionByName(
         edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     )

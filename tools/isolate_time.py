@@ -38,6 +38,15 @@ warm = spark.read.parquet(f"{sf}/lineitem.parquet").limit(20000)
 warm.groupBy("l_returnflag").agg(
     F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), F.avg("l_quantity")
 ).write.mode("overwrite").format("noop").save()
+# same ICU-collation warmup as bench.py: Spark 4 builds its case-mapping
+# tables in a static initializer on the FIRST executed lower/upper/initcap,
+# a 60-100s single-threaded stall that would otherwise land in run 1 of any
+# text query measured here
+spark.range(2).select(
+    F.lower(F.concat(F.lit("Äx"), F.col("id").cast("string"))),
+    F.upper(F.lit("ßy")),
+    F.initcap(F.lit("éz")),
+).write.mode("overwrite").format("noop").save()
 
 name = %(name)r
 fn = entry.queries()[name]
