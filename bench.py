@@ -36,6 +36,18 @@ def main() -> None:
         extra_conf={
             "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
             "spark.sql.files.openCostInBytes": str(512 * 1024),
+            # the shuffle-side analog of the 4 MB scan split (r11 opt):
+            # AQE's parallelism-first coalescing is capped by a 1 MB
+            # minPartitionSize floor, so every post-shuffle stage of these
+            # few-MB test tables coalesces to 1-2 partitions and per-row-
+            # expensive stages (array_intersect verify, levenshtein) run
+            # single-task (measured: 15s of a 20s jaccard query on one of
+            # 32 cores; 26s -> 9-10s with the floor lowered). 64 KB lets
+            # parallelism-first actually bind at benchmark scale; at
+            # production scale partitions are far above 1 MB and neither
+            # floor binds. Scales with SPARK_GRAFT_CPUS like the rest of
+            # the session (partition targets derive from defaultParallelism).
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
         },
     )
 

@@ -366,23 +366,33 @@ def connected_components(
     Only nodes present in `edges` appear — callers decide how to treat
     singletons.
     """
-    # Pin the edge list BEFORE the symmetrizing union: every caller feeds
-    # this from an expensive similarity join (LSH, prefix-filter, q-gram),
-    # and the union's two branches would otherwise each replay that join to
-    # materialize `sym` (r11, measured on exact_neardup_clusters: the CC
-    # phase was 20.2s of which ~2x12s was prefix-join recompute; the pin
-    # of a pair list is KB-to-MB at any corpus scale — output-bound).
-    edges = edges.transform(lineage_pin)
-    sym = edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).unionByName(
-        edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    )
+    # Symmetrize with ONE explode pass instead of a self-union (r11 opt):
+    # the union's two branches each referenced `edges` — an expensive
+    # similarity join in every caller (LSH, prefix-filter, q-gram) — which
+    # previously forced a separate pin of `edges` just to stop the double
+    # replay (measured on exact_neardup_clusters: ~2x12s of prefix-join
+    # recompute without it). The explode reads each edge exactly once, so
+    # only the symmetrized list needs pinning: one checkpoint job instead
+    # of two, and the producing join still runs once.
+    sym = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+                F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
     sym = sym.transform(lineage_pin, eager=True)
     # round 0 fused into initialization: label = min(self, direct neighbors)
-    # — one agg instead of the first join round
+    # — one agg instead of the first join round. Lazily pinned: round 1
+    # references it three times (neighbor join, step base, pointer-jump
+    # lookup); the pin makes the first task-level computation cache the
+    # blocks so the other two references read instead of re-aggregating.
     labels = (
         sym.groupBy("src")
         .agg(F.min("dst").alias("_nmin"))
         .select(F.col("src").alias("node"), F.least("src", "_nmin").alias("label"))
+        .transform(lineage_pin)
     )
     rounds = 0
     converged = False
@@ -417,10 +427,13 @@ def connected_components(
                 ),
                 "old_label",
             )
-            .transform(lineage_pin, eager=True)
+            # LAZY pin (r11 opt): the convergence count below is the first
+            # action on the checkpoint, so materialization and the changed-
+            # row count run as ONE job per round instead of an eager-
+            # checkpoint job followed by a count job.
+            .transform(lineage_pin)
         )
         labels = new_labels.select("node", F.col("new_label").alias("label"))
-        # cheap count on the already-materialized checkpoint gates each round
         if new_labels.where(F.col("new_label") != F.col("old_label")).count() == 0:
             converged = True
             break
@@ -1065,13 +1078,19 @@ def jaccard_prefix_join(
     # the core references the set frame twice (df-frequency aggregate +
     # per-doc fold); pin the tokenize+distinct pass once
     toks = toks.transform(lineage_pin)
+    per_doc = _jaccard_per_doc(toks, threshold_num, threshold_den)
     if max_pairs is not None:
-        fams = (
-            toks.groupBy("doc")
-            .agg(F.sha2(F.concat_ws("\x1f", F.array_sort(F.collect_list("tok"))), 256).alias("_fp"))
-            .groupBy("_fp")
-            .agg(F.count(F.lit(1)).alias("m"))
-        )
+        # Identical-set fingerprint from the ALREADY-BUILT per-doc array
+        # (r11 opt, guide §2.3 — don't compute things twice): `toks` in
+        # per_doc is the token set sorted by (global df, token), a
+        # deterministic function of the set, so equal sets ⟺ equal arrays.
+        # The old guard re-folded the whole (doc, tok) frame through a
+        # second collect_list+sort+sha2 pass; this is one O(set-size) hash
+        # per already-materialized row, and the guard still fires before
+        # the quadratic candidate join is built.
+        fams = per_doc.groupBy(
+            F.sha2(F.concat_ws("\x1f", F.col("toks")), 256).alias("_fp")
+        ).agg(F.count(F.lit(1)).alias("m"))
         est = fams.agg(
             F.sum(F.col("m") * (F.col("m") - 1) / 2).cast("long").alias("lb")
         ).collect()[0]["lb"]
@@ -1083,7 +1102,7 @@ def jaccard_prefix_join(
                 f"jaccard_neardup_clusters (linear, cluster-shaped output) "
                 f"for copy-dense corpora, or raise max_pairs deliberately."
             )
-    return _jaccard_prefix_join_toks(toks, threshold_num, threshold_den)
+    return _jaccard_candidates_verify(per_doc, threshold_num, threshold_den)
 
 
 def _similarity_token_sets(
@@ -1118,7 +1137,19 @@ def _jaccard_prefix_join_toks(
     frame twice and intersects ARRAYS (`array_intersect`, JVM-side) instead
     of re-exploding tokens through a two-way join + groupBy. Documents are
     bounded-size rows, so per-doc arrays are KB-scale at any corpus size —
-    the array width is a constant, the stage count is what scales."""
+    the array width is a constant, the stage count is what scales.
+
+    Split into `_jaccard_per_doc` + `_jaccard_candidates_verify` (r11 opt)
+    so the pair form's max_pairs guard can fingerprint the materialized
+    per-doc array instead of re-folding the token frame."""
+    return _jaccard_candidates_verify(
+        _jaccard_per_doc(toks, tau_num, tau_den), tau_num, tau_den
+    )
+
+
+def _jaccard_per_doc(toks: DataFrame, tau_num: int, tau_den: int) -> DataFrame:
+    """The pinned per-doc frame of the prefix join: (doc, sz, _ranked
+    [(df, tok) ascending], _plen, toks [set sorted by (df, tok)])."""
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     # dfreq is deliberately NOT pinned (review follow-up, measured):
     # a localCheckpoint here strips the aggregate's statistics, the
@@ -1148,8 +1179,18 @@ def _jaccard_prefix_join_toks(
     # artifact of the degraded block manager (the GC-starved ContextCleaner
     # pathology fixed in session.py this round): with storage healthy,
     # materializing the ~KB-per-doc arrays once is strictly cheaper than
-    # three fold recomputes (A/B in OPTIMIZATION_r11.md).
-    per_doc = per_doc.transform(lineage_pin)
+    # three fold recomputes (A/B in OPTIMIZATION_r11.md). rebalance=True:
+    # the candidate join + array_intersect verify downstream are per-row
+    # expensive, and a checkpoint frozen at AQE's coalesced-to-1 tiny-scale
+    # partitioning runs them single-task (measured: 15s of a 20s query).
+    return per_doc.transform(lineage_pin, rebalance=True)
+
+
+def _jaccard_candidates_verify(
+    per_doc: DataFrame, tau_num: int, tau_den: int
+) -> DataFrame:
+    """Prefix-token candidate self-join + exact array-intersect verify over
+    the pinned `_jaccard_per_doc` frame."""
     prefix = per_doc.select(
         "doc",
         "sz",

@@ -36,7 +36,17 @@ def build_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # Heap sized to the workload, not the box (r11 opt, guide §5/§9):
+        # the old 48g default made G1 pathological on this virtualized
+        # host — IHOP-triggered concurrent cycles every ~3s uncommitted and
+        # re-faulted tens of GB of pages, and /proc/stat during the stalls
+        # showed user≈0.3%, sys≈30-44% of 32 CPUs (kernel page-fault storm):
+        # queries ran 4-20x slow in bursts (jaccard probe 16/87/49s at 48g
+        # vs 12/4.9/4.2s at 8g, same code). 8g is ~500x the benchmark's
+        # input and keeps young collections frequent enough that the
+        # weak-reference ContextCleaner stays healthy; production
+        # deployments size it via SPARK_DRIVER_MEMORY as before.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # ContextCleaner is weak-reference-driven: broadcast relations,
@@ -54,6 +64,19 @@ def build_session(
         # forced GC is cheap (~0.3s) — workload-shape config, valid at
         # any scale/core count (guide §5: caching/unpersist hygiene).
         .config("spark.cleaner.periodicGC.interval", "90s")
+        # ... and make that periodic System.gc() CONCURRENT: on G1 an
+        # explicit GC is otherwise a single-threaded stop-the-world full
+        # collection — measured here (r11 opt): multi-second pauses landing
+        # stochastically inside whichever query was running (readability_docs
+        # 0.8s -> 10.8s median when one spanned its runs). With
+        # ExplicitGCInvokesConcurrent the periodic trigger starts a
+        # concurrent G1 cycle instead; weak references are still processed
+        # at remark, so ContextCleaner keeps reclaiming broadcast/
+        # checkpoint blocks, at millisecond pause cost. local mode runs
+        # executors in the driver JVM, so the driver option covers both;
+        # the executor option is set for cluster deployments.
+        .config("spark.driver.extraJavaOptions", "-XX:+ExplicitGCInvokesConcurrent")
+        .config("spark.executor.extraJavaOptions", "-XX:+ExplicitGCInvokesConcurrent")
         # Session-owned: some testdata generations write events.ts as
         # TIMESTAMP(NANOS), which Spark 4 rejects without this shim. Declared
         # once here (not flipped inside read paths) so concurrent readers see
@@ -86,7 +109,7 @@ def get_session() -> SparkSession:
     return active if active is not None else build_session()
 
 
-def lineage_pin(df, eager: bool = False):
+def lineage_pin(df, eager: bool = False, rebalance: bool = False):
     """Cut lineage for a multiply-referenced frame, deployment-aware.
 
     The analytic operators pin intermediate frames (token sets, signatures,
@@ -110,9 +133,23 @@ def lineage_pin(df, eager: bool = False):
     mode = df.sparkSession.conf.get("spark.smartdatalake.lineagePin", "local")
     if mode == "off":
         return df
-    if mode == "reliable":
-        return df.checkpoint(eager=eager)
-    return df.localCheckpoint(eager=eager)
+    pinned = df.checkpoint(eager=eager) if mode == "reliable" else df.localCheckpoint(eager=eager)
+    if rebalance:
+        # A checkpoint freezes its RDD's partitioning, and AQE coalesces a
+        # small shuffle to ONE partition — so every downstream stage of a
+        # pinned small frame runs single-task unless another exchange
+        # intervenes (measured r11: jaccard candidate+verify = 9.2s + 6.1s
+        # single-task jobs, 15s of a 20s query on one of 32 cores).
+        # `rebalance=True` restores the cluster's parallelism for pins that
+        # feed per-row-expensive stages. Scale-adaptive, not a local tune:
+        # partition count is known without a job (the checkpoint's RDD
+        # lineage carries it), and at production scale a checkpoint holds
+        # >= defaultParallelism partitions, making this a no-op; the
+        # explicit-N repartition is exempt from AQE re-coalescing.
+        sc = df.sparkSession.sparkContext
+        if pinned.rdd.getNumPartitions() < sc.defaultParallelism:
+            return pinned.repartition(sc.defaultParallelism)
+    return pinned
 
 
 def release_persistent_rdds(spark: SparkSession) -> None:

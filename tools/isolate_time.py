@@ -25,7 +25,8 @@ from pyspark.sql import functions as F
 
 spark = build_session(app_name="isolate", extra_conf={
     "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
-    "spark.sql.files.openCostInBytes": str(512 * 1024)})
+    "spark.sql.files.openCostInBytes": str(512 * 1024),
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k"})
 spark.range(1000).groupBy(F.col("id") %% 7).count().write.mode("overwrite").format("noop").save()
 
 @F.pandas_udf("long")
