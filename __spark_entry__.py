@@ -1396,7 +1396,7 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smart_data_lake_spark.functions.similarity import brute_force_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _fan_out(spark, _t(spark, sf_dir, "embeddings"))
     queries = emb.where(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
     return brute_force_topk(emb, queries, k=5).orderBy("query_id", "rank")
 
@@ -1408,7 +1408,7 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     inlining the same plane literals."""
     from smart_data_lake_spark.functions.dedup import embedding_neardup_lsh
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _fan_out(spark, _t(spark, sf_dir, "embeddings"))
     # synthetic embeddings top out near cos 0.5 — 0.4 plays the role a ~0.95
     # threshold would on a real near-dup corpus
     return embedding_neardup_lsh(
@@ -1425,7 +1425,7 @@ def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall audits measure against (README 'Standing plan exceptions')."""
     from smart_data_lake_spark.functions.dedup import embedding_neardup_pairs
 
-    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 500)
+    emb = _fan_out(spark, _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 500))
     return embedding_neardup_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
 
 
@@ -1467,7 +1467,7 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectorized projection, each query probes its own cell's inverted list."""
     from smart_data_lake_spark.functions.similarity import ivf_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _fan_out(spark, _t(spark, sf_dir, "embeddings"))
     queries = emb.where(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
     return ivf_topk(emb, queries, _IVF_CENTROIDS, k=5).orderBy("query_id", "rank")
 
@@ -1477,7 +1477,7 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed in one projection, each query scores only its bucket."""
     from smart_data_lake_spark.functions.similarity import lsh_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _fan_out(spark, _t(spark, sf_dir, "embeddings"))
     queries = emb.where(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
     return lsh_topk(emb, queries, k=5, n_planes=_ANN_PLANES).orderBy("query_id", "rank")
 
@@ -1636,7 +1636,7 @@ def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     float64 fold, both engine-portable."""
     from smart_data_lake_spark.functions.embeddings import quantize_embedding_stats
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _fan_out(spark, _t(spark, sf_dir, "embeddings"))
     return (
         quantize_embedding_stats(emb)
         .select(
@@ -1659,7 +1659,7 @@ def label_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy) + one tiny window per label."""
     from smart_data_lake_spark.functions.embeddings import centroid_distances
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _fan_out(spark, _t(spark, sf_dir, "embeddings"))
     d = centroid_distances(emb)
     w = Window.partitionBy("label").orderBy(
         F.col("centroid_dist").desc(), F.col("vec_id")
@@ -2187,7 +2187,7 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded cell, never across the corpus."""
     from smart_data_lake_spark.functions.dedup import semantic_dedup
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _fan_out(spark, _t(spark, sf_dir, "embeddings"))
     return semantic_dedup(emb, _IVF_CENTROIDS, threshold=0.2).orderBy("cell")
 
 
@@ -2273,7 +2273,7 @@ def kmeans_assign_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF coarse quantizer."""
     from smart_data_lake_spark.functions.similarity import kmeans_assign_stats
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _fan_out(spark, _t(spark, sf_dir, "embeddings"))
     return kmeans_assign_stats(emb).orderBy("cluster")
 
 
@@ -2384,7 +2384,7 @@ def simhash_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smart_data_lake_spark.functions.dedup import simhash_neardup_clusters as shc
 
     docs = _t(spark, sf_dir, "documents")
-    return shc(docs, max_hamming=3).orderBy("cluster_id")
+    return shc(_fan_out(spark, docs), max_hamming=3).orderBy("cluster_id")
 
 
 def cusum_changepoint_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2460,7 +2460,7 @@ def minhash_calibration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smart_data_lake_spark.functions.dedup import minhash_estimate_calibration
 
     docs = _t(spark, sf_dir, "documents")
-    return minhash_estimate_calibration(docs).orderBy("est_matches")
+    return minhash_estimate_calibration(_fan_out(spark, docs)).orderBy("est_matches")
 
 
 def cms_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2485,7 +2485,7 @@ def pq_encode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed-id tie-break) so the full code table is oracle-graded."""
     from smart_data_lake_spark.functions.similarity import pq_encode
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _fan_out(spark, _t(spark, sf_dir, "embeddings"))
     return pq_encode(emb).orderBy("vec_id")
 
 
@@ -2497,7 +2497,7 @@ def pq_adc_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     join + combinable sum + per-query top-k window."""
     from smart_data_lake_spark.functions.similarity import pq_adc_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _fan_out(spark, _t(spark, sf_dir, "embeddings"))
     return pq_adc_topk(emb).orderBy("query_id", "rank")
 
 
@@ -2616,7 +2616,7 @@ def ivfpq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget. Raw-vector codes (not residuals) keep it oracle-exact."""
     from smart_data_lake_spark.functions.similarity import pq_adc_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _fan_out(spark, _t(spark, sf_dir, "embeddings"))
     return pq_adc_topk(emb, centroids=_IVF_CENTROIDS).orderBy("query_id", "rank")
 
 
@@ -2666,7 +2666,7 @@ def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate generation with the same label filter."""
     from smart_data_lake_spark.functions.similarity import hard_negative_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _fan_out(spark, _t(spark, sf_dir, "embeddings"))
     return hard_negative_topk(emb, k=5).orderBy("anchor_id", "rank")
 
 

@@ -146,8 +146,12 @@ def qgram_editdist_pairs(
     )
     # the guard's count() below materializes the dictionary anyway —
     # checkpoint it so the main plan reuses that pass instead of
-    # re-running tokenize+distinct (r9 review)
-    names = names.transform(lineage_pin)
+    # re-running tokenize+distinct (r9 review). rebalance=True (r11 opt):
+    # a name dictionary distinct() coalesces to one tiny partition at
+    # benchmark scale and the checkpoint freezes that, serializing the
+    # O(len²) gram-occurrence fold downstream; restoring defaultParallelism
+    # is a no-op once the dictionary spans many partitions.
+    names = names.transform(lineage_pin, rebalance=True)
     long_names = names.where(F.col("len") >= q + k * q)
     # (gram, occ) multiset built ARRAY-SIDE in one narrow stage: occ is the
     # occurrence index of the gram among its equals up to this position —
@@ -201,8 +205,12 @@ def qgram_editdist_pairs(
         .select("name", "len", F.col("_p.gram").alias("gram"), F.col("_p.occ").alias("occ"))
     )
     # the prefix frame feeds BOTH sides of the self-join: without pinning,
-    # Spark re-executes the freq-join + collect_list subtree once per side
-    prefix = prefix.transform(lineage_pin)
+    # Spark re-executes the freq-join + collect_list subtree once per side.
+    # rebalance=True: the candidate self-join + levenshtein verify
+    # downstream are per-row expensive and otherwise run single-task off a
+    # coalesced-to-1 checkpoint (measured r11: an 8.1s one-task job was the
+    # whole cost of qgram_editdist_suppliers).
+    prefix = prefix.transform(lineage_pin, rebalance=True)
     a = prefix.select(F.col("name").alias("name_a"), F.col("len").alias("la"), "gram", "occ")
     b = prefix.select(F.col("name").alias("name_b"), F.col("len").alias("lb"), "gram", "occ")
     cand = (
