@@ -1408,11 +1408,19 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     inlining the same plane literals."""
     from smart_data_lake_spark.functions.dedup import embedding_neardup_lsh
 
+    from smart_data_lake_spark.session import lineage_pin
+
     emb = _fan_out(spark, _t(spark, sf_dir, "embeddings"))
     # synthetic embeddings top out near cos 0.5 — 0.4 plays the role a ~0.95
     # threshold would on a real near-dup corpus
-    return embedding_neardup_lsh(
-        emb, threshold=0.4, bands=_ND_BANDS, planes_per_band=_ND_PPB
+    # pin before the declared ordering: the final orderBy's range-bounds
+    # sampling pass otherwise re-executes the whole verify segment (broadcast
+    # join-back + Arrow dot), which sits above the last real shuffle
+    # (r11 opt, guide §2.4: A/B 4.1-4.4s -> 2.4-2.9s at sf0.1)
+    return lineage_pin(
+        embedding_neardup_lsh(
+            emb, threshold=0.4, bands=_ND_BANDS, planes_per_band=_ND_PPB
+        )
     ).orderBy("id_a", "id_b")
 
 
@@ -1424,9 +1432,16 @@ def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exhaustive shape is the point: it is the ground truth the LSH/IVF
     recall audits measure against (README 'Standing plan exceptions')."""
     from smart_data_lake_spark.functions.dedup import embedding_neardup_pairs
+    from smart_data_lake_spark.session import lineage_pin
 
     emb = _fan_out(spark, _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 500))
-    return embedding_neardup_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
+    # pin before the declared ordering: with no shuffle between the scan and
+    # the final sort (the BNLJ is broadcast), the orderBy's range-bounds
+    # sampling pass re-executed the whole 125k-pair Arrow-dot verify
+    # (r11 opt, guide §2.4: A/B 4.9-7.7s -> 2.8-3.0s median at sf0.1)
+    return lineage_pin(embedding_neardup_pairs(emb, threshold=0.4)).orderBy(
+        "id_a", "id_b"
+    )
 
 
 def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2186,9 +2201,14 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-cell cosine threshold, keep-lowest-id; quadratic only inside a
     bounded cell, never across the corpus."""
     from smart_data_lake_spark.functions.dedup import semantic_dedup
+    from smart_data_lake_spark.session import lineage_pin
 
     emb = _fan_out(spark, _t(spark, sf_dir, "embeddings"))
-    return semantic_dedup(emb, _IVF_CENTROIDS, threshold=0.2).orderBy("cell")
+    # pin before the declared ordering (range-sample replay of the
+    # within-cell verify; r11 opt, guide §2.4: A/B 4.8-6.0s -> 3.4-3.7s)
+    return lineage_pin(semantic_dedup(emb, _IVF_CENTROIDS, threshold=0.2)).orderBy(
+        "cell"
+    )
 
 
 def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:

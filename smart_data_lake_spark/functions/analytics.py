@@ -843,9 +843,17 @@ def cooccurrence_lift(
     key is the basket id, co-partitioned by the shuffle, and the item-count
     dimension broadcasts.
     """
+    from ..session import lineage_pin
+
+    # `items` feeds FOUR consumers (the eager basket count, both self-join
+    # sides, the item-count dimension) — unpinned, each replayed the fact
+    # scan + distinct (r11 opt, guide §2.4: A/B 5.9-9.0s -> 3.1-3.7s at
+    # sf0.1). The count() action materializes the pin, so the remaining
+    # three consumers read checkpoint blocks.
     items = df.select(
         F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
     ).distinct()
+    items = lineage_pin(items)
     n_baskets = items.select("basket").distinct().count()
     item_counts = items.groupBy("item").agg(F.count(F.lit(1)).alias("item_cnt"))
     a = items.alias("a")
