@@ -90,6 +90,36 @@ def main() -> None:
         F.initcap(F.lit("éz")),
     ).write.mode("overwrite").format("noop").save()
 
+    # ... and the structured-streaming machinery: the first stream a session
+    # starts pays a one-off ~30-35s init (microbatch execution threads, state
+    # store provider loading, streaming codegen paths — measured 39s -> 10s
+    # -> 5.5s -> 3.5s steady on repeated identical availableNow drains, and
+    # a 2-row warmup stream absorbs it: first real drain lands ~5.5s). The
+    # tail spans two of the three timed runs, so without this the FIRST
+    # streaming query's MEDIAN absorbs session init, not its plan (guide
+    # §1.4: time the computation). A 2-row file-source stream through a
+    # watermark + stateful agg touches the same init paths.
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as _wtmp:
+        spark.range(2).select(
+            F.col("id"), F.current_timestamp().alias("ts")
+        ).write.mode("overwrite").parquet(f"{_wtmp}/t")
+        _wq = (
+            spark.readStream.schema("id long, ts timestamp")
+            .parquet(f"{_wtmp}/t")
+            .withWatermark("ts", "1 hour")
+            .groupBy("id")
+            .count()
+            .writeStream.format("memory")
+            .queryName("_sdl_bench_stream_warm")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _wq.awaitTermination()
+    spark.catalog.dropTempView("_sdl_bench_stream_warm")
+
     # three timed iterations per query, report the MEDIAN: robust to the
     # one-off scheduler stall that a min hides asymmetrically and a mean
     # amplifies. This machine's load drift is a documented 2-3x — two rounds

@@ -58,6 +58,29 @@ spark.range(2).select(
     F.upper(F.lit("ßy")),
     F.initcap(F.lit("éz")),
 ).write.mode("overwrite").format("noop").save()
+# streaming-infrastructure warmup (mirrors bench.py): the first stream in a
+# session pays ~30-35s of one-off init that would otherwise be charged to
+# the profiled query
+import tempfile as _tf
+
+with _tf.TemporaryDirectory() as _wtmp:
+    spark.range(2).select(F.col("id"), F.current_timestamp().alias("ts")).write.mode(
+        "overwrite"
+    ).parquet(f"{_wtmp}/t")
+    _wq = (
+        spark.readStream.schema("id long, ts timestamp")
+        .parquet(f"{_wtmp}/t")
+        .withWatermark("ts", "1 hour")
+        .groupBy("id")
+        .count()
+        .writeStream.format("memory")
+        .queryName("_profile_stream_warm")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _wq.awaitTermination()
+spark.catalog.dropTempView("_profile_stream_warm")
 
 name = %(name)r
 fn = entry.queries()[name]
