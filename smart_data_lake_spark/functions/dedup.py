@@ -57,7 +57,12 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: i
         F.sequence(F.lit(0), F.size(F.col("_toks")) - n),
         lambda i: F.concat_ws(" ", *[F.element_at(F.col("_toks"), i + j + 1) for j in range(n)]),
     )
-    return base.select(F.col(id_col), F.explode(grams).alias("shingle")).distinct()
+    # distinct computed IN-ROW (r11 opt, guide §2.4): `.distinct()` on the
+    # exploded frame dedups (doc, shingle) pairs — exactly per-document
+    # dedup, since the doc id rides every row — so `array_distinct` before
+    # the explode yields the identical row set with ZERO shuffle where the
+    # old form paid a full (doc, shingle) exchange on corpus-token scale.
+    return base.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle"))
 
 
 def minhash_signatures(
@@ -1278,29 +1283,51 @@ def jaccard_neardup_clusters(
     collect-order dependence); thresholds are integer cross-multiplied;
     components use min-label propagation (engine-stable); the canonical
     pick orders by (size desc, id asc)."""
-    toks = _similarity_token_sets(docs, id_col, text_col, shingle_n)
-    # referenced by the fingerprint pass AND the representative filter —
-    # pin the tokenize+distinct pass once
-    toks = toks.transform(lineage_pin)
-    fps = toks.groupBy("doc").agg(
-        F.sha2(F.concat_ws("\x00", F.sort_array(F.collect_set("tok"))), 256).alias("fp")
+    # Per-doc SORTED DISTINCT set built IN-ROW (r11 opt, guide §2.4 —
+    # remove shuffles outright): the old pipeline exploded the corpus into
+    # (doc, tok) rows, ran a distinct SHUFFLE, then folded the rows back
+    # per doc (collect_set + sort_array) through a second shuffle, only to
+    # hash the sorted set. `array_sort(array_distinct(grams))` computes the
+    # identical sorted set inside the scan projection — zero shuffles —
+    # and sha2(concat_ws(...)) over it is byte-identical to the old
+    # sort_array(collect_set(tok)) fold (same elements, same ascending
+    # binary order, same separator). One pin of the (doc, set-array) frame
+    # replaces the former toks/fps/rep_toks pin chain; documents are
+    # bounded-size rows, so the arrays are KB-scale at any corpus size.
+    from .text import tokens as _tokens
+
+    if shingle_n:
+        base = docs.select(
+            F.col(id_col).alias("doc"), _tokens(F.col(text_col)).alias("_toks")
+        ).where(F.size("_toks") >= shingle_n)
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size("_toks") - shingle_n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("_toks"), i + j + 1) for j in range(shingle_n)]
+            ),
+        )
+        doc_sets = base.select("doc", F.array_sort(F.array_distinct(grams)).alias("_set"))
+    else:
+        doc_sets = docs.select(
+            F.col(id_col).alias("doc"),
+            F.array_sort(F.array_distinct(_tokens(F.col(text_col)))).alias("_set"),
+        ).where(F.size("_set") >= 1)
+    doc_sets = doc_sets.transform(lineage_pin)
+    # fp is a cheap map over the pinned arrays — its two consumers (reps,
+    # member expansion) replay only that map, never the tokenize
+    fps = doc_sets.select(
+        "doc", F.sha2(F.concat_ws("\x00", F.col("_set")), 256).alias("fp")
     )
-    # fps feeds reps, the rep_toks filter AND the member expansion — one
-    # materialization instead of three collect_set+sha2 passes
-    fps = fps.transform(lineage_pin)
     reps = fps.groupBy("fp").agg(
         F.min("doc").alias("_rep"), F.count(F.lit(1)).alias("_n_members")
     )
-    rep_toks = toks.join(
-        reps.select(F.col("_rep").alias("doc")), "doc"
+    # representative (doc, tok) rows explode from the pinned set arrays —
+    # the prefix-join core's references replay a pinned-block explode, not
+    # the fingerprint subtree, so the former rep_toks pin is unnecessary
+    rep_toks = (
+        doc_sets.join(reps.select(F.col("_rep").alias("doc")), "doc")
+        .select("doc", F.explode("_set").alias("tok"))
     )
-    # The prefix-join core references its token frame ~6 times (sizes, df,
-    # ranked prefix, verify a/b). For the PAIR operator that frame is a
-    # cheap scan+explode; here its lineage includes the fingerprint pass
-    # (collect_set + sha2 + join), so materialize it ONCE — without this
-    # the whole fingerprint subtree re-runs per reference (measured 2.4x
-    # the pair form's wall-clock at 10x before the cut).
-    rep_toks = rep_toks.transform(lineage_pin)
     pairs = _jaccard_prefix_join_toks(rep_toks, threshold_num, threshold_den)
     comp = connected_components(pairs.select("doc_a", "doc_b"), max_iter=max_iter)
     members = fps.join(reps, "fp").select(
