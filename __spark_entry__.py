@@ -1252,7 +1252,9 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back — scan → tiny agg → projection → TakeOrderedAndProject."""
     from smart_data_lake_spark.functions.search import bm25_topk
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # fan out the single-row-group documents scan: the per-term token
+    # filters are the per-row cost and otherwise run on 1-2 cores (r11 opt)
+    docs = _fan_out(spark, _t(spark, sf_dir, "documents").select("doc_id", "text"))
     return bm25_topk(docs, ["merge", "window", "stream"], k=20)
 
 

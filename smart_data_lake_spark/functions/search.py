@@ -52,6 +52,8 @@ def bm25_topk(
     if not terms:
         raise ValueError("query_terms must be non-empty")
 
+    from ..session import lineage_pin
+
     toks = tokens(F.col(text_col))
     base = df.select(
         F.col(id_col),
@@ -61,6 +63,12 @@ def bm25_topk(
             for i, t in enumerate(terms)
         ],
     )
+    # `base` (the tokenize + per-term tf pass, the dominant cost) feeds the
+    # broadcast stats subtree AND the scored projection — two separate
+    # query executions, so exchange reuse never applies and the tokenize
+    # ran twice (r11 opt, guide §2.4). The pinned rows are narrow:
+    # id + |terms|+1 ints.
+    base = lineage_pin(base)
 
     stats = base.agg(
         F.count(F.lit(1)).alias("_n_docs"),
