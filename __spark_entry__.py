@@ -2442,15 +2442,22 @@ def multimodal_jpeg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     entropy-coded size itself is not SQL-predictable)."""
     from smart_data_lake_spark.functions.multimodal import jpeg_roundtrip_features
 
+    from smart_data_lake_spark.session import lineage_pin
+
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0)
     feats = jpeg_roundtrip_features(docs)
-    return feats.select(
-        "doc_id",
-        "width",
-        "height",
-        "channels",
-        "format",
-        (F.col("payload_bytes") > 200).alias("payload_nonempty"),
+    # pin before the declared ordering: the encode/decode mapInPandas is
+    # shuffle-free above the scan, so the orderBy's range-sampling pass
+    # re-ran the whole codec (r11 opt: A/B ~2.2s -> ~1.1-1.4s)
+    return lineage_pin(
+        feats.select(
+            "doc_id",
+            "width",
+            "height",
+            "channels",
+            "format",
+            (F.col("payload_bytes") > 200).alias("payload_nonempty"),
+        )
     ).orderBy("doc_id")
 
 
@@ -2759,13 +2766,20 @@ def readability_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count,
     )
 
+    from smart_data_lake_spark.session import lineage_pin
+
     docs = _fan_out(spark, _t(spark, sf_dir, "documents"))
-    return docs.select(
-        "doc_id",
-        token_count(F.col("text")).alias("n_words"),
-        F.greatest(F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1)).alias("n_sentences"),
-        syllable_count(F.col("text")).alias("n_syllables"),
-        flesch_reading_ease(F.col("text")).alias("flesch"),
+    # pin before the declared ordering: the regexp/syllable chain is the
+    # whole cost and sits above the last exchange, so the orderBy's
+    # range-sampling pass re-ran it (r11 opt: A/B ~2.6s -> ~1.5s)
+    return lineage_pin(
+        docs.select(
+            "doc_id",
+            token_count(F.col("text")).alias("n_words"),
+            F.greatest(F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1)).alias("n_sentences"),
+            syllable_count(F.col("text")).alias("n_syllables"),
+            flesch_reading_ease(F.col("text")).alias("flesch"),
+        )
     ).orderBy("doc_id")
 
 
