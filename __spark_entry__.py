@@ -19,7 +19,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from smart_data_lake_spark.functions.numeric import grid_round, grid_round_sql
+from smart_data_lake_spark.functions.numeric import (
+    dec_double,
+    grid_round,
+    grid_round_sql,
+)
 from smart_data_lake_spark.session import ensure_nanos_shim
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -1898,9 +1902,13 @@ def range_frame_trailing_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer MICROSECONDS (unix_micros ≡ DuckDB epoch_us) — sub-second
     precision with no float boundary drift; decimal sum = order-independent.
     One shuffle (the window sort). r11 sweep: the input double→DECIMAL cast
-    goes through grid_round (bare casts round engine-natively), and the sum
-    is emitted as DECIMAL(38,6) directly — exact on both engines, the old
-    round(CAST(.. AS DOUBLE), 6) final was the engine-round class."""
+    goes through grid_round (bare casts round engine-natively). r12: the
+    exact decimal sum is RENDERED as double via dec_double (string
+    round-trip, correctly rounded in both engines) — the r11 DECIMAL(38,6)
+    final was driver-hash-divergent (decimal outputs are the only three
+    hash_match failures in CORRECTNESS_r11; every double final is green),
+    and the old round(CAST(.. AS DOUBLE), 6) final was the engine-round
+    class. The sum itself stays exact decimal arithmetic."""
     ev = _t(spark, sf_dir, "events").where(F.col("user_id") % 50 == 0)
     w = (
         Window.partitionBy("user_id")
@@ -1910,10 +1918,9 @@ def range_frame_trailing_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        F.sum(grid_round(F.col("value"), 6).cast("decimal(18,6)"))
-        .over(w)
-        .cast("decimal(38,6)")
-        .alias("trailing_1h_sum"),
+        dec_double(
+            F.sum(grid_round(F.col("value"), 6).cast("decimal(18,6)")).over(w)
+        ).alias("trailing_1h_sum"),
         F.count(F.lit(1)).over(w).alias("trailing_1h_n"),
     ).orderBy("event_id")
 
@@ -1923,9 +1930,11 @@ def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     subtotal combinations only — Catalyst compiles to ONE Expand + one hash
     aggregate (a single shuffle for all four sets), strictly cheaper than
     unioning four aggregates. GROUPING() disambiguates subtotal NULLs.
-    r11 sweep: grid-quantized input cast + exact DECIMAL(38,2) sum output
-    (the old ROUND(CAST(.. AS DOUBLE), 2) final was the engine-round
-    class)."""
+    r11 sweep: grid-quantized input cast; r12: the exact DECIMAL sum is
+    rendered as double via the string round-trip (dec_double class — the
+    r11 DECIMAL(38,2) final was driver-hash-divergent, see
+    range_frame_trailing_value; the old ROUND(CAST(.. AS DOUBLE), 2)
+    final was the engine-round class)."""
     _t(spark, sf_dir, "orders").createOrReplaceTempView("sdl_gs_orders")
     # grid_round_sql is engine-neutral SQL (abs/floor/CASE) — the same
     # builder serves the Spark SQL side here and the DuckDB oracle, so
@@ -1937,7 +1946,7 @@ def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(grouping(o_orderstatus) AS INT) AS g_status,
                CAST(grouping(o_orderpriority) AS INT) AS g_prio,
                COUNT(*) AS n_orders,
-               CAST(SUM(CAST({gq_price} AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+               CAST(CAST(SUM(CAST({gq_price} AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS total_price
         FROM sdl_gs_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
                                 (o_orderstatus, o_orderpriority), ())
@@ -3370,7 +3379,8 @@ def page_hinkley_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Page-Hinkley sequential drift statistic per event type
     (functions/analytics.page_hinkley_by_group; Page 1954): the
     running-mean one-directional detector next to CUSUM's global-mean
-    form. Fully-decimal walk, DECIMAL(38,9) statistic."""
+    form. Fully-decimal walk on the grid-6/(28,6) discipline (r12
+    rotation fix), statistic rendered as double via dec_double."""
     from smart_data_lake_spark.functions.analytics import page_hinkley_by_group
 
     ev = _t(spark, sf_dir, "events")
@@ -4296,23 +4306,25 @@ def oracle_sql() -> dict[str, str]:
             FROM fresh f JOIN firsts USING (h, doc_id)
             ORDER BY f.doc_id""",
         "range_frame_trailing_value": f"""
-            -- r11 sweep: grid-quantized input cast, exact DECIMAL(38,6)
-            -- sum output (no engine round())
+            -- r11 sweep: grid-quantized input cast; r12: exact decimal sum
+            -- rendered as double via the string round-trip (dec_double
+            -- class; DECIMAL finals are driver-hash-divergent)
             SELECT event_id, user_id,
-                   CAST(SUM(CAST({_gq("value", 6)} AS DECIMAL(18,6))) OVER w AS DECIMAL(38,6)) AS trailing_1h_sum,
+                   {_dd(f'SUM(CAST({_gq("value", 6)} AS DECIMAL(18,6))) OVER w')} AS trailing_1h_sum,
                    COUNT(*) OVER w AS trailing_1h_n
             FROM events WHERE user_id % 50 = 0
             WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
             ORDER BY event_id""",
         "grouping_sets_sales": f"""
-            -- r11 sweep: grid-quantized input cast, exact DECIMAL(38,2)
-            -- sum output (no engine round())
+            -- r11 sweep: grid-quantized input cast; r12: exact decimal sum
+            -- rendered as double via the string round-trip (dec_double
+            -- class; DECIMAL finals are driver-hash-divergent)
             SELECT o_orderstatus, o_orderpriority,
                    CAST(grouping(o_orderstatus) AS INT) AS g_status,
                    CAST(grouping(o_orderpriority) AS INT) AS g_prio,
                    COUNT(*) AS n_orders,
-                   CAST(SUM(CAST({_gq("o_totalprice", 2)} AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+                   {_dd(f'SUM(CAST({_gq("o_totalprice", 2)} AS DECIMAL(18,2)))')} AS total_price
             FROM orders
             GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
                                     (o_orderstatus, o_orderpriority), ())
@@ -7945,10 +7957,13 @@ def oracle_sql() -> dict[str, str]:
                            ROWS UNBOUNDED PRECEDING)
             ),
             dev AS (
+              -- grid-6/(28,6) running mean (r12 rotation fix, lockstep
+              -- with page_hinkley_by_group): scale 9 diverged past the
+              -- scale-9 cast-exact bound |mean| > 9e6
               SELECT g, ts, event_id,
-                     CAST(x AS DECIMAL(28,9))
-                       - CAST({_gq("CAST(s AS DOUBLE) / CAST(i AS DOUBLE)", 9)} AS DECIMAL(28,9))
-                       - CAST('0.005' AS DECIMAL(28,9)) AS d
+                     CAST(x AS DECIMAL(28,6))
+                       - CAST({_gq("CAST(s AS DOUBLE) / CAST(i AS DOUBLE)", 6)} AS DECIMAL(28,6))
+                       - CAST('0.005' AS DECIMAL(28,6)) AS d
               FROM cum
             ),
             usum AS (
@@ -7965,9 +7980,11 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT g AS event_type,
                    CAST(COUNT(*) AS BIGINT) AS n_obs,
-                   -- (37,9) operands, lockstep with the Spark side's
-                   -- precision-clamp workaround
-                   MAX(CAST(CAST(u AS DECIMAL(37,9)) - CAST(m AS DECIMAL(37,9)) AS DECIMAL(38,9))) AS ph_stat
+                   -- (37,6) operands, lockstep with the Spark side's
+                   -- precision-clamp workaround; r12: rendered as double
+                   -- via the string round-trip (dec_double class; DECIMAL
+                   -- finals are driver-hash-divergent)
+                   {_dd("MAX(CAST(CAST(u AS DECIMAL(37,6)) - CAST(m AS DECIMAL(37,6)) AS DECIMAL(38,6)))")} AS ph_stat
             FROM walked GROUP BY g ORDER BY event_type""",
         "gumbel_return_level_by_type": f"""
             -- daily block maxima -> exact decimal moments -> one IEEE
@@ -7988,10 +8005,10 @@ def oracle_sql() -> dict[str, str]:
               FROM daily GROUP BY g
             )
             SELECT g AS event_type, n_days,
-                   {_gq("CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)", 6)} AS mean_daily_max,
-                   CASE WHEN n_days > 1 THEN {_gq("sqrt(greatest((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)) / (CAST(n_days AS DOUBLE) - 1.0), 0.0)) * 2.449489742783178 / 3.141592653589793", 6)} END AS gumbel_beta,
-                   CASE WHEN n_days > 1 THEN {_gq("CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE) - 0.5772156649015329 * (sqrt(greatest((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)) / (CAST(n_days AS DOUBLE) - 1.0), 0.0)) * 2.449489742783178 / 3.141592653589793)", 6)} END AS gumbel_mu,
-                   CASE WHEN n_days > 1 THEN {_gq("CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE) - 0.5772156649015329 * (sqrt(greatest((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)) / (CAST(n_days AS DOUBLE) - 1.0), 0.0)) * 2.449489742783178 / 3.141592653589793) - (sqrt(greatest((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n_days AS DOUBLE)) / (CAST(n_days AS DOUBLE) - 1.0), 0.0)) * 2.449489742783178 / 3.141592653589793) * ln(-ln(1.0 - 1.0 / 30.0))", 6)} END AS return_level_30d
+                   {_gq("CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n_days AS DOUBLE)", 6)} AS mean_daily_max,
+                   CASE WHEN n_days > 1 THEN {_gq("sqrt(greatest((CAST(CAST(ss AS VARCHAR) AS DOUBLE) - CAST(CAST(s AS VARCHAR) AS DOUBLE) * CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n_days AS DOUBLE)) / (CAST(n_days AS DOUBLE) - 1.0), 0.0)) * 2.449489742783178 / 3.141592653589793", 6)} END AS gumbel_beta,
+                   CASE WHEN n_days > 1 THEN {_gq("CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n_days AS DOUBLE) - 0.5772156649015329 * (sqrt(greatest((CAST(CAST(ss AS VARCHAR) AS DOUBLE) - CAST(CAST(s AS VARCHAR) AS DOUBLE) * CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n_days AS DOUBLE)) / (CAST(n_days AS DOUBLE) - 1.0), 0.0)) * 2.449489742783178 / 3.141592653589793)", 6)} END AS gumbel_mu,
+                   CASE WHEN n_days > 1 THEN {_gq("CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n_days AS DOUBLE) - 0.5772156649015329 * (sqrt(greatest((CAST(CAST(ss AS VARCHAR) AS DOUBLE) - CAST(CAST(s AS VARCHAR) AS DOUBLE) * CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n_days AS DOUBLE)) / (CAST(n_days AS DOUBLE) - 1.0), 0.0)) * 2.449489742783178 / 3.141592653589793) - (sqrt(greatest((CAST(CAST(ss AS VARCHAR) AS DOUBLE) - CAST(CAST(s AS VARCHAR) AS DOUBLE) * CAST(CAST(s AS VARCHAR) AS DOUBLE) / CAST(n_days AS DOUBLE)) / (CAST(n_days AS DOUBLE) - 1.0), 0.0)) * 2.449489742783178 / 3.141592653589793) * ln(-ln(1.0 - 1.0 / 30.0))", 6)} END AS return_level_30d
             FROM per ORDER BY event_type""",
         "theil_index_spend_by_nation": f"""
             -- (x/mu)*ln(x/mu) terms on the 1e-9 grid into an exact

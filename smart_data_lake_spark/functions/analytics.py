@@ -2432,11 +2432,14 @@ def page_hinkley_by_group(
     one-directional online form whose reference mean only uses the past.
 
     Exactness: inputs quantize to 1e-6 DECIMAL on the shared grid; each
-    running mean is one rational (exact cumsum / i) on the 1e-9 grid; the
+    running mean is one rational (exact cumsum / i) on the 1e-6 grid; the
     deviation cumsum, running minimum and the final max are then EXACT
-    decimal arithmetic — the statistic is emitted as DECIMAL(38,9), no
-    float accumulation anywhere. δ is a decimal string so both engines
-    parse the identical constant.
+    decimal arithmetic — no float accumulation anywhere. δ is a decimal
+    string so both engines parse the identical constant. r12: the exact
+    decimal statistic is RENDERED as double via dec_double (string
+    round-trip, correctly rounded in both engines) — DECIMAL-typed output
+    columns are driver-hash-divergent (the only three hash_match failures
+    in CORRECTNESS_r11 were exactly the three DECIMAL finals registry-wide).
 
     Shape: one window sort per group (the sequential definition's price;
     groups are assumed time-series-sized) + one combinable max.
@@ -2449,32 +2452,38 @@ def page_hinkley_by_group(
         .withColumn("_i", F.row_number().over(w))
         .withColumn("_s", F.sum("_x").over(w))
     )
+    # grid-6/(28,6) running mean (the cuped/welch discipline, r12 rotation
+    # fix): the r11 grid-9/(28,9) cast diverged for |mean| in (9e6, 1e9) —
+    # past the scale-9 cast-exact bound the double→DECIMAL cast rounds
+    # engine-natively (Spark shortest-decimal HALF_UP vs DuckDB binary
+    # scaling). Scale 6 is cast-exact to |mean| < 9e9, covering the 1e9
+    # value contract; magnitude-swept 16/16 after the move.
     mean_i = grid_round(
-        F.col("_s").cast("double") / F.col("_i").cast("double"), 9
-    ).cast("decimal(28,9)")
+        F.col("_s").cast("double") / F.col("_i").cast("double"), 6
+    ).cast("decimal(28,6)")
     dev = cum.select(
         group_col,
         F.col(ts_col),
         F.col(tiebreak_col),
         (
-            F.col("_x").cast("decimal(28,9)")
+            F.col("_x").cast("decimal(28,6)")
             - mean_i
-            - F.lit(delta).cast("decimal(28,9)")
+            - F.lit(delta).cast("decimal(28,6)")
         ).alias("_d"),
     )
     wu = Window.partitionBy(group_col).orderBy(ts_col, tiebreak_col)
     walked = dev.withColumn("_u", F.sum("_d").over(wu)).withColumn(
         "_m", F.min(F.col("_u")).over(wu)
     )
-    # narrow u/m to (37,9) BEFORE subtracting: a (38,9)−(38,9) difference
-    # needs precision 39, and Spark's overflow rule clamps the SCALE to 8
-    # (silent last-digit loss) while DuckDB keeps 9 — found live by the
-    # oracle check; (37,9)−(37,9) → (38,9) exact in both engines
-    u = F.col("_u").cast("decimal(37,9)")
-    m = F.col("_m").cast("decimal(37,9)")
+    # narrow u/m to (37,6) BEFORE subtracting: a (38,6)−(38,6) difference
+    # needs precision 39, and Spark's overflow rule clamps the SCALE
+    # (silent last-digit loss) while DuckDB keeps it — found live by the
+    # oracle check; (37,6)−(37,6) → (38,6) exact in both engines
+    u = F.col("_u").cast("decimal(37,6)")
+    m = F.col("_m").cast("decimal(37,6)")
     return walked.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_obs"),
-        F.max((u - m).cast("decimal(38,9)")).alias("ph_stat"),
+        dec_double(F.max((u - m).cast("decimal(38,6)"))).alias("ph_stat"),
     )
 
 
@@ -2512,14 +2521,19 @@ def gumbel_return_level_by_group(
         F.sum((mq * mq).cast("decimal(38,12)")).cast("decimal(38,12)").alias("ss"),
     )
     n = F.col("n_days").cast("double")
-    m = F.col("s").cast("double") / n
+    # dec_double (string round-trip) instead of the native decimal→double
+    # cast: DuckDB's int128 cast double-rounds past 2^53 scaled (ss at
+    # scale 12 passes it near |value| ~ 5e8 — the 1/16 magnitude-sweep
+    # divergence; r12 rotation fix). Below the bound the two casts are
+    # identical, so graded-SF values are unchanged.
+    sd = dec_double(F.col("s"))
+    m = sd / n
     # unbiased sample variance from exact sums; clamped at 0 (review-found:
     # constant daily maxima cancel to a tiny NEGATIVE var, where sqrt NaNs
     # on Spark and hard-errors on an ANSI engine — the grouped_outliers
     # greatest() treatment)
     var = F.greatest(
-        (F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s").cast("double") / n)
-        / (n - 1.0),
+        (dec_double(F.col("ss")) - sd * sd / n) / (n - 1.0),
         F.lit(0.0),
     )
     beta = F.sqrt(var) * 2.449489742783178 / 3.141592653589793  # sqrt(6)/pi

@@ -39,12 +39,11 @@ sys.path.insert(0, os.path.join(_ROOT, "tests"))
 # members with a KNOWN open divergence that cannot be fixed yet (frozen
 # window): reported as KNOWN, never failing the exit code, so the default
 # run remains a meaningful regression gate. Remove on fix at rotation.
-KNOWN_DIVERGING = {
-    "page_hinkley_value_by_type": "frozen r11 window member; cumulative-"
-    "deviation decimal casts diverge past |value| ~ 1e8; fix at r12 rotation",
-    "gumbel_return_level_by_type": "frozen r11 window member; block-maxima "
-    "decimal casts diverge past |value| ~ 5e8 (1/16 extreme trials); fix at "
-    "r12 rotation",
+KNOWN_DIVERGING: dict[str, str] = {
+    # r12 rotation: both r11 entries fixed and removed —
+    # page_hinkley moved to the grid-6/(28,6) running-mean discipline
+    # (16/16), gumbel's s/ss decimal→double casts moved to the dec_double
+    # string round-trip (16/16).
 }
 
 
