@@ -68,11 +68,20 @@ def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
     tables are single-row-group files — so minhash/n-gram-fold stages would
     run on 1-2 of 32 cores no matter what maxPartitionBytes says. The
     repartition moves a few hundred KB (negligible) and restores full
-    parallelism; at production scale the source has thousands of row groups
-    and the same operators parallelize at the scan, so a deployment would
-    drop this call (it exists to make the benchmark measure the operator,
-    not the row-group layout)."""
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    parallelism.
+
+    CONDITIONAL (r12, guide §2.4 — no accidental exchanges): a no-op when
+    the scan already carries >= defaultParallelism partitions, so at
+    production scale (thousands of row-group splits) no exchange is added
+    and scan parallelism is never CAPPED at defaultParallelism — the r11
+    unconditional form would have inserted a pointless full-table shuffle
+    into ~40 query paths there. The partition count comes from the plan's
+    RDD lineage (no job: these frames are bare scans / scan+project, so
+    there is no AQE shuffle stage to finalize)."""
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
 
 
 def _dec(col: str | F.Column, scale: int = 2) -> F.Column:

@@ -36,18 +36,9 @@ def main() -> None:
         extra_conf={
             "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
             "spark.sql.files.openCostInBytes": str(512 * 1024),
-            # the shuffle-side analog of the 4 MB scan split (r11 opt):
-            # AQE's parallelism-first coalescing is capped by a 1 MB
-            # minPartitionSize floor, so every post-shuffle stage of these
-            # few-MB test tables coalesces to 1-2 partitions and per-row-
-            # expensive stages (array_intersect verify, levenshtein) run
-            # single-task (measured: 15s of a 20s jaccard query on one of
-            # 32 cores; 26s -> 9-10s with the floor lowered). 64 KB lets
-            # parallelism-first actually bind at benchmark scale; at
-            # production scale partitions are far above 1 MB and neither
-            # floor binds. Scales with SPARK_GRAFT_CPUS like the rest of
-            # the session (partition targets derive from defaultParallelism).
-            "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
+            # (the shuffle-side analog — the 64k coalescing minPartitionSize
+            # floor — moved into session.py in r12 so production sessions
+            # get the same plans the bench times)
         },
     )
 
@@ -168,6 +159,21 @@ def main() -> None:
         out["errors"] = errors
         out["partial"] = True
     print(json.dumps(out))
+    # Side-channel copy of the same payload (r12): BENCH_r10's one-line
+    # stdout JSON was truncated in capture, which cost round 11 its entire
+    # round-over-round comparison (PERF_r11: n_common=0). The stdout
+    # contract above is unchanged; this file is just a durable baseline
+    # for the next round's diff. Best-effort — the bench must never fail
+    # on a read-only checkout.
+    try:
+        side = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "plans", "bench_latest.json"
+        )
+        with open(side, "w") as fh:
+            json.dump(out, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":

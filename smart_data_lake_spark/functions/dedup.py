@@ -47,6 +47,15 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: i
 
     Documents with fewer than n tokens produce no shingles (and therefore
     never appear in candidate pairs) — standard MinHash behavior.
+
+    CONTRACT: `id_col` must be unique per input row (one row per document).
+    The distinct is computed IN-ROW (see below), so a duplicated id emits
+    its shingles once PER ROW, where the pre-r11 frame-level `.distinct()`
+    deduped across rows; downstream `ngram_jaccard` counts rows assuming
+    set semantics and would over-count sizes/intersections. All corpus
+    tables in this repo are unique-keyed; callers with possibly-duplicated
+    ids must `dropDuplicates([id_col])` first (cheaper than pushing a
+    corpus-token-scale distinct back into every consumer).
     """
     from smart_data_lake_spark.functions.text import tokens
 
@@ -117,7 +126,12 @@ def ngram_jaccard(
 ) -> DataFrame:
     """Exact Jaccard over distinct shingle sets for the candidate pairs only
     (verification step after LSH). intersection via shingle equi-join;
-    |A|,|B| via per-doc counts; jaccard = inter / (|A|+|B|-inter)."""
+    |A|,|B| via per-doc counts; jaccard = inter / (|A|+|B|-inter).
+
+    CONTRACT: `shingle_df` must hold DISTINCT (id, shingle) rows — exactly
+    what `shingles()` emits for unique-id input (its documented
+    precondition). Sizes and intersections are row counts, so duplicated
+    (id, shingle) rows inflate both."""
     sizes = shingle_df.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     sa = shingle_df.alias("sa")
     sb = shingle_df.alias("sb")

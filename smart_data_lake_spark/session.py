@@ -16,6 +16,22 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _will_launch_jvm() -> bool:
+    """True when build_session's getOrCreate will launch the JVM itself, so
+    builder-level spark.driver.extraJavaOptions (and the GC flags they
+    carry) are guaranteed active. False under a pre-existing gateway/context
+    (spark-submit sets PYSPARK_GATEWAY_PORT before user code runs; an
+    already-created SparkContext means every builder conf is moot anyway)."""
+    if "PYSPARK_GATEWAY_PORT" in os.environ:
+        return False
+    try:
+        from pyspark import SparkContext
+
+        return SparkContext._active_spark_context is None and SparkContext._gateway is None
+    except Exception:  # noqa: BLE001 — conservative: keep the safe default
+        return False
+
+
 def build_session(
     app_name: str = "smart_data_lake_spark",
     master: str | None = None,
@@ -32,6 +48,16 @@ def build_session(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Let AQE's parallelism-first coalescing actually bind for small
+        # inputs (r11 opt, promoted from bench-only conf in r12 so
+        # production sessions get the same plans the bench times): the
+        # default 1 MB minPartitionSize floor coalesces few-MB post-shuffle
+        # stages to 1-2 partitions, serializing per-row-expensive stages
+        # (measured: 15s of a 20s jaccard query on one of 32 cores; 26s ->
+        # 9-10s with the floor lowered). At production scale post-shuffle
+        # partitions are far above 1 MB and neither floor binds — the knob
+        # only changes behavior where the default was pathological.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -63,7 +89,19 @@ def build_session(
         # many-short-queries sessions. 90s keeps the heap small so each
         # forced GC is cheap (~0.3s) — workload-shape config, valid at
         # any scale/core count (guide §5: caching/unpersist hygiene).
-        .config("spark.cleaner.periodicGC.interval", "90s")
+        # COUPLING GUARD (r12, from r11 ADVICE): the short interval is only
+        # safe together with -XX:+ExplicitGCInvokesConcurrent below — a
+        # plain System.gc() on G1 is a single-threaded stop-the-world full
+        # collection, and injecting THAT every 90s into running queries is
+        # the exact pathology the fix removes. extraJavaOptions only takes
+        # effect when THIS builder launches the JVM; under spark-submit
+        # (pre-launched gateway, user driver-java-options win) keep Spark's
+        # 30min default. ContextCleaner reads the interval once at start,
+        # so the decision must be made here, not post-hoc.
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            "90s" if _will_launch_jvm() else "30min",
+        )
         # ... and make that periodic System.gc() CONCURRENT: on G1 an
         # explicit GC is otherwise a single-threaded stop-the-world full
         # collection — measured here (r11 opt): multi-second pauses landing
@@ -146,6 +184,15 @@ def lineage_pin(df, eager: bool = False, rebalance: bool = False):
         # lineage carries it), and at production scale a checkpoint holds
         # >= defaultParallelism partitions, making this a no-op; the
         # explicit-N repartition is exempt from AQE re-coalescing.
+        # Two documented costs of this path (r11 ADVICE): (a) `.rdd`
+        # finalizes the AQE plan, so an eager=False pin becomes SEMI-eager
+        # here — upstream shuffle stages materialize at pin time (the
+        # checkpoint blocks themselves still fill lazily); (b) the returned
+        # repartition is itself unpinned, so each separate ACTION on the
+        # frame re-runs the round-robin exchange from the checkpoint
+        # blocks — cheap (no source recompute) but not free; callers
+        # driving MANY actions over one pin should pin the rebalanced
+        # frame again themselves.
         sc = df.sparkSession.sparkContext
         if pinned.rdd.getNumPartitions() < sc.defaultParallelism:
             return pinned.repartition(sc.defaultParallelism)

@@ -114,3 +114,31 @@ def test_jaccard_neardup_clusters_after_rewrite(spark):
     assert out[2] == (2, 2)
     # doc 4 (too short) and doc 1 (no qualifying pair) are absent
     assert all(cid not in out for cid in (1, 4))
+
+
+def test_shingles_duplicate_id_contract(spark):
+    """The documented unique-id precondition (r12): a duplicated doc_id
+    emits its shingles once PER ROW (in-row distinct cannot see across
+    rows), and dropDuplicates on the id restores the old frame-level
+    semantics exactly."""
+    from smart_data_lake_spark.functions.dedup import shingles
+
+    dup = spark.createDataFrame(
+        [(1, "a b c d", 7), (1, "a b c d", 7), (2, "a b c d", 7)],
+        "doc_id long, text string, n_chars long",
+    )
+    rows = sorted(map(tuple, shingles(dup).collect()))
+    # defined behavior: doc 1's two rows each emit the 2 distinct 3-grams
+    assert rows == [
+        (1, "a b c"),
+        (1, "a b c"),
+        (1, "b c d"),
+        (1, "b c d"),
+        (2, "a b c"),
+        (2, "b c d"),
+    ]
+    # the documented caller-side fix: dedup ids first -> set semantics
+    deduped = sorted(
+        map(tuple, shingles(dup.dropDuplicates(["doc_id"])).collect())
+    )
+    assert deduped == [(1, "a b c"), (1, "b c d"), (2, "a b c"), (2, "b c d")]

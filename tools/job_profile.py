@@ -30,7 +30,6 @@ from pyspark.sql import functions as F
 _extra = {
     "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
     "spark.sql.files.openCostInBytes": str(512 * 1024),
-    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
     "spark.eventLog.enabled": "true",
     "spark.eventLog.compress": "false",
     "spark.eventLog.rolling.enabled": "false",
