@@ -908,7 +908,8 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smart_data_lake_spark.functions.text import with_text_stats
 
-    docs = _t(spark, sf_dir, "documents")
+    # fan out (r12): same per-row text-stat block as cohens_kappa_lang_id
+    docs = _fan_out(spark, _t(spark, sf_dir, "documents"))
     # with_text_stats materializes the token array once; selecting only
     # lang/lang_pred lets Catalyst prune the other stat expressions away
     return (
@@ -2190,6 +2191,7 @@ def token_entropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sufficient-statistics identity H = ln(T) − Σ n·ln n / T."""
     from smart_data_lake_spark.functions.quality import token_entropy
 
+    # fan-out measured and rejected (r12 A/B: med 1.22 off vs 2.05 on)
     docs = _t(spark, sf_dir, "documents")
     return token_entropy(docs).orderBy("doc_id")
 
@@ -2212,6 +2214,7 @@ def cross_source_dup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     decision that runs before any document-level dedup."""
     from smart_data_lake_spark.functions.dedup import cross_source_duplication
 
+    # fan-out measured and rejected here (r12 A/B: med 3.12 off vs 3.43 on)
     docs = _t(spark, sf_dir, "documents")
     return cross_source_duplication(docs).orderBy("source_a", "source_b")
 
@@ -2262,6 +2265,7 @@ def pmi_collocations_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered top-k on the rounded score."""
     from smart_data_lake_spark.functions.search import pmi_collocations
 
+    # fan-out measured and rejected (r12 A/B: med 1.17 off vs 1.81 on)
     docs = _t(spark, sf_dir, "documents")
     return pmi_collocations(docs, min_count=5, k=25)
 
@@ -2302,7 +2306,7 @@ def zipf_slope_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal regression sums."""
     from smart_data_lake_spark.functions.search import zipf_slope
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _fan_out(spark, _t(spark, sf_dir, "documents"))  # tokenize map (r12)
     return zipf_slope(docs).orderBy("source")
 
 
@@ -2378,6 +2382,7 @@ def source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrounded integer-derived division — bit-identical across engines."""
     from smart_data_lake_spark.functions.search import source_vocab_overlap
 
+    # fan-out measured and rejected (r12 A/B: med 0.66 off vs 1.34 on)
     docs = _t(spark, sf_dir, "documents")
     return source_vocab_overlap(docs).orderBy("source_a", "source_b")
 
@@ -2496,6 +2501,8 @@ def bigram_lm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the phrase-level fluency upgrade of the unigram scorer."""
     from smart_data_lake_spark.functions.quality import bigram_logprob_score
 
+    # fan-out measured and rejected here (r12 A/B: med 1.83 off vs 2.23 on;
+    # the token passes are join-keyed downstream, so the exchange only adds)
     docs = _t(spark, sf_dir, "documents")
     return bigram_logprob_score(docs).orderBy("doc_id")
 
@@ -2519,7 +2526,10 @@ def cms_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     is replaced by a 4 KiB broadcastable sketch + a candidate-only count."""
     from smart_data_lake_spark.functions.profiling import cms_heavy_hitters
 
-    docs = _t(spark, sf_dir, "documents")
+    # fan out (r12): the sketch pass and the vocabulary pass are each a
+    # tokenize+md5 map over the whole corpus — measured as two serial ~1.5 s
+    # 2-task jobs off the single-row-group scan (job_profile, guide §2)
+    docs = _fan_out(spark, _t(spark, sf_dir, "documents"))
     return cms_heavy_hitters(docs).orderBy(F.desc("n_exact"), "term")
 
 
@@ -2557,6 +2567,7 @@ def bpe_merge_candidates_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-bounded table, never the corpus."""
     from smart_data_lake_spark.functions.text import bpe_merge_candidates
 
+    # fan-out measured and rejected (r12 A/B: med 0.57 off vs 0.88 on)
     docs = _t(spark, sf_dir, "documents")
     return bpe_merge_candidates(docs)
 
@@ -3042,6 +3053,7 @@ def hits_terms_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL iterations. Top-20 authorities."""
     from smart_data_lake_spark.functions.graph import hits, token_transition_edges
 
+    # fan-out measured and rejected here (r12 A/B: med 3.54 off vs 3.85 on)
     docs = _t(spark, sf_dir, "documents")
     h = hits(token_transition_edges(docs), weight_col="weight", iterations=3)
     return (
@@ -3058,6 +3070,7 @@ def vocab_coverage_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     window, exact integer counts."""
     from smart_data_lake_spark.functions.search import vocab_coverage_curve
 
+    # fan-out measured and rejected (r12 A/B: neutral, med 1.07 off vs 1.14 on)
     docs = _t(spark, sf_dir, "documents")
     return vocab_coverage_curve(docs)
 
@@ -3127,6 +3140,7 @@ def llr_collocations_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-25 on the rounded score."""
     from smart_data_lake_spark.functions.search import llr_collocations
 
+    # fan-out measured and rejected (r12 A/B: med 1.25 off vs 1.91 on)
     docs = _t(spark, sf_dir, "documents")
     return llr_collocations(docs, min_count=5, k=25).orderBy(
         F.desc("llr_g2"), "collocation"
@@ -3140,6 +3154,7 @@ def distinct_ngram_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFram
     curve."""
     from smart_data_lake_spark.functions.search import distinct_ngram_ratio
 
+    # fan-out measured and rejected (r12 A/B: neutral, med 1.61 off vs 1.66 on)
     docs = _t(spark, sf_dir, "documents")
     return distinct_ngram_ratio(docs)
 
@@ -3480,7 +3495,9 @@ def cohens_kappa_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from smart_data_lake_spark.functions.profiling import cohens_kappa
     from smart_data_lake_spark.functions.text import with_text_stats
 
-    docs = _t(spark, sf_dir, "documents")
+    # fan out (r12): with_text_stats is the regex-tokenize + stopword-vote
+    # per-row block — the whole corpus on 1-2 scan tasks otherwise (guide §2)
+    docs = _fan_out(spark, _t(spark, sf_dir, "documents"))
     return cohens_kappa(
         with_text_stats(docs).select("lang", "lang_pred"), "lang", "lang_pred"
     )

@@ -2,7 +2,7 @@
 
 Usage: python tools/dump_plan.py <suffix> <query> [<query> ...]
 
-Writes plans/r11/<query>_<suffix>.txt relative to the repo this script
+Writes plans/r12/<query>_<suffix>.txt relative to the repo this script
 lives in (so running it from a worktree at an older commit captures that
 commit's plans). Uses the same session conf as bench.py so the plans
 match what the benchmark executes.
@@ -35,7 +35,7 @@ def main() -> None:
     )
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    outdir = os.path.join(REPO, "plans", "r11")
+    outdir = os.path.join(REPO, "plans", "r12")
     os.makedirs(outdir, exist_ok=True)
     qs = entry.queries()
     for name in names:
