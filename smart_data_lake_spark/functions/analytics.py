@@ -845,16 +845,20 @@ def cooccurrence_lift(
     """
     from ..session import lineage_pin
 
-    # `items` feeds FOUR consumers (the eager basket count, both self-join
-    # sides, the item-count dimension) — unpinned, each replayed the fact
-    # scan + distinct (r11 opt, guide §2.4: A/B 5.9-9.0s -> 3.1-3.7s at
-    # sf0.1). The count() action materializes the pin, so the remaining
-    # three consumers read checkpoint blocks.
+    # `items` feeds FOUR consumers (the basket count, both self-join sides,
+    # the item-count dimension) — unpinned, each replayed the fact scan +
+    # distinct (r11 opt, guide §2.4). The r11 form additionally ran the
+    # basket count as an EAGER driver action; r12 re-A/B (verdict item 6)
+    # measured that the separate count job serializes against the pin
+    # materialization (interleaved A/B at sf0.1: eager-count cold 7.9s /
+    # steady 2.18s vs in-plan 3.7s / 1.99s, identical rows). The count is
+    # now a 1-row aggregate cross-joined into the plan, so the whole query
+    # is ONE action and the lazy pin materializes exactly once.
     items = df.select(
         F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
     ).distinct()
     items = lineage_pin(items)
-    n_baskets = items.select("basket").distinct().count()
+    nb = items.agg(F.countDistinct("basket").alias("_nb"))
     item_counts = items.groupBy("item").agg(F.count(F.lit(1)).alias("item_cnt"))
     a = items.alias("a")
     b = items.alias("b")
@@ -864,6 +868,7 @@ def cooccurrence_lift(
         .groupBy(F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b"))
         .agg(F.count(F.lit(1)).alias("pair_cnt"))
         .where(F.col("pair_cnt") >= min_pair_count)
+        .crossJoin(F.broadcast(nb))
     )
     scored = (
         pairs.join(F.broadcast(item_counts.withColumnsRenamed({"item": "item_a", "item_cnt": "cnt_a"})), "item_a")
@@ -874,9 +879,11 @@ def cooccurrence_lift(
             "pair_cnt",
             "cnt_a",
             "cnt_b",
-            # grid_round, not engine round() (r11 sweep: int rational)
+            # grid_round, not engine round() (r11 sweep: int rational).
+            # _nb is an exact integer cast to double — bit-identical to the
+            # old driver-side float(n_baskets) literal.
             grid_round(
-                (F.col("pair_cnt").cast("double") * F.lit(float(n_baskets)))
+                (F.col("pair_cnt").cast("double") * F.col("_nb").cast("double"))
                 / (F.col("cnt_a").cast("double") * F.col("cnt_b").cast("double")),
                 6,
             ).alias("lift"),
