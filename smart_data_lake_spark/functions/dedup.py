@@ -417,20 +417,28 @@ def connected_components(
     converged = False
     for _i in range(max_iter):
         rounds += 1
-        neighbor_min = (
-            sym.join(labels, sym.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nmin"))
+        # neighbor-min and self-min in ONE aggregation (r12, guide §2.4):
+        # the r11 form computed neighbor minima in a groupBy and then
+        # LEFT-JOINED them back onto `labels` — a second full shuffle of the
+        # label frame every round. Unioning the self rows (tagged) into the
+        # message stream folds both into the single groupBy: step_label =
+        # min(self, neighbors) and old_label = the tagged self row, so the
+        # join disappears. One shuffle per round saved across every cluster
+        # operator (entity resolution, minhash/simhash/jaccard clusters).
+        msgs = sym.join(labels, sym.dst == labels.node).select(
+            "src", "label", F.lit(False).alias("_self")
+        )
+        own = labels.select(
+            F.col("node").alias("src"), "label", F.lit(True).alias("_self")
         )
         stepped = (
-            labels.join(neighbor_min, labels.node == F.col("src"), "left")
-            .select(
-                F.col("node"),
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
-                    "label"
-                ),
-                F.col("label").alias("old_label"),
+            msgs.unionByName(own)
+            .groupBy("src")
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("_self"), F.col("label"))).alias("old_label"),
             )
+            .select(F.col("src").alias("node"), "label", "old_label")
         )
         # pointer jump: label := min(label, label(label)) — halves the
         # remaining pointer depth, turning diameter rounds into log2 rounds
