@@ -902,20 +902,25 @@ def simhash_candidate_pairs(
         ).alias("_b"),
     ).select(id_col, "simhash", "_b.band", "_b.val")
     a, b = blocks.alias("a"), blocks.alias("b")
-    cand = (
+    ham = F.bit_count(
+        F.col(f"a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    # verify BEFORE deduplicating (r12, same discipline as the q-gram join):
+    # the XOR popcount is one cheap JVM expression evaluated join-side,
+    # while the multi-band dedup is a shuffle — filtering first shrinks the
+    # distinct() input from every banded collision to the true near pairs.
+    # A (doc_a, doc_b) pair has ONE signature pair, so the hamming value is
+    # functionally determined and the distinct output is identical.
+    return (
         a.join(b, ["band", "val"])
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
-            F.col("a.simhash").alias("_sa"),
-            F.col("b.simhash").alias("_sb"),
+            ham.alias("hamming"),
         )
+        .where(F.col("hamming") <= max_hamming)
         .distinct()  # a pair may share several bands
-    )
-    ham = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
-    return cand.select("doc_a", "doc_b", ham.alias("hamming")).where(
-        F.col("hamming") <= max_hamming
     )
 
 
