@@ -805,7 +805,14 @@ def partition_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode = PartitionDiffMode()
     result = mode.apply(spark, in_do, out_do, [], {})
     months = sorted(pv.as_dict["month"] for pv in result.input_partition_values)
-    return spark.createDataFrame([(m,) for m in months], "month timestamp")
+    # JVM LocalRelation instead of createDataFrame (r12): parallelizing the
+    # ~30-row python list spread it over defaultParallelism partitions, and
+    # EACH partition paid a python-worker pickle roundtrip on every action
+    # (profiled: the final noop save was 32 tasks × ~1.6s cold). A VALUES
+    # literal plans as a LocalRelation — no python RDD, no tasks (A/B:
+    # cold 6.3s -> 1.3s, steady 1.19s -> 0.78s, identical rows + schema).
+    vals = ", ".join(f"(TIMESTAMP '{m}')" for m in months)
+    return spark.sql(f"SELECT col1 AS month FROM VALUES {vals}")
 
 
 def pk_violations_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -52,7 +52,14 @@ def main() -> None:
 
     @F.pandas_udf("long")
     def _warm(s: pd.Series) -> pd.Series:
-        return s
+        # import numpy in the worker: the embedding/vector UDFs' modules
+        # import it on first unpickle, a one-off per worker that otherwise
+        # lands in the first measured embedding query (32 workers importing
+        # concurrently). Session machinery, same class as the pandas fork
+        # warmup above (guide §1.4).
+        import numpy as _np
+
+        return s + int(_np.zeros(1)[0])
 
     spark.range(100000).repartition(64).select(_warm("id")).write.mode("overwrite").format(
         "noop"

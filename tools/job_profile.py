@@ -44,7 +44,8 @@ spark.range(1000).groupBy(F.col("id") %% 7).count().write.mode("overwrite").form
 
 @F.pandas_udf("long")
 def _warm(s: pd.Series) -> pd.Series:
-    return s
+    import numpy as _np
+    return s + int(_np.zeros(1)[0])
 
 spark.range(100000).repartition(64).select(_warm("id")).write.mode("overwrite").format("noop").save()
 sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

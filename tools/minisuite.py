@@ -82,7 +82,8 @@ def main() -> None:
 
     @F.pandas_udf("long")
     def _warm(s: pd.Series) -> pd.Series:
-        return s
+        import numpy as _np
+        return s + int(_np.zeros(1)[0])
 
     spark.range(100000).repartition(64).select(_warm("id")).write.mode(
         "overwrite"
