@@ -166,7 +166,7 @@ def run_available_now(
     result: DataFrame,
     query_name: str | None = None,
     output_mode: str = "complete",
-    state_partitions: int | None = 8,
+    state_partitions: int | None = 4,
     drop_prior: bool = True,
     no_data_batch: bool = False,
 ) -> DataFrame:
@@ -182,9 +182,12 @@ def run_available_now(
     every stateful operator materializes one state-store instance PER
     shuffle partition per operator, so a 32-partition local session pays
     32× state-store open/commit/file overhead per micro-batch where the
-    state itself is tiny. 8 is right for the test corpora; a production
-    deployment sizes it to expected state volume (the setting is sticky in
-    the checkpoint, so it is an explicit knob, not a default). The session
+    state itself is tiny. 4 is right for the test corpora (r12 interleaved
+    A/B over all six stateful drains: 8→4 wins or ties every query,
+    interval_join 2.45→1.90 s warm; 4→2 regresses stateful_totals 2.6→3.4 s
+    — the aggregation work itself wants ≥4 ways); a production deployment
+    sizes it to expected state volume (the setting is sticky in the
+    checkpoint, so it is an explicit knob, not a default). The session
     conf is restored after the drain — batch plans in the same session are
     unaffected (a stream binds shuffle partitions when the query starts).
 
