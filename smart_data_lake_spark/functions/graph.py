@@ -62,8 +62,12 @@ def pagerank(
     e = edges.select(
         F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"), w.cast("long").alias("_w")
     )
-    # collapse parallel edges once so the per-iteration join is minimal
-    e = e.groupBy("_src", "_dst").agg(F.sum("_w").alias("_w"))
+    # collapse parallel edges once so the per-iteration join is minimal —
+    # and pin the collapsed frame FIRST (the HITS/markov pattern, r12):
+    # nodes' two-branch union and out_w below otherwise re-execute the
+    # upstream edge build (corpus tokenize + adjacency explode for the
+    # terms graph) once per reference at pin time
+    e = e.groupBy("_src", "_dst").agg(F.sum("_w").alias("_w")).transform(lineage_pin)
     nodes = (
         e.select(F.col("_src").alias("node"))
         .unionByName(e.select(F.col("_dst").alias("node")))

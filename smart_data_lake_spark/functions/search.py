@@ -842,6 +842,13 @@ def tfidf_topk_neighbors(
         shingle_n=shingle_n,
         max_df=max_df,
     )
+    # pin before symmetrizing: the unionByName below references `pairs`
+    # twice, so without a pin the whole posting-join subtree past the last
+    # reusable exchange (norm joins, threshold filter, family-expansion
+    # joins) executes once PER BRANCH and the plan itself doubles — twice
+    # the codegen/bootstrap units per execution (r12, guide §2.4/§5; the
+    # pinned frame is the thresholded pair list, output-scale rows)
+    pairs = lineage_pin(pairs)
     sym = pairs.select(
         F.col("doc_a").alias("doc"), F.col("doc_b").alias("neighbor"), "cosine"
     ).unionByName(

@@ -600,14 +600,15 @@ def test_exact_neardup_clusters_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_tfidf_topk_neighbors_no_cartesian(spark, sf_dir):
+def test_tfidf_topk_neighbors_no_cartesian(spark, sf_dir, monkeypatch):
     """Posting-list self-join: pairs only materialize for docs sharing a
     term — a cartesian here is the quadratic blowup the inverted index
     exists to avoid. (The BroadcastNestedLoopJoins in this plan are the
     1-ROW n_docs stats broadcasts — the bm25 crossJoin(broadcast) shape,
     constant cost — so the audit pins the DATA join: the posting self-join
-    on `tok` must be a hash join.)"""
-    plan = _plan(spark, "tfidf_topk_neighbors_docs", sf_dir)
+    on `tok` must be a hash join.) Unpinned lineage: the r12 pre-symmetrize
+    pin would otherwise hide the posting join behind Scan ExistingRDD."""
+    plan = _plan_unpinned(spark, "tfidf_topk_neighbors_docs", sf_dir, monkeypatch)
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
 
@@ -669,9 +670,18 @@ def _plan_unpinned(spark, name, sf_dir, monkeypatch):
     catch on the first version of these tests) — neutralizing the pin
     exposes the full lineage the assertions are about."""
     from pyspark.sql import DataFrame
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDataFrame
 
+    # Spark 4: pyspark.sql.DataFrame is the dispatch ABC; live frames are
+    # classic.dataframe.DataFrame with their OWN localCheckpoint, so the
+    # base-class patch alone no longer intercepts (found r12 — the pin was
+    # silently surviving and these assertions were running on the pinned
+    # plan). Patch both.
     monkeypatch.setattr(
         DataFrame, "localCheckpoint", lambda self, eager=True: self
+    )
+    monkeypatch.setattr(
+        ClassicDataFrame, "localCheckpoint", lambda self, eager=True: self
     )
     return _plan(spark, name, sf_dir)
 
