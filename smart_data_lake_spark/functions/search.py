@@ -554,6 +554,11 @@ def tfidf_cosine_pairs(
             .alias("w"),
         )
     )
+    # weighted feeds the norm aggregate AND both posting-join sides (3
+    # references): without its own pin each reference re-runs the dfreq
+    # join + weight projection from the pinned tf (r12 A/B below the tf
+    # pin; narrow (doc, tok, w) rows — the cheap-to-pin shape)
+    weighted = weighted.transform(lineage_pin)
     norms = weighted.groupBy("doc").agg(
         F.sum((F.col("w") * F.col("w")).cast("decimal(38,12)")).alias("nsq")
     )
