@@ -1019,9 +1019,19 @@ def minhash_estimate_calibration(
     the graded dedup pipeline's frames (shingles → signatures → banded
     candidates → equi-join verify); the rollup is one combinable aggregate
     over candidate-pair scale."""
-    sh = shingles(df, id_col=id_col, text_col=text_col, n=3)
-    sigs = minhash_signatures(sh, id_col=id_col, num_hashes=num_hashes)
-    cands = lsh_candidate_pairs(sigs, id_col=id_col, num_hashes=num_hashes, bands=bands)
+    # pin the three shared frames (r12): sh feeds the signatures AND both
+    # sides of the exact-jaccard verify, sigs feeds the banded self-join
+    # AND the per-pair match count twice, cands feeds the verify AND the
+    # estimate join — unpinned, the declared plan carried TWENTY copies of
+    # the documents scan (30 Exchange refs; the audit rebuilt the whole
+    # dedup pipeline once per reference)
+    sh = lineage_pin(shingles(df, id_col=id_col, text_col=text_col, n=3))
+    sigs = lineage_pin(
+        minhash_signatures(sh, id_col=id_col, num_hashes=num_hashes)
+    )
+    cands = lineage_pin(
+        lsh_candidate_pairs(sigs, id_col=id_col, num_hashes=num_hashes, bands=bands)
+    )
     exact = ngram_jaccard(sh, cands, id_col=id_col)
     sa, sb = sigs.alias("sa"), sigs.alias("sb")
     matches = sum(
