@@ -1276,7 +1276,12 @@ def survival_hazard_curve(
     stream collapses to one row per user (combinable min/max aggregate);
     everything after runs on a frame bounded by the observation window in
     days."""
-    starts = (
+    from ..session import lineage_pin
+
+    # starts feeds the event join, the per-user frame AND the risk-set
+    # total (3 references) — unpinned, each re-ran the signup scan+groupBy
+    # (r12 plan sweep). User-scale narrow rows.
+    starts = lineage_pin(
         df.where(F.col(type_col) == start_type)
         .groupBy(user_col)
         .agg(F.min(F.col(ts_col).cast("double")).alias("t0"))
@@ -2234,6 +2239,13 @@ def psi_value_drift_by_group(
         F.sum(F.when(~F.col("_late"), 1).otherwise(0)).cast("long").alias("c_early"),
         F.sum(F.when(F.col("_late"), 1).otherwise(0)).cast("long").alias("c_late"),
     )
+    # observed feeds totals AND the grid join below — unpinned, each
+    # reference re-ran the events scan + bucket aggregate (r12 plan sweep:
+    # 18 scan copies in the declared plan). The pinned frame is
+    # groups×n_bins rows at ANY corpus scale.
+    from ..session import lineage_pin
+
+    observed = lineage_pin(observed)
     totals = observed.groupBy("g").agg(
         F.sum("c_early").cast("long").alias("t_early"),
         F.sum("c_late").cast("long").alias("t_late"),
@@ -2869,6 +2881,14 @@ def friedman_test_by_block(
             grid_round(F.col("_s").cast("double") / F.col("_n").cast("double"), 9).alias("_m"),
         )
     )
+    # per feeds the k-count AND the complete-block filter; ranked (below)
+    # feeds the treatment rollup AND the tie term — unpinned, each
+    # reference re-ran the corpus aggregate (+ the block windows for
+    # ranked; r12 plan sweep: 10 scan copies). Both frames are
+    # blocks×k narrow rows.
+    from ..session import lineage_pin
+
+    per = lineage_pin(per)
     # k as a 1-row broadcast aggregate INSIDE the plan (r11 review: the
     # old driver-side distinct().count() ran a full scan at plan-BUILD
     # time and baked a stale literal into the plan — the registry's only
@@ -2891,6 +2911,7 @@ def friedman_test_by_block(
         .alias("r2"),
         F.count(F.lit(1)).over(wt).cast("long").alias("tt"),
     )
+    ranked = lineage_pin(ranked)
     per_treat = ranked.groupBy("_t").agg(
         F.sum("r2").cast("decimal(38,0)").alias("r2sum"),
     )
@@ -3181,6 +3202,11 @@ def brown_forsythe_test(
         .alias("q"),
         F.sum("_zoob").cast("long").alias("zoob"),
     )
+    # per feeds glob AND the ssw/ssb reduce — unpinned, each reference
+    # re-ran the median window + deviation scan (r12 plan sweep). k rows.
+    from ..session import lineage_pin
+
+    per = lineage_pin(per)
     glob = per.groupBy().agg(
         F.count(F.lit(1)).cast("long").alias("k"),
         F.sum("n").cast("long").alias("nn"),
@@ -3302,7 +3328,13 @@ def log_rank_test(
     user (combinable), then day-grain frames bounded by the observation
     window — the cumulative window runs on the day dictionary, never the
     corpus."""
-    starts = (
+    from ..session import lineage_pin
+
+    # starts feeds the first-event join AND the per-user frame; per_user
+    # (below) feeds the day rollup AND the variant totals — unpinned, each
+    # reference re-ran the events scans (r12 plan sweep: 12 scan copies).
+    # Both frames are user-scale narrow rows.
+    starts = lineage_pin(
         df.where(F.col(type_col) == start_type)
         .groupBy(user_col)
         .agg(F.min(F.col(ts_col).cast("double")).alias("t0"))
@@ -3328,6 +3360,7 @@ def log_rank_test(
             F.floor((F.col("tmax") - F.col("t0")) / 86400.0).alias("censor_day"),
         )
     )
+    per_user = lineage_pin(per_user)
     per_day = per_user.groupBy(
         F.coalesce(F.col("event_day"), F.col("censor_day")).alias("t")
     ).agg(
@@ -3496,6 +3529,10 @@ def jonckheere_terpstra_test(
     cum = grid.select(
         "_v", "_g", "c", F.coalesce(F.sum("c").over(wv), F.lit(0)).alias("lt")
     )
+    # cum feeds BOTH sides of the ordered-pair join — unpinned, the
+    # grid-join + window subtree ran twice (r12 plan sweep). Support×k
+    # rows at any corpus scale.
+    cum = lineage_pin(cum)
     lo = cum.select(
         F.col("_v").alias("v"),
         F.col("_g").alias("gi"),

@@ -1511,6 +1511,12 @@ def theil_decomposition(
     per_g = base.groupBy("_g").agg(
         F.count(F.lit(1)).cast("long").alias("ng"), F.sum("_x").alias("sg")
     )
+    # per_g feeds the 1-row total AND the broadcast term join — unpinned,
+    # each reference re-ran the scan + group aggregate (r12 plan sweep).
+    # k rows at any corpus scale.
+    from ..session import lineage_pin
+
+    per_g = lineage_pin(per_g)
     tot = per_g.groupBy().agg(
         F.sum("ng").cast("long").alias("n"),
         F.sum("sg").cast(f"decimal(38,{decimals})").alias("s"),
