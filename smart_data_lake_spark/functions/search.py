@@ -902,9 +902,14 @@ def source_divergence(
     )
     per = toks.groupBy("g", "term").agg(F.count(F.lit(1)).alias("c"))
     per = per.transform(lineage_pin)
-    corpus = per.groupBy("term").agg(F.sum("c").alias("ct"))
+    # corpus feeds the vocab count, the main join AND the unseen-term
+    # complement; totals feeds the broadcast join, the grand total AND the
+    # complement's source list — pin both rollups (vocab-scale / k rows)
+    # so each reference doesn't re-run its exchange over the pinned per
+    # (r12 plan sweep: 17 Exchange refs)
+    corpus = lineage_pin(per.groupBy("term").agg(F.sum("c").alias("ct")))
     vocab = corpus.count()  # scalar: one number to the driver
-    totals = per.groupBy("g").agg(F.sum("c").alias("tg"))
+    totals = lineage_pin(per.groupBy("g").agg(F.sum("c").alias("tg")))
     gtot = totals.agg(F.sum("tg").alias("tt"))
     joined = (
         per.join(corpus, "term")
